@@ -1,0 +1,84 @@
+"""Aggregation operators (reference A1-A6) plus the grouped layer the
+reference lacks (SURVEY §2.5 "Absent": Spark built-ins, exposed here).
+
+The per-column profiling aggregates deliberately batch EVERY column into
+ONE ``agg`` so the whole profile is a single partial+final aggregation
+pass over the data — one scan, no shuffle beyond the final combine,
+exactly how a 100 TB profile must run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Row
+from pyspark.sql import functions as F
+
+
+def row_count(df: DataFrame) -> int:
+    """Reference A1."""
+    return df.count()
+
+
+def distinct_ratios(df: DataFrame, columns: list[str], approx: bool = False) -> dict[str, float]:
+    """Distinct-count / row-count per column, all in one aggregation
+    (reference A2, notebooks/preprocessing_with_polars.ipynb:1858-1862).
+
+    ``approx=True`` swaps in HyperLogLog (``approx_count_distinct``) —
+    the right call at 100 TB since the consumer is a 0.1/0.01 threshold
+    rule that tolerates approximation (SURVEY §2.5 A2).
+    """
+    cd = F.approx_count_distinct if approx else F.count_distinct
+    aggs = [cd(F.col(c)).alias(f"{c}__nd") for c in columns]
+    aggs.append(F.count(F.lit(1)).alias("__n"))
+    row = df.agg(*aggs).first()
+    n = row["__n"] or 1
+    return {c: row[f"{c}__nd"] / n for c in columns}
+
+
+def min_max(df: DataFrame, columns: list[str]) -> dict[str, tuple]:
+    """Min+max for every column in one batched agg (reference A3,
+    notebooks/0_preprocessing.ipynb:3385-3390)."""
+    aggs = []
+    for c in columns:
+        aggs.append(F.min(F.col(c)).alias(f"{c}__min"))
+        aggs.append(F.max(F.col(c)).alias(f"{c}__max"))
+    row = df.agg(*aggs).first()
+    return {c: (row[f"{c}__min"], row[f"{c}__max"]) for c in columns}
+
+
+def null_counts(df: DataFrame, columns: list[str] | None = None) -> dict[str, int]:
+    """Null count per column, one pass (profiling support for the
+    downcast ladder's null-flag inputs, reference T6)."""
+    columns = columns or df.columns
+    aggs = [F.count(F.when(F.col(c).isNull(), 1)).alias(c) for c in columns]
+    row = df.agg(*aggs).first()
+    return row.asDict()
+
+
+def count_matching(df: DataFrame, predicate: Column) -> int:
+    """Reference A6: ``filter(...).count()``."""
+    return df.filter(predicate).count()
+
+
+def column_sum(df: DataFrame, column: str):
+    """Reference A4."""
+    return df.agg(F.sum(column).alias("s")).first()["s"]
+
+
+def column_max(df: DataFrame, column: str):
+    """Reference A5."""
+    return df.agg(F.max(column).alias("m")).first()["m"]
+
+
+def grouped(df: DataFrame, keys: list[str], aggs: list[Column]) -> DataFrame:
+    """Grouped aggregation — map-side partial agg + one shuffle on the
+    keys; the workhorse the reference never had."""
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def profile_summary(df: DataFrame, sample_rows: int = 50_000) -> Row:
+    """One-pass dataset profile over a bounded sample (reference M4's
+    sampling idea without the head() ordering bias — SURVEY §2.6 note)."""
+    return df.limit(sample_rows).agg(
+        F.count(F.lit(1)).alias("rows"),
+        *[F.approx_count_distinct(c).alias(f"{c}__nd") for c in df.columns],
+    ).first()

@@ -1,0 +1,83 @@
+"""Joins, set ops, windows — the analytics layer the reference lacks
+(SURVEY §2.7: "None implemented in the reference"; pure Spark built-ins
+exposed with scale-aware defaults).
+
+Scale posture: dimension joins broadcast explicitly (no shuffle of the
+fact side); fact-fact joins rely on AQE for skew handling; ``top_k_per_group``
+uses a window + row_number which shuffles once on the group key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dim_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on,
+    how: str = "inner",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Fact⋈dim with the dim side broadcast by default — at 100 TB a
+    shuffle of the fact table to join a 5-row region dim is the classic
+    avoidable bottleneck."""
+    right = F.broadcast(dim) if broadcast_dim else dim
+    return fact.join(right, on, how)
+
+
+def semi_join(df: DataFrame, other: DataFrame, on) -> DataFrame:
+    """EXISTS (left_semi): filters without duplicating or widening."""
+    return df.join(other, on, "left_semi")
+
+
+def anti_join(df: DataFrame, other: DataFrame, on) -> DataFrame:
+    """NOT EXISTS (left_anti)."""
+    return df.join(other, on, "left_anti")
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_by: list[Column],
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Top-k within each group via row_number window — one shuffle on
+    the group key, rows beyond k dropped before any further stage."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_time: str,
+    right_time: str,
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """As-of join (latest right row at-or-before each left row's time),
+    composed from built-ins: equi-join on keys + time inequality, then
+    keep the max right-time match per left row via row_number.
+
+    Spark lacks a native as-of join (pyspark_guide "Common OLAP
+    patterns"); this composition shuffles both sides once on the key
+    columns. For dense right sides add a coarse time-bucket key to both
+    sides before calling to cut the join fan-out.
+    """
+    lt, rt = F.col(f"l.{left_time}"), F.col(f"r.{right_time}")
+    cond = [F.col(f"l.{c}") == F.col(f"r.{c}") for c in on] + [rt <= lt]
+    if tolerance_seconds is not None:
+        cond.append(rt >= lt - F.expr(f"INTERVAL {tolerance_seconds} SECONDS"))
+    l, r = left.alias("l"), right.alias("r")
+    joined = l.join(r, cond, "left")
+    w = Window.partitionBy(*[F.col(f"l.{c}") for c in on], lt).orderBy(rt.desc_nulls_last())
+    out_cols = [F.col(f"l.{c}") for c in left.columns] + [
+        F.col(f"r.{c}").alias(f"r_{c}") for c in right.columns if c not in on
+    ]
+    return joined.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).select(*out_cols)

@@ -1,0 +1,177 @@
+"""Similarity search over embedding columns (engine extension layer —
+the reference has no vector ops; this is the training-data-pipeline
+surface mandated by the north star).
+
+Two tiers:
+
+- ``cosine_topk`` — brute-force exact top-k against one query vector.
+  All math runs JVM-side through higher-order array functions
+  (``zip_with`` + ``aggregate``): no Python per row, whole-stage
+  codegen'd, and the top-k compiles to TakeOrderedAndProject (each
+  partition retains k rows). At 100 TB this is one scan, no shuffle.
+- ``cosine_topk_lsh`` — approximate top-k via random-hyperplane LSH:
+  each vector hashes to a ``n_planes``-bit signature; candidates =
+  vectors sharing the query's bucket (optionally with multi-probe on
+  neighboring buckets); exact cosine re-ranks the candidates. The
+  bucket column is also the natural partition/bucketing key for a
+  persisted ANN index table.
+- ``pairwise_topk_per_vector`` — all-pairs k-NN on a (small) vector set
+  via a bucketed self-join; the scale path for all-pairs is LSH
+  bucketing first, exact re-rank within buckets.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double precision, array order (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _as_double_array(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def cosine_similarity_col(vec_col: Column, query: list[float]) -> Column:
+    """Cosine(vec, literal query) as a Catalyst expression.
+
+    Mirrors the oracle formula exactly: dot/(sqrt(dot_aa)*sqrt(dot_qq)),
+    accumulation in array order — bit-identical across engines.
+    """
+    v = _as_double_array(vec_col)
+    q = F.array(*[F.lit(float(x)) for x in query])
+    qq = 0.0
+    for x in query:
+        qq += float(x) * float(x)
+    return _dot(v, q) / (F.sqrt(_dot(v, v)) * F.lit(math.sqrt(qq)))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Exact brute-force cosine top-k (the ANN correctness baseline)."""
+    sim = cosine_similarity_col(F.col(vec_col), query)
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    return (
+        df.select(F.col(id_col), sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes for signed-random-projection
+    LSH (SimHash family for vectors)."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_bucket_col(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Pack sign(v·plane) bits into a long bucket id — pure JVM
+    expression, usable as a join / partition key."""
+    v = _as_double_array(vec_col)
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(_dot(v, p) >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bucket = bucket + (bit * F.lit(2**i).cast("long"))
+    return bucket
+
+
+def cosine_topk_lsh(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    seed: int = 42,
+    multiprobe_bits: int = 1,
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Approximate cosine top-k: restrict to the query's LSH bucket
+    (plus buckets within ``multiprobe_bits`` bit-flips), then exact
+    re-rank. The candidate filter is a pushdown-able equality/IN
+    predicate on a precomputable bucket column — at scale, persist the
+    bucket column and partition by it so the probe touches one
+    partition."""
+    planes = random_hyperplanes(len(query), n_planes, seed)
+
+    def bucket_of(vec: list[float]) -> int:
+        b = 0
+        for i, plane in enumerate(planes):
+            dot = sum(x * y for x, y in zip(vec, plane))
+            if dot >= 0:
+                b |= 1 << i
+        return b
+
+    qb = bucket_of(query)
+    probes = {qb}
+    if multiprobe_bits >= 1:
+        for i in range(n_planes):
+            probes.add(qb ^ (1 << i))
+    if multiprobe_bits >= 2:
+        for i in range(n_planes):
+            for j in range(i + 1, n_planes):
+                probes.add(qb ^ (1 << i) ^ (1 << j))
+
+    bucketed = df.withColumn("__bucket", lsh_bucket_col(F.col(vec_col), planes))
+    candidates = bucketed.filter(F.col("__bucket").isin(*sorted(probes)))
+    return cosine_topk(
+        candidates, query, k=k, vec_col=vec_col, id_col=id_col, round_digits=round_digits
+    )
+
+
+def pairwise_topk_per_vector(
+    df: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """All-pairs approximate k-NN: LSH-bucket both sides, self-join on
+    the bucket (co-partitioned equi-join — no cross product), exact
+    cosine within buckets, keep top-k per left vector."""
+    from pyspark.sql import Window
+
+    dim_probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    planes = random_hyperplanes(dim_probe["d"], n_planes, seed)
+    b = df.select(
+        F.col(id_col),
+        _as_double_array(F.col(vec_col)).alias("__v"),
+        lsh_bucket_col(F.col(vec_col), planes).alias("__bucket"),
+    )
+    left = b.select(
+        F.col(id_col).alias("left_id"), F.col("__v").alias("lv"), "__bucket"
+    )
+    right = b.select(
+        F.col(id_col).alias("right_id"), F.col("__v").alias("rv"), "__bucket"
+    )
+    pairs = left.join(right, "__bucket").filter(F.col("left_id") != F.col("right_id"))
+    sim = _dot(F.col("lv"), F.col("rv")) / (
+        F.sqrt(_dot(F.col("lv"), F.col("lv"))) * F.sqrt(_dot(F.col("rv"), F.col("rv")))
+    )
+    scored = pairs.select("left_id", "right_id", F.round(sim, 6).alias("cos_sim"))
+    w = Window.partitionBy("left_id").orderBy(F.desc("cos_sim"), F.asc("right_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -1,0 +1,557 @@
+"""Query registry: every claimed operator as a (Spark fn, oracle SQL) pair.
+
+This is the engine's correctness surface. Each entry is:
+
+- a PySpark implementation ``fn(spark, sf_dir) -> DataFrame`` built from
+  the operator library (declarative DataFrame plans — Catalyst picks the
+  physical strategy), and
+- an equivalent ANSI-SQL string DuckDB can run over the same parquet
+  tables (the driver's oracle; ``None`` for non-SQL-expressible ops,
+  which then get a weaker rows-only check).
+
+Determinism rules (the oracle compare hashes VALUES, column-name
+sorted):
+- Aggregated money/quantity sums go through DECIMAL casts *before*
+  arithmetic, never double sums — double addition is order-dependent
+  and Spark partition order is not stable. Decimal addition is exact and
+  associative, so Spark and DuckDB agree bit-for-bit.
+- Averages/ratios = exact decimal (or integer) numerator cast to double,
+  divided, rounded — same IEEE ops both sides.
+- Every limit/top-k has a total tie-break order.
+- Timestamps are rendered to strings (session TZ pinned to UTC inside
+  the query) so naive-vs-aware differences can't bite.
+- Computed columns carry the SAME alias in Spark and SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ais_data_pipeline_spark.operators.joins import anti_join, dim_join, semi_join, top_k_per_group
+from ais_data_pipeline_spark.sources.parquet import read_table
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    description: str
+
+
+_REGISTRY: list[QueryDef] = []
+
+
+def register(name: str, oracle: str | None, description: str):
+    def deco(fn):
+        _REGISTRY.append(QueryDef(name, fn, oracle, description))
+        return fn
+
+    return deco
+
+
+def registry() -> list[QueryDef]:
+    return list(_REGISTRY)
+
+
+def _utc(spark: SparkSession) -> None:
+    # Defensive: the driver may hand us a session without our factory
+    # confs; timestamp rendering must be UTC to match DuckDB's naive ts.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+# ---------------------------------------------------------------------------
+# Reference-parity operators (SURVEY §2.3-§2.6) exercised on the driver
+# testdata — the operators are schema-agnostic (FIXTURES.md F5).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scan_project_filter",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag = 'R'
+    """,
+    "P2 projection + P5 closed-range filter + equality predicate; "
+    "filters and column pruning reach the parquet scan.",
+)
+def q_scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .filter(F.col("l_quantity").between(10, 20) & (F.col("l_returnflag") == "R"))
+    )
+
+
+@register(
+    "project_exclude_substring",
+    """
+    SELECT p_partkey, p_name, p_brand, p_type, p_size FROM part
+    """,
+    "P1 quirk parity: drop every column whose NAME CONTAINS a needle "
+    "(substring, not suffix — reference drops actual_area this way).",
+)
+def q_project_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.projections import exclude_substring
+
+    return exclude_substring(read_table(spark, sf_dir, "part"), "retail")
+
+
+@register(
+    "downcast_guard",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_partkey BETWEEN 0 AND 500 THEN CAST(l_partkey AS INTEGER)
+                ELSE NULL END AS partkey_narrow
+    FROM lineitem
+    """,
+    "T4 conditional ranged downcast: in-range → narrow type, "
+    "out-of-range → null (never an error).",
+)
+def q_downcast_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.transforms import ranged_downcast
+    from pyspark.sql import types as T
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        ranged_downcast("l_partkey", T.IntegerType(), 0, 500).alias("partkey_narrow"),
+    )
+
+
+@register(
+    "profile_distinct_ratios",
+    """
+    SELECT CAST(count(DISTINCT o_orderstatus) AS DOUBLE) / count(*) AS status_ratio,
+           CAST(count(DISTINCT o_orderpriority) AS DOUBLE) / count(*) AS priority_ratio,
+           CAST(count(DISTINCT o_custkey) AS DOUBLE) / count(*) AS custkey_ratio
+    FROM orders
+    """,
+    "A2 distinct-ratio profile, all columns in ONE aggregation pass "
+    "(drives the categorical decision at thresholds 0.10/0.01).",
+)
+def q_profile_distinct_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    n = F.count(F.lit(1))
+    return o.agg(
+        (F.count_distinct("o_orderstatus").cast("double") / n).alias("status_ratio"),
+        (F.count_distinct("o_orderpriority").cast("double") / n).alias("priority_ratio"),
+        (F.count_distinct("o_custkey").cast("double") / n).alias("custkey_ratio"),
+    )
+
+
+@register(
+    "profile_min_max",
+    """
+    SELECT min(l_quantity) AS qty_min, max(l_quantity) AS qty_max,
+           min(l_extendedprice) AS price_min, max(l_extendedprice) AS price_max,
+           min(l_orderkey) AS okey_min, max(l_orderkey) AS okey_max
+    FROM lineitem
+    """,
+    "A3 batched min/max profile — one shuffle-free partial+final agg "
+    "(feeds the T6 downcast ladder).",
+)
+def q_profile_min_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.min("l_quantity").alias("qty_min"),
+        F.max("l_quantity").alias("qty_max"),
+        F.min("l_extendedprice").alias("price_min"),
+        F.max("l_extendedprice").alias("price_max"),
+        F.min("l_orderkey").alias("okey_min"),
+        F.max("l_orderkey").alias("okey_max"),
+    )
+
+
+@register(
+    "horizontal_predicates",
+    """
+    SELECT
+      count(CASE WHEN l_quantity BETWEEN 5 AND 45 AND l_discount BETWEEN 0.0 AND 0.08
+                 THEN 1 END) AS n_all,
+      count(CASE WHEN l_quantity < 5 OR l_discount > 0.08 OR l_tax IS NULL
+                 THEN 1 END) AS n_any
+    FROM lineitem
+    """,
+    "P3/P4/P7 all_horizontal / any_horizontal predicate folds + A6 "
+    "count-matching, fused into one pass.",
+)
+def q_horizontal_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.filters import all_horizontal, any_horizontal
+
+    li = read_table(spark, sf_dir, "lineitem")
+    all_pred = all_horizontal(
+        [F.col("l_quantity").between(5, 45), F.col("l_discount").between(0.0, 0.08)]
+    )
+    any_pred = any_horizontal(
+        [F.col("l_quantity") < 5, F.col("l_discount") > 0.08, F.col("l_tax").isNull()]
+    )
+    return li.agg(
+        F.count(F.when(all_pred, 1)).alias("n_all"),
+        F.count(F.when(any_pred, 1)).alias("n_any"),
+    )
+
+
+@register(
+    "null_counts",
+    """
+    SELECT count(CASE WHEN text IS NULL THEN 1 END) AS text_nulls,
+           count(CASE WHEN lang IS NULL THEN 1 END) AS lang_nulls,
+           count(*) AS n_rows
+    FROM documents
+    """,
+    "P6 null predicates batched into a one-pass per-column null profile.",
+)
+def q_null_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.when(F.col("text").isNull(), 1)).alias("text_nulls"),
+        F.count(F.when(F.col("lang").isNull(), 1)).alias("lang_nulls"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "topk_orders",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+    "O2/O3 top-k: compiles to TakeOrderedAndProject (per-partition k, "
+    "no global sort); total order via orderkey tie-break.",
+)
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "date_parse_lenient",
+    """
+    SELECT d AS date_str, TRY_CAST(d AS DATE) AS parsed
+    FROM (VALUES ('2024-01-02'), ('2024-02-30'), ('not a date'), (NULL), ('1999-12-31'))
+         AS t(d)
+    """,
+    "T1 lenient string→date parse: unparseable → null, never an error "
+    "(non-ANSI session / try_to_date semantics).",
+)
+def q_date_parse_lenient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = [("2024-01-02",), ("2024-02-30",), ("not a date",), (None,), ("1999-12-31",)]
+    df = spark.createDataFrame(rows, "date_str string")
+    return df.select(
+        "date_str",
+        F.try_to_timestamp(F.col("date_str"), F.lit("yyyy-M-d")).cast("date").alias("parsed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytics layer (SURVEY §2.7 "absent in reference" — grouped aggs,
+# joins, windows, rollup; all Spark built-ins with scale-aware physical
+# shape).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1.0 AS DECIMAL(4,3)) - CAST(l_discount AS DECIMAL(4,3)))) AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "TPC-H Q1-shaped pricing summary (flagship): grouped agg with "
+    "map-side partial aggregation; DECIMAL arithmetic for exactness.",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.lit(1.0).cast("decimal(4,3)") - F.col("l_discount").cast("decimal(4,3)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("sum_qty"),
+            F.sum(price).alias("sum_base_price"),
+            F.sum(price * disc).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "revenue_by_nation",
+    """
+    SELECT n_name,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1.0 AS DECIMAL(4,3)) - CAST(l_discount AS DECIMAL(4,3)))) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n_name
+    """,
+    "Multi-way star join (TPC-H Q5 shape): dims broadcast (no fact "
+    "shuffle for nation/region), fact-fact join AQE-planned.",
+)
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.lit(1.0).cast("decimal(4,3)") - F.col("l_discount").cast("decimal(4,3)")
+    cust_nation = dim_join(
+        dim_join(c, n, c.c_nationkey == n.n_nationkey),
+        r.filter(F.col("r_name").isin("ASIA", "EUROPE")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust_nation), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(F.sum(price * disc).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+@register(
+    "priority_revenue",
+    """
+    SELECT o_orderpriority,
+           count(DISTINCT o_orderkey) AS n_orders,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1.0 AS DECIMAL(4,3)) - CAST(l_discount AS DECIMAL(4,3)))) AS revenue
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+    "Fact-fact equi-join + grouped agg with distinct count "
+    "(TPC-H Q3/Q4 shape).",
+)
+def q_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    li = read_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.lit(1.0).cast("decimal(4,3)") - F.col("l_discount").cast("decimal(4,3)")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count_distinct("o_orderkey").alias("n_orders"),
+            F.sum(price * disc).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "top_customer_per_nation",
+    """
+    SELECT n_name, c_custkey, c_acctbal, rank
+    FROM (
+      SELECT n_name, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY n_name
+                                ORDER BY c_acctbal DESC, c_custkey ASC) AS rank
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ) WHERE rank <= 3
+    """,
+    "Top-k per group via row_number window — one shuffle on the group "
+    "key; broadcast dim join for the nation name.",
+)
+def q_top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    joined = dim_join(c, n, c.c_nationkey == n.n_nationkey)
+    return top_k_per_group(
+        joined.select("n_name", "c_custkey", "c_acctbal"),
+        ["n_name"],
+        [F.desc("c_acctbal"), F.asc("c_custkey")],
+        k=3,
+    ).select("n_name", "c_custkey", "c_acctbal", "rank")
+
+
+@register(
+    "order_status_rollup",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    "ROLLUP grouping sets (absent in reference; SURVEY §2.5) — "
+    "partial-agg friendly multi-level aggregation.",
+)
+def q_order_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+    )
+
+
+@register(
+    "semi_anti_customers",
+    """
+    SELECT
+      (SELECT count(*) FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_with_orders,
+      (SELECT count(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_without_orders
+    """,
+    "left_semi / left_anti joins (EXISTS / NOT EXISTS) — no row "
+    "duplication, build side aggregated before probe.",
+)
+def q_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    n_with = semi_join(c, o, "c_custkey").count()
+    n_without = anti_join(c, o, "c_custkey").count()
+    return spark.createDataFrame(
+        [(n_with, n_without)], "n_with_orders bigint, n_without_orders bigint"
+    )
+
+
+@register(
+    "events_hourly",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type,
+           count(*) AS n_events,
+           sum(CAST(value AS DECIMAL(14,2))) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    "Event-time tumbling window aggregation (batch analog of the "
+    "streaming windowed agg); window start rendered as UTC string.",
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_start"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(14,2)")).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "events_json_extract",
+    r"""
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS k_sum
+    FROM events
+    GROUP BY event_type
+    """,
+    "Semi-structured props column: regex field extraction + typed "
+    "aggregation (JSON-ish payload handling, JVM-side regexp).",
+)
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("k_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data-pipeline layer: dedup / text / similarity over the
+# documents + embeddings tables.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_doc_id
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    "Exact dedup: content-hash groupBy, canonical survivor = min id. "
+    "At 100 TB the md5 is computed map-side and only (hash,id) shuffles.",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+@register(
+    "token_counts",
+    r"""
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+           length(text) AS n_chars_measured
+    FROM documents
+    """,
+    "Whitespace tokenization + counts — JVM regexp split, no Python in "
+    "the row path.",
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    trimmed = F.trim(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.when(F.length(trimmed) == 0, F.lit(0))
+        .otherwise(F.size(F.split(trimmed, r"\s+")))
+        .alias("n_tokens"),
+        F.length(F.col("text")).alias("n_chars_measured"),
+    )
+
+
+@register(
+    "embedding_topk",
+    """
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    )
+    SELECT e.vec_id,
+           round(
+             list_dot_product(e.embedding::DOUBLE[], q.qv)
+             / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos_sim
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+    ORDER BY cos_sim DESC, e.vec_id ASC
+    LIMIT 10
+    """,
+    "Brute-force cosine top-k ANN baseline: JVM higher-order functions "
+    "(zip_with + aggregate) for the dot product, TakeOrderedAndProject "
+    "for the top-k; query vector broadcast as a literal.",
+)
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.similarity import cosine_topk
+
+    e = read_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return cosine_topk(e.filter(F.col("vec_id") != 0), qv, k=10, round_digits=4)

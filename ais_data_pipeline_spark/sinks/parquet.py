@@ -1,0 +1,86 @@
+"""Parquet sinks (reference K1-K4).
+
+- K1 (S3 multipart): Spark's committer does multipart automatically on
+  ``df.write`` — nothing to port; object metadata (``source_url``,
+  ``ingestion_time``) becomes a ``_manifest.json`` sidecar.
+- K2 (date-partitioned layout): ``partitionBy("ingest_date")``.
+- K3 (compact Parquet): zstd in place of the reference's brotli
+  (reference notebooks/preprocessing_with_polars.ipynb:4038-4039;
+  deviation recorded in BASELINE.md).
+- K4 (quarantine side-output): Spark batch has no single-pass
+  multi-sink, so the engine persists once and writes main + quarantine
+  as two filtered writes (reference notebooks/0_preprocessing.ipynb:3457).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str = "zstd",
+    partition_by: list[str] | None = None,
+    manifest: dict | None = None,
+) -> None:
+    writer = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    if manifest is not None:
+        sidecar = dict(manifest)
+        sidecar.setdefault("written_at", time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()))
+        with open(os.path.join(path, "_manifest.json"), "w") as f:
+            json.dump(sidecar, f, indent=2, default=str)
+
+
+def write_date_partitioned(
+    df: DataFrame,
+    path: str,
+    date_col: str = "ingest_date",
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Stamp the UTC ingest date and write Hive-partitioned by it —
+    the engine's version of the reference's ``{prefix}/Y/M/D/`` object
+    layout (reference lambda_handler.py:273,281). Partition pruning on
+    ``ingest_date`` is then free for every downstream reader."""
+    stamped = df.withColumn(date_col, F.current_date()) if date_col not in df.columns else df
+    write_parquet(stamped, path, mode=mode, partition_by=[date_col])
+    return stamped
+
+
+def write_with_quarantine(
+    df: DataFrame,
+    good_predicate: Column,
+    main_path: str,
+    quarantine_path: str,
+    mode: str = "overwrite",
+) -> dict:
+    """Split rows on ``good_predicate``: passers → main, violators →
+    quarantine (reference K4 / P4). One persist, two filtered writes —
+    each write re-reads the cached partitions instead of the source, so
+    the scan happens once even at 100 TB (evict after with unpersist).
+
+    Null predicate results count as NOT good (they quarantine), matching
+    the reference's any_horizontal problem-row select
+    (reference notebooks/0_preprocessing.ipynb:3447-3454).
+    """
+    good = F.coalesce(good_predicate.cast("boolean"), F.lit(False))
+    tagged = df.withColumn("__good", good).persist()
+    try:
+        main = tagged.filter(F.col("__good")).drop("__good")
+        bad = tagged.filter(~F.col("__good")).drop("__good")
+        write_parquet(main, main_path, mode=mode)
+        write_parquet(bad, quarantine_path, mode=mode)
+        n_main = main.count()
+        n_bad = bad.count()
+    finally:
+        tagged.unpersist()
+    return {"rows_main": n_main, "rows_quarantined": n_bad, "rows_in": n_main + n_bad}

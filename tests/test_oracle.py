@@ -1,0 +1,93 @@
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+For every registry query with an oracle: run the Spark plan and the
+DuckDB SQL over the same sf0.01 parquet, then compare row count, column
+names, and order-insensitive per-cell values (normalized like a
+value-hash would see them). Catching a mismatch here is much cheaper
+than losing a round to CORRECTNESS_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import math
+import os
+
+import duckdb
+import pytest
+
+from ais_data_pipeline_spark.queries import registry
+from ais_data_pipeline_spark.sources.parquet import TABLES
+
+QUERIES = registry()
+
+
+def _duck(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, decimal.Decimal):
+        return str(v.normalize())
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return repr(v)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    return v
+
+def _norm_rows(rows, columns):
+    # driver compare sorts columns by name, then hashes values
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(out, key=repr)
+
+
+@pytest.mark.parametrize("q", [q for q in QUERIES if q.oracle], ids=lambda q: q.name)
+def test_oracle_match(spark, sf_dir, q):
+    sdf = q.fn(spark, sf_dir)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    con = _duck(sf_dir)
+    res = con.execute(q.oracle)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{q.name}: column mismatch spark={spark_cols} duck={duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{q.name}: row count spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    ns, nd = _norm_rows(spark_rows, spark_cols), _norm_rows(duck_rows, duck_cols)
+    mism = [i for i, (a, b) in enumerate(zip(ns, nd)) if a != b]
+    assert not mism, (
+        f"{q.name}: {len(mism)} differing rows; first: spark={ns[mism[0]]} duck={nd[mism[0]]}"
+    )
+
+
+def test_entry_smoke(spark, smoke_dir):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.schema is not None
+    names = set(entrymod.queries())
+    oracle = entrymod.oracle_sql()
+    assert set(oracle) <= names
