@@ -1,0 +1,352 @@
+"""Deduplication operators for training-data pipelines (engine
+extension layer; the reference has none — north star requirement).
+
+Tiers, cheapest first:
+
+- ``exact_dedup`` — content-hash groupBy. Map-side md5, shuffle only
+  (hash, id) pairs; the canonical survivor is min(id). At 100 TB the
+  full text never shuffles.
+- ``ngram_jaccard_pairs`` — exact near-dup pairs via shingle explode +
+  self-equi-join on shingle + group-by-pair Jaccard. The join key is
+  the shingle, so only docs SHARING a shingle ever pair up (no cross
+  product); a document-frequency cap drops stop-shingles that would
+  otherwise explode the join (classic skew control).
+- ``minhash_lsh_candidates`` / ``minhash_near_dup`` — MinHash
+  signatures (xxhash64 with per-permutation seeds, JVM-side) banded
+  into LSH buckets; candidate pairs share ≥1 band bucket; optional
+  exact-Jaccard re-rank confirms. Shuffle volume ∝ #bands × #docs,
+  independent of pair count.
+- ``simhash`` — 64-bit weighted-bit-vote fingerprint; near-dups have
+  small Hamming distance. One pass, no join; pairs found by banding
+  the fingerprint into 4 × 16-bit blocks (Hamming ≤ 3 ⇒ some block
+  equal, pigeonhole).
+- ``embedding_near_dup`` — cosine-threshold pairs on an embedding
+  column via LSH bucketing (operators.similarity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: str = "min",
+) -> DataFrame:
+    """One row per distinct content hash with survivor id + copy count."""
+    keeper = F.min(id_col) if keep == "min" else F.max(id_col)
+    return (
+        df.groupBy(F.md5(F.col(text_col).cast("binary")).alias("text_hash"))
+        .agg(F.count(F.lit(1)).alias("n_copies"), keeper.alias("keep_doc_id"))
+    )
+
+
+def word_shingles(text_col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of lower-cased text (array<string>).
+
+    Built from JVM higher-order functions (split → transform over an
+    index sequence → concat_ws → array_distinct): codegen'd, no Python.
+    """
+    tokens = F.split(F.lower(F.trim(text_col)), r"\s+")
+    n_sh = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(0))
+    idx = F.sequence(F.lit(1), n_sh)  # empty when fewer than n tokens
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(tokens, i + j) for j in range(n)]
+    )
+    return F.array_distinct(F.transform(idx, gram))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.3,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
+    round_digits: int | None = 5,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs (a < b) over word n-gram shingles.
+
+    intersection(a,b) = #shared shingles (via the shingle equi-join);
+    union = |A| + |B| − intersection. ``max_shingle_df`` drops shingles
+    appearing in more than that many docs before the join — the skew
+    guard that keeps the self-join linear-ish at scale.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    a = sh.select(F.col("doc").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    jac = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    out = jac.select(
+        "doc_a",
+        "doc_b",
+        (F.round("jaccard", round_digits) if round_digits else F.col("jaccard")).alias(
+            "jaccard"
+        ),
+    )
+    return out
+
+
+# -- MinHash / LSH ----------------------------------------------------------
+
+
+def minhash_signature(
+    shingles_col: Column, n_hashes: int = 32, seed: int = 42
+) -> Column:
+    """Array of n_hashes minimum xxhash64 values over the shingle set.
+
+    One JVM expression per permutation (xxhash64 with a distinct seed
+    column mixed in) — the signature computes map-side in a single
+    projection; no UDF, no shuffle.
+    """
+    # NB: closure factory, not `lambda s, i=i:` — PySpark interprets a
+    # two-parameter lambda as (element, index) and would override the
+    # default, collapsing every permutation to the same hash.
+    def perm_hash(i: int):
+        return lambda s: F.xxhash64(s, F.lit(seed + i))
+
+    mins = [
+        F.array_min(F.transform(shingles_col, perm_hash(i))) for i in range(n_hashes)
+    ]
+    return F.array(*mins)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    n_hashes: int = 32,
+    bands: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket.
+
+    rows-per-band r = n_hashes // bands; P(candidate | jaccard j) =
+    1 − (1 − j^r)^bands. Pairs emerge from a groupBy on
+    (band_index, band_hash) — shuffle is #docs × #bands small rows.
+    """
+    r = n_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("doc"),
+        minhash_signature(word_shingles(F.col(text_col), shingle_n), n_hashes, seed).alias(
+            "sig"
+        ),
+    )
+    band_rows = sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.element_at(F.col("sig"), b * r + j + 1) for j in range(r)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+    left = band_rows.select(F.col("doc").alias("doc_a"), "band", "bucket")
+    right = band_rows.select(F.col("doc").alias("doc_b"), "band", "bucket")
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_near_dup(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n_hashes: int = 32,
+    bands: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    seed: int = 42,
+    round_digits: int = 5,
+) -> DataFrame:
+    """LSH candidates re-ranked by EXACT Jaccard ≥ threshold.
+
+    Output is exact-verified (false positives filtered), so with
+    recall≈1 banding parameters the result equals the brute-force
+    ngram_jaccard_pairs — which is this operator's oracle — while the
+    candidate join replaces the all-pairs shingle join at scale.
+    """
+    cands = minhash_lsh_candidates(
+        df, n_hashes, bands, text_col, id_col, shingle_n, seed
+    )
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+    )
+    a = sh.select(
+        F.col("doc").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    b = sh.select(
+        F.col("doc").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    scored = (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return scored.select(
+        "doc_a", "doc_b", F.round("jaccard", round_digits).alias("jaccard")
+    )
+
+
+# -- SimHash ----------------------------------------------------------------
+
+
+def simhash64(tokens_col: Column, seed: int = 42) -> Column:
+    """64-bit SimHash: per-token xxhash64, each bit votes ±1, sign of
+    the vote sum sets the fingerprint bit. Pure JVM expressions.
+
+    Bit b vote sum = Σ_tokens (hash>>b & 1 ? +1 : −1); fingerprint has
+    bit b set iff the sum is positive.
+    """
+    hashes = F.transform(tokens_col, lambda t: F.xxhash64(t, F.lit(seed)))
+
+    # closure factory (see minhash_signature): a 3-param lambda would be
+    # misread by PySpark's higher-order-function arity dispatch
+    def bit_vote(b: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    fp = F.lit(0).cast("long")
+    for b in range(64):
+        votes = F.aggregate(hashes, F.lit(0).cast("long"), bit_vote(b))
+        fp = fp.bitwiseOR(
+            F.when(votes > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return fp
+
+
+def simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", seed: int = 42
+) -> DataFrame:
+    tokens = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    return df.select(F.col(id_col), simhash64(tokens, seed).alias("simhash"))
+
+
+def simhash_near_dup(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming, found by
+    block-banding: split 64 bits into (max_hamming+1) blocks — any pair
+    within the distance budget agrees on ≥1 whole block (pigeonhole),
+    so an equi-join per block finds all of them without an all-pairs
+    scan."""
+    n_blocks = max_hamming + 1
+    width = 64 // n_blocks
+    fp = simhash_fingerprints(df, text_col, id_col, seed)
+    blocks = fp.select(
+        F.col(id_col).alias("doc"),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block"),
+                        F.shiftrightunsigned(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", "simhash", "bk.block", "bk.key")
+    left = blocks.select(
+        F.col("doc").alias("doc_a"), F.col("simhash").alias("fp_a"), "block", "key"
+    )
+    right = blocks.select(
+        F.col("doc").alias("doc_b"), F.col("simhash").alias("fp_b"), "block", "key"
+    )
+    pairs = (
+        left.join(right, ["block", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Cosine-threshold near-dup pairs on an embedding column: LSH
+    bucket self-join (operators.similarity) + exact cosine filter."""
+    from ais_data_pipeline_spark.operators.similarity import pairwise_topk_per_vector
+
+    pairs = pairwise_topk_per_vector(
+        df, k=50, vec_col=vec_col, id_col=id_col, n_planes=n_planes, seed=seed
+    )
+    return (
+        pairs.filter((F.col("cos_sim") >= threshold) & (F.col("left_id") < F.col("right_id")))
+        .select(
+            F.col("left_id").alias("id_a"),
+            F.col("right_id").alias("id_b"),
+            "cos_sim",
+        )
+    )

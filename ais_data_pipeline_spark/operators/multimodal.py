@@ -1,0 +1,106 @@
+"""Multimodal column plumbing (engine extension layer — north star).
+
+Design: image/audio/video payloads are opaque ``binary`` columns with a
+typed metadata struct alongside. The Spark-side mechanics — schema,
+Arrow batch shape, ``mapInPandas`` partition iteration, partitioning —
+are real and tested; the actual codec work is STUBBED because no
+image/audio libraries exist in this container:
+
+- ``decode_image_meta`` extracts deterministic pseudo-metadata (byte
+  length, sha256, fake dimensions derived from the hash) — the shape a
+  real PIL/libvips decode would return.
+- ``decode_image_pixels`` raises ``NotImplementedError`` by contract
+  (clearly-marked stub; swap in a real decoder where available).
+
+The batch path is ``mapInPandas`` with Arrow transfer: payloads stream
+through per-partition ``pandas.DataFrame`` batches bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` — at 100 TB no task
+ever holds more than one batch of blobs in memory.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Output schema of the metadata extraction (what a real decoder stub
+#: would fill: container-level facts + content address).
+IMAGE_META_SCHEMA = (
+    "doc_id bigint, n_bytes int, sha256 string, width int, height int, format string"
+)
+
+
+def with_binary_payload(df: DataFrame, source_col: str, payload_col: str = "payload") -> DataFrame:
+    """Materialize an opaque binary column (here: utf-8 bytes of a
+    string column — the deterministic stand-in for real image bytes)."""
+    return df.withColumn(payload_col, F.col(source_col).cast("binary"))
+
+
+def _fake_dims(digest: bytes) -> tuple[int, int]:
+    """Deterministic pseudo-dimensions from the content hash — stands
+    in for a real header parse."""
+    w = 64 + (int.from_bytes(digest[0:2], "big") % 1984)  # 64..2047
+    h = 64 + (int.from_bytes(digest[2:4], "big") % 1984)
+    return w, h
+
+
+def decode_image_meta(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-blob metadata via mapInPandas (Arrow-batched; the real-decoder
+    insertion point). Deterministic: size, sha256, hash-derived dims."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[payload_col]
+            digests = [hashlib.sha256(bytes(p)).digest() for p in payloads]
+            dims = [_fake_dims(d) for d in digests]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": [len(bytes(p)) for p in payloads],
+                    "sha256": [d.hex() for d in digests],
+                    "width": [w for w, _ in dims],
+                    "height": [h for _, h in dims],
+                    "format": ["stub" for _ in digests],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(extract, IMAGE_META_SCHEMA)
+
+
+def decode_image_pixels(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """STUB: real pixel decode requires an image library not present in
+    this environment. The call signature and batch plumbing are the
+    contract; a deployment with PIL/torchvision implements ``_decode``.
+    """
+    raise NotImplementedError(
+        "pixel decode requires an image codec library (PIL/libvips); "
+        "not available in this environment — use decode_image_meta for "
+        "the metadata path, or inject a decoder via mapInPandas"
+    )
+
+
+def frame_sample_plan(
+    df: DataFrame,
+    every_n_frames: int,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Video frame-sampling PLAN: emits (doc_id, frame_index) rows for a
+    stub frame count derived from payload size (real impl reads the
+    container header). Downstream decode joins back on doc_id and seeks
+    frame_index — the fan-out happens in the engine, the codec in the
+    UDF."""
+    n_frames = (F.length(F.col(payload_col)) / F.lit(16)).cast("int")
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n_frames))
+        ).alias("frame_index"),
+    )

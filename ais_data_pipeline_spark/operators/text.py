@@ -1,0 +1,140 @@
+"""Text analysis operators for training-data pipelines (engine
+extension layer — north star requirement; the reference has no text
+functions beyond regex column selection).
+
+All hot paths are JVM column expressions (split/regexp/aggregate) —
+no Python per row. Each operator is a single projection over the
+documents table; at 100 TB they are embarrassingly parallel map work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword lists for the n-gram/stopword-ratio
+#: language heuristic. Public knowledge (most-frequent function words).
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu", "den", "mit", "von"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "de", "du", "que"),
+    "es": ("el", "la", "los", "las", "y", "es", "un", "una", "de", "que"),
+}
+
+
+def tokens_col(text_col: Column) -> Column:
+    """Lower-cased whitespace tokens; empty text → empty array."""
+    trimmed = F.trim(F.lower(text_col))
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count(text_col: Column) -> Column:
+    return F.size(tokens_col(text_col))
+
+
+def stopword_hits(text_col: Column, words: tuple[str, ...]) -> Column:
+    """Number of tokens that are in ``words`` (JVM filter over the
+    token array)."""
+    return F.size(F.filter(tokens_col(text_col), lambda t: t.isin(*words)))
+
+
+def language_scores(text_col: Column) -> dict[str, Column]:
+    """Per-language stopword-hit counts (the n-gram heuristic's
+    evidence). Deterministic, SQL-mirrorable."""
+    return {lang: stopword_hits(text_col, words) for lang, words in STOPWORDS.items()}
+
+
+def predict_language(text_col: Column, min_ratio: float = 0.05) -> Column:
+    """argmax-by-stopword-ratio language ID with an 'und' floor: the
+    winning language must cover ≥ min_ratio of tokens, else 'und'.
+
+    Ties break by language code order (deterministic). Expressed with
+    greatest() + chained when — one codegen'd expression.
+    """
+    n = token_count(text_col)
+    scores = language_scores(text_col)
+    langs = sorted(scores)  # deterministic tie-break: alphabetical
+    best = F.greatest(*[scores[k] for k in langs])
+    expr = F.lit("und")
+    # reversed iteration puts the alphabetically-first language in the
+    # outermost when() — it wins ties
+    for k in reversed(langs):
+        expr = F.when(
+            (scores[k] == best) & (best.cast("double") >= F.lit(min_ratio) * n.cast("double")),
+            F.lit(k),
+        ).otherwise(expr)
+    return expr
+
+
+def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality features: length, token count, mean token
+    length, punctuation ratio, stopword ratio, uppercase ratio.
+
+    The classic cheap quality filters for LLM corpus curation — all
+    computed in one projection.
+    """
+    t = F.col(text_col)
+    toks = tokens_col(t)
+    n_tok = F.size(toks)
+    n_chars = F.length(t)
+    tok_chars = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    upper = n_chars - F.length(F.regexp_replace(t, r"[A-Z]", ""))
+    en_hits = stopword_hits(t, STOPWORDS["en"])
+    safe_tok = F.greatest(n_tok, F.lit(1)).cast("double")
+    safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_m"),
+        n_tok.alias("n_tokens"),
+        F.round(tok_chars.cast("double") / safe_tok, 5).alias("mean_token_len"),
+        F.round(punct.cast("double") / safe_chars, 5).alias("punct_ratio"),
+        F.round(upper.cast("double") / safe_chars, 5).alias("upper_ratio"),
+        F.round(en_hits.cast("double") / safe_tok, 5).alias("stopword_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Composite 0-1 quality score from the features: rewards
+    reasonable length and stopword presence, penalizes punctuation
+    soup. Weights are engine policy (documented, deterministic)."""
+    feats = quality_features(df, text_col, id_col)
+    length_term = F.least(F.col("n_tokens").cast("double") / F.lit(100.0), F.lit(1.0))
+    stop_term = F.least(F.col("stopword_ratio") * F.lit(5.0), F.lit(1.0))
+    punct_term = F.greatest(F.lit(1.0) - F.col("punct_ratio") * F.lit(4.0), F.lit(0.0))
+    return feats.select(
+        id_col,
+        F.round(
+            (length_term * F.lit(0.4) + stop_term * F.lit(0.3) + punct_term * F.lit(0.3)),
+            5,
+        ).alias("quality"),
+    )
+
+
+def bag_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Order-insensitive document fingerprint: md5 of the sorted
+    distinct token set. Catches shuffled/reordered duplicates that
+    exact hashing misses; cheaper than MinHash when only identity (not
+    similarity degree) is needed."""
+    toks = tokens_col(F.col(text_col))
+    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
+    return df.select(
+        F.col(id_col),
+        F.md5(canon.cast("binary")).alias("fingerprint"),
+    )
+
+
+def ngram_profile(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Character n-gram distinctness profile: total and distinct
+    character n-grams per document (the shingle-space footprint used to
+    size dedup runs)."""
+    t = F.lower(F.col(text_col))
+    n_grams = F.greatest(F.length(t) - F.lit(n - 1), F.lit(0))
+    grams = F.transform(F.sequence(F.lit(1), n_grams), lambda i: t.substr(i, F.lit(n)))
+    return df.select(
+        F.col(id_col),
+        n_grams.alias("n_ngrams"),
+        F.size(F.array_distinct(grams)).alias("n_distinct_ngrams"),
+    )

@@ -555,3 +555,405 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings")
     qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
     return cosine_topk(e.filter(F.col("vec_id") != 0), qv, k=10, round_digits=4)
+
+
+# ---------------------------------------------------------------------------
+# Dedup layer (operators.dedup): exact → n-gram Jaccard → MinHash LSH →
+# SimHash → embedding near-dup.
+# ---------------------------------------------------------------------------
+
+_JACCARD_ORACLE = r"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, shingle
+      FROM tok, UNNEST(
+        list_distinct(list_transform(
+          generate_series(1, greatest(len(toks) - 2, 0)),
+          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS t(shingle)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 5) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.3
+"""
+
+
+@register(
+    "ngram_jaccard_pairs",
+    _JACCARD_ORACLE,
+    "Exact near-dup pairs by word-3-gram Jaccard >= 0.3: shingle "
+    "explode + equi-join on shingle (only docs sharing a shingle ever "
+    "pair — no cross product), group-by-pair intersection counts.",
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = read_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, threshold=0.3, n=3)
+
+
+@register(
+    "minhash_near_dup",
+    _JACCARD_ORACLE.replace(">= 0.3", ">= 0.5"),
+    "MinHash(32 perms) banded 16x2 into LSH buckets -> candidate pairs "
+    "-> exact-Jaccard verify >= 0.5. Verified output equals brute force "
+    "(the oracle) while candidate generation shuffles only "
+    "docs x bands rows at scale.",
+)
+def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.dedup import minhash_near_dup
+
+    d = read_table(spark, sf_dir, "documents")
+    return minhash_near_dup(d, threshold=0.5, n_hashes=32, bands=16)
+
+
+@register(
+    "simhash_fingerprints",
+    None,  # xxhash64 not available in DuckDB — property-tested in pytest instead
+    "64-bit SimHash fingerprint per document (bit-vote over token "
+    "xxhash64) — one JVM projection, no shuffle; near-dups found by "
+    "16-bit block banding (pigeonhole).",
+)
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.dedup import simhash_fingerprints
+
+    d = read_table(spark, sf_dir, "documents")
+    return simhash_fingerprints(d)
+
+
+@register(
+    "bag_fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+             regexp_split_to_array(lower(trim(text)), '\s+'))), ' ')) AS fingerprint
+    FROM documents
+    """,
+    "Order-insensitive document fingerprint: md5 over the sorted "
+    "distinct token set (catches reordered duplicates).",
+)
+def q_bag_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.text import bag_fingerprint
+
+    return bag_fingerprint(read_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis layer (operators.text).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_quality",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, text,
+             CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           length(text) AS n_chars_m,
+           len(toks) AS n_tokens,
+           round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                 / greatest(len(toks), 1), 5) AS mean_token_len,
+           round(CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
+                 / greatest(length(text), 1), 5) AS punct_ratio,
+           round(CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE)
+                 / greatest(length(text), 1), 5) AS upper_ratio,
+           round(CAST(len(list_filter(toks, x -> x IN
+                 ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE)
+                 / greatest(len(toks), 1), 5) AS stopword_ratio
+    FROM tok
+    """,
+    "Per-document quality features (length, token stats, punctuation/"
+    "uppercase/stopword ratios) in one projection — the cheap corpus-"
+    "curation filters.",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.text import quality_features
+
+    return quality_features(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "lang_id",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+      FROM documents
+    ), scores AS (
+      SELECT doc_id, len(toks) AS n,
+        len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein','zu','den','mit','von'))) AS s_de,
+        len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS s_en,
+        len(list_filter(toks, x -> x IN ('el','la','los','las','y','es','un','una','de','que'))) AS s_es,
+        len(list_filter(toks, x -> x IN ('le','la','les','et','est','un','une','de','du','que'))) AS s_fr
+      FROM tok
+    )
+    SELECT doc_id,
+      CASE
+        WHEN s_de = greatest(s_de, s_en, s_es, s_fr)
+             AND CAST(greatest(s_de, s_en, s_es, s_fr) AS DOUBLE) >= 0.05 * n THEN 'de'
+        WHEN s_en = greatest(s_de, s_en, s_es, s_fr)
+             AND CAST(greatest(s_de, s_en, s_es, s_fr) AS DOUBLE) >= 0.05 * n THEN 'en'
+        WHEN s_es = greatest(s_de, s_en, s_es, s_fr)
+             AND CAST(greatest(s_de, s_en, s_es, s_fr) AS DOUBLE) >= 0.05 * n THEN 'es'
+        WHEN s_fr = greatest(s_de, s_en, s_es, s_fr)
+             AND CAST(greatest(s_de, s_en, s_es, s_fr) AS DOUBLE) >= 0.05 * n THEN 'fr'
+        ELSE 'und'
+      END AS pred_lang
+    FROM scores
+    """,
+    "Stopword-ratio language heuristic: per-language function-word hit "
+    "counts, argmax with an 0.05-coverage floor, alphabetical "
+    "tie-break. Deterministic scoring (the corpus vocabulary itself is "
+    "synthetic/monolingual).",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.text import predict_language
+
+    d = read_table(spark, sf_dir, "documents")
+    return d.select("doc_id", predict_language(F.col("text")).alias("pred_lang"))
+
+
+@register(
+    "ngram_profile",
+    """
+    SELECT doc_id,
+           greatest(length(lower(text)) - 2, 0) AS n_ngrams,
+           len(list_distinct(list_transform(
+             generate_series(1, greatest(length(lower(text)) - 2, 0)),
+             i -> lower(text)[i:i+2]))) AS n_distinct_ngrams
+    FROM documents
+    """,
+    "Character-3-gram footprint per document (total + distinct) — "
+    "sizes the shingle space for dedup runs.",
+)
+def q_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.text import ngram_profile
+
+    return ngram_profile(read_table(spark, sf_dir, "documents"), n=3)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (operators.multimodal): binary payload column +
+# Arrow-batched metadata extraction (decode step stubbed determinalistically).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_meta",
+    """
+    SELECT doc_id,
+           length(text) AS n_bytes,
+           sha256(text) AS sha256
+    FROM documents
+    """,
+    "Binary-column plumbing: text bytes as an opaque payload, "
+    "mapInPandas (Arrow batches) extracts per-blob metadata "
+    "(size + content hash); the pixel-decode step is a marked stub.",
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.multimodal import (
+        decode_image_meta,
+        with_binary_payload,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    meta = decode_image_meta(with_binary_payload(d, "text"))
+    return meta.select("doc_id", "n_bytes", "sha256")
+
+
+# ---------------------------------------------------------------------------
+# Windowed / sessionized / as-of analytics on events.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sessionize_events",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT user_id, event_id,
+             CASE WHEN prev_ts IS NULL
+                       OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS is_new,
+             ts
+      FROM ordered
+    ), sess AS (
+      SELECT user_id, event_id,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events, min(event_id) AS first_event
+    FROM sess GROUP BY user_id, session_id
+    """,
+    "Batch sessionization (30-min gap): lag + cumulative new-session "
+    "flags over a per-user window — one shuffle on user_id.",
+)
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    from ais_data_pipeline_spark.streaming.windows import sessionize_batch
+
+    e = read_table(spark, sf_dir, "events")
+    sess = sessionize_batch(e, gap_seconds=1800)
+    return sess.groupBy("user_id", F.col("session_id").cast("bigint").alias("session_id")).agg(
+        F.count(F.lit(1)).alias("n_events"), F.min("event_id").alias("first_event")
+    )
+
+
+@register(
+    "running_total_per_customer",
+    """
+    SELECT o_custkey, o_orderkey,
+           sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS UNBOUNDED PRECEDING) AS running_total
+    FROM orders
+    """,
+    "Running-sum window (unbounded preceding) per customer with a "
+    "total order (date, key) — DECIMAL accumulation for exactness.",
+)
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).alias("running_total"),
+    )
+
+
+@register(
+    "asof_last_click",
+    """
+    SELECT e.event_id,
+           e.user_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS error_ts,
+           strftime((SELECT max(c.ts) FROM events c
+                     WHERE c.user_id = e.user_id AND c.event_type = 'click'
+                       AND c.ts <= e.ts), '%Y-%m-%d %H:%M:%S') AS last_click_ts
+    FROM events e
+    WHERE e.event_type = 'error'
+    """,
+    "As-of join (latest 'click' at-or-before each 'error' per user) — "
+    "composed from an equi-join + time filter + row_number, since "
+    "Spark lacks a native as-of join.",
+)
+def q_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    e = read_table(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    joined = errors.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user")) & (F.col("c_ts") <= F.col("ts")),
+        "left",
+    )
+    best = joined.groupBy("event_id", "user_id", "ts").agg(F.max("c_ts").alias("last_click"))
+    return best.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("error_ts"),
+        F.date_format("last_click", "yyyy-MM-dd HH:mm:ss").alias("last_click_ts"),
+    )
+
+
+@register(
+    "event_type_pivot",
+    """
+    SELECT user_id,
+           count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+           count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+           count(CASE WHEN event_type = 'error' THEN 1 END) AS error
+    FROM events GROUP BY user_id
+    """,
+    "Pivot (wide counts per key) — Spark .pivot() with an explicit "
+    "value list so no extra distinct-values job runs.",
+)
+def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "error"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        F.coalesce("click", F.lit(0)).alias("click"),
+        F.coalesce("view", F.lit(0)).alias("view"),
+        F.coalesce("error", F.lit(0)).alias("error"),
+    )
+
+
+@register(
+    "streaming_windowed_counts",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           sum(CAST(value AS DECIMAL(14,2))) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    "Structured Streaming end-to-end: events parquet -> readStream file "
+    "source -> watermarked 1h tumbling window agg -> availableNow "
+    "drain to a memory sink; result equals the batch aggregation "
+    "(the oracle).",
+)
+def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    _utc(spark)
+    from ais_data_pipeline_spark.streaming.windows import windowed_counts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import os as _os
+
+    raw = spark.read.parquet(_os.path.join(sf_dir, "events.parquet"))
+    # the file source wants a DIRECTORY: stage a symlink dir holding
+    # just events.parquet (zero-copy)
+    stage = f"/tmp/ais_stream_stage_{abs(hash(sf_dir)) % 10**8}"
+    _os.makedirs(stage, exist_ok=True)
+    link = _os.path.join(stage, "events.parquet")
+    if not _os.path.exists(link):
+        _os.symlink(_os.path.join(sf_dir, "events.parquet"), link)
+    stream = spark.readStream.schema(raw.schema).parquet(stage)
+    # nanos stored as long under the legacy conf → rebuild the timestamp
+    if dict(raw.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = windowed_counts(stream, window_size="1 hour", watermark="10 minutes")
+    qname = f"win_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)

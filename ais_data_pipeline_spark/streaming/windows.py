@@ -1,0 +1,92 @@
+"""Watermarked event-time windows + sessionization (streaming layer —
+all absent in the reference, SURVEY §2.8; built on Structured
+Streaming primitives).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_size: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling/sliding event-time window aggregation with a watermark
+    bounding state for late data. Works for both readStream inputs
+    (stateful, late rows dropped past the watermark) and batch inputs
+    (watermark is a no-op, same results)."""
+    w = (
+        F.window(F.col(ts_col), window_size, slide)
+        if slide
+        else F.window(F.col(ts_col), window_size)
+    )
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(w.alias("win"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(14,2)")).alias("total_value"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            key_col,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_windows_streaming(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Native session windows (gap-based) for streaming input."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("sess"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.date_format("sess.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("sess.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def sessionize_batch(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Batch sessionization via lag + cumulative gap-count window (the
+    classic composition; one shuffle on the key). Session id = number
+    of gap-exceeding jumps at or before the row; deterministic given a
+    total per-key order (ts, then event_id tie-break if present)."""
+    from pyspark.sql import Window
+
+    order_cols = [F.col(ts_col)]
+    if "event_id" in events.columns:
+        order_cols.append(F.col("event_id"))
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts) > gap_seconds),
+        1,
+    ).otherwise(0)
+    with_flag = events.withColumn("__new_sess", is_new)
+    sess_id = F.sum("__new_sess").over(
+        Window.partitionBy(key_col).orderBy(*order_cols).rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return with_flag.withColumn("session_id", sess_id).drop("__new_sess")

@@ -1,0 +1,255 @@
+"""Unit tests for operator internals not exercised by the oracle gate:
+downcast ladder properties, dedup LSH vs brute force, simhash
+properties, similarity LSH recall, multimodal plumbing, ingestion job,
+quarantine sink, sessionization."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+# -- T6 downcast chooser (pure function → property tests) -------------------
+
+
+class TestSmallestIntType:
+    @given(
+        lo=st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        hi=st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_range_fits(self, lo, hi):
+        from ais_data_pipeline_spark.functions.numeric import smallest_int_type
+
+        if lo > hi:
+            lo, hi = hi, lo
+        t = smallest_int_type(lo, hi)
+        bounds = {
+            T.BooleanType: (0, 1),
+            T.ByteType: (-(2**7), 2**7 - 1),
+            T.ShortType: (-(2**15), 2**15 - 1),
+            T.IntegerType: (-(2**31), 2**31 - 1),
+            T.LongType: (-(2**63), 2**63 - 1),
+        }
+        b = bounds.get(type(t))
+        if b is not None:
+            assert b[0] <= lo and hi <= b[1]
+
+    def test_special_cases(self):
+        from ais_data_pipeline_spark.functions.numeric import smallest_int_type
+
+        assert isinstance(smallest_int_type(0, 1), T.BooleanType)
+        assert isinstance(smallest_int_type(None, None), T.ByteType)
+        assert isinstance(smallest_int_type(0, 200), T.ShortType)  # unsigned rung widened
+        assert isinstance(smallest_int_type(-1, 200), T.ShortType)
+        assert isinstance(smallest_int_type(0, 2**40), T.LongType)
+        assert isinstance(smallest_int_type(0, 2**63), T.DecimalType)
+
+
+# -- dedup: MinHash LSH candidates ⊇ high-jaccard pairs ---------------------
+
+
+def test_minhash_candidates_cover_true_pairs(spark, sf_dir):
+    from ais_data_pipeline_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).limit(200)
+    truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_candidates(docs, n_hashes=32, bands=16).collect()
+    }
+    # banding 16×2 at j≥0.5 → miss probability (1-j²)^16 ≤ 0.01 per pair
+    assert truth <= cands, f"LSH missed {truth - cands}"
+
+
+def test_simhash_properties(spark):
+    from ais_data_pipeline_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_near_dup,
+    )
+
+    rows = [
+        (0, "spark shuffle join aggregate window partition broadcast skew salt"),
+        (1, "spark shuffle join aggregate window partition broadcast skew salted"),
+        (2, "completely different words entirely unrelated content here banana"),
+        (3, "spark shuffle join aggregate window partition broadcast skew salt"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(df).collect()}
+    assert fp[0] == fp[3]  # identical text → identical fingerprint
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")  # noqa: E731
+    assert ham(fp[0], fp[1]) < ham(fp[0], fp[2])  # near-dup closer than unrelated
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]) for r in simhash_near_dup(df, max_hamming=3).collect()
+    }
+    assert (0, 3) in pairs
+
+
+def test_lsh_cosine_mechanism_and_recall(spark, sf_dir):
+    from ais_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_lsh,
+        lsh_bucket_col,
+        random_hyperplanes,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    rest = emb.filter("vec_id <> 0")
+    exact = [r["vec_id"] for r in cosine_topk(rest, q, k=10).collect()]
+
+    # mechanism: LSH result == brute-force restricted to the probed buckets
+    planes = random_hyperplanes(len(q), 4, seed=42)
+    approx_rows = cosine_topk_lsh(rest, q, k=10, n_planes=4, multiprobe_bits=2).collect()
+    approx = [r["vec_id"] for r in approx_rows]
+    bucketed = rest.withColumn("__b", lsh_bucket_col(F.col("embedding"), planes))
+    cand_ids = {r["vec_id"] for r in bucketed.select("vec_id", "__b").collect()}
+    assert set(approx) <= cand_ids  # candidates only
+    # results are ranked by true cosine within candidates (same as exact on that subset)
+    subset_exact = [
+        r["vec_id"]
+        for r in cosine_topk(rest.filter(F.col("vec_id").isin(approx)), q, k=10).collect()
+    ]
+    assert approx == subset_exact
+
+    # recall floor on this (near-orthogonal, worst-case) data
+    assert len(set(exact) & set(approx)) >= 3
+
+
+# -- multimodal plumbing ----------------------------------------------------
+
+
+def test_multimodal_meta_deterministic(spark, sf_dir):
+    import hashlib
+
+    from ais_data_pipeline_spark.operators.multimodal import (
+        decode_image_meta,
+        decode_image_pixels,
+        frame_sample_plan,
+        with_binary_payload,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).limit(20)
+    payload = with_binary_payload(docs, "text")
+    meta = decode_image_meta(payload).collect()
+    by_id = {r["doc_id"]: r for r in meta}
+    row = docs.first()
+    expect = hashlib.sha256(row["text"].encode()).hexdigest()
+    got = by_id[row["doc_id"]]
+    assert got["sha256"] == expect
+    assert got["n_bytes"] == len(row["text"].encode())
+    assert 64 <= got["width"] <= 2047 and 64 <= got["height"] <= 2047
+
+    with pytest.raises(NotImplementedError):
+        decode_image_pixels(payload)
+
+    frames = frame_sample_plan(payload, every_n_frames=4)
+    assert frames.columns == ["doc_id", "frame_index"]
+    assert frames.filter("frame_index % 4 != 0").count() == 0
+
+
+# -- ingestion job ----------------------------------------------------------
+
+
+def test_ingest_urls(spark, tmp_path):
+    from ais_data_pipeline_spark.sources.http import ingest_urls
+    from ais_data_pipeline_spark.sources.routing import suffix_from_url
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "rent_contracts_x.csv").write_text("a,b\n1,2\n")
+    (src / "empty.csv").write_text("")
+    urls = [
+        f"file://{src}/rent_contracts_x.csv",  # SUFFIX_MAP routing
+        f"file://{src}/empty.csv",  # zero-byte payload
+        f"file://{src}/missing.csv",  # failure → no partial output
+    ]
+    dest = str(tmp_path / "landing")
+    summary = ingest_urls(spark, urls, dest, prefix="raw", date_str="2026-08-13")
+    assert summary["files_ok"] == 2 and summary["files_failed"] == 1
+    assert os.path.exists(f"{dest}/raw/2026/08/13/rent_contracts.csv")
+    assert os.path.getsize(f"{dest}/raw/2026/08/13/empty.csv") == 0
+    assert not os.path.exists(f"{dest}/raw/2026/08/13/missing.csv")
+    assert not any(f.endswith(".inprogress") for f in os.listdir(f"{dest}/raw/2026/08/13"))
+
+    assert suffix_from_url("http://h/some/units_v2.csv") == "units.csv"
+    assert suffix_from_url("http://h/unknown_name.csv") == "unknown_name.csv"
+    assert suffix_from_url("http://h/") == "data.csv"
+
+
+# -- quarantine sink --------------------------------------------------------
+
+
+def test_write_with_quarantine(spark, tmp_path):
+    from ais_data_pipeline_spark.sinks.parquet import write_with_quarantine
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 5_000_000_000), (4, 20)], "id long, v long"
+    )
+    counts = write_with_quarantine(
+        df,
+        F.col("v").isNotNull() & F.col("v").between(-(2**31), 2**31 - 1),
+        str(tmp_path / "main"),
+        str(tmp_path / "quar"),
+    )
+    assert counts == {"rows_main": 2, "rows_quarantined": 2, "rows_in": 4}
+    assert {r["id"] for r in spark.read.parquet(str(tmp_path / "quar")).collect()} == {2, 3}
+
+
+# -- streaming: stateful running totals ------------------------------------
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    from ais_data_pipeline_spark.streaming.stateful import running_totals
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1.0), (1, "2024-01-01 00:01:00", 2.0),
+         (2, "2024-01-01 00:00:30", 5.0)],
+        "user_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.coalesce(1).write.parquet(str(src / "batch1"))
+
+    stream = spark.readStream.schema(df.schema).parquet(str(src / "*"))
+    out = running_totals(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("totals_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r["user_id"]: r for r in spark.table("totals_test").collect()}
+    assert rows[1]["n_events"] == 2 and rows[1]["total_value"] == 3.0
+    assert rows[2]["n_events"] == 1
+
+
+# -- observability ----------------------------------------------------------
+
+
+def test_counters_and_log(capsys):
+    from ais_data_pipeline_spark.observability import OpCounter, log
+
+    c = OpCounter()
+    c.incr("put"), c.incr("put"), c.incr("get", 3)
+    snap = c.snapshot()
+    assert snap == {"put": 2, "get": 3, "total": 5}
+    rec = log("test_event", level="info", n=1)
+    assert rec["event"] == "test_event" and rec["n"] == 1
+    err = capsys.readouterr().err
+    assert json.loads(err.strip().splitlines()[-1])["event"] == "test_event"

@@ -1,0 +1,122 @@
+"""End-to-end rent_contracts pipeline test on an F1-shaped fixture
+(FIXTURES.md): reproduces the reference invariants — `_ar` substring
+drop (incl. actual_area), lenient date parse, int32 quarantine, row
+conservation."""
+
+from __future__ import annotations
+
+import csv
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from ais_data_pipeline_spark.plans.rent_contracts import run_pipeline
+
+N_ROWS = 500
+
+
+@pytest.fixture(scope="module")
+def fixture_csv(tmp_path_factory):
+    """Deterministic F1-shaped CSV: _ar mirrors, actual_area, null
+    tokens, bad dates, a few int32-overflowing contract amounts."""
+    path = tmp_path_factory.mktemp("rc") / "rent_contracts.csv"
+    cols = [
+        "contract_id",
+        "contract_reg_type_id",
+        "contract_reg_type_ar",
+        "contract_reg_type_en",
+        "contract_start_date",
+        "contract_end_date",
+        "contract_amount",
+        "annual_amount",
+        "area_id",
+        "area_name_ar",
+        "area_name_en",
+        "actual_area",
+        "project_number",
+    ]
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(cols)
+        for i in range(N_ROWS):
+            reg = 1 + (i % 2)
+            start = f"2020-{1 + i % 12:02d}-{1 + i % 28:02d}"
+            end = "garbage-date" if i % 97 == 0 else f"2021-{1 + i % 12:02d}-{1 + i % 28:02d}"
+            amount = 5_000_000_000 if i % 100 == 7 else 40_000 + i  # 5 rows overflow int32
+            area = i % 20
+            w.writerow(
+                [
+                    f"CRT{i:08d}",
+                    reg,
+                    f"عقد{reg}",
+                    "New" if reg == 1 else "Renew",
+                    start,
+                    end,
+                    amount,
+                    amount,
+                    area,
+                    f"منطقة{area}",
+                    f"Area {area}",
+                    100 + i % 50,
+                    "" if i % 10 == 0 else ("None" if i % 11 == 0 else i % 30),
+                ]
+            )
+    return str(path)
+
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("contract_id", T.StringType()),
+        T.StructField("contract_reg_type_id", T.LongType()),
+        T.StructField("contract_reg_type_ar", T.StringType()),
+        T.StructField("contract_reg_type_en", T.StringType()),
+        T.StructField("contract_start_date", T.StringType()),
+        T.StructField("contract_end_date", T.StringType()),
+        T.StructField("contract_amount", T.LongType()),
+        T.StructField("annual_amount", T.LongType()),
+        T.StructField("area_id", T.LongType()),
+        T.StructField("area_name_ar", T.StringType()),
+        T.StructField("area_name_en", T.StringType()),
+        T.StructField("actual_area", T.LongType()),
+        T.StructField("project_number", T.LongType()),
+    ]
+)
+
+
+def test_pipeline_invariants(spark, fixture_csv, tmp_path):
+    out = str(tmp_path / "main")
+    quar = str(tmp_path / "quarantine")
+    res = run_pipeline(spark, fixture_csv, out, quar, schema=SCHEMA)
+
+    # P1 quirk: _ar columns AND actual_area gone
+    assert not any("_ar" in c for c in res.columns_out)
+    assert "actual_area" not in res.columns_out
+    assert "area_name_en" in res.columns_out
+
+    # row conservation + quarantine picked up exactly the overflow rows
+    assert res.rows_in == N_ROWS
+    assert res.rows_out + res.rows_quarantined == N_ROWS
+    assert res.rows_quarantined == 5
+
+    main = spark.read.parquet(out)
+    # T1 lenient parse: garbage dates became null, column is DateType
+    assert dict(main.dtypes)["contract_end_date"] == "date"
+    assert main.filter("contract_end_date IS NULL").count() > 0
+    # null tokens ("", "None") normalized before the Long cast
+    assert main.filter("project_number IS NULL").count() > 0
+    # quarantined rows kept raw Long amounts
+    quarantined = spark.read.parquet(quar)
+    assert quarantined.filter("contract_amount > 2147483647").count() == 5
+
+
+def test_pipeline_downcast_decisions(spark, fixture_csv, tmp_path):
+    res = run_pipeline(
+        spark, fixture_csv, str(tmp_path / "m2"), str(tmp_path / "q2"), schema=SCHEMA
+    )
+    main = spark.read.parquet(str(tmp_path / "m2"))
+    dt = dict(main.dtypes)
+    # contract_reg_type_id ∈ {1,2} → tightened below long
+    assert dt["contract_reg_type_id"] in ("tinyint", "smallint", "string", "boolean")
+    # amounts fit int32 after quarantine → narrowed
+    assert dt["contract_amount"] in ("int", "string")
