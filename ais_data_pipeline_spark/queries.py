@@ -957,3 +957,224 @@ def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(qname)
+
+
+# ---------------------------------------------------------------------------
+# Batch 3: set ops, grouping sets, quantiles, dictionary normalization,
+# window variants, null-token normalization (remaining SURVEY §2 surface
+# + standard analytics the reference lacks).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "null_token_normalize",
+    """
+    SELECT CASE WHEN d IN ('null', 'NULL', 'None') THEN NULL ELSE d END AS raw,
+           TRY_CAST(CASE WHEN d IN ('null', 'NULL', 'None') THEN NULL ELSE d END AS BIGINT) AS as_int
+    FROM (VALUES ('1'), ('null'), ('NULL'), ('None'), (''), ('42'), ('x')) AS t(d)
+    """,
+    "S1 multi-token null normalization: the reference's 4-token null "
+    "list applied BEFORE type casts so inference/casting never sees a "
+    "'None' literal (empty string is handled by the CSV reader).",
+)
+def q_null_token_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.sources.csv import normalize_null_tokens
+
+    df = spark.createDataFrame(
+        [("1",), ("null",), ("NULL",), ("None",), ("",), ("42",), ("x",)], "raw string"
+    )
+    norm = normalize_null_tokens(df)
+    # try_cast, not cast: the driver's session may run ANSI mode (Spark 4
+    # default) where a plain cast of 'x' raises instead of yielding null.
+    return norm.select("raw", F.col("raw").try_cast("bigint").alias("as_int"))
+
+
+@register(
+    "set_ops_segments",
+    """
+    WITH b AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+         r AS (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+    SELECT
+      (SELECT count(*) FROM (SELECT c_custkey FROM b UNION SELECT c_custkey FROM r)) AS n_union,
+      (SELECT count(*) FROM (SELECT c_custkey FROM b INTERSECT SELECT c_custkey FROM r)) AS n_intersect,
+      (SELECT count(*) FROM (SELECT c_custkey FROM b EXCEPT SELECT c_custkey FROM r)) AS n_except
+    """,
+    "Set operations (union/intersect/except, distinct semantics) — "
+    "absent in the reference, Spark built-ins (SURVEY §2.7).",
+)
+def q_set_ops_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    b = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    r = c.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    n_union = b.union(r).distinct().count()
+    n_intersect = b.intersect(r).count()
+    n_except = b.exceptAll(r).distinct().count()
+    return spark.createDataFrame(
+        [(n_union, n_intersect, n_except)],
+        "n_union bigint, n_intersect bigint, n_except bigint",
+    )
+
+
+@register(
+    "cube_returnflag_status",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "CUBE grouping sets — all 2^k aggregation levels in one pass "
+    "(partial-agg friendly).",
+)
+def q_cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"),
+    )
+
+
+@register(
+    "quantiles_quantity",
+    """
+    SELECT l_returnflag,
+           median(l_quantity) AS med_qty,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.75) AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "Exact median / interpolated quantiles per group (linear "
+    "interpolation — same definition both engines).",
+)
+def q_quantiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("med_qty"),
+        F.percentile("l_quantity", F.lit(0.25)).alias("p25"),
+        F.percentile("l_quantity", F.lit(0.75)).alias("p75"),
+    )
+
+
+@register(
+    "dict_normalize_brand",
+    """
+    WITH dim AS (
+      SELECT p_brand, dense_rank() OVER (ORDER BY p_brand) AS brand_id
+      FROM (SELECT DISTINCT p_brand FROM part)
+    )
+    SELECT d.brand_id, d.p_brand, count(*) AS n_parts,
+           sum(CAST(p.p_retailprice AS DECIMAL(18,2))) AS total_price
+    FROM part p JOIN dim d ON p.p_brand = d.p_brand
+    GROUP BY d.brand_id, d.p_brand
+    """,
+    "T2/T3 categorical semantics made explicit at scale: dictionary-"
+    "normalize a low-cardinality column into a surrogate-key dim table "
+    "(broadcast) + facts keyed by id (SURVEY §7 'hard parts' — the "
+    "optional rewrite replacing Polars' Categorical).",
+)
+def q_dict_normalize_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    p = read_table(spark, sf_dir, "part")
+    dim = (
+        p.select("p_brand")
+        .distinct()
+        .withColumn("brand_id", F.dense_rank().over(Window.orderBy("p_brand")))
+    )
+    return (
+        p.join(F.broadcast(dim), "p_brand")
+        .groupBy("brand_id", "p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(F.col("p_retailprice").cast("decimal(18,2)")).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "moving_avg_customer",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                   OVER w AS DOUBLE)
+                 / count(*) OVER w, 4) AS mov_avg3
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    "3-row moving average per customer (bounded window frame); exact "
+    "decimal numerator / integer denominator for determinism.",
+)
+def q_moving_avg_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    s = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
+    n = F.count(F.lit(1)).over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(s.cast("double") / n, 4).alias("mov_avg3"),
+    )
+
+
+@register(
+    "lag_lead_events",
+    """
+    SELECT event_id, user_id,
+           lag(event_type) OVER w AS prev_type,
+           lead(event_type) OVER w AS next_type,
+           epoch_us(ts) // 1000000 - epoch_us(lag(ts) OVER w) // 1000000 AS gap_sec
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "lag/lead navigation + inter-event gap per user — one shuffle on "
+    "user_id, total order via (ts, event_id).",
+)
+def q_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    from pyspark.sql import Window
+
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("gap_sec"),
+    )
+
+
+@register(
+    "distinct_pairs",
+    """
+    SELECT count(*) AS n_pairs FROM (SELECT DISTINCT user_id, event_type FROM events)
+    """,
+    "dropDuplicates / DISTINCT (absent in reference, SURVEY §2.5) — "
+    "map-side partial dedup before the shuffle.",
+)
+def q_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    n = e.select("user_id", "event_type").dropDuplicates().count()
+    return spark.createDataFrame([(n,)], "n_pairs bigint")
+
+
+@register(
+    "sample_seeded",
+    None,  # Bernoulli sampling is engine-specific — rows-only check (O4)
+    "O4 seeded random sample (Bernoulli per partition, no shuffle); "
+    "sampling RNG is engine-specific so the check is rows-only.",
+)
+def q_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.ordering import random_sample
+
+    o = read_table(spark, sf_dir, "orders")
+    return random_sample(o.select("o_orderkey", "o_custkey"), fraction=0.1, seed=42)

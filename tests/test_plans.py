@@ -1,0 +1,129 @@
+"""Physical-plan quality gates: the properties that decide whether a
+plan survives a 100 TB scale-up. These assert on .explain output so a
+regression (lost broadcast, lost pushdown, lost partial agg) fails CI,
+not a production run."""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from ais_data_pipeline_spark.queries import registry
+
+BY_NAME = {q.name: q for q in registry()}
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    """Star joins must broadcast the dim side — a shuffle of the fact
+    table to join a 25-row nation dim is the classic scale killer."""
+    plan = plan_of(BY_NAME["revenue_by_nation"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # the customer⋈nation⋈region bundle must NOT sort-merge
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_top_customer_broadcast(spark, sf_dir):
+    plan = plan_of(BY_NAME["top_customer_per_nation"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    """P2/P5: predicate + projection must reach the parquet reader
+    (PushedFilters + pruned ReadSchema)."""
+    plan = plan_of(BY_NAME["scan_project_filter"].fn(spark, sf_dir))
+    assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(l_quantity", plan)
+    assert re.search(r"PushedFilters: \[.*EqualTo\(l_returnflag,R\)", plan)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(m.group(1).split(",")) == {
+        "l_orderkey:bigint",
+        "l_linenumber:int",
+        "l_quantity:double",
+        "l_extendedprice:double",
+        "l_returnflag:string",
+    }
+
+
+def test_column_pruning_projection(spark, sf_dir):
+    """P1: dropped columns must never be read off disk."""
+    plan = plan_of(BY_NAME["project_exclude_substring"].fn(spark, sf_dir))
+    assert "p_retailprice" not in plan
+
+
+def test_partial_aggregation(spark, sf_dir):
+    """Grouped aggs must run map-side partial + final (two HashAggregate
+    nodes), shuffling only group-level partials."""
+    plan = plan_of(BY_NAME["q1_pricing_summary"].fn(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan or "partial" in plan.lower()
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    """O3: sort+limit must compile to TakeOrderedAndProject — no global
+    sort materialization."""
+    plan = plan_of(BY_NAME["topk_orders"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def codegen_plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("codegen")
+    return buf.getvalue()
+
+
+def test_whole_stage_codegen_on_hot_path(spark, sf_dir):
+    """Scalar-function queries must stay inside whole-stage codegen —
+    no Python evaluation nodes in the plan. (AQE wraps shuffling plans
+    in AdaptiveSparkPlan, under which explain("codegen") reports 0
+    subtrees until execution — inspect with AQE off; the assertion is
+    about plan shape, not the adaptive runtime.)"""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name in ("token_counts", "dedup_exact", "text_quality", "lang_id"):
+            plan = plan_of(BY_NAME[name].fn(spark, sf_dir))
+            assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+            cg = codegen_plan_of(BY_NAME[name].fn(spark, sf_dir))
+            m = re.search(r"Found (\d+) WholeStageCodegen subtrees", cg)
+            assert m and int(m.group(1)) >= 1, name
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_profile_single_pass(spark, sf_dir):
+    """A2/A3 profiles must be ONE aggregation over the scan (no join of
+    per-column subqueries)."""
+    plan = plan_of(BY_NAME["profile_min_max"].fn(spark, sf_dir))
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_semi_anti_strategy(spark, sf_dir):
+    from ais_data_pipeline_spark.operators.joins import anti_join, semi_join
+    from ais_data_pipeline_spark.sources.parquet import read_table
+
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    for j in (semi_join(c, o, "c_custkey"), anti_join(c, o, "c_custkey")):
+        plan = plan_of(j)
+        assert "LeftSemi" in plan or "LeftAnti" in plan
+
+
+def test_minhash_no_python_in_signature(spark, sf_dir):
+    """MinHash signatures are JVM expressions (xxhash64), not UDFs."""
+    from ais_data_pipeline_spark.operators.dedup import minhash_lsh_candidates
+    from ais_data_pipeline_spark.sources.parquet import read_table
+
+    d = read_table(spark, sf_dir, "documents").limit(50)
+    plan = plan_of(minhash_lsh_candidates(d))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
