@@ -75,6 +75,38 @@ def grouped(df: DataFrame, keys: list[str], aggs: list[Column]) -> DataFrame:
     return df.groupBy(*keys).agg(*aggs)
 
 
+def salted_grouped(
+    df: DataFrame,
+    keys: list[str],
+    sum_cols: dict[str, str],
+    buckets: int = 16,
+    count_alias: str = "n",
+) -> DataFrame:
+    """Skew-resistant grouped count+sum: phase 1 aggregates on
+    (keys, random salt) so one hot key spreads over ``buckets``
+    reducers; phase 2 merges the partials on the true keys.
+
+    The merge input is |keys|×buckets rows — negligible — so the
+    expensive shuffle is the salted one, which is balanced by
+    construction. Sum columns must be exact types (decimal/int): the
+    two-phase reassociation reorders additions, which only equals the
+    single-phase result for associative exact arithmetic, not doubles.
+    """
+    salt = (F.rand(seed=7) * buckets).cast("int")
+    partial = (
+        df.withColumn("__salt", salt)
+        .groupBy(*keys, "__salt")
+        .agg(
+            F.count(F.lit(1)).alias("__pn"),
+            *[F.sum(c).alias(f"__ps_{a}") for c, a in sum_cols.items()],
+        )
+    )
+    return partial.groupBy(*keys).agg(
+        F.sum("__pn").alias(count_alias),
+        *[F.sum(f"__ps_{a}").alias(a) for a in sum_cols.values()],
+    )
+
+
 def profile_summary(df: DataFrame, sample_rows: int = 50_000) -> Row:
     """One-pass dataset profile over a bounded sample (reference M4's
     sampling idea without the head() ordering bias — SURVEY §2.6 note)."""

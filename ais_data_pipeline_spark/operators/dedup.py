@@ -327,6 +327,35 @@ def simhash_near_dup(
     )
 
 
+def embedding_near_dup_exact(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact cosine-threshold near-dup pairs: all ordered pairs
+    (id_a < id_b) whose cosine ≥ threshold. O(n²) correctness baseline
+    for ``embedding_near_dup`` (the LSH-bucketed scale path) — run it
+    on samples to measure LSH recall, not on the full corpus."""
+    from ais_data_pipeline_spark.operators.similarity import _as_double_array, _dot
+
+    b = df.select(F.col(id_col), _as_double_array(F.col(vec_col)).alias("__v"))
+    left = b.select(F.col(id_col).alias("id_a"), F.col("__v").alias("lv"))
+    right = b.select(F.col(id_col).alias("id_b"), F.col("__v").alias("rv"))
+    sim = F.round(
+        _dot(F.col("lv"), F.col("rv"))
+        / (F.sqrt(_dot(F.col("lv"), F.col("lv"))) * F.sqrt(_dot(F.col("rv"), F.col("rv")))),
+        round_digits,
+    )
+    return (
+        left.join(right, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", sim)
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 def embedding_near_dup(
     df: DataFrame,
     threshold: float = 0.95,

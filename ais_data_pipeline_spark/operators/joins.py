@@ -53,6 +53,46 @@ def top_k_per_group(
     )
 
 
+def range_self_join_within(
+    df: DataFrame,
+    key: str,
+    time_col: str,
+    window_seconds: int,
+    id_col: str,
+) -> DataFrame:
+    """Interval self-join: all ordered pairs (a, b) sharing ``key`` with
+    ``a.time < b.time <= a.time + window_seconds``.
+
+    A naive time-inequality join has no equi key and degenerates to a
+    per-key cross product. Instead both sides get a coarse time bucket
+    (``floor(epoch/window)``); the left row probes its own bucket and
+    the next one (any pair within the window spans at most one bucket
+    boundary), making the join a plain equi-join on (key, bucket) —
+    shuffle-partitioned, AQE-skew-splittable — with the exact interval
+    predicate applied after. Each qualifying pair matches exactly once
+    because the right row's bucket is single-valued.
+    """
+    bucket = F.floor(F.unix_timestamp(F.col(time_col)) / window_seconds)
+    left = df.select(
+        F.col(key),
+        F.col(id_col).alias("first_id"),
+        F.col(time_col).alias("__lt"),
+        F.explode(F.array(bucket, bucket + 1)).alias("__bucket"),
+    )
+    right = df.select(
+        F.col(key),
+        F.col(id_col).alias("next_id"),
+        F.col(time_col).alias("__rt"),
+        bucket.alias("__bucket"),
+    )
+    win = F.expr(f"INTERVAL {window_seconds} SECONDS")
+    return (
+        left.join(right, [key, "__bucket"])
+        .filter((F.col("__rt") > F.col("__lt")) & (F.col("__rt") <= F.col("__lt") + win))
+        .select(key, "first_id", "next_id")
+    )
+
+
 def as_of_join(
     left: DataFrame,
     right: DataFrame,

@@ -113,6 +113,25 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def normalize_text(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus-cleaning normalization: lowercase, strip every character
+    outside [a-z0-9 whitespace], collapse whitespace runs to one space,
+    trim. One codegen'd projection — the canonical first stage of a
+    training-data text pipeline. Token count by space-counting so the
+    empty-string edge case costs no extra split."""
+    lowered = F.lower(F.col(text_col))
+    stripped = F.regexp_replace(lowered, r"[^a-z0-9\s]", "")
+    norm = F.trim(F.regexp_replace(stripped, r"\s+", " "))
+    n_tokens = F.when(norm == "", F.lit(0)).otherwise(
+        F.length(norm) - F.length(F.regexp_replace(norm, r" ", "")) + 1
+    )
+    return df.select(
+        F.col(id_col),
+        norm.alias("norm_text"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+    )
+
+
 def bag_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Order-insensitive document fingerprint: md5 of the sorted
     distinct token set. Catches shuffled/reordered duplicates that

@@ -1178,3 +1178,334 @@ def q_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = read_table(spark, sf_dir, "orders")
     return random_sample(o.select("o_orderkey", "o_custkey"), fraction=0.1, seed=42)
+
+
+# ---------------------------------------------------------------------------
+# Batch 4: subquery decorrelation, rollup, range join, skew-salted agg,
+# latest-per-key dedup, text normalization, embedding near-dup (exact +
+# LSH scale path), distributed URL routing, approx-distinct.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_region_nation",
+    """
+    SELECT r_name, n_name, count(*) AS n_customers,
+           sum(CAST(c_acctbal AS DECIMAL(18,2))) AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    "ROLLUP hierarchy (region → nation → grand total) over a broadcast "
+    "star join — one pass, partial-agg per grouping set.",
+)
+def q_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    joined = dim_join(
+        dim_join(c, n, c.c_nationkey == n.n_nationkey),
+        r,
+        F.col("n_regionkey") == r.r_regionkey,
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("total_bal"),
+    )
+
+
+@register(
+    "small_qty_revenue",
+    """
+    WITH pa AS (
+      SELECT l_partkey,
+             0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                    / count(*)) AS qty_threshold
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2)
+             AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pa ON pa.l_partkey = lineitem.l_partkey
+    WHERE p_brand = 'Brand#23' AND l_quantity < qty_threshold
+    """,
+    "TPC-H Q17 shape: correlated scalar subquery (per-part average "
+    "quantity) decorrelated into a pre-aggregation join — the rewrite "
+    "Catalyst itself applies to correlated scalar subqueries. Exact "
+    "decimal numerators keep the threshold bit-identical across engines.",
+)
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    pa = li.groupBy("l_partkey").agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            )
+        ).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(pa, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / 7.0,
+                2,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "late_ship_priority",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+    "TPC-H Q4 shape: correlated EXISTS compiled to a left-semi join "
+    "with a non-equi residual condition — no row duplication, one "
+    "shuffle on the order key.",
+)
+def q_late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    cond = (o.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > F.date_add(o.o_orderdate, 90)
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "event_pairs_5min",
+    """
+    SELECT a.user_id, a.event_id AS first_id, b.event_id AS next_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 300 SECOND
+    """,
+    "Interval (range) self-join: event pairs per user within 5 minutes. "
+    "Implemented as an equi-join on (user, time-bucket) with a 2-bucket "
+    "probe — no per-key cross product, shuffle-partitioned and "
+    "AQE-splittable at scale (operators.joins.range_self_join_within).",
+)
+def q_event_pairs_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.joins import range_self_join_within
+
+    e = read_table(spark, sf_dir, "events")
+    return range_self_join_within(
+        e, key="user_id", time_col="ts", window_seconds=300, id_col="event_id"
+    )
+
+
+@register(
+    "salted_event_type_agg",
+    """
+    SELECT event_type, count(*) AS n,
+           sum(CAST(value AS DECIMAL(18,4))) AS total_value
+    FROM events GROUP BY event_type
+    """,
+    "Skew-resistant two-phase aggregation: phase 1 groups on "
+    "(key, random salt) so a hot key spreads across reducers, phase 2 "
+    "merges partials on the true key. Decimal sums make the "
+    "reassociation exact — the salted result equals the plain GROUP BY "
+    "bit-for-bit (the oracle).",
+)
+def q_salted_event_type_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.aggregates import salted_grouped
+
+    e = read_table(spark, sf_dir, "events").withColumn(
+        "__val", F.col("value").cast("decimal(18,4)")
+    )
+    return salted_grouped(
+        e, keys=["event_type"], sum_cols={"__val": "total_value"}, buckets=16
+    )
+
+
+@register(
+    "latest_event_per_user",
+    """
+    SELECT user_id, event_id, event_type,
+           epoch_us(ts) // 1000000 AS ts_sec
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    "Keep-latest-record-per-key dedup (the training-data snapshot "
+    "compaction primitive): row_number over (key, time DESC) — one "
+    "shuffle on the key, ties broken by id for determinism.",
+)
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.unix_timestamp("ts").alias("ts_sec"),
+        )
+    )
+
+
+@register(
+    "text_normalize",
+    r"""
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+               '\s+', ' ', 'g')) AS norm_text
+      FROM documents
+    )
+    SELECT doc_id, norm_text,
+           CASE WHEN norm_text = '' THEN 0
+                ELSE length(norm_text) - length(replace(norm_text, ' ', '')) + 1
+           END AS n_tokens
+    FROM n
+    """,
+    "Corpus-cleaning normalization (lowercase, strip non-alphanumeric, "
+    "collapse whitespace) + token count — one codegen'd projection, the "
+    "canonical first stage of a training-data text pipeline.",
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.text import normalize_text
+
+    return normalize_text(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "embedding_near_dup_exact",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(
+             list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+             4) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(
+             list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+             4) >= 0.35
+    """,
+    "Embedding-cosine near-dup, exact all-pairs (the correctness "
+    "baseline that measures LSH recall). The production path is the "
+    "LSH-bucketed embedding_near_dup (rows-only entry).",
+)
+def q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.dedup import embedding_near_dup_exact
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_exact(e, threshold=0.35)
+
+
+@register(
+    "embedding_near_dup_lsh",
+    None,  # LSH candidate set is bucketing-dependent — rows-only check
+    "Embedding-cosine near-dup, LSH-bucketed scale path: random-"
+    "hyperplane buckets → equi self-join within buckets → exact cosine "
+    "filter. At 100 TB the bucket column is precomputed and the table "
+    "partitioned by it; recall vs the exact variant is asserted in "
+    "tests.",
+)
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.dedup import embedding_near_dup
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup(e, threshold=0.35, n_planes=4)
+
+
+@register(
+    "embedding_topk_lsh",
+    None,  # approximate: candidates depend on bucketing — rows-only
+    "ANN top-k via random-hyperplane LSH with 1-bit multi-probe, exact "
+    "re-rank of candidates; the bucket filter is a pushdown-able IN "
+    "predicate on a precomputable partition key.",
+)
+def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.similarity import cosine_topk_lsh
+
+    e = read_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return cosine_topk_lsh(
+        e.filter(F.col("vec_id") != 0), qv, k=10, n_planes=8, multiprobe_bits=1
+    )
+
+
+@register(
+    "url_route_suffix",
+    """
+    SELECT url,
+      CASE
+        WHEN url LIKE '%rent_contracts%' THEN 'rent_contracts.csv'
+        WHEN url LIKE '%transactions%' THEN 'transactions.csv'
+        WHEN url LIKE '%projects%' THEN 'projects.csv'
+        WHEN url LIKE '%units%' THEN 'units.csv'
+        WHEN url LIKE '%developers%' THEN 'developers.csv'
+        WHEN url LIKE '%buildings%' THEN 'buildings.csv'
+        ELSE coalesce(nullif(regexp_extract(split_part(split_part(url, '?', 1), '#', 1),
+                                            '([^/]*)$', 1), ''), 'data.csv')
+      END AS filename
+    FROM (VALUES
+      ('https://data.example.com/api/rent_contracts.csv?auth=1'),
+      ('https://data.example.com/api/transactions-latest.csv'),
+      ('https://cdn.example.com/files/other_table.csv'),
+      ('https://cdn.example.com/files/'),
+      ('s3://bucket/units/2024/units.csv')
+    ) AS t(url)
+    """,
+    "S5 URL→filename routing distributed: the reference lambda's "
+    "first-match substring map as one codegen'd when-chain with a "
+    "basename fallback (reference lambda_handler.py:72-88).",
+)
+def q_url_route_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.sources.routing import suffix_col
+
+    urls = [
+        ("https://data.example.com/api/rent_contracts.csv?auth=1",),
+        ("https://data.example.com/api/transactions-latest.csv",),
+        ("https://cdn.example.com/files/other_table.csv",),
+        ("https://cdn.example.com/files/",),
+        ("s3://bucket/units/2024/units.csv",),
+    ]
+    df = spark.createDataFrame(urls, "url string")
+    return df.select("url", suffix_col(F.col("url")).alias("filename"))
+
+
+@register(
+    "approx_distinct_events",
+    None,  # HLL sketch values are engine-specific — rows-only check;
+    # tests assert ≤5% relative error vs the exact counts
+    "HyperLogLog approximate distinct counts (users, event types) — "
+    "the 100 TB substitute for exact count_distinct in profiling "
+    "(SURVEY §2.5 A2 scale note); one pass, fixed memory per sketch.",
+)
+def q_approx_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    return e.agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.approx_count_distinct("event_type").alias("approx_types"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

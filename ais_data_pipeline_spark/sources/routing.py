@@ -32,6 +32,21 @@ def suffix_from_url(url: str, suffix_map: dict[str, str] | None = None) -> str:
     return basename or "data.csv"
 
 
+def suffix_col(url_col, suffix_map: dict[str, str] | None = None):
+    """Distributed form of ``suffix_from_url``: the same first-match
+    substring routing as a single codegen'd when-chain, for routing a
+    DataFrame of URLs without a Python UDF. Fallback = path basename
+    (query string stripped), empty → ``data.csv``."""
+    from pyspark.sql import functions as F
+
+    mapping = SUFFIX_MAP if suffix_map is None else suffix_map
+    basename = F.regexp_extract(F.split(url_col, r"[?#]").getItem(0), r"([^/]*)$", 1)
+    expr = F.when(basename == "", F.lit("data.csv")).otherwise(basename)
+    for key, suffix in reversed(list(mapping.items())):
+        expr = F.when(url_col.contains(key), F.lit(suffix)).otherwise(expr)
+    return expr
+
+
 def dated_key(prefix: str, filename: str, date_str: str) -> str:
     """Partitioned object key ``{prefix}/{YYYY}/{MM}/{DD}/{filename}``
     (reference lambda_handler.py:273,281); ``date_str`` is ``YYYY-MM-DD``

@@ -1,0 +1,111 @@
+"""Property checks for the approximate / engine-specific operators that
+the DuckDB oracle can't hash-match (rows-only entries in the registry):
+each approximation is bounded against its exact counterpart."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ais_data_pipeline_spark.operators.dedup import (
+    embedding_near_dup,
+    embedding_near_dup_exact,
+)
+from ais_data_pipeline_spark.operators.similarity import cosine_topk, cosine_topk_lsh
+from ais_data_pipeline_spark.queries import registry
+from ais_data_pipeline_spark.sources.parquet import read_table
+
+BY_NAME = {q.name: q for q in registry()}
+
+
+def test_approx_distinct_within_tolerance(spark, sf_dir):
+    e = read_table(spark, sf_dir, "events")
+    row = BY_NAME["approx_distinct_events"].fn(spark, sf_dir).first()
+    exact_users = e.select("user_id").distinct().count()
+    exact_types = e.select("event_type").distinct().count()
+    assert abs(row["approx_users"] - exact_users) <= 0.05 * exact_users
+    assert abs(row["approx_types"] - exact_types) <= 0.05 * max(exact_types, 1)
+
+
+def test_lsh_near_dup_is_subset_of_exact(spark, sf_dir):
+    """LSH candidates pass the same exact-cosine filter, so every LSH
+    pair must appear in the exact all-pairs result (no false
+    positives); recall is reported, not asserted tight, because the
+    testdata embeddings are near-random."""
+    e = read_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"]) for r in embedding_near_dup_exact(e, 0.35).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup(e, threshold=0.35, n_planes=4).collect()
+    }
+    assert lsh <= exact
+    if exact:
+        recall = len(lsh) / len(exact)
+        assert recall > 0.0  # buckets must produce at least one true pair
+
+
+def test_lsh_topk_scores_match_exact_cosine(spark, sf_dir):
+    """Every LSH top-k hit must carry the same cosine the brute-force
+    scorer assigns it (the approximation is WHICH vectors are
+    candidates, never the score)."""
+    e = read_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    rest = e.filter(F.col("vec_id") != 0)
+    exact_scores = {
+        r["vec_id"]: r["cos_sim"]
+        for r in cosine_topk(rest, qv, k=10**6, round_digits=4).collect()
+    }
+    lsh_rows = cosine_topk_lsh(rest, qv, k=10, n_planes=8, multiprobe_bits=1).collect()
+    assert 0 < len(lsh_rows) <= 10
+    for r in lsh_rows:
+        assert exact_scores[r["vec_id"]] == r["cos_sim"]
+
+
+def test_salted_agg_equals_plain(spark, sf_dir):
+    from ais_data_pipeline_spark.operators.aggregates import salted_grouped
+
+    e = read_table(spark, sf_dir, "events").withColumn(
+        "__val", F.col("value").cast("decimal(18,4)")
+    )
+    salted = {
+        r["event_type"]: (r["n"], r["total_value"])
+        for r in salted_grouped(
+            e, ["event_type"], {"__val": "total_value"}, buckets=8
+        ).collect()
+    }
+    plain = {
+        r["event_type"]: (r["n"], r["total_value"])
+        for r in e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("__val").alias("total_value"))
+        .collect()
+    }
+    assert salted == plain
+
+
+def test_range_join_equals_naive(spark, sf_dir):
+    """The bucketed interval join must produce exactly the naive
+    time-condition join's pairs."""
+    from ais_data_pipeline_spark.operators.joins import range_self_join_within
+
+    e = read_table(spark, sf_dir, "events")
+    bucketed = {
+        (r["user_id"], r["first_id"], r["next_id"])
+        for r in range_self_join_within(e, "user_id", "ts", 300, "event_id").collect()
+    }
+    a = e.select(
+        F.col("user_id"), F.col("event_id").alias("first_id"), F.col("ts").alias("lt")
+    )
+    b = e.select(
+        F.col("user_id"), F.col("event_id").alias("next_id"), F.col("ts").alias("rt")
+    )
+    naive = {
+        (r["user_id"], r["first_id"], r["next_id"])
+        for r in a.join(b, "user_id")
+        .filter(
+            (F.col("rt") > F.col("lt"))
+            & (F.col("rt") <= F.col("lt") + F.expr("INTERVAL 300 SECONDS"))
+        )
+        .collect()
+    }
+    assert bucketed == naive
