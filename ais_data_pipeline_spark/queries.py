@@ -910,6 +910,44 @@ def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open the driver's events parquet as a Structured Streaming file
+    source. The file source wants a DIRECTORY, so a symlink dir staging
+    just events.parquet is created (zero-copy); the TIMESTAMP(NANOS)
+    column is read as raw nanos and rebuilt at micro precision, same as
+    the batch reader (sources.parquet.read_events)."""
+    import os as _os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(_os.path.join(sf_dir, "events.parquet"))
+    stage = f"/tmp/ais_stream_stage_{abs(hash(sf_dir)) % 10**8}"
+    _os.makedirs(stage, exist_ok=True)
+    link = _os.path.join(stage, "events.parquet")
+    if not _os.path.exists(link):
+        _os.symlink(_os.path.join(sf_dir, "events.parquet"), link)
+    stream = spark.readStream.schema(raw.schema).parquet(stage)
+    if dict(raw.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def _drain_to_memory(stream_df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
+    """Run a streaming plan to exhaustion (availableNow) into a memory
+    sink and return the materialized table."""
+    import uuid
+
+    qname = f"q_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
+
+
 @register(
     "streaming_windowed_counts",
     """
@@ -926,37 +964,12 @@ def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(the oracle).",
 )
 def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import uuid
-
     _utc(spark)
     from ais_data_pipeline_spark.streaming.windows import windowed_counts
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import os as _os
-
-    raw = spark.read.parquet(_os.path.join(sf_dir, "events.parquet"))
-    # the file source wants a DIRECTORY: stage a symlink dir holding
-    # just events.parquet (zero-copy)
-    stage = f"/tmp/ais_stream_stage_{abs(hash(sf_dir)) % 10**8}"
-    _os.makedirs(stage, exist_ok=True)
-    link = _os.path.join(stage, "events.parquet")
-    if not _os.path.exists(link):
-        _os.symlink(_os.path.join(sf_dir, "events.parquet"), link)
-    stream = spark.readStream.schema(raw.schema).parquet(stage)
-    # nanos stored as long under the legacy conf → rebuild the timestamp
-    if dict(raw.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _events_stream(spark, sf_dir)
     agg = windowed_counts(stream, window_size="1 hour", watermark="10 minutes")
-    qname = f"win_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(qname)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(qname)
+    return _drain_to_memory(agg, spark, "complete")
 
 
 # ---------------------------------------------------------------------------
@@ -1508,4 +1521,98 @@ def q_approx_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.approx_count_distinct("event_type").alias("approx_types"),
         F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch 5: streaming depth — streaming dedup, custom stateful operator,
+# native session windows.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_dedup_pairs",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    "Streaming deduplication: dropDuplicates over an unbounded file "
+    "source keeps first-seen keys in state and emits each exactly once "
+    "(append mode); drained with availableNow it equals the batch "
+    "DISTINCT (the oracle). With a watermark the state is bounded "
+    "(dropDuplicatesWithinWatermark) — the 100 TB configuration.",
+)
+def q_streaming_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _events_stream(spark, sf_dir).select("user_id", "event_type")
+    deduped = stream.dropDuplicates(["user_id", "event_type"])
+    return _drain_to_memory(deduped, spark, "append")
+
+
+@register(
+    "streaming_stateful_totals",
+    None,  # applyInPandasWithState: custom state machine, not SQL-
+    # expressible — rows-only check; tests bound it against batch aggs
+    "Custom stateful streaming operator (applyInPandasWithState): "
+    "per-user running (count, total, last-seen ts) state surviving "
+    "across micro-batches — the extension point for rate monitoring / "
+    "incremental profiles. Update-mode snapshots; the final snapshot "
+    "per key equals the batch aggregate (asserted in tests).",
+)
+def q_streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.streaming.stateful import running_totals
+
+    stream = _events_stream(spark, sf_dir).select("user_id", "ts", "value")
+    snapshots = running_totals(stream)
+    table = _drain_to_memory(snapshots, spark, "update")
+    # update mode emits one snapshot per key per micro-batch; counters
+    # grow monotonically, so the final state is the max-n row per key
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        table.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "n_events", F.round("total_value", 4).alias("total_value"))
+    )
+
+
+@register(
+    "session_windows_native",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*) AS n_events
+    FROM numbered GROUP BY user_id, sid
+    """,
+    "Native gap-based session windows (F.session_window): events merge "
+    "while gaps stay under 30 min; window end = last event + gap. Same "
+    "operator serves streaming input with a watermark; in batch it is "
+    "one shuffle on the session key. Oracle = lag/cumsum gap "
+    "sessionization.",
+)
+def q_session_windows_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("sess"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("sess.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("sess.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
     )

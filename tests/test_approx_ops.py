@@ -109,3 +109,25 @@ def test_range_join_equals_naive(spark, sf_dir):
         .collect()
     }
     assert bucketed == naive
+
+
+def test_stateful_totals_match_batch(spark, sf_dir):
+    """The stateful operator's final per-key snapshot must equal the
+    batch aggregate: counts exactly, double totals within float
+    tolerance (pandas accumulates in batch order)."""
+    e = read_table(spark, sf_dir, "events")
+    batch = {
+        r["user_id"]: (r["n"], r["total"])
+        for r in e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    out = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in BY_NAME["streaming_stateful_totals"].fn(spark, sf_dir).collect()
+    }
+    assert set(out) == set(batch)
+    for uid, (n, total) in out.items():
+        bn, btotal = batch[uid]
+        assert n == bn, uid
+        assert abs(total - btotal) <= 1e-6 * max(abs(btotal), 1.0), uid

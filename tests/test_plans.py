@@ -127,3 +127,33 @@ def test_minhash_no_python_in_signature(spark, sf_dir):
     d = read_table(spark, sf_dir, "documents").limit(50)
     plan = plan_of(minhash_lsh_candidates(d))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key must join with ZERO Exchange
+    nodes — the materialized-shuffle contract that makes repeated
+    fact-fact joins map-side at scale."""
+    from ais_data_pipeline_spark.sinks.tables import read_bucketed, write_bucketed
+    from ais_data_pipeline_spark.sources.parquet import read_table
+
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    try:
+        write_bucketed(o, "t_orders_b", ["o_orderkey"], 8)
+        write_bucketed(li, "t_lineitem_b", ["o_orderkey"], 8)
+        bo, bl = read_bucketed(spark, "t_orders_b"), read_bucketed(spark, "t_lineitem_b")
+        joined = bo.join(bl, "o_orderkey").groupBy("o_orderstatus").count()
+        # broadcast would hide the bucketing — force the SMJ/shuffle path
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = plan_of(joined)
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        assert "Exchange hashpartitioning" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert joined.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
