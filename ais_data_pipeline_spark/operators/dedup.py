@@ -30,6 +30,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+from ais_data_pipeline_spark.operators.util import spread_to_parallelism as _spread
+
+
 def exact_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -75,10 +78,16 @@ def ngram_jaccard_pairs(
     appearing in more than that many docs before the join — the skew
     guard that keeps the self-join linear-ish at scale.
     """
+    df = _spread(df)
+    # Join on a 64-bit hash of the shingle, not the string: the
+    # shingle column dominates the self-join shuffle (tens of bytes vs
+    # 8), and long equality beats string equality in the hash join.
+    # Collisions would need two distinct shingles with equal xxhash64
+    # inside one doc pair — ~2^-64 per pair, negligible vs data noise.
     sh = df.select(
         F.col(id_col).alias("doc"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
-    )
+        F.explode(word_shingles(F.col(text_col), n)).alias("__s"),
+    ).select("doc", F.xxhash64("__s").alias("shingle"))
     if max_shingle_df is not None:
         hot = (
             sh.groupBy("shingle")
@@ -159,11 +168,18 @@ def minhash_lsh_candidates(
     (band_index, band_hash) — shuffle is #docs × #bands small rows.
     """
     r = n_hashes // bands
-    sig = df.select(
+    # Materialize the shingle array BEFORE the signature: each of the
+    # n_hashes permutations references the shingle column, and inlining
+    # the full split/transform/concat tree n_hashes times blows the
+    # generated code past the JIT/codegen limits into interpreted
+    # evaluation (observed 100× slowdown at sf0.1).
+    shingled = _spread(df).select(
         F.col(id_col).alias("doc"),
-        minhash_signature(word_shingles(F.col(text_col), shingle_n), n_hashes, seed).alias(
-            "sig"
-        ),
+        word_shingles(F.col(text_col), shingle_n).alias("__sh"),
+    )
+    sig = shingled.select(
+        "doc",
+        minhash_signature(F.col("__sh"), n_hashes, seed).alias("sig"),
     )
     band_rows = sig.select(
         "doc",
@@ -212,7 +228,9 @@ def minhash_near_dup(
     cands = minhash_lsh_candidates(
         df, n_hashes, bands, text_col, id_col, shingle_n, seed
     )
-    sh = df.select(
+    # _spread: the re-rank side shingles on narrow scans too (same
+    # single-split bottleneck as the candidate side)
+    sh = _spread(df).select(
         F.col(id_col).alias("doc"),
         word_shingles(F.col(text_col), shingle_n).alias("shingles"),
     )
@@ -241,15 +259,19 @@ def minhash_near_dup(
 # -- SimHash ----------------------------------------------------------------
 
 
-def simhash64(tokens_col: Column, seed: int = 42) -> Column:
-    """64-bit SimHash: per-token xxhash64, each bit votes ±1, sign of
-    the vote sum sets the fingerprint bit. Pure JVM expressions.
+def simhash64(hashes_col: Column) -> Column:
+    """64-bit SimHash over a pre-materialized token-hash array: each
+    bit votes ±1 per token hash, sign of the vote sum sets the
+    fingerprint bit. Pure JVM expressions.
 
     Bit b vote sum = Σ_tokens (hash>>b & 1 ? +1 : −1); fingerprint has
     bit b set iff the sum is positive.
-    """
-    hashes = F.transform(tokens_col, lambda t: F.xxhash64(t, F.lit(seed)))
 
+    Takes the HASH ARRAY (not the token expression): the 64 bit-vote
+    aggregates each reference this column, and inlining a token-
+    hashing expression tree 64 times pushes codegen into interpreted
+    fallback (same failure mode as minhash_signature).
+    """
     # closure factory (see minhash_signature): a 3-param lambda would be
     # misread by PySpark's higher-order-function arity dispatch
     def bit_vote(b: int):
@@ -259,7 +281,7 @@ def simhash64(tokens_col: Column, seed: int = 42) -> Column:
 
     fp = F.lit(0).cast("long")
     for b in range(64):
-        votes = F.aggregate(hashes, F.lit(0).cast("long"), bit_vote(b))
+        votes = F.aggregate(hashes_col, F.lit(0).cast("long"), bit_vote(b))
         fp = fp.bitwiseOR(
             F.when(votes > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
                 F.lit(0).cast("long")
@@ -272,7 +294,11 @@ def simhash_fingerprints(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", seed: int = 42
 ) -> DataFrame:
     tokens = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    return df.select(F.col(id_col), simhash64(tokens, seed).alias("simhash"))
+    hashed = _spread(df).select(
+        F.col(id_col),
+        F.transform(tokens, lambda t: F.xxhash64(t, F.lit(seed))).alias("__h"),
+    )
+    return hashed.select(F.col(id_col), simhash64(F.col("__h")).alias("simhash"))
 
 
 def simhash_near_dup(
@@ -340,13 +366,21 @@ def embedding_near_dup_exact(
     on samples to measure LSH recall, not on the full corpus."""
     from ais_data_pipeline_spark.operators.similarity import _as_double_array, _dot
 
-    b = df.select(F.col(id_col), _as_double_array(F.col(vec_col)).alias("__v"))
-    left = b.select(F.col(id_col).alias("id_a"), F.col("__v").alias("lv"))
-    right = b.select(F.col(id_col).alias("id_b"), F.col("__v").alias("rv"))
+    # Precompute each vector's norm ONCE per side: the naive form
+    # evaluates three dot products per pair; this one evaluates one
+    # (3× fewer flops on the O(n²) hot loop). _spread parallelizes the
+    # nested-loop join, whose task count is the left side's partitions.
+    b = _spread(df).select(
+        F.col(id_col), _as_double_array(F.col(vec_col)).alias("__v")
+    ).withColumn("__norm", F.sqrt(_dot(F.col("__v"), F.col("__v"))))
+    left = b.select(
+        F.col(id_col).alias("id_a"), F.col("__v").alias("lv"), F.col("__norm").alias("na")
+    )
+    right = b.select(
+        F.col(id_col).alias("id_b"), F.col("__v").alias("rv"), F.col("__norm").alias("nb")
+    )
     sim = F.round(
-        _dot(F.col("lv"), F.col("rv"))
-        / (F.sqrt(_dot(F.col("lv"), F.col("lv"))) * F.sqrt(_dot(F.col("rv"), F.col("rv")))),
-        round_digits,
+        _dot(F.col("lv"), F.col("rv")) / (F.col("na") * F.col("nb")), round_digits
     )
     return (
         left.join(right, F.col("id_a") < F.col("id_b"))

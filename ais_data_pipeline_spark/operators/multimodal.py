@@ -71,7 +71,12 @@ def decode_image_meta(
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(extract, IMAGE_META_SCHEMA)
+    from ais_data_pipeline_spark.operators.util import spread_to_parallelism
+
+    # Python-side hashing is CPU-bound: widen single-split scans so the
+    # Arrow batches fan out across cores
+    narrow = spread_to_parallelism(df.select(id_col, payload_col))
+    return narrow.mapInPandas(extract, IMAGE_META_SCHEMA)
 
 
 def decode_image_pixels(df: DataFrame, payload_col: str = "payload") -> DataFrame:

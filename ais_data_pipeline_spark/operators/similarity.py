@@ -151,23 +151,31 @@ def pairwise_topk_per_vector(
     cosine within buckets, keep top-k per left vector."""
     from pyspark.sql import Window
 
+    from ais_data_pipeline_spark.operators.util import spread_to_parallelism
+
     dim_probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
     planes = random_hyperplanes(dim_probe["d"], n_planes, seed)
-    b = df.select(
+    # norm precomputed once per vector (not per pair) — 3× fewer dot
+    # products in the within-bucket pair loop
+    b = spread_to_parallelism(df).select(
         F.col(id_col),
         _as_double_array(F.col(vec_col)).alias("__v"),
         lsh_bucket_col(F.col(vec_col), planes).alias("__bucket"),
-    )
+    ).withColumn("__norm", F.sqrt(_dot(F.col("__v"), F.col("__v"))))
     left = b.select(
-        F.col(id_col).alias("left_id"), F.col("__v").alias("lv"), "__bucket"
+        F.col(id_col).alias("left_id"),
+        F.col("__v").alias("lv"),
+        F.col("__norm").alias("ln"),
+        "__bucket",
     )
     right = b.select(
-        F.col(id_col).alias("right_id"), F.col("__v").alias("rv"), "__bucket"
+        F.col(id_col).alias("right_id"),
+        F.col("__v").alias("rv"),
+        F.col("__norm").alias("rn"),
+        "__bucket",
     )
     pairs = left.join(right, "__bucket").filter(F.col("left_id") != F.col("right_id"))
-    sim = _dot(F.col("lv"), F.col("rv")) / (
-        F.sqrt(_dot(F.col("lv"), F.col("lv"))) * F.sqrt(_dot(F.col("rv"), F.col("rv")))
-    )
+    sim = _dot(F.col("lv"), F.col("rv")) / (F.col("ln") * F.col("rn"))
     scored = pairs.select("left_id", "right_id", F.round(sim, 6).alias("cos_sim"))
     w = Window.partitionBy("left_id").orderBy(F.desc("cos_sim"), F.asc("right_id"))
     return (
