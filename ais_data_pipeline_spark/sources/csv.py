@@ -82,8 +82,11 @@ def read_csv(
         )
         df = reader.schema(string_schema).csv(path)
         df = normalize_null_tokens(df, null_tokens)
+        # try_cast, not cast: the lenient null-on-failure contract must
+        # hold even under ANSI mode (Spark 4 default), where a plain
+        # cast raises on the first malformed value
         df = df.select(
-            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+            *[F.col(f.name).try_cast(f.dataType).alias(f.name) for f in schema.fields]
         )
         return df
 
