@@ -1616,3 +1616,315 @@ def q_session_windows_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 6: outer joins, unpivot, exact moment statistics, lateral
+# explode, JSON path, date/string function parity, grouping sets,
+# conditional aggregation, rank distributions.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "outer_join_fill",
+    """
+    WITH o_open AS (
+      SELECT o_custkey, count(*) AS n_open FROM orders
+      WHERE o_orderstatus = 'O' GROUP BY o_custkey
+    ), o_done AS (
+      SELECT o_custkey, count(*) AS n_done FROM orders
+      WHERE o_orderstatus = 'F' GROUP BY o_custkey
+    )
+    SELECT coalesce(o_open.o_custkey, o_done.o_custkey) AS custkey,
+           coalesce(n_open, 0) AS n_open,
+           coalesce(n_done, 0) AS n_done
+    FROM o_open FULL OUTER JOIN o_done ON o_open.o_custkey = o_done.o_custkey
+    """,
+    "FULL OUTER join of two aggregates with null-fill — both sides "
+    "contribute unmatched keys; one shuffle per agg, join co-partitioned "
+    "on the same key.",
+)
+def q_outer_join_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    open_ = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("o_custkey").alias("ck_o"))
+        .agg(F.count(F.lit(1)).alias("n_open"))
+    )
+    done = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("o_custkey").alias("ck_d"))
+        .agg(F.count(F.lit(1)).alias("n_done"))
+    )
+    return open_.join(
+        done, open_.ck_o == done.ck_d, "full_outer"
+    ).select(
+        F.coalesce("ck_o", "ck_d").alias("custkey"),
+        F.coalesce("n_open", F.lit(0)).alias("n_open"),
+        F.coalesce("n_done", F.lit(0)).alias("n_done"),
+    )
+
+
+@register(
+    "unpivot_metrics",
+    """
+    SELECT l_returnflag, metric, value FROM (
+      SELECT l_returnflag,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM lineitem GROUP BY l_returnflag
+    ) UNPIVOT (value FOR metric IN (sum_qty, sum_price))
+    """,
+    "Unpivot/melt: wide aggregate → long (metric, value) rows — the "
+    "inverse of pivot; pure projection after the agg, no extra shuffle.",
+)
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+@register(
+    "moment_stats",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_quantity AS DECIMAL(14,2)) * CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(14,2)) * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round((sxx - sx * sx / n) / (n - 1), 4) AS var_qty,
+           round(sqrt((sxx - sx * sx / n) / (n - 1)), 4) AS stddev_qty,
+           round((sxy - sx * sy / n)
+                 / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 6) AS corr_qty_price
+    FROM s
+    """,
+    "Variance / stddev / correlation per group from EXACT decimal power "
+    "sums (one partial+final agg pass), finalized in identical double "
+    "arithmetic both engines. Built-in stddev/corr use order-dependent "
+    "streaming merges that never hash-match across engines — the "
+    "power-sum form is the deterministic equivalent at any parallelism.",
+)
+def q_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(14,2)")
+    y = F.col("l_extendedprice").cast("decimal(14,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ("n", "sx", "sxx", "sy", "syy", "sxy"))
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round((sxx - sx * sx / n) / (n - 1), 4).alias("var_qty"),
+        F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 4).alias("stddev_qty"),
+        F.round(
+            (sxy - sx * sy / n)
+            / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)),
+            6,
+        ).alias("corr_qty_price"),
+    )
+
+
+@register(
+    "posexplode_tokens",
+    r"""
+    SELECT doc_id, i AS pos, toks[i] AS token FROM
+      (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+       FROM documents WHERE doc_id < 20) t,
+      UNNEST(generate_series(1, len(toks))) AS s(i)
+    """,
+    "Lateral positional explode (posexplode): token stream with "
+    "positions — the tokenization fan-out shape for sequence labeling; "
+    "generator runs inside codegen, no shuffle.",
+)
+def q_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.text import tokens_col
+
+    d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return d.select(
+        "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "token")
+    ).select("doc_id", (F.col("pos") + 1).alias("pos"), "token")
+
+
+@register(
+    "json_path_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events WHERE event_id < 1000
+    """,
+    "JSON path field extraction (get_json_object) with typed cast — "
+    "the structured accessor complementing the regex variant "
+    "(events_json_extract).",
+)
+def q_json_path_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+
+
+@register(
+    "date_functions",
+    """
+    SELECT DISTINCT o_orderdate,
+           year(o_orderdate) AS y,
+           quarter(o_orderdate) AS q,
+           month(o_orderdate) AS m,
+           dayofweek(o_orderdate) + 1 AS dow,
+           last_day(o_orderdate) AS month_end,
+           date_trunc('month', o_orderdate) AS month_start,
+           datediff('day', DATE '2020-01-01', o_orderdate) AS days_since_2020,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m
+    FROM orders
+    """,
+    "Date function parity sweep (year/quarter/month/dow/last_day/trunc/"
+    "diff/add_months) — all codegen'd scalar expressions; dow pinned to "
+    "Spark's 1=Sunday convention.",
+)
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderdate",
+        F.year(d).alias("y"),
+        F.quarter(d).alias("q"),
+        F.month(d).alias("m"),
+        F.dayofweek(d).alias("dow"),
+        F.last_day(d).alias("month_end"),
+        F.trunc(d, "month").alias("month_start"),
+        F.datediff(d, F.lit("2020-01-01").cast("date")).alias("days_since_2020"),
+        F.add_months(d, 3).alias("plus3m"),
+    ).distinct()
+
+
+@register(
+    "string_functions",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           length(p_name) AS name_len,
+           substring(p_name, 1, 8) AS name_prefix,
+           replace(p_name, ' ', '_') AS name_snake,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           reverse(p_brand) AS brand_rev,
+           concat_ws('|', p_brand, p_type) AS brand_type
+    FROM part WHERE p_partkey <= 500
+    """,
+    "String function parity sweep (upper/length/substr/replace/lpad/"
+    "reverse/concat_ws) — single codegen'd projection.",
+)
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+@register(
+    "grouping_sets_status",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           grouping(o_orderstatus) AS g_status,
+           grouping(o_orderpriority) AS g_priority,
+           count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    "Arbitrary GROUPING SETS (not a cube/rollup prefix) with "
+    "grouping() flags disambiguating aggregation nulls from data "
+    "nulls — one pass, expand + partial agg.",
+)
+def q_grouping_sets_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               grouping(o_orderstatus) AS g_status,
+               grouping(o_orderpriority) AS g_priority,
+               count(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "conditional_agg",
+    """
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                        FILTER (WHERE o_orderstatus = 'F') AS DOUBLE), 2) AS finished_value
+    FROM orders GROUP BY o_orderpriority
+    """,
+    "Conditional aggregation (FILTER clause / count_if): multiple "
+    "predicated aggregates in ONE pass instead of N filtered scans.",
+)
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_totalprice") > 150000, 1)).alias("n_big"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+        F.round(
+            F.sum(F.when(F.col("o_orderstatus") == "F", price_dec)).cast("double"), 2
+        ).alias("finished_value"),
+    )
+
+
+@register(
+    "rank_distribution",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           ntile(4) OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+    "Rank-distribution windows (percent_rank / cume_dist / ntile) per "
+    "priority — one shuffle on the partition key, total tie-break "
+    "order for determinism.",
+)
+def q_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
