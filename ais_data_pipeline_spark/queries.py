@@ -1928,3 +1928,138 @@ def q_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.ntile(4).over(w).alias("quartile"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 7: TPC-H classic shapes over the full star schema + stream-
+# static join.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "nation_pair_volume",
+    """
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS volume
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ns ON ns.n_nationkey = s_nationkey
+    JOIN nation nc ON nc.n_nationkey = c_nationkey
+    WHERE ns.n_name <> nc.n_name
+    GROUP BY 1, 2, 3
+    """,
+    "TPC-H Q7 shape: trade volume between distinct nation pairs per "
+    "ship year. The two nation dims and supplier broadcast; the "
+    "fact-fact joins (lineitem⋈orders⋈customer) shuffle on their keys "
+    "with AQE handling skew. Exact decimal revenue.",
+)
+def q_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    ns = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    nc = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(revenue).alias("volume"))
+    )
+
+
+@register(
+    "custdist",
+    """
+    SELECT n_orders, count(*) AS n_customers FROM (
+      SELECT c_custkey, count(o_orderkey) AS n_orders
+      FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_custkey
+    ) GROUP BY n_orders
+    """,
+    "TPC-H Q13 shape: order-count distribution INCLUDING zero-order "
+    "customers (left outer + count of non-null keys, then a second "
+    "tiny agg). Two shuffles, the second over |distinct counts| rows.",
+)
+def q_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@register(
+    "large_orders",
+    """
+    SELECT c_name, o_orderkey, o_orderdate,
+           sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+    FROM orders
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    GROUP BY c_name, o_orderkey, o_orderdate
+    HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250
+    """,
+    "TPC-H Q18 shape: orders whose lineitem quantity total exceeds a "
+    "threshold, with customer attribution — aggregate-then-filter "
+    "(HAVING) over the fact join; the agg shuffles on the order key "
+    "already co-partitioned by the join.",
+)
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    c = read_table(spark, sf_dir, "customer")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate")
+        .agg(F.sum(qty).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+
+
+@register(
+    "stream_static_join",
+    """
+    WITH dim AS (
+      SELECT event_type, dense_rank() OVER (ORDER BY event_type) AS type_id
+      FROM (SELECT DISTINCT event_type FROM events)
+    )
+    SELECT type_id, e.event_type, count(*) AS n
+    FROM events e JOIN dim ON e.event_type = dim.event_type
+    GROUP BY 1, 2
+    """,
+    "Stream-static join: an unbounded event stream enriched against a "
+    "broadcast static dimension (the canonical streaming enrichment "
+    "pattern — dim read once per micro-batch, no stream-side state), "
+    "then aggregated; availableNow drain equals the batch join (oracle).",
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    static_dim = (
+        read_table(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .withColumn("type_id", F.dense_rank().over(Window.orderBy("event_type")))
+    )
+    stream = _events_stream(spark, sf_dir).select("event_type")
+    joined = stream.join(F.broadcast(static_dim), "event_type")
+    agg = joined.groupBy("type_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    return _drain_to_memory(agg, spark, "complete")

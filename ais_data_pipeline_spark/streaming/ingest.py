@@ -50,6 +50,47 @@ def run_available_now(
     q.awaitTermination()
 
 
+def run_with_quarantine(
+    stream_df: DataFrame,
+    good_predicate,
+    main_path: str,
+    quarantine_path: str,
+    checkpoint_path: str,
+) -> None:
+    """Streaming single-pass multi-sink: split each micro-batch on a
+    predicate and write passers → main, violators → quarantine.
+
+    Batch Spark needs persist + two filtered writes for K4 (SURVEY §7
+    'hard parts'); in streaming, ``foreachBatch`` hands every
+    micro-batch over as a bounded DataFrame, so the split happens once
+    per batch with exactly-once bookkeeping from the checkpoint. Null
+    predicate results quarantine, matching the batch writer.
+    """
+    from pyspark.sql import functions as F
+
+    def split_write(batch_df: DataFrame, batch_id: int) -> None:
+        tagged = batch_df.withColumn(
+            "__good", F.coalesce(good_predicate.cast("boolean"), F.lit(False))
+        ).persist()
+        try:
+            tagged.filter(F.col("__good")).drop("__good").write.mode("append").parquet(
+                main_path
+            )
+            tagged.filter(~F.col("__good")).drop("__good").write.mode("append").parquet(
+                quarantine_path
+            )
+        finally:
+            tagged.unpersist()
+
+    q = (
+        stream_df.writeStream.foreachBatch(split_write)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stamp_ingest_date(df: DataFrame, col: str = "ingest_date") -> DataFrame:
     """K2 parity for the streaming path: stamp the UTC ingest date so
     the sink partitions match the batch layout."""

@@ -253,3 +253,31 @@ def test_counters_and_log(capsys):
     assert rec["event"] == "test_event" and rec["n"] == 1
     err = capsys.readouterr().err
     assert json.loads(err.strip().splitlines()[-1])["event"] == "test_event"
+
+
+def test_streaming_quarantine_foreachbatch(spark, tmp_path):
+    """K4's single-pass multi-sink, streaming edition: each micro-batch
+    splits once into main + quarantine with checkpointed bookkeeping."""
+    from ais_data_pipeline_spark.streaming.ingest import run_with_quarantine
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    df = spark.createDataFrame(
+        [(1, 100), (2, 5_000_000_000), (3, 250), (4, None)],
+        "row_id long, amount long",
+    )
+    df.coalesce(1).write.parquet(str(src / "batch1"))
+
+    stream = spark.readStream.schema(df.schema).parquet(str(src / "*"))
+    main, quar = str(tmp_path / "main"), str(tmp_path / "quarantine")
+    run_with_quarantine(
+        stream,
+        F.col("amount").between(-(2**31), 2**31 - 1),
+        main,
+        quar,
+        str(tmp_path / "ckpt"),
+    )
+    main_ids = {r["row_id"] for r in spark.read.parquet(main).collect()}
+    quar_ids = {r["row_id"] for r in spark.read.parquet(quar).collect()}
+    assert main_ids == {1, 3}
+    assert quar_ids == {2, 4}  # overflow AND null-predicate rows quarantine
