@@ -413,3 +413,61 @@ def embedding_near_dup(
             "cos_sim",
         )
     )
+
+
+def near_dup_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph → (id, cluster_id)
+    with cluster_id = min member id. The step after any pairwise dedup:
+    pairs chain (A~B, B~C ⇒ {A,B,C}), and the keep/drop decision needs
+    the component, not the edges.
+
+    Iterative min-label propagation: each node adopts the smallest label
+    in its closed neighborhood until fixpoint (checked via an
+    aggregation per round, so rounds = graph diameter ≤ max_iter).
+    Each round is one join + groupBy on the node id — at scale both
+    sides stay partitioned by id between rounds, and AQE compacts the
+    shrinking frontier. For diameter-heavy graphs swap in the
+    large-star/small-star variant; near-dup components are typically
+    tiny and dense, where this converges in 2-3 rounds.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        updated = updated.persist()
+        changed = (
+            updated.join(labels.withColumnRenamed("cluster_id", "old"), "id")
+            .filter(F.col("cluster_id") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select("id", "cluster_id")

@@ -2063,3 +2063,58 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = stream.join(F.broadcast(static_dim), "event_type")
     agg = joined.groupBy("type_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
     return _drain_to_memory(agg, spark, "complete")
+
+
+# ---------------------------------------------------------------------------
+# Batch 8: BPE-style tokenization + near-dup graph clustering.
+# ---------------------------------------------------------------------------
+
+#: GPT-2-style pre-tokenizer pattern, restricted to constructs with
+#: identical semantics in Java regex (Spark) and RE2 (DuckDB): optional
+#: leading space + letter run / digit run / punctuation run, else
+#: whitespace run. No lookarounds, no backreferences.
+_BPE_PATTERN = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+@register(
+    "bpe_token_counts",
+    rf"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS n_bpe_tokens,
+           length(text) AS n_chars
+    FROM documents
+    """,
+    "BPE-ish pre-tokenization (GPT-2 pattern family): per-document "
+    "token counts from a single regexp_extract_all — the corpus sizing "
+    "pass before actual BPE merges; pure JVM regex, no Python.",
+)
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), 0)).alias(
+            "n_bpe_tokens"
+        ),
+        F.length("text").alias("n_chars"),
+    )
+
+
+@register(
+    "near_dup_clusters",
+    None,  # iterative fixpoint algorithm — not single-statement SQL;
+    # tests verify against a driver-side union-find on the same pairs
+    "Connected components over the MinHash near-dup pair graph "
+    "(iterative min-label propagation, one join+agg per round until "
+    "fixpoint): turns pairwise matches into dedup clusters with "
+    "cluster_id = min member. The canonical keep-one-per-cluster "
+    "decision input.",
+)
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.dedup import (
+        minhash_near_dup,
+        near_dup_clusters,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup(d, threshold=0.3)
+    return near_dup_clusters(pairs)

@@ -84,3 +84,39 @@ def write_with_quarantine(
     finally:
         tagged.unpersist()
     return {"rows_main": n_main, "rows_quarantined": n_bad, "rows_in": n_main + n_bad}
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_mb: int = 128,
+    compression: str = "zstd",
+) -> dict:
+    """Small-file compaction: rewrite a parquet directory into files of
+    ~target size. Millions of KB-sized files are the classic slow death
+    of a 100 TB lake (open/seek cost dominates, driver planning chokes
+    on the file listing); periodic compaction keeps scans sequential.
+
+    Uses the on-disk byte size to pick the output file count, rewrites
+    to a temp dir, then swaps atomically-enough for a maintenance job.
+    """
+    import glob as _glob
+    import shutil
+
+    files = _glob.glob(os.path.join(path, "*.parquet"))
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, round(total_bytes / (target_file_mb * 2**20)))
+    if len(files) <= n_out:
+        return {"files_in": len(files), "files_out": len(files), "skipped": True}
+
+    tmp = path.rstrip("/") + "__compacting"
+    (
+        spark.read.parquet(path)
+        .repartition(n_out)
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .parquet(tmp)
+    )
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return {"files_in": len(files), "files_out": n_out, "skipped": False}

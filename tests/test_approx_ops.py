@@ -131,3 +131,41 @@ def test_stateful_totals_match_batch(spark, sf_dir):
         bn, btotal = batch[uid]
         assert n == bn, uid
         assert abs(total - btotal) <= 1e-6 * max(abs(btotal), 1.0), uid
+
+
+def test_near_dup_clusters_match_union_find(spark, sf_dir):
+    """Distributed min-label propagation must produce exactly the
+    components a driver-side union-find finds on the same edges."""
+    from ais_data_pipeline_spark.operators.dedup import (
+        minhash_near_dup,
+        near_dup_clusters,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup(d, threshold=0.3)
+    edges = [(r["doc_a"], r["doc_b"]) for r in pairs.collect()]
+    assert edges, "fixture should contain near-dup pairs"
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {x: find(x) for x in parent}
+
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in near_dup_clusters(pairs).collect()
+    }
+    assert got == expected

@@ -157,3 +157,54 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_partition_pruning_static(spark, sf_dir, tmp_path):
+    """A filter on the partition column must prune at planning time —
+    the scan's PartitionFilters carry the predicate and non-matching
+    date directories are never listed into tasks."""
+    from ais_data_pipeline_spark.sources.parquet import read_table
+
+    out = str(tmp_path / "events_by_type")
+    e = read_table(spark, sf_dir, "events")
+    e.write.mode("overwrite").partitionBy("event_type").parquet(out)
+
+    q = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = plan_of(q)
+    assert re.search(r"PartitionFilters: \[.*event_type.*\]", plan)
+    assert q.count() > 0
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """Joining a partitioned fact with a filtered dim must inject a
+    dynamic pruning subquery into the fact scan (DPP), so only the
+    dim-selected partitions are read."""
+    from ais_data_pipeline_spark.sources.parquet import read_table
+
+    out = str(tmp_path / "orders_by_priority")
+    o = read_table(spark, sf_dir, "orders")
+    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+
+    fact = spark.read.parquet(out)
+    dim = o.select("o_orderpriority").distinct().filter(
+        F.col("o_orderpriority").startswith("1")
+    )
+    joined = fact.join(dim, "o_orderpriority").groupBy("o_orderstatus").count()
+    plan = plan_of(joined)
+    assert "dynamicpruning" in plan.lower()
+    assert joined.count() > 0
+
+
+def test_compaction_reduces_files(spark, sf_dir, tmp_path):
+    from ais_data_pipeline_spark.sinks.parquet import compact_parquet
+    from ais_data_pipeline_spark.sources.parquet import read_table
+
+    out = str(tmp_path / "fragmented")
+    o = read_table(spark, sf_dir, "orders")
+    o.repartition(64).write.mode("overwrite").parquet(out)
+    before = spark.read.parquet(out).count()
+
+    stats = compact_parquet(spark, out, target_file_mb=128)
+    assert not stats["skipped"]
+    assert stats["files_out"] < stats["files_in"]
+    assert spark.read.parquet(out).count() == before
