@@ -2118,3 +2118,87 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     pairs = minhash_near_dup(d, threshold=0.3)
     return near_dup_clusters(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Batch 9: sliding windows, multimodal fan-out, approximate quantiles.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_sliding_counts",
+    """
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n_events
+    FROM events, UNNEST([time_bucket(INTERVAL '30 minutes', ts),
+                         time_bucket(INTERVAL '30 minutes', ts)
+                           - INTERVAL 30 MINUTE]) AS t(ws)
+    WHERE ts >= ws AND ts < ws + INTERVAL 1 HOUR
+    GROUP BY 1, 2
+    """,
+    "Sliding event-time windows (1h size, 30min slide): every event "
+    "lands in size/slide windows; Spark expands map-side then "
+    "partial-aggregates, so the shuffle carries window-level partials "
+    "only. Streaming drain equals the batch expansion (the oracle).",
+)
+def q_streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("win"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    return _drain_to_memory(agg, spark, "complete")
+
+
+@register(
+    "frame_sample_fanout",
+    """
+    SELECT doc_id, frame_index
+    FROM (SELECT doc_id, CAST(floor(length(text) / 16) AS BIGINT) AS n_frames
+          FROM documents WHERE doc_id < 50) t,
+         UNNEST(range(0, greatest(n_frames, 1), 8)) AS s(frame_index)
+    """,
+    "Multimodal frame-sampling fan-out: (doc, frame_index) rows every "
+    "k-th frame from container metadata (stub: size-derived frame "
+    "count) — the decode work-list generated engine-side so the codec "
+    "UDF only ever sees (blob, index) pairs; sequence+explode, "
+    "codegen'd, no shuffle.",
+)
+def q_frame_sample_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.multimodal import (
+        frame_sample_plan,
+        with_binary_payload,
+    )
+
+    d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return frame_sample_plan(
+        with_binary_payload(d, "text"), every_n_frames=8
+    ).select("doc_id", F.col("frame_index").cast("bigint").alias("frame_index"))
+
+
+@register(
+    "approx_quantiles",
+    None,  # t-digest/Greenwald-Khanna sketches are engine-specific —
+    # rows-only; tests bound the error against exact percentiles
+    "Approximate percentiles (percentile_approx sketch): the fixed-"
+    "memory single-pass quantile path for 100 TB profiling, where the "
+    "exact sort-based percentile is a full shuffle. Accuracy parameter "
+    "10000 → worst-case rank error 1/10000.",
+)
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
+            "price_quantiles"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )

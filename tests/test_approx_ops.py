@@ -169,3 +169,28 @@ def test_near_dup_clusters_match_union_find(spark, sf_dir):
         for r in near_dup_clusters(pairs).collect()
     }
     assert got == expected
+
+
+def test_approx_quantiles_within_rank_error(spark, sf_dir):
+    """percentile_approx at accuracy 10000 must land within a loose
+    value band around the exact interpolated percentiles."""
+    li = read_table(spark, sf_dir, "lineitem")
+    approx = {
+        r["l_returnflag"]: r["price_quantiles"]
+        for r in BY_NAME["approx_quantiles"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r["l_returnflag"]: (r["p50"], r["p95"], r["p99"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
+            F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
+            F.percentile("l_extendedprice", F.lit(0.99)).alias("p99"),
+        )
+        .collect()
+    }
+    for flag, (p50, p95, p99) in exact.items():
+        a50, a95, a99 = approx[flag]
+        assert abs(a50 - p50) <= 0.02 * p50
+        assert abs(a95 - p95) <= 0.02 * p95
+        assert abs(a99 - p99) <= 0.02 * p99

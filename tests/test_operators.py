@@ -281,3 +281,23 @@ def test_streaming_quarantine_foreachbatch(spark, tmp_path):
     quar_ids = {r["row_id"] for r in spark.read.parquet(quar).collect()}
     assert main_ids == {1, 3}
     assert quar_ids == {2, 4}  # overflow AND null-predicate rows quarantine
+
+
+def test_observation_metrics(spark, sf_dir):
+    """M2 parity, Spark-native: df.observe() collects named metrics on
+    the executors during a normal action — counters without a second
+    pass over the data."""
+    from pyspark.sql import Observation
+
+    from ais_data_pipeline_spark.sources.parquet import read_table
+
+    obs = Observation("ingest_metrics")
+    o = read_table(spark, sf_dir, "orders")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.count(F.when(F.col("o_totalprice") > 150000, 1)).alias("big_orders"),
+    )
+    n = observed.count()
+    assert obs.get["rows_seen"] == n
+    assert 0 < obs.get["big_orders"] < n
