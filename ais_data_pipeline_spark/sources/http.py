@@ -38,31 +38,55 @@ def _fetch_one(
     prefix: str,
     date_str: str,
     chunk_bytes: int,
+    max_attempts: int = 3,
+    progress_every_bytes: int = 64 * 1024 * 1024,
 ) -> dict:
     """Stream one URL to ``{dest_root}/{prefix}/Y/M/D/{name}`` in bounded
     memory. Mirrors reference edge cases: zero-byte body → empty object
     written; mid-stream error → partial file removed (abort path,
-    reference lambda_handler.py:217-225,251-258)."""
+    reference lambda_handler.py:217-225,251-258); ``file_progress``
+    events against Content-Length (M3, lambda_handler.py:211-214).
+    Transient failures retry whole-file with linear backoff — each
+    attempt restarts the temp file, so no torn output survives."""
+    import time as _time
+
     name = suffix_from_url(url)
     key = dated_key(prefix, name, date_str)
     dest = os.path.join(dest_root, key)
     os.makedirs(os.path.dirname(dest), exist_ok=True)
     tmp = dest + ".inprogress"
     n_bytes = 0
-    try:
-        with urllib.request.urlopen(url) as resp, open(tmp, "wb") as out:
-            while True:
-                chunk = resp.read(chunk_bytes)
-                if not chunk:
-                    break
-                out.write(chunk)
-                n_bytes += len(chunk)
-        os.replace(tmp, dest)  # zero-byte body still produces the (empty) object
-        return {"url": url, "key": key, "bytes": n_bytes, "ok": True, "error": None}
-    except Exception as exc:  # abort: leave no partial output behind
-        if os.path.exists(tmp):
-            os.remove(tmp)
-        return {"url": url, "key": key, "bytes": n_bytes, "ok": False, "error": str(exc)}
+    last_error: str | None = None
+    for attempt in range(1, max_attempts + 1):
+        n_bytes = 0
+        try:
+            with urllib.request.urlopen(url) as resp, open(tmp, "wb") as out:
+                total = int(resp.headers.get("Content-Length") or 0)
+                next_mark = progress_every_bytes
+                while True:
+                    chunk = resp.read(chunk_bytes)
+                    if not chunk:
+                        break
+                    out.write(chunk)
+                    n_bytes += len(chunk)
+                    if n_bytes >= next_mark:
+                        log(
+                            "file_progress",
+                            url=url,
+                            bytes=n_bytes,
+                            pct=round(100 * n_bytes / total, 1) if total else None,
+                        )
+                        next_mark += progress_every_bytes
+            os.replace(tmp, dest)  # zero-byte body still produces the (empty) object
+            return {"url": url, "key": key, "bytes": n_bytes, "ok": True, "error": None}
+        except Exception as exc:  # abort: leave no partial output behind
+            if os.path.exists(tmp):
+                os.remove(tmp)
+            last_error = str(exc)
+            if attempt < max_attempts:
+                log("fetch_retry", url=url, attempt=attempt, error=last_error, level="warn")
+                _time.sleep(attempt)
+    return {"url": url, "key": key, "bytes": n_bytes, "ok": False, "error": last_error}
 
 
 def ingest_urls(

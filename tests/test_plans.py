@@ -208,3 +208,18 @@ def test_compaction_reduces_files(spark, sf_dir, tmp_path):
     assert not stats["skipped"]
     assert stats["files_out"] < stats["files_in"]
     assert spark.read.parquet(out).count() == before
+
+
+def test_nation_pair_volume_broadcasts_dims(spark, sf_dir):
+    """Q7 shape: supplier + both nation dims broadcast (≥3 broadcast
+    joins); only the lineitem⋈orders⋈customer chain may shuffle."""
+    plan = plan_of(BY_NAME["nation_pair_volume"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_custdist_left_join_preserves_partitioning(spark, sf_dir):
+    """Q13 shape: the second aggregation (over distinct counts) must
+    not reshuffle the full customer set — its input is the first agg's
+    output."""
+    plan = plan_of(BY_NAME["custdist"].fn(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 4  # two partial+final pairs
