@@ -98,11 +98,14 @@ def ngram_jaccard_pairs(
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
 
-    a = sh.select(F.col("doc").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc").alias("doc_b"), "shingle")
+    # self-ALIAS join (not two re-projected copies): both sides share
+    # one plan subtree, so the shingle shuffle is computed once and
+    # reused for the other side instead of re-scanning + re-shingling
+    a, b = sh.alias("a"), sh.alias("b")
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
@@ -197,12 +200,17 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("doc", "bb.band", "bb.bucket")
-    left = band_rows.select(F.col("doc").alias("doc_a"), "band", "bucket")
-    right = band_rows.select(F.col("doc").alias("doc_b"), "band", "bucket")
+    # self-alias join: one shared subtree → the band-row shuffle is
+    # computed once and reused for both sides
+    a, b = band_rows.alias("a"), band_rows.alias("b")
     return (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
 
@@ -333,16 +341,20 @@ def simhash_near_dup(
             )
         ).alias("bk"),
     ).select("doc", "simhash", "bk.block", "bk.key")
-    left = blocks.select(
-        F.col("doc").alias("doc_a"), F.col("simhash").alias("fp_a"), "block", "key"
-    )
-    right = blocks.select(
-        F.col("doc").alias("doc_b"), F.col("simhash").alias("fp_b"), "block", "key"
-    )
+    # self-alias join: shared subtree → block shuffle computed once
+    a, b = blocks.alias("a"), blocks.alias("b")
     pairs = (
-        left.join(right, ["block", "key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "fp_a", "fp_b")
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block")) & (F.col("a.key") == F.col("b.key")),
+        )
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.simhash").alias("fp_a"),
+            F.col("b.simhash").alias("fp_b"),
+        )
         .distinct()
     )
     hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
