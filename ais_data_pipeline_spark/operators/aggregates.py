@@ -114,3 +114,32 @@ def profile_summary(df: DataFrame, sample_rows: int = 50_000) -> Row:
         F.count(F.lit(1)).alias("rows"),
         *[F.approx_count_distinct(c).alias(f"{c}__nd") for c in df.columns],
     ).first()
+
+
+def zscore_per_group(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    out_col: str = "zscore",
+) -> DataFrame:
+    """Per-group z-score via applyInPandas (grouped-map Pandas API):
+    each group arrives as one pandas DataFrame, normalized with ddof=0.
+
+    The JVM-window equivalent is cheaper for plain z-scores; this is
+    the template for grouped transforms that need real Python (sklearn
+    scalers, per-group model scoring). One shuffle on the keys, groups
+    must fit executor memory — salt or pre-aggregate beyond that.
+    """
+    import pandas as pd
+
+    out_fields = df.schema.fields
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in out_fields)
+    schema += f", {out_col} double"
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf[value_col].astype("float64")
+        std = v.std(ddof=0)
+        pdf[out_col] = (v - v.mean()) / std if std > 0 else 0.0
+        return pdf
+
+    return df.groupBy(*key_cols).applyInPandas(normalize, schema)

@@ -25,6 +25,8 @@ from __future__ import annotations
 import math
 import random
 
+import pandas as pd  # module-level: pandas_udf type hints resolve from module globals
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -182,4 +184,47 @@ def pairwise_topk_per_vector(
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .drop("__rn")
+    )
+
+
+def cosine_topk_pandas(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Brute-force cosine top-k with the scoring in an Arrow-vectorized
+    pandas_udf (numpy matmul per batch) instead of JVM expressions.
+
+    Same contract as ``cosine_topk``. The JVM path wins below ~1k dims
+    (no serialization); this one wins when the per-row math is heavy
+    enough to amortize the Arrow transfer — it is the template for
+    scoring that genuinely needs numpy/torch. Results are identical up
+    to float summation order (validated in tests), so the two are
+    interchangeable.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    q = np.asarray(query, dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum()))
+
+    @pandas_udf("double")
+    def score(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)))
+        sims = (m @ q) / (np.sqrt((m * m).sum(axis=1)) * qn)
+        return pd.Series(sims)
+
+    from ais_data_pipeline_spark.operators.util import spread_to_parallelism
+
+    sim = score(F.col(vec_col).cast("array<double>"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    return (
+        spread_to_parallelism(df)
+        .select(F.col(id_col), sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
     )

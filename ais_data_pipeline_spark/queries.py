@@ -2202,3 +2202,23 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "array_agg_user_types",
+    """
+    SELECT user_id,
+           list_sort(list(DISTINCT event_type)) AS types,
+           len(list(DISTINCT event_type)) AS n_types
+    FROM events GROUP BY user_id
+    """,
+    "Array aggregation: per-user sorted distinct event-type list "
+    "(collect_set is unordered across partitions — array_sort makes "
+    "the result deterministic and oracle-comparable).",
+)
+def q_array_agg_user_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types"),
+        F.size(F.collect_set("event_type")).alias("n_types"),
+    )

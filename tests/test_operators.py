@@ -301,3 +301,51 @@ def test_observation_metrics(spark, sf_dir):
     n = observed.count()
     assert obs.get["rows_seen"] == n
     assert 0 < obs.get["big_orders"] < n
+
+
+def test_pandas_udf_topk_matches_jvm(spark, sf_dir):
+    """The Arrow-vectorized scorer must agree with the JVM
+    higher-order-function scorer on ids and (rounded) scores."""
+    from ais_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_pandas,
+    )
+    from ais_data_pipeline_spark.sources.parquet import read_table
+
+    e = read_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    rest = e.filter(F.col("vec_id") != 0)
+    jvm = [(r["vec_id"], r["cos_sim"]) for r in cosine_topk(rest, qv, k=10).collect()]
+    pnd = [
+        (r["vec_id"], r["cos_sim"]) for r in cosine_topk_pandas(rest, qv, k=10).collect()
+    ]
+    assert [i for i, _ in jvm] == [i for i, _ in pnd]
+    for (_, a), (_, b) in zip(jvm, pnd):
+        assert abs(a - b) <= 1e-4
+
+
+def test_apply_in_pandas_zscore_matches_window(spark, sf_dir):
+    """Grouped-map Pandas z-score must equal the JVM window z-score
+    (same ddof=0 definition) within float tolerance."""
+    from pyspark.sql import Window
+
+    from ais_data_pipeline_spark.operators.aggregates import zscore_per_group
+    from ais_data_pipeline_spark.sources.parquet import read_table
+
+    e = read_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    got = {
+        r["event_id"]: r["zscore"]
+        for r in zscore_per_group(e, ["event_type"], "value").collect()
+    }
+    w = Window.partitionBy("event_type")
+    mean = F.avg("value").over(w)
+    std = F.stddev_pop("value").over(w)
+    expect = {
+        r["event_id"]: r["z"]
+        for r in e.select(
+            "event_id", ((F.col("value") - mean) / std).alias("z")
+        ).collect()
+    }
+    assert set(got) == set(expect)
+    for k, v in got.items():
+        assert abs(v - expect[k]) <= 1e-9
