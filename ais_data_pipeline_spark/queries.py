@@ -2222,3 +2222,52 @@ def q_array_agg_user_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.collect_set("event_type")).alias("types"),
         F.size(F.collect_set("event_type")).alias("n_types"),
     )
+
+
+@register(
+    "value_run_islands",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN value > 100 THEN 1 ELSE 0 END AS hi
+      FROM events
+    ), runs AS (
+      SELECT user_id, ts, hi,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - row_number() OVER (PARTITION BY user_id, hi ORDER BY ts, event_id) AS grp
+      FROM flagged
+    )
+    SELECT user_id, count(*) AS run_len,
+           epoch_us(min(ts)) // 1000000 AS run_start_sec,
+           epoch_us(max(ts)) // 1000000 AS run_end_sec
+    FROM runs WHERE hi = 1
+    GROUP BY user_id, grp
+    HAVING count(*) >= 3
+    """,
+    "Gaps-and-islands: maximal runs of consecutive high-value events "
+    "per user via the double-row_number trick (one shuffle on the "
+    "key), keeping runs of length ≥3 — the streak/anomaly-episode "
+    "detection shape.",
+)
+def q_value_run_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = read_table(spark, sf_dir, "events")
+    hi = F.when(F.col("value") > 100, 1).otherwise(0)
+    flagged = e.select("user_id", "ts", "event_id", hi.alias("hi"))
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_hi = Window.partitionBy("user_id", "hi").orderBy("ts", "event_id")
+    runs = flagged.withColumn(
+        "grp", F.row_number().over(w_all) - F.row_number().over(w_hi)
+    )
+    return (
+        runs.filter(F.col("hi") == 1)
+        .groupBy("user_id", "grp")
+        .agg(
+            F.count(F.lit(1)).alias("run_len"),
+            F.unix_timestamp(F.min("ts")).alias("run_start_sec"),
+            F.unix_timestamp(F.max("ts")).alias("run_end_sec"),
+        )
+        .filter(F.col("run_len") >= 3)
+        .drop("grp")
+    )

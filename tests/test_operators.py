@@ -349,3 +349,17 @@ def test_apply_in_pandas_zscore_matches_window(spark, sf_dir):
     assert set(got) == set(expect)
     for k, v in got.items():
         assert abs(v - expect[k]) <= 1e-9
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """Landing zones evolve: later batches add columns. mergeSchema
+    reads the union schema with nulls for pre-evolution rows."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(p + "/b1")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.parquet(p + "/b2")
+    df = spark.read.option("mergeSchema", True).parquet(p + "/*")
+    assert set(df.columns) == {"id", "name", "score"}
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
