@@ -52,12 +52,42 @@ def word_shingles(text_col: Column, n: int = 3) -> Column:
 
     Built from JVM higher-order functions (split → transform over an
     index sequence → concat_ws → array_distinct): codegen'd, no Python.
+    Prefer ``word_shingle_hashes`` in join/signature pipelines — the
+    string form exists for debugging and displays.
     """
     tokens = F.split(F.lower(F.trim(text_col)), r"\s+")
     n_sh = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(0))
     idx = F.sequence(F.lit(1), n_sh)  # empty when fewer than n tokens
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(tokens, i + j) for j in range(n)]
+    )
+    return F.array_distinct(F.transform(idx, gram))
+
+
+def tokens_lower(text_col: Column) -> Column:
+    """Lower-cased whitespace token array (the shingle input)."""
+    return F.split(F.lower(F.trim(text_col)), r"\s+")
+
+
+def shingle_hashes_from_tokens(tokens_col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as 64-bit hashes (array<long>)
+    from a MATERIALIZED token-array column.
+
+    Two design rules from profiling 250k docs:
+    - no shingle string is ever built — each shingle is
+      xxhash64(token_i..token_{i+n-1}) and all downstream work
+      (distinct/join/min-hash) runs on longs;
+    - ``tokens_col`` must be a plain column reference, not the split
+      expression: expressions referenced inside a higher-order-function
+      lambda are re-evaluated PER ELEMENT, so an inlined split makes
+      shingling O(tokens²) per document.
+    Shingle identity is preserved up to 64-bit collisions (~2^-64 per
+    in-doc pair — negligible).
+    """
+    n_sh = F.greatest(F.size(tokens_col) - F.lit(n - 1), F.lit(0))
+    idx = F.sequence(F.lit(1), n_sh)
+    gram = lambda i: F.xxhash64(  # noqa: E731
+        *[F.element_at(tokens_col, i + j) for j in range(n)]
     )
     return F.array_distinct(F.transform(idx, gram))
 
@@ -79,15 +109,17 @@ def ngram_jaccard_pairs(
     guard that keeps the self-join linear-ish at scale.
     """
     df = _spread(df)
-    # Join on a 64-bit hash of the shingle, not the string: the
-    # shingle column dominates the self-join shuffle (tens of bytes vs
-    # 8), and long equality beats string equality in the hash join.
+    # Shingles are 64-bit hashes end-to-end (shingle_hashes_from_tokens):
+    # no shingle strings are built, the self-join shuffles 8-byte keys,
+    # and long equality beats string equality in the hash join.
     # Collisions would need two distinct shingles with equal xxhash64
     # inside one doc pair — ~2^-64 per pair, negligible vs data noise.
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("__s"),
-    ).select("doc", F.xxhash64("__s").alias("shingle"))
+    toked = df.select(
+        F.col(id_col).alias("doc"), tokens_lower(F.col(text_col)).alias("__tok")
+    )
+    sh = toked.select(
+        "doc", F.explode(shingle_hashes_from_tokens(F.col("__tok"), n)).alias("shingle")
+    )
     if max_shingle_df is not None:
         hot = (
             sh.groupBy("shingle")
@@ -163,22 +195,33 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket.
 
     rows-per-band r = n_hashes // bands; P(candidate | jaccard j) =
     1 − (1 − j^r)^bands. Pairs emerge from a groupBy on
     (band_index, band_hash) — shuffle is #docs × #bands small rows.
+
+    ``max_bucket_size`` is the quadratic-blowup guard: a bucket of m
+    docs yields m² candidate pairs, so one boilerplate/exact-dup
+    cluster dominates the whole job (scaling probe: a 2% identical-doc
+    cluster made the pair join 4× superlinear). Buckets above the cap
+    are dropped — run ``exact_dedup`` FIRST so identical docs never
+    reach the LSH stage, then the cap only skips degenerate
+    boilerplate clusters.
     """
     r = n_hashes // bands
-    # Materialize the shingle array BEFORE the signature: each of the
-    # n_hashes permutations references the shingle column, and inlining
-    # the full split/transform/concat tree n_hashes times blows the
-    # generated code past the JIT/codegen limits into interpreted
-    # evaluation (observed 100× slowdown at sf0.1).
-    shingled = _spread(df).select(
-        F.col(id_col).alias("doc"),
-        word_shingles(F.col(text_col), shingle_n).alias("__sh"),
+    # Materialize tokens, then the shingle-hash array, BEFORE the
+    # signature: each of the n_hashes permutations references the
+    # shingle column, and inlining the shingling tree n_hashes times
+    # blows the generated code past the JIT/codegen limits into
+    # interpreted evaluation (observed 100× slowdown at sf0.1).
+    toked = _spread(df).select(
+        F.col(id_col).alias("doc"), tokens_lower(F.col(text_col)).alias("__tok")
+    )
+    shingled = toked.select(
+        "doc", shingle_hashes_from_tokens(F.col("__tok"), shingle_n).alias("__sh")
     )
     sig = shingled.select(
         "doc",
@@ -200,6 +243,14 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("doc", "bb.band", "bb.bucket")
+    if max_bucket_size is not None:
+        hot = (
+            band_rows.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("m"))
+            .filter(F.col("m") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        band_rows = band_rows.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
     # self-alias join: one shared subtree → the band-row shuffle is
     # computed once and reused for both sides
     a, b = band_rows.alias("a"), band_rows.alias("b")
@@ -237,10 +288,13 @@ def minhash_near_dup(
         df, n_hashes, bands, text_col, id_col, shingle_n, seed
     )
     # _spread: the re-rank side shingles on narrow scans too (same
-    # single-split bottleneck as the candidate side)
+    # single-split bottleneck as the candidate side); hashed shingles
+    # so array_intersect runs on longs
     sh = _spread(df).select(
-        F.col(id_col).alias("doc"),
-        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+        F.col(id_col).alias("doc"), tokens_lower(F.col(text_col)).alias("__tok")
+    ).select(
+        "doc",
+        shingle_hashes_from_tokens(F.col("__tok"), shingle_n).alias("shingles"),
     )
     a = sh.select(
         F.col("doc").alias("doc_a"), F.col("shingles").alias("sh_a")

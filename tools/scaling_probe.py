@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""Scaling probe: run core operators on synthetic data at growing row
+counts and report wall-clock scaling factors. Near-linear growth (and
+sublinear per-row cost) is the evidence that the plans would survive a
+1000x scale-up; superlinear growth flags a shuffle/skew problem.
+
+Synthetic generators mirror the testdata distributions (same columns,
+same cardinality ratios) so the plans are identical to the bench ones.
+Usage: python tools/scaling_probe.py [scales...]  (default 1 10 50)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from ais_data_pipeline_spark.session import get_spark
+
+BASE_EVENTS = 100_000       # sf0.1 events rows
+BASE_LINEITEM = 600_000     # sf0.1 lineitem rows
+BASE_DOCS = 5_000           # sf0.1 documents rows
+
+
+def gen_lineitem(spark, rows: int):
+    return (
+        spark.range(rows)
+        .select(
+            (F.col("id") % (rows // 4)).alias("l_orderkey"),
+            (F.col("id") % 20000).alias("l_partkey"),
+            (F.col("id") % 1000).alias("l_suppkey"),
+            (F.col("id") % 7).cast("int").alias("l_linenumber"),
+            (F.col("id") % 50 + 1).cast("double").alias("l_quantity"),
+            ((F.col("id") % 90000) + 900.0).alias("l_extendedprice"),
+            ((F.col("id") % 11) / 100.0).alias("l_discount"),
+            ((F.col("id") % 9) / 100.0).alias("l_tax"),
+            F.element_at(F.array(F.lit("A"), F.lit("N"), F.lit("R")), (F.col("id") % 3 + 1).cast("int")).alias("l_returnflag"),
+            F.element_at(F.array(F.lit("O"), F.lit("F")), (F.col("id") % 2 + 1).cast("int")).alias("l_linestatus"),
+            F.date_add(F.lit("1995-01-01").cast("date"), (F.col("id") % 2500).cast("int")).alias("l_shipdate"),
+        )
+    )
+
+
+def gen_events(spark, rows: int):
+    return (
+        spark.range(rows)
+        .select(
+            F.col("id").alias("event_id"),
+            F.timestamp_seconds(F.lit(1704067200) + (F.col("id") % 864000)).alias("ts"),
+            (F.col("id") % (rows // 67 + 1)).alias("user_id"),
+            F.element_at(
+                F.array(*[F.lit(t) for t in ("click", "view", "purchase", "scroll", "error")]),
+                (F.col("id") % 5 + 1).cast("int"),
+            ).alias("event_type"),
+            ((F.col("id") * 37 % 10000) / 10.0).alias("value"),
+        )
+    )
+
+
+def gen_documents(spark, rows: int):
+    # ~100-token docs from a 1000-word vocabulary, 2% exact duplicates
+    word = lambda seed: F.concat(F.lit("w"), ((F.col("id") * seed) % 1000).cast("string"))
+    text = F.concat_ws(" ", *[word(s) for s in range(3, 103)])
+    return spark.range(rows).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 50 == 0, F.concat_ws(" ", *[F.lit(f"dup{i}") for i in range(100)]))
+        .otherwise(text)
+        .alias("text"),
+    )
+
+
+def probes(spark, scale: int):
+    li = gen_lineitem(spark, BASE_LINEITEM * scale)
+    ev = gen_events(spark, BASE_EVENTS * scale)
+    docs = gen_documents(spark, BASE_DOCS * scale)
+
+    def grouped_agg():
+        return li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")),
+            F.avg("l_extendedprice"),
+            F.count(F.lit(1)),
+        ).collect()
+
+    def window_sessionize():
+        from ais_data_pipeline_spark.streaming.windows import sessionize_batch
+        return sessionize_batch(ev).groupBy("user_id").agg(F.max("session_id")).collect()
+
+    def range_join():
+        from ais_data_pipeline_spark.operators.joins import range_self_join_within
+        return range_self_join_within(ev, "user_id", "ts", 300, "event_id").count()
+
+    def exact_dedup_probe():
+        from ais_data_pipeline_spark.operators.dedup import exact_dedup
+        return exact_dedup(docs).count()
+
+    def minhash_probe():
+        from ais_data_pipeline_spark.operators.dedup import minhash_lsh_candidates
+        return minhash_lsh_candidates(docs).count()
+
+    def fact_fact_join():
+        orders_like = li.select("l_orderkey").distinct().withColumn(
+            "o_flag", (F.col("l_orderkey") % 3).cast("int")
+        )
+        return (
+            li.join(orders_like, "l_orderkey")
+            .groupBy("o_flag")
+            .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")))
+            .collect()
+        )
+
+    out = {}
+    for name, fn in [
+        ("grouped_agg", grouped_agg),
+        ("fact_fact_join", fact_fact_join),
+        ("window_sessionize", window_sessionize),
+        ("range_join", range_join),
+        ("exact_dedup", exact_dedup_probe),
+        ("minhash_lsh", minhash_probe),
+    ]:
+        t0 = time.perf_counter()
+        fn()
+        out[name] = round(time.perf_counter() - t0, 2)
+    return out
+
+
+def main():
+    scales = [int(s) for s in sys.argv[1:]] or [1, 10, 50]
+    spark = get_spark(app_name="scaling_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(10_000_000).selectExpr("sum(id)").collect()  # warmup
+    results = {}
+    for s in scales:
+        results[s] = probes(spark, s)
+        print(json.dumps({"scale": s, **results[s]}), flush=True)
+    base = results[scales[0]]
+    for s in scales[1:]:
+        ratios = {k: round(results[s][k] / max(base[k], 0.01), 1) for k in base}
+        print(json.dumps({"scale_ratio": f"{s}x", "time_ratios": ratios}), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
