@@ -2271,3 +2271,81 @@ def q_value_run_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("run_len") >= 3)
         .drop("grp")
     )
+
+
+@register(
+    "not_in_null_semantics",
+    """
+    SELECT
+      (SELECT count(*) FROM customer
+       WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)) AS n_not_in,
+      (SELECT count(*) FROM customer
+       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)) AS n_not_exists,
+      (SELECT count(*) FROM customer
+       WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+                               UNION ALL SELECT NULL)) AS n_not_in_with_null
+    """,
+    "Three-valued NOT IN vs NOT EXISTS: a NULL in the subquery makes "
+    "NOT IN return zero rows (unknown ≠ false) while NOT EXISTS is "
+    "unaffected — the classic correctness trap, compiled to "
+    "null-aware anti join vs plain left-anti. Both engines must agree "
+    "on all three counts.",
+)
+def q_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    c.createOrReplaceTempView("nin_customer")
+    o.createOrReplaceTempView("nin_orders")
+    # SQL on purpose: NOT IN's null-aware anti join only materializes
+    # through the SQL path; DataFrame anti-join is NOT EXISTS semantics
+    return spark.sql(
+        """
+        SELECT
+          (SELECT count(*) FROM nin_customer
+           WHERE c_custkey NOT IN (SELECT o_custkey FROM nin_orders WHERE o_totalprice > 300000)) AS n_not_in,
+          (SELECT count(*) FROM nin_customer c
+           WHERE NOT EXISTS (SELECT 1 FROM nin_orders WHERE o_custkey = c.c_custkey AND o_totalprice > 300000)) AS n_not_exists,
+          (SELECT count(*) FROM nin_customer
+           WHERE c_custkey NOT IN (SELECT o_custkey FROM nin_orders WHERE o_totalprice > 300000
+                                   UNION ALL SELECT NULL)) AS n_not_in_with_null
+        """
+    )
+
+
+@register(
+    "term_frequencies",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+    ), ranked AS (
+      SELECT doc_id, term, tf,
+             row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS rn
+      FROM tf
+    )
+    SELECT doc_id, term, tf FROM ranked WHERE rn <= 3
+    """,
+    "Term-frequency top-3 per document (tokenize → explode → count → "
+    "windowed top-k): the word-count classic as a corpus statistic; "
+    "explode and partial count run map-side, the window shuffles once "
+    "on doc_id.",
+)
+def q_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ais_data_pipeline_spark.operators.text import tokens_col
+
+    d = read_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("term"))
+    return (
+        tf.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf")
+    )
