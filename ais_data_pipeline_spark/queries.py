@@ -2349,3 +2349,26 @@ def q_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "tf")
     )
+
+
+@register(
+    "map_from_json_props",
+    """
+    SELECT event_id,
+           json_keys(props) AS prop_keys,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events WHERE event_id < 500
+    """,
+    "Semi-structured → typed MAP column: from_json(props) to "
+    "map<string,bigint>, then map introspection (sorted key array) and "
+    "typed access — the schema-on-read path for ragged payload "
+    "columns.",
+)
+def q_map_from_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    m = F.from_json("props", "map<string,bigint>")
+    return e.select(
+        "event_id",
+        F.array_sort(F.map_keys(m)).alias("prop_keys"),
+        F.element_at(m, "k").alias("k_val"),
+    )

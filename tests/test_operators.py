@@ -363,3 +363,61 @@ def test_schema_evolution_merge(spark, tmp_path):
     assert set(df.columns) == {"id", "name", "score"}
     rows = {r["id"]: r for r in df.collect()}
     assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Watermark semantics end-to-end: an event arriving in a later
+    micro-batch, with event time older than (max seen ts - watermark),
+    must be dropped from the windowed aggregation in append mode."""
+    src = tmp_path / "late_src"
+    src.mkdir()
+    schema = "event_id long, ts timestamp, value double"
+
+    batch1 = spark.createDataFrame(
+        [(1, "2024-01-01 10:05:00", 1.0), (2, "2024-01-01 12:00:00", 1.0)],
+        "event_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    batch1.coalesce(1).write.parquet(str(src / "b1"))
+
+    stream = spark.readStream.schema(batch1.schema).parquet(str(src / "*"))
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("ws"), "n")
+    )
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "late_out")
+    # parquet (not memory) sink: append-mode recovery from a checkpoint
+    # across restarts is a file-sink capability
+    writer = lambda: (  # noqa: E731
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q = writer(); q.awaitTermination()
+    # batch 2: a late event at 10:20 — watermark has advanced to
+    # 11:50 (max 12:00 - 10m), so the 10:00 window is closed
+    batch2 = spark.createDataFrame(
+        [(3, "2024-01-01 10:20:00", 1.0), (4, "2024-01-01 12:30:00", 1.0)],
+        "event_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    batch2.coalesce(1).write.parquet(str(src / "b2"))
+    q = writer(); q.awaitTermination()
+    # batch 3: push max ts far forward so every open window closes and
+    # append mode emits the finals
+    batch3 = spark.createDataFrame(
+        [(5, "2024-01-01 15:00:00", 1.0)],
+        "event_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    batch3.coalesce(1).write.parquet(str(src / "b3"))
+    q = writer(); q.awaitTermination()
+
+    rows = {r["ws"]: r["n"] for r in spark.read.parquet(out).collect()}
+    # the 10:00 window must count ONLY event 1 — the late event 3 was
+    # dropped; the 12:00 window has events 2 and 4
+    assert rows.get("2024-01-01 10:00:00") == 1
+    assert rows.get("2024-01-01 12:00:00") == 2
