@@ -120,3 +120,35 @@ def compact_parquet(
     shutil.rmtree(path)
     os.rename(tmp, path)
     return {"files_in": len(files), "files_out": n_out, "skipped": False}
+
+
+def upsert_parquet(
+    spark,
+    path: str,
+    updates: "DataFrame",
+    key_cols: list[str],
+    compression: str = "zstd",
+) -> dict:
+    """MERGE-style upsert for plain parquet (no table format): rows in
+    ``updates`` replace existing rows with the same key; new keys
+    append. Implemented as existing LEFT ANTI updates-keys + union,
+    rewritten atomically-enough via temp-dir swap.
+
+    This is the compacting-rewrite fallback where Delta/Iceberg aren't
+    available; at scale, partition the table and restrict the rewrite
+    to touched partitions (pass the partition predicate into the read).
+    A real lakehouse MERGE (row-level deletes) needs a table format —
+    this covers the nightly-snapshot upsert pattern the reference's
+    date-partitioned layout implies.
+    """
+    import shutil
+
+    existing = spark.read.parquet(path)
+    keep = existing.join(updates.select(*key_cols), key_cols, "left_anti")
+    merged = keep.unionByName(updates)
+    tmp = path.rstrip("/") + "__upserting"
+    merged.write.mode("overwrite").option("compression", compression).parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return {"rows_after": n}

@@ -421,3 +421,47 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # dropped; the 12:00 window has events 2 and 4
     assert rows.get("2024-01-01 10:00:00") == 1
     assert rows.get("2024-01-01 12:00:00") == 2
+
+
+def test_upsert_parquet(spark, tmp_path):
+    """MERGE-style upsert: same-key rows replaced, new keys appended,
+    untouched rows preserved."""
+    from ais_data_pipeline_spark.sinks.parquet import upsert_parquet
+
+    p = str(tmp_path / "snap")
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, name string, v long"
+    ).write.parquet(p)
+    updates = spark.createDataFrame(
+        [(2, "b2", 21), (4, "d", 40)], "id long, name string, v long"
+    )
+    stats = upsert_parquet(spark, p, updates, ["id"])
+    assert stats["rows_after"] == 4
+    rows = {r["id"]: (r["name"], r["v"]) for r in spark.read.parquet(p).collect()}
+    assert rows == {1: ("a", 10), 2: ("b2", 21), 3: ("c", 30), 4: ("d", 40)}
+
+
+def test_python_udtf_sentence_split(spark):
+    """Python UDTF surface (Spark 4): a table function exploding text
+    into (sentence_index, sentence) rows, usable from SQL via lateral
+    join — the row-generating extension point complementing scalar
+    pandas_udf and grouped applyInPandas."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="idx int, sentence string")
+    class SplitSentences:
+        def eval(self, text: str):
+            for i, s in enumerate(p.strip() for p in text.split(".") if p.strip()):
+                yield i, s
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    rows = spark.sql(
+        "SELECT t.idx, t.sentence FROM LATERAL split_sentences('One. Two. Three.') t"
+    ).collect()
+    assert [(r["idx"], r["sentence"]) for r in rows] == [
+        (0, "One"),
+        (1, "Two"),
+        (2, "Three"),
+    ]
+    direct = SplitSentences(lit("A. B.")).collect()
+    assert len(direct) == 2
