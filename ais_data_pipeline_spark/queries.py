@@ -2372,3 +2372,54 @@ def q_map_from_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.map_keys(m)).alias("prop_keys"),
         F.element_at(m, "k").alias("k_val"),
     )
+
+
+@register(
+    "multiset_ops",
+    """
+    WITH a AS (SELECT o_orderpriority AS p FROM orders WHERE o_orderstatus = 'F'),
+         b AS (SELECT o_orderpriority AS p FROM orders WHERE o_totalprice > 150000)
+    SELECT p, count(*) AS n FROM (
+      SELECT p FROM a INTERSECT ALL SELECT p FROM b
+    ) GROUP BY p
+    """,
+    "Multiset (bag) set operations: INTERSECT ALL keeps duplicate "
+    "multiplicity (min of the two counts per value) — the semantics "
+    "DISTINCT set ops lose; one shuffle per side on the value.",
+)
+def q_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_orderpriority").alias("p"))
+    b = o.filter(F.col("o_totalprice") > 150000).select(F.col("o_orderpriority").alias("p"))
+    return a.intersectAll(b).groupBy("p").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "locf_fill_forward",
+    """
+    SELECT event_id, user_id,
+           last_value(nullif(round(value, 2), 0) IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+    FROM events
+    """,
+    "LOCF (last-observation-carried-forward) imputation: gaps (here: "
+    "zeros nulled out) fill with the latest preceding non-null value "
+    "per key — last_value IGNORE NULLS over a running frame, one "
+    "shuffle on the key. The standard sensor/feature gap-fill.",
+)
+def q_locf_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    gappy = F.nullif(F.round("value", 2), F.lit(0.0))
+    return e.select(
+        "event_id",
+        "user_id",
+        F.last(gappy, ignorenulls=True).over(w).alias("filled"),
+    )
