@@ -15,6 +15,12 @@ sorted):
   arithmetic, never double sums — double addition is order-dependent
   and Spark partition order is not stable. Decimal addition is exact and
   associative, so Spark and DuckDB agree bit-for-bit.
+- **No query may return a bare sum() output column** — always final-cast
+  (`.cast("double")` in Spark, `CAST(... AS DOUBLE)` in SQL, or BIGINT
+  for integer sums). Spark renders sum(DECIMAL) as exact Decimal while
+  DuckDB renders float64/HUGEINT, so the driver's type-sensitive value
+  hash diverges on representation alone (12/50 round-1 failures). The
+  decimal accumulation stays inside; only the OUTPUT type is pinned.
 - Averages/ratios = exact decimal (or integer) numerator cast to double,
   divided, rounded — same IEEE ops both sides.
 - Every limit/top-k has a total tie-break order.
@@ -265,10 +271,10 @@ def q_date_parse_lenient(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-           sum(CAST(l_extendedprice AS DECIMAL(18,2))
-               * (CAST(1.0 AS DECIMAL(4,3)) - CAST(l_discount AS DECIMAL(4,3)))) AS sum_disc_price,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1.0 AS DECIMAL(4,3)) - CAST(l_discount AS DECIMAL(4,3)))) AS DOUBLE) AS sum_disc_price,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -286,9 +292,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).alias("sum_qty"),
-            F.sum(price).alias("sum_base_price"),
-            F.sum(price * disc).alias("sum_disc_price"),
+            # Final-cast rule (round-1 lesson): NEVER return a bare decimal
+            # sum — Spark surfaces exact Decimal, DuckDB float64/HUGEINT,
+            # and the driver's type-sensitive value hash diverges even when
+            # values agree. Accumulate exact decimal, output double.
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * disc).cast("double").alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -298,8 +308,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_by_nation",
     """
     SELECT n_name,
-           sum(CAST(l_extendedprice AS DECIMAL(18,2))
-               * (CAST(1.0 AS DECIMAL(4,3)) - CAST(l_discount AS DECIMAL(4,3)))) AS revenue,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1.0 AS DECIMAL(4,3)) - CAST(l_discount AS DECIMAL(4,3)))) AS DOUBLE) AS revenue,
            count(*) AS n_items
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -320,6 +330,9 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = read_table(spark, sf_dir, "region")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = F.lit(1.0).cast("decimal(4,3)") - F.col("l_discount").cast("decimal(4,3)")
+    # Broadcast ONLY the nation/region dims (inside dim_join). customer is
+    # a fact at 100 TB — force-broadcasting customer⨝nation⨝region OOMs
+    # executors at scale; let the li⨝o⨝c joins shuffle under AQE.
     cust_nation = dim_join(
         dim_join(c, n, c.c_nationkey == n.n_nationkey),
         r.filter(F.col("r_name").isin("ASIA", "EUROPE")),
@@ -327,9 +340,12 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(cust_nation), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust_nation, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("n_name")
-        .agg(F.sum(price * disc).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .agg(
+            F.sum(price * disc).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
     )
 
 
@@ -338,8 +354,8 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderpriority,
            count(DISTINCT o_orderkey) AS n_orders,
-           sum(CAST(l_extendedprice AS DECIMAL(18,2))
-               * (CAST(1.0 AS DECIMAL(4,3)) - CAST(l_discount AS DECIMAL(4,3)))) AS revenue
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1.0 AS DECIMAL(4,3)) - CAST(l_discount AS DECIMAL(4,3)))) AS DOUBLE) AS revenue
     FROM orders JOIN lineitem ON l_orderkey = o_orderkey
     WHERE o_orderstatus = 'O'
     GROUP BY o_orderpriority
@@ -357,7 +373,7 @@ def q_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count_distinct("o_orderkey").alias("n_orders"),
-            F.sum(price * disc).alias("revenue"),
+            F.sum(price * disc).cast("double").alias("revenue"),
         )
     )
 
@@ -393,7 +409,7 @@ def q_top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderstatus, o_orderpriority,
            count(*) AS n_orders,
-           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
@@ -404,7 +420,7 @@ def q_order_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = read_table(spark, sf_dir, "orders")
     return o.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
     )
 
 
@@ -436,7 +452,7 @@ def q_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
            event_type,
            count(*) AS n_events,
-           sum(CAST(value AS DECIMAL(14,2))) AS total_value
+           CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -455,7 +471,7 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(14,2)")).alias("total_value"),
+            F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("total_value"),
         )
     )
 
@@ -465,7 +481,7 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS k_sum
+           CAST(sum(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS k_sum
     FROM events
     GROUP BY event_type
     """,
@@ -475,9 +491,11 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "events")
     k = F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).cast("bigint")
+    # DuckDB sum(BIGINT) surfaces as HUGEINT→float64 in pandas; pin BIGINT
+    # on both sides so the value hash sees int64 vs int64.
     return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(k).alias("k_sum"),
+        F.sum(k).cast("bigint").alias("k_sum"),
     )
 
 
@@ -822,9 +840,9 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "running_total_per_customer",
     """
     SELECT o_custkey, o_orderkey,
-           sum(CAST(o_totalprice AS DECIMAL(18,2)))
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                   ROWS UNBOUNDED PRECEDING) AS running_total
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
     FROM orders
     """,
     "Running-sum window (unbounded preceding) per customer with a "
@@ -842,7 +860,10 @@ def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).alias("running_total"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
     )
 
 
@@ -954,7 +975,7 @@ def _drain_to_memory(stream_df: DataFrame, spark: SparkSession, mode: str) -> Da
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            count(*) AS n_events,
-           sum(CAST(value AS DECIMAL(14,2))) AS total_value
+           CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -1032,7 +1053,7 @@ def q_set_ops_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cube_returnflag_status",
     """
     SELECT l_returnflag, l_linestatus, count(*) AS n,
-           sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
@@ -1043,7 +1064,7 @@ def q_cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("qty"),
     )
 
 
@@ -1076,7 +1097,7 @@ def q_quantiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT DISTINCT p_brand FROM part)
     )
     SELECT d.brand_id, d.p_brand, count(*) AS n_parts,
-           sum(CAST(p.p_retailprice AS DECIMAL(18,2))) AS total_price
+           CAST(sum(CAST(p.p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
     FROM part p JOIN dim d ON p.p_brand = d.p_brand
     GROUP BY d.brand_id, d.p_brand
     """,
@@ -1099,7 +1120,7 @@ def q_dict_normalize_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("brand_id", "p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            F.sum(F.col("p_retailprice").cast("decimal(18,2)")).alias("total_price"),
+            F.sum(F.col("p_retailprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
         )
     )
 
@@ -1204,7 +1225,7 @@ def q_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_region_nation",
     """
     SELECT r_name, n_name, count(*) AS n_customers,
-           sum(CAST(c_acctbal AS DECIMAL(18,2))) AS total_bal
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -1224,7 +1245,7 @@ def q_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.rollup("r_name", "n_name").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("total_bal"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total_bal"),
     )
 
 
@@ -1329,7 +1350,7 @@ def q_event_pairs_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
     "salted_event_type_agg",
     """
     SELECT event_type, count(*) AS n,
-           sum(CAST(value AS DECIMAL(18,4))) AS total_value
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
     FROM events GROUP BY event_type
     """,
     "Skew-resistant two-phase aggregation: phase 1 groups on "
@@ -1344,9 +1365,10 @@ def q_salted_event_type_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "events").withColumn(
         "__val", F.col("value").cast("decimal(18,4)")
     )
-    return salted_grouped(
+    out = salted_grouped(
         e, keys=["event_type"], sum_cols={"__val": "total_value"}, buckets=16
     )
+    return out.withColumn("total_value", F.col("total_value").cast("double"))
 
 
 @register(
@@ -1941,8 +1963,8 @@ def q_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
            year(l_shipdate) AS l_year,
-           sum(CAST(l_extendedprice AS DECIMAL(18,2))
-               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS volume
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS volume
     FROM lineitem
     JOIN orders   ON o_orderkey = l_orderkey
     JOIN customer ON c_custkey = o_custkey
@@ -1976,7 +1998,7 @@ def q_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.sum(revenue).alias("volume"))
+        .agg(F.sum(revenue).cast("double").alias("volume"))
     )
 
 
@@ -2008,7 +2030,7 @@ def q_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     "large_orders",
     """
     SELECT c_name, o_orderkey, o_orderdate,
-           sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
     FROM orders
     JOIN lineitem ON l_orderkey = o_orderkey
     JOIN customer ON c_custkey = o_custkey
@@ -2031,6 +2053,7 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_name", "o_orderkey", "o_orderdate")
         .agg(F.sum(qty).alias("total_qty"))
         .filter(F.col("total_qty") > 250)
+        .withColumn("total_qty", F.col("total_qty").cast("double"))
     )
 
 

@@ -31,7 +31,9 @@ def windowed_counts(
         .groupBy(w.alias("win"), F.col(key_col))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(14,2)")).alias("total_value"),
+            # exact decimal accumulation, double OUTPUT (cross-engine hash
+            # parity — see queries.py header determinism rules)
+            F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("total_value"),
         )
         .select(
             F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
