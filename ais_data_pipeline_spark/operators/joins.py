@@ -114,9 +114,14 @@ def as_of_join(
     cond = [F.col(f"l.{c}") == F.col(f"r.{c}") for c in on] + [rt <= lt]
     if tolerance_seconds is not None:
         cond.append(rt >= lt - F.expr(f"INTERVAL {tolerance_seconds} SECONDS"))
-    l, r = left.alias("l"), right.alias("r")
+    # The dedup window must partition by a UNIQUE left-row identity, not
+    # (keys, left_time): two distinct left rows sharing key+timestamp
+    # would otherwise collapse into one partition and row_number()==1
+    # silently drops one of them.
+    l = left.withColumn("__lrow", F.monotonically_increasing_id()).alias("l")
+    r = right.alias("r")
     joined = l.join(r, cond, "left")
-    w = Window.partitionBy(*[F.col(f"l.{c}") for c in on], lt).orderBy(rt.desc_nulls_last())
+    w = Window.partitionBy(F.col("l.__lrow")).orderBy(rt.desc_nulls_last())
     out_cols = [F.col(f"l.{c}") for c in left.columns] + [
         F.col(f"r.{c}").alias(f"r_{c}") for c in right.columns if c not in on
     ]

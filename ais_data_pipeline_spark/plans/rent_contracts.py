@@ -23,6 +23,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ais_data_pipeline_spark.observability import Stopwatch, log
@@ -77,8 +78,6 @@ def run_pipeline(
     result = PipelineResult()
 
     if long_cols:
-        from pyspark.sql import functions as F
-
         good_pred = int32_admission_predicate(long_cols)
         tagged = df.withColumn(
             "__good", F.coalesce(good_pred.cast("boolean"), F.lit(False))
@@ -102,11 +101,28 @@ def run_pipeline(
     if estimate:
         result.est_size = estimate_size(tightened)
 
-    tightened.write.mode("overwrite").option("compression", "zstd").parquet(out_path)
-    result.rows_out = spark.read.parquet(out_path).count()
+    # Row accounting rides on the write itself (df.observe) — re-reading
+    # the just-written output for a .count() would add a full extra scan
+    # of the table per sink at 100 TB.
+    from pyspark.sql import Observation
+
+    obs_out = Observation("rows_out")
+    (
+        tightened.observe(obs_out, F.count(F.lit(1)).alias("n"))
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .parquet(out_path)
+    )
+    result.rows_out = obs_out.get["n"]
     if bad is not None:
-        bad.write.mode("overwrite").option("compression", "zstd").parquet(quarantine_path)
-        result.rows_quarantined = spark.read.parquet(quarantine_path).count()
+        obs_bad = Observation("rows_quarantined")
+        (
+            bad.observe(obs_bad, F.count(F.lit(1)).alias("n"))
+            .write.mode("overwrite")
+            .option("compression", "zstd")
+            .parquet(quarantine_path)
+        )
+        result.rows_quarantined = obs_bad.get["n"]
     if tagged is not None:
         tagged.unpersist()
     result.rows_in = result.rows_out + result.rows_quarantined

@@ -128,27 +128,55 @@ def upsert_parquet(
     updates: "DataFrame",
     key_cols: list[str],
     compression: str = "zstd",
+    order_col: str | None = None,
 ) -> dict:
     """MERGE-style upsert for plain parquet (no table format): rows in
     ``updates`` replace existing rows with the same key; new keys
     append. Implemented as existing LEFT ANTI updates-keys + union,
-    rewritten atomically-enough via temp-dir swap.
+    rewritten via a backup-swap.
+
+    Semantics:
+    - ``updates`` is deduplicated on ``key_cols`` first (latest-wins by
+      ``order_col`` when given, else an arbitrary single survivor) so a
+      batch carrying the same key twice can't double-insert.
+    - Rows whose key columns contain NULL are never *replaced* (SQL
+      join semantics: NULL keys match nothing); an update row with a
+      NULL key simply appends. Model missing keys explicitly upstream.
+    - Swap order is rename-old-to-backup → rename-new-into-place →
+      delete backup, so no window exists where the table directory is
+      missing with no recovery copy.
 
     This is the compacting-rewrite fallback where Delta/Iceberg aren't
     available; at scale, partition the table and restrict the rewrite
     to touched partitions (pass the partition predicate into the read).
-    A real lakehouse MERGE (row-level deletes) needs a table format —
-    this covers the nightly-snapshot upsert pattern the reference's
-    date-partitioned layout implies.
     """
     import shutil
+
+    from pyspark.sql import Observation, Window
+
+    if order_col is not None:
+        w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+        updates = (
+            updates.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    else:
+        updates = updates.dropDuplicates(key_cols)
 
     existing = spark.read.parquet(path)
     keep = existing.join(updates.select(*key_cols), key_cols, "left_anti")
     merged = keep.unionByName(updates)
+    # count during the write (observe) — no post-write re-scan
+    obs = Observation("upsert_rows")
+    merged = merged.observe(obs, F.count(F.lit(1)).alias("n"))
     tmp = path.rstrip("/") + "__upserting"
     merged.write.mode("overwrite").option("compression", compression).parquet(tmp)
-    n = spark.read.parquet(tmp).count()
-    shutil.rmtree(path)
+    n = obs.get["n"]
+    backup = path.rstrip("/") + "__upsert_backup"
+    if os.path.exists(backup):
+        shutil.rmtree(backup)
+    os.rename(path, backup)
     os.rename(tmp, path)
+    shutil.rmtree(backup)
     return {"rows_after": n}

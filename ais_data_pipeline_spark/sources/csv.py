@@ -59,11 +59,15 @@ def read_csv(
     - ``schema`` given → read every column as string, normalize null
       tokens, then cast to the declared types (lenient: failed casts →
       null, matching reference T1/T4 semantics under non-ANSI mode).
-    - no schema → bounded inference like the reference's
-      ``infer_schema_length`` via ``samplingRatio`` isn't row-count
-      bounded in Spark, so we read a normalized string frame and let
-      the caller profile/tighten (operators.profiling), or pass
-      ``infer_schema_length`` to approximate with sampling.
+    - no schema → the raw normalized string frame (caller profiles /
+      tightens via operators.profiling).
+    - ``infer_schema_length=k`` → bounded inference matching the
+      reference's ``infer_schema_length=10000``: types are decided from
+      the FIRST k rows only (one ``limit(k)`` aggregation pass), then
+      applied with ``try_cast`` so values past the bound that don't fit
+      become null instead of silently widening the column type (or
+      erroring). A bad token at row k+1 can no longer flip a bigint
+      column to string — the reference's exact bound semantics.
     - ``drop_malformed`` → DROPMALFORMED mode (reference S2's
       ``on_bad_lines='skip'``), without ever materializing on the
       driver (the pandas-OOM class disappears; SURVEY §2.1 S2).
@@ -90,11 +94,62 @@ def read_csv(
         )
         return df
 
+    df = normalize_null_tokens(reader.csv(path), null_tokens)
     if infer_schema_length is not None:
-        reader = reader.option("inferSchema", True).option(
-            "samplingRatio", 1.0
+        inferred = _infer_types_bounded(df, infer_schema_length)
+        df = df.select(
+            *[F.col(c).try_cast(t).alias(c) for c, t in inferred.items()]
         )
-        df = reader.csv(path)
-    else:
-        df = reader.csv(path)
-    return normalize_null_tokens(df, null_tokens)
+    return df
+
+
+#: Narrowing ladder for bounded inference; first type every non-null
+#: sample value casts to wins (string is the fallback).
+_INFER_LADDER: tuple[T.DataType, ...] = (
+    T.LongType(),
+    T.DoubleType(),
+    T.BooleanType(),
+    T.DateType(),
+    T.TimestampType(),
+)
+
+
+def _infer_types_bounded(df: DataFrame, k: int) -> dict[str, T.DataType]:
+    """Decide a type per string column from the first ``k`` rows only.
+
+    One ``limit(k)`` + single aggregation pass: for each column count
+    non-null values and, per candidate type, how many of them
+    ``try_cast`` successfully; the narrowest type that fits ALL sampled
+    non-null values wins. Bounded work regardless of input size — the
+    scan stops after ``k`` rows (LocalLimit), unlike a samplingRatio
+    pass which re-reads the whole file.
+    """
+    cols = [f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)]
+    out: dict[str, T.DataType] = {
+        f.name: f.dataType for f in df.schema.fields if f.name not in cols
+    }
+    if not cols:
+        return out
+    sample = df.limit(k)
+    aggs = []
+    for c in cols:
+        col = F.col(c)
+        aggs.append(F.count(col).alias(f"{c}__n"))
+        for i, t in enumerate(_INFER_LADDER):
+            ok = col.try_cast(t)
+            if isinstance(t, T.DateType):
+                # cast(string AS DATE) truncates full timestamps — only
+                # bare yyyy-MM-dd strings may infer as DATE
+                ok = F.when(col.rlike(r"^\s*\d{4}-\d{1,2}-\d{1,2}\s*$"), ok)
+            aggs.append(F.count(ok).alias(f"{c}__t{i}"))
+    row = sample.agg(*aggs).first()
+    for c in cols:
+        n = row[f"{c}__n"]
+        chosen: T.DataType = T.StringType()
+        if n > 0:
+            for i, t in enumerate(_INFER_LADDER):
+                if row[f"{c}__t{i}"] == n:
+                    chosen = t
+                    break
+        out[c] = chosen
+    return {f.name: out[f.name] for f in df.schema.fields}

@@ -23,10 +23,14 @@ SUFFIX_MAP: dict[str, str] = {
 
 
 def suffix_from_url(url: str, suffix_map: dict[str, str] | None = None) -> str:
-    """Canonical output filename for a source URL."""
+    """Canonical output filename for a source URL. Matching is
+    case-insensitive: the reference lowercases the URL before the
+    substring scan (lambda_handler.py:82), so ``...RENT_CONTRACTS...``
+    routes identically to its lowercase form."""
     mapping = SUFFIX_MAP if suffix_map is None else suffix_map
+    lowered = url.lower()
     for key, suffix in mapping.items():
-        if key in url:
+        if key in lowered:
             return suffix
     basename = urlparse(url).path.rsplit("/", 1)[-1]
     return basename or "data.csv"
@@ -40,10 +44,11 @@ def suffix_col(url_col, suffix_map: dict[str, str] | None = None):
     from pyspark.sql import functions as F
 
     mapping = SUFFIX_MAP if suffix_map is None else suffix_map
+    lowered = F.lower(url_col)
     basename = F.regexp_extract(F.split(url_col, r"[?#]").getItem(0), r"([^/]*)$", 1)
     expr = F.when(basename == "", F.lit("data.csv")).otherwise(basename)
     for key, suffix in reversed(list(mapping.items())):
-        expr = F.when(url_col.contains(key), F.lit(suffix)).otherwise(expr)
+        expr = F.when(lowered.contains(key.lower()), F.lit(suffix)).otherwise(expr)
     return expr
 
 

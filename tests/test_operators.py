@@ -190,6 +190,47 @@ def test_ingest_urls(spark, tmp_path):
     assert suffix_from_url("http://h/") == "data.csv"
 
 
+def test_url_routing_case_insensitive(spark):
+    # reference parity: lambda_handler.py:82 matches against url.lower()
+    from ais_data_pipeline_spark.sources.routing import suffix_col, suffix_from_url
+
+    assert suffix_from_url("http://h/RENT_CONTRACTS.CSV") == "rent_contracts.csv"
+    assert suffix_from_url("http://h/Transactions-2024.csv") == "transactions.csv"
+    df = spark.createDataFrame(
+        [("s3://B/UNITS/F.CSV",), ("http://h/Developers.csv",)], "url string"
+    )
+    got = [r["filename"] for r in df.select(suffix_col(F.col("url")).alias("filename")).collect()]
+    assert got == ["units.csv", "developers.csv"]
+
+
+def test_bounded_schema_inference(spark, tmp_path):
+    # reference parity: infer_schema_length=10000 (preprocessing notebook)
+    # decides types from the first k rows ONLY — a bad token past the
+    # bound must not flip the inferred type, it becomes null instead.
+    from ais_data_pipeline_spark.sources.csv import read_csv
+
+    p = tmp_path / "bounded.csv"
+    rows = ["num,flag,day,txt"]
+    rows += [f"{i},true,2024-01-{i % 27 + 1:02d},w{i}" for i in range(100)]
+    rows.append("NOT_A_NUMBER,maybe,not-a-date,tail")  # past the bound
+    p.write_text("\n".join(rows) + "\n")
+
+    df = read_csv(spark, str(p), infer_schema_length=100)
+    dtypes = dict(df.dtypes)
+    assert dtypes == {"num": "bigint", "flag": "boolean", "day": "date", "txt": "string"}
+    bad = df.filter(F.col("txt") == "tail").first()
+    assert bad["num"] is None and bad["flag"] is None and bad["day"] is None
+
+    # unbounded-string contract unchanged when no bound requested
+    df_raw = read_csv(spark, str(p))
+    assert all(t == "string" for _, t in df_raw.dtypes)
+
+    # timestamps must NOT infer as date (cast truncates silently)
+    p2 = tmp_path / "ts.csv"
+    p2.write_text("ts\n2024-01-02 10:30:00\n2024-01-03 11:00:00\n")
+    assert dict(read_csv(spark, str(p2), infer_schema_length=10).dtypes)["ts"] == "timestamp"
+
+
 # -- quarantine sink --------------------------------------------------------
 
 
@@ -439,6 +480,36 @@ def test_upsert_parquet(spark, tmp_path):
     assert stats["rows_after"] == 4
     rows = {r["id"]: (r["name"], r["v"]) for r in spark.read.parquet(p).collect()}
     assert rows == {1: ("a", 10), 2: ("b2", 21), 3: ("c", 30), 4: ("d", 40)}
+
+    # duplicate keys inside one update batch: latest-wins by order_col,
+    # never two surviving copies
+    dup_updates = spark.createDataFrame(
+        [(2, "b_old", 1), (2, "b_new", 2), (5, "e", 1)],
+        "id long, name string, v long",
+    )
+    stats = upsert_parquet(spark, p, dup_updates, ["id"], order_col="v")
+    assert stats["rows_after"] == 5
+    rows = {r["id"]: r["name"] for r in spark.read.parquet(p).collect()}
+    assert rows[2] == "b_new" and rows[5] == "e"
+
+
+def test_as_of_join_duplicate_left_timestamps(spark):
+    """Two distinct left rows sharing key+timestamp must BOTH survive
+    (the dedup window partitions by left-row identity, not timestamp)."""
+    from ais_data_pipeline_spark.operators.joins import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "a"), (1, "2024-01-01 10:00:00", "b"),
+         (1, "2024-01-01 11:00:00", "c")],
+        "k long, t string, tag string",
+    ).withColumn("t", F.col("t").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00", 100), (1, "2024-01-01 10:30:00", 200)],
+        "k long, t string, val long",
+    ).withColumn("t", F.col("t").cast("timestamp"))
+    out = as_of_join(left, right, on=["k"], left_time="t", right_time="t")
+    rows = sorted((r["tag"], r["r_val"]) for r in out.collect())
+    assert rows == [("a", 100), ("b", 100), ("c", 200)]
 
 
 def test_python_udtf_sentence_split(spark):
