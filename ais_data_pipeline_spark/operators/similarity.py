@@ -96,6 +96,36 @@ def lsh_bucket_col(vec_col: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def bucket_of(vec: list[float], planes: list[list[float]]) -> int:
+    """Driver-side LSH bucket of one vector (same bit layout as
+    ``lsh_bucket_col``)."""
+    b = 0
+    for i, plane in enumerate(planes):
+        dot = sum(x * y for x, y in zip(vec, plane))
+        if dot >= 0:
+            b |= 1 << i
+    return b
+
+
+def probe_buckets(
+    query: list[float], planes: list[list[float]], multiprobe_bits: int = 1
+) -> list[int]:
+    """Query bucket plus all buckets within ``multiprobe_bits``
+    bit-flips (multi-probe LSH: recover near-misses on the hyperplane
+    boundaries without extra tables)."""
+    n_planes = len(planes)
+    qb = bucket_of(query, planes)
+    probes = {qb}
+    if multiprobe_bits >= 1:
+        for i in range(n_planes):
+            probes.add(qb ^ (1 << i))
+    if multiprobe_bits >= 2:
+        for i in range(n_planes):
+            for j in range(i + 1, n_planes):
+                probes.add(qb ^ (1 << i) ^ (1 << j))
+    return sorted(probes)
+
+
 def cosine_topk_lsh(
     df: DataFrame,
     query: list[float],
@@ -110,31 +140,138 @@ def cosine_topk_lsh(
     """Approximate cosine top-k: restrict to the query's LSH bucket
     (plus buckets within ``multiprobe_bits`` bit-flips), then exact
     re-rank. The candidate filter is a pushdown-able equality/IN
-    predicate on a precomputable bucket column — at scale, persist the
-    bucket column and partition by it so the probe touches one
-    partition."""
+    predicate on a precomputable bucket column — the persisted form is
+    ``build_ann_index`` + ``cosine_topk_indexed``, where the probe
+    prunes partitions instead of scanning."""
     planes = random_hyperplanes(len(query), n_planes, seed)
-
-    def bucket_of(vec: list[float]) -> int:
-        b = 0
-        for i, plane in enumerate(planes):
-            dot = sum(x * y for x, y in zip(vec, plane))
-            if dot >= 0:
-                b |= 1 << i
-        return b
-
-    qb = bucket_of(query)
-    probes = {qb}
-    if multiprobe_bits >= 1:
-        for i in range(n_planes):
-            probes.add(qb ^ (1 << i))
-    if multiprobe_bits >= 2:
-        for i in range(n_planes):
-            for j in range(i + 1, n_planes):
-                probes.add(qb ^ (1 << i) ^ (1 << j))
-
+    probes = probe_buckets(query, planes, multiprobe_bits)
     bucketed = df.withColumn("__bucket", lsh_bucket_col(F.col(vec_col), planes))
-    candidates = bucketed.filter(F.col("__bucket").isin(*sorted(probes)))
+    candidates = bucketed.filter(F.col("__bucket").isin(*probes))
+    return cosine_topk(
+        candidates, query, k=k, vec_col=vec_col, id_col=id_col, round_digits=round_digits
+    )
+
+
+def build_ann_index(
+    df: DataFrame,
+    path: str,
+    n_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize a persisted ANN index: the LSH bucket becomes a
+    PARTITION column of a parquet table, so an index probe reads only
+    the probed ``bucket=`` directories (partition pruning — asserted in
+    tests/test_plans.py) instead of scanning every vector. At 100 TB
+    the full scan per query is the difference between an index and a
+    marketing slide; build once, probe many.
+    """
+    dim = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    planes = random_hyperplanes(dim, n_planes, seed)
+    (
+        df.withColumn("bucket", lsh_bucket_col(F.col(vec_col), planes))
+        .repartition("bucket")  # one task per bucket → one file per partition dir
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def cosine_topk_indexed(
+    spark,
+    index_path: str,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    seed: int = 42,
+    multiprobe_bits: int = 1,
+    round_digits: int | None = 4,
+    pre_filter: Column | None = None,
+) -> DataFrame:
+    """Probe a ``build_ann_index`` table: partition-pruned scan of the
+    probed buckets, exact cosine re-rank of the candidates. Same
+    parameters (n_planes/seed) must match the build. ``pre_filter``
+    (e.g. excluding the query vector's own id) applies before the
+    re-rank."""
+    planes = random_hyperplanes(len(query), n_planes, seed)
+    probes = probe_buckets(query, planes, multiprobe_bits)
+    idx = spark.read.parquet(index_path)
+    candidates = idx.filter(F.col("bucket").isin(*probes))
+    if pre_filter is not None:
+        candidates = candidates.filter(pre_filter)
+    return cosine_topk(
+        candidates, query, k=k, vec_col=vec_col, id_col=id_col, round_digits=round_digits
+    )
+
+
+def build_ann_index_multi(
+    df: DataFrame,
+    path: str,
+    n_tables: int = 8,
+    bits_per_table: int = 4,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> None:
+    """Multi-table persisted ANN index — the recall lever classic LSH
+    theory gives you: L independent hash tables of b bits each; a
+    neighbor colliding in ANY table becomes a candidate, so recall is
+    1-(1-p^b)^L instead of a single table's p^b. Storage is L× (each
+    vector appears once per table); candidate selectivity falls as
+    tables are added — tune (L, b) to the corpus' similarity profile.
+
+    Layout: one parquet table partitioned by (tbl, bucket); each probe
+    reads exactly L partition directories (one bucket per table).
+    """
+    dim = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    rows = []
+    for t in range(n_tables):
+        planes = random_hyperplanes(dim, bits_per_table, seed + 1000 * t)
+        rows.append(
+            df.withColumn("tbl", F.lit(t)).withColumn(
+                "bucket", lsh_bucket_col(F.col(vec_col), planes)
+            )
+        )
+    union = rows[0]
+    for r in rows[1:]:
+        union = union.unionByName(r)
+    (
+        union.repartition("tbl", "bucket")
+        .write.mode("overwrite")
+        .partitionBy("tbl", "bucket")
+        .parquet(path)
+    )
+
+
+def cosine_topk_indexed_multi(
+    spark,
+    index_path: str,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_tables: int = 8,
+    bits_per_table: int = 4,
+    seed: int = 42,
+    round_digits: int | None = 4,
+    pre_filter: Column | None = None,
+) -> DataFrame:
+    """Probe a ``build_ann_index_multi`` table: for each of the L
+    tables, read the query's bucket partition; union, distinct on id
+    (a vector colliding in several tables must score once), exact
+    re-rank. The probe predicate is a per-table (tbl, bucket) equality
+    OR-chain — all partition-prunable."""
+    idx = spark.read.parquet(index_path)
+    pred = F.lit(False)
+    for t in range(n_tables):
+        planes = random_hyperplanes(len(query), bits_per_table, seed + 1000 * t)
+        qb = bucket_of(query, planes)
+        pred = pred | ((F.col("tbl") == t) & (F.col("bucket") == qb))
+    candidates = idx.filter(pred)
+    if pre_filter is not None:
+        candidates = candidates.filter(pre_filter)
+    candidates = candidates.dropDuplicates([id_col])
     return cosine_topk(
         candidates, query, k=k, vec_col=vec_col, id_col=id_col, round_digits=round_digits
     )

@@ -115,6 +115,7 @@ _FRONT_WINDOW: list[str] = [
     "multiset_ops",
     "locf_fill_forward",
     # new this round (slots 46-50)
+    "ann_index_topk",
 ]
 
 
@@ -1584,6 +1585,84 @@ def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
     return cosine_topk_lsh(
         e.filter(F.col("vec_id") != 0), qv, k=10, n_planes=8, multiprobe_bits=1
+    )
+
+
+def _ann_oracle(
+    n_planes: int = 8, dim: int = 64, seed: int = 42, k: int = 10, multiprobe_bits: int = 2
+) -> str:
+    """DuckDB oracle replicating the persisted-ANN-index probe exactly:
+    the hyperplanes are deterministic (seeded), so their literal values
+    inline into SQL — DuckDB recomputes every vector's LSH bucket, the
+    query's multi-probe set (Hamming ball of radius ``multiprobe_bits``
+    around the query bucket), and the exact cosine re-rank."""
+    from ais_data_pipeline_spark.operators.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(dim, n_planes, seed)
+
+    def lit(p: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in p) + "]"
+
+    def bucket(v: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product({v}, {lit(p)}) >= 0 THEN {2**i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+
+    return f"""
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ), qb AS (
+      SELECT ({bucket("qv")}) AS b FROM q
+    ), cand AS (
+      SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+             ({bucket("e.embedding::DOUBLE[]")}) AS eb
+      FROM embeddings e WHERE e.vec_id <> 0
+    )
+    SELECT c.vec_id,
+           round(list_dot_product(c.v, q.qv)
+                 / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv))),
+                 4) AS cos_sim
+    FROM cand c, q, qb
+    WHERE bit_count(xor(c.eb, qb.b)) <= {multiprobe_bits}
+    ORDER BY cos_sim DESC, c.vec_id ASC
+    LIMIT {k}
+    """
+
+
+@register(
+    "ann_index_topk",
+    _ann_oracle(),
+    "Persisted ANN index: LSH bucket materialized as a PARTITION column "
+    "of a parquet table (build once), probe = partition-pruned scan of "
+    "the query's multi-probe buckets + exact cosine re-rank. The probe "
+    "reads only bucket= directories (plan-asserted in test_plans); the "
+    "oracle recomputes the identical seeded hyperplane buckets in SQL.",
+)
+def q_ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os as _os
+
+    from ais_data_pipeline_spark.operators.similarity import (
+        build_ann_index,
+        cosine_topk_indexed,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    digest = hashlib.sha1(sf_dir.encode()).hexdigest()[:16]
+    path = f"/tmp/ais_ann_index_{digest}_8p42"
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        build_ann_index(e, path, n_planes=8, seed=42)
+    return cosine_topk_indexed(
+        spark,
+        path,
+        qv,
+        k=10,
+        n_planes=8,
+        seed=42,
+        multiprobe_bits=2,
+        pre_filter=F.col("vec_id") != 0,
     )
 
 
