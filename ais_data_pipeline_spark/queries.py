@@ -27,6 +27,13 @@ sorted):
 - Timestamps are rendered to strings (session TZ pinned to UTC inside
   the query) so naive-vs-aware differences can't bite.
 - Computed columns carry the SAME alias in Spark and SQL.
+- **No query may return a bare array/map output column** — the driver's
+  pandas value-hash cannot hash lists (3/50 round-2 crashes). Final-
+  project every complex column through ``F.to_json(...)`` (Spark) and
+  ``CAST(to_json(...) AS VARCHAR)`` (DuckDB); both engines render JSON
+  identically for sorted arrays of strings/doubles (verified bit-for-
+  bit, incl. escaping). Sort the array first so element order is
+  deterministic.
 """
 
 from __future__ import annotations
@@ -2405,19 +2412,29 @@ def q_frame_sample_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_quantiles",
-    None,  # t-digest/Greenwald-Khanna sketches are engine-specific —
-    # rows-only; tests bound the error against exact percentiles
-    "Approximate percentiles (percentile_approx sketch): the fixed-"
-    "memory single-pass quantile path for 100 TB profiling, where the "
-    "exact sort-based percentile is a full shuffle. Accuracy parameter "
-    "10000 → worst-case rank error 1/10000.",
+    """
+    SELECT l_returnflag,
+           CAST(to_json(quantile_disc(l_extendedprice, [0.5, 0.95, 0.99]))
+                AS VARCHAR) AS price_quantiles,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "Approximate percentiles (percentile_approx / Greenwald-Khanna "
+    "sketch): the fixed-memory single-pass quantile path for 100 TB "
+    "profiling, where the exact sort-based percentile is a full "
+    "shuffle. Accuracy 1e6 ≥ per-group n at oracle scale, where the GK "
+    "summary retains all samples and the result is EXACT — verified to "
+    "equal DuckDB quantile_disc (both pick the element at rank "
+    "ceil(p*n)). At 100 TB the same plan degrades gracefully to "
+    "rank error ≤ n/1e6 in fixed memory. Output is JSON text per the "
+    "no-bare-array rule.",
 )
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
-            "price_quantiles"
-        ),
+        F.to_json(
+            F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 1000000)
+        ).alias("price_quantiles"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -2426,19 +2443,19 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_agg_user_types",
     """
     SELECT user_id,
-           list_sort(list(DISTINCT event_type)) AS types,
+           CAST(to_json(list_sort(list(DISTINCT event_type))) AS VARCHAR) AS types,
            len(list(DISTINCT event_type)) AS n_types
     FROM events GROUP BY user_id
     """,
     "Array aggregation: per-user sorted distinct event-type list "
     "(collect_set is unordered across partitions — array_sort makes "
-    "the result deterministic and oracle-comparable).",
+    "the result deterministic, to_json makes it oracle-hashable).",
 )
 def q_array_agg_user_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "events")
     return e.groupBy("user_id").agg(
-        F.array_sort(F.collect_set("event_type")).alias("types"),
-        F.size(F.collect_set("event_type")).alias("n_types"),
+        F.to_json(F.array_sort(F.collect_set("event_type"))).alias("types"),
+        F.size(F.collect_set("event_type")).cast("bigint").alias("n_types"),
     )
 
 
@@ -2573,7 +2590,7 @@ def q_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     "map_from_json_props",
     """
     SELECT event_id,
-           json_keys(props) AS prop_keys,
+           CAST(to_json(list_sort(json_keys(props))) AS VARCHAR) AS prop_keys,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
     FROM events WHERE event_id < 500
     """,
@@ -2587,7 +2604,7 @@ def q_map_from_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = F.from_json("props", "map<string,bigint>")
     return e.select(
         "event_id",
-        F.array_sort(F.map_keys(m)).alias("prop_keys"),
+        F.to_json(F.array_sort(F.map_keys(m))).alias("prop_keys"),
         F.element_at(m, "k").alias("k_val"),
     )
 
