@@ -140,6 +140,59 @@ def _utc(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+def _plane_lit(p: list[float]) -> str:
+    """DuckDB DOUBLE[] literal with repr() floats — shortest round-trip
+    repr parses back to the identical IEEE double Spark's F.lit uses."""
+    return "[" + ", ".join(repr(x) for x in p) + "]"
+
+
+def _bucket_sql(planes: list[list[float]], v: str) -> str:
+    """SQL for the LSH bucket of vector expression ``v`` — same bit
+    layout as ``similarity.lsh_bucket_col`` (bit i = sign(v·plane_i),
+    weight 2^i)."""
+    return " + ".join(
+        f"(CASE WHEN list_dot_product({v}, {_plane_lit(p)}) >= 0 THEN {2**i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+
+
+def _ann_oracle(
+    n_planes: int = 8, dim: int = 64, seed: int = 42, k: int = 10, multiprobe_bits: int = 2
+) -> str:
+    """DuckDB oracle replicating the single-table LSH probe exactly:
+    the hyperplanes are deterministic (seeded), so their literal values
+    inline into SQL — DuckDB recomputes every vector's LSH bucket, the
+    query's multi-probe set (Hamming ball of radius ``multiprobe_bits``
+    around the query bucket), and the exact cosine re-rank."""
+    from ais_data_pipeline_spark.operators.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(dim, n_planes, seed)
+
+    def bucket(v: str) -> str:
+        return _bucket_sql(planes, v)
+
+    return f"""
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ), qb AS (
+      SELECT ({bucket("qv")}) AS b FROM q
+    ), cand AS (
+      SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+             ({bucket("e.embedding::DOUBLE[]")}) AS eb
+      FROM embeddings e WHERE e.vec_id <> 0
+    )
+    SELECT c.vec_id,
+           round(list_dot_product(c.v, q.qv)
+                 / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv))),
+                 4) AS cos_sim
+    FROM cand c, q, qb
+    WHERE bit_count(xor(c.eb, qb.b)) <= {multiprobe_bits}
+    ORDER BY cos_sim DESC, c.vec_id ASC
+    LIMIT {k}
+    """
+
+
+
 # ---------------------------------------------------------------------------
 # Reference-parity operators (SURVEY §2.3-§2.6) exercised on the driver
 # testdata — the operators are schema-agnostic (FIXTURES.md F5).
@@ -1562,14 +1615,54 @@ def q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_exact(e, threshold=0.35)
 
 
+def _near_dup_lsh_oracle(
+    n_planes: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    k: int = 50,
+    threshold: float = 0.35,
+) -> str:
+    """DuckDB oracle replicating ``dedup.embedding_near_dup`` exactly:
+    seeded hyperplane buckets inline into SQL; DuckDB recomputes each
+    vector's bucket, the within-bucket directed pairs, the per-left-id
+    top-k rank cap (the ``pairwise_topk_per_vector`` contract), then
+    the threshold + ordered-pair filter. The candidate set is fully
+    deterministic, so rows-only was never necessary here."""
+    from ais_data_pipeline_spark.operators.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(dim, n_planes, seed)
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             ({_bucket_sql(planes, "embedding::DOUBLE[]")}) AS bk
+      FROM embeddings
+    ), nb AS (
+      SELECT vec_id, v, bk, sqrt(list_dot_product(v, v)) AS nrm FROM b
+    ), directed AS (
+      SELECT a.vec_id AS left_id, c.vec_id AS right_id,
+             round(list_dot_product(a.v, c.v) / (a.nrm * c.nrm), 6) AS cos_sim
+      FROM nb a JOIN nb c ON a.bk = c.bk AND a.vec_id <> c.vec_id
+    ), ranked AS (
+      SELECT left_id, right_id, cos_sim,
+             row_number() OVER (PARTITION BY left_id
+                                ORDER BY cos_sim DESC, right_id ASC) AS rn
+      FROM directed
+    )
+    SELECT left_id AS id_a, right_id AS id_b, cos_sim
+    FROM ranked
+    WHERE rn <= {k} AND cos_sim >= {threshold} AND left_id < right_id
+    """
+
+
 @register(
     "embedding_near_dup_lsh",
-    None,  # LSH candidate set is bucketing-dependent — rows-only check
+    _near_dup_lsh_oracle(),
     "Embedding-cosine near-dup, LSH-bucketed scale path: random-"
     "hyperplane buckets → equi self-join within buckets → exact cosine "
     "filter. At 100 TB the bucket column is precomputed and the table "
     "partitioned by it; recall vs the exact variant is asserted in "
-    "tests.",
+    "tests. Seeded buckets make the candidate set deterministic, so "
+    "the oracle recomputes it in SQL.",
 )
 def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ais_data_pipeline_spark.operators.dedup import embedding_near_dup
@@ -1580,10 +1673,12 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_topk_lsh",
-    None,  # approximate: candidates depend on bucketing — rows-only
+    _ann_oracle(n_planes=8, dim=64, seed=42, k=10, multiprobe_bits=1),
     "ANN top-k via random-hyperplane LSH with 1-bit multi-probe, exact "
     "re-rank of candidates; the bucket filter is a pushdown-able IN "
-    "predicate on a precomputable partition key.",
+    "predicate on a precomputable partition key. Seeded planes → "
+    "deterministic candidates → full SQL oracle (Hamming-ball probe "
+    "set recomputed in DuckDB).",
 )
 def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ais_data_pipeline_spark.operators.similarity import cosine_topk_lsh
@@ -1595,80 +1690,113 @@ def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_oracle(
-    n_planes: int = 8, dim: int = 64, seed: int = 42, k: int = 10, multiprobe_bits: int = 2
+# Multi-table index parameters shared by the query, its oracle, and the
+# plan test. On the 500-vector near-uniform fixture a single 8-bit table
+# has ~0/10 recall (measured); L=16 tables of 4 bits each reach 8/10
+# with ~2/3 of the corpus as candidates — on near-uniform vectors that
+# candidate ratio is the information-theoretic price, and it falls as
+# real corpora have actual near neighbors. bits_per_table scales as
+# log2(n / target_bucket_rows) on bigger corpora.
+_ANN_MULTI = {"n_tables": 16, "bits_per_table": 4, "seed": 42, "dim": 64, "k": 10}
+
+
+def _ann_multi_oracle(
+    n_tables: int = _ANN_MULTI["n_tables"],
+    bits_per_table: int = _ANN_MULTI["bits_per_table"],
+    dim: int = _ANN_MULTI["dim"],
+    seed: int = _ANN_MULTI["seed"],
+    k: int = _ANN_MULTI["k"],
 ) -> str:
-    """DuckDB oracle replicating the persisted-ANN-index probe exactly:
-    the hyperplanes are deterministic (seeded), so their literal values
-    inline into SQL — DuckDB recomputes every vector's LSH bucket, the
-    query's multi-probe set (Hamming ball of radius ``multiprobe_bits``
-    around the query bucket), and the exact cosine re-rank."""
+    """DuckDB oracle for the MULTI-table persisted ANN index: the L
+    seeded plane sets go into one VALUES relation (t, w, p); candidate =
+    vector whose bucket equals the query's bucket in ANY table (the
+    OR-of-L-tables recall construction), then distinct ids get the
+    exact cosine re-rank — byte-identical semantics to
+    ``similarity.cosine_topk_indexed_multi``."""
     from ais_data_pipeline_spark.operators.similarity import random_hyperplanes
 
-    planes = random_hyperplanes(dim, n_planes, seed)
-
-    def lit(p: list[float]) -> str:
-        return "[" + ", ".join(repr(x) for x in p) + "]"
-
-    def bucket(v: str) -> str:
-        return " + ".join(
-            f"(CASE WHEN list_dot_product({v}, {lit(p)}) >= 0 THEN {2**i} ELSE 0 END)"
-            for i, p in enumerate(planes)
-        )
-
+    rows = []
+    for t in range(n_tables):
+        planes = random_hyperplanes(dim, bits_per_table, seed + 1000 * t)
+        for i, p in enumerate(planes):
+            rows.append(f"({t}, {2**i}, {_plane_lit(p)})")
+    values = ",\n      ".join(rows)
     return f"""
-    WITH q AS (
+    WITH planes AS (
+      SELECT * FROM (VALUES
+      {values}) AS _pl(t, w, p)
+    ), q AS (
       SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
     ), qb AS (
-      SELECT ({bucket("qv")}) AS b FROM q
+      SELECT pl.t, sum(CASE WHEN list_dot_product(q.qv, pl.p) >= 0 THEN pl.w ELSE 0 END) AS b
+      FROM planes pl, q GROUP BY pl.t
+    ), eb AS (
+      SELECT e.vec_id, pl.t,
+             sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.p) >= 0 THEN pl.w ELSE 0 END) AS b
+      FROM embeddings e, planes pl WHERE e.vec_id <> 0
+      GROUP BY e.vec_id, pl.t
     ), cand AS (
-      SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
-             ({bucket("e.embedding::DOUBLE[]")}) AS eb
-      FROM embeddings e WHERE e.vec_id <> 0
+      SELECT DISTINCT eb.vec_id FROM eb JOIN qb ON eb.t = qb.t AND eb.b = qb.b
     )
-    SELECT c.vec_id,
-           round(list_dot_product(c.v, q.qv)
-                 / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv))),
-                 4) AS cos_sim
-    FROM cand c, q, qb
-    WHERE bit_count(xor(c.eb, qb.b)) <= {multiprobe_bits}
-    ORDER BY cos_sim DESC, c.vec_id ASC
+    SELECT e.vec_id,
+           round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+                 / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos_sim
+    FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id, q
+    ORDER BY cos_sim DESC, e.vec_id ASC
     LIMIT {k}
     """
 
 
 @register(
     "ann_index_topk",
-    _ann_oracle(),
-    "Persisted ANN index: LSH bucket materialized as a PARTITION column "
-    "of a parquet table (build once), probe = partition-pruned scan of "
-    "the query's multi-probe buckets + exact cosine re-rank. The probe "
-    "reads only bucket= directories (plan-asserted in test_plans); the "
-    "oracle recomputes the identical seeded hyperplane buckets in SQL.",
+    _ann_multi_oracle(),
+    "Persisted MULTI-table ANN index (L=16 tables × 4-bit buckets): "
+    "each (tbl, bucket) pair is a PARTITION directory of one parquet "
+    "table (build once); a probe reads exactly L pruned partitions and "
+    "exact-cosine re-ranks the union of candidates. Recall is "
+    "1-(1-p^b)^L vs a single table's p^b — measured 8/10 on the "
+    "fixture where one 8-bit table scores 0/10. The oracle recomputes "
+    "the identical seeded hyperplane buckets in SQL.",
 )
 def q_ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import os as _os
 
     from ais_data_pipeline_spark.operators.similarity import (
-        build_ann_index,
-        cosine_topk_indexed,
+        build_ann_index_multi,
+        cosine_topk_indexed_multi,
     )
 
     e = read_table(spark, sf_dir, "embeddings")
     qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
-    digest = hashlib.sha1(sf_dir.encode()).hexdigest()[:16]
-    path = f"/tmp/ais_ann_index_{digest}_8p42"
+    if len(qv) != _ANN_MULTI["dim"]:
+        raise ValueError(
+            f"ann_index_topk oracle inlines {_ANN_MULTI['dim']}-dim hyperplanes "
+            f"but the data dim is {len(qv)}; regenerate the oracle."
+        )
+    # Cache key covers the dataset fingerprint (mtime+size), not just the
+    # path: a regenerated dataset at the same path must rebuild the index
+    # instead of silently probing a stale one.
+    st = _os.stat(_os.path.join(sf_dir, "embeddings.parquet"))
+    n_tables, bits, seed = (
+        _ANN_MULTI["n_tables"], _ANN_MULTI["bits_per_table"], _ANN_MULTI["seed"],
+    )
+    key = f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}:L{n_tables}b{bits}s{seed}"
+    digest = hashlib.sha1(key.encode()).hexdigest()[:16]
+    path = f"/tmp/ais_ann_midx_{digest}"
     if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
-        build_ann_index(e, path, n_planes=8, seed=42)
-    return cosine_topk_indexed(
+        build_ann_index_multi(
+            e, path, n_tables=n_tables, bits_per_table=bits, seed=seed
+        )
+    return cosine_topk_indexed_multi(
         spark,
         path,
         qv,
-        k=10,
-        n_planes=8,
-        seed=42,
-        multiprobe_bits=2,
+        k=_ANN_MULTI["k"],
+        n_tables=n_tables,
+        bits_per_table=bits,
+        seed=seed,
         pre_filter=F.col("vec_id") != 0,
     )
 

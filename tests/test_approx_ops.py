@@ -172,11 +172,14 @@ def test_near_dup_clusters_match_union_find(spark, sf_dir):
 
 
 def test_approx_quantiles_within_rank_error(spark, sf_dir):
-    """percentile_approx at accuracy 10000 must land within a loose
-    value band around the exact interpolated percentiles."""
+    """percentile_approx must land within a loose value band around the
+    exact interpolated percentiles (the query emits the quantile array
+    as JSON text per the no-bare-array rule)."""
+    import json
+
     li = read_table(spark, sf_dir, "lineitem")
     approx = {
-        r["l_returnflag"]: r["price_quantiles"]
+        r["l_returnflag"]: json.loads(r["price_quantiles"])
         for r in BY_NAME["approx_quantiles"].fn(spark, sf_dir).collect()
     }
     exact = {

@@ -226,37 +226,41 @@ def test_custdist_left_join_preserves_partitioning(spark, sf_dir):
 
 
 def test_ann_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
-    """The persisted ANN index probe must be a partition-PRUNED scan:
-    only the probed bucket= directories are read, never the full
-    vector table (the whole point of persisting the bucket column)."""
+    """The persisted multi-table ANN index probe must be a partition-
+    PRUNED scan: only the L probed (tbl=, bucket=) directories are
+    read, never the full vector table — and the L-table OR-of-buckets
+    construction must actually deliver recall (a single 8-bit table
+    measures 0/10 on this near-uniform fixture; L=16×4-bit measures
+    8/10)."""
     from ais_data_pipeline_spark.operators.similarity import (
-        build_ann_index,
-        cosine_topk_indexed,
+        build_ann_index_multi,
+        cosine_topk_indexed_multi,
         cosine_topk,
     )
     from ais_data_pipeline_spark.sources.parquet import read_table
 
-    idx = str(tmp_path / "ann_idx")
+    idx = str(tmp_path / "ann_midx")
     e = read_table(spark, sf_dir, "embeddings")
     qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
-    build_ann_index(e, idx, n_planes=8, seed=42)
+    build_ann_index_multi(e, idx, n_tables=16, bits_per_table=4, seed=42)
 
-    probe = cosine_topk_indexed(
-        spark, idx, qv, k=10, n_planes=8, seed=42,
+    probe = cosine_topk_indexed_multi(
+        spark, idx, qv, k=10, n_tables=16, bits_per_table=4, seed=42,
         pre_filter=F.col("vec_id") != 0,
     )
     plan = plan_of(probe)
-    # the bucket IN (...) predicate must land in PartitionFilters, and
-    # the scan must touch fewer partitions than exist (9 probes of 256)
+    # the (tbl, bucket) OR-chain must land in PartitionFilters (one
+    # pruned directory per table), not in the data filters
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
-    assert m and "bucket" in m.group(1), plan
-    # pruned file listing: ≤9 of the up-to-256 bucket dirs selected
+    assert m and "bucket" in m.group(1) and "tbl" in m.group(1), plan
+    # the index spans far more partition dirs than the 16 probed
     import glob as _glob
 
-    n_dirs = len(_glob.glob(f"{idx}/bucket=*"))
-    assert n_dirs > 9  # data actually spans more buckets than the probe set
+    n_dirs = len(_glob.glob(f"{idx}/tbl=*/bucket=*"))
+    assert n_dirs > 16, n_dirs
 
-    # recall sanity: indexed probe finds most of the exact top-10
+    # recall: the probe must find most of the exact top-10 (measured
+    # 8/10 deterministically with these seeds on the sf0.01 fixture)
     exact = {r["vec_id"] for r in cosine_topk(e.filter(F.col("vec_id") != 0), qv, k=10).collect()}
     approx = {r["vec_id"] for r in probe.collect()}
-    assert len(exact & approx) >= 5
+    assert len(exact & approx) >= 5, sorted(exact & approx)
