@@ -461,15 +461,19 @@ def embedding_near_dup(
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_planes: int = 6,
+    n_planes: int | None = 6,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Cosine-threshold near-dup pairs on an embedding column: LSH
-    bucket self-join (operators.similarity) + exact cosine filter."""
+    bucket self-join (operators.similarity) + exact cosine filter.
+    ``n_planes=None`` / ``max_bucket_size`` are the scale guards —
+    see ``pairwise_topk_per_vector``."""
     from ais_data_pipeline_spark.operators.similarity import pairwise_topk_per_vector
 
     pairs = pairwise_topk_per_vector(
-        df, k=50, vec_col=vec_col, id_col=id_col, n_planes=n_planes, seed=seed
+        df, k=50, vec_col=vec_col, id_col=id_col, n_planes=n_planes, seed=seed,
+        max_bucket_size=max_bucket_size,
     )
     return (
         pairs.filter((F.col("cos_sim") >= threshold) & (F.col("left_id") < F.col("right_id")))

@@ -282,16 +282,35 @@ def pairwise_topk_per_vector(
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_planes: int = 6,
+    n_planes: int | None = 6,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """All-pairs approximate k-NN: LSH-bucket both sides, self-join on
     the bucket (co-partitioned equi-join — no cross product), exact
-    cosine within buckets, keep top-k per left vector."""
+    cosine within buckets, keep top-k per left vector.
+
+    Scale guards (the self-join is O(Σ bucket²) without them):
+
+    - ``n_planes=None`` derives the plane count from the corpus size so
+      the EXPECTED bucket holds ~64 vectors regardless of n — fixed
+      n_planes means within-bucket work grows O(n²/2^planes), i.e.
+      still quadratic at 1000× the data.
+    - ``max_bucket_size`` drops buckets larger than the cap before the
+      join (broadcast anti-join on the hot-bucket list, same guard as
+      ``dedup.minhash_lsh_candidates``) — a skewed bucket (e.g. a pile
+      of identical vectors) otherwise turns one task into the whole
+      job. Deterministic: bucket populations are seed-fixed, so an
+      oracle can replicate the exclusion.
+    """
     from pyspark.sql import Window
 
     from ais_data_pipeline_spark.operators.util import spread_to_parallelism
 
+    if n_planes is None:
+        # one count() action to size the index — target E[bucket] ≈ 64
+        n = df.count()
+        n_planes = max(4, math.ceil(math.log2(max(n, 2) / 64.0)))
     dim_probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
     planes = random_hyperplanes(dim_probe["d"], n_planes, seed)
     # norm precomputed once per vector (not per pair) — 3× fewer dot
@@ -301,6 +320,14 @@ def pairwise_topk_per_vector(
         _as_double_array(F.col(vec_col)).alias("__v"),
         lsh_bucket_col(F.col(vec_col), planes).alias("__bucket"),
     ).withColumn("__norm", F.sqrt(_dot(F.col("__v"), F.col("__v"))))
+    if max_bucket_size is not None:
+        hot = (
+            b.groupBy("__bucket")
+            .agg(F.count(F.lit(1)).alias("__m"))
+            .filter(F.col("__m") > max_bucket_size)
+            .select("__bucket")
+        )
+        b = b.join(F.broadcast(hot), "__bucket", "left_anti")
     left = b.select(
         F.col(id_col).alias("left_id"),
         F.col("__v").alias("lv"),

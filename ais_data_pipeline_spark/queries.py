@@ -1621,13 +1621,16 @@ def _near_dup_lsh_oracle(
     seed: int = 42,
     k: int = 50,
     threshold: float = 0.35,
+    max_bucket_size: int = 200,
 ) -> str:
     """DuckDB oracle replicating ``dedup.embedding_near_dup`` exactly:
     seeded hyperplane buckets inline into SQL; DuckDB recomputes each
-    vector's bucket, the within-bucket directed pairs, the per-left-id
-    top-k rank cap (the ``pairwise_topk_per_vector`` contract), then
-    the threshold + ordered-pair filter. The candidate set is fully
-    deterministic, so rows-only was never necessary here."""
+    vector's bucket, the hot-bucket exclusion (bucket populations are
+    seed-fixed, so the ``max_bucket_size`` guard is deterministic), the
+    within-bucket directed pairs, the per-left-id top-k rank cap (the
+    ``pairwise_topk_per_vector`` contract), then the threshold +
+    ordered-pair filter. The candidate set is fully deterministic, so
+    rows-only was never necessary here."""
     from ais_data_pipeline_spark.operators.similarity import random_hyperplanes
 
     planes = random_hyperplanes(dim, n_planes, seed)
@@ -1636,8 +1639,11 @@ def _near_dup_lsh_oracle(
       SELECT vec_id, embedding::DOUBLE[] AS v,
              ({_bucket_sql(planes, "embedding::DOUBLE[]")}) AS bk
       FROM embeddings
+    ), kept AS (
+      SELECT bk FROM b GROUP BY bk HAVING count(*) <= {max_bucket_size}
     ), nb AS (
-      SELECT vec_id, v, bk, sqrt(list_dot_product(v, v)) AS nrm FROM b
+      SELECT vec_id, v, bk, sqrt(list_dot_product(v, v)) AS nrm
+      FROM b WHERE bk IN (SELECT bk FROM kept)
     ), directed AS (
       SELECT a.vec_id AS left_id, c.vec_id AS right_id,
              round(list_dot_product(a.v, c.v) / (a.nrm * c.nrm), 6) AS cos_sim
@@ -1661,14 +1667,15 @@ def _near_dup_lsh_oracle(
     "hyperplane buckets → equi self-join within buckets → exact cosine "
     "filter. At 100 TB the bucket column is precomputed and the table "
     "partitioned by it; recall vs the exact variant is asserted in "
-    "tests. Seeded buckets make the candidate set deterministic, so "
-    "the oracle recomputes it in SQL.",
+    "tests. Seeded buckets make the candidate set deterministic — "
+    "including the max_bucket_size skew guard (bucket populations are "
+    "seed-fixed) — so the oracle recomputes it all in SQL.",
 )
 def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ais_data_pipeline_spark.operators.dedup import embedding_near_dup
 
     e = read_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup(e, threshold=0.35, n_planes=4)
+    return embedding_near_dup(e, threshold=0.35, n_planes=4, max_bucket_size=200)
 
 
 @register(

@@ -536,3 +536,60 @@ def test_python_udtf_sentence_split(spark):
     ]
     direct = SplitSentences(lit("A. B.")).collect()
     assert len(direct) == 2
+
+
+def test_pairwise_skew_guard_drops_hot_buckets(spark):
+    """max_bucket_size must bound the within-bucket self-join: a pile of
+    identical vectors (one hot bucket) is excluded instead of turning
+    O(n·k) output into an O(hot²) task."""
+    import random as _r
+
+    from ais_data_pipeline_spark.operators.similarity import pairwise_topk_per_vector
+
+    rng = _r.Random(7)
+    hot = [(i, [1.0] * 8) for i in range(400)]
+    rest = [(400 + i, [rng.gauss(0.0, 1.0) for _ in range(8)]) for i in range(200)]
+    df = spark.createDataFrame(hot + rest, "vec_id long, embedding array<double>")
+
+    guarded = pairwise_topk_per_vector(
+        df, k=3, n_planes=4, seed=42, max_bucket_size=100
+    ).collect()
+    left_ids = {r["left_id"] for r in guarded}
+    # every hot-bucket vector (the 400 identical ones) is dropped before
+    # the join — none may appear on either side
+    assert not (set(range(400)) & left_ids)
+    assert not (set(range(400)) & {r["right_id"] for r in guarded})
+    # the surviving buckets still produce neighbors
+    assert left_ids
+
+
+def test_pairwise_auto_planes_subquadratic(spark):
+    """n_planes=None sizes the bucket index to the corpus: candidate
+    pairs (Σ bucket²) must grow sub-quadratically when the data grows
+    10× — a fixed plane count would grow them 100×."""
+    import math as _m
+    import random as _r
+
+    from ais_data_pipeline_spark.operators.similarity import (
+        lsh_bucket_col,
+        random_hyperplanes,
+    )
+
+    def candidate_pairs(n: int) -> int:
+        rng = _r.Random(11)
+        rows = [(i, [rng.gauss(0.0, 1.0) for _ in range(8)]) for i in range(n)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        # the operator's own auto-sizing rule (pairwise_topk_per_vector
+        # with n_planes=None): target E[bucket] ~ 64
+        n_planes = max(4, _m.ceil(_m.log2(max(n, 2) / 64.0)))
+        planes = random_hyperplanes(8, n_planes, 42)
+        hist = (
+            df.select(lsh_bucket_col(F.col("embedding"), planes).alias("b"))
+            .groupBy("b")
+            .count()
+            .collect()
+        )
+        return sum(r["count"] * r["count"] for r in hist)
+
+    c_small, c_big = candidate_pairs(500), candidate_pairs(5000)
+    assert c_big < 30 * c_small, (c_small, c_big)
