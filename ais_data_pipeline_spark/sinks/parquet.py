@@ -72,15 +72,29 @@ def write_with_quarantine(
     the reference's any_horizontal problem-row select
     (reference notebooks/0_preprocessing.ipynb:3447-3454).
     """
+    from pyspark.sql import Observation
+
     good = F.coalesce(good_predicate.cast("boolean"), F.lit(False))
     tagged = df.withColumn("__good", good).persist()
     try:
-        main = tagged.filter(F.col("__good")).drop("__good")
-        bad = tagged.filter(~F.col("__good")).drop("__good")
+        # row accounting rides the writes (observe) — no post-write
+        # count() actions, not even cached-partition re-scans
+        obs_main = Observation("quarantine_main")
+        obs_bad = Observation("quarantine_bad")
+        main = (
+            tagged.filter(F.col("__good"))
+            .drop("__good")
+            .observe(obs_main, F.count(F.lit(1)).alias("n"))
+        )
+        bad = (
+            tagged.filter(~F.col("__good"))
+            .drop("__good")
+            .observe(obs_bad, F.count(F.lit(1)).alias("n"))
+        )
         write_parquet(main, main_path, mode=mode)
         write_parquet(bad, quarantine_path, mode=mode)
-        n_main = main.count()
-        n_bad = bad.count()
+        n_main = obs_main.get["n"]
+        n_bad = obs_bad.get["n"]
     finally:
         tagged.unpersist()
     return {"rows_main": n_main, "rows_quarantined": n_bad, "rows_in": n_main + n_bad}
