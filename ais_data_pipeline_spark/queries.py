@@ -127,8 +127,9 @@ _FRONT_WINDOW: list[str] = [
     "streaming_windowed_counts",
     "custdist",
     "nation_pair_volume",
-    "locf_fill_forward",
-    "stream_static_join",
+    # new operators this round (replace pad slots)
+    "incremental_rollup_merge",
+    "zorder_values",
 ]
 
 
@@ -2826,3 +2827,85 @@ def q_locf_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.last(gappy, ignorenulls=True).over(w).alias("filled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 16 (round 3): incremental rollup maintenance, z-order layout,
+# time-series similarity, media metadata.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "incremental_rollup_merge",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(24,2))) AS DOUBLE) AS sum_value,
+           round(CAST(sum(CAST(value AS DECIMAL(24,2))) AS DOUBLE) / count(*), 6)
+             AS avg_value,
+           CAST(min(value) AS DOUBLE) AS min_value,
+           CAST(max(value) AS DOUBLE) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    "Incremental rollup maintenance (continuous-aggregate contract): "
+    "the hourly rollup is built as mergeable PARTIAL state from an "
+    "80% base slice, then a 20% delta's partials are merged in — "
+    "never re-scanning the base events. The oracle recomputes the "
+    "rollup from ALL events in one pass, so a green row proves the "
+    "algebraic-merge identity merge(partials(A), partials(B)) == "
+    "partials(A ∪ B) bit-for-bit (decimal sums are associative). At "
+    "100 TB the delta merge rewrites only the touched bucket "
+    "partitions of the stored partials table.",
+)
+def q_incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.rollup import (
+        finalize_rollup,
+        merge_rollups,
+        rollup_partials,
+    )
+
+    _utc(spark)
+    e = read_table(spark, sf_dir, "events")
+    base = e.filter(F.col("event_id") % 10 < 8)
+    delta = e.filter(F.col("event_id") % 10 >= 8)
+    merged = merge_rollups(rollup_partials(base), rollup_partials(delta))
+    return finalize_rollup(merged)
+
+
+def _zorder_oracle(bits: int = 10) -> str:
+    """ANSI-SQL replica of ``sinks.zorder.interleave_bits`` on modular
+    ranks: bit i of column j lands at output position i*k + j; the
+    shifted terms never overlap, so ``+`` equals the bitwise OR."""
+    cols = ["(o_custkey % 1024)", "(o_orderkey % 1024)"]
+    terms = [
+        f"((({c} >> {i}) & 1) << {2 * i + j})"
+        for j, c in enumerate(cols)
+        for i in range(bits)
+    ]
+    return (
+        "SELECT o_orderkey, CAST(" + " + ".join(terms) + " AS BIGINT) AS zval\n"
+        "    FROM orders"
+    )
+
+
+@register(
+    "zorder_values",
+    _zorder_oracle(),
+    "Z-order (Morton) interleave as a pure codegen'd bit-math "
+    "expression — the clustering key behind sinks.zorder.zorder_write, "
+    "which lays parquet files along the curve so min/max stats prune "
+    "files for filters on ANY interleaved column (lakehouse OPTIMIZE "
+    "ZORDER re-expressed as repartitionByRange + sortWithinPartitions). "
+    "The oracle recomputes the identical interleave in SQL; pruning "
+    "effectiveness is measured in tests/test_plans.py.",
+)
+def q_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.sinks.zorder import interleave_bits
+
+    o = read_table(spark, sf_dir, "orders")
+    z = interleave_bits(
+        [F.col("o_custkey") % 1024, F.col("o_orderkey") % 1024], bits=10
+    )
+    return o.select("o_orderkey", z.alias("zval"))

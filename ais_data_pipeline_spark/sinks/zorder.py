@@ -1,0 +1,93 @@
+"""Z-order (Morton-curve) file clustering for multi-column data
+skipping.
+
+A table range-partitioned+sorted on one column skips files beautifully
+for that column and not at all for any other. Interleaving the bits of
+k normalized column ranks into one Morton code and laying files out
+along THAT order gives every participating column locality: each
+file's parquet min/max stats cover a narrow range of every z-ordered
+column, so point/range filters on ANY of them prune most files. This
+is the standard lakehouse layout optimization (Delta/Iceberg
+``OPTIMIZE ZORDER BY``) re-expressed as plain Spark: the z-value is a
+pure-JVM integer expression, the layout is ``repartitionByRange`` +
+``sortWithinPartitions`` on it.
+
+Scale notes:
+- the z-value is codegen'd integer bit-math — no UDF, no shuffle
+  beyond the one range-partition that the rewrite needs anyway;
+- normalization bounds come from one cheap min/max agg (or caller-
+  provided bounds for incremental rewrites, so appending files never
+  re-scans the table);
+- effectiveness is measured, not assumed: tests compute per-file
+  min/max spans for the SECOND column and assert real pruning vs a
+  single-column sort layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def interleave_bits(cols: list[Column], bits: int = 16) -> Column:
+    """Morton code of k already-normalized integer ranks (each in
+    [0, 2^bits)): output bit (i*k + j) = bit i of cols[j]. Pure
+    shift/and/or arithmetic — whole-stage codegen, deterministic,
+    and exactly reproducible in ANSI SQL for the oracle."""
+    k = len(cols)
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        x = c.cast("long")
+        for i in range(bits):
+            bit = F.shiftright(x, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * k + j))
+    return z
+
+
+def zvalue_for(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+    bounds: dict[str, tuple[float, float]] | None = None,
+) -> Column:
+    """Z-value column for ``cols``: min/max-normalize each column to a
+    ``bits``-bit rank, then interleave. ``bounds`` skips the stats agg
+    (incremental rewrites); otherwise one batched min/max pass."""
+    if bounds is None:
+        row = df.agg(
+            *[F.min(c).alias(f"mn_{c}") for c in cols],
+            *[F.max(c).alias(f"mx_{c}") for c in cols],
+        ).first()
+        bounds = {c: (float(row[f"mn_{c}"]), float(row[f"mx_{c}"])) for c in cols}
+    top = (1 << bits) - 1
+    ranks = []
+    for c in cols:
+        mn, mx = bounds[c]
+        span = (mx - mn) or 1.0
+        rank = F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * F.lit(float(top)))
+        ranks.append(F.least(F.greatest(rank, F.lit(0)), F.lit(top)))
+    return interleave_bits(ranks, bits=bits)
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 16,
+    bits: int = 16,
+    compression: str = "zstd",
+    bounds: dict[str, tuple[float, float]] | None = None,
+) -> None:
+    """Rewrite ``df`` as ``n_files`` parquet files laid out along the
+    Morton curve of ``cols`` — every listed column gets narrow per-file
+    min/max stats, so filters on any of them prune files."""
+    z = zvalue_for(df, cols, bits=bits, bounds=bounds).alias("__z")
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .parquet(path)
+    )

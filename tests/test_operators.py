@@ -593,3 +593,47 @@ def test_pairwise_auto_planes_subquadratic(spark):
 
     c_small, c_big = candidate_pairs(500), candidate_pairs(5000)
     assert c_big < 30 * c_small, (c_small, c_big)
+
+
+def test_incremental_rollup_maintenance_loop(spark, sf_dir, tmp_path):
+    """The full continuous-aggregate loop: store base partials to
+    parquet, merge a delta's partials via upsert (touching only the
+    delta's buckets), finalize — must equal a from-scratch rollup over
+    all events. Raw base events are never re-read after the first
+    build."""
+    from ais_data_pipeline_spark.operators.rollup import (
+        finalize_rollup,
+        merge_rollups,
+        rollup_partials,
+    )
+    from ais_data_pipeline_spark.sinks.parquet import upsert_parquet
+    from ais_data_pipeline_spark.sources.parquet import read_table
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    store = str(tmp_path / "rollup_store")
+    e = read_table(spark, sf_dir, "events")
+    base = e.filter(F.col("event_id") % 10 < 8)
+    delta = e.filter(F.col("event_id") % 10 >= 8)
+
+    rollup_partials(base).write.parquet(store)
+
+    # maintenance tick: merge stored partials with the delta's, upsert
+    # back keyed on the grain — only delta-touched buckets rewrite
+    stored = spark.read.parquet(store)
+    d_part = rollup_partials(delta)
+    touched = merge_rollups(
+        stored.join(
+            d_part.select("__bucket", "event_type").distinct(),
+            ["__bucket", "event_type"],
+            "left_semi",
+        ),
+        d_part,
+    )
+    upsert_parquet(spark, store, touched, key_cols=["__bucket", "event_type"])
+
+    got = {
+        tuple(r)
+        for r in finalize_rollup(spark.read.parquet(store)).collect()
+    }
+    want = {tuple(r) for r in finalize_rollup(rollup_partials(e)).collect()}
+    assert got == want

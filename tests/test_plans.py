@@ -264,3 +264,84 @@ def test_ann_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
     exact = {r["vec_id"] for r in cosine_topk(e.filter(F.col("vec_id") != 0), qv, k=10).collect()}
     approx = {r["vec_id"] for r in probe.collect()}
     assert len(exact & approx) >= 5, sorted(exact & approx)
+
+
+def test_zorder_layout_prunes_on_second_column(spark, sf_dir, tmp_path):
+    """Z-order must give the SECOND column real file-skipping power: in
+    a layout sorted only by o_custkey, every file spans ~the full
+    o_totalprice range (no filter on it can skip anything); along the
+    Morton curve each file covers a fraction. Measured from the actual
+    per-file parquet min/max — the same stats the reader prunes with."""
+    import glob as _glob
+
+    from ais_data_pipeline_spark.sinks.zorder import zorder_write
+    from ais_data_pipeline_spark.sources.parquet import read_table
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    lo, hi = o.agg(F.min("o_totalprice"), F.max("o_totalprice")).first()
+    full_span = hi - lo
+
+    def mean_file_span(path: str) -> float:
+        spans = []
+        for f in _glob.glob(f"{path}/part-*.parquet"):
+            mn, mx = spark.read.parquet(f).agg(
+                F.min("o_totalprice"), F.max("o_totalprice")
+            ).first()
+            spans.append((mx - mn) / full_span)
+        assert len(spans) >= 8, path
+        return sum(spans) / len(spans)
+
+    linear = str(tmp_path / "by_custkey")
+    (
+        o.repartitionByRange(16, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.parquet(linear)
+    )
+    zordered = str(tmp_path / "zorder")
+    zorder_write(o, zordered, ["o_custkey", "o_totalprice"], n_files=16)
+
+    span_linear = mean_file_span(linear)
+    span_z = mean_file_span(zordered)
+    # single-column sort leaves ~full-range files; z-order must at
+    # least halve the mean span (typically far better)
+    assert span_linear > 0.8, span_linear
+    assert span_z < span_linear / 2, (span_z, span_linear)
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """AQE's skew-join handling is part of the engine's 100 TB skew
+    story (alongside salting): a sort-merge join with one hot key must
+    come out of adaptive execution with skew=true split partitions —
+    asserted on the FINAL adaptive plan, after running the job."""
+    n_hot = 400_000
+    left = spark.range(n_hot + 40_000).select(
+        F.when(F.col("id") < n_hot, F.lit(0)).otherwise(F.col("id")).alias("k"),
+        (F.col("id") * 2).alias("payload"),
+    )
+    right = spark.range(50_000).select(F.col("id").alias("k"), F.lit("d").alias("dim"))
+
+    confs = {
+        # force the shuffle path and make the hot partition count as
+        # skewed at test scale
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        joined = left.join(right, "k")
+        # execute THIS dataframe (count() would plan a different query
+        # and leave joined's adaptive plan unfinalized); only the hot
+        # key (k=0) matches the dim side
+        n_out = sum(1 for _ in joined.toLocalIterator())
+        assert n_out == n_hot
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan[:2000]
+    finally:
+        for k, v in saved.items():
+            (spark.conf.set(k, v) if v is not None else spark.conf.unset(k))
