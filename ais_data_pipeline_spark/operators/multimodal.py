@@ -25,7 +25,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: Output schema of the metadata extraction (what a real decoder stub
@@ -89,6 +89,80 @@ def decode_image_pixels(df: DataFrame, payload_col: str = "payload") -> DataFram
         "not available in this environment — use decode_image_meta for "
         "the metadata path, or inject a decoder via mapInPandas"
     )
+
+
+#: container magic numbers (hex of the leading bytes) → media type.
+#: The sniff compares hex prefixes because hex(binary) renders
+#: identically across engines (uppercase, no separator) — the
+#: comparison itself is still the standard magic-byte dispatch.
+_MAGIC_PREFIX = [
+    ("89504E47", 1, "image/png"),
+    ("FFD8FF", 1, "image/jpeg"),
+    ("52494646", 1, "audio/wav"),  # RIFF container
+    ("494433", 1, "audio/mp3"),  # ID3 tag
+    ("66747970", 9, "video/mp4"),  # 'ftyp' at byte offset 4
+]
+
+AUDIO_META_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, sha256 string, sample_rate int, "
+    "n_channels int, duration_ms bigint, codec string"
+)
+
+#: stub parameter tables for the header "parse" — chosen by payload
+#: size, so both the mapInPandas path and a SQL oracle derive the
+#: identical values
+_SAMPLE_RATES = [8000, 16000, 22050, 44100, 48000]
+
+
+def media_type_col(payload: Column) -> Column:
+    """Magic-byte media-type sniff as one codegen'd when-chain over
+    ``hex(payload)`` prefixes — the router in front of per-modality
+    decode stages (first-match semantics, like the reference's URL
+    router)."""
+    h = F.hex(payload)
+    expr = F.lit("application/octet-stream")
+    for magic, pos, mtype in reversed(_MAGIC_PREFIX):
+        expr = F.when(
+            F.substring(h, pos, len(magic)) == magic, F.lit(mtype)
+        ).otherwise(expr)
+    return expr
+
+
+def decode_audio_meta(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Audio-blob metadata via mapInPandas (Arrow-batched; the real
+    soundfile/ffprobe insertion point). The header 'parse' is a
+    deterministic stub — sample rate / channel count chosen by payload
+    size, duration from the PCM identity
+    ``bytes / (rate * channels * 2)`` — so the Spark plumbing is
+    fully oracle-checkable while the codec work stays an honest stub
+    (no audio library in this container)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [bytes(p) for p in pdf[payload_col]]
+            ns = [len(p) for p in payloads]
+            rates = [_SAMPLE_RATES[n % len(_SAMPLE_RATES)] for n in ns]
+            chans = [1 + n % 2 for n in ns]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": ns,
+                    "sha256": [hashlib.sha256(p).hexdigest() for p in payloads],
+                    "sample_rate": rates,
+                    "n_channels": chans,
+                    "duration_ms": [
+                        n * 1000 // (r * c * 2) for n, r, c in zip(ns, rates, chans)
+                    ],
+                    "codec": ["pcm_stub" for _ in ns],
+                }
+            )
+
+    from ais_data_pipeline_spark.operators.util import spread_to_parallelism
+
+    narrow = spread_to_parallelism(df.select(id_col, payload_col))
+    return narrow.mapInPandas(extract, AUDIO_META_SCHEMA)
 
 
 def frame_sample_plan(

@@ -124,12 +124,12 @@ _FRONT_WINDOW: list[str] = [
     "revenue_by_nation",
     "scan_project_filter",
     "running_total_per_customer",
-    "streaming_windowed_counts",
-    "custdist",
-    "nation_pair_volume",
     # new operators this round (replace pad slots)
     "incremental_rollup_merge",
     "zorder_values",
+    "subsequence_best_match",
+    "media_type_route",
+    "audio_meta",
 ]
 
 
@@ -2909,3 +2909,168 @@ def q_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("o_custkey") % 1024, F.col("o_orderkey") % 1024], bits=10
     )
     return o.select("o_orderkey", z.alias("zval"))
+
+
+_SUBSEQ_PATTERN = [0.0, 0.0, 1.0, 3.0, 1.0, 0.0, 0.0, 0.0]
+
+
+def _subseq_oracle(pattern: list[float] | None = None) -> str:
+    """DuckDB replica of ``timeseries.best_subsequence_match``: the
+    lead() window columns, the left-associated sum chains for window
+    mean/std, the per-term z-normalized squared differences, and the
+    (dist, offset) rank — written so both engines evaluate the same
+    double-precision expression tree."""
+    from ais_data_pipeline_spark.operators.timeseries import znormalize
+
+    pattern = pattern if pattern is not None else _SUBSEQ_PATTERN
+    m = len(pattern)
+    qz = znormalize(pattern)
+    lead_cols = ",\n             ".join(
+        f"lead(value, {i}) OVER w AS l{i}" for i in range(m)
+    )
+    s1 = " + ".join(f"l{i}" for i in range(m))
+    s2 = " + ".join(f"l{i} * l{i}" for i in range(m))
+    d2 = " + ".join(
+        f"((l{i} - mu) / sd - ({qz[i]!r})) * ((l{i} - mu) / sd - ({qz[i]!r}))"
+        for i in range(m)
+    )
+    return f"""
+    WITH lv AS (
+      SELECT user_id,
+             (row_number() OVER w) - 1 AS pos,
+             {lead_cols}
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), st AS (
+      SELECT *, ({s1}) / {float(m)!r} AS mu,
+             sqrt(({s2}) / {float(m)!r}
+                  - (({s1}) / {float(m)!r}) * (({s1}) / {float(m)!r})) AS sd
+      FROM lv
+    ), prof AS (
+      SELECT user_id, pos, round(sqrt({d2}), 4) AS dist
+      FROM st WHERE l{m - 1} IS NOT NULL AND sd > 0
+    ), ranked AS (
+      SELECT user_id, pos, dist,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY dist ASC, pos ASC) AS rn
+      FROM prof
+    )
+    SELECT user_id, pos AS best_offset, dist AS best_dist
+    FROM ranked WHERE rn = 1
+    """
+
+
+@register(
+    "subsequence_best_match",
+    _subseq_oracle(),
+    "Time-series subsequence similarity (UCR/Matrix-Profile family): "
+    "the z-normalized Euclidean distance profile of a length-8 query "
+    "pattern against each user's ordered value series, computed as "
+    "pure lead()-window arithmetic — no UDF, one shuffle to order "
+    "each series, codegen'd profile. Output: best (lowest-distance, "
+    "earliest) match per series. Long-pattern scale path is the "
+    "FFT/MASS applyInPandas kernel (see operators/timeseries.py).",
+)
+def q_subsequence_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.timeseries import best_subsequence_match
+
+    e = read_table(spark, sf_dir, "events")
+    return best_subsequence_match(e, _SUBSEQ_PATTERN)
+
+
+@register(
+    "media_type_route",
+    r"""
+    WITH payloads AS (
+      SELECT doc_id,
+             CASE doc_id % 5
+               WHEN 0 THEN '\x89PNG\x0D\x0A'::BLOB || encode(text)
+               WHEN 1 THEN '\xFF\xD8\xFF\xE0'::BLOB || encode(text)
+               WHEN 2 THEN 'RIFF'::BLOB || encode(text)
+               WHEN 3 THEN '\x00\x00\x00\x18ftyp'::BLOB || encode(text)
+               ELSE encode(text)
+             END AS payload
+      FROM documents
+    ), sniffed AS (
+      SELECT doc_id,
+             CASE
+               WHEN substring(hex(payload), 1, 8) = '89504E47' THEN 'image/png'
+               WHEN substring(hex(payload), 1, 6) = 'FFD8FF' THEN 'image/jpeg'
+               WHEN substring(hex(payload), 1, 8) = '52494646' THEN 'audio/wav'
+               WHEN substring(hex(payload), 1, 6) = '494433' THEN 'audio/mp3'
+               WHEN substring(hex(payload), 9, 8) = '66747970' THEN 'video/mp4'
+               ELSE 'application/octet-stream'
+             END AS media_type,
+             octet_length(payload) AS n_bytes
+      FROM payloads
+    )
+    SELECT media_type, count(*) AS n_docs,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+    FROM sniffed GROUP BY media_type
+    """,
+    "Multimodal routing: magic-byte media-type sniff (PNG/JPEG/RIFF/"
+    "ID3/ftyp) as one codegen'd when-chain over the binary payload — "
+    "the dispatch in front of per-modality decode stages. Payloads "
+    "synthesized with real container magics over the documents table; "
+    "both engines sniff the same bytes.",
+)
+def q_media_type_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.multimodal import (
+        media_type_col,
+        with_binary_payload,
+    )
+
+    d = with_binary_payload(read_table(spark, sf_dir, "documents"), "text")
+    magic = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit(bytes([0x89]) + b"PNG\r\n"))
+        .when(F.col("doc_id") % 5 == 1, F.lit(bytes([0xFF, 0xD8, 0xFF, 0xE0])))
+        .when(F.col("doc_id") % 5 == 2, F.lit(b"RIFF"))
+        .when(F.col("doc_id") % 5 == 3, F.lit(bytes([0, 0, 0, 0x18]) + b"ftyp"))
+        .otherwise(F.lit(b""))
+    )
+    tagged = d.withColumn("payload", F.concat(magic, F.col("payload")))
+    return (
+        tagged.select(media_type_col(F.col("payload")).alias("media_type"),
+                      F.length("payload").alias("n_bytes"))
+        .groupBy("media_type")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_bytes").cast("bigint").alias("total_bytes"))
+    )
+
+
+@register(
+    "audio_meta",
+    """
+    WITH p AS (
+      SELECT doc_id, text, encode(text) AS payload FROM documents
+    ), m AS (
+      SELECT doc_id,
+             octet_length(payload) AS n_bytes,
+             sha256(text) AS sha256,
+             list_extract([8000, 16000, 22050, 44100, 48000],
+                          (octet_length(payload) % 5) + 1) AS sample_rate,
+             1 + octet_length(payload) % 2 AS n_channels
+      FROM p
+    )
+    SELECT doc_id, n_bytes, sha256,
+           CAST(sample_rate AS INTEGER) AS sample_rate,
+           CAST(n_channels AS INTEGER) AS n_channels,
+           n_bytes * 1000 // (sample_rate * n_channels * 2) AS duration_ms,
+           'pcm_stub' AS codec
+    FROM m
+    """,
+    "Audio-blob metadata tier: mapInPandas (Arrow batches) over opaque "
+    "payloads — size, content hash, and a deterministic stub header "
+    "parse (rate/channels by size, duration via the PCM identity "
+    "bytes/(rate*channels*2)). The real soundfile/ffprobe call drops "
+    "into the same batch iterator; the Spark plumbing (schema, batch "
+    "shape, parallelism spread) is the tested contract.",
+)
+def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.multimodal import (
+        decode_audio_meta,
+        with_binary_payload,
+    )
+
+    d = with_binary_payload(read_table(spark, sf_dir, "documents"), "text")
+    return decode_audio_meta(d)

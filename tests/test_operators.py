@@ -637,3 +637,27 @@ def test_incremental_rollup_maintenance_loop(spark, sf_dir, tmp_path):
     }
     want = {tuple(r) for r in finalize_rollup(rollup_partials(e)).collect()}
     assert got == want
+
+
+def test_subsequence_match_finds_planted_pattern(spark):
+    """A scaled+shifted copy of the query pattern planted in a noisy
+    series must be the best match at distance ~0 (z-normalization makes
+    the match amplitude/offset invariant)."""
+    import datetime as _dt
+
+    from ais_data_pipeline_spark.operators.timeseries import best_subsequence_match
+
+    pattern = [0.0, 0.0, 1.0, 3.0, 1.0, 0.0, 0.0, 0.0]
+    base = _dt.datetime(2024, 1, 1)
+    series = [5.0, 7.0, 6.0, 5.5, 7.2, 6.1, 5.0, 7.0, 6.0, 5.5]
+    planted = series + [100.0 + 20.0 * x for x in pattern] + series
+    rows = [
+        (1, i, base + _dt.timedelta(minutes=i), v) for i, v in enumerate(planted)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    got = best_subsequence_match(df, pattern).collect()
+    assert len(got) == 1
+    assert got[0]["best_offset"] == len(series)
+    assert got[0]["best_dist"] == 0.0
