@@ -277,6 +277,103 @@ def cosine_topk_indexed_multi(
     )
 
 
+def head_centroids(
+    df: DataFrame, n_centroids: int = 16, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Deterministic coarse quantizer for IVF: the first ``n_centroids``
+    vectors by id. Structurally a stand-in for k-means (the IVF
+    machinery — list assignment, partitioned storage, nprobe probing —
+    is identical); deterministic so a SQL oracle can re-derive the
+    exact same lists. Swap in ``pyspark.ml.clustering.KMeans`` centers
+    for real corpora; everything downstream is unchanged."""
+    return (
+        df.filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("centroid_id"), _as_double_array(F.col(vec_col)).alias("cvec"))
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (cosine, ties to the
+    lowest centroid id) — a broadcast cross-join against the tiny
+    centroid set plus one window argmax; no shuffle of the vectors
+    beyond the final partition-by-list write."""
+    from pyspark.sql import Window
+
+    v = _as_double_array(F.col(vec_col))
+    sim = _dot(v, F.col("cvec")) / (
+        F.sqrt(_dot(v, v)) * F.sqrt(_dot(F.col("cvec"), F.col("cvec")))
+    )
+    scored = df.join(F.broadcast(centroids)).withColumn("__sim", sim)
+    w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__sim", "cvec")
+        .withColumnRenamed("centroid_id", "list_id")
+    )
+
+
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize an IVF index: inverted lists as ``list_id=``
+    partition directories plus a ``_centroids`` sidecar table. A probe
+    reads only the ``nprobe`` nearest lists — partition-pruned, like
+    the LSH index, but with data-adaptive cells instead of random
+    planes (the classic IVF recall/selectivity trade)."""
+    cents = head_centroids(df, n_centroids, vec_col, id_col)
+    (
+        ivf_assign(df, cents, vec_col, id_col)
+        .repartition("list_id")
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(path)
+    )
+    cents.coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "_centroids")
+
+
+def ivf_probe_topk(
+    spark,
+    index_path: str,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int | None = 4,
+    pre_filter: Column | None = None,
+) -> DataFrame:
+    """Probe an IVF index: rank centroids by cosine to the query
+    (driver-side — the centroid table is tiny by construction), read
+    the ``nprobe`` nearest ``list_id=`` partitions, exact re-rank."""
+    cents = spark.read.parquet(index_path.rstrip("/") + "_centroids").collect()
+
+    def cos(c) -> float:
+        num = sum(x * y for x, y in zip(c["cvec"], query))
+        na = math.sqrt(sum(x * x for x in c["cvec"]))
+        nq = math.sqrt(sum(x * x for x in query))
+        return num / (na * nq)
+
+    ranked = sorted(cents, key=lambda c: (-cos(c), c["centroid_id"]))
+    probes = [c["centroid_id"] for c in ranked[:nprobe]]
+    idx = spark.read.parquet(index_path)
+    candidates = idx.filter(F.col("list_id").isin(*probes))
+    if pre_filter is not None:
+        candidates = candidates.filter(pre_filter)
+    return cosine_topk(
+        candidates, query, k=k, vec_col=vec_col, id_col=id_col, round_digits=round_digits
+    )
+
+
 def pairwise_topk_per_vector(
     df: DataFrame,
     k: int = 5,

@@ -123,8 +123,8 @@ _FRONT_WINDOW: list[str] = [
     "q1_pricing_summary",
     "revenue_by_nation",
     "scan_project_filter",
-    "running_total_per_customer",
     # new operators this round (replace pad slots)
+    "ivf_index_topk",
     "incremental_rollup_merge",
     "zorder_values",
     "subsequence_best_match",
@@ -3074,3 +3074,97 @@ def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = with_binary_payload(read_table(spark, sf_dir, "documents"), "text")
     return decode_audio_meta(d)
+
+
+_IVF = {"n_centroids": 16, "nprobe": 4, "k": 10}
+
+
+def _ivf_oracle(
+    n_centroids: int = _IVF["n_centroids"],
+    nprobe: int = _IVF["nprobe"],
+    k: int = _IVF["k"],
+) -> str:
+    """DuckDB replica of the IVF probe: the deterministic head-N
+    centroid rule re-derives the identical coarse quantizer in SQL, so
+    list assignment (argmax cosine, ties to lowest centroid id), the
+    query's nprobe nearest lists, and the exact re-rank all recompute
+    engine-side — no literals needed, unlike the LSH oracles."""
+    sim = (
+        "list_dot_product(e.embedding::DOUBLE[], c.cvec)"
+        " / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product(c.cvec, c.cvec)))"
+    )
+    qsim = (
+        "list_dot_product(q.qv, c.cvec)"
+        " / (sqrt(list_dot_product(c.cvec, c.cvec)) * sqrt(list_dot_product(q.qv, q.qv)))"
+    )
+    return f"""
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ), cents AS (
+      SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+      FROM embeddings WHERE vec_id < {n_centroids}
+    ), assign AS (
+      SELECT e.vec_id, c.centroid_id,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {sim} DESC, c.centroid_id ASC) AS rn
+      FROM embeddings e CROSS JOIN cents c
+    ), lists AS (
+      SELECT vec_id, centroid_id AS list_id FROM assign WHERE rn = 1
+    ), qprobe AS (
+      SELECT c.centroid_id,
+             row_number() OVER (ORDER BY {qsim} DESC, c.centroid_id ASC) AS prn
+      FROM cents c, q
+    ), cand AS (
+      SELECT l.vec_id FROM lists l
+      JOIN qprobe p ON l.list_id = p.centroid_id AND p.prn <= {nprobe}
+      WHERE l.vec_id <> 0
+    )
+    SELECT e.vec_id,
+           round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+                 / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos_sim
+    FROM cand JOIN embeddings e USING (vec_id), q
+    ORDER BY cos_sim DESC, e.vec_id ASC
+    LIMIT {k}
+    """
+
+
+@register(
+    "ivf_index_topk",
+    _ivf_oracle(),
+    "IVF-style persisted ANN index: inverted lists (nearest-centroid "
+    "cells) as list_id= partition directories + a _centroids sidecar; "
+    "probe = rank centroids against the query, read the nprobe nearest "
+    "lists partition-pruned, exact cosine re-rank. Data-adaptive cells "
+    "vs the LSH index's random planes — the two standard ANN "
+    "organizations, both as first-class partition-pruned tables. The "
+    "deterministic head-N quantizer stands in for k-means so the "
+    "oracle re-derives identical lists in SQL (swap KMeans centers in "
+    "production; machinery unchanged).",
+)
+def q_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os as _os
+
+    from ais_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_probe_topk,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    st = _os.stat(_os.path.join(sf_dir, "embeddings.parquet"))
+    key = f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}:ivf{_IVF['n_centroids']}"
+    digest = hashlib.sha1(key.encode()).hexdigest()[:16]
+    path = f"/tmp/ais_ivf_idx_{digest}"
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        build_ivf_index(e, path, n_centroids=_IVF["n_centroids"])
+    return ivf_probe_topk(
+        spark,
+        path,
+        qv,
+        k=_IVF["k"],
+        nprobe=_IVF["nprobe"],
+        pre_filter=F.col("vec_id") != 0,
+    )

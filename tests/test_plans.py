@@ -345,3 +345,35 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
     finally:
         for k, v in saved.items():
             (spark.conf.set(k, v) if v is not None else spark.conf.unset(k))
+
+
+def test_ivf_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    """The IVF probe must read only the nprobe nearest list_id=
+    partitions (partition filter in the scan), and the data-adaptive
+    cells must deliver useful recall on the fixture."""
+    from ais_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk,
+        ivf_probe_topk,
+    )
+    from ais_data_pipeline_spark.sources.parquet import read_table
+
+    idx = str(tmp_path / "ivf_idx")
+    e = read_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    build_ivf_index(e, idx, n_centroids=16)
+
+    probe = ivf_probe_topk(
+        spark, idx, qv, k=10, nprobe=4, pre_filter=F.col("vec_id") != 0
+    )
+    plan = plan_of(probe)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "list_id" in m.group(1), plan
+    import glob as _glob
+
+    n_dirs = len(_glob.glob(f"{idx}/list_id=*"))
+    assert n_dirs > 4, n_dirs  # more lists exist than the probe reads
+
+    exact = {r["vec_id"] for r in cosine_topk(e.filter(F.col("vec_id") != 0), qv, k=10).collect()}
+    approx = {r["vec_id"] for r in probe.collect()}
+    assert len(exact & approx) >= 4, sorted(exact & approx)
