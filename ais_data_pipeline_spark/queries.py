@@ -122,9 +122,9 @@ _FRONT_WINDOW: list[str] = [
     # (c) pad: core r2 greens (regression canaries)
     "q1_pricing_summary",
     "revenue_by_nation",
-    "scan_project_filter",
     # new operators this round (replace pad slots)
     "ivf_index_topk",
+    "stream_stream_join",
     "incremental_rollup_merge",
     "zorder_values",
     "subsequence_best_match",
@@ -3168,3 +3168,57 @@ def q_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=_IVF["nprobe"],
         pre_filter=F.col("vec_id") != 0,
     )
+
+
+@register(
+    "stream_stream_join",
+    """
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           epoch_us(p.ts) // 1000000 - epoch_us(c.ts) // 1000000 AS delay_sec
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+    "Stream-STREAM inner join: two watermarked event streams joined on "
+    "key + event-time range (purchase within 30 min of click) — the "
+    "stateful two-sided join where the watermark + range bound is what "
+    "lets Spark evict state instead of buffering both streams forever. "
+    "availableNow drain equals the batch interval join (the oracle).",
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build(s: DataFrame) -> DataFrame:
+        # second independent stream over the same source (two scans of
+        # the file source, as a real two-topic join would have)
+        s2 = _events_stream(spark, sf_dir)
+        clicks = (
+            s.filter(F.col("event_type") == "click")
+            .select("user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id"))
+            .withWatermark("click_ts", "1 hour")
+        )
+        purchases = (
+            s2.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user_id"),
+                F.col("ts").alias("p_ts"),
+                F.col("event_id").alias("purchase_id"),
+            )
+            .withWatermark("p_ts", "1 hour")
+        )
+        joined = clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("p_ts") >= F.col("click_ts"))
+            & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        return joined.select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            (F.unix_timestamp("p_ts") - F.unix_timestamp("click_ts")).alias("delay_sec"),
+        )
+
+    _utc(spark)
+    return _drain_events_query(spark, sf_dir, build, "append")

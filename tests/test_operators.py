@@ -661,3 +661,70 @@ def test_subsequence_match_finds_planted_pattern(spark):
     assert len(got) == 1
     assert got[0]["best_offset"] == len(series)
     assert got[0]["best_dist"] == 0.0
+
+
+def test_stream_stream_join_evicts_late_state(spark, tmp_path):
+    """Stream-stream join watermark semantics: a purchase arriving in a
+    later micro-batch with event time already behind the watermark must
+    NOT match (its click's state was evicted) — the bounded-state
+    guarantee that makes the two-sided join runnable forever."""
+    click_src = tmp_path / "clicks"
+    buy_src = tmp_path / "buys"
+    click_src.mkdir(); buy_src.mkdir()
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = "user_id long, ts timestamp, event_id long"
+
+    def write(d, rows, sub):
+        (
+            spark.createDataFrame(rows, "user_id long, ts string, event_id long")
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .coalesce(1)
+            .write.parquet(str(d / sub))
+        )
+
+    write(click_src, [(1, "2024-01-01 10:00:00", 100)], "b1")
+    write(buy_src, [(2, "2024-01-01 10:01:00", 900)], "b1")  # advances nothing yet
+
+    clicks = (
+        spark.readStream.schema(schema).parquet(str(click_src / "*"))
+        .select("user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id"))
+        .withWatermark("click_ts", "10 minutes")
+    )
+    buys = (
+        spark.readStream.schema(schema).parquet(str(buy_src / "*"))
+        .select(F.col("user_id").alias("p_user_id"), F.col("ts").alias("p_ts"),
+                F.col("event_id").alias("purchase_id"))
+        .withWatermark("p_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        buys,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("p_ts") >= F.col("click_ts"))
+        & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select("user_id", "click_id", "purchase_id")
+
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    run = lambda: (  # noqa: E731
+        joined.writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start().awaitTermination()
+    )
+    run()
+    # batch 2: both sides jump to 12:00 -> watermark advances past the
+    # 10:00 click + its 30-minute range; click state evicts
+    write(click_src, [(3, "2024-01-01 12:00:00", 101)], "b2")
+    write(buy_src, [(3, "2024-01-01 12:05:00", 901)], "b2")
+    run()
+    # batch 3: a LATE purchase for user 1 at 10:05 — would match the
+    # evicted click; must be dropped
+    write(buy_src, [(1, "2024-01-01 10:05:00", 902)], "b3")
+    write(click_src, [(4, "2024-01-01 13:00:00", 102)], "b3")
+    run()
+    # close remaining state so all on-time results flush
+    write(click_src, [(5, "2024-01-01 15:00:00", 103)], "b4")
+    write(buy_src, [(5, "2024-01-01 15:01:00", 903)], "b4")
+    run()
+
+    got = {(r["click_id"], r["purchase_id"]) for r in spark.read.parquet(out).collect()}
+    assert (101, 901) in got and (103, 903) in got
+    assert not any(p == 902 for _, p in got), got  # late purchase dropped
