@@ -3222,3 +3222,297 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _utc(spark)
     return _drain_events_query(spark, sf_dir, build, "append")
+
+
+# ---------------------------------------------------------------------------
+# Batch 17 (round 3): remaining TPC-H shapes (adapted to the available
+# tables — no partsupp in the testdata), corpus TF-IDF, histogram
+# profiling.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "min_cost_supplier_per_part",
+    """
+    WITH offers AS (
+      SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_price
+      FROM lineitem GROUP BY 1, 2
+    ), ranked AS (
+      SELECT l_partkey, l_suppkey, unit_price,
+             row_number() OVER (PARTITION BY l_partkey
+                                ORDER BY unit_price ASC, l_suppkey ASC) AS rn
+      FROM offers
+    )
+    SELECT p_partkey, p_name, s_name, round(unit_price, 4) AS best_unit_price
+    FROM ranked
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE rn = 1 AND p_size <= 10
+    """,
+    "TPC-H Q2 shape (correlated min): cheapest supplier per part — "
+    "per-(part,supplier) min unit price, then the per-part argmin via "
+    "one window (ties to lowest supplier key), dims broadcast. min() "
+    "of doubles needs no decimal detour (no summation).",
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    s = read_table(spark, sf_dir, "supplier")
+    offers = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"))
+    )
+    w = Window.partitionBy("l_partkey").orderBy(F.asc("unit_price"), F.asc("l_suppkey"))
+    best = offers.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        best.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "p_name", "s_name", F.round("unit_price", 4).alias("best_unit_price"))
+    )
+
+
+@register(
+    "profit_by_nation_year",
+    """
+    SELECT n_name, year(o_orderdate) AS o_year,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1.0 AS DECIMAL(4,3)) - CAST(l_discount AS DECIMAL(4,3)))
+                    * CAST(0.4 AS DECIMAL(3,2))) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1, 2
+    """,
+    "TPC-H Q9 shape: profit (margin proxy — no partsupp cost table in "
+    "the testdata) by supplier nation x order year; supplier+nation "
+    "dims broadcast, fact-fact join AQE-planned, decimal accumulation "
+    "with a final double cast.",
+)
+def q_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    o = read_table(spark, sf_dir, "orders")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.lit(1.0).cast("decimal(4,3)") - F.col("l_discount").cast("decimal(4,3)")
+    margin = F.lit(0.4).cast("decimal(3,2)")
+    supp_nation = dim_join(s, n, s.s_nationkey == n.n_nationkey)
+    return (
+        li.join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(price * disc * margin).cast("double").alias("profit"))
+    )
+
+
+@register(
+    "important_parts_share",
+    """
+    WITH pv AS (
+      SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
+      FROM lineitem GROUP BY 1
+    ), tot AS (
+      SELECT sum(val) AS t FROM pv
+    )
+    SELECT l_partkey AS partkey,
+           CAST(val AS DOUBLE) AS part_value,
+           round(CAST(val AS DOUBLE) / CAST(t AS DOUBLE), 8) AS share
+    FROM pv, tot
+    WHERE CAST(val AS DOUBLE) / CAST(t AS DOUBLE) > 0.001
+    """,
+    "TPC-H Q11 shape: per-part value share against a global scalar "
+    "subquery total (HAVING-against-aggregate). Both the numerator and "
+    "the total accumulate as exact decimals; the share is one double "
+    "division on both engines. The scalar total broadcasts — no "
+    "second scan shuffle.",
+)
+def q_important_parts_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("val")
+    )
+    tot = pv.agg(F.sum("val").alias("t"))
+    share = F.col("val").cast("double") / F.col("t").cast("double")
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(share > 0.001)
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("val").cast("double").alias("part_value"),
+            F.round(share, 8).alias("share"),
+        )
+    )
+
+
+@register(
+    "supplier_count_per_brand_size",
+    """
+    SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS n_suppliers
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2
+    """,
+    "TPC-H Q16 shape: distinct-supplier counts per (brand, size) with "
+    "a NOT IN supplier exclusion (compiles to an anti join against the "
+    "broadcast subquery; o_custkey-style null trap covered separately "
+    "in not_in_null_semantics).",
+)
+def q_supplier_count_per_brand_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1")
+    bad = (
+        read_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        anti_join(li, bad, "l_suppkey")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("n_suppliers"))
+    )
+
+
+@register(
+    "rich_idle_customers",
+    """
+    WITH avg_bal AS (
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS ab
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_mktsegment, count(*) AS n_cust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer, avg_bal
+    WHERE c_acctbal > ab
+      AND c_custkey NOT IN (SELECT o_custkey FROM orders)
+    GROUP BY 1
+    """,
+    "TPC-H Q22 shape: above-average-balance customers with no orders "
+    "(scalar avg subquery + anti join), grouped by segment. The avg is "
+    "exact-decimal-sum / count, so the threshold is bit-identical "
+    "across engines.",
+)
+def q_rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("ab")
+        )
+    )
+    return (
+        anti_join(c, o, "c_custkey")
+        .crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "value_histogram",
+    """
+    WITH binned AS (
+      SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin FROM events
+      WHERE value IS NOT NULL
+    ), tot AS (SELECT count(*) AS t FROM binned)
+    SELECT bin,
+           CAST(bin * 25.0 AS DOUBLE) AS bin_lo,
+           count(*) AS n,
+           round(CAST(count(*) AS DOUBLE) / CAST(t AS DOUBLE), 6) AS pct
+    FROM binned, tot
+    GROUP BY bin, t
+    """,
+    "Histogram profiling: fixed-width value binning (integer floor "
+    "arithmetic — no data-dependent bounds pass), counts + shares. "
+    "One map-side-combined shuffle on the bin id; the profile every "
+    "training-data distribution check starts with.",
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    binned = e.select(F.floor(F.col("value") / 25.0).cast("bigint").alias("bin"))
+    tot = binned.agg(F.count(F.lit(1)).alias("t"))
+    return (
+        binned.groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            (F.col("bin") * 25.0).alias("bin_lo"),
+            "n",
+            F.round(F.col("n").cast("double") / F.col("t").cast("double"), 6).alias("pct"),
+        )
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+    ), df AS (
+      SELECT term, count(DISTINCT doc_id) AS dfreq FROM tok GROUP BY 1
+    ), nd AS (
+      SELECT count(DISTINCT doc_id) AS n_docs FROM tok
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             round(tf.tf * ln(CAST(n_docs AS DOUBLE) / CAST(dfreq AS DOUBLE)), 6) AS tfidf
+      FROM tf JOIN df USING (term), nd
+    ), ranked AS (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term ASC) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf FROM ranked WHERE rn <= 3
+    """,
+    "Corpus TF-IDF, top-3 terms per document: term frequencies join "
+    "document frequencies (both one shuffle over exploded tokens; the "
+    "df side re-aggregates the same explode) with the corpus size as "
+    "a broadcast scalar; rank on the rounded score with a term "
+    "tie-break.",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ais_data_pipeline_spark.operators.text import tokens_col
+
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("dfreq"))
+    nd = tok.agg(F.count_distinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("dfreq").cast("double")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
