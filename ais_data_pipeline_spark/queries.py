@@ -3494,10 +3494,18 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("dfreq"))
-    nd = tok.agg(F.count_distinct("doc_id").alias("n_docs"))
+    # document frequency WITHOUT a second explode or a join: tf has one
+    # row per (doc, term), so a count over the term window IS df. The
+    # whole query is one explode and two exchanges (doc+term, then
+    # term); Catalyst does not CSE a re-stated explode subtree, so the
+    # join formulation would scan+explode the corpus three times.
+    # Corpus size comes off the documents table (a one-column scan),
+    # not the token stream.
+    nd = d.agg(F.count_distinct("doc_id").alias("n_docs"))
+    from pyspark.sql import Window as _W
+
     scored = (
-        tf.join(df_, "term")
+        tf.withColumn("dfreq", F.count(F.lit(1)).over(_W.partitionBy("term")))
         .crossJoin(F.broadcast(nd))
         .select(
             "doc_id",
