@@ -1,0 +1,86 @@
+"""Corpus preparation for LLM training: chunking documents into
+fixed-token windows and packing sequences into training bins — the two
+operations between "clean text" and "batches on the trainer".
+
+Both are pure DataFrame plans:
+
+- ``chunk_documents`` — overlapping token-window chunks via one
+  materialized token array + ``posexplode`` over the chunk index
+  sequence. The token array is materialized in its OWN projection
+  first: expressions referenced inside higher-order/generator lambdas
+  re-evaluate per element, and a re-stated ``split`` would make
+  chunking O(tokens²) per document (the round-1 HOF lesson).
+- ``pack_sequences`` — greedy fixed-budget bin packing via a running
+  token cumsum per shard: bin id = floor((cumsum - n_tokens)/budget).
+  Packing is inherently sequential, so the distributed form shards
+  first (documents within a shard pack together, shards parallelize);
+  one window shuffle per shard, no driver loop. The trainer reads
+  (shard, bin) groups as its batches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ais_data_pipeline_spark.operators.text import tokens_col
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into overlapping token windows:
+    chunk i covers tokens ``[i*stride, i*stride + chunk_tokens)`` with
+    ``stride = chunk_tokens - overlap``; every token belongs to ≥1
+    chunk and the count is ``max(1, ceil((n - overlap) / stride))``.
+    Output: (id, chunk_index, chunk_text, n_tokens)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    # materialize the token array BEFORE any lambda references it
+    toks = df.select(F.col(id_col), tokens_col(F.col(text_col)).alias("__toks"))
+    n = F.size("__toks")
+    n_chunks = F.greatest(F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int"))
+    chunked = toks.select(
+        F.col(id_col),
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_index", "__i"),
+        F.col("__toks"),
+    )
+    piece = F.slice(F.col("__toks"), F.col("chunk_index") * stride + 1, chunk_tokens)
+    return chunked.select(
+        F.col(id_col),
+        "chunk_index",
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).alias("n_tokens"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget_tokens: int = 256,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training bins: within a
+    shard (``id % n_shards``), documents pack in id order and a new bin
+    starts whenever the running total crosses the budget. A document
+    longer than the budget gets a bin of its own. Output:
+    (id, shard, bin_id, n_tokens)."""
+    w = Window.partitionBy("shard").orderBy(id_col)
+    sized = df.select(
+        F.col(id_col),
+        (F.col(id_col) % n_shards).alias("shard"),
+        F.size(tokens_col(F.col(text_col))).alias("n_tokens"),
+    )
+    cum = F.sum("n_tokens").over(w)
+    return sized.select(
+        F.col(id_col),
+        "shard",
+        F.floor((cum - F.col("n_tokens")) / F.lit(budget_tokens)).cast("bigint").alias("bin_id"),
+        "n_tokens",
+    )

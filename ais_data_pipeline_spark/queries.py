@@ -3524,3 +3524,114 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "tfidf")
     )
+
+
+@register(
+    "doc_chunking",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ), sized AS (
+      SELECT doc_id, t,
+             greatest(1, CAST(ceil((len(t) - 8) / 24.0) AS INT)) AS n_chunks
+      FROM toks
+    )
+    SELECT doc_id, CAST(i AS INT) AS chunk_index,
+           array_to_string(t[i*24+1 : i*24+32], ' ') AS chunk_text,
+           CAST(len(t[i*24+1 : i*24+32]) AS INT) AS n_tokens
+    FROM sized, UNNEST(generate_series(0, n_chunks - 1)) AS u(i)
+    """,
+    "LLM-prep document chunking: overlapping 32-token windows with "
+    "8-token overlap (stride 24) via one materialized token array + "
+    "posexplode over the chunk-index sequence — the token array is "
+    "projected FIRST so generator lambdas never re-evaluate the split "
+    "per element (the round-1 HOF lesson). Every token lands in >=1 "
+    "chunk; count = max(1, ceil((n-overlap)/stride)).",
+)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.corpus import chunk_documents
+
+    d = read_table(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_tokens=32, overlap=8)
+
+
+@register(
+    "sequence_packing",
+    r"""
+    WITH sized AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+                       - n_tokens) / 256.0) AS BIGINT) AS bin_id,
+           CAST(n_tokens AS INT) AS n_tokens
+    FROM sized
+    """,
+    "LLM-prep sequence packing: greedy fixed-budget (256-token) bin "
+    "assignment via a running per-shard cumsum — bin = floor(start "
+    "offset / budget). Packing is inherently sequential, so the "
+    "distributed form shards by id first: shards parallelize "
+    "perfectly, one window shuffle each, no driver loop. (shard, bin) "
+    "groups are the trainer's batches.",
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.corpus import pack_sequences
+
+    d = read_table(spark, sf_dir, "documents")
+    return pack_sequences(d, budget_tokens=256, n_shards=8)
+
+
+@register(
+    "dq_report",
+    """
+    SELECT 'o_custkey_not_null' AS check_name,
+           CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS n_violations,
+           count(*) FILTER (WHERE o_custkey IS NULL) = 0 AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice_in_range',
+           CAST(count(*) FILTER (WHERE o_totalprice IS NULL
+                                 OR o_totalprice < 0 OR o_totalprice > 600000) AS BIGINT),
+           count(*) FILTER (WHERE o_totalprice IS NULL
+                            OR o_totalprice < 0 OR o_totalprice > 600000) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority_matches',
+           CAST(count(*) FILTER (WHERE o_orderpriority IS NULL
+                                 OR NOT regexp_matches(o_orderpriority, '^[1-5]-')) AS BIGINT),
+           count(*) FILTER (WHERE o_orderpriority IS NULL
+                            OR NOT regexp_matches(o_orderpriority, '^[1-5]-')) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey_unique',
+           CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT),
+           count(o_orderkey) - count(DISTINCT o_orderkey) = 0
+    FROM orders
+    """,
+    "Declarative data-quality report (Deequ-lite): null / range / "
+    "regex / key-uniqueness contracts compiled into ONE batched "
+    "aggregation pass (map-side partial counts — never a scan per "
+    "check), unpivoted to (check_name, n_violations, passed). The "
+    "gate a training pipeline runs before anything expensive.",
+)
+def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.quality import (
+        in_range,
+        matches,
+        not_null,
+        run_checks,
+    )
+
+    o = read_table(spark, sf_dir, "orders")
+    return run_checks(
+        o,
+        [
+            not_null("o_custkey"),
+            in_range("o_totalprice", 0, 600000),
+            matches("o_orderpriority", "^[1-5]-"),
+        ],
+        unique_key="o_orderkey",
+    )

@@ -728,3 +728,61 @@ def test_stream_stream_join_evicts_late_state(spark, tmp_path):
     got = {(r["click_id"], r["purchase_id"]) for r in spark.read.parquet(out).collect()}
     assert (101, 901) in got and (103, 903) in got
     assert not any(p == 902 for _, p in got), got  # late purchase dropped
+
+
+def test_chunking_covers_every_token(spark):
+    """Chunk windows must tile each document completely: the union of
+    chunk tokens reconstructs the document, consecutive chunks share
+    exactly `overlap` tokens, and no chunk exceeds the window."""
+    from ais_data_pipeline_spark.operators.corpus import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(75))
+    df = spark.createDataFrame([(1, text), (2, "short doc")], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=32, overlap=8).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_index"]),
+    )
+    doc1 = [r for r in rows if r["doc_id"] == 1]
+    assert len(doc1) == 3  # ceil((75-8)/24)
+    assert all(r["n_tokens"] <= 32 for r in doc1)
+    seen = set()
+    for r in doc1:
+        seen.update(r["chunk_text"].split(" "))
+    assert seen == {f"w{i}" for i in range(75)}
+    a, b = doc1[0]["chunk_text"].split(" "), doc1[1]["chunk_text"].split(" ")
+    assert a[-8:] == b[:8]  # exact overlap
+    doc2 = [r for r in rows if r["doc_id"] == 2]
+    assert len(doc2) == 1 and doc2[0]["n_tokens"] == 2
+
+
+def test_packing_respects_budget(spark, sf_dir):
+    """No bin may start a document at an offset inside another bin's
+    budget, and bins fill in doc order: cumulative start offset of
+    each doc maps to floor(start/budget)."""
+    from ais_data_pipeline_spark.operators.corpus import pack_sequences
+    from ais_data_pipeline_spark.sources.parquet import read_table
+
+    d = read_table(spark, sf_dir, "documents")
+    packed = pack_sequences(d, budget_tokens=256, n_shards=8).collect()
+    by_shard: dict = {}
+    for r in sorted(packed, key=lambda r: (r["shard"], r["doc_id"])):
+        start = by_shard.get(r["shard"], 0)
+        assert r["bin_id"] == start // 256, r
+        by_shard[r["shard"]] = start + r["n_tokens"]
+
+
+def test_dq_report_single_scan(spark, sf_dir):
+    """All checks must compile into ONE aggregation over ONE scan."""
+    import io as _io
+    import re as _re
+    from contextlib import redirect_stdout
+
+    from ais_data_pipeline_spark.queries import registry as _registry
+
+    q = {x.name: x for x in _registry()}["dq_report"]
+    df = q.fn(spark, sf_dir)
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert len(_re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
