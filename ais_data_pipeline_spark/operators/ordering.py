@@ -37,3 +37,18 @@ def first_row_dict(df: DataFrame) -> dict:
     """Reference O5: ``.row(0, named=True)``."""
     row = df.first()
     return row.asDict() if row is not None else {}
+
+
+def hash_sample(df, id_col: str, keep_hex_lt: str = "1999"):
+    """Deterministic, engine-portable sampling: keep rows whose
+    md5(id)'s leading hex compares below a threshold — fraction =
+    int(keep_hex_lt, 16) / 16^len. Unlike seeded RNG sampling (whose
+    draw order is engine- and partitioning-dependent), the kept set is
+    a pure function of the key: stable across engines, runs, and
+    repartitioning — which is what makes samples reproducible and
+    joinable (the same entity samples in or out everywhere). ~10% at
+    the default '1999'/16^4."""
+    from pyspark.sql import functions as F
+
+    h = F.substring(F.md5(F.col(id_col).cast("string")), 1, len(keep_hex_lt))
+    return df.filter(h < keep_hex_lt)

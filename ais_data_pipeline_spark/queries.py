@@ -3635,3 +3635,74 @@ def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         unique_key="o_orderkey",
     )
+
+
+@register(
+    "hash_sample_orders",
+    """
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) < '1999'
+    GROUP BY o_orderstatus
+    """,
+    "Deterministic hash sampling (~10%: md5 hex prefix below '1999'/"
+    "16^4): the kept set is a pure function of the key — identical "
+    "across engines, runs, and repartitioning, unlike seeded RNG "
+    "sampling whose draw order is engine-dependent (sample_seeded is "
+    "rows-only for exactly that reason). The reproducible-sample "
+    "primitive for eval sets and A/B slices.",
+)
+def q_hash_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.ordering import hash_sample
+
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        hash_sample(o, "o_orderkey", "1999")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        )
+    )
+
+
+@register(
+    "fuzzy_name_pairs",
+    """
+    WITH blocked AS (
+      SELECT p_partkey, p_name, split_part(p_name, ' ', 2) AS blk
+      FROM part
+    )
+    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM blocked a JOIN blocked b
+      ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+    "Blocked edit-distance fuzzy matching: block on a cheap key (the "
+    "name's noun) so the quadratic levenshtein comparison runs only "
+    "within blocks — the classic entity-resolution blocking pattern; "
+    "cross-block near-misses are the documented recall trade. At "
+    "100 TB the block key is the shuffle/partition key and hot blocks "
+    "get the same size caps as the LSH buckets.",
+)
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = read_table(spark, sf_dir, "part")
+    blocked = p.select(
+        "p_partkey", "p_name", F.split(F.col("p_name"), " ").getItem(1).alias("blk")
+    )
+    a = blocked.select(
+        F.col("p_partkey").alias("part_a"), F.col("p_name").alias("name_a"), "blk"
+    )
+    b = blocked.select(
+        F.col("p_partkey").alias("part_b"), F.col("p_name").alias("name_b"), "blk"
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .withColumn("dist", dist)
+        .filter(F.col("dist") <= 3)
+        .select("part_a", "part_b", "dist")
+    )

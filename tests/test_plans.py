@@ -377,3 +377,39 @@ def test_ivf_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
     exact = {r["vec_id"] for r in cosine_topk(e.filter(F.col("vec_id") != 0), qv, k=10).collect()}
     approx = {r["vec_id"] for r in probe.collect()}
     assert len(exact & approx) >= 4, sorted(exact & approx)
+
+
+def test_bloom_filter_runtime_join_pruning(spark, sf_dir):
+    """A selective filter on the build side of a shuffle join must
+    inject a runtime Bloom filter into the probe side's scan
+    (might_contain on the join key) — rows that cannot match die at
+    the scan instead of riding the shuffle. At 100 TB this is the
+    difference between shuffling the full fact table and shuffling the
+    matching slice."""
+    from ais_data_pipeline_spark.sources.parquet import read_table
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+        # test-scale data is far below the 10GB production default
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        o = read_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+        li = read_table(spark, sf_dir, "lineitem")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderstatus").count()
+        plan = plan_of(j)
+        assert "might_contain" in plan, plan[:1500]
+        assert "bloom_filter_agg" in plan
+        assert j.count() > 0
+    finally:
+        for k, v in saved.items():
+            (spark.conf.set(k, v) if v is not None else spark.conf.unset(k))
