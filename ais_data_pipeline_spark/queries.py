@@ -3706,3 +3706,103 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 3)
         .select("part_a", "part_b", "dist")
     )
+
+
+@register(
+    "rolling_1h_user_stats",
+    """
+    SELECT user_id, event_id,
+           count(*) OVER w AS n_trailing,
+           round(CAST(sum(CAST(round(value, 2) AS DECIMAL(14,2))) OVER w AS DOUBLE)
+                 / count(*) OVER w, 6) AS avg_trailing
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+    "Event-time RANGE frame (not row-count frame): per-user trailing "
+    "1-hour count/average keyed on the timestamp value, so gaps and "
+    "bursts weight correctly — the sensor/feature rolling statistic. "
+    "One shuffle on the key; the frame is computed streaming over the "
+    "sorted run. Decimal accumulation inside, double render out.",
+)
+def q_rolling_1h_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    dec = F.round("value", 2).cast("decimal(14,2)")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+        F.round(
+            F.sum(dec).over(w).cast("double") / F.count(F.lit(1)).over(w), 6
+        ).alias("avg_trailing"),
+    )
+
+
+@register(
+    "order_price_deciles",
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    )
+    SELECT decile, count(*) AS n,
+           CAST(min(o_totalprice) AS DOUBLE) AS lo,
+           CAST(max(o_totalprice) AS DOUBLE) AS hi
+    FROM t GROUP BY decile
+    """,
+    "ntile decile bucketing with a total tie-break order (price, then "
+    "key — without it ntile is nondeterministic at bucket boundaries), "
+    "summarized to per-decile ranges. The global sort is the price of "
+    "exact quantile buckets; the approximate path is approx_quantiles.",
+)
+def q_order_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").cast("double").alias("lo"),
+            F.max("o_totalprice").cast("double").alias("hi"),
+        )
+    )
+
+
+@register(
+    "surrogate_keys",
+    """
+    SELECT n_nationkey, n_name, r_name,
+           substring(md5(n_name || '|' || r_name), 1, 16) AS dim_key
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+    "Deterministic surrogate keys: content-hash of the natural key "
+    "(md5 prefix) instead of monotonically_increasing_id — which is "
+    "partition-layout-dependent and unreproducible across runs. "
+    "Content-addressed keys are stable across engines, reruns, and "
+    "backfills, which is what makes dims re-joinable after a rebuild.",
+)
+def q_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "n_nationkey",
+            "n_name",
+            "r_name",
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("n_name"), F.col("r_name"))), 1, 16
+            ).alias("dim_key"),
+        )
+    )
