@@ -100,10 +100,15 @@ def as_of_join(
     left_time: str,
     right_time: str,
     tolerance_seconds: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """As-of join (latest right row at-or-before each left row's time),
-    composed from built-ins: equi-join on keys + time inequality, then
-    keep the max right-time match per left row via row_number.
+    """As-of join composed from built-ins: equi-join on keys + time
+    inequality, then keep the best match per left row via row_number.
+
+    ``direction``: "backward" (latest right at-or-before the left time
+    — the default, matching pandas.merge_asof), "forward" (earliest
+    right at-or-after), or "nearest" (smallest absolute gap; ties break
+    to the earlier right row, pandas-compatible).
 
     Spark lacks a native as-of join (pyspark_guide "Common OLAP
     patterns"); this composition shuffles both sides once on the key
@@ -111,9 +116,24 @@ def as_of_join(
     sides before calling to cut the join fan-out.
     """
     lt, rt = F.col(f"l.{left_time}"), F.col(f"r.{right_time}")
-    cond = [F.col(f"l.{c}") == F.col(f"r.{c}") for c in on] + [rt <= lt]
+    cond = [F.col(f"l.{c}") == F.col(f"r.{c}") for c in on]
+    if direction == "backward":
+        cond.append(rt <= lt)
+        order = [rt.desc_nulls_last()]
+    elif direction == "forward":
+        cond.append(rt >= lt)
+        order = [rt.asc_nulls_last()]
+    elif direction == "nearest":
+        gap = F.abs(rt.cast("double") - lt.cast("double"))
+        order = [F.when(rt.isNull(), None).otherwise(gap).asc_nulls_last(), rt.asc()]
+    else:
+        raise ValueError(f"unknown as-of direction: {direction!r}")
     if tolerance_seconds is not None:
-        cond.append(rt >= lt - F.expr(f"INTERVAL {tolerance_seconds} SECONDS"))
+        tol = F.expr(f"INTERVAL {tolerance_seconds} SECONDS")
+        if direction in ("backward", "nearest"):
+            cond.append(rt >= lt - tol)
+        if direction in ("forward", "nearest"):
+            cond.append(rt <= lt + tol)
     # The dedup window must partition by a UNIQUE left-row identity, not
     # (keys, left_time): two distinct left rows sharing key+timestamp
     # would otherwise collapse into one partition and row_number()==1
@@ -121,7 +141,7 @@ def as_of_join(
     l = left.withColumn("__lrow", F.monotonically_increasing_id()).alias("l")
     r = right.alias("r")
     joined = l.join(r, cond, "left")
-    w = Window.partitionBy(F.col("l.__lrow")).orderBy(rt.desc_nulls_last())
+    w = Window.partitionBy(F.col("l.__lrow")).orderBy(*order)
     out_cols = [F.col(f"l.{c}") for c in left.columns] + [
         F.col(f"r.{c}").alias(f"r_{c}") for c in right.columns if c not in on
     ]

@@ -3806,3 +3806,42 @@ def q_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dim_key"),
         )
     )
+
+
+@register(
+    "asof_next_purchase",
+    """
+    SELECT e.event_id,
+           e.user_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS error_ts,
+           strftime((SELECT min(p.ts) FROM events p
+                     WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+                       AND p.ts >= e.ts), '%Y-%m-%d %H:%M:%S') AS next_purchase_ts
+    FROM events e
+    WHERE e.event_type = 'error'
+    """,
+    "FORWARD as-of join (earliest 'purchase' at-or-after each 'error' "
+    "per user) via the direction-parameterized as_of_join operator — "
+    "the recovery-time / next-action lookup, dual of the backward "
+    "as-of. Same single key-shuffle plan; the per-left-row argmin runs "
+    "as one window.",
+)
+def q_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.joins import as_of_join
+
+    _utc(spark)
+    e = read_table(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    j = as_of_join(
+        errors, purchases, on=["user_id"], left_time="ts", right_time="p_ts",
+        direction="forward",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("error_ts"),
+        F.date_format("r_p_ts", "yyyy-MM-dd HH:mm:ss").alias("next_purchase_ts"),
+    )

@@ -50,3 +50,67 @@ def running_totals(events_stream, timeout: str = "NoTimeout"):
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id bigint, n_events bigint, total_value double, "
+    "session_start timestamp, session_end timestamp"
+)
+SESSION_STATE_SCHEMA = "n bigint, total double, start_ts timestamp, end_ts timestamp"
+_SESSION_GAP_MS = 30 * 60 * 1000
+
+
+def session_finalize_fn(key, batches: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+    """Event-time-timeout session finalizer: fold events into per-key
+    session state; when the watermark passes (last event + gap) the
+    state TIMES OUT and the finalized session emits exactly once —
+    the applyInPandasWithState pattern for 'emit when closed' results
+    that plain watermarked aggregation can't express (arbitrary state,
+    arbitrary finalization logic)."""
+    if state.hasTimedOut:
+        n, total, start_ts, end_ts = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "session_start": [start_ts],
+                "session_end": [end_ts],
+            }
+        )
+        return
+    if state.exists:
+        n, total, start_ts, end_ts = state.get
+    else:
+        n, total, start_ts, end_ts = 0, 0.0, None, None
+    for pdf in batches:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        lo, hi = pdf["ts"].min(), pdf["ts"].max()
+        start_ts = lo if start_ts is None else min(start_ts, lo)
+        end_ts = hi if end_ts is None else max(end_ts, hi)
+    state.update((n, total, start_ts, end_ts))
+    # timeout at session end + gap, but always ahead of the watermark
+    # (Spark rejects a timeout at-or-behind it)
+    end_ms = int(pd.Timestamp(end_ts).value // 1_000_000)
+    state.setTimeoutTimestamp(max(end_ms + _SESSION_GAP_MS, state.getCurrentWatermarkMs() + 1))
+    return
+
+
+def session_summaries(events_stream, watermark_delay: str = "10 minutes"):
+    """Attach the session finalizer to a streaming events frame
+    (columns: user_id, ts, value). Emits one row per CLOSED session
+    (append semantics): nothing while a session is open, the summary
+    exactly once after the watermark passes its gap."""
+    return (
+        events_stream.withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            session_finalize_fn,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
+        )
+    )

@@ -786,3 +786,61 @@ def test_dq_report_single_scan(spark, sf_dir):
         df.explain("formatted")
     plan = buf.getvalue()
     assert len(_re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_stateful_session_timeout_emits_on_close(spark, tmp_path):
+    """applyInPandasWithState + EventTimeTimeout: a session emits
+    exactly once, only after the watermark passes its gap — nothing
+    while open, finalized summary on close, state removed."""
+    from ais_data_pipeline_spark.streaming.stateful import session_summaries
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    schema = "user_id long, ts timestamp, value double"
+
+    def write(rows, sub):
+        (
+            spark.createDataFrame(rows, "user_id long, ts string, value double")
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .coalesce(1)
+            .write.parquet(str(src / sub))
+        )
+
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        q = (
+            session_summaries(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write([(1, "2024-01-01 10:00:00", 2.0), (1, "2024-01-01 10:05:00", 3.0)], "b1")
+    run()
+    import glob as _glob
+
+    def results():
+        if not _glob.glob(out + "/*.parquet"):
+            return []
+        return spark.read.parquet(out).collect()
+
+    assert results() == []  # session still open
+    # advance event time far past 10:05 + 30m gap (+ 10m watermark)
+    write([(2, "2024-01-01 12:00:00", 1.0)], "b2")
+    run()
+    rows = {r["user_id"]: r for r in results()}
+    assert 1 in rows
+    assert rows[1]["n_events"] == 2 and rows[1]["total_value"] == 5.0
+    assert rows[1]["session_start"].minute == 0 and rows[1]["session_end"].minute == 5
+    # close user 2's session too
+    write([(3, "2024-01-01 15:00:00", 1.0)], "b3")
+    run()
+    rows = {r["user_id"]: r for r in results()}
+    assert 2 in rows and rows[2]["n_events"] == 1
