@@ -113,6 +113,38 @@ def probes(spark, scale: int):
             .collect()
         )
 
+    def rollup_merge():
+        from ais_data_pipeline_spark.operators.rollup import merge_rollups, rollup_partials
+        base = ev.filter(F.col("event_id") % 10 < 8)
+        delta = ev.filter(F.col("event_id") % 10 >= 8)
+        return merge_rollups(rollup_partials(base), rollup_partials(delta)).count()
+
+    def subsequence():
+        from ais_data_pipeline_spark.operators.timeseries import best_subsequence_match
+        return best_subsequence_match(
+            ev, [0.0, 0.0, 1.0, 3.0, 1.0, 0.0, 0.0, 0.0]
+        ).count()
+
+    def chunk_docs():
+        from ais_data_pipeline_spark.operators.corpus import chunk_documents
+        return chunk_documents(docs).count()
+
+    def pairwise_auto():
+        # guarded all-pairs k-NN with auto plane sizing — the probe that
+        # proves sub-quadratic candidate growth end-to-end
+        from ais_data_pipeline_spark.operators.similarity import pairwise_topk_per_vector
+        comps = [
+            ((F.xxhash64(F.col("id"), F.lit(i)) % 1000) / 500.0 - 1.0)
+            for i in range(16)
+        ]
+        emb = spark.range(2_000 * scale).select(
+            F.col("id").alias("vec_id"),
+            F.array(*comps).cast("array<double>").alias("embedding"),
+        )
+        return pairwise_topk_per_vector(
+            emb, k=5, n_planes=None, max_bucket_size=5_000
+        ).count()
+
     out = {}
     for name, fn in [
         ("grouped_agg", grouped_agg),
@@ -121,6 +153,10 @@ def probes(spark, scale: int):
         ("range_join", range_join),
         ("exact_dedup", exact_dedup_probe),
         ("minhash_lsh", minhash_probe),
+        ("rollup_merge", rollup_merge),
+        ("subsequence_match", subsequence),
+        ("chunk_documents", chunk_docs),
+        ("pairwise_knn_auto", pairwise_auto),
     ]:
         t0 = time.perf_counter()
         fn()
