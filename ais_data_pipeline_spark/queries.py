@@ -3845,3 +3845,82 @@ def q_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("error_ts"),
         F.date_format("r_p_ts", "yyyy-MM-dd HH:mm:ss").alias("next_purchase_ts"),
     )
+
+
+@register(
+    "stratified_hash_sample",
+    """
+    WITH kept AS (
+      SELECT event_type, user_id
+      FROM events
+      WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 4)
+            < CASE WHEN event_type = 'error' THEN '8000' ELSE '0ccc' END
+    )
+    SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
+    FROM kept GROUP BY event_type
+    """,
+    "Stratified deterministic sampling: per-stratum md5-prefix "
+    "thresholds (rare 'error' events kept at ~50%, the rest at ~5%) — "
+    "the class-rebalancing sample for training data, reproducible "
+    "across engines and reruns because membership is a pure function "
+    "of the key (contrast sampleBy's RNG draw).",
+)
+def q_stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    thresh = F.when(F.col("event_type") == "error", F.lit("8000")).otherwise(F.lit("0ccc"))
+    h = F.substring(F.md5(F.col("event_id").cast("string")), 1, 4)
+    return (
+        e.filter(h < thresh)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@register(
+    "funnel_stages",
+    """
+    WITH stages AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*) FILTER (WHERE t_view IS NOT NULL) AS n_view,
+           count(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view) AS n_view_click,
+           count(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view
+                            AND t_purchase > t_click) AS n_full_funnel,
+           round(CAST(count(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view
+                                       AND t_purchase > t_click) AS DOUBLE)
+                 / count(*) FILTER (WHERE t_view IS NOT NULL), 6) AS conversion
+    FROM stages
+    """,
+    "Funnel analysis: ordered view→click→purchase progression per "
+    "user via conditional-min stage timestamps (ONE aggregation pass, "
+    "no joins, no window) and strict time-ordering between stages — "
+    "the product-analytics conversion query. NULL stage times fail "
+    "the > comparison, so missing stages drop out without special "
+    "casing.",
+)
+def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    t = lambda et: F.min(F.when(F.col("event_type") == et, F.col("ts")))  # noqa: E731
+    stages = e.groupBy("user_id").agg(
+        t("view").alias("t_view"), t("click").alias("t_click"), t("purchase").alias("t_purchase")
+    )
+    reached_view = F.col("t_view").isNotNull()
+    view_click = reached_view & (F.col("t_click") > F.col("t_view"))
+    full = view_click & (F.col("t_purchase") > F.col("t_click"))
+    return stages.agg(
+        F.count(F.when(reached_view, F.lit(1))).alias("n_view"),
+        F.count(F.when(view_click, F.lit(1))).alias("n_view_click"),
+        F.count(F.when(full, F.lit(1))).alias("n_full_funnel"),
+        F.round(
+            F.count(F.when(full, F.lit(1))).cast("double")
+            / F.count(F.when(reached_view, F.lit(1))),
+            6,
+        ).alias("conversion"),
+    )
