@@ -3924,3 +3924,75 @@ def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("conversion"),
     )
+
+
+@register(
+    "trajectory_speed",
+    """
+    WITH pts AS (
+      SELECT user_id AS vessel_id, event_id, ts,
+             25.0 + (event_id % 200) / 100.0 AS lat,
+             55.0 + (event_id % 300) / 150.0 AS lon
+      FROM events
+    ), hops AS (
+      SELECT vessel_id, event_id, ts, lat, lon,
+             lag(lat) OVER w AS prev_lat,
+             lag(lon) OVER w AS prev_lon,
+             epoch_us(ts) // 1000000
+               - epoch_us(lag(ts) OVER w) // 1000000 AS dt_sec
+      FROM pts
+      WINDOW w AS (PARTITION BY vessel_id ORDER BY ts, event_id)
+    )
+    SELECT vessel_id, event_id,
+           round(2.0 * 6371.0088 * asin(sqrt(
+             pow(sin(radians(lat - prev_lat) / 2.0), 2.0)
+             + cos(radians(prev_lat)) * cos(radians(lat))
+               * pow(sin(radians(lon - prev_lon) / 2.0), 2.0)
+           )), 4) AS hop_km,
+           dt_sec
+    FROM hops
+    WHERE prev_lat IS NOT NULL AND dt_sec > 0
+    """,
+    "Trajectory hop distance (haversine) between consecutive "
+    "per-vessel positions — the AIS/GPS track primitive behind speed, "
+    "gap, and teleport-anomaly checks. Positions ride a lag window "
+    "(one shuffle on the track key, streaming over the sorted run); "
+    "the great-circle math is a codegen'd trig expression, identical "
+    "term-for-term in the oracle. Coordinates here are synthesized "
+    "deterministically from the events table (the testdata has no "
+    "geo columns); a real AIS feed plugs its lat/lon straight in.",
+)
+def q_trajectory_speed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = read_table(spark, sf_dir, "events")
+    pts = e.select(
+        F.col("user_id").alias("vessel_id"),
+        "event_id",
+        "ts",
+        (F.lit(25.0) + (F.col("event_id") % 200) / 100.0).alias("lat"),
+        (F.lit(55.0) + (F.col("event_id") % 300) / 150.0).alias("lon"),
+    )
+    w = Window.partitionBy("vessel_id").orderBy("ts", "event_id")
+    hops = pts.select(
+        "vessel_id",
+        "event_id",
+        "lat",
+        "lon",
+        F.lag("lat").over(w).alias("prev_lat"),
+        F.lag("lon").over(w).alias("prev_lon"),
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("dt_sec"),
+    )
+    dlat = F.radians(F.col("lat") - F.col("prev_lat")) / 2.0
+    dlon = F.radians(F.col("lon") - F.col("prev_lon")) / 2.0
+    a = (
+        F.pow(F.sin(dlat), 2.0)
+        + F.cos(F.radians("prev_lat")) * F.cos(F.radians("lat")) * F.pow(F.sin(dlon), 2.0)
+    )
+    hop_km = F.round(2.0 * 6371.0088 * F.asin(F.sqrt(a)), 4)
+    return (
+        hops.filter(F.col("prev_lat").isNotNull() & (F.col("dt_sec") > 0))
+        .select("vessel_id", "event_id", hop_km.alias("hop_km"), "dt_sec")
+    )
