@@ -95,3 +95,42 @@ def stamp_ingest_date(df: DataFrame, col: str = "ingest_date") -> DataFrame:
     """K2 parity for the streaming path: stamp the UTC ingest date so
     the sink partitions match the batch layout."""
     return df.withColumn(col, F.to_date(F.current_timestamp()))
+
+
+def run_upsert_sink(
+    stream_df: DataFrame,
+    table_path: str,
+    key_cols: list[str],
+    checkpoint_path: str,
+    order_col: str | None = None,
+) -> None:
+    """Streaming MERGE sink: each micro-batch upserts into a plain
+    parquet table via ``foreachBatch`` + ``upsert_parquet`` — the CDC /
+    latest-state-per-key sink where an append sink would accumulate
+    stale versions.
+
+    Exactly-once effect comes from the two halves composing: the
+    checkpoint guarantees each batch is delivered at-least-once with a
+    stable batch id, and the MERGE is IDEMPOTENT (same batch replayed
+    → same keys overwrite to the same values), so replays after a
+    crash cannot duplicate rows. That idempotence-not-transactions
+    recipe is the standard exactly-once story for non-transactional
+    sinks."""
+    import os as _os
+
+    from ais_data_pipeline_spark.sinks.parquet import upsert_parquet
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if not _os.path.exists(_os.path.join(table_path, "_SUCCESS")):
+            batch_df.dropDuplicates(key_cols).write.mode("overwrite").parquet(table_path)
+            return
+        upsert_parquet(spark, table_path, batch_df, key_cols, order_col=order_col)
+
+    q = (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

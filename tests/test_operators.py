@@ -844,3 +844,33 @@ def test_stateful_session_timeout_emits_on_close(spark, tmp_path):
     run()
     rows = {r["user_id"]: r for r in results()}
     assert 2 in rows and rows[2]["n_events"] == 1
+
+
+def test_streaming_upsert_sink_latest_state(spark, tmp_path):
+    """foreachBatch MERGE sink: across incremental runs the table holds
+    exactly the LATEST state per key (no duplicate keys, updates win),
+    and replaying a batch cannot duplicate rows (idempotent merge)."""
+    from ais_data_pipeline_spark.streaming.ingest import run_upsert_sink
+
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    schema = "k long, v string, seq long"
+
+    def write(rows, sub):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src / sub))
+
+    table, ckpt = str(tmp_path / "state_table"), str(tmp_path / "ckpt")
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        run_upsert_sink(stream, table, ["k"], ckpt, order_col="seq")
+
+    write([(1, "a", 1), (2, "b", 1)], "b1")
+    run()
+    write([(2, "b2", 2), (3, "c", 2)], "b2")  # update k=2, insert k=3
+    run()
+    rows = {r["k"]: r["v"] for r in spark.read.parquet(table).collect()}
+    assert rows == {1: "a", 2: "b2", 3: "c"}
+    assert spark.read.parquet(table).count() == 3  # no duplicate keys
+    run()  # no new files: replay-safe no-op
+    assert {r["k"]: r["v"] for r in spark.read.parquet(table).collect()} == rows

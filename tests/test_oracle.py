@@ -118,3 +118,18 @@ def test_entry_smoke(spark, smoke_dir):
     names = set(entrymod.queries())
     oracle = entrymod.oracle_sql()
     assert set(oracle) <= names
+
+
+def test_front_window_well_formed():
+    """The driver checks only the first 50 registry entries; the window
+    must stay exactly 50 unique, registered names so a careless edit
+    can't silently drop a query out of driver verification."""
+    from ais_data_pipeline_spark.queries import _FRONT_WINDOW, _REGISTRY
+
+    assert len(_FRONT_WINDOW) == 50
+    assert len(set(_FRONT_WINDOW)) == 50
+    registered = {q.name for q in _REGISTRY}
+    missing = [n for n in _FRONT_WINDOW if n not in registered]
+    assert not missing, missing
+    names = [q.name for q in QUERIES]
+    assert names[:50] == _FRONT_WINDOW
