@@ -3996,3 +3996,97 @@ def q_trajectory_speed(spark: SparkSession, sf_dir: str) -> DataFrame:
         hops.filter(F.col("prev_lat").isNotNull() & (F.col("dt_sec") > 0))
         .select("vessel_id", "event_id", hop_km.alias("hop_km"), "dt_sec")
     )
+
+
+@register(
+    "mode_event_type_per_user",
+    """
+    WITH counts AS (
+      SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2
+    ), ranked AS (
+      SELECT user_id, event_type, n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, event_type ASC) AS rn
+      FROM counts
+    )
+    SELECT user_id, event_type AS mode_type, n AS n_mode FROM ranked WHERE rn = 1
+    """,
+    "Per-group mode (most frequent value) with a deterministic "
+    "alphabetical tie-break — count + one window argmax; the built-in "
+    "mode() has engine-specific tie behavior, so the explicit rank is "
+    "the portable form.",
+)
+def q_mode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = read_table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), F.col("n").alias("n_mode"))
+    )
+
+
+@register(
+    "above_avg_orders",
+    """
+    WITH stats AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey)
+                  AS DOUBLE) / count(*) OVER (PARTITION BY o_custkey) AS cust_avg
+      FROM orders
+    )
+    SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           cust_avg
+    FROM stats WHERE o_totalprice > cust_avg
+    """,
+    "Correlated above-average filter (orders beating their customer's "
+    "own mean): the correlated subquery decorrelates into ONE window "
+    "over the customer key instead of a per-row subquery join — exact "
+    "decimal mean, single shuffle.",
+)
+def q_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    avg = (
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        o.withColumn("cust_avg", avg)
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            # raw double, deliberately un-rounded: both engines compute
+            # the identical IEEE quotient, while round()-at-half-digit
+            # behavior differs between them (BigDecimal HALF_UP vs
+            # DuckDB's) — rounding would INTRODUCE divergence here
+            "cust_avg",
+        )
+    )
+
+
+@register(
+    "string_agg_types",
+    """
+    SELECT user_id,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS type_csv
+    FROM events GROUP BY user_id
+    """,
+    "Sorted string aggregation (listagg/string_agg): distinct values "
+    "sorted then joined, so the concatenation is partition-order-"
+    "independent — the portable form of an inherently order-sensitive "
+    "aggregate.",
+)
+def q_string_agg_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("type_csv")
+    )
