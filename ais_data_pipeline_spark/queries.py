@@ -3315,13 +3315,13 @@ def q_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
       FROM lineitem GROUP BY 1
     ), tot AS (
-      SELECT sum(val) AS t FROM pv
+      SELECT sum(val) AS t, count(*) AS nparts FROM pv
     )
     SELECT l_partkey AS partkey,
            CAST(val AS DOUBLE) AS part_value,
            round(CAST(val AS DOUBLE) / CAST(t AS DOUBLE), 8) AS share
     FROM pv, tot
-    WHERE CAST(val AS DOUBLE) / CAST(t AS DOUBLE) > 0.001
+    WHERE CAST(val AS DOUBLE) / CAST(t AS DOUBLE) > 1.1 / nparts
     """,
     "TPC-H Q11 shape: per-part value share against a global scalar "
     "subquery total (HAVING-against-aggregate). Both the numerator and "
@@ -3334,11 +3334,15 @@ def q_important_parts_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     pv = li.groupBy("l_partkey").agg(
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("val")
     )
-    tot = pv.agg(F.sum("val").alias("t"))
+    tot = pv.agg(F.sum("val").alias("t"), F.count(F.lit(1)).alias("nparts"))
     share = F.col("val").cast("double") / F.col("t").cast("double")
     return (
         pv.crossJoin(F.broadcast(tot))
-        .filter(share > 0.001)
+        # scale-relative threshold (>110% of a uniform share) so the
+        # result is non-vacuous at every SF; the partkey aggregation
+        # exchange is REUSED at runtime between pv and tot (verified:
+        # one physical lineitem scan)
+        .filter(share > 1.1 / F.col("nparts"))
         .select(
             F.col("l_partkey").alias("partkey"),
             F.col("val").cast("double").alias("part_value"),
@@ -3388,17 +3392,24 @@ def q_supplier_count_per_brand_size(spark: SparkSession, sf_dir: str) -> DataFra
            CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
     FROM customer, avg_bal
     WHERE c_acctbal > ab
-      AND c_custkey NOT IN (SELECT o_custkey FROM orders)
+      AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_totalprice > 200000)
     GROUP BY 1
     """,
-    "TPC-H Q22 shape: above-average-balance customers with no orders "
-    "(scalar avg subquery + anti join), grouped by segment. The avg is "
-    "exact-decimal-sum / count, so the threshold is bit-identical "
-    "across engines.",
+    "TPC-H Q22 shape: above-average-balance customers with no "
+    "HIGH-VALUE orders (scalar avg subquery + anti join against the "
+    "filtered order set; this synthetic data gives every customer "
+    "some order, so the classic no-orders form is vacuous), grouped "
+    "by segment. The avg is exact-decimal-sum / count, so the "
+    "threshold is bit-identical across engines.",
 )
 def q_rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = read_table(spark, sf_dir, "customer")
-    o = read_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 200000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
     avg_bal = (
         c.filter(F.col("c_acctbal") > 0)
         .agg(
