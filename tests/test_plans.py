@@ -413,3 +413,27 @@ def test_bloom_filter_runtime_join_pruning(spark, sf_dir):
     finally:
         for k, v in saved.items():
             (spark.conf.set(k, v) if v is not None else spark.conf.unset(k))
+
+
+def test_round3_queries_stay_jvm_side(spark, sf_dir):
+    """Every round-3 scalar/window query must compile to pure JVM plans
+    — no Python evaluation nodes anywhere (pandas paths are reserved
+    for the explicitly-Arrow operators like audio_meta)."""
+    for name in (
+        "subsequence_best_match",
+        "zorder_values",
+        "incremental_rollup_merge",
+        "media_type_route",
+        "trajectory_speed",
+        "funnel_stages",
+        "tfidf_top_terms",
+        "doc_chunking",
+        "sequence_packing",
+        "hash_sample_orders",
+        "fuzzy_name_pairs",
+        "rolling_1h_user_stats",
+        "mode_event_type_per_user",
+        "above_avg_orders",
+    ):
+        plan = plan_of(BY_NAME[name].fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
