@@ -4101,3 +4101,106 @@ def q_string_agg_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("user_id").agg(
         F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("type_csv")
     )
+
+
+@register(
+    "topk_with_ties",
+    """
+    WITH r AS (
+      SELECT o_orderpriority, o_orderkey,
+             CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+             rank() OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice DESC) AS rnk
+      FROM orders
+    )
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rnk
+    FROM r WHERE rnk <= 3
+    """,
+    "Tie-INCLUSIVE top-k per group (rank(), not row_number()): equal "
+    "values share a rank and all of them survive the cut — the "
+    "semantics leaderboards actually want; row_number's arbitrary "
+    "tie-drop is the subtle bug. Output stays deterministic without a "
+    "tie-break because ties are kept, not chosen between.",
+)
+def q_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"))
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.rank().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@register(
+    "cumulative_unique_users",
+    """
+    WITH first_seen AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS d FROM events GROUP BY user_id
+    ), per_day AS (
+      SELECT d, count(*) AS new_users FROM first_seen GROUP BY d
+    )
+    SELECT d, new_users,
+           CAST(sum(new_users) OVER (ORDER BY d) AS BIGINT) AS cum_users
+    FROM per_day
+    """,
+    "Cumulative distinct count over time via the first-seen trick: "
+    "windowed count(DISTINCT) doesn't exist in either engine, but "
+    "min-date per user + a running sum of daily first-appearances IS "
+    "the users-seen-to-date curve — two small shuffles instead of an "
+    "impossible window. The growth-dashboard primitive.",
+)
+def q_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    _utc(spark)
+    e = read_table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d"))
+    per_day = first_seen.groupBy("d").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        "d", "new_users", F.sum("new_users").over(w).cast("bigint").alias("cum_users")
+    )
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH cohorts AS (
+      SELECT user_id, min(date_trunc('week', CAST(ts AS DATE))) AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id, date_trunc('week', CAST(e.ts AS DATE)) AS active_week
+      FROM events e
+    )
+    SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST((a.active_week - c.cohort_week) / 7 AS INT) AS week_offset,
+           count(*) AS n_active
+    FROM cohorts c JOIN activity a ON c.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+    "Cohort retention: users bucketed by first-seen week, activity "
+    "counted per (cohort, weeks-since) cell — the retention-triangle "
+    "query. The cohort dim derives from the same scan and joins back "
+    "on the user key (broadcast at realistic cohort cardinality).",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    e = read_table(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.to_date("ts")).cast("date")
+    cohorts = e.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    activity = e.select("user_id", week.alias("active_week")).distinct()
+    return (
+        activity.join(cohorts, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("active_week", "cohort_week") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
