@@ -56,3 +56,34 @@ def ranged_downcast(col: str, target: T.DataType, lo: int, hi: int) -> Column:
 def with_derived(df: DataFrame, exprs: dict[str, Column]) -> DataFrame:
     """Reference T7: add derived arithmetic columns in one projection."""
     return df.withColumns(exprs)
+
+
+def snapshot_diff(old, new, keys: list[str], compare_cols: list[str] | None = None):
+    """Change-data-capture diff between two table snapshots: full outer
+    join on the key, classify each key as added / removed / changed
+    (any compared column differs, null-safely) — unchanged rows drop.
+    The ETL regression-diff and incremental-sync primitive; one
+    co-partitioned shuffle on the key, no collect.
+    """
+    from pyspark.sql import functions as F
+
+    compare_cols = compare_cols or [c for c in old.columns if c not in keys]
+    # presence must be judged on the join sides, not a nullable value
+    # column — use a sentinel from each side
+    o = old.select(*keys, F.lit(1).alias("__old"), *[F.col(c).alias(f"old_{c}") for c in compare_cols])
+    n = new.select(*keys, F.lit(1).alias("__new"), *[F.col(c).alias(f"new_{c}") for c in compare_cols])
+    j = o.join(n, keys, "full_outer")
+    differs = F.lit(False)
+    for c in compare_cols:
+        differs = differs | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    change = (
+        F.when(F.col("__old").isNull(), F.lit("added"))
+        .when(F.col("__new").isNull(), F.lit("removed"))
+        .when(differs, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type") != "unchanged")
+        .select(*keys, "change_type")
+    )

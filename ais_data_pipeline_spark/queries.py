@@ -4204,3 +4204,56 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+@register(
+    "snapshot_diff_orders",
+    """
+    WITH old AS (
+      SELECT o_orderkey, o_totalprice FROM orders
+    ), new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_totalprice
+      FROM orders WHERE o_orderkey % 103 = 0
+    ), j AS (
+      SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                  WHEN n.o_orderkey IS NULL THEN 'removed'
+                  WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'changed'
+                  ELSE 'unchanged' END AS change_type
+      FROM old o FULL OUTER JOIN new n USING (o_orderkey)
+    )
+    SELECT change_type, count(*) AS n FROM j
+    WHERE change_type <> 'unchanged' GROUP BY change_type
+    """,
+    "Snapshot diff (CDC between table versions): full outer join on "
+    "the key classifies added / removed / changed (null-safe column "
+    "compare), unchanged drops — the ETL regression-diff primitive. "
+    "The 'new' snapshot is synthesized deterministically from orders "
+    "(drops, price mutations, inserts) so both engines diff identical "
+    "inputs.",
+)
+def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.transforms import snapshot_diff
+
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    mutated = (
+        o.filter(F.col("o_orderkey") % 97 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 100 == 0, F.col("o_totalprice") + 1.0
+            ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        )
+        .unionAll(
+            o.filter(F.col("o_orderkey") % 103 == 0).select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"), "o_totalprice"
+            )
+        )
+    )
+    diff = snapshot_diff(o, mutated, ["o_orderkey"])
+    return diff.groupBy("change_type").agg(F.count(F.lit(1)).alias("n"))
