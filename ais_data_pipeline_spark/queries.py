@@ -4257,3 +4257,38 @@ def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     diff = snapshot_diff(o, mutated, ["o_orderkey"])
     return diff.groupBy("change_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "revenue_mom_change",
+    """
+    WITH monthly AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           lag(revenue) OVER (ORDER BY month) AS prev_revenue,
+           revenue / lag(revenue) OVER (ORDER BY month) - 1.0 AS mom_change
+    FROM monthly
+    """,
+    "Period-over-period (month-over-month revenue change): decimal-"
+    "exact monthly totals, then lag + ratio over the ordered months. "
+    "The ratio stays an UN-rounded double — both engines compute the "
+    "identical IEEE quotient from identical inputs, and rounding an "
+    "already-identical value is where engines diverge, not agree.",
+)
+def q_revenue_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    _utc(spark)
+    o = read_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month", "revenue", prev.alias("prev_revenue"),
+        (F.col("revenue") / prev - 1.0).alias("mom_change"),
+    )
