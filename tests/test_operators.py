@@ -874,3 +874,64 @@ def test_streaming_upsert_sink_latest_state(spark, tmp_path):
     assert spark.read.parquet(table).count() == 3  # no duplicate keys
     run()  # no new files: replay-safe no-op
     assert {r["k"]: r["v"] for r in spark.read.parquet(table).collect()} == rows
+
+
+def test_stream_stream_left_outer_emits_unmatched(spark, tmp_path):
+    """LEFT OUTER stream-stream join: a click with no purchase inside
+    the time bound must emit with nulls — but only AFTER the watermark
+    closes its window (outer results cannot emit while a match could
+    still arrive)."""
+    click_src = tmp_path / "lo_clicks"
+    buy_src = tmp_path / "lo_buys"
+    click_src.mkdir(); buy_src.mkdir()
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = "user_id long, ts timestamp, event_id long"
+
+    def write(d, rows, sub):
+        (
+            spark.createDataFrame(rows, "user_id long, ts string, event_id long")
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .coalesce(1)
+            .write.parquet(str(d / sub))
+        )
+
+    write(click_src, [(1, "2024-01-01 10:00:00", 100), (2, "2024-01-01 10:01:00", 101)], "b1")
+    write(buy_src, [(2, "2024-01-01 10:10:00", 900)], "b1")
+
+    clicks = (
+        spark.readStream.schema(schema).parquet(str(click_src / "*"))
+        .select("user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id"))
+        .withWatermark("click_ts", "10 minutes")
+    )
+    buys = (
+        spark.readStream.schema(schema).parquet(str(buy_src / "*"))
+        .select(F.col("user_id").alias("p_user_id"), F.col("ts").alias("p_ts"),
+                F.col("event_id").alias("purchase_id"))
+        .withWatermark("p_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        buys,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("p_ts") >= F.col("click_ts"))
+        & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    ).select("user_id", "click_id", "purchase_id")
+
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    run = lambda: (  # noqa: E731
+        joined.writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start().awaitTermination()
+    )
+    run()
+    # advance both watermarks far past click 100's join window
+    write(click_src, [(9, "2024-01-01 13:00:00", 102)], "b2")
+    write(buy_src, [(9, "2024-01-01 13:00:30", 901)], "b2")
+    run()
+    write(click_src, [(8, "2024-01-01 16:00:00", 103)], "b3")
+    write(buy_src, [(8, "2024-01-01 16:00:30", 902)], "b3")
+    run()
+
+    got = {(r["click_id"], r["purchase_id"]) for r in spark.read.parquet(out).collect()}
+    assert (101, 900) in got          # matched pair
+    assert (100, None) in got, got    # unmatched click emitted with null
