@@ -66,11 +66,16 @@ def pack_sequences(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Assign documents to fixed-token-budget training bins: within a
-    shard (``id % n_shards``), documents pack in id order and a new bin
-    starts whenever the running total crosses the budget. A document
-    longer than the budget gets a bin of its own. Output:
-    (id, shard, bin_id, n_tokens)."""
+    """Assign documents to token-budget training bins by START OFFSET:
+    within a shard (``id % n_shards``), documents pack in id order and
+    ``bin_id = floor(start_offset / budget_tokens)`` where start_offset
+    is the running token total before the document. Bins are bounded by
+    the budget in start offsets only — a document that spans a boundary
+    stays in the bin it starts in, so a bin's total can exceed
+    ``budget_tokens`` (and an over-budget document shares its bin with
+    the docs packed before it). Trainers that need strict per-bin caps
+    should treat this as the shard/locality assignment and do the final
+    greedy split within a bin. Output: (id, shard, bin_id, n_tokens)."""
     w = Window.partitionBy("shard").orderBy(id_col)
     sized = df.select(
         F.col(id_col),

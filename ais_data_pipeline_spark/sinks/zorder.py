@@ -35,6 +35,11 @@ def interleave_bits(cols: list[Column], bits: int = 16) -> Column:
     shift/and/or arithmetic — whole-stage codegen, deterministic,
     and exactly reproducible in ANSI SQL for the oracle."""
     k = len(cols)
+    if k * bits > 63:
+        raise ValueError(
+            f"interleaved code needs {k * bits} bits but a signed long holds 63; "
+            f"reduce bits to <= {63 // k} for {k} columns"
+        )
     z = F.lit(0).cast("long")
     for j, c in enumerate(cols):
         x = c.cast("long")
@@ -58,6 +63,12 @@ def zvalue_for(
             *[F.min(c).alias(f"mn_{c}") for c in cols],
             *[F.max(c).alias(f"mx_{c}") for c in cols],
         ).first()
+        missing = [c for c in cols if row[f"mn_{c}"] is None or row[f"mx_{c}"] is None]
+        if missing:
+            raise ValueError(
+                f"cannot z-order on {missing}: min/max are NULL "
+                "(empty DataFrame or all-NULL column)"
+            )
         bounds = {c: (float(row[f"mn_{c}"]), float(row[f"mx_{c}"])) for c in cols}
     top = (1 << bits) - 1
     ranks = []

@@ -123,7 +123,23 @@ def run_upsert_sink(
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if not _os.path.exists(_os.path.join(table_path, "_SUCCESS")):
-            batch_df.dropDuplicates(key_cols).write.mode("overwrite").parquet(table_path)
+            # Bootstrap write must use the SAME latest-wins-by-order_col
+            # semantics as every later merge: if the first micro-batch
+            # carries multiple versions of a key, an arbitrary
+            # dropDuplicates pick could persist a stale version.
+            first = batch_df
+            if order_col is not None:
+                from pyspark.sql import Window
+
+                w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+                first = (
+                    batch_df.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1)
+                    .drop("__rn")
+                )
+            else:
+                first = batch_df.dropDuplicates(key_cols)
+            first.write.mode("overwrite").parquet(table_path)
             return
         upsert_parquet(spark, table_path, batch_df, key_cols, order_col=order_col)
 

@@ -876,6 +876,44 @@ def test_streaming_upsert_sink_latest_state(spark, tmp_path):
     assert {r["k"]: r["v"] for r in spark.read.parquet(table).collect()} == rows
 
 
+def test_streaming_upsert_sink_bootstrap_latest_wins(spark, tmp_path):
+    """FIRST micro-batch with multiple versions of a key must keep the
+    latest by order_col — same semantics as every later merge (the
+    bootstrap write previously used an arbitrary dropDuplicates)."""
+    from ais_data_pipeline_spark.streaming.ingest import run_upsert_sink
+
+    src = tmp_path / "boot_src"
+    src.mkdir()
+    schema = "k long, v string, seq long"
+    # one batch, three versions of k=1 out of order + one of k=2
+    (
+        spark.createDataFrame(
+            [(1, "stale", 1), (1, "latest", 3), (1, "mid", 2), (2, "b", 1)], schema
+        )
+        .coalesce(1)
+        .write.parquet(str(src / "b1"))
+    )
+    table, ckpt = str(tmp_path / "boot_table"), str(tmp_path / "boot_ckpt")
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    run_upsert_sink(stream, table, ["k"], ckpt, order_col="seq")
+    rows = {r["k"]: r["v"] for r in spark.read.parquet(table).collect()}
+    assert rows == {1: "latest", 2: "b"}
+
+
+def test_zorder_guards(spark):
+    """interleave_bits refuses codes wider than 63 bits; zvalue_for
+    fails clearly on all-NULL bounds instead of a TypeError."""
+    import pytest as _pytest
+
+    from ais_data_pipeline_spark.sinks.zorder import interleave_bits, zvalue_for
+
+    with _pytest.raises(ValueError, match="63"):
+        interleave_bits([F.col("a"), F.col("b"), F.col("c"), F.col("d")], bits=16)
+    d = spark.createDataFrame([(None,), (None,)], "x double")
+    with _pytest.raises(ValueError, match="NULL"):
+        zvalue_for(d, ["x"])
+
+
 def test_stream_stream_left_outer_emits_unmatched(spark, tmp_path):
     """LEFT OUTER stream-stream join: a click with no purchase inside
     the time bound must emit with nulls — but only AFTER the watermark
