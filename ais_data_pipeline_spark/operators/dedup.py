@@ -353,12 +353,29 @@ def simhash64(hashes_col: Column) -> Column:
 
 
 def simhash_fingerprints(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", seed: int = 42
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
+    """``hash_fn='xxhash64'`` is the production path (fastest JVM hash).
+    ``hash_fn='md5_60'`` swaps in a 60-bit hash from the first 15 hex
+    chars of md5 — slower, but bit-for-bit reproducible in ANSI SQL
+    (DuckDB ``('0x'||substr(md5(t),1,15))::BIGINT``), which lets the
+    driver oracle-check the whole bit-vote machinery instead of
+    settling for a rows-only check. Bits 60-63 of the fingerprint are
+    then always 0 (their votes are uniformly -1)."""
     tokens = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    if hash_fn == "md5_60":
+        tok_hash = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    elif hash_fn == "xxhash64":
+        tok_hash = lambda t: F.xxhash64(t, F.lit(seed))
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     hashed = _spread(df).select(
         F.col(id_col),
-        F.transform(tokens, lambda t: F.xxhash64(t, F.lit(seed))).alias("__h"),
+        F.transform(tokens, tok_hash).alias("__h"),
     )
     return hashed.select(F.col(id_col), simhash64(F.col("__h")).alias("simhash"))
 

@@ -765,18 +765,41 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dup(d, threshold=0.5, n_hashes=32, bands=16)
 
 
+def _simhash_oracle() -> str:
+    """DuckDB SQL reproducing simhash64 over the portable md5_60 token
+    hash: 60 bit-vote aggregates, fingerprint bit b set iff the vote
+    sum is positive (bits 60-63 always 0 under a 60-bit hash)."""
+    terms = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN (1::BIGINT << {b}) ELSE 0 END)"
+        for b in range(60)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(t.tok), 1, 15))::BIGINT AS h
+      FROM documents,
+           unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t(tok)
+    )
+    SELECT doc_id, {terms} AS simhash
+    FROM toks GROUP BY doc_id
+    """
+
+
 @register(
     "simhash_fingerprints",
-    None,  # xxhash64 not available in DuckDB — property-tested in pytest instead
+    _simhash_oracle(),
     "64-bit SimHash fingerprint per document (bit-vote over token "
-    "xxhash64) — one JVM projection, no shuffle; near-dups found by "
-    "16-bit block banding (pigeonhole).",
+    "hashes) — one JVM projection, no shuffle; near-dups found by "
+    "16-bit block banding (pigeonhole). Driver-checked via the "
+    "portable md5_60 hash (oracle re-derives all 60 bit votes in "
+    "SQL); production default stays xxhash64 (property-tested).",
 )
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ais_data_pipeline_spark.operators.dedup import simhash_fingerprints
 
     d = read_table(spark, sf_dir, "documents")
-    return simhash_fingerprints(d)
+    return simhash_fingerprints(d, hash_fn="md5_60")
 
 
 @register(
