@@ -4315,3 +4315,354 @@ def q_revenue_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         "month", "revenue", prev.alias("prev_revenue"),
         (F.col("revenue") / prev - 1.0).alias("mom_change"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 21 (round 4): remaining TPC-H join/subquery shapes — Q8 market
+# share, Q10 returned revenue, Q14 promo share, Q15 top supplier
+# (scalar-max subquery), Q19 OR-bracket predicate pushdown, Q21
+# exists/not-exists correlation, Q20 reshaped as a window ratio (no
+# partsupp table in the star schema).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "market_share",
+    """
+    WITH rev AS (
+      SELECT year(o_orderdate) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region   ON cn.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE r_name = 'ASIA'
+    )
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN volume
+                               ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+    FROM rev GROUP BY o_year
+    """,
+    "TPC-H Q8 shape: NATION_2's share of supplier revenue in the ASIA "
+    "customer market per order year. Dims (nation/region) broadcast; "
+    "the three fact joins shuffle on their keys under AQE. Exact "
+    "decimal volumes; the share is one double division both engines "
+    "compute identically, rounded last.",
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    cn = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+    sn = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    volume = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    asia = r.filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    target = F.when(F.col("supp_nation") == "NATION_2", volume).otherwise(
+        F.lit(0).cast("decimal(19,4)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(asia), F.col("c_rk") == F.col("r_regionkey"))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(target).cast("double") / F.sum(volume).cast("double"), 6
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "returned_revenue",
+    """
+    SELECT c_custkey, c_name, n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    "TPC-H Q10 shape: top-20 customers by lost revenue on returned "
+    "items in one order year. Returnflag + date filters push to the "
+    "scans; nation broadcasts; TakeOrderedAndProject caps the result "
+    "with a total tie-break (revenue desc, custkey).",
+)
+def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "promo_revenue_share",
+    """
+    SELECT round(
+             100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                       ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+             6) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l_shipdate <  TIMESTAMP '1997-06-01'
+    """,
+    "TPC-H Q14 shape: percent of a quarter's revenue from PROMO parts "
+    "— conditional vs total decimal sums in ONE aggregate pass over "
+    "the part join, date filter pushed to the lineitem scan.",
+)
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-06-01")
+    )
+    p = read_table(spark, sf_dir, "part")
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(
+        F.lit(0).cast("decimal(19,4)")
+    )
+    return li.join(p, li.l_partkey == p.p_partkey).agg(
+        F.round(
+            F.lit(100.0) * F.sum(promo).cast("double") / F.sum(revenue).cast("double"),
+            6,
+        ).alias("promo_pct")
+    )
+
+
+@register(
+    "top_supplier_quarter",
+    """
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    ORDER BY s_suppkey
+    """,
+    "TPC-H Q15 shape: supplier(s) hitting the quarter's max revenue — "
+    "the scalar-max subquery becomes a 1-row broadcast join against "
+    "the reused revenue aggregate (computed once, referenced twice).",
+)
+def q_top_supplier_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    s = read_table(spark, sf_dir, "supplier")
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(revenue).cast("double").alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == mx.__mx)
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "bracket_revenue",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 21)
+       OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 40)
+    """,
+    "TPC-H Q19 shape: revenue from three OR'd (brand, size, quantity) "
+    "brackets. The disjunction references both sides, so it evaluates "
+    "as the join condition's residual; the shared l_quantity bound "
+    "(>= 1, <= 40) is still scan-prunable and the join itself is an "
+    "equi hash join on partkey.",
+)
+def q_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    bracket = (
+        ((F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 15) & q.between(1, 21))
+        | ((F.col("p_brand") == "Brand#22") & F.col("p_size").between(10, 30) & q.between(10, 30))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(20, 50) & q.between(20, 40))
+    )
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(bracket)
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "blocking_suppliers",
+    """
+    WITH l1 AS (SELECT l_orderkey, l_suppkey, l_shipdate FROM lineitem),
+    blocking AS (
+      SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+      FROM l1
+      JOIN orders ON l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+      WHERE EXISTS (
+              SELECT 1 FROM l1 l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (
+              SELECT 1 FROM l1 l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > l1.l_shipdate)
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM blocking JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name LIMIT 20
+    """,
+    "TPC-H Q21 shape (no commit/receipt dates in this schema, so "
+    "'blocking' = shipped LAST): suppliers who, in multi-supplier "
+    "finalized orders, uniquely held the latest ship date. The "
+    "correlated EXISTS becomes a semi-join and NOT EXISTS an "
+    "anti-join, both shuffling on l_orderkey — co-partitioned with "
+    "the base scan, no O(n^2) correlation.",
+)
+def q_blocking_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = read_table(spark, sf_dir, "supplier")
+    l1 = li.join(o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey")).drop(
+        "o_orderkey"
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("k3"),
+        F.col("l_suppkey").alias("s3"),
+        F.col("l_shipdate").alias("d3"),
+    )
+    has_other = l1.join(
+        l2, (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
+        "left_semi",
+    )
+    blocking = has_other.join(
+        l3,
+        (F.col("l_orderkey") == F.col("k3"))
+        & (F.col("l_suppkey") != F.col("s3"))
+        & (F.col("d3") > F.col("l_shipdate")),
+        "left_anti",
+    ).select("l_orderkey", "l_suppkey").distinct()
+    return (
+        blocking.join(s, blocking.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+@register(
+    "dominant_supplier_part",
+    """
+    WITH sq AS (
+      SELECT l_partkey, l_suppkey,
+             sum(CAST(l_quantity AS DECIMAL(18,2))) AS supp_qty,
+             sum(sum(CAST(l_quantity AS DECIMAL(18,2))))
+               OVER (PARTITION BY l_partkey) AS part_qty
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT p_name, s_name,
+           round(CAST(supp_qty AS DOUBLE) / CAST(part_qty AS DOUBLE), 6)
+             AS qty_share
+    FROM sq
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE p_name LIKE 'small%'
+      AND supp_qty * 2 > part_qty
+    ORDER BY p_name, s_name
+    """,
+    "TPC-H Q20 reshaped for a schema without partsupp: suppliers "
+    "shipping the majority (>50%) of a 'small%' part's total quantity. "
+    "The correlated half-of-total subquery becomes one partial agg + "
+    "a window sum over the agg's own output (|parts x suppliers| "
+    "rows, not lineitems) — exact decimal compare, no second scan.",
+)
+def q_dominant_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    s = read_table(spark, sf_dir, "supplier")
+    sq = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("supp_qty")
+    )
+    w = Window.partitionBy("l_partkey")
+    sq = sq.withColumn("part_qty", F.sum("supp_qty").over(w))
+    return (
+        sq.filter(F.col("supp_qty") * 2 > F.col("part_qty"))
+        .join(p, sq.l_partkey == p.p_partkey)
+        .join(s, sq.l_suppkey == s.s_suppkey)
+        .select(
+            "p_name",
+            "s_name",
+            F.round(
+                F.col("supp_qty").cast("double") / F.col("part_qty").cast("double"), 6
+            ).alias("qty_share"),
+        )
+        .orderBy("p_name", "s_name")
+    )
