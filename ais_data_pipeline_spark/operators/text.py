@@ -157,3 +157,93 @@ def ngram_profile(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str
         n_grams.alias("n_ngrams"),
         F.size(F.array_distinct(grams)).alias("n_distinct_ngrams"),
     )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021,
+    'Scaling Language Models' §A1.1: repetitious documents are
+    low-quality training data):
+
+    - ``dup_token_frac`` — fraction of tokens that are repeats of an
+      earlier token (1 - distinct/total);
+    - ``top_2gram_share`` — fraction of the document's 2-grams taken
+      by the single most frequent 2-gram;
+    - ``top_2gram`` — that 2-gram (lexicographically smallest on
+      count ties, so the output is total-ordered).
+
+    dup_token_frac is a pure projection; the 2-gram mode explodes to
+    (doc, gram) pairs and aggregates — shuffle ∝ corpus token count,
+    the same scale shape as term_frequencies. The token array is
+    materialized BEFORE gram construction so the split doesn't inline
+    into every lambda (HOF-inlining trap).
+    """
+    toks = df.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("__t")
+    ).withColumn("__n", F.size("__t"))
+    base = toks.select(
+        F.col(id_col),
+        F.col("__n").alias("n_tokens"),
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct("__t")).cast("double")
+            / F.col("__n").cast("double"),
+            6,
+        ).alias("dup_token_frac"),
+    )
+    grams = toks.filter(F.col("__n") >= 2).select(
+        F.col(id_col),
+        F.col("__n"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("__n") - 2),
+                lambda i: F.concat_ws(" ", F.element_at("__t", i + 1), F.element_at("__t", i + 2)),
+            )
+        ).alias("gram"),
+    )
+    counts = grams.groupBy(id_col, "__n", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    # min_by over (-cnt, gram) = "highest count, then lexicographically
+    # smallest gram" — a deterministic total-ordered pick.
+    top = counts.groupBy(id_col, "__n").agg(
+        F.min_by(
+            F.struct(F.col("cnt"), F.col("gram")),
+            F.struct((-F.col("cnt")).alias("neg"), F.col("gram")),
+        ).alias("__top")
+    )
+    top = top.select(
+        F.col(id_col),
+        F.round(
+            F.col("__top.cnt").cast("double") / (F.col("__n") - 1).cast("double"), 6
+        ).alias("top_2gram_share"),
+        F.col("__top.gram").alias("top_2gram"),
+    )
+    return base.join(top, id_col, "left")
+
+
+#: PII patterns (public, standard shapes) — RE2/Java-regex compatible:
+#: no backreferences, ASCII word boundaries.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact PII spans (email / phone / IPv4) from ``text_col`` and
+    count what was removed, per category. One codegen'd projection —
+    regexp_count per pattern plus a chained regexp_replace; order is
+    email → phone → ipv4 so the phone pattern can't eat IPv4 octets
+    first. Scale: embarrassingly parallel map work, no shuffle."""
+    c = F.col(text_col)
+    counts = [
+        F.regexp_count(c, F.lit(p)).alias(f"n_{name}")
+        for name, p in PII_PATTERNS.items()
+    ]
+    scrubbed = c
+    for name, p in PII_PATTERNS.items():
+        scrubbed = F.regexp_replace(scrubbed, p, f"<{name.upper()}>")
+    return df.select(F.col(id_col), *counts, scrubbed.alias("scrubbed"))

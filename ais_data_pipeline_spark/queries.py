@@ -4666,3 +4666,149 @@ def q_dominant_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_name", "s_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 22 (round 4): LLM training-data curation — Gopher repetition
+# signals, PII redaction, int8 embedding quantization.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_repetition_stats",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ), base AS (
+      SELECT doc_id, len(t) AS n_tokens,
+             round(1.0 - len(list_distinct(t))::DOUBLE / len(t)::DOUBLE, 6)
+               AS dup_token_frac
+      FROM toks
+    ), grams AS (
+      SELECT doc_id, len(t) AS n, t[i] || ' ' || t[i + 1] AS gram
+      FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 2
+    ), counts AS (
+      SELECT doc_id, n, gram, count(*) AS cnt FROM grams GROUP BY doc_id, n, gram
+    ), ranked AS (
+      SELECT doc_id,
+             round(cnt::DOUBLE / (n - 1)::DOUBLE, 6) AS top_2gram_share,
+             gram AS top_2gram,
+             row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn
+      FROM counts
+    )
+    SELECT b.doc_id, b.n_tokens, b.dup_token_frac, r.top_2gram_share, r.top_2gram
+    FROM base b LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r USING (doc_id)
+    """,
+    "Gopher-style repetition quality signals (dup-token fraction, "
+    "top-2-gram share + the gram itself, count-then-lex tie-broken). "
+    "Distinct ratio is a pure projection; the 2-gram mode shuffles "
+    "(doc, gram) pairs like term_frequencies — linear in corpus "
+    "tokens, no all-pairs work.",
+)
+def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.text import repetition_stats
+
+    return repetition_stats(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "pii_scrub_docs",
+    r"""
+    WITH injected AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 = 0
+                THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                ELSE '' END
+             || CASE WHEN doc_id % 5 = 0 THEN ' call 555-010-4242' ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+                ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+           len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phone,
+           len(regexp_extract_all(text,
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g') AS scrubbed
+    FROM injected
+    """,
+    "PII redaction (email / phone / IPv4) with per-category removal "
+    "counts. The corpus is synthetic, so both engines first inject "
+    "identical deterministic PII spans (keyed on doc_id) and the "
+    "oracle verifies the SCRUB — patterns are RE2/Java-compatible "
+    "(no backreferences). One codegen'd projection, no shuffle.",
+)
+def q_pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.text import pii_scrub
+
+    d = read_table(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                k % 3 == 0,
+                F.concat(F.lit(" contact user"), k.cast("string"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(k % 5 == 0, F.lit(" call 555-010-4242")).otherwise(F.lit("")),
+            F.when(
+                k % 7 == 0,
+                F.concat(F.lit(" from 10.0."), (k % 256).cast("string"), F.lit(".1")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_scrub(injected)
+
+
+@register(
+    "embedding_quantize_int8",
+    """
+    WITH t AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS s
+      FROM embeddings
+    )
+    SELECT vec_id, round(s, 9) AS scale,
+           to_json(list_transform(v, x -> CAST(floor(x / s + 0.5) AS INTEGER)))
+             AS q_json
+    FROM t
+    """,
+    "Symmetric int8 quantization of the embedding column (per-vector "
+    "absmax scale, round-half-up via floor(x/s + 0.5) so both engines "
+    "share one rounding rule; float32 widened to double first — the "
+    "identical IEEE ops both sides). Output array JSON-encoded per "
+    "the complex-column determinism rule. Pure projection, the "
+    "standard 4x storage/bandwidth saver before ANN indexing.",
+)
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings")
+    # materialize the absmax scale in its own projection: referencing
+    # an array_max(transform(...)) subtree inside the per-element
+    # lambda would inline it per element (HOF-inlining trap).
+    t = e.select(
+        "vec_id",
+        F.col("embedding").alias("__v"),
+        (
+            F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+            / F.lit(127.0)
+        ).alias("__s"),
+    )
+    q = F.transform(
+        "__v", lambda x: F.floor(x.cast("double") / F.col("__s") + F.lit(0.5)).cast("int")
+    )
+    return t.select(
+        "vec_id",
+        F.round(F.col("__s"), 9).alias("scale"),
+        F.to_json(q).alias("q_json"),
+    )

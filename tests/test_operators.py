@@ -973,3 +973,59 @@ def test_stream_stream_left_outer_emits_unmatched(spark, tmp_path):
     got = {(r["click_id"], r["purchase_id"]) for r in spark.read.parquet(out).collect()}
     assert (101, 900) in got          # matched pair
     assert (100, None) in got, got    # unmatched click emitted with null
+
+
+def test_repetition_stats_crafted(spark):
+    """dup_token_frac and top-2gram pick on a document with a known
+    repeated phrase; ties break to the lexicographically smaller gram."""
+    from ais_data_pipeline_spark.operators.text import repetition_stats
+
+    d = spark.createDataFrame(
+        [(1, "spam spam spam ham"), (2, "a b a b a")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(d).collect()}
+    # doc 1: 4 tokens, 2 distinct -> dup 0.5; grams: "spam spam" x2 of 3
+    assert rows[1]["dup_token_frac"] == 0.5
+    assert rows[1]["top_2gram"] == "spam spam"
+    assert abs(rows[1]["top_2gram_share"] - 2 / 3) < 1e-6
+    # doc 2: grams "a b" x2, "b a" x2 -> tie, lex-min "a b" wins
+    assert rows[2]["top_2gram"] == "a b"
+    assert rows[2]["top_2gram_share"] == 0.5
+
+
+def test_pii_scrub_crafted(spark):
+    from ais_data_pipeline_spark.operators.text import pii_scrub
+
+    d = spark.createDataFrame(
+        [(1, "mail a.b+c@ex-y.org or x@y.io call 555-123-4567 ip 10.0.0.1 done")],
+        "doc_id long, text string",
+    )
+    r = pii_scrub(d).collect()[0]
+    assert (r["n_email"], r["n_phone"], r["n_ipv4"]) == (2, 1, 1)
+    assert r["scrubbed"] == "mail <EMAIL> or <EMAIL> call <PHONE> ip <IPV4> done"
+
+
+def test_quantize_int8_roundtrip(spark):
+    """Quantized values stay in [-127, 127] and dequantize to within
+    one scale step of the original."""
+    import json
+
+    from ais_data_pipeline_spark.queries import registry
+
+    q = {x.name: x for x in registry()}["embedding_quantize_int8"]
+    rows = q.fn(spark, "/root/testdata/sf0.001").limit(20).collect()
+    import pyarrow.parquet as pq
+
+    orig = {
+        r["vec_id"]: list(r["embedding"])
+        for r in pq.read_table("/root/testdata/sf0.001/embeddings.parquet").to_pylist()[:400]
+    }
+    checked = 0
+    for r in rows:
+        qv = json.loads(r["q_json"])
+        assert max(abs(v) for v in qv) <= 127
+        if r["vec_id"] in orig:
+            for a, b in zip(orig[r["vec_id"]], qv):
+                assert abs(a - b * r["scale"]) <= r["scale"] / 2 + 1e-9
+            checked += 1
+    assert checked > 0
