@@ -489,3 +489,81 @@ def cosine_topk_pandas(
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 9,
+) -> DataFrame:
+    """Deterministic Lloyd's k-means for the IVF coarse quantizer:
+    head-k init (same as head_centroids), then ``iters`` rounds of
+    cosine-nearest assignment + per-dimension mean recompute.
+
+    Determinism is engineered so a SQL oracle can replay it exactly:
+    ties assign to the lowest centroid id, per-dimension means
+    accumulate through DECIMAL(25,12) (associative — partition order
+    can't change the sum), and centroids round to ``round_digits``
+    with a ``+ 0.0`` to normalize -0.0 after rounding. Empty clusters
+    drop (both engines identically).
+
+    Scale: each iteration is one broadcast cross-join against k tiny
+    centroids + a (n*dim)-row posexplode shuffle for the means — the
+    standard distributed-k-means shape; iters is a small constant.
+    Returns (centroid_id, cvec)."""
+    cents = head_centroids(df, k, vec_col, id_col)
+    e = df.select(id_col, _as_double_array(F.col(vec_col)).alias("__v"))
+    for _ in range(iters):
+        assigned = ivf_assign(e, cents, "__v", id_col)
+        dims = assigned.select("list_id", F.posexplode("__v").alias("pos", "x"))
+        mu = (
+            F.sum(F.col("x").cast("decimal(25,12)")).cast("double")
+            / F.count(F.lit(1))
+        )
+        m = dims.groupBy("list_id", "pos").agg(
+            (F.round(mu, round_digits) + F.lit(0.0)).alias("mu")
+        )
+        cents = (
+            m.groupBy("list_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mu"))),
+                    lambda s: s["mu"],
+                ).alias("cvec")
+            )
+            .withColumnRenamed("list_id", "centroid_id")
+        )
+    return cents
+
+
+def kmeans_cluster_profile(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Final k-means state: per-centroid member count plus the
+    centroid vector. The vector renders as a JSON-shaped string via
+    explicit %.9f formatting rather than to_json: Spark's to_json
+    switches to scientific notation below 1e-3 (…E-4) where DuckDB
+    stays plain-decimal, so for small-magnitude doubles the fixed
+    format is the only rendering both engines agree on."""
+    cents = kmeans_lloyd(df, k, iters, vec_col, id_col)
+    e = df.select(id_col, _as_double_array(F.col(vec_col)).alias("__v"))
+    assigned = ivf_assign(e, cents, "__v", id_col)
+    sizes = assigned.groupBy("list_id").agg(F.count(F.lit(1)).alias("n_members"))
+    rendered = F.concat(
+        F.lit("["),
+        F.array_join(
+            F.transform("cvec", lambda x: F.format_string("%.9f", x)), ","
+        ),
+        F.lit("]"),
+    )
+    return (
+        sizes.join(cents, sizes.list_id == cents.centroid_id)
+        .select("centroid_id", "n_members", rendered.alias("centroid_json"))
+    )

@@ -33,7 +33,11 @@ sorted):
   ``CAST(to_json(...) AS VARCHAR)`` (DuckDB); both engines render JSON
   identically for sorted arrays of strings/doubles (verified bit-for-
   bit, incl. escaping). Sort the array first so element order is
-  deterministic.
+  deterministic. CAVEAT: Spark's to_json renders doubles with
+  |x| < 1e-3 in scientific notation (…E-4) where DuckDB stays plain
+  decimal — if small magnitudes are possible, render the array
+  yourself via format_string('%.9f') / printf('%.9f') instead
+  (kmeans_ivf_centroids shows the pattern).
 """
 
 from __future__ import annotations
@@ -4812,3 +4816,87 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("__s"), 9).alias("scale"),
         F.to_json(q).alias("q_json"),
     )
+
+
+@register(
+    "subsequence_best_match_fft",
+    _subseq_oracle(),
+    "The SAME subsequence search as subsequence_best_match, via the "
+    "long-pattern scale path: MASS — one FFT cross-correlation per "
+    "series inside an Arrow-batched applyInPandas kernel, O(n log n) "
+    "per series vs the window plan's O(n*m) terms. Shares the "
+    "lead-window oracle: both kernels must produce identical rounded "
+    "profiles (FFT error ~1e-9 << the 1e-4 rounding grain).",
+)
+def q_subsequence_best_match_fft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.timeseries import best_subsequence_match_fft
+
+    e = read_table(spark, sf_dir, "events")
+    return best_subsequence_match_fft(e, _SUBSEQ_PATTERN)
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """Unrolled Lloyd's k-means in DuckDB SQL: the same head-k init,
+    cosine argmax assignment (ties to lowest centroid id) and
+    DECIMAL-mean recompute as kmeans_lloyd, one CTE pair per
+    iteration. The +0.0 normalizes -0.0 after rounding, both engines."""
+
+    def cos(v: str, c: str) -> str:
+        return (
+            f"list_dot_product({v}, {c}) / "
+            f"(sqrt(list_dot_product({v}, {v})) * sqrt(list_dot_product({c}, {c})))"
+        )
+
+    sql = (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),\n"
+        f"c0 AS (SELECT vec_id AS centroid_id, v AS cvec FROM e WHERE vec_id < {k})"
+    )
+    for it in range(1, iters + 1):
+        sql += f""",
+    a{it} AS (
+      SELECT vec_id, v, centroid_id FROM (
+        SELECT e.vec_id, e.v, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {cos("e.v", "c.cvec")} DESC, c.centroid_id) AS rn
+        FROM e CROSS JOIN c{it - 1} c) WHERE rn = 1),
+    m{it} AS (
+      SELECT centroid_id, i,
+             round(CAST(sum(CAST(v[i] AS DECIMAL(25,12))) AS DOUBLE)
+                   / count(*), 9) + 0.0 AS mu
+      FROM a{it}, unnest(generate_series(1, {dim})) AS u(i)
+      GROUP BY centroid_id, i),
+    c{it} AS (SELECT centroid_id, list(mu ORDER BY i) AS cvec
+              FROM m{it} GROUP BY centroid_id)"""
+    sql += f""",
+    af AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {cos("e.v", "c.cvec")} DESC, c.centroid_id) AS rn
+        FROM e CROSS JOIN c{iters} c) WHERE rn = 1)
+    SELECT c.centroid_id, s.n_members,
+           '[' || array_to_string(
+                    list_transform(c.cvec, x -> printf('%.9f', x)), ',') || ']'
+             AS centroid_json
+    FROM (SELECT centroid_id, count(*) AS n_members FROM af GROUP BY centroid_id) s
+    JOIN c{iters} c USING (centroid_id)"""
+    return sql
+
+
+@register(
+    "kmeans_ivf_centroids",
+    _kmeans_oracle(),
+    "Distributed Lloyd's k-means (2 iterations, head-8 init) for the "
+    "IVF coarse quantizer: broadcast cross-join assignment with "
+    "deterministic tie-break, per-dimension DECIMAL means (partition-"
+    "order-proof), centroids rounded then -0.0-normalized. The SQL "
+    "oracle replays both iterations unrolled. At scale each round is "
+    "one broadcast join + one (n x dim)-row agg — the standard "
+    "distributed k-means shape with a data-independent iteration "
+    "count.",
+)
+def q_kmeans_ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.similarity import kmeans_cluster_profile
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return kmeans_cluster_profile(e, k=8, iters=2)

@@ -1029,3 +1029,33 @@ def test_quantize_int8_roundtrip(spark):
                 assert abs(a - b * r["scale"]) <= r["scale"] / 2 + 1e-9
             checked += 1
     assert checked > 0
+
+
+def test_fft_profile_equals_window_profile(spark, sf_dir):
+    """MASS/FFT kernel and the lead-window kernel are the same
+    operator: full distance profiles agree bit-for-bit at the rounding
+    grain, for a short AND a long pattern."""
+    from ais_data_pipeline_spark.operators.timeseries import (
+        subsequence_distance_profile,
+        subsequence_distance_profile_fft,
+    )
+
+    from ais_data_pipeline_spark.sources.parquet import read_table
+
+    e = read_table(spark, sf_dir, "events")
+    # the long pattern runs on a 20-user slice: the lead-window side
+    # needs m lead columns and is exactly what the FFT path replaces —
+    # full-corpus equivalence at m=8, slice equivalence at m=40
+    for pattern, scope in (
+        ([0.0, 0.0, 1.0, 3.0, 1.0, 0.0, 0.0, 0.0], e),
+        ([float((i * 7) % 13) for i in range(40)], e.filter(F.col("user_id") < 20)),
+    ):
+        lead = {
+            (r["user_id"], r["offset"]): r["dist"]
+            for r in subsequence_distance_profile(scope, pattern).collect()
+        }
+        fft = {
+            (r["user_id"], r["offset"]): r["dist"]
+            for r in subsequence_distance_profile_fft(scope, pattern).collect()
+        }
+        assert lead == fft
