@@ -4900,3 +4900,44 @@ def q_kmeans_ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_table(spark, sf_dir, "embeddings")
     return kmeans_cluster_profile(e, k=8, iters=2)
+
+
+@register(
+    "snapshot_time_travel",
+    """
+    SELECT 1 AS version, count(*) AS n_rows,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT 2 AS version, count(*) AS n_rows,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    """,
+    "Time travel over a snapshot-versioned table (sinks/snapshots.py, "
+    "Iceberg-style manifests on plain parquet): commit v1 = even "
+    "orders, append v2 = odd orders, then read BOTH versions back and "
+    "summarize each. The oracle derives v1/v2 straight from orders — "
+    "a green row proves the manifest file-set algebra (append = "
+    "parent + new) and that historical reads see exactly the "
+    "committed rows.",
+)
+def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ais_data_pipeline_spark.sinks.snapshots import read_snapshot, write_snapshot
+
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    table = tempfile.mkdtemp(prefix="snap_tt_") + "/orders_versioned"
+    write_snapshot(o.filter(F.col("o_orderkey") % 2 == 0), table, mode="overwrite")
+    write_snapshot(o.filter(F.col("o_orderkey") % 2 != 0), table, mode="append")
+
+    def summarize(version: int) -> DataFrame:
+        return read_snapshot(spark, table, version).agg(
+            F.lit(version).alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+
+    return summarize(1).unionAll(summarize(2))

@@ -120,3 +120,44 @@ def test_pipeline_downcast_decisions(spark, fixture_csv, tmp_path):
     assert dt["contract_reg_type_id"] in ("tinyint", "smallint", "string", "boolean")
     # amounts fit int32 after quarantine → narrowed
     assert dt["contract_amount"] in ("int", "string")
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    """Versioned table: append/overwrite commits, historical reads,
+    history metadata, and snapshot expiry with file GC."""
+    from ais_data_pipeline_spark.sinks.snapshots import (
+        current_version,
+        expire_snapshots,
+        read_snapshot,
+        snapshot_history,
+        write_snapshot,
+    )
+
+    tp = str(tmp_path / "versioned")
+    d1 = spark.range(10).withColumnRenamed("id", "k")
+    d2 = spark.range(10, 15).withColumnRenamed("id", "k")
+    d3 = spark.range(100, 103).withColumnRenamed("id", "k")
+    assert write_snapshot(d1, tp, mode="overwrite") == 1
+    assert write_snapshot(d2, tp, mode="append") == 2
+    assert write_snapshot(d3, tp, mode="overwrite") == 3
+    assert current_version(tp) == 3
+
+    assert read_snapshot(spark, tp, 1).count() == 10
+    assert read_snapshot(spark, tp, 2).count() == 15  # append = v1 + new
+    assert read_snapshot(spark, tp).count() == 3  # overwrite replaced
+    assert {r["k"] for r in read_snapshot(spark, tp, 3).collect()} == {100, 101, 102}
+
+    hist = snapshot_history(tp)
+    assert [h["version"] for h in hist] == [1, 2, 3]
+    assert [h["operation"] for h in hist] == ["overwrite", "append", "overwrite"]
+    assert hist[1]["n_files"] > hist[0]["n_files"]  # append carries parent files
+
+    # expire everything but v3: v1/v2 unreadable, v3 intact, old files gone
+    assert expire_snapshots(tp, keep_last=1) == [1, 2]
+    assert read_snapshot(spark, tp).count() == 3
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, tp, 1)
+    import os as _os
+
+    snaps = _os.listdir(_os.path.join(tp, "data"))
+    assert snaps == ["snap-00003"]  # GC removed unreferenced data dirs
