@@ -72,68 +72,67 @@ def register(name: str, oracle: str | None, description: str):
 
 
 # The driver checks only the FIRST 50 registry entries per round, so
-# registry order decides which queries get a CORRECTNESS row. Round-3
-# window: (a) the 7 queries changed this round (to_json outputs, new
-# LSH/ANN oracles, clusters oracle) must prove green; (b) the 34
-# queries whose last driver row dates from round 1 get re-verified —
-# after this round every registered query has a row dated round 2 or
-# 3; (c) the remainder pads with core r2 greens. If the driver cap is
+# registry order decides which queries get a CORRECTNESS row. Round-4
+# window: (a) the 14 queries new or changed this round (TPC-H batch,
+# curation batch, FFT kernel, k-means, time travel, simhash's new
+# portable oracle); (b) the 27 queries that have NEVER had a driver
+# row (registered round 3 past the cutoff); (c) 9 of the oldest
+# still-green r2 rows as regression canaries. If the driver cap is
 # gone this ordering is harmless — everything still runs.
 _FRONT_WINDOW: list[str] = [
-    # (a) changed this round — new oracles / output encodings
-    "approx_quantiles",
-    "array_agg_user_types",
-    "map_from_json_props",
-    "ann_index_topk",
-    "embedding_near_dup_lsh",
-    "embedding_topk_lsh",
-    "near_dup_clusters",
-    # (b) stale: last driver row is round 1 (or rows-only r1)
-    "profile_min_max",
-    "horizontal_predicates",
-    "null_counts",
-    "topk_orders",
-    "date_parse_lenient",
-    "top_customer_per_nation",
-    "semi_anti_customers",
-    "dedup_exact",
-    "token_counts",
-    "embedding_topk",
-    "ngram_jaccard_pairs",
-    "minhash_near_dup",
+    # (a) new/changed this round
     "simhash_fingerprints",
-    "bag_fingerprint",
-    "text_quality",
-    "lang_id",
-    "ngram_profile",
-    "multimodal_meta",
-    "sessionize_events",
-    "asof_last_click",
-    "event_type_pivot",
-    "null_token_normalize",
-    "set_ops_segments",
-    "quantiles_quantity",
-    "moving_avg_customer",
-    "lag_lead_events",
-    "distinct_pairs",
-    "sample_seeded",
-    "small_qty_revenue",
-    "late_ship_priority",
-    "event_pairs_5min",
-    "latest_event_per_user",
-    "text_normalize",
-    "embedding_near_dup_exact",
-    # (c) pad: core r2 greens (regression canaries)
-    "q1_pricing_summary",
-    "revenue_by_nation",
-    # new operators this round (replace pad slots)
-    "ivf_index_topk",
-    "stream_stream_join",
-    "incremental_rollup_merge",
-    "zorder_values",
-    "subsequence_best_match",
-    "media_type_route",
-    "audio_meta",
+    "market_share",
+    "returned_revenue",
+    "promo_revenue_share",
+    "top_supplier_quarter",
+    "bracket_revenue",
+    "blocking_suppliers",
+    "dominant_supplier_part",
+    "doc_repetition_stats",
+    "pii_scrub_docs",
+    "embedding_quantize_int8",
+    "subsequence_best_match_fft",
+    "kmeans_ivf_centroids",
+    "snapshot_time_travel",
+    # (b) registered in round 3, never driver-checked
+    "min_cost_supplier_per_part",
+    "profit_by_nation_year",
+    "important_parts_share",
+    "supplier_count_per_brand_size",
+    "rich_idle_customers",
+    "value_histogram",
+    "tfidf_top_terms",
+    "doc_chunking",
+    "sequence_packing",
+    "dq_report",
+    "hash_sample_orders",
+    "fuzzy_name_pairs",
+    "rolling_1h_user_stats",
+    "order_price_deciles",
+    "surrogate_keys",
+    "asof_next_purchase",
+    "stratified_hash_sample",
+    "funnel_stages",
+    "trajectory_speed",
+    "mode_event_type_per_user",
+    "above_avg_orders",
+    "string_agg_types",
+    "topk_with_ties",
+    "cumulative_unique_users",
+    "cohort_retention",
+    "snapshot_diff_orders",
+    "revenue_mom_change",
+    # (c) oldest r2 greens — regression canaries
+    "scan_project_filter",
+    "project_exclude_substring",
+    "downcast_guard",
+    "profile_distinct_ratios",
+    "priority_revenue",
+    "order_status_rollup",
+    "events_hourly",
+    "events_json_extract",
+    "running_total_per_customer",
 ]
 
 
