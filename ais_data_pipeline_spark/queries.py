@@ -4940,3 +4940,108 @@ def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return summarize(1).unionAll(summarize(2))
+
+
+def _pagerank_oracle(iters: int = 2, damping: float = 0.85) -> str:
+    """Unrolled PageRank in DuckDB SQL over the part co-purchase graph
+    — same decimal contribution sums and damping arithmetic as
+    operators.graph.pagerank."""
+    sql = """
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    deg AS (SELECT src, count(*) AS outdeg FROM pairs GROUP BY src),
+    n AS (SELECT src AS node FROM pairs
+          UNION SELECT dst FROM pairs),
+    r0 AS (SELECT node, 1.0 AS pr FROM n)"""
+    for it in range(1, iters + 1):
+        sql += f""",
+    c{it} AS (
+      SELECT p.dst AS node,
+             CAST(sum(CAST(r.pr / d.outdeg AS DECIMAL(38,18))) AS DOUBLE) AS s
+      FROM pairs p
+      JOIN r{it - 1} r ON p.src = r.node
+      JOIN deg d ON p.src = d.src
+      GROUP BY p.dst),
+    r{it} AS (
+      SELECT n.node, {1.0 - damping!r} + {damping!r} * coalesce(c.s, 0.0) AS pr
+      FROM n LEFT JOIN c{it} c USING (node))"""
+    sql += f"""
+    SELECT node AS partkey, round(pr, 9) AS pr
+    FROM r{iters} ORDER BY pr DESC, node LIMIT 20
+    """
+    return sql
+
+
+@register(
+    "part_pagerank",
+    _pagerank_oracle(),
+    "PageRank (2 damped iterations) over the part co-purchase graph "
+    "(parts sharing an order, symmetric so no dangling mass). Each "
+    "iteration is one edges-to-ranks join + one decimal-summed "
+    "aggregation on the node key — the Pregel message-passing shape "
+    "as DataFrame ops, |V|-row state, never collected. Oracle unrolls "
+    "both iterations; top-20 with total tie-break.",
+)
+def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.graph import cooccurrence_edges, pagerank
+
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    pr = pagerank(edges, iters=2)
+    return (
+        pr.select(F.col("node").alias("partkey"), F.round("pr", 9).alias("pr"))
+        .orderBy(F.col("pr").desc(), "partkey")
+        .limit(20)
+    )
+
+
+@register(
+    "cms_heavy_hitters",
+    """
+    WITH items AS (SELECT o_custkey AS custkey FROM orders),
+    rows_ AS (SELECT unnest(generate_series(0, 3)) AS row),
+    grid AS (
+      SELECT row, bucket, count(*) AS cnt FROM (
+        SELECT r.row,
+               CAST(('0x' || substr(md5(CAST(r.row AS VARCHAR) || ':'
+                     || CAST(i.custkey AS VARCHAR)), 1, 15))::BIGINT % 256
+                    AS INTEGER) AS bucket
+        FROM items i, rows_ r
+      ) GROUP BY row, bucket
+    ),
+    truth AS (SELECT custkey, count(*) AS true_cnt FROM items GROUP BY custkey),
+    cand AS (SELECT custkey, true_cnt FROM truth
+             ORDER BY true_cnt DESC, custkey LIMIT 10),
+    probes AS (
+      SELECT c.custkey, c.true_cnt, r.row,
+             CAST(('0x' || substr(md5(CAST(r.row AS VARCHAR) || ':'
+                   || CAST(c.custkey AS VARCHAR)), 1, 15))::BIGINT % 256
+                  AS INTEGER) AS bucket
+      FROM cand c, rows_ r
+    )
+    SELECT p.custkey, p.true_cnt, min(g.cnt) AS est_cnt
+    FROM probes p JOIN grid g USING (row, bucket)
+    GROUP BY p.custkey, p.true_cnt
+    """,
+    "Count-Min sketch (4 x 256 grid, portable md5 hashing) over order "
+    "customer keys: heavy hitters point-queried against the sketch "
+    "beside their true counts (CMS guarantees est >= true). Building "
+    "the grid map-side-collapses every partition to <= d*w cells — "
+    "network cost is the SKETCH size, not the data size, and grids "
+    "merge by cellwise addition for incremental ingestion. Oracle "
+    "rebuilds the identical grid in SQL.",
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.sketches import cms_build, cms_estimate
+
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    cms = cms_build(o, "custkey", d=4, w=256)
+    truth = o.groupBy("custkey").agg(F.count(F.lit(1)).alias("true_cnt"))
+    cand = truth.orderBy(F.col("true_cnt").desc(), "custkey").limit(10)
+    est = cms_estimate(cms, cand.select("custkey"), "custkey", d=4, w=256)
+    return cand.join(est, "custkey").select("custkey", "true_cnt", "est_cnt")

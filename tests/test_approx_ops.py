@@ -197,3 +197,34 @@ def test_approx_quantiles_within_rank_error(spark, sf_dir):
         assert abs(a50 - p50) <= 0.02 * p50
         assert abs(a95 - p95) <= 0.02 * p95
         assert abs(a99 - p99) <= 0.02 * p99
+
+
+def test_cms_overestimates_and_merges(spark, sf_dir):
+    """CMS invariants: every estimate >= the true count, and the
+    sketch of a union equals the cellwise sum of per-part sketches."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ais_data_pipeline_spark.operators.sketches import cms_build, cms_estimate
+
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        F.col("o_custkey").alias("k")
+    )
+    cms = cms_build(o, "k", d=4, w=64)
+    truth = o.groupBy("k").agg(F.count(F.lit(1)).alias("t"))
+    est = cms_estimate(cms, truth.select("k"), "k", d=4, w=64)
+    joined = truth.join(est, "k").collect()
+    assert len(joined) > 0
+    assert all(r["est_cnt"] >= r["t"] for r in joined)
+
+    h1 = cms_build(o.filter(F.col("k") % 2 == 0), "k", d=4, w=64)
+    h2 = cms_build(o.filter(F.col("k") % 2 != 0), "k", d=4, w=64)
+    merged = (
+        h1.unionAll(h2)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    full = {(r["row"], r["bucket"]): r["cnt"] for r in cms.collect()}
+    got = {(r["row"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    assert full == got
