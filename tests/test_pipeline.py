@@ -9,6 +9,7 @@ import csv
 import os
 
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ais_data_pipeline_spark.plans.rent_contracts import run_pipeline
@@ -161,3 +162,26 @@ def test_snapshot_time_travel(spark, tmp_path):
 
     snaps = _os.listdir(_os.path.join(tp, "data"))
     assert snaps == ["snap-00003"]  # GC removed unreferenced data dirs
+
+
+def test_jsonl_bounded_inference_and_quarantine(spark, tmp_path):
+    """JSON-lines source: schema locks from a bounded prefix, full
+    read parses under that schema, malformed lines quarantine with
+    the raw text preserved."""
+    from ais_data_pipeline_spark.sources.jsonl import read_jsonl, split_corrupt
+
+    p = tmp_path / "events.jsonl"
+    lines = ['{"id": %d, "v": %f, "tag": "t%d"}' % (i, i * 0.5, i) for i in range(50)]
+    lines.insert(20, "{not json at all")
+    lines.insert(40, '{"id": "not-an-int", "v": 1.0, "tag": "x"}')
+    p.write_text("\n".join(lines))
+
+    df = read_jsonl(spark, str(p), infer_schema_length=10)
+    assert [f.name for f in df.schema.fields] == ["id", "tag", "v", "_corrupt_record"]
+    clean, quarantine = split_corrupt(df)
+    q = [r["raw_line"] for r in quarantine.collect()]
+    assert "{not json at all" in q
+    # type-mismatched id under the locked schema also quarantines
+    assert any("not-an-int" in x for x in q)
+    assert clean.count() == 50
+    assert clean.filter(F.col("id") == 7).first()["tag"] == "t7"
