@@ -558,3 +558,76 @@ def near_dup_clusters(
         if changed == 0:
             break
     return labels.select("id", "cluster_id")
+
+
+def cross_doc_repeated_spans(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact cross-document substring duplication (Lee et al. 2021,
+    'Deduplicating Training Data Makes Language Models Better'): find,
+    per document, the token spans whose k-token shingle also appears
+    in ANOTHER document, merged into maximal spans.
+
+    Shape: hash every k-shingle with the portable md5-prefix hash
+    (one projection), group by hash keeping only hashes spanning >1
+    distinct doc (shuffle ∝ corpus tokens, aggregation only — no
+    pair blow-up), join positions back, then merge overlapping spans
+    per doc with one lag+cumsum island pass. Output: (doc_id,
+    n_repeated_spans, repeated_token_frac).
+
+    All equal-length spans sorted by position merge correctly against
+    the immediate predecessor (span [p, p+k-1] touches [q, q+k-1] iff
+    q <= p + k), so the island break is a single lag compare."""
+    from pyspark.sql import Window
+
+    from ais_data_pipeline_spark.operators.text import tokens_col
+
+    toks = df.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("__t")
+    ).withColumn("__n", F.size("__t"))
+    sh = toks.filter(F.col("__n") >= k).select(
+        F.col(id_col),
+        F.col("__n"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("__n") - k),
+                lambda i: F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(" ", F.slice("__t", i + 1, k))), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+            )
+        ).alias("pos", "h"),
+    )
+    multi = (
+        sh.groupBy("h")
+        .agg(F.min(id_col).alias("__lo"), F.max(id_col).alias("__hi"))
+        .filter(F.col("__lo") != F.col("__hi"))
+        .select("h")
+    )
+    rep = sh.join(multi, "h").select(id_col, "__n", "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(F.col("pos") > F.lag("pos").over(w) + k, 1).otherwise(0)
+    grp = rep.withColumn("__g", F.sum(brk).over(w))
+    spans = grp.groupBy(id_col, "__n", "__g").agg(
+        F.min("pos").alias("__s"), F.max("pos").alias("__e")
+    )
+    per = spans.groupBy(id_col, "__n").agg(
+        F.count(F.lit(1)).alias("n_repeated_spans"),
+        F.sum(F.col("__e") - F.col("__s") + k).alias("__covered"),
+    )
+    base = toks.select(F.col(id_col), F.col("__n"))
+    return base.join(per.drop("__n"), id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_repeated_spans", F.lit(0)).alias("n_repeated_spans"),
+        F.round(
+            F.coalesce(F.col("__covered"), F.lit(0)).cast("double")
+            / F.col("__n").cast("double"),
+            6,
+        ).alias("repeated_token_frac"),
+    )

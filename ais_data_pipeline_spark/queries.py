@@ -5045,3 +5045,60 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = truth.orderBy(F.col("true_cnt").desc(), "custkey").limit(10)
     est = cms_estimate(cms, cand.select("custkey"), "custkey", d=4, w=256)
     return cand.join(est, "custkey").select("custkey", "true_cnt", "est_cnt")
+
+
+@register(
+    "cross_doc_repeated_spans",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ),
+    base AS (SELECT doc_id, len(t) AS n FROM toks),
+    sh AS (
+      SELECT doc_id, len(t) AS n, i - 1 AS pos,
+             ('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT
+               AS h
+      FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)
+      WHERE len(t) >= 8
+    ),
+    multi AS (
+      SELECT h FROM sh GROUP BY h HAVING min(doc_id) <> max(doc_id)
+    ),
+    rep AS (SELECT s.doc_id, s.n, s.pos FROM sh s JOIN multi USING (h)),
+    marked AS (
+      SELECT doc_id, n, pos,
+             CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+                  THEN 1 ELSE 0 END AS brk
+      FROM rep
+    ),
+    grouped AS (
+      SELECT doc_id, n, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      FROM marked
+    ),
+    spans AS (
+      SELECT doc_id, n, g, min(pos) AS s, max(pos) AS e
+      FROM grouped GROUP BY doc_id, n, g
+    ),
+    per AS (
+      SELECT doc_id, count(*) AS n_repeated_spans,
+             sum(e - s + 8) AS covered, min(n) AS n
+      FROM spans GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           coalesce(p.n_repeated_spans, 0) AS n_repeated_spans,
+           round(coalesce(p.covered, 0)::DOUBLE / b.n, 6) AS repeated_token_frac
+    FROM base b LEFT JOIN per p USING (doc_id)
+    """,
+    "Exact cross-document substring duplication (Lee et al. 2021): "
+    "per doc, maximal token spans whose 8-shingle also occurs in "
+    "another document. Portable-hash shingles group by hash (shuffle "
+    "proportional to corpus tokens, no pair blow-up), positions join back, "
+    "spans merge via one lag+cumsum island pass. The training-data "
+    "curation signal behind 'remove duplicated substrings'.",
+)
+def q_cross_doc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.dedup import cross_doc_repeated_spans
+
+    return cross_doc_repeated_spans(read_table(spark, sf_dir, "documents"), k=8)

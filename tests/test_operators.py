@@ -1059,3 +1059,24 @@ def test_fft_profile_equals_window_profile(spark, sf_dir):
             for r in subsequence_distance_profile_fft(scope, pattern).collect()
         }
         assert lead == fft
+
+
+def test_cross_doc_repeated_spans_crafted(spark):
+    """Two docs sharing a 10-token run: the shared run is one merged
+    span in each; a third unrelated doc reports zero."""
+    from ais_data_pipeline_spark.operators.dedup import cross_doc_repeated_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, f"one two three {shared} four five six"),
+        (2, f"{shared} seven eight nine ten eleven twelve"),
+        (3, "totally unrelated words that repeat nothing from others " * 2),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in cross_doc_repeated_spans(d, k=8).collect()}
+    # shared run = 10 tokens -> 3 consecutive 8-shingles -> one span of 10 tokens
+    assert out[1]["n_repeated_spans"] == 1
+    assert out[2]["n_repeated_spans"] == 1
+    n1 = 3 + 10 + 3  # doc 1 token count
+    assert abs(out[1]["repeated_token_frac"] - 10 / n1) < 1e-6
+    assert out[3]["n_repeated_spans"] == 0 and out[3]["repeated_token_frac"] == 0.0
