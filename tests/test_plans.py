@@ -437,3 +437,52 @@ def test_round3_queries_stay_jvm_side(spark, sf_dir):
     ):
         plan = plan_of(BY_NAME[name].fn(spark, sf_dir))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_bracket_revenue_or_pushdown(spark, sf_dir):
+    """Q19 shape: Catalyst must split the cross-table OR into per-side
+    residuals and push BOTH to their scans — the lineitem scan gets
+    the quantity-only OR, the part scan the brand/size OR, each with
+    pruned ReadSchema. Losing this reads the whole fact table."""
+    plan = plan_of(BY_NAME["bracket_revenue"].fn(spark, sf_dir))
+    assert re.search(
+        r"PushedFilters: \[.*Or\(.*GreaterThanOrEqual\(l_quantity", plan
+    ), "quantity OR-bracket not pushed to lineitem scan"
+    assert re.search(
+        r"PushedFilters: \[.*EqualTo\(p_brand,Brand#11\)", plan
+    ), "brand/size OR-bracket not pushed to part scan"
+    m = re.search(r"ReadSchema: struct<(l_[^>]*)>", plan)
+    assert m and set(m.group(1).split(",")) == {
+        "l_partkey:bigint",
+        "l_quantity:double",
+        "l_extendedprice:double",
+        "l_discount:double",
+    }
+
+
+def test_cms_grid_partial_aggregation(spark, sf_dir):
+    """The CMS grid groupBy must partially aggregate BEFORE its
+    shuffle (map-side combine collapses every partition to <= d*w
+    cells) — without it the shuffle is data-sized, not sketch-sized."""
+    from ais_data_pipeline_spark.operators.sketches import cms_build
+    from ais_data_pipeline_spark.sources.parquet import read_table
+
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k")
+    )
+    plan = plan_of(cms_build(o, "k", d=4, w=256))
+    # map-side partial_count, one hash-partitioned exchange, final count
+    assert "partial_count" in plan
+    assert "hashpartitioning" in plan
+
+
+def test_pagerank_iteration_shape(spark, sf_dir):
+    """PageRank iterations must stay partial-agg + hash joins on the
+    node key — no cartesian products, no collect-driven loops."""
+    from ais_data_pipeline_spark.operators.graph import cooccurrence_edges, pagerank
+    from ais_data_pipeline_spark.sources.parquet import read_table
+
+    li = read_table(spark, sf_dir, "lineitem").limit(5000)
+    plan = plan_of(pagerank(cooccurrence_edges(li, "l_orderkey", "l_partkey"), iters=1))
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan
