@@ -52,3 +52,64 @@ def hash_sample(df, id_col: str, keep_hex_lt: str = "1999"):
 
     h = F.substring(F.md5(F.col(id_col).cast("string")), 1, len(keep_hex_lt))
     return df.filter(h < keep_hex_lt)
+
+
+def skyline_2d(
+    df: DataFrame, x_col: str, y_col: str, id_col: str
+) -> DataFrame:
+    """2-D Pareto frontier, minimizing both columns: the points no
+    other point weakly dominates (<= on both, < on at least one).
+
+    The naive formulation is an O(n^2) dominance self-join; the
+    scale-safe plan is one window pass — over distinct (x, y) sorted
+    by (x asc, y asc), a point is on the frontier iff its y is
+    strictly below the running minimum y of all preceding points
+    (anything before it has x <= its x; equal (x, y) dedupes to the
+    min-id representative first, so 'preceding' implies dominance).
+    One shuffle to sort, streaming frontier test."""
+    from pyspark.sql import Window
+
+    x, y = F.col(x_col), F.col(y_col)
+    distinct = df.groupBy(x_col, y_col).agg(F.min(id_col).alias(id_col))
+    w = (
+        Window.orderBy(x.asc(), y.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run_min = F.min(y).over(w)
+    return (
+        distinct.withColumn("__m", run_min)
+        .filter(F.col("__m").isNull() | (y < F.col("__m")))
+        .drop("__m")
+    )
+
+
+def weighted_hash_sample(
+    df: DataFrame, weight_col: str, k: int, id_col: str, seed: int = 42
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis & Spirakis
+    2006): each row draws u ~ Uniform(0,1) and the k rows with the
+    largest u^(1/w) win — equivalently the largest ln(u)/w, the
+    monotone form used here to avoid pow().
+
+    u comes from the engine's portable md5-prefix hash of (seed, id),
+    so the draw is deterministic, reproducible across engines, and
+    embarrassingly parallel: the plan is one projection +
+    TakeOrderedAndProject — no shuffle, no RNG state, and re-running
+    on different partitionings picks the identical sample (unlike
+    ``random_sample``, whose per-partition RNG is layout-dependent)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    # (h + 1) / (2^60 + 1) lands in (0, 1] exclusive of 0 — ln stays finite
+    u = (h + F.lit(1)).cast("double") / F.lit(float(2**60 + 1))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.withColumn("__key", key)
+        .orderBy(F.col("__key").desc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("__key")
+    )

@@ -5102,3 +5102,65 @@ def q_cross_doc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ais_data_pipeline_spark.operators.dedup import cross_doc_repeated_spans
 
     return cross_doc_repeated_spans(read_table(spark, sf_dir, "documents"), k=8)
+
+
+@register(
+    "skyline_orders",
+    """
+    WITH d AS (
+      SELECT o_totalprice, o_orderdate, min(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_totalprice, o_orderdate
+    ), m AS (
+      SELECT *, min(o_orderdate) OVER (
+               ORDER BY o_totalprice, o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rm
+      FROM d
+    )
+    SELECT o_orderkey, o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS orderdate
+    FROM m WHERE rm IS NULL OR o_orderdate < rm
+    """,
+    "2-D skyline (Pareto frontier, minimize price AND date — the "
+    "'cheapest-earliest' orders no other order beats on both). NOT "
+    "the O(n^2) dominance self-join: one sort + a running-min window "
+    "test finds the frontier streaming — the standard sort-based "
+    "skyline, linear after the sort at any scale.",
+)
+def q_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.ordering import skyline_2d
+
+    _utc(spark)
+    o = read_table(spark, sf_dir, "orders")
+    sky = skyline_2d(o, "o_totalprice", "o_orderdate", "o_orderkey")
+    return sky.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("orderdate"),
+    )
+
+
+@register(
+    "weighted_sample_orders",
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_totalprice,
+             ln((('0x' || substr(md5('42:' || CAST(o_orderkey AS VARCHAR)),
+                   1, 15))::BIGINT + 1)::DOUBLE / 1152921504606846977.0)
+               / o_totalprice AS key
+      FROM orders
+    )
+    SELECT o_orderkey, o_totalprice
+    FROM t ORDER BY key DESC, o_orderkey LIMIT 20
+    """,
+    "Weighted sampling without replacement (Efraimidis-Spirakis "
+    "A-Res, price-proportional): top-k by ln(u)/w where u is the "
+    "portable md5-prefix uniform — deterministic, partition-layout-"
+    "independent (unlike per-partition Bernoulli), and shuffle-free "
+    "(TakeOrderedAndProject). Both engines compute the identical "
+    "ln/division, proven cross-engine in round 3.",
+)
+def q_weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.ordering import weighted_hash_sample
+
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return weighted_hash_sample(o, "o_totalprice", k=20, id_col="o_orderkey", seed=42)

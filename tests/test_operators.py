@@ -1080,3 +1080,50 @@ def test_cross_doc_repeated_spans_crafted(spark):
     n1 = 3 + 10 + 3  # doc 1 token count
     assert abs(out[1]["repeated_token_frac"] - 10 / n1) < 1e-6
     assert out[3]["n_repeated_spans"] == 0 and out[3]["repeated_token_frac"] == 0.0
+
+
+def test_skyline_matches_bruteforce(spark):
+    """Window skyline == O(n^2) dominance definition on a small set,
+    including duplicate points and equal-coordinate chains."""
+    from ais_data_pipeline_spark.operators.ordering import skyline_2d
+
+    pts = [(1, 5.0, 3.0), (2, 5.0, 2.0), (3, 4.0, 4.0), (4, 6.0, 1.0),
+           (5, 4.0, 4.0), (6, 7.0, 7.0), (7, 3.0, 9.0), (8, 5.0, 2.0)]
+    df = spark.createDataFrame(pts, "id long, x double, y double")
+    got = {r["id"] for r in skyline_2d(df, "x", "y", "id").collect()}
+    # brute force over distinct (x,y) with min-id representative
+    uniq = {}
+    for i, x, y in pts:
+        uniq.setdefault((x, y), i)
+    frontier = set()
+    for (x, y), i in uniq.items():
+        dominated = any(
+            (ox <= x and oy <= y and (ox < x or oy < y)) for (ox, oy) in uniq
+        )
+        if not dominated:
+            frontier.add(i)
+    assert got == frontier
+
+
+def test_weighted_sample_python_replay(spark):
+    """The weighted draw is fully deterministic: a pure-Python replay
+    of the md5 hash + ln(u)/w keys picks the identical sample."""
+    import hashlib
+    import math
+
+    from ais_data_pipeline_spark.operators.ordering import weighted_hash_sample
+
+    rows = [(i, float(1 + (i * 37) % 100)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = [r["id"] for r in weighted_hash_sample(df, "w", k=15, id_col="id").collect()]
+
+    def key(i, w):
+        h = int(hashlib.md5(f"42:{i}".encode()).hexdigest()[:15], 16)
+        return math.log((h + 1) / (2**60 + 1)) / w
+
+    expect = [i for i, w in sorted(rows, key=lambda r: (-key(*r), r[0]))[:15]]
+    assert got == expect
+    # heavier rows must be overrepresented vs uniform: mean weight of
+    # the sample should exceed the population mean
+    wmap = dict(rows)
+    assert sum(wmap[i] for i in got) / 15 > sum(w for _, w in rows) / 500

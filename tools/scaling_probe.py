@@ -145,6 +145,33 @@ def probes(spark, scale: int):
             emb, k=5, n_planes=None, max_bucket_size=5_000
         ).count()
 
+    def subsequence_fft():
+        from ais_data_pipeline_spark.operators.timeseries import (
+            best_subsequence_match_fft,
+        )
+        return best_subsequence_match_fft(
+            ev, [0.0, 0.0, 1.0, 3.0, 1.0, 0.0, 0.0, 0.0]
+        ).count()
+
+    def cms_probe():
+        from ais_data_pipeline_spark.operators.sketches import cms_build
+        return cms_build(li.select("l_suppkey"), "l_suppkey", d=4, w=256).count()
+
+    def pagerank_probe():
+        from ais_data_pipeline_spark.operators.graph import (
+            cooccurrence_edges,
+            pagerank,
+        )
+        # bound per-group pair fan-out like the real query does via
+        # order line counts: groups here are l_orderkey (~4 rows each)
+        return pagerank(
+            cooccurrence_edges(li, "l_orderkey", "l_partkey"), iters=1
+        ).count()
+
+    def repeated_spans_probe():
+        from ais_data_pipeline_spark.operators.dedup import cross_doc_repeated_spans
+        return cross_doc_repeated_spans(docs, k=8).count()
+
     out = {}
     for name, fn in [
         ("grouped_agg", grouped_agg),
@@ -155,8 +182,12 @@ def probes(spark, scale: int):
         ("minhash_lsh", minhash_probe),
         ("rollup_merge", rollup_merge),
         ("subsequence_match", subsequence),
+        ("subsequence_fft", subsequence_fft),
         ("chunk_documents", chunk_docs),
         ("pairwise_knn_auto", pairwise_auto),
+        ("cms_build", cms_probe),
+        ("pagerank_1iter", pagerank_probe),
+        ("repeated_spans", repeated_spans_probe),
     ]:
         t0 = time.perf_counter()
         fn()
