@@ -95,6 +95,11 @@ _FRONT_WINDOW: list[str] = [
     "subsequence_best_match_fft",
     "kmeans_ivf_centroids",
     "snapshot_time_travel",
+    "part_pagerank",
+    "cms_heavy_hitters",
+    "cross_doc_repeated_spans",
+    "skyline_orders",
+    "weighted_sample_orders",
     # (b) registered in round 3, never driver-checked
     "min_cost_supplier_per_part",
     "profit_by_nation_year",
@@ -128,11 +133,6 @@ _FRONT_WINDOW: list[str] = [
     "project_exclude_substring",
     "downcast_guard",
     "profile_distinct_ratios",
-    "priority_revenue",
-    "order_status_rollup",
-    "events_hourly",
-    "events_json_extract",
-    "running_total_per_customer",
 ]
 
 
