@@ -1116,8 +1116,12 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not _os.path.exists(link):
         _os.symlink(target, link)
     stream = spark.readStream.schema(raw.schema).parquet(stage)
-    if dict(raw.dtypes).get("ts") == "bigint":
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # watermarks require session-tz TimestampType (session runs UTC)
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

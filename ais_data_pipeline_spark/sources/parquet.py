@@ -36,11 +36,13 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The driver's events table stores TIMESTAMP(NANOS), which Spark's
-    vectorized parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). Read the
-    column as raw nanos (legacy nanosAsLong) and rebuild a micro-
-    precision timestamp — DuckDB truncates ns→us the same way, so the
-    oracle agrees."""
+    """The driver's events table has shipped two physical ``ts`` types
+    across rounds: TIMESTAMP(NANOS) (rejected by Spark's vectorized
+    reader — read as raw nanos via legacy nanosAsLong and rebuilt at
+    micro precision) and TIMESTAMP(MICROS) without UTC adjustment
+    (inferred as TIMESTAMP_NTZ on Spark 4). Normalize both to session-tz
+    TimestampType: watermarks require it, and the session runs UTC so
+    wall-clock values match DuckDB's naive reading either way."""
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -49,6 +51,8 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     if ts_type == "bigint":
         # integer div: ns values exceed double's 2^53 exact range
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
