@@ -81,3 +81,89 @@ def cooccurrence_edges(
         .select("src", "dst")
         .distinct()
     )
+
+
+def weighted_cooccurrence_edges(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_weight: int = 1,
+) -> DataFrame:
+    """Canonical (src < dst) undirected edges weighted by the number of
+    distinct groups the pair shares, thresholded at ``min_weight`` —
+    the standard sparsifier that turns a dense co-occurrence graph
+    into an analyzable one. Pairs materialize per group (bounded by
+    group size) and only (pair, group) keys shuffle."""
+    a = df.select(F.col(group_col).alias("__g"), F.col(item_col).alias("src"))
+    b = df.select(F.col(group_col).alias("__g"), F.col(item_col).alias("dst"))
+    return (
+        a.join(b, "__g")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst", "__g")
+        .distinct()
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .filter(F.col("weight") >= min_weight)
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over a canonical (src < dst) edge list
+    — the compact-forward / degree-orientation algorithm (Latapy 2008;
+    the shape MapReduce triangle counting uses):
+
+    1. rank nodes by (degree, id) and re-orient every edge from the
+       lower-ranked endpoint to the higher-ranked one;
+    2. wedges: self-join oriented edges on the source — each node
+       contributes C(outdeg, 2) candidate pairs, and orientation
+       bounds outdeg by ~sqrt(|E|) even for hubs, which is what keeps
+       the wedge count from going quadratic on skewed graphs (a hub
+       with degree d has outdeg only toward higher-ranked nodes);
+    3. close each wedge (b, c) against the oriented edge set.
+
+    Each triangle is found exactly once; exploding its three corners
+    gives per-node counts. Returns (node, n_triangles), nodes with
+    ≥1 triangle only. Result is identical to the naive a<b<c id
+    ordering — orientation changes the join sizes, not the answer."""
+    deg = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient by (deg, id): lower -> higher; carry endpoint ranks inline
+    e = (
+        edges.join(deg.withColumnsRenamed({"node": "src", "deg": "ds"}), "src")
+        .join(deg.withColumnsRenamed({"node": "dst", "deg": "dd"}), "dst")
+        .select(
+            F.when(
+                (F.col("ds") < F.col("dd"))
+                | ((F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))),
+                F.struct(
+                    F.col("src").alias("u"), F.col("dst").alias("v"),
+                    F.col("dd").alias("dv"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("dst").alias("u"), F.col("src").alias("v"),
+                    F.col("ds").alias("dv"),
+                )
+            )
+            .alias("__e")
+        )
+        .select("__e.u", "__e.v", "__e.dv")
+    )
+    w1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"), F.col("dv").alias("db"))
+    w2 = e.select(F.col("u").alias("a"), F.col("v").alias("c"), F.col("dv").alias("dc"))
+    wedges = w1.join(w2, "a").filter(
+        (F.col("db") < F.col("dc"))
+        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+    )
+    closing = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    tri = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

@@ -247,3 +247,45 @@ def pii_scrub(
     for name, p in PII_PATTERNS.items():
         scrubbed = F.regexp_replace(scrubbed, p, f"<{name.upper()}>")
     return df.select(F.col(id_col), *counts, scrubbed.alias("scrubbed"))
+
+
+def token_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Shannon entropy (nats) of each document's token distribution —
+    the curation signal that separates natural text (high entropy)
+    from template/boilerplate spam (low entropy); complements the
+    duplicate-fraction and top-gram-share repetition stats.
+
+    H = ln(n) - (Σ tf·ln tf)/n from exact per-term counts; the only
+    float summation goes through DECIMAL(38,18) so partition order
+    can't perturb it. One explode + one (doc, term) shuffle + one doc
+    shuffle — same plan family as term_frequencies. Returns
+    (doc_id, n_tokens, entropy); empty docs are dropped.
+    """
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("t"))
+        .groupBy(id_col, "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        tf.groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(
+                (F.col("tf") * F.log("tf")).cast("decimal(38,18)")
+            ).alias("__slt"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(
+                F.log(F.col("n_tokens").cast("double"))
+                - F.col("__slt").cast("double") / F.col("n_tokens"),
+                round_digits,
+            ).alias("entropy"),
+        )
+    )

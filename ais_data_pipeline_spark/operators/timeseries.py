@@ -202,3 +202,56 @@ def best_subsequence_match_fft(
             F.col("dist").alias("best_dist"),
         )
     )
+
+
+def rolling_zscore_anomalies(
+    df: DataFrame,
+    value_col: str = "value",
+    key_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    lookback: int = 20,
+    min_n: int = 10,
+    threshold: float = 3.0,
+    round_digits: int = 3,
+) -> DataFrame:
+    """Streaming-style anomaly detection over a batch table: flag rows
+    whose value deviates more than ``threshold`` sample standard
+    deviations from the trailing ``lookback``-row window (current row
+    EXCLUDED — the model never sees the point it scores).
+
+    One shuffle on the key; the frame is bounded so window state is
+    O(lookback) per key. Determinism: the trailing sum and sum of
+    squares accumulate as DECIMAL (associative — partition order can't
+    perturb them) and the mean/variance/z arithmetic is the same
+    double expression both engines evaluate; ``std == 0`` frames are
+    skipped. Returns (key, order..., value, z).
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order_cols)
+        .rowsBetween(-lookback, -1)
+    )
+    v = F.col(value_col).cast("decimal(18,6)")
+    n = F.count(value_col).over(w)
+    s = F.sum(v).over(w).cast("double")
+    s2 = F.sum(v * v).over(w).cast("double")
+    mean = s / n
+    var = (s2 / n - mean * mean) * n / (n - 1)
+    z = (F.col(value_col) - mean) / F.sqrt(var)
+    out = df.select(
+        key_col,
+        *order_cols,
+        value_col,
+        F.when((n >= min_n) & (var > 0), z).alias("__z"),
+    )
+    return (
+        out.filter(F.abs(F.col("__z")) > threshold)
+        .select(
+            key_col,
+            *order_cols,
+            value_col,
+            F.round(F.col("__z"), round_digits).alias("z"),
+        )
+    )

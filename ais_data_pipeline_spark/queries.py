@@ -73,14 +73,22 @@ def register(name: str, oracle: str | None, description: str):
 
 # The driver checks only the FIRST 50 registry entries per round, so
 # registry order decides which queries get a CORRECTNESS row. Round-4
-# window: (a) the 14 queries new or changed this round (TPC-H batch,
-# curation batch, FFT kernel, k-means, time travel, simhash's new
-# portable oracle); (b) the 27 queries that have NEVER had a driver
-# row (registered round 3 past the cutoff); (c) 9 of the oldest
-# still-green r2 rows as regression canaries. If the driver cap is
-# gone this ordering is harmless — everything still runs.
+# window: (a) the 25 queries new or changed this round (IR/curation
+# batch: BM25, inverted index, decontamination, triangles, anomaly,
+# entropy; TPC-H batch, FFT kernel, k-means, time travel, simhash's
+# new portable oracle); (b) the 25 queries that have NEVER had a
+# driver row (registered round 3 past the cutoff; hash_sample_orders
+# and stratified_hash_sample defer to round 5 — weighted_sample_orders
+# covers the sampling family this round). If the driver cap is gone
+# this ordering is harmless — everything still runs.
 _FRONT_WINDOW: list[str] = [
     # (a) new/changed this round
+    "bm25_top_docs",
+    "inverted_index_postings",
+    "ngram_contamination",
+    "supplier_triangles",
+    "rolling_zscore_anomaly",
+    "token_entropy",
     "simhash_fingerprints",
     "market_share",
     "returned_revenue",
@@ -111,13 +119,11 @@ _FRONT_WINDOW: list[str] = [
     "doc_chunking",
     "sequence_packing",
     "dq_report",
-    "hash_sample_orders",
     "fuzzy_name_pairs",
     "rolling_1h_user_stats",
     "order_price_deciles",
     "surrogate_keys",
     "asof_next_purchase",
-    "stratified_hash_sample",
     "funnel_stages",
     "trajectory_speed",
     "mode_event_type_per_user",
@@ -128,11 +134,6 @@ _FRONT_WINDOW: list[str] = [
     "cohort_retention",
     "snapshot_diff_orders",
     "revenue_mom_change",
-    # (c) oldest r2 greens — regression canaries
-    "scan_project_filter",
-    "project_exclude_substring",
-    "downcast_guard",
-    "profile_distinct_ratios",
 ]
 
 
@@ -5168,3 +5169,232 @@ def q_weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     return weighted_hash_sample(o, "o_totalprice", k=20, id_col="o_orderkey", seed=42)
+
+
+# ---------------------------------------------------------------------------
+# IR / curation tier round 4: BM25 ranking, inverted index, benchmark
+# decontamination, graph triangles, rolling anomaly detection, token
+# entropy (operators/ir.py, graph.py, timeseries.py, text.py).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bm25_top_docs",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1
+    ), scal AS (
+      SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sumdl FROM dl
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok
+      WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2
+    ), dfr AS (
+      SELECT doc_id, term, tf, count(*) OVER (PARTITION BY term) AS dfreq FROM tf
+    ), sc AS (
+      SELECT d.doc_id,
+             CAST(ln(1.0 + (n - dfreq + 0.5) / (dfreq + 0.5))
+                  * (tf * 2.2)
+                  / (tf + 1.2 * (0.25 + 0.75 * dl
+                                 / (CAST(sumdl AS DOUBLE) / n)))
+                  AS DECIMAL(38,18)) AS s
+      FROM dfr d JOIN dl USING (doc_id), scal
+    )
+    SELECT doc_id, round(CAST(sum(s) AS DOUBLE), 6) AS score
+    FROM sc GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10
+    """,
+    "Okapi BM25 top-10 for a fixed query term set: postings filter to "
+    "the query terms BEFORE the (doc, term) shuffle, df via a term "
+    "window on the tf rows (no second explode), corpus scalars "
+    "broadcast; per-doc score sums through DECIMAL so partition order "
+    "can't perturb the double sum; ties break on doc id.",
+)
+def q_bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.ir import bm25_topk
+
+    d = read_table(spark, sf_dir, "documents")
+    return bm25_topk(d, ["spark", "join", "window"], k=10)
+
+
+@register(
+    "inverted_index_postings",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2
+    ), stats AS (
+      SELECT term, count(*) AS dfreq, CAST(sum(tf) AS BIGINT) AS total_tf
+      FROM tf GROUP BY 1
+    ), top AS (
+      SELECT * FROM stats ORDER BY dfreq DESC, term LIMIT 20
+    ), post AS (
+      SELECT term,
+             CAST(to_json(list_slice(list_sort(list(doc_id)), 1, 10)) AS VARCHAR)
+               AS postings
+      FROM tf WHERE term IN (SELECT term FROM top) GROUP BY 1
+    )
+    SELECT term, dfreq, total_tf, postings FROM top JOIN post USING (term)
+    """,
+    "Inverted-index posting lists for the 20 highest-df terms: per-term "
+    "stats in one partial-aggregated shuffle; posting arrays cut by "
+    "row_number BEFORE collect_list so per-term aggregation state is "
+    "bounded even for stop-words; JSON output keeps the driver hash "
+    "array-safe (round-2 rule).",
+)
+def q_inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.ir import inverted_index
+
+    d = read_table(spark, sf_dir, "documents")
+    return inverted_index(d, top_terms=20, postings_per_term=10)
+
+
+@register(
+    "ngram_contamination",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 2, 0)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gs
+      FROM tok
+    ), tg AS (
+      SELECT doc_id, unnest(gs) AS gram FROM g WHERE doc_id % 50 <> 0
+    ), eg AS (
+      SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 50 = 0
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_grams FROM tg GROUP BY 1
+    ), hits AS (
+      SELECT doc_id, count(*) AS n_hit FROM tg JOIN eg USING (gram) GROUP BY 1
+    )
+    SELECT doc_id, n_grams, n_hit,
+           round(CAST(n_hit AS DOUBLE) / n_grams, 5) AS contamination
+    FROM sizes JOIN hits USING (doc_id)
+    """,
+    "Benchmark decontamination: fraction of each train doc's distinct "
+    "word 3-grams appearing in any eval doc (eval = doc_id % 50 == 0). "
+    "The distinct eval-gram set broadcasts (benchmarks are small), so "
+    "the train corpus scores map-side; grams are 64-bit xxhash64 "
+    "shingles Spark-side, strings in the oracle — identical counts "
+    "modulo 2^-64 collisions (same convention as ngram_jaccard_pairs).",
+)
+def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.ir import ngram_contamination
+
+    d = read_table(spark, sf_dir, "documents")
+    return ngram_contamination(
+        d.filter(F.col("doc_id") % 50 != 0), d.filter(F.col("doc_id") % 50 == 0), n=3
+    )
+
+
+@register(
+    "supplier_triangles",
+    """
+    WITH e AS (
+      SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2
+      HAVING count(DISTINCT a.l_orderkey) >= 30
+    ), tri AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM e e1
+      JOIN e e2 ON e2.src = e1.dst
+      JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    )
+    SELECT node AS l_suppkey, count(*) AS n_triangles
+    FROM tri, unnest([a, b, c]) AS u(node)
+    GROUP BY 1
+    """,
+    "Per-supplier triangle counts on the co-purchase graph (suppliers "
+    "sharing >= 30 orders): degree-orientation (compact-forward) "
+    "bounds each node's wedge fan-out by ~sqrt(|E|) even on hub-skewed "
+    "graphs — the oracle's naive id-ordered 3-way join proves the "
+    "orientation changes join sizes, not the answer.",
+)
+def q_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.graph import (
+        triangle_counts,
+        weighted_cooccurrence_edges,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = weighted_cooccurrence_edges(li, "l_orderkey", "l_suppkey", min_weight=30)
+    return triangle_counts(edges.select("src", "dst")).select(
+        F.col("node").alias("l_suppkey"), "n_triangles"
+    )
+
+
+@register(
+    "rolling_zscore_anomaly",
+    """
+    WITH w AS (
+      SELECT event_id, user_id, value,
+             count(value) OVER win AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) OVER win AS DOUBLE) AS s,
+             CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+                  OVER win AS DOUBLE) AS s2
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    ), m AS (
+      SELECT event_id, user_id, value, n,
+             s / n AS mean,
+             (s2 / n - (s / n) * (s / n)) * n / (n - 1) AS var
+      FROM w
+    )
+    SELECT event_id, user_id, value,
+           round((value - mean) / sqrt(var), 3) AS z
+    FROM m
+    WHERE n >= 10 AND var > 0 AND abs((value - mean) / sqrt(var)) > 3
+    """,
+    "Trailing-window anomaly detection: flag events > 3 sample stddevs "
+    "from the previous 20 events per user (current row excluded — the "
+    "model never sees the point it scores). One shuffle on user_id, "
+    "O(lookback) window state; sums accumulate as DECIMAL so partition "
+    "order can't flip a borderline z past the threshold.",
+)
+def q_rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.timeseries import rolling_zscore_anomalies
+
+    e = read_table(spark, sf_dir, "events")
+    return rolling_zscore_anomalies(
+        e, lookback=20, min_n=10, threshold=3.0, round_digits=3
+    ).select("event_id", "user_id", "value", "z")
+
+
+@register(
+    "token_entropy",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+    ), agg AS (
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+             sum(CAST(tf * ln(tf) AS DECIMAL(38,18))) AS slt
+      FROM tf GROUP BY 1
+    )
+    SELECT doc_id, n_tokens,
+           round(ln(CAST(n_tokens AS DOUBLE)) - CAST(slt AS DOUBLE) / n_tokens, 6)
+             AS entropy
+    FROM agg
+    """,
+    "Shannon entropy (nats) of each doc's token distribution — the "
+    "boilerplate/spam curation signal complementing repetition stats; "
+    "H = ln(n) - (sum tf*ln tf)/n from exact counts, the one float sum "
+    "routed through DECIMAL for partition-order determinism. Same "
+    "explode + two-exchange plan family as term_frequencies.",
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.text import token_entropy
+
+    d = read_table(spark, sf_dir, "documents")
+    return token_entropy(d)

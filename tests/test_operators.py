@@ -1127,3 +1127,94 @@ def test_weighted_sample_python_replay(spark):
     # the sample should exceed the population mean
     wmap = dict(rows)
     assert sum(wmap[i] for i in got) / 15 > sum(w for _, w in rows) / 500
+
+
+def test_triangle_counts_match_bruteforce(spark):
+    """Degree-oriented triangle counting equals the naive a<b<c
+    enumeration on a crafted graph with a hub (skewed degrees)."""
+    from itertools import combinations
+
+    from ais_data_pipeline_spark.operators.graph import triangle_counts
+
+    # hub 0 connected to 1..6; ring 1-2-3-1 and 4-5-6-4; bridge 2-4
+    edges = [(0, i) for i in range(1, 7)] + [
+        (1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (2, 4),
+    ]
+    eset = {tuple(sorted(e)) for e in edges}
+    nodes = sorted({n for e in eset for n in e})
+    expected: dict[int, int] = {}
+    for a, b, c in combinations(nodes, 3):
+        if {(a, b), (b, c), (a, c)} <= eset:
+            for n in (a, b, c):
+                expected[n] = expected.get(n, 0) + 1
+    df = spark.createDataFrame(sorted(eset), ["src", "dst"])
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == expected
+
+
+def test_rolling_zscore_flags_crafted_spike(spark):
+    """A constant-ish series with one spike flags exactly the spike;
+    the first min_n rows are never flagged (insufficient history)."""
+    from ais_data_pipeline_spark.operators.timeseries import rolling_zscore_anomalies
+
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(30):
+        # alternate 9.5/10.5 so the trailing std is nonzero
+        v = 100.0 if i == 25 else (9.5 if i % 2 == 0 else 10.5)
+        rows.append((i, 7, base + datetime.timedelta(seconds=i), v))
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "value"])
+    out = rolling_zscore_anomalies(
+        df, key_col="user_id", order_cols=("ts", "event_id"),
+        lookback=20, min_n=10, threshold=3.0,
+    ).collect()
+    assert [r["event_id"] for r in out] == [25]
+    assert out[0]["z"] > 100  # ~90 sigma spike
+
+
+def test_bm25_ranks_rarer_term_higher(spark):
+    """With equal tf and dl, the doc matching the rarer term outranks
+    the doc matching the common term (idf ordering)."""
+    from ais_data_pipeline_spark.operators.ir import bm25_topk
+
+    docs = [(1, "rare filler filler"), (2, "common filler filler")] + [
+        (i, "common filler filler") for i in range(3, 10)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = bm25_topk(df, ["rare", "common"], k=3).collect()
+    assert out[0]["doc_id"] == 1
+    assert out[0]["score"] > out[1]["score"]
+
+
+def test_inverted_index_postings_bounded(spark):
+    """A term in every doc still materializes only postings_per_term
+    ids, and postings are the smallest doc ids ascending as JSON."""
+    from ais_data_pipeline_spark.operators.ir import inverted_index
+
+    df = spark.createDataFrame(
+        [(i, "stop unique%d" % i) for i in range(50)], ["doc_id", "text"]
+    )
+    out = {r["term"]: r for r in inverted_index(df, top_terms=1, postings_per_term=5).collect()}
+    assert list(out) == ["stop"]
+    assert out["stop"]["dfreq"] == 50
+    assert out["stop"]["postings"] == "[0,1,2,3,4]"
+
+
+def test_ngram_contamination_broadcasts_eval_side(spark):
+    """Known-overlap fixture: train doc sharing a 3-gram with eval is
+    scored; a disjoint doc is absent. The eval gram set joins as a
+    broadcast (no shuffle of the train corpus)."""
+    from ais_data_pipeline_spark.operators.ir import ngram_contamination
+
+    train = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y z w q")], ["doc_id", "text"]
+    )
+    ev = spark.createDataFrame([(100, "a b c zz")], ["doc_id", "text"])
+    out = ngram_contamination(train, ev, n=3)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert list(rows) == [1]
+    assert rows[1]["n_grams"] == 3 and rows[1]["n_hit"] == 1
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
