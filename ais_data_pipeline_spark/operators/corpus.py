@@ -89,3 +89,46 @@ def pack_sequences(
         F.floor((cum - F.col("n_tokens")) / F.lit(budget_tokens)).cast("bigint").alias("bin_id"),
         "n_tokens",
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    k: int,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-weighted mixture sampling across sources — the data
+    mixing step of a training pipeline: per-source quotas follow
+    share^alpha (alpha < 1 upsamples small sources, alpha = 1 keeps
+    natural proportions), quota_s = floor(k * w_s / Σw), and each
+    source contributes its quota of documents ranked by the portable
+    md5(seed, id) hash.
+
+    Everything is a pure function of the key set: quotas come from
+    exact counts, ranks from the same engine-portable hash
+    ``hash_sample`` uses — re-running on any partitioning returns the
+    identical sample, and the plan is one count aggregate (tiny,
+    broadcast back) plus one rank window per source. floor() can
+    undershoot k by up to #sources-1 rows; callers needing exact k
+    top up from a global rank. Returns (source, id).
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    w_all = Window.partitionBy()
+    quotas = counts.select(
+        source_col,
+        F.floor(
+            F.lit(float(k))
+            * F.pow(F.col("__n").cast("double"), F.lit(alpha))
+            / F.sum(F.pow(F.col("__n").cast("double"), F.lit(alpha))).over(w_all)
+        ).alias("__quota"),
+    )
+    h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    rk = Window.partitionBy(source_col).orderBy(h, F.col(id_col))
+    return (
+        df.join(F.broadcast(quotas), source_col)
+        .withColumn("__rk", F.row_number().over(rk))
+        .filter(F.col("__rk") <= F.col("__quota"))
+        .select(source_col, id_col)
+    )

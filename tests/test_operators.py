@@ -1218,3 +1218,42 @@ def test_ngram_contamination_broadcasts_eval_side(spark):
     assert rows[1]["n_grams"] == 3 and rows[1]["n_hit"] == 1
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_orc_roundtrip_pushdown(spark, sf_dir, tmp_path):
+    """ORC write/read is lossless and the ORC scan pushes predicates
+    (same scan machinery as parquet)."""
+    from ais_data_pipeline_spark.sources.orc import read_orc, write_orc
+    from ais_data_pipeline_spark.sources.parquet import read_table
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    path = str(tmp_path / "li_orc")
+    write_orc(li, path)
+    back = read_orc(spark, path)
+    assert back.count() == li.count()
+    filtered = back.filter(F.col("l_returnflag") == "R").select("l_quantity")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)" in plan
+    assert "ReadSchema: struct<l_returnflag:string,l_quantity" in plan
+
+
+def test_mixture_sample_skewed_quotas(spark):
+    """alpha=0.5 upsamples the small source relative to its natural
+    share, quotas floor from exact counts, and the sample is a pure
+    function of the keys (stable under repartitioning)."""
+    from ais_data_pipeline_spark.operators.corpus import mixture_sample
+
+    rows = [(i, "big") for i in range(900)] + [(900 + i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = mixture_sample(df, k=40, alpha=0.5).collect()
+    by_src = {}
+    for r in out:
+        by_src[r["source"]] = by_src.get(r["source"], 0) + 1
+    # weights: sqrt(900)=30, sqrt(100)=10 -> quotas 30, 10 (vs 36/4 natural)
+    assert by_src == {"big": 30, "small": 10}
+    again = mixture_sample(df.repartition(7), k=40, alpha=0.5).collect()
+    assert sorted((r["source"], r["doc_id"]) for r in out) == sorted(
+        (r["source"], r["doc_id"]) for r in again
+    )

@@ -172,6 +172,37 @@ def probes(spark, scale: int):
         from ais_data_pipeline_spark.operators.dedup import cross_doc_repeated_spans
         return cross_doc_repeated_spans(docs, k=8).count()
 
+    def triangles_probe():
+        from ais_data_pipeline_spark.operators.graph import (
+            triangle_counts,
+            weighted_cooccurrence_edges,
+        )
+        # min_weight scales with the data so graph density (and thus
+        # triangle count) stays roughly constant — the probe measures
+        # the edge build + oriented wedge join, not an exploding output
+        edges = weighted_cooccurrence_edges(
+            li, "l_orderkey", "l_suppkey", min_weight=max(2, scale)
+        )
+        return triangle_counts(edges.select("src", "dst")).count()
+
+    def contamination_probe():
+        from ais_data_pipeline_spark.operators.ir import ngram_contamination
+        return ngram_contamination(
+            docs.filter(F.col("doc_id") % 50 != 0),
+            docs.filter(F.col("doc_id") % 50 == 0),
+            n=3,
+        ).count()
+
+    def bm25_probe():
+        from ais_data_pipeline_spark.operators.ir import bm25_topk
+        return bm25_topk(docs, ["w3", "w501", "w999"], k=10).count()
+
+    def zscore_probe():
+        from ais_data_pipeline_spark.operators.timeseries import (
+            rolling_zscore_anomalies,
+        )
+        return rolling_zscore_anomalies(ev).count()
+
     out = {}
     for name, fn in [
         ("grouped_agg", grouped_agg),
@@ -188,6 +219,10 @@ def probes(spark, scale: int):
         ("cms_build", cms_probe),
         ("pagerank_1iter", pagerank_probe),
         ("repeated_spans", repeated_spans_probe),
+        ("triangles_oriented", triangles_probe),
+        ("ngram_contamination", contamination_probe),
+        ("bm25_topk", bm25_probe),
+        ("rolling_zscore", zscore_probe),
     ]:
         t0 = time.perf_counter()
         fn()
