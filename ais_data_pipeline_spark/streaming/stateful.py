@@ -114,3 +114,76 @@ def session_summaries(events_stream, watermark_delay: str = "10 minutes"):
             timeoutConf="EventTimeTimeout",
         )
     )
+
+
+ZSCORE_OUTPUT_SCHEMA = "user_id bigint, event_id bigint, value double, z double"
+ZSCORE_STATE_SCHEMA = "vals array<double>"
+_Z_LOOKBACK = 20
+_Z_MIN_N = 10
+_Z_THRESHOLD = 3.0
+
+
+def zscore_anomaly_fn(key, batches: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+    """Streaming form of operators.timeseries.rolling_zscore_anomalies:
+    per-key state is the ring buffer of the last ``_Z_LOOKBACK`` values
+    (bounded — state size is O(lookback) per key no matter how long
+    the stream runs). Each row scores against the state BEFORE its own
+    value enters the buffer, matching the batch operator's
+    current-row-excluded frame; rows sort by (ts, event_id) inside the
+    batch so replaying a batch is deterministic.
+
+    Values accumulate as ``Decimal`` quantized to 6 dp — the exact
+    semantics of the batch operator's ``decimal(18,6)`` cast (binary
+    double expanded exactly, then HALF_UP at 1e-6) — and the mean/
+    variance/z arithmetic repeats the batch plan's double expression
+    op for op, so the streaming output is BIT-IDENTICAL to the batch
+    result when events arrive in (ts, event_id) order per key."""
+    import math
+    from decimal import ROUND_HALF_UP, Context, Decimal
+    from functools import reduce
+
+    ctx = Context(prec=50)  # exact decimal sums; default prec=28 could round
+    q6 = Decimal("0.000001")
+    buf: list[Decimal] = (
+        [Decimal(v).quantize(q6, ROUND_HALF_UP) for v in state.get[0]]
+        if state.exists
+        else []
+    )
+    out_uid, out_eid, out_val, out_z = [], [], [], []
+    for pdf in batches:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for eid, val in zip(pdf["event_id"], pdf["value"]):
+            n = len(buf)
+            if n >= _Z_MIN_N:
+                s = float(reduce(ctx.add, buf, Decimal(0)))
+                s2 = float(reduce(ctx.add, [ctx.multiply(d, d) for d in buf], Decimal(0)))
+                mean = s / n
+                var = (s2 / n - mean * mean) * n / (n - 1)
+                if var > 0:
+                    z = (float(val) - mean) / math.sqrt(var)
+                    if abs(z) > _Z_THRESHOLD:
+                        out_uid.append(key[0])
+                        out_eid.append(int(eid))
+                        out_val.append(float(val))
+                        out_z.append(round(z, 3))
+            buf.append(Decimal(float(val)).quantize(q6, ROUND_HALF_UP))
+            if len(buf) > _Z_LOOKBACK:
+                buf.pop(0)
+    state.update(([float(d) for d in buf],))
+    yield pd.DataFrame(
+        {"user_id": out_uid, "event_id": out_eid, "value": out_val, "z": out_z}
+    )
+
+
+def zscore_anomalies_stream(events_stream):
+    """Attach the anomaly scorer to a streaming events frame (columns:
+    user_id, event_id, ts, value). Output mode 'append': a flagged row
+    emits exactly once, in the micro-batch that contains it — append
+    semantics, so file sinks work directly."""
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        zscore_anomaly_fn,
+        outputStructType=ZSCORE_OUTPUT_SCHEMA,
+        stateStructType=ZSCORE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

@@ -1257,3 +1257,64 @@ def test_mixture_sample_skewed_quotas(spark):
     assert sorted((r["source"], r["doc_id"]) for r in out) == sorted(
         (r["source"], r["doc_id"]) for r in again
     )
+
+
+def test_streaming_zscore_matches_batch(spark, tmp_path):
+    """The stateful streaming anomaly scorer emits the same flags as
+    the batch window operator, including across micro-batch boundaries
+    (state carries the trailing buffer between batches)."""
+    import datetime
+
+    from ais_data_pipeline_spark.operators.timeseries import rolling_zscore_anomalies
+    from ais_data_pipeline_spark.streaming.stateful import zscore_anomalies_stream
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for uid in (1, 2):
+        for i in range(40):
+            v = 500.0 if i in (25, 33) else (9.5 if (i + uid) % 2 == 0 else 10.5)
+            rows.append((uid * 1000 + i, uid, base + datetime.timedelta(seconds=i), v))
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    df = spark.createDataFrame(rows, schema)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # split mid-lookback so the buffer must survive a batch boundary
+    first = [r for r in rows if r[0] % 1000 < 30]
+    second = [r for r in rows if r[0] % 1000 >= 30]
+    spark.createDataFrame(first, schema).coalesce(1).write.parquet(str(src / "b1"))
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src / "*"))
+    out_tbl = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        (
+            zscore_anomalies_stream(stream)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .option("path", out_tbl)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(120)
+        )
+
+    run()
+    spark.createDataFrame(second, schema).coalesce(1).write.parquet(str(src / "b2"))
+    run()
+
+    got = {
+        r["event_id"]: r["z"] for r in spark.read.parquet(out_tbl).collect()
+    }
+    want = {
+        r["event_id"]: r["z"]
+        for r in rolling_zscore_anomalies(
+            df, order_cols=("ts", "event_id"), lookback=20, min_n=10, threshold=3.0
+        ).collect()
+    }
+    assert set(got) == set(want) and len(got) == 4  # 2 spikes x 2 users
+    # Decimal-quantized accumulation replicates the batch plan's
+    # decimal(18,6) casts: the paths are bit-identical, not just close
+    assert got == want
