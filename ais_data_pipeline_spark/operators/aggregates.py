@@ -143,3 +143,27 @@ def zscore_per_group(
         return pdf
 
     return df.groupBy(*key_cols).applyInPandas(normalize, schema)
+
+
+def profile_stats(
+    df: DataFrame,
+    ratio_cols: list[str],
+    range_cols: list[str],
+    approx: bool = False,
+) -> tuple[dict[str, float], dict[str, tuple]]:
+    """Distinct ratios AND min/max ranges in ONE batched aggregation —
+    the fused form of ``distinct_ratios`` + ``min_max`` for callers
+    needing both (the tightening planner): one pass over the input
+    instead of two, which at 100 TB halves the profiling scan cost
+    (and over a cached frame halves the cache traversals)."""
+    cd = F.approx_count_distinct if approx else F.count_distinct
+    aggs = [cd(F.col(c)).alias(f"{c}__nd") for c in ratio_cols]
+    aggs.append(F.count(F.lit(1)).alias("__n"))
+    for c in range_cols:
+        aggs.append(F.min(F.col(c)).alias(f"{c}__min"))
+        aggs.append(F.max(F.col(c)).alias(f"{c}__max"))
+    row = df.agg(*aggs).first()
+    n = row["__n"] or 1
+    ratios = {c: row[f"{c}__nd"] / n for c in ratio_cols}
+    ranges = {c: (row[f"{c}__min"], row[f"{c}__max"]) for c in range_cols}
+    return ratios, ranges

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ais_data_pipeline_spark.functions.numeric import smallest_int_type
-from ais_data_pipeline_spark.operators.aggregates import distinct_ratios, min_max
+from ais_data_pipeline_spark.operators.aggregates import profile_stats
 from ais_data_pipeline_spark.operators.filters import fits_int32_or_null
 
 #: Reference thresholds (notebooks/preprocessing_with_polars.ipynb:1862,2726).
@@ -75,8 +75,10 @@ def plan_tightening(
 ) -> TighteningPlan:
     """Profile ``df`` and decide categorical/downcast treatment.
 
-    Two batched aggregations total: one distinct-ratio pass over all
-    string+integer columns, one min/max pass over integer columns.
+    ONE batched aggregation total: distinct ratios (string+integer
+    columns) and integer min/max ranges fuse into a single agg
+    (``aggregates.profile_stats``) — a single pass over the input
+    where the reference runs one pass per profile kind.
     """
     string_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)]
     int_cols = [
@@ -85,13 +87,16 @@ def plan_tightening(
         if isinstance(f.dataType, (T.LongType, T.IntegerType, T.ShortType, T.ByteType))
     ]
     plan = TighteningPlan()
-    ratios = distinct_ratios(df, string_cols + int_cols, approx=approx) if (string_cols or int_cols) else {}
+    if not (string_cols or int_cols):
+        return plan
+    ratios, ranges = profile_stats(
+        df, string_cols + int_cols, int_cols, approx=approx
+    )
     for c in string_cols:
         if ratios.get(c, 1.0) <= string_threshold:
             plan.categorical_strings.append(c)
 
     if int_cols:
-        ranges = min_max(df, int_cols)
         for c in int_cols:
             lo, hi = ranges[c]
             target = smallest_int_type(lo, hi, allow_boolean=True)
