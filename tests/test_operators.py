@@ -1318,3 +1318,32 @@ def test_streaming_zscore_matches_batch(spark, tmp_path):
     # Decimal-quantized accumulation replicates the batch plan's
     # decimal(18,6) casts: the paths are bit-identical, not just close
     assert got == want
+
+
+def test_join_view_delta_exactly_once(spark):
+    """ΔV covers every new join pair exactly once (no dupes, no
+    misses) and the refresh equals a from-scratch recompute; the delta
+    join terms broadcast the delta side."""
+    from ais_data_pipeline_spark.operators.views import (
+        join_view_delta,
+        refresh_join_view,
+    )
+
+    a = spark.createDataFrame([(k, f"a{k}") for k in range(10)], ["k", "av"])
+    b = spark.createDataFrame(
+        [(k % 5, i) for i, k in enumerate(range(15))], ["k", "bv"]
+    )
+    a_old, a_delta = a.filter(F.col("k") < 7), a.filter(F.col("k") >= 7)
+    b_old, b_delta = b.filter(F.col("bv") < 10), b.filter(F.col("bv") >= 10)
+
+    full = a.join(b, ["k"])
+    old = a_old.join(b_old, ["k"])
+    delta = join_view_delta(a_old, a_delta, b_old, b_delta, ["k"])
+    refreshed = refresh_join_view(old, a_old, a_delta, b_old, b_delta, ["k"])
+
+    key = lambda r: (r["k"], r["av"], r["bv"])  # noqa: E731
+    assert sorted(map(key, refreshed.collect())) == sorted(map(key, full.collect()))
+    # exactly-once: delta row count = full - old (a multiset identity)
+    assert delta.count() == full.count() - old.count()
+    plan = delta._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2
