@@ -486,3 +486,28 @@ def test_pagerank_iteration_shape(spark, sf_dir):
     plan = plan_of(pagerank(cooccurrence_edges(li, "l_orderkey", "l_partkey"), iters=1))
     assert "CartesianProduct" not in plan
     assert "partial_sum" in plan
+
+
+def test_round4_queries_stay_jvm_side(spark, sf_dir):
+    """Round-4 batch operators must compile to pure JVM plans — the
+    only Python crossing this round is the explicitly-stateful
+    streaming scorer (applyInPandasWithState)."""
+    for name in (
+        "bm25_top_docs",
+        "inverted_index_postings",
+        "ngram_contamination",
+        "supplier_triangles",
+        "rolling_zscore_anomaly",
+        "token_entropy",
+        "mixture_sample_docs",
+        "incremental_join_view",
+    ):
+        plan = plan_of(BY_NAME[name].fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_contamination_eval_side_broadcasts(spark, sf_dir):
+    """The decontamination join must broadcast the eval-gram set —
+    the property that keeps the train corpus from shuffling at scale."""
+    plan = plan_of(BY_NAME["ngram_contamination"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
