@@ -124,7 +124,14 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     Each triangle is found exactly once; exploding its three corners
     gives per-node counts. Returns (node, n_triangles), nodes with
     ≥1 triangle only. Result is identical to the naive a<b<c id
-    ordering — orientation changes the join sizes, not the answer."""
+    ordering — orientation changes the join sizes, not the answer.
+
+    The edge list is referenced three times (degrees + two orientation
+    joins) and the oriented list three times (both wedge sides + the
+    closing probe); Catalyst does not CSE repeated DataFrame subtrees,
+    so both persist here — without it the upstream edge build (often a
+    pairs self-join + distinct) executes up to five times."""
+    edges = edges.persist()
     deg = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
@@ -153,6 +160,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
             .alias("__e")
         )
         .select("__e.u", "__e.v", "__e.dv")
+        .persist()
     )
     w1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"), F.col("dv").alias("db"))
     w2 = e.select(F.col("u").alias("a"), F.col("v").alias("c"), F.col("dv").alias("dc"))
