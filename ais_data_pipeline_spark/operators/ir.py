@@ -113,10 +113,16 @@ def inverted_index(
     every document still materializes only ``postings_per_term`` ids.
     JSON (not array) output keeps the result hashable downstream.
     """
+    # tf feeds both the stats agg and the posting build, and `top`
+    # feeds both the posting filter and the final join — persist them
+    # (Catalyst doesn't CSE repeated subtrees; without this the
+    # explode+shuffle would run twice). At warehouse scale tf would be
+    # a bucketed table (sinks/tables.py) rather than an executor cache.
     tf = (
         docs.select(F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("term"))
         .groupBy("term", id_col)
         .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
     )
     stats = tf.groupBy("term").agg(
         F.count(F.lit(1)).alias("dfreq"), F.sum("tf").alias("total_tf")
@@ -124,6 +130,7 @@ def inverted_index(
     top = (
         stats.orderBy(F.desc("dfreq"), F.asc("term"))
         .limit(top_terms)
+        .persist()
     )
     cut = Window.partitionBy("term").orderBy(F.asc(id_col))
     postings = (
@@ -160,15 +167,18 @@ def ngram_contamination(
         )
 
     tg = grams(train)
-    eg = grams(eval_docs).select("g").distinct()
-    sizes = tg.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
-    hits = (
-        tg.join(F.broadcast(eg), "g")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hit"))
-    )
+    eg = grams(eval_docs).select(F.col("g").alias("__eg")).distinct()
+    # ONE pass over the train grams: a LEFT broadcast join marks hits
+    # without dropping rows, so gram count and hit count come out of
+    # the same aggregation (no second explode of the corpus)
     return (
-        sizes.join(hits, id_col)
+        tg.join(F.broadcast(eg), tg.g == F.col("__eg"), "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("__eg").alias("n_hit"),
+        )
+        .filter(F.col("n_hit") > 0)
         .select(
             id_col,
             "n_grams",
