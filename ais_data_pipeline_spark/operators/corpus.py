@@ -132,3 +132,35 @@ def mixture_sample(
         .filter(F.col("__rk") <= F.col("__quota"))
         .select(source_col, id_col)
     )
+
+
+def dataset_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train: float = 0.8,
+    val: float = 0.1,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row draws the
+    engine-portable uniform u = md5(seed, id)-prefix / 2^60 and lands
+    in train (u < train), val (u < train+val), else test.
+
+    A pure function of the key — the assignment survives repartition,
+    re-runs, and engine changes (the property that keeps eval sets
+    stable across pipeline versions), and rows never move between
+    splits when the corpus grows (unlike rank-based splitting, where
+    inserting a document shifts every rank after it). Adds a
+    ``split`` column; no shuffle.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(2**60 + 1))
+    return df.withColumn(
+        "split",
+        F.when(u < train, "train").when(u < train + val, "val").otherwise("test"),
+    )

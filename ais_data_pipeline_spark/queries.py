@@ -5597,3 +5597,36 @@ def q_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total"),
     )
+
+
+@register(
+    "dataset_split_counts",
+    """
+    WITH u AS (
+      SELECT source,
+             (('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              + 1)::DOUBLE / 1152921504606846977.0 AS u
+      FROM documents
+    )
+    SELECT source,
+           CASE WHEN u < 0.8 THEN 'train'
+                WHEN u < 0.9 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs
+    FROM u GROUP BY 1, 2
+    """,
+    "Deterministic train/val/test assignment via the engine-portable "
+    "md5-prefix uniform: a pure function of the key, so splits survive "
+    "repartition and corpus growth (no rank shifting); per-source "
+    "counts make the stratification visible. No shuffle for the "
+    "assignment itself — only the reporting aggregate exchanges.",
+)
+def q_dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.corpus import dataset_split
+
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        dataset_split(d, train=0.8, val=0.1, seed=42)
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -1347,3 +1347,21 @@ def test_join_view_delta_exactly_once(spark):
     assert delta.count() == full.count() - old.count()
     plan = delta._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_dataset_split_stable_under_growth(spark):
+    """Split assignment is a pure function of the key: repartitioning
+    and corpus growth never move an existing row between splits, and
+    fractions land near the targets."""
+    from ais_data_pipeline_spark.operators.corpus import dataset_split
+
+    small = spark.range(500).select(F.col("id").alias("doc_id"))
+    big = spark.range(1000).select(F.col("id").alias("doc_id"))
+    s1 = {r["doc_id"]: r["split"] for r in dataset_split(small).collect()}
+    s2 = {r["doc_id"]: r["split"] for r in dataset_split(big.repartition(13)).collect()}
+    assert all(s2[k] == v for k, v in s1.items())  # growth + layout invariant
+    from collections import Counter
+
+    frac = Counter(s2.values())
+    assert 0.75 < frac["train"] / 1000 < 0.85
+    assert 0.06 < frac["val"] / 1000 < 0.14
