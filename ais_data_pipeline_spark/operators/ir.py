@@ -49,7 +49,10 @@ def bm25_topk(
     doc id. Returns (doc_id, score).
     """
     toks = docs.select(F.col(id_col), tokens_col(F.col(text_col)).alias("__t"))
-    dl = toks.select(id_col, F.size("__t").alias("__dl"))
+    # dl feeds the per-doc join AND the corpus scalars; persist the
+    # (id, length) pairs so the corpus is scanned twice (dl + postings),
+    # not three times — at scale dl is 16 bytes/doc, trivially cached
+    dl = toks.select(id_col, F.size("__t").alias("__dl")).persist()
     # filter to query terms BEFORE the shuffle: only matching postings move
     tf = (
         toks.select(F.col(id_col), F.explode("__t").alias("term"))

@@ -38,6 +38,12 @@ sorted):
   decimal — if small magnitudes are possible, render the array
   yourself via format_string('%.9f') / printf('%.9f') instead
   (kmeans_ivf_centroids shows the pattern).
+- Python-side (pandas/stateful) operators that must hash-match a SQL
+  oracle replicate the JVM decimal semantics in ``decimal.Decimal``:
+  quantize each double at the cast scale with ROUND_HALF_UP, sum
+  exactly, convert back via float() — then identical double arithmetic
+  is bit-identical across the pandas, JVM, and DuckDB paths
+  (streaming_zscore_anomaly shows the pattern).
 """
 
 from __future__ import annotations
