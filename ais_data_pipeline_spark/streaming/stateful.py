@@ -19,16 +19,34 @@ STATE_SCHEMA = "n bigint, total double, last_ts timestamp"
 
 def running_totals_fn(key, batches: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
     """GroupState update function: fold each micro-batch's rows for the
-    key into (n, total, last_ts) state and emit the updated snapshot."""
+    key into (n, total, last_ts) state and emit the updated snapshot.
+
+    The total replicates the JVM decimal(18,6) cast semantics
+    (quantized-Decimal accumulation, exact and associative), so the
+    final snapshot hash-matches the batch/DuckDB decimal aggregate
+    bit for bit — the stored double round-trips exactly because a sum
+    of 6-dp decimals is a 6-dp decimal and |total| stays far below
+    2^53 * 1e-6 (see queries.py determinism header)."""
+    from decimal import ROUND_HALF_UP, Context, Decimal
+    from functools import reduce
+
+    ctx = Context(prec=50)
+    q6 = Decimal("0.000001")
     if state.exists:
-        n, total, last_ts = state.get
+        n, total_f, last_ts = state.get
+        total = Decimal(total_f).quantize(q6, ROUND_HALF_UP)
     else:
-        n, total, last_ts = 0, 0.0, None
+        n, total, last_ts = 0, Decimal(0), None
     for pdf in batches:
         n += len(pdf)
-        total += float(pdf["value"].sum())
+        total = reduce(
+            ctx.add,
+            (Decimal(float(v)).quantize(q6, ROUND_HALF_UP) for v in pdf["value"]),
+            total,
+        )
         batch_max = pdf["ts"].max()
         last_ts = batch_max if last_ts is None else max(last_ts, batch_max)
+    total = float(total)
     state.update((n, total, last_ts))
     yield pd.DataFrame(
         {
