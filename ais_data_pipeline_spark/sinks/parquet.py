@@ -143,6 +143,7 @@ def upsert_parquet(
     key_cols: list[str],
     compression: str = "zstd",
     order_col: str | None = None,
+    delete_col: str | None = None,
 ) -> dict:
     """MERGE-style upsert for plain parquet (no table format): rows in
     ``updates`` replace existing rows with the same key; new keys
@@ -153,6 +154,12 @@ def upsert_parquet(
     - ``updates`` is deduplicated on ``key_cols`` first (latest-wins by
       ``order_col`` when given, else an arbitrary single survivor) so a
       batch carrying the same key twice can't double-insert.
+    - ``delete_col`` names a boolean tombstone column: after the
+      latest-wins dedup, a surviving delete row REMOVES its key from
+      the table and inserts nothing (full CDC I/U/D apply — WHEN
+      MATCHED AND tombstone THEN DELETE). Deleting an absent key is a
+      no-op; the tombstone column itself never lands in the table;
+      replaying the batch is still idempotent.
     - Rows whose key columns contain NULL are never *replaced* (SQL
       join semantics: NULL keys match nothing); an update row with a
       NULL key simply appends. Model missing keys explicitly upstream.
@@ -179,7 +186,13 @@ def upsert_parquet(
         updates = updates.dropDuplicates(key_cols)
 
     existing = spark.read.parquet(path)
+    # anti-join on ALL touched keys (inserts, updates, AND deletes):
+    # a deleted key drops out of `keep` and nothing re-inserts it
     keep = existing.join(updates.select(*key_cols), key_cols, "left_anti")
+    if delete_col is not None:
+        updates = updates.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        ).drop(delete_col)
     merged = keep.unionByName(updates)
     # count during the write (observe) — no post-write re-scan
     obs = Observation("upsert_rows")

@@ -103,6 +103,7 @@ def run_upsert_sink(
     key_cols: list[str],
     checkpoint_path: str,
     order_col: str | None = None,
+    delete_col: str | None = None,
 ) -> None:
     """Streaming MERGE sink: each micro-batch upserts into a plain
     parquet table via ``foreachBatch`` + ``upsert_parquet`` — the CDC /
@@ -115,7 +116,12 @@ def run_upsert_sink(
     → same keys overwrite to the same values), so replays after a
     crash cannot duplicate rows. That idempotence-not-transactions
     recipe is the standard exactly-once story for non-transactional
-    sinks."""
+    sinks.
+
+    ``delete_col`` names a boolean tombstone column for full CDC
+    I/U/D streams: a key whose latest version in the batch is a
+    tombstone is removed (or, in the bootstrap batch, never lands);
+    the column itself never reaches the table."""
     import os as _os
 
     from ais_data_pipeline_spark.sinks.parquet import upsert_parquet
@@ -139,9 +145,18 @@ def run_upsert_sink(
                 )
             else:
                 first = batch_df.dropDuplicates(key_cols)
+            if delete_col is not None:
+                # a key whose LATEST first-batch version is a tombstone
+                # never lands — same CDC semantics as later merges
+                first = first.filter(
+                    ~F.coalesce(F.col(delete_col), F.lit(False))
+                ).drop(delete_col)
             first.write.mode("overwrite").parquet(table_path)
             return
-        upsert_parquet(spark, table_path, batch_df, key_cols, order_col=order_col)
+        upsert_parquet(
+            spark, table_path, batch_df, key_cols,
+            order_col=order_col, delete_col=delete_col,
+        )
 
     q = (
         stream_df.writeStream.foreachBatch(merge_batch)

@@ -1365,3 +1365,40 @@ def test_dataset_split_stable_under_growth(spark):
     frac = Counter(s2.values())
     assert 0.75 < frac["train"] / 1000 < 0.85
     assert 0.06 < frac["val"] / 1000 < 0.14
+
+
+def test_streaming_upsert_sink_cdc_deletes(spark, tmp_path):
+    """Full CDC I/U/D apply: a tombstone removes its key, an
+    insert+tombstone whose LATEST version is the tombstone never
+    lands, and replaying the batch is idempotent."""
+    from ais_data_pipeline_spark.streaming.ingest import run_upsert_sink
+
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    schema = "k long, v string, seq long, deleted boolean"
+
+    def write(rows, sub):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src / sub))
+
+    table, ckpt = str(tmp_path / "state_table"), str(tmp_path / "ckpt")
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        run_upsert_sink(
+            stream, table, ["k"], ckpt, order_col="seq", delete_col="deleted"
+        )
+
+    # bootstrap: k=3 inserted then tombstoned IN the same batch
+    write([(1, "a", 1, False), (2, "b", 1, False), (3, "c", 1, False), (3, "c", 2, True)], "b1")
+    run()
+    state = {r["k"]: r["v"] for r in spark.read.parquet(table).collect()}
+    assert state == {1: "a", 2: "b"}
+    assert "deleted" not in spark.read.parquet(table).columns
+
+    # merge: delete k=1, update k=2, delete absent k=9 (no-op)
+    write([(1, "a", 3, True), (2, "b2", 3, False), (9, "x", 3, True)], "b2")
+    run()
+    state = {r["k"]: r["v"] for r in spark.read.parquet(table).collect()}
+    assert state == {2: "b2"}
+    run()  # replay-safe no-op
+    assert {r["k"]: r["v"] for r in spark.read.parquet(table).collect()} == state
