@@ -511,3 +511,18 @@ def test_contamination_eval_side_broadcasts(spark, sf_dir):
     the property that keeps the train corpus from shuffling at scale."""
     plan = plan_of(BY_NAME["ngram_contamination"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_q6_full_pushdown(spark, sf_dir):
+    """TPC-H Q6: every filter must reach the parquet scan and only the
+    four referenced columns may be read."""
+    plan = plan_of(BY_NAME["forecast_revenue_q6"].fn(spark, sf_dir))
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount",
+        "LessThan(l_quantity",
+    ):
+        assert frag in plan, frag
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) == 4
