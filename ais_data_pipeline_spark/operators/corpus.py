@@ -91,6 +91,59 @@ def pack_sequences(
     )
 
 
+def pack_sequences_strict(
+    df: DataFrame,
+    budget_tokens: int = 256,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy NEXT-FIT packing with a STRICT per-bin token cap — the
+    variant trainers consume directly: within a shard (``id %
+    n_shards``), documents pack in id order into the current bin until
+    adding one would exceed ``budget_tokens``, which closes the bin and
+    opens the next. Every bin's total is ≤ budget except a single
+    oversized document, which occupies a bin alone (never truncated
+    here — truncation is ``chunk_documents``'s job upstream).
+
+    The bin id is a prefix-dependent fold (each assignment depends on
+    the running fill, which RESETS at bin boundaries) — not expressible
+    as a window cumsum (``pack_sequences``'s start-offset binning is
+    the windowed approximation) and an ``F.aggregate`` fold would copy
+    its output array per element (O(m²) per shard). So the scan runs
+    as a per-shard Arrow batch (``applyInPandas``): O(m) per shard,
+    shards are the parallelism unit — raise ``n_shards`` so per-shard
+    document counts stay executor-sized at corpus scale. Deterministic:
+    pure integer arithmetic over the id-sorted shard.
+    Output: (id, shard, bin_id, n_tokens)."""
+    import pandas as pd
+
+    sized = df.select(
+        F.col(id_col),
+        (F.col(id_col) % n_shards).alias("shard"),
+        F.size(tokens_col(F.col(text_col))).alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        bins = []
+        cur_bin, fill = 0, 0
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if fill > 0 and fill + n > budget_tokens:
+                cur_bin += 1
+                fill = 0
+            bins.append(cur_bin)
+            fill += n
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        pdf["n_tokens"] = pdf["n_tokens"].astype("int32")
+        return pdf[[id_col, "shard", "bin_id", "n_tokens"]]
+
+    return sized.groupBy("shard").applyInPandas(
+        pack, schema=f"{id_col} bigint, shard bigint, bin_id bigint, n_tokens int"
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     k: int,

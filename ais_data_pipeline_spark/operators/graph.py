@@ -37,18 +37,40 @@ def pagerank(
     add self-loops — the co-occurrence graphs this engine builds are
     symmetric, so every node has outdeg >= 1).
 
-    Returns (node, pr) with full-precision ranks; round at output."""
-    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("__outdeg"))
+    Returns (node, pr) with full-precision ranks; round at output.
+
+    Iterative-lineage truncation: without it, iteration i's plan embeds
+    every previous iteration, so the edge build (often a pairs
+    self-join + distinct) re-executes O(iters) times and plan size
+    doubles per round — a scale-killer at real iteration counts. Each
+    round therefore ``localCheckpoint``s the INCOMING ranks (eager), and
+    the loop-invariant frames (edges, outdegrees, node set) checkpoint
+    once up front so the edge build runs exactly once. The LAST
+    iteration's lineage stays live, so the returned plan is exactly one
+    iteration (join + partial-agg) over checkpointed inputs — constant
+    in ``iters``, and plan-auditable. localCheckpoint blocks are
+    reclaimed by Spark's ContextCleaner when the frames are
+    garbage-collected — no persist leak across a long query sweep."""
+    e = edges.select(
+        F.col(src).alias("__s"), F.col(dst).alias("__d")
+    ).localCheckpoint(eager=True)
+    deg = (
+        e.groupBy(F.col("__s").alias("__dn"))
+        .agg(F.count(F.lit(1)).alias("__outdeg"))
+        .localCheckpoint(eager=True)
+    )
     nodes = (
-        edges.select(F.col(src).alias("node"))
-        .unionAll(edges.select(F.col(dst).alias("node")))
+        e.select(F.col("__s").alias("node"))
+        .unionAll(e.select(F.col("__d").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     ranks = nodes.select("node", F.lit(1.0).alias("pr"))
-    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
-    for _ in range(iters):
+    for i in range(iters):
+        if i > 0:
+            ranks = ranks.localCheckpoint(eager=True)
         contribs = (
-            ranks.join(deg, ranks.node == F.col(src))
+            ranks.join(deg, ranks.node == F.col("__dn"))
             .join(e, F.col("node") == F.col("__s"))
             .select(
                 F.col("__d").alias("node"),
@@ -56,12 +78,15 @@ def pagerank(
             )
         )
         sums = contribs.groupBy("node").agg(F.sum("__c").cast("double").alias("__in"))
-        ranks = nodes.join(sums, "node", "left").select(
-            "node",
-            (
-                F.lit(1.0 - damping)
-                + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))
-            ).alias("pr"),
+        ranks = (
+            nodes.join(sums, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))
+                ).alias("pr"),
+            )
         )
     return ranks
 
@@ -129,9 +154,12 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     The edge list is referenced three times (degrees + two orientation
     joins) and the oriented list three times (both wedge sides + the
     closing probe); Catalyst does not CSE repeated DataFrame subtrees,
-    so both persist here — without it the upstream edge build (often a
-    pairs self-join + distinct) executes up to five times."""
-    edges = edges.persist()
+    so both materialize here via eager ``localCheckpoint`` — without it
+    the upstream edge build (often a pairs self-join + distinct)
+    executes up to five times. localCheckpoint over persist because the
+    blocks are reclaimed by the ContextCleaner on GC — a query sweep
+    calling this 150 times leaks no cache entries."""
+    edges = edges.localCheckpoint(eager=True)
     deg = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
@@ -160,7 +188,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
             .alias("__e")
         )
         .select("__e.u", "__e.v", "__e.dv")
-        .persist()
+        .localCheckpoint(eager=True)
     )
     w1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"), F.col("dv").alias("db"))
     w2 = e.select(F.col("u").alias("a"), F.col("v").alias("c"), F.col("dv").alias("dc"))

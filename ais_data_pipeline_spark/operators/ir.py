@@ -49,10 +49,12 @@ def bm25_topk(
     doc id. Returns (doc_id, score).
     """
     toks = docs.select(F.col(id_col), tokens_col(F.col(text_col)).alias("__t"))
-    # dl feeds the per-doc join AND the corpus scalars; persist the
+    # dl feeds the per-doc join AND the corpus scalars; materialize the
     # (id, length) pairs so the corpus is scanned twice (dl + postings),
-    # not three times — at scale dl is 16 bytes/doc, trivially cached
-    dl = toks.select(id_col, F.size("__t").alias("__dl")).persist()
+    # not three times — at scale dl is 16 bytes/doc, trivially cached.
+    # localCheckpoint over persist: blocks are GC-reclaimed by the
+    # ContextCleaner, so a 150-query sweep accumulates no cache entries.
+    dl = toks.select(id_col, F.size("__t").alias("__dl")).localCheckpoint(eager=True)
     # filter to query terms BEFORE the shuffle: only matching postings move
     tf = (
         toks.select(F.col(id_col), F.explode("__t").alias("term"))
@@ -117,15 +119,17 @@ def inverted_index(
     JSON (not array) output keeps the result hashable downstream.
     """
     # tf feeds both the stats agg and the posting build, and `top`
-    # feeds both the posting filter and the final join — persist them
-    # (Catalyst doesn't CSE repeated subtrees; without this the
-    # explode+shuffle would run twice). At warehouse scale tf would be
-    # a bucketed table (sinks/tables.py) rather than an executor cache.
+    # feeds both the posting filter and the final join — materialize
+    # them via eager localCheckpoint (Catalyst doesn't CSE repeated
+    # subtrees; without this the explode+shuffle would run twice; and
+    # unlike persist the blocks are GC-reclaimed, so a long query sweep
+    # leaks nothing). At warehouse scale tf would be a bucketed table
+    # (sinks/tables.py) rather than an executor cache.
     tf = (
         docs.select(F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("term"))
         .groupBy("term", id_col)
         .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     stats = tf.groupBy("term").agg(
         F.count(F.lit(1)).alias("dfreq"), F.sum("tf").alias("total_tf")
@@ -133,7 +137,7 @@ def inverted_index(
     top = (
         stats.orderBy(F.desc("dfreq"), F.asc("term"))
         .limit(top_terms)
-        .persist()
+        .localCheckpoint(eager=True)
     )
     cut = Window.partitionBy("term").orderBy(F.asc(id_col))
     postings = (

@@ -513,10 +513,25 @@ def kmeans_lloyd(
     Scale: each iteration is one broadcast cross-join against k tiny
     centroids + a (n*dim)-row posexplode shuffle for the means — the
     standard distributed-k-means shape; iters is a small constant.
+
+    Iterative-lineage truncation: the centroids are k·dim doubles —
+    tiny by construction (the IVF quantizer contract) — so each round
+    after the first COLLECTS the incoming centroids to the driver and
+    rebuilds the centroid frame as literals via ``createDataFrame``.
+    Iteration i's plan then references a local relation instead of the
+    whole of iteration i-1, keeping plan size and scan count constant
+    in ``iters`` (without this the final plan re-reads the source
+    O(iters) times). The last iteration's lineage stays live so the
+    returned plan is one auditable Lloyd round. Exactness:
+    collect→Python float→createDataFrame round-trips IEEE doubles
+    bit-for-bit, so the SQL oracle still replays identically.
     Returns (centroid_id, cvec)."""
+    spark = df.sparkSession
     cents = head_centroids(df, k, vec_col, id_col)
     e = df.select(id_col, _as_double_array(F.col(vec_col)).alias("__v"))
-    for _ in range(iters):
+    for i in range(iters):
+        if i > 0:
+            cents = spark.createDataFrame(cents.collect(), cents.schema)
         assigned = ivf_assign(e, cents, "__v", id_col)
         dims = assigned.select("list_id", F.posexplode("__v").alias("pos", "x"))
         mu = (
@@ -551,8 +566,14 @@ def kmeans_cluster_profile(
     explicit %.9f formatting rather than to_json: Spark's to_json
     switches to scientific notation below 1e-3 (…E-4) where DuckDB
     stays plain-decimal, so for small-magnitude doubles the fixed
-    format is the only rendering both engines agree on."""
+    format is the only rendering both engines agree on.
+
+    The converged centroids collect to driver literals (k·dim doubles)
+    before the final assignment — they're referenced twice below
+    (assignment + rendering join) and literals make both references
+    free, so the whole profile is ONE scan of ``df``."""
     cents = kmeans_lloyd(df, k, iters, vec_col, id_col)
+    cents = df.sparkSession.createDataFrame(cents.collect(), cents.schema)
     e = df.select(id_col, _as_double_array(F.col(vec_col)).alias("__v"))
     assigned = ivf_assign(e, cents, "__v", id_col)
     sizes = assigned.groupBy("list_id").agg(F.count(F.lit(1)).alias("n_members"))

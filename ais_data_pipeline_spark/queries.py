@@ -78,74 +78,71 @@ def register(name: str, oracle: str | None, description: str):
 
 
 # The driver checks only the FIRST 50 registry entries per round, so
-# registry order decides which queries get a CORRECTNESS row. Round-4
-# window: (a) the 32 queries new or changed this round (IR/curation
-# batch: BM25, inverted index, decontamination, triangles, anomaly,
-# entropy, ORC roundtrip, mixture sampling, streaming z-score,
-# incremental join view, schema evolution, the end-to-end curation
-# pipeline, stateful totals' new full oracle; TPC-H batch, FFT
-# kernel, k-means, time travel, simhash's new portable oracle);
-# (b) the 18 queries that have NEVER had a driver row (registered
-# round 3 past the cutoff; hash_sample_orders, stratified_hash_sample,
-# dq_report, surrogate_keys, above_avg_orders, mode_event_type_per_
-# user, order_price_deciles, funnel_stages, string_agg_types defer to
-# round 5 — every registry query still gets the factory-session
-# oracle check in pytest each run; the driver row is the independent
-# re-proof). If the driver cap is gone this ordering is harmless —
-# everything still runs.
+# registry order decides which queries get a CORRECTNESS row. Round-5
+# window (the round-4 verdict's backlog-retirement plan): (a) the 11
+# queries that had NEVER had a driver row, plus approx_distinct_events
+# (whose only row predates its real error-contract oracle); (b) the
+# two queries NEW this round (strict-cap packing, streaming CDC
+# upsert); (c) 37 of the 40 queries whose latest driver row is
+# round 2 — everything else registry-wide has an r3/r4 row.
+# Three r2-dated queries don't fit the 50-slot cap and rotate into
+# the round-6 window: scan_project_filter, string_functions,
+# date_functions (chosen because they are zero-churn single-
+# projection queries, still oracle-checked by pytest every run).
 _FRONT_WINDOW: list[str] = [
-    # (a) new/changed this round
-    "bm25_top_docs",
-    "inverted_index_postings",
-    "ngram_contamination",
-    "supplier_triangles",
-    "rolling_zscore_anomaly",
-    "token_entropy",
-    "orc_roundtrip_agg",
-    "mixture_sample_docs",
-    "streaming_zscore_anomaly",
-    "incremental_join_view",
-    "schema_evolution_merge",
-    "streaming_stateful_totals",
-    "curation_pipeline_stats",
-    "simhash_fingerprints",
-    "market_share",
-    "returned_revenue",
-    "promo_revenue_share",
-    "top_supplier_quarter",
-    "bracket_revenue",
-    "blocking_suppliers",
-    "dominant_supplier_part",
-    "doc_repetition_stats",
-    "pii_scrub_docs",
-    "embedding_quantize_int8",
-    "subsequence_best_match_fft",
-    "kmeans_ivf_centroids",
-    "snapshot_time_travel",
-    "part_pagerank",
-    "cms_heavy_hitters",
-    "cross_doc_repeated_spans",
-    "skyline_orders",
-    "weighted_sample_orders",
-    # (b) registered in round 3, never driver-checked
-    "min_cost_supplier_per_part",
-    "profit_by_nation_year",
-    "important_parts_share",
-    "supplier_count_per_brand_size",
-    "rich_idle_customers",
-    "value_histogram",
-    "tfidf_top_terms",
-    "doc_chunking",
-    "sequence_packing",
-    "fuzzy_name_pairs",
-    "rolling_1h_user_stats",
-    "asof_next_purchase",
-    "trajectory_speed",
-    "topk_with_ties",
-    "cumulative_unique_users",
-    "cohort_retention",
-    "snapshot_diff_orders",
-    "revenue_mom_change",
+    # (a) never driver-checked + stale-oracle HLL
+    "forecast_revenue_q6",
+    "dataset_split_counts",
+    "dq_report",
+    "hash_sample_orders",
+    "stratified_hash_sample",
+    "surrogate_keys",
+    "above_avg_orders",
+    "mode_event_type_per_user",
+    "order_price_deciles",
+    "funnel_stages",
+    "string_agg_types",
+    "approx_distinct_events",
+    # (b) new this round
+    "sequence_packing_strict",
+    "streaming_cdc_upsert",
+    # (c) oldest driver rows (round 2) — refresh
+    "bpe_token_counts",
+    "conditional_agg",
+    "cube_returnflag_status",
+    "custdist",
+    "dict_normalize_brand",
+    "downcast_guard",
+    "events_hourly",
+    "events_json_extract",
+    "frame_sample_fanout",
+    "grouping_sets_status",
+    "json_path_extract",
+    "large_orders",
+    "locf_fill_forward",
+    "moment_stats",
+    "multiset_ops",
+    "nation_pair_volume",
+    "not_in_null_semantics",
+    "order_status_rollup",
+    "outer_join_fill",
+    "posexplode_tokens",
+    "priority_revenue",
+    "profile_distinct_ratios",
+    "project_exclude_substring",
+    "rank_distribution",
+    "rollup_region_nation",
+    "running_total_per_customer",
+    "salted_event_type_agg",
+    "session_windows_native",
+    "stream_static_join",
+    "streaming_dedup_pairs",
+    "streaming_sliding_counts",
+    "streaming_windowed_counts",
+    "term_frequencies",
+    "unpivot_metrics",
+    "url_route_suffix",
+    "value_run_islands",
 ]
 
 
@@ -155,6 +152,20 @@ def registry() -> list[QueryDef]:
     indexed = list(enumerate(_REGISTRY))
     indexed.sort(key=lambda t: (rank.get(t[1].name, back), t[0]))
     return [q for _, q in indexed]
+
+
+def _scratch_dir(prefix: str) -> str:
+    """Fresh scratch dir, removed at interpreter exit. Write-side
+    queries (snapshots, ORC round-trip, schema evolution) run once per
+    sweep invocation; bare mkdtemp dirs would otherwise accumulate in
+    /tmp for every sweep the driver runs."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 
 
 def _utc(spark: SparkSession) -> None:
@@ -728,7 +739,8 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JACCARD_ORACLE = r"""
     WITH tok AS (
-      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
       FROM documents
     ), sh AS (
       SELECT doc_id, shingle
@@ -777,7 +789,10 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ais_data_pipeline_spark.operators.dedup import minhash_near_dup
 
-    d = read_table(spark, sf_dir, "documents")
+    # spread=True: 32-permutation minhashing is CPU-bound per row; a
+    # single-split input would otherwise pin the whole signature
+    # computation to one core (operators/util.spread_to_parallelism).
+    d = read_table(spark, sf_dir, "documents", spread=True)
     return minhash_near_dup(d, threshold=0.5, n_hashes=32, bands=16)
 
 
@@ -795,7 +810,8 @@ def _simhash_oracle() -> str:
       SELECT doc_id,
              ('0x' || substr(md5(t.tok), 1, 15))::BIGINT AS h
       FROM documents,
-           unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t(tok)
+           unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END) AS t(tok)
     )
     SELECT doc_id, {terms} AS simhash
     FROM toks GROUP BY doc_id
@@ -1969,6 +1985,75 @@ def q_streaming_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_cdc_upsert",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (WHERE o_orderkey % 10 = 0) AS BIGINT)
+             AS n_updated,
+           round(CAST(sum(CAST(CASE WHEN o_orderkey % 10 = 0
+                                    THEN o_totalprice + 1.0
+                                    ELSE o_totalprice END
+                          AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+    FROM orders
+    WHERE o_orderkey % 97 <> 0 AND o_orderkey % 13 <> 0
+    """,
+    "Streaming CDC MERGE sink end-to-end: a deterministic I/U/D change "
+    "feed derived from orders streams through foreachBatch + "
+    "upsert_parquet in TWO availableNow passes — pass 1 bootstraps the "
+    "table from inserts, pass 2 merges updates (version 2, latest-wins "
+    "by order_col) and tombstone deletes (version 3). The oracle "
+    "re-derives the final table state straight from orders, so a green "
+    "row proves the whole apply chain: bootstrap dedup, latest-wins "
+    "ordering, tombstone removal, and the idempotent rewrite.",
+)
+def q_streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.streaming.ingest import run_upsert_sink
+
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    base = _scratch_dir("cdc_upsert_")
+    landing, table, ckpt = base + "/landing", base + "/table", base + "/ckpt"
+    k = F.col("o_orderkey")
+    ins = o.filter(k % 97 != 0).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.lit(1).alias("version"),
+        F.lit(False).alias("is_delete"),
+    )
+    upd = o.filter((k % 97 != 0) & (k % 10 == 0)).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+        F.lit(2).alias("version"),
+        F.lit(False).alias("is_delete"),
+    )
+    dels = o.filter((k % 97 != 0) & (k % 13 == 0)).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.lit(3).alias("version"),
+        F.lit(True).alias("is_delete"),
+    )
+
+    def drain_pass() -> None:
+        stream = spark.readStream.schema(ins.schema).parquet(landing)
+        run_upsert_sink(
+            stream, table, ["o_orderkey"], ckpt,
+            order_col="version", delete_col="is_delete",
+        )
+
+    ins.write.mode("append").parquet(landing)
+    drain_pass()  # bootstrap from inserts
+    upd.unionByName(dels).write.mode("append").parquet(landing)
+    drain_pass()  # incremental merge of updates + tombstones
+    final = spark.read.parquet(table)
+    return final.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(k % 10 == 0, 1)).alias("n_updated"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("total"),
+    )
+
+
+@register(
     "streaming_stateful_totals",
     """
     SELECT user_id,
@@ -2179,7 +2264,8 @@ def q_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "posexplode_tokens",
     r"""
     SELECT doc_id, i AS pos, toks[i] AS token FROM
-      (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
        FROM documents WHERE doc_id < 20) t,
       UNNEST(generate_series(1, len(toks))) AS s(i)
     """,
@@ -2794,7 +2880,8 @@ def q_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "term_frequencies",
     r"""
     WITH tok AS (
-      SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(lower(trim(text)), '\s+') END) AS term
       FROM documents
     ), tf AS (
       SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
@@ -3545,7 +3632,8 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tfidf_top_terms",
     r"""
     WITH tok AS (
-      SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(lower(trim(text)), '\s+') END) AS term
       FROM documents
     ), tf AS (
       SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
@@ -3615,7 +3703,8 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_chunking",
     r"""
     WITH toks AS (
-      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS t
       FROM documents
     ), sized AS (
       SELECT doc_id, t,
@@ -3646,7 +3735,8 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH sized AS (
       SELECT doc_id, doc_id % 8 AS shard,
-             len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(lower(trim(text)), '\s+')) END AS n_tokens
       FROM documents
     )
     SELECT doc_id, shard,
@@ -3667,6 +3757,45 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     return pack_sequences(d, budget_tokens=256, n_shards=8)
+
+
+@register(
+    "sequence_packing_strict",
+    r"""
+    WITH RECURSIVE sized AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(lower(trim(text)), '\s+')) END AS n_tokens,
+             row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+      FROM documents
+    ), packed AS (
+      SELECT shard, rn, doc_id, n_tokens,
+             CAST(0 AS BIGINT) AS bin_id, CAST(n_tokens AS BIGINT) AS fill
+      FROM sized WHERE rn = 1
+      UNION ALL
+      SELECT s.shard, s.rn, s.doc_id, s.n_tokens,
+             CASE WHEN p.fill > 0 AND p.fill + s.n_tokens > 256
+                  THEN p.bin_id + 1 ELSE p.bin_id END,
+             CASE WHEN p.fill > 0 AND p.fill + s.n_tokens > 256
+                  THEN CAST(s.n_tokens AS BIGINT) ELSE p.fill + s.n_tokens END
+      FROM sized s JOIN packed p ON s.shard = p.shard AND s.rn = p.rn + 1
+    )
+    SELECT doc_id, shard, bin_id, CAST(n_tokens AS INT) AS n_tokens
+    FROM packed
+    """,
+    "STRICT-cap sequence packing (greedy next-fit): within a shard, "
+    "documents pack in id order until the 256-token budget would "
+    "overflow, which closes the bin — every bin <= budget except a "
+    "single oversized doc alone in its bin. The fold is prefix-"
+    "dependent (fill resets at bin boundaries), so it runs as a "
+    "per-shard Arrow batch scan (applyInPandas, O(m) per shard); the "
+    "oracle replays it with a recursive CTE over the same row order.",
+)
+def q_sequence_packing_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.corpus import pack_sequences_strict
+
+    d = read_table(spark, sf_dir, "documents")
+    return pack_sequences_strict(d, budget_tokens=256, n_shards=8)
 
 
 @register(
@@ -4729,7 +4858,8 @@ def q_dominant_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_repetition_stats",
     r"""
     WITH toks AS (
-      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS t
       FROM documents
     ), base AS (
       SELECT doc_id, len(t) AS n_tokens,
@@ -4969,12 +5099,10 @@ def q_kmeans_ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "committed rows.",
 )
 def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from ais_data_pipeline_spark.sinks.snapshots import read_snapshot, write_snapshot
 
     o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    table = tempfile.mkdtemp(prefix="snap_tt_") + "/orders_versioned"
+    table = _scratch_dir("snap_tt_") + "/orders_versioned"
     write_snapshot(o.filter(F.col("o_orderkey") % 2 == 0), table, mode="overwrite")
     write_snapshot(o.filter(F.col("o_orderkey") % 2 != 0), table, mode="append")
 
@@ -5099,7 +5227,8 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cross_doc_repeated_spans",
     r"""
     WITH toks AS (
-      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS t
       FROM documents
     ),
     base AS (SELECT doc_id, len(t) AS n FROM toks),
@@ -5225,7 +5354,8 @@ def q_weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bm25_top_docs",
     r"""
     WITH tok AS (
-      SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(lower(trim(text)), '\s+') END) AS term
       FROM documents
     ), dl AS (
       SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1
@@ -5265,7 +5395,8 @@ def q_bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "inverted_index_postings",
     r"""
     WITH tok AS (
-      SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(lower(trim(text)), '\s+') END) AS term
       FROM documents
     ), tf AS (
       SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2
@@ -5299,7 +5430,8 @@ def q_inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ngram_contamination",
     r"""
     WITH tok AS (
-      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS t
       FROM documents
     ), g AS (
       SELECT doc_id,
@@ -5416,7 +5548,8 @@ def q_rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token_entropy",
     r"""
     WITH tok AS (
-      SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(lower(trim(text)), '\s+') END) AS term
       FROM documents
     ), tf AS (
       SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
@@ -5459,14 +5592,12 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "warehouses get the same scan behavior as parquet.",
 )
 def q_orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from ais_data_pipeline_spark.sources.orc import read_orc, write_orc
 
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_returnflag", "l_quantity"
     )
-    path = tempfile.mkdtemp(prefix="orc_rt_") + "/lineitem_orc"
+    path = _scratch_dir("orc_rt_") + "/lineitem_orc"
     write_orc(li, path)
     return (
         read_orc(spark, path)
@@ -5617,12 +5748,10 @@ def q_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     "null-filling is exact.",
 )
 def q_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     o = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderpriority"
     )
-    base = tempfile.mkdtemp(prefix="schema_evo_")
+    base = _scratch_dir("schema_evo_")
     o.filter(F.col("o_orderkey") % 2 == 0).drop("o_orderpriority").write.mode(
         "overwrite"
     ).parquet(base + "/batch=1")
@@ -5719,7 +5848,8 @@ def q_forecast_revenue_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k
       USING (doc_id)
     ), tok AS (
-      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
       FROM s1
     ), sh AS (
       SELECT doc_id, shingle
@@ -5787,13 +5917,16 @@ def q_curation_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep1 = d.groupBy(F.md5(F.col("text").cast("binary"))).agg(
         F.min("doc_id").alias("doc_id")
     )
-    s1 = d.join(keep1.select("doc_id"), "doc_id").persist()
+    # eager localCheckpoint, not persist: both stages are re-read by the
+    # stage-count union below, and checkpoint blocks are GC-reclaimed —
+    # the 150-query sweep accumulates no cache entries (persist leaks).
+    s1 = d.join(keep1.select("doc_id"), "doc_id").localCheckpoint(eager=True)
     drop = (
         ngram_jaccard_pairs(s1, threshold=0.5, n=3)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    s2 = s1.join(drop, "doc_id", "left_anti").persist()
+    s2 = s1.join(drop, "doc_id", "left_anti").localCheckpoint(eager=True)
     s3 = quality_score(s2).filter(F.col("quality") >= 0.65)
 
     def stage(name: str, df: DataFrame) -> DataFrame:

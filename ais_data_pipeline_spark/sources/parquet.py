@@ -29,10 +29,26 @@ def read_parquet(spark: SparkSession, path: str, columns: list[str] | None = Non
     return df
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def read_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
+    """Load one driver table. ``spread=True`` widens a narrow scan to
+    cluster parallelism (operators/util.spread_to_parallelism) — pass
+    it when the CALLER does compute-heavy per-row work (shingling,
+    hashing, Python batch UDFs): a small parquet file arrives as ONE
+    input split and would pin that work to a single core. Off by
+    default: for ordinary scans the extra round-robin exchange costs
+    more than it saves, and at warehouse scale inputs already arrive in
+    thousands of splits (where spread is a no-op)."""
     if name == "events":
-        return read_events(spark, sf_dir)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        df = read_events(spark, sf_dir)
+    else:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if spread:
+        from ais_data_pipeline_spark.operators.util import spread_to_parallelism
+
+        df = spread_to_parallelism(df)
+    return df
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:

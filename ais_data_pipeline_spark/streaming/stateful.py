@@ -39,9 +39,11 @@ def running_totals_fn(key, batches: Iterator[pd.DataFrame], state) -> Iterator[p
         n, total, last_ts = 0, Decimal(0), None
     for pdf in batches:
         n += len(pdf)
+        # repr(float) replicates the JVM double→decimal cast's
+        # Double.toString (shortest-repr) step — see zscore_anomaly_fn.
         total = reduce(
             ctx.add,
-            (Decimal(float(v)).quantize(q6, ROUND_HALF_UP) for v in pdf["value"]),
+            (Decimal(repr(float(v))).quantize(q6, ROUND_HALF_UP) for v in pdf["value"]),
             total,
         )
         batch_max = pdf["ts"].max()
@@ -163,12 +165,19 @@ def zscore_anomaly_fn(key, batches: Iterator[pd.DataFrame], state) -> Iterator[p
     ctx = Context(prec=50)  # exact decimal sums; default prec=28 could round
     q6 = Decimal("0.000001")
     buf: list[Decimal] = (
-        [Decimal(v).quantize(q6, ROUND_HALF_UP) for v in state.get[0]]
+        [Decimal(repr(float(v))).quantize(q6, ROUND_HALF_UP) for v in state.get[0]]
         if state.exists
         else []
     )
     out_uid, out_eid, out_val, out_z = [], [], [], []
-    for pdf in batches:
+    # Materialize the whole micro-batch before sorting: Spark delivers a
+    # key's batch as MULTIPLE Arrow chunks once it exceeds
+    # arrow.maxRecordsPerBatch (default 10k), and chunk order is not
+    # (ts, event_id) — sorting per-chunk would silently break the
+    # bit-identity with the batch operator for large keys.
+    chunks = list(batches)
+    pdfs = [pd.concat(chunks)] if chunks else []
+    for pdf in pdfs:
         pdf = pdf.sort_values(["ts", "event_id"])
         for eid, val in zip(pdf["event_id"], pdf["value"]):
             n = len(buf)
@@ -184,7 +193,11 @@ def zscore_anomaly_fn(key, batches: Iterator[pd.DataFrame], state) -> Iterator[p
                         out_eid.append(int(eid))
                         out_val.append(float(val))
                         out_z.append(round(z, 3))
-            buf.append(Decimal(float(val)).quantize(q6, ROUND_HALF_UP))
+            # repr(float) = shortest round-trip decimal — replicates the
+            # JVM's Double.toString→BigDecimal step of the double→
+            # decimal(18,6) cast; Decimal(float) would expand the binary
+            # double exactly and quantize half-points differently.
+            buf.append(Decimal(repr(float(val))).quantize(q6, ROUND_HALF_UP))
             if len(buf) > _Z_LOOKBACK:
                 buf.pop(0)
     state.update(([float(d) for d in buf],))

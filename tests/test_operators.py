@@ -771,6 +771,33 @@ def test_packing_respects_budget(spark, sf_dir):
         by_shard[r["shard"]] = start + r["n_tokens"]
 
 
+def test_strict_packing_semantics(spark, sf_dir):
+    """Strict next-fit packing: bins fill in id order per shard, every
+    multi-doc bin totals <= budget, bin ids are dense from 0, and the
+    assignment matches a sequential Python reference."""
+    from ais_data_pipeline_spark.operators.corpus import pack_sequences_strict
+    from ais_data_pipeline_spark.sources.parquet import read_table
+
+    d = read_table(spark, sf_dir, "documents")
+    packed = sorted(
+        pack_sequences_strict(d, budget_tokens=256, n_shards=8).collect(),
+        key=lambda r: (r["shard"], r["doc_id"]),
+    )
+    state: dict = {}  # shard -> (cur_bin, fill)
+    totals: dict = {}  # (shard, bin) -> (sum, count)
+    for r in packed:
+        cur_bin, fill = state.get(r["shard"], (0, 0))
+        if fill > 0 and fill + r["n_tokens"] > 256:
+            cur_bin, fill = cur_bin + 1, 0
+        assert r["bin_id"] == cur_bin, r
+        fill += r["n_tokens"]
+        state[r["shard"]] = (cur_bin, fill)
+        s, c = totals.get((r["shard"], cur_bin), (0, 0))
+        totals[(r["shard"], cur_bin)] = (s + r["n_tokens"], c + 1)
+    for (shard, b), (s, c) in totals.items():
+        assert s <= 256 or c == 1, (shard, b, s, c)
+
+
 def test_dq_report_single_scan(spark, sf_dir):
     """All checks must compile into ONE aggregation over ONE scan."""
     import io as _io
@@ -1318,6 +1345,61 @@ def test_streaming_zscore_matches_batch(spark, tmp_path):
     # Decimal-quantized accumulation replicates the batch plan's
     # decimal(18,6) casts: the paths are bit-identical, not just close
     assert got == want
+
+
+def test_streaming_zscore_survives_arrow_chunking(spark, tmp_path):
+    """applyInPandasWithState delivers a key's micro-batch as MULTIPLE
+    Arrow chunks once it exceeds arrow.maxRecordsPerBatch, and chunk
+    order is not (ts, event_id). The scorer must concat the chunks and
+    sort ONCE — a per-chunk sort silently breaks bit-identity with the
+    batch operator for large keys. Forced here with a 7-row chunk cap
+    and a source file written in REVERSED time order."""
+    import datetime
+
+    from ais_data_pipeline_spark.operators.timeseries import rolling_zscore_anomalies
+    from ais_data_pipeline_spark.streaming.stateful import zscore_anomalies_stream
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(40):
+        v = 500.0 if i in (25, 33) else (9.5 if i % 2 == 0 else 10.5)
+        rows.append((1000 + i, 1, base + datetime.timedelta(seconds=i), v))
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    df = spark.createDataFrame(rows, schema)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # one file, REVERSED order, one micro-batch → the fn sees ~6 chunks
+    # whose concatenation is time-descending
+    spark.createDataFrame(list(reversed(rows)), schema).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    conf = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(conf)
+    spark.conf.set(conf, "7")
+    try:
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        out_tbl, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        (
+            zscore_anomalies_stream(stream)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .option("path", out_tbl)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(120)
+        )
+        got = {r["event_id"]: r["z"] for r in spark.read.parquet(out_tbl).collect()}
+    finally:
+        spark.conf.set(conf, old)
+    want = {
+        r["event_id"]: r["z"]
+        for r in rolling_zscore_anomalies(
+            df, order_cols=("ts", "event_id"), lookback=20, min_n=10, threshold=3.0
+        ).collect()
+    }
+    assert got == want and len(got) == 2
 
 
 def test_join_view_delta_exactly_once(spark):

@@ -488,6 +488,42 @@ def test_pagerank_iteration_shape(spark, sf_dir):
     assert "partial_sum" in plan
 
 
+def count_nodes(plan: str, name: str) -> int:
+    return len(re.findall(rf"\(\d+\) {name}\b", plan))
+
+
+def test_pagerank_lineage_truncated(spark, sf_dir):
+    """Iterative lineage must NOT accumulate: the plan after N
+    iterations is one iteration over checkpointed inputs, so scan and
+    exchange counts are constant in N (the round-4 plan re-read its
+    source 20x for 2 iterations)."""
+    from ais_data_pipeline_spark.operators.graph import cooccurrence_edges, pagerank
+    from ais_data_pipeline_spark.sources.parquet import read_table
+
+    li = read_table(spark, sf_dir, "lineitem").limit(2000)
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    plans = [
+        plan_of(pagerank(edges, iters=n)) for n in (2, 4)
+    ]
+    scans = [count_nodes(p, "Scan (?:parquet|ExistingRDD)") for p in plans]
+    assert scans[0] == scans[1] <= 4, scans
+    exch = [count_nodes(p, "Exchange") for p in plans]
+    assert exch[0] == exch[1], exch
+
+
+def test_kmeans_lineage_truncated(spark, sf_dir):
+    """Lloyd iterations collect the k-row centroid set to driver
+    literals between rounds — the final profile plan must be a single
+    scan of the embeddings source regardless of iteration count."""
+    from ais_data_pipeline_spark.operators.similarity import kmeans_cluster_profile
+    from ais_data_pipeline_spark.sources.parquet import read_table
+
+    e = read_table(spark, sf_dir, "embeddings")
+    for iters in (1, 3):
+        plan = plan_of(kmeans_cluster_profile(e, k=4, iters=iters))
+        assert count_nodes(plan, "Scan parquet") <= 1, (iters, plan)
+
+
 def test_round4_queries_stay_jvm_side(spark, sf_dir):
     """Round-4 batch operators must compile to pure JVM plans — the
     only Python crossing this round is the explicitly-stateful

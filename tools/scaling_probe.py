@@ -13,7 +13,9 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -129,20 +131,50 @@ def probes(spark, scale: int):
         from ais_data_pipeline_spark.operators.corpus import chunk_documents
         return chunk_documents(docs).count()
 
-    def pairwise_auto():
-        # guarded all-pairs k-NN with auto plane sizing — the probe that
-        # proves sub-quadratic candidate growth end-to-end
-        from ais_data_pipeline_spark.operators.similarity import pairwise_topk_per_vector
+    def gen_embeddings(rows: int):
         comps = [
             ((F.xxhash64(F.col("id"), F.lit(i)) % 1000) / 500.0 - 1.0)
             for i in range(16)
         ]
-        emb = spark.range(2_000 * scale).select(
+        return spark.range(rows).select(
             F.col("id").alias("vec_id"),
             F.array(*comps).cast("array<double>").alias("embedding"),
         )
+
+    def pairwise_auto():
+        # guarded all-pairs k-NN with auto plane sizing — the probe that
+        # proves sub-quadratic candidate growth end-to-end
+        from ais_data_pipeline_spark.operators.similarity import pairwise_topk_per_vector
         return pairwise_topk_per_vector(
-            emb, k=5, n_planes=None, max_bucket_size=5_000
+            gen_embeddings(2_000 * scale), k=5, n_planes=None, max_bucket_size=5_000
+        ).count()
+
+    # Persisted-index probes: build scales with the corpus; the PROBE
+    # must stay flat (partition pruning is the whole point of an index).
+    idx_root = tempfile.mkdtemp(prefix="scaling_idx_")
+    idx_emb = gen_embeddings(20_000 * scale)
+    probe_query = [((7 * i) % 1000) / 500.0 - 1.0 for i in range(16)]
+
+    def ann_index_build():
+        from ais_data_pipeline_spark.operators.similarity import build_ann_index
+        build_ann_index(idx_emb, idx_root + "/ann", n_planes=8)
+        return 1
+
+    def ann_index_probe():
+        from ais_data_pipeline_spark.operators.similarity import cosine_topk_indexed
+        return cosine_topk_indexed(
+            spark, idx_root + "/ann", probe_query, k=10, n_planes=8
+        ).count()
+
+    def ivf_index_build():
+        from ais_data_pipeline_spark.operators.similarity import build_ivf_index
+        build_ivf_index(idx_emb, idx_root + "/ivf", n_centroids=16)
+        return 1
+
+    def ivf_index_probe():
+        from ais_data_pipeline_spark.operators.similarity import ivf_probe_topk
+        return ivf_probe_topk(
+            spark, idx_root + "/ivf", probe_query, k=10, nprobe=4
         ).count()
 
     def subsequence_fft():
@@ -223,18 +255,45 @@ def probes(spark, scale: int):
         ("ngram_contamination", contamination_probe),
         ("bm25_topk", bm25_probe),
         ("rolling_zscore", zscore_probe),
+        ("ann_index_build", ann_index_build),
+        ("ann_index_probe", ann_index_probe),
+        ("ivf_index_build", ivf_index_build),
+        ("ivf_index_probe", ivf_index_probe),
     ]:
         t0 = time.perf_counter()
         fn()
         out[name] = round(time.perf_counter() - t0, 2)
+    shutil.rmtree(idx_root, ignore_errors=True)
+    return out
+
+
+def pagerank_iters_probe(spark, iters_list=(2, 4, 8), scale: int = 1):
+    """Time PageRank at growing ITERATION counts on fixed data — the
+    probe that proves per-iteration lineage truncation: time must grow
+    ~linearly in iters (the untruncated plan doubles per iteration)."""
+    from ais_data_pipeline_spark.operators.graph import cooccurrence_edges, pagerank
+
+    li = gen_lineitem(spark, BASE_LINEITEM * scale)
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    out = {}
+    for it in iters_list:
+        t0 = time.perf_counter()
+        pagerank(edges, iters=it).count()
+        out[str(it)] = round(time.perf_counter() - t0, 2)
     return out
 
 
 def main():
-    scales = [int(s) for s in sys.argv[1:]] or [1, 10, 50]
+    args = sys.argv[1:]
     spark = get_spark(app_name="scaling_probe")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(10_000_000).selectExpr("sum(id)").collect()  # warmup
+    if "--pagerank-iters" in args:
+        out = pagerank_iters_probe(spark)
+        print(json.dumps({"pagerank_iters": out}), flush=True)
+        spark.stop()
+        return
+    scales = [int(s) for s in args] or [1, 10, 50]
     results = {}
     for s in scales:
         results[s] = probes(spark, s)
