@@ -131,6 +131,13 @@ def probes(spark, scale: int):
         from ais_data_pipeline_spark.operators.corpus import chunk_documents
         return chunk_documents(docs).count()
 
+    def pack_strict():
+        # n_shards scales with the corpus so per-shard document counts
+        # stay bounded — the operator's documented scaling knob; the
+        # probe proves the per-shard Arrow scan stays ~linear overall
+        from ais_data_pipeline_spark.operators.corpus import pack_sequences_strict
+        return pack_sequences_strict(docs, n_shards=8 * scale).count()
+
     def gen_embeddings(rows: int):
         comps = [
             ((F.xxhash64(F.col("id"), F.lit(i)) % 1000) / 500.0 - 1.0)
@@ -247,6 +254,7 @@ def probes(spark, scale: int):
         ("subsequence_match", subsequence),
         ("subsequence_fft", subsequence_fft),
         ("chunk_documents", chunk_docs),
+        ("pack_strict", pack_strict),
         ("pairwise_knn_auto", pairwise_auto),
         ("cms_build", cms_probe),
         ("pagerank_1iter", pagerank_probe),
