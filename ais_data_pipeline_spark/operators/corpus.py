@@ -91,6 +91,25 @@ def pack_sequences(
     )
 
 
+def next_fit_bins(token_counts: list[int], budget_tokens: int) -> list[int]:
+    """The pure next-fit fold behind ``pack_sequences_strict``: given
+    per-document token counts in pack order, return each document's
+    bin id. Bins are dense from 0; the current bin closes when adding
+    a document would exceed the budget; an oversized document occupies
+    a bin alone. Factored out so the invariants are property-testable
+    without a Spark session."""
+    bins: list[int] = []
+    cur_bin, fill = 0, 0
+    for n in token_counts:
+        n = int(n)
+        if fill > 0 and fill + n > budget_tokens:
+            cur_bin += 1
+            fill = 0
+        bins.append(cur_bin)
+        fill += n
+    return bins
+
+
 def pack_sequences_strict(
     df: DataFrame,
     budget_tokens: int = 256,
@@ -104,7 +123,8 @@ def pack_sequences_strict(
     adding one would exceed ``budget_tokens``, which closes the bin and
     opens the next. Every bin's total is ≤ budget except a single
     oversized document, which occupies a bin alone (never truncated
-    here — truncation is ``chunk_documents``'s job upstream).
+    here — truncation is ``chunk_documents``'s job upstream;
+    zero-token documents consume no budget and may share any bin).
 
     The bin id is a prefix-dependent fold (each assignment depends on
     the running fill, which RESETS at bin boundaries) — not expressible
@@ -126,15 +146,7 @@ def pack_sequences_strict(
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
-        bins = []
-        cur_bin, fill = 0, 0
-        for n in pdf["n_tokens"]:
-            n = int(n)
-            if fill > 0 and fill + n > budget_tokens:
-                cur_bin += 1
-                fill = 0
-            bins.append(cur_bin)
-            fill += n
+        bins = next_fit_bins(list(pdf["n_tokens"]), budget_tokens)
         pdf["bin_id"] = pd.Series(bins, dtype="int64")
         pdf["n_tokens"] = pdf["n_tokens"].astype("int32")
         return pdf[[id_col, "shard", "bin_id", "n_tokens"]]

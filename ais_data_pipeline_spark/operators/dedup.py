@@ -521,16 +521,26 @@ def near_dup_clusters(
     shrinking frontier. For diameter-heavy graphs swap in the
     large-star/small-star variant; near-dup components are typically
     tiny and dense, where this converges in 2-3 rounds.
+
+    Lineage truncation: the (often expensive) pair-generation lineage
+    checkpoints once, and each round's labels eagerly localCheckpoint —
+    so iteration i's plan never embeds iteration i-1, the returned
+    frame is a flat scan of the converged labels, and checkpoint blocks
+    are GC-reclaimed (the earlier persist/unpersist version leaked the
+    final round's cache and returned a plan embedding the whole loop
+    history).
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("cluster_id", F.col("id"))
+        .localCheckpoint(eager=True)  # referenced 3x per round
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -546,14 +556,13 @@ def near_dup_clusters(
                     F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
+            .localCheckpoint(eager=True)
         )
-        updated = updated.persist()
         changed = (
             updated.join(labels.withColumnRenamed("cluster_id", "old"), "id")
             .filter(F.col("cluster_id") != F.col("old"))
             .count()
         )
-        labels.unpersist()
         labels = updated
         if changed == 0:
             break

@@ -771,6 +771,40 @@ def test_packing_respects_budget(spark, sf_dir):
         by_shard[r["shard"]] = start + r["n_tokens"]
 
 
+@given(
+    ns=st.lists(st.integers(min_value=0, max_value=600), max_size=200),
+    budget=st.integers(min_value=1, max_value=512),
+)
+@settings(max_examples=200, deadline=None)
+def test_next_fit_bins_invariants(ns, budget):
+    """Property test of the pure next-fit fold: bin ids are dense and
+    non-decreasing, an over-budget bin carries exactly one
+    budget-consuming (n>0) document (zero-token docs consume nothing
+    and may share any bin), and no two CONSECUTIVE bins could have
+    been merged (greedy tightness: the first doc of bin i+1 must not
+    fit in bin i)."""
+    from ais_data_pipeline_spark.operators.corpus import next_fit_bins
+
+    bins = next_fit_bins(ns, budget)
+    assert len(bins) == len(ns)
+    if not ns:
+        return
+    assert bins[0] == 0
+    assert all(b2 - b1 in (0, 1) for b1, b2 in zip(bins, bins[1:]))
+    totals: dict = {}
+    positive: dict = {}
+    first_of_bin: dict = {}
+    for n, b in zip(ns, bins):
+        totals[b] = totals.get(b, 0) + n
+        positive[b] = positive.get(b, 0) + (1 if n > 0 else 0)
+        first_of_bin.setdefault(b, n)
+    for b, tot in totals.items():
+        assert tot <= budget or positive[b] == 1, (b, tot, positive[b])
+    for b in range(1, max(bins) + 1):
+        # bin b was opened because its first doc overflowed bin b-1
+        assert totals[b - 1] + first_of_bin[b] > budget
+
+
 def test_strict_packing_semantics(spark, sf_dir):
     """Strict next-fit packing: bins fill in id order per shard, every
     multi-doc bin totals <= budget, bin ids are dense from 0, and the

@@ -549,33 +549,15 @@ def test_contamination_eval_side_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
-def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
-    """A date-partitioned fact joined to a filtered broadcast dim must
-    get a DYNAMIC partition-pruning filter on the fact scan — at 100 TB
-    this is the difference between scanning one year and scanning the
-    table. Catalyst inserts it when the join key is the partition
-    column and the dim side is selective (DPP is on by default; the
-    gate pins that our partitioned-layout + broadcast-dim shape keeps
-    qualifying)."""
-    from ais_data_pipeline_spark.sources.parquet import read_table
+def test_bench_query_lists_registered():
+    """Every name bench.py times (headline + extended) must exist in
+    the registry — a rename would otherwise break the driver's
+    per-round BENCH run at runtime."""
+    import bench
 
-    o = read_table(spark, sf_dir, "orders")
-    path = str(tmp_path / "orders_by_year")
-    o.withColumn("o_year", F.year("o_orderdate")).write.partitionBy(
-        "o_year"
-    ).parquet(path)
-    fact = spark.read.parquet(path)
-    dim = spark.createDataFrame(
-        [(1995, "pick"), (1996, "other")], "o_year int, tag string"
-    )
-    joined = (
-        fact.join(F.broadcast(dim), "o_year")
-        .filter(F.col("tag") == "pick")
-        .groupBy("o_year")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    plan = plan_of(joined)
-    assert "dynamicpruning" in plan.lower(), plan
+    names = {q.name for q in registry()}
+    missing = [n for n in bench.HEADLINE + bench.EXTENDED if n not in names]
+    assert not missing, missing
 
 
 def test_q6_full_pushdown(spark, sf_dir):
