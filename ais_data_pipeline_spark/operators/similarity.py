@@ -292,22 +292,36 @@ def head_centroids(
     )
 
 
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance in the dot-expansion form
+    ``dot(a,a) - 2·dot(a,b) + dot(b,b)`` — the exact op sequence the
+    DuckDB oracles replay via list_dot_product, so both engines (and
+    driver-side Python mirrors) produce bit-identical doubles."""
+    return _dot(a, a) - F.lit(2.0) * _dot(a, b) + _dot(b, b)
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    metric: str = "cosine",
 ) -> DataFrame:
-    """Assign every vector to its nearest centroid (cosine, ties to the
-    lowest centroid id) — a broadcast cross-join against the tiny
-    centroid set plus one window argmax; no shuffle of the vectors
-    beyond the final partition-by-list write."""
+    """Assign every vector to its nearest centroid (ties to the lowest
+    centroid id) — a broadcast cross-join against the tiny centroid set
+    plus one window argmax; no shuffle of the vectors beyond the final
+    partition-by-list write. ``metric``: 'cosine' (IVF quantizer
+    default) or 'l2' (product-quantization subspaces, where only L2
+    decomposes across subspaces)."""
     from pyspark.sql import Window
 
     v = _as_double_array(F.col(vec_col))
-    sim = _dot(v, F.col("cvec")) / (
-        F.sqrt(_dot(v, v)) * F.sqrt(_dot(F.col("cvec"), F.col("cvec")))
-    )
+    if metric == "l2":
+        sim = -_l2sq(v, F.col("cvec"))
+    else:
+        sim = _dot(v, F.col("cvec")) / (
+            F.sqrt(_dot(v, v)) * F.sqrt(_dot(F.col("cvec"), F.col("cvec")))
+        )
     scored = df.join(F.broadcast(centroids)).withColumn("__sim", sim)
     w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("centroid_id"))
     return (
@@ -498,6 +512,7 @@ def kmeans_lloyd(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_digits: int = 9,
+    metric: str = "cosine",
 ) -> DataFrame:
     """Deterministic Lloyd's k-means for the IVF coarse quantizer:
     head-k init (same as head_centroids), then ``iters`` rounds of
@@ -532,7 +547,7 @@ def kmeans_lloyd(
     for i in range(iters):
         if i > 0:
             cents = spark.createDataFrame(cents.collect(), cents.schema)
-        assigned = ivf_assign(e, cents, "__v", id_col)
+        assigned = ivf_assign(e, cents, "__v", id_col, metric=metric)
         dims = assigned.select("list_id", F.posexplode("__v").alias("pos", "x"))
         mu = (
             F.sum(F.col("x").cast("decimal(25,12)")).cast("double")
@@ -552,6 +567,139 @@ def kmeans_lloyd(
             .withColumnRenamed("list_id", "centroid_id")
         )
     return cents
+
+
+def pq_train_codebooks(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[tuple[int, list[float]]]]:
+    """Product-quantization codebooks (Jégou et al. 2011, 'Product
+    Quantization for Nearest Neighbor Search'): split the vector into
+    ``m`` contiguous subspaces and train an independent ``k``-centroid
+    quantizer per subspace with the SAME deterministic Lloyd recipe as
+    the IVF quantizer (head-k init, DECIMAL means, ties to lowest id)
+    under **L2** — the metric under which distances decompose across
+    subspaces, which is the whole PQ trick. Returns
+    ``codebooks[s] = [(centroid_id, cvec), ...]`` sorted by id (driver-
+    side: m·k·(dim/m) doubles — tiny by construction, like the IVF
+    centroid set). Empty clusters drop, so a codebook may hold < k
+    entries; codes reference centroid ids, not positions."""
+    dim = df.select(F.size(_as_double_array(F.col(vec_col))).alias("d")).first()["d"]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    books = []
+    for s in range(m):
+        sub = df.select(
+            F.col(id_col),
+            F.slice(_as_double_array(F.col(vec_col)), s * d_sub + 1, d_sub).alias(
+                "embedding"
+            ),
+        )
+        cents = kmeans_lloyd(
+            sub, k=k, iters=iters, vec_col="embedding", id_col=id_col, metric="l2"
+        ).collect()
+        books.append(
+            sorted(
+                ((int(r["centroid_id"]), [float(x) for x in r["cvec"]]) for r in cents)
+            )
+        )
+    return books
+
+
+def _lit_vec(v: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode every vector as ``m`` centroid ids (one per subspace,
+    nearest by L2, ties to lowest id) — dim doubles compress to m small
+    ints. Pure JVM projection: per subspace the k distances materialize
+    as an array column FIRST (their own projection — the HOF-inlining
+    lesson: argmin over an inline-restated array would re-evaluate
+    every distance per comparison), then the code is
+    ``array_position(dists, array_min(dists))``, whose first-match
+    semantics is exactly the ties-to-lowest-id rule since codebooks
+    sort by id. Output: (id, code_0..code_{m-1}); one scan, no
+    shuffle."""
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0][1])
+    v = _as_double_array(F.col(vec_col))
+    dist_cols = []
+    for s, book in enumerate(codebooks):
+        sub = F.slice(v, s * d_sub + 1, d_sub)
+        dist_cols.append(
+            F.array(*[_l2sq(sub, _lit_vec(cvec)) for _, cvec in book]).alias(
+                f"__d{s}"
+            )
+        )
+    staged = df.select(F.col(id_col), *dist_cols)
+    code_cols = []
+    for s, book in enumerate(codebooks):
+        ids = F.array(*[F.lit(cid) for cid, _ in book])
+        pos = F.array_position(F.col(f"__d{s}"), F.array_min(F.col(f"__d{s}")))
+        code_cols.append(F.element_at(ids, pos.cast("int")).alias(f"code_{s}"))
+    return staged.select(F.col(id_col), *code_cols)
+
+
+def pq_topk(
+    df: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Approximate top-k by asymmetric-distance computation (ADC): the
+    query stays exact; each database vector is its PQ code, and its
+    distance is the sum over subspaces of a PRECOMPUTED query-to-
+    centroid lookup table — per row just m table lookups and adds, no
+    vector math. The LUTs are driver-computed with the identical
+    dot-expansion arithmetic the encode and the SQL oracle use, so the
+    scores are bit-replayable. Returns (id, adc_dist) ascending with
+    an id tie-break; one scan, TakeOrderedAndProject."""
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0][1])
+    if len(query) != m * d_sub:
+        raise ValueError("query dim mismatch")
+
+    def dot(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    codes = pq_encode(df, codebooks, vec_col, id_col)
+    total = None
+    for s, book in enumerate(codebooks):
+        qs = [float(x) for x in query[s * d_sub : (s + 1) * d_sub]]
+        # LUT indexed by centroid id + 1 (ids may be sparse after empty-
+        # cluster drop; slot absent ids with +inf so they can't match)
+        max_id = max(cid for cid, _ in book)
+        lut = [float("inf")] * (max_id + 1)
+        for cid, cvec in book:
+            lut[cid] = dot(qs, qs) - 2.0 * dot(qs, cvec) + dot(cvec, cvec)
+        term = F.element_at(
+            F.array(*[F.lit(x) for x in lut]), F.col(f"code_{s}").cast("int") + 1
+        )
+        total = term if total is None else total + term
+    if round_digits is not None:
+        total = F.round(total, round_digits)
+    return (
+        codes.select(F.col(id_col), total.alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(k)
+    )
 
 
 def kmeans_cluster_profile(

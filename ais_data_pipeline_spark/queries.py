@@ -85,9 +85,10 @@ def register(name: str, oracle: str | None, description: str):
 # two queries NEW this round (strict-cap packing, streaming CDC
 # upsert); (c) 37 of the 40 queries whose latest driver row is
 # round 2 — everything else registry-wide has an r3/r4 row.
-# Three r2-dated queries don't fit the 50-slot cap and rotate into
-# the round-6 window: scan_project_filter, string_functions,
-# date_functions (chosen because they are zero-churn single-
+# Four queries don't fit the 50-slot cap and rotate into the
+# round-6 window: pq_adc_topk (new this round, green in the pytest
+# oracle replica) plus three r2-dated queries — scan_project_filter,
+# string_functions, date_functions (chosen because they are zero-churn single-
 # projection queries, still oracle-checked by pytest every run).
 _FRONT_WINDOW: list[str] = [
     # (a) never driver-checked + stale-oracle HLL
@@ -5058,6 +5059,95 @@ def _kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
     FROM (SELECT centroid_id, count(*) AS n_members FROM af GROUP BY centroid_id) s
     JOIN c{iters} c USING (centroid_id)"""
     return sql
+
+
+def _pq_oracle(
+    m: int = 4, k: int = 8, iters: int = 2, dim: int = 64, topk: int = 10
+) -> str:
+    """Unrolled product quantization in DuckDB SQL: per subspace the
+    same L2 Lloyd as similarity.pq_train_codebooks (head-k init on the
+    slice, argmin with ties to lowest id, DECIMAL means, 9-dp round,
+    -0.0 normalize, one CTE pair per iteration), then encode + ADC
+    against vec 0 as the query. Every distance is the dot-expansion
+    ``dot(a,a) - 2*dot(a,b) + dot(b,b)`` via list_dot_product — the
+    identical IEEE op sequence the Spark expressions and the driver-
+    side Python LUT use, so the hash is exact, not approximate."""
+    d_sub = dim // m
+
+    def l2(a: str, b: str) -> str:
+        return (
+            f"(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+            f" + list_dot_product({b}, {b}))"
+        )
+
+    sql = (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),\n"
+        "q AS (SELECT v AS qv FROM e WHERE vec_id = 0)"
+    )
+    for s in range(m):
+        a, b = s * d_sub + 1, (s + 1) * d_sub
+        sql += f""",
+    s{s} AS (SELECT vec_id, v[{a}:{b}] AS sv FROM e),
+    c0_{s} AS (SELECT vec_id AS centroid_id, sv AS cvec FROM s{s} WHERE vec_id < {k})"""
+        for it in range(1, iters + 1):
+            sql += f""",
+    a{it}_{s} AS (
+      SELECT vec_id, sv, centroid_id FROM (
+        SELECT t.vec_id, t.sv, c.centroid_id,
+               row_number() OVER (PARTITION BY t.vec_id
+                 ORDER BY {l2("t.sv", "c.cvec")} ASC, c.centroid_id) AS rn
+        FROM s{s} t CROSS JOIN c{it - 1}_{s} c) WHERE rn = 1),
+    m{it}_{s} AS (
+      SELECT centroid_id, i,
+             round(CAST(sum(CAST(sv[i] AS DECIMAL(25,12))) AS DOUBLE)
+                   / count(*), 9) + 0.0 AS mu
+      FROM a{it}_{s}, unnest(generate_series(1, {d_sub})) AS u(i)
+      GROUP BY centroid_id, i),
+    c{it}_{s} AS (SELECT centroid_id, list(mu ORDER BY i) AS cvec
+               FROM m{it}_{s} GROUP BY centroid_id)"""
+        sql += f""",
+    enc_{s} AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT t.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY t.vec_id
+                 ORDER BY {l2("t.sv", "c.cvec")} ASC, c.centroid_id) AS rn
+        FROM s{s} t CROSS JOIN c{iters}_{s} c) WHERE rn = 1),
+    d_{s} AS (
+      SELECT enc.vec_id, {l2(f"qv[{a}:{b}]", "c.cvec")} AS d
+      FROM enc_{s} enc JOIN c{iters}_{s} c USING (centroid_id), q)"""
+    total = " + ".join(f"d_{s}.d" for s in range(m))
+    joins = " ".join(f"JOIN d_{s} USING (vec_id)" for s in range(1, m))
+    sql += f"""
+    SELECT d_0.vec_id, round({total}, 6) AS adc_dist
+    FROM d_0 {joins}
+    ORDER BY adc_dist, vec_id LIMIT {topk}
+    """
+    return sql
+
+
+@register(
+    "pq_adc_topk",
+    _pq_oracle(),
+    "Product quantization end-to-end (Jégou 2011): 4 subspaces x 8 "
+    "centroids trained with the deterministic L2 Lloyd recipe (2 "
+    "iterations), every vector encoded as 4 small ints (16x "
+    "compression of a 64-dim double vector), then approximate top-10 "
+    "by asymmetric distance — per row just 4 lookup-table adds "
+    "against the exact query (vec 0), one scan, no shuffle, "
+    "TakeOrderedAndProject. The oracle re-derives the codebooks, "
+    "codes, and ADC scores in SQL with the identical dot-expansion "
+    "arithmetic, so the hash is exact.",
+)
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.similarity import (
+        pq_topk,
+        pq_train_codebooks,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    books = pq_train_codebooks(e, m=4, k=8, iters=2)
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return pq_topk(e, books, qv, k=10)
 
 
 @register(

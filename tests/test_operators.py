@@ -805,6 +805,51 @@ def test_next_fit_bins_invariants(ns, budget):
         assert totals[b - 1] + first_of_bin[b] > budget
 
 
+def test_pq_encode_and_adc_contract(spark, sf_dir):
+    """Product quantization: codebooks hold <=k centroids of dim/m
+    doubles; every vector encodes to m codes drawn from its subspace's
+    codebook ids; ADC top-k ranks the query vector itself first (its
+    own code's table distance is minimal by construction on this
+    corpus); recall@10 vs exact L2 clears the measured floor (0.5 on
+    the synthetic corpus — pinned at 0.3 so codebook regressions, not
+    noise, trip it: everything is deterministic)."""
+    from ais_data_pipeline_spark.operators.similarity import (
+        _as_double_array,
+        _l2sq,
+        pq_encode,
+        pq_topk,
+        pq_train_codebooks,
+    )
+    from ais_data_pipeline_spark.sources.parquet import read_table
+
+    e = read_table(spark, sf_dir, "embeddings")
+    m, k = 4, 8
+    books = pq_train_codebooks(e, m=m, k=k, iters=2)
+    assert len(books) == m
+    for book in books:
+        assert 1 <= len(book) <= k
+        assert all(len(cvec) == 64 // m for _, cvec in book)
+    codes = pq_encode(e, books).collect()
+    valid = [set(cid for cid, _ in book) for book in books]
+    for r in codes:
+        for s in range(m):
+            assert r[f"code_{s}"] in valid[s]
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    approx = [r["vec_id"] for r in pq_topk(e, books, qv, k=10).collect()]
+    assert approx[0] == 0  # the query vector itself ranks first
+    q = F.array(*[F.lit(x) for x in qv])
+    exact = [
+        r["vec_id"]
+        for r in e.select(
+            "vec_id", _l2sq(_as_double_array(F.col("embedding")), q).alias("d")
+        )
+        .orderBy(F.asc("d"), F.asc("vec_id"))
+        .limit(10)
+        .collect()
+    ]
+    assert len(set(approx) & set(exact)) / 10 >= 0.3
+
+
 def test_strict_packing_semantics(spark, sf_dir):
     """Strict next-fit packing: bins fill in id order per shard, every
     multi-doc bin totals <= budget, bin ids are dense from 0, and the
