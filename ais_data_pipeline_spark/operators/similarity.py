@@ -702,6 +702,145 @@ def pq_topk(
     )
 
 
+def build_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 1,
+    coarse_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[tuple[int, list[float]]]]:
+    """IVF-PQ index (the composition behind billion-scale ANN serving,
+    FAISS's IndexIVFPQ): a coarse quantizer routes each vector to an
+    inverted list, and the RESIDUAL (vector − its coarse centroid) is
+    product-quantized to ``m`` small ints. Storage per vector falls
+    from dim doubles to m codes + a list id; a probe reads only the
+    ``nprobe`` nearest lists (partition pruning) and scores codes with
+    lookup-table adds.
+
+    The coarse quantizer is the deterministic L2 Lloyd
+    (``coarse_iters`` rounds from head-k init) — residual magnitude,
+    and with it ADC accuracy, depends directly on coarse quality, so
+    head-k alone is not enough here (it is for the plain IVF index,
+    where lists only route and the re-rank is exact).
+
+    Layout mirrors ``build_ivf_index``: codes as ``list_id=`` partition
+    directories + a ``_centroids`` sidecar; PQ codebooks (trained on
+    residuals corpus-wide, deterministic L2 Lloyd) are returned AND
+    written to a ``_codebooks`` sidecar as (subspace, centroid_id,
+    cvec) rows. Residuals are computed in one JVM projection
+    (``zip_with`` subtract) after a broadcast assignment — no shuffle
+    beyond the partitioned write."""
+    cents = kmeans_lloyd(
+        df, k=n_centroids, iters=coarse_iters, vec_col=vec_col, id_col=id_col,
+        metric="l2",
+    )
+    cents = df.sparkSession.createDataFrame(cents.collect(), cents.schema)
+    assigned = ivf_assign(df, cents, vec_col, id_col, metric="l2")
+    # residual = v − coarse centroid, via a broadcast rejoin (cvec was
+    # dropped by ivf_assign's projection; the rejoin is the same tiny
+    # broadcast) — one zip_with projection, JVM-side
+    residuals = (
+        assigned.join(
+            F.broadcast(cents.withColumnRenamed("centroid_id", "list_id")), "list_id"
+        )
+        .select(
+            F.col(id_col),
+            "list_id",
+            F.zip_with(
+                _as_double_array(F.col(vec_col)), F.col("cvec"), lambda x, y: x - y
+            ).alias("__r"),
+        )
+    )
+    books = pq_train_codebooks(residuals, m=m, k=k, iters=iters, vec_col="__r", id_col=id_col)
+    codes = pq_encode(residuals, books, vec_col="__r", id_col=id_col).join(
+        residuals.select(id_col, "list_id"), id_col
+    )
+    (
+        codes.repartition("list_id")
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(path)
+    )
+    cents.coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "_centroids")
+    spark = df.sparkSession
+    book_rows = [
+        (s, cid, cvec) for s, book in enumerate(books) for cid, cvec in book
+    ]
+    spark.createDataFrame(
+        book_rows, "subspace int, centroid_id bigint, cvec array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "_codebooks")
+    return books
+
+
+def ivfpq_probe_topk(
+    spark,
+    index_path: str,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe an IVF-PQ index: rank coarse centroids by L2 to the query
+    (driver-side — the centroid table is tiny), then for each of the
+    ``nprobe`` nearest lists score that partition's codes by ADC with
+    a lookup table built from the QUERY RESIDUAL against that list's
+    centroid — the residual trick needs a per-list LUT, which is why
+    nprobe stays small. The scan is partition-pruned to the probed
+    ``list_id=`` directories; per row the work is m lookups + adds."""
+    cents = {
+        int(r["centroid_id"]): [float(x) for x in r["cvec"]]
+        for r in spark.read.parquet(index_path.rstrip("/") + "_centroids").collect()
+    }
+    raw_books = spark.read.parquet(index_path.rstrip("/") + "_codebooks").collect()
+    m = max(int(r["subspace"]) for r in raw_books) + 1
+    books: list[list[tuple[int, list[float]]]] = [[] for _ in range(m)]
+    for r in raw_books:
+        books[int(r["subspace"])].append(
+            (int(r["centroid_id"]), [float(x) for x in r["cvec"]])
+        )
+    books = [sorted(b) for b in books]
+    d_sub = len(books[0][0][1])
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def l2(a, b):
+        return dot(a, a) - 2.0 * dot(a, b) + dot(b, b)
+
+    ranked = sorted(cents, key=lambda cid: (l2(query, cents[cid]), cid))
+    idx = spark.read.parquet(index_path)
+    parts = []
+    for cid in ranked[:nprobe]:
+        qres = [q - c for q, c in zip(query, cents[cid])]
+        total = None
+        for s, book in enumerate(books):
+            qs = qres[s * d_sub : (s + 1) * d_sub]
+            max_id = max(b_cid for b_cid, _ in book)
+            lut = [float("inf")] * (max_id + 1)
+            for b_cid, cvec in book:
+                lut[b_cid] = l2(qs, cvec)
+            term = F.element_at(
+                F.array(*[F.lit(x) for x in lut]), F.col(f"code_{s}").cast("int") + 1
+            )
+            total = term if total is None else total + term
+        parts.append(
+            idx.filter(F.col("list_id") == cid).select(
+                F.col(id_col), F.round(total, 6).alias("adc_dist")
+            )
+        )
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    return union.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(k)
+
+
 def kmeans_cluster_profile(
     df: DataFrame,
     k: int = 8,

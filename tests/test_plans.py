@@ -266,6 +266,53 @@ def test_ann_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
     assert len(exact & approx) >= 5, sorted(exact & approx)
 
 
+def test_ivfpq_probe_prunes_and_recalls(spark, sf_dir, tmp_path):
+    """IVF-PQ (coarse quantizer + product-quantized residuals): the
+    probe must read ONLY the nprobe list_id= partition directories
+    (pruned scan), and the residual-ADC ranking must find the query
+    vector itself plus a floor of the exact L2 top-10. The measured
+    recall on this corpus is 0.3 at every nprobe — the 4x3-bit code
+    (vs 64 doubles, a 128x compression) is the limiter on UNIFORM
+    synthetic embeddings, which have no cluster structure for the
+    quantizers to exploit; the floor pins at 2 so codebook/ADC
+    regressions trip it while a testdata reseed has margin."""
+    from ais_data_pipeline_spark.operators.similarity import (
+        _as_double_array,
+        _l2sq,
+        build_ivfpq_index,
+        ivfpq_probe_topk,
+    )
+    from ais_data_pipeline_spark.sources.parquet import read_table
+
+    idx = str(tmp_path / "ivfpq")
+    e = read_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    build_ivfpq_index(e, idx, n_centroids=8, m=4, k=8, iters=2)
+
+    # stored form: m int codes + list id per vector, no embedding column
+    stored = spark.read.parquet(idx)
+    assert set(stored.columns) == {"vec_id", "code_0", "code_1", "code_2", "code_3", "list_id"}
+
+    probe = ivfpq_probe_topk(spark, idx, qv, k=10, nprobe=4)
+    plan = plan_of(probe)
+    m = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and all("list_id" in f for f in m), plan
+
+    q = F.array(*[F.lit(x) for x in qv])
+    exact = [
+        r["vec_id"]
+        for r in e.select(
+            "vec_id", _l2sq(_as_double_array(F.col("embedding")), q).alias("d")
+        )
+        .orderBy(F.asc("d"), F.asc("vec_id"))
+        .limit(10)
+        .collect()
+    ]
+    approx = {r["vec_id"] for r in probe.collect()}
+    assert 0 in approx  # the query vector itself is found
+    assert len(set(exact) & approx) >= 2, sorted(set(exact) & approx)
+
+
 def test_zorder_layout_prunes_on_second_column(spark, sf_dir, tmp_path):
     """Z-order must give the SECOND column real file-skipping power: in
     a layout sorted only by o_custkey, every file spans ~the full
