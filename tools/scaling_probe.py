@@ -184,6 +184,19 @@ def probes(spark, scale: int):
             spark, idx_root + "/ivf", probe_query, k=10, nprobe=4
         ).count()
 
+    def ivfpq_index_build():
+        from ais_data_pipeline_spark.operators.similarity import build_ivfpq_index
+        build_ivfpq_index(
+            idx_emb, idx_root + "/ivfpq", n_centroids=8, m=4, k=8, iters=1
+        )
+        return 1
+
+    def ivfpq_index_probe():
+        from ais_data_pipeline_spark.operators.similarity import ivfpq_probe_topk
+        return ivfpq_probe_topk(
+            spark, idx_root + "/ivfpq", probe_query, k=10, nprobe=2
+        ).count()
+
     def subsequence_fft():
         from ais_data_pipeline_spark.operators.timeseries import (
             best_subsequence_match_fft,
@@ -267,6 +280,8 @@ def probes(spark, scale: int):
         ("ann_index_probe", ann_index_probe),
         ("ivf_index_build", ivf_index_build),
         ("ivf_index_probe", ivf_index_probe),
+        ("ivfpq_index_build", ivfpq_index_build),
+        ("ivfpq_index_probe", ivfpq_index_probe),
     ]:
         t0 = time.perf_counter()
         fn()
