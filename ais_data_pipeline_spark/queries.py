@@ -85,10 +85,11 @@ def register(name: str, oracle: str | None, description: str):
 # two queries NEW this round (strict-cap packing, streaming CDC
 # upsert); (c) 37 of the 40 queries whose latest driver row is
 # round 2 — everything else registry-wide has an r3/r4 row.
-# Four queries don't fit the 50-slot cap and rotate into the
-# round-6 window: pq_adc_topk (new this round, green in the pytest
-# oracle replica) plus three r2-dated queries — scan_project_filter,
-# string_functions, date_functions (chosen because they are zero-churn single-
+# Five queries don't fit the 50-slot cap and rotate into the
+# round-6 window: pq_adc_topk and ivfpq_index_topk (new this round,
+# green in the pytest oracle replica) plus three r2-dated queries —
+# scan_project_filter, string_functions, date_functions (chosen
+# because they are zero-churn single-
 # projection queries, still oracle-checked by pytest every run).
 _FRONT_WINDOW: list[str] = [
     # (a) never driver-checked + stale-oracle HLL
@@ -5148,6 +5149,148 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = pq_train_codebooks(e, m=4, k=8, iters=2)
     qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
     return pq_topk(e, books, qv, k=10)
+
+
+def _ivfpq_oracle(
+    n_centroids: int = 8,
+    coarse_iters: int = 2,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 1,
+    dim: int = 64,
+    nprobe: int = 2,
+    topk: int = 10,
+) -> str:
+    """Unrolled IVF-PQ in DuckDB SQL, composing the two proven oracle
+    generators: the coarse quantizer is the L2 Lloyd chain
+    (``coarse_iters`` CTE pairs from head-k init on the FULL vector),
+    residuals are element-wise subtractions against the assigned
+    coarse centroid, and each residual subspace gets the same L2 Lloyd
+    + encode chain as ``_pq_oracle``. The probe replays driver-side
+    logic in SQL: rank coarse centroids by L2 to the query (vec 0),
+    keep the ``nprobe`` nearest lists, and ADC-score only their
+    vectors with per-list query residuals. All distances are the
+    dot-expansion via list_dot_product — identical IEEE sequences to
+    the Spark/Python sides."""
+    d_sub = dim // m
+
+    def l2(a: str, b: str) -> str:
+        return (
+            f"(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+            f" + list_dot_product({b}, {b}))"
+        )
+
+    sql = (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),\n"
+        "q AS (SELECT v AS qv FROM e WHERE vec_id = 0),\n"
+        f"cc0 AS (SELECT vec_id AS centroid_id, v AS cvec FROM e WHERE vec_id < {n_centroids})"
+    )
+    for it in range(1, coarse_iters + 1):
+        sql += f""",
+    ca{it} AS (
+      SELECT vec_id, v, centroid_id FROM (
+        SELECT e.vec_id, e.v, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {l2("e.v", "c.cvec")} ASC, c.centroid_id) AS rn
+        FROM e CROSS JOIN cc{it - 1} c) WHERE rn = 1),
+    cm{it} AS (
+      SELECT centroid_id, i,
+             round(CAST(sum(CAST(v[i] AS DECIMAL(25,12))) AS DOUBLE)
+                   / count(*), 9) + 0.0 AS mu
+      FROM ca{it}, unnest(generate_series(1, {dim})) AS u(i)
+      GROUP BY centroid_id, i),
+    cc{it} AS (SELECT centroid_id, list(mu ORDER BY i) AS cvec
+               FROM cm{it} GROUP BY centroid_id)"""
+    sql += f""",
+    af AS (
+      SELECT vec_id, v, centroid_id AS list_id, cvec FROM (
+        SELECT e.vec_id, e.v, c.centroid_id, c.cvec,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {l2("e.v", "c.cvec")} ASC, c.centroid_id) AS rn
+        FROM e CROSS JOIN cc{coarse_iters} c) WHERE rn = 1),
+    res AS (
+      SELECT vec_id, list_id,
+             list_transform(generate_series(1, {dim}), i -> v[i] - cvec[i]) AS r
+      FROM af)"""
+    for s in range(m):
+        a, b = s * d_sub + 1, (s + 1) * d_sub
+        sql += f""",
+    rs{s} AS (SELECT vec_id, list_id, r[{a}:{b}] AS sv FROM res),
+    pc0_{s} AS (SELECT vec_id AS centroid_id, sv AS cvec FROM rs{s} WHERE vec_id < {k})"""
+        for it in range(1, iters + 1):
+            sql += f""",
+    pa{it}_{s} AS (
+      SELECT vec_id, sv, centroid_id FROM (
+        SELECT t.vec_id, t.sv, c.centroid_id,
+               row_number() OVER (PARTITION BY t.vec_id
+                 ORDER BY {l2("t.sv", "c.cvec")} ASC, c.centroid_id) AS rn
+        FROM rs{s} t CROSS JOIN pc{it - 1}_{s} c) WHERE rn = 1),
+    pm{it}_{s} AS (
+      SELECT centroid_id, i,
+             round(CAST(sum(CAST(sv[i] AS DECIMAL(25,12))) AS DOUBLE)
+                   / count(*), 9) + 0.0 AS mu
+      FROM pa{it}_{s}, unnest(generate_series(1, {d_sub})) AS u(i)
+      GROUP BY centroid_id, i),
+    pc{it}_{s} AS (SELECT centroid_id, list(mu ORDER BY i) AS cvec
+               FROM pm{it}_{s} GROUP BY centroid_id)"""
+        sql += f""",
+    penc_{s} AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT t.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY t.vec_id
+                 ORDER BY {l2("t.sv", "c.cvec")} ASC, c.centroid_id) AS rn
+        FROM rs{s} t CROSS JOIN pc{iters}_{s} c) WHERE rn = 1)"""
+    # probe: nprobe nearest coarse lists to the query, per-list query
+    # residual, ADC against each vector's subspace codes
+    sql += f""",
+    probed AS (
+      SELECT c.centroid_id AS list_id, c.cvec AS ccvec,
+             list_transform(generate_series(1, {dim}), i -> qv[i] - c.cvec[i]) AS qres
+      FROM cc{coarse_iters} c, q
+      ORDER BY {l2("qv", "c.cvec")} ASC, c.centroid_id LIMIT {nprobe})"""
+    for s in range(m):
+        a, b = s * d_sub + 1, (s + 1) * d_sub
+        sql += f""",
+    d_{s} AS (
+      SELECT r.vec_id, {l2(f"p.qres[{a}:{b}]", "c.cvec")} AS d
+      FROM res r
+      JOIN probed p USING (list_id)
+      JOIN penc_{s} enc ON enc.vec_id = r.vec_id
+      JOIN pc{iters}_{s} c ON c.centroid_id = enc.centroid_id)"""
+    total = " + ".join(f"d_{s}.d" for s in range(m))
+    joins = " ".join(f"JOIN d_{s} USING (vec_id)" for s in range(1, m))
+    sql += f"""
+    SELECT d_0.vec_id, round({total}, 6) AS adc_dist
+    FROM d_0 {joins}
+    ORDER BY adc_dist, vec_id LIMIT {topk}
+    """
+    return sql
+
+
+@register(
+    "ivfpq_index_topk",
+    _ivfpq_oracle(),
+    "IVF-PQ end-to-end (FAISS IndexIVFPQ shape): L2-Lloyd coarse "
+    "quantizer routes vectors to list_id= partition directories, "
+    "residuals product-quantize to 4 small ints, and the probe reads "
+    "ONLY the 2 nearest lists (partition-pruned, plan-asserted in "
+    "pytest) scoring codes with per-list query-residual lookup "
+    "tables. The oracle unrolls the coarse chain, the residual "
+    "subspace chains, the encode, and the probe in SQL with the same "
+    "dot-expansion arithmetic — an exact hash over the full "
+    "composition.",
+)
+def q_ivfpq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_probe_topk,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    path = _scratch_dir("ivfpq_") + "/index"
+    build_ivfpq_index(e, path, n_centroids=8, m=4, k=8, iters=1, coarse_iters=2)
+    return ivfpq_probe_topk(spark, path, qv, k=10, nprobe=2)
 
 
 @register(
