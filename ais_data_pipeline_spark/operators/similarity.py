@@ -789,8 +789,11 @@ def ivfpq_probe_topk(
     ``nprobe`` nearest lists score that partition's codes by ADC with
     a lookup table built from the QUERY RESIDUAL against that list's
     centroid — the residual trick needs a per-list LUT, which is why
-    nprobe stays small. The scan is partition-pruned to the probed
-    ``list_id=`` directories; per row the work is m lookups + adds."""
+    nprobe stays small. All nprobe LUTs fold into ONE projection via a
+    ``when(list_id == cid, term_cid)`` dispatch, so the whole probe is
+    a single ``list_id IN (...)``-pruned scan (one PartitionFilters
+    entry over the probed directories) rather than nprobe unioned
+    scans; per row the work is still m lookups + adds."""
     cents = {
         int(r["centroid_id"]): [float(x) for x in r["cvec"]]
         for r in spark.read.parquet(index_path.rstrip("/") + "_centroids").collect()
@@ -815,9 +818,10 @@ def ivfpq_probe_topk(
         return dot(a, a) - 2.0 * dot(a, b) + dot(b, b)
 
     ranked = sorted(cents, key=lambda cid: (l2(query, cents[cid]), cid))
+    probed = ranked[:nprobe]
     idx = spark.read.parquet(index_path)
-    parts = []
-    for cid in ranked[:nprobe]:
+    dispatched = None
+    for cid in probed:
         qres = [q - c for q, c in zip(query, cents[cid])]
         total = None
         for s, book in enumerate(books):
@@ -830,15 +834,16 @@ def ivfpq_probe_topk(
                 F.array(*[F.lit(x) for x in lut]), F.col(f"code_{s}").cast("int") + 1
             )
             total = term if total is None else total + term
-        parts.append(
-            idx.filter(F.col("list_id") == cid).select(
-                F.col(id_col), F.round(total, 6).alias("adc_dist")
-            )
+        branch = (F.col("list_id") == cid, F.round(total, 6))
+        dispatched = (
+            F.when(*branch) if dispatched is None else dispatched.when(*branch)
         )
-    union = parts[0]
-    for p in parts[1:]:
-        union = union.unionByName(p)
-    return union.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(k)
+    return (
+        idx.filter(F.col("list_id").isin(probed))
+        .select(F.col(id_col), dispatched.alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(k)
+    )
 
 
 def kmeans_cluster_profile(

@@ -296,7 +296,9 @@ def test_ivfpq_probe_prunes_and_recalls(spark, sf_dir, tmp_path):
     probe = ivfpq_probe_topk(spark, idx, qv, k=10, nprobe=4)
     plan = plan_of(probe)
     m = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
-    assert m and all("list_id" in f for f in m), plan
+    # ONE isin-pruned scan (per-list LUTs dispatched via when(list_id)),
+    # not nprobe unioned per-list scans
+    assert len(m) == 1 and "list_id" in m[0], plan
 
     q = F.array(*[F.lit(x) for x in qv])
     exact = [
