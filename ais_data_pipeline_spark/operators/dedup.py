@@ -528,7 +528,10 @@ def near_dup_clusters(
     frame is a flat scan of the converged labels, and checkpoint blocks
     are GC-reclaimed (the earlier persist/unpersist version leaked the
     final round's cache and returned a plan embedding the whole loop
-    history).
+    history). Cluster-reliability tradeoff of the eager-localCheckpoint
+    pattern: see ``operators.graph.pagerank`` — swap in reliable
+    ``.checkpoint`` (with a checkpoint dir) when executor loss must be
+    survivable.
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))

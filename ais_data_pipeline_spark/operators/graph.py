@@ -50,7 +50,18 @@ def pagerank(
     iteration (join + partial-agg) over checkpointed inputs — constant
     in ``iters``, and plan-auditable. localCheckpoint blocks are
     reclaimed by Spark's ContextCleaner when the frames are
-    garbage-collected — no persist leak across a long query sweep."""
+    garbage-collected — no persist leak across a long query sweep.
+
+    Reliability caveat (applies to every eager-localCheckpoint operator
+    in this repo — also dedup.near_dup_clusters, ir.bm25_topk /
+    inverted_index, the curation pipeline): localCheckpoint stores
+    UNREPLICATED executor-local blocks with the lineage cut, so on a
+    multi-executor cluster losing an executor mid-job makes the frames
+    unrecoverable and fails the job. For fault-tolerant cluster runs,
+    set a checkpoint dir (``sc.setCheckpointDir`` on HDFS/object store)
+    and swap in reliable ``.checkpoint(eager=True)`` — same truncation
+    semantics, survives executor loss, at the cost of a write per
+    round. local[] and short-lived jobs keep the cheap variant."""
     e = edges.select(
         F.col(src).alias("__s"), F.col(dst).alias("__d")
     ).localCheckpoint(eager=True)

@@ -54,6 +54,8 @@ def bm25_topk(
     # not three times — at scale dl is 16 bytes/doc, trivially cached.
     # localCheckpoint over persist: blocks are GC-reclaimed by the
     # ContextCleaner, so a 150-query sweep accumulates no cache entries.
+    # (Unreplicated executor-local blocks — for cluster fault tolerance
+    # see the caveat on operators.graph.pagerank.)
     dl = toks.select(id_col, F.size("__t").alias("__dl")).localCheckpoint(eager=True)
     # filter to query terms BEFORE the shuffle: only matching postings move
     tf = (

@@ -34,7 +34,11 @@ def running_totals_fn(key, batches: Iterator[pd.DataFrame], state) -> Iterator[p
     q6 = Decimal("0.000001")
     if state.exists:
         n, total_f, last_ts = state.get
-        total = Decimal(total_f).quantize(q6, ROUND_HALF_UP)
+        # repr-restore, same as the per-value path: equivalent to the
+        # exact-binary Decimal(total_f) here (the stored double IS a
+        # 6-dp decimal that round-trips exactly, see invariant above),
+        # but keeps one replication rule throughout.
+        total = Decimal(repr(total_f)).quantize(q6, ROUND_HALF_UP)
     else:
         n, total, last_ts = 0, Decimal(0), None
     for pdf in batches:

@@ -850,6 +850,66 @@ def test_pq_encode_and_adc_contract(spark, sf_dir):
     assert len(set(approx) & set(exact)) / 10 >= 0.3
 
 
+@pytest.mark.parametrize("seed", [1, 2, 7, 13, 42])
+def test_pq_adc_bit_identical_across_seeds(spark, seed):
+    """Summation-order property (round-5 advice): PQ cross-engine
+    exactness rests on Spark's ``F.aggregate`` left-fold, the driver's
+    sequential Python dot, and DuckDB's list_dot_product all adding in
+    array order. round(...,6) would mask a divergence except exactly at
+    top-k boundary ties — so this test compares UNROUNDED ADC scores
+    bit-for-bit against a sequential Python replica, on corpora
+    perturbed by seed, to catch any engine summation-order drift early
+    (e.g. a future _dot rewrite to a pairwise/tree reduction)."""
+    import random
+
+    from ais_data_pipeline_spark.operators.similarity import (
+        pq_topk,
+        pq_train_codebooks,
+    )
+
+    rng = random.Random(seed)
+    dim, m, n = 16, 4, 48
+    d_sub = dim // m
+    rows = [(i, [rng.uniform(-1.0, 1.0) for _ in range(dim)]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    books = pq_train_codebooks(df, m=m, k=4, iters=1)
+    query = [rng.uniform(-1.0, 1.0) for _ in range(dim)]
+
+    got = {
+        r["vec_id"]: r["adc_dist"]
+        for r in pq_topk(df, books, query, k=n, round_digits=None).collect()
+    }
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def l2(a, b):
+        return dot(a, a) - 2.0 * dot(a, b) + dot(b, b)
+
+    luts = []
+    for s, book in enumerate(books):
+        qs = query[s * d_sub : (s + 1) * d_sub]
+        luts.append({cid: l2(qs, cvec) for cid, cvec in book})
+    for vid, vec in rows:
+        total = 0.0
+        first = True
+        for s, book in enumerate(books):
+            sub = vec[s * d_sub : (s + 1) * d_sub]
+            # ties to lowest id: books are id-sorted, strict < keeps first
+            best_cid, best_d = None, None
+            for cid, cvec in book:
+                d = l2(sub, cvec)
+                if best_d is None or d < best_d:
+                    best_cid, best_d = cid, d
+            term = luts[s][best_cid]
+            total = term if first else total + term
+            first = False
+        assert got[vid] == total, (seed, vid, got[vid].hex(), total.hex())
+
+
 def test_strict_packing_semantics(spark, sf_dir):
     """Strict next-fit packing: bins fill in id order per shard, every
     multi-doc bin totals <= budget, bin ids are dense from 0, and the
