@@ -187,6 +187,49 @@ def minhash_signature(
     return F.array(*mins)
 
 
+def minhash_band_rows(
+    df: DataFrame,
+    n_hashes: int = 32,
+    bands: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(doc, band, bucket) LSH band rows — the shared front half of
+    batch candidate generation AND the persisted bucket table an
+    incremental pipeline probes (streaming.incremental_dedup). One
+    map-side projection per doc: tokens → shingle hashes → signature →
+    banded bucket hashes, exploded to #docs × #bands rows."""
+    r = n_hashes // bands
+    toked = _spread(df).select(
+        F.col(id_col).alias("doc"), tokens_lower(F.col(text_col)).alias("__tok")
+    )
+    shingled = toked.select(
+        "doc", shingle_hashes_from_tokens(F.col("__tok"), shingle_n).alias("__sh")
+    )
+    sig = shingled.select(
+        "doc",
+        minhash_signature(F.col("__sh"), n_hashes, seed).alias("sig"),
+    )
+    return sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.element_at(F.col("sig"), b * r + j + 1) for j in range(r)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     n_hashes: int = 32,
@@ -211,38 +254,14 @@ def minhash_lsh_candidates(
     reach the LSH stage, then the cap only skips degenerate
     boilerplate clusters.
     """
-    r = n_hashes // bands
-    # Materialize tokens, then the shingle-hash array, BEFORE the
-    # signature: each of the n_hashes permutations references the
+    # Band rows materialize tokens, then the shingle-hash array, BEFORE
+    # the signature: each of the n_hashes permutations references the
     # shingle column, and inlining the shingling tree n_hashes times
     # blows the generated code past the JIT/codegen limits into
     # interpreted evaluation (observed 100× slowdown at sf0.1).
-    toked = _spread(df).select(
-        F.col(id_col).alias("doc"), tokens_lower(F.col(text_col)).alias("__tok")
+    band_rows = minhash_band_rows(
+        df, n_hashes, bands, text_col, id_col, shingle_n, seed
     )
-    shingled = toked.select(
-        "doc", shingle_hashes_from_tokens(F.col("__tok"), shingle_n).alias("__sh")
-    )
-    sig = shingled.select(
-        "doc",
-        minhash_signature(F.col("__sh"), n_hashes, seed).alias("sig"),
-    )
-    band_rows = sig.select(
-        "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.element_at(F.col("sig"), b * r + j + 1) for j in range(r)]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc", "bb.band", "bb.bucket")
     if max_bucket_size is not None:
         hot = (
             band_rows.groupBy("band", "bucket")

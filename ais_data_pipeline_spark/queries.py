@@ -2056,6 +2056,124 @@ def q_streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "incremental_dedup_stats",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, shingle
+      FROM tok, UNNEST(
+        list_distinct(list_transform(
+          generate_series(1, greatest(len(toks) - 2, 0)),
+          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS t(shingle)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), simp AS (
+      SELECT da, db FROM inter
+      JOIN sizes sa ON sa.doc_id = da
+      JOIN sizes sb ON sb.doc_id = db
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    ), h AS (
+      SELECT doc_id, md5(text) AS th FROM documents
+    ), conn AS (  -- symmetric: exact-dup OR verified near-dup
+      SELECT x.doc_id AS da, y.doc_id AS db
+      FROM h x JOIN h y ON x.th = y.th AND x.doc_id <> y.doc_id
+      UNION SELECT da, db FROM simp
+      UNION SELECT db AS da, da AS db FROM simp
+    ), b1 AS (
+      SELECT doc_id FROM documents WHERE doc_id % 3 = 1
+    ), b2 AS (
+      SELECT doc_id FROM documents WHERE doc_id % 3 = 2
+    ), keep1 AS (
+      SELECT doc_id FROM b1 b WHERE NOT EXISTS (
+        SELECT 1 FROM conn c WHERE c.db = b.doc_id
+          AND (c.da % 3 = 0 OR (c.da % 3 = 1 AND c.da < b.doc_id)))
+    ), keep2 AS (
+      SELECT doc_id FROM b2 b WHERE NOT EXISTS (
+        SELECT 1 FROM conn c WHERE c.db = b.doc_id
+          AND (c.da % 3 = 0
+               OR c.da IN (SELECT doc_id FROM keep1)
+               OR (c.da % 3 = 2 AND c.da < b.doc_id)))
+    )
+    SELECT CAST(1 AS INT) AS batch_no,
+           CAST((SELECT count(*) FROM b1) AS BIGINT) AS n_in,
+           CAST((SELECT count(*) FROM keep1) AS BIGINT) AS n_kept,
+           CAST((SELECT coalesce(sum(doc_id), 0) FROM keep1) AS BIGINT)
+             AS kept_id_sum
+    UNION ALL
+    SELECT CAST(2 AS INT),
+           CAST((SELECT count(*) FROM b2) AS BIGINT),
+           CAST((SELECT count(*) FROM keep2) AS BIGINT),
+           CAST((SELECT coalesce(sum(doc_id), 0) FROM keep2) AS BIGINT)
+    """,
+    "Incremental dedup against a persisted corpus index "
+    "(streaming.incremental_dedup): history (doc_id%3=0) bootstraps "
+    "the exact-hash + MinHash-bucket + shingle index; two availableNow "
+    "micro-batches (%3=1, then %3=2) each dedup against the index via "
+    "broadcast probes — no full-corpus rescan — and append their "
+    "SURVIVORS back, idempotently (src_batch= dynamic partition "
+    "overwrite). Oracle re-derives both batches' keep sets from the "
+    "drop rule (exact md5 or Jaccard>=0.5 vs history, prior survivors, "
+    "or any same-batch predecessor); kept_id_sum pins exactly WHICH "
+    "docs survived, so a green row proves candidate generation, exact "
+    "verification, index append, and cross-batch sequencing at once.",
+)
+def q_incremental_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.streaming.incremental_dedup import (
+        build_dedup_index,
+        run_incremental_dedup,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    base = _scratch_dir("incdedup_")
+    index, out = base + "/index", base + "/kept"
+    landing, ckpt = base + "/landing", base + "/ckpt"
+    k = F.col("doc_id")
+    build_dedup_index(docs.filter(k % 3 == 0), index)
+
+    def drain_pass() -> None:
+        stream = spark.readStream.schema(docs.schema).parquet(landing)
+        run_incremental_dedup(stream, index, out, ckpt, threshold=0.5)
+
+    docs.filter(k % 3 == 1).write.mode("append").parquet(landing)
+    drain_pass()
+    docs.filter(k % 3 == 2).write.mode("append").parquet(landing)
+    drain_pass()
+
+    kept = spark.read.schema(
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint, src_batch bigint"
+    ).parquet(out)
+    n_in = (
+        docs.filter(k % 3 != 0)
+        .groupBy((k % 3).cast("int").alias("batch_no"))
+        .agg(F.count(F.lit(1)).alias("n_in"))
+    )
+    n_kept = (
+        kept.groupBy((F.col("doc_id") % 3).cast("int").alias("batch_no"))
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("kept_id_sum"),
+        )
+    )
+    return (
+        n_in.join(n_kept, "batch_no", "left")
+        .select(
+            "batch_no",
+            "n_in",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("kept_id_sum", F.lit(0)).alias("kept_id_sum"),
+        )
+    )
+
+
+@register(
     "streaming_stateful_totals",
     """
     SELECT user_id,

@@ -1,0 +1,293 @@
+"""Incremental deduplication against a persisted corpus index.
+
+A training-data pipeline doesn't re-deduplicate the whole corpus per
+ingest: each incoming micro-batch is checked against the CORPUS INDEX —
+the exact-hash table and the MinHash LSH bucket table of everything
+kept so far — and only the survivors are appended to both the corpus
+and the index. This module is the streaming counterpart of
+``operators.dedup`` (same hash, banding, and exact-Jaccard-verify
+semantics), mirroring the dedup the reference's preprocessing applies
+batch-wise (``notebooks/preprocessing_with_polars.ipynb`` drops exact
+duplicate rows per file batch) lifted to a persistent cross-batch
+contract.
+
+Drop rule (deterministic, oracle-expressible — no iteration):
+- a batch doc drops iff it exact-hash-matches, or word-3-gram-Jaccard
+  >= threshold with, ANY doc in the index (history + prior batches'
+  SURVIVORS), or ANY same-batch doc with a smaller id (the predecessor
+  rule — kept or dropped; aggressive on chains, which is the standard
+  greedy LSH-dedup behavior, and exactly keep-min on exact-dup groups).
+- near-dup candidates come from shared LSH band buckets and are
+  verified by exact Jaccard over stored shingle hashes — identical
+  parameters to ``minhash_near_dup``, whose brute-force oracle proves
+  banding recall on this corpus.
+
+Scale shape: the index side is never shuffled — batch hashes / band
+rows / candidate id-lists are tiny and BROADCAST, so every index probe
+is one pruned-or-streamed scan of the index table with a broadcast-hash
+join. Index appends are ``src_batch=`` partition directories written
+with dynamic partition overwrite: a replayed micro-batch overwrites its
+own partition, making the sink idempotent (the same
+checkpoint+idempotence recipe as ``ingest.run_upsert_sink``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ais_data_pipeline_spark.operators.dedup import (
+    minhash_band_rows,
+    shingle_hashes_from_tokens,
+    tokens_lower,
+)
+
+# explicit read schemas: index partitions may be legitimately empty
+# (a batch where nothing survived), and schema inference fails there
+_HASHES_SCHEMA = "doc bigint, text_hash string, src_batch bigint"
+_BUCKETS_SCHEMA = "doc bigint, band int, bucket bigint, src_batch bigint"
+_SHINGLES_SCHEMA = "doc bigint, shingles array<bigint>, src_batch bigint"
+
+HISTORY_BATCH = -1  # src_batch value for the bootstrap corpus
+
+
+def _features(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int
+) -> DataFrame:
+    """(doc, text_hash, shingles): the per-doc dedup features — md5
+    content hash + distinct word-n-gram xxhash64 shingles. One
+    projection, no shuffle."""
+    toked = df.select(
+        F.col(id_col).alias("doc"),
+        F.md5(F.col(text_col).cast("binary")).alias("text_hash"),
+        tokens_lower(F.col(text_col)).alias("__tok"),
+    )
+    return toked.select(
+        "doc",
+        "text_hash",
+        shingle_hashes_from_tokens(F.col("__tok"), shingle_n).alias("shingles"),
+    )
+
+
+def _write_slice(df: DataFrame, path: str, src_batch: int) -> None:
+    """Append one src_batch= partition, idempotently: dynamic partition
+    overwrite replaces exactly this batch's directory on replay."""
+    # an all-dropped batch writes no partition at all; pre-create the
+    # table root so later schema-reads never hit a missing path
+    os.makedirs(path, exist_ok=True)
+    (
+        df.withColumn("src_batch", F.lit(src_batch).cast("bigint"))
+        .repartition(1)  # micro-batch slices are small; one file each
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("src_batch")
+        .parquet(path)
+    )
+
+
+def build_dedup_index(
+    docs: DataFrame,
+    index_path: str,
+    n_hashes: int = 32,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Bootstrap the index from the historical corpus: three parquet
+    tables under ``index_path`` — ``hashes`` (doc, text_hash),
+    ``buckets`` (doc, band, bucket), ``shingles`` (doc, shingles) —
+    each partitioned by ``src_batch`` (history = -1). The shingle table
+    is the candidate-verification store; at 100 TB it is the index's
+    dominant weight (~tokens-per-doc longs), still a fraction of the
+    text it replaces in the probe path."""
+    feats = _features(docs, text_col, id_col, shingle_n)
+    _write_slice(
+        feats.select("doc", "text_hash"),
+        os.path.join(index_path, "hashes"),
+        HISTORY_BATCH,
+    )
+    _write_slice(
+        feats.select("doc", "shingles"),
+        os.path.join(index_path, "shingles"),
+        HISTORY_BATCH,
+    )
+    bands_df = minhash_band_rows(
+        docs, n_hashes, bands, text_col, id_col, shingle_n, seed
+    )
+    _write_slice(bands_df, os.path.join(index_path, "buckets"), HISTORY_BATCH)
+
+
+def _jaccard_drops(
+    pairs: DataFrame,  # (doc, other) candidate pairs, doc = batch side
+    batch_sh: DataFrame,  # (doc, shingles)
+    other_sh: DataFrame,  # (other, other_shingles)
+    threshold: float,
+) -> DataFrame:
+    """Batch docs whose exact Jaccard vs a candidate clears the
+    threshold — the verify half of LSH dedup, on stored shingle
+    hashes (array_intersect on longs, same as minhash_near_dup)."""
+    scored = (
+        pairs.join(F.broadcast(batch_sh), "doc")
+        .join(F.broadcast(other_sh), "other")
+        .withColumn("n_inter", F.size(F.array_intersect("shingles", "other_shingles")))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (
+                F.size("shingles") + F.size("other_shingles") - F.col("n_inter")
+            ).cast("double"),
+        )
+    )
+    return scored.filter(F.col("jaccard") >= threshold).select("doc").distinct()
+
+
+def dedup_batch_against_index(
+    batch_df: DataFrame,
+    index_path: str,
+    threshold: float = 0.5,
+    n_hashes: int = 32,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Survivors of one batch under the drop rule in the module
+    docstring. The batch (small) is always the broadcast side; the
+    index tables are scanned once each with the batch's hash / bucket
+    sets pushed through broadcast joins — no index shuffle, no
+    full-corpus recompute."""
+    spark = batch_df.sparkSession
+    # feats / band rows are referenced several times below; a batch is
+    # micro-batch-sized, so eager localCheckpoint pins them once
+    # (blocks GC-reclaimed; see graph.pagerank for the cluster caveat)
+    feats = _features(batch_df, text_col, id_col, shingle_n).localCheckpoint(
+        eager=True
+    )
+    bands_b = minhash_band_rows(
+        batch_df, n_hashes, bands, text_col, id_col, shingle_n, seed
+    ).localCheckpoint(eager=True)
+
+    # (1) exact, within batch: predecessor rule == keep min id per hash
+    keep_min = feats.groupBy("text_hash").agg(F.min("doc").alias("__keep"))
+    exact_w = (
+        feats.join(F.broadcast(keep_min), "text_hash")
+        .filter(F.col("doc") != F.col("__keep"))
+        .select("doc")
+    )
+
+    # (2) exact, vs index: semi-join the (huge) hash table against the
+    # broadcast batch hashes, then anti the (tiny) match-list back
+    hist_hashes = spark.read.schema(_HASHES_SCHEMA).parquet(
+        os.path.join(index_path, "hashes")
+    )
+    hit_hashes = hist_hashes.join(
+        F.broadcast(feats.select("text_hash").distinct()), "text_hash", "left_semi"
+    ).select("text_hash").distinct()
+    exact_x = feats.join(F.broadcast(hit_hashes), "text_hash", "left_semi").select(
+        "doc"
+    )
+
+    # (3) near-dup, within batch: shared band bucket -> a < b pairs,
+    # exact-Jaccard verify, drop the larger id
+    a, b = bands_b.alias("a"), bands_b.alias("b")
+    cands_w = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("b.doc").alias("doc"), F.col("a.doc").alias("other"))
+        .distinct()
+    )
+    batch_sh = feats.select("doc", "shingles")
+    other_sh_w = feats.select(
+        F.col("doc").alias("other"), F.col("shingles").alias("other_shingles")
+    )
+    near_w = _jaccard_drops(cands_w, batch_sh, other_sh_w, threshold)
+
+    # (4) near-dup, vs index: probe the bucket table with the broadcast
+    # batch band rows, verify against the stored shingles of just the
+    # candidate index docs
+    hist_buckets = spark.read.schema(_BUCKETS_SCHEMA).parquet(
+        os.path.join(index_path, "buckets")
+    )
+    cands_x = (
+        hist_buckets.withColumnRenamed("doc", "other")
+        .join(F.broadcast(bands_b), ["band", "bucket"])
+        .select("doc", "other")
+        .distinct()
+        .localCheckpoint(eager=True)  # referenced twice: semi-join + verify
+    )
+    hist_sh = (
+        spark.read.schema(_SHINGLES_SCHEMA)
+        .parquet(os.path.join(index_path, "shingles"))
+        .join(F.broadcast(cands_x.select(F.col("other").alias("doc")).distinct()),
+              "doc", "left_semi")
+        .select(F.col("doc").alias("other"), F.col("shingles").alias("other_shingles"))
+    )
+    near_x = _jaccard_drops(cands_x, batch_sh, hist_sh, threshold)
+
+    drops = exact_w.union(exact_x).union(near_w).union(near_x).distinct()
+    return batch_df.join(
+        F.broadcast(drops.withColumnRenamed("doc", id_col)), id_col, "left_anti"
+    )
+
+
+def run_incremental_dedup(
+    stream_df: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    threshold: float = 0.5,
+    n_hashes: int = 32,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """foreachBatch sink: dedup each micro-batch against the index,
+    append survivors to ``out_path`` AND their features to the index —
+    so batch N+1 dedups against batch N's survivors without any
+    full-corpus rescan. Exactly-once effect = checkpointed batch ids ×
+    idempotent per-batch partition overwrite (same recipe as the CDC
+    sink)."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        survivors = dedup_batch_against_index(
+            batch_df, index_path, threshold, n_hashes, bands,
+            shingle_n, seed, text_col, id_col,
+        ).localCheckpoint(eager=True)  # decide once; written 4 ways below
+        _write_slice(survivors, out_path, batch_id)
+        feats = _features(survivors, text_col, id_col, shingle_n)
+        _write_slice(
+            feats.select("doc", "text_hash"),
+            os.path.join(index_path, "hashes"),
+            batch_id,
+        )
+        _write_slice(
+            feats.select("doc", "shingles"),
+            os.path.join(index_path, "shingles"),
+            batch_id,
+        )
+        _write_slice(
+            minhash_band_rows(
+                survivors, n_hashes, bands, text_col, id_col, shingle_n, seed
+            ),
+            os.path.join(index_path, "buckets"),
+            batch_id,
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -185,3 +185,88 @@ def test_jsonl_bounded_inference_and_quarantine(spark, tmp_path):
     assert any("not-an-int" in x for x in q)
     assert clean.count() == 50
     assert clean.filter(F.col("id") == 7).first()["tag"] == "t7"
+
+
+def test_incremental_dedup_replay_idempotent(spark, sf_dir, tmp_path):
+    """A replayed micro-batch (fresh checkpoint, same landing data)
+    must leave the kept table AND every index slice exactly as the
+    first drain did — the src_batch= dynamic-partition-overwrite
+    idempotence contract. Also pins cross-batch semantics: batch-2
+    docs identical to batch-1 SURVIVORS drop, while docs identical
+    only to batch-1 DROPPED docs still drop via their kept
+    representative's hash (identical text => identical hash)."""
+    from ais_data_pipeline_spark.sources.parquet import read_table
+    from ais_data_pipeline_spark.streaming.incremental_dedup import (
+        build_dedup_index,
+        run_incremental_dedup,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").limit(0)  # schema only
+    base = str(tmp_path)
+    index, out, landing = base + "/idx", base + "/kept", base + "/land"
+    rows = [
+        # history
+        (0, "alpha beta gamma delta epsilon zeta", "en", "h", 35),
+        # batch 1: 10 exact-dups history, 11 unique, 12 dup of 11
+        (10, "alpha beta gamma delta epsilon zeta", "en", "b", 35),
+        (11, "one two three four five six seven", "en", "b", 33),
+        (12, "one two three four five six seven", "en", "b", 33),
+        # batch 2: 20 dup of kept 11, 21 dup of dropped 12 (same text
+        # => same hash as 11 too -> drops), 22 unique
+        (20, "one two three four five six seven", "en", "b", 33),
+        (21, "one two three four five six seven", "en", "b", 33),
+        (22, "nine ten eleven twelve thirteen fourteen", "en", "b", 40),
+    ]
+    mk = lambda ids: spark.createDataFrame(  # noqa: E731
+        [r for r in rows if r[0] in ids], docs.schema
+    )
+    build_dedup_index(mk({0}), index)
+
+    def drain(ckpt: str) -> None:
+        stream = spark.readStream.schema(docs.schema).parquet(landing)
+        run_incremental_dedup(stream, index, out, ckpt, threshold=0.5)
+
+    mk({10, 11, 12}).write.mode("append").parquet(landing)
+    drain(base + "/ck1")
+    kept1 = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept1 == [11]  # 10 = history dup, 12 = predecessor dup
+
+    # replay batch 1 from scratch (fresh checkpoint): same end state
+    drain(base + "/ck1b")
+    assert sorted(r["doc_id"] for r in spark.read.parquet(out).collect()) == [11]
+    hashes = spark.read.parquet(index + "/hashes").collect()
+    assert sorted(r["doc"] for r in hashes) == [0, 11]  # no duplicate slices
+
+    mk({20, 21, 22}).write.mode("append").parquet(landing)
+    drain(base + "/ck1b")  # continue from the replayed checkpoint
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept == [11, 22]
+
+
+def test_incremental_dedup_probe_is_broadcast(spark, sf_dir, tmp_path):
+    """The index probe must broadcast the BATCH side: no SortMergeJoin
+    (i.e. no shuffle of the index tables) anywhere in the decision
+    plan — the property that makes per-batch dedup O(batch), not
+    O(corpus), at 100 TB."""
+    import io as _io
+    import re as _re
+    from contextlib import redirect_stdout
+
+    from ais_data_pipeline_spark.sources.parquet import read_table
+    from ais_data_pipeline_spark.streaming.incremental_dedup import (
+        build_dedup_index,
+        dedup_batch_against_index,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    index = str(tmp_path / "idx")
+    build_dedup_index(docs.filter(F.col("doc_id") % 3 == 0), index)
+    batch = docs.filter(F.col("doc_id") % 3 == 1).limit(50)
+    survivors = dedup_batch_against_index(batch, index, threshold=0.5)
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        survivors.explain("formatted")
+    plan = buf.getvalue()
+    node = lambda n: len(_re.findall(rf"\(\d+\) {n}\b", plan))  # noqa: E731
+    assert node("SortMergeJoin") == 0, plan
+    assert node("BroadcastHashJoin") >= 3, plan
