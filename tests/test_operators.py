@@ -811,8 +811,9 @@ def test_pq_encode_and_adc_contract(spark, sf_dir):
     codebook ids; ADC top-k ranks the query vector itself first (its
     own code's table distance is minimal by construction on this
     corpus); recall@10 vs exact L2 clears the measured floor (0.5 on
-    the synthetic corpus — pinned at 0.3 so codebook regressions, not
-    noise, trip it: everything is deterministic)."""
+    the synthetic corpus — pinned at 0.4 so codebook regressions, not
+    noise, trip it: everything is deterministic; full recall-vs-(m,
+    nprobe) characterization in SCALING.md / tools/ivfpq_recall.py)."""
     from ais_data_pipeline_spark.operators.similarity import (
         _as_double_array,
         _l2sq,
@@ -847,7 +848,7 @@ def test_pq_encode_and_adc_contract(spark, sf_dir):
         .limit(10)
         .collect()
     ]
-    assert len(set(approx) & set(exact)) / 10 >= 0.3
+    assert len(set(approx) & set(exact)) / 10 >= 0.4
 
 
 @pytest.mark.parametrize("seed", [1, 2, 7, 13, 42])

@@ -275,7 +275,9 @@ def test_ivfpq_probe_prunes_and_recalls(spark, sf_dir, tmp_path):
     (vs 64 doubles, a 128x compression) is the limiter on UNIFORM
     synthetic embeddings, which have no cluster structure for the
     quantizers to exploit; the floor pins at 2 so codebook/ADC
-    regressions trip it while a testdata reseed has margin."""
+    regressions trip it while a testdata reseed has margin. Full
+    recall-vs-(m, nprobe) table: SCALING.md (tools/ivfpq_recall.py) —
+    recall here is code-bits-limited, not nprobe-limited."""
     from ais_data_pipeline_spark.operators.similarity import (
         _as_double_array,
         _l2sq,
