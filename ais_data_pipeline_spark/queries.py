@@ -78,73 +78,69 @@ def register(name: str, oracle: str | None, description: str):
 
 
 # The driver checks only the FIRST 50 registry entries per round, so
-# registry order decides which queries get a CORRECTNESS row. Round-5
-# window (the round-4 verdict's backlog-retirement plan): (a) the 11
-# queries that had NEVER had a driver row, plus approx_distinct_events
-# (whose only row predates its real error-contract oracle); (b) the
-# two queries NEW this round (strict-cap packing, streaming CDC
-# upsert); (c) 37 of the 40 queries whose latest driver row is
-# round 2 — everything else registry-wide has an r3/r4 row.
-# Five queries don't fit the 50-slot cap and rotate into the
-# round-6 window: pq_adc_topk and ivfpq_index_topk (new this round,
-# green in the pytest oracle replica) plus three r2-dated queries —
-# scan_project_filter, string_functions, date_functions (chosen
-# because they are zero-churn single-
-# projection queries, still oracle-checked by pytest every run).
+# registry order decides which queries get a CORRECTNESS row. Round-6
+# window (the round-5 verdict's rotation plan): (a) the 3 queries with
+# no driver row yet — the two PQ queries deferred from round 5 plus
+# incremental_dedup_stats, NEW this round; (b) the 3 r2-dated
+# zero-churn projections deferred last round; (c) 44 of the 49 queries
+# whose latest driver row is round 3. Five r3-dated queries don't fit
+# the 50-slot cap and rotate into the round-7 window: sample_seeded
+# (rows-only by design — a driver row adds the least), plus four
+# zero-churn single-scan queries still oracle-checked by pytest every
+# run (null_counts, profile_min_max, horizontal_predicates,
+# event_type_pivot). After the r6 sweep every other query's latest
+# driver row is r4+.
 _FRONT_WINDOW: list[str] = [
-    # (a) never driver-checked + stale-oracle HLL
-    "forecast_revenue_q6",
-    "dataset_split_counts",
-    "dq_report",
-    "hash_sample_orders",
-    "stratified_hash_sample",
-    "surrogate_keys",
-    "above_avg_orders",
-    "mode_event_type_per_user",
-    "order_price_deciles",
-    "funnel_stages",
-    "string_agg_types",
-    "approx_distinct_events",
-    # (b) new this round
-    "sequence_packing_strict",
-    "streaming_cdc_upsert",
-    # (c) oldest driver rows (round 2) — refresh
-    "bpe_token_counts",
-    "conditional_agg",
-    "cube_returnflag_status",
-    "custdist",
-    "dict_normalize_brand",
-    "downcast_guard",
-    "events_hourly",
-    "events_json_extract",
-    "frame_sample_fanout",
-    "grouping_sets_status",
-    "json_path_extract",
-    "large_orders",
-    "locf_fill_forward",
-    "moment_stats",
-    "multiset_ops",
-    "nation_pair_volume",
-    "not_in_null_semantics",
-    "order_status_rollup",
-    "outer_join_fill",
-    "posexplode_tokens",
-    "priority_revenue",
-    "profile_distinct_ratios",
-    "project_exclude_substring",
-    "rank_distribution",
-    "rollup_region_nation",
-    "running_total_per_customer",
-    "salted_event_type_agg",
-    "session_windows_native",
-    "stream_static_join",
-    "streaming_dedup_pairs",
-    "streaming_sliding_counts",
-    "streaming_windowed_counts",
-    "term_frequencies",
-    "unpivot_metrics",
-    "url_route_suffix",
-    "value_run_islands",
+    "pq_adc_topk",
+    "ivfpq_index_topk",
+    "incremental_dedup_stats",
+    "scan_project_filter",
+    "string_functions",
+    "date_functions",
+    "ann_index_topk",
+    "approx_quantiles",
+    "array_agg_user_types",
+    "asof_last_click",
+    "audio_meta",
+    "bag_fingerprint",
+    "date_parse_lenient",
+    "dedup_exact",
+    "distinct_pairs",
+    "embedding_near_dup_exact",
+    "embedding_near_dup_lsh",
+    "embedding_topk",
+    "embedding_topk_lsh",
+    "event_pairs_5min",
+    "incremental_rollup_merge",
+    "ivf_index_topk",
+    "lag_lead_events",
+    "lang_id",
+    "late_ship_priority",
+    "latest_event_per_user",
+    "map_from_json_props",
+    "media_type_route",
+    "minhash_near_dup",
+    "moving_avg_customer",
+    "multimodal_meta",
+    "near_dup_clusters",
+    "ngram_jaccard_pairs",
+    "ngram_profile",
+    "null_token_normalize",
+    "q1_pricing_summary",
+    "quantiles_quantity",
+    "revenue_by_nation",
+    "semi_anti_customers",
+    "sessionize_events",
+    "set_ops_segments",
+    "small_qty_revenue",
+    "stream_stream_join",
+    "subsequence_best_match",
+    "text_normalize",
+    "text_quality",
+    "token_counts",
+    "top_customer_per_nation",
+    "topk_orders",
+    "zorder_values",
 ]
 
 
