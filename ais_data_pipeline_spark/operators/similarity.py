@@ -846,6 +846,48 @@ def ivfpq_probe_topk(
     )
 
 
+def ivfpq_rerank_topk(
+    spark,
+    index_path: str,
+    vectors_df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    n_candidates: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Two-stage retrieval: IVF-PQ ADC candidates, exact L2 re-rank —
+    the standard production ANN shape (FAISS's refine/rerank stage).
+    SCALING.md shows recall on this index is code-resolution-limited
+    (compressed codes can't order close neighbors), and this is the
+    standard fix: let the cheap ADC pass over-fetch ``n_candidates``
+    from the pruned lists, then score ONLY those few vectors exactly.
+
+    Cost shape at scale: stage 1 is the flat-latency pruned probe;
+    stage 2 broadcasts the candidate id list (n_candidates rows) into
+    one semi-join scan of the vector table — no shuffle, no
+    all-vector distance computation. Exact distances use the same
+    dot-expansion ``_l2sq`` the oracles replay, so results stay
+    bit-replayable."""
+    cand = ivfpq_probe_topk(
+        spark, index_path, query, k=n_candidates, nprobe=nprobe, id_col=id_col
+    ).select(id_col)
+    q = F.array(*[F.lit(float(x)) for x in query])
+    return (
+        vectors_df.join(F.broadcast(cand), id_col, "left_semi")
+        .select(
+            F.col(id_col),
+            F.round(
+                _l2sq(_as_double_array(F.col(vec_col)), q), round_digits
+            ).alias("l2_dist"),
+        )
+        .orderBy(F.asc("l2_dist"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def kmeans_cluster_profile(
     df: DataFrame,
     k: int = 8,

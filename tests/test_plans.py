@@ -316,6 +316,22 @@ def test_ivfpq_probe_prunes_and_recalls(spark, sf_dir, tmp_path):
     assert 0 in approx  # the query vector itself is found
     assert len(set(exact) & approx) >= 2, sorted(set(exact) & approx)
 
+    # two-stage refine (ivfpq_rerank_topk): exact L2 over the ADC
+    # candidate over-fetch lifts recall past the code-resolution limit
+    # (measured 0.7 on this query vs 0.3 pure-ADC; floor 0.5 keeps
+    # reseed margin), the query vector ranks FIRST (its exact distance
+    # is 0), and the re-rank join must broadcast (no vector-table
+    # shuffle).
+    from ais_data_pipeline_spark.operators.similarity import ivfpq_rerank_topk
+
+    rr = ivfpq_rerank_topk(spark, idx, e, qv, k=10, nprobe=4, n_candidates=50)
+    rr_rows = rr.collect()
+    assert rr_rows[0]["vec_id"] == 0 and rr_rows[0]["l2_dist"] == 0.0
+    assert len(set(exact) & {r["vec_id"] for r in rr_rows}) >= 5
+    rr_plan = plan_of(rr)
+    assert "SortMergeJoin" not in rr_plan
+    assert "BroadcastHashJoin" in rr_plan
+
 
 def test_zorder_layout_prunes_on_second_column(spark, sf_dir, tmp_path):
     """Z-order must give the SECOND column real file-skipping power: in
