@@ -96,21 +96,30 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int | None = 5,
+) -> DataFrame:
     """Composite 0-1 quality score from the features: rewards
     reasonable length and stopword presence, penalizes punctuation
-    soup. Weights are engine policy (documented, deterministic)."""
+    soup. Weights are engine policy (documented, deterministic).
+
+    ``round_digits=None`` returns the full-precision double — use it
+    whenever the score is an ORDERING key that must agree with a SQL
+    replica: the weighted sum lands on exact decimal half-points
+    (e.g. 0.529075) where Spark's HALF_UP string-based round and
+    DuckDB's binary-double round disagree, while the unrounded doubles
+    are bit-identical (same op order on safe inputs)."""
     feats = quality_features(df, text_col, id_col)
     length_term = F.least(F.col("n_tokens").cast("double") / F.lit(100.0), F.lit(1.0))
     stop_term = F.least(F.col("stopword_ratio") * F.lit(5.0), F.lit(1.0))
     punct_term = F.greatest(F.lit(1.0) - F.col("punct_ratio") * F.lit(4.0), F.lit(0.0))
-    return feats.select(
-        id_col,
-        F.round(
-            (length_term * F.lit(0.4) + stop_term * F.lit(0.3) + punct_term * F.lit(0.3)),
-            5,
-        ).alias("quality"),
-    )
+    score = length_term * F.lit(0.4) + stop_term * F.lit(0.3) + punct_term * F.lit(0.3)
+    if round_digits is not None:
+        score = F.round(score, round_digits)
+    return feats.select(id_col, score.alias("quality"))
 
 
 def normalize_text(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

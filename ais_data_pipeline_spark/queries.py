@@ -79,22 +79,26 @@ def register(name: str, oracle: str | None, description: str):
 
 # The driver checks only the FIRST 50 registry entries per round, so
 # registry order decides which queries get a CORRECTNESS row. Round-6
-# window (the round-5 verdict's rotation plan): (a) the 4 queries with
+# window (the round-5 verdict's rotation plan): (a) the 6 queries with
 # no driver row yet — the two PQ queries deferred from round 5 plus
-# incremental_dedup_stats and ivfpq_rerank_topk, NEW this round;
-# (b) the 3 r2-dated zero-churn projections deferred last round;
-# (c) 43 of the 49 queries whose latest driver row is round 3. Six
-# r3-dated queries don't fit the 50-slot cap and rotate into the
-# round-7 window: sample_seeded (rows-only by design — a driver row
-# adds the least), plus five zero-churn single-scan queries still
-# oracle-checked by pytest every run (null_counts, profile_min_max,
-# horizontal_predicates, event_type_pivot, token_counts). After the
-# r6 sweep every other query's latest driver row is r4+.
+# incremental_dedup_stats, ivfpq_rerank_topk, embedding_topk_filtered,
+# and cluster_best_representative, all NEW this round; (b) the 3
+# r2-dated zero-churn projections deferred last round; (c) 41 of the
+# 49 queries whose latest driver row is round 3. Eight r3-dated
+# queries don't fit the 50-slot cap and rotate into the round-7
+# window: sample_seeded (rows-only by design — a driver row adds the
+# least), plus seven zero-churn queries still oracle-checked by pytest
+# every run (null_counts, profile_min_max, horizontal_predicates,
+# event_type_pivot, token_counts, lag_lead_events,
+# map_from_json_props). After the r6 sweep every other query's latest
+# driver row is r4+.
 _FRONT_WINDOW: list[str] = [
     "pq_adc_topk",
     "ivfpq_index_topk",
     "incremental_dedup_stats",
     "ivfpq_rerank_topk",
+    "embedding_topk_filtered",
+    "cluster_best_representative",
     "scan_project_filter",
     "string_functions",
     "date_functions",
@@ -114,11 +118,9 @@ _FRONT_WINDOW: list[str] = [
     "event_pairs_5min",
     "incremental_rollup_merge",
     "ivf_index_topk",
-    "lag_lead_events",
     "lang_id",
     "late_ship_priority",
     "latest_event_per_user",
-    "map_from_json_props",
     "media_type_route",
     "minhash_near_dup",
     "moving_avg_customer",
@@ -728,6 +730,47 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings")
     qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
     return cosine_topk(e.filter(F.col("vec_id") != 0), qv, k=10, round_digits=4)
+
+
+@register(
+    "embedding_topk_filtered",
+    """
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    )
+    SELECT e.vec_id,
+           round(
+             list_dot_product(e.embedding::DOUBLE[], q.qv)
+             / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos_sim
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+      AND EXISTS (SELECT 1 FROM documents d
+                  WHERE d.doc_id = e.vec_id AND d.lang = 'en')
+    ORDER BY cos_sim DESC, e.vec_id ASC
+    LIMIT 10
+    """,
+    "Filtered vector search (pre-filter retrieval): top-k cosine "
+    "restricted to vectors whose joined document metadata passes a "
+    "predicate (lang = 'en') — the RAG/curation staple where ANN must "
+    "compose with structured filters. The predicate side pushes down "
+    "to the documents scan and semi-joins BROADCAST into the vector "
+    "scan, so the distance computation runs only on qualifying rows — "
+    "at 100 TB the filter prunes before any vector math, not after.",
+)
+def q_embedding_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.similarity import cosine_topk
+
+    e = read_table(spark, sf_dir, "embeddings")
+    d = read_table(spark, sf_dir, "documents")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    allowed = d.filter(F.col("lang") == "en").select(
+        F.col("doc_id").alias("vec_id")
+    )
+    filtered = e.filter(F.col("vec_id") != 0).join(
+        F.broadcast(allowed), "vec_id", "left_semi"
+    )
+    return cosine_topk(filtered, qv, k=10, round_digits=4)
 
 
 # ---------------------------------------------------------------------------
@@ -2786,6 +2829,87 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     pairs = minhash_near_dup(d, threshold=0.3)
     return near_dup_clusters(pairs)
+
+
+# reuse the recursive closure: everything up to (excluding) its final
+# SELECT, which becomes the `cl` CTE here
+_BEST_REP_ORACLE = (
+    _CLUSTERS_ORACLE.rsplit("SELECT id, min(reach)", 1)[0].rstrip()
+    + r""",
+    cl AS (
+      SELECT id, min(reach) AS cluster_id FROM walk GROUP BY id
+    ), qt AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks,
+             text
+      FROM documents
+    ), qs AS (
+      -- UNROUNDED composite (see quality_score round_digits=None):
+      -- the weighted sum hits exact half-points where Spark/DuckDB
+      -- round() disagree; the raw doubles are bit-identical
+      SELECT doc_id,
+             least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
+               + least(round(CAST(len(list_filter(toks, x -> x IN
+                   ('the','a','of','and','to','in','is','it','that','for')))
+                   AS DOUBLE) / greatest(len(toks), 1), 5) * 5.0, 1.0) * 0.3
+               + greatest(1.0 - round(CAST(length(text)
+                   - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
+                   / greatest(length(text), 1), 5) * 4.0, 0.0) * 0.3
+               AS quality
+      FROM qt
+    ), ranked AS (
+      SELECT cl.cluster_id, cl.id, qs.quality,
+             row_number() OVER (PARTITION BY cl.cluster_id
+                                ORDER BY qs.quality DESC, cl.id ASC) AS rn,
+             count(*) OVER (PARTITION BY cl.cluster_id) AS n_members
+      FROM cl JOIN qs ON qs.doc_id = cl.id
+    )
+    SELECT cluster_id, CAST(n_members AS BIGINT) AS n_members,
+           id AS keep_doc_id, quality
+    FROM ranked WHERE rn = 1
+    """
+)
+
+
+@register(
+    "cluster_best_representative",
+    _BEST_REP_ORACLE,
+    "Keep-the-BEST-per-cluster (what production curation actually does "
+    "instead of keep-min-id): near-dup connected components joined to "
+    "the composite quality score; each cluster keeps its highest-"
+    "quality member (ties to lowest id). One window pass over the "
+    "(tiny) cluster membership joined to a broadcastable per-doc "
+    "quality projection. Oracle: recursive-CTE closure + the same "
+    "quality formula + row_number per cluster.",
+)
+def q_cluster_best_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ais_data_pipeline_spark.operators.dedup import (
+        minhash_near_dup,
+        near_dup_clusters,
+    )
+    from ais_data_pipeline_spark.operators.text import quality_score
+
+    d = read_table(spark, sf_dir, "documents")
+    clusters = near_dup_clusters(minhash_near_dup(d, threshold=0.3))
+    scored = quality_score(d, round_digits=None).withColumnRenamed("doc_id", "id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.asc("id")
+    )
+    return (
+        clusters.join(scored, "id")
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(Window.partitionBy("cluster_id")))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "cluster_id",
+            "n_members",
+            F.col("id").alias("keep_doc_id"),
+            "quality",
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
