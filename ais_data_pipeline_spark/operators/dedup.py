@@ -295,16 +295,21 @@ def minhash_near_dup(
     shingle_n: int = 3,
     seed: int = 42,
     round_digits: int = 5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH candidates re-ranked by EXACT Jaccard ≥ threshold.
 
     Output is exact-verified (false positives filtered), so with
     recall≈1 banding parameters the result equals the brute-force
     ngram_jaccard_pairs — which is this operator's oracle — while the
-    candidate join replaces the all-pairs shingle join at scale.
+    candidate join replaces the all-pairs shuffle join at scale.
+    ``max_bucket_size`` passes through to the candidate stage (the
+    quadratic-blowup guard); run ``exact_dedup`` first so only
+    degenerate boilerplate clusters ever hit the cap.
     """
     cands = minhash_lsh_candidates(
-        df, n_hashes, bands, text_col, id_col, shingle_n, seed
+        df, n_hashes, bands, text_col, id_col, shingle_n, seed,
+        max_bucket_size=max_bucket_size,
     )
     # _spread: the re-rank side shingles on narrow scans too (same
     # single-split bottleneck as the candidate side); hashed shingles

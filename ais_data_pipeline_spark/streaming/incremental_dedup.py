@@ -49,6 +49,7 @@ from ais_data_pipeline_spark.operators.dedup import (
 _HASHES_SCHEMA = "doc bigint, text_hash string, src_batch bigint"
 _BUCKETS_SCHEMA = "doc bigint, band int, bucket bigint, src_batch bigint"
 _SHINGLES_SCHEMA = "doc bigint, shingles array<bigint>, src_batch bigint"
+_STATS_SCHEMA = "band int, bucket bigint, n bigint, src_batch bigint"
 
 HISTORY_BATCH = -1  # src_batch value for the bootstrap corpus
 
@@ -119,6 +120,38 @@ def build_dedup_index(
         docs, n_hashes, bands, text_col, id_col, shingle_n, seed
     )
     _write_slice(bands_df, os.path.join(index_path, "buckets"), HISTORY_BATCH)
+    _write_bucket_stats(bands_df, index_path, HISTORY_BATCH)
+
+
+def _write_bucket_stats(bands_df: DataFrame, index_path: str, src_batch: int) -> None:
+    """Per-slice (band, bucket) membership counts, kept only where
+    n >= 2 — the mergeable hot-bucket statistic. Probes sum these
+    across slices to find buckets above ``max_bucket_size`` and prune
+    them BEFORE any join, so one boilerplate cluster in the corpus
+    can't turn an index probe quadratic. (A bucket that is singleton
+    in every slice can still sum hot undetected — acceptable: the
+    guard targets burst-shaped boilerplate, which lands heavy in few
+    slices.)"""
+    stats = (
+        bands_df.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    _write_slice(stats, os.path.join(index_path, "bucket_stats"), src_batch)
+
+
+def _hot_buckets(spark: SparkSession, index_path: str, cap: int) -> DataFrame:
+    """(band, bucket) pairs whose summed membership exceeds the cap —
+    tiny by construction (only >=2-per-slice buckets are recorded)."""
+    stats = spark.read.schema(_STATS_SCHEMA).parquet(
+        os.path.join(index_path, "bucket_stats")
+    )
+    return (
+        stats.groupBy("band", "bucket")
+        .agg(F.sum("n").alias("n"))
+        .filter(F.col("n") > cap)
+        .select("band", "bucket")
+    )
 
 
 def _jaccard_drops(
@@ -155,6 +188,7 @@ def dedup_batch_against_index(
     seed: int = 42,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Survivors of one batch under the drop rule in the module
     docstring. The batch (small) is always the broadcast side; the
@@ -171,6 +205,24 @@ def dedup_batch_against_index(
     bands_b = minhash_band_rows(
         batch_df, n_hashes, bands, text_col, id_col, shingle_n, seed
     ).localCheckpoint(eager=True)
+    if max_bucket_size is not None:
+        # quadratic-blowup guard: prune band rows in buckets hot either
+        # WITHIN this batch or across the persisted index (summed
+        # bucket_stats) before any pairing join. Near-dup recall inside
+        # a capped bucket is sacrificed — run after exact dedup so only
+        # degenerate boilerplate clusters hit the cap.
+        hot_w = (
+            bands_b.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        hot = hot_w.union(
+            _hot_buckets(spark, index_path, max_bucket_size)
+        ).distinct()
+        bands_b = bands_b.join(
+            F.broadcast(hot), ["band", "bucket"], "left_anti"
+        ).localCheckpoint(eager=True)
 
     # (1) exact, within batch: predecessor rule == keep min id per hash
     keep_min = feats.groupBy("text_hash").agg(F.min("doc").alias("__keep"))
@@ -251,6 +303,7 @@ def run_incremental_dedup(
     seed: int = 42,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
 ) -> None:
     """foreachBatch sink: dedup each micro-batch against the index,
     append survivors to ``out_path`` AND their features to the index —
@@ -262,7 +315,7 @@ def run_incremental_dedup(
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         survivors = dedup_batch_against_index(
             batch_df, index_path, threshold, n_hashes, bands,
-            shingle_n, seed, text_col, id_col,
+            shingle_n, seed, text_col, id_col, max_bucket_size,
         ).localCheckpoint(eager=True)  # decide once; written 4 ways below
         _write_slice(survivors, out_path, batch_id)
         feats = _features(survivors, text_col, id_col, shingle_n)
@@ -276,13 +329,11 @@ def run_incremental_dedup(
             os.path.join(index_path, "shingles"),
             batch_id,
         )
-        _write_slice(
-            minhash_band_rows(
-                survivors, n_hashes, bands, text_col, id_col, shingle_n, seed
-            ),
-            os.path.join(index_path, "buckets"),
-            batch_id,
-        )
+        surv_bands = minhash_band_rows(
+            survivors, n_hashes, bands, text_col, id_col, shingle_n, seed
+        ).localCheckpoint(eager=True)  # written twice: buckets + stats
+        _write_slice(surv_bands, os.path.join(index_path, "buckets"), batch_id)
+        _write_bucket_stats(surv_bands, index_path, batch_id)
 
     q = (
         stream_df.writeStream.foreachBatch(handle)

@@ -270,3 +270,83 @@ def test_incremental_dedup_probe_is_broadcast(spark, sf_dir, tmp_path):
     node = lambda n: len(_re.findall(rf"\(\d+\) {n}\b", plan))  # noqa: E731
     assert node("SortMergeJoin") == 0, plan
     assert node("BroadcastHashJoin") >= 3, plan
+
+
+def test_incremental_dedup_hot_bucket_cap(spark, sf_dir, tmp_path):
+    """max_bucket_size guards the quadratic blowup: a boilerplate
+    burst whose band buckets exceed the cap is pruned from candidate
+    generation — within the batch AND, via the persisted bucket_stats
+    (mergeable per-slice counts), on later probes against the index.
+    Capped docs survive (recall inside a degenerate cluster is
+    sacrificed, by design); unique docs are unaffected."""
+    from ais_data_pipeline_spark.sources.parquet import read_table
+    from ais_data_pipeline_spark.streaming.incremental_dedup import (
+        build_dedup_index,
+        dedup_batch_against_index,
+        run_incremental_dedup,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").limit(0)
+    base = str(tmp_path)
+    index, out, landing = base + "/idx", base + "/kept", base + "/land"
+    boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    rows = [(0, "completely unrelated historical document text here", "en", "h", 48)]
+    rows += [(100 + i, f"{boiler} tail{i}", "en", "b", 70) for i in range(25)]
+    rows += [(200 + i, f"unique document number {i} about topic {i * 7}", "en", "b", 40) for i in range(5)]
+    mk = lambda ids: spark.createDataFrame(  # noqa: E731
+        [r for r in rows if r[0] in ids], docs.schema
+    )
+    build_dedup_index(mk({0}), index)
+    batch = mk(set(range(100, 125)) | set(range(200, 205)))
+
+    # uncapped: the boilerplate cluster collapses to its min id
+    survivors = {
+        r["doc_id"] for r in dedup_batch_against_index(batch, index).collect()
+    }
+    assert 100 in survivors and len(survivors & set(range(100, 125))) == 1
+    assert set(range(200, 205)) <= survivors
+
+    # capped at 10: the >10-member buckets prune. Tail-perturbed docs
+    # still pair through smaller split buckets (the cap only removes
+    # degenerate buckets, not legitimate small ones), so recall drops
+    # but doesn't vanish — strictly more of the burst survives than
+    # uncapped, and unique docs are untouched.
+    capped = {
+        r["doc_id"]
+        for r in dedup_batch_against_index(batch, index, max_bucket_size=10).collect()
+    }
+    burst = set(range(100, 125))
+    assert len(capped & burst) > len(survivors & burst)
+    assert set(range(200, 205)) <= capped
+
+    # index-side guard: an index whose HISTORY is the boilerplate
+    # cluster records its shared buckets as hot (25 > 10 in
+    # bucket_stats); a later boilerplate doc then drops without the
+    # cap (it IS a near-dup of stored docs) but survives with it —
+    # every bucket it shares with the cluster is pruned, and its
+    # tail-perturbed buckets match nothing.
+    # (identical-text cluster: every band bucket holds all 25 docs, so
+    # ALL its buckets are hot — tail-perturbed clusters split into
+    # sub-cap buckets that legitimately still pair, as asserted above)
+    index2 = base + "/idx2"
+    ident = spark.createDataFrame(
+        [(400 + i, boiler, "en", "h", 61) for i in range(25)], docs.schema
+    )
+    build_dedup_index(ident, index2)
+    stats = spark.read.parquet(index2 + "/bucket_stats")
+    assert stats.filter(F.col("n") > 10).count() > 0
+    late = spark.createDataFrame(
+        [(300, f"{boiler} extra", "en", "b", 67)], docs.schema
+    )
+    no_cap = {r["doc_id"] for r in dedup_batch_against_index(late, index2).collect()}
+    with_cap = {
+        r["doc_id"]
+        for r in dedup_batch_against_index(late, index2, max_bucket_size=10).collect()
+    }
+    assert no_cap == set() and with_cap == {300}
+
+    # streamed end-to-end with the cap still drains green + idempotent
+    batch.write.mode("append").parquet(landing)
+    stream = spark.readStream.schema(docs.schema).parquet(landing)
+    run_incremental_dedup(stream, index, out, base + "/ck", max_bucket_size=10)
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == capped
