@@ -291,6 +291,48 @@ def dedup_batch_against_index(
     )
 
 
+def compact_dedup_index(spark: SparkSession, index_path: str) -> dict[str, int]:
+    """Fold the accumulated ``src_batch=`` slices of every index table
+    into the single history partition (src_batch = -1). Long-running
+    ingestion accretes one slice per micro-batch; each probe scans
+    every slice, so periodic compaction keeps probe latency flat in
+    BATCH COUNT the way the broadcast design keeps it flat in corpus
+    size. bucket_stats rows merge by summing per-(band, bucket) — the
+    statistic is mergeable by construction.
+
+    Write protocol: stage the consolidated tables to a sibling
+    ``_compact`` directory FIRST, then swap via atomic directory
+    renames — a crash mid-compaction leaves the live index intact
+    (never half-rewritten), matching the idempotence story of the
+    ingest sink. Returns per-table row counts."""
+    import shutil
+
+    specs = [
+        ("hashes", _HASHES_SCHEMA, None),
+        ("shingles", _SHINGLES_SCHEMA, None),
+        ("buckets", _BUCKETS_SCHEMA, None),
+        ("bucket_stats", _STATS_SCHEMA, "sum"),
+    ]
+    counts: dict[str, int] = {}
+    staged: list[tuple[str, str]] = []
+    for name, schema, merge in specs:
+        live = os.path.join(index_path, name)
+        stage = os.path.join(index_path, f"_compact_{name}")
+        df = spark.read.schema(schema).parquet(live).drop("src_batch")
+        if merge == "sum":
+            df = df.groupBy("band", "bucket").agg(F.sum("n").alias("n"))
+        df = df.localCheckpoint(eager=True)  # sever lineage from `live`
+        counts[name] = df.count()
+        _write_slice(df, stage, HISTORY_BATCH)
+        staged.append((stage, live))
+    for stage, live in staged:
+        old = live + "_old"
+        os.rename(live, old)
+        os.rename(stage, live)
+        shutil.rmtree(old, ignore_errors=True)
+    return counts
+
+
 def run_incremental_dedup(
     stream_df: DataFrame,
     index_path: str,

@@ -350,3 +350,47 @@ def test_incremental_dedup_hot_bucket_cap(spark, sf_dir, tmp_path):
     stream = spark.readStream.schema(docs.schema).parquet(landing)
     run_incremental_dedup(stream, index, out, base + "/ck", max_bucket_size=10)
     assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == capped
+
+
+def test_incremental_dedup_index_compaction(spark, sf_dir, tmp_path):
+    """Compaction folds per-batch slices into one history partition:
+    row counts preserved (bucket_stats merged by sum), slice dirs
+    reduced to src_batch=-1 only, and a post-compaction probe decides
+    exactly as before."""
+    import glob as _glob
+
+    from ais_data_pipeline_spark.sources.parquet import read_table
+    from ais_data_pipeline_spark.streaming.incremental_dedup import (
+        build_dedup_index,
+        compact_dedup_index,
+        dedup_batch_against_index,
+        run_incremental_dedup,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    base = str(tmp_path)
+    index, out, landing = base + "/idx", base + "/kept", base + "/land"
+    k = F.col("doc_id")
+    build_dedup_index(docs.filter(k % 3 == 0), index)
+
+    def drain() -> None:
+        stream = spark.readStream.schema(docs.schema).parquet(landing)
+        run_incremental_dedup(stream, index, out, base + "/ck")
+
+    docs.filter(k % 3 == 1).write.mode("append").parquet(landing)
+    drain()
+    docs.filter(k % 3 == 2).write.mode("append").parquet(landing)
+    drain()
+
+    probe_batch = docs.filter(k % 7 == 3).limit(40)
+    before = {r["doc_id"] for r in dedup_batch_against_index(probe_batch, index).collect()}
+    pre_hashes = spark.read.parquet(index + "/hashes").count()
+    assert len(_glob.glob(index + "/hashes/src_batch=*")) == 3  # history + 2 batches
+
+    counts = compact_dedup_index(spark, index)
+    assert counts["hashes"] == pre_hashes
+    assert _glob.glob(index + "/hashes/src_batch=*") == [index + "/hashes/src_batch=-1"]
+    assert spark.read.parquet(index + "/hashes").count() == pre_hashes
+
+    after = {r["doc_id"] for r in dedup_batch_against_index(probe_batch, index).collect()}
+    assert after == before
