@@ -255,6 +255,29 @@ def probes(spark, scale: int):
         )
         return rolling_zscore_anomalies(ev).count()
 
+    def incdedup_index_build():
+        from ais_data_pipeline_spark.streaming.incremental_dedup import (
+            build_dedup_index,
+        )
+        build_dedup_index(docs, os.path.join(idx_root, "incdedup"))
+        return 1
+
+    def incdedup_batch_probe():
+        # FIXED 500-doc batch against the scale-grown index: the probe
+        # must stay flat (O(batch), broadcast index probes). Batch ids
+        # offset past the corpus; texts coincide with history docs
+        # 0..499, so the whole batch drops as exact dups — the decision
+        # path (hash probe + bucket probe + verify) is fully exercised.
+        from ais_data_pipeline_spark.streaming.incremental_dedup import (
+            dedup_batch_against_index,
+        )
+        batch = gen_documents(spark, 500).withColumn(
+            "doc_id", F.col("doc_id") + 1_000_000_000
+        )
+        return dedup_batch_against_index(
+            batch, os.path.join(idx_root, "incdedup")
+        ).count()
+
     out = {}
     for name, fn in [
         ("grouped_agg", grouped_agg),
@@ -282,6 +305,8 @@ def probes(spark, scale: int):
         ("ivf_index_probe", ivf_index_probe),
         ("ivfpq_index_build", ivfpq_index_build),
         ("ivfpq_index_probe", ivfpq_index_probe),
+        ("incdedup_index_build", incdedup_index_build),
+        ("incdedup_batch_probe", incdedup_batch_probe),
     ]:
         t0 = time.perf_counter()
         fn()
