@@ -355,10 +355,21 @@ def run_incremental_dedup(
     sink)."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        from ais_data_pipeline_spark.observability import log
+
+        n_in = batch_df.count()
         survivors = dedup_batch_against_index(
             batch_df, index_path, threshold, n_hashes, bands,
             shingle_n, seed, text_col, id_col, max_bucket_size,
         ).localCheckpoint(eager=True)  # decide once; written 4 ways below
+        n_kept = survivors.count()
+        log(
+            "incremental_dedup_batch",
+            batch_id=batch_id,
+            rows_in=n_in,
+            rows_kept=n_kept,
+            rows_dropped=n_in - n_kept,
+        )
         _write_slice(survivors, out_path, batch_id)
         feats = _features(survivors, text_col, id_col, shingle_n)
         _write_slice(
