@@ -72,20 +72,25 @@ def _features(
     )
 
 
-def _write_slice(df: DataFrame, path: str, src_batch: int) -> None:
+def _write_slice(
+    df: DataFrame, path: str, src_batch: int, bloom_col: str | None = None
+) -> None:
     """Append one src_batch= partition, idempotently: dynamic partition
-    overwrite replaces exactly this batch's directory on replay."""
+    overwrite replaces exactly this batch's directory on replay.
+    ``bloom_col`` writes a parquet bloom filter on that column so probe
+    scans with pushed IN-filters can skip whole row groups."""
     # an all-dropped batch writes no partition at all; pre-create the
     # table root so later schema-reads never hit a missing path
     os.makedirs(path, exist_ok=True)
-    (
+    writer = (
         df.withColumn("src_batch", F.lit(src_batch).cast("bigint"))
         .repartition(1)  # micro-batch slices are small; one file each
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("src_batch")
-        .parquet(path)
     )
+    if bloom_col is not None:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{bloom_col}", "true")
+    writer.partitionBy("src_batch").parquet(path)
 
 
 def build_dedup_index(
@@ -110,6 +115,7 @@ def build_dedup_index(
         feats.select("doc", "text_hash"),
         os.path.join(index_path, "hashes"),
         HISTORY_BATCH,
+        bloom_col="text_hash",
     )
     _write_slice(
         feats.select("doc", "shingles"),
@@ -119,7 +125,10 @@ def build_dedup_index(
     bands_df = minhash_band_rows(
         docs, n_hashes, bands, text_col, id_col, shingle_n, seed
     )
-    _write_slice(bands_df, os.path.join(index_path, "buckets"), HISTORY_BATCH)
+    _write_slice(
+        bands_df, os.path.join(index_path, "buckets"), HISTORY_BATCH,
+        bloom_col="bucket",
+    )
     _write_bucket_stats(bands_df, index_path, HISTORY_BATCH)
 
 
@@ -189,12 +198,22 @@ def dedup_batch_against_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket_size: int | None = None,
+    pushdown_limit: int = 10_000,
 ) -> DataFrame:
     """Survivors of one batch under the drop rule in the module
     docstring. The batch (small) is always the broadcast side; the
     index tables are scanned once each with the batch's hash / bucket
     sets pushed through broadcast joins — no index shuffle, no
-    full-corpus recompute."""
+    full-corpus recompute.
+
+    When the batch's distinct hash / bucket sets fit under
+    ``pushdown_limit``, they additionally push into the index scans as
+    literal IN-filters: the hashes and buckets tables are written with
+    parquet bloom filters on those columns, so the reader skips whole
+    row groups holding none of the probed values — for a dup-free
+    batch the "scan" touches footers and bloom bitsets, not data
+    pages. That is what keeps probe IO sub-linear in corpus size, on
+    top of staying shuffle-free."""
     spark = batch_df.sparkSession
     # feats / band rows are referenced several times below; a batch is
     # micro-batch-sized, so eager localCheckpoint pins them once
@@ -232,14 +251,24 @@ def dedup_batch_against_index(
         .select("doc")
     )
 
-    # (2) exact, vs index: semi-join the (huge) hash table against the
-    # broadcast batch hashes, then anti the (tiny) match-list back
+    # (2) exact, vs index: probe the (huge) hash table with the batch's
+    # hash set — as a pushed IN-filter when small (bloom row-group
+    # skipping), else a broadcast semi-join — then anti the (tiny)
+    # match-list back
     hist_hashes = spark.read.schema(_HASHES_SCHEMA).parquet(
         os.path.join(index_path, "hashes")
     )
-    hit_hashes = hist_hashes.join(
-        F.broadcast(feats.select("text_hash").distinct()), "text_hash", "left_semi"
-    ).select("text_hash").distinct()
+    batch_hashes = [
+        r["text_hash"]
+        for r in feats.select("text_hash").distinct().limit(pushdown_limit + 1).collect()
+    ]
+    if len(batch_hashes) <= pushdown_limit:
+        probed_hashes = hist_hashes.filter(F.col("text_hash").isin(batch_hashes))
+    else:
+        probed_hashes = hist_hashes.join(
+            F.broadcast(feats.select("text_hash").distinct()), "text_hash", "left_semi"
+        )
+    hit_hashes = probed_hashes.select("text_hash").distinct()
     exact_x = feats.join(F.broadcast(hit_hashes), "text_hash", "left_semi").select(
         "doc"
     )
@@ -269,12 +298,23 @@ def dedup_batch_against_index(
     hist_buckets = spark.read.schema(_BUCKETS_SCHEMA).parquet(
         os.path.join(index_path, "buckets")
     )
+    batch_buckets = [
+        r["bucket"]
+        for r in bands_b.select("bucket").distinct().limit(pushdown_limit + 1).collect()
+    ]
+    if len(batch_buckets) <= pushdown_limit:
+        # scan-level prune on the 64-bit bucket value alone (composite
+        # (band,bucket) isn't IN-pushable); the join below still
+        # matches on the full composite key
+        hist_buckets = hist_buckets.filter(F.col("bucket").isin(batch_buckets))
+    # referenced twice (semi-join + verify) but left LAZY: with the
+    # IN-pruned scan the recompute is cheap, and the final plan keeps
+    # the bucket scan visible (pushdown plan-gated in pytest)
     cands_x = (
         hist_buckets.withColumnRenamed("doc", "other")
         .join(F.broadcast(bands_b), ["band", "bucket"])
         .select("doc", "other")
         .distinct()
-        .localCheckpoint(eager=True)  # referenced twice: semi-join + verify
     )
     hist_sh = (
         spark.read.schema(_SHINGLES_SCHEMA)
@@ -308,14 +348,14 @@ def compact_dedup_index(spark: SparkSession, index_path: str) -> dict[str, int]:
     import shutil
 
     specs = [
-        ("hashes", _HASHES_SCHEMA, None),
-        ("shingles", _SHINGLES_SCHEMA, None),
-        ("buckets", _BUCKETS_SCHEMA, None),
-        ("bucket_stats", _STATS_SCHEMA, "sum"),
+        ("hashes", _HASHES_SCHEMA, None, "text_hash"),
+        ("shingles", _SHINGLES_SCHEMA, None, None),
+        ("buckets", _BUCKETS_SCHEMA, None, "bucket"),
+        ("bucket_stats", _STATS_SCHEMA, "sum", None),
     ]
     counts: dict[str, int] = {}
     staged: list[tuple[str, str]] = []
-    for name, schema, merge in specs:
+    for name, schema, merge, bloom in specs:
         live = os.path.join(index_path, name)
         stage = os.path.join(index_path, f"_compact_{name}")
         df = spark.read.schema(schema).parquet(live).drop("src_batch")
@@ -323,7 +363,7 @@ def compact_dedup_index(spark: SparkSession, index_path: str) -> dict[str, int]:
             df = df.groupBy("band", "bucket").agg(F.sum("n").alias("n"))
         df = df.localCheckpoint(eager=True)  # sever lineage from `live`
         counts[name] = df.count()
-        _write_slice(df, stage, HISTORY_BATCH)
+        _write_slice(df, stage, HISTORY_BATCH, bloom_col=bloom)
         staged.append((stage, live))
     for stage, live in staged:
         old = live + "_old"
@@ -376,6 +416,7 @@ def run_incremental_dedup(
             feats.select("doc", "text_hash"),
             os.path.join(index_path, "hashes"),
             batch_id,
+            bloom_col="text_hash",
         )
         _write_slice(
             feats.select("doc", "shingles"),
@@ -385,7 +426,10 @@ def run_incremental_dedup(
         surv_bands = minhash_band_rows(
             survivors, n_hashes, bands, text_col, id_col, shingle_n, seed
         ).localCheckpoint(eager=True)  # written twice: buckets + stats
-        _write_slice(surv_bands, os.path.join(index_path, "buckets"), batch_id)
+        _write_slice(
+            surv_bands, os.path.join(index_path, "buckets"), batch_id,
+            bloom_col="bucket",
+        )
         _write_bucket_stats(surv_bands, index_path, batch_id)
 
     q = (

@@ -270,6 +270,11 @@ def test_incremental_dedup_probe_is_broadcast(spark, sf_dir, tmp_path):
     node = lambda n: len(_re.findall(rf"\(\d+\) {n}\b", plan))  # noqa: E731
     assert node("SortMergeJoin") == 0, plan
     assert node("BroadcastHashJoin") >= 3, plan
+    # the batch's hash and bucket sets reach the index scans as pushed
+    # IN-filters (bloom/row-group skipping), not post-scan filters
+    pushed = _re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("In(text_hash" in p for p in pushed), plan
+    assert any("In(bucket" in p for p in pushed), plan
 
 
 def test_incremental_dedup_hot_bucket_cap(spark, sf_dir, tmp_path):
