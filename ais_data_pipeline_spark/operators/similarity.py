@@ -343,16 +343,56 @@ def build_ivf_index(
     partition directories plus a ``_centroids`` sidecar table. A probe
     reads only the ``nprobe`` nearest lists — partition-pruned, like
     the LSH index, but with data-adaptive cells instead of random
-    planes (the classic IVF recall/selectivity trade)."""
+    planes (the classic IVF recall/selectivity trade).
+
+    Layout is ``list_id=…/src_batch=-1`` so later
+    ``append_to_ivf_index`` batches nest as sibling ``src_batch=``
+    subdirectories (Spark partition discovery requires one consistent
+    depth across the table)."""
     cents = head_centroids(df, n_centroids, vec_col, id_col)
     (
         ivf_assign(df, cents, vec_col, id_col)
+        .withColumn("src_batch", F.lit(-1).cast("bigint"))
         .repartition("list_id")
         .write.mode("overwrite")
-        .partitionBy("list_id")
+        .partitionBy("list_id", "src_batch")
         .parquet(path)
     )
     cents.coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "_centroids")
+
+
+def append_to_ivf_index(
+    df: DataFrame,
+    path: str,
+    src_batch: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Incrementally ingest new vectors into a persisted IVF index:
+    assign each to its nearest EXISTING centroid (the coarse quantizer
+    is frozen at build time — re-training would invalidate every
+    stored assignment; production systems re-train offline and swap)
+    and append under ``list_id=…/src_batch=…`` partition directories.
+    Dynamic partition overwrite makes a replayed batch rewrite exactly
+    its own subdirectories — the same idempotence recipe as the
+    streaming sinks, so this is safe inside ``foreachBatch``.
+
+    Probes are unchanged: list_id partition pruning skips src_batch
+    subdirectories transparently (they are just deeper partitions),
+    so probe latency stays flat in batch count until a compaction
+    folds slices together."""
+    spark = df.sparkSession
+    cents = spark.read.parquet(path.rstrip("/") + "_centroids")
+    cents = spark.createDataFrame(cents.collect(), cents.schema)  # tiny; literal-ize
+    (
+        ivf_assign(df, cents, vec_col, id_col)
+        .withColumn("src_batch", F.lit(src_batch).cast("bigint"))
+        .repartition("list_id")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("list_id", "src_batch")
+        .parquet(path)
+    )
 
 
 def ivf_probe_topk(

@@ -640,3 +640,45 @@ def test_q6_full_pushdown(spark, sf_dir):
         assert frag in plan, frag
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and len(m.group(1).split(",")) == 4
+
+
+def test_ivf_index_incremental_append(spark, sf_dir, tmp_path):
+    """append_to_ivf_index ingests new vectors against the FROZEN
+    coarse quantizer: appended vectors land in src_batch= slices under
+    their nearest list, probes find them with pruning intact, a
+    replayed batch overwrites its own slice (idempotent), and the
+    index equals a bulk build that used the same centroids."""
+    import glob as _glob
+
+    from ais_data_pipeline_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_probe_topk,
+    )
+    from ais_data_pipeline_spark.sources.parquet import read_table
+
+    idx = str(tmp_path / "ivf_inc")
+    e = read_table(spark, sf_dir, "embeddings")
+    half1 = e.filter(F.col("vec_id") % 2 == 0)
+    half2 = e.filter(F.col("vec_id") % 2 == 1)
+    build_ivf_index(half1, idx, n_centroids=16)
+    n_before = spark.read.parquet(idx).count()
+
+    append_to_ivf_index(half2, idx, src_batch=0)
+    assert spark.read.parquet(idx).count() == e.count()
+    # replay: same batch id overwrites its own slices, no duplication
+    append_to_ivf_index(half2, idx, src_batch=0)
+    assert spark.read.parquet(idx).count() == e.count()
+    assert spark.read.parquet(idx).filter(F.col("src_batch") == -1).count() == n_before
+    assert len(_glob.glob(f"{idx}/list_id=*/src_batch=0")) > 0
+
+    # probe still prunes on list_id and can see an appended vector:
+    # query an ODD vector's own embedding — it must rank first
+    odd = e.filter(F.col("vec_id") == 1).first()
+    qv = [float(x) for x in odd["embedding"]]
+    probe = ivf_probe_topk(spark, idx, qv, k=5, nprobe=4)
+    plan = plan_of(probe)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "list_id" in m.group(1), plan
+    rows = probe.collect()
+    assert rows[0]["vec_id"] == 1 and rows[0]["cos_sim"] == 1.0
