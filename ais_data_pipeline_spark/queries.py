@@ -79,24 +79,26 @@ def register(name: str, oracle: str | None, description: str):
 
 # The driver checks only the FIRST 50 registry entries per round, so
 # registry order decides which queries get a CORRECTNESS row. Round-6
-# window (the round-5 verdict's rotation plan): (a) the 6 queries with
+# window (the round-5 verdict's rotation plan): (a) the 7 queries with
 # no driver row yet — the two PQ queries deferred from round 5 plus
-# incremental_dedup_stats, ivfpq_rerank_topk, embedding_topk_filtered,
-# and cluster_best_representative, all NEW this round; (b) the 3
-# r2-dated zero-churn projections deferred last round; (c) 41 of the
-# 49 queries whose latest driver row is round 3. Eight r3-dated
-# queries don't fit the 50-slot cap and rotate into the round-7
-# window: sample_seeded (rows-only by design — a driver row adds the
-# least), plus seven zero-churn queries still oracle-checked by pytest
-# every run (null_counts, profile_min_max, horizontal_predicates,
-# event_type_pivot, token_counts, lag_lead_events,
-# map_from_json_props). After the r6 sweep every other query's latest
+# the five NEW this round (incremental_dedup_stats, ivfpq_rerank_topk,
+# embedding_topk_filtered, cluster_best_representative,
+# incremental_embedding_dedup_stats); (b) the 3 r2-dated zero-churn
+# projections deferred last round; (c) 40 of the 49 queries whose
+# latest driver row is round 3. Nine r3-dated queries don't fit the
+# 50-slot cap and rotate into the round-7 window: sample_seeded
+# (rows-only by design — a driver row adds the least), plus eight
+# zero-churn queries still oracle-checked by pytest every run
+# (null_counts, profile_min_max, horizontal_predicates,
+# event_type_pivot, token_counts, lag_lead_events, map_from_json_props,
+# ngram_profile). After the r6 sweep every other query's latest
 # driver row is r4+.
 _FRONT_WINDOW: list[str] = [
     "pq_adc_topk",
     "ivfpq_index_topk",
     "incremental_dedup_stats",
     "ivfpq_rerank_topk",
+    "incremental_embedding_dedup_stats",
     "embedding_topk_filtered",
     "cluster_best_representative",
     "scan_project_filter",
@@ -127,7 +129,6 @@ _FRONT_WINDOW: list[str] = [
     "multimodal_meta",
     "near_dup_clusters",
     "ngram_jaccard_pairs",
-    "ngram_profile",
     "null_token_normalize",
     "q1_pricing_summary",
     "quantiles_quantity",
@@ -2199,6 +2200,118 @@ def q_incremental_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_kept"),
             F.sum("doc_id").alias("kept_id_sum"),
+        )
+    )
+    return (
+        n_in.join(n_kept, "batch_no", "left")
+        .select(
+            "batch_no",
+            "n_in",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("kept_id_sum", F.lit(0)).alias("kept_id_sum"),
+        )
+    )
+
+
+def _inc_embedding_dedup_oracle(
+    n_planes: int = 4, dim: int = 64, seed: int = 42, threshold: float = 0.35
+) -> str:
+    """DuckDB replica of the semantic incremental dedup: seeded-plane
+    buckets inline as literals, the same-bucket rounded-cosine >=
+    threshold relation, then the two-batch keep derivation (history =
+    vec_id%3=0, batch1 %3=1, batch2 %3=2) with the predecessor rule —
+    structurally identical to the lexical incremental_dedup_stats
+    oracle with cosine-in-bucket replacing md5/Jaccard."""
+    from ais_data_pipeline_spark.operators.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(dim, n_planes, seed)
+    cosine = (
+        "round(list_dot_product(x.v, y.v) / "
+        "(sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 4)"
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), b AS (
+      SELECT vec_id, v, ({_bucket_sql(planes, "v")}) AS bk FROM e
+    ), conn AS (
+      SELECT x.vec_id AS da, y.vec_id AS db
+      FROM b x JOIN b y ON x.bk = y.bk AND x.vec_id <> y.vec_id
+      WHERE {cosine} >= {threshold}
+    ), b1 AS (
+      SELECT vec_id FROM e WHERE vec_id % 3 = 1
+    ), b2 AS (
+      SELECT vec_id FROM e WHERE vec_id % 3 = 2
+    ), keep1 AS (
+      SELECT vec_id FROM b1 t WHERE NOT EXISTS (
+        SELECT 1 FROM conn c WHERE c.db = t.vec_id
+          AND (c.da % 3 = 0 OR (c.da % 3 = 1 AND c.da < t.vec_id)))
+    ), keep2 AS (
+      SELECT vec_id FROM b2 t WHERE NOT EXISTS (
+        SELECT 1 FROM conn c WHERE c.db = t.vec_id
+          AND (c.da % 3 = 0
+               OR c.da IN (SELECT vec_id FROM keep1)
+               OR (c.da % 3 = 2 AND c.da < t.vec_id)))
+    )
+    SELECT CAST(1 AS INT) AS batch_no,
+           CAST((SELECT count(*) FROM b1) AS BIGINT) AS n_in,
+           CAST((SELECT count(*) FROM keep1) AS BIGINT) AS n_kept,
+           CAST((SELECT coalesce(sum(vec_id), 0) FROM keep1) AS BIGINT)
+             AS kept_id_sum
+    UNION ALL
+    SELECT CAST(2 AS INT),
+           CAST((SELECT count(*) FROM b2) AS BIGINT),
+           CAST((SELECT count(*) FROM keep2) AS BIGINT),
+           CAST((SELECT coalesce(sum(vec_id), 0) FROM keep2) AS BIGINT)
+    """
+
+
+@register(
+    "incremental_embedding_dedup_stats",
+    _inc_embedding_dedup_oracle(),
+    "Incremental SEMANTIC dedup — the third modality beside exact-hash "
+    "and MinHash: the vector index stores each embedding with its "
+    "signed-random-projection LSH bucket; each availableNow micro-"
+    "batch probes shared buckets (IN-pushdown + broadcast) and drops "
+    "vectors whose rounded cosine >= 0.35 against history, prior "
+    "survivors, or a same-bucket batch predecessor; survivors append "
+    "idempotently. Oracle replays planes, buckets, cosine, and the "
+    "two-batch keep derivation in SQL; kept_id_sum pins membership.",
+)
+def q_incremental_embedding_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.streaming.incremental_dedup import (
+        build_embedding_dedup_index,
+        run_incremental_embedding_dedup,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    base = _scratch_dir("incededup_")
+    index, out = base + "/index", base + "/kept"
+    landing, ckpt = base + "/landing", base + "/ckpt"
+    k = F.col("vec_id")
+    build_embedding_dedup_index(e.filter(k % 3 == 0), index)
+
+    def drain_pass() -> None:
+        stream = spark.readStream.schema(e.schema).parquet(landing)
+        run_incremental_embedding_dedup(stream, index, out, ckpt, threshold=0.35)
+
+    e.filter(k % 3 == 1).write.mode("append").parquet(landing)
+    drain_pass()
+    e.filter(k % 3 == 2).write.mode("append").parquet(landing)
+    drain_pass()
+
+    kept_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in e.schema.fields)
+    kept = spark.read.schema(kept_schema + ", src_batch bigint").parquet(out)
+    n_in = (
+        e.filter(k % 3 != 0)
+        .groupBy((k % 3).cast("int").alias("batch_no"))
+        .agg(F.count(F.lit(1)).alias("n_in"))
+    )
+    n_kept = (
+        kept.groupBy((F.col("vec_id") % 3).cast("int").alias("batch_no"))
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("vec_id").alias("kept_id_sum"),
         )
     )
     return (

@@ -331,6 +331,175 @@ def dedup_batch_against_index(
     )
 
 
+# -- semantic (embedding) incremental dedup --------------------------------
+#
+# Same contract as the lexical half, third modality: exact hash →
+# MinHash Jaccard → embedding cosine. The index stores each vector with
+# its signed-random-projection LSH bucket; a batch probe matches
+# buckets (IN-pushdown, broadcast join) and verifies exact cosine ≥
+# threshold. Candidates come ONLY from shared buckets — deterministic
+# given the seeded planes, so a SQL oracle replicates the bucketed
+# algorithm itself (no recall gap to argue; the established
+# embedding_near_dup pattern).
+
+_VECS_SCHEMA = "vec_id bigint, v array<double>, bucket bigint, src_batch bigint"
+
+
+def build_embedding_dedup_index(
+    vectors: DataFrame,
+    index_path: str,
+    n_planes: int = 4,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Bootstrap the semantic index: one ``vecs`` table (vec_id,
+    vector-as-double, LSH bucket) partitioned by src_batch, bucket
+    bloom-filtered for IN-pushdown probes."""
+    from ais_data_pipeline_spark.operators.similarity import (
+        _as_double_array,
+        lsh_bucket_col,
+        random_hyperplanes,
+    )
+
+    dim = vectors.select(
+        F.size(_as_double_array(F.col(vec_col))).alias("d")
+    ).first()["d"]
+    planes = random_hyperplanes(dim, n_planes, seed)
+    rows = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        _as_double_array(F.col(vec_col)).alias("v"),
+        lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
+    )
+    _write_slice(
+        rows, os.path.join(index_path, "vecs"), HISTORY_BATCH, bloom_col="bucket"
+    )
+
+
+def dedup_embedding_batch_against_index(
+    batch_df: DataFrame,
+    index_path: str,
+    threshold: float = 0.35,
+    n_planes: int = 4,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 4,
+    pushdown_limit: int = 10_000,
+) -> DataFrame:
+    """Semantic survivors of one batch: drop a vector iff a same-bucket
+    index vector (history + prior survivors) or same-bucket same-batch
+    PREDECESSOR has rounded cosine ≥ threshold. Same probe shape as the
+    lexical half: batch side broadcast, index scan IN-pruned on the
+    bucket value."""
+    from ais_data_pipeline_spark.operators.similarity import (
+        _as_double_array,
+        _dot,
+        lsh_bucket_col,
+        random_hyperplanes,
+    )
+
+    spark = batch_df.sparkSession
+    dim = batch_df.select(
+        F.size(_as_double_array(F.col(vec_col))).alias("d")
+    ).first()["d"]
+    planes = random_hyperplanes(dim, n_planes, seed)
+    feats = batch_df.select(
+        F.col(id_col).alias("vec_id"),
+        _as_double_array(F.col(vec_col)).alias("v"),
+        lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
+    ).localCheckpoint(eager=True)
+
+    def cos(a, b):
+        return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+    def verified_drops(pairs: DataFrame) -> DataFrame:
+        # pairs: (vec_id, v, other_v) — batch vec drops on any match
+        return (
+            pairs.withColumn("__c", F.round(cos(F.col("v"), F.col("other_v")), round_digits))
+            .filter(F.col("__c") >= threshold)
+            .select("vec_id")
+            .distinct()
+        )
+
+    # within batch: same bucket, predecessor rule
+    a, b = feats.alias("a"), feats.alias("b")
+    within = (
+        a.join(b, F.col("a.bucket") == F.col("b.bucket"))
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("b.vec_id").alias("vec_id"),
+            F.col("b.v").alias("v"),
+            F.col("a.v").alias("other_v"),
+        )
+    )
+    drops_w = verified_drops(within)
+
+    # vs index: IN-pruned bucket scan, broadcast batch join
+    hist = spark.read.schema(_VECS_SCHEMA).parquet(os.path.join(index_path, "vecs"))
+    batch_buckets = [
+        r["bucket"]
+        for r in feats.select("bucket").distinct().limit(pushdown_limit + 1).collect()
+    ]
+    if len(batch_buckets) <= pushdown_limit:
+        hist = hist.filter(F.col("bucket").isin(batch_buckets))
+    cross = (
+        hist.select(F.col("v").alias("other_v"), "bucket")
+        .join(F.broadcast(feats), "bucket")
+        .select("vec_id", "v", "other_v")
+    )
+    drops_x = verified_drops(cross)
+
+    drops = drops_w.union(drops_x).distinct().withColumnRenamed("vec_id", id_col)
+    return batch_df.join(F.broadcast(drops), id_col, "left_anti")
+
+
+def run_incremental_embedding_dedup(
+    stream_df: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    threshold: float = 0.35,
+    n_planes: int = 4,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """foreachBatch sink for the semantic modality: dedup each
+    micro-batch against the vector index, append survivors (rows +
+    index entries) idempotently — same recipe as the lexical sink."""
+    from ais_data_pipeline_spark.operators.similarity import (
+        _as_double_array,
+        lsh_bucket_col,
+        random_hyperplanes,
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        survivors = dedup_embedding_batch_against_index(
+            batch_df, index_path, threshold, n_planes, seed, vec_col, id_col
+        ).localCheckpoint(eager=True)
+        _write_slice(survivors, out_path, batch_id)
+        dim = len(survivors.first()[vec_col]) if survivors.count() else 0
+        if dim:
+            planes = random_hyperplanes(dim, n_planes, seed)
+            rows = survivors.select(
+                F.col(id_col).alias("vec_id"),
+                _as_double_array(F.col(vec_col)).alias("v"),
+                lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
+            )
+            _write_slice(
+                rows, os.path.join(index_path, "vecs"), batch_id, bloom_col="bucket"
+            )
+
+    q = (
+        stream_df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def compact_dedup_index(spark: SparkSession, index_path: str) -> dict[str, int]:
     """Fold the accumulated ``src_batch=`` slices of every index table
     into the single history partition (src_batch = -1). Long-running

@@ -399,3 +399,51 @@ def test_incremental_dedup_index_compaction(spark, sf_dir, tmp_path):
 
     after = {r["doc_id"] for r in dedup_batch_against_index(probe_batch, index).collect()}
     assert after == before
+
+
+def test_incremental_embedding_dedup_semantics_and_replay(spark, tmp_path):
+    """Semantic incremental dedup: scaled copies (cosine 1.0, same LSH
+    bucket by construction) drop against history, prior survivors, and
+    batch predecessors; orthogonal vectors survive; a replayed batch
+    leaves the kept table unchanged."""
+    from ais_data_pipeline_spark.streaming.incremental_dedup import (
+        build_embedding_dedup_index,
+        run_incremental_embedding_dedup,
+    )
+
+    dim = 16
+
+    def vec(axis, scale):
+        v = [0.0] * dim
+        v[axis] = float(scale)
+        return v
+
+    schema = "vec_id bigint, embedding array<double>"
+    hist = spark.createDataFrame([(0, vec(0, 1.0))], schema)
+    base = str(tmp_path)
+    index, out, landing = base + "/idx", base + "/kept", base + "/land"
+    build_embedding_dedup_index(hist, index)
+
+    def drain(ckpt):
+        stream = spark.readStream.schema(hist.schema).parquet(landing)
+        run_incremental_embedding_dedup(stream, index, out, ckpt)
+
+    # batch 1: 10 = scaled copy of history (drops), 11 = new axis
+    # (kept), 12 = scaled copy of 11 (predecessor rule drops it)
+    spark.createDataFrame(
+        [(10, vec(0, 2.0)), (11, vec(1, 1.0)), (12, vec(1, 3.0))], schema
+    ).write.mode("append").parquet(landing)
+    drain(base + "/ck1")
+    assert sorted(r["vec_id"] for r in spark.read.parquet(out).collect()) == [11]
+
+    # replay with a fresh checkpoint: identical end state
+    drain(base + "/ck1b")
+    assert sorted(r["vec_id"] for r in spark.read.parquet(out).collect()) == [11]
+
+    # batch 2: 20 = copy of batch-1 SURVIVOR 11 (drops via the index
+    # append), 21 = third axis (kept)
+    spark.createDataFrame(
+        [(20, vec(1, 0.5)), (21, vec(2, 1.0))], schema
+    ).write.mode("append").parquet(landing)
+    drain(base + "/ck1b")
+    assert sorted(r["vec_id"] for r in spark.read.parquet(out).collect()) == [11, 21]
