@@ -391,7 +391,15 @@ def dedup_embedding_batch_against_index(
     index vector (history + prior survivors) or same-bucket same-batch
     PREDECESSOR has rounded cosine ≥ threshold. Same probe shape as the
     lexical half: batch side broadcast, index scan IN-pruned on the
-    bucket value."""
+    bucket value.
+
+    Bucket-population guard: unlike the lexical half (persisted
+    hot-bucket stats), the lever here is ``n_planes`` — size it so the
+    expected bucket holds a bounded candidate count at the target
+    corpus (each extra plane halves expected bucket population; see
+    ``pairwise_topk_per_vector``'s auto-planes rule). Within-bucket
+    verify work is then linear in batch × bounded-bucket, not
+    quadratic."""
     from ais_data_pipeline_spark.operators.similarity import (
         _as_double_array,
         _dot,
@@ -400,9 +408,12 @@ def dedup_embedding_batch_against_index(
     )
 
     spark = batch_df.sparkSession
-    dim = batch_df.select(
+    head = batch_df.select(
         F.size(_as_double_array(F.col(vec_col))).alias("d")
-    ).first()["d"]
+    ).first()
+    if head is None:  # empty micro-batch (availableNow can deliver one)
+        return batch_df
+    dim = head["d"]
     planes = random_hyperplanes(dim, n_planes, seed)
     feats = batch_df.select(
         F.col(id_col).alias("vec_id"),
