@@ -38,6 +38,16 @@ sorted):
   decimal — if small magnitudes are possible, render the array
   yourself via format_string('%.9f') / printf('%.9f') instead
   (kmeans_ivf_centroids shows the pattern).
+- **Composite doubles (weighted sums of rounded ratios) must not be
+  re-rounded for output or ordering** — they land on exact decimal
+  half-points (e.g. 0.529075) where Spark's round (HALF_UP over the
+  shortest-repr string) and DuckDB's round (over the binary double)
+  disagree by 1 ulp of the target scale. Emit and order by the
+  UNROUNDED double: with identical op order both engines produce the
+  bit-identical value (cluster_best_representative /
+  quality_score(round_digits=None) shows the pattern). Plain
+  integer-ratio roundings are safe in practice (no half-point inputs
+  in this data) but any derived weighted sum is not.
 - Python-side (pandas/stateful) operators that must hash-match a SQL
   oracle replicate the JVM decimal semantics in ``decimal.Decimal``:
   quantize each double at the cast scale with ROUND_HALF_UP, sum
