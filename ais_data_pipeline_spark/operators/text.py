@@ -122,6 +122,29 @@ def quality_score(
     return feats.select(id_col, score.alias("quality"))
 
 
+def quality_col(text_col: Column) -> Column:
+    """The composite quality score as a single COLUMN expression
+    (unrounded), for filtering a full-width frame map-side — e.g.
+    ``df.filter(quality_col(F.col("text")) >= 0.65)`` — without the
+    (id, quality) projection + re-join that ``quality_score`` implies.
+    Same formula and 5-dp-rounded feature ratios, so decisions agree
+    with quality_score up to its output rounding."""
+    toks = tokens_col(text_col)
+    n_tok = F.size(toks)
+    n_chars = F.length(text_col)
+    safe_tok = F.greatest(n_tok, F.lit(1)).cast("double")
+    safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
+    punct = n_chars - F.length(F.regexp_replace(text_col, r"[^\w\s]", ""))
+    stop_ratio = F.round(
+        stopword_hits(text_col, STOPWORDS["en"]).cast("double") / safe_tok, 5
+    )
+    punct_ratio = F.round(punct.cast("double") / safe_chars, 5)
+    length_term = F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0))
+    stop_term = F.least(stop_ratio * F.lit(5.0), F.lit(1.0))
+    punct_term = F.greatest(F.lit(1.0) - punct_ratio * F.lit(4.0), F.lit(0.0))
+    return length_term * F.lit(0.4) + stop_term * F.lit(0.3) + punct_term * F.lit(0.3)
+
+
 def normalize_text(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Corpus-cleaning normalization: lowercase, strip every character
     outside [a-z0-9 whitespace], collapse whitespace runs to one space,

@@ -1,0 +1,120 @@
+"""End-to-end corpus curation pipeline as a first-class plan.
+
+The training-data counterpart of ``plans.rent_contracts``: one call
+takes a raw document table through the standard curation chain —
+exact dedup → MinHash-LSH near-dup removal → composite quality filter
+— and writes the kept corpus, with per-stage accounting and
+structured log events (reference M1 contract).
+
+Built in the bounded-memory shape proven at 4.3 GiB under a 4 GiB
+heap (``tools/curation_at_scale.py``, SCALING.md): each stage computes
+its small DROP id-set — duplicates are a few percent of any real
+corpus — which BROADCASTS into an anti-join against the raw scan, so
+document text never shuffles and never pins in checkpoint blocks.
+Stage semantics match the oracle-verified ``curation_pipeline_stats``
+registry query (the near-dup stage uses the LSH path, whose verified
+output equals the brute-force oracle at these banding parameters).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ais_data_pipeline_spark.observability import log
+from ais_data_pipeline_spark.operators.dedup import minhash_near_dup
+from ais_data_pipeline_spark.operators.text import quality_col
+
+
+@dataclass(frozen=True)
+class CurationResult:
+    n_total: int
+    n_after_exact: int
+    n_after_near_dup: int
+    n_kept: int
+
+    @property
+    def stage_counts(self) -> dict[str, int]:
+        return {
+            "00_total": self.n_total,
+            "01_exact_dedup": self.n_after_exact,
+            "02_near_dup": self.n_after_near_dup,
+            "03_quality": self.n_kept,
+        }
+
+
+def run_curation(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_path: str,
+    quality_threshold: float = 0.65,
+    jaccard_threshold: float = 0.5,
+    n_hashes: int = 32,
+    bands: int = 16,
+    max_bucket_size: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> CurationResult:
+    """Run the curation chain and write the kept documents to
+    ``out_path`` (zstd parquet via the session's codec conf). Returns
+    per-stage survivor counts; rows_in − rows_out is fully attributed
+    across the three stages.
+
+    ``max_bucket_size`` is the boilerplate guard for the LSH stage —
+    leave None for exact parity with the brute-force oracle, set it on
+    corpora with degenerate near-identical clusters."""
+    n_total = docs.count()
+
+    # stage 1: exact — only the ~few-% non-min ids materialize
+    hashed = docs.select(id_col, F.md5(F.col(text_col).cast("binary")).alias("__h"))
+    keep_min = hashed.groupBy("__h").agg(F.min(id_col).alias("__keep"))
+    drop_exact = (
+        hashed.join(keep_min, "__h")
+        .filter(F.col(id_col) != F.col("__keep"))
+        .select(id_col)
+        .localCheckpoint(eager=True)  # small: dup ids only
+    )
+    n_drop_exact = drop_exact.count()
+    s1 = docs.join(F.broadcast(drop_exact), id_col, "left_anti")
+    log("curation_exact_dedup", rows_in=n_total, rows_dropped=n_drop_exact)
+
+    # stage 2: LSH near-dup on survivors, drop the higher id per pair
+    drop_near = (
+        minhash_near_dup(
+            s1,
+            threshold=jaccard_threshold,
+            n_hashes=n_hashes,
+            bands=bands,
+            text_col=text_col,
+            id_col=id_col,
+            max_bucket_size=max_bucket_size,
+        )
+        .select(F.col("doc_b").alias(id_col))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_drop_near = drop_near.count()
+    s2 = s1.join(F.broadcast(drop_near), id_col, "left_anti")
+    log("curation_near_dup", rows_in=n_total - n_drop_exact, rows_dropped=n_drop_near)
+
+    # stage 3: quality filter as a map-side column expression on the
+    # full-width frame (no (id, quality) projection + re-join — kept
+    # docs are MOST of the corpus, so neither side broadcasts) + the
+    # single write
+    # round(…,5) replicates quality_score's decision boundary exactly
+    kept = s2.filter(F.round(quality_col(F.col(text_col)), 5) >= quality_threshold)
+    kept.write.mode("overwrite").parquet(out_path)
+    n_kept = spark.read.parquet(out_path).count()
+    log(
+        "curation_quality",
+        rows_in=n_total - n_drop_exact - n_drop_near,
+        rows_kept=n_kept,
+    )
+    return CurationResult(
+        n_total=n_total,
+        n_after_exact=n_total - n_drop_exact,
+        n_after_near_dup=n_total - n_drop_exact - n_drop_near,
+        n_kept=n_kept,
+    )

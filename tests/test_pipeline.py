@@ -447,3 +447,25 @@ def test_incremental_embedding_dedup_semantics_and_replay(spark, tmp_path):
     ).write.mode("append").parquet(landing)
     drain(base + "/ck1b")
     assert sorted(r["vec_id"] for r in spark.read.parquet(out).collect()) == [11, 21]
+
+
+def test_curation_plan_matches_registry_query(spark, sf_dir, tmp_path):
+    """plans.run_curation (the bounded-memory broadcast-drop-set
+    shape, LSH near-dup path) must reproduce the oracle-verified
+    curation_pipeline_stats stage counts exactly, attribute every
+    dropped row, and write the kept corpus full-width."""
+    from ais_data_pipeline_spark.plans.curation import run_curation
+    from ais_data_pipeline_spark.queries import registry as _registry
+    from ais_data_pipeline_spark.sources.parquet import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "kept")
+    res = run_curation(spark, docs, out)
+
+    q = {x.name: x for x in _registry()}["curation_pipeline_stats"]
+    expected = {r["stage"]: r["n_docs"] for r in q.fn(spark, sf_dir).collect()}
+    assert res.stage_counts == expected, (res.stage_counts, expected)
+
+    kept = spark.read.parquet(out)
+    assert kept.count() == res.n_kept
+    assert set(kept.columns) == set(docs.columns)
