@@ -89,26 +89,27 @@ def register(name: str, oracle: str | None, description: str):
 
 # The driver checks only the FIRST 50 registry entries per round, so
 # registry order decides which queries get a CORRECTNESS row. Round-6
-# window (the round-5 verdict's rotation plan): (a) the 7 queries with
+# window (the round-5 verdict's rotation plan): (a) the 8 queries with
 # no driver row yet — the two PQ queries deferred from round 5 plus
-# the five NEW this round (incremental_dedup_stats, ivfpq_rerank_topk,
-# embedding_topk_filtered, cluster_best_representative,
-# incremental_embedding_dedup_stats); (b) the 3 r2-dated zero-churn
-# projections deferred last round; (c) 40 of the 49 queries whose
-# latest driver row is round 3. Nine r3-dated queries don't fit the
-# 50-slot cap and rotate into the round-7 window: sample_seeded
-# (rows-only by design — a driver row adds the least), plus eight
-# zero-churn queries still oracle-checked by pytest every run
-# (null_counts, profile_min_max, horizontal_predicates,
+# the six NEW this round (incremental_dedup_stats, ivfpq_rerank_topk,
+# incremental_embedding_dedup_stats, embedding_topk_filtered,
+# cluster_best_representative, streaming_ivf_ingest_topk); (b) the 3
+# r2-dated zero-churn projections deferred last round; (c) 39 of the
+# 49 queries whose latest driver row is round 3. Ten r3-dated queries
+# don't fit the 50-slot cap and rotate into the round-7 window:
+# sample_seeded (rows-only by design — a driver row adds the least),
+# plus nine zero-churn queries still oracle-checked by pytest every
+# run (null_counts, profile_min_max, horizontal_predicates,
 # event_type_pivot, token_counts, lag_lead_events, map_from_json_props,
-# ngram_profile). After the r6 sweep every other query's latest
-# driver row is r4+.
+# ngram_profile, distinct_pairs). After the r6 sweep every other
+# query's latest driver row is r4+.
 _FRONT_WINDOW: list[str] = [
     "pq_adc_topk",
     "ivfpq_index_topk",
     "incremental_dedup_stats",
     "ivfpq_rerank_topk",
     "incremental_embedding_dedup_stats",
+    "streaming_ivf_ingest_topk",
     "embedding_topk_filtered",
     "cluster_best_representative",
     "scan_project_filter",
@@ -122,7 +123,6 @@ _FRONT_WINDOW: list[str] = [
     "bag_fingerprint",
     "date_parse_lenient",
     "dedup_exact",
-    "distinct_pairs",
     "embedding_near_dup_exact",
     "embedding_near_dup_lsh",
     "embedding_topk",
@@ -3684,6 +3684,59 @@ def q_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"/tmp/ais_ivf_idx_{digest}"
     if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
         build_ivf_index(e, path, n_centroids=_IVF["n_centroids"])
+    return ivf_probe_topk(
+        spark,
+        path,
+        qv,
+        k=_IVF["k"],
+        nprobe=_IVF["nprobe"],
+        pre_filter=F.col("vec_id") != 0,
+    )
+
+
+@register(
+    "streaming_ivf_ingest_topk",
+    _ivf_oracle(),
+    "Streaming ANN index ingestion end-to-end: the index bootstraps "
+    "from the first half of the corpus (which contains the head-N "
+    "quantizer rows, so the coarse centroids are identical to a bulk "
+    "build), then two availableNow micro-batch passes append the rest "
+    "via foreachBatch + append_to_ivf_index (frozen quantizer, "
+    "src_batch= slices, replay-idempotent). Assignment is per-row "
+    "independent, so the ingested index state EQUALS the bulk index — "
+    "the probe reuses the bulk oracle verbatim, and a green row "
+    "proves ingest-convergence, not just probe math.",
+)
+def q_streaming_ivf_ingest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_probe_topk,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    base = _scratch_dir("ivf_ingest_")
+    path, landing, ckpt = base + "/index", base + "/landing", base + "/ckpt"
+    k = F.col("vec_id")
+    build_ivf_index(e.filter(k < 250), path, n_centroids=_IVF["n_centroids"])
+
+    def drain_pass() -> None:
+        stream = spark.readStream.schema(e.schema).parquet(landing)
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda b, bid: append_to_ivf_index(b, path, bid)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    e.filter((k >= 250) & (k % 2 == 0)).write.mode("append").parquet(landing)
+    drain_pass()
+    e.filter((k >= 250) & (k % 2 == 1)).write.mode("append").parquet(landing)
+    drain_pass()
     return ivf_probe_topk(
         spark,
         path,
