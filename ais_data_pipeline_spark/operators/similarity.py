@@ -627,28 +627,92 @@ def pq_train_codebooks(
     ``codebooks[s] = [(centroid_id, cvec), ...]`` sorted by id (driver-
     side: m·k·(dim/m) doubles — tiny by construction, like the IVF
     centroid set). Empty clusters drop, so a codebook may hold < k
-    entries; codes reference centroid ids, not positions."""
+    entries; codes reference centroid ids, not positions.
+
+    All ``m`` subspace quantizers train in ONE keyed job per Lloyd
+    round, not ``m`` sequential ``kmeans_lloyd`` runs: each vector
+    explodes into ``m`` (subspace, subvector) rows once, the unioned
+    codebooks broadcast-join on the subspace key, the argmin runs per
+    (id, subspace), and a single grouped agg recomputes every
+    subspace's means together. At corpus scale this is ``iters``
+    passes over the data instead of ``m * iters`` (plus one combined
+    centroid collect instead of ``m``) — the per-subspace arithmetic
+    is untouched (same head-k init, -l2sq argmax with ties to the
+    lowest id, DECIMAL(25,12) means, round(·,9)+0.0), so the fused
+    job is bit-identical to the sequential recipe and every PQ/IVF-PQ
+    SQL oracle replays unchanged."""
+    from pyspark.sql import Window
+
     dim = df.select(F.size(_as_double_array(F.col(vec_col))).alias("d")).first()["d"]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     d_sub = dim // m
-    books = []
-    for s in range(m):
-        sub = df.select(
-            F.col(id_col),
-            F.slice(_as_double_array(F.col(vec_col)), s * d_sub + 1, d_sub).alias(
-                "embedding"
-            ),
-        )
-        cents = kmeans_lloyd(
-            sub, k=k, iters=iters, vec_col="embedding", id_col=id_col, metric="l2"
-        ).collect()
-        books.append(
-            sorted(
-                ((int(r["centroid_id"]), [float(x) for x in r["cvec"]]) for r in cents)
+    spark = df.sparkSession
+    v = _as_double_array(F.col(vec_col))
+
+    def subspace_explode(alias: str) -> Column:
+        return F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("__s"),
+                        F.slice(v, s * d_sub + 1, d_sub).alias(alias),
+                    )
+                    for s in range(m)
+                ]
             )
         )
-    return books
+
+    sub = df.select(F.col(id_col), subspace_explode("__v").alias("__sv")).select(
+        id_col, F.col("__sv.__s").alias("__s"), F.col("__sv.__v").alias("__v")
+    )
+    # head-k init per subspace: the slices of the first k vectors —
+    # exactly head_centroids() applied to each subspace frame.
+    cents = (
+        df.filter(F.col(id_col) < k)
+        .select(F.col(id_col).alias("centroid_id"), subspace_explode("cvec").alias("__sc"))
+        .select(F.col("__sc.__s").alias("__s"), "centroid_id", F.col("__sc.cvec").alias("cvec"))
+    )
+    for i in range(iters):
+        if i > 0:
+            # collect-literal lineage truncation between rounds (same
+            # pattern and bit-exactness argument as kmeans_lloyd).
+            cents = spark.createDataFrame(cents.collect(), cents.schema)
+        scored = sub.join(F.broadcast(cents), on="__s").withColumn(
+            "__sim", -_l2sq(F.col("__v"), F.col("cvec"))
+        )
+        w = Window.partitionBy(id_col, "__s").orderBy(
+            F.desc("__sim"), F.asc("centroid_id")
+        )
+        assigned = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("__s", F.col("centroid_id").alias("list_id"), "__v")
+        )
+        dims = assigned.select("__s", "list_id", F.posexplode("__v").alias("pos", "x"))
+        mu = (
+            F.sum(F.col("x").cast("decimal(25,12)")).cast("double")
+            / F.count(F.lit(1))
+        )
+        mrows = dims.groupBy("__s", "list_id", "pos").agg(
+            (F.round(mu, 9) + F.lit(0.0)).alias("mu")
+        )
+        cents = (
+            mrows.groupBy("__s", "list_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mu"))),
+                    lambda t: t["mu"],
+                ).alias("cvec")
+            )
+            .withColumnRenamed("list_id", "centroid_id")
+        )
+    books: list[list[tuple[int, list[float]]]] = [[] for _ in range(m)]
+    for r in cents.collect():
+        books[int(r["__s"])].append(
+            (int(r["centroid_id"]), [float(x) for x in r["cvec"]])
+        )
+    return [sorted(b) for b in books]
 
 
 def _lit_vec(v: list[float]) -> Column:

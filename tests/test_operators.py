@@ -1624,3 +1624,47 @@ def test_streaming_upsert_sink_cdc_deletes(spark, tmp_path):
     assert state == {2: "b2"}
     run()  # replay-safe no-op
     assert {r["k"]: r["v"] for r in spark.read.parquet(table).collect()} == state
+
+
+@pytest.mark.parametrize("m,k,iters", [(4, 4, 1), (2, 3, 2)])
+def test_pq_fused_training_matches_sequential(spark, m, k, iters):
+    """The fused single-job PQ trainer (all m subspaces keyed into one
+    Lloyd round) must be BIT-identical to the sequential recipe it
+    replaced — m independent kmeans_lloyd runs over each subspace
+    slice — or every unrolled PQ/IVF-PQ SQL oracle silently breaks.
+    kmeans_lloyd stays in the codebase (IVF coarse quantizer), so the
+    sequential replica is the real original, not a re-implementation."""
+    import random
+
+    from ais_data_pipeline_spark.operators.similarity import (
+        _as_double_array,
+        kmeans_lloyd,
+        pq_train_codebooks,
+    )
+
+    rng = random.Random(99)
+    dim, n = 16, 40
+    d_sub = dim // m
+    rows = [(i, [rng.uniform(-1.0, 1.0) for _ in range(dim)]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    fused = pq_train_codebooks(df, m=m, k=k, iters=iters)
+
+    sequential = []
+    for s in range(m):
+        sub = df.select(
+            F.col("vec_id"),
+            F.slice(
+                _as_double_array(F.col("embedding")), s * d_sub + 1, d_sub
+            ).alias("embedding"),
+        )
+        cents = kmeans_lloyd(
+            sub, k=k, iters=iters, vec_col="embedding", id_col="vec_id", metric="l2"
+        ).collect()
+        sequential.append(
+            sorted(
+                ((int(r["centroid_id"]), [float(x) for x in r["cvec"]]) for r in cents)
+            )
+        )
+
+    assert fused == sequential  # exact float equality, deliberately
