@@ -229,3 +229,54 @@ def dataset_split(
         "split",
         F.when(u < train, "train").when(u < train + val, "val").otherwise("test"),
     )
+
+
+def shard_col(id_col: str = "doc_id", n_shards: int = 8):
+    """Engine-portable shard assignment: the first 15 hex digits of
+    md5(id) as a non-negative 60-bit int, mod ``n_shards``. A pure
+    function of the key — identical in Spark, DuckDB, and any engine
+    with md5 (same portable-hash family as ``dataset_split`` /
+    hash_sample), so shard membership survives re-runs, repartitions,
+    and engine swaps."""
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    return (h % F.lit(n_shards)).cast("int")
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+) -> None:
+    """Deterministic global shuffle into training shards — the last
+    step before a trainer consumes the corpus. Every row gets
+    ``shard = md5_60(id) % n_shards`` and ``sort_key = md5(id)``; the
+    table writes as ``shard=`` partition directories with rows sorted
+    by ``sort_key`` inside each shard. Because both columns are pure
+    functions of the id, the ENTIRE layout — which shard a document
+    lands in and its position within the shard — is reproducible
+    bit-for-bit across runs, engines, and cluster sizes, which is
+    what makes training-data orders auditable (re-running the
+    pipeline cannot silently reorder the stream a checkpoint-resumed
+    training job reads).
+
+    Scale shape: no global sort. One hash-partition shuffle
+    (``repartition(n_shards, shard)``) plus a per-partition sort —
+    each executor sorts only its own shard, the classic
+    sort-within-partitions global-shuffle recipe. At 100 TB
+    ``n_shards`` rises to O(cluster cores); the md5 order inside a
+    shard is already pseudo-random, so consuming shards round-robin
+    yields a well-mixed stream without ever materializing a total
+    order."""
+    out = df.withColumn("shard", shard_col(id_col, n_shards)).withColumn(
+        "sort_key", F.md5(F.col(id_col).cast("string"))
+    )
+    (
+        out.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "sort_key")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

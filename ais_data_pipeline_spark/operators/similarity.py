@@ -1026,3 +1026,105 @@ def kmeans_cluster_profile(
         sizes.join(cents, sizes.list_id == cents.centroid_id)
         .select("centroid_id", "n_members", rendered.alias("centroid_json"))
     )
+
+
+def mmr_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): select ``k`` results that balance relevance to the query
+    against redundancy with what's already selected —
+    ``score(c) = lam * rel(c) - (1-lam) * max_{s in selected} sim(c, s)``
+    (penalty 0.0 for the first pick, so every step uses the one
+    uniform formula). The diversity primitive RAG retrieval stacks
+    put on top of a plain ANN top-k.
+
+    Execution shape, scale-first: the DISTRIBUTED work is the
+    relevance scan — one brute-force cosine pass over the corpus with
+    TakeOrderedAndProject keeping the ``pool`` best (swap in the
+    ANN/IVF probe for the scan at 100 TB; everything downstream only
+    sees the pool). The pool (≤ pool rows) and its pairwise cosine
+    matrix (≤ pool² rows) then collect to driver literals — bounded
+    by construction, the same collect-literal contract as the IVF
+    centroid tables — and the greedy loop runs k argmax rounds over
+    those local relations (k one-row collects; greedy MMR is
+    inherently sequential, this is not a hidden full-corpus
+    collect).
+
+    Determinism/oracle contract: rel and sim use the exact
+    dot-expansion cosine the DuckDB oracles replay
+    (``dot/(sqrt(dot_aa)*sqrt(dot_bb))``, array-order accumulation);
+    scores stay UNROUNDED (weighted composites hit the half-point
+    rounding divergence — see the queries.py determinism rules);
+    ``1-lam`` is computed as the IEEE double ``1.0 - lam`` on both
+    engines (0.3 is NOT representable: both sides get
+    0.30000000000000004); all argmaxes tie-break on ascending id.
+    Returns (rank, id, relevance, mmr_score) ordered by rank.
+    """
+    spark = df.sparkSession
+    v = _as_double_array(F.col(vec_col))
+    rel = cosine_similarity_col(F.col(vec_col), query)
+    pool_df = (
+        df.select(F.col(id_col), v.alias("__v"), rel.alias("__rel"))
+        .orderBy(F.desc("__rel"), F.asc(id_col))
+        .limit(pool)
+    )
+    local = spark.createDataFrame(pool_df.collect(), pool_df.schema)
+    a, b = local.alias("a"), local.alias("b")
+    va, vb = F.col("a.__v"), F.col("b.__v")
+    sim = _dot(va, vb) / (F.sqrt(_dot(va, va)) * F.sqrt(_dot(vb, vb)))
+    sims_df = a.join(b, F.col(f"a.{id_col}") != F.col(f"b.{id_col}")).select(
+        F.col(f"a.{id_col}").alias("ca"),
+        F.col(f"b.{id_col}").alias("cb"),
+        sim.alias("sim"),
+    )
+    sims = spark.createDataFrame(sims_df.collect(), sims_df.schema)
+
+    chosen: list = []
+    out_rows: list[tuple] = []
+    for rank in range(1, k + 1):
+        if chosen:
+            remaining = local.filter(~F.col(id_col).isin(chosen))
+            pen = (
+                sims.filter(F.col("cb").isin(chosen))
+                .groupBy("ca")
+                .agg(F.max("sim").alias("__pen"))
+            )
+            scored = remaining.join(
+                pen, remaining[id_col] == pen["ca"], "left"
+            ).select(
+                F.col(id_col),
+                F.col("__rel"),
+                F.coalesce(F.col("__pen"), F.lit(0.0)).alias("__pen"),
+            )
+        else:
+            scored = local.select(
+                F.col(id_col), F.col("__rel"), F.lit(0.0).alias("__pen")
+            )
+        top = (
+            scored.select(
+                F.col(id_col),
+                F.col("__rel"),
+                (
+                    F.lit(lam) * F.col("__rel")
+                    - F.lit(1.0 - lam) * F.col("__pen")
+                ).alias("__score"),
+            )
+            .orderBy(F.desc("__score"), F.asc(id_col))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        r = top[0]
+        chosen.append(r[id_col])
+        out_rows.append((rank, r[id_col], float(r["__rel"]), float(r["__score"])))
+    return spark.createDataFrame(
+        out_rows, f"rank int, {id_col} bigint, relevance double, mmr_score double"
+    )

@@ -89,20 +89,22 @@ def register(name: str, oracle: str | None, description: str):
 
 # The driver checks only the FIRST 50 registry entries per round, so
 # registry order decides which queries get a CORRECTNESS row. Round-6
-# window (the round-5 verdict's rotation plan): (a) the 8 queries with
-# no driver row yet — the two PQ queries deferred from round 5 plus
-# the six NEW this round (incremental_dedup_stats, ivfpq_rerank_topk,
-# incremental_embedding_dedup_stats, embedding_topk_filtered,
-# cluster_best_representative, streaming_ivf_ingest_topk); (b) the 3
-# r2-dated zero-churn projections deferred last round; (c) 39 of the
-# 49 queries whose latest driver row is round 3. Ten r3-dated queries
-# don't fit the 50-slot cap and rotate into the round-7 window:
-# sample_seeded (rows-only by design — a driver row adds the least),
-# plus nine zero-churn queries still oracle-checked by pytest every
-# run (null_counts, profile_min_max, horizontal_predicates,
-# event_type_pivot, token_counts, lag_lead_events, map_from_json_props,
-# ngram_profile, distinct_pairs). After the r6 sweep every other
-# query's latest driver row is r4+.
+# window (the round-5 verdict's rotation plan): (a) the 10 queries
+# with no driver row yet — the two PQ queries deferred from round 5
+# plus the eight NEW this round (incremental_dedup_stats,
+# ivfpq_rerank_topk, incremental_embedding_dedup_stats,
+# embedding_topk_filtered, cluster_best_representative,
+# streaming_ivf_ingest_topk, mmr_diverse_topk,
+# training_shard_manifest); (b) the 3 r2-dated zero-churn projections
+# deferred last round; (c) 37 of the 49 queries whose latest driver
+# row is round 3. Twelve r3-dated queries don't fit the 50-slot cap
+# and rotate into the round-7 window: sample_seeded (rows-only by
+# design — a driver row adds the least), plus eleven zero-churn
+# queries still oracle-checked by pytest every run (null_counts,
+# profile_min_max, horizontal_predicates, event_type_pivot,
+# token_counts, lag_lead_events, map_from_json_props, ngram_profile,
+# distinct_pairs, topk_orders, zorder_values). After the r6 sweep
+# every other query's latest driver row is r4+.
 _FRONT_WINDOW: list[str] = [
     "pq_adc_topk",
     "ivfpq_index_topk",
@@ -112,6 +114,8 @@ _FRONT_WINDOW: list[str] = [
     "streaming_ivf_ingest_topk",
     "embedding_topk_filtered",
     "cluster_best_representative",
+    "mmr_diverse_topk",
+    "training_shard_manifest",
     "scan_project_filter",
     "string_functions",
     "date_functions",
@@ -152,8 +156,6 @@ _FRONT_WINDOW: list[str] = [
     "text_normalize",
     "text_quality",
     "top_customer_per_nation",
-    "topk_orders",
-    "zorder_values",
 ]
 
 
@@ -6623,4 +6625,145 @@ def q_curation_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(stage("01_exact_dedup", s1))
         .unionAll(stage("02_near_dup", s2))
         .unionAll(stage("03_quality", s3))
+    )
+
+
+def _mmr_oracle(k: int = 5, pool: int = 20) -> str:
+    """Unrolled greedy MMR in SQL (same pattern as the kmeans/IVF-PQ
+    oracles, which unroll their iterations): pool = top-``pool`` by
+    cosine, sims = the pool's pairwise cosine matrix, then one CTE per
+    greedy step — each picks the argmax of
+    ``0.7*rel - (1.0-0.7)*max(sim to already-selected)`` over the
+    not-yet-selected pool (penalty literally 0.0 for step 1, the same
+    uniform formula the engine evaluates). Scores stay UNROUNDED per
+    the half-point rule. The weights MUST be cast to DOUBLE before the
+    subtraction: DuckDB parses ``0.7``/``1.0`` as DECIMAL and folds
+    ``(1.0 - 0.7)`` to EXACT decimal 0.3 (→ double 0.29999…), while
+    Spark/Python compute the IEEE double ``1.0 - 0.7`` =
+    0.30000000000000004 — a guaranteed 1-ulp score divergence unless
+    both engines run the subtraction in binary."""
+    cos = (
+        "list_dot_product(e.embedding::DOUBLE[], q.qv)"
+        " / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product(q.qv, q.qv)))"
+    )
+    steps = []
+    selects = []
+    for t in range(1, k + 1):
+        prev = " UNION ALL ".join(f"SELECT vec_id FROM s{j}" for j in range(1, t))
+        lam = "CAST(0.7 AS DOUBLE)"
+        one_minus = "(CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE))"
+        if t == 1:
+            score = f"{lam} * p.rel - {one_minus} * CAST(0.0 AS DOUBLE)"
+            where = ""
+        else:
+            score = (
+                f"{lam} * p.rel - {one_minus} * ("
+                f"SELECT max(s.sim) FROM sims s WHERE s.ca = p.vec_id "
+                f"AND s.cb IN ({prev}))"
+            )
+            where = f"WHERE p.vec_id NOT IN ({prev})"
+        steps.append(
+            f"s{t} AS (SELECT p.vec_id, p.rel, {score} AS score FROM pool p "
+            f"{where} ORDER BY score DESC, p.vec_id ASC LIMIT 1)"
+        )
+        selects.append(
+            f"SELECT {t} AS rank, vec_id, rel AS relevance, score AS mmr_score FROM s{t}"
+        )
+    union = " UNION ALL ".join(selects)
+    return f"""
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    pool AS (
+      SELECT e.vec_id, e.embedding::DOUBLE[] AS v, {cos} AS rel
+      FROM embeddings e, q
+      WHERE e.vec_id <> 0
+      ORDER BY rel DESC, e.vec_id ASC
+      LIMIT {pool}
+    ),
+    sims AS (
+      SELECT a.vec_id AS ca, b.vec_id AS cb,
+             list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))) AS sim
+      FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+    ),
+    {", ".join(steps)}
+    SELECT rank, vec_id, relevance, mmr_score FROM ({union}) ORDER BY rank
+    """
+
+
+@register(
+    "mmr_diverse_topk",
+    _mmr_oracle(),
+    "Maximal Marginal Relevance re-ranking (Carbonell & Goldstein "
+    "1998): diversity-aware top-5 over a cosine top-20 candidate "
+    "pool — score = 0.7*relevance - 0.3*max-similarity-to-selected, "
+    "greedy, ties to the lowest id. The distributed work is the "
+    "relevance scan (TakeOrdered pool; swap in the IVF probe at "
+    "scale); the pool and its pairwise-cosine matrix collect to "
+    "bounded driver literals and k one-row argmax jobs pick the "
+    "results. Oracle unrolls all 5 greedy steps in SQL with the "
+    "identical dot-expansion arithmetic — exact hash over the full "
+    "greedy trajectory, unrounded doubles.",
+)
+def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.similarity import mmr_topk
+
+    e = read_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return mmr_topk(e.filter(F.col("vec_id") != 0), qv, k=5, pool=20, lam=0.7)
+
+
+@register(
+    "training_shard_manifest",
+    r"""
+    WITH h AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR)) AS sort_key,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8
+                  AS INTEGER) AS shard,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+      FROM documents
+    )
+    SELECT shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           min(sort_key) AS first_key, max(sort_key) AS last_key
+    FROM h GROUP BY shard ORDER BY shard
+    """,
+    "Deterministic global shuffle into training shards: shard = "
+    "md5_60(id) % 8, in-shard order = md5(id) — the whole layout a "
+    "pure function of the key, so the stream a trainer reads is "
+    "reproducible across runs/engines/cluster sizes. No global sort: "
+    "one hash-partition shuffle + sortWithinPartitions. The query "
+    "writes the sharded table (scratch dir), reads it BACK, and "
+    "manifests per-shard doc/token counts and the hash-order "
+    "endpoints; the oracle derives the same manifest straight from "
+    "documents, so a green row proves the write->read round trip "
+    "moved every row to its computed shard.",
+)
+def q_training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.corpus import write_training_shards
+
+    d = read_table(spark, sf_dir, "documents")
+    path = _scratch_dir("shards_") + "/train"
+    write_training_shards(d, path, n_shards=8, id_col="doc_id")
+    t = spark.read.parquet(path)
+    trimmed = F.trim(F.col("text"))
+    n_tok = (
+        F.when(F.length(trimmed) == 0, F.lit(0))
+        .otherwise(F.size(F.split(trimmed, r"\s+")))
+        .cast("long")
+    )
+    return (
+        t.withColumn("__nt", n_tok)
+        .groupBy(F.col("shard").cast("int").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__nt").cast("long").alias("n_tokens"),
+            F.min("sort_key").alias("first_key"),
+            F.max("sort_key").alias("last_key"),
+        )
+        .orderBy("shard")
     )

@@ -1668,3 +1668,71 @@ def test_pq_fused_training_matches_sequential(spark, m, k, iters):
         )
 
     assert fused == sequential  # exact float equality, deliberately
+
+
+def test_mmr_diversifies_against_plain_topk(spark):
+    """MMR must demote redundant results a plain top-k keeps: corpus =
+    query-aligned near-duplicates (ids 1,2), a second direction (id 3),
+    a third (id 4). Plain top-3 takes both duplicates; MMR with a
+    strong diversity weight keeps one duplicate and pulls in the
+    orthogonal directions instead."""
+    import math
+
+    from ais_data_pipeline_spark.operators.similarity import cosine_topk, mmr_topk
+
+    def at(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r), 0.0, 0.0]
+
+    # query at 0°; 1 and 2 are a 1°-apart near-dup pair close to the
+    # query; 3 and 4 sit on the other side / further out.
+    rows = [(1, at(18)), (2, at(19)), (3, at(-40)), (4, at(75))]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    q = [1.0, 0.0, 0.0, 0.0]
+
+    plain = [r["vec_id"] for r in cosine_topk(df, q, k=3, round_digits=None).collect()]
+    assert plain == [1, 2, 3]  # both near-dups in
+
+    got = mmr_topk(df, q, k=3, pool=4, lam=0.3)
+    rows_out = got.collect()
+    ids = [r["vec_id"] for r in rows_out]
+    assert ids[0] == 1  # most relevant first
+    assert not {1, 2} <= set(ids)  # the near-dup pair never both survive
+    assert [r["rank"] for r in rows_out] == [1, 2, 3]
+    # scores strictly ordered within the greedy trajectory is NOT
+    # guaranteed (later steps can score higher than earlier picks'
+    # penalized scores) — but relevance of rank 1 is the corpus max.
+    assert rows_out[0]["relevance"] == max(r["relevance"] for r in rows_out)
+
+
+def test_training_shards_layout_deterministic(spark, tmp_path):
+    """The sharded training layout must be a pure function of the ids:
+    same shard assignment and same in-shard order across two
+    independent writes (DIFFERENT input partitioning), every row
+    present exactly once, and each shard's parquet rows stored sorted
+    by sort_key."""
+    from ais_data_pipeline_spark.operators.corpus import write_training_shards
+
+    rows = [(i, f"doc {i} body") for i in range(97)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    write_training_shards(df, p1, n_shards=4, id_col="doc_id")
+    write_training_shards(df.repartition(13), p2, n_shards=4, id_col="doc_id")
+
+    import pyarrow.dataset as ds
+
+    def layout(p):
+        out = {}
+        for shard in range(4):
+            t = ds.dataset(f"{p}/shard={shard}").to_table()
+            out[shard] = t.column("doc_id").to_pylist(), t.column("sort_key").to_pylist()
+        return out
+
+    l1, l2 = layout(p1), layout(p2)
+    assert l1 == l2  # identical layout regardless of input partitioning
+    all_ids = [i for ids, _ in l1.values() for i in ids]
+    assert sorted(all_ids) == list(range(97))  # exactly-once
+    for ids, keys in l1.values():
+        assert keys == sorted(keys)  # physically stored in hash order
+        assert len(ids) > 0  # 97 docs over 4 shards: none empty
