@@ -30,6 +30,8 @@ import pandas as pd  # module-level: pandas_udf type hints resolve from module g
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ais_data_pipeline_spark.localrel import local_df
+
 
 def _dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ in double precision, array order (deterministic)."""
@@ -300,6 +302,27 @@ def _l2sq(a: Column, b: Column) -> Column:
     return _dot(a, a) - F.lit(2.0) * _dot(a, b) + _dot(b, b)
 
 
+def _self_dot(vec: list[float]) -> float:
+    """Driver-side Σx² with the same left-fold order as ``_dot`` (and
+    DuckDB's list_dot_product) — the constant fold of dot(b,b) for a
+    literal vector, bit-identical to computing it JVM-side."""
+    acc = 0.0
+    for x in vec:
+        acc += float(x) * float(x)
+    return acc
+
+
+def _l2sq_pre(aa: Column, a: Column, b: list[float]) -> Column:
+    """``_l2sq`` against a LITERAL vector with its two invariant terms
+    hoisted: ``aa`` is dot(a,a) materialized ONCE per row (the term is
+    identical across all k centroids a row is scored against — inlining
+    `_l2sq` k times recomputes it k times), and dot(b,b) folds to a
+    driver constant. Same association ``(aa - 2·ab) + bb``, so the
+    value is bit-identical to ``_l2sq`` and every unrolled SQL oracle
+    replays unchanged; per-row HOF work drops from 3k dots to k+1."""
+    return aa - F.lit(2.0) * _dot(a, _lit_vec(b)) + F.lit(_self_dot(b))
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,
@@ -383,7 +406,9 @@ def append_to_ivf_index(
     folds slices together."""
     spark = df.sparkSession
     cents = spark.read.parquet(path.rstrip("/") + "_centroids")
-    cents = spark.createDataFrame(cents.collect(), cents.schema)  # tiny; literal-ize
+    cents = local_df(
+        spark, [tuple(r) for r in cents.collect()], cents.schema
+    )  # tiny; literal-ize (Arrow local relation — no pickled-RDD slices)
     (
         ivf_assign(df, cents, vec_col, id_col)
         .withColumn("src_batch", F.lit(src_batch).cast("bigint"))
@@ -565,29 +590,52 @@ def kmeans_lloyd(
     with a ``+ 0.0`` to normalize -0.0 after rounding. Empty clusters
     drop (both engines identically).
 
-    Scale: each iteration is one broadcast cross-join against k tiny
-    centroids + a (n*dim)-row posexplode shuffle for the means — the
-    standard distributed-k-means shape; iters is a small constant.
+    Scale: each iteration is ONE map-side projection (assignment) plus
+    one (n*dim)-row posexplode agg for the means. The centroids are
+    k·dim doubles — tiny by construction (the IVF quantizer contract)
+    — so every round holds them as DRIVER literals: assignment scores
+    all k distances as one array column (its own projection first —
+    the HOF-inlining lesson from pq_encode) and takes
+    ``array_position(sims, array_max(sims))``, whose first-match
+    semantics is exactly the ties-to-lowest-id rule since the array
+    is ordered by ascending centroid id. Compared to the broadcast
+    cross-join + window argmax this removes the n·k-row shuffle per
+    round entirely — per-row work is the same k distances, but it
+    stays inside one whole-stage-codegen'd projection.
 
-    Iterative-lineage truncation: the centroids are k·dim doubles —
-    tiny by construction (the IVF quantizer contract) — so each round
-    after the first COLLECTS the incoming centroids to the driver and
-    rebuilds the centroid frame as literals via ``createDataFrame``.
-    Iteration i's plan then references a local relation instead of the
-    whole of iteration i-1, keeping plan size and scan count constant
-    in ``iters`` (without this the final plan re-reads the source
-    O(iters) times). The last iteration's lineage stays live so the
-    returned plan is one auditable Lloyd round. Exactness:
-    collect→Python float→createDataFrame round-trips IEEE doubles
-    bit-for-bit, so the SQL oracle still replays identically.
-    Returns (centroid_id, cvec)."""
+    Exactness: collect→Python float→literal round-trips IEEE doubles
+    bit-for-bit, the distance expressions are unchanged, and
+    max(-l2)/first-match picks the identical centroid the window
+    argmax picked — so the unrolled SQL oracle still replays
+    bit-identically. Returns (centroid_id, cvec) as a local relation
+    (the converged centroid table IS driver-side data — every
+    consumer either collects it or inlines it as literals)."""
     spark = df.sparkSession
-    cents = head_centroids(df, k, vec_col, id_col)
     e = df.select(id_col, _as_double_array(F.col(vec_col)).alias("__v"))
-    for i in range(iters):
-        if i > 0:
-            cents = spark.createDataFrame(cents.collect(), cents.schema)
-        assigned = ivf_assign(e, cents, "__v", id_col, metric=metric)
+    cent_rows: list[tuple[int, list[float]]] = sorted(
+        (int(r["centroid_id"]), [float(x) for x in r["cvec"]])
+        for r in head_centroids(df, k, vec_col, id_col).collect()
+    )
+    for _ in range(iters):
+        v = F.col("__v")
+        # dot(v,v) is identical across all k scores — materialize it
+        # once per row (own projection), not k times inside the array.
+        pre = e.select("__v", _dot(v, v).alias("__vv"))
+        sims = []
+        for _cid, cvec in cent_rows:
+            if metric == "l2":
+                sims.append(-_l2sq_pre(F.col("__vv"), v, cvec))
+            else:
+                sims.append(
+                    _dot(v, _lit_vec(cvec))
+                    / (F.sqrt(F.col("__vv")) * F.lit(math.sqrt(_self_dot(cvec))))
+                )
+        staged = pre.select("__v", F.array(*sims).alias("__sims"))
+        ids = F.array(*[F.lit(cid).cast("bigint") for cid, _ in cent_rows])
+        pos = F.array_position(F.col("__sims"), F.array_max(F.col("__sims")))
+        assigned = staged.select(
+            F.element_at(ids, pos.cast("int")).alias("list_id"), "__v"
+        )
         dims = assigned.select("list_id", F.posexplode("__v").alias("pos", "x"))
         mu = (
             F.sum(F.col("x").cast("decimal(25,12)")).cast("double")
@@ -606,7 +654,11 @@ def kmeans_lloyd(
             )
             .withColumnRenamed("list_id", "centroid_id")
         )
-    return cents
+        cent_rows = sorted(
+            (int(r["centroid_id"]), [float(x) for x in r["cvec"]])
+            for r in cents.collect()
+        )
+    return local_df(spark, cent_rows, "centroid_id bigint, cvec array<double>")
 
 
 def pq_train_codebooks(
@@ -629,67 +681,71 @@ def pq_train_codebooks(
     centroid set). Empty clusters drop, so a codebook may hold < k
     entries; codes reference centroid ids, not positions.
 
-    All ``m`` subspace quantizers train in ONE keyed job per Lloyd
-    round, not ``m`` sequential ``kmeans_lloyd`` runs: each vector
-    explodes into ``m`` (subspace, subvector) rows once, the unioned
-    codebooks broadcast-join on the subspace key, the argmin runs per
-    (id, subspace), and a single grouped agg recomputes every
-    subspace's means together. At corpus scale this is ``iters``
-    passes over the data instead of ``m * iters`` (plus one combined
-    centroid collect instead of ``m``) — the per-subspace arithmetic
-    is untouched (same head-k init, -l2sq argmax with ties to the
-    lowest id, DECIMAL(25,12) means, round(·,9)+0.0), so the fused
-    job is bit-identical to the sequential recipe and every PQ/IVF-PQ
-    SQL oracle replays unchanged."""
-    from pyspark.sql import Window
-
+    All ``m`` subspace quantizers train in ONE map-side job per Lloyd
+    round, not ``m`` sequential ``kmeans_lloyd`` runs: the current
+    codebooks are driver literals, so each round assigns every
+    subspace with the ``pq_encode`` recipe (k distances per subspace
+    materialized as array columns in their own projection, argmin =
+    ``array_position(dists, array_min(dists))`` = ties to lowest id),
+    explodes to (subspace, list, subvector) AFTER assignment, and
+    recomputes every subspace's means in a single grouped agg. One
+    pass over the corpus per round — no join, no window shuffle, only
+    the means agg — vs ``m * iters`` scans each with an n·k-row
+    window shuffle in the sequential recipe. The arithmetic (head-k
+    init, L2 argmin, DECIMAL(25,12) means, round(·,9)+0.0) is
+    untouched, so the fused job is bit-identical to the sequential
+    recipe and every PQ/IVF-PQ SQL oracle replays unchanged."""
     dim = df.select(F.size(_as_double_array(F.col(vec_col))).alias("d")).first()["d"]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     d_sub = dim // m
-    spark = df.sparkSession
     v = _as_double_array(F.col(vec_col))
-
-    def subspace_explode(alias: str) -> Column:
-        return F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("__s"),
-                        F.slice(v, s * d_sub + 1, d_sub).alias(alias),
-                    )
-                    for s in range(m)
-                ]
-            )
-        )
-
-    sub = df.select(F.col(id_col), subspace_explode("__v").alias("__sv")).select(
-        id_col, F.col("__sv.__s").alias("__s"), F.col("__sv.__v").alias("__v")
-    )
     # head-k init per subspace: the slices of the first k vectors —
-    # exactly head_centroids() applied to each subspace frame.
-    cents = (
-        df.filter(F.col(id_col) < k)
-        .select(F.col(id_col).alias("centroid_id"), subspace_explode("cvec").alias("__sc"))
-        .select(F.col("__sc.__s").alias("__s"), "centroid_id", F.col("__sc.cvec").alias("cvec"))
+    # exactly head_centroids() of each subspace frame (Python slicing
+    # of the collected doubles selects the same elements F.slice
+    # would, no arithmetic involved).
+    head = sorted(
+        (int(r[id_col]), [float(x) for x in r["__v"]])
+        for r in df.filter(F.col(id_col) < k).select(F.col(id_col), v.alias("__v")).collect()
     )
-    for i in range(iters):
-        if i > 0:
-            # collect-literal lineage truncation between rounds (same
-            # pattern and bit-exactness argument as kmeans_lloyd).
-            cents = spark.createDataFrame(cents.collect(), cents.schema)
-        scored = sub.join(F.broadcast(cents), on="__s").withColumn(
-            "__sim", -_l2sq(F.col("__v"), F.col("cvec"))
+    books: list[list[tuple[int, list[float]]]] = [
+        [(cid, vec[s * d_sub : (s + 1) * d_sub]) for cid, vec in head]
+        for s in range(m)
+    ]
+    for _ in range(iters):
+        pre = df.select(
+            *[F.slice(v, s * d_sub + 1, d_sub).alias(f"__sl{s}") for s in range(m)]
         )
-        w = Window.partitionBy(id_col, "__s").orderBy(
-            F.desc("__sim"), F.asc("centroid_id")
+        pre = pre.select(
+            *[F.col(f"__sl{s}") for s in range(m)],
+            *[_dot(F.col(f"__sl{s}"), F.col(f"__sl{s}")).alias(f"__aa{s}") for s in range(m)],
         )
-        assigned = (
-            scored.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("__s", F.col("centroid_id").alias("list_id"), "__v")
+        dist_cols = []
+        for s, book in enumerate(books):
+            dist_cols.append(
+                F.array(
+                    *[
+                        _l2sq_pre(F.col(f"__aa{s}"), F.col(f"__sl{s}"), cvec)
+                        for _, cvec in book
+                    ]
+                ).alias(f"__d{s}")
+            )
+        staged = pre.select(*[F.col(f"__sl{s}") for s in range(m)], *dist_cols)
+        assigned_cols = []
+        for s, book in enumerate(books):
+            ids = F.array(*[F.lit(cid).cast("bigint") for cid, _ in book])
+            pos = F.array_position(F.col(f"__d{s}"), F.array_min(F.col(f"__d{s}")))
+            assigned_cols.append(
+                F.struct(
+                    F.lit(s).alias("__s"),
+                    F.element_at(ids, pos.cast("int")).alias("list_id"),
+                    F.col(f"__sl{s}").alias("__v"),
+                )
+            )
+        dims = (
+            staged.select(F.explode(F.array(*assigned_cols)).alias("__a"))
+            .select("__a.__s", "__a.list_id", F.posexplode("__a.__v").alias("pos", "x"))
         )
-        dims = assigned.select("__s", "list_id", F.posexplode("__v").alias("pos", "x"))
         mu = (
             F.sum(F.col("x").cast("decimal(25,12)")).cast("double")
             / F.count(F.lit(1))
@@ -705,14 +761,14 @@ def pq_train_codebooks(
                     lambda t: t["mu"],
                 ).alias("cvec")
             )
-            .withColumnRenamed("list_id", "centroid_id")
         )
-    books: list[list[tuple[int, list[float]]]] = [[] for _ in range(m)]
-    for r in cents.collect():
-        books[int(r["__s"])].append(
-            (int(r["centroid_id"]), [float(x) for x in r["cvec"]])
-        )
-    return [sorted(b) for b in books]
+        books = [[] for _ in range(m)]
+        for r in cents.collect():
+            books[int(r["__s"])].append(
+                (int(r["list_id"]), [float(x) for x in r["cvec"]])
+            )
+        books = [sorted(b) for b in books]
+    return books
 
 
 def _lit_vec(v: list[float]) -> Column:
@@ -724,6 +780,7 @@ def pq_encode(
     codebooks: list[list[tuple[int, list[float]]]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Encode every vector as ``m`` centroid ids (one per subspace,
     nearest by L2, ties to lowest id) — dim doubles compress to m small
@@ -733,26 +790,42 @@ def pq_encode(
     every distance per comparison), then the code is
     ``array_position(dists, array_min(dists))``, whose first-match
     semantics is exactly the ties-to-lowest-id rule since codebooks
-    sort by id. Output: (id, code_0..code_{m-1}); one scan, no
-    shuffle."""
+    sort by id. ``keep_cols`` pass through both projections (so
+    callers that need e.g. a routing column don't pay a join to get
+    it back). Output: (id, *keep_cols, code_0..code_{m-1}); one scan,
+    no shuffle."""
+    keep_cols = keep_cols or []
     m = len(codebooks)
     d_sub = len(codebooks[0][0][1])
     v = _as_double_array(F.col(vec_col))
+    pre = df.select(
+        F.col(id_col),
+        *keep_cols,
+        *[F.slice(v, s * d_sub + 1, d_sub).alias(f"__sl{s}") for s in range(m)],
+    )
+    pre = pre.select(
+        F.col(id_col),
+        *keep_cols,
+        *[F.col(f"__sl{s}") for s in range(m)],
+        *[_dot(F.col(f"__sl{s}"), F.col(f"__sl{s}")).alias(f"__aa{s}") for s in range(m)],
+    )
     dist_cols = []
     for s, book in enumerate(codebooks):
-        sub = F.slice(v, s * d_sub + 1, d_sub)
         dist_cols.append(
-            F.array(*[_l2sq(sub, _lit_vec(cvec)) for _, cvec in book]).alias(
-                f"__d{s}"
-            )
+            F.array(
+                *[
+                    _l2sq_pre(F.col(f"__aa{s}"), F.col(f"__sl{s}"), cvec)
+                    for _, cvec in book
+                ]
+            ).alias(f"__d{s}")
         )
-    staged = df.select(F.col(id_col), *dist_cols)
+    staged = pre.select(F.col(id_col), *keep_cols, *dist_cols)
     code_cols = []
     for s, book in enumerate(codebooks):
         ids = F.array(*[F.lit(cid) for cid, _ in book])
         pos = F.array_position(F.col(f"__d{s}"), F.array_min(F.col(f"__d{s}")))
         code_cols.append(F.element_at(ids, pos.cast("int")).alias(f"code_{s}"))
-    return staged.select(F.col(id_col), *code_cols)
+    return staged.select(F.col(id_col), *keep_cols, *code_cols)
 
 
 def pq_topk(
@@ -835,33 +908,48 @@ def build_ivfpq_index(
     directories + a ``_centroids`` sidecar; PQ codebooks (trained on
     residuals corpus-wide, deterministic L2 Lloyd) are returned AND
     written to a ``_codebooks`` sidecar as (subspace, centroid_id,
-    cvec) rows. Residuals are computed in one JVM projection
-    (``zip_with`` subtract) after a broadcast assignment — no shuffle
-    beyond the partitioned write."""
+    cvec) rows. Assignment and residual are ONE map-side projection:
+    the converged coarse centroids are driver literals, so the nearest
+    list and ``v − centroid`` both come from an array-literal lookup
+    (no broadcast join, no rejoin — the same literal-argmax recipe as
+    kmeans_lloyd/pq_encode, bit-identical to the join form). The
+    residual frame is eagerly localCheckpoint'ed — it feeds the
+    codebook training pass AND the encode, which would otherwise each
+    re-derive it from the source scan (reliability caveat for
+    multi-executor clusters: see pagerank's docstring; swap in
+    reliable checkpoint() there)."""
     cents = kmeans_lloyd(
         df, k=n_centroids, iters=coarse_iters, vec_col=vec_col, id_col=id_col,
         metric="l2",
     )
-    cents = df.sparkSession.createDataFrame(cents.collect(), cents.schema)
-    assigned = ivf_assign(df, cents, vec_col, id_col, metric="l2")
-    # residual = v − coarse centroid, via a broadcast rejoin (cvec was
-    # dropped by ivf_assign's projection; the rejoin is the same tiny
-    # broadcast) — one zip_with projection, JVM-side
-    residuals = (
-        assigned.join(
-            F.broadcast(cents.withColumnRenamed("centroid_id", "list_id")), "list_id"
-        )
-        .select(
-            F.col(id_col),
-            "list_id",
-            F.zip_with(
-                _as_double_array(F.col(vec_col)), F.col("cvec"), lambda x, y: x - y
-            ).alias("__r"),
-        )
+    cent_rows = sorted(
+        (int(r["centroid_id"]), [float(x) for x in r["cvec"]])
+        for r in cents.collect()
     )
+    v = _as_double_array(F.col(vec_col))
+    pre = df.select(F.col(id_col), v.alias("__v")).select(
+        F.col(id_col), "__v", _dot(F.col("__v"), F.col("__v")).alias("__vv")
+    )
+    staged = pre.select(
+        F.col(id_col),
+        "__v",
+        F.array(
+            *[-_l2sq_pre(F.col("__vv"), F.col("__v"), c) for _, c in cent_rows]
+        ).alias("__sims"),
+    )
+    ids = F.array(*[F.lit(cid).cast("bigint") for cid, _ in cent_rows])
+    cvecs = F.array(*[_lit_vec(c) for _, c in cent_rows])
+    pos = F.array_position(F.col("__sims"), F.array_max(F.col("__sims"))).cast("int")
+    residuals = staged.select(
+        F.col(id_col),
+        F.element_at(ids, pos).alias("list_id"),
+        F.zip_with(
+            F.col("__v"), F.element_at(cvecs, pos), lambda x, y: x - y
+        ).alias("__r"),
+    ).localCheckpoint(eager=True)
     books = pq_train_codebooks(residuals, m=m, k=k, iters=iters, vec_col="__r", id_col=id_col)
-    codes = pq_encode(residuals, books, vec_col="__r", id_col=id_col).join(
-        residuals.select(id_col, "list_id"), id_col
+    codes = pq_encode(
+        residuals, books, vec_col="__r", id_col=id_col, keep_cols=["list_id"]
     )
     (
         codes.repartition("list_id")
@@ -874,8 +962,8 @@ def build_ivfpq_index(
     book_rows = [
         (s, cid, cvec) for s, book in enumerate(books) for cid, cvec in book
     ]
-    spark.createDataFrame(
-        book_rows, "subspace int, centroid_id bigint, cvec array<double>"
+    local_df(
+        spark, book_rows, "subspace int, centroid_id bigint, cvec array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "_codebooks")
     return books
 
@@ -1011,7 +1099,6 @@ def kmeans_cluster_profile(
     (assignment + rendering join) and literals make both references
     free, so the whole profile is ONE scan of ``df``."""
     cents = kmeans_lloyd(df, k, iters, vec_col, id_col)
-    cents = df.sparkSession.createDataFrame(cents.collect(), cents.schema)
     e = df.select(id_col, _as_double_array(F.col(vec_col)).alias("__v"))
     assigned = ivf_assign(e, cents, "__v", id_col)
     sizes = assigned.groupBy("list_id").agg(F.count(F.lit(1)).alias("n_members"))
@@ -1075,7 +1162,7 @@ def mmr_topk(
         .orderBy(F.desc("__rel"), F.asc(id_col))
         .limit(pool)
     )
-    local = spark.createDataFrame(pool_df.collect(), pool_df.schema)
+    local = local_df(spark, [tuple(r) for r in pool_df.collect()], pool_df.schema)
     a, b = local.alias("a"), local.alias("b")
     va, vb = F.col("a.__v"), F.col("b.__v")
     sim = _dot(va, vb) / (F.sqrt(_dot(va, va)) * F.sqrt(_dot(vb, vb)))
@@ -1084,7 +1171,7 @@ def mmr_topk(
         F.col(f"b.{id_col}").alias("cb"),
         sim.alias("sim"),
     )
-    sims = spark.createDataFrame(sims_df.collect(), sims_df.schema)
+    sims = local_df(spark, [tuple(r) for r in sims_df.collect()], sims_df.schema)
 
     chosen: list = []
     out_rows: list[tuple] = []
@@ -1125,6 +1212,6 @@ def mmr_topk(
         r = top[0]
         chosen.append(r[id_col])
         out_rows.append((rank, r[id_col], float(r["__rel"]), float(r["__score"])))
-    return spark.createDataFrame(
-        out_rows, f"rank int, {id_col} bigint, relevance double, mmr_score double"
+    return local_df(
+        spark, out_rows, f"rank int, {id_col} bigint, relevance double, mmr_score double"
     )

@@ -64,6 +64,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ais_data_pipeline_spark.localrel import local_df
 from ais_data_pipeline_spark.operators.joins import anti_join, dim_join, semi_join, top_k_per_group
 from ais_data_pipeline_spark.sources.parquet import read_table
 
@@ -423,7 +424,7 @@ def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_date_parse_lenient(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [("2024-01-02",), ("2024-02-30",), ("not a date",), (None,), ("1999-12-31",)]
-    df = spark.createDataFrame(rows, "date_str string")
+    df = local_df(spark, rows, "date_str string")
     return df.select(
         "date_str",
         F.try_to_timestamp(F.col("date_str"), F.lit("yyyy-M-d")).cast("date").alias("parsed"),
@@ -611,8 +612,8 @@ def q_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = read_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
     n_with = semi_join(c, o, "c_custkey").count()
     n_without = anti_join(c, o, "c_custkey").count()
-    return spark.createDataFrame(
-        [(n_with, n_without)], "n_with_orders bigint, n_without_orders bigint"
+    return local_df(
+        spark, [(n_with, n_without)], "n_with_orders bigint, n_without_orders bigint"
     )
 
 
@@ -1293,8 +1294,8 @@ def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_null_token_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ais_data_pipeline_spark.sources.csv import normalize_null_tokens
 
-    df = spark.createDataFrame(
-        [("1",), ("null",), ("NULL",), ("None",), ("",), ("42",), ("x",)], "raw string"
+    df = local_df(
+        spark, [("1",), ("null",), ("NULL",), ("None",), ("",), ("42",), ("x",)], "raw string"
     )
     norm = normalize_null_tokens(df)
     # try_cast, not cast: the driver's session may run ANSI mode (Spark 4
@@ -1322,7 +1323,8 @@ def q_set_ops_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_union = b.union(r).distinct().count()
     n_intersect = b.intersect(r).count()
     n_except = b.exceptAll(r).distinct().count()
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(n_union, n_intersect, n_except)],
         "n_union bigint, n_intersect bigint, n_except bigint",
     )
@@ -1477,7 +1479,7 @@ def q_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "events")
     n = e.select("user_id", "event_type").dropDuplicates().count()
-    return spark.createDataFrame([(n,)], "n_pairs bigint")
+    return local_df(spark, [(n,)], "n_pairs bigint")
 
 
 @register(
@@ -1967,7 +1969,7 @@ def q_url_route_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("https://cdn.example.com/files/",),
         ("s3://bucket/units/2024/units.csv",),
     ]
-    df = spark.createDataFrame(urls, "url string")
+    df = local_df(spark, urls, "url string")
     return df.select("url", suffix_col(F.col("url")).alias("filename"))
 
 
