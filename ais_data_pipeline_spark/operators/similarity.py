@@ -661,6 +661,97 @@ def kmeans_lloyd(
     return local_df(spark, cent_rows, "centroid_id bigint, cvec array<double>")
 
 
+def kmeans_assign(
+    df: DataFrame,
+    cent_rows: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Nearest-centroid assignment against DRIVER-LITERAL centroids —
+    the kmeans_lloyd per-round recipe as a public operator: all k
+    similarities materialize as one array column (own projection), the
+    pick is ``array_position`` first-match = ties to the lowest
+    centroid id, and the whole thing is a map-side projection (no
+    join, no shuffle). ``cent_rows`` is the sorted
+    [(centroid_id, cvec), ...] a caller collects from ``kmeans_lloyd``.
+    Returns (id, __v, list_id) with ``__v`` the double-cast vector, so
+    downstream per-cluster math needs no rejoin."""
+    v = _as_double_array(F.col(vec_col))
+    pre = df.select(F.col(id_col), v.alias("__v")).select(
+        F.col(id_col), "__v", _dot(F.col("__v"), F.col("__v")).alias("__vv")
+    )
+    sims = []
+    for _cid, cvec in cent_rows:
+        if metric == "l2":
+            sims.append(-_l2sq_pre(F.col("__vv"), F.col("__v"), cvec))
+        else:
+            sims.append(
+                _dot(F.col("__v"), _lit_vec(cvec))
+                / (F.sqrt(F.col("__vv")) * F.lit(math.sqrt(_self_dot(cvec))))
+            )
+    staged = pre.select(F.col(id_col), "__v", F.array(*sims).alias("__sims"))
+    ids = F.array(*[F.lit(cid).cast("bigint") for cid, _ in cent_rows])
+    pos = F.array_position(F.col("__sims"), F.array_max(F.col("__sims"))).cast("int")
+    return staged.select(
+        F.col(id_col), "__v", F.element_at(ids, pos).alias("list_id")
+    )
+
+
+def semdedup_clusters(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, 'SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication', arXiv:2303.09540):
+    cluster the embedding space with k-means, then deduplicate ONLY
+    within each cluster — pairs in different clusters are never
+    compared, which is what makes semantic dedup tractable at corpus
+    scale (pairwise work is Σ|cluster|²
+    instead of n²; raise k with the corpus so clusters stay bounded,
+    exactly like the LSH bucket caps elsewhere in this module).
+
+    Inside a cluster a vector drops if ANY lower-id member is within
+    ``threshold`` cosine (the predecessor rule every dedup operator in
+    this repo uses — deterministic, engine-portable, no iterative
+    leader election). Cosine is rounded to ``round_digits`` BEFORE the
+    threshold compare so a 1-ulp cross-engine difference can't flip a
+    boundary pair. Returns (id, list_id, dropped).
+
+    Scale shape: one Lloyd training pass per iteration, one map-side
+    assignment, then a single self-equi-join on the cluster id —
+    cluster id is the shuffle key, no corpus-wide pairwise stage
+    anywhere."""
+    cents = kmeans_lloyd(df, k, iters, vec_col, id_col, metric="cosine")
+    cent_rows = sorted(
+        (int(r["centroid_id"]), [float(x) for x in r["cvec"]])
+        for r in cents.collect()
+    )
+    assigned = kmeans_assign(df, cent_rows, vec_col, id_col, metric="cosine")
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    va, vb = F.col("a.__v"), F.col("b.__v")
+    cos = _dot(va, vb) / (F.sqrt(_dot(va, va)) * F.sqrt(_dot(vb, vb)))
+    pairs = a.join(
+        b,
+        (F.col("a.list_id") == F.col("b.list_id"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).filter(F.round(cos, round_digits) >= threshold)
+    drops = pairs.select(F.col(f"b.{id_col}").alias(id_col)).distinct()
+    return assigned.join(
+        drops.withColumn("__dropped", F.lit(True)), id_col, "left"
+    ).select(
+        F.col(id_col),
+        "list_id",
+        F.coalesce(F.col("__dropped"), F.lit(False)).alias("dropped"),
+    )
+
+
 def pq_train_codebooks(
     df: DataFrame,
     m: int = 4,
@@ -1099,8 +1190,11 @@ def kmeans_cluster_profile(
     (assignment + rendering join) and literals make both references
     free, so the whole profile is ONE scan of ``df``."""
     cents = kmeans_lloyd(df, k, iters, vec_col, id_col)
-    e = df.select(id_col, _as_double_array(F.col(vec_col)).alias("__v"))
-    assigned = ivf_assign(e, cents, "__v", id_col)
+    cent_rows = sorted(
+        (int(r["centroid_id"]), [float(x) for x in r["cvec"]])
+        for r in cents.collect()
+    )
+    assigned = kmeans_assign(df, cent_rows, vec_col, id_col, metric="cosine")
     sizes = assigned.groupBy("list_id").agg(F.count(F.lit(1)).alias("n_members"))
     rendered = F.concat(
         F.lit("["),

@@ -90,22 +90,23 @@ def register(name: str, oracle: str | None, description: str):
 
 # The driver checks only the FIRST 50 registry entries per round, so
 # registry order decides which queries get a CORRECTNESS row. Round-6
-# window (the round-5 verdict's rotation plan): (a) the 10 queries
+# window (the round-5 verdict's rotation plan): (a) the 11 queries
 # with no driver row yet — the two PQ queries deferred from round 5
-# plus the eight NEW this round (incremental_dedup_stats,
+# plus the nine NEW this round (incremental_dedup_stats,
 # ivfpq_rerank_topk, incremental_embedding_dedup_stats,
 # embedding_topk_filtered, cluster_best_representative,
 # streaming_ivf_ingest_topk, mmr_diverse_topk,
-# training_shard_manifest); (b) the 3 r2-dated zero-churn projections
-# deferred last round; (c) 37 of the 49 queries whose latest driver
-# row is round 3. Twelve r3-dated queries don't fit the 50-slot cap
-# and rotate into the round-7 window: sample_seeded (rows-only by
-# design — a driver row adds the least), plus eleven zero-churn
-# queries still oracle-checked by pytest every run (null_counts,
-# profile_min_max, horizontal_predicates, event_type_pivot,
-# token_counts, lag_lead_events, map_from_json_props, ngram_profile,
-# distinct_pairs, topk_orders, zorder_values). After the r6 sweep
-# every other query's latest driver row is r4+.
+# training_shard_manifest, semdedup_stats); (b) the 3 r2-dated
+# zero-churn projections deferred last round; (c) 36 of the 49
+# queries whose latest driver row is round 3. Thirteen r3-dated
+# queries don't fit the 50-slot cap and rotate into the round-7
+# window: sample_seeded (rows-only by design — a driver row adds the
+# least), plus twelve zero-churn queries still oracle-checked by
+# pytest every run (null_counts, profile_min_max,
+# horizontal_predicates, event_type_pivot, token_counts,
+# lag_lead_events, map_from_json_props, ngram_profile, distinct_pairs,
+# topk_orders, zorder_values, top_customer_per_nation). After the r6
+# sweep every other query's latest driver row is r4+.
 _FRONT_WINDOW: list[str] = [
     "pq_adc_topk",
     "ivfpq_index_topk",
@@ -117,6 +118,7 @@ _FRONT_WINDOW: list[str] = [
     "cluster_best_representative",
     "mmr_diverse_topk",
     "training_shard_manifest",
+    "semdedup_stats",
     "scan_project_filter",
     "string_functions",
     "date_functions",
@@ -156,7 +158,6 @@ _FRONT_WINDOW: list[str] = [
     "subsequence_best_match",
     "text_normalize",
     "text_quality",
-    "top_customer_per_nation",
 ]
 
 
@@ -5432,18 +5433,20 @@ def q_subsequence_best_match_fft(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best_subsequence_match_fft(e, _SUBSEQ_PATTERN)
 
 
-def _kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
-    """Unrolled Lloyd's k-means in DuckDB SQL: the same head-k init,
-    cosine argmax assignment (ties to lowest centroid id) and
+def _cos_sql(v: str, c: str) -> str:
+    return (
+        f"list_dot_product({v}, {c}) / "
+        f"(sqrt(list_dot_product({v}, {v})) * sqrt(list_dot_product({c}, {c})))"
+    )
+
+
+def _kmeans_ctes(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """Unrolled Lloyd's k-means as a DuckDB WITH-body: the same head-k
+    init, cosine argmax assignment (ties to lowest centroid id) and
     DECIMAL-mean recompute as kmeans_lloyd, one CTE pair per
-    iteration. The +0.0 normalizes -0.0 after rounding, both engines."""
-
-    def cos(v: str, c: str) -> str:
-        return (
-            f"list_dot_product({v}, {c}) / "
-            f"(sqrt(list_dot_product({v}, {v})) * sqrt(list_dot_product({c}, {c})))"
-        )
-
+    iteration; the final assignment lands in ``af(vec_id, v,
+    centroid_id)``. The +0.0 normalizes -0.0 after rounding, both
+    engines. Shared by the kmeans profile and SemDeDup oracles."""
     sql = (
         "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),\n"
         f"c0 AS (SELECT vec_id AS centroid_id, v AS cvec FROM e WHERE vec_id < {k})"
@@ -5454,7 +5457,7 @@ def _kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
       SELECT vec_id, v, centroid_id FROM (
         SELECT e.vec_id, e.v, c.centroid_id,
                row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY {cos("e.v", "c.cvec")} DESC, c.centroid_id) AS rn
+                 ORDER BY {_cos_sql("e.v", "c.cvec")} DESC, c.centroid_id) AS rn
         FROM e CROSS JOIN c{it - 1} c) WHERE rn = 1),
     m{it} AS (
       SELECT centroid_id, i,
@@ -5466,18 +5469,45 @@ def _kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
               FROM m{it} GROUP BY centroid_id)"""
     sql += f""",
     af AS (
-      SELECT vec_id, centroid_id FROM (
-        SELECT e.vec_id, c.centroid_id,
+      SELECT vec_id, v, centroid_id FROM (
+        SELECT e.vec_id, e.v, c.centroid_id,
                row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY {cos("e.v", "c.cvec")} DESC, c.centroid_id) AS rn
-        FROM e CROSS JOIN c{iters} c) WHERE rn = 1)
+                 ORDER BY {_cos_sql("e.v", "c.cvec")} DESC, c.centroid_id) AS rn
+        FROM e CROSS JOIN c{iters} c) WHERE rn = 1)"""
+    return sql
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    return _kmeans_ctes(k, iters, dim) + f"""
     SELECT c.centroid_id, s.n_members,
            '[' || array_to_string(
                     list_transform(c.cvec, x -> printf('%.9f', x)), ',') || ']'
              AS centroid_json
     FROM (SELECT centroid_id, count(*) AS n_members FROM af GROUP BY centroid_id) s
     JOIN c{iters} c USING (centroid_id)"""
-    return sql
+
+
+def _semdedup_oracle(
+    k: int = 8, iters: int = 2, dim: int = 64, threshold: float = 0.3
+) -> str:
+    """SemDeDup replica: the unrolled k-means CTEs, then the
+    within-cluster predecessor rule — b drops iff a lower-id member of
+    the SAME cluster is within ``threshold`` rounded cosine."""
+    return _kmeans_ctes(k, iters, dim) + f""",
+    pairs AS (
+      SELECT y.vec_id AS ib
+      FROM af x JOIN af y
+        ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+      WHERE round({_cos_sql("x.v", "y.v")}, 6) >= {threshold}),
+    drops AS (SELECT DISTINCT ib AS vec_id FROM pairs)
+    SELECT af.centroid_id, count(*) AS n_members,
+           CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           CAST(sum(CASE WHEN d.vec_id IS NULL THEN af.vec_id ELSE 0 END) AS BIGINT)
+             AS kept_id_sum
+    FROM af LEFT JOIN drops d USING (vec_id)
+    GROUP BY af.centroid_id
+    ORDER BY af.centroid_id"""
 
 
 def _pq_oracle(
@@ -6768,4 +6798,36 @@ def q_training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("sort_key").alias("last_key"),
         )
         .orderBy("shard")
+    )
+
+
+@register(
+    "semdedup_stats",
+    _semdedup_oracle(),
+    "SemDeDup (Abbas et al. 2023): semantic dedup made tractable by "
+    "clustering first — k-means (2 deterministic Lloyd rounds) "
+    "partitions the embedding space, then ONLY within-cluster pairs "
+    "are compared (pairwise work is sum of squared cluster sizes, "
+    "never n^2; raise k with the corpus). A vector drops when a "
+    "lower-id cluster-mate is within 0.3 rounded cosine (the "
+    "predecessor rule). The oracle unrolls the full k-means chain "
+    "plus the in-cluster drop relation in SQL; the report is "
+    "per-cluster members/drops/kept-id-sum, so a green row proves "
+    "clustering, assignment, AND the dedup decisions end-to-end.",
+)
+def q_semdedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.similarity import semdedup_clusters
+
+    e = read_table(spark, sf_dir, "embeddings")
+    r = semdedup_clusters(e, k=8, iters=2, threshold=0.3)
+    return (
+        r.groupBy(F.col("list_id").alias("centroid_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.col("dropped").cast("int")).cast("bigint").alias("n_dropped"),
+            F.sum(F.when(~F.col("dropped"), F.col("vec_id")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("kept_id_sum"),
+        )
+        .orderBy("centroid_id")
     )

@@ -1736,3 +1736,58 @@ def test_training_shards_layout_deterministic(spark, tmp_path):
     for ids, keys in l1.values():
         assert keys == sorted(keys)  # physically stored in hash order
         assert len(ids) > 0  # 97 docs over 4 shards: none empty
+
+
+def test_semdedup_in_cluster_drop_and_blindness(spark):
+    """SemDeDup semantics on a planted corpus: a near-duplicate pair
+    that lands in the same cluster drops its higher id; crucially the
+    operator is CLUSTER-BLIND by design — a near-dup pair split across
+    cluster boundaries is NOT dropped (the documented recall/cost
+    trade of Abbas et al. 2023; raising k tightens clusters but never
+    removes this). The test pins both behaviors so the trade stays
+    visible."""
+    import math
+
+    from ais_data_pipeline_spark.operators.similarity import (
+        kmeans_assign,
+        kmeans_lloyd,
+        semdedup_clusters,
+    )
+
+    def at(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r), 0.0, 0.0]
+
+    # ids 0,1 seed the two k=2 head-init centroids (0° and 90°);
+    # 10/11 = near-dup pair near 0°; 20 near 90°; 30 sits between.
+    rows = [
+        (0, at(0)), (1, at(90)),
+        (10, at(10)), (11, at(11)),
+        (20, at(80)), (30, at(46)),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = {
+        r["vec_id"]: (r["list_id"], r["dropped"])
+        for r in semdedup_clusters(df, k=2, iters=1, threshold=0.99).collect()
+    }
+    # the 10/11 pair shares a cluster: the higher id drops
+    assert got[10][0] == got[11][0]
+    assert got[11] == (got[10][0], True)
+    assert got[10][1] is False
+    # cos(10°,11°) ~ .9998 >= .99 but cos(80°,46°)=cos34° ~ .829 < .99:
+    # 20 and 30 survive whatever side of the boundary they land on
+    assert got[20][1] is False and got[30][1] is False
+    # cluster blindness, demonstrated: force 30 into the OTHER cluster's
+    # geometry by checking a pair that straddles — 30 at 46° is within
+    # .99 cosine of nothing here, so plant one: 31 at 45° pairs with 30
+    # (cos1° ~ .9998) but assignment puts 45° and 46° on potentially
+    # different sides of the 2-means boundary; whichever happens, the
+    # operator only drops when the CLUSTERS agree.
+    rows2 = rows + [(31, at(45))]
+    df2 = spark.createDataFrame(rows2, "vec_id bigint, embedding array<double>")
+    got2 = {
+        r["vec_id"]: (r["list_id"], r["dropped"])
+        for r in semdedup_clusters(df2, k=2, iters=1, threshold=0.99).collect()
+    }
+    same_cluster = got2[30][0] == got2[31][0]
+    assert got2[31][1] == same_cluster  # dropped iff co-clustered
