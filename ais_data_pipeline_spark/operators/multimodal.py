@@ -183,3 +183,41 @@ def frame_sample_plan(
             F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n_frames))
         ).alias("frame_index"),
     )
+
+
+def frame_embedding_col(
+    id_col=None, frame_col=None, dim: int = 8
+):
+    """Deterministic per-frame embedding STUB: dim doubles in [-1, 1)
+    derived from md5(doc:frame:j) — the stand-in for a real
+    decode→encoder UDF (the container has no vision libs; the decode
+    contract stays `NotImplementedError` in decode_image_meta). What
+    IS real, and what this column proves end-to-end, is the Spark-side
+    plumbing a frame-embedding pipeline needs: the fan-out work-list,
+    a fixed-width vector column produced per (doc, frame) row inside
+    whole-stage codegen, and similarity search consuming it — swap the
+    expression for a Pandas-UDF encoder and nothing downstream
+    changes.
+
+    Engine-portable arithmetic (same recipe as the md5_60 hash family):
+    h = first 15 hex digits of md5 as a 60-bit int, then
+    ``(double(h) / 2^60) * 2.0 - 1.0`` — the int→double rounding and
+    the power-of-two division are identical IEEE ops in Spark, Python,
+    and DuckDB, so a SQL oracle replays the vectors bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    id_col = id_col if id_col is not None else F.col("doc_id")
+    frame_col = frame_col if frame_col is not None else F.col("frame_index")
+    comps = []
+    for j in range(dim):
+        h = F.conv(
+            F.substring(
+                F.md5(F.format_string("%d:%d:" + str(j), id_col, frame_col)), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        comps.append(
+            h.cast("double") / F.lit(float(2**60)) * F.lit(2.0) - F.lit(1.0)
+        )
+    return F.array(*comps)

@@ -90,23 +90,23 @@ def register(name: str, oracle: str | None, description: str):
 
 # The driver checks only the FIRST 50 registry entries per round, so
 # registry order decides which queries get a CORRECTNESS row. Round-6
-# window (the round-5 verdict's rotation plan): (a) the 11 queries
+# window (the round-5 verdict's rotation plan): (a) the 12 queries
 # with no driver row yet — the two PQ queries deferred from round 5
-# plus the nine NEW this round (incremental_dedup_stats,
+# plus the ten NEW this round (incremental_dedup_stats,
 # ivfpq_rerank_topk, incremental_embedding_dedup_stats,
 # embedding_topk_filtered, cluster_best_representative,
 # streaming_ivf_ingest_topk, mmr_diverse_topk,
-# training_shard_manifest, semdedup_stats); (b) the 3 r2-dated
-# zero-churn projections deferred last round; (c) 36 of the 49
-# queries whose latest driver row is round 3. Thirteen r3-dated
-# queries don't fit the 50-slot cap and rotate into the round-7
-# window: sample_seeded (rows-only by design — a driver row adds the
-# least), plus twelve zero-churn queries still oracle-checked by
-# pytest every run (null_counts, profile_min_max,
+# training_shard_manifest, semdedup_stats, frame_embedding_topk);
+# (b) the 3 r2-dated zero-churn projections deferred last round;
+# (c) 35 of the 49 queries whose latest driver row is round 3.
+# Fourteen r3-dated queries don't fit the 50-slot cap and rotate into
+# the round-7 window: sample_seeded (rows-only by design — a driver
+# row adds the least), plus thirteen zero-churn queries still
+# oracle-checked by pytest every run (null_counts, profile_min_max,
 # horizontal_predicates, event_type_pivot, token_counts,
 # lag_lead_events, map_from_json_props, ngram_profile, distinct_pairs,
-# topk_orders, zorder_values, top_customer_per_nation). After the r6
-# sweep every other query's latest driver row is r4+.
+# topk_orders, zorder_values, top_customer_per_nation, text_quality).
+# After the r6 sweep every other query's latest driver row is r4+.
 _FRONT_WINDOW: list[str] = [
     "pq_adc_topk",
     "ivfpq_index_topk",
@@ -119,6 +119,7 @@ _FRONT_WINDOW: list[str] = [
     "mmr_diverse_topk",
     "training_shard_manifest",
     "semdedup_stats",
+    "frame_embedding_topk",
     "scan_project_filter",
     "string_functions",
     "date_functions",
@@ -157,7 +158,6 @@ _FRONT_WINDOW: list[str] = [
     "stream_stream_join",
     "subsequence_best_match",
     "text_normalize",
-    "text_quality",
 ]
 
 
@@ -6830,4 +6830,84 @@ def q_semdedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept_id_sum"),
         )
         .orderBy("centroid_id")
+    )
+
+
+def _frame_emb_sql(j: int) -> str:
+    return (
+        "(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || "
+        f"CAST(frame_index AS VARCHAR) || ':{j}'), 1, 15))::BIGINT AS DOUBLE)"
+        " / CAST(1152921504606846976 AS DOUBLE) * 2.0 - 1.0)"
+    )
+
+
+@register(
+    "frame_embedding_topk",
+    f"""
+    WITH frames AS (
+      SELECT doc_id, frame_index
+      FROM (SELECT doc_id, CAST(floor(length(text) / 16) AS BIGINT) AS n_frames
+            FROM documents WHERE doc_id < 50) t,
+           UNNEST(range(0, greatest(n_frames, 1), 8)) AS s(frame_index)
+    ),
+    emb AS (
+      SELECT doc_id, frame_index,
+             [{", ".join(_frame_emb_sql(j) for j in range(8))}] AS v
+      FROM frames
+    ),
+    q AS (SELECT v AS qv FROM emb WHERE doc_id = 0 AND frame_index = 0)
+    SELECT e.doc_id, e.frame_index,
+           round(list_dot_product(e.v, q.qv)
+                 / (sqrt(list_dot_product(e.v, e.v))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos_sim
+    FROM emb e, q
+    WHERE NOT (e.doc_id = 0 AND e.frame_index = 0)
+    ORDER BY cos_sim DESC, e.doc_id ASC, e.frame_index ASC
+    LIMIT 10
+    """,
+    "Multimodal -> vector composition end-to-end: the frame-sampling "
+    "work-list fans out (doc, frame_index) rows, a per-frame embedding "
+    "column materializes inside whole-stage codegen (deterministic "
+    "md5-derived STUB standing in for the decode->encoder Pandas UDF — "
+    "the plumbing is the real deliverable; swap the expression and "
+    "nothing downstream changes), and brute cosine top-10 against "
+    "frame (0,0) consumes it — one scan, no shuffle, "
+    "TakeOrderedAndProject. The oracle re-derives the fan-out, every "
+    "vector component, and the scores in SQL: an exact hash over the "
+    "whole multimodal->similarity composition.",
+)
+def q_frame_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from ais_data_pipeline_spark.operators.multimodal import (
+        frame_embedding_col,
+        frame_sample_plan,
+        with_binary_payload,
+    )
+    from ais_data_pipeline_spark.operators.similarity import cosine_similarity_col
+
+    d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    emb = (
+        frame_sample_plan(with_binary_payload(d, "text"), every_n_frames=8)
+        .select("doc_id", F.col("frame_index").cast("bigint").alias("frame_index"))
+        .withColumn("__e", frame_embedding_col())
+    )
+
+    def py_emb(doc: int, frame: int, dim: int = 8) -> list[float]:
+        out = []
+        for j in range(dim):
+            h = int(hashlib.md5(f"{doc}:{frame}:{j}".encode()).hexdigest()[:15], 16)
+            out.append(float(h) / float(2**60) * 2.0 - 1.0)
+        return out
+
+    qv = py_emb(0, 0)
+    return (
+        emb.filter(~((F.col("doc_id") == 0) & (F.col("frame_index") == 0)))
+        .select(
+            "doc_id",
+            "frame_index",
+            F.round(cosine_similarity_col(F.col("__e"), qv), 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("doc_id"), F.asc("frame_index"))
+        .limit(10)
     )
