@@ -1791,3 +1791,59 @@ def test_semdedup_in_cluster_drop_and_blindness(spark):
     }
     same_cluster = got2[30][0] == got2[31][0]
     assert got2[31][1] == same_cluster  # dropped iff co-clustered
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_semdedup_drop_rule_sound_and_complete(spark, seed):
+    """Property: semdedup's drop set is EXACTLY the predecessor rule —
+    an id drops iff some lower-id member of its own cluster is within
+    the rounded-cosine threshold. Verified against a driver-side
+    replica over the operator's own (id, cluster, vector) assignment,
+    on random corpora."""
+    import random
+
+    from ais_data_pipeline_spark.operators.similarity import (
+        kmeans_assign,
+        kmeans_lloyd,
+        semdedup_clusters,
+    )
+
+    rng = random.Random(seed)
+    dim, n, tau = 8, 60, 0.6
+    rows = [(i, [rng.uniform(-1.0, 1.0) for _ in range(dim)]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    got = {
+        r["vec_id"]: (r["list_id"], r["dropped"])
+        for r in semdedup_clusters(df, k=4, iters=1, threshold=tau).collect()
+    }
+    assert set(got) == set(range(n))
+
+    cents = kmeans_lloyd(df, k=4, iters=1)
+    cent_rows = sorted(
+        (int(r["centroid_id"]), [float(x) for x in r["cvec"]])
+        for r in cents.collect()
+    )
+    cluster = {
+        r["vec_id"]: r["list_id"]
+        for r in kmeans_assign(df, cent_rows, metric="cosine").collect()
+    }
+    vec = dict(rows)
+
+    def cos(a, b):
+        num = 0.0
+        aa = 0.0
+        bb = 0.0
+        for x, y in zip(a, b):
+            num += x * y
+            aa += x * x
+            bb += y * y
+        return num / (aa**0.5 * bb**0.5)
+
+    for i in range(n):
+        assert got[i][0] == cluster[i]
+        expect_drop = any(
+            cluster[j] == cluster[i] and round(cos(vec[j], vec[i]), 6) >= tau
+            for j in range(i)
+        )
+        assert got[i][1] == expect_drop, (i, cluster[i])

@@ -519,3 +519,38 @@ def test_retrieval_plan_matches_direct_operators(spark, tmp_path):
         build_vector_index(spark, e, root + "/bad", kind="hnsw")
     with _pytest.raises(ValueError):
         pq.topk(qv, rerank=10)  # rerank without vectors_df
+
+
+def test_local_df_arrow_relation_contract(spark):
+    """localrel.local_df must (a) round-trip doubles and nested
+    double arrays bit-for-bit, (b) carry nulls, (c) accept empty row
+    lists, (d) accept both DDL strings and StructTypes, and (e) land
+    as a plan with NO Python eval nodes — the whole point vs the
+    pickled-RDD path."""
+    import io
+    import math
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import types as T
+
+    from ais_data_pipeline_spark.localrel import local_df
+
+    vals = [0.1, -0.0, 1e-300, math.pi, float(2**60)]
+    rows = [(1, vals, "a"), (2, None, None)]
+    df = local_df(spark, rows, "id bigint, v array<double>, s string")
+    back = sorted(df.collect(), key=lambda r: r["id"])
+    assert [repr(x) for x in back[0]["v"]] == [repr(x) for x in vals]
+    assert back[1]["v"] is None and back[1]["s"] is None
+
+    empty = local_df(spark, [], "a int, b double")
+    assert empty.count() == 0 and empty.schema.simpleString() == "struct<a:int,b:double>"
+
+    st = T.StructType([T.StructField("x", T.IntegerType()), T.StructField("y", T.BooleanType())])
+    assert local_df(spark, [(5, True)], st).collect()[0].asDict() == {"x": 5, "y": True}
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.groupBy("id").count().explain("formatted")
+    plan = buf.getvalue()
+    for node in ("BatchEvalPython", "ArrowEvalPython", "Scan ExistingRDD"):
+        assert node not in plan, node
