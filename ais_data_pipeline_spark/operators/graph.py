@@ -65,9 +65,15 @@ def pagerank(
     e = edges.select(
         F.col(src).alias("__s"), F.col(dst).alias("__d")
     ).localCheckpoint(eager=True)
-    deg = (
-        e.groupBy(F.col("__s").alias("__dn"))
-        .agg(F.count(F.lit(1)).alias("__outdeg"))
+    deg = e.groupBy(F.col("__s").alias("__dn")).agg(
+        F.count(F.lit(1)).alias("__outdeg")
+    )
+    # outdegree is loop-invariant — join it into the edge list ONCE so
+    # every iteration is a single ranks⋈edges join instead of two
+    # (identical arithmetic: pr/__outdeg on the same values).
+    e_deg = (
+        e.join(deg, F.col("__s") == F.col("__dn"))
+        .select("__s", "__d", "__outdeg")
         .localCheckpoint(eager=True)
     )
     nodes = (
@@ -81,8 +87,7 @@ def pagerank(
         if i > 0:
             ranks = ranks.localCheckpoint(eager=True)
         contribs = (
-            ranks.join(deg, ranks.node == F.col("__dn"))
-            .join(e, F.col("node") == F.col("__s"))
+            ranks.join(e_deg, ranks.node == F.col("__s"))
             .select(
                 F.col("__d").alias("node"),
                 (F.col("pr") / F.col("__outdeg")).cast("decimal(38,18)").alias("__c"),
