@@ -110,7 +110,9 @@ def build_dedup_index(
     is the candidate-verification store; at 100 TB it is the index's
     dominant weight (~tokens-per-doc longs), still a fraction of the
     text it replaces in the probe path."""
-    feats = _features(docs, text_col, id_col, shingle_n)
+    # written twice (hashes + shingles): pin once, or each write
+    # recomputes md5 + shingle split over the whole history
+    feats = _features(docs, text_col, id_col, shingle_n).localCheckpoint(eager=True)
     _write_slice(
         feats.select("doc", "text_hash"),
         os.path.join(index_path, "hashes"),
@@ -122,9 +124,11 @@ def build_dedup_index(
         os.path.join(index_path, "shingles"),
         HISTORY_BATCH,
     )
+    # written twice (buckets + stats): pin once, or each write re-runs
+    # the 32-permutation minhash over every history shingle
     bands_df = minhash_band_rows(
         docs, n_hashes, bands, text_col, id_col, shingle_n, seed
-    )
+    ).localCheckpoint(eager=True)
     _write_slice(
         bands_df, os.path.join(index_path, "buckets"), HISTORY_BATCH,
         bloom_col="bucket",
@@ -591,7 +595,10 @@ def run_incremental_dedup(
             rows_dropped=n_in - n_kept,
         )
         _write_slice(survivors, out_path, batch_id)
-        feats = _features(survivors, text_col, id_col, shingle_n)
+        # written twice (hashes + shingles): pin once per batch
+        feats = _features(survivors, text_col, id_col, shingle_n).localCheckpoint(
+            eager=True
+        )
         _write_slice(
             feats.select("doc", "text_hash"),
             os.path.join(index_path, "hashes"),
