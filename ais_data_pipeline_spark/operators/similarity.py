@@ -331,28 +331,20 @@ def ivf_assign(
     metric: str = "cosine",
 ) -> DataFrame:
     """Assign every vector to its nearest centroid (ties to the lowest
-    centroid id) — a broadcast cross-join against the tiny centroid set
-    plus one window argmax; no shuffle of the vectors beyond the final
-    partition-by-list write. ``metric``: 'cosine' (IVF quantizer
-    default) or 'l2' (product-quantization subspaces, where only L2
-    decomposes across subspaces)."""
-    from pyspark.sql import Window
-
-    v = _as_double_array(F.col(vec_col))
-    if metric == "l2":
-        sim = -_l2sq(v, F.col("cvec"))
-    else:
-        sim = _dot(v, F.col("cvec")) / (
-            F.sqrt(_dot(v, v)) * F.sqrt(_dot(F.col("cvec"), F.col("cvec")))
-        )
-    scored = df.join(F.broadcast(centroids)).withColumn("__sim", sim)
-    w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("centroid_id"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__sim", "cvec")
-        .withColumnRenamed("centroid_id", "list_id")
+    centroid id). The centroid frame is tiny BY CONTRACT (the IVF
+    quantizer's k rows), so it collects to driver literals and the
+    assignment runs as ``kmeans_assign``'s map-side projection — no
+    join, no window shuffle; the old broadcast-cross-join + window
+    argmax paid an n·k-row shuffle for the same answer (bit-identical:
+    same distance expressions, same first-match tie-break).
+    ``metric``: 'cosine' (IVF quantizer default) or 'l2'
+    (product-quantization subspaces, where only L2 decomposes across
+    subspaces). Keeps the caller's extra columns."""
+    cent_rows = sorted(
+        (int(r["centroid_id"]), [float(x) for x in r["cvec"]])
+        for r in centroids.collect()
     )
+    return kmeans_assign(df, cent_rows, vec_col, id_col, metric=metric).drop("__v")
 
 
 def build_ivf_index(
@@ -675,12 +667,13 @@ def kmeans_assign(
     centroid id, and the whole thing is a map-side projection (no
     join, no shuffle). ``cent_rows`` is the sorted
     [(centroid_id, cvec), ...] a caller collects from ``kmeans_lloyd``.
-    Returns (id, __v, list_id) with ``__v`` the double-cast vector, so
-    downstream per-cluster math needs no rejoin."""
-    v = _as_double_array(F.col(vec_col))
-    pre = df.select(F.col(id_col), v.alias("__v")).select(
-        F.col(id_col), "__v", _dot(F.col("__v"), F.col("__v")).alias("__vv")
-    )
+    Returns ALL the caller's columns plus ``__v`` (the double-cast
+    vector, so downstream per-cluster math needs no rejoin — Catalyst
+    prunes it when unused) and ``list_id``."""
+    cols = list(df.columns)
+    pre = df.select(
+        *cols, _as_double_array(F.col(vec_col)).alias("__v")
+    ).select(*cols, "__v", _dot(F.col("__v"), F.col("__v")).alias("__vv"))
     sims = []
     for _cid, cvec in cent_rows:
         if metric == "l2":
@@ -690,12 +683,10 @@ def kmeans_assign(
                 _dot(F.col("__v"), _lit_vec(cvec))
                 / (F.sqrt(F.col("__vv")) * F.lit(math.sqrt(_self_dot(cvec))))
             )
-    staged = pre.select(F.col(id_col), "__v", F.array(*sims).alias("__sims"))
+    staged = pre.select(*cols, "__v", F.array(*sims).alias("__sims"))
     ids = F.array(*[F.lit(cid).cast("bigint") for cid, _ in cent_rows])
     pos = F.array_position(F.col("__sims"), F.array_max(F.col("__sims"))).cast("int")
-    return staged.select(
-        F.col(id_col), "__v", F.element_at(ids, pos).alias("list_id")
-    )
+    return staged.select(*cols, "__v", F.element_at(ids, pos).alias("list_id"))
 
 
 def semdedup_clusters(
