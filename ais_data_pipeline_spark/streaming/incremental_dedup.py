@@ -419,19 +419,22 @@ def dedup_embedding_batch_against_index(
         return batch_df
     dim = head["d"]
     planes = random_hyperplanes(dim, n_planes, seed)
+    # per-vector norm computed ONCE here (and once per scanned history
+    # row below), not per candidate pair — the verify's 3 array folds
+    # per pair drop to 1; value-identical CSE, same ops as the oracle.
     feats = batch_df.select(
         F.col(id_col).alias("vec_id"),
         _as_double_array(F.col(vec_col)).alias("v"),
         lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
-    ).localCheckpoint(eager=True)
-
-    def cos(a, b):
-        return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+    ).withColumn("n", F.sqrt(_dot(F.col("v"), F.col("v")))).localCheckpoint(
+        eager=True
+    )
 
     def verified_drops(pairs: DataFrame) -> DataFrame:
-        # pairs: (vec_id, v, other_v) — batch vec drops on any match
+        # pairs: (vec_id, v, n, other_v, other_n) — drops on any match
+        c = _dot(F.col("v"), F.col("other_v")) / (F.col("n") * F.col("other_n"))
         return (
-            pairs.withColumn("__c", F.round(cos(F.col("v"), F.col("other_v")), round_digits))
+            pairs.withColumn("__c", F.round(c, round_digits))
             .filter(F.col("__c") >= threshold)
             .select("vec_id")
             .distinct()
@@ -445,7 +448,9 @@ def dedup_embedding_batch_against_index(
         .select(
             F.col("b.vec_id").alias("vec_id"),
             F.col("b.v").alias("v"),
+            F.col("b.n").alias("n"),
             F.col("a.v").alias("other_v"),
+            F.col("a.n").alias("other_n"),
         )
     )
     drops_w = verified_drops(within)
@@ -459,9 +464,13 @@ def dedup_embedding_batch_against_index(
     if len(batch_buckets) <= pushdown_limit:
         hist = hist.filter(F.col("bucket").isin(batch_buckets))
     cross = (
-        hist.select(F.col("v").alias("other_v"), "bucket")
+        hist.select(
+            F.col("v").alias("other_v"),
+            F.sqrt(_dot(F.col("v"), F.col("v"))).alias("other_n"),
+            "bucket",
+        )
         .join(F.broadcast(feats), "bucket")
-        .select("vec_id", "v", "other_v")
+        .select("vec_id", "v", "n", "other_v", "other_n")
     )
     drops_x = verified_drops(cross)
 
