@@ -90,23 +90,24 @@ def register(name: str, oracle: str | None, description: str):
 
 # The driver checks only the FIRST 50 registry entries per round, so
 # registry order decides which queries get a CORRECTNESS row. Round-6
-# window (the round-5 verdict's rotation plan): (a) the 12 queries
+# window (the round-5 verdict's rotation plan): (a) the 13 queries
 # with no driver row yet — the two PQ queries deferred from round 5
-# plus the ten NEW this round (incremental_dedup_stats,
+# plus the eleven NEW this round (incremental_dedup_stats,
 # ivfpq_rerank_topk, incremental_embedding_dedup_stats,
 # embedding_topk_filtered, cluster_best_representative,
 # streaming_ivf_ingest_topk, mmr_diverse_topk,
-# training_shard_manifest, semdedup_stats, frame_embedding_topk);
-# (b) the 3 r2-dated zero-churn projections deferred last round;
-# (c) 35 of the 49 queries whose latest driver row is round 3.
-# Fourteen r3-dated queries don't fit the 50-slot cap and rotate into
-# the round-7 window: sample_seeded (rows-only by design — a driver
-# row adds the least), plus thirteen zero-churn queries still
-# oracle-checked by pytest every run (null_counts, profile_min_max,
-# horizontal_predicates, event_type_pivot, token_counts,
-# lag_lead_events, map_from_json_props, ngram_profile, distinct_pairs,
-# topk_orders, zorder_values, top_customer_per_nation, text_quality).
-# After the r6 sweep every other query's latest driver row is r4+.
+# training_shard_manifest, semdedup_stats, frame_embedding_topk,
+# dsir_domain_scores); (b) the 3 r2-dated zero-churn projections
+# deferred last round; (c) 34 of the 49 queries whose latest driver
+# row is round 3. Fifteen r3-dated queries don't fit the 50-slot cap
+# and rotate into the round-7 window: sample_seeded (rows-only by
+# design — a driver row adds the least), plus fourteen zero-churn
+# queries still oracle-checked by pytest every run (null_counts,
+# profile_min_max, horizontal_predicates, event_type_pivot,
+# token_counts, lag_lead_events, map_from_json_props, ngram_profile,
+# distinct_pairs, topk_orders, zorder_values,
+# top_customer_per_nation, text_quality, text_normalize). After the
+# r6 sweep every other query's latest driver row is r4+.
 _FRONT_WINDOW: list[str] = [
     "pq_adc_topk",
     "ivfpq_index_topk",
@@ -120,6 +121,7 @@ _FRONT_WINDOW: list[str] = [
     "training_shard_manifest",
     "semdedup_stats",
     "frame_embedding_topk",
+    "dsir_domain_scores",
     "scan_project_filter",
     "string_functions",
     "date_functions",
@@ -157,7 +159,6 @@ _FRONT_WINDOW: list[str] = [
     "small_qty_revenue",
     "stream_stream_join",
     "subsequence_best_match",
-    "text_normalize",
 ]
 
 
@@ -6910,4 +6911,48 @@ def q_frame_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cos_sim"), F.asc("doc_id"), F.asc("frame_index"))
         .limit(10)
+    )
+
+
+@register(
+    "dsir_domain_scores",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS t,
+             (('0x' || substr(md5(t2.tok), 1, 15))::BIGINT % 64) AS b
+      FROM documents,
+           unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(lower(trim(text)), '\s+') END) AS t2(tok)
+    ),
+    doc_counts AS (SELECT doc_id, b, count(*) AS c FROM toks GROUP BY doc_id, b),
+    profile AS (SELECT b, count(*) AS nr, CAST(sum(t) AS BIGINT) AS nt
+                FROM toks GROUP BY b),
+    totals AS (SELECT CAST(sum(nr) AS BIGINT) AS total_r,
+                      CAST(sum(nt) AS BIGINT) AS total_t FROM profile)
+    SELECT dc.doc_id,
+           CAST(sum(dc.c * (p.nt * tt.total_r - p.nr * tt.total_t)) AS BIGINT)
+             AS dsir_score
+    FROM doc_counts dc JOIN profile p USING (b), totals tt
+    GROUP BY dc.doc_id
+    ORDER BY dsir_score DESC, dc.doc_id ASC
+    LIMIT 20
+    """,
+    "DSIR-shaped data selection (Xie et al. 2023): hashed token-bucket "
+    "features, target-domain (lang='en') vs raw-corpus profiles, and a "
+    "per-document domain-affinity score — the top-20 here are the docs "
+    "importance resampling would up-weight. The score multiplies the "
+    "likelihood-ratio denominators out into EXACT integer arithmetic "
+    "(ln is not bit-portable: Spark vs DuckDB differ by 1 ulp on ~24% "
+    "of inputs, measured), so the hash is exact with no rounding "
+    "anywhere. One explode + combinable bucket aggs; docs join only "
+    "the 64-row broadcast profile.",
+)
+def q_dsir_domain_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.text import dsir_domain_scores
+
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        dsir_domain_scores(d, target_filter=F.col("lang") == "en", n_buckets=64)
+        .orderBy(F.desc("dsir_score"), F.asc("doc_id"))
+        .limit(20)
     )

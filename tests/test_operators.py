@@ -1847,3 +1847,31 @@ def test_semdedup_drop_rule_sound_and_complete(spark, seed):
             for j in range(i)
         )
         assert got[i][1] == expect_drop, (i, cluster[i])
+
+
+def test_dsir_scores_separate_domains(spark):
+    """DSIR domain-affinity scoring on a planted corpus: target-domain
+    docs use vocabulary A, the rest vocabulary B, one doc mixes. Docs
+    speaking the target vocabulary must score strictly above the
+    mixed doc, which scores strictly above pure out-of-domain docs —
+    and the score signs split around zero (target-leaning positive,
+    corpus-background negative)."""
+    from pyspark.sql import functions as F
+
+    from ais_data_pipeline_spark.operators.text import dsir_domain_scores
+
+    rows = [
+        (1, "alpha beta gamma alpha", "en"),
+        (2, "beta alpha alpha gamma", "en"),
+        (3, "delta epsilon zeta", "fr"),
+        (4, "zeta delta epsilon epsilon", "fr"),
+        (5, "alpha delta", "fr"),  # mixed, labeled out-of-domain
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    got = {
+        r["doc_id"]: r["dsir_score"]
+        for r in dsir_domain_scores(df, F.col("lang") == "en", n_buckets=64).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert min(got[1], got[2]) > got[5] > max(got[3], got[4])
+    assert got[1] > 0 and got[3] < 0
