@@ -412,6 +412,46 @@ def append_to_ivf_index(
     )
 
 
+def compact_ivf_index(spark, path: str) -> int:
+    """Fold an IVF index's accumulated ``src_batch=`` slices into the
+    single history slice (src_batch = -1). Streaming ingestion
+    (``append_to_ivf_index`` / the foreachBatch sink) accretes one
+    subdirectory per micro-batch under every ``list_id=`` partition;
+    pruning keeps probes flat in CORPUS size, and periodic compaction
+    keeps the per-list file count flat in BATCH count — the same
+    maintenance contract as ``compact_dedup_index``.
+
+    Crash-safe write protocol (mirrors the dedup compactor): stage the
+    consolidated table to a sibling ``_compact`` directory first, then
+    swap via directory renames — a crash mid-compaction leaves the
+    live index intact, and the ``_centroids`` sidecar (the probe's
+    routing table) is never touched. List assignment is already
+    stored, so compaction never recomputes distances. Returns the row
+    count."""
+    import os
+    import shutil
+
+    live = path.rstrip("/")
+    stage = live + "_compact"
+    df = (
+        spark.read.parquet(live)
+        .withColumn("src_batch", F.lit(-1).cast("bigint"))
+        .localCheckpoint(eager=True)  # sever lineage before the swap
+    )
+    n = df.count()
+    (
+        df.repartition("list_id")
+        .write.mode("overwrite")
+        .partitionBy("list_id", "src_batch")
+        .parquet(stage)
+    )
+    old = live + "_old"
+    os.rename(live, old)
+    os.rename(stage, live)
+    shutil.rmtree(old, ignore_errors=True)
+    return n
+
+
 def ivf_probe_topk(
     spark,
     index_path: str,

@@ -1875,3 +1875,48 @@ def test_dsir_scores_separate_domains(spark):
     assert set(got) == {1, 2, 3, 4, 5}
     assert min(got[1], got[2]) > got[5] > max(got[3], got[4])
     assert got[1] > 0 and got[3] < 0
+
+
+def test_ivf_index_compaction_preserves_probes(spark, tmp_path):
+    """compact_ivf_index folds the accreted src_batch= slices into the
+    single history slice: row count preserved, exactly one src_batch
+    value (-1) afterwards, the _centroids sidecar untouched, and a
+    probe returns row-identical results before and after — compaction
+    is pure layout maintenance, never a semantic change."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from ais_data_pipeline_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        compact_ivf_index,
+        ivf_probe_topk,
+    )
+    from ais_data_pipeline_spark.sources.parquet import read_table
+
+    e = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "ivf")
+    k = F.col("vec_id")
+    build_ivf_index(e.filter(k % 3 == 0), path, n_centroids=8)
+    append_to_ivf_index(e.filter(k % 3 == 1), path, src_batch=0)
+    append_to_ivf_index(e.filter(k % 3 == 2), path, src_batch=1)
+
+    qv = [float(x) for x in e.filter(k == 0).first()["embedding"]]
+    before = ivf_probe_topk(spark, path, qv, k=10, nprobe=2).collect()
+    n_before = spark.read.parquet(path).count()
+    cents_before = sorted(
+        tuple(r) for r in spark.read.parquet(path + "_centroids").collect()
+    )
+    assert len(glob.glob(f"{path}/list_id=*/src_batch=*")) > 8  # slices accreted
+
+    n = compact_ivf_index(spark, path)
+    assert n == n_before == spark.read.parquet(path).count()
+    slices = {s.split("src_batch=")[1] for s in glob.glob(f"{path}/list_id=*/src_batch=*")}
+    assert slices == {"-1"}
+    assert before == ivf_probe_topk(spark, path, qv, k=10, nprobe=2).collect()
+    assert cents_before == sorted(
+        tuple(r) for r in spark.read.parquet(path + "_centroids").collect()
+    )
+    # idempotent: compacting a compacted index is a no-op rewrite
+    assert compact_ivf_index(spark, path) == n
