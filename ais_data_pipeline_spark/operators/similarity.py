@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ais_data_pipeline_spark.localrel import local_df
+from ais_data_pipeline_spark.checkpointing import materialize
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -423,20 +424,28 @@ def compact_ivf_index(spark, path: str) -> int:
 
     Crash-safe write protocol (mirrors the dedup compactor): stage the
     consolidated table to a sibling ``_compact`` directory first, then
-    swap via directory renames — a crash mid-compaction leaves the
-    live index intact, and the ``_centroids`` sidecar (the probe's
-    routing table) is never touched. List assignment is already
+    swap via directory renames — a crash BEFORE the swap leaves the
+    live index intact, and a crash during/after it is repaired on the
+    next compaction entry (``fsutil.recover_staged_swap`` completes or
+    rolls back the interrupted swap and clears stale ``_old`` /
+    ``_compact`` leftovers). The ``_centroids`` sidecar (the probe's
+    routing table) is never touched. Single-writer, local-FS
+    maintenance contract: run ONE compactor at a time and never
+    concurrently with ``append_to_ivf_index`` (probes racing the swap
+    can observe a missing directory for the instant between renames);
+    on object stores, compaction belongs to a table format's commit
+    protocol instead (see ``fsutil``). List assignment is already
     stored, so compaction never recomputes distances. Returns the row
     count."""
-    import os
-    import shutil
+    from ais_data_pipeline_spark.fsutil import recover_staged_swap, staged_swap
 
     live = path.rstrip("/")
     stage = live + "_compact"
+    recover_staged_swap(live, stage)
     df = (
         spark.read.parquet(live)
         .withColumn("src_batch", F.lit(-1).cast("bigint"))
-        .localCheckpoint(eager=True)  # sever lineage before the swap
+        .transform(materialize)  # sever lineage before the swap
     )
     n = df.count()
     (
@@ -445,10 +454,7 @@ def compact_ivf_index(spark, path: str) -> int:
         .partitionBy("list_id", "src_batch")
         .parquet(stage)
     )
-    old = live + "_old"
-    os.rename(live, old)
-    os.rename(stage, live)
-    shutil.rmtree(old, ignore_errors=True)
+    staged_swap(live, stage)
     return n
 
 
@@ -1075,7 +1081,7 @@ def build_ivfpq_index(
         F.zip_with(
             F.col("__v"), F.element_at(cvecs, pos), lambda x, y: x - y
         ).alias("__r"),
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     books = pq_train_codebooks(residuals, m=m, k=k, iters=iters, vec_col="__r", id_col=id_col)
     codes = pq_encode(
         residuals, books, vec_col="__r", id_col=id_col, keep_cols=["list_id"]

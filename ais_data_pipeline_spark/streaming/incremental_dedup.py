@@ -38,6 +38,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ais_data_pipeline_spark.checkpointing import materialize
 from ais_data_pipeline_spark.operators.dedup import (
     minhash_band_rows,
     shingle_hashes_from_tokens,
@@ -112,7 +113,7 @@ def build_dedup_index(
     text it replaces in the probe path."""
     # written twice (hashes + shingles): pin once, or each write
     # recomputes md5 + shingle split over the whole history
-    feats = _features(docs, text_col, id_col, shingle_n).localCheckpoint(eager=True)
+    feats = _features(docs, text_col, id_col, shingle_n).transform(materialize)
     _write_slice(
         feats.select("doc", "text_hash"),
         os.path.join(index_path, "hashes"),
@@ -128,7 +129,7 @@ def build_dedup_index(
     # the 32-permutation minhash over every history shingle
     bands_df = minhash_band_rows(
         docs, n_hashes, bands, text_col, id_col, shingle_n, seed
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     _write_slice(
         bands_df, os.path.join(index_path, "buckets"), HISTORY_BATCH,
         bloom_col="bucket",
@@ -227,7 +228,7 @@ def dedup_batch_against_index(
     )
     bands_b = minhash_band_rows(
         batch_df, n_hashes, bands, text_col, id_col, shingle_n, seed
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     if max_bucket_size is not None:
         # quadratic-blowup guard: prune band rows in buckets hot either
         # WITHIN this batch or across the persisted index (summed
@@ -245,7 +246,7 @@ def dedup_batch_against_index(
         ).distinct()
         bands_b = bands_b.join(
             F.broadcast(hot), ["band", "bucket"], "left_anti"
-        ).localCheckpoint(eager=True)
+        ).transform(materialize)
 
     # (1) exact, within batch: predecessor rule == keep min id per hash
     keep_min = feats.groupBy("text_hash").agg(F.min("doc").alias("__keep"))
@@ -501,7 +502,7 @@ def run_incremental_embedding_dedup(
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         survivors = dedup_embedding_batch_against_index(
             batch_df, index_path, threshold, n_planes, seed, vec_col, id_col
-        ).localCheckpoint(eager=True)
+        ).transform(materialize)
         _write_slice(survivors, out_path, batch_id)
         dim = len(survivors.first()[vec_col]) if survivors.count() else 0
         if dim:
@@ -534,11 +535,16 @@ def compact_dedup_index(spark: SparkSession, index_path: str) -> dict[str, int]:
     statistic is mergeable by construction.
 
     Write protocol: stage the consolidated tables to a sibling
-    ``_compact`` directory FIRST, then swap via atomic directory
-    renames — a crash mid-compaction leaves the live index intact
-    (never half-rewritten), matching the idempotence story of the
-    ingest sink. Returns per-table row counts."""
-    import shutil
+    ``_compact`` directory FIRST, then swap via directory renames — a
+    crash BEFORE any swap leaves the live index intact (never
+    half-rewritten), and a crash during/after the swaps is repaired on
+    the next compaction entry (``fsutil.recover_staged_swap`` per
+    table completes or rolls back an interrupted swap and clears stale
+    ``_old``/``_compact`` leftovers). Single-writer, local-FS
+    maintenance contract: one compactor at a time, never concurrent
+    with the ingest sink (see ``fsutil``). Returns per-table row
+    counts."""
+    from ais_data_pipeline_spark.fsutil import recover_staged_swap, staged_swap
 
     specs = [
         ("hashes", _HASHES_SCHEMA, None, "text_hash"),
@@ -546,6 +552,10 @@ def compact_dedup_index(spark: SparkSession, index_path: str) -> dict[str, int]:
         ("buckets", _BUCKETS_SCHEMA, None, "bucket"),
         ("bucket_stats", _STATS_SCHEMA, "sum", None),
     ]
+    for name, _, _, _ in specs:
+        recover_staged_swap(
+            os.path.join(index_path, name), os.path.join(index_path, f"_compact_{name}")
+        )
     counts: dict[str, int] = {}
     staged: list[tuple[str, str]] = []
     for name, schema, merge, bloom in specs:
@@ -554,15 +564,12 @@ def compact_dedup_index(spark: SparkSession, index_path: str) -> dict[str, int]:
         df = spark.read.schema(schema).parquet(live).drop("src_batch")
         if merge == "sum":
             df = df.groupBy("band", "bucket").agg(F.sum("n").alias("n"))
-        df = df.localCheckpoint(eager=True)  # sever lineage from `live`
+        df = df.transform(materialize)  # sever lineage from `live`
         counts[name] = df.count()
         _write_slice(df, stage, HISTORY_BATCH, bloom_col=bloom)
         staged.append((stage, live))
     for stage, live in staged:
-        old = live + "_old"
-        os.rename(live, old)
-        os.rename(stage, live)
-        shutil.rmtree(old, ignore_errors=True)
+        staged_swap(live, stage)
     return counts
 
 
@@ -594,7 +601,7 @@ def run_incremental_dedup(
         survivors = dedup_batch_against_index(
             batch_df, index_path, threshold, n_hashes, bands,
             shingle_n, seed, text_col, id_col, max_bucket_size,
-        ).localCheckpoint(eager=True)  # decide once; written 4 ways below
+        ).transform(materialize)  # decide once; written 4 ways below
         n_kept = survivors.count()
         log(
             "incremental_dedup_batch",
@@ -621,7 +628,7 @@ def run_incremental_dedup(
         )
         surv_bands = minhash_band_rows(
             survivors, n_hashes, bands, text_col, id_col, shingle_n, seed
-        ).localCheckpoint(eager=True)  # written twice: buckets + stats
+        ).transform(materialize)  # written twice: buckets + stats
         _write_slice(
             surv_bands, os.path.join(index_path, "buckets"), batch_id,
             bloom_col="bucket",
