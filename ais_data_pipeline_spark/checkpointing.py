@@ -1,0 +1,66 @@
+"""Lineage-truncation policy: one switch between local and reliable
+checkpointing for every operator that pins an intermediate.
+
+The iterative / multi-referenced operators (PageRank rounds, connected-
+component label propagation, inverted-index document stats, the
+curation drop-sets, incremental-dedup batch features) truncate lineage
+with ``DataFrame.localCheckpoint(eager=True)``: blocks live in executor
+block managers, are GC-reclaimed when the frame is dropped (unlike
+``persist``, which the 165-query sweep would leak), and cost no
+filesystem round-trip. That is the right default on ``local[*]`` and on
+clusters with stable executors — but localCheckpoint blocks are
+UNREPLICATED, so on a real cluster an executor loss makes every frame
+whose lineage was truncated unrecoverable (Spark cannot recompute past
+the truncation point) and fails the job.
+
+``set_reliable_checkpoints(spark, dir)`` flips every such call site in
+the package to reliable ``DataFrame.checkpoint(eager=True)`` — same
+eager materialization and lineage truncation, but blocks are written to
+the (HDFS/object-store) checkpoint directory and survive executor
+churn. The tradeoff is a filesystem write+read per truncation; pay it
+when the job runs long enough, or the cluster is elastic enough, that
+losing an executor mid-iteration is a real event.
+
+Scope: the switch is process-global (a policy of the driver program,
+like the checkpoint dir itself). Streaming ``foreachBatch`` sinks read
+it at batch time, so it applies to incremental-dedup ingestion too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+_RELIABLE = False
+
+
+def set_reliable_checkpoints(spark: SparkSession, checkpoint_dir: str) -> None:
+    """Opt in to cluster-safe lineage truncation: registers
+    ``checkpoint_dir`` with the SparkContext and makes every
+    ``materialize()`` call site use reliable ``checkpoint(eager=True)``
+    instead of executor-local blocks. Call once at job start, before
+    any operator runs."""
+    global _RELIABLE
+    spark.sparkContext.setCheckpointDir(checkpoint_dir)
+    _RELIABLE = True
+
+
+def set_local_checkpoints() -> None:
+    """Revert to the default executor-local checkpointing."""
+    global _RELIABLE
+    _RELIABLE = False
+
+
+def reliable_checkpoints_enabled() -> bool:
+    return _RELIABLE
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Eagerly materialize ``df`` and truncate its lineage — local
+    (default; executor-memory blocks, GC-reclaimed, unreplicated) or
+    reliable (checkpoint-dir files, survives executor loss) per the
+    process-wide switch. Use for every intermediate that is (a) re-read
+    by multiple downstream jobs or (b) the carry of an iterative loop
+    whose un-truncated lineage would grow per round."""
+    if _RELIABLE:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)

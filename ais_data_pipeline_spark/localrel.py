@@ -29,12 +29,28 @@ _ARROW = {
     T.FloatType: pa.float32(),
     T.StringType: pa.string(),
     T.BooleanType: pa.bool_(),
+    T.ShortType: pa.int16(),
+    T.ByteType: pa.int8(),
+    T.BinaryType: pa.binary(),
+    T.DateType: pa.date32(),
+    # The session pins spark.sql.session.timeZone=UTC, so a tz-naive
+    # microsecond Arrow timestamp converts losslessly.
+    T.TimestampType: pa.timestamp("us"),
+    T.TimestampNTZType: pa.timestamp("us"),
 }
 
 
 def _arrow_type(dt: T.DataType) -> pa.DataType:
     if isinstance(dt, T.ArrayType):
         return pa.list_(_arrow_type(dt.elementType))
+    if isinstance(dt, T.DecimalType):
+        return pa.decimal128(dt.precision, dt.scale)
+    if isinstance(dt, T.StructType):
+        return pa.struct(
+            [pa.field(f.name, _arrow_type(f.dataType)) for f in dt.fields]
+        )
+    if isinstance(dt, T.MapType):
+        return pa.map_(_arrow_type(dt.keyType), _arrow_type(dt.valueType))
     for spark_t, arrow_t in _ARROW.items():
         if isinstance(dt, spark_t):
             return arrow_t
@@ -51,9 +67,9 @@ def local_df(
     StructType. Use this (never raw ``createDataFrame(list)``) for
     every bounded driver-side table — centroids, codebooks, manifests,
     greedy-selection results."""
-    struct = (
-        T._parse_datatype_string(schema) if isinstance(schema, str) else schema
-    )
+    # public DDL parser (Spark 3.4+) over the private
+    # T._parse_datatype_string, which can move on a Spark upgrade
+    struct = T.StructType.fromDDL(schema) if isinstance(schema, str) else schema
     arrays = []
     for i, field in enumerate(struct.fields):
         vals = [None if r[i] is None else r[i] for r in rows]

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 
 from ais_data_pipeline_spark.operators.util import spread_to_parallelism as _spread
+from ais_data_pipeline_spark.checkpointing import materialize
 
 
 def exact_dedup(
@@ -561,13 +562,13 @@ def near_dup_clusters(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("cluster_id", F.col("id"))
-        .localCheckpoint(eager=True)  # referenced 3x per round
+        .transform(materialize)  # referenced 3x per round
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -583,7 +584,7 @@ def near_dup_clusters(
                     F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         changed = (
             updated.join(labels.withColumnRenamed("cluster_id", "old"), "id")

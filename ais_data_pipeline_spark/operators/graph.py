@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ais_data_pipeline_spark.checkpointing import materialize
 
 
 def pagerank(
@@ -64,7 +65,7 @@ def pagerank(
     round. local[] and short-lived jobs keep the cheap variant."""
     e = edges.select(
         F.col(src).alias("__s"), F.col(dst).alias("__d")
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     deg = e.groupBy(F.col("__s").alias("__dn")).agg(
         F.count(F.lit(1)).alias("__outdeg")
     )
@@ -74,18 +75,18 @@ def pagerank(
     e_deg = (
         e.join(deg, F.col("__s") == F.col("__dn"))
         .select("__s", "__d", "__outdeg")
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     nodes = (
         e.select(F.col("__s").alias("node"))
         .unionAll(e.select(F.col("__d").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     ranks = nodes.select("node", F.lit(1.0).alias("pr"))
     for i in range(iters):
         if i > 0:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.transform(materialize)
         contribs = (
             ranks.join(e_deg, ranks.node == F.col("__s"))
             .select(
@@ -175,7 +176,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     executes up to five times. localCheckpoint over persist because the
     blocks are reclaimed by the ContextCleaner on GC — a query sweep
     calling this 150 times leaks no cache entries."""
-    edges = edges.localCheckpoint(eager=True)
+    edges = edges.transform(materialize)
     deg = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
@@ -204,7 +205,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
             .alias("__e")
         )
         .select("__e.u", "__e.v", "__e.dv")
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     w1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"), F.col("dv").alias("db"))
     w2 = e.select(F.col("u").alias("a"), F.col("v").alias("c"), F.col("dv").alias("dc"))

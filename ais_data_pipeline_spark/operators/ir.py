@@ -28,6 +28,7 @@ from pyspark.sql.window import Window
 
 from ais_data_pipeline_spark.operators.dedup import shingle_hashes_from_tokens
 from ais_data_pipeline_spark.operators.text import tokens_col
+from ais_data_pipeline_spark.checkpointing import materialize
 
 
 def bm25_topk(
@@ -56,7 +57,7 @@ def bm25_topk(
     # ContextCleaner, so a 150-query sweep accumulates no cache entries.
     # (Unreplicated executor-local blocks — for cluster fault tolerance
     # see the caveat on operators.graph.pagerank.)
-    dl = toks.select(id_col, F.size("__t").alias("__dl")).localCheckpoint(eager=True)
+    dl = toks.select(id_col, F.size("__t").alias("__dl")).transform(materialize)
     # filter to query terms BEFORE the shuffle: only matching postings move
     tf = (
         toks.select(F.col(id_col), F.explode("__t").alias("term"))
@@ -131,7 +132,7 @@ def inverted_index(
         docs.select(F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("term"))
         .groupBy("term", id_col)
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     stats = tf.groupBy("term").agg(
         F.count(F.lit(1)).alias("dfreq"), F.sum("tf").alias("total_tf")
@@ -139,7 +140,7 @@ def inverted_index(
     top = (
         stats.orderBy(F.desc("dfreq"), F.asc("term"))
         .limit(top_terms)
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     cut = Window.partitionBy("term").orderBy(F.asc(id_col))
     postings = (

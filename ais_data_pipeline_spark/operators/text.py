@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ais_data_pipeline_spark.checkpointing import materialize
 
 #: Tiny per-language stopword lists for the n-gram/stopword-ratio
 #: language heuristic. Public knowledge (most-frequent function words).
@@ -380,7 +381,7 @@ def dsir_domain_scores(
     # DAG form scanned the corpus three times).
     doc_counts = toks.groupBy(id_col, "__t", "__b").agg(
         F.count(F.lit(1)).alias("__c")
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     profile = doc_counts.groupBy("__b").agg(
         F.sum("__c").alias("__nr"),
         F.sum(F.col("__c") * F.col("__t").cast("long")).alias("__nt"),

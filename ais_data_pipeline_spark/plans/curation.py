@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from ais_data_pipeline_spark.observability import log
 from ais_data_pipeline_spark.operators.dedup import minhash_near_dup
 from ais_data_pipeline_spark.operators.text import quality_col
+from ais_data_pipeline_spark.checkpointing import materialize
 
 
 @dataclass(frozen=True)
@@ -34,6 +35,9 @@ class CurationResult:
     n_after_exact: int
     n_after_near_dup: int
     n_kept: int
+    #: per-stage whitespace-token totals (same stage keys as
+    #: ``stage_counts``); populated when ``count_tokens=True``
+    token_counts: dict[str, int] | None = None
 
     @property
     def stage_counts(self) -> dict[str, int]:
@@ -56,6 +60,7 @@ def run_curation(
     max_bucket_size: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    count_tokens: bool = False,
 ) -> CurationResult:
     """Run the curation chain and write the kept documents to
     ``out_path`` (zstd parquet via the session's codec conf). Returns
@@ -64,8 +69,25 @@ def run_curation(
 
     ``max_bucket_size`` is the boilerplate guard for the LSH stage —
     leave None for exact parity with the brute-force oracle, set it on
-    corpora with degenerate near-identical clusters."""
-    n_total = docs.count()
+    corpora with degenerate near-identical clusters.
+
+    ``count_tokens=True`` additionally reports per-stage whitespace-
+    token totals (``CurationResult.token_counts``) — the unit a
+    pretraining budget is written in. Cost: the count() each stage
+    already pays becomes a two-column agg on the same scan (map-side
+    partial, no extra pass)."""
+    from ais_data_pipeline_spark.operators.text import token_count
+
+    def measure(df: DataFrame) -> tuple[int, int | None]:
+        if not count_tokens:
+            return df.count(), None
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(token_count(F.col(text_col)).cast("long")).alias("t"),
+        ).first()
+        return row["n"], (row["t"] or 0)
+
+    n_total, tok_total = measure(docs)
 
     # stage 1: exact — only the ~few-% non-min ids materialize
     hashed = docs.select(id_col, F.md5(F.col(text_col).cast("binary")).alias("__h"))
@@ -74,7 +96,7 @@ def run_curation(
         hashed.join(keep_min, "__h")
         .filter(F.col(id_col) != F.col("__keep"))
         .select(id_col)
-        .localCheckpoint(eager=True)  # small: dup ids only
+        .transform(materialize)  # small: dup ids only
     )
     n_drop_exact = drop_exact.count()
     s1 = docs.join(F.broadcast(drop_exact), id_col, "left_anti")
@@ -93,7 +115,7 @@ def run_curation(
         )
         .select(F.col("doc_b").alias(id_col))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     n_drop_near = drop_near.count()
     s2 = s1.join(F.broadcast(drop_near), id_col, "left_anti")
@@ -106,15 +128,29 @@ def run_curation(
     # round(…,5) replicates quality_score's decision boundary exactly
     kept = s2.filter(F.round(quality_col(F.col(text_col)), 5) >= quality_threshold)
     kept.write.mode("overwrite").parquet(out_path)
-    n_kept = spark.read.parquet(out_path).count()
+    n_kept, tok_kept = measure(spark.read.parquet(out_path))
     log(
         "curation_quality",
         rows_in=n_total - n_drop_exact - n_drop_near,
         rows_kept=n_kept,
     )
+    token_counts = None
+    if count_tokens:
+        # survivor-stage token sums: one extra map-side agg each (the
+        # stage frames are otherwise only counted via their drop sets)
+        tok_expr = F.sum(token_count(F.col(text_col)).cast("long"))
+        tok_s1 = s1.agg(tok_expr).first()[0] or 0
+        tok_s2 = s2.agg(tok_expr).first()[0] or 0
+        token_counts = {
+            "00_total": tok_total,
+            "01_exact_dedup": tok_s1,
+            "02_near_dup": tok_s2,
+            "03_quality": tok_kept,
+        }
     return CurationResult(
         n_total=n_total,
         n_after_exact=n_total - n_drop_exact,
         n_after_near_dup=n_total - n_drop_exact - n_drop_near,
         n_kept=n_kept,
+        token_counts=token_counts,
     )

@@ -67,6 +67,7 @@ from pyspark.sql import functions as F
 from ais_data_pipeline_spark.localrel import local_df
 from ais_data_pipeline_spark.operators.joins import anti_join, dim_join, semi_join, top_k_per_group
 from ais_data_pipeline_spark.sources.parquet import read_table
+from ais_data_pipeline_spark.checkpointing import materialize
 
 
 @dataclass(frozen=True)
@@ -6641,13 +6642,13 @@ def q_curation_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # eager localCheckpoint, not persist: both stages are re-read by the
     # stage-count union below, and checkpoint blocks are GC-reclaimed —
     # the 150-query sweep accumulates no cache entries (persist leaks).
-    s1 = d.join(keep1.select("doc_id"), "doc_id").localCheckpoint(eager=True)
+    s1 = d.join(keep1.select("doc_id"), "doc_id").transform(materialize)
     drop = (
         ngram_jaccard_pairs(s1, threshold=0.5, n=3)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    s2 = s1.join(drop, "doc_id", "left_anti").localCheckpoint(eager=True)
+    s2 = s1.join(drop, "doc_id", "left_anti").transform(materialize)
     s3 = quality_score(s2).filter(F.col("quality") >= 0.65)
 
     def stage(name: str, df: DataFrame) -> DataFrame:
@@ -6747,6 +6748,133 @@ def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings")
     qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
     return mmr_topk(e.filter(F.col("vec_id") != 0), qv, k=5, pool=20, lam=0.7)
+
+
+@register(
+    "pretraining_pipeline_stats",
+    r"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, source, text,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(lower(trim(text)), '\s+')) END AS n_tokens
+      FROM documents
+    ), s1 AS (
+      SELECT t.* FROM tok t
+      JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k
+      USING (doc_id)
+    ), words AS (
+      SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+      FROM s1
+    ), sh3 AS (
+      SELECT doc_id, shingle
+      FROM words, UNNEST(
+        list_distinct(list_transform(
+          generate_series(1, greatest(len(toks) - 2, 0)),
+          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS u(shingle)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh3 GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh3 a JOIN sh3 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), near_dup AS (
+      SELECT DISTINCT doc_b AS doc_id
+      FROM pairs
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    ), s2 AS (
+      SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM near_dup)
+    ), scored AS (
+      SELECT s2.*,
+             round(
+               least(CAST(len(w.toks) AS DOUBLE) / 100.0, 1.0) * 0.4
+               + least(round(CAST(len(list_filter(w.toks, x -> x IN
+                   ('the','a','of','and','to','in','is','it','that','for')))
+                   AS DOUBLE) / greatest(len(w.toks), 1), 5) * 5.0, 1.0) * 0.3
+               + greatest(1.0 - round(CAST(length(s2.text)
+                   - length(regexp_replace(s2.text, '[^\w\s]', '', 'g')) AS DOUBLE)
+                   / greatest(length(s2.text), 1), 5) * 4.0, 0.0) * 0.3,
+             5) AS quality
+      FROM s2 JOIN words w USING (doc_id)
+    ), kept AS (
+      SELECT * FROM scored WHERE quality >= 0.65
+    ), counts AS (
+      SELECT source, count(*) AS n FROM kept GROUP BY 1
+    ), quotas AS (
+      SELECT source,
+             floor(100.0 * pow(CAST(n AS DOUBLE), 0.5)
+                   / sum(pow(CAST(n AS DOUBLE), 0.5)) OVER ()) AS quota
+      FROM counts
+    ), ranked AS (
+      SELECT source, doc_id, n_tokens,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)),
+                                         doc_id) AS rk
+      FROM kept
+    ), samp AS (
+      SELECT r.doc_id, r.n_tokens FROM ranked r JOIN quotas q USING (source)
+      WHERE rk <= quota
+    ), sized AS (
+      SELECT doc_id, doc_id % 8 AS shard, n_tokens,
+             row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+      FROM samp
+    ), packed AS (
+      SELECT shard, rn, doc_id, n_tokens,
+             CAST(0 AS BIGINT) AS bin_id, CAST(n_tokens AS BIGINT) AS fill
+      FROM sized WHERE rn = 1
+      UNION ALL
+      SELECT s.shard, s.rn, s.doc_id, s.n_tokens,
+             CASE WHEN p.fill > 0 AND p.fill + s.n_tokens > 256
+                  THEN p.bin_id + 1 ELSE p.bin_id END,
+             CASE WHEN p.fill > 0 AND p.fill + s.n_tokens > 256
+                  THEN CAST(s.n_tokens AS BIGINT) ELSE p.fill + s.n_tokens END
+      FROM sized s JOIN packed p ON s.shard = p.shard AND s.rn = p.rn + 1
+    ), shards AS (
+      SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8
+                  AS INTEGER) AS shard,
+             n_tokens
+      FROM samp
+    )
+    SELECT '00_total' AS stage, CAST(count(*) AS BIGINT) AS n_units,
+           CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens FROM tok
+    UNION ALL SELECT '01_exact_dedup', CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM s1
+    UNION ALL SELECT '02_near_dup', CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM s2
+    UNION ALL SELECT '03_quality', CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM kept
+    UNION ALL SELECT '04_mixture', CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM samp
+    UNION ALL SELECT '05_pack',
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM (SELECT DISTINCT shard, bin_id FROM packed)),
+           CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM packed
+    UNION ALL SELECT '06_shards', CAST(count(DISTINCT shard) AS BIGINT),
+           CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM shards
+    """,
+    "The TRAINING-DATA CAPSTONE as one composed plan "
+    "(plans/pretraining.py): curate (exact dedup -> LSH near-dup -> "
+    "quality) -> temperature-weighted mixture sample (share^0.5 "
+    "quotas, portable md5 rank) -> strict next-fit packing (256-token "
+    "bins) -> deterministic shard write (md5_60 % 8) with read-back "
+    "accounting. Reports (stage, n_units, n_tokens) — documents for "
+    "curation/mixture, bins for pack, non-empty shards for the shard "
+    "stage — with whitespace-token totals throughout. The oracle "
+    "re-derives the ENTIRE chain in SQL (dedup relation, quota table, "
+    "recursive next-fit fold, shard manifest), so a green row proves "
+    "the four-stage COMPOSITION end-to-end, including that the shard "
+    "write round-trips every sampled row.",
+)
+def q_pretraining_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.plans.pretraining import run_pretraining
+
+    d = read_table(spark, sf_dir, "documents")
+    res = run_pretraining(spark, d, _scratch_dir("pretrain_"), sample_k=100)
+    return local_df(
+        spark, res.stage_rows, "stage string, n_units bigint, n_tokens bigint"
+    )
 
 
 @register(

@@ -554,3 +554,88 @@ def test_local_df_arrow_relation_contract(spark):
     plan = buf.getvalue()
     for node in ("BatchEvalPython", "ArrowEvalPython", "Scan ExistingRDD"):
         assert node not in plan, node
+
+
+def test_reliable_checkpoint_switch(spark, sf_dir, tmp_path):
+    """set_reliable_checkpoints must flip every materialize() call site
+    to cluster-safe .checkpoint(eager=True): PageRank (an iterative
+    operator whose rounds truncate lineage) must write its checkpoint
+    files under the registered dir and return the SAME ranks as the
+    default local path."""
+    import glob as _glob
+
+    from ais_data_pipeline_spark import checkpointing as ckpt
+    from ais_data_pipeline_spark.operators.graph import pagerank
+    from ais_data_pipeline_spark.sources.parquet import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
+    ).limit(2000)
+
+    local_rows = sorted(
+        pagerank(edges, iters=2).collect(), key=lambda r: r[0]
+    )
+
+    ckpt_dir = str(tmp_path / "reliable_ckpt")
+    try:
+        ckpt.set_reliable_checkpoints(spark, ckpt_dir)
+        assert ckpt.reliable_checkpoints_enabled()
+        reliable_rows = sorted(
+            pagerank(edges, iters=2).collect(), key=lambda r: r[0]
+        )
+    finally:
+        ckpt.set_local_checkpoints()
+    assert not ckpt.reliable_checkpoints_enabled()
+
+    assert [tuple(r) for r in local_rows] == [tuple(r) for r in reliable_rows]
+    # the reliable path actually wrote RDD checkpoint files to the dir
+    assert _glob.glob(ckpt_dir + "/*/rdd-*"), "no checkpoint files written"
+
+
+def test_staged_swap_crash_recovery(tmp_path):
+    """fsutil.recover_staged_swap must repair every crash window of the
+    compactors' two-rename swap: stale stage (pre-swap crash), missing
+    live with complete stage (mid-swap crash), and leftover _old
+    (post-swap crash)."""
+    import os
+
+    from ais_data_pipeline_spark.fsutil import recover_staged_swap, staged_swap
+
+    def mk(path, marker):
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, marker), "w") as f:
+            f.write("x")
+
+    # window A: crash BEFORE the swap — live intact, stale stage
+    live, stage = str(tmp_path / "a"), str(tmp_path / "a_compact")
+    mk(live, "live"), mk(stage, "stage")
+    recover_staged_swap(live, stage)
+    assert os.path.exists(os.path.join(live, "live")) and not os.path.exists(stage)
+
+    # window B: crash BETWEEN the renames — no live, complete stage + _old
+    live, stage = str(tmp_path / "b"), str(tmp_path / "b_compact")
+    mk(live + "_old", "old"), mk(stage, "stage")
+    recover_staged_swap(live, stage)
+    assert os.path.exists(os.path.join(live, "stage"))  # stage promoted
+    assert not os.path.exists(live + "_old") and not os.path.exists(stage)
+
+    # window C: crash AFTER the swap — live intact, leftover _old
+    live, stage = str(tmp_path / "c"), str(tmp_path / "c_compact")
+    mk(live, "live"), mk(live + "_old", "old")
+    recover_staged_swap(live, stage)
+    assert os.path.exists(os.path.join(live, "live"))
+    assert not os.path.exists(live + "_old")
+
+    # degenerate: stage lost mid-swap — the pre-swap copy restores
+    live, stage = str(tmp_path / "d"), str(tmp_path / "d_compact")
+    mk(live + "_old", "old")
+    recover_staged_swap(live, stage)
+    assert os.path.exists(os.path.join(live, "old"))
+
+    # and the happy path still swaps
+    live, stage = str(tmp_path / "e"), str(tmp_path / "e_compact")
+    mk(live, "v1"), mk(stage, "v2")
+    staged_swap(live, stage)
+    assert os.path.exists(os.path.join(live, "v2"))
+    assert not os.path.exists(live + "_old") and not os.path.exists(stage)

@@ -15,9 +15,14 @@ near-duplicates (doc_id%50==2 re-rolls every 17th token of id-2:
 so each stage's removal count has a known expectation to sanity-check
 against. Default 3M docs ≈ 4.4 GiB of raw text, cached under /tmp.
 
-Runs in its OWN JVM so the heap cap is real. Usage:
-python tools/curation_at_scale.py  (env: SPARK_GRAFT_CURATION_DOCS,
-SPARK_GRAFT_SCALE_HEAP default 4g)
+Runs in its OWN JVM so the heap cap is real. Corpus generation runs in
+a SEPARATE, uncapped JVM first (``--generate`` self-invocation): the
+round-6 driver run generated the 1.7 GiB corpus inside the capped
+session and the combined footprint OOMed the measured run — the cap is
+a claim about the CURATION stages, not about fixture generation.
+
+Usage: python tools/curation_at_scale.py  (env:
+SPARK_GRAFT_CURATION_DOCS, SPARK_GRAFT_SCALE_HEAP default 4g)
 """
 
 from __future__ import annotations
@@ -25,6 +30,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -67,7 +73,36 @@ def generate_corpus(spark, path: str, n_docs: int) -> None:
     )
 
 
+def _generate_main() -> None:
+    """Corpus-generation leg: its own (uncapped, 8g) JVM, exits after
+    the write. Kept out of the capped measured session so fixture
+    generation can never eat the headroom the curation stages are
+    being graded on."""
+    os.environ["SPARK_DRIVER_MEMORY"] = os.environ.get(
+        "SPARK_GRAFT_CURATION_GEN_HEAP", "8g"
+    )
+    from ais_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="curation_at_scale_generate")
+    spark.sparkContext.setLogLevel("ERROR")
+    generate_corpus(spark, f"/tmp/ais_scale_curation_{DOCS}", DOCS)
+    spark.stop()
+
+
 def main() -> None:
+    corpus = f"/tmp/ais_scale_curation_{DOCS}"
+    if not glob.glob(os.path.join(corpus, "*.parquet")):
+        # cold cache: generate in a separate uncapped JVM, then start
+        # the capped measured session
+        gen = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--generate"],
+            timeout=1200,
+        )
+        if gen.returncode != 0 or not glob.glob(os.path.join(corpus, "*.parquet")):
+            raise RuntimeError(
+                f"corpus generation failed (rc={gen.returncode})"
+            )
+
     os.environ["SPARK_DRIVER_MEMORY"] = HEAP
     from pyspark.sql import functions as F
 
@@ -76,12 +111,30 @@ def main() -> None:
     from ais_data_pipeline_spark.session import get_spark
     from tools.pipeline_at_scale import _HeapPoller
 
-    spark = get_spark(app_name="curation_at_scale")
+    # Headroom confs (round-6 verdict: the near-dup stage peaked at 98%
+    # of the 4g cap — one allocator hiccup from OOM, and the driver's
+    # r6 run DID OOM). All four are pure memory/granularity knobs —
+    # stage results are identical:
+    # - 128 shuffle partitions quarter the per-task hash-agg/join
+    #   footprint of the band-row and shingle-verify shuffles;
+    # - 32 MiB input splits bound how much raw text one scan task owns;
+    # - columnarReaderBatchSize 1024 (from 4096) quarters the resident
+    #   decoded-text column vectors per scan task — the r6-style OOM's
+    #   actual allocation site was the vectorized parquet reader
+    #   reserving contiguous string buffers across 32 concurrent tasks;
+    # - memory.fraction 0.5 (from 0.6) makes execution spill earlier,
+    #   reserving more heap for those unmanaged reader allocations.
+    spark = get_spark(
+        app_name="curation_at_scale",
+        shuffle_partitions=128,
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024),
+            "spark.sql.parquet.columnarReaderBatchSize": "1024",
+            "spark.memory.fraction": "0.5",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
-    corpus = f"/tmp/ais_scale_curation_{DOCS}"
-    if not glob.glob(os.path.join(corpus, "*.parquet")):
-        generate_corpus(spark, corpus, DOCS)
     parquet_bytes = sum(
         os.path.getsize(p) for p in glob.glob(os.path.join(corpus, "*.parquet"))
     )
@@ -166,4 +219,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--generate" in sys.argv[1:]:
+        _generate_main()
+    else:
+        main()
