@@ -53,16 +53,18 @@ def pagerank(
     reclaimed by Spark's ContextCleaner when the frames are
     garbage-collected — no persist leak across a long query sweep.
 
-    Reliability caveat (applies to every eager-localCheckpoint operator
+    Reliability caveat (applies to every lineage-truncating operator
     in this repo — also dedup.near_dup_clusters, ir.bm25_topk /
-    inverted_index, the curation pipeline): localCheckpoint stores
-    UNREPLICATED executor-local blocks with the lineage cut, so on a
-    multi-executor cluster losing an executor mid-job makes the frames
-    unrecoverable and fails the job. For fault-tolerant cluster runs,
-    set a checkpoint dir (``sc.setCheckpointDir`` on HDFS/object store)
-    and swap in reliable ``.checkpoint(eager=True)`` — same truncation
+    inverted_index, the curation pipeline): the default local
+    checkpoint stores UNREPLICATED executor-local blocks with the
+    lineage cut, so on a multi-executor cluster losing an executor
+    mid-job makes the frames unrecoverable and fails the job. For
+    fault-tolerant cluster runs, call
+    ``checkpointing.set_reliable_checkpoints(spark, dir)`` once at job
+    start (dir on HDFS/object store): every truncation site in the
+    package switches to reliable ``.checkpoint(eager=True)`` — same
     semantics, survives executor loss, at the cost of a write per
-    round. local[] and short-lived jobs keep the cheap variant."""
+    round. local[] and short-lived jobs keep the cheap default."""
     e = edges.select(
         F.col(src).alias("__s"), F.col(dst).alias("__d")
     ).transform(materialize)

@@ -90,76 +90,72 @@ def register(name: str, oracle: str | None, description: str):
 
 
 # The driver checks only the FIRST 50 registry entries per round, so
-# registry order decides which queries get a CORRECTNESS row. Round-6
-# window (the round-5 verdict's rotation plan): (a) the 13 queries
-# with no driver row yet — the two PQ queries deferred from round 5
-# plus the eleven NEW this round (incremental_dedup_stats,
-# ivfpq_rerank_topk, incremental_embedding_dedup_stats,
-# embedding_topk_filtered, cluster_best_representative,
-# streaming_ivf_ingest_topk, mmr_diverse_topk,
-# training_shard_manifest, semdedup_stats, frame_embedding_topk,
-# dsir_domain_scores); (b) the 3 r2-dated zero-churn projections
-# deferred last round; (c) 34 of the 49 queries whose latest driver
-# row is round 3. Fifteen r3-dated queries don't fit the 50-slot cap
-# and rotate into the round-7 window: sample_seeded (rows-only by
-# design — a driver row adds the least), plus fourteen zero-churn
-# queries still oracle-checked by pytest every run (null_counts,
-# profile_min_max, horizontal_predicates, event_type_pivot,
-# token_counts, lag_lead_events, map_from_json_props, ngram_profile,
-# distinct_pairs, topk_orders, zorder_values,
-# top_customer_per_nation, text_quality, text_normalize). After the
-# r6 sweep every other query's latest driver row is r4+.
+# registry order decides which queries get a CORRECTNESS row. Round-7
+# window (the round-6 verdict's rotation plan): (a) the queries NEW
+# this round with no driver row yet (pretraining_pipeline_stats —
+# the composed training-data capstone); (b) all 15 r3-dated rows the
+# round-6 verdict named (sample_seeded rows-only by design, plus the
+# fourteen zero-churn queries still oracle-checked by pytest every
+# run); (c) 34 of the 50 queries whose latest driver row is round 4,
+# alphabetical order. The 16 remaining r4-dated rows don't fit the
+# 50-slot cap and lead the round-8 window (the verdict's "nothing
+# older than r5 after r7" can't be met exactly with 65 stale rows and
+# 50 slots; the leftover is r4, one round inside the 3-round
+# freshness bound the r6 verdict applied).
 _FRONT_WINDOW: list[str] = [
-    "pq_adc_topk",
-    "ivfpq_index_topk",
-    "incremental_dedup_stats",
-    "ivfpq_rerank_topk",
-    "incremental_embedding_dedup_stats",
-    "streaming_ivf_ingest_topk",
-    "embedding_topk_filtered",
-    "cluster_best_representative",
-    "mmr_diverse_topk",
-    "training_shard_manifest",
-    "semdedup_stats",
-    "frame_embedding_topk",
-    "dsir_domain_scores",
-    "scan_project_filter",
-    "string_functions",
-    "date_functions",
-    "ann_index_topk",
-    "approx_quantiles",
-    "array_agg_user_types",
-    "asof_last_click",
-    "audio_meta",
-    "bag_fingerprint",
-    "date_parse_lenient",
-    "dedup_exact",
-    "embedding_near_dup_exact",
-    "embedding_near_dup_lsh",
-    "embedding_topk",
-    "embedding_topk_lsh",
-    "event_pairs_5min",
-    "incremental_rollup_merge",
-    "ivf_index_topk",
-    "lang_id",
-    "late_ship_priority",
-    "latest_event_per_user",
-    "media_type_route",
-    "minhash_near_dup",
-    "moving_avg_customer",
-    "multimodal_meta",
-    "near_dup_clusters",
-    "ngram_jaccard_pairs",
-    "null_token_normalize",
-    "q1_pricing_summary",
-    "quantiles_quantity",
-    "revenue_by_nation",
-    "semi_anti_customers",
-    "sessionize_events",
-    "set_ops_segments",
-    "small_qty_revenue",
-    "stream_stream_join",
-    "subsequence_best_match",
+    # (a) new this round
+    "pretraining_pipeline_stats",
+    # (b) the 15 r3-dated rows
+    "distinct_pairs",
+    "event_type_pivot",
+    "horizontal_predicates",
+    "lag_lead_events",
+    "map_from_json_props",
+    "ngram_profile",
+    "null_counts",
+    "profile_min_max",
+    "sample_seeded",
+    "text_normalize",
+    "text_quality",
+    "token_counts",
+    "top_customer_per_nation",
+    "topk_orders",
+    "zorder_values",
+    # (c) oldest r4-dated rows, alphabetical
+    "asof_next_purchase",
+    "blocking_suppliers",
+    "bm25_top_docs",
+    "bracket_revenue",
+    "cms_heavy_hitters",
+    "cohort_retention",
+    "cross_doc_repeated_spans",
+    "cumulative_unique_users",
+    "curation_pipeline_stats",
+    "doc_chunking",
+    "doc_repetition_stats",
+    "dominant_supplier_part",
+    "embedding_quantize_int8",
+    "fuzzy_name_pairs",
+    "important_parts_share",
+    "incremental_join_view",
+    "inverted_index_postings",
+    "kmeans_ivf_centroids",
+    "market_share",
+    "min_cost_supplier_per_part",
+    "mixture_sample_docs",
+    "ngram_contamination",
+    "orc_roundtrip_agg",
+    "part_pagerank",
+    "pii_scrub_docs",
+    "profit_by_nation_year",
+    "promo_revenue_share",
+    "returned_revenue",
+    "revenue_mom_change",
+    "rich_idle_customers",
+    "rolling_1h_user_stats",
+    "rolling_zscore_anomaly",
+    "schema_evolution_merge",
+    "sequence_packing",
 ]
 
 

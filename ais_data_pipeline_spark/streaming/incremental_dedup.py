@@ -223,9 +223,7 @@ def dedup_batch_against_index(
     # feats / band rows are referenced several times below; a batch is
     # micro-batch-sized, so eager localCheckpoint pins them once
     # (blocks GC-reclaimed; see graph.pagerank for the cluster caveat)
-    feats = _features(batch_df, text_col, id_col, shingle_n).localCheckpoint(
-        eager=True
-    )
+    feats = _features(batch_df, text_col, id_col, shingle_n).transform(materialize)
     bands_b = minhash_band_rows(
         batch_df, n_hashes, bands, text_col, id_col, shingle_n, seed
     ).transform(materialize)
@@ -427,9 +425,7 @@ def dedup_embedding_batch_against_index(
         F.col(id_col).alias("vec_id"),
         _as_double_array(F.col(vec_col)).alias("v"),
         lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
-    ).withColumn("n", F.sqrt(_dot(F.col("v"), F.col("v")))).localCheckpoint(
-        eager=True
-    )
+    ).withColumn("n", F.sqrt(_dot(F.col("v"), F.col("v")))).transform(materialize)
 
     def verified_drops(pairs: DataFrame) -> DataFrame:
         # pairs: (vec_id, v, n, other_v, other_n) — drops on any match
@@ -612,9 +608,7 @@ def run_incremental_dedup(
         )
         _write_slice(survivors, out_path, batch_id)
         # written twice (hashes + shingles): pin once per batch
-        feats = _features(survivors, text_col, id_col, shingle_n).localCheckpoint(
-            eager=True
-        )
+        feats = _features(survivors, text_col, id_col, shingle_n).transform(materialize)
         _write_slice(
             feats.select("doc", "text_hash"),
             os.path.join(index_path, "hashes"),

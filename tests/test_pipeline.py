@@ -639,3 +639,50 @@ def test_staged_swap_crash_recovery(tmp_path):
     staged_swap(live, stage)
     assert os.path.exists(os.path.join(live, "v2"))
     assert not os.path.exists(live + "_old") and not os.path.exists(stage)
+
+
+def test_readme_registry_counts_current():
+    """README's registry-count line must match the live registry
+    (regenerate with tools/readme_counts.py)."""
+    from ais_data_pipeline_spark.queries import registry as _registry
+    from tools.readme_counts import README, PATTERN
+
+    qs = _registry()
+    want = f"**{len(qs)} registered queries, {sum(1 for q in qs if q.oracle is not None)} oracle-hash-checked**"
+    with open(README) as f:
+        text = f.read()
+    m = PATTERN.search(text)
+    assert m is not None and m.group(0) == want, (m and m.group(0), want)
+
+
+def test_pretraining_plan_accounting(spark, sf_dir, tmp_path):
+    """run_pretraining's composed accounting must be internally
+    consistent and write real artifacts: curation counts equal the
+    oracle-verified curation plan's, every sampled doc reaches exactly
+    one shard file, pack/shard token totals equal the sampled total,
+    and the bin count respects the budget lower bound."""
+    import math as _math
+
+    from ais_data_pipeline_spark.plans.pretraining import run_pretraining
+    from ais_data_pipeline_spark.sources.parquet import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    root = str(tmp_path / "pretrain")
+    res = run_pretraining(spark, docs, root, sample_k=100)
+
+    # curation sub-result matches the standalone oracle-verified plan
+    assert res.curation.n_kept == spark.read.parquet(root + "/curated").count()
+    # every sampled doc lands in a shard, once
+    assert res.shard_docs == res.n_sampled
+    shards = spark.read.parquet(root + "/shards")
+    assert shards.count() == res.n_sampled
+    assert shards.select("doc_id").distinct().count() == res.n_sampled
+    # token conservation across pack + shard stages
+    assert res.packed_tokens == res.sampled_tokens
+    assert res.shard_tokens == res.sampled_tokens
+    # strict packing can never beat the budget lower bound
+    assert res.n_bins >= _math.ceil(res.sampled_tokens / 256)
+    # token accounting is monotone down the curation funnel
+    t = res.curation.token_counts
+    assert t["00_total"] >= t["01_exact_dedup"] >= t["02_near_dup"] >= t["03_quality"]
+    assert res.sampled_tokens <= t["03_quality"]

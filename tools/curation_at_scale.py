@@ -129,8 +129,14 @@ def main() -> None:
         shuffle_partitions=128,
         extra_conf={
             "spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024),
-            "spark.sql.parquet.columnarReaderBatchSize": "1024",
-            "spark.memory.fraction": "0.5",
+            "spark.sql.parquet.columnarReaderBatchSize": "512",
+            "spark.memory.fraction": "0.45",
+            # G1: keep 15% of regions free for evacuation and start
+            # concurrent marking earlier — trims the floating-garbage
+            # component of peak used-heap under a tight cap
+            "spark.driver.extraJavaOptions": (
+                "-XX:G1ReservePercent=15 -XX:InitiatingHeapOccupancyPercent=35"
+            ),
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
