@@ -199,6 +199,34 @@ def mixture_sample(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    n_per_stratum: int,
+    strata_col: str = "stratum",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Fixed-quota stratified sampling: exactly ``n_per_stratum`` rows
+    from every stratum (fewer if the stratum is smaller), members
+    picked by the engine-portable md5(seed, id) rank — the
+    quality-balanced-subset primitive (sample N docs per quality
+    decile / language / domain bucket) next to ``mixture_sample``'s
+    proportional share^alpha quotas.
+
+    Deterministic under any partitioning (pure function of the key
+    set); plan is one rank window per stratum — a single shuffle on
+    ``strata_col``, no quota table needed since the quota is a
+    constant. Returns the sampled rows (all input columns).
+    """
+    h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    rk = Window.partitionBy(strata_col).orderBy(h, F.col(id_col))
+    return (
+        df.withColumn("__rk", F.row_number().over(rk))
+        .filter(F.col("__rk") <= n_per_stratum)
+        .drop("__rk")
+    )
+
+
 def dataset_split(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -186,7 +186,7 @@ def frame_sample_plan(
 
 
 def frame_embedding_col(
-    id_col=None, frame_col=None, dim: int = 8
+    id_col=None, frame_col=None, dim: int = 8, prefix: str = ""
 ):
     """Deterministic per-frame embedding STUB: dim doubles in [-1, 1)
     derived from md5(doc:frame:j) — the stand-in for a real
@@ -203,7 +203,11 @@ def frame_embedding_col(
     h = first 15 hex digits of md5 as a 60-bit int, then
     ``(double(h) / 2^60) * 2.0 - 1.0`` — the int→double rounding and
     the power-of-two division are identical IEEE ops in Spark, Python,
-    and DuckDB, so a SQL oracle replays the vectors bit-for-bit."""
+    and DuckDB, so a SQL oracle replays the vectors bit-for-bit.
+
+    ``prefix`` namespaces the hash key (e.g. ``"c:"`` for text-chunk
+    embeddings) so two stub encoders over the same (id, index) space
+    don't produce the identical vector set."""
     from pyspark.sql import functions as F
 
     id_col = id_col if id_col is not None else F.col("doc_id")
@@ -212,7 +216,11 @@ def frame_embedding_col(
     for j in range(dim):
         h = F.conv(
             F.substring(
-                F.md5(F.format_string("%d:%d:" + str(j), id_col, frame_col)), 1, 15
+                F.md5(
+                    F.format_string(prefix + "%d:%d:" + str(j), id_col, frame_col)
+                ),
+                1,
+                15,
             ),
             16,
             10,

@@ -91,13 +91,14 @@ def register(name: str, oracle: str | None, description: str):
 
 # The driver checks only the FIRST 50 registry entries per round, so
 # registry order decides which queries get a CORRECTNESS row. Round-7
-# window (the round-6 verdict's rotation plan): (a) the queries NEW
-# this round with no driver row yet (pretraining_pipeline_stats —
-# the composed training-data capstone); (b) all 15 r3-dated rows the
-# round-6 verdict named (sample_seeded rows-only by design, plus the
-# fourteen zero-churn queries still oracle-checked by pytest every
-# run); (c) 34 of the 50 queries whose latest driver row is round 4,
-# alphabetical order. The 16 remaining r4-dated rows don't fit the
+# window (the round-6 verdict's rotation plan): (a) the 3 queries NEW
+# this round with no driver row yet (pretraining_pipeline_stats — the
+# composed training-data capstone — plus rag_chunk_index_topk and
+# stratified_quality_sample); (b) all 15 r3-dated rows the round-6
+# verdict named (sample_seeded rows-only by design, plus the fourteen
+# zero-churn queries still oracle-checked by pytest every run);
+# (c) 32 of the 50 queries whose latest driver row is round 4,
+# alphabetical order. The 18 remaining r4-dated rows don't fit the
 # 50-slot cap and lead the round-8 window (the verdict's "nothing
 # older than r5 after r7" can't be met exactly with 65 stale rows and
 # 50 slots; the leftover is r4, one round inside the 3-round
@@ -105,6 +106,8 @@ def register(name: str, oracle: str | None, description: str):
 _FRONT_WINDOW: list[str] = [
     # (a) new this round
     "pretraining_pipeline_stats",
+    "rag_chunk_index_topk",
+    "stratified_quality_sample",
     # (b) the 15 r3-dated rows
     "distinct_pairs",
     "event_type_pivot",
@@ -154,8 +157,6 @@ _FRONT_WINDOW: list[str] = [
     "rich_idle_customers",
     "rolling_1h_user_stats",
     "rolling_zscore_anomaly",
-    "schema_evolution_merge",
-    "sequence_packing",
 ]
 
 
@@ -6871,6 +6872,178 @@ def q_pretraining_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return local_df(
         spark, res.stage_rows, "stage string, n_units bigint, n_tokens bigint"
     )
+
+
+def _rag_oracle(n_planes: int = 8, dim: int = 8, seed: int = 42, k: int = 10,
+                multiprobe_bits: int = 2) -> str:
+    """Oracle for the RAG composition: re-derives the chunk fan-out
+    (doc_chunking's CTE), every stub-embedding component (md5_60
+    formula, 'c:' namespace), each chunk's LSH bucket from the seeded
+    hyperplane literals, the Hamming-ball probe set, and the exact
+    cosine re-rank — the full text→chunk→embed→index→top-k chain in
+    SQL."""
+    from ais_data_pipeline_spark.operators.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(dim, n_planes, seed)
+
+    def bucket(v: str) -> str:
+        return _bucket_sql(planes, v)
+
+    comp = (
+        "(CAST(('0x' || substr(md5('c:' || CAST(doc_id AS VARCHAR) || ':' || "
+        "CAST(chunk_index AS VARCHAR) || ':{j}'), 1, 15))::BIGINT AS DOUBLE)"
+        " / CAST(1152921504606846976 AS DOUBLE) * 2.0 - 1.0)"
+    )
+    vec = "[" + ", ".join(comp.format(j=j) for j in range(dim)) + "]"
+    return rf"""
+    WITH chunks AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS chunk_index
+      FROM (
+        SELECT doc_id,
+               greatest(1, CAST(ceil((
+                 (CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(regexp_split_to_array(lower(trim(text)), '\s+')) END)
+                 - 8) / 24.0) AS INT)) AS n_chunks
+        FROM documents WHERE doc_id < 100
+      ) s, UNNEST(generate_series(0, n_chunks - 1)) AS u(i)
+    ), emb AS (
+      SELECT doc_id, chunk_index, {vec} AS v
+      FROM chunks
+    ), q AS (
+      SELECT v AS qv FROM emb WHERE doc_id = 0 AND chunk_index = 0
+    ), qb AS (
+      SELECT ({bucket("qv")}) AS b FROM q
+    ), cand AS (
+      SELECT e.doc_id, e.chunk_index, e.v, ({bucket("e.v")}) AS eb
+      FROM emb e WHERE NOT (e.doc_id = 0 AND e.chunk_index = 0)
+    )
+    SELECT c.doc_id, c.chunk_index,
+           round(list_dot_product(c.v, q.qv)
+                 / (sqrt(list_dot_product(c.v, c.v))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos_sim
+    FROM cand c, q, qb
+    WHERE bit_count(xor(c.eb, qb.b)) <= {multiprobe_bits}
+    ORDER BY cos_sim DESC, c.doc_id ASC, c.chunk_index ASC
+    LIMIT {k}
+    """
+
+
+@register(
+    "rag_chunk_index_topk",
+    _rag_oracle(),
+    "RAG ingestion end-to-end as ONE verified composition: documents "
+    "-> overlapping 32-token chunks (chunk_documents) -> per-chunk "
+    "stub embedding inside whole-stage codegen (md5_60 formula, 'c:' "
+    "namespace — swap for a Pandas-UDF encoder and nothing downstream "
+    "changes) -> a REAL persisted bucket-partitioned ANN index "
+    "(build_ann_index, scratch dir) -> multi-probe partition-pruned "
+    "top-10 (cosine_topk_indexed, Hamming radius 2). Chunk identity "
+    "rides a composite chunk_id = doc_id*100000 + chunk_index through "
+    "the index and is decomposed on output. The oracle re-derives the "
+    "entire chain in SQL, so a green row proves the chunker, the "
+    "embedding, the bucket assignment, the probe set, AND the re-rank "
+    "agree end-to-end.",
+)
+def q_rag_chunk_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from ais_data_pipeline_spark.operators.corpus import chunk_documents
+    from ais_data_pipeline_spark.operators.multimodal import frame_embedding_col
+    from ais_data_pipeline_spark.operators.similarity import (
+        build_ann_index,
+        cosine_topk_indexed,
+    )
+
+    d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    emb = (
+        chunk_documents(d, chunk_tokens=32, overlap=8)
+        .select("doc_id", F.col("chunk_index").cast("bigint").alias("chunk_index"))
+        .withColumn(
+            "embedding",
+            frame_embedding_col(F.col("doc_id"), F.col("chunk_index"), prefix="c:"),
+        )
+        .withColumn(
+            "chunk_id", F.col("doc_id") * F.lit(100_000) + F.col("chunk_index")
+        )
+    )
+    path = _scratch_dir("rag_") + "/chunks"
+    build_ann_index(emb, path, n_planes=8)
+
+    def py_emb(doc: int, chunk: int, dim: int = 8) -> list[float]:
+        out = []
+        for j in range(dim):
+            h = int(hashlib.md5(f"c:{doc}:{chunk}:{j}".encode()).hexdigest()[:15], 16)
+            out.append(float(h) / float(2**60) * 2.0 - 1.0)
+        return out
+
+    top = cosine_topk_indexed(
+        spark,
+        path,
+        py_emb(0, 0),
+        k=10,
+        id_col="chunk_id",
+        n_planes=8,
+        multiprobe_bits=2,
+        pre_filter=F.col("chunk_id") != 0,
+    )
+    return top.select(
+        (F.col("chunk_id") / 100_000).cast("bigint").alias("doc_id"),
+        (F.col("chunk_id") % 100_000).cast("bigint").alias("chunk_index"),
+        "cos_sim",
+    )
+
+
+@register(
+    "stratified_quality_sample",
+    r"""
+    WITH feats AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks,
+             text
+      FROM documents
+    ), scored AS (
+      SELECT doc_id,
+             round(
+               least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
+               + least(round(CAST(len(list_filter(toks, x -> x IN
+                   ('the','a','of','and','to','in','is','it','that','for')))
+                   AS DOUBLE) / greatest(len(toks), 1), 5) * 5.0, 1.0) * 0.3
+               + greatest(1.0 - round(CAST(length(text)
+                   - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
+                   / greatest(length(text), 1), 5) * 4.0, 0.0) * 0.3,
+             5) AS quality
+      FROM feats
+    ), strat AS (
+      SELECT doc_id, CAST(least(floor(quality * 10), 9) AS INT) AS stratum
+      FROM scored
+    ), r AS (
+      SELECT stratum, doc_id,
+             row_number() OVER (PARTITION BY stratum
+                                ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)),
+                                         doc_id) AS rk
+      FROM strat
+    )
+    SELECT stratum, doc_id FROM r WHERE rk <= 10
+    """,
+    "Quality-balanced subset selection: composite quality score -> "
+    "decile stratum (floor(q*10) capped at 9) -> EXACTLY 10 docs per "
+    "stratum by the engine-portable md5(seed,id) rank "
+    "(corpus.stratified_sample). The fixed-quota counterpart of "
+    "mixture_sample's share^alpha quotas — the primitive for building "
+    "quality-balanced eval/ablation sets. One shuffle on the stratum "
+    "key; deterministic under any partitioning; the oracle re-derives "
+    "score, stratum, and rank.",
+)
+def q_stratified_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.corpus import stratified_sample
+    from ais_data_pipeline_spark.operators.text import quality_score
+
+    d = read_table(spark, sf_dir, "documents")
+    s = quality_score(d).withColumn(
+        "stratum", F.least(F.floor(F.col("quality") * 10), F.lit(9)).cast("int")
+    )
+    return stratified_sample(s, 10, strata_col="stratum").select("stratum", "doc_id")
 
 
 @register(

@@ -192,6 +192,21 @@ def main() -> None:
         t3 = time.perf_counter()
     dt = t3 - t0
 
+    # Post-run LIVE set: peak USED heap under a tight cap is dominated
+    # by G1 floating garbage (used floats to ~94% of ANY cap before
+    # mixed collections — measured identically at 4g with 32 and 24
+    # task threads). The margin that actually guards against OOM is
+    # live data + transient allocations, so report used-after-full-GC
+    # alongside the raw peak.
+    jvm = spark._jvm
+    jvm.java.lang.System.gc()
+    time.sleep(1.0)
+    live = (
+        jvm.java.lang.management.ManagementFactory.getMemoryMXBean()
+        .getHeapMemoryUsage()
+        .getUsed()
+    )
+
     print(
         json.dumps(
             {
@@ -218,6 +233,7 @@ def main() -> None:
                 "text_mib_per_sec": round(text_bytes / 2**20 / dt, 1),
                 "heap_cap": HEAP,
                 "peak_heap_mib": poller.peak_mib,
+                "post_gc_live_mib": round(live / 2**20, 1),
             }
         )
     )

@@ -45,37 +45,61 @@ def main() -> None:
         build_dedup_index,
         dedup_batch_against_index,
     )
-    from tools.scaling_probe import gen_documents
+    from tools.curation_at_scale import generate_corpus
 
     spark = get_spark(app_name="incdedup_throughput")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Corpus: the curation tool's xxhash generator — per-doc UNIQUE
+    # text (token = xxhash64(doc, pos) over a 30k vocab) with 2% exact
+    # + 2% near planted dups. (tools/scaling_probe.gen_documents is
+    # unusable here: its text is a pure function of id % 1000, so a
+    # 500k-doc "corpus" holds only 1000 distinct texts and every probe
+    # batch collapses into degenerate all-dup buckets.) The extra
+    # batch-pool tail past INDEX_DOCS provides fresh never-indexed
+    # docs for the survive path.
+    pool = max(BATCHES)
+    corpus_path = f"/tmp/ais_incdedup_tp_corpus_{INDEX_DOCS}_{pool}"
+    import glob as _glob
+
+    if not _glob.glob(os.path.join(corpus_path, "*.parquet")):
+        generate_corpus(spark, corpus_path, INDEX_DOCS + pool)
+    docs = spark.read.parquet(corpus_path)
+
     root = tempfile.mkdtemp(prefix="ais_incdedup_tp_")
     idx = os.path.join(root, "index")
-    corpus = gen_documents(spark, INDEX_DOCS)
     t0 = time.perf_counter()
-    build_dedup_index(corpus, idx)
+    build_dedup_index(docs.filter(F.col("doc_id") < INDEX_DOCS), idx)
     build_sec = round(time.perf_counter() - t0, 1)
 
     results = []
     for b in BATCHES:
-        # half the batch copies history texts (ids 0..b/2 → drop), half
-        # is fresh (ids INDEX_DOCS.. → survive); doc_ids offset past any
-        # real id so survivor accounting is unambiguous
+        # half the batch copies indexed texts (ids 0..b/2 → drop via
+        # the index probe), half is fresh never-indexed text (ids
+        # INDEX_DOCS.. → survive, minus the generator's own ~4%
+        # planted within-batch dups); doc_ids offset past any real id
+        # so survivor accounting is unambiguous
         half = b // 2
-        copies = gen_documents(spark, half)
-        fresh = (
-            gen_documents(spark, INDEX_DOCS + (b - half))
-            .filter(F.col("doc_id") >= INDEX_DOCS)
-        )
         batch = (
-            copies.unionAll(fresh)
+            docs.filter(
+                (F.col("doc_id") < half)
+                | (
+                    (F.col("doc_id") >= INDEX_DOCS)
+                    & (F.col("doc_id") < INDEX_DOCS + (b - half))
+                )
+            )
             .withColumn("doc_id", F.col("doc_id") + 1_000_000_000)
             .localCheckpoint(eager=True)  # fixture cost out of the timing
         )
         text_bytes = batch.agg(F.sum(F.length("text"))).first()[0]
         t0 = time.perf_counter()
-        survivors = dedup_batch_against_index(batch, idx).count()
+        # max_bucket_size: the documented quadratic-blowup guard stays
+        # on in any production probe (exact dups still drop via the
+        # hash probe; the cap only skips degenerate boilerplate
+        # buckets in the near-dup stage).
+        survivors = dedup_batch_against_index(
+            batch, idx, max_bucket_size=1000
+        ).count()
         dt = time.perf_counter() - t0
         results.append(
             {
