@@ -255,3 +255,52 @@ def rolling_zscore_anomalies(
             F.round(F.col("__z"), round_digits).alias("z"),
         )
     )
+
+
+def funnel_stages(
+    df: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered conversion funnel: per user, the timestamp of the first
+    ``stages[0]`` event, the first ``stages[1]`` event STRICTLY after
+    it, the first ``stages[2]`` strictly after that, and so on — the
+    product-analytics primitive (view → click → purchase) behind
+    conversion/drop-off reporting.
+
+    Spark-first shape: each stage time is a conditional ``min()``
+    window over the user partition, and stage i's condition references
+    stage i-1's window column — so the whole chain is ONE shuffle
+    (every window shares the partitioning; Catalyst stacks the Window
+    operators on a single Exchange) with a final same-key groupBy that
+    reuses it. No joins, no per-user arrays, no Python: contrast with
+    the SQL formulation, which chains one join per stage. Scales in
+    users (partition key) and is insensitive to per-user event counts
+    (windows stream; nothing per-user materializes).
+
+    Returns one row per user that reached stage 0:
+    (user, t_<stage0>, t_<stage1>, ... — nulls where the funnel was
+    abandoned). Ties: strict ``>`` between stages, so a same-timestamp
+    later-stage event does NOT advance the funnel (matches the
+    min-after-min SQL semantics exactly).
+    """
+    if not stages:
+        raise ValueError("stages must be non-empty")
+    w = Window.partitionBy(user_col)
+    out = df
+    cols: list[str] = []
+    for i, stage in enumerate(stages):
+        cond = F.col(type_col) == stage
+        if i > 0:
+            prev = F.col(cols[-1])
+            cond = cond & prev.isNotNull() & (F.col(ts_col) > prev)
+        name = f"t_{stage}"
+        out = out.withColumn(name, F.min(F.when(cond, F.col(ts_col))).over(w))
+        cols.append(name)
+    return (
+        out.groupBy(user_col)
+        .agg(*[F.max(c).alias(c) for c in cols])
+        .filter(F.col(cols[0]).isNotNull())
+    )

@@ -91,14 +91,14 @@ def register(name: str, oracle: str | None, description: str):
 
 # The driver checks only the FIRST 50 registry entries per round, so
 # registry order decides which queries get a CORRECTNESS row. Round-7
-# window (the round-6 verdict's rotation plan): (a) the 3 queries NEW
+# window (the round-6 verdict's rotation plan): (a) the 4 queries NEW
 # this round with no driver row yet (pretraining_pipeline_stats — the
-# composed training-data capstone — plus rag_chunk_index_topk and
-# stratified_quality_sample); (b) all 15 r3-dated rows the round-6
+# composed training-data capstone — plus rag_chunk_index_topk,
+# stratified_quality_sample, and funnel_view_click_purchase); (b) all 15 r3-dated rows the round-6
 # verdict named (sample_seeded rows-only by design, plus the fourteen
 # zero-churn queries still oracle-checked by pytest every run);
-# (c) 32 of the 50 queries whose latest driver row is round 4,
-# alphabetical order. The 18 remaining r4-dated rows don't fit the
+# (c) 31 of the 50 queries whose latest driver row is round 4,
+# alphabetical order. The 19 remaining r4-dated rows don't fit the
 # 50-slot cap and lead the round-8 window (the verdict's "nothing
 # older than r5 after r7" can't be met exactly with 65 stale rows and
 # 50 slots; the leftover is r4, one round inside the 3-round
@@ -108,6 +108,7 @@ _FRONT_WINDOW: list[str] = [
     "pretraining_pipeline_stats",
     "rag_chunk_index_topk",
     "stratified_quality_sample",
+    "funnel_view_click_purchase",
     # (b) the 15 r3-dated rows
     "distinct_pairs",
     "event_type_pivot",
@@ -156,7 +157,6 @@ _FRONT_WINDOW: list[str] = [
     "revenue_mom_change",
     "rich_idle_customers",
     "rolling_1h_user_stats",
-    "rolling_zscore_anomaly",
 ]
 
 
@@ -7044,6 +7044,53 @@ def q_stratified_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stratum", F.least(F.floor(F.col("quality") * 10), F.lit(9)).cast("int")
     )
     return stratified_sample(s, 10, strata_col="stratum").select("stratum", "doc_id")
+
+
+@register(
+    "funnel_view_click_purchase",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS tv FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS tc
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.tv GROUP BY 1
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS tp
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.tc GROUP BY 1
+    )
+    SELECT v.user_id,
+           strftime(v.tv, '%Y-%m-%d %H:%M:%S') AS t_view,
+           strftime(c.tc, '%Y-%m-%d %H:%M:%S') AS t_click,
+           strftime(p.tp, '%Y-%m-%d %H:%M:%S') AS t_purchase
+    FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    """,
+    "Ordered conversion funnel (view -> click -> purchase): per user, "
+    "first view, first click STRICTLY after it, first purchase "
+    "strictly after that — nulls where the funnel was abandoned. The "
+    "engine computes the chain as stacked conditional-min windows "
+    "sharing ONE user-partition shuffle (Catalyst stacks the Window "
+    "operators on a single Exchange; the final same-key groupBy "
+    "reuses it) — no joins, no per-user arrays, no Python — while the "
+    "oracle chains one join per stage, so a green row proves the "
+    "single-shuffle formulation equals the textbook min-after-min "
+    "semantics.",
+)
+def q_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.timeseries import funnel_stages
+
+    _utc(spark)
+    e = read_table(spark, sf_dir, "events")
+    f = funnel_stages(e, ["view", "click", "purchase"])
+    return f.select(
+        "user_id",
+        *[
+            F.date_format(c, "yyyy-MM-dd HH:mm:ss").alias(c)
+            for c in ("t_view", "t_click", "t_purchase")
+        ],
+    )
 
 
 @register(
