@@ -1353,3 +1353,95 @@ def mmr_topk(
     return local_df(
         spark, out_rows, f"rank int, {id_col} bigint, relevance double, mmr_score double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary (sign-bit) quantization + Hamming re-rank — the 1-bit ANN tier.
+# ---------------------------------------------------------------------------
+
+
+def binary_signature(vec: list[float]) -> list[int]:
+    """Driver-side sign-bit signature of one vector: bit i of word j =
+    (vec[64j + i] > 0), packed into signed 64-bit words (two's
+    complement, so the values round-trip through an ArrayType(LongType)
+    literal)."""
+    words = []
+    for w in range(0, len(vec), 64):
+        x = 0
+        for i in range(w, min(w + 64, len(vec))):
+            if vec[i] > 0:
+                x |= 1 << (i - w)
+        if x >= 1 << 63:
+            x -= 1 << 64
+        words.append(x)
+    return words
+
+
+def binary_signature_col(vec_col: Column, dim: int) -> Column:
+    """Sign-bit binary quantization as a Catalyst expression: packs
+    the ``dim`` (v[i] > 0) bits into ceil(dim/64) longs. Bit positions
+    never overlap, so the word assembles with plain addition of
+    shifted single-bit longs — one codegen'd projection, 64× less
+    memory traffic than the float vector for the distance scan."""
+    words = []
+    for w in range(0, dim, 64):
+        word = F.lit(0).cast("long")
+        for i in range(w, min(w + 64, dim)):
+            bit = F.when(
+                F.element_at(vec_col, i + 1) > 0, F.lit(1).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            word = word + F.shiftleft(bit, i - w)
+        words.append(word)
+    return F.array(*words)
+
+
+def hamming_col(sig_col: Column, query_words: list[int]) -> Column:
+    """Hamming distance between a packed signature column and a
+    driver-side query signature: Σ popcount(word XOR qword) — pure JVM
+    bit ops (bit_count over zip_with), no Python, no shuffle."""
+    qa = F.array(*[F.lit(int(wd)).cast("long") for wd in query_words])
+    return F.aggregate(
+        F.zip_with(sig_col, qa, lambda a, b: F.bit_count(a.bitwiseXOR(b))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+def hamming_rerank_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    oversample: int = 100,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Binary-quantization ANN (the 1-bit tier below int8/PQ): sign-bit
+    signatures, Hamming-distance candidate generation, exact cosine
+    re-rank of the ``oversample`` nearest signatures.
+
+    The scan phase touches 1 bit per dimension (packed longs +
+    popcount) instead of 32 — at 100 TB of vectors this is the
+    memory-bandwidth-bound fast path, and the exact math runs only on
+    the oversampled candidate set. Plan shape: scan → project(sig,
+    hamming) → TakeOrderedAndProject(oversample) → project(cos) →
+    TakeOrderedAndProject(k) — zero shuffle exchanges, zero Python.
+    Ties break on (distance, id) at both stages, so the candidate set
+    and the final ranking are deterministic and SQL-mirrorable.
+    """
+    dim = len(query)
+    qsig = binary_signature(query)
+    sig = binary_signature_col(F.col(vec_col), dim)
+    cand = (
+        df.select(F.col(id_col), F.col(vec_col), hamming_col(sig, qsig).alias("hamming"))
+        .orderBy(F.asc("hamming"), F.asc(id_col))
+        .limit(oversample)
+    )
+    sim = cosine_similarity_col(F.col(vec_col), query)
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    return (
+        cand.select(F.col(id_col), F.col("hamming"), sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )

@@ -407,3 +407,104 @@ def dsir_domain_scores(
             .alias("dsir_score")
         )
     )
+
+
+#: Gopher stop-word set (Rae et al. 2021, arXiv:2112.11446, A.1.1):
+#: a document must contain at least 2 distinct words from this list.
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_flags(text_col: Column) -> dict[str, Column]:
+    """Per-document Gopher quality-rule FAIL flags (Rae et al. 2021,
+    arXiv:2112.11446 Appendix A.1.1 — the rule set most public LLM
+    corpora filter with). Returns {rule_name: boolean Column}, True =
+    document FAILS the rule. All seven rules evaluate in one codegen'd
+    projection — no Python, no shuffle; at 100 TB this is pure
+    embarrassingly-parallel map work fused into the scan.
+
+    Rules (document fails when):
+    - ``word_count``     not in [50, 100_000] words
+    - ``mean_word_len``  mean word length not in [3, 10] chars
+    - ``symbol_ratio``   (# count + ellipsis count) / words > 0.1
+    - ``bullet_lines``   > 90% of lines start with a bullet
+    - ``ellipsis_lines`` > 30% of lines end with an ellipsis
+    - ``alpha_words``    < 80% of words contain an alphabetic char
+    - ``stop_words``     < 2 distinct Gopher stop words present
+    """
+    toks = tokens_col(text_col)
+    n_words = F.size(toks)
+    nw_d = F.greatest(n_words, F.lit(1)).cast("double")
+    tok_chars = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    mean_len = tok_chars.cast("double") / nw_d
+    hash_cnt = F.length(text_col) - F.length(F.replace(text_col, F.lit("#"), F.lit("")))
+    ell_diff = F.length(text_col) - F.length(F.replace(text_col, F.lit("..."), F.lit("")))
+    symbol_ratio = (hash_cnt.cast("double") + ell_diff.cast("double") / F.lit(3.0)) / nw_d
+    lines = F.split(text_col, "\n")
+    nl_d = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.startswith(F.ltrim(l), F.lit("- "))
+            | F.startswith(F.ltrim(l), F.lit("* "))
+            | F.startswith(F.ltrim(l), F.lit("• ")),
+        )
+    )
+    ell_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: F.endswith(F.rtrim(l), F.lit("..."))
+            | F.endswith(F.rtrim(l), F.lit("…")),
+        )
+    )
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    stop_distinct = F.size(
+        F.array_distinct(F.filter(toks, lambda t: t.isin(*GOPHER_STOPWORDS)))
+    )
+    return {
+        "word_count": (n_words < F.lit(50)) | (n_words > F.lit(100_000)),
+        "mean_word_len": (mean_len < F.lit(3.0)) | (mean_len > F.lit(10.0)),
+        "symbol_ratio": symbol_ratio > F.lit(0.1),
+        "bullet_lines": bullet.cast("double") / nl_d > F.lit(0.9),
+        "ellipsis_lines": ell_lines.cast("double") / nl_d > F.lit(0.3),
+        "alpha_words": alpha.cast("double") / nw_d < F.lit(0.8),
+        "stop_words": stop_distinct < F.lit(2),
+    }
+
+
+def gopher_filter_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-level Gopher-rule attrition accounting: one row with the
+    total document count, the per-rule FAIL count, and the count of
+    documents passing every rule — the per-filter audit table a
+    curation run publishes before committing a drop.
+
+    One scan, one map-side-combinable aggregate: the seven flags fuse
+    into the scan projection and the sums partial-aggregate per
+    partition, so the 100 TB form shuffles exactly one row per
+    partition.
+    """
+    flags = gopher_flags(F.col(text_col))
+    keep = ~flags["word_count"]
+    for name in list(flags)[1:]:
+        keep = keep & ~flags[name]
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    aggs += [
+        F.sum(F.when(flag, 1).otherwise(0)).cast("long").alias(f"f_{name}")
+        for name, flag in flags.items()
+    ]
+    aggs.append(F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"))
+    return df.agg(*aggs)
+
+
+def gopher_keep_col(text_col: Column) -> Column:
+    """True when the document passes ALL Gopher rules — the filter
+    predicate form, for applying the drop map-side on a full-width
+    frame without a projection + re-join."""
+    flags = gopher_flags(text_col)
+    keep = F.lit(True)
+    for flag in flags.values():
+        keep = keep & ~flag
+    return keep

@@ -91,14 +91,16 @@ def register(name: str, oracle: str | None, description: str):
 
 # The driver checks only the FIRST 50 registry entries per round, so
 # registry order decides which queries get a CORRECTNESS row. Round-7
-# window (the round-6 verdict's rotation plan): (a) the 4 queries NEW
+# window (the round-6 verdict's rotation plan): (a) the 6 queries NEW
 # this round with no driver row yet (pretraining_pipeline_stats — the
 # composed training-data capstone — plus rag_chunk_index_topk,
-# stratified_quality_sample, and funnel_view_click_purchase); (b) all 15 r3-dated rows the round-6
+# stratified_quality_sample, funnel_view_click_purchase,
+# gopher_quality_filter, and binary_hamming_topk); (b) all 15 r3-dated
+# rows the round-6
 # verdict named (sample_seeded rows-only by design, plus the fourteen
 # zero-churn queries still oracle-checked by pytest every run);
-# (c) 31 of the 50 queries whose latest driver row is round 4,
-# alphabetical order. The 19 remaining r4-dated rows don't fit the
+# (c) 29 of the 50 queries whose latest driver row is round 4,
+# alphabetical order. The 21 remaining r4-dated rows don't fit the
 # 50-slot cap and lead the round-8 window (the verdict's "nothing
 # older than r5 after r7" can't be met exactly with 65 stale rows and
 # 50 slots; the leftover is r4, one round inside the 3-round
@@ -109,6 +111,8 @@ _FRONT_WINDOW: list[str] = [
     "rag_chunk_index_topk",
     "stratified_quality_sample",
     "funnel_view_click_purchase",
+    "gopher_quality_filter",
+    "binary_hamming_topk",
     # (b) the 15 r3-dated rows
     "distinct_pairs",
     "event_type_pivot",
@@ -155,8 +159,6 @@ _FRONT_WINDOW: list[str] = [
     "promo_revenue_share",
     "returned_revenue",
     "revenue_mom_change",
-    "rich_idle_customers",
-    "rolling_1h_user_stats",
 ]
 
 
@@ -7299,4 +7301,103 @@ def q_dsir_domain_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsir_domain_scores(d, target_filter=F.col("lang") == "en", n_buckets=64)
         .orderBy(F.desc("dsir_score"), F.asc("doc_id"))
         .limit(20)
+    )
+
+
+@register(
+    "gopher_quality_filter",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, text,
+             CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks,
+             string_split(text, chr(10)) AS lines
+      FROM documents
+    ), f AS (
+      SELECT
+        (len(toks) < 50 OR len(toks) > 100000) AS f_word_count,
+        (CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS DOUBLE)
+           / greatest(len(toks), 1) < 3.0
+         OR CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS DOUBLE)
+           / greatest(len(toks), 1) > 10.0) AS f_mean_word_len,
+        ((CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+          + CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3.0)
+           / greatest(len(toks), 1) > 0.1) AS f_symbol_ratio,
+        (CAST(len(list_filter(lines, l -> starts_with(ltrim(l), '- ')
+                                       OR starts_with(ltrim(l), '* ')
+                                       OR starts_with(ltrim(l), '• '))) AS DOUBLE)
+           / greatest(len(lines), 1) > 0.9) AS f_bullet_lines,
+        (CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...')
+                                       OR ends_with(rtrim(l), '…'))) AS DOUBLE)
+           / greatest(len(lines), 1) > 0.3) AS f_ellipsis_lines,
+        (CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+           / greatest(len(toks), 1) < 0.8) AS f_alpha_words,
+        (len(list_distinct(list_filter(toks, x -> x IN
+             ('the','be','to','of','and','that','have','with')))) < 2) AS f_stop_words
+      FROM tok
+    )
+    SELECT count(*) AS n_docs,
+           CAST(sum(CASE WHEN f_word_count THEN 1 ELSE 0 END) AS BIGINT) AS f_word_count,
+           CAST(sum(CASE WHEN f_mean_word_len THEN 1 ELSE 0 END) AS BIGINT) AS f_mean_word_len,
+           CAST(sum(CASE WHEN f_symbol_ratio THEN 1 ELSE 0 END) AS BIGINT) AS f_symbol_ratio,
+           CAST(sum(CASE WHEN f_bullet_lines THEN 1 ELSE 0 END) AS BIGINT) AS f_bullet_lines,
+           CAST(sum(CASE WHEN f_ellipsis_lines THEN 1 ELSE 0 END) AS BIGINT) AS f_ellipsis_lines,
+           CAST(sum(CASE WHEN f_alpha_words THEN 1 ELSE 0 END) AS BIGINT) AS f_alpha_words,
+           CAST(sum(CASE WHEN f_stop_words THEN 1 ELSE 0 END) AS BIGINT) AS f_stop_words,
+           CAST(sum(CASE WHEN NOT (f_word_count OR f_mean_word_len OR f_symbol_ratio
+                                   OR f_bullet_lines OR f_ellipsis_lines
+                                   OR f_alpha_words OR f_stop_words)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM f
+    """,
+    "Gopher-rule quality-filter attrition audit (Rae et al. 2021, "
+    "arXiv:2112.11446 A.1.1): per-rule FAIL counts plus the count of "
+    "documents passing all seven rules, in ONE scan — the seven flags "
+    "fuse into the scan projection and the sums partial-aggregate "
+    "map-side, so the 100 TB form shuffles one row per partition. The "
+    "audit table a curation run publishes before committing a drop.",
+)
+def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.text import gopher_filter_stats
+
+    return gopher_filter_stats(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "binary_hamming_topk",
+    """
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ), h AS (
+      SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+             len(list_filter(generate_series(1, 64),
+                 i -> (e.embedding[i] > 0) <> (q.qv[i] > 0))) AS hamming
+      FROM embeddings e, q
+      WHERE e.vec_id <> 0
+    ), cand AS (
+      SELECT vec_id, v, hamming FROM h ORDER BY hamming ASC, vec_id ASC LIMIT 100
+    )
+    SELECT c.vec_id, c.hamming,
+           round(list_dot_product(c.v, q.qv)
+                 / (sqrt(list_dot_product(c.v, c.v))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos_sim
+    FROM cand c, q
+    ORDER BY cos_sim DESC, c.vec_id ASC
+    LIMIT 10
+    """,
+    "Binary-quantization ANN (1-bit tier): sign-bit signatures packed "
+    "into 64-bit words, Hamming candidate scan via XOR+popcount (JVM "
+    "bit_count — 1 bit of memory traffic per dimension instead of 32), "
+    "exact cosine re-rank of the 100 nearest signatures. Zero shuffle "
+    "exchanges: both stages are TakeOrderedAndProject. The oracle "
+    "counts sign mismatches per dimension — the same number popcount "
+    "computes over the packed words.",
+)
+def q_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.similarity import hamming_rerank_topk
+
+    e = read_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return hamming_rerank_topk(
+        e.filter(F.col("vec_id") != 0), qv, k=10, oversample=100, round_digits=4
     )
