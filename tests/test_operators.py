@@ -1920,3 +1920,101 @@ def test_ivf_index_compaction_preserves_probes(spark, tmp_path):
     )
     # idempotent: compacting a compacted index is a no-op rewrite
     assert compact_ivf_index(spark, path) == n
+
+
+# -- Gopher quality rules ----------------------------------------------------
+
+
+def test_gopher_rules_flag_expected_docs(spark):
+    """Each rule fires on a purpose-built document and stays quiet on a
+    clean one; the stats row and the keep predicate agree."""
+    from ais_data_pipeline_spark.localrel import local_df
+    from ais_data_pipeline_spark.operators.text import (
+        gopher_filter_stats,
+        gopher_keep_col,
+    )
+
+    clean = (
+        "the quick brown fox jumps over the lazy dog and that is fine "
+        "to have with some more words of filler text " * 3
+        + "the end of that have with be to and "
+    )
+    docs = [
+        (0, clean),                                  # passes everything
+        (1, "too short"),                            # word_count
+        (2, ("a " * 60).strip()),                    # mean_word_len < 3 (+stop)
+        (3, clean + " " + "#" * 40),                 # symbol_ratio
+        (4, "\n".join(["- the bullet item of that have with be to and extra pad words here now"] * 30)),  # bullet_lines (word count ok)
+        (5, clean + ("\nthe line trails off..." * 40)),   # ellipsis_lines
+        (6, clean + " " + " ".join(["12345"] * 60)),  # alpha_words < 0.8
+        (7, ("zonk " * 60).strip()),                  # stop_words < 2
+    ]
+    df = local_df(spark, docs, "doc_id bigint, text string")
+    row = gopher_filter_stats(df).collect()[0]
+    assert row["n_docs"] == 8
+    assert row["f_word_count"] >= 1
+    assert row["f_mean_word_len"] >= 1
+    assert row["f_symbol_ratio"] >= 1
+    assert row["f_bullet_lines"] >= 1
+    assert row["f_ellipsis_lines"] >= 1
+    assert row["f_alpha_words"] >= 1
+    assert row["f_stop_words"] >= 1
+    kept = df.filter(gopher_keep_col(F.col("text"))).select("doc_id").collect()
+    assert [r["doc_id"] for r in kept] == [0]
+    assert row["n_kept"] == 1
+
+
+# -- Binary (sign-bit) Hamming ANN ------------------------------------------
+
+
+def test_binary_signature_column_matches_driver_packing(spark):
+    """JVM bit packing == driver-side packing, and the Hamming column
+    equals the per-dimension sign-mismatch count, for dims that span
+    multiple 64-bit words (non-multiple of 64 included)."""
+    import random as _random
+
+    from ais_data_pipeline_spark.localrel import local_df
+    from ais_data_pipeline_spark.operators.similarity import (
+        binary_signature,
+        binary_signature_col,
+        hamming_col,
+    )
+
+    rng = _random.Random(7)
+    dim = 100  # 2 words, second one partial
+    vecs = [(i, [rng.gauss(0.0, 1.0) for _ in range(dim)]) for i in range(20)]
+    q = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+    df = local_df(spark, vecs, "vec_id bigint, embedding array<double>")
+    out = df.select(
+        "vec_id",
+        binary_signature_col(F.col("embedding"), dim).alias("sig"),
+        hamming_col(binary_signature_col(F.col("embedding"), dim), binary_signature(q)).alias("h"),
+    ).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    for i, v in vecs:
+        assert list(by_id[i]["sig"]) == binary_signature(v), f"sig mismatch vec {i}"
+        expect_h = sum((a > 0) != (b > 0) for a, b in zip(v, q))
+        assert by_id[i]["h"] == expect_h, f"hamming mismatch vec {i}"
+
+
+def test_hamming_rerank_recovers_exact_topk(spark):
+    """With oversample = n (no pruning), the binary tier's re-rank must
+    reproduce exact brute-force cosine top-k on the full set."""
+    import random as _random
+
+    from ais_data_pipeline_spark.localrel import local_df
+    from ais_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        hamming_rerank_topk,
+    )
+
+    rng = _random.Random(11)
+    vecs = [(i, [rng.gauss(0.0, 1.0) for _ in range(32)]) for i in range(120)]
+    q = [rng.gauss(0.0, 1.0) for _ in range(32)]
+    df = local_df(spark, vecs, "vec_id bigint, embedding array<double>")
+    exact = [r["vec_id"] for r in cosine_topk(df, q, k=10).collect()]
+    binary = [
+        r["vec_id"]
+        for r in hamming_rerank_topk(df, q, k=10, oversample=len(vecs)).collect()
+    ]
+    assert binary == exact
