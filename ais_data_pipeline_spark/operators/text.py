@@ -508,3 +508,61 @@ def gopher_keep_col(text_col: Column) -> Column:
     for flag in flags.values():
         keep = keep & ~flag
     return keep
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    weights: dict[int, int] | None = None,
+) -> DataFrame:
+    """fastText-style linear classifier scoring at corpus scale (the
+    model-based quality-filter shape: FineWeb-Edu, DCLM and friends
+    score every document with a cheap linear model before dropping).
+
+    Features are HASHED bag-of-words — md5(token) mod ``n_buckets`` —
+    so there is no vocabulary to build or ship; the weight vector is a
+    ``n_buckets``-row broadcast dim table; the score is one explode +
+    two map-side-combinable aggregates in exact integer arithmetic.
+    At 100 TB: text hashes map-side, the only shuffles carry
+    (doc, bucket, count) partials bounded by docs x distinct-buckets,
+    and the weight table broadcasts — the corpus never joins anything
+    its own size.
+
+    ``weights`` maps bucket -> integer weight. Default: a
+    deterministic md5-derived stand-in for externally trained weights
+    (this container ships no model artifacts — the plumbing, not the
+    trained model, is the operator under test): w(b) =
+    md5(str(b))[:15] as int % 2001 - 1000, i.e. uniform in
+    [-1000, 1000].
+    """
+    import hashlib
+
+    from ais_data_pipeline_spark.localrel import local_df
+
+    if weights is None:
+        weights = {
+            b: int(hashlib.md5(str(b).encode()).hexdigest()[:15], 16) % 2001 - 1000
+            for b in range(n_buckets)
+        }
+    wt = local_df(
+        df.sparkSession,
+        sorted(weights.items()),
+        "__b bigint, __w bigint",
+    )
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("__tok")
+    ).select(
+        id_col,
+        (
+            F.conv(F.substring(F.md5(F.col("__tok")), 1, 15), 16, 10).cast("long")
+            % n_buckets
+        ).alias("__b"),
+    )
+    dc = toks.groupBy(id_col, "__b").agg(F.count(F.lit(1)).alias("__c"))
+    return (
+        dc.join(F.broadcast(wt), "__b")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("__c") * F.col("__w")).cast("long").alias("clf_score"))
+    )

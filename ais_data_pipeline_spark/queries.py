@@ -91,16 +91,17 @@ def register(name: str, oracle: str | None, description: str):
 
 # The driver checks only the FIRST 50 registry entries per round, so
 # registry order decides which queries get a CORRECTNESS row. Round-7
-# window (the round-6 verdict's rotation plan): (a) the 6 queries NEW
+# window (the round-6 verdict's rotation plan): (a) the 9 queries NEW
 # this round with no driver row yet (pretraining_pipeline_stats — the
 # composed training-data capstone — plus rag_chunk_index_topk,
 # stratified_quality_sample, funnel_view_click_purchase,
-# gopher_quality_filter, and binary_hamming_topk); (b) all 15 r3-dated
-# rows the round-6
+# gopher_quality_filter, binary_hamming_topk,
+# hashed_quality_classifier, line_dedup_stats, vocab_growth_stats);
+# (b) all 15 r3-dated rows the round-6
 # verdict named (sample_seeded rows-only by design, plus the fourteen
 # zero-churn queries still oracle-checked by pytest every run);
-# (c) 29 of the 50 queries whose latest driver row is round 4,
-# alphabetical order. The 21 remaining r4-dated rows don't fit the
+# (c) 26 of the 50 queries whose latest driver row is round 4,
+# alphabetical order. The 24 remaining r4-dated rows don't fit the
 # 50-slot cap and lead the round-8 window (the verdict's "nothing
 # older than r5 after r7" can't be met exactly with 65 stale rows and
 # 50 slots; the leftover is r4, one round inside the 3-round
@@ -113,6 +114,9 @@ _FRONT_WINDOW: list[str] = [
     "funnel_view_click_purchase",
     "gopher_quality_filter",
     "binary_hamming_topk",
+    "hashed_quality_classifier",
+    "line_dedup_stats",
+    "vocab_growth_stats",
     # (b) the 15 r3-dated rows
     "distinct_pairs",
     "event_type_pivot",
@@ -156,9 +160,6 @@ _FRONT_WINDOW: list[str] = [
     "part_pagerank",
     "pii_scrub_docs",
     "profit_by_nation_year",
-    "promo_revenue_share",
-    "returned_revenue",
-    "revenue_mom_change",
 ]
 
 
@@ -7400,4 +7401,110 @@ def q_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
     return hamming_rerank_topk(
         e.filter(F.col("vec_id") != 0), qv, k=10, oversample=100, round_digits=4
+    )
+
+
+@register(
+    "hashed_quality_classifier",
+    r"""
+    WITH w AS (
+      SELECT b, (('0x' || substr(md5(CAST(b AS VARCHAR)), 1, 15))::BIGINT % 2001) - 1000 AS wt
+      FROM range(1024) t(b)
+    ), toks AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(tok), 1, 15))::BIGINT % 1024) AS b
+      FROM documents,
+           unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(lower(trim(text)), '\s+') END) AS t2(tok)
+    ), dc AS (
+      SELECT doc_id, b, count(*) AS c FROM toks GROUP BY doc_id, b
+    )
+    SELECT dc.doc_id, CAST(sum(dc.c * w.wt) AS BIGINT) AS clf_score
+    FROM dc JOIN w USING (b)
+    GROUP BY dc.doc_id
+    ORDER BY clf_score DESC, dc.doc_id ASC
+    LIMIT 20
+    """,
+    "fastText-style hashed linear classifier scoring (the model-based "
+    "quality-filter shape: FineWeb-Edu/DCLM score every doc with a "
+    "cheap linear model before dropping). md5-hashed bag-of-words — no "
+    "vocabulary to build — times a 1024-row BROADCAST weight table, "
+    "exact integer arithmetic; shuffles carry only (doc, bucket, "
+    "count) partials. Weights are a deterministic md5-derived stand-in "
+    "for externally trained ones (no model artifacts in container — "
+    "documented in the operator docstring).",
+)
+def q_hashed_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.text import hashed_linear_score
+
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        hashed_linear_score(d, n_buckets=1024)
+        .orderBy(F.desc("clf_score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+@register(
+    "line_dedup_stats",
+    """
+    SELECT doc_id,
+           len(string_split(text, chr(10))) AS n_lines,
+           len(string_split(text, chr(10)))
+             - len(list_distinct(string_split(text, chr(10)))) AS n_dup_lines
+    FROM documents
+    ORDER BY doc_id
+    """,
+    "Intra-document duplicated-line accounting (the C4/RefinedWeb "
+    "'remove repeated lines' curation step, audit form): per doc, "
+    "total lines and how many are exact repeats of an earlier line. "
+    "Pure projection (split + array_distinct) — map-only at any "
+    "scale; the drop form is one array_distinct + array_join away.",
+)
+def q_line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    lines = F.split(F.col("text"), "\n")
+    return d.select(
+        "doc_id",
+        F.size(lines).alias("n_lines"),
+        (F.size(lines) - F.size(F.array_distinct(lines))).alias("n_dup_lines"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "vocab_growth_stats",
+    r"""
+    WITH toks AS (
+      SELECT tok
+      FROM documents,
+           unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(lower(trim(text)), '\s+') END) AS t2(tok)
+    ), tf AS (
+      SELECT tok, count(*) AS c FROM toks GROUP BY tok
+    )
+    SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+           count(*) AS vocab_size,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+    FROM tf
+    """,
+    "Corpus vocabulary statistics (Heaps'-law audit): total token "
+    "occurrences, distinct vocabulary size, and hapax-legomena count "
+    "— the dedup/tokenizer sizing numbers a corpus build publishes. "
+    "One explode + combinable term counts keyed by token, then a "
+    "one-row roll-up; at 100 TB the only wide shuffle carries "
+    "(token, partial-count) pairs.",
+)
+def q_vocab_growth_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.text import tokens_col
+
+    d = read_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(tokens_col(F.col("text"))).alias("__tok"))
+        .groupBy("__tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    return tf.agg(
+        F.sum("__c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum(F.when(F.col("__c") == 1, 1).otherwise(0)).cast("long").alias("n_hapax"),
     )

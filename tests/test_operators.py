@@ -2018,3 +2018,49 @@ def test_hamming_rerank_recovers_exact_topk(spark):
         for r in hamming_rerank_topk(df, q, k=10, oversample=len(vecs)).collect()
     ]
     assert binary == exact
+
+
+def test_hashed_linear_score_custom_weights(spark):
+    """With a hand-built weight table the score is the exact integer
+    bag-of-words dot product (including repeated tokens)."""
+    import hashlib
+
+    from ais_data_pipeline_spark.localrel import local_df
+    from ais_data_pipeline_spark.operators.text import hashed_linear_score
+
+    n_buckets = 8
+    docs = [(1, "apple apple banana"), (2, "cherry"), (3, "")]
+    weights = {b: b * 10 for b in range(n_buckets)}
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % n_buckets
+
+    df = local_df(spark, docs, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: r["clf_score"]
+        for r in hashed_linear_score(df, n_buckets=n_buckets, weights=weights).collect()
+    }
+    assert got[1] == 2 * weights[bucket("apple")] + weights[bucket("banana")]
+    assert got[2] == weights[bucket("cherry")]
+    assert 3 not in got  # empty doc has no tokens, hence no score row
+
+
+def test_line_dedup_counts_repeats(spark):
+    from ais_data_pipeline_spark.localrel import local_df
+
+    from ais_data_pipeline_spark.queries import registry
+
+    q = next(q for q in registry() if q.name == "line_dedup_stats")
+    # exercise the expression shape directly on a fixture frame
+    lines = F.split(F.col("text"), "\n")
+    df = local_df(
+        spark,
+        [(1, "a\nb\na\na"), (2, "x\ny"), (3, "solo")],
+        "doc_id bigint, text string",
+    ).select(
+        "doc_id",
+        F.size(lines).alias("n_lines"),
+        (F.size(lines) - F.size(F.array_distinct(lines))).alias("n_dup_lines"),
+    )
+    got = {r["doc_id"]: (r["n_lines"], r["n_dup_lines"]) for r in df.collect()}
+    assert got == {1: (4, 2), 2: (2, 0), 3: (1, 0)}
