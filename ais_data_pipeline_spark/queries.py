@@ -91,17 +91,18 @@ def register(name: str, oracle: str | None, description: str):
 
 # The driver checks only the FIRST 50 registry entries per round, so
 # registry order decides which queries get a CORRECTNESS row. Round-7
-# window (the round-6 verdict's rotation plan): (a) the 9 queries NEW
+# window (the round-6 verdict's rotation plan): (a) the 11 queries NEW
 # this round with no driver row yet (pretraining_pipeline_stats — the
 # composed training-data capstone — plus rag_chunk_index_topk,
 # stratified_quality_sample, funnel_view_click_purchase,
 # gopher_quality_filter, binary_hamming_topk,
-# hashed_quality_classifier, line_dedup_stats, vocab_growth_stats);
+# hashed_quality_classifier, line_dedup_stats, vocab_growth_stats,
+# length_bucket_histogram, near_dup_cluster_sizes);
 # (b) all 15 r3-dated rows the round-6
 # verdict named (sample_seeded rows-only by design, plus the fourteen
 # zero-churn queries still oracle-checked by pytest every run);
-# (c) 26 of the 50 queries whose latest driver row is round 4,
-# alphabetical order. The 24 remaining r4-dated rows don't fit the
+# (c) 24 of the 50 queries whose latest driver row is round 4,
+# alphabetical order. The 26 remaining r4-dated rows don't fit the
 # 50-slot cap and lead the round-8 window (the verdict's "nothing
 # older than r5 after r7" can't be met exactly with 65 stale rows and
 # 50 slots; the leftover is r4, one round inside the 3-round
@@ -117,6 +118,8 @@ _FRONT_WINDOW: list[str] = [
     "hashed_quality_classifier",
     "line_dedup_stats",
     "vocab_growth_stats",
+    "length_bucket_histogram",
+    "near_dup_cluster_sizes",
     # (b) the 15 r3-dated rows
     "distinct_pairs",
     "event_type_pivot",
@@ -158,8 +161,6 @@ _FRONT_WINDOW: list[str] = [
     "ngram_contamination",
     "orc_roundtrip_agg",
     "part_pagerank",
-    "pii_scrub_docs",
-    "profit_by_nation_year",
 ]
 
 
@@ -7507,4 +7508,94 @@ def q_vocab_growth_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("__c").cast("long").alias("n_tokens"),
         F.count(F.lit(1)).alias("vocab_size"),
         F.sum(F.when(F.col("__c") == 1, 1).otherwise(0)).cast("long").alias("n_hapax"),
+    )
+
+
+@register(
+    "length_bucket_histogram",
+    r"""
+    WITH t AS (
+      SELECT CASE WHEN length(trim(lower(text))) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END AS n
+      FROM documents
+    )
+    SELECT CASE WHEN n = 0 THEN -1
+                ELSE length(bin(CAST(n AS BIGINT))) - 1 END AS len_bucket,
+           count(*) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS total_tokens,
+           CAST(sum(greatest(n - 512, 0)) AS BIGINT) AS tokens_truncated_512
+    FROM t
+    GROUP BY 1
+    ORDER BY len_bucket
+    """,
+    "Sequence-length power-of-2 histogram with truncation-loss "
+    "accounting: docs and tokens per floor(log2(len)) bucket, plus "
+    "tokens lost if sequences truncate at 512 — the audit behind "
+    "max-seq-len and packing decisions. Bucketing is exact integer "
+    "arithmetic (length of the binary rendering, no float log2), one "
+    "scan, combinable agg over ≤ ~40 buckets.",
+)
+def q_length_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.text import token_count
+
+    d = read_table(spark, sf_dir, "documents")
+    n = token_count(F.col("text"))
+    bucket = F.when(n == 0, F.lit(-1)).otherwise(
+        (F.length(F.bin(n.cast("long"))) - 1).cast("int")
+    )
+    return (
+        d.select(bucket.alias("len_bucket"), n.alias("__n"))
+        .groupBy("len_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n").cast("long").alias("total_tokens"),
+            F.sum(F.greatest(F.col("__n") - 512, F.lit(0)))
+            .cast("long")
+            .alias("tokens_truncated_512"),
+        )
+        .orderBy("len_bucket")
+    )
+
+
+_CLUSTER_SIZES_ORACLE = (
+    _CLUSTERS_ORACLE.rsplit("SELECT id, min(reach)", 1)[0].rstrip()
+    + r""",
+    cl AS (
+      SELECT id, min(reach) AS cluster_id FROM walk GROUP BY id
+    ), sizes_by_cluster AS (
+      SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY cluster_id
+    )
+    SELECT cluster_size, count(*) AS n_clusters
+    FROM sizes_by_cluster
+    GROUP BY cluster_size
+    ORDER BY cluster_size
+    """
+)
+
+
+@register(
+    "near_dup_cluster_sizes",
+    _CLUSTER_SIZES_ORACLE,
+    "Near-dup cluster-size distribution (how many dup clusters of each "
+    "size the corpus carries) — the audit a dedup run publishes to "
+    "spot degenerate mega-clusters before committing keep-one-per-"
+    "cluster drops. Composes the oracle-proven connected components "
+    "with two tiny aggs; the heavy work (LSH + CC) is unchanged, the "
+    "histogram shuffles one row per cluster then one per size.",
+)
+def q_near_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.dedup import (
+        minhash_near_dup,
+        near_dup_clusters,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup(d, threshold=0.3)
+    return (
+        near_dup_clusters(pairs)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("cluster_size")
     )

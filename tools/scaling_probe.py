@@ -76,7 +76,7 @@ def gen_documents(spark, rows: int):
     )
 
 
-def probes(spark, scale: int):
+def probes(spark, scale: int, only: set[str] | None = None):
     li = gen_lineitem(spark, BASE_LINEITEM * scale)
     ev = gen_events(spark, BASE_EVENTS * scale)
     docs = gen_documents(spark, BASE_DOCS * scale)
@@ -278,6 +278,29 @@ def probes(spark, scale: int):
             batch, os.path.join(idx_root, "incdedup")
         ).count()
 
+    def gopher_probe():
+        from ais_data_pipeline_spark.operators.text import gopher_filter_stats
+        return gopher_filter_stats(docs).count()
+
+    def clf_probe():
+        from ais_data_pipeline_spark.operators.text import hashed_linear_score
+        return hashed_linear_score(docs, n_buckets=1024).count()
+
+    def vocab_probe():
+        from ais_data_pipeline_spark.operators.text import tokens_col
+        tf = (
+            docs.select(F.explode(tokens_col(F.col("text"))).alias("t"))
+            .groupBy("t")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        return tf.agg(F.sum("c"), F.count(F.lit(1))).count()
+
+    def hamming_probe():
+        from ais_data_pipeline_spark.operators.similarity import hamming_rerank_topk
+        return hamming_rerank_topk(
+            idx_emb, probe_query, k=10, oversample=100
+        ).count()
+
     out = {}
     for name, fn in [
         ("grouped_agg", grouped_agg),
@@ -307,7 +330,13 @@ def probes(spark, scale: int):
         ("ivfpq_index_probe", ivfpq_index_probe),
         ("incdedup_index_build", incdedup_index_build),
         ("incdedup_batch_probe", incdedup_batch_probe),
+        ("gopher_filter", gopher_probe),
+        ("hashed_classifier", clf_probe),
+        ("vocab_stats", vocab_probe),
+        ("binary_hamming_topk", hamming_probe),
     ]:
+        if only is not None and name not in only:
+            continue
         t0 = time.perf_counter()
         fn()
         out[name] = round(time.perf_counter() - t0, 2)
@@ -341,10 +370,15 @@ def main():
         print(json.dumps({"pagerank_iters": out}), flush=True)
         spark.stop()
         return
+    only = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        args = args[:i] + args[i + 2 :]
     scales = [int(s) for s in args] or [1, 10, 50]
     results = {}
     for s in scales:
-        results[s] = probes(spark, s)
+        results[s] = probes(spark, s, only=only)
         print(json.dumps({"scale": s, **results[s]}), flush=True)
     base = results[scales[0]]
     for s in scales[1:]:
