@@ -2064,3 +2064,27 @@ def test_line_dedup_counts_repeats(spark):
     )
     got = {r["doc_id"]: (r["n_lines"], r["n_dup_lines"]) for r in df.collect()}
     assert got == {1: (4, 2), 2: (2, 0), 3: (1, 0)}
+
+
+def test_hamming_recall_floor_sf001(spark, sf_dir):
+    """Deterministic single-query recall gate for the 1-bit tier:
+    vec_id 0 at oversample=100 over the sf0.01 embeddings measures
+    recall@10 = 0.9 (tools/hamming_recall.py table: mean 0.86 over 20
+    queries). Floor pinned at 0.7 — one notch under — so a packing or
+    popcount regression trips it while a testdata reseed keeps
+    margin."""
+    from ais_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        hamming_rerank_topk,
+    )
+    from ais_data_pipeline_spark.sources.parquet import read_table
+
+    e = read_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    rest = e.filter(F.col("vec_id") != 0)
+    exact = {r["vec_id"] for r in cosine_topk(rest, qv, k=10).collect()}
+    got = {
+        r["vec_id"]
+        for r in hamming_rerank_topk(rest, qv, k=10, oversample=100).collect()
+    }
+    assert len(got & exact) / 10.0 >= 0.7
