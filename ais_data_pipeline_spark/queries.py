@@ -91,18 +91,19 @@ def register(name: str, oracle: str | None, description: str):
 
 # The driver checks only the FIRST 50 registry entries per round, so
 # registry order decides which queries get a CORRECTNESS row. Round-7
-# window (the round-6 verdict's rotation plan): (a) the 11 queries NEW
+# window (the round-6 verdict's rotation plan): (a) the 12 queries NEW
 # this round with no driver row yet (pretraining_pipeline_stats — the
 # composed training-data capstone — plus rag_chunk_index_topk,
 # stratified_quality_sample, funnel_view_click_purchase,
 # gopher_quality_filter, binary_hamming_topk,
 # hashed_quality_classifier, line_dedup_stats, vocab_growth_stats,
-# length_bucket_histogram, near_dup_cluster_sizes);
+# length_bucket_histogram, near_dup_cluster_sizes,
+# source_overlap_matrix);
 # (b) all 15 r3-dated rows the round-6
 # verdict named (sample_seeded rows-only by design, plus the fourteen
 # zero-churn queries still oracle-checked by pytest every run);
-# (c) 24 of the 50 queries whose latest driver row is round 4,
-# alphabetical order. The 26 remaining r4-dated rows don't fit the
+# (c) 23 of the 50 queries whose latest driver row is round 4,
+# alphabetical order. The 27 remaining r4-dated rows don't fit the
 # 50-slot cap and lead the round-8 window (the verdict's "nothing
 # older than r5 after r7" can't be met exactly with 65 stale rows and
 # 50 slots; the leftover is r4, one round inside the 3-round
@@ -120,6 +121,7 @@ _FRONT_WINDOW: list[str] = [
     "vocab_growth_stats",
     "length_bucket_histogram",
     "near_dup_cluster_sizes",
+    "source_overlap_matrix",
     # (b) the 15 r3-dated rows
     "distinct_pairs",
     "event_type_pivot",
@@ -160,7 +162,6 @@ _FRONT_WINDOW: list[str] = [
     "mixture_sample_docs",
     "ngram_contamination",
     "orc_roundtrip_agg",
-    "part_pagerank",
 ]
 
 
@@ -7598,4 +7599,86 @@ def q_near_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cluster_size")
         .agg(F.count(F.lit(1)).alias("n_clusters"))
         .orderBy("cluster_size")
+    )
+
+
+@register(
+    "source_overlap_matrix",
+    r"""
+    WITH tok AS (
+      SELECT source, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS t
+      FROM documents
+    ), g AS (
+      SELECT source,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 4, 0)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                    || t[i+3] || ' ' || t[i+4])) AS gs
+      FROM tok
+    ), sg AS (
+      SELECT DISTINCT source, unnest(gs) AS gram FROM g
+    ), sizes AS (
+      SELECT source, count(*) AS n FROM sg GROUP BY source
+    ), pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM sg a JOIN sg b ON a.gram = b.gram AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, n_shared,
+           CAST((1000000 * n_shared) // least(sa.n, sb.n) AS BIGINT)
+             AS containment_ppm
+    FROM pairs
+    JOIN sizes sa ON sa.source = src_a
+    JOIN sizes sb ON sb.source = src_b
+    ORDER BY src_a, src_b
+    """,
+    "Cross-source contamination matrix: for every source pair, how "
+    "many distinct word 5-grams they share and the containment (shared "
+    "/ smaller set, exact integer parts-per-million — no float "
+    "rounding to disagree on). The corpus-health audit that catches "
+    "one source republishing another before both are mixed into a "
+    "run. Grams are 64-bit xxhash shingles (never strings) on the "
+    "Spark side; the gram self-join's per-key fan-out is bounded by "
+    "sources², and the text itself never shuffles — only (source, "
+    "gram-hash) pairs do.",
+)
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.dedup import shingle_hashes_from_tokens
+    from ais_data_pipeline_spark.operators.text import tokens_col
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select("source", tokens_col(F.col("text")).alias("__t"))
+    sg = toks.select(
+        "source", F.explode(shingle_hashes_from_tokens(F.col("__t"), 5)).alias("g")
+    ).distinct()
+    sizes = sg.groupBy("source").agg(F.count(F.lit(1)).alias("__n"))
+    pairs = (
+        sg.alias("a")
+        .join(
+            sg.alias("b"),
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("__n").alias("__na"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("__n").alias("__nb"))
+    return (
+        pairs.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            F.floor(
+                F.lit(1000000) * F.col("n_shared") / F.least("__na", "__nb")
+            )
+            .cast("long")
+            .alias("containment_ppm"),
+        )
+        .orderBy("src_a", "src_b")
     )
