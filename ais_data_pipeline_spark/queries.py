@@ -7650,9 +7650,17 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     toks = d.select("source", tokens_col(F.col("text")).alias("__t"))
-    sg = toks.select(
-        "source", F.explode(shingle_hashes_from_tokens(F.col("__t"), 5)).alias("g")
-    ).distinct()
+    # the distinct (source, gram) set feeds THREE consumers (both
+    # self-join branches + sizes): pin it once instead of re-running
+    # the explode + distinct per consumer
+    sg = (
+        toks.select(
+            "source",
+            F.explode(shingle_hashes_from_tokens(F.col("__t"), 5)).alias("g"),
+        )
+        .distinct()
+        .transform(materialize)
+    )
     sizes = sg.groupBy("source").agg(F.count(F.lit(1)).alias("__n"))
     pairs = (
         sg.alias("a")
