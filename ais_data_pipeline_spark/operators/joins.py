@@ -146,3 +146,40 @@ def as_of_join(
         F.col(f"r.{c}").alias(f"r_{c}") for c in right.columns if c not in on
     ]
     return joined.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).select(*out_cols)
+
+
+def range_join_within(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    window_seconds: int,
+) -> DataFrame:
+    """Two-sided backward interval join: each left row matches right
+    rows sharing ``key`` with ``left_time - window <= right_time <
+    left_time`` (the attribution/lookback shape).
+
+    Same bucket trick as ``range_self_join_within``: the right side
+    gets one coarse time bucket (``floor(epoch/window)``), the left
+    probes its own bucket and the previous one (a backward window
+    spans at most one boundary), so the join is a plain equi-join on
+    (key, bucket) — shuffle-partitioned and AQE-skew-splittable, no
+    per-key cross product — with the exact interval predicate applied
+    after. Each qualifying pair matches exactly once because the right
+    bucket is single-valued. Returns all left + right columns (alias
+    time/id columns distinctly before calling).
+    """
+    bucket_l = F.floor(F.unix_timestamp(F.col(left_time)) / window_seconds)
+    bucket_r = F.floor(F.unix_timestamp(F.col(right_time)) / window_seconds)
+    l = left.withColumn("__bucket", F.explode(F.array(bucket_l - 1, bucket_l)))
+    r = right.withColumn("__bucket", bucket_r)
+    win = F.expr(f"INTERVAL {window_seconds} SECONDS")
+    return (
+        l.join(r, [key, "__bucket"])
+        .filter(
+            (F.col(right_time) < F.col(left_time))
+            & (F.col(right_time) >= F.col(left_time) - win)
+        )
+        .drop("__bucket")
+    )

@@ -91,19 +91,19 @@ def register(name: str, oracle: str | None, description: str):
 
 # The driver checks only the FIRST 50 registry entries per round, so
 # registry order decides which queries get a CORRECTNESS row. Round-7
-# window (the round-6 verdict's rotation plan): (a) the 12 queries NEW
+# window (the round-6 verdict's rotation plan): (a) the 13 queries NEW
 # this round with no driver row yet (pretraining_pipeline_stats — the
 # composed training-data capstone — plus rag_chunk_index_topk,
 # stratified_quality_sample, funnel_view_click_purchase,
 # gopher_quality_filter, binary_hamming_topk,
 # hashed_quality_classifier, line_dedup_stats, vocab_growth_stats,
 # length_bucket_histogram, near_dup_cluster_sizes,
-# source_overlap_matrix);
+# source_overlap_matrix, multi_touch_attribution);
 # (b) all 15 r3-dated rows the round-6
 # verdict named (sample_seeded rows-only by design, plus the fourteen
 # zero-churn queries still oracle-checked by pytest every run);
-# (c) 23 of the 50 queries whose latest driver row is round 4,
-# alphabetical order. The 27 remaining r4-dated rows don't fit the
+# (c) 22 of the 50 queries whose latest driver row is round 4,
+# alphabetical order. The 28 remaining r4-dated rows don't fit the
 # 50-slot cap and lead the round-8 window (the verdict's "nothing
 # older than r5 after r7" can't be met exactly with 65 stale rows and
 # 50 slots; the leftover is r4, one round inside the 3-round
@@ -122,6 +122,7 @@ _FRONT_WINDOW: list[str] = [
     "length_bucket_histogram",
     "near_dup_cluster_sizes",
     "source_overlap_matrix",
+    "multi_touch_attribution",
     # (b) the 15 r3-dated rows
     "distinct_pairs",
     "event_type_pivot",
@@ -161,7 +162,6 @@ _FRONT_WINDOW: list[str] = [
     "min_cost_supplier_per_part",
     "mixture_sample_docs",
     "ngram_contamination",
-    "orc_roundtrip_agg",
 ]
 
 
@@ -7689,4 +7689,66 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("containment_ppm"),
         )
         .orderBy("src_a", "src_b")
+    )
+
+
+@register(
+    "multi_touch_attribution",
+    """
+    WITH p AS (
+      SELECT user_id, event_id AS p_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ), t AS (
+      SELECT user_id, event_type AS touch_type, ts AS t_ts
+      FROM events WHERE event_type IN ('view', 'click')
+    ), j AS (
+      SELECT p.p_id, t.touch_type
+      FROM p JOIN t ON p.user_id = t.user_id
+       AND t.t_ts < p.p_ts AND t.t_ts >= p.p_ts - INTERVAL 1800 SECOND
+    ), c AS (
+      SELECT touch_type,
+             1000000 // count(*) OVER (PARTITION BY p_id) AS credit_ppm
+      FROM j
+    )
+    SELECT touch_type, count(*) AS n_touches,
+           CAST(sum(credit_ppm) AS BIGINT) AS total_credit_ppm
+    FROM c GROUP BY touch_type ORDER BY touch_type
+    """,
+    "Multi-touch attribution (linear model): every view/click in the "
+    "30 min before a purchase shares the conversion credit equally — "
+    "credit per touch is an exact integer ppm (1e6 // n_touches), so "
+    "no float summation order to disagree on. The lookback join is "
+    "the bucketed two-sided range join (equi-join on (user, "
+    "time-bucket) with a 2-bucket probe — no per-key cross product), "
+    "then ONE window count per purchase and a tiny per-type roll-up.",
+)
+def q_multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ais_data_pipeline_spark.operators.joins import range_join_within
+
+    ev = read_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
+    )
+    t = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_type").alias("touch_type"),
+        F.col("ts").alias("t_ts"),
+    )
+    j = range_join_within(p, t, "user_id", "p_ts", "t_ts", 1800)
+    w = Window.partitionBy("p_id")
+    cred = j.select(
+        "touch_type",
+        F.floor(F.lit(1000000) / F.count(F.lit(1)).over(w))
+        .cast("long")
+        .alias("credit_ppm"),
+    )
+    return (
+        cred.groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("credit_ppm").cast("long").alias("total_credit_ppm"),
+        )
+        .orderBy("touch_type")
     )
