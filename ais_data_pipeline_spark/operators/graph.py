@@ -222,3 +222,87 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def star_connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC 2014) → (id, cluster_id), cluster_id = min
+    member — the same contract as ``dedup.near_dup_clusters``.
+
+    Why a second CC: min-label propagation needs O(diameter) rounds,
+    so a path-shaped component of length 10^6 needs 10^6 shuffles.
+    Star contraction halves structure every round — O(log n) rounds
+    on ANY topology — which is the variant a 100 TB graph with long
+    chains (web graphs, citation chains, transaction traces) needs.
+    Near-dup graphs are dense/tiny (label propagation wins on
+    constants); both are offered and equivalence-gated in pytest.
+
+    Each round is two grouped-min + join stages on the node key;
+    edges stay canonical (larger endpoint first), every intermediate
+    materializes so round i's plan never embeds round i-1, and
+    convergence (edge set stable) is checked with one anti-join +
+    count per round.
+
+    - large-star: every neighbor v > u links to m = min(Γ(u) ∪ {u})
+    - small-star: every neighbor v < u (and u itself) links to
+      m = min(Γ<(u) ∪ {u})
+    """
+    both = (
+        pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("t"))
+        .union(pairs.select(F.col(b_col).alias("s"), F.col(a_col).alias("t")))
+        .filter(F.col("s") != F.col("t"))
+    )
+    # canonical (u, v): u = larger endpoint, v = smaller
+    edges = (
+        both.select(
+            F.greatest("s", "t").alias("u"), F.least("s", "t").alias("v")
+        )
+        .distinct()
+        .transform(materialize)
+    )
+    nodes = (
+        both.select(F.col("s").alias("id")).distinct().transform(materialize)
+    )
+    for _ in range(max_iter):
+        # large-star over the symmetric adjacency
+        sym = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).union(
+            edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
+        )
+        mins = sym.groupBy("a").agg(
+            F.least(F.min("b"), F.first("a")).alias("m")
+        )
+        large = (
+            sym.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star on canonical edges (neighbors below u)
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(mins2, "u")
+            .select(F.col("v").alias("child"), F.col("m"))
+            .union(mins2.select(F.col("u").alias("child"), F.col("m")))
+            .filter(F.col("child") != F.col("m"))
+            .select(F.col("child").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .transform(materialize)
+        )
+        stable = (
+            small.join(edges, ["u", "v"], "left_anti").limit(1).count() == 0
+            and edges.join(small, ["u", "v"], "left_anti").limit(1).count() == 0
+        )
+        edges = small
+        if stable:
+            break
+    roots = edges.select(F.col("u").alias("id"), F.col("v").alias("cluster_id"))
+    return nodes.join(roots, "id", "left").select(
+        "id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id")
+    )

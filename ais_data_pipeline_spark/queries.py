@@ -91,19 +91,20 @@ def register(name: str, oracle: str | None, description: str):
 
 # The driver checks only the FIRST 50 registry entries per round, so
 # registry order decides which queries get a CORRECTNESS row. Round-7
-# window (the round-6 verdict's rotation plan): (a) the 13 queries NEW
+# window (the round-6 verdict's rotation plan): (a) the 14 queries NEW
 # this round with no driver row yet (pretraining_pipeline_stats — the
 # composed training-data capstone — plus rag_chunk_index_topk,
 # stratified_quality_sample, funnel_view_click_purchase,
 # gopher_quality_filter, binary_hamming_topk,
 # hashed_quality_classifier, line_dedup_stats, vocab_growth_stats,
 # length_bucket_histogram, near_dup_cluster_sizes,
-# source_overlap_matrix, multi_touch_attribution);
+# source_overlap_matrix, multi_touch_attribution,
+# near_dup_clusters_star);
 # (b) all 15 r3-dated rows the round-6
 # verdict named (sample_seeded rows-only by design, plus the fourteen
 # zero-churn queries still oracle-checked by pytest every run);
-# (c) 22 of the 50 queries whose latest driver row is round 4,
-# alphabetical order. The 28 remaining r4-dated rows don't fit the
+# (c) 21 of the 50 queries whose latest driver row is round 4,
+# alphabetical order. The 29 remaining r4-dated rows don't fit the
 # 50-slot cap and lead the round-8 window (the verdict's "nothing
 # older than r5 after r7" can't be met exactly with 65 stale rows and
 # 50 slots; the leftover is r4, one round inside the 3-round
@@ -123,6 +124,7 @@ _FRONT_WINDOW: list[str] = [
     "near_dup_cluster_sizes",
     "source_overlap_matrix",
     "multi_touch_attribution",
+    "near_dup_clusters_star",
     # (b) the 15 r3-dated rows
     "distinct_pairs",
     "event_type_pivot",
@@ -161,7 +163,6 @@ _FRONT_WINDOW: list[str] = [
     "market_share",
     "min_cost_supplier_per_part",
     "mixture_sample_docs",
-    "ngram_contamination",
 ]
 
 
@@ -7752,3 +7753,24 @@ def q_multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("touch_type")
     )
+
+
+@register(
+    "near_dup_clusters_star",
+    _CLUSTERS_ORACLE,
+    "Connected components by alternating large-star/small-star "
+    "contraction (Kiveris et al. 2014) over the same MinHash near-dup "
+    "pair graph — O(log n) rounds on ANY topology, vs O(diameter) for "
+    "the label-propagation variant (`near_dup_clusters`), which is "
+    "what a 100 TB graph with long chains needs. Same (id, cluster_id "
+    "= min member) contract and the same recursive-CTE oracle; the "
+    "two implementations are additionally equivalence-gated against "
+    "each other on adversarial topologies in pytest.",
+)
+def q_near_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.dedup import minhash_near_dup
+    from ais_data_pipeline_spark.operators.graph import star_connected_components
+
+    d = read_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup(d, threshold=0.3)
+    return star_connected_components(pairs)

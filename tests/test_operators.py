@@ -2088,3 +2088,59 @@ def test_hamming_recall_floor_sf001(spark, sf_dir):
         for r in hamming_rerank_topk(rest, qv, k=10, oversample=100).collect()
     }
     assert len(got & exact) / 10.0 >= 0.7
+
+
+def test_star_cc_matches_label_propagation(spark):
+    """Star-contraction CC (Kiveris et al. 2014) must produce exactly
+    the label-propagation components on adversarial shapes: a long
+    path (diameter stress), a cycle, a star, a dense clique, and
+    isolated pairs."""
+    from ais_data_pipeline_spark.localrel import local_df
+    from ais_data_pipeline_spark.operators.dedup import near_dup_clusters
+    from ais_data_pipeline_spark.operators.graph import star_connected_components
+
+    pairs = []
+    pairs += [(i, i + 1) for i in range(100, 140)]        # 41-node path
+    pairs += [(200 + i, 200 + (i + 1) % 7) for i in range(7)]  # 7-cycle
+    pairs += [(300, 300 + i) for i in range(1, 9)]        # star
+    pairs += [(400 + i, 400 + j) for i in range(5) for j in range(i + 1, 5)]  # K5
+    pairs += [(500, 501), (502, 503)]                      # isolated pairs
+    pairs += [(601, 600), (603, 601)]                      # reversed edges
+    df = local_df(spark, pairs, "doc_a bigint, doc_b bigint")
+    lp = {
+        (r["id"], r["cluster_id"]) for r in near_dup_clusters(df, max_iter=60).collect()
+    }
+    star = {
+        (r["id"], r["cluster_id"])
+        for r in star_connected_components(df).collect()
+    }
+    assert star == lp
+
+
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=5, deadline=None)
+def test_star_cc_random_graphs(spark, seed):
+    """Property check on random sparse graphs: star-contraction and
+    label-propagation agree on every (node, component-min) label."""
+    import random as _random
+
+    from ais_data_pipeline_spark.localrel import local_df
+    from ais_data_pipeline_spark.operators.dedup import near_dup_clusters
+    from ais_data_pipeline_spark.operators.graph import star_connected_components
+
+    rng = _random.Random(seed)
+    n = 60
+    pairs = [
+        (rng.randrange(n), rng.randrange(n))
+        for _ in range(40)
+    ]
+    pairs = [(a, b) for a, b in pairs if a != b] or [(0, 1)]
+    df = local_df(spark, pairs, "doc_a bigint, doc_b bigint")
+    lp = {
+        (r["id"], r["cluster_id"]) for r in near_dup_clusters(df, max_iter=60).collect()
+    }
+    star = {
+        (r["id"], r["cluster_id"])
+        for r in star_connected_components(df).collect()
+    }
+    assert star == lp
