@@ -2144,3 +2144,40 @@ def test_star_cc_random_graphs(spark, seed):
         for r in star_connected_components(df).collect()
     }
     assert star == lp
+
+
+def test_range_join_within_boundaries(spark):
+    """Backward-window semantics are half-open [t-W, t): a touch at
+    exactly t-W qualifies, one at exactly t does not, and bucket
+    boundaries (the 2-probe trick) produce each pair exactly once."""
+    import datetime
+
+    from ais_data_pipeline_spark.localrel import local_df
+    from ais_data_pipeline_spark.operators.joins import range_join_within
+
+    def ts(s):
+        return datetime.datetime(2024, 1, 1, 0, 0, s)
+
+    left = local_df(
+        spark,
+        [(1, 100, ts(30))],
+        "user_id bigint, p_id bigint, p_ts timestamp",
+    )
+    right = local_df(
+        spark,
+        [
+            (1, 200, ts(0)),    # exactly t-W (W=30): IN
+            (1, 201, ts(29)),   # inside: IN
+            (1, 202, ts(30)),   # exactly t: OUT
+            (1, 203, ts(31)),   # after: OUT
+            (2, 204, ts(29)),   # other key: OUT
+        ],
+        "user_id bigint, t_id bigint, t_ts timestamp",
+    )
+    got = sorted(
+        r["t_id"]
+        for r in range_join_within(
+            left, right, "user_id", "p_ts", "t_ts", 30
+        ).collect()
+    )
+    assert got == [200, 201]
