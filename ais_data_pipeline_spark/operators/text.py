@@ -474,7 +474,10 @@ def gopher_flags(text_col: Column) -> dict[str, Column]:
 
 
 def gopher_filter_stats(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_by: list | None = None,
 ) -> DataFrame:
     """Corpus-level Gopher-rule attrition accounting: one row with the
     total document count, the per-rule FAIL count, and the count of
@@ -484,7 +487,9 @@ def gopher_filter_stats(
     One scan, one map-side-combinable aggregate: the seven flags fuse
     into the scan projection and the sums partial-aggregate per
     partition, so the 100 TB form shuffles exactly one row per
-    partition.
+    partition. ``group_by`` (a list of columns/names) yields one
+    accounting row per group instead — the per-batch / per-source
+    drift-monitor form.
     """
     flags = gopher_flags(F.col(text_col))
     keep = ~flags["word_count"]
@@ -496,6 +501,8 @@ def gopher_filter_stats(
         for name, flag in flags.items()
     ]
     aggs.append(F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"))
+    if group_by is not None:
+        return df.groupBy(*group_by).agg(*aggs)
     return df.agg(*aggs)
 
 

@@ -91,7 +91,7 @@ def register(name: str, oracle: str | None, description: str):
 
 # The driver checks only the FIRST 50 registry entries per round, so
 # registry order decides which queries get a CORRECTNESS row. Round-7
-# window (the round-6 verdict's rotation plan): (a) the 14 queries NEW
+# window (the round-6 verdict's rotation plan): (a) the 15 queries NEW
 # this round with no driver row yet (pretraining_pipeline_stats — the
 # composed training-data capstone — plus rag_chunk_index_topk,
 # stratified_quality_sample, funnel_view_click_purchase,
@@ -99,12 +99,12 @@ def register(name: str, oracle: str | None, description: str):
 # hashed_quality_classifier, line_dedup_stats, vocab_growth_stats,
 # length_bucket_histogram, near_dup_cluster_sizes,
 # source_overlap_matrix, multi_touch_attribution,
-# near_dup_clusters_star);
+# near_dup_clusters_star, streaming_quality_monitor);
 # (b) all 15 r3-dated rows the round-6
 # verdict named (sample_seeded rows-only by design, plus the fourteen
 # zero-churn queries still oracle-checked by pytest every run);
-# (c) 21 of the 50 queries whose latest driver row is round 4,
-# alphabetical order. The 29 remaining r4-dated rows don't fit the
+# (c) 20 of the 50 queries whose latest driver row is round 4,
+# alphabetical order. The 30 remaining r4-dated rows don't fit the
 # 50-slot cap and lead the round-8 window (the verdict's "nothing
 # older than r5 after r7" can't be met exactly with 65 stale rows and
 # 50 slots; the leftover is r4, one round inside the 3-round
@@ -125,6 +125,7 @@ _FRONT_WINDOW: list[str] = [
     "source_overlap_matrix",
     "multi_touch_attribution",
     "near_dup_clusters_star",
+    "streaming_quality_monitor",
     # (b) the 15 r3-dated rows
     "distinct_pairs",
     "event_type_pivot",
@@ -162,7 +163,6 @@ _FRONT_WINDOW: list[str] = [
     "kmeans_ivf_centroids",
     "market_share",
     "min_cost_supplier_per_part",
-    "mixture_sample_docs",
 ]
 
 
@@ -7774,3 +7774,102 @@ def q_near_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     pairs = minhash_near_dup(d, threshold=0.3)
     return star_connected_components(pairs)
+
+
+@register(
+    "streaming_quality_monitor",
+    r"""
+    WITH tok AS (
+      SELECT CAST(doc_id % 2 AS INTEGER) AS batch_no, text,
+             CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks,
+             string_split(text, chr(10)) AS lines
+      FROM documents
+    ), f AS (
+      SELECT batch_no,
+        (len(toks) < 50 OR len(toks) > 100000) AS f_word_count,
+        (CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS DOUBLE)
+           / greatest(len(toks), 1) < 3.0
+         OR CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS DOUBLE)
+           / greatest(len(toks), 1) > 10.0) AS f_mean_word_len,
+        ((CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+          + CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3.0)
+           / greatest(len(toks), 1) > 0.1) AS f_symbol_ratio,
+        (CAST(len(list_filter(lines, l -> starts_with(ltrim(l), '- ')
+                                       OR starts_with(ltrim(l), '* ')
+                                       OR starts_with(ltrim(l), '• '))) AS DOUBLE)
+           / greatest(len(lines), 1) > 0.9) AS f_bullet_lines,
+        (CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...')
+                                       OR ends_with(rtrim(l), '…'))) AS DOUBLE)
+           / greatest(len(lines), 1) > 0.3) AS f_ellipsis_lines,
+        (CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+           / greatest(len(toks), 1) < 0.8) AS f_alpha_words,
+        (len(list_distinct(list_filter(toks, x -> x IN
+             ('the','be','to','of','and','that','have','with')))) < 2) AS f_stop_words
+      FROM tok
+    )
+    SELECT batch_no, count(*) AS n_docs,
+           CAST(sum(CASE WHEN f_word_count THEN 1 ELSE 0 END) AS BIGINT) AS f_word_count,
+           CAST(sum(CASE WHEN f_mean_word_len THEN 1 ELSE 0 END) AS BIGINT) AS f_mean_word_len,
+           CAST(sum(CASE WHEN f_symbol_ratio THEN 1 ELSE 0 END) AS BIGINT) AS f_symbol_ratio,
+           CAST(sum(CASE WHEN f_bullet_lines THEN 1 ELSE 0 END) AS BIGINT) AS f_bullet_lines,
+           CAST(sum(CASE WHEN f_ellipsis_lines THEN 1 ELSE 0 END) AS BIGINT) AS f_ellipsis_lines,
+           CAST(sum(CASE WHEN f_alpha_words THEN 1 ELSE 0 END) AS BIGINT) AS f_alpha_words,
+           CAST(sum(CASE WHEN f_stop_words THEN 1 ELSE 0 END) AS BIGINT) AS f_stop_words,
+           CAST(sum(CASE WHEN NOT (f_word_count OR f_mean_word_len OR f_symbol_ratio
+                                   OR f_bullet_lines OR f_ellipsis_lines
+                                   OR f_alpha_words OR f_stop_words)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM f
+    GROUP BY batch_no
+    ORDER BY batch_no
+    """,
+    "Streaming quality-drift monitor: each micro-batch of the document "
+    "stream appends ONE Gopher-rule accounting row (per-rule FAIL "
+    "counts + survivors) from inside foreachBatch — the live dashboard "
+    "feed that catches a bad crawl batch before it lands in the "
+    "corpus. Two availableNow drains over a parquet landing zone; the "
+    "oracle recomputes both batch rows from the same split. Accounting "
+    "is one combinable agg per micro-batch, so monitor cost is O(batch "
+    "rows) with a one-row write.",
+)
+def q_streaming_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.text import gopher_filter_stats
+
+    docs = read_table(spark, sf_dir, "documents")
+    base = _scratch_dir("qmon_")
+    landing, ckpt, out = base + "/landing", base + "/ckpt", base + "/stats"
+    k = F.col("doc_id")
+
+    def drain() -> None:
+        stream = spark.readStream.schema(docs.schema).parquet(landing)
+
+        def account(bdf, _bid) -> None:
+            gopher_filter_stats(
+                bdf,
+                group_by=[(F.col("doc_id") % 2).cast("int").alias("batch_no")],
+            ).write.mode("append").parquet(out)
+
+        q = (
+            stream.writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(account)
+            .start()
+        )
+        q.awaitTermination()
+
+    docs.filter(k % 2 == 0).write.mode("append").parquet(landing)
+    drain()
+    docs.filter(k % 2 == 1).write.mode("append").parquet(landing)
+    drain()
+
+    return (
+        spark.read.schema(
+            "batch_no int, n_docs bigint, f_word_count bigint, "
+            "f_mean_word_len bigint, f_symbol_ratio bigint, "
+            "f_bullet_lines bigint, f_ellipsis_lines bigint, "
+            "f_alpha_words bigint, f_stop_words bigint, n_kept bigint"
+        )
+        .parquet(out)
+        .orderBy("batch_no")
+    )
