@@ -594,6 +594,22 @@ def near_dup_clusters(
         labels = updated
         if changed == 0:
             break
+    else:
+        # labels are still moving after max_iter rounds: the graph's
+        # diameter exceeds the budget and the returned components are
+        # WRONG (over-split). Surface it — the silent form cost nothing
+        # on near-dup graphs (diameter 2-3) but would mislabel a long
+        # chain; graph.star_connected_components converges in O(log n)
+        # rounds on any topology and is the right tool there.
+        from ais_data_pipeline_spark.observability import log
+
+        log(
+            "near_dup_clusters_not_converged",
+            level="warning",
+            max_iter=max_iter,
+            still_changing=changed,
+            hint="use graph.star_connected_components for high-diameter graphs",
+        )
     return labels.select("id", "cluster_id")
 
 

@@ -269,7 +269,7 @@ def star_connected_components(
     nodes = (
         both.select(F.col("s").alias("id")).distinct().transform(materialize)
     )
-    for _ in range(max_iter):
+    for _round in range(max_iter):
         # large-star over the symmetric adjacency
         sym = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).union(
             edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
@@ -301,6 +301,9 @@ def star_connected_components(
         )
         edges = small
         if stable:
+            from ais_data_pipeline_spark.observability import log
+
+            log("star_cc_converged", rounds=_round + 1)
             break
     roots = edges.select(F.col("u").alias("id"), F.col("v").alias("cluster_id"))
     return nodes.join(roots, "id", "left").select(

@@ -2181,3 +2181,17 @@ def test_range_join_within_boundaries(spark):
         ).collect()
     )
     assert got == [200, 201]
+
+
+def test_label_propagation_warns_on_diameter_overflow(spark, capsys):
+    """A graph whose diameter exceeds max_iter must not fail SILENTLY:
+    near_dup_clusters emits the star_cc hint event (the labels are
+    over-split by construction at that point)."""
+    from ais_data_pipeline_spark.localrel import local_df
+    from ais_data_pipeline_spark.operators.dedup import near_dup_clusters
+
+    pairs = [(i, i + 1) for i in range(30)]  # 31-node path, diameter 30
+    df = local_df(spark, pairs, "doc_a bigint, doc_b bigint")
+    near_dup_clusters(df, max_iter=3).collect()
+    err = capsys.readouterr().err
+    assert "near_dup_clusters_not_converged" in err

@@ -344,6 +344,29 @@ def probes(spark, scale: int, only: set[str] | None = None):
     return out
 
 
+def star_cc_path_probe(spark, lengths=(1_000, 10_000, 50_000)):
+    """Star-contraction CC on PATH graphs of growing length — the
+    diameter-stress case where min-label propagation needs O(diameter)
+    rounds. Reports wall-clock and correctness (every node must label
+    to the path's min node); the rounds-used count comes out on stdout
+    via the star_cc_converged observability event."""
+    from ais_data_pipeline_spark.operators.graph import star_connected_components
+
+    out = {}
+    for n in lengths:
+        pairs = spark.range(n - 1).select(
+            F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+        )
+        t0 = time.perf_counter()
+        labels = star_connected_components(pairs, max_iter=40)
+        wrong = labels.filter(F.col("cluster_id") != 0).count()
+        out[str(n)] = {
+            "sec": round(time.perf_counter() - t0, 2),
+            "mislabeled": wrong,
+        }
+    return out
+
+
 def pagerank_iters_probe(spark, iters_list=(2, 4, 8), scale: int = 1):
     """Time PageRank at growing ITERATION counts on fixed data — the
     probe that proves per-iteration lineage truncation: time must grow
@@ -368,6 +391,11 @@ def main():
     if "--pagerank-iters" in args:
         out = pagerank_iters_probe(spark)
         print(json.dumps({"pagerank_iters": out}), flush=True)
+        spark.stop()
+        return
+    if "--star-path" in args:
+        out = star_cc_path_probe(spark)
+        print(json.dumps({"star_cc_path": out}), flush=True)
         spark.stop()
         return
     only = None
