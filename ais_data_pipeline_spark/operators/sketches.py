@@ -84,3 +84,90 @@ def cms_estimate(
         .groupBy(item_col)
         .agg(F.min("cnt").alias("est_cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable deterministic HyperLogLog (Flajolet et al. 2007) — register
+# tables as DataFrames, mergeable by MAX, bit-identical cross-engine.
+# ---------------------------------------------------------------------------
+
+#: 2^HLL_P registers; 60-bit md5-prefix hash = 6 bucket bits + 54 rank bits.
+HLL_P = 6
+HLL_M = 1 << HLL_P
+
+
+def hll_registers(
+    df: DataFrame, item_col: str, group_cols: list[str] | None = None
+) -> DataFrame:
+    """HLL register table — (group..., bucket, M) with M = max rank —
+    from one groupBy. The PARTIAL form of distinct counting: register
+    tables built per partition / day / nation MERGE by max(M) per
+    bucket (``hll_merge``), which is what lets a 100 TB ingest keep
+    per-segment sketches and roll them up without re-scanning. Unlike
+    ``approx_count_distinct`` (whose sketch never leaves the JVM
+    aggregate), the registers here are a first-class DataFrame you can
+    persist, ship, and merge.
+
+    Hash is the portable 60-bit md5-prefix (same as CMS/simhash):
+    bucket = h mod 2^p, rank = leading-zeros-in-54-bits(h div 2^p)+1,
+    computed with exact integer/bin-length arithmetic — an ANSI-SQL
+    oracle rebuilds identical registers.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(item_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    bucket = (h % HLL_M).alias("bucket")
+    rest = F.floor(h / HLL_M).cast("long")
+    # rank = 54-bit leading zeros + 1 = 55 - bitlength(rest); rest=0 → 55
+    rho = F.when(rest == 0, F.lit(55)).otherwise(
+        F.lit(55) - F.length(F.bin(rest))
+    )
+    keys = [F.col(c) for c in (group_cols or [])] + [bucket]
+    return df.select(*keys, rho.alias("__rho")).groupBy(
+        *(group_cols or []), "bucket"
+    ).agg(F.max("__rho").alias("M"))
+
+
+def hll_merge(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge register tables down to coarser groups: max(M) per
+    (group..., bucket). Lossless — merging per-nation registers to a
+    region equals building the region's registers directly."""
+    return registers.groupBy(*group_cols, "bucket").agg(
+        F.max("M").alias("M")
+    )
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Raw HLL estimate per group: alpha_m * m^2 / Σ 2^-M_j (empty
+    buckets contribute 2^0 = 1). DETERMINISTIC cross-engine by EXACT
+    integer arithmetic: the harmonic sum is computed scaled by 2^55 —
+    each register contributes the exact long 2^(55-M), each empty
+    bucket 2^55, the total fits a BIGINT (≤ 2^61) — so the only float
+    ops are one cast and one constant-times-division at the end,
+    identical IEEE steps in any engine and any aggregation order.
+    No small-range (linear-counting) correction: it needs ln, which
+    is 1-ulp non-portable cross-engine (same measured finding that
+    shaped dsir_domain_scores); the raw estimate is the deterministic
+    contract, documented here.
+    """
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(HLL_M)))
+    # 2^(55-M) is a power of two ≤ 2^54: exact as double, exact as long
+    term = F.pow(F.lit(2.0), (F.lit(55) - F.col("M")).cast("double")).cast(
+        "long"
+    )
+    folded = registers.groupBy(*group_cols).agg(
+        F.sum(term).alias("__s_present"),
+        F.count(F.lit(1)).alias("__nb"),
+    )
+    s_scaled = F.col("__s_present") + (
+        F.lit(HLL_M).cast("long") - F.col("__nb")
+    ) * F.lit(1 << 55).cast("long")
+    return folded.select(
+        *group_cols,
+        (
+            alpha
+            * F.lit(float(HLL_M * HLL_M))
+            * F.lit(float(1 << 55))
+            / s_scaled.cast("double")
+        ).alias("hll_est"),
+    )

@@ -91,7 +91,7 @@ def register(name: str, oracle: str | None, description: str):
 
 # The driver checks only the FIRST 50 registry entries per round, so
 # registry order decides which queries get a CORRECTNESS row. Round-7
-# window (the round-6 verdict's rotation plan): (a) the 15 queries NEW
+# window (the round-6 verdict's rotation plan): (a) the 16 queries NEW
 # this round with no driver row yet (pretraining_pipeline_stats — the
 # composed training-data capstone — plus rag_chunk_index_topk,
 # stratified_quality_sample, funnel_view_click_purchase,
@@ -99,12 +99,13 @@ def register(name: str, oracle: str | None, description: str):
 # hashed_quality_classifier, line_dedup_stats, vocab_growth_stats,
 # length_bucket_histogram, near_dup_cluster_sizes,
 # source_overlap_matrix, multi_touch_attribution,
-# near_dup_clusters_star, streaming_quality_monitor);
+# near_dup_clusters_star, streaming_quality_monitor,
+# hll_region_rollup);
 # (b) all 15 r3-dated rows the round-6
 # verdict named (sample_seeded rows-only by design, plus the fourteen
 # zero-churn queries still oracle-checked by pytest every run);
-# (c) 20 of the 50 queries whose latest driver row is round 4,
-# alphabetical order. The 30 remaining r4-dated rows don't fit the
+# (c) 19 of the 50 queries whose latest driver row is round 4,
+# alphabetical order. The 31 remaining r4-dated rows don't fit the
 # 50-slot cap and lead the round-8 window (the verdict's "nothing
 # older than r5 after r7" can't be met exactly with 65 stale rows and
 # 50 slots; the leftover is r4, one round inside the 3-round
@@ -126,6 +127,7 @@ _FRONT_WINDOW: list[str] = [
     "multi_touch_attribution",
     "near_dup_clusters_star",
     "streaming_quality_monitor",
+    "hll_region_rollup",
     # (b) the 15 r3-dated rows
     "distinct_pairs",
     "event_type_pivot",
@@ -162,7 +164,6 @@ _FRONT_WINDOW: list[str] = [
     "inverted_index_postings",
     "kmeans_ivf_centroids",
     "market_share",
-    "min_cost_supplier_per_part",
 ]
 
 
@@ -7873,3 +7874,75 @@ def q_streaming_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(out)
         .orderBy("batch_no")
     )
+
+
+@register(
+    "hll_region_rollup",
+    r"""
+    WITH cust AS (
+      SELECT r_name, n_name, c_custkey
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    ), h AS (
+      SELECT r_name, n_name,
+             ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT AS hv
+      FROM cust
+    ), rho AS (
+      SELECT r_name, n_name, hv % 64 AS bucket,
+             CASE WHEN hv // 64 = 0 THEN 55
+                  ELSE 55 - length(bin(hv // 64)) END AS rho
+      FROM h
+    ), nat_reg AS (
+      SELECT r_name, n_name, bucket, max(rho) AS M
+      FROM rho GROUP BY 1, 2, 3
+    ), reg AS (
+      SELECT r_name, bucket, max(M) AS M FROM nat_reg GROUP BY 1, 2
+    ), folded AS (
+      SELECT r_name,
+             CAST(sum(CAST(power(2.0, 55 - M) AS BIGINT)) AS BIGINT) AS s_present,
+             count(*) AS nb
+      FROM reg GROUP BY r_name
+    ), exact AS (
+      SELECT r_name, count(DISTINCT c_custkey) AS n_exact FROM cust GROUP BY r_name
+    )
+    SELECT f.r_name,
+           (0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0 * 36028797018963968.0
+             / CAST(s_present + (64 - nb) * 36028797018963968 AS DOUBLE)
+             AS hll_est,
+           e.n_exact
+    FROM folded f JOIN exact e ON f.r_name = e.r_name
+    ORDER BY f.r_name
+    """,
+    "Mergeable-sketch rollup: per-nation HyperLogLog register tables "
+    "(Flajolet et al. 2007; portable md5-prefix hash, 64 registers) "
+    "MERGED to per-region distinct-customer estimates via max(M) — the "
+    "build-per-segment / roll-up-without-rescan pattern a 100 TB "
+    "ingest needs, with the exact count alongside for calibration. "
+    "Estimate is bit-identical cross-engine: the harmonic sum is exact "
+    "integer arithmetic scaled by 2^55, and only one constant-times-"
+    "division happens in floats (no ln correction — non-portable, "
+    "documented in sketches.py).",
+)
+def q_hll_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    cust = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("r_name", "n_name", "c_custkey")
+    )
+    nat_reg = hll_registers(cust, "c_custkey", group_cols=["r_name", "n_name"])
+    reg = hll_merge(nat_reg, ["r_name"])
+    est = hll_estimate(reg, ["r_name"])
+    exact = cust.groupBy("r_name").agg(
+        F.countDistinct("c_custkey").alias("n_exact")
+    )
+    return est.join(exact, "r_name").orderBy("r_name")

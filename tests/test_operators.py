@@ -2195,3 +2195,37 @@ def test_label_propagation_warns_on_diameter_overflow(spark, capsys):
     near_dup_clusters(df, max_iter=3).collect()
     err = capsys.readouterr().err
     assert "near_dup_clusters_not_converged" in err
+
+
+def test_hll_merge_is_lossless_and_estimates_track_truth(spark):
+    """Registers built per segment and merged must equal registers
+    built directly on the union (the mergeability contract), and the
+    raw estimate must land within the ~1.04/sqrt(64) = 13% HLL error
+    band (loose 3-sigma bound) of the true distinct count."""
+    from ais_data_pipeline_spark.localrel import local_df
+    from ais_data_pipeline_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    rows = [(i % 4, i) for i in range(4000)]  # 4 segments, 4000 distinct ids
+    df = local_df(spark, rows, "seg int, item bigint")
+    per_seg = hll_registers(df, "item", group_cols=["seg"])
+    merged = {
+        (r["bucket"], r["M"])
+        for r in hll_merge(per_seg.withColumn("all", F.lit(1)), ["all"])
+        .select("bucket", "M")
+        .collect()
+    }
+    direct = {
+        (r["bucket"], r["M"])
+        for r in hll_registers(df.withColumn("all", F.lit(1)), "item", ["all"])
+        .select("bucket", "M")
+        .collect()
+    }
+    assert merged == direct
+    est = hll_estimate(
+        hll_registers(df.withColumn("all", F.lit(1)), "item", ["all"]), ["all"]
+    ).collect()[0]["hll_est"]
+    assert abs(est - 4000) / 4000 < 0.40  # 3x the 13% stderr
