@@ -91,7 +91,7 @@ def register(name: str, oracle: str | None, description: str):
 
 # The driver checks only the FIRST 50 registry entries per round, so
 # registry order decides which queries get a CORRECTNESS row. Round-7
-# window (the round-6 verdict's rotation plan): (a) the 16 queries NEW
+# window (the round-6 verdict's rotation plan): (a) the 17 queries NEW
 # this round with no driver row yet (pretraining_pipeline_stats — the
 # composed training-data capstone — plus rag_chunk_index_topk,
 # stratified_quality_sample, funnel_view_click_purchase,
@@ -100,12 +100,12 @@ def register(name: str, oracle: str | None, description: str):
 # length_bucket_histogram, near_dup_cluster_sizes,
 # source_overlap_matrix, multi_touch_attribution,
 # near_dup_clusters_star, streaming_quality_monitor,
-# hll_region_rollup);
+# hll_region_rollup, conversion_latency_deciles);
 # (b) all 15 r3-dated rows the round-6
 # verdict named (sample_seeded rows-only by design, plus the fourteen
 # zero-churn queries still oracle-checked by pytest every run);
-# (c) 19 of the 50 queries whose latest driver row is round 4,
-# alphabetical order. The 31 remaining r4-dated rows don't fit the
+# (c) 18 of the 50 queries whose latest driver row is round 4,
+# alphabetical order. The 32 remaining r4-dated rows don't fit the
 # 50-slot cap and lead the round-8 window (the verdict's "nothing
 # older than r5 after r7" can't be met exactly with 65 stale rows and
 # 50 slots; the leftover is r4, one round inside the 3-round
@@ -128,6 +128,7 @@ _FRONT_WINDOW: list[str] = [
     "near_dup_clusters_star",
     "streaming_quality_monitor",
     "hll_region_rollup",
+    "conversion_latency_deciles",
     # (b) the 15 r3-dated rows
     "distinct_pairs",
     "event_type_pivot",
@@ -163,7 +164,6 @@ _FRONT_WINDOW: list[str] = [
     "incremental_join_view",
     "inverted_index_postings",
     "kmeans_ivf_centroids",
-    "market_share",
 ]
 
 
@@ -7946,3 +7946,75 @@ def q_hll_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("c_custkey").alias("n_exact")
     )
     return est.join(exact, "r_name").orderBy("r_name")
+
+
+@register(
+    "conversion_latency_deciles",
+    """
+    WITH p AS (
+      SELECT event_id AS p_id, user_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ), lat AS (
+      SELECT p_id,
+             date_diff('microsecond',
+               (SELECT max(v.ts) FROM events v
+                WHERE v.user_id = p.user_id AND v.event_type = 'view'
+                  AND v.ts <= p.p_ts),
+               p_ts) AS latency_us
+      FROM p
+    ), nn AS (
+      SELECT p_id, latency_us FROM lat WHERE latency_us IS NOT NULL
+    ), d AS (
+      SELECT latency_us, ntile(10) OVER (ORDER BY latency_us, p_id) AS decile
+      FROM nn
+    )
+    SELECT decile, count(*) AS n_conversions,
+           min(latency_us) AS min_latency_us,
+           max(latency_us) AS max_latency_us
+    FROM d GROUP BY decile ORDER BY decile
+    """,
+    "Time-to-convert distribution: latest view at-or-before each "
+    "purchase (as-of composition), microsecond-exact integer latency, "
+    "exact decile bands via a totally-ordered ntile — the funnel-"
+    "latency report behind conversion SLOs. The global ntile is the "
+    "deliberate exact-quantile form (same contract as "
+    "order_price_deciles); the approx_quantiles sketch is the "
+    "100 TB-sized alternative when a global sort is too much.",
+)
+def q_conversion_latency_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = read_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("__vu"), F.col("ts").alias("__vts")
+    )
+    best = (
+        p.join(
+            v,
+            (F.col("user_id") == F.col("__vu")) & (F.col("__vts") <= F.col("p_ts")),
+        )
+        .groupBy("p_id", "p_ts")
+        .agg(F.max("__vts").alias("__last_view"))
+    )
+    lat = best.select(
+        "p_id",
+        (F.unix_micros("p_ts") - F.unix_micros("__last_view")).alias("latency_us"),
+    )
+    d = lat.select(
+        "latency_us",
+        F.ntile(10)
+        .over(Window.orderBy(F.asc("latency_us"), F.asc("p_id")))
+        .alias("decile"),
+    )
+    return (
+        d.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.min("latency_us").alias("min_latency_us"),
+            F.max("latency_us").alias("max_latency_us"),
+        )
+        .orderBy("decile")
+    )
