@@ -117,7 +117,10 @@ def hll_registers(
         F.substring(F.md5(F.col(item_col).cast("string")), 1, 15), 16, 10
     ).cast("long")
     bucket = (h % HLL_M).alias("bucket")
-    rest = F.floor(h / HLL_M).cast("long")
+    # h div 2^p via an exact bit shift — h is a 60-bit long, and the
+    # float-division form (floor(h / m)) silently rounds h at the
+    # long→double promotion above 2^53
+    rest = F.shiftright(h, HLL_P)
     # rank = 54-bit leading zeros + 1 = 55 - bitlength(rest); rest=0 → 55
     rho = F.when(rest == 0, F.lit(55)).otherwise(
         F.lit(55) - F.length(F.bin(rest))
