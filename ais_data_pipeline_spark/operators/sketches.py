@@ -174,3 +174,75 @@ def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
             / s_scaled.cast("double")
         ).alias("hll_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable Bloom filter (Bloom 1970) — bit words as a DataFrame, k=2
+# md5-derived positions, exact cross-engine (63-bit words: DuckDB range-
+# checks 1<<63, so bit 63 is never used).
+# ---------------------------------------------------------------------------
+
+#: 2^16 bit positions packed 63 per word → 1041 words ≈ 8 KiB.
+BLOOM_BITS = 1 << 16
+BLOOM_WORD = 63
+
+
+def _bloom_positions(h: Column) -> list[Column]:
+    """k=2 bit positions from the 60-bit portable hash: low 16 bits and
+    the next 16 (exact shifts/mods only — no float division on the
+    60-bit value)."""
+    return [h % BLOOM_BITS, F.shiftright(h, 16) % BLOOM_BITS]
+
+
+def bloom_build(df: DataFrame, hash_col: str) -> DataFrame:
+    """Build the Bloom word table — (w, word) with ≤ ceil(2^16/63)
+    rows — from a column of portable 60-bit hashes. ONE groupBy with a
+    bit_or aggregate: partitions combine map-side, the shuffle carries
+    at most the filter size, and word tables from different segments
+    merge by the same bit_or (the CMS/HLL mergeability story, bitwise).
+    The result is small enough to broadcast into any probe join.
+    """
+    h = F.col(hash_col)
+    pos = df.select(F.explode(F.array(*_bloom_positions(h))).alias("__p"))
+    return (
+        pos.select(
+            F.floor(F.col("__p") / BLOOM_WORD).cast("long").alias("w"),
+            (F.col("__p") % BLOOM_WORD).cast("int").alias("__b"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), __b))").alias("word"))
+    )
+
+
+def bloom_probe(df: DataFrame, hash_col: str, bloom: DataFrame) -> DataFrame:
+    """Append a boolean ``bloom_pass`` to ``df``: True iff both bit
+    positions of ``hash_col`` are set in the (broadcast) Bloom word
+    table. No false negatives by construction; false positives at the
+    classic (1 - e^{-kn/m})^k rate — measure it before trusting a
+    prefilter, which is exactly what the registered query does."""
+    h = F.col(hash_col)
+    p1, p2 = _bloom_positions(h)
+    probed = df.withColumn(
+        "__w1", F.floor(p1 / BLOOM_WORD).cast("long")
+    ).withColumn("__b1", (p1 % BLOOM_WORD).cast("int")).withColumn(
+        "__w2", F.floor(p2 / BLOOM_WORD).cast("long")
+    ).withColumn("__b2", (p2 % BLOOM_WORD).cast("int"))
+    b1 = bloom.select(F.col("w").alias("__w1"), F.col("word").alias("__word1"))
+    b2 = bloom.select(F.col("w").alias("__w2"), F.col("word").alias("__word2"))
+    joined = probed.join(F.broadcast(b1), "__w1", "left").join(
+        F.broadcast(b2), "__w2", "left"
+    )
+    pass_col = (
+        F.coalesce(F.col("__word1"), F.lit(0)).bitwiseAND(
+            F.expr("shiftleft(CAST(1 AS BIGINT), __b1)")
+        )
+        != 0
+    ) & (
+        F.coalesce(F.col("__word2"), F.lit(0)).bitwiseAND(
+            F.expr("shiftleft(CAST(1 AS BIGINT), __b2)")
+        )
+        != 0
+    )
+    return joined.withColumn("bloom_pass", pass_col).drop(
+        "__w1", "__b1", "__w2", "__b2", "__word1", "__word2"
+    )

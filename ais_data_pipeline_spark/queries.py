@@ -91,7 +91,7 @@ def register(name: str, oracle: str | None, description: str):
 
 # The driver checks only the FIRST 50 registry entries per round, so
 # registry order decides which queries get a CORRECTNESS row. Round-7
-# window (the round-6 verdict's rotation plan): (a) the 17 queries NEW
+# window (the round-6 verdict's rotation plan): (a) the 18 queries NEW
 # this round with no driver row yet (pretraining_pipeline_stats — the
 # composed training-data capstone — plus rag_chunk_index_topk,
 # stratified_quality_sample, funnel_view_click_purchase,
@@ -100,12 +100,13 @@ def register(name: str, oracle: str | None, description: str):
 # length_bucket_histogram, near_dup_cluster_sizes,
 # source_overlap_matrix, multi_touch_attribution,
 # near_dup_clusters_star, streaming_quality_monitor,
-# hll_region_rollup, conversion_latency_deciles);
+# hll_region_rollup, conversion_latency_deciles,
+# bloom_prefilter_fp_rate);
 # (b) all 15 r3-dated rows the round-6
 # verdict named (sample_seeded rows-only by design, plus the fourteen
 # zero-churn queries still oracle-checked by pytest every run);
-# (c) 18 of the 50 queries whose latest driver row is round 4,
-# alphabetical order. The 32 remaining r4-dated rows don't fit the
+# (c) 17 of the 50 queries whose latest driver row is round 4,
+# alphabetical order. The 33 remaining r4-dated rows don't fit the
 # 50-slot cap and lead the round-8 window (the verdict's "nothing
 # older than r5 after r7" can't be met exactly with 65 stale rows and
 # 50 slots; the leftover is r4, one round inside the 3-round
@@ -129,6 +130,7 @@ _FRONT_WINDOW: list[str] = [
     "streaming_quality_monitor",
     "hll_region_rollup",
     "conversion_latency_deciles",
+    "bloom_prefilter_fp_rate",
     # (b) the 15 r3-dated rows
     "distinct_pairs",
     "event_type_pivot",
@@ -163,7 +165,6 @@ _FRONT_WINDOW: list[str] = [
     "important_parts_share",
     "incremental_join_view",
     "inverted_index_postings",
-    "kmeans_ivf_centroids",
 ]
 
 
@@ -8017,4 +8018,124 @@ def q_conversion_latency_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("latency_us").alias("max_latency_us"),
         )
         .orderBy("decile")
+    )
+
+
+@register(
+    "bloom_prefilter_fp_rate",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS t
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 2, 0)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gs
+      FROM tok
+    ), eg AS (
+      SELECT DISTINCT ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h
+      FROM (SELECT unnest(gs) AS gram FROM g WHERE doc_id % 50 = 0)
+    ), tg AS (
+      SELECT DISTINCT ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h
+      FROM (SELECT unnest(gs) AS gram FROM g WHERE doc_id % 50 <> 0)
+    ), pos AS (
+      SELECT h % 65536 AS p FROM eg
+      UNION ALL
+      SELECT (h >> 16) % 65536 FROM eg
+    ), bloom AS (
+      SELECT p // 63 AS w,
+             bit_or(1::BIGINT << CAST(p % 63 AS INTEGER)) AS word
+      FROM pos GROUP BY 1
+    ), probe AS (
+      SELECT t.h,
+             ((coalesce(b1.word, 0)
+               & (1::BIGINT << CAST((t.h % 65536) % 63 AS INTEGER))) <> 0
+              AND (coalesce(b2.word, 0)
+               & (1::BIGINT << CAST(((t.h >> 16) % 65536) % 63 AS INTEGER))) <> 0
+             ) AS pass,
+             (e.h IS NOT NULL) AS truth
+      FROM tg t
+      LEFT JOIN bloom b1 ON b1.w = (t.h % 65536) // 63
+      LEFT JOIN bloom b2 ON b2.w = ((t.h >> 16) % 65536) // 63
+      LEFT JOIN eg e ON e.h = t.h
+    )
+    SELECT count(*) AS n_train_grams,
+           CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass,
+           CAST(sum(CASE WHEN truth THEN 1 ELSE 0 END) AS BIGINT) AS n_true_hits,
+           CAST(sum(CASE WHEN pass AND NOT truth THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_pos,
+           CAST((1000000 * sum(CASE WHEN pass AND NOT truth THEN 1 ELSE 0 END))
+                // greatest(count(*) - sum(CASE WHEN truth THEN 1 ELSE 0 END), 1)
+                AS BIGINT) AS fp_ppm
+    FROM probe
+    """,
+    "Bloom-filter join prefilter with EXACT false-positive accounting "
+    "(Bloom 1970): the eval-set 3-gram hashes build a 2^16-bit / k=2 "
+    "word table (one bit_or groupBy, ~8 KiB, broadcastable; segments "
+    "merge by bit_or), train grams probe it, and the query reports "
+    "pass/true/false-positive counts plus the exact integer-ppm FP "
+    "rate. Zero false negatives by construction. This is the "
+    "prefilter a 100 TB decontamination join runs BEFORE the exact "
+    "match (only bloom-pass rows reach the shuffle) — and the FP "
+    "measurement is what makes trusting it honest. 63-bit words: "
+    "DuckDB range-checks 1<<63, so bit 63 is never used — pinned in "
+    "sketches.py.",
+)
+def q_bloom_prefilter_fp_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.sketches import bloom_build, bloom_probe
+    from ais_data_pipeline_spark.operators.text import tokens_col
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens_col(F.col("text")).alias("__t"))
+    n_sh = F.greatest(F.size("__t") - F.lit(2), F.lit(0))
+    gram = lambda i: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.element_at("__t", i),
+                    F.element_at("__t", i + 1),
+                    F.element_at("__t", i + 2),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    hashes = F.array_distinct(F.transform(F.sequence(F.lit(1), n_sh), gram))
+
+    def grams(pred):
+        return (
+            toks.filter(pred)
+            .select(F.explode(hashes).alias("h"))
+            .distinct()
+        )
+
+    eg = grams(F.col("doc_id") % 50 == 0).transform(materialize)
+    tg = grams(F.col("doc_id") % 50 != 0)
+    probed = bloom_probe(tg, "h", bloom_build(eg, "h"))
+    truth = probed.join(
+        F.broadcast(eg.withColumn("__truth", F.lit(True))), "h", "left"
+    )
+    n_fp = F.sum(
+        F.when(F.col("bloom_pass") & F.col("__truth").isNull(), 1).otherwise(0)
+    ).cast("long")
+    n_truth = F.sum(F.when(F.col("__truth").isNotNull(), 1).otherwise(0)).cast("long")
+    return truth.agg(
+        F.count(F.lit(1)).alias("n_train_grams"),
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_bloom_pass"),
+        n_truth.alias("n_true_hits"),
+        n_fp.alias("n_false_pos"),
+        F.floor(
+            (F.lit(1000000) * n_fp)
+            / F.greatest(F.count(F.lit(1)) - n_truth, F.lit(1))
+        )
+        .cast("long")
+        .alias("fp_ppm"),
     )

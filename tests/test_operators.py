@@ -2229,3 +2229,28 @@ def test_hll_merge_is_lossless_and_estimates_track_truth(spark):
         hll_registers(df.withColumn("all", F.lit(1)), "item", ["all"]), ["all"]
     ).collect()[0]["hll_est"]
     assert abs(est - 4000) / 4000 < 0.40  # 3x the 13% stderr
+
+
+def test_bloom_no_false_negatives_and_mergeable(spark):
+    """Every inserted hash must pass its own filter (no false
+    negatives), and word tables built per segment merged by bit_or
+    must equal the table built on the union."""
+    from ais_data_pipeline_spark.localrel import local_df
+    from ais_data_pipeline_spark.operators.sketches import bloom_build, bloom_probe
+
+    rows = [(i, (i * 2654435761) % (1 << 60)) for i in range(500)]
+    df = local_df(spark, rows, "seg bigint, h bigint")
+    bloom = bloom_build(df, "h")
+    probed = bloom_probe(df, "h", bloom)
+    assert probed.filter(~F.col("bloom_pass")).count() == 0
+    half_a = bloom_build(df.filter(F.col("seg") % 2 == 0), "h")
+    half_b = bloom_build(df.filter(F.col("seg") % 2 == 1), "h")
+    merged = {
+        (r["w"], r["word"])
+        for r in half_a.union(half_b)
+        .groupBy("w")
+        .agg(F.expr("bit_or(word)").alias("word"))
+        .collect()
+    }
+    direct = {(r["w"], r["word"]) for r in bloom.collect()}
+    assert merged == direct
