@@ -91,7 +91,7 @@ def register(name: str, oracle: str | None, description: str):
 
 # The driver checks only the FIRST 50 registry entries per round, so
 # registry order decides which queries get a CORRECTNESS row. Round-7
-# window (the round-6 verdict's rotation plan): (a) the 18 queries NEW
+# window (the round-6 verdict's rotation plan): (a) the 20 queries NEW
 # this round with no driver row yet (pretraining_pipeline_stats — the
 # composed training-data capstone — plus rag_chunk_index_topk,
 # stratified_quality_sample, funnel_view_click_purchase,
@@ -101,12 +101,13 @@ def register(name: str, oracle: str | None, description: str):
 # source_overlap_matrix, multi_touch_attribution,
 # near_dup_clusters_star, streaming_quality_monitor,
 # hll_region_rollup, conversion_latency_deciles,
-# bloom_prefilter_fp_rate);
+# bloom_prefilter_fp_rate, basket_association_rules,
+# event_transition_matrix);
 # (b) all 15 r3-dated rows the round-6
 # verdict named (sample_seeded rows-only by design, plus the fourteen
 # zero-churn queries still oracle-checked by pytest every run);
-# (c) 17 of the 50 queries whose latest driver row is round 4,
-# alphabetical order. The 33 remaining r4-dated rows don't fit the
+# (c) 15 of the 50 queries whose latest driver row is round 4,
+# alphabetical order. The 35 remaining r4-dated rows don't fit the
 # 50-slot cap and lead the round-8 window (the verdict's "nothing
 # older than r5 after r7" can't be met exactly with 65 stale rows and
 # 50 slots; the leftover is r4, one round inside the 3-round
@@ -131,6 +132,8 @@ _FRONT_WINDOW: list[str] = [
     "hll_region_rollup",
     "conversion_latency_deciles",
     "bloom_prefilter_fp_rate",
+    "basket_association_rules",
+    "event_transition_matrix",
     # (b) the 15 r3-dated rows
     "distinct_pairs",
     "event_type_pivot",
@@ -163,8 +166,6 @@ _FRONT_WINDOW: list[str] = [
     "embedding_quantize_int8",
     "fuzzy_name_pairs",
     "important_parts_share",
-    "incremental_join_view",
-    "inverted_index_postings",
 ]
 
 
@@ -8138,4 +8139,113 @@ def q_bloom_prefilter_fp_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("fp_ppm"),
+    )
+
+
+@register(
+    "basket_association_rules",
+    """
+    WITH b AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), n AS (
+      SELECT count(DISTINCT o) AS n_orders FROM b
+    ), si AS (
+      SELECT p, count(*) AS supp FROM b GROUP BY p
+    ), pairs AS (
+      SELECT a.p AS part_a, c.p AS part_b, count(*) AS supp_ab
+      FROM b a JOIN b c ON a.o = c.o AND a.p < c.p
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    )
+    SELECT part_a, part_b, CAST(supp_ab AS BIGINT) AS supp_ab,
+           CAST((1000000 * supp_ab * n.n_orders) // (sa.supp * sb.supp)
+                AS BIGINT) AS lift_ppm,
+           CAST((1000000 * supp_ab) // sa.supp AS BIGINT) AS conf_ppm
+    FROM pairs
+    JOIN si sa ON sa.p = part_a
+    JOIN si sb ON sb.p = part_b, n
+    ORDER BY lift_ppm DESC, part_a, part_b
+    LIMIT 20
+    """,
+    "Market-basket association rules (Agrawal et al. 1993 shape): "
+    "pairwise co-occurrence over order baskets — the self-join is "
+    "bounded by basket size (max 13 lines here), never all-pairs over "
+    "parts — with support filtering BEFORE the per-item joins, and "
+    "lift/confidence as exact integer ppm (DIV, no float division "
+    "whose 0.007-ulp error at 1e10 scale could flip a floor). "
+    "Item-support table broadcasts; top-20 by lift.",
+)
+def q_basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct().transform(materialize)
+    n_orders = b.select("o").distinct().count()
+    si = b.groupBy("p").agg(F.count(F.lit(1)).alias("__supp"))
+    pairs = (
+        b.alias("a")
+        .join(
+            b.alias("c"),
+            (F.col("a.o") == F.col("c.o")) & (F.col("a.p") < F.col("c.p")),
+        )
+        .groupBy(F.col("a.p").alias("part_a"), F.col("c.p").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("supp_ab"))
+        .filter(F.col("supp_ab") >= 2)
+    )
+    sa = si.select(F.col("p").alias("part_a"), F.col("__supp").alias("__sa"))
+    sb = si.select(F.col("p").alias("part_b"), F.col("__supp").alias("__sb"))
+    joined = (
+        pairs.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .withColumn(
+            "__num_lift",
+            F.lit(1000000).cast("long")
+            * F.col("supp_ab")
+            * F.lit(int(n_orders)).cast("long"),
+        )
+        .withColumn("__den_lift", F.col("__sa") * F.col("__sb"))
+        .withColumn(
+            "__num_conf", F.lit(1000000).cast("long") * F.col("supp_ab")
+        )
+    )
+    return joined.select(
+        "part_a",
+        "part_b",
+        F.col("supp_ab").cast("long").alias("supp_ab"),
+        F.expr("CAST(__num_lift DIV __den_lift AS BIGINT)").alias("lift_ppm"),
+        F.expr("CAST(__num_conf DIV __sa AS BIGINT)").alias("conf_ppm"),
+    ).orderBy(F.desc("lift_ppm"), "part_a", "part_b").limit(20)
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH t AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, count(*) AS n_transitions
+    FROM t WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    ORDER BY prev_type, next_type
+    """,
+    "Per-user event-type transition matrix (the Markov-chain input "
+    "behind path/funnel analysis): one lag window per user — a single "
+    "shuffle on the user key with a (ts, event_id) total order — then "
+    "a tiny types x types roll-up.",
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    t = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    return (
+        t.groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy("prev_type", "next_type")
     )
