@@ -309,3 +309,48 @@ def star_connected_components(
     return nodes.join(roots, "id", "left").select(
         "id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id")
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    source: int,
+    max_hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Breadth-first hop distances from ``source`` over an undirected
+    edge list (canonical or symmetric — symmetrized inside) → (id,
+    hops), nodes within ``max_hops`` only.
+
+    The Pregel frontier shape as DataFrame rounds: each hop joins the
+    CURRENT FRONTIER (not the full visited set) against the edge list,
+    anti-joins out already-visited nodes, and materializes — so round
+    h shuffles O(frontier_h x avg-degree) rows, lineage stays one
+    round deep, and the loop exits early when a frontier comes back
+    empty. Rounds = min(eccentricity, max_hops) — on small-world
+    graphs this is single digits regardless of node count.
+    """
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .distinct()
+        .transform(materialize)
+    )
+    frontier = sym.sparkSession.range(1).select(
+        F.lit(source).cast("long").alias("id"), F.lit(0).cast("long").alias("hops")
+    )
+    visited = frontier.transform(materialize)
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(sym, frontier.id == sym.s)
+            .select(F.col("d").alias("id"))
+            .distinct()
+            .join(visited, "id", "left_anti")
+            .withColumn("hops", F.lit(h).cast("long"))
+            .transform(materialize)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.union(nxt).transform(materialize)
+        frontier = nxt
+    return visited

@@ -91,7 +91,7 @@ def register(name: str, oracle: str | None, description: str):
 
 # The driver checks only the FIRST 50 registry entries per round, so
 # registry order decides which queries get a CORRECTNESS row. Round-7
-# window (the round-6 verdict's rotation plan): (a) the 20 queries NEW
+# window (the round-6 verdict's rotation plan): (a) the 22 queries NEW
 # this round with no driver row yet (pretraining_pipeline_stats — the
 # composed training-data capstone — plus rag_chunk_index_topk,
 # stratified_quality_sample, funnel_view_click_purchase,
@@ -102,12 +102,12 @@ def register(name: str, oracle: str | None, description: str):
 # near_dup_clusters_star, streaming_quality_monitor,
 # hll_region_rollup, conversion_latency_deciles,
 # bloom_prefilter_fp_rate, basket_association_rules,
-# event_transition_matrix);
+# event_transition_matrix, supplier_bfs_hops, ohlc_hourly);
 # (b) all 15 r3-dated rows the round-6
 # verdict named (sample_seeded rows-only by design, plus the fourteen
 # zero-churn queries still oracle-checked by pytest every run);
-# (c) 15 of the 50 queries whose latest driver row is round 4,
-# alphabetical order. The 35 remaining r4-dated rows don't fit the
+# (c) 13 of the 50 queries whose latest driver row is round 4,
+# alphabetical order. The 37 remaining r4-dated rows don't fit the
 # 50-slot cap and lead the round-8 window (the verdict's "nothing
 # older than r5 after r7" can't be met exactly with 65 stale rows and
 # 50 slots; the leftover is r4, one round inside the 3-round
@@ -134,6 +134,8 @@ _FRONT_WINDOW: list[str] = [
     "bloom_prefilter_fp_rate",
     "basket_association_rules",
     "event_transition_matrix",
+    "supplier_bfs_hops",
+    "ohlc_hourly",
     # (b) the 15 r3-dated rows
     "distinct_pairs",
     "event_type_pivot",
@@ -164,8 +166,6 @@ _FRONT_WINDOW: list[str] = [
     "doc_repetition_stats",
     "dominant_supplier_part",
     "embedding_quantize_int8",
-    "fuzzy_name_pairs",
-    "important_parts_share",
 ]
 
 
@@ -8248,4 +8248,118 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n_transitions"))
         .orderBy("prev_type", "next_type")
+    )
+
+
+@register(
+    "supplier_bfs_hops",
+    """
+    WITH RECURSIVE e AS (
+      SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2
+      HAVING count(DISTINCT a.l_orderkey) >= 30
+    ), sym AS (
+      SELECT src, dst FROM e UNION SELECT dst, src FROM e
+    ), src0 AS (
+      SELECT min(src) AS s FROM sym
+    ), walk(id, hops) AS (
+      SELECT s, 0 FROM src0
+      UNION
+      SELECT sym.dst, w.hops + 1
+      FROM walk w JOIN sym ON sym.src = w.id
+      WHERE w.hops < 4
+    )
+    SELECT id AS l_suppkey, CAST(min(hops) AS BIGINT) AS hops
+    FROM walk GROUP BY id
+    ORDER BY l_suppkey
+    """,
+    "BFS hop distances from the smallest supplier over the co-purchase "
+    "graph (same >= 30-shared-orders edge rule as supplier_triangles) "
+    "— the Pregel frontier shape: each hop joins only the CURRENT "
+    "frontier against the edges, anti-joins the visited set, and "
+    "materializes, so lineage stays one round deep and the loop exits "
+    "on an empty frontier. Oracle: recursive-CTE reachability with "
+    "UNION-dedup states, min hops per node.",
+)
+def q_supplier_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.graph import bfs_hops
+    from ais_data_pipeline_spark.operators.graph import weighted_cooccurrence_edges
+
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = weighted_cooccurrence_edges(
+        li, "l_orderkey", "l_suppkey", min_weight=30
+    ).select("src", "dst").transform(materialize)
+    source = edges.select(F.least(F.min("src"), F.min("dst")).alias("s")).first()["s"]
+    return (
+        bfs_hops(edges, int(source), max_hops=4)
+        .select(F.col("id").alias("l_suppkey"), "hops")
+        .orderBy("l_suppkey")
+    )
+
+
+@register(
+    "ohlc_hourly",
+    """
+    WITH t AS (
+      SELECT date_trunc('hour', ts) AS h, value, ts, event_id,
+             row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                                ORDER BY ts ASC, event_id ASC) AS rn_a,
+             row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM t GROUP BY h
+    ORDER BY hour
+    """,
+    "Hourly OHLC candlesticks over the event value stream: open/close "
+    "via rank-1 rows under a (ts, event_id) total order (portable — "
+    "arg_min/min_by composite-key semantics differ across engines), "
+    "high/low as plain min/max, volume and a DECIMAL-exact value sum. "
+    "Two windows + one agg, all shuffling once on the hour key.",
+)
+def q_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    _utc(spark)
+    e = read_table(spark, sf_dir, "events")
+    h = F.date_trunc("hour", F.col("ts"))
+    wa = Window.partitionBy(h).orderBy(F.asc("ts"), F.asc("event_id"))
+    wd = Window.partitionBy(h).orderBy(F.desc("ts"), F.desc("event_id"))
+    t = e.select(
+        h.alias("__h"),
+        "value",
+        F.row_number().over(wa).alias("__rn_a"),
+        F.row_number().over(wd).alias("__rn_d"),
+    )
+    return (
+        t.groupBy("__h")
+        .agg(
+            F.max(F.when(F.col("__rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("__rn_d") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.date_format("__h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("hour")
     )
