@@ -246,3 +246,86 @@ def bloom_probe(df: DataFrame, hash_col: str, bloom: DataFrame) -> DataFrame:
     return joined.withColumn("bloom_pass", pass_col).drop(
         "__w1", "__b1", "__w2", "__b2", "__word1", "__word2"
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable equi-width histogram sketch — the distribution member of the
+# sketch family (CMS = frequency, HLL = distinct, Bloom = membership).
+# ---------------------------------------------------------------------------
+
+
+def histogram_sketch(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 1024,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Fixed-range equi-width histogram — (group..., bin, cnt) with at
+    most ``n_bins`` rows per group — in one partially-aggregated
+    groupBy. Histograms from different segments MERGE by adding bin
+    counts (a groupBy-sum), and any quantile reads off the cumulative
+    counts with worst-case value error (hi-lo)/n_bins — the trade a
+    100 TB profiler makes: a fixed ~8 KiB summary per segment instead
+    of a global sort. Bin logic is exact integer arithmetic over
+    clamped values, so a SQL replica bins identically (values at bin
+    edges included downward via floor; v = hi lands in the last bin).
+    """
+    v = F.col(value_col).cast("double")
+    span = (hi - lo) / n_bins
+    raw = F.floor((v - F.lit(float(lo))) / F.lit(float(span))).cast("long")
+    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+    return (
+        df.select(*(group_cols or []), bin_.alias("bin"))
+        .groupBy(*(group_cols or []), "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    quantiles: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int = 1024,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Quantile estimates from a histogram sketch: for each p, the
+    UPPER EDGE of the first bin whose cumulative count reaches
+    ceil(p * n) — a percentile_disc-shaped rule on exact integers
+    (rank threshold via integer ceil: (num + den - 1) DIV den), so
+    the chosen bin is bit-portable; only the final edge arithmetic
+    touches doubles, identically on both engines. One cumulative
+    window over ≤ n_bins rows per group.
+    """
+    from pyspark.sql import Window
+
+    span = (hi - lo) / n_bins
+    w = (
+        Window.partitionBy(*(group_cols or []))
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("__cum", F.sum("cnt").over(w)).withColumn(
+        "__n", F.sum("cnt").over(Window.partitionBy(*(group_cols or [])))
+    )
+    out = None
+    for p in quantiles:
+        num, den = int(round(p * 1_000_000)), 1_000_000
+        thresh = F.expr(f"CAST(((__n * {num}) + {den} - 1) DIV {den} AS BIGINT)")
+        hit = (
+            cum.filter(F.col("__cum") >= thresh)
+            .groupBy(*(group_cols or []))
+            .agg(F.min("bin").alias("__bin"))
+            .select(
+                *(group_cols or []),
+                F.lit(p).alias("p"),
+                (
+                    F.lit(float(lo))
+                    + (F.col("__bin") + F.lit(1)).cast("double") * F.lit(float(span))
+                ).alias("q_est"),
+            )
+        )
+        out = hit if out is None else out.unionAll(hit)
+    return out

@@ -91,7 +91,7 @@ def register(name: str, oracle: str | None, description: str):
 
 # The driver checks only the FIRST 50 registry entries per round, so
 # registry order decides which queries get a CORRECTNESS row. Round-7
-# window (the round-6 verdict's rotation plan): (a) the 22 queries NEW
+# window (the round-6 verdict's rotation plan): (a) the 24 queries NEW
 # this round with no driver row yet (pretraining_pipeline_stats — the
 # composed training-data capstone — plus rag_chunk_index_topk,
 # stratified_quality_sample, funnel_view_click_purchase,
@@ -102,12 +102,13 @@ def register(name: str, oracle: str | None, description: str):
 # near_dup_clusters_star, streaming_quality_monitor,
 # hll_region_rollup, conversion_latency_deciles,
 # bloom_prefilter_fp_rate, basket_association_rules,
-# event_transition_matrix, supplier_bfs_hops, ohlc_hourly);
+# event_transition_matrix, supplier_bfs_hops, ohlc_hourly,
+# frequent_event_paths, histogram_quantile_sketch);
 # (b) all 15 r3-dated rows the round-6
 # verdict named (sample_seeded rows-only by design, plus the fourteen
 # zero-churn queries still oracle-checked by pytest every run);
-# (c) 13 of the 50 queries whose latest driver row is round 4,
-# alphabetical order. The 37 remaining r4-dated rows don't fit the
+# (c) 11 of the 50 queries whose latest driver row is round 4,
+# alphabetical order. The 39 remaining r4-dated rows don't fit the
 # 50-slot cap and lead the round-8 window (the verdict's "nothing
 # older than r5 after r7" can't be met exactly with 65 stale rows and
 # 50 slots; the leftover is r4, one round inside the 3-round
@@ -136,6 +137,8 @@ _FRONT_WINDOW: list[str] = [
     "event_transition_matrix",
     "supplier_bfs_hops",
     "ohlc_hourly",
+    "frequent_event_paths",
+    "histogram_quantile_sketch",
     # (b) the 15 r3-dated rows
     "distinct_pairs",
     "event_type_pivot",
@@ -164,8 +167,6 @@ _FRONT_WINDOW: list[str] = [
     "curation_pipeline_stats",
     "doc_chunking",
     "doc_repetition_stats",
-    "dominant_supplier_part",
-    "embedding_quantize_int8",
 ]
 
 
@@ -8363,3 +8364,141 @@ def q_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour")
     )
+
+
+@register(
+    "frequent_event_paths",
+    """
+    WITH t AS (
+      SELECT user_id, event_type,
+             lag(event_type, 1) OVER w AS p1,
+             lag(event_type, 2) OVER w AS p2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT p2 || '>' || p1 || '>' || event_type AS path, count(*) AS n
+    FROM t WHERE p2 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, path
+    LIMIT 20
+    """,
+    "Top-20 frequent 3-step event paths per user stream (clickstream "
+    "path mining): two lags under one (ts, event_id)-total-ordered "
+    "window per user — a single shuffle on the user key — then a "
+    "combinable path count. The sequence-pattern primitive behind "
+    "funnel discovery.",
+)
+def q_frequent_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    t = e.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("__p1"),
+        F.lag("event_type", 2).over(w).alias("__p2"),
+    ).filter(F.col("__p2").isNotNull())
+    return (
+        t.select(
+            F.concat_ws(">", "__p2", "__p1", "event_type").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(20)
+    )
+
+
+@register(
+    "histogram_quantile_sketch",
+    """
+    WITH h AS (
+      SELECT event_type,
+             least(greatest(CAST(floor((value - 0.0) / 1.0) AS BIGINT), 0), 999)
+               AS bin,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY 1
+    ), cum AS (
+      SELECT h.event_type, bin,
+             CAST(sum(cnt) OVER (PARTITION BY h.event_type ORDER BY bin)
+                  AS BIGINT) AS cum,
+             t.n
+      FROM h JOIN tot t USING (event_type)
+    ), ps AS (
+      SELECT * FROM (VALUES (0.5, 500000), (0.9, 900000), (0.99, 990000))
+        p(p, num)
+    ), est AS (
+      SELECT event_type, p,
+             0.0 + CAST(min(bin) + 1 AS DOUBLE) * 1.0 AS q_est
+      FROM cum, ps
+      WHERE cum >= ((n * num) + 999999) // 1000000
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn
+      FROM events
+    ), ex AS (
+      SELECT r.event_type, ps.p, min(r.value) AS q_exact
+      FROM ranked r
+      JOIN tot t USING (event_type), ps
+      WHERE r.rn >= ((t.n * ps.num) + 999999) // 1000000
+      GROUP BY 1, 2
+    )
+    SELECT est.event_type, est.p, est.q_est, ex.q_exact
+    FROM est JOIN ex ON est.event_type = ex.event_type AND est.p = ex.p
+    ORDER BY est.event_type, est.p
+    """,
+    "Mergeable equi-width histogram quantile sketch (the distribution "
+    "member of the sketch family beside CMS/HLL/Bloom): 1000 exact "
+    "integer bins per event_type, quantiles read off cumulative "
+    "counts with an integer-ceil rank rule (no float→int casts — "
+    "0.99*1e6 truncates differently across engines), upper-edge "
+    "estimates beside the exact rank-based quantile for calibration. "
+    "The fixed-size summary a 100 TB profiler ships per segment "
+    "instead of a global sort; segments merge by adding bin counts.",
+)
+def q_histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ais_data_pipeline_spark.operators.sketches import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    e = read_table(spark, sf_dir, "events")
+    hist = histogram_sketch(
+        e, "value", lo=0.0, hi=1000.0, n_bins=1000, group_cols=["event_type"]
+    )
+    est = histogram_quantiles(
+        hist,
+        [0.5, 0.9, 0.99],
+        lo=0.0,
+        hi=1000.0,
+        n_bins=1000,
+        group_cols=["event_type"],
+    )
+    wr = Window.partitionBy("event_type").orderBy(F.asc("value"), F.asc("event_id"))
+    ranked = e.select(
+        "event_type", "value", F.row_number().over(wr).alias("__rn")
+    )
+    tot = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("__n"))
+    ex = None
+    for p in (0.5, 0.9, 0.99):
+        num = int(round(p * 1_000_000))
+        part = (
+            ranked.join(F.broadcast(tot), "event_type")
+            .filter(
+                F.col("__rn")
+                >= F.expr(f"CAST(((__n * {num}) + 999999) DIV 1000000 AS BIGINT)")
+            )
+            .groupBy("event_type")
+            .agg(F.min("value").alias("q_exact"))
+            .withColumn("p", F.lit(p))
+        )
+        ex = part if ex is None else ex.unionAll(part)
+    return est.join(ex, ["event_type", "p"]).select(
+        "event_type", "p", "q_est", "q_exact"
+    ).orderBy("event_type", "p")

@@ -2254,3 +2254,42 @@ def test_bloom_no_false_negatives_and_mergeable(spark):
     }
     direct = {(r["w"], r["word"]) for r in bloom.collect()}
     assert merged == direct
+
+
+def test_histogram_sketch_merge_and_error_bound(spark):
+    """Segment histograms merged by adding bin counts equal the direct
+    histogram, and every quantile estimate is within one bin width of
+    the exact rank-based quantile."""
+    from ais_data_pipeline_spark.localrel import local_df
+    from ais_data_pipeline_spark.operators.sketches import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    rows = [(i % 3, float((i * 37) % 1000)) for i in range(3000)]
+    df = local_df(spark, rows, "seg int, v double")
+    direct = {
+        (r["bin"], r["cnt"])
+        for r in histogram_sketch(
+            df.withColumn("g", F.lit(1)), "v", 0.0, 1000.0, 100, ["g"]
+        ).select("bin", "cnt").collect()
+    }
+    parts = histogram_sketch(df, "v", 0.0, 1000.0, 100, ["seg"])
+    merged = {
+        (r["bin"], r["cnt"])
+        for r in parts.groupBy("bin").agg(F.sum("cnt").alias("cnt")).collect()
+    }
+    assert merged == direct
+    hist = histogram_sketch(df.withColumn("g", F.lit(1)), "v", 0.0, 1000.0, 100, ["g"])
+    ests = {
+        r["p"]: r["q_est"]
+        for r in histogram_quantiles(
+            hist, [0.5, 0.9], 0.0, 1000.0, 100, ["g"]
+        ).collect()
+    }
+    vals = sorted(v for _, v in rows)
+    import math
+
+    for p, est in ests.items():
+        exact = vals[math.ceil(p * len(vals)) - 1]
+        assert abs(est - exact) <= 10.0 + 1e-9, (p, est, exact)
