@@ -91,7 +91,7 @@ def register(name: str, oracle: str | None, description: str):
 
 # The driver checks only the FIRST 50 registry entries per round, so
 # registry order decides which queries get a CORRECTNESS row. Round-7
-# window (the round-6 verdict's rotation plan): (a) the 24 queries NEW
+# window (the round-6 verdict's rotation plan): (a) the 26 queries NEW
 # this round with no driver row yet (pretraining_pipeline_stats — the
 # composed training-data capstone — plus rag_chunk_index_topk,
 # stratified_quality_sample, funnel_view_click_purchase,
@@ -103,12 +103,13 @@ def register(name: str, oracle: str | None, description: str):
 # hll_region_rollup, conversion_latency_deciles,
 # bloom_prefilter_fp_rate, basket_association_rules,
 # event_transition_matrix, supplier_bfs_hops, ohlc_hourly,
-# frequent_event_paths, histogram_quantile_sketch);
+# frequent_event_paths, histogram_quantile_sketch,
+# ab_experiment_lift, pareto_customers);
 # (b) all 15 r3-dated rows the round-6
 # verdict named (sample_seeded rows-only by design, plus the fourteen
 # zero-churn queries still oracle-checked by pytest every run);
-# (c) 11 of the 50 queries whose latest driver row is round 4,
-# alphabetical order. The 39 remaining r4-dated rows don't fit the
+# (c) 9 of the 50 queries whose latest driver row is round 4,
+# alphabetical order. The 41 remaining r4-dated rows don't fit the
 # 50-slot cap and lead the round-8 window (the verdict's "nothing
 # older than r5 after r7" can't be met exactly with 65 stale rows and
 # 50 slots; the leftover is r4, one round inside the 3-round
@@ -139,6 +140,8 @@ _FRONT_WINDOW: list[str] = [
     "ohlc_hourly",
     "frequent_event_paths",
     "histogram_quantile_sketch",
+    "ab_experiment_lift",
+    "pareto_customers",
     # (b) the 15 r3-dated rows
     "distinct_pairs",
     "event_type_pivot",
@@ -165,8 +168,6 @@ _FRONT_WINDOW: list[str] = [
     "cross_doc_repeated_spans",
     "cumulative_unique_users",
     "curation_pipeline_stats",
-    "doc_chunking",
-    "doc_repetition_stats",
 ]
 
 
@@ -8502,3 +8503,140 @@ def q_histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(ex, ["event_type", "p"]).select(
         "event_type", "p", "q_est", "q_exact"
     ).orderBy("event_type", "p")
+
+
+@register(
+    "ab_experiment_lift",
+    """
+    WITH u AS (
+      SELECT DISTINCT user_id FROM events
+    ), a AS (
+      SELECT user_id,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2
+               AS variant
+      FROM u
+    ), p AS (
+      SELECT user_id, count(*) AS n_p
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT variant, count(*) AS n_users,
+           CAST(coalesce(sum(n_p), 0) AS BIGINT) AS n_purchases,
+           CAST((1000000 * coalesce(sum(n_p), 0)) // count(*) AS BIGINT)
+             AS purchases_ppm_per_user
+    FROM a LEFT JOIN p USING (user_id)
+    GROUP BY variant ORDER BY variant
+    """,
+    "Deterministic A/B experiment bucketing + lift readout: users "
+    "assign to variants by portable md5 hash (stable across runs, "
+    "engines, and cluster sizes — the property online experiments "
+    "need; Spark's rand() is neither), purchases-per-user as exact "
+    "integer ppm. Assignment is a map-side projection; the readout is "
+    "one join + one two-row aggregate.",
+)
+def q_ab_experiment_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    u = e.select("user_id").distinct()
+    variant = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        % 2
+    )
+    a = u.select("user_id", variant.alias("variant"))
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("__np"))
+    )
+    j = a.join(p, "user_id", "left")
+    return (
+        j.groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.coalesce(F.sum("__np"), F.lit(0)).cast("long").alias("n_purchases"),
+        )
+        .withColumn("__num", F.lit(1000000).cast("long") * F.col("n_purchases"))
+        .select(
+            "variant",
+            "n_users",
+            "n_purchases",
+            F.expr("CAST(__num DIV n_users AS BIGINT)").alias(
+                "purchases_ppm_per_user"
+            ),
+        )
+        .orderBy("variant")
+    )
+
+
+@register(
+    "pareto_customers",
+    """
+    WITH rev AS (
+      SELECT n.n_name, c.c_custkey,
+             CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+               AS r
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT n_name, r,
+             row_number() OVER (PARTITION BY n_name
+                                ORDER BY r DESC, c_custkey) AS rk,
+             CAST(sum(r) OVER (PARTITION BY n_name
+                               ORDER BY r DESC, c_custkey) AS DECIMAL(38,2))
+               AS cum,
+             CAST(sum(r) OVER (PARTITION BY n_name) AS DECIMAL(38,2)) AS tot,
+             count(*) OVER (PARTITION BY n_name) AS n_total
+    FROM rev
+    )
+    SELECT n_name,
+           CAST(min(rk) AS BIGINT) AS n_customers_80pct,
+           CAST(min(n_total) AS BIGINT) AS n_customers_total
+    FROM ranked
+    WHERE cum * 5 >= tot * 4
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    "Pareto concentration per nation: the smallest count of top "
+    "customers covering 80% of order revenue — revenue concentration "
+    "as a BI primitive. The 80% threshold compares EXACT decimals "
+    "(cum*5 >= tot*4 — no float share whose rounding could flip the "
+    "boundary customer), under a (revenue desc, custkey) total order; "
+    "one grouped agg + one windowed pass, both shuffling on the "
+    "nation key.",
+)
+def q_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "c_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("__r")
+        )
+    )
+    wo = Window.partitionBy("n_name").orderBy(F.desc("__r"), F.asc("c_custkey"))
+    wa = Window.partitionBy("n_name")
+    ranked = rev.select(
+        "n_name",
+        F.row_number().over(wo).alias("__rk"),
+        F.sum("__r").over(wo).cast("decimal(38,2)").alias("__cum"),
+        F.sum("__r").over(wa).cast("decimal(38,2)").alias("__tot"),
+        F.count(F.lit(1)).over(wa).alias("__n_total"),
+    )
+    return (
+        ranked.filter(F.col("__cum") * 5 >= F.col("__tot") * 4)
+        .groupBy("n_name")
+        .agg(
+            F.min("__rk").cast("long").alias("n_customers_80pct"),
+            F.min("__n_total").cast("long").alias("n_customers_total"),
+        )
+        .orderBy("n_name")
+    )
