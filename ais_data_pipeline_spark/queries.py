@@ -91,7 +91,7 @@ def register(name: str, oracle: str | None, description: str):
 
 # The driver checks only the FIRST 50 registry entries per round, so
 # registry order decides which queries get a CORRECTNESS row. Round-7
-# window (the round-6 verdict's rotation plan): (a) the 26 queries NEW
+# window (the round-6 verdict's rotation plan): (a) the 28 queries NEW
 # this round with no driver row yet (pretraining_pipeline_stats — the
 # composed training-data capstone — plus rag_chunk_index_topk,
 # stratified_quality_sample, funnel_view_click_purchase,
@@ -104,12 +104,13 @@ def register(name: str, oracle: str | None, description: str):
 # bloom_prefilter_fp_rate, basket_association_rules,
 # event_transition_matrix, supplier_bfs_hops, ohlc_hourly,
 # frequent_event_paths, histogram_quantile_sketch,
-# ab_experiment_lift, pareto_customers);
+# ab_experiment_lift, pareto_customers, k_anonymity_audit,
+# benford_digit_audit);
 # (b) all 15 r3-dated rows the round-6
 # verdict named (sample_seeded rows-only by design, plus the fourteen
 # zero-churn queries still oracle-checked by pytest every run);
-# (c) 9 of the 50 queries whose latest driver row is round 4,
-# alphabetical order. The 41 remaining r4-dated rows don't fit the
+# (c) 7 of the 50 queries whose latest driver row is round 4,
+# alphabetical order. The 43 remaining r4-dated rows don't fit the
 # 50-slot cap and lead the round-8 window (the verdict's "nothing
 # older than r5 after r7" can't be met exactly with 65 stale rows and
 # 50 slots; the leftover is r4, one round inside the 3-round
@@ -142,6 +143,8 @@ _FRONT_WINDOW: list[str] = [
     "histogram_quantile_sketch",
     "ab_experiment_lift",
     "pareto_customers",
+    "k_anonymity_audit",
+    "benford_digit_audit",
     # (b) the 15 r3-dated rows
     "distinct_pairs",
     "event_type_pivot",
@@ -166,8 +169,6 @@ _FRONT_WINDOW: list[str] = [
     "cms_heavy_hitters",
     "cohort_retention",
     "cross_doc_repeated_spans",
-    "cumulative_unique_users",
-    "curation_pipeline_stats",
 ]
 
 
@@ -8639,4 +8640,117 @@ def q_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("__n_total").cast("long").alias("n_customers_total"),
         )
         .orderBy("n_name")
+    )
+
+
+@register(
+    "k_anonymity_audit",
+    """
+    WITH eq AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+             count(*) AS class_size
+      FROM customer
+      GROUP BY 1, 2, 3
+    )
+    SELECT count(*) AS n_classes,
+           CAST(min(class_size) AS BIGINT) AS min_class_size,
+           CAST(sum(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_classes_below_k5,
+           CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+                AS BIGINT) AS n_rows_at_risk
+    FROM eq
+    """,
+    "k-anonymity audit (Sweeney 2002) over the customer quasi-"
+    "identifiers (nation, market segment, account-balance band): "
+    "equivalence-class sizes in one combinable groupBy, then the "
+    "governance row — class count, smallest class, classes below k=5 "
+    "and rows they expose. The re-identification check a dataset "
+    "release runs before publishing; banding is exact integer floor "
+    "over a coarse 1000-unit bucket (balances are far from band "
+    "edges at double precision).",
+)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    eq = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("__sz"))
+    return eq.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("__sz").cast("long").alias("min_class_size"),
+        F.sum(F.when(F.col("__sz") < 5, 1).otherwise(0))
+        .cast("long")
+        .alias("n_classes_below_k5"),
+        F.sum(F.when(F.col("__sz") < 5, F.col("__sz")).otherwise(0))
+        .cast("long")
+        .alias("n_rows_at_risk"),
+    )
+
+
+@register(
+    "benford_digit_audit",
+    """
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ), expected(digit, benford_ppm) AS (
+      SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+                            (4, 96910), (5, 79181), (6, 66947),
+                            (7, 57992), (8, 51153), (9, 45757)) t
+    )
+    SELECT e.digit, coalesce(o.n, 0) AS n_orders,
+           CAST((1000000 * coalesce(o.n, 0))
+                // (SELECT count(*) FROM d) AS BIGINT) AS observed_ppm,
+           e.benford_ppm
+    FROM expected e
+    LEFT JOIN (SELECT digit, count(*) AS n FROM d GROUP BY digit) o
+      ON o.digit = e.digit
+    ORDER BY e.digit
+    """,
+    "Benford first-digit audit on order totals (the classic fraud / "
+    "data-fabrication screen): observed leading-digit frequencies as "
+    "exact integer ppm next to the Benford expectation (log10(1+1/d), "
+    "embedded as shared ppm literals — no cross-engine log). Digit "
+    "extraction goes through integer floor + string head, identical "
+    "in both engines; one scan, nine-row output.",
+)
+def q_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.localrel import local_df
+
+    o = read_table(spark, sf_dir, "orders")
+    d = o.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    total = d.count()
+    counts = d.groupBy("digit").agg(F.count(F.lit(1)).alias("__n"))
+    expected = local_df(
+        spark,
+        [
+            (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+            (6, 66947), (7, 57992), (8, 51153), (9, 45757),
+        ],
+        "digit bigint, benford_ppm bigint",
+    )
+    return (
+        expected.join(F.broadcast(counts), "digit", "left")
+        .withColumn("n_orders", F.coalesce(F.col("__n"), F.lit(0)).cast("long"))
+        .withColumn(
+            "__num", F.lit(1000000).cast("long") * F.col("n_orders")
+        )
+        .select(
+            "digit",
+            "n_orders",
+            F.expr(f"CAST(__num DIV {int(total)} AS BIGINT)").alias(
+                "observed_ppm"
+            ),
+            "benford_ppm",
+        )
+        .orderBy("digit")
     )
