@@ -91,7 +91,7 @@ def register(name: str, oracle: str | None, description: str):
 
 # The driver checks only the FIRST 50 registry entries per round, so
 # registry order decides which queries get a CORRECTNESS row. Round-7
-# window (the round-6 verdict's rotation plan): (a) the 28 queries NEW
+# window (the round-6 verdict's rotation plan): (a) the 30 queries NEW
 # this round with no driver row yet (pretraining_pipeline_stats — the
 # composed training-data capstone — plus rag_chunk_index_topk,
 # stratified_quality_sample, funnel_view_click_purchase,
@@ -105,12 +105,13 @@ def register(name: str, oracle: str | None, description: str):
 # event_transition_matrix, supplier_bfs_hops, ohlc_hourly,
 # frequent_event_paths, histogram_quantile_sketch,
 # ab_experiment_lift, pareto_customers, k_anonymity_audit,
-# benford_digit_audit);
+# benford_digit_audit, entity_resolution_clusters,
+# readability_scores);
 # (b) all 15 r3-dated rows the round-6
 # verdict named (sample_seeded rows-only by design, plus the fourteen
 # zero-churn queries still oracle-checked by pytest every run);
-# (c) 7 of the 50 queries whose latest driver row is round 4,
-# alphabetical order. The 43 remaining r4-dated rows don't fit the
+# (c) 5 of the 50 queries whose latest driver row is round 4,
+# alphabetical order. The 45 remaining r4-dated rows don't fit the
 # 50-slot cap and lead the round-8 window (the verdict's "nothing
 # older than r5 after r7" can't be met exactly with 65 stale rows and
 # 50 slots; the leftover is r4, one round inside the 3-round
@@ -145,6 +146,8 @@ _FRONT_WINDOW: list[str] = [
     "pareto_customers",
     "k_anonymity_audit",
     "benford_digit_audit",
+    "entity_resolution_clusters",
+    "readability_scores",
     # (b) the 15 r3-dated rows
     "distinct_pairs",
     "event_type_pivot",
@@ -167,8 +170,6 @@ _FRONT_WINDOW: list[str] = [
     "bm25_top_docs",
     "bracket_revenue",
     "cms_heavy_hitters",
-    "cohort_retention",
-    "cross_doc_repeated_spans",
 ]
 
 
@@ -8754,3 +8755,130 @@ def q_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@register(
+    "entity_resolution_clusters",
+    """
+    WITH RECURSIVE blocked AS (
+      SELECT p_partkey, p_name, split_part(p_name, ' ', 2) AS blk
+      FROM part
+    ), jp AS (
+      SELECT a.p_partkey AS pa, b.p_partkey AS pb
+      FROM blocked a JOIN blocked b
+        ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+      WHERE levenshtein(a.p_name, b.p_name) <= 2
+    ), edges AS (
+      SELECT pa AS src, pb AS dst FROM jp
+      UNION
+      SELECT pb, pa FROM jp
+    ), nodes AS (
+      SELECT DISTINCT src AS id FROM edges
+    ), walk(id, reach) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+    )
+    SELECT id AS p_partkey, min(reach) AS entity_id
+    FROM walk GROUP BY id
+    ORDER BY p_partkey
+    """,
+    "End-to-end entity resolution: blocked edit-distance match pairs "
+    "(dist <= 2, same blocking as fuzzy_name_pairs) chained into "
+    "canonical entities via star-contraction connected components — "
+    "matches are pairwise, identities are transitive, and the "
+    "composition (block -> compare -> cluster -> canonical min id) is "
+    "the full dedupe-people/products pipeline shape. Oracle: the pair "
+    "relation + recursive-CTE closure.",
+)
+def q_entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.graph import star_connected_components
+
+    p = read_table(spark, sf_dir, "part")
+    blocked = p.select(
+        "p_partkey", "p_name", F.split(F.col("p_name"), " ").getItem(1).alias("blk")
+    )
+    a = blocked.select(
+        F.col("p_partkey").alias("part_a"), F.col("p_name").alias("__na"), "blk"
+    )
+    b = blocked.select(
+        F.col("p_partkey").alias("part_b"), F.col("p_name").alias("__nb"), "blk"
+    )
+    pairs = (
+        a.join(b, "blk")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .filter(F.levenshtein(F.col("__na"), F.col("__nb")) <= 2)
+        .select("part_a", "part_b")
+    )
+    return (
+        star_connected_components(pairs, a_col="part_a", b_col="part_b")
+        .select(F.col("id").alias("p_partkey"), F.col("cluster_id").alias("entity_id"))
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "readability_scores",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, text,
+             CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+      FROM documents
+    ), f AS (
+      SELECT doc_id,
+             greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+             greatest(len(toks), 1) AS n_words,
+             greatest(CAST(coalesce(list_sum(list_transform(toks,
+                 t -> greatest(len(regexp_extract_all(t, '[aeiouy]+')), 1))), 0)
+               AS BIGINT), 1) AS n_syllables
+      FROM tok
+    )
+    SELECT doc_id, CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_words AS BIGINT) AS n_words, n_syllables,
+           206.835
+             - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words) AS flesch
+    FROM f
+    ORDER BY doc_id
+    """,
+    "Flesch reading-ease per document (Flesch 1948; the readability "
+    "band filter several public corpora apply): sentences by "
+    "punctuation runs, syllables by vowel-group runs (>= 1 per word — "
+    "the standard cheap approximation), all counts exact integers in "
+    "one codegen'd projection; the score is the classic formula in "
+    "identical IEEE op order both engines, emitted unrounded.",
+)
+def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.text import tokens_col
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    t = d.select("doc_id", F.col("text"), toks.alias("__t"))
+    n_sent = F.greatest(F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1))
+    syl = F.aggregate(
+        F.transform(
+            F.col("__t"),
+            lambda x: F.greatest(
+                F.regexp_count(x, F.lit("[aeiouy]+")), F.lit(1)
+            ),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    f = t.select(
+        "doc_id",
+        n_sent.cast("long").alias("n_sentences"),
+        F.greatest(F.size("__t"), F.lit(1)).cast("long").alias("n_words"),
+        F.greatest(syl.cast("long"), F.lit(1)).alias("n_syllables"),
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (F.col("n_words").cast("double") / F.col("n_sentences"))
+        - F.lit(84.6)
+        * (F.col("n_syllables").cast("double") / F.col("n_words"))
+    )
+    return f.select(
+        "doc_id", "n_sentences", "n_words", "n_syllables", flesch.alias("flesch")
+    ).orderBy("doc_id")
