@@ -570,6 +570,7 @@ def near_dup_clusters(
         .withColumn("cluster_id", F.col("id"))
         .transform(materialize)  # referenced 3x per round
     )
+    changed = -1  # sentinel: max_iter=0 skips the loop body entirely
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)

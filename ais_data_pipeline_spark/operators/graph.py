@@ -305,6 +305,21 @@ def star_connected_components(
 
             log("star_cc_converged", rounds=_round + 1)
             break
+    else:
+        # Mirror of dedup.near_dup_clusters' non-convergence contract:
+        # the edge set never stabilized within max_iter, so the labels
+        # below may be over-split. Star contraction needs O(log n)
+        # rounds on any topology, so hitting this means max_iter was
+        # set far below log2(|V|) (or max_iter=0) — surface it rather
+        # than returning silently wrong components.
+        from ais_data_pipeline_spark.observability import log
+
+        log(
+            "star_cc_not_converged",
+            level="warning",
+            max_iter=max_iter,
+            hint="raise max_iter above log2(node count)",
+        )
     roots = edges.select(F.col("u").alias("id"), F.col("v").alias("cluster_id"))
     return nodes.join(roots, "id", "left").select(
         "id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id")

@@ -2197,6 +2197,33 @@ def test_label_propagation_warns_on_diameter_overflow(spark, capsys):
     assert "near_dup_clusters_not_converged" in err
 
 
+def test_label_propagation_max_iter_zero_warns_not_raises(spark, capsys):
+    """max_iter=0 skips the loop body entirely — a degenerate-but-valid
+    call. The warning path must not NameError on the never-assigned
+    `changed` counter (round-7 advice): the call returns identity
+    labels and still emits the non-convergence event."""
+    from ais_data_pipeline_spark.localrel import local_df
+    from ais_data_pipeline_spark.operators.dedup import near_dup_clusters
+
+    df = local_df(spark, [(1, 2)], "doc_a bigint, doc_b bigint")
+    rows = {(r["id"], r["cluster_id"]) for r in near_dup_clusters(df, max_iter=0).collect()}
+    assert rows == {(1, 1), (2, 2)}  # identity labels: zero rounds ran
+    assert "near_dup_clusters_not_converged" in capsys.readouterr().err
+
+
+def test_star_cc_warns_on_iteration_overflow(spark, capsys):
+    """star_connected_components with an exhausted round budget must
+    surface a warning instead of returning silently over-split labels
+    (round-7 advice: mirror the near_dup_clusters contract)."""
+    from ais_data_pipeline_spark.localrel import local_df
+    from ais_data_pipeline_spark.operators.graph import star_connected_components
+
+    pairs = [(i, i + 1) for i in range(40)]  # 41-node path
+    df = local_df(spark, pairs, "doc_a bigint, doc_b bigint")
+    star_connected_components(df, max_iter=1).collect()
+    assert "star_cc_not_converged" in capsys.readouterr().err
+
+
 def test_hll_merge_is_lossless_and_estimates_track_truth(spark):
     """Registers built per segment and merged must equal registers
     built directly on the union (the mergeability contract), and the

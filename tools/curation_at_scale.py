@@ -118,11 +118,11 @@ def main() -> None:
     # - 128 shuffle partitions quarter the per-task hash-agg/join
     #   footprint of the band-row and shingle-verify shuffles;
     # - 32 MiB input splits bound how much raw text one scan task owns;
-    # - columnarReaderBatchSize 1024 (from 4096) quarters the resident
+    # - columnarReaderBatchSize 512 (from 4096) cuts 8x the resident
     #   decoded-text column vectors per scan task — the r6-style OOM's
     #   actual allocation site was the vectorized parquet reader
     #   reserving contiguous string buffers across 32 concurrent tasks;
-    # - memory.fraction 0.5 (from 0.6) makes execution spill earlier,
+    # - memory.fraction 0.45 (from 0.6) makes execution spill earlier,
     #   reserving more heap for those unmanaged reader allocations.
     spark = get_spark(
         app_name="curation_at_scale",
