@@ -90,86 +90,69 @@ def register(name: str, oracle: str | None, description: str):
 
 
 # The driver checks only the FIRST 50 registry entries per round, so
-# registry order decides which queries get a CORRECTNESS row. Round-7
-# window (the round-6 verdict's rotation plan): (a) the 30 queries NEW
-# this round with no driver row yet (pretraining_pipeline_stats — the
-# composed training-data capstone — plus rag_chunk_index_topk,
-# stratified_quality_sample, funnel_view_click_purchase,
-# gopher_quality_filter, binary_hamming_topk,
-# hashed_quality_classifier, line_dedup_stats, vocab_growth_stats,
-# length_bucket_histogram, near_dup_cluster_sizes,
-# source_overlap_matrix, multi_touch_attribution,
-# near_dup_clusters_star, streaming_quality_monitor,
-# hll_region_rollup, conversion_latency_deciles,
-# bloom_prefilter_fp_rate, basket_association_rules,
-# event_transition_matrix, supplier_bfs_hops, ohlc_hourly,
-# frequent_event_paths, histogram_quantile_sketch,
-# ab_experiment_lift, pareto_customers, k_anonymity_audit,
-# benford_digit_audit, entity_resolution_clusters,
-# readability_scores);
-# (b) all 15 r3-dated rows the round-6
-# verdict named (sample_seeded rows-only by design, plus the fourteen
-# zero-churn queries still oracle-checked by pytest every run);
-# (c) 5 of the 50 queries whose latest driver row is round 4,
-# alphabetical order. The 45 remaining r4-dated rows don't fit the
-# 50-slot cap and lead the round-8 window (the verdict's "nothing
-# older than r5 after r7" can't be met exactly with 65 stale rows and
-# 50 slots; the leftover is r4, one round inside the 3-round
-# freshness bound the r6 verdict applied).
+# registry order decides which queries get a CORRECTNESS row. Round-8
+# window (the round-7 verdict's consolidation plan — "rotate all 45
+# r4-dated driver rows into the r8 window, cap new queries at ~5"):
+# (a) all 45 queries whose latest driver row is round 4 (the set
+# CORRECTNESS_r04 minus r05-r07 keys, alphabetical); (b) the 5 queries
+# NEW this round — the pixel tier that retires the package's last
+# NotImplementedError (real PPM/BMP decode, NN resize, luma histogram,
+# magic-byte format dispatch). 45 + 5 = 50 exactly; after r8 no
+# registered query's latest driver row is older than r5, meeting the
+# r6 verdict's freshness criterion one round late.
 _FRONT_WINDOW: list[str] = [
-    # (a) new this round
-    "pretraining_pipeline_stats",
-    "rag_chunk_index_topk",
-    "stratified_quality_sample",
-    "funnel_view_click_purchase",
-    "gopher_quality_filter",
-    "binary_hamming_topk",
-    "hashed_quality_classifier",
-    "line_dedup_stats",
-    "vocab_growth_stats",
-    "length_bucket_histogram",
-    "near_dup_cluster_sizes",
-    "source_overlap_matrix",
-    "multi_touch_attribution",
-    "near_dup_clusters_star",
-    "streaming_quality_monitor",
-    "hll_region_rollup",
-    "conversion_latency_deciles",
-    "bloom_prefilter_fp_rate",
-    "basket_association_rules",
-    "event_transition_matrix",
-    "supplier_bfs_hops",
-    "ohlc_hourly",
-    "frequent_event_paths",
-    "histogram_quantile_sketch",
-    "ab_experiment_lift",
-    "pareto_customers",
-    "k_anonymity_audit",
-    "benford_digit_audit",
-    "entity_resolution_clusters",
-    "readability_scores",
-    # (b) the 15 r3-dated rows
-    "distinct_pairs",
-    "event_type_pivot",
-    "horizontal_predicates",
-    "lag_lead_events",
-    "map_from_json_props",
-    "ngram_profile",
-    "null_counts",
-    "profile_min_max",
-    "sample_seeded",
-    "text_normalize",
-    "text_quality",
-    "token_counts",
-    "top_customer_per_nation",
-    "topk_orders",
-    "zorder_values",
-    # (c) oldest r4-dated rows, alphabetical
-    "asof_next_purchase",
-    "blocking_suppliers",
-    "bm25_top_docs",
-    "bracket_revenue",
-    "cms_heavy_hitters",
+    # (a) the 45 r4-dated rows, alphabetical
+    "cohort_retention",
+    "cross_doc_repeated_spans",
+    "cumulative_unique_users",
+    "curation_pipeline_stats",
+    "doc_chunking",
+    "doc_repetition_stats",
+    "dominant_supplier_part",
+    "embedding_quantize_int8",
+    "fuzzy_name_pairs",
+    "important_parts_share",
+    "incremental_join_view",
+    "inverted_index_postings",
+    "kmeans_ivf_centroids",
+    "market_share",
+    "min_cost_supplier_per_part",
+    "mixture_sample_docs",
+    "ngram_contamination",
+    "orc_roundtrip_agg",
+    "part_pagerank",
+    "pii_scrub_docs",
+    "profit_by_nation_year",
+    "promo_revenue_share",
+    "returned_revenue",
+    "revenue_mom_change",
+    "rich_idle_customers",
+    "rolling_1h_user_stats",
+    "rolling_zscore_anomaly",
+    "schema_evolution_merge",
+    "sequence_packing",
+    "simhash_fingerprints",
+    "skyline_orders",
+    "snapshot_diff_orders",
+    "snapshot_time_travel",
+    "streaming_stateful_totals",
+    "streaming_zscore_anomaly",
+    "subsequence_best_match_fft",
+    "supplier_count_per_brand_size",
+    "supplier_triangles",
+    "tfidf_top_terms",
+    "token_entropy",
+    "top_supplier_quarter",
+    "topk_with_ties",
+    "trajectory_speed",
+    "value_histogram",
+    "weighted_sample_orders",
+    # (b) new this round: the pixel tier
+    "image_pixel_stats",
+    "image_pixel_stats_bmp",
+    "image_resize_nn",
+    "image_luma_histogram",
+    "image_format_dispatch",
 ]
 
 
@@ -8882,3 +8865,199 @@ def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f.select(
         "doc_id", "n_sentences", "n_words", "n_syllables", flesch.alias("flesch")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Batch 26 (round 8): the pixel tier — decode_image_pixels is now a REAL
+# decoder for PPM(P6) and 24-bit BMP (operators/multimodal.py), retiring
+# the package's last NotImplementedError for those formats. Fixtures are
+# real encoded bytes whose logical raster is the closed form
+# (doc_id*31 + k) % 256, so every oracle re-derives the stats
+# analytically in DuckDB while the engine path round-trips through the
+# actual encoder+decoder — a mis-parsed header, padding byte, channel
+# order, or row order flips the hash.
+
+
+@register(
+    "image_pixel_stats",
+    """
+    WITH dims AS (
+      SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 7 AS h FROM documents
+    ), px AS (
+      SELECT doc_id, w, h,
+             SUM(CASE WHEN k % 3 = 0 THEN (doc_id*31 + k) % 256 ELSE 0 END) AS sum_r,
+             SUM(CASE WHEN k % 3 = 1 THEN (doc_id*31 + k) % 256 ELSE 0 END) AS sum_g,
+             SUM(CASE WHEN k % 3 = 2 THEN (doc_id*31 + k) % 256 ELSE 0 END) AS sum_b
+      FROM dims, UNNEST(range(0, w*h*3)) AS t(k)
+      GROUP BY doc_id, w, h
+    )
+    SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS n_channels, 'ppm' AS format,
+           CAST(sum_r AS BIGINT) AS sum_r, CAST(sum_g AS BIGINT) AS sum_g,
+           CAST(sum_b AS BIGINT) AS sum_b
+    FROM px ORDER BY doc_id
+    """,
+    "REAL pixel decode (PPM P6, pure numpy — header tokenizer with "
+    "comment support, raster reshape): per-doc dims + exact int64 "
+    "per-channel sums via Arrow-batched mapInPandas. The oracle "
+    "re-derives every stat from the fixture's closed-form raster, so "
+    "any header/raster mis-parse flips the hash.",
+)
+def q_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.multimodal import (
+        decode_image_pixels,
+        make_image_fixture,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return decode_image_pixels(make_image_fixture(d, fmt="ppm")).orderBy("doc_id")
+
+
+@register(
+    "image_pixel_stats_bmp",
+    """
+    WITH dims AS (
+      SELECT doc_id, 4 + doc_id % 11 AS w, 4 + doc_id % 5 AS h FROM documents
+    ), px AS (
+      SELECT doc_id, w, h,
+             SUM(CASE WHEN k % 3 = 0 THEN (doc_id*31 + k) % 256 ELSE 0 END) AS sum_r,
+             SUM(CASE WHEN k % 3 = 1 THEN (doc_id*31 + k) % 256 ELSE 0 END) AS sum_g,
+             SUM(CASE WHEN k % 3 = 2 THEN (doc_id*31 + k) % 256 ELSE 0 END) AS sum_b
+      FROM dims, UNNEST(range(0, w*h*3)) AS t(k)
+      GROUP BY doc_id, w, h
+    )
+    SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS n_channels, 'bmp' AS format,
+           CAST(sum_r AS BIGINT) AS sum_r, CAST(sum_g AS BIGINT) AS sum_g,
+           CAST(sum_b AS BIGINT) AS sum_b
+    FROM px ORDER BY doc_id
+    """,
+    "REAL pixel decode, 24-bit uncompressed BMP: the decoder must undo "
+    "bottom-up row order, BGR channel order, AND per-row 4-byte padding "
+    "(fixture widths vary w % 4 so pad runs 0-3 bytes) to recover the "
+    "logical raster the oracle derives analytically.",
+)
+def q_image_pixel_stats_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.multimodal import (
+        decode_image_pixels,
+        make_image_fixture,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return decode_image_pixels(make_image_fixture(d, fmt="bmp")).orderBy("doc_id")
+
+
+@register(
+    "image_resize_nn",
+    """
+    WITH dims AS (
+      SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 7 AS h FROM documents
+    ), s AS (
+      SELECT doc_id, w, h, k,
+             (doc_id*31
+              + ((k // 9) * h // 2 * w + (k // 3) % 3 * w // 3) * 3
+              + k % 3) % 256 AS val
+      FROM dims, UNNEST(range(0, 18)) AS t(k)
+    ), agg AS (
+      SELECT doc_id, w, h,
+             SUM(val) AS sampled_sum, SUM(val * (k + 1)) AS sampled_checksum
+      FROM s GROUP BY doc_id, w, h
+    )
+    SELECT doc_id, CAST(w AS INTEGER) AS src_width, CAST(h AS INTEGER) AS src_height,
+           CAST(3 AS INTEGER) AS out_width, CAST(2 AS INTEGER) AS out_height,
+           CAST(sampled_sum AS BIGINT) AS sampled_sum,
+           CAST(sampled_checksum AS BIGINT) AS sampled_checksum
+    FROM agg ORDER BY doc_id
+    """,
+    "Decode -> nearest-neighbor resize to 3x2 in one mapInPandas stage "
+    "(floor map src_x = dst_x*src_w//out_w). The position-weighted "
+    "checksum (value * (k+1) over the resized raster) makes any "
+    "mis-sampled pixel, axis swap, or channel slip flip the hash; the "
+    "oracle replays the index arithmetic in SQL.",
+)
+def q_image_resize_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.multimodal import (
+        make_image_fixture,
+        resize_pixel_stats,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return resize_pixel_stats(
+        make_image_fixture(d, fmt="ppm"), out_w=3, out_h=2
+    ).orderBy("doc_id")
+
+
+@register(
+    "image_luma_histogram",
+    """
+    WITH dims AS (
+      SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 7 AS h FROM documents
+    ), px AS (
+      SELECT (299 * ((doc_id*31 + p*3) % 256)
+              + 587 * ((doc_id*31 + p*3 + 1) % 256)
+              + 114 * ((doc_id*31 + p*3 + 2) % 256)) // 1000 // 32 AS bucket
+      FROM dims, UNNEST(range(0, w*h)) AS t(p)
+    )
+    SELECT CAST(bucket AS INTEGER) AS bucket, COUNT(*) AS n_pixels
+    FROM px GROUP BY bucket ORDER BY bucket
+    """,
+    "Decode -> integer-luma (BT.601 weights, pure int arithmetic) "
+    "histogram across the corpus: mapInPandas emits per-doc partial "
+    "bucket counts, one combinable groupBy-sum merges — the map-side-"
+    "combine shape a 100 TB pixel histogram needs (no raster ever "
+    "shuffles, only 8-bucket partials).",
+)
+def q_image_luma_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.multimodal import (
+        luma_bucket_counts,
+        make_image_fixture,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return luma_bucket_counts(make_image_fixture(d, fmt="ppm")).orderBy("bucket")
+
+
+@register(
+    "image_format_dispatch",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS format,
+             CASE WHEN doc_id % 2 = 0 THEN 4 + doc_id % 13 ELSE 4 + doc_id % 11 END AS w,
+             CASE WHEN doc_id % 2 = 0 THEN 4 + doc_id % 7 ELSE 4 + doc_id % 5 END AS h
+      FROM documents
+    ), px AS (
+      SELECT doc_id, format, w, h, SUM((doc_id*31 + k) % 256) AS pix_sum
+      FROM dims, UNNEST(range(0, w*h*3)) AS t(k)
+      GROUP BY doc_id, format, w, h
+    )
+    SELECT format, COUNT(*) AS n_docs,
+           CAST(SUM(w*h) AS BIGINT) AS total_pixels,
+           CAST(SUM(pix_sum) AS BIGINT) AS total_pixel_sum
+    FROM px GROUP BY format ORDER BY format
+    """,
+    "Magic-byte format dispatch through the real decoder: a mixed "
+    "PPM/BMP corpus (even/odd doc_id) decoded by one decode_image_pixels "
+    "pass whose internal dispatch picks the parser per blob; per-format "
+    "doc counts, pixel totals, and raster sums prove both branches "
+    "against the closed-form oracle.",
+)
+def q_image_format_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.multimodal import (
+        decode_image_pixels,
+        make_image_fixture,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    px = decode_image_pixels(make_image_fixture(d, fmt="mixed"))
+    return (
+        px.groupBy("format")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("width").cast("long") * F.col("height")).alias("total_pixels"),
+            F.sum(F.col("sum_r") + F.col("sum_g") + F.col("sum_b")).alias(
+                "total_pixel_sum"
+            ),
+        )
+        .orderBy("format")
+    )
