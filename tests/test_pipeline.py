@@ -592,6 +592,42 @@ def test_reliable_checkpoint_switch(spark, sf_dir, tmp_path):
     # the reliable path actually wrote RDD checkpoint files to the dir
     assert _glob.glob(ckpt_dir + "/*/rdd-*"), "no checkpoint files written"
 
+    # round-7 verdict item 7: the same proof on a MULTI-round iterative
+    # operator at sf0.1 — star-contraction CC over the full sf0.1
+    # lineitem supplier-part graph (several contraction rounds, each
+    # truncating lineage through materialize()). The reliable path must
+    # hash-match the local path exactly and leave checkpoint files.
+    sf01 = "/root/testdata/sf0.1"
+    if os.path.isdir(sf01):
+        from ais_data_pipeline_spark.operators.graph import (
+            star_connected_components,
+        )
+
+        li1 = read_table(spark, sf01, "lineitem")
+        pairs = li1.select(
+            F.col("l_suppkey").alias("doc_a"), F.col("l_partkey").alias("doc_b")
+        )
+
+        def labels_hash():
+            return (
+                star_connected_components(pairs)
+                .select(
+                    F.sum(F.hash("id", "cluster_id").cast("long")).alias("h"),
+                    F.count("*").alias("n"),
+                )
+                .first()
+            )
+
+        local_sig = labels_hash()
+        ckpt_dir2 = str(tmp_path / "reliable_ckpt_sf01")
+        try:
+            ckpt.set_reliable_checkpoints(spark, ckpt_dir2)
+            reliable_sig = labels_hash()
+        finally:
+            ckpt.set_local_checkpoints()
+        assert tuple(local_sig) == tuple(reliable_sig)
+        assert _glob.glob(ckpt_dir2 + "/*/rdd-*"), "no checkpoint files at sf0.1"
+
 
 def test_staged_swap_crash_recovery(tmp_path):
     """fsutil.recover_staged_swap must repair every crash window of the

@@ -682,3 +682,34 @@ def test_ivf_index_incremental_append(spark, sf_dir, tmp_path):
     assert m and "list_id" in m.group(1), plan
     rows = probe.collect()
     assert rows[0]["vec_id"] == 1 and rows[0]["cos_sim"] == 1.0
+
+
+def test_plan_audit_covers_registry():
+    """PLANS.md's audited rows plus tools/plan_audit.py's enumerated
+    exemptions must exactly tile the registry — '176 audited' is only
+    meaningful if the other 19 are named with reasons (round-7 verdict
+    item 4). Catches: a new query missing from both sets, a stale
+    PLANS.md after registering queries, or an exemption for a name
+    that no longer exists."""
+    import os
+    import re
+
+    from ais_data_pipeline_spark.queries import registry as _registry
+    from tools.plan_audit import EXECUTING
+
+    names = {q.name for q in _registry()}
+    unknown = set(EXECUTING) - names
+    assert not unknown, f"exemptions for unregistered queries: {unknown}"
+
+    plans = os.path.join(os.path.dirname(__file__), "..", "PLANS.md")
+    with open(plans) as f:
+        text = f.read()
+    audited = set(re.findall(r"^\| ([a-z0-9_]+) \|", text, re.M)) - {"query"}
+    exempt_listed = set(re.findall(r"^- `([a-z0-9_]+)` — ", text, re.M))
+    assert exempt_listed == set(EXECUTING), (
+        exempt_listed ^ set(EXECUTING)
+    )
+    assert not (audited & exempt_listed), audited & exempt_listed
+    missing = names - (audited | exempt_listed)
+    extra = (audited | exempt_listed) - names
+    assert not missing and not extra, (missing, extra)

@@ -148,6 +148,10 @@ def main() -> None:
     d = spark.read.parquet(corpus)
     text_bytes = d.agg(F.sum(F.length("text"))).first()[0]
 
+    from tools.pipeline_at_scale import gc_millis
+
+    load_before = os.getloadavg()
+    gc0 = gc_millis(spark)
     t0 = time.perf_counter()
     with _HeapPoller(spark) as poller:
         # The bounded-memory rule at this scale: TEXT NEVER SHUFFLES
@@ -191,6 +195,8 @@ def main() -> None:
         n3 = quality_score(s2).filter(F.col("quality") >= 0.65).count()
         t3 = time.perf_counter()
     dt = t3 - t0
+    gc_ms = gc_millis(spark) - gc0
+    load_after = os.getloadavg()
 
     # Post-run LIVE set: peak USED heap under a tight cap is dominated
     # by G1 floating garbage (used floats to ~94% of ANY cap before
@@ -234,6 +240,10 @@ def main() -> None:
                 "heap_cap": HEAP,
                 "peak_heap_mib": poller.peak_mib,
                 "post_gc_live_mib": round(live / 2**20, 1),
+                "gc_ms": gc_ms,
+                "gc_frac": round(gc_ms / (dt * 1000), 3),
+                "load_avg_before": [round(x, 2) for x in load_before],
+                "load_avg_after": [round(x, 2) for x in load_after],
             }
         )
     )

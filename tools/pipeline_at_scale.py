@@ -78,6 +78,17 @@ class _HeapPoller:
         return round(self.peak / 2**20, 1)
 
 
+def gc_millis(spark) -> int:
+    """Cumulative stop-the-world GC time (ms) across all collectors of
+    the driver JVM (= the whole pipeline in local mode). Sampled before
+    and after the timed section, the delta separates 'the plan got
+    slower' from 'the heap was thrashing' — and, with the load average,
+    makes a driver-box environment delta visible in the artifact itself
+    (round-7 verdict item 2)."""
+    beans = spark._jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
+    return sum(b.getCollectionTime() for b in beans)
+
+
 def main() -> None:
     os.environ["SPARK_DRIVER_MEMORY"] = HEAP
     from ais_data_pipeline_spark.plans.rent_contracts import run_pipeline
@@ -108,10 +119,14 @@ def main() -> None:
     csv_bytes = _dir_bytes(csv_dir, ".csv")
 
     out, quar = os.path.join(base, "out"), os.path.join(base, "quarantine")
+    load_before = os.getloadavg()
+    gc0 = gc_millis(spark)
     t0 = time.perf_counter()
     with _HeapPoller(spark) as poller:
         res = run_pipeline(spark, csv_dir, out, quar, schema=_rent_contracts_schema())
     dt = time.perf_counter() - t0
+    gc_ms = gc_millis(spark) - gc0
+    load_after = os.getloadavg()
     peak = poller.peak_mib
     parquet_bytes = _dir_bytes(out, ".parquet")
     print(
@@ -129,6 +144,10 @@ def main() -> None:
                 "mib_per_sec": round(csv_bytes / 2**20 / dt, 1),
                 "heap_cap": HEAP,
                 "peak_heap_mib": peak,
+                "gc_ms": gc_ms,
+                "gc_frac": round(gc_ms / (dt * 1000), 3),
+                "load_avg_before": [round(x, 2) for x in load_before],
+                "load_avg_after": [round(x, 2) for x in load_after],
             }
         )
     )
