@@ -463,8 +463,9 @@ def frame_embedding_col(
 ):
     """Deterministic per-frame embedding STUB: dim doubles in [-1, 1)
     derived from md5(doc:frame:j) — the stand-in for a real
-    decode→encoder UDF (the container has no vision libs; the decode
-    contract stays `NotImplementedError` in decode_image_meta). What
+    decode→encoder UDF (pixel decode itself is real for PPM/BMP via
+    ``decode_pixels_array``; the encoder model is what no container
+    library provides). What
     IS real, and what this column proves end-to-end, is the Spark-side
     plumbing a frame-embedding pipeline needs: the fan-out work-list,
     a fixed-width vector column produced per (doc, frame) row inside

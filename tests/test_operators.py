@@ -137,7 +137,6 @@ def test_multimodal_meta_deterministic(spark, sf_dir):
 
     from ais_data_pipeline_spark.operators.multimodal import (
         decode_image_meta,
-        decode_image_pixels,
         frame_sample_plan,
         with_binary_payload,
     )
