@@ -315,8 +315,37 @@ def minhash_near_dup(
     # _spread: the re-rank side shingles on narrow scans too (same
     # single-split bottleneck as the candidate side); hashed shingles
     # so array_intersect runs on longs
-    sh = _spread(df).select(
-        F.col(id_col).alias("doc"), tokens_lower(F.col(text_col)).alias("__tok")
+    # Verify-side pre-filter (round-8 shuffle audit): unfiltered, BOTH
+    # verify sides re-scan the corpus, re-shuffle the raw text through
+    # the _spread repartition, re-shingle every doc, and carry
+    # text-sized shingle arrays into the join — measured 8.95 MiB of
+    # array shuffle at sf0.1 (~1.8 KiB/doc) and the dominant cost of
+    # the 3M-doc near-dup stage. Semi-joining the NARROW (id, text)
+    # scan against the broadcast candidate id-set BEFORE the spread
+    # repartition and the shingle projection makes the whole verify
+    # side O(candidate docs): only candidates' text shuffles, only
+    # candidates shingle. The id-set is percent-level of the corpus by
+    # construction (run exact_dedup first; max_bucket_size caps
+    # degenerate buckets), so the broadcast is bounded where the
+    # text shuffle is not.
+    #
+    # cands is consumed twice (id broadcast + verify join). It MUST be
+    # materialized: the broadcast subtree executes as its own job, and
+    # shuffle-stage reuse does not span that boundary — measured at 3M
+    # docs, the lazy variant re-ran the banded candidate join (+48 s).
+    # The checkpoint is small (candidate PAIRS, percent-level).
+    from ais_data_pipeline_spark.checkpointing import materialize
+
+    cands = materialize(cands)
+    cand_ids = (
+        cands.select(F.col("doc_a").alias("doc"))
+        .union(cands.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
+    narrow = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__txt"))
+    narrow = narrow.join(F.broadcast(cand_ids), "doc", "left_semi")
+    sh = _spread(narrow).select(
+        "doc", tokens_lower(F.col("__txt")).alias("__tok")
     ).select(
         "doc",
         shingle_hashes_from_tokens(F.col("__tok"), shingle_n).alias("shingles"),

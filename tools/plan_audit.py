@@ -137,7 +137,10 @@ def render(rows: list[dict], sf_dir: str) -> str:
         "a scan, TakeOrderedAndProject for top-k, and scan count.\n\n"
         "Review rule: a query whose exchange count grows round-over-round,\n"
         "loses a broadcast, or gains a Python node needs a plan review\n"
-        "before merge — diff this file.\n\n"
+        "before merge — diff this file. Exchange COUNTS say nothing about\n"
+        "what the exchanges CARRY — `tools/shuffle_audit.py` measures the\n"
+        "actual shuffle bytes for the representative shapes (table in\n"
+        "SCALING.md, round 8).\n\n"
     )
     out.write("| query | exch | bcast | BHJ | SMJ | py | pushdown | topk | scans |\n")
     out.write("|---|---|---|---|---|---|---|---|---|\n")
