@@ -9,13 +9,15 @@ image/audio libraries exist in this container:
 - ``decode_image_meta`` extracts deterministic pseudo-metadata (byte
   length, sha256, fake dimensions derived from the hash) — the shape a
   real PIL/libvips decode would return.
-- ``decode_image_pixels`` is a REAL decoder for the uncompressed
-  formats a pure-Python/numpy parser can own (PPM ``P6``, 24-bit
-  uncompressed BMP incl. bottom-up row order, BGR, and 4-byte row
-  padding), with a PIL hook for compressed codecs (JPEG/PNG) and an
-  explicit ``NotImplementedError`` when neither applies — the one
-  remaining honest stub is the compressed-codec path in a container
-  without image libraries.
+- ``decode_image_pixels`` is a REAL decoder for the formats a
+  pure-Python/numpy + stdlib-zlib parser can own: PPM ``P6``, 24-bit
+  uncompressed BMP (bottom-up row order, BGR, 4-byte row padding),
+  and 8-bit truecolor PNG (chunk walk with CRC32 verification, zlib
+  inflate of multi-IDAT streams, all five scanline filters incl.
+  Paeth, RGB and RGBA color types). A PIL hook covers the remaining
+  compressed codecs (JPEG) with an explicit ``NotImplementedError``
+  when neither applies — the one remaining honest stub is the
+  entropy-coded-codec path in a container without image libraries.
 
 The batch path is ``mapInPandas`` with Arrow transfer: payloads stream
 through per-partition ``pandas.DataFrame`` batches bounded by
@@ -145,15 +147,117 @@ def _parse_bmp(data: bytes):
     return img[::-1] if bottom_up else img
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The PNG Paeth predictor (PNG spec §9, filter type 4): pick the
+    neighbor (left, up, upper-left) closest to ``a + b - c``, ties
+    broken left → up → upper-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _parse_png(data: bytes):
+    """8-bit truecolor PNG → HxWx3 uint8 RGB array, pure stdlib
+    (``zlib`` + ``struct``) + numpy. Real decoder: walks the chunk
+    stream verifying each CRC32, reassembles multi-IDAT zlib payloads,
+    inflates, and de-filters every scanline for all five filter types
+    (None/Sub/Up/Average/Paeth — the Sub/Average/Paeth reconstructions
+    carry the left-neighbor recurrence the spec mandates). Color type 2
+    (RGB) and 6 (RGBA — alpha stripped after de-filtering, since the
+    filter recurrence runs over all channels) are supported; palettes,
+    16-bit depth, and Adam7 interlace stay honest
+    ``NotImplementedError``\\ s."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    idat = bytearray()
+    w = h = bit_depth = color_type = interlace = None
+    while pos < len(data):
+        if pos + 8 > len(data):
+            raise ValueError("truncated PNG chunk header")
+        (length,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length or pos + 12 + length > len(data):
+            raise ValueError("truncated PNG chunk body")
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG CRC mismatch in chunk {ctype!r}")
+        if ctype == b"IHDR":
+            w, h, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8 or color_type not in (2, 6):
+        raise NotImplementedError(
+            "only 8-bit truecolor PNG (color type 2/6) supported"
+        )
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    bpp = 3 if color_type == 2 else 4
+    raw = zlib.decompress(bytes(idat))
+    stride = w * bpp
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int64)  # reconstructed row above
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int64)
+        if f == 0:  # None
+            recon = line
+        elif f == 2:  # Up: no left dependency, vectorized
+            recon = (line + prior) % 256
+        elif f in (1, 3, 4):  # Sub/Average/Paeth: left-neighbor recurrence
+            recon = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                left = int(recon[i - bpp]) if i >= bpp else 0
+                if f == 1:
+                    recon[i] = (line[i] + left) % 256
+                elif f == 3:
+                    recon[i] = (line[i] + (left + int(prior[i])) // 2) % 256
+                else:
+                    ul = int(prior[i - bpp]) if i >= bpp else 0
+                    recon[i] = (line[i] + _paeth(left, int(prior[i]), ul)) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[y] = recon.astype(np.uint8)
+        prior = recon
+    img = out.reshape(h, w, bpp)
+    return (img[:, :, :3].copy() if bpp == 4 else img)
+
+
 def decode_pixels_array(data: bytes):
     """Payload bytes → (HxWx3 uint8 RGB array, format tag). Dispatches
-    on magic bytes: PPM/BMP decode natively (numpy); compressed codecs
-    (PNG/JPEG) fall through to PIL when installed; anything else is the
-    explicit honest-stub contract."""
+    on magic bytes: PPM/BMP/PNG decode natively (numpy + stdlib zlib);
+    remaining compressed codecs (JPEG) fall through to PIL when
+    installed; anything else is the explicit honest-stub contract."""
     if data[:2] == b"P6":
         return _parse_ppm(data), "ppm"
     if data[:2] == b"BM":
         return _parse_bmp(data), "bmp"
+    if data[:8] == _PNG_SIG:
+        return _parse_png(data), "png"
     try:  # compressed-codec hook: only taken where PIL exists
         import io
 
@@ -164,9 +268,10 @@ def decode_pixels_array(data: bytes):
         return np.asarray(img, dtype=np.uint8), (img.format or "pil").lower()
     except ImportError:
         raise NotImplementedError(
-            "pixel decode for compressed formats requires an image codec "
-            "library (PIL/libvips); this container decodes PPM/BMP "
-            "natively — use decode_image_meta for the metadata-only path"
+            "pixel decode for entropy-coded formats (JPEG, ...) requires "
+            "an image codec library (PIL/libvips); this container decodes "
+            "PPM/BMP/PNG natively — use decode_image_meta for the "
+            "metadata-only path"
         ) from None
 
 
@@ -307,6 +412,12 @@ def bmp_dims(doc_id: int) -> tuple[int, int]:
     return 4 + doc_id % 11, 4 + doc_id % 5
 
 
+def png_dims(doc_id: int) -> tuple[int, int]:
+    # h >= 4 so each image spans >= 4 consecutive filter types of the
+    # (doc_id + row) % 5 cycle; across doc_ids all five lead a row 0
+    return 4 + doc_id % 12, 4 + doc_id % 6
+
+
 def encode_ppm(doc_id: int, w: int, h: int) -> bytes:
     import numpy as np
 
@@ -338,21 +449,102 @@ def encode_bmp(doc_id: int, w: int, h: int) -> bytes:
     return header + rows.tobytes()
 
 
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(doc_id: int, w: int, h: int, rgba: bool = False) -> bytes:
+    """Real PNG writer (signature + IHDR + IDAT + IEND, correct CRC32s):
+    the logical RGB raster is the closed form ``synth_pixel_value``;
+    ``rgba`` interleaves a ``(doc_id*7 + p) % 256`` alpha channel the
+    decoder must stride over and strip back out. The scanline filter
+    type cycles ``(doc_id + row) % 5`` so every fixture corpus
+    exercises all five filters incl. Paeth — the decoder must invert
+    each one to recover the raster — and the zlib stream splits across
+    two IDAT chunks when long enough to pin multi-IDAT reassembly."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rgb = (
+        ((np.arange(w * h * 3, dtype=np.int64) + doc_id * 31) % 256)
+        .astype(np.uint8)
+        .reshape(h, w, 3)
+    )
+    if rgba:
+        alpha = (
+            ((doc_id * 7 + np.arange(w * h, dtype=np.int64)) % 256)
+            .astype(np.uint8)
+            .reshape(h, w, 1)
+        )
+        raster = np.concatenate([rgb, alpha], axis=2)
+    else:
+        raster = rgb
+    bpp = raster.shape[2]
+    stride = w * bpp
+    rows = raster.reshape(h, stride).astype(np.int64)
+    scanlines = bytearray()
+    prior = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f = (doc_id + y) % 5
+        cur = rows[y]
+        if f == 0:
+            filt = cur
+        elif f == 2:
+            filt = (cur - prior) % 256
+        else:
+            filt = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                left = int(cur[i - bpp]) if i >= bpp else 0
+                if f == 1:
+                    filt[i] = (cur[i] - left) % 256
+                elif f == 3:
+                    filt[i] = (cur[i] - (left + int(prior[i])) // 2) % 256
+                else:
+                    ul = int(prior[i - bpp]) if i >= bpp else 0
+                    filt[i] = (cur[i] - _paeth(left, int(prior[i]), ul)) % 256
+        scanlines.append(f)
+        scanlines += filt.astype(np.uint8).tobytes()
+        prior = cur
+    z = zlib.compress(bytes(scanlines), 6)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6 if rgba else 2, 0, 0, 0)
+    out = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if len(z) > 32:
+        mid = len(z) // 2
+        out += _png_chunk(b"IDAT", z[:mid]) + _png_chunk(b"IDAT", z[mid:])
+    else:
+        out += _png_chunk(b"IDAT", z)
+    return out + _png_chunk(b"IEND", b"")
+
+
 def make_image_fixture(
     df: DataFrame, fmt: str = "ppm", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(doc_id, payload) synthetic image fixture: real PPM/BMP bytes
-    whose logical raster follows ``synth_pixel_value``. ``fmt='mixed'``
-    routes even doc_ids to PPM and odd to BMP (the format-dispatch
-    fixture). Arrow-batched; each task encodes only its batch."""
+    """(doc_id, payload) synthetic image fixture: real PPM/BMP/PNG
+    bytes whose logical raster follows ``synth_pixel_value``.
+    ``fmt='mixed'`` routes even doc_ids to PPM and odd to BMP (the
+    format-dispatch fixture); ``fmt='png'`` encodes even doc_ids as
+    RGB (color type 2) and odd as RGBA (type 6) so both truecolor
+    layouts hit the decoder. Arrow-batched; each task encodes only its
+    batch."""
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = [int(i) for i in pdf[id_col]]
             payloads = []
             for i in ids:
-                use_ppm = fmt == "ppm" or (fmt == "mixed" and i % 2 == 0)
-                if use_ppm:
+                if fmt == "png":
+                    payloads.append(encode_png(i, *png_dims(i), rgba=i % 2 == 1))
+                elif fmt == "ppm" or (fmt == "mixed" and i % 2 == 0):
                     payloads.append(encode_ppm(i, *ppm_dims(i)))
                 else:
                     payloads.append(encode_bmp(i, *bmp_dims(i)))

@@ -90,69 +90,70 @@ def register(name: str, oracle: str | None, description: str):
 
 
 # The driver checks only the FIRST 50 registry entries per round, so
-# registry order decides which queries get a CORRECTNESS row. Round-8
-# window (the round-7 verdict's consolidation plan — "rotate all 45
-# r4-dated driver rows into the r8 window, cap new queries at ~5"):
-# (a) all 45 queries whose latest driver row is round 4 (the set
-# CORRECTNESS_r04 minus r05-r07 keys, alphabetical); (b) the 5 queries
-# NEW this round — the pixel tier that retires the package's last
-# NotImplementedError (real PPM/BMP decode, NN resize, luma histogram,
-# magic-byte format dispatch). 45 + 5 = 50 exactly; after r8 no
-# registered query's latest driver row is older than r5, meeting the
-# r6 verdict's freshness criterion one round late.
+# registry order decides which queries get a CORRECTNESS row. Round-9
+# window (the round-8 verdict's item 1 — "rotate the 50 r5-dated rows
+# into the r9 window, hold the registry flat"): with exactly 50 stale
+# rows and 50 slots, one new query only fits by retiring one — so
+# json_path_extract (r5-dated) is retired with its coverage folded
+# into events_json_extract (also in this window, so the fold itself is
+# driver-verified this round). Window = (a) the 49 remaining r5-dated
+# rows, alphabetical + (b) image_pixel_stats_png, the one NEW query
+# (pure-stdlib PNG decode, verdict item 3). After r9 no registered
+# query's latest driver row is older than r6.
 _FRONT_WINDOW: list[str] = [
-    # (a) the 45 r4-dated rows, alphabetical
-    "cohort_retention",
-    "cross_doc_repeated_spans",
-    "cumulative_unique_users",
-    "curation_pipeline_stats",
-    "doc_chunking",
-    "doc_repetition_stats",
-    "dominant_supplier_part",
-    "embedding_quantize_int8",
-    "fuzzy_name_pairs",
-    "important_parts_share",
-    "incremental_join_view",
-    "inverted_index_postings",
-    "kmeans_ivf_centroids",
-    "market_share",
-    "min_cost_supplier_per_part",
-    "mixture_sample_docs",
-    "ngram_contamination",
-    "orc_roundtrip_agg",
-    "part_pagerank",
-    "pii_scrub_docs",
-    "profit_by_nation_year",
-    "promo_revenue_share",
-    "returned_revenue",
-    "revenue_mom_change",
-    "rich_idle_customers",
-    "rolling_1h_user_stats",
-    "rolling_zscore_anomaly",
-    "schema_evolution_merge",
-    "sequence_packing",
-    "simhash_fingerprints",
-    "skyline_orders",
-    "snapshot_diff_orders",
-    "snapshot_time_travel",
-    "streaming_stateful_totals",
-    "streaming_zscore_anomaly",
-    "subsequence_best_match_fft",
-    "supplier_count_per_brand_size",
-    "supplier_triangles",
-    "tfidf_top_terms",
-    "token_entropy",
-    "top_supplier_quarter",
-    "topk_with_ties",
-    "trajectory_speed",
-    "value_histogram",
-    "weighted_sample_orders",
-    # (b) new this round: the pixel tier
-    "image_pixel_stats",
-    "image_pixel_stats_bmp",
-    "image_resize_nn",
-    "image_luma_histogram",
-    "image_format_dispatch",
+    # (a) the 49 r5-dated rows (CORRECTNESS_r05 keys minus r06-r08 keys
+    # minus the retired json_path_extract), alphabetical
+    "above_avg_orders",
+    "approx_distinct_events",
+    "bpe_token_counts",
+    "conditional_agg",
+    "cube_returnflag_status",
+    "custdist",
+    "dataset_split_counts",
+    "dict_normalize_brand",
+    "downcast_guard",
+    "dq_report",
+    "events_hourly",
+    "events_json_extract",
+    "forecast_revenue_q6",
+    "frame_sample_fanout",
+    "funnel_stages",
+    "grouping_sets_status",
+    "hash_sample_orders",
+    "large_orders",
+    "locf_fill_forward",
+    "mode_event_type_per_user",
+    "moment_stats",
+    "multiset_ops",
+    "nation_pair_volume",
+    "not_in_null_semantics",
+    "order_price_deciles",
+    "order_status_rollup",
+    "outer_join_fill",
+    "posexplode_tokens",
+    "priority_revenue",
+    "profile_distinct_ratios",
+    "project_exclude_substring",
+    "rank_distribution",
+    "rollup_region_nation",
+    "running_total_per_customer",
+    "salted_event_type_agg",
+    "sequence_packing_strict",
+    "session_windows_native",
+    "stratified_hash_sample",
+    "stream_static_join",
+    "streaming_cdc_upsert",
+    "streaming_dedup_pairs",
+    "streaming_sliding_counts",
+    "streaming_windowed_counts",
+    "string_agg_types",
+    "surrogate_keys",
+    "term_frequencies",
+    "unpivot_metrics",
+    "url_route_suffix",
+    "value_run_islands",
+    # (b) new this round: pure-stdlib PNG decode
+    "image_pixel_stats_png",
 ]
 
 
@@ -648,21 +649,26 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     SELECT event_type,
            count(*) AS n,
-           CAST(sum(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS k_sum
+           CAST(sum(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS k_sum,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum_json
     FROM events
     GROUP BY event_type
     """,
-    "Semi-structured props column: regex field extraction + typed "
-    "aggregation (JSON-ish payload handling, JVM-side regexp).",
+    "Semi-structured props column: regex field extraction AND the "
+    "structured JSON-path accessor (get_json_object) + typed "
+    "aggregation — the two accessors must agree, so k_sum = k_sum_json "
+    "pins both (absorbs the retired json_path_extract query, round 9).",
 )
 def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "events")
     k = F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).cast("bigint")
+    kj = F.get_json_object(F.col("props"), "$.k").cast("bigint")
     # DuckDB sum(BIGINT) surfaces as HUGEINT→float64 in pandas; pin BIGINT
     # on both sides so the value hash sees int64 vs int64.
     return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(k).cast("bigint").alias("k_sum"),
+        F.sum(kj).cast("bigint").alias("k_sum_json"),
     )
 
 
@@ -2564,23 +2570,13 @@ def q_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", (F.col("pos") + 1).alias("pos"), "token")
 
 
-@register(
-    "json_path_extract",
-    """
-    SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-    FROM events WHERE event_id < 1000
-    """,
-    "JSON path field extraction (get_json_object) with typed cast — "
-    "the structured accessor complementing the regex variant "
-    "(events_json_extract).",
-)
-def q_json_path_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = read_table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
-    return e.select(
-        "event_id",
-        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
-    )
+# json_path_extract RETIRED (round 9): its get_json_object coverage is
+# folded into events_json_extract's k_sum_json column (the two
+# accessors must agree row-for-row for the sums to match the oracle).
+# Rationale: with 200 queries and a 50-row driver window, 4-round
+# freshness is the structural ceiling — the round-8 verdict's option
+# was "retire or accept older rows"; this swap funds the one new PNG
+# query while holding the registry flat at 200.
 
 
 @register(
@@ -9061,3 +9057,49 @@ def q_image_format_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("format")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 27 (round 9): pure-stdlib PNG decode — zlib inflate + all five
+# scanline filters incl. Paeth — retires the compressed-codec
+# NotImplementedError for the most common real-corpus image format
+# (round-8 verdict item 3). The fixture is a REAL PNG stream (correct
+# CRC32s, multi-IDAT, filter type cycling (doc_id+row) % 5, even ids
+# RGB / odd ids RGBA) of the same closed-form raster, so a mis-inverted
+# filter, a CRC skip, a lost IDAT chunk, or a bad RGBA stride flips the
+# hash.
+
+
+@register(
+    "image_pixel_stats_png",
+    """
+    WITH dims AS (
+      SELECT doc_id, 4 + doc_id % 12 AS w, 4 + doc_id % 6 AS h FROM documents
+    ), px AS (
+      SELECT doc_id, w, h,
+             SUM(CASE WHEN k % 3 = 0 THEN (doc_id*31 + k) % 256 ELSE 0 END) AS sum_r,
+             SUM(CASE WHEN k % 3 = 1 THEN (doc_id*31 + k) % 256 ELSE 0 END) AS sum_g,
+             SUM(CASE WHEN k % 3 = 2 THEN (doc_id*31 + k) % 256 ELSE 0 END) AS sum_b
+      FROM dims, UNNEST(range(0, w*h*3)) AS t(k)
+      GROUP BY doc_id, w, h
+    )
+    SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS n_channels, 'png' AS format,
+           CAST(sum_r AS BIGINT) AS sum_r, CAST(sum_g AS BIGINT) AS sum_g,
+           CAST(sum_b AS BIGINT) AS sum_b
+    FROM px ORDER BY doc_id
+    """,
+    "REAL pixel decode, 8-bit truecolor PNG (pure stdlib zlib + numpy): "
+    "chunk walk with CRC32 verification, multi-IDAT reassembly, and all "
+    "five scanline filters incl. Paeth inverted per row; odd doc_ids "
+    "are RGBA so the 4-byte filter stride + alpha strip are exercised. "
+    "The oracle re-derives every stat from the closed-form raster.",
+)
+def q_image_pixel_stats_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.multimodal import (
+        decode_image_pixels,
+        make_image_fixture,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return decode_image_pixels(make_image_fixture(d, fmt="png")).orderBy("doc_id")

@@ -157,12 +157,23 @@ def test_multimodal_meta_deterministic(spark, sf_dir):
     assert frames.filter("frame_index % 4 != 0").count() == 0
 
     # decode_image_pixels is used in its own tests below; here just the
-    # honest-stub contract: a compressed-codec payload without PIL
-    # raises the documented NotImplementedError (not a silent wrong row)
+    # honest-stub contract for the one remaining codec gap (JPEG):
+    # without PIL the DOCUMENTED NotImplementedError must surface (not
+    # a silent wrong row, not an arbitrary crash); with PIL installed
+    # the payload reaches the codec hook and PIL rejects the garbage.
     from ais_data_pipeline_spark.operators.multimodal import decode_pixels_array
 
-    with pytest.raises((NotImplementedError, Exception)):
-        decode_pixels_array(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+    jpeg_garbage = b"\xff\xd8\xff\xe0" + b"\x00" * 64
+    try:
+        import PIL  # noqa: F401
+
+        from PIL import UnidentifiedImageError
+
+        with pytest.raises(UnidentifiedImageError):
+            decode_pixels_array(jpeg_garbage)
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="PIL"):
+            decode_pixels_array(jpeg_garbage)
 
 
 def test_pixel_decode_roundtrip_and_edge_cases(spark):
@@ -235,6 +246,110 @@ def test_pixel_decode_roundtrip_and_edge_cases(spark):
         assert rows[i]["sum_g"] == sum(vals[1::3])
         assert rows[i]["sum_b"] == sum(vals[2::3])
         assert rows[i]["format"] == "ppm"
+
+
+def test_png_decode_filters_and_contracts(spark):
+    """The pure-stdlib PNG decoder: all five filter types verified
+    against HAND-COMPUTED spec vectors (independent of the encoder, so
+    a matched encoder/decoder misunderstanding can't cancel out),
+    RGBA stride + alpha strip, multi-IDAT reassembly, CRC rejection,
+    and the honest NotImplementedError for interlace/palette."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from ais_data_pipeline_spark.localrel import local_df
+    from ais_data_pipeline_spark.operators.multimodal import (
+        _paeth,
+        _png_chunk,
+        _PNG_SIG,
+        decode_image_pixels,
+        decode_pixels_array,
+        encode_png,
+        encode_ppm,
+        make_image_fixture,
+        png_dims,
+        synth_pixel_value,
+    )
+
+    # Paeth predictor spec vectors (PNG spec §9): tie-break order
+    # left → up → upper-left, and the |p - x| minimization
+    assert _paeth(3, 3, 0) == 3  # pa == pb: left wins
+    assert _paeth(100, 90, 95) == 95  # pc strictly smallest: upper-left
+    assert _paeth(0, 10, 0) == 10  # pb < pa: up
+
+    def png_of(w, h, color_type, scanlines, interlace=0):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, interlace)
+        return (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(scanlines))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    # hand-built 2x2 RGB with rows filtered Average(3) then Paeth(4);
+    # filtered bytes computed by hand from the spec recurrences
+    scan = b"\x03" + bytes([100, 110, 120, 80, 85, 90]) + b"\x04" + bytes([246] * 6)
+    arr, fmt = decode_pixels_array(png_of(2, 2, 2, scan))
+    assert fmt == "png"
+    assert arr.tolist() == [
+        [[100, 110, 120], [130, 140, 150]],
+        [[90, 100, 110], [120, 130, 140]],
+    ]
+
+    # hand-built Sub(1) then Up(2): row0 pixels (10,20,30),(13,24,35)
+    # → sub deltas 3,4,5; row1 adds 1 to every byte → up deltas all 1
+    scan2 = b"\x01" + bytes([10, 20, 30, 3, 4, 5]) + b"\x02" + bytes([1] * 6)
+    arr2, _ = decode_pixels_array(png_of(2, 2, 2, scan2))
+    assert arr2.tolist() == [
+        [[10, 20, 30], [13, 24, 35]],
+        [[11, 21, 31], [14, 25, 36]],
+    ]
+
+    # encoder roundtrip: RGB + RGBA across dims covering all filter
+    # cycles; PNG decode must equal the PPM decode of the same raster
+    for i in (0, 1, 2, 3, 4, 7, 12):
+        w, h = png_dims(i)
+        arr, fmt = decode_pixels_array(encode_png(i, w, h, rgba=i % 2 == 1))
+        assert fmt == "png" and arr.shape == (h, w, 3)
+        via_ppm, _ = decode_pixels_array(encode_ppm(i, w, h))
+        assert (arr == via_ppm).all(), i
+
+    # multi-IDAT: the fixture encoder splits the zlib stream in two
+    assert encode_png(3, *png_dims(3)).count(b"IDAT") == 2
+
+    # corrupted chunk body → CRC mismatch is a loud ValueError
+    good = encode_png(5, *png_dims(5))
+    bad = bytearray(good)
+    bad[20] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_pixels_array(bytes(bad))
+
+    # interlaced / paletted refuse rather than mis-decode
+    with pytest.raises(NotImplementedError):
+        decode_pixels_array(png_of(2, 2, 2, scan, interlace=1))
+    with pytest.raises(NotImplementedError):
+        decode_pixels_array(png_of(2, 2, 3, scan))  # color type 3 = palette
+    # truncated scanline payload
+    with pytest.raises(ValueError):
+        decode_pixels_array(png_of(2, 2, 2, scan[:-1]))
+
+    # Spark integration: PNG fixture (even=RGB, odd=RGBA) → decode
+    # matches the closed form
+    ids = local_df(spark, [(i,) for i in (0, 5, 13, 41)], "doc_id bigint")
+    rows = {
+        r["doc_id"]: r
+        for r in decode_image_pixels(make_image_fixture(ids, fmt="png")).collect()
+    }
+    for i in (0, 5, 13, 41):
+        w, h = png_dims(i)
+        vals = [synth_pixel_value(i, k) for k in range(w * h * 3)]
+        assert rows[i]["width"] == w and rows[i]["height"] == h
+        assert rows[i]["sum_r"] == sum(vals[0::3])
+        assert rows[i]["sum_g"] == sum(vals[1::3])
+        assert rows[i]["sum_b"] == sum(vals[2::3])
+        assert rows[i]["format"] == "png"
 
 
 # -- ingestion job ----------------------------------------------------------

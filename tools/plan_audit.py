@@ -64,6 +64,12 @@ EAGER = {
     "part_pagerank",
     "supplier_triangles",
     "near_dup_clusters",
+    # minhash_near_dup's verify pre-filter materializes the candidate
+    # set eagerly (localCheckpoint, round-8 O(candidates) fix) — these
+    # three run bounded Spark jobs at DataFrame-construction time
+    "minhash_near_dup",
+    "near_dup_cluster_sizes",
+    "pretraining_pipeline_stats",
     "cluster_best_representative",
     "bm25_top_docs",
     "inverted_index_postings",
