@@ -55,6 +55,10 @@ AUDIT: dict[str, list[str]] = {
     "semdedup_stats": ["embeddings"],
     "source_overlap_matrix": ["documents"],
     "pretraining_pipeline_stats": ["documents"],
+    # the heavy tier (round-9 verdict item 6): the most expensive plans
+    # in the extended bench, audited with the same per-doc normalization
+    "incremental_dedup_stats": ["documents"],
+    "ivfpq_rerank_topk": ["embeddings"],
 }
 
 
