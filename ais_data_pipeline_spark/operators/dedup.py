@@ -297,6 +297,7 @@ def minhash_near_dup(
     seed: int = 42,
     round_digits: int = 5,
     max_bucket_size: int | None = None,
+    max_broadcast_candidates: int = 5_000_000,
 ) -> DataFrame:
     """LSH candidates re-ranked by EXACT Jaccard ≥ threshold.
 
@@ -343,7 +344,32 @@ def minhash_near_dup(
         .distinct()
     )
     narrow = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__txt"))
-    narrow = narrow.join(F.broadcast(cand_ids), "doc", "left_semi")
+    # The percent-level-size assumption behind the broadcast is not
+    # enforced by construction — a degenerate corpus (no exact_dedup
+    # pass, no max_bucket_size) could push the id-set past driver/
+    # broadcast limits. Detect instead of OOM: count the materialized
+    # pairs (cheap — no shuffle on a checkpointed frame; ids <= 2x
+    # pairs) and fall back to a shuffle semi-join with a loud warning
+    # when the bound exceeds the broadcast budget. The fallback
+    # shuffles the corpus ids+text once (the pre-round-8 cost) but
+    # degrades gracefully instead of failing the job.
+    from ais_data_pipeline_spark.observability import log as _log
+
+    n_pairs = cands.count()
+    if 2 * n_pairs > max_broadcast_candidates:
+        _log(
+            "minhash_verify_fallback_shuffle_semi",
+            level="warning",
+            n_candidate_pairs=n_pairs,
+            max_broadcast_candidates=max_broadcast_candidates,
+            hint=(
+                "candidate set too large to broadcast — run exact_dedup "
+                "first and set max_bucket_size to cap degenerate buckets"
+            ),
+        )
+        narrow = narrow.join(cand_ids, "doc", "left_semi")
+    else:
+        narrow = narrow.join(F.broadcast(cand_ids), "doc", "left_semi")
     sh = _spread(narrow).select(
         "doc", tokens_lower(F.col("__txt")).alias("__tok")
     ).select(

@@ -65,16 +65,71 @@ def session_windows_streaming(
     )
 
 
+def check_window_key_skew(
+    df: DataFrame,
+    key_col: str,
+    threshold: float = 0.25,
+    fraction: float = 0.05,
+    seed: int = 42,
+) -> dict | None:
+    """Guard for the genuinely skew-vulnerable shape: a window
+    partitioned by a hot key needs the WHOLE key in one task — no
+    partial agg absorbs it, no AQE split rescues it (tools/
+    skew_probe.py measured 3.36x degradation at a 50%-hot key). This
+    makes the engine's bounded-cardinality-window-key convention
+    enforceable: sample the key distribution (one cheap job over a
+    ``fraction`` sample) and emit an M1 warning record when the top
+    key's share exceeds ``threshold``. Returns the warning record, or
+    None when the distribution is safe. Opt-in from the windowed
+    helpers (``check_skew=True``) — zero behavior change otherwise."""
+    from ais_data_pipeline_spark.observability import log
+
+    top = (
+        df.sample(fraction=fraction, seed=seed)
+        .groupBy(key_col)
+        .count()
+        .agg(
+            F.max_by(key_col, "count").alias("top_key"),
+            F.max("count").alias("top_n"),
+            F.sum("count").alias("total"),
+        )
+        .first()
+    )
+    if top is None or top["total"] is None or top["total"] == 0:
+        return None
+    share = top["top_n"] / top["total"]
+    if share < threshold:
+        return None
+    return log(
+        "hot_window_key",
+        level="warning",
+        key_col=key_col,
+        top_key=top["top_key"],
+        share=round(share, 4),
+        sampled_rows=top["total"],
+        hint=(
+            "window partitioned by a hot key serializes on one task "
+            "(measured 3.36x at 50% hot); re-key to a bounded-"
+            "cardinality composite (e.g. key+day) or pre-aggregate"
+        ),
+    )
+
+
 def sessionize_batch(
     events: DataFrame,
     gap_seconds: int = 1800,
     ts_col: str = "ts",
     key_col: str = "user_id",
+    check_skew: bool = False,
 ) -> DataFrame:
     """Batch sessionization via lag + cumulative gap-count window (the
     classic composition; one shuffle on the key). Session id = number
     of gap-exceeding jumps at or before the row; deterministic given a
-    total per-key order (ts, then event_id tie-break if present)."""
+    total per-key order (ts, then event_id tie-break if present).
+    ``check_skew=True`` runs the sampled hot-key probe
+    (``check_window_key_skew``) before planning the window."""
+    if check_skew:
+        check_window_key_skew(events, key_col)
     from pyspark.sql import Window
 
     order_cols = [F.col(ts_col)]

@@ -352,6 +352,79 @@ def test_png_decode_filters_and_contracts(spark):
         assert rows[i]["format"] == "png"
 
 
+def test_window_hot_key_guard(spark, capfd):
+    """The skew guard for the one shape AQE can't rescue (a window
+    partitioned by a hot key, measured 3.36x in tools/skew_probe.py):
+    a planted 60%-hot key must fire the M1 warning record; a uniform
+    distribution must stay silent; and the opt-in wiring through
+    sessionize_batch emits the structured log line without changing
+    results."""
+    from pyspark.sql import functions as F
+
+    from ais_data_pipeline_spark.streaming.windows import (
+        check_window_key_skew,
+        sessionize_batch,
+    )
+
+    n = 5000
+    hot = spark.range(n).select(
+        F.when(F.col("id") < int(n * 0.6), F.lit("bot")).otherwise(
+            F.concat(F.lit("u"), F.col("id"))
+        ).alias("user_id"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"),
+        F.col("id").alias("event_id"),
+    )
+    rec = check_window_key_skew(hot, "user_id", fraction=1.0)
+    assert rec is not None and rec["event"] == "hot_window_key"
+    assert rec["top_key"] == "bot" and rec["share"] >= 0.55
+    assert rec["level"] == "warning"
+
+    uniform = spark.range(n).select(
+        F.concat(F.lit("u"), F.col("id") % 500).alias("user_id"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"),
+        F.col("id").alias("event_id"),
+    )
+    assert check_window_key_skew(uniform, "user_id", fraction=1.0) is None
+
+    # opt-in wiring: warning on stderr, identical results either way
+    capfd.readouterr()
+    with_guard = sessionize_batch(hot, check_skew=True).collect()
+    assert "hot_window_key" in capfd.readouterr().err
+    without = sessionize_batch(hot).collect()
+    assert sorted(map(tuple, with_guard)) == sorted(map(tuple, without))
+    capfd.readouterr()
+    sessionize_batch(uniform, check_skew=True)
+    assert "hot_window_key" not in capfd.readouterr().err
+
+
+def test_bench_warmed_convention_pinned():
+    """BASELINE.md pins pipeline_at_scale to STEADY-STATE (warmed)
+    throughput from round 8 on; this gates the two halves of that
+    contract in the tool source so neither can be dropped silently:
+    (a) the emitted record carries the warmed_up flag (the series
+    marker), and (b) a warmup run executes before the timed section
+    (accidentally removing it would 'regress' throughput ~40% by
+    re-including one-time JIT compile)."""
+    import re
+
+    src_path = os.path.join(
+        os.path.dirname(__file__), "..", "tools", "pipeline_at_scale.py"
+    )
+    with open(src_path) as f:
+        src = f.read()
+    assert '"warmed_up": True' in src
+    # the warmup pipeline run must precede the timed perf_counter start
+    warmup = src.index("warmup_out")
+    timed = src.index("t0 = time.perf_counter()")
+    assert warmup < timed
+    # and BASELINE.md documents the convention
+    base_path = os.path.join(os.path.dirname(__file__), "..", "BASELINE.md")
+    with open(base_path) as f:
+        base = f.read()
+    assert re.search(r"warmed.*convention|convention.*warmed", base, re.I | re.S)
+    assert "warmed_up" in base
+
+
 # -- ingestion job ----------------------------------------------------------
 
 

@@ -147,7 +147,13 @@ def main() -> None:
 
     def join_run(aqe_skew: bool):
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", str(aqe_skew).lower())
-        # scale the trigger to the probe's data (see module docstring)
+        # scale the trigger to the probe's data (see module docstring);
+        # save BOTH threshold confs so the overrides can't leak into the
+        # stage-4 window probe's AQE partition sizing
+        prev_thresh = spark.conf.get(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+        )
+        prev_advisory = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
         spark.conf.set(
             "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m"
         )
@@ -170,6 +176,13 @@ def main() -> None:
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
             spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+            spark.conf.set(
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+                prev_thresh,
+            )
+            spark.conf.set(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes", prev_advisory
+            )
 
     join_run(True)  # warmup
     t_off, r_off = timed(lambda: join_run(False))
