@@ -226,15 +226,20 @@ def _parse_png(data: bytes):
         ).astype(np.int64)
         if f == 0:  # None
             recon = line
+        elif f == 1:  # Sub: recon[i] = line[i] + recon[i-bpp] — a pure
+            # per-channel-lane prefix sum mod 256, so it vectorizes
+            recon = np.cumsum(line.reshape(w, bpp), axis=0).reshape(-1) % 256
         elif f == 2:  # Up: no left dependency, vectorized
             recon = (line + prior) % 256
-        elif f in (1, 3, 4):  # Sub/Average/Paeth: left-neighbor recurrence
+        elif f in (3, 4):  # Average/Paeth: the predictor reads the
+            # RECONSTRUCTED left neighbor through a non-linear fn
+            # (floor-div / argmin), so the recurrence is inherently
+            # sequential in x — O(stride) Python per row is the cost
+            # of pure-stdlib decode for these two filters
             recon = np.zeros(stride, dtype=np.int64)
             for i in range(stride):
                 left = int(recon[i - bpp]) if i >= bpp else 0
-                if f == 1:
-                    recon[i] = (line[i] + left) % 256
-                elif f == 3:
+                if f == 3:
                     recon[i] = (line[i] + (left + int(prior[i])) // 2) % 256
                 else:
                     ul = int(prior[i - bpp]) if i >= bpp else 0
@@ -492,26 +497,34 @@ def encode_png(doc_id: int, w: int, h: int, rgba: bool = False) -> bytes:
     bpp = raster.shape[2]
     stride = w * bpp
     rows = raster.reshape(h, stride).astype(np.int64)
+    # encode-side filters have NO recurrence (predictors read RAW
+    # neighbor values, all known up front), so every filter type
+    # vectorizes — unlike the decoder, where Average/Paeth must chase
+    # the reconstructed left neighbor sequentially
     scanlines = bytearray()
     prior = np.zeros(stride, dtype=np.int64)
     for y in range(h):
         f = (doc_id + y) % 5
         cur = rows[y]
+        left = np.zeros(stride, dtype=np.int64)
+        left[bpp:] = cur[:-bpp]
         if f == 0:
             filt = cur
+        elif f == 1:
+            filt = (cur - left) % 256
         elif f == 2:
             filt = (cur - prior) % 256
+        elif f == 3:
+            filt = (cur - (left + prior) // 2) % 256
         else:
-            filt = np.zeros(stride, dtype=np.int64)
-            for i in range(stride):
-                left = int(cur[i - bpp]) if i >= bpp else 0
-                if f == 1:
-                    filt[i] = (cur[i] - left) % 256
-                elif f == 3:
-                    filt[i] = (cur[i] - (left + int(prior[i])) // 2) % 256
-                else:
-                    ul = int(prior[i - bpp]) if i >= bpp else 0
-                    filt[i] = (cur[i] - _paeth(left, int(prior[i]), ul)) % 256
+            ul = np.zeros(stride, dtype=np.int64)
+            ul[bpp:] = prior[:-bpp]
+            p = left + prior - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, ul)
+            )
+            filt = (cur - pred) % 256
         scanlines.append(f)
         scanlines += filt.astype(np.uint8).tobytes()
         prior = cur
