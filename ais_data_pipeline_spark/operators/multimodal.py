@@ -466,35 +466,20 @@ def _png_chunk(ctype: bytes, body: bytes) -> bytes:
     )
 
 
-def encode_png(doc_id: int, w: int, h: int, rgba: bool = False) -> bytes:
-    """Real PNG writer (signature + IHDR + IDAT + IEND, correct CRC32s):
-    the logical RGB raster is the closed form ``synth_pixel_value``;
-    ``rgba`` interleaves a ``(doc_id*7 + p) % 256`` alpha channel the
-    decoder must stride over and strip back out. The scanline filter
-    type cycles ``(doc_id + row) % 5`` so every fixture corpus
-    exercises all five filters incl. Paeth — the decoder must invert
-    each one to recover the raster — and the zlib stream splits across
-    two IDAT chunks when long enough to pin multi-IDAT reassembly."""
+def png_bytes_from_raster(raster, filter_for_row) -> bytes:
+    """Arbitrary HxWx3 (RGB) or HxWx4 (RGBA) uint8 raster → real PNG
+    stream (signature + IHDR + IDAT + IEND, correct CRC32s).
+    ``filter_for_row(y) -> 0..4`` picks each scanline's filter type, so
+    callers (fixtures, property tests) control exactly which of the
+    five spec filters the decoder must invert. The zlib stream splits
+    across two IDAT chunks when long enough to pin multi-IDAT
+    reassembly."""
     import struct
     import zlib
 
     import numpy as np
 
-    rgb = (
-        ((np.arange(w * h * 3, dtype=np.int64) + doc_id * 31) % 256)
-        .astype(np.uint8)
-        .reshape(h, w, 3)
-    )
-    if rgba:
-        alpha = (
-            ((doc_id * 7 + np.arange(w * h, dtype=np.int64)) % 256)
-            .astype(np.uint8)
-            .reshape(h, w, 1)
-        )
-        raster = np.concatenate([rgb, alpha], axis=2)
-    else:
-        raster = rgb
-    bpp = raster.shape[2]
+    h, w, bpp = raster.shape
     stride = w * bpp
     rows = raster.reshape(h, stride).astype(np.int64)
     # encode-side filters have NO recurrence (predictors read RAW
@@ -504,7 +489,7 @@ def encode_png(doc_id: int, w: int, h: int, rgba: bool = False) -> bytes:
     scanlines = bytearray()
     prior = np.zeros(stride, dtype=np.int64)
     for y in range(h):
-        f = (doc_id + y) % 5
+        f = filter_for_row(y)
         cur = rows[y]
         left = np.zeros(stride, dtype=np.int64)
         left[bpp:] = cur[:-bpp]
@@ -529,7 +514,7 @@ def encode_png(doc_id: int, w: int, h: int, rgba: bool = False) -> bytes:
         scanlines += filt.astype(np.uint8).tobytes()
         prior = cur
     z = zlib.compress(bytes(scanlines), 6)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6 if rgba else 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6 if bpp == 4 else 2, 0, 0, 0)
     out = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
     if len(z) > 32:
         mid = len(z) // 2
@@ -537,6 +522,31 @@ def encode_png(doc_id: int, w: int, h: int, rgba: bool = False) -> bytes:
     else:
         out += _png_chunk(b"IDAT", z)
     return out + _png_chunk(b"IEND", b"")
+
+
+def encode_png(doc_id: int, w: int, h: int, rgba: bool = False) -> bytes:
+    """Fixture PNG writer: the logical RGB raster is the closed form
+    ``synth_pixel_value``; ``rgba`` interleaves a ``(doc_id*7 + p) %
+    256`` alpha channel the decoder must stride over and strip back
+    out. The scanline filter type cycles ``(doc_id + row) % 5`` so
+    every fixture corpus exercises all five filters incl. Paeth."""
+    import numpy as np
+
+    rgb = (
+        ((np.arange(w * h * 3, dtype=np.int64) + doc_id * 31) % 256)
+        .astype(np.uint8)
+        .reshape(h, w, 3)
+    )
+    if rgba:
+        alpha = (
+            ((doc_id * 7 + np.arange(w * h, dtype=np.int64)) % 256)
+            .astype(np.uint8)
+            .reshape(h, w, 1)
+        )
+        raster = np.concatenate([rgb, alpha], axis=2)
+    else:
+        raster = rgb
+    return png_bytes_from_raster(raster, lambda y: (doc_id + y) % 5)
 
 
 def make_image_fixture(

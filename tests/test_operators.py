@@ -397,6 +397,34 @@ def test_window_hot_key_guard(spark, capfd):
     assert "hot_window_key" not in capfd.readouterr().err
 
 
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=21),
+    h=st.integers(min_value=1, max_value=13),
+    rgba=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    filters=st.lists(st.integers(min_value=0, max_value=4), min_size=13, max_size=13),
+)
+def test_png_roundtrip_property(w, h, rgba, seed, filters):
+    """Property: ANY uint8 raster (not just the closed-form fixture)
+    survives encode→decode through any per-row filter assignment —
+    incl. 1-pixel edge dims where every left/up neighbor is the
+    spec's zero boundary."""
+    import numpy as np
+
+    from ais_data_pipeline_spark.operators.multimodal import (
+        decode_pixels_array,
+        png_bytes_from_raster,
+    )
+
+    rng = np.random.default_rng(seed)
+    raster = rng.integers(0, 256, size=(h, w, 4 if rgba else 3), dtype=np.uint8)
+    data = png_bytes_from_raster(raster, lambda y: filters[y % len(filters)])
+    arr, fmt = decode_pixels_array(data)
+    assert fmt == "png"
+    assert (arr == raster[:, :, :3]).all()
+
+
 def test_bench_warmed_convention_pinned():
     """BASELINE.md pins pipeline_at_scale to STEADY-STATE (warmed)
     throughput from round 8 on; this gates the two halves of that

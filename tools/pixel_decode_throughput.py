@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Pixel-decode throughput probe: the measured cost of the pure-stdlib
+decoders (PPM / BMP / PNG) through the real Arrow-batched mapInPandas
+path, at realistic image dims — the number a 100 TB multimodal scan
+needs for sizing, and the honest cost statement for the PNG path
+(Average/Paeth scanlines reconstruct through a sequential left-neighbor
+recurrence in Python; PPM/BMP and the other PNG filters are vectorized
+numpy).
+
+Method: encode n_docs fixtures per format at (side x side), decode via
+decode_image_pixels (same operator the oracle queries use), aggregate a
+checksum so nothing is optimized away. Two corpus sizes per format pin
+the scaling shape (per-row stateless decode => flat Mpx/s).
+
+Emits one JSON line:
+  {"metric": "pixel_decode_throughput", "side": ..., "cpus": ...,
+   "formats": {fmt: {"n_docs": .., "mpx": .., "sec": .., "mpx_per_sec":
+   .., "mpx_per_sec_per_thread": .., "flatness_2x": ..}}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ais_data_pipeline_spark.session import get_spark
+
+SIDE = int(os.environ.get("PIXEL_PROBE_SIDE", 128))
+N_DOCS = int(os.environ.get("PIXEL_PROBE_DOCS", 2048))
+
+
+def main() -> None:
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from ais_data_pipeline_spark.operators.multimodal import (
+        IMAGE_PIXEL_SCHEMA,
+        decode_image_pixels,
+        encode_bmp,
+        encode_png,
+        encode_ppm,
+    )
+    from ais_data_pipeline_spark.operators.util import spread_to_parallelism
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    spark = get_spark(
+        app_name="pixel_decode_probe",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+
+    encoders = {"ppm": encode_ppm, "bmp": encode_bmp, "png": encode_png}
+
+    def fixture(fmt: str, n: int):
+        """(doc_id, payload) frame of n SIDE x SIDE images, encoded on
+        the executors (mapInPandas) so the driver never holds the
+        corpus."""
+        enc = encoders[fmt]
+
+        def gen(batches):
+            for pdf in batches:
+                ids = [int(i) for i in pdf["id"]]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(ids, dtype="int64"),
+                        "payload": [enc(i, SIDE, SIDE) for i in ids],
+                    }
+                )
+
+        base = spread_to_parallelism(spark.range(n).select(F.col("id")))
+        return base.mapInPandas(gen, "doc_id bigint, payload binary")
+
+    def timed_decode(fmt: str, n: int) -> float:
+        df = fixture(fmt, n).localCheckpoint()  # encode OUTSIDE the timed leg
+        t0 = time.perf_counter()
+        row = (
+            decode_image_pixels(df)
+            .agg(
+                F.sum(F.col("sum_r") + F.col("sum_g") + F.col("sum_b")).alias("chk"),
+                F.count("*").alias("n"),
+            )
+            .first()
+        )
+        dt = time.perf_counter() - t0
+        assert row["n"] == n and row["chk"] is not None
+        return dt
+
+    out = {}
+    for fmt in encoders:
+        timed_decode(fmt, 256)  # JIT/Arrow warmup outside measurement
+        t1 = timed_decode(fmt, N_DOCS)
+        t2 = timed_decode(fmt, N_DOCS * 2)
+        mpx = N_DOCS * SIDE * SIDE / 1e6
+        out[fmt] = {
+            "n_docs": N_DOCS,
+            "mpx": round(mpx, 1),
+            "sec": round(t1, 2),
+            "mpx_per_sec": round(mpx / t1, 1),
+            "mpx_per_sec_per_thread": round(mpx / t1 / cpus, 3),
+            # per-row stateless decode: doubling the corpus should keep
+            # throughput flat (ratio ~2.0 of elapsed, ~1.0 of rate)
+            "flatness_2x": round(t2 / t1 / 2.0, 2),
+        }
+
+    spark.stop()
+    print(
+        json.dumps(
+            {
+                "metric": "pixel_decode_throughput",
+                "side": SIDE,
+                "cpus": cpus,
+                "formats": out,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
