@@ -100,6 +100,28 @@ def register(name: str, oracle: str | None, description: str):
 # rows, alphabetical + (b) image_pixel_stats_png, the one NEW query
 # (pure-stdlib PNG decode, verdict item 3). After r9 no registered
 # query's latest driver row is older than r6.
+#
+# Steady state from here: 200 queries / 50 slots = a fixed 4-round
+# rotation with ZERO slots for new queries (add one only by retiring
+# one, as this round did). The r10 window is already determined — the
+# 50 rows whose latest driver row is r6 (CORRECTNESS_r06 keys minus
+# r07/r08 keys minus this window): ann_index_topk, approx_quantiles,
+# array_agg_user_types, asof_last_click, audio_meta, bag_fingerprint,
+# cluster_best_representative, date_functions, date_parse_lenient,
+# dedup_exact, dsir_domain_scores, embedding_near_dup_exact,
+# embedding_near_dup_lsh, embedding_topk, embedding_topk_filtered,
+# embedding_topk_lsh, event_pairs_5min, frame_embedding_topk,
+# incremental_dedup_stats, incremental_embedding_dedup_stats,
+# incremental_rollup_merge, ivf_index_topk, ivfpq_index_topk,
+# ivfpq_rerank_topk, lang_id, late_ship_priority,
+# latest_event_per_user, media_type_route, minhash_near_dup,
+# mmr_diverse_topk, moving_avg_customer, multimodal_meta,
+# near_dup_clusters, ngram_jaccard_pairs, null_token_normalize,
+# pq_adc_topk, q1_pricing_summary, quantiles_quantity,
+# revenue_by_nation, scan_project_filter, semdedup_stats,
+# semi_anti_customers, sessionize_events, set_ops_segments,
+# small_qty_revenue, stream_stream_join, streaming_ivf_ingest_topk,
+# string_functions, subsequence_best_match, training_shard_manifest.
 _FRONT_WINDOW: list[str] = [
     # (a) the 49 r5-dated rows (CORRECTNESS_r05 keys minus r06-r08 keys
     # minus the retired json_path_extract), alphabetical

@@ -74,20 +74,34 @@ def _features(
 
 
 def _write_slice(
-    df: DataFrame, path: str, src_batch: int, bloom_col: str | None = None
+    df: DataFrame,
+    path: str,
+    src_batch: int,
+    bloom_col: str | None = None,
+    single_file: bool = True,
 ) -> None:
     """Append one src_batch= partition, idempotently: dynamic partition
     overwrite replaces exactly this batch's directory on replay.
     ``bloom_col`` writes a parquet bloom filter on that column so probe
-    scans with pushed IN-filters can skip whole row groups."""
+    scans with pushed IN-filters can skip whole row groups.
+
+    ``single_file=True`` (micro-batch slices: small by construction)
+    funnels through repartition(1) for one tidy file per batch.
+    History-sized writes (index bootstrap, compaction) MUST pass
+    ``single_file=False``: they write with the input's existing
+    partitioning — no shuffle, parallel writer tasks — because a
+    repartition(1) there is a corpus-sized shuffle into ONE writer
+    task, the exact shape that cannot scale (caught by the round-9
+    shuffle audit: the bootstrap was funneling the whole shingle store
+    through it)."""
     # an all-dropped batch writes no partition at all; pre-create the
     # table root so later schema-reads never hit a missing path
     os.makedirs(path, exist_ok=True)
-    writer = (
-        df.withColumn("src_batch", F.lit(src_batch).cast("bigint"))
-        .repartition(1)  # micro-batch slices are small; one file each
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
+    out = df.withColumn("src_batch", F.lit(src_batch).cast("bigint"))
+    if single_file:
+        out = out.repartition(1)
+    writer = out.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
     )
     if bloom_col is not None:
         writer = writer.option(f"parquet.bloom.filter.enabled#{bloom_col}", "true")
@@ -119,11 +133,13 @@ def build_dedup_index(
         os.path.join(index_path, "hashes"),
         HISTORY_BATCH,
         bloom_col="text_hash",
+        single_file=False,  # history-sized: keep partitioning, no shuffle
     )
     _write_slice(
         feats.select("doc", "shingles"),
         os.path.join(index_path, "shingles"),
         HISTORY_BATCH,
+        single_file=False,  # the corpus-dominant store — never funnel it
     )
     # written twice (buckets + stats): pin once, or each write re-runs
     # the 32-permutation minhash over every history shingle
@@ -132,7 +148,7 @@ def build_dedup_index(
     ).transform(materialize)
     _write_slice(
         bands_df, os.path.join(index_path, "buckets"), HISTORY_BATCH,
-        bloom_col="bucket",
+        bloom_col="bucket", single_file=False,
     )
     _write_bucket_stats(bands_df, index_path, HISTORY_BATCH)
 
@@ -375,7 +391,8 @@ def build_embedding_dedup_index(
         lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
     )
     _write_slice(
-        rows, os.path.join(index_path, "vecs"), HISTORY_BATCH, bloom_col="bucket"
+        rows, os.path.join(index_path, "vecs"), HISTORY_BATCH, bloom_col="bucket",
+        single_file=False,  # history-sized: keep partitioning, no shuffle
     )
 
 
@@ -562,7 +579,10 @@ def compact_dedup_index(spark: SparkSession, index_path: str) -> dict[str, int]:
             df = df.groupBy("band", "bucket").agg(F.sum("n").alias("n"))
         df = df.transform(materialize)  # sever lineage from `live`
         counts[name] = df.count()
-        _write_slice(df, stage, HISTORY_BATCH, bloom_col=bloom)
+        # compacted slices are history-sized: parallel writers, no
+        # repartition(1) funnel (compaction merges BATCHES into one
+        # slice, not files into one file)
+        _write_slice(df, stage, HISTORY_BATCH, bloom_col=bloom, single_file=False)
         staged.append((stage, live))
     for stage, live in staged:
         staged_swap(live, stage)

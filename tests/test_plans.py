@@ -715,7 +715,7 @@ def test_shuffle_byte_ceilings():
         "semdedup_stats": 0.06,
         "source_overlap_matrix": 0.35,
         "pretraining_pipeline_stats": 0.2,
-        "incremental_dedup_stats": 1.02,
+        "incremental_dedup_stats": 0.9,
         "ivfpq_rerank_topk": 0.09,
     }
     repo = os.path.join(os.path.dirname(__file__), "..")
