@@ -83,6 +83,77 @@ def skyline_2d(
     )
 
 
+def global_ntile(
+    df: DataFrame, n_buckets: int, order_cols: list[Column | str]
+) -> DataFrame:
+    """Exact SQL-standard ``ntile`` WITHOUT the single-task global
+    window.
+
+    ``ntile(n) OVER (ORDER BY ...)`` in Spark plans as one Window with
+    an empty partition spec — every row moves through ONE task, the
+    shape that dies first at 100 TB. This computes the identical
+    bucket assignment distributively:
+
+    1. range-repartition + sort on the order columns (the same
+       distributed sort a global orderBy uses — parallel);
+    2. per-partition row counts collected to the driver (one row per
+       partition, bounded by shuffle partitions) → cumulative offsets
+       joined back as a broadcast dim;
+    3. global rank = partition offset + within-partition row_number
+       (a window PARTITIONED BY spark_partition_id — parallel);
+    4. the standard ntile formula from (rank, total): bucket sizes
+       differ by at most one, larger buckets first — bit-identical to
+       Spark's and DuckDB's ntile given a total tie-break order.
+
+    Requires ``order_cols`` to be a TOTAL order (include a unique key)
+    — the same requirement plain ntile has for determinism. Runs the
+    count job at construction time (offsets are data-dependent).
+    Output: input columns + ``__ntile``."""
+    from ais_data_pipeline_spark.localrel import local_df
+
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    ranged = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+    # localCheckpoint: the offsets job and the final plan must see the
+    # SAME partition layout (a recomputed range exchange could resample
+    # boundaries); also truncates lineage so the sort runs once
+    with_pid = with_pid.localCheckpoint(eager=True)
+    counts = sorted(
+        (r["__pid"], r["n"])
+        for r in with_pid.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    total = sum(n for _, n in counts)
+    offsets, acc = [], 0
+    for pid, n in counts:
+        offsets.append((pid, acc))
+        acc += n
+    spark = df.sparkSession
+    off_dim = local_df(spark, offsets or [(0, 0)], "__pid int, __off bigint")
+
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(Window.partitionBy("__pid").orderBy(*cols))
+    small = total // n_buckets
+    rem = total % n_buckets
+    if small == 0:
+        ntile_expr = "CAST(__rank AS INT)"  # fewer rows than buckets
+    else:
+        # SQL-standard ntile from global rank, integer-exact (DIV):
+        # first `rem` buckets hold small+1 rows, the rest hold small
+        ntile_expr = (
+            f"CAST(CASE WHEN __rank <= {rem * (small + 1)} "
+            f"THEN (__rank - 1) DIV {small + 1} + 1 "
+            f"ELSE {rem} + (__rank - 1 - {rem * (small + 1)}) DIV {small} + 1 "
+            f"END AS INT)"
+        )
+    return (
+        with_pid.join(F.broadcast(off_dim), "__pid")
+        .withColumn("__rank", F.col("__off") + rn)
+        .withColumn("__ntile", F.expr(ntile_expr))
+        .drop("__pid", "__off", "__rank")
+    )
+
+
 def weighted_hash_sample(
     df: DataFrame, weight_col: str, k: int, id_col: str, seed: int = 42
 ) -> DataFrame:

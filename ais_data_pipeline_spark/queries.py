@@ -4408,16 +4408,21 @@ def q_rolling_1h_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "ntile decile bucketing with a total tie-break order (price, then "
     "key — without it ntile is nondeterministic at bucket boundaries), "
-    "summarized to per-decile ranges. The global sort is the price of "
-    "exact quantile buckets; the approximate path is approx_quantiles.",
+    "summarized to per-decile ranges. Computed by global_ntile — the "
+    "distributed exact form (range partition + offset ranks), "
+    "bit-identical to the single-task ntile window it replaces; the "
+    "approximate path is approx_quantiles.",
 )
 def q_order_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from ais_data_pipeline_spark.operators.ordering import global_ntile
 
-    o = read_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    o = read_table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    # distributed exact ntile (range-partition + per-partition offsets):
+    # bit-identical to ntile(10) OVER (ORDER BY price, key) but never
+    # moves the table through a single-task global window
+    tiled = global_ntile(o, 10, ["o_totalprice", "o_orderkey"])
     return (
-        o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        tiled.select("o_totalprice", F.col("__ntile").alias("decile"))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -7983,13 +7988,13 @@ def q_hll_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Time-to-convert distribution: latest view at-or-before each "
     "purchase (as-of composition), microsecond-exact integer latency, "
     "exact decile bands via a totally-ordered ntile — the funnel-"
-    "latency report behind conversion SLOs. The global ntile is the "
-    "deliberate exact-quantile form (same contract as "
-    "order_price_deciles); the approx_quantiles sketch is the "
-    "100 TB-sized alternative when a global sort is too much.",
+    "latency report behind conversion SLOs. Deciles come from "
+    "global_ntile (distributed exact form, same contract as "
+    "order_price_deciles) — no single-task global window; the "
+    "approx_quantiles sketch remains the no-sort alternative.",
 )
 def q_conversion_latency_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from ais_data_pipeline_spark.operators.ordering import global_ntile
 
     e = read_table(spark, sf_dir, "events")
     p = e.filter(F.col("event_type") == "purchase").select(
@@ -8010,11 +8015,8 @@ def q_conversion_latency_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_id",
         (F.unix_micros("p_ts") - F.unix_micros("__last_view")).alias("latency_us"),
     )
-    d = lat.select(
-        "latency_us",
-        F.ntile(10)
-        .over(Window.orderBy(F.asc("latency_us"), F.asc("p_id")))
-        .alias("decile"),
+    d = global_ntile(lat, 10, ["latency_us", "p_id"]).select(
+        "latency_us", F.col("__ntile").alias("decile")
     )
     return (
         d.groupBy("decile")

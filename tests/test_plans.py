@@ -684,6 +684,42 @@ def test_ivf_index_incremental_append(spark, sf_dir, tmp_path):
     assert rows[0]["vec_id"] == 1 and rows[0]["cos_sim"] == 1.0
 
 
+def test_decile_queries_avoid_global_window(spark, sf_dir):
+    """Exact ntile must come from global_ntile (range partition +
+    offset ranks), never a single-task global window: the plan may not
+    contain the built-in ntile (whose empty partition spec moves the
+    whole table through ONE task) and must carry the partition-id
+    window the distributed form uses."""
+    for name in ("order_price_deciles", "conversion_latency_deciles"):
+        plan = plan_of(BY_NAME[name].fn(spark, sf_dir))
+        assert "ntile(" not in plan, name
+        assert "__pid" in plan, name
+
+
+def test_global_ntile_matches_builtin(spark):
+    """global_ntile is bit-identical to ntile(k) OVER (ORDER BY ...)
+    across bucket-remainder and fewer-rows-than-buckets edges."""
+    from pyspark.sql import Window
+
+    from ais_data_pipeline_spark.operators.ordering import global_ntile
+
+    for n, k in ((10007, 10), (37, 10), (6, 10), (1, 3)):
+        df = spark.range(n).select(
+            (F.col("id") * 2654435761 % 997).alias("v"), F.col("id")
+        )
+        ref = {
+            (r["v"], r["id"]): r["t"]
+            for r in df.select(
+                "v", "id", F.ntile(k).over(Window.orderBy("v", "id")).alias("t")
+            ).collect()
+        }
+        got = {
+            (r["v"], r["id"]): r["__ntile"]
+            for r in global_ntile(df, k, ["v", "id"]).collect()
+        }
+        assert got == ref, (n, k)
+
+
 def test_shuffle_byte_ceilings():
     """Promotes tools/shuffle_audit.py from tool to regression gate
     (round-8 verdict item 2): per-query shuffle-WRITE-byte ceilings at

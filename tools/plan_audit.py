@@ -70,6 +70,9 @@ EAGER = {
     "minhash_near_dup",
     "near_dup_cluster_sizes",
     "pretraining_pipeline_stats",
+    # global_ntile collects per-partition offsets at fn() time
+    "order_price_deciles",
+    "conversion_latency_deciles",
     "cluster_best_representative",
     "bm25_top_docs",
     "inverted_index_postings",
