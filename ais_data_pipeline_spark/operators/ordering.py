@@ -61,25 +61,48 @@ def skyline_2d(
     other point weakly dominates (<= on both, < on at least one).
 
     The naive formulation is an O(n^2) dominance self-join; the
-    scale-safe plan is one window pass — over distinct (x, y) sorted
-    by (x asc, y asc), a point is on the frontier iff its y is
-    strictly below the running minimum y of all preceding points
-    (anything before it has x <= its x; equal (x, y) dedupes to the
-    min-id representative first, so 'preceding' implies dominance).
-    One shuffle to sort, streaming frontier test."""
+    streaming form is one pass over distinct (x, y) sorted by
+    (x asc, y asc): a point is on the frontier iff its y is strictly
+    below the running minimum y of all preceding points (anything
+    before it has x <= its x; equal (x, y) dedupes to the min-id
+    representative first, so 'preceding' implies dominance).
+
+    DISTRIBUTED running min (distinct pairs are near-corpus-sized for
+    continuous x, so a global-ORDER window would funnel them through
+    one task): range-partition + sort on the total order, take each
+    partition's min-y, prefix-min those over PRECEDING partitions (a
+    window over #partitions rows — bounded), broadcast back, and
+    combine with the within-partition running min. Identical result,
+    every data-sized stage parallel."""
     from pyspark.sql import Window
 
     x, y = F.col(x_col), F.col(y_col)
+    order = [x.asc(), y.asc(), F.col(id_col).asc()]
     distinct = df.groupBy(x_col, y_col).agg(F.min(id_col).alias(id_col))
-    w = (
-        Window.orderBy(x.asc(), y.asc(), F.col(id_col).asc())
-        .rowsBetween(Window.unboundedPreceding, -1)
+    ranged = (
+        distinct.repartitionByRange(*order)
+        .sortWithinPartitions(*order)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # offsets job + final plan must
+        # see the same partition layout; also runs the sort once
     )
-    run_min = F.min(y).over(w)
+    pmins = ranged.groupBy("__pid").agg(F.min(y).alias("__pm"))
+    w_prev_parts = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefix = pmins.select(
+        "__pid", F.min("__pm").over(w_prev_parts).alias("__prefmin")
+    )
+    w_in = Window.partitionBy("__pid").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # least() skips nulls (first row of a partition / first partition)
+    run_min = F.least(F.min(y).over(w_in), F.col("__prefmin"))
     return (
-        distinct.withColumn("__m", run_min)
+        ranged.join(F.broadcast(prefix), "__pid")
+        .withColumn("__m", run_min)
         .filter(F.col("__m").isNull() | (y < F.col("__m")))
-        .drop("__m")
+        .drop("__pid", "__prefmin", "__m")
     )
 
 

@@ -70,9 +70,11 @@ EAGER = {
     "minhash_near_dup",
     "near_dup_cluster_sizes",
     "pretraining_pipeline_stats",
-    # global_ntile collects per-partition offsets at fn() time
+    # global_ntile / skyline_2d checkpoint their range-partitioned
+    # frame at fn() time (partition-offset pattern)
     "order_price_deciles",
     "conversion_latency_deciles",
+    "skyline_orders",
     "cluster_best_representative",
     "bm25_top_docs",
     "inverted_index_postings",
