@@ -2729,21 +2729,37 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
     """,
-    "Rank-distribution windows (percent_rank / cume_dist / ntile) per "
-    "priority — one shuffle on the partition key, total tie-break "
-    "order for determinism.",
+    "Rank-distribution stats (percent_rank / cume_dist / ntile) per "
+    "priority, computed via grouped_global_rank — the distributed "
+    "form for few-huge-groups, where a plain PARTITION BY priority "
+    "window caps parallelism at 5 tasks. With the unique tie-break "
+    "order, rank == row_number, so pct = (r-1)/(n-1), cume = r/n, and "
+    "the integer-exact ntile formula reproduce the built-ins "
+    "bit-for-bit (pinned by test_grouped_rank_matches_builtin and "
+    "this oracle).",
 )
 def q_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from ais_data_pipeline_spark.operators.ordering import (
+        grouped_global_rank,
+        grouped_ntile_col,
+    )
 
-    o = read_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
-    return o.select(
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    ranked = grouped_global_rank(
+        o, ["o_orderpriority"], ["o_totalprice", "o_orderkey"]
+    )
+    r, n = F.col("__rank"), F.col("__n_group")
+    pct = F.when(n == 1, F.lit(0.0)).otherwise(
+        (r - 1).cast("double") / (n - 1).cast("double")
+    )
+    return ranked.select(
         "o_orderkey",
         "o_orderpriority",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.round(pct, 6).alias("pct_rank"),
+        F.round(r.cast("double") / n.cast("double"), 6).alias("cume"),
+        grouped_ntile_col(4).alias("quartile"),
     )
 
 

@@ -75,6 +75,7 @@ EAGER = {
     "order_price_deciles",
     "conversion_latency_deciles",
     "skyline_orders",
+    "rank_distribution",
     "cluster_best_representative",
     "bm25_top_docs",
     "inverted_index_postings",
