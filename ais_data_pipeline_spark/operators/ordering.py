@@ -119,9 +119,9 @@ def global_ntile(
 
     1. range-repartition + sort on the order columns (the same
        distributed sort a global orderBy uses — parallel);
-    2. per-partition row counts collected to the driver (one row per
-       partition, bounded by shuffle partitions) → cumulative offsets
-       joined back as a broadcast dim;
+    2. per-partition row counts → cumulative offsets via a window over
+       that tiny counts frame (one row per partition, bounded) →
+       broadcast back;
     3. global rank = partition offset + within-partition row_number
        (a window PARTITIONED BY spark_partition_id — parallel);
     4. the standard ntile formula from (rank, total): bucket sizes
@@ -129,51 +129,13 @@ def global_ntile(
        Spark's and DuckDB's ntile given a total tie-break order.
 
     Requires ``order_cols`` to be a TOTAL order (include a unique key)
-    — the same requirement plain ntile has for determinism. Runs the
-    count job at construction time (offsets are data-dependent).
-    Output: input columns + ``__ntile``."""
-    from ais_data_pipeline_spark.localrel import local_df
-
-    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    ranged = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
-    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
-    # localCheckpoint: the offsets job and the final plan must see the
-    # SAME partition layout (a recomputed range exchange could resample
-    # boundaries); also truncates lineage so the sort runs once
-    with_pid = with_pid.localCheckpoint(eager=True)
-    counts = sorted(
-        (r["__pid"], r["n"])
-        for r in with_pid.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
-    )
-    total = sum(n for _, n in counts)
-    offsets, acc = [], 0
-    for pid, n in counts:
-        offsets.append((pid, acc))
-        acc += n
-    spark = df.sparkSession
-    off_dim = local_df(spark, offsets or [(0, 0)], "__pid int, __off bigint")
-
-    from pyspark.sql import Window
-
-    rn = F.row_number().over(Window.partitionBy("__pid").orderBy(*cols))
-    small = total // n_buckets
-    rem = total % n_buckets
-    if small == 0:
-        ntile_expr = "CAST(__rank AS INT)"  # fewer rows than buckets
-    else:
-        # SQL-standard ntile from global rank, integer-exact (DIV):
-        # first `rem` buckets hold small+1 rows, the rest hold small
-        ntile_expr = (
-            f"CAST(CASE WHEN __rank <= {rem * (small + 1)} "
-            f"THEN (__rank - 1) DIV {small + 1} + 1 "
-            f"ELSE {rem} + (__rank - 1 - {rem * (small + 1)}) DIV {small} + 1 "
-            f"END AS INT)"
-        )
-    return (
-        with_pid.join(F.broadcast(off_dim), "__pid")
-        .withColumn("__rank", F.col("__off") + rn)
-        .withColumn("__ntile", F.expr(ntile_expr))
-        .drop("__pid", "__off", "__rank")
+    — the same requirement plain ntile has for determinism. Thin
+    wrapper over ``grouped_global_rank`` with no groups (offsets come
+    from a window over the per-partition counts frame — no driver
+    collect). Output: input columns + ``__ntile``."""
+    ranked = grouped_global_rank(df, [], order_cols)
+    return ranked.withColumn("__ntile", grouped_ntile_col(n_buckets)).drop(
+        "__rank", "__n_group"
     )
 
 
@@ -230,7 +192,12 @@ def grouped_global_rank(
         F.coalesce(F.sum("__pn").over(w_prev), F.lit(0)).alias("__off"),
     )
     totals = counts.groupBy(*group_cols).agg(F.sum("__pn").alias("__n_group"))
-    dim = offsets.join(totals, group_cols)
+    # empty group_cols (the global-order case): totals is one row
+    dim = (
+        offsets.join(totals, group_cols)
+        if group_cols
+        else offsets.crossJoin(F.broadcast(totals))
+    )
     rn = F.row_number().over(
         Window.partitionBy("__pid", *group_cols).orderBy(*ocols)
     )
