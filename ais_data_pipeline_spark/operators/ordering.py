@@ -140,54 +140,105 @@ def global_ntile(
 
 
 def grouped_global_rank(
-    df: DataFrame, group_cols: list[str], order_cols: list[Column | str]
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column | str],
+    buckets_per_group: int | None = None,
 ) -> DataFrame:
     """Per-group dense total-order rank (== row_number given a unique
     tie-break) WITHOUT per-group single-task windows.
 
     ``rank() OVER (PARTITION BY g ORDER BY ...)`` serializes each
     group in one task — fatal when the groups are few and huge (a
-    5-value status column over a fact table caps parallelism at 5;
-    tools/skew_probe.py measured the window shape 3.36x worse under a
-    hot key, with no AQE rescue). This computes the identical ranks
-    with data-sized stages fully parallel:
+    5-value status column over a fact table caps parallelism at 5,
+    and the per-task sort is group-sized — the first thing to spill
+    at real scale; tools/skew_probe.py measured the window shape
+    3.36x worse under a hot key, with no AQE rescue). This computes
+    the identical ranks with data-sized stages parallel and per-task
+    sorts bounded:
 
-    1. range-repartition + sort on (group..., order...) — groups land
-       contiguous across partitions, each split across MANY tasks;
-    2. per-(partition, group) row counts → per-group prefix offsets
-       via a window over that tiny counts frame (≤ partitions x
-       groups rows) — no driver collect;
-    3. rank = group prefix offset + row_number within
-       (partition, group); group totals join alongside for
-       percent_rank / cume_dist / ntile denominators.
+    1. per-group approximate quantiles of the PRIMARY order column
+       (one percentile_approx agg; groups x B doubles to the driver)
+       define value-range buckets — bucket membership is a pure
+       function of the VALUE, so every subtree derives the same
+       bucket with nothing materialized. (The spark_partition_id
+       variant needs an eager localCheckpoint to pin partition
+       layout — measured: the range exchange resamples boundaries
+       between subtrees and misaligns offsets without it, and the
+       checkpoint write made it slower than this form at 32M rows.)
+    2. per-(group, bucket) row counts → per-group prefix offsets via
+       a window over that tiny counts frame; quantile approximation
+       shifts only bucket BALANCE, never correctness.
+    3. rank = bucket prefix offset + row_number within
+       (group, bucket) — each sort is ~1/B of a group; group totals
+       join alongside for percent_rank / cume_dist / ntile.
 
-    Intended for the few-huge-groups regime: the broadcast offset dim
-    is partitions x groups rows. High-cardinality groups don't need
-    this helper — their plain windows are already parallel.
-    ``order_cols`` must be a total order within each group. Output:
-    input columns + ``__rank`` (1-based within group) + ``__n_group``.
-    Runs the range sort once (eager localCheckpoint) so the offsets
-    job and the final plan see the same partition layout."""
+    The primary order column must be numeric (percentile_approx);
+    ties on it stay in one bucket, so the remaining order columns
+    break them exactly as in the plain window. Intended for the
+    few-huge-groups regime; high-cardinality groups don't need this
+    helper — their plain windows are already parallel. ``order_cols``
+    must be a total order within each group. Output: input columns +
+    ``__rank`` (1-based within group) + ``__n_group``. Runs the
+    quantile agg at construction time (bounded collect)."""
     from pyspark.sql import Window
 
+    from ais_data_pipeline_spark.localrel import local_df
+
+    spark = df.sparkSession
+    if buckets_per_group is None:
+        buckets_per_group = max(
+            2, int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        )
+    B = buckets_per_group
     ocols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    gcols = [F.col(c) for c in group_cols]
-    ranged = (
-        df.repartitionByRange(*gcols, *ocols)
-        .sortWithinPartitions(*gcols, *ocols)
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    counts = ranged.groupBy("__pid", *group_cols).agg(
+    primary = ocols[0]
+
+    probs = F.array(*[F.lit(i / B) for i in range(1, B)])
+    qrows = df.groupBy(*group_cols).agg(
+        F.percentile_approx(primary, probs, 10_000).alias("__qs")
+    ).collect()
+    if not qrows or qrows[0]["__qs"] is None:
+        # empty input: rank columns exist, zero rows flow
+        return df.withColumn("__rank", F.lit(None).cast("bigint")).withColumn(
+            "__n_group", F.lit(None).cast("bigint")
+        )
+    if group_cols:
+        dtypes = dict(df.dtypes)
+        gschema = ", ".join(f"{c} {dtypes[c]}" for c in group_cols)
+        qdim = local_df(
+            spark,
+            [
+                tuple([*[r[c] for c in group_cols], [float(x) for x in r["__qs"]]])
+                for r in qrows
+            ],
+            f"{gschema}, __qs array<double>",
+        )
+        withb = df.join(F.broadcast(qdim), group_cols)
+    else:
+        qdim = local_df(
+            spark,
+            [([float(x) for x in qrows[0]["__qs"]],)],
+            "__qs array<double>",
+        )
+        withb = df.crossJoin(F.broadcast(qdim))
+    # bucket = #thresholds at or below the value; NULL values yield 0
+    # (they sort first under the default asc ordering)
+    withb = withb.withColumn(
+        "__b",
+        F.size(F.filter(F.col("__qs"), lambda t: primary >= t)),
+    ).drop("__qs")
+
+    counts = withb.groupBy("__b", *group_cols).agg(
         F.count(F.lit(1)).alias("__pn")
     )
     w_prev = (
         Window.partitionBy(*group_cols)
-        .orderBy("__pid")
+        .orderBy("__b")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = counts.select(
-        "__pid",
+        "__b",
         *group_cols,
         F.coalesce(F.sum("__pn").over(w_prev), F.lit(0)).alias("__off"),
     )
@@ -199,13 +250,14 @@ def grouped_global_rank(
         else offsets.crossJoin(F.broadcast(totals))
     )
     rn = F.row_number().over(
-        Window.partitionBy("__pid", *group_cols).orderBy(*ocols)
+        Window.partitionBy("__b", *group_cols).orderBy(*ocols)
     )
     return (
-        ranged.join(F.broadcast(dim), ["__pid", *group_cols])
+        withb.join(F.broadcast(dim), ["__b", *group_cols])
         .withColumn("__rank", F.col("__off") + rn)
-        .drop("__pid", "__off")
+        .drop("__b", "__off")
     )
+
 
 
 def grouped_ntile_col(k: int) -> Column:

@@ -693,7 +693,7 @@ def test_decile_queries_avoid_global_window(spark, sf_dir):
     for name in ("order_price_deciles", "conversion_latency_deciles"):
         plan = plan_of(BY_NAME[name].fn(spark, sf_dir))
         assert "ntile(" not in plan, name
-        assert "__pid" in plan, name
+        assert "__b" in plan, name  # the quantile-bucket window key
 
 
 def test_global_ntile_matches_builtin(spark):
@@ -776,7 +776,7 @@ def test_rank_distribution_avoids_per_group_serialization(spark, sf_dir):
     plan = plan_of(BY_NAME["rank_distribution"].fn(spark, sf_dir))
     for fn in ("percent_rank(", "cume_dist(", "ntile("):
         assert fn not in plan, fn
-    assert "__pid" in plan
+    assert "__b" in plan  # the quantile-bucket window key
 
 
 def test_shuffle_byte_ceilings():
