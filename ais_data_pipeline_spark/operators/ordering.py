@@ -69,40 +69,53 @@ def skyline_2d(
 
     DISTRIBUTED running min (distinct pairs are near-corpus-sized for
     continuous x, so a global-ORDER window would funnel them through
-    one task): range-partition + sort on the total order, take each
-    partition's min-y, prefix-min those over PRECEDING partitions (a
-    window over #partitions rows — bounded), broadcast back, and
-    combine with the within-partition running min. Identical result,
-    every data-sized stage parallel."""
+    one task): bucket by approximate quantiles of x — bucket
+    membership is a pure function of the value, deterministic across
+    subtrees with nothing materialized (same design as
+    grouped_global_rank, incl. x-tie handling: ties share a bucket) —
+    take each bucket's min-y, prefix-min those over PRECEDING buckets
+    (a window over #buckets rows — bounded), broadcast back, and
+    combine with the within-bucket running min. Identical result,
+    every data-sized stage parallel, per-task sorts ~1/B of the
+    input. Requires numeric ``x_col`` (quantile bucketing)."""
     from pyspark.sql import Window
+
+    from ais_data_pipeline_spark.localrel import local_df
 
     x, y = F.col(x_col), F.col(y_col)
     order = [x.asc(), y.asc(), F.col(id_col).asc()]
     distinct = df.groupBy(x_col, y_col).agg(F.min(id_col).alias(id_col))
-    ranged = (
-        distinct.repartitionByRange(*order)
-        .sortWithinPartitions(*order)
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)  # offsets job + final plan must
-        # see the same partition layout; also runs the sort once
+    spark = df.sparkSession
+    B = max(2, int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+    probs = F.array(*[F.lit(i / B) for i in range(1, B)])
+    qrow = distinct.agg(
+        F.percentile_approx(x, probs, 10_000).alias("__qs")
+    ).first()
+    if qrow is None or qrow["__qs"] is None:
+        return distinct  # empty input
+    qdim = local_df(
+        spark, [([float(v) for v in qrow["__qs"]],)], "__qs array<double>"
     )
-    pmins = ranged.groupBy("__pid").agg(F.min(y).alias("__pm"))
-    w_prev_parts = Window.orderBy("__pid").rowsBetween(
+    withb = (
+        distinct.crossJoin(F.broadcast(qdim))
+        .withColumn("__b", F.size(F.filter(F.col("__qs"), lambda t: x >= t)))
+        .drop("__qs")
+    )
+    bmins = withb.groupBy("__b").agg(F.min(y).alias("__bm"))
+    w_prev_b = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = bmins.select(
+        "__b", F.min("__bm").over(w_prev_b).alias("__prefmin")
+    )
+    w_in = Window.partitionBy("__b").orderBy(*order).rowsBetween(
         Window.unboundedPreceding, -1
     )
-    prefix = pmins.select(
-        "__pid", F.min("__pm").over(w_prev_parts).alias("__prefmin")
-    )
-    w_in = Window.partitionBy("__pid").orderBy(*order).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    # least() skips nulls (first row of a partition / first partition)
+    # least() skips nulls (first row of a bucket / first bucket)
     run_min = F.least(F.min(y).over(w_in), F.col("__prefmin"))
     return (
-        ranged.join(F.broadcast(prefix), "__pid")
+        withb.join(F.broadcast(prefix), "__b")
         .withColumn("__m", run_min)
         .filter(F.col("__m").isNull() | (y < F.col("__m")))
-        .drop("__pid", "__prefmin", "__m")
+        .drop("__b", "__prefmin", "__m")
     )
 
 
