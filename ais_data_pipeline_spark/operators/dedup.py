@@ -355,12 +355,23 @@ def minhash_near_dup(
     # degrades gracefully instead of failing the job.
     from ais_data_pipeline_spark.observability import log as _log
 
+    # fast pass: 2*pairs bounds the id count with no extra job (the
+    # pair count on a checkpointed frame is free); the proxy
+    # over-counts quadratically for CLUSTERED candidates, so when it
+    # trips, spend one exact distinct-count on the small id frame
+    # before surrendering the broadcast — a single 2,300-doc
+    # boilerplate cluster yields ~2.6M pairs but only 2,300 ids
     n_pairs = cands.count()
-    if 2 * n_pairs > max_broadcast_candidates:
+    n_ids = (
+        2 * n_pairs
+        if 2 * n_pairs <= max_broadcast_candidates
+        else cand_ids.count()
+    )
+    if n_ids > max_broadcast_candidates:
         _log(
             "minhash_verify_fallback_shuffle_semi",
             level="warning",
-            n_candidate_pairs=n_pairs,
+            n_candidate_ids=n_ids,
             max_broadcast_candidates=max_broadcast_candidates,
             hint=(
                 "candidate set too large to broadcast — run exact_dedup "

@@ -262,7 +262,14 @@ def decode_pixels_array(data: bytes):
     if data[:2] == b"BM":
         return _parse_bmp(data), "bmp"
     if data[:8] == _PNG_SIG:
-        return _parse_png(data), "png"
+        try:
+            return _parse_png(data), "png"
+        except NotImplementedError:
+            # exotic variant (palette/16-bit/interlace): fall through
+            # to the PIL hook, which decoded these before the native
+            # parser existed — the honest stub only applies where
+            # neither path can
+            pass
     try:  # compressed-codec hook: only taken where PIL exists
         import io
 

@@ -91,11 +91,13 @@ def skyline_2d(
     qrow = distinct.agg(
         F.percentile_approx(x, probs, 10_000).alias("__qs")
     ).first()
-    if qrow is None or qrow["__qs"] is None:
-        return distinct  # empty input
-    qdim = local_df(
-        spark, [([float(v) for v in qrow["__qs"]],)], "__qs array<double>"
-    )
+    # empty input OR all-NULL x: no quantiles -> empty threshold list,
+    # every row in bucket 0, the within-bucket window still applies the
+    # dominance filter (all-NULL x must NOT bypass it)
+    qs = [] if qrow is None or qrow["__qs"] is None else [
+        float(v) for v in qrow["__qs"]
+    ]
+    qdim = local_df(spark, [(qs,)], "__qs array<double>")
     withb = (
         distinct.crossJoin(F.broadcast(qdim))
         .withColumn("__b", F.size(F.filter(F.col("__qs"), lambda t: x >= t)))
@@ -130,13 +132,14 @@ def global_ntile(
     shape that dies first at 100 TB. This computes the identical
     bucket assignment distributively:
 
-    1. range-repartition + sort on the order columns (the same
-       distributed sort a global orderBy uses — parallel);
-    2. per-partition row counts → cumulative offsets via a window over
-       that tiny counts frame (one row per partition, bounded) →
+    1. value-range buckets from approximate quantiles of the primary
+       order column (see ``grouped_global_rank`` — bucket membership
+       is a pure function of the value);
+    2. per-bucket row counts → cumulative offsets via a window over
+       that tiny counts frame (one row per bucket, bounded) →
        broadcast back;
-    3. global rank = partition offset + within-partition row_number
-       (a window PARTITIONED BY spark_partition_id — parallel);
+    3. global rank = bucket offset + within-bucket row_number — every
+       data-sized stage parallel, per-task sorts ~1/B of the input;
     4. the standard ntile formula from (rank, total): bucket sizes
        differ by at most one, larger buckets first — bit-identical to
        Spark's and DuckDB's ntile given a total tie-break order.
@@ -193,7 +196,10 @@ def grouped_global_rank(
     helper — their plain windows are already parallel. ``order_cols``
     must be a total order within each group. Output: input columns +
     ``__rank`` (1-based within group) + ``__n_group``. Runs the
-    quantile agg at construction time (bounded collect)."""
+    quantile agg at construction time (bounded collect), and consumes
+    ``df`` three times (quantiles, counts, final rank) — callers with
+    expensive upstream lineage should ``materialize()`` the input
+    first; plain scans are cheaper to re-read than to checkpoint."""
     from pyspark.sql import Window
 
     from ais_data_pipeline_spark.localrel import local_df
@@ -211,29 +217,39 @@ def grouped_global_rank(
     qrows = df.groupBy(*group_cols).agg(
         F.percentile_approx(primary, probs, 10_000).alias("__qs")
     ).collect()
-    if not qrows or qrows[0]["__qs"] is None:
-        # empty input: rank columns exist, zero rows flow
+    if not qrows:
+        # empty grouped input: rank columns exist, zero rows flow
         return df.withColumn("__rank", F.lit(None).cast("bigint")).withColumn(
             "__n_group", F.lit(None).cast("bigint")
         )
+
+    def _qs(r):
+        # a group whose primary order values are all NULL has no
+        # quantiles (percentile_approx ignores NULLs): empty threshold
+        # list -> every row lands in bucket 0 and the within-bucket
+        # window orders them — exactly the plain window's behavior
+        return [float(x) for x in (r["__qs"] or [])]
+
     if group_cols:
         dtypes = dict(df.dtypes)
-        gschema = ", ".join(f"{c} {dtypes[c]}" for c in group_cols)
+        gschema = ", ".join(f"__q_{c} {dtypes[c]}" for c in group_cols)
         qdim = local_df(
             spark,
-            [
-                tuple([*[r[c] for c in group_cols], [float(x) for x in r["__qs"]]])
-                for r in qrows
-            ],
+            [tuple([*[r[c] for c in group_cols], _qs(r)]) for r in qrows],
             f"{gschema}, __qs array<double>",
         )
-        withb = df.join(F.broadcast(qdim), group_cols)
-    else:
-        qdim = local_df(
-            spark,
-            [([float(x) for x in qrows[0]["__qs"]],)],
-            "__qs array<double>",
+        # NULL-safe equi-join: NULL group keys form a normal window
+        # partition in the builtins, so they must match here too (a
+        # plain inner join would silently drop them)
+        cond = None
+        for c in group_cols:
+            e = F.col(c).eqNullSafe(F.col(f"__q_{c}"))
+            cond = e if cond is None else (cond & e)
+        withb = df.join(F.broadcast(qdim), cond).drop(
+            *[f"__q_{c}" for c in group_cols]
         )
+    else:
+        qdim = local_df(spark, [(_qs(qrows[0]),)], "__qs array<double>")
         withb = df.crossJoin(F.broadcast(qdim))
     # bucket = #thresholds at or below the value; NULL values yield 0
     # (they sort first under the default asc ordering)
@@ -251,24 +267,35 @@ def grouped_global_rank(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = counts.select(
-        "__b",
-        *group_cols,
+        F.col("__b").alias("__d_b"),
+        *[F.col(c).alias(f"__d_{c}") for c in group_cols],
         F.coalesce(F.sum("__pn").over(w_prev), F.lit(0)).alias("__off"),
     )
     totals = counts.groupBy(*group_cols).agg(F.sum("__pn").alias("__n_group"))
-    # empty group_cols (the global-order case): totals is one row
-    dim = (
-        offsets.join(totals, group_cols)
-        if group_cols
-        else offsets.crossJoin(F.broadcast(totals))
-    )
+    if group_cols:
+        tot_renamed = totals.select(
+            *[F.col(c).alias(f"__t_{c}") for c in group_cols], "__n_group"
+        )
+        tcond = None
+        for c in group_cols:
+            e = F.col(f"__d_{c}").eqNullSafe(F.col(f"__t_{c}"))
+            tcond = e if tcond is None else (tcond & e)
+        dim = offsets.join(tot_renamed, tcond).drop(
+            *[f"__t_{c}" for c in group_cols]
+        )
+    else:
+        # the global-order case: totals is one row
+        dim = offsets.crossJoin(F.broadcast(totals))
+    join_cond = F.col("__b").eqNullSafe(F.col("__d_b"))
+    for c in group_cols:
+        join_cond = join_cond & F.col(c).eqNullSafe(F.col(f"__d_{c}"))
     rn = F.row_number().over(
         Window.partitionBy("__b", *group_cols).orderBy(*ocols)
     )
     return (
-        withb.join(F.broadcast(dim), ["__b", *group_cols])
+        withb.join(F.broadcast(dim), join_cond)
         .withColumn("__rank", F.col("__off") + rn)
-        .drop("__b", "__off")
+        .drop("__b", "__d_b", *[f"__d_{c}" for c in group_cols], "__off")
     )
 
 

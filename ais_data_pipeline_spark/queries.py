@@ -8031,6 +8031,12 @@ def q_conversion_latency_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_id",
         (F.unix_micros("p_ts") - F.unix_micros("__last_view")).alias("latency_us"),
     )
+    # global_ntile consumes its input three times (quantile agg,
+    # bucket counts, final rank) — materialize the expensive as-of
+    # join pipeline once instead of re-executing it per consumer
+    from ais_data_pipeline_spark.checkpointing import materialize
+
+    lat = materialize(lat)
     d = global_ntile(lat, 10, ["latency_us", "p_id"]).select(
         "latency_us", F.col("__ntile").alias("decile")
     )

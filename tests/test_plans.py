@@ -768,6 +768,99 @@ def test_grouped_rank_matches_builtin(spark):
     assert got == ref
 
 
+def test_grouped_rank_null_semantics(spark):
+    """Round-9 review regressions: (a) a group whose primary order
+    values are all NULL must rank like the builtin (NULLs first), not
+    poison other groups; (b) rows with NULL group keys form a normal
+    partition (the builtins' semantics) — an inner equi-join would
+    silently drop them; (c) skyline must still apply the dominance
+    filter when every x is NULL."""
+    from pyspark.sql import Window
+
+    from ais_data_pipeline_spark.localrel import local_df
+    from ais_data_pipeline_spark.operators.ordering import (
+        grouped_global_rank,
+        skyline_2d,
+    )
+
+    rows = [
+        ("gA", None, 1),
+        ("gA", None, 2),
+        ("gB", 5.0, 3),
+        ("gB", 7.0, 4),
+        (None, 2.0, 5),
+        (None, 1.0, 6),
+    ]
+    df = local_df(spark, rows, "g string, v double, id bigint")
+    got = {
+        r["id"]: (r["__rank"], r["__n_group"])
+        for r in grouped_global_rank(df, ["g"], ["v", "id"]).collect()
+    }
+    w = Window.partitionBy("g").orderBy("v", "id")
+    ref = {
+        r["id"]: (r["rk"], r["n"])
+        for r in df.select(
+            "id",
+            F.row_number().over(w).alias("rk"),
+            F.count(F.lit(1)).over(Window.partitionBy("g")).alias("n"),
+        ).collect()
+    }
+    assert got == ref
+
+    # (c) all-NULL x: dominance filter must still run — of two points
+    # with NULL x, only the min-y one survives (NULLs sort first, so
+    # the min-(y,id) NULL-x point precedes and dominates the other)
+    sky = local_df(
+        spark,
+        [(None, 5.0, 1), (None, 3.0, 2), (None, 3.0, 7)],
+        "x double, y double, id bigint",
+    )
+    out = skyline_2d(sky, "x", "y", "id").collect()
+    assert [(r["x"], r["y"], r["id"]) for r in out] == [(None, 3.0, 2)]
+
+
+def test_png_exotic_variant_falls_through_to_pil_hook():
+    """Round-9 review regression: an exotic PNG (palette, 16-bit,
+    interlace) must reach the PIL hook rather than dying in the
+    native parser — with PIL absent that still means the documented
+    NotImplementedError naming the codec-library requirement, NOT the
+    parser's variant message."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from ais_data_pipeline_spark.operators.multimodal import (
+        _png_chunk,
+        _PNG_SIG,
+        decode_pixels_array,
+    )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)  # palette PNG
+    png = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00\x00\x00"))
+        + _png_chunk(b"IEND", b"")
+    )
+    try:
+        from PIL import Image  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if has_pil:
+        # PIL accepts-or-rejects on its own terms; it must at least be
+        # reached (no native NotImplementedError about color types)
+        try:
+            arr, fmt = decode_pixels_array(png)
+        except Exception as e:  # noqa: BLE001
+            assert "color type" not in str(e)
+    else:
+        with _pytest.raises(NotImplementedError, match="PIL"):
+            decode_pixels_array(png)
+
+
 def test_rank_distribution_avoids_per_group_serialization(spark, sf_dir):
     """The rank_distribution plan must use the distributed form: no
     built-in rank-family window functions (whose PARTITION BY priority

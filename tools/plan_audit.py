@@ -69,6 +69,7 @@ EAGER = {
     # three run bounded Spark jobs at DataFrame-construction time
     "minhash_near_dup",
     "near_dup_cluster_sizes",
+    "near_dup_clusters_star",
     "pretraining_pipeline_stats",
     # global_ntile / skyline_2d checkpoint their range-partitioned
     # frame at fn() time (partition-offset pattern)
