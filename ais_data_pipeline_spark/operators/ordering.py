@@ -54,6 +54,44 @@ def hash_sample(df, id_col: str, keep_hex_lt: str = "1999"):
     return df.filter(h < keep_hex_lt)
 
 
+def _default_buckets(spark) -> int:
+    return max(2, int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+
+
+def _quantile_thresholds(df: DataFrame, primary: Column, B: int) -> list[float]:
+    """Global B-quantile thresholds of a numeric column (one bounded
+    agg; B-1 doubles to the driver). [] when the input is empty or the
+    column is all-NULL — callers then bucket every row to 0, which
+    reproduces the builtins' NULLs-first behavior."""
+    probs = F.array(*[F.lit(i / B) for i in range(1, B)])
+    row = df.agg(F.percentile_approx(primary, probs, 10_000).alias("__qs")).first()
+    if row is None or row["__qs"] is None:
+        return []
+    return [float(v) for v in row["__qs"]]
+
+
+def _bucket_expr(primary: Column) -> Column:
+    """Value-range bucket id from a joined ``__qs`` threshold array:
+    #thresholds at or below the value; NULL values yield 0 (they sort
+    first under the default asc ordering)."""
+    return F.size(F.filter(F.col("__qs"), lambda t: primary >= t))
+
+
+def _require_plain_column(primary: Column, caller: str) -> None:
+    """percentile_approx cannot evaluate a SortOrder expression — a
+    ``.desc()``/``.asc()`` primary order column would die mid-job with
+    an opaque Spark INTERNAL_ERROR. Reject it upfront with a usable
+    message (for descending ranks over a numeric column, negate it)."""
+    r = repr(primary)
+    if " DESC" in r or " ASC" in r:
+        raise ValueError(
+            f"{caller}: the primary order column must be a plain "
+            "(ascending) column — sort-order expressions cannot feed "
+            "the quantile bucketing; for descending ranks negate a "
+            f"numeric column instead (got {r})"
+        )
+
+
 def skyline_2d(
     df: DataFrame, x_col: str, y_col: str, id_col: str
 ) -> DataFrame:
@@ -86,21 +124,14 @@ def skyline_2d(
     order = [x.asc(), y.asc(), F.col(id_col).asc()]
     distinct = df.groupBy(x_col, y_col).agg(F.min(id_col).alias(id_col))
     spark = df.sparkSession
-    B = max(2, int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
-    probs = F.array(*[F.lit(i / B) for i in range(1, B)])
-    qrow = distinct.agg(
-        F.percentile_approx(x, probs, 10_000).alias("__qs")
-    ).first()
-    # empty input OR all-NULL x: no quantiles -> empty threshold list,
-    # every row in bucket 0, the within-bucket window still applies the
-    # dominance filter (all-NULL x must NOT bypass it)
-    qs = [] if qrow is None or qrow["__qs"] is None else [
-        float(v) for v in qrow["__qs"]
-    ]
+    B = _default_buckets(spark)
+    # [] on empty/all-NULL x: every row buckets to 0 and the
+    # within-bucket window still applies the dominance filter
+    qs = _quantile_thresholds(distinct, x, B)
     qdim = local_df(spark, [(qs,)], "__qs array<double>")
     withb = (
         distinct.crossJoin(F.broadcast(qdim))
-        .withColumn("__b", F.size(F.filter(F.col("__qs"), lambda t: x >= t)))
+        .withColumn("__b", _bucket_expr(x))
         .drop("__qs")
     )
     bmins = withb.groupBy("__b").agg(F.min(y).alias("__bm"))
@@ -146,9 +177,11 @@ def global_ntile(
 
     Requires ``order_cols`` to be a TOTAL order (include a unique key)
     — the same requirement plain ntile has for determinism. Thin
-    wrapper over ``grouped_global_rank`` with no groups (offsets come
-    from a window over the per-partition counts frame — no driver
-    collect). Output: input columns + ``__ntile``."""
+    wrapper over ``grouped_global_rank`` with no groups: one bounded
+    driver collect of B-1 quantile thresholds at construction time,
+    then offsets via a window over the per-bucket counts frame.
+    Output: input columns + ``__ntile``. Inherits the determinism and
+    plain-ascending-primary requirements documented there."""
     ranked = grouped_global_rank(df, [], order_cols)
     return ranked.withColumn("__ntile", grouped_ntile_col(n_buckets)).drop(
         "__rank", "__n_group"
@@ -197,21 +230,28 @@ def grouped_global_rank(
     must be a total order within each group. Output: input columns +
     ``__rank`` (1-based within group) + ``__n_group``. Runs the
     quantile agg at construction time (bounded collect), and consumes
-    ``df`` three times (quantiles, counts, final rank) — callers with
-    expensive upstream lineage should ``materialize()`` the input
-    first; plain scans are cheaper to re-read than to checkpoint."""
+    ``df`` three times (quantiles, counts, final rank) — so the input
+    MUST be deterministic across re-evaluation (a parquet scan or a
+    materialized frame): nondeterministic lineage (rand(), unseeded
+    sampling, an unmaterialized streaming batch) must be
+    ``materialize()``d first, or the three consumers can disagree and
+    a group missing from the quantile pass would silently drop. For
+    merely EXPENSIVE (but deterministic) lineage, materialize is a
+    cost call: plain scans are cheaper to re-read than to checkpoint.
+    The primary order column must be a plain ascending column (a
+    ``.desc()`` SortOrder is rejected upfront — negate a numeric
+    column for descending ranks)."""
     from pyspark.sql import Window
 
     from ais_data_pipeline_spark.localrel import local_df
 
     spark = df.sparkSession
     if buckets_per_group is None:
-        buckets_per_group = max(
-            2, int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        )
+        buckets_per_group = _default_buckets(spark)
     B = buckets_per_group
     ocols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     primary = ocols[0]
+    _require_plain_column(primary, "grouped_global_rank")
 
     probs = F.array(*[F.lit(i / B) for i in range(1, B)])
     qrows = df.groupBy(*group_cols).agg(
@@ -253,10 +293,7 @@ def grouped_global_rank(
         withb = df.crossJoin(F.broadcast(qdim))
     # bucket = #thresholds at or below the value; NULL values yield 0
     # (they sort first under the default asc ordering)
-    withb = withb.withColumn(
-        "__b",
-        F.size(F.filter(F.col("__qs"), lambda t: primary >= t)),
-    ).drop("__qs")
+    withb = withb.withColumn("__b", _bucket_expr(primary)).drop("__qs")
 
     counts = withb.groupBy("__b", *group_cols).agg(
         F.count(F.lit(1)).alias("__pn")

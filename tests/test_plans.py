@@ -807,6 +807,14 @@ def test_grouped_rank_null_semantics(spark):
     }
     assert got == ref
 
+    # a .desc()/.asc() primary order column would die mid-job inside
+    # percentile_approx with an opaque INTERNAL_ERROR — the guard must
+    # reject it upfront with an actionable message
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="plain"):
+        grouped_global_rank(df, ["g"], [F.col("v").desc(), "id"])
+
     # (c) all-NULL x: dominance filter must still run — of two points
     # with NULL x, only the min-y one survives (NULLs sort first, so
     # the min-(y,id) NULL-x point precedes and dominates the other)

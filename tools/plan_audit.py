@@ -71,8 +71,8 @@ EAGER = {
     "near_dup_cluster_sizes",
     "near_dup_clusters_star",
     "pretraining_pipeline_stats",
-    # global_ntile / skyline_2d checkpoint their range-partitioned
-    # frame at fn() time (partition-offset pattern)
+    # global_ntile / skyline_2d / grouped_global_rank collect their
+    # quantile thresholds at fn() time (value-bucket pattern)
     "order_price_deciles",
     "conversion_latency_deciles",
     "skyline_orders",

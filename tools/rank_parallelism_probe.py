@@ -1,8 +1,8 @@
 #!/usr/bin/env python
 """Few-huge-groups rank-window probe: measures the built-in
 ``PARTITION BY group`` window (parallelism capped at the group count)
-against ``grouped_global_rank`` (range-partitioned, parallel) on the
-rank_distribution shape — N rows, 5 groups, full percent_rank /
+against ``grouped_global_rank`` (quantile-value buckets, parallel,
+per-task sorts ~1/B of a group) on the rank_distribution shape — N rows, 5 groups, full percent_rank /
 cume_dist / ntile derivation, results checksum-verified equal.
 
 Emits one JSON line:
