@@ -213,7 +213,14 @@ def _parse_png(data: bytes):
     if interlace != 0:
         raise NotImplementedError("Adam7-interlaced PNG not supported")
     bpp = 3 if color_type == 2 else 4
-    raw = zlib.decompress(bytes(idat))
+    if not idat:
+        # a chunk-valid PNG with no pixel payload is corrupt, not a
+        # crash: keep the module's ValueError contract (ADVICE r9)
+        raise ValueError("corrupt PNG: no IDAT chunk")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG zlib stream: {e}") from None
     stride = w * bpp
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG scanline payload length mismatch")
@@ -234,16 +241,35 @@ def _parse_png(data: bytes):
         elif f in (3, 4):  # Average/Paeth: the predictor reads the
             # RECONSTRUCTED left neighbor through a non-linear fn
             # (floor-div / argmin), so the recurrence is inherently
-            # sequential in x — O(stride) Python per row is the cost
-            # of pure-stdlib decode for these two filters
-            recon = np.zeros(stride, dtype=np.int64)
-            for i in range(stride):
-                left = int(recon[i - bpp]) if i >= bpp else 0
-                if f == 3:
-                    recon[i] = (line[i] + (left + int(prior[i])) // 2) % 256
-                else:
-                    ul = int(prior[i - bpp]) if i >= bpp else 0
-                    recon[i] = (line[i] + _paeth(left, int(prior[i]), ul)) % 256
+            # sequential in x — but all bpp channel LANES of a pixel
+            # are independent, so the loop runs per-PIXEL with numpy
+            # channel vectors (bpp-lane recurrence): w interpreted
+            # iterations instead of w*bpp, ~3-4x fewer (ADVICE r9)
+            line2 = line.reshape(w, bpp)
+            prior2 = prior.reshape(w, bpp)
+            recon2 = np.zeros((w, bpp), dtype=np.int64)
+            left = np.zeros(bpp, dtype=np.int64)
+            if f == 3:
+                for x in range(w):
+                    left = (line2[x] + (left + prior2[x]) // 2) % 256
+                    recon2[x] = left
+            else:
+                ul = np.zeros(bpp, dtype=np.int64)
+                for x in range(w):
+                    up = prior2[x]
+                    p = left + up - ul
+                    pa = np.abs(p - left)
+                    pb = np.abs(p - up)
+                    pc = np.abs(p - ul)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc),
+                        left,
+                        np.where(pb <= pc, up, ul),
+                    )
+                    left = (line2[x] + pred) % 256
+                    recon2[x] = left
+                    ul = up
+            recon = recon2.reshape(-1)
         else:
             raise ValueError(f"unknown PNG filter type {f}")
         out[y] = recon.astype(np.uint8)

@@ -81,14 +81,31 @@ def _require_plain_column(primary: Column, caller: str) -> None:
     """percentile_approx cannot evaluate a SortOrder expression — a
     ``.desc()``/``.asc()`` primary order column would die mid-job with
     an opaque Spark INTERNAL_ERROR. Reject it upfront with a usable
-    message (for descending ranks over a numeric column, negate it)."""
-    r = repr(primary)
-    if " DESC" in r or " ASC" in r:
+    message (for descending ranks over a numeric column, negate it).
+
+    Detection inspects the underlying Catalyst expression class
+    (ADVICE r9: the earlier repr-substring heuristic falsely rejected
+    a plain column whose ALIAS contains ' DESC'/' ASC', and was
+    coupled to Spark's repr format). The repr check survives only as
+    a fallback for column implementations without a JVM handle, and
+    anchored to the full SortOrder grammar (``... DESC NULLS LAST``)
+    rather than a bare token."""
+    import re
+
+    is_sort_order = None
+    try:
+        expr = primary._jc.expr()  # noqa: SLF001 - classic-mode introspection
+        is_sort_order = expr.getClass().getSimpleName() == "SortOrder"
+    except Exception:  # noqa: BLE001 - fall back to the repr grammar
+        is_sort_order = bool(
+            re.search(r"(DESC|ASC) NULLS (FIRST|LAST)'?>$", repr(primary))
+        )
+    if is_sort_order:
         raise ValueError(
             f"{caller}: the primary order column must be a plain "
             "(ascending) column — sort-order expressions cannot feed "
             "the quantile bucketing; for descending ranks negate a "
-            f"numeric column instead (got {r})"
+            f"numeric column instead (got {primary!r})"
         )
 
 

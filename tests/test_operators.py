@@ -326,11 +326,24 @@ def test_png_decode_filters_and_contracts(spark):
     with pytest.raises(ValueError, match="CRC"):
         decode_pixels_array(bytes(bad))
 
-    # interlaced / paletted refuse rather than mis-decode
-    with pytest.raises(NotImplementedError):
-        decode_pixels_array(png_of(2, 2, 2, scan, interlace=1))
-    with pytest.raises(NotImplementedError):
-        decode_pixels_array(png_of(2, 2, 3, scan))  # color type 3 = palette
+    # interlaced / paletted: the NATIVE parser refuses rather than
+    # mis-decodes; decode_pixels_array deliberately falls through to
+    # PIL on these variants, so the dispatcher-level assertion must
+    # branch on PIL availability (ADVICE r9 — with PIL installed these
+    # payloads reach the codec hook instead of raising)
+    from ais_data_pipeline_spark.operators.multimodal import _parse_png
+
+    for exotic in (
+        png_of(2, 2, 2, scan, interlace=1),
+        png_of(2, 2, 3, scan),  # color type 3 = palette
+    ):
+        with pytest.raises(NotImplementedError):
+            _parse_png(exotic)
+        try:
+            import PIL  # noqa: F401
+        except ImportError:
+            with pytest.raises(NotImplementedError, match="PIL"):
+                decode_pixels_array(exotic)
     # truncated scanline payload
     with pytest.raises(ValueError):
         decode_pixels_array(png_of(2, 2, 2, scan[:-1]))

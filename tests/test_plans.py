@@ -814,6 +814,19 @@ def test_grouped_rank_null_semantics(spark):
 
     with _pytest.raises(ValueError, match="plain"):
         grouped_global_rank(df, ["g"], [F.col("v").desc(), "id"])
+    # ...but the guard inspects the EXPRESSION, not the repr: a plain
+    # column whose alias merely CONTAINS ' DESC'/' ASC' must pass
+    # (ADVICE r9 — the old substring heuristic falsely rejected it)
+    aliased = df.select(
+        "g", "id", F.col("v").alias("price ASC then DESC")
+    )
+    got_alias = {
+        r["id"]: r["__rank"]
+        for r in grouped_global_rank(
+            aliased, ["g"], ["price ASC then DESC", "id"]
+        ).collect()
+    }
+    assert got_alias == {i: rk for i, (rk, _) in got.items()}
 
     # (c) all-NULL x: dominance filter must still run — of two points
     # with NULL x, only the min-y one survives (NULLs sort first, so
@@ -897,6 +910,8 @@ def test_shuffle_byte_ceilings():
     import subprocess
     import sys
 
+    import pytest
+
     # measured at sf0.01 (see SCALING.md round-9 note); ceiling =
     # 1.5 * measured + 0.05 MiB
     MEASURED_MIB = {
@@ -913,9 +928,21 @@ def test_shuffle_byte_ceilings():
         "pretraining_pipeline_stats": 0.2,
         "incremental_dedup_stats": 0.9,
         "ivfpq_rerank_topk": 0.09,
+        # the round-9 distributed-rank rewrites (round-10 verdict item
+        # 5): a revert to the single-task global window changes the
+        # shuffle profile, so these rows complement the plan-shape
+        # gate test_decile_queries_avoid_global_window
+        "rank_distribution": 0.34,
+        "order_price_deciles": 0.28,
+        "skyline_orders": 1.11,
     }
     repo = os.path.join(os.path.dirname(__file__), "..")
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.01")
+    # the ceilings were measured at sf0.01 and only hold there; on a
+    # machine without that fixture, skip rather than error (ADVICE r9)
+    sf001 = os.environ.get("SPARK_GRAFT_SF001_DIR", "/root/testdata/sf0.01")
+    if not os.path.isdir(sf001):
+        pytest.skip(f"sf0.01 fixture not present at {sf001}")
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf001)
     proc = subprocess.run(
         [sys.executable, os.path.join(repo, "tools", "shuffle_audit.py"),
          *MEASURED_MIB],

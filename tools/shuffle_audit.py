@@ -59,6 +59,14 @@ AUDIT: dict[str, list[str]] = {
     # in the extended bench, audited with the same per-doc normalization
     "incremental_dedup_stats": ["documents"],
     "ivfpq_rerank_topk": ["embeddings"],
+    # the round-9 distributed-rank rewrites (round-10 verdict item 5):
+    # a revert to the single-task global window has a DIFFERENT shuffle
+    # profile (one range exchange of the full table into few tasks vs
+    # the bucketed form's key-only exchanges), so ceilings here trip CI
+    # on that class of regression
+    "rank_distribution": ["orders"],
+    "order_price_deciles": ["orders"],
+    "skyline_orders": ["orders"],
 }
 
 
