@@ -627,6 +627,62 @@ def test_bench_query_lists_registered():
     assert not missing, missing
 
 
+def test_bench_final_line_fits_driver_tail():
+    """Round-10 verdict item 1: the driver records only the final
+    ~2000 chars of bench stdout, so the LAST printed line must be a
+    complete JSON object under that budget carrying the comparison
+    keys (BENCH_r08/r09 both lost their headline block to tail
+    truncation of the single giant detail line). Feeds
+    compact_summary a worst-case detail dict shaped like a real run
+    and asserts the encoded size and key contract."""
+    import json
+
+    import bench
+
+    detail = {
+        "metric": "headline_suite_wall_clock",
+        "value": 16.123,
+        "unit": "sec",
+        # worst case: every headline name at a 4-digit-seconds timing
+        "queries": {n: 9999.999 for n in bench.HEADLINE}
+        | {"pipeline_csv_to_parquet": 9999.999},
+        "first_run_total": 9999.999,
+        "extended_total": 9999.999,
+        "sf": 0.1,
+        "load_avg_start": [99.99, 99.99, 99.99],
+        "load_avg_end": [99.99, 99.99, 99.99],
+        "pipeline": {
+            "mib_per_sec": 999.9, "compression_ratio": 99.9,
+            "rows_out": 10**9, "csv_mib": 99999.99,
+        },
+        "pipeline_at_scale": {
+            "mib_per_sec": 999.9, "elapsed_sec": 9999.9,
+            "peak_heap_mib": 99999.9, "gc_frac": 0.999,
+            "load_avg_before": [99.9] * 3,
+        },
+        "curation_at_scale": {
+            "elapsed_sec": 9999.9, "text_mib_per_sec": 999.9,
+            "peak_heap_mib": 99999.9, "stage_sec": {"near_dup": 999.9},
+        },
+    }
+    line = json.dumps(bench.compact_summary(detail))
+    assert len(line) <= bench.COMPACT_BUDGET, len(line)
+    parsed = json.loads(line)
+    for key in ("metric", "value", "unit", "queries", "sf",
+                "first_run_total", "extended_total"):
+        assert key in parsed, key
+    assert set(parsed["queries"]) == set(bench.HEADLINE) | {
+        "pipeline_csv_to_parquet"
+    }
+    # a failed at-scale leg must surface its error marker, not vanish
+    detail["pipeline_at_scale"] = {"error": "x" * 50, "returncode": 1}
+    assert "error" in bench.compact_summary(detail)["pipeline_at_scale"]
+    # skipped legs (env-disabled) encode as empty dicts, not a crash
+    detail["pipeline_at_scale"] = None
+    detail["curation_at_scale"] = None
+    assert bench.compact_summary(detail)["pipeline_at_scale"] == {}
+
+
 def test_q6_full_pushdown(spark, sf_dir):
     """TPC-H Q6: every filter must reach the parquet scan and only the
     four referenced columns may be read."""
