@@ -210,6 +210,7 @@ def grouped_global_rank(
     group_cols: list[str],
     order_cols: list[Column | str],
     buckets_per_group: int | None = None,
+    check_skew: bool = False,
 ) -> DataFrame:
     """Per-group dense total-order rank (== row_number given a unique
     tie-break) WITHOUT per-group single-task windows.
@@ -257,7 +258,14 @@ def grouped_global_rank(
     cost call: plain scans are cheaper to re-read than to checkpoint.
     The primary order column must be a plain ascending column (a
     ``.desc()`` SortOrder is rejected upfront — negate a numeric
-    column for descending ranks)."""
+    column for descending ranks).
+
+    Known limit: ties on the primary VALUE share a bucket, so one hot
+    value (e.g. a zero-inflated metric) recreates the hot task the
+    bucketing exists to avoid. ``check_skew=True`` runs the sampled
+    hot-key probe on the primary order column and emits the M1
+    warning record when one value exceeds the share threshold —
+    opt-in, zero behavior change (round-10 verdict item 3)."""
     from pyspark.sql import Window
 
     from ais_data_pipeline_spark.localrel import local_df
@@ -269,6 +277,21 @@ def grouped_global_rank(
     ocols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     primary = ocols[0]
     _require_plain_column(primary, "grouped_global_rank")
+    if check_skew:
+        from ais_data_pipeline_spark.streaming.windows import (
+            check_window_key_skew,
+        )
+
+        check_window_key_skew(
+            df.select(primary.alias("__hot_value")),
+            "__hot_value",
+            hint=(
+                "one hot primary-order VALUE ties into one quantile "
+                "bucket and recreates the hot task; dedupe or jitter "
+                "the order column, or rank distinct values and join "
+                "back"
+            ),
+        )
 
     probs = F.array(*[F.lit(i / B) for i in range(1, B)])
     qrows = df.groupBy(*group_cols).agg(

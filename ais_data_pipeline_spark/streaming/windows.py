@@ -71,6 +71,7 @@ def check_window_key_skew(
     threshold: float = 0.25,
     fraction: float = 0.05,
     seed: int = 42,
+    hint: str | None = None,
 ) -> dict | None:
     """Guard for the genuinely skew-vulnerable shape: a window
     partitioned by a hot key needs the WHOLE key in one task — no
@@ -107,7 +108,8 @@ def check_window_key_skew(
         top_key=top["top_key"],
         share=round(share, 4),
         sampled_rows=top["total"],
-        hint=(
+        hint=hint
+        or (
             "window partitioned by a hot key serializes on one task "
             "(measured 3.36x at 50% hot); re-key to a bounded-"
             "cardinality composite (e.g. key+day) or pre-aggregate"

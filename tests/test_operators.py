@@ -410,6 +410,85 @@ def test_window_hot_key_guard(spark, capfd):
     assert "hot_window_key" not in capfd.readouterr().err
 
 
+def test_skew_guard_wired_into_keyed_window_helpers(spark, capfd):
+    """Round-10 verdict item 3: every keyed-window helper with a
+    user-supplied key accepts ``check_skew=True`` — LOCF, the rolling
+    z-score, and grouped_global_rank's hot-VALUE variant (the probe
+    runs on the primary ORDER column there, since a hot value ties
+    into one quantile bucket). Planted hot key fires the warning,
+    results are identical with and without the guard, and uniform
+    inputs stay silent."""
+    from pyspark.sql import functions as F
+
+    from ais_data_pipeline_spark.operators.ordering import grouped_global_rank
+    from ais_data_pipeline_spark.operators.timeseries import (
+        locf_fill,
+        rolling_zscore_anomalies,
+    )
+
+    n = 5000
+    hot = spark.range(n).select(
+        F.when(F.col("id") < int(n * 0.6), F.lit("bot")).otherwise(
+            F.concat(F.lit("u"), F.col("id"))
+        ).alias("user_id"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"),
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") % 7 == 0, F.lit(None)).otherwise(
+            (F.col("id") % 100).cast("double")
+        ).alias("value"),
+    )
+    uniform = hot.withColumn(
+        "user_id", F.concat(F.lit("u"), F.col("event_id") % 500)
+    )
+
+    # LOCF: warning fires, results identical, uniform silent
+    capfd.readouterr()
+    with_guard = locf_fill(hot, "value", check_skew=True).collect()
+    assert "hot_window_key" in capfd.readouterr().err
+    assert sorted(map(tuple, with_guard)) == sorted(
+        map(tuple, locf_fill(hot, "value").collect())
+    )
+    capfd.readouterr()
+    locf_fill(uniform, "value", check_skew=True)
+    assert "hot_window_key" not in capfd.readouterr().err
+
+    # rolling z-score: same contract
+    capfd.readouterr()
+    zg = rolling_zscore_anomalies(hot, check_skew=True).collect()
+    assert "hot_window_key" in capfd.readouterr().err
+    assert sorted(map(tuple, zg)) == sorted(
+        map(tuple, rolling_zscore_anomalies(hot).collect())
+    )
+    capfd.readouterr()
+    rolling_zscore_anomalies(uniform, check_skew=True)
+    assert "hot_window_key" not in capfd.readouterr().err
+
+    # grouped_global_rank: the probe watches the primary order VALUE
+    # (one hot value = one hot quantile bucket), not the group key
+    hotv = spark.range(n).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.when(F.col("id") < int(n * 0.6), F.lit(0.0)).otherwise(
+            F.col("id").cast("double")
+        ).alias("v"),
+        F.col("id").alias("id"),
+    )
+    capfd.readouterr()
+    rg = grouped_global_rank(hotv, ["g"], ["v", "id"], check_skew=True).collect()
+    err = capfd.readouterr().err
+    assert "hot_window_key" in err and "__hot_value" in err
+    assert sorted(map(tuple, rg)) == sorted(
+        map(tuple, grouped_global_rank(hotv, ["g"], ["v", "id"]).collect())
+    )
+    capfd.readouterr()
+    grouped_global_rank(
+        hotv.withColumn("v", F.col("id").cast("double")),
+        ["g"],
+        ["v", "id"],
+        check_skew=True,
+    )
+    assert "hot_window_key" not in capfd.readouterr().err
+
+
 @settings(max_examples=60, deadline=None)
 @given(
     w=st.integers(min_value=1, max_value=21),
