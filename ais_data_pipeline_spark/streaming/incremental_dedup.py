@@ -73,30 +73,65 @@ def _features(
     )
 
 
+#: a slice at or under this row count collapses to one tidy file per
+#: batch; above it the repartition(1) funnel is the one-task-shuffle
+#: shape that cannot scale (the round-9 audit caught the bootstrap
+#: funneling the whole shingle store through it). 2M rows of (id,
+#: hash/shingles) is tens of MiB — well inside one writer task.
+SINGLE_FILE_MAX_ROWS = 2_000_000
+
+
 def _write_slice(
     df: DataFrame,
     path: str,
     src_batch: int,
     bloom_col: str | None = None,
-    single_file: bool = True,
+    single_file: bool | None = None,
+    approx_rows: int | None = None,
 ) -> None:
     """Append one src_batch= partition, idempotently: dynamic partition
     overwrite replaces exactly this batch's directory on replay.
     ``bloom_col`` writes a parquet bloom filter on that column so probe
     scans with pushed IN-filters can skip whole row groups.
 
-    ``single_file=True`` (micro-batch slices: small by construction)
-    funnels through repartition(1) for one tidy file per batch.
-    History-sized writes (index bootstrap, compaction) MUST pass
-    ``single_file=False``: they write with the input's existing
-    partitioning — no shuffle, parallel writer tasks — because a
-    repartition(1) there is a corpus-sized shuffle into ONE writer
-    task, the exact shape that cannot scale (caught by the round-9
-    shuffle audit: the bootstrap was funneling the whole shingle store
-    through it)."""
+    Small slices funnel through repartition(1) for one tidy file per
+    batch; history-sized writes keep the input's partitioning — no
+    shuffle, parallel writer tasks — because a repartition(1) there is
+    a corpus-sized shuffle into ONE writer task, the exact shape that
+    cannot scale. Round-10 verdict item 4 made that contract
+    STRUCTURAL instead of caller discipline: the default
+    (``single_file=None``) is measured — ``approx_rows`` when the
+    caller already has a row count in hand (every micro-batch sink
+    does, for its accounting log), else one ``count()`` job — and the
+    funnel only engages at or under ``SINGLE_FILE_MAX_ROWS``. An
+    explicit ``single_file=True`` above that bound is overridden with
+    an M1 warning rather than honored: no future history-sized caller
+    can default into the funnel the round-9 shuffle gate caught.
+    ``single_file=False`` always keeps the input partitioning."""
     # an all-dropped batch writes no partition at all; pre-create the
     # table root so later schema-reads never hit a missing path
     os.makedirs(path, exist_ok=True)
+    if single_file is not False:
+        n = approx_rows if approx_rows is not None else df.count()
+        if n > SINGLE_FILE_MAX_ROWS:
+            if single_file is True:
+                from ais_data_pipeline_spark.observability import log
+
+                log(
+                    "single_file_override",
+                    level="warning",
+                    path=path,
+                    rows=n,
+                    bound=SINGLE_FILE_MAX_ROWS,
+                    hint=(
+                        "slice exceeds the single-file bound; writing "
+                        "with input partitioning instead of the "
+                        "repartition(1) funnel"
+                    ),
+                )
+            single_file = False
+        else:
+            single_file = True
     out = df.withColumn("src_batch", F.lit(src_batch).cast("bigint"))
     if single_file:
         out = out.repartition(1)
@@ -166,7 +201,9 @@ def _write_bucket_stats(bands_df: DataFrame, index_path: str, src_batch: int) ->
         bands_df.groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 2)
-    )
+    ).transform(materialize)  # read twice: the measured single-file
+    # default counts it, then the write reuses the pinned result
+    # instead of re-running the agg over a history-sized bands frame
     _write_slice(stats, os.path.join(index_path, "bucket_stats"), src_batch)
 
 
@@ -516,8 +553,9 @@ def run_incremental_embedding_dedup(
         survivors = dedup_embedding_batch_against_index(
             batch_df, index_path, threshold, n_planes, seed, vec_col, id_col
         ).transform(materialize)
-        _write_slice(survivors, out_path, batch_id)
-        dim = len(survivors.first()[vec_col]) if survivors.count() else 0
+        n_kept = survivors.count()
+        _write_slice(survivors, out_path, batch_id, approx_rows=n_kept)
+        dim = len(survivors.first()[vec_col]) if n_kept else 0
         if dim:
             planes = random_hyperplanes(dim, n_planes, seed)
             rows = survivors.select(
@@ -526,7 +564,8 @@ def run_incremental_embedding_dedup(
                 lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
             )
             _write_slice(
-                rows, os.path.join(index_path, "vecs"), batch_id, bloom_col="bucket"
+                rows, os.path.join(index_path, "vecs"), batch_id,
+                bloom_col="bucket", approx_rows=n_kept,
             )
 
     q = (
@@ -626,7 +665,7 @@ def run_incremental_dedup(
             rows_kept=n_kept,
             rows_dropped=n_in - n_kept,
         )
-        _write_slice(survivors, out_path, batch_id)
+        _write_slice(survivors, out_path, batch_id, approx_rows=n_kept)
         # written twice (hashes + shingles): pin once per batch
         feats = _features(survivors, text_col, id_col, shingle_n).transform(materialize)
         _write_slice(
@@ -634,11 +673,13 @@ def run_incremental_dedup(
             os.path.join(index_path, "hashes"),
             batch_id,
             bloom_col="text_hash",
+            approx_rows=n_kept,  # features are 1:1 per surviving doc
         )
         _write_slice(
             feats.select("doc", "shingles"),
             os.path.join(index_path, "shingles"),
             batch_id,
+            approx_rows=n_kept,
         )
         surv_bands = minhash_band_rows(
             survivors, n_hashes, bands, text_col, id_col, shingle_n, seed
@@ -646,6 +687,7 @@ def run_incremental_dedup(
         _write_slice(
             surv_bands, os.path.join(index_path, "buckets"), batch_id,
             bloom_col="bucket",
+            approx_rows=n_kept * bands,  # one band row per doc per band
         )
         _write_bucket_stats(surv_bands, index_path, batch_id)
 

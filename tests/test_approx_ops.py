@@ -157,6 +157,56 @@ def test_minhash_verify_broadcast_fallback(spark, sf_dir, capfd):
     assert fallback == normal
 
 
+def test_minhash_broadcast_proxy_refinement(spark, capfd):
+    """Round-10 verdict item 6, the other guard branch: the cheap
+    2x-pairs proxy over-counts QUADRATICALLY on a clustered candidate
+    set (one m-doc boilerplate cluster = ~m^2/2 pairs but only m ids),
+    so when the proxy trips, the guard must spend one exact
+    distinct-count before surrendering the broadcast. A degenerate
+    16-doc cluster (240 ordered pairs -> 120 candidate pairs, 16 ids)
+    with the budget between the two numbers must KEEP the broadcast
+    (no fallback warning), with results identical to the unguarded
+    run."""
+    from ais_data_pipeline_spark.localrel import local_df
+    from ais_data_pipeline_spark.operators.dedup import minhash_near_dup
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    rows = [(i, base * 3 + f"tail{i}") for i in range(16)]
+    d = local_df(spark, rows, "doc_id bigint, text string")
+
+    normal = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in minhash_near_dup(d, threshold=0.5).collect()
+    }
+    # every pair of the cluster is a candidate: 16*15/2 = 120 pairs
+    assert len(normal) == 120
+
+    # budget 60: proxy bound 2*120 = 240 > 60 trips, exact id count
+    # 16 <= 60 keeps the broadcast — no fallback, identical results
+    capfd.readouterr()
+    refined = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in minhash_near_dup(
+            d, threshold=0.5, max_broadcast_candidates=60
+        ).collect()
+    }
+    assert "minhash_verify_fallback_shuffle_semi" not in capfd.readouterr().err
+    assert refined == normal
+
+    # budget 10: exact count 16 > 10 is a TRUE overflow — shuffle
+    # semi-join + the loud warning, still identical results
+    capfd.readouterr()
+    overflowed_df = minhash_near_dup(
+        d, threshold=0.5, max_broadcast_candidates=10
+    )
+    err = capfd.readouterr().err
+    assert "minhash_verify_fallback_shuffle_semi" in err
+    assert '"n_candidate_ids": 16' in err  # the EXACT count, not 2x pairs
+    assert {
+        (r["doc_a"], r["doc_b"], r["jaccard"]) for r in overflowed_df.collect()
+    } == normal
+
+
 def test_near_dup_clusters_match_union_find(spark, sf_dir):
     """Distributed min-label propagation must produce exactly the
     components a driver-side union-find finds on the same edges."""

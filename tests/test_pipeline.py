@@ -243,6 +243,56 @@ def test_incremental_dedup_replay_idempotent(spark, sf_dir, tmp_path):
     assert kept == [11, 22]
 
 
+def test_write_slice_size_contract_is_structural(spark, tmp_path, capfd, monkeypatch):
+    """Round-10 verdict item 4: the single-file funnel must be a
+    MEASURED default, not caller discipline — a history-sized slice
+    written with the default args keeps its partitioning (parallel
+    writer tasks, no repartition(1) one-task shuffle, the shape the
+    round-9 audit caught), a micro-batch-sized slice still collapses
+    to one tidy file, and an explicit single_file=True above the
+    bound is overridden with the M1 warning instead of honored."""
+    from pyspark.sql import functions as F
+
+    from ais_data_pipeline_spark.streaming import incremental_dedup as mod
+
+    monkeypatch.setattr(mod, "SINGLE_FILE_MAX_ROWS", 1000)
+    big = spark.range(5000).repartition(8).select(
+        F.col("id").alias("doc"), F.md5(F.col("id").cast("string")).alias("h")
+    )
+
+    def n_files(path: str) -> int:
+        import glob as g
+
+        return len(g.glob(f"{path}/src_batch=*/part-*.parquet"))
+
+    # default args, above the bound: parallel writers, no funnel
+    p1 = str(tmp_path / "big_default")
+    mod._write_slice(big, p1, 0)
+    assert n_files(p1) > 1, "large slice funneled into one writer task"
+
+    # default args, under the bound: one tidy file per batch
+    p2 = str(tmp_path / "small_default")
+    mod._write_slice(big.limit(10), p2, 0)
+    assert n_files(p2) == 1
+
+    # approx_rows short-circuits the count and drives the decision
+    p3 = str(tmp_path / "big_hinted")
+    mod._write_slice(big, p3, 0, approx_rows=5000)
+    assert n_files(p3) > 1
+
+    # explicit True above the bound: overridden + warned, not honored
+    capfd.readouterr()
+    p4 = str(tmp_path / "big_forced")
+    mod._write_slice(big, p4, 0, single_file=True, approx_rows=5000)
+    assert "single_file_override" in capfd.readouterr().err
+    assert n_files(p4) > 1
+
+    # explicit False never counts and never funnels
+    p5 = str(tmp_path / "big_false")
+    mod._write_slice(big, p5, 0, single_file=False)
+    assert n_files(p5) > 1
+
+
 def test_incremental_dedup_probe_is_broadcast(spark, sf_dir, tmp_path):
     """The index probe must broadcast the BATCH side: no SortMergeJoin
     (i.e. no shuffle of the index tables) anywhere in the decision
