@@ -241,35 +241,47 @@ def _parse_png(data: bytes):
         elif f in (3, 4):  # Average/Paeth: the predictor reads the
             # RECONSTRUCTED left neighbor through a non-linear fn
             # (floor-div / argmin), so the recurrence is inherently
-            # sequential in x — but all bpp channel LANES of a pixel
-            # are independent, so the loop runs per-PIXEL with numpy
-            # channel vectors (bpp-lane recurrence): w interpreted
-            # iterations instead of w*bpp, ~3-4x fewer (ADVICE r9)
-            line2 = line.reshape(w, bpp)
-            prior2 = prior.reshape(w, bpp)
-            recon2 = np.zeros((w, bpp), dtype=np.int64)
-            left = np.zeros(bpp, dtype=np.int64)
+            # sequential in x. Plain-Python LIST arithmetic is the
+            # measured winner for this loop (128x128 RGB, per-thread):
+            # 1.29 Mpx/s vs 0.40 for per-element ndarray access (r9)
+            # and 0.09 for bpp-lane numpy vectors (tiny-array op
+            # overhead swamps the 3-4x iteration saving) — scalar
+            # ints, inlined Paeth, branch-free boundary via the
+            # i >= bpp split.
+            line_l = line.tolist()
+            prior_l = prior.tolist()
+            recon_l = [0] * stride
             if f == 3:
-                for x in range(w):
-                    left = (line2[x] + (left + prior2[x]) // 2) % 256
-                    recon2[x] = left
+                for i in range(stride):
+                    left = recon_l[i - bpp] if i >= bpp else 0
+                    recon_l[i] = (line_l[i] + (left + prior_l[i]) // 2) & 255
             else:
-                ul = np.zeros(bpp, dtype=np.int64)
-                for x in range(w):
-                    up = prior2[x]
+                for i in range(stride):
+                    if i >= bpp:
+                        left = recon_l[i - bpp]
+                        ul = prior_l[i - bpp]
+                    else:
+                        left = 0
+                        ul = 0
+                    up = prior_l[i]
                     p = left + up - ul
-                    pa = np.abs(p - left)
-                    pb = np.abs(p - up)
-                    pc = np.abs(p - ul)
-                    pred = np.where(
-                        (pa <= pb) & (pa <= pc),
-                        left,
-                        np.where(pb <= pc, up, ul),
-                    )
-                    left = (line2[x] + pred) % 256
-                    recon2[x] = left
-                    ul = up
-            recon = recon2.reshape(-1)
+                    pa = p - left
+                    if pa < 0:
+                        pa = -pa
+                    pb = p - up
+                    if pb < 0:
+                        pb = -pb
+                    pc = p - ul
+                    if pc < 0:
+                        pc = -pc
+                    if pa <= pb and pa <= pc:
+                        pred = left
+                    elif pb <= pc:
+                        pred = up
+                    else:
+                        pred = ul
+                    recon_l[i] = (line_l[i] + pred) & 255
+            recon = np.asarray(recon_l, dtype=np.int64)
         else:
             raise ValueError(f"unknown PNG filter type {f}")
         out[y] = recon.astype(np.uint8)
@@ -280,9 +292,11 @@ def _parse_png(data: bytes):
 
 def decode_pixels_array(data: bytes):
     """Payload bytes → (HxWx3 uint8 RGB array, format tag). Dispatches
-    on magic bytes: PPM/BMP/PNG decode natively (numpy + stdlib zlib);
-    remaining compressed codecs (JPEG) fall through to PIL when
-    installed; anything else is the explicit honest-stub contract."""
+    on magic bytes: PPM/BMP/PNG/baseline-JPEG decode natively (numpy +
+    stdlib ``zlib``/``struct``); out-of-scope variants (interlaced or
+    paletted PNG, progressive or subsampled JPEG) fall through to PIL
+    when installed; anything else is the explicit honest-stub
+    contract."""
     if data[:2] == b"P6":
         return _parse_ppm(data), "ppm"
     if data[:2] == b"BM":
@@ -296,7 +310,16 @@ def decode_pixels_array(data: bytes):
             # parser existed — the honest stub only applies where
             # neither path can
             pass
-    try:  # compressed-codec hook: only taken where PIL exists
+    if data[:2] == b"\xff\xd8":
+        from ais_data_pipeline_spark.operators.jpeg import parse_jpeg
+
+        try:
+            return parse_jpeg(data), "jpeg"
+        except NotImplementedError:
+            # progressive/subsampled/12-bit: PIL fall-through, same
+            # convention as the PNG exotic variants
+            pass
+    try:  # exotic-variant hook: only taken where PIL exists
         import io
 
         import numpy as np
@@ -306,10 +329,10 @@ def decode_pixels_array(data: bytes):
         return np.asarray(img, dtype=np.uint8), (img.format or "pil").lower()
     except ImportError:
         raise NotImplementedError(
-            "pixel decode for entropy-coded formats (JPEG, ...) requires "
-            "an image codec library (PIL/libvips); this container decodes "
-            "PPM/BMP/PNG natively — use decode_image_meta for the "
-            "metadata-only path"
+            "pixel decode for formats beyond native PPM/BMP/PNG/baseline-"
+            "JPEG (progressive JPEG, subsampled chroma, WebP, ...) "
+            "requires an image codec library (PIL/libvips) — use "
+            "decode_image_meta for the metadata-only path"
         ) from None
 
 
@@ -456,6 +479,21 @@ def png_dims(doc_id: int) -> tuple[int, int]:
     return 4 + doc_id % 12, 4 + doc_id % 6
 
 
+def jpeg_dims(doc_id: int) -> tuple[int, int]:
+    # w % 8 and h % 8 vary so partial right/bottom blocks (decoder
+    # crop of the ceil-to-8 block grid) are exercised
+    return 8 + (doc_id % 3) * 8 + doc_id % 5, 8 + (doc_id % 2) * 8 + doc_id % 3
+
+
+def jpeg_block_gray(doc_id: int, bx: int, by: int, nbx: int) -> int:
+    """Ground-truth gray level of 8x8 block (bx, by) in the JPEG
+    fixture: constant blocks keep the DCT DC-only so the baseline
+    decode is bit-exact and a SQL oracle re-derives every pixel as
+    ``gray(doc_id, x // 8, y // 8)`` — the JPEG analogue of
+    ``synth_pixel_value``."""
+    return (doc_id * 31 + by * nbx + bx) % 256
+
+
 def encode_ppm(doc_id: int, w: int, h: int) -> bytes:
     import numpy as np
 
@@ -585,20 +623,45 @@ def encode_png(doc_id: int, w: int, h: int, rgba: bool = False) -> bytes:
 def make_image_fixture(
     df: DataFrame, fmt: str = "ppm", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(doc_id, payload) synthetic image fixture: real PPM/BMP/PNG
-    bytes whose logical raster follows ``synth_pixel_value``.
+    """(doc_id, payload) synthetic image fixture: real PPM/BMP/PNG/
+    JPEG bytes whose logical raster follows ``synth_pixel_value``
+    (``jpeg_block_gray`` for JPEG's per-block constants).
     ``fmt='mixed'`` routes even doc_ids to PPM and odd to BMP (the
     format-dispatch fixture); ``fmt='png'`` encodes even doc_ids as
     RGB (color type 2) and odd as RGBA (type 6) so both truecolor
-    layouts hit the decoder. Arrow-batched; each task encodes only its
-    batch."""
+    layouts hit the decoder; ``fmt='jpeg'`` encodes even doc_ids as
+    grayscale (1 component) and odd as 3-component 4:4:4 color, with
+    every fourth image carrying restart markers so DRI/RST handling
+    runs in the Spark path too. Arrow-batched; each task encodes only
+    its batch."""
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ais_data_pipeline_spark.operators.jpeg import (
+            encode_jpeg_constant_blocks,
+        )
+
         for pdf in batches:
             ids = [int(i) for i in pdf[id_col]]
             payloads = []
             for i in ids:
-                if fmt == "png":
+                if fmt == "jpeg":
+                    w, h = jpeg_dims(i)
+                    nbx, nby = (w + 7) // 8, (h + 7) // 8
+                    grays = [
+                        jpeg_block_gray(i, bx, by, nbx)
+                        for by in range(nby)
+                        for bx in range(nbx)
+                    ]
+                    payloads.append(
+                        encode_jpeg_constant_blocks(
+                            w,
+                            h,
+                            grays,
+                            color=i % 2 == 1,
+                            restart_interval=2 if i % 4 == 3 else 0,
+                        )
+                    )
+                elif fmt == "png":
                     payloads.append(encode_png(i, *png_dims(i), rgba=i % 2 == 1))
                 elif fmt == "ppm" or (fmt == "mixed" and i % 2 == 0):
                     payloads.append(encode_ppm(i, *ppm_dims(i)))

@@ -131,7 +131,10 @@ _FRONT_WINDOW: list[str] = [
     "minhash_near_dup",
     "mmr_diverse_topk",
     "moving_avg_customer",
-    "multimodal_meta",
+    # swap (r9 pattern): multimodal_meta retired — its verified
+    # columns fold into audio_meta, also in this window — freeing the
+    # slot for the new native baseline-JPEG decode
+    "image_pixel_stats_jpeg",
     "near_dup_clusters",
     "ngram_jaccard_pairs",
     "null_token_normalize",
@@ -1009,27 +1012,52 @@ def q_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# multimodal_meta retired in round 10 (the r9 swap pattern): its
+# driver-verified columns (n_bytes + sha256 over opaque payloads via
+# mapInPandas) are a strict SUBSET of audio_meta's output — audio_meta
+# sits in the same r10 window, so the fold is driver-verified this
+# round — and decode_image_meta keeps its direct pytest coverage
+# (tests/test_operators.py). The freed slot carries the new native
+# baseline-JPEG decode query below.
 @register(
-    "multimodal_meta",
+    "image_pixel_stats_jpeg",
     """
-    SELECT doc_id,
-           length(text) AS n_bytes,
-           sha256(text) AS sha256
-    FROM documents
+    WITH dims AS (
+      SELECT doc_id,
+             8 + (doc_id % 3) * 8 + doc_id % 5 AS w,
+             8 + (doc_id % 2) * 8 + doc_id % 3 AS h
+      FROM documents
+    ), px AS (
+      SELECT doc_id, w, h,
+             SUM((doc_id*31 + ((k // w) // 8) * ((w + 7) // 8) + (k % w) // 8) % 256)
+               AS s
+      FROM dims, UNNEST(range(0, w*h)) AS t(k)
+      GROUP BY doc_id, w, h
+    )
+    SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS n_channels, 'jpeg' AS format,
+           CAST(s AS BIGINT) AS sum_r, CAST(s AS BIGINT) AS sum_g,
+           CAST(s AS BIGINT) AS sum_b
+    FROM px ORDER BY doc_id
     """,
-    "Binary-column plumbing: text bytes as an opaque payload, "
-    "mapInPandas (Arrow batches) extracts per-blob metadata "
-    "(size + content hash); the pixel-decode step is a marked stub.",
+    "REAL pixel decode, baseline sequential JPEG (pure stdlib struct "
+    "+ numpy, round-10): marker walk, canonical Huffman decode from "
+    "the stream's own DHT tables, byte-unstuffing, restart markers "
+    "(every 4th doc carries DRI/RSTn), dequantize + de-zigzag + "
+    "vectorized IDCT, level shift, JFIF color convert. Even doc_ids "
+    "are grayscale (1 component), odd are 3-component 4:4:4 with "
+    "Cb=Cr=128. Constant-valued 8x8 blocks keep the DCT DC-only so "
+    "the decode is bit-exact and the oracle re-derives every pixel "
+    "as gray(doc_id, x//8, y//8) in closed form.",
 )
-def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_image_pixel_stats_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ais_data_pipeline_spark.operators.multimodal import (
-        decode_image_meta,
-        with_binary_payload,
+        decode_image_pixels,
+        make_image_fixture,
     )
 
     d = read_table(spark, sf_dir, "documents")
-    meta = decode_image_meta(with_binary_payload(d, "text"))
-    return meta.select("doc_id", "n_bytes", "sha256")
+    return decode_image_pixels(make_image_fixture(d, fmt="jpeg")).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

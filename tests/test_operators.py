@@ -157,23 +157,15 @@ def test_multimodal_meta_deterministic(spark, sf_dir):
     assert frames.filter("frame_index % 4 != 0").count() == 0
 
     # decode_image_pixels is used in its own tests below; here just the
-    # honest-stub contract for the one remaining codec gap (JPEG):
-    # without PIL the DOCUMENTED NotImplementedError must surface (not
-    # a silent wrong row, not an arbitrary crash); with PIL installed
-    # the payload reaches the codec hook and PIL rejects the garbage.
+    # garbage behind the JPEG magic dies in the NATIVE baseline parser
+    # with the documented ValueError (round-10: JPEG decode is real now
+    # — the stub contract only remains for out-of-scope variants, see
+    # test_jpeg_exotic_variant_contract)
     from ais_data_pipeline_spark.operators.multimodal import decode_pixels_array
 
     jpeg_garbage = b"\xff\xd8\xff\xe0" + b"\x00" * 64
-    try:
-        import PIL  # noqa: F401
-
-        from PIL import UnidentifiedImageError
-
-        with pytest.raises(UnidentifiedImageError):
-            decode_pixels_array(jpeg_garbage)
-    except ImportError:
-        with pytest.raises(NotImplementedError, match="PIL"):
-            decode_pixels_array(jpeg_garbage)
+    with pytest.raises(ValueError, match="JPEG"):
+        decode_pixels_array(jpeg_garbage)
 
 
 def test_pixel_decode_roundtrip_and_edge_cases(spark):
@@ -408,6 +400,211 @@ def test_window_hot_key_guard(spark, capfd):
     capfd.readouterr()
     sessionize_batch(uniform, check_skew=True)
     assert "hot_window_key" not in capfd.readouterr().err
+
+
+def test_jpeg_decode_baseline_and_contracts(spark):
+    """The pure-stdlib baseline JPEG decoder (round-10): constant-block
+    fixtures against the closed form (grayscale AND 3-component color,
+    partial edge blocks), restart-marker handling, and the documented
+    error contracts. The general-coefficient path is verified against
+    an INDEPENDENT inline IDCT (own cosine matrix, so a matched
+    encoder/decoder misunderstanding can't cancel out) in the
+    hypothesis property test below."""
+    import numpy as np
+    import pytest as _pytest
+
+    from ais_data_pipeline_spark.localrel import local_df
+    from ais_data_pipeline_spark.operators.jpeg import (
+        encode_jpeg_constant_blocks,
+        parse_jpeg,
+    )
+    from ais_data_pipeline_spark.operators.multimodal import (
+        decode_image_pixels,
+        decode_pixels_array,
+        jpeg_block_gray,
+        jpeg_dims,
+        make_image_fixture,
+    )
+
+    # closed-form raster, both layouts, partial blocks (20x12: right
+    # column blocks are 4 px wide, bottom row blocks 4 px tall)
+    w, h, nbx = 20, 12, 3
+    grays = [jpeg_block_gray(9, bx, by, nbx) for by in range(2) for bx in range(nbx)]
+    for color in (False, True):
+        arr, fmt = decode_pixels_array(
+            encode_jpeg_constant_blocks(w, h, grays, color=color)
+        )
+        assert fmt == "jpeg" and arr.shape == (h, w, 3)
+        for y in range(h):
+            for x in range(w):
+                v = grays[(y // 8) * nbx + (x // 8)]
+                assert tuple(arr[y, x]) == (v, v, v), (x, y, color)
+
+    # restart markers: identical raster with DRI/RSTn in the stream,
+    # and the stream really carries RST bytes
+    plain = encode_jpeg_constant_blocks(w, h, grays, color=True)
+    rst = encode_jpeg_constant_blocks(w, h, grays, color=True, restart_interval=2)
+    assert rst != plain and b"\xff\xd0" in rst
+    assert (parse_jpeg(rst) == parse_jpeg(plain)).all()
+
+    # out-of-scope variants: honest NotImplementedError from the
+    # native parser (progressive SOF2; 2x2-subsampled SOF0)
+    import struct as _struct
+
+    def sof(marker: int, sampling: int) -> bytes:
+        body = _struct.pack(">BHHB", 8, 8, 8, 3)
+        for c in range(3):
+            body += bytes([c + 1, sampling if c == 0 else 0x11, 0])
+        return (
+            b"\xff\xd8"
+            + bytes([0xFF, marker])
+            + _struct.pack(">H", len(body) + 2)
+            + body
+        )
+
+    with _pytest.raises(NotImplementedError, match="progressive"):
+        parse_jpeg(sof(0xC2, 0x11))
+    with _pytest.raises(NotImplementedError, match="subsampled"):
+        parse_jpeg(sof(0xC0, 0x22) + b"\xff\xda\x00\x02")
+    # corrupt streams: loud ValueError, not a crash or a wrong raster
+    with _pytest.raises(ValueError):
+        parse_jpeg(b"\xff\xd8" + b"\x00" * 8)
+    with _pytest.raises(ValueError, match="truncated"):
+        parse_jpeg(plain[:-20])  # entropy stream cut short
+
+    # Spark integration: the fixture (even=grayscale, odd=color,
+    # every 4th with restart markers) matches the closed form
+    ids = local_df(spark, [(i,) for i in (0, 3, 7, 10, 41)], "doc_id bigint")
+    rows = {
+        r["doc_id"]: r
+        for r in decode_image_pixels(make_image_fixture(ids, fmt="jpeg")).collect()
+    }
+    for i in (0, 3, 7, 10, 41):
+        w, h = jpeg_dims(i)
+        nbx = (w + 7) // 8
+        s = sum(
+            jpeg_block_gray(i, x // 8, y // 8, nbx)
+            for y in range(h)
+            for x in range(w)
+        )
+        r = rows[i]
+        assert (r["width"], r["height"], r["format"]) == (w, h, "jpeg")
+        assert r["sum_r"] == r["sum_g"] == r["sum_b"] == s, i
+
+
+def test_jpeg_exotic_variant_contract():
+    """Out-of-scope JPEG variants must reach the PIL hook in the
+    dispatcher (PNG exotic-variant convention): with PIL absent that
+    means the documented codec-library NotImplementedError, NOT the
+    native parser's variant message."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from ais_data_pipeline_spark.operators.multimodal import decode_pixels_array
+
+    body = _struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    progressive = (
+        b"\xff\xd8" + bytes([0xFF, 0xC2]) + _struct.pack(">H", len(body) + 2) + body
+    )
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with _pytest.raises(NotImplementedError, match="PIL"):
+            decode_pixels_array(progressive)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    nbx=st.integers(min_value=1, max_value=3),
+    nby=st.integers(min_value=1, max_value=3),
+    ncomp=st.sampled_from([1, 3]),
+    dri=st.sampled_from([0, 1, 3]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_jpeg_coefficient_roundtrip_property(nbx, nby, ncomp, dri, seed):
+    """Property: ANY quantized-coefficient stream (random DC/AC values,
+    random non-flat quant table, multi-component, restart intervals)
+    decodes to exactly the IDCT an INDEPENDENT reference computes —
+    Huffman coding is lossless, so this pins entropy decode, byte
+    unstuffing, dequantize, de-zigzag, and the IDCT at once against
+    an inline cosine-matrix implementation that shares no code with
+    the decoder."""
+    import numpy as np
+
+    from ais_data_pipeline_spark.operators.jpeg import (
+        encode_jpeg_coeffs,
+        parse_jpeg,
+    )
+
+    rng = np.random.default_rng(seed)
+    w, h = nbx * 8 - int(rng.integers(0, 5)), nby * 8 - int(rng.integers(0, 5))
+    n = nbx * nby
+    quant = [int(q) for q in rng.integers(1, 12, size=64)]
+    comp_blocks = []
+    for _ in range(ncomp):
+        blocks = []
+        for _ in range(n):
+            b = np.zeros(64, dtype=np.int64)
+            b[0] = int(rng.integers(-300, 300))
+            nz = int(rng.integers(0, 20))
+            if nz:
+                idx = rng.choice(np.arange(1, 64), size=nz, replace=False)
+                b[idx] = rng.integers(-200, 200, size=nz)
+                b[idx] = np.where(b[idx] == 0, 1, b[idx])
+            blocks.append([int(x) for x in b])
+        comp_blocks.append(blocks)
+    data = encode_jpeg_coeffs(w, h, comp_blocks, quant=quant, restart_interval=dri)
+    got = parse_jpeg(data)
+
+    # independent reference: own zigzag walk + own cosine IDCT
+    zz = sorted(
+        ((r, c) for r in range(8) for c in range(8)),
+        key=lambda rc: (rc[0] + rc[1], rc[0] if (rc[0] + rc[1]) % 2 else -rc[0]),
+    )
+    M = np.array(
+        [
+            [
+                ((1 / np.sqrt(2)) if u == 0 else 1.0)
+                / 2.0
+                * np.cos((2 * x + 1) * u * np.pi / 16)
+                for u in range(8)
+            ]
+            for x in range(8)
+        ]
+    )
+    planes = []
+    for ci in range(ncomp):
+        full = np.zeros((nby * 8, nbx * 8))
+        for mcu in range(n):
+            F8 = np.zeros((8, 8))
+            for k, (r, c) in enumerate(zz):
+                F8[r, c] = comp_blocks[ci][mcu][k] * quant[k]
+            by, bx = divmod(mcu, nbx)
+            full[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = M @ F8 @ M.T
+        planes.append(
+            np.clip(np.round(full + 128), 0, 255).astype(np.float64)[:h, :w]
+        )
+    if ncomp == 1:
+        ref = np.stack([planes[0]] * 3, axis=-1).astype(np.uint8)
+    else:
+        y, cb, cr = planes[0], planes[1] - 128, planes[2] - 128
+        ref = np.clip(
+            np.round(
+                np.stack(
+                    [
+                        y + 1.402 * cr,
+                        y - 0.344136 * cb - 0.714136 * cr,
+                        y + 1.772 * cb,
+                    ],
+                    axis=-1,
+                )
+            ),
+            0,
+            255,
+        ).astype(np.uint8)
+    assert got.shape == ref.shape
+    assert (got == ref).all()
 
 
 def test_skew_guard_wired_into_keyed_window_helpers(spark, capfd):

@@ -54,7 +54,30 @@ def main() -> None:
         shuffle_partitions=cpus,
     )
 
-    encoders = {"ppm": encode_ppm, "bmp": encode_bmp, "png": encode_png}
+    from ais_data_pipeline_spark.operators.jpeg import encode_jpeg_coeffs
+
+    def encode_jpeg_probe(i: int, w: int, h: int) -> bytes:
+        """Probe JPEG with ~12 AC coefficients per block (moderate
+        photographic detail) — NOT the constant-block oracle fixture,
+        whose single-symbol blocks would flatter the Huffman bit loop
+        that dominates real decode cost."""
+        nbx, nby = (w + 7) // 8, (h + 7) // 8
+        blocks = []
+        for m in range(nbx * nby):
+            b = [0] * 64
+            b[0] = (i * 31 + m) % 256 - 128
+            for j in range(12):
+                k = 1 + (m * 7 + j * 5) % 63
+                b[k] = ((i + m + j) % 19) - 9 or 1
+            blocks.append(b)
+        return encode_jpeg_coeffs(w, h, [blocks])
+
+    encoders = {
+        "ppm": encode_ppm,
+        "bmp": encode_bmp,
+        "png": encode_png,
+        "jpeg": encode_jpeg_probe,
+    }
 
     def fixture(fmt: str, n: int):
         """(doc_id, payload) frame of n SIDE x SIDE images, encoded on
