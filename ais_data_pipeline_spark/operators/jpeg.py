@@ -85,6 +85,11 @@ def _canonical_codes(bits: list[int], huffvals: list[int]) -> dict[int, tuple[in
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
+            if code >= (1 << length):
+                # more codes than a prefix code of this length admits:
+                # a corrupt DHT must fail loudly, not build a garbage
+                # table that mis-decodes silently (round-10 review)
+                raise ValueError("over-subscribed Huffman table")
             out[huffvals[k]] = (length, code)
             code += 1
             k += 1
@@ -244,6 +249,9 @@ def parse_jpeg(data: bytes) -> np.ndarray:
         if data[pos] != 0xFF:
             raise ValueError(f"bad JPEG marker byte at {pos}")
         marker = data[pos + 1]
+        if marker == 0xFF:  # legal fill byte before a marker (T.81
+            pos += 1  # B.1.1.2): skip padding, re-read
+            continue
         pos += 2
         if marker == 0xD9:  # EOI before any scan
             raise ValueError("JPEG ended before SOS")
@@ -276,6 +284,8 @@ def parse_jpeg(data: bytes) -> np.ndarray:
             while i < len(body):
                 tc, th = body[i] >> 4, body[i] & 0x0F
                 bits = list(body[i + 1 : i + 17])
+                if len(bits) != 16:
+                    raise ValueError("truncated DHT")
                 n = sum(bits)
                 huffvals = list(body[i + 17 : i + 17 + n])
                 if len(huffvals) != n:
@@ -345,7 +355,7 @@ def parse_jpeg(data: bytes) -> np.ndarray:
     # blocks accumulate as plain Python lists (per-element ndarray
     # stores are ~10x slower in this loop); one bulk np.asarray per
     # component afterwards
-    coeffs: list[list[list[int]]] = [[[]] * n_mcu for _ in comps]
+    coeffs: list[list] = [[None] * n_mcu for _ in comps]
     preds = [0] * len(comps)
     for mcu in range(n_mcu):
         if dri and mcu and mcu % dri == 0:
@@ -438,6 +448,9 @@ class _BitWriter:
             self.out.append(b)
             if b == 0xFF:
                 self.out.append(0x00)  # byte stuffing
+        # drop drained bytes or the accumulator grows with every bit
+        # ever written and encoding turns O(n^2) (round-10 review)
+        self.acc &= (1 << self.n) - 1
 
     def flush(self) -> bytes:
         if self.n:

@@ -93,10 +93,17 @@ def _require_plain_column(primary: Column, caller: str) -> None:
     import re
 
     is_sort_order = None
-    try:
-        expr = primary._jc.expr()  # noqa: SLF001 - classic-mode introspection
-        is_sort_order = expr.getClass().getSimpleName() == "SortOrder"
-    except Exception:  # noqa: BLE001 - fall back to the repr grammar
+    for accessor in ("node", "expr"):  # Spark 4 / Spark 3 JVM handles
+        try:
+            jnode = getattr(primary._jc, accessor)()  # noqa: SLF001
+            is_sort_order = jnode.getClass().getSimpleName() == "SortOrder"
+            break
+        except Exception:  # noqa: BLE001 - try the next accessor
+            continue
+    if is_sort_order is None:
+        # no JVM handle (e.g. Connect columns): repr grammar, anchored
+        # to the full SortOrder rendering so aliases containing the
+        # bare tokens don't false-positive
         is_sort_order = bool(
             re.search(r"(DESC|ASC) NULLS (FIRST|LAST)'?>$", repr(primary))
         )

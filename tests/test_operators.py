@@ -472,6 +472,36 @@ def test_jpeg_decode_baseline_and_contracts(spark):
     with _pytest.raises(ValueError, match="truncated"):
         parse_jpeg(plain[:-20])  # entropy stream cut short
 
+    # round-10 review regressions:
+    # (a) legal 0xFF fill bytes before a marker (T.81 B.1.1.2) parse
+    import numpy as np
+
+    i = plain.index(b"\xff\xdb")
+    assert (parse_jpeg(plain[:i] + b"\xff\xff" + plain[i:]) == parse_jpeg(plain)).all()
+    # (b) a DHT whose BITS array is cut short is ValueError, never
+    # IndexError (the module's corrupt-stream contract)
+    j = plain.index(b"\xff\xc4")
+    trunc = plain[:j] + b"\xff\xc4" + _struct.pack(">H", 10) + plain[j + 4 : j + 12]
+    with _pytest.raises(ValueError, match="DHT"):
+        parse_jpeg(trunc + b"\xff\xd9")
+    # (c) an over-subscribed Huffman table fails loudly instead of
+    # building a garbage decode table
+    from ais_data_pipeline_spark.operators.jpeg import _canonical_codes
+
+    with _pytest.raises(ValueError, match="over-subscribed"):
+        _canonical_codes([3] + [0] * 15, [0, 1, 2])
+    # (d) random corruption can only surface the documented exception
+    # classes — a 300-trial fuzz-lite over byte flips
+    rng = np.random.default_rng(7)
+    for _ in range(300):
+        b = bytearray(plain)
+        for _k in range(int(rng.integers(1, 4))):
+            b[int(rng.integers(2, len(b)))] = int(rng.integers(0, 256))
+        try:
+            parse_jpeg(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass
+
     # Spark integration: the fixture (even=grayscale, odd=color,
     # every 4th with restart markers) matches the closed form
     ids = local_df(spark, [(i,) for i in (0, 3, 7, 10, 41)], "doc_id bigint")

@@ -870,16 +870,18 @@ def test_grouped_rank_null_semantics(spark):
 
     with _pytest.raises(ValueError, match="plain"):
         grouped_global_rank(df, ["g"], [F.col("v").desc(), "id"])
-    # ...but the guard inspects the EXPRESSION, not the repr: a plain
-    # column whose alias merely CONTAINS ' DESC'/' ASC' must pass
-    # (ADVICE r9 — the old substring heuristic falsely rejected it)
+    # ...but the guard inspects the EXPRESSION (Column._jc.node() on
+    # Spark 4), not the repr: a plain column aliased to the WORST-CASE
+    # string — the exact SortOrder rendering — must pass (ADVICE r9;
+    # the round-10 review found the first fix's expr() accessor dead
+    # on Spark 4, leaving the repr fallback to false-positive on this)
     aliased = df.select(
-        "g", "id", F.col("v").alias("price ASC then DESC")
+        "g", "id", F.col("v").alias("price DESC NULLS LAST")
     )
     got_alias = {
         r["id"]: r["__rank"]
         for r in grouped_global_rank(
-            aliased, ["g"], ["price ASC then DESC", "id"]
+            aliased, ["g"], ["price DESC NULLS LAST", "id"]
         ).collect()
     }
     assert got_alias == {i: rk for i, (rk, _) in got.items()}
