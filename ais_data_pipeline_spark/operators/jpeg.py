@@ -4,11 +4,13 @@ Round-10 stretch (verdict item 8): the last multimodal honest-stub
 replaced with a REAL decode path, same contract as the round-9 PNG
 parser — spec-driven, stdlib ``struct`` + numpy only, no codec
 library. Scope is baseline sequential DCT, 8-bit, 1 or 3 components,
-no chroma subsampling (all sampling factors 1x1); progressive,
-subsampled, arithmetic-coded, and 12-bit streams raise the honest
-``NotImplementedError`` and fall through to the PIL hook in
-``multimodal.decode_pixels_array`` (exactly the PNG exotic-variant
-convention). Restart markers (DRI/RSTn) are handled.
+INCLUDING subsampled chroma (4:2:0, 4:2:2, any integer Hi/Vi ratio —
+interleaved MCU geometry per T.81 A.2.3, pixel-replication
+upsampling); progressive, arithmetic-coded, 12-bit, and fractional-
+ratio streams raise the honest ``NotImplementedError`` and fall
+through to the PIL hook in ``multimodal.decode_pixels_array``
+(exactly the PNG exotic-variant convention). Restart markers
+(DRI/RSTn) are handled.
 
 Design notes:
 - The decoder builds its Huffman tables from the stream's OWN ``DHT``
@@ -303,11 +305,20 @@ def parse_jpeg(data: bytes) -> np.ndarray:
             comps = []
             for c in range(ncomp):
                 cid, sampling, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
-                if sampling != 0x11:
-                    raise NotImplementedError(
-                        "chroma-subsampled JPEG (sampling != 1x1) not supported"
-                    )
-                comps.append((cid, tq))
+                hi, vi = sampling >> 4, sampling & 0x0F
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError("bad JPEG sampling factor")
+                comps.append((cid, tq, hi, vi))
+            # validate the geometry at SOF time (fail fast, before any
+            # entropy work): integer upsample ratios, MCU block budget
+            hmax = max(hi for _, _, hi, _ in comps)
+            vmax = max(vi for _, _, _, vi in comps)
+            if any(hmax % hi or vmax % vi for _, _, hi, vi in comps):
+                raise NotImplementedError(
+                    "fractional chroma sampling ratio not supported"
+                )
+            if sum(hi * vi for _, _, hi, vi in comps) > 10:
+                raise ValueError("more than 10 blocks per MCU (T.81 B.2.2 limit)")
             frame = (h, w, comps)
         elif marker == 0xC2:
             raise NotImplementedError("progressive JPEG not supported")
@@ -338,12 +349,20 @@ def parse_jpeg(data: bytes) -> np.ndarray:
     if ss != 0 or se != 63 or ahal != 0:
         raise NotImplementedError("non-sequential spectral selection not supported")
 
-    nbx, nby = (w + 7) // 8, (h + 7) // 8
-    n_mcu = nbx * nby
+    # Interleaved MCU geometry (T.81 A.2.3): each MCU carries Hi x Vi
+    # blocks per component; the MCU grid is sized by the MAX factors.
+    # Subsampled chroma (4:2:0, 4:2:2, ...) falls out of the general
+    # form; upsampling back to full resolution is integer pixel
+    # replication (ratios validated at SOF parse).
+    hmax = max(hi for _, _, hi, _ in comps)
+    vmax = max(vi for _, _, _, vi in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    n_mcu = mcux * mcuy
     br = _BitReader(data, pos)
     # per-component Huffman tables resolved once (not per MCU)
     comp_tabs = []
-    for cid, _tq in comps:
+    for cid, _tq, _hi, _vi in comps:
         if cid not in scan_tables:
             raise ValueError("scan component not declared in SOS")
         td, ta = scan_tables[cid]
@@ -353,54 +372,68 @@ def parse_jpeg(data: bytes) -> np.ndarray:
             raise ValueError("JPEG missing Huffman table referenced by SOS")
         comp_tabs.append((dc_tab, ac_tab))
     # blocks accumulate as plain Python lists (per-element ndarray
-    # stores are ~10x slower in this loop); one bulk np.asarray per
+    # stores are ~10x slower in this loop), indexed in each
+    # component's PLANE raster order; one bulk np.asarray per
     # component afterwards
-    coeffs: list[list] = [[None] * n_mcu for _ in comps]
+    cdims = [(mcux * hi, mcuy * vi) for _, _, hi, vi in comps]
+    coeffs: list[list] = [[None] * (cbx * cby) for cbx, cby in cdims]
     preds = [0] * len(comps)
     for mcu in range(n_mcu):
         if dri and mcu and mcu % dri == 0:
             br.align_and_expect_rst(mcu // dri - 1)
             preds = [0] * len(comps)
-        for ci in range(len(comps)):
+        my, mx = divmod(mcu, mcux)
+        for ci, (_cid, _tq, hi, vi) in enumerate(comps):
             dc_tab, ac_tab = comp_tabs[ci]
-            block = [0] * 64
-            size = _huff_decode(br, dc_tab)
-            if size > 11:
-                raise ValueError("bad DC size category")
-            preds[ci] += _extend(br.read_bits(size), size)
-            block[0] = preds[ci]
-            k = 1
-            while k < 64:
-                sym = _huff_decode(br, ac_tab)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL: 16 zeros
-                    k += 16
-                    continue
-                run, ssize = sym >> 4, sym & 0x0F
-                k += run
-                if k > 63 or ssize == 0:
-                    raise ValueError("bad AC run/size")
-                block[k] = _extend(br.read_bits(ssize), ssize)
-                k += 1
-            coeffs[ci][mcu] = block
+            cbx = cdims[ci][0]
+            for v in range(vi):
+                for hh in range(hi):
+                    block = [0] * 64
+                    size = _huff_decode(br, dc_tab)
+                    if size > 11:
+                        raise ValueError("bad DC size category")
+                    preds[ci] += _extend(br.read_bits(size), size)
+                    block[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        sym = _huff_decode(br, ac_tab)
+                        if sym == 0x00:  # EOB
+                            break
+                        if sym == 0xF0:  # ZRL: 16 zeros
+                            k += 16
+                            continue
+                        run, ssize = sym >> 4, sym & 0x0F
+                        k += run
+                        if k > 63 or ssize == 0:
+                            raise ValueError("bad AC run/size")
+                        block[k] = _extend(br.read_bits(ssize), ssize)
+                        k += 1
+                    coeffs[ci][(my * vi + v) * cbx + (mx * hi + hh)] = block
 
     planes = []
-    for ci, (_cid, tq) in enumerate(comps):
+    for ci, (_cid, tq, hi, vi) in enumerate(comps):
         if tq not in qtables:
             raise ValueError("JPEG missing quantization table referenced by SOF")
         # de-zigzag + dequantize all blocks at once, then one einsum
         # IDCT over the whole component
-        natural = np.zeros((n_mcu, 64), dtype=np.int64)
+        cbx, cby = cdims[ci]
+        nblk = cbx * cby
+        natural = np.zeros((nblk, 64), dtype=np.int64)
         natural[:, _ZIGZAG_FLAT] = np.asarray(coeffs[ci], dtype=np.int64)
-        fblocks = (natural * qtables[tq]).reshape(n_mcu, 8, 8).astype(np.float64)
+        fblocks = (natural * qtables[tq]).reshape(nblk, 8, 8).astype(np.float64)
         pix = np.einsum("xu,nuv,yv->nxy", _IDCT_M, fblocks, _IDCT_M)
         pix = np.clip(np.round(pix + 128.0), 0, 255).astype(np.uint8)
         full = (
-            pix.reshape(nby, nbx, 8, 8)
+            pix.reshape(cby, cbx, 8, 8)
             .transpose(0, 2, 1, 3)
-            .reshape(nby * 8, nbx * 8)
+            .reshape(cby * 8, cbx * 8)
         )
+        # integer pixel-replication upsample back to full resolution
+        sy, sx = vmax // vi, hmax // hi
+        if sy > 1:
+            full = np.repeat(full, sy, axis=0)
+        if sx > 1:
+            full = np.repeat(full, sx, axis=1)
         planes.append(full[:h, :w])
 
     if len(planes) == 1:
@@ -478,10 +511,14 @@ def encode_jpeg_coeffs(
     comp_blocks: list[list[list[int]]],
     quant: list[int] | None = None,
     restart_interval: int = 0,
+    sampling: list[tuple[int, int]] | None = None,
 ) -> bytes:
     """Interchange-format baseline JPEG from QUANTIZED coefficients:
-    ``comp_blocks[ci][mcu]`` is a 64-long zigzag-order coefficient
-    list (1 or 3 components, 4:4:4, MCU raster order). Lossless by
+    ``comp_blocks[ci]`` holds 64-long zigzag-order coefficient lists
+    in component ci's PLANE raster order (``mcuy*Vi`` rows of
+    ``mcux*Hi`` blocks; with the default 1x1 sampling that is plain
+    MCU raster order). ``sampling`` gives per-component (Hi, Vi)
+    factors — e.g. ``[(2, 2), (1, 1), (1, 1)]`` is 4:2:0. Lossless by
     construction — Huffman is entropy coding only — so a decoder must
     return exactly the IDCT of these coefficients; the property test
     exploits that to verify the decoder against an independent
@@ -489,9 +526,20 @@ def encode_jpeg_coeffs(
     ncomp = len(comp_blocks)
     if ncomp not in (1, 3):
         raise ValueError("1 or 3 components")
+    sampling = sampling or [(1, 1)] * ncomp
+    if len(sampling) != ncomp:
+        raise ValueError("one (Hi, Vi) pair per component")
     q = quant or [1] * 64
-    nbx, nby = (w + 7) // 8, (h + 7) // 8
-    n_mcu = nbx * nby
+    hmax = max(hi for hi, _ in sampling)
+    vmax = max(vi for _, vi in sampling)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    n_mcu = mcux * mcuy
+    for ci, (hi, vi) in enumerate(sampling):
+        if len(comp_blocks[ci]) != mcux * hi * mcuy * vi:
+            raise ValueError(
+                f"component {ci}: need {mcux * hi * mcuy * vi} blocks"
+            )
     dc_codes = _canonical_codes(_ENC_DC_BITS, _ENC_DC_VALS)
     ac_codes = _canonical_codes(_ENC_AC_BITS, _ENC_AC_VALS)
 
@@ -501,7 +549,8 @@ def encode_jpeg_coeffs(
     out += _seg(0xDB, b"\x00" + zz_q)
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for c in range(ncomp):
-        sof += bytes([c + 1, 0x11, 0])
+        hi, vi = sampling[c]
+        sof += bytes([c + 1, (hi << 4) | vi, 0])
     out += _seg(0xC0, sof)
     dht = bytes([0x00]) + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS)
     dht += bytes([0x10]) + bytes(_ENC_AC_BITS) + bytes(_ENC_AC_VALS)
@@ -514,52 +563,63 @@ def encode_jpeg_coeffs(
     sos += bytes([0, 63, 0])
     out += _seg(0xDA, sos)
 
+    def _put_block(bw: _BitWriter, ci: int, block: list[int], preds: list[int]) -> None:
+        diff = block[0] - preds[ci]
+        preds[ci] = block[0]
+        size, mag = _mag_bits(diff)
+        if size > 11:
+            raise ValueError("DC difference out of 8-bit baseline range")
+        ln, code = dc_codes[size]
+        bw.write(code, ln)
+        if size:
+            bw.write(mag, size)
+        # AC: run-length of zeros, ZRL for 16+, EOB for the tail
+        last_nz = 0
+        for k in range(63, 0, -1):
+            if block[k]:
+                last_nz = k
+                break
+        run = 0
+        for k in range(1, last_nz + 1):
+            v = block[k]
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                ln, code = ac_codes[0xF0]
+                bw.write(code, ln)
+                run -= 16
+            size, mag = _mag_bits(v)
+            if size > 10:
+                raise ValueError("AC coefficient out of baseline range")
+            ln, code = ac_codes[(run << 4) | size]
+            bw.write(code, ln)
+            bw.write(mag, size)
+            run = 0
+        if last_nz < 63:
+            ln, code = ac_codes[0x00]
+            bw.write(code, ln)
+
     bw = _BitWriter()
     preds = [0] * ncomp
     for mcu in range(n_mcu):
         if restart_interval and mcu and mcu % restart_interval == 0:
-            data = bw.flush()
-            out += data
+            out += bw.flush()
             out += bytes([0xFF, 0xD0 + ((mcu // restart_interval - 1) % 8)])
             bw = _BitWriter()
             preds = [0] * ncomp
+        my, mx = divmod(mcu, mcux)
         for ci in range(ncomp):
-            block = comp_blocks[ci][mcu]
-            diff = block[0] - preds[ci]
-            preds[ci] = block[0]
-            size, mag = _mag_bits(diff)
-            if size > 11:
-                raise ValueError("DC difference out of 8-bit baseline range")
-            ln, code = dc_codes[size]
-            bw.write(code, ln)
-            if size:
-                bw.write(mag, size)
-            # AC: run-length of zeros, ZRL for 16+, EOB for the tail
-            last_nz = 0
-            for k in range(63, 0, -1):
-                if block[k]:
-                    last_nz = k
-                    break
-            run = 0
-            for k in range(1, last_nz + 1):
-                v = block[k]
-                if v == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    ln, code = ac_codes[0xF0]
-                    bw.write(code, ln)
-                    run -= 16
-                size, mag = _mag_bits(v)
-                if size > 10:
-                    raise ValueError("AC coefficient out of baseline range")
-                ln, code = ac_codes[(run << 4) | size]
-                bw.write(code, ln)
-                bw.write(mag, size)
-                run = 0
-            if last_nz < 63:
-                ln, code = ac_codes[0x00]
-                bw.write(code, ln)
+            hi, vi = sampling[ci]
+            cbx = mcux * hi
+            for v in range(vi):
+                for hh in range(hi):
+                    _put_block(
+                        bw,
+                        ci,
+                        comp_blocks[ci][(my * vi + v) * cbx + (mx * hi + hh)],
+                        preds,
+                    )
     out += bw.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)

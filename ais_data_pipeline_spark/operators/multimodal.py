@@ -292,11 +292,11 @@ def _parse_png(data: bytes):
 
 def decode_pixels_array(data: bytes):
     """Payload bytes → (HxWx3 uint8 RGB array, format tag). Dispatches
-    on magic bytes: PPM/BMP/PNG/baseline-JPEG decode natively (numpy +
-    stdlib ``zlib``/``struct``); out-of-scope variants (interlaced or
-    paletted PNG, progressive or subsampled JPEG) fall through to PIL
-    when installed; anything else is the explicit honest-stub
-    contract."""
+    on magic bytes: PPM/BMP/PNG/baseline-JPEG (incl. 4:2:0/4:2:2
+    subsampled chroma) decode natively (numpy + stdlib
+    ``zlib``/``struct``); out-of-scope variants (interlaced or
+    paletted PNG, progressive JPEG) fall through to PIL when
+    installed; anything else is the explicit honest-stub contract."""
     if data[:2] == b"P6":
         return _parse_ppm(data), "ppm"
     if data[:2] == b"BM":
@@ -316,8 +316,8 @@ def decode_pixels_array(data: bytes):
         try:
             return parse_jpeg(data), "jpeg"
         except NotImplementedError:
-            # progressive/subsampled/12-bit: PIL fall-through, same
-            # convention as the PNG exotic variants
+            # progressive/12-bit/fractional-ratio: PIL fall-through,
+            # same convention as the PNG exotic variants
             pass
     try:  # exotic-variant hook: only taken where PIL exists
         import io

@@ -98,7 +98,28 @@ def register(name: str, oracle: str | None, description: str):
 # programmatically against the recorded artifacts. After r10 no
 # registered query's latest driver row is older than r7. A NEW query
 # only fits by retiring one whose coverage folds into a same-window
-# survivor (the r9 PNG swap pattern); this round rotates swap-free.
+# survivor (the r9 PNG swap pattern); this round swapped one slot
+# (multimodal_meta -> image_pixel_stats_jpeg, fold note at the
+# retirement site). The r11 window is already determined — the 50
+# rows whose latest driver row is r7 (CORRECTNESS_r07 keys minus the
+# r08/r09/r10 windows): ab_experiment_lift, asof_next_purchase,
+# basket_association_rules, benford_digit_audit, binary_hamming_topk,
+# blocking_suppliers, bloom_prefilter_fp_rate, bm25_top_docs,
+# bracket_revenue, cms_heavy_hitters, conversion_latency_deciles,
+# distinct_pairs, entity_resolution_clusters, event_transition_matrix,
+# event_type_pivot, frequent_event_paths, funnel_view_click_purchase,
+# gopher_quality_filter, hashed_quality_classifier,
+# histogram_quantile_sketch, hll_region_rollup, horizontal_predicates,
+# k_anonymity_audit, lag_lead_events, length_bucket_histogram,
+# line_dedup_stats, map_from_json_props, multi_touch_attribution,
+# near_dup_cluster_sizes, near_dup_clusters_star, ngram_profile,
+# null_counts, ohlc_hourly, pareto_customers,
+# pretraining_pipeline_stats, profile_min_max, rag_chunk_index_topk,
+# readability_scores, sample_seeded, source_overlap_matrix,
+# stratified_quality_sample, streaming_quality_monitor,
+# supplier_bfs_hops, text_normalize, text_quality, token_counts,
+# top_customer_per_nation, topk_orders, vocab_growth_stats,
+# zorder_values.
 _FRONT_WINDOW: list[str] = [
     "ann_index_topk",
     "approx_quantiles",

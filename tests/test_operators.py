@@ -448,13 +448,15 @@ def test_jpeg_decode_baseline_and_contracts(spark):
     assert (parse_jpeg(rst) == parse_jpeg(plain)).all()
 
     # out-of-scope variants: honest NotImplementedError from the
-    # native parser (progressive SOF2; 2x2-subsampled SOF0)
+    # native parser (progressive SOF2; a fractional Hmax/Hi ratio —
+    # integer-subsampled 4:2:0/4:2:2 decodes natively since the
+    # round-10 extension, pinned by the property test below)
     import struct as _struct
 
-    def sof(marker: int, sampling: int) -> bytes:
+    def sof(marker: int, s0: int, s1: int = 0x11) -> bytes:
         body = _struct.pack(">BHHB", 8, 8, 8, 3)
         for c in range(3):
-            body += bytes([c + 1, sampling if c == 0 else 0x11, 0])
+            body += bytes([c + 1, s0 if c == 0 else s1, 0])
         return (
             b"\xff\xd8"
             + bytes([0xFF, marker])
@@ -464,8 +466,8 @@ def test_jpeg_decode_baseline_and_contracts(spark):
 
     with _pytest.raises(NotImplementedError, match="progressive"):
         parse_jpeg(sof(0xC2, 0x11))
-    with _pytest.raises(NotImplementedError, match="subsampled"):
-        parse_jpeg(sof(0xC0, 0x22) + b"\xff\xda\x00\x02")
+    with _pytest.raises(NotImplementedError, match="fractional"):
+        parse_jpeg(sof(0xC0, 0x31, 0x21))  # Hmax=3 over Hi=2
     # corrupt streams: loud ValueError, not a crash or a wrong raster
     with _pytest.raises(ValueError):
         parse_jpeg(b"\xff\xd8" + b"\x00" * 8)
@@ -546,20 +548,30 @@ def test_jpeg_exotic_variant_contract():
 
 @settings(max_examples=40, deadline=None)
 @given(
-    nbx=st.integers(min_value=1, max_value=3),
-    nby=st.integers(min_value=1, max_value=3),
-    ncomp=st.sampled_from([1, 3]),
+    mcux=st.integers(min_value=1, max_value=2),
+    mcuy=st.integers(min_value=1, max_value=2),
+    layout=st.sampled_from(
+        [
+            [(1, 1)],
+            [(2, 2)],
+            [(1, 1), (1, 1), (1, 1)],
+            [(2, 2), (1, 1), (1, 1)],  # 4:2:0
+            [(2, 1), (1, 1), (1, 1)],  # 4:2:2
+            [(1, 2), (2, 1), (1, 1)],  # mixed integer ratios
+        ]
+    ),
     dri=st.sampled_from([0, 1, 3]),
     seed=st.integers(min_value=0, max_value=2**31 - 1),
 )
-def test_jpeg_coefficient_roundtrip_property(nbx, nby, ncomp, dri, seed):
+def test_jpeg_coefficient_roundtrip_property(mcux, mcuy, layout, dri, seed):
     """Property: ANY quantized-coefficient stream (random DC/AC values,
-    random non-flat quant table, multi-component, restart intervals)
-    decodes to exactly the IDCT an INDEPENDENT reference computes —
+    random non-flat quant table, 1/3 components, subsampled-chroma
+    layouts incl. 4:2:0 and 4:2:2, restart intervals, partial edge
+    MCUs) decodes to exactly what an INDEPENDENT reference computes —
     Huffman coding is lossless, so this pins entropy decode, byte
-    unstuffing, dequantize, de-zigzag, and the IDCT at once against
-    an inline cosine-matrix implementation that shares no code with
-    the decoder."""
+    unstuffing, the interleaved MCU geometry, dequantize, de-zigzag,
+    the IDCT, and replication upsampling at once against an inline
+    implementation that shares no code with the decoder."""
     import numpy as np
 
     from ais_data_pipeline_spark.operators.jpeg import (
@@ -568,13 +580,15 @@ def test_jpeg_coefficient_roundtrip_property(nbx, nby, ncomp, dri, seed):
     )
 
     rng = np.random.default_rng(seed)
-    w, h = nbx * 8 - int(rng.integers(0, 5)), nby * 8 - int(rng.integers(0, 5))
-    n = nbx * nby
+    hmax = max(hi for hi, _ in layout)
+    vmax = max(vi for _, vi in layout)
+    w = mcux * 8 * hmax - int(rng.integers(0, 5))
+    h = mcuy * 8 * vmax - int(rng.integers(0, 5))
     quant = [int(q) for q in rng.integers(1, 12, size=64)]
     comp_blocks = []
-    for _ in range(ncomp):
+    for hi, vi in layout:
         blocks = []
-        for _ in range(n):
+        for _ in range(mcux * hi * mcuy * vi):
             b = np.zeros(64, dtype=np.int64)
             b[0] = int(rng.integers(-300, 300))
             nz = int(rng.integers(0, 20))
@@ -584,10 +598,13 @@ def test_jpeg_coefficient_roundtrip_property(nbx, nby, ncomp, dri, seed):
                 b[idx] = np.where(b[idx] == 0, 1, b[idx])
             blocks.append([int(x) for x in b])
         comp_blocks.append(blocks)
-    data = encode_jpeg_coeffs(w, h, comp_blocks, quant=quant, restart_interval=dri)
+    data = encode_jpeg_coeffs(
+        w, h, comp_blocks, quant=quant, restart_interval=dri, sampling=layout
+    )
     got = parse_jpeg(data)
 
-    # independent reference: own zigzag walk + own cosine IDCT
+    # independent reference: own zigzag walk + own cosine IDCT + own
+    # plane-geometry/upsample arithmetic
     zz = sorted(
         ((r, c) for r in range(8) for c in range(8)),
         key=lambda rc: (rc[0] + rc[1], rc[0] if (rc[0] + rc[1]) % 2 else -rc[0]),
@@ -604,18 +621,19 @@ def test_jpeg_coefficient_roundtrip_property(nbx, nby, ncomp, dri, seed):
         ]
     )
     planes = []
-    for ci in range(ncomp):
-        full = np.zeros((nby * 8, nbx * 8))
-        for mcu in range(n):
+    for ci, (hi, vi) in enumerate(layout):
+        cbx, cby = mcux * hi, mcuy * vi
+        full = np.zeros((cby * 8, cbx * 8))
+        for blk in range(cbx * cby):
             F8 = np.zeros((8, 8))
             for k, (r, c) in enumerate(zz):
-                F8[r, c] = comp_blocks[ci][mcu][k] * quant[k]
-            by, bx = divmod(mcu, nbx)
+                F8[r, c] = comp_blocks[ci][blk][k] * quant[k]
+            by, bx = divmod(blk, cbx)
             full[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = M @ F8 @ M.T
-        planes.append(
-            np.clip(np.round(full + 128), 0, 255).astype(np.float64)[:h, :w]
-        )
-    if ncomp == 1:
+        full = np.clip(np.round(full + 128), 0, 255)
+        full = np.repeat(np.repeat(full, vmax // vi, axis=0), hmax // hi, axis=1)
+        planes.append(full[:h, :w].astype(np.float64))
+    if len(layout) == 1:
         ref = np.stack([planes[0]] * 3, axis=-1).astype(np.uint8)
     else:
         y, cb, cr = planes[0], planes[1] - 128, planes[2] - 128
