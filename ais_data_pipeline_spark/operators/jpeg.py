@@ -232,12 +232,17 @@ def parse_jpeg(data: bytes) -> np.ndarray:
 
     Real decoder: marker walk (DQT/DHT/SOF0/SOF1/DRI/SOS, APPn/COM
     skipped), canonical Huffman decode of the interleaved MCU stream
-    with byte-unstuffing and restart handling, dequantize + de-zigzag
-    + vectorized 2-D IDCT over all blocks per component, level shift,
-    JFIF YCbCr->RGB (or grayscale replication). Raises ``ValueError``
-    on corrupt streams and ``NotImplementedError`` on the documented
-    out-of-scope variants (progressive, subsampled, 12-bit,
-    arithmetic-coded)."""
+    (Hi x Vi blocks per component per T.81 A.2.3; a single-component
+    scan is non-interleaved per A.2, factors moot) with
+    byte-unstuffing and restart handling, dequantize + de-zigzag +
+    vectorized 2-D IDCT over all blocks per component, replication
+    upsample of subsampled chroma, level shift, JFIF YCbCr->RGB (or
+    grayscale replication). Raises ``ValueError`` on corrupt streams
+    — including an entropy segment with unread blocks left, the
+    silent-wrong-pixels shape a corrupt sampling byte would otherwise
+    open — and ``NotImplementedError`` on the documented out-of-scope
+    variants (progressive, 12-bit, arithmetic-coded, fractional
+    sampling ratios)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -309,6 +314,15 @@ def parse_jpeg(data: bytes) -> np.ndarray:
                 if not (1 <= hi <= 4 and 1 <= vi <= 4):
                     raise ValueError("bad JPEG sampling factor")
                 comps.append((cid, tq, hi, vi))
+            if ncomp == 1:
+                # T.81 A.2: a single-component scan is NON-interleaved
+                # — one data unit per MCU over the plain ceil(w/8) x
+                # ceil(h/8) raster, whatever factors the SOF declares
+                # (libjpeg behaves the same). Normalizing to 1x1 here
+                # keeps the general interleaved path below correct and
+                # exempts such frames from the interleaved-only B.2.2
+                # block budget (round-10 review findings 1 and 3).
+                comps = [(cid, tq, 1, 1) for cid, tq, _hi, _vi in comps]
             # validate the geometry at SOF time (fail fast, before any
             # entropy work): integer upsample ratios, MCU block budget
             hmax = max(hi for _, _, hi, _ in comps)
@@ -319,7 +333,7 @@ def parse_jpeg(data: bytes) -> np.ndarray:
                 )
             if sum(hi * vi for _, _, hi, vi in comps) > 10:
                 raise ValueError("more than 10 blocks per MCU (T.81 B.2.2 limit)")
-            frame = (h, w, comps)
+            frame = (h, w, comps, hmax, vmax)
         elif marker == 0xC2:
             raise NotImplementedError("progressive JPEG not supported")
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -335,7 +349,7 @@ def parse_jpeg(data: bytes) -> np.ndarray:
 
     if frame is None:
         raise ValueError("JPEG missing SOF before SOS")
-    h, w, comps = frame
+    h, w, comps, hmax, vmax = frame
     if h == 0 or w == 0:
         raise ValueError("JPEG with zero dimension")
     ns = sos_body[0]
@@ -350,12 +364,10 @@ def parse_jpeg(data: bytes) -> np.ndarray:
         raise NotImplementedError("non-sequential spectral selection not supported")
 
     # Interleaved MCU geometry (T.81 A.2.3): each MCU carries Hi x Vi
-    # blocks per component; the MCU grid is sized by the MAX factors.
-    # Subsampled chroma (4:2:0, 4:2:2, ...) falls out of the general
-    # form; upsampling back to full resolution is integer pixel
-    # replication (ratios validated at SOF parse).
-    hmax = max(hi for _, _, hi, _ in comps)
-    vmax = max(vi for _, _, _, vi in comps)
+    # blocks per component; the MCU grid is sized by the MAX factors
+    # (carried from SOF parse, where they were validated). Subsampled
+    # chroma (4:2:0, 4:2:2, ...) falls out of the general form;
+    # upsampling back to full resolution is integer pixel replication.
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     n_mcu = mcux * mcuy
@@ -409,6 +421,15 @@ def parse_jpeg(data: bytes) -> np.ndarray:
                         block[k] = _extend(br.read_bits(ssize), ssize)
                         k += 1
                     coeffs[ci][(my * vi + v) * cbx + (mx * hi + hh)] = block
+
+    # the coded segment must be EXHAUSTED here (only final-byte pad
+    # bits may remain): a corrupt sampling/dimension byte that shrinks
+    # the expected block count would otherwise prefix-decode to wrong
+    # pixels silently (round-10 review finding 2). A further data byte
+    # before the next marker is excess; 0xFF fill bytes before the
+    # marker read as the marker itself and stay legal.
+    if br._try_fill():
+        raise ValueError("trailing data in JPEG entropy stream")
 
     planes = []
     for ci, (_cid, tq, hi, vi) in enumerate(comps):
@@ -529,6 +550,21 @@ def encode_jpeg_coeffs(
     sampling = sampling or [(1, 1)] * ncomp
     if len(sampling) != ncomp:
         raise ValueError("one (Hi, Vi) pair per component")
+    # mirror the decoder's SOF-time validation so the fixture encoder
+    # cannot emit undecodable streams (round-10 review finding 4)
+    if any(not (1 <= hi <= 4 and 1 <= vi <= 4) for hi, vi in sampling):
+        raise ValueError("sampling factors must be in 1..4")
+    if ncomp == 1 and sampling != [(1, 1)]:
+        raise ValueError(
+            "a single-component scan is non-interleaved (T.81 A.2); "
+            "sampling factors are moot — pass (1, 1)"
+        )
+    _hm = max(hi for hi, _ in sampling)
+    _vm = max(vi for _, vi in sampling)
+    if any(_hm % hi or _vm % vi for hi, vi in sampling):
+        raise ValueError("fractional sampling ratio would not decode")
+    if sum(hi * vi for hi, vi in sampling) > 10:
+        raise ValueError("more than 10 blocks per MCU (T.81 B.2.2 limit)")
     q = quant or [1] * 64
     hmax = max(hi for hi, _ in sampling)
     vmax = max(vi for _, vi in sampling)

@@ -468,6 +468,51 @@ def test_jpeg_decode_baseline_and_contracts(spark):
         parse_jpeg(sof(0xC2, 0x11))
     with _pytest.raises(NotImplementedError, match="fractional"):
         parse_jpeg(sof(0xC0, 0x31, 0x21))  # Hmax=3 over Hi=2
+
+    # round-10 review findings on the subsampling change:
+    # (a) a single-component scan is NON-interleaved (T.81 A.2) —
+    # whatever factors the SOF declares, incl. ones whose Hi*Vi would
+    # bust the interleaved-only block budget, the plain raster decode
+    # must come back (libjpeg/PIL parity; previously a silent block
+    # scramble / spurious ValueError)
+    gray = encode_jpeg_constant_blocks(20, 12, grays, color=False)
+    isof = gray.index(b"\xff\xc0")
+    # SOF0 layout: marker(2) len(2) precision(1) h(2) w(2) ncomp(1)
+    # comp_id(1) -> the lone component's Hi/Vi byte sits at +11
+    assert gray[isof + 11] == 0x11
+    for factors in (0x22, 0x44):
+        patched = bytearray(gray)
+        patched[isof + 11] = factors
+        assert (parse_jpeg(bytes(patched)) == parse_jpeg(gray)).all(), hex(factors)
+    # (b) a corrupt sampling byte that SHRINKS the expected block
+    # count must be a loud error (unread entropy tail), never a
+    # silently wrong prefix-decode
+    # a true 4:2:2 stream, so the Y factor byte matters
+    from ais_data_pipeline_spark.operators.jpeg import encode_jpeg_coeffs
+
+    yb = [[8 * ((7 * i) % 256 - 128)] + [0] * 63 for i in range(16)]
+    cz = [[0] * 64 for _ in range(8)]
+    c422 = encode_jpeg_coeffs(
+        32, 32, [yb, cz, [list(b) for b in cz]],
+        sampling=[(2, 1), (1, 1), (1, 1)],
+    )
+    isof = c422.index(b"\xff\xc0")
+    corrupt = bytearray(c422)
+    assert corrupt[isof + 11] == 0x21
+    corrupt[isof + 11] = 0x22  # Y 2x1 -> 2x2: fewer MCUs expected
+    with _pytest.raises(ValueError):
+        parse_jpeg(bytes(corrupt))
+    # (c) the encoder mirrors the decoder's sampling validation
+    with _pytest.raises(ValueError, match="1..4"):
+        encode_jpeg_coeffs(8, 8, [[[0] * 64]], sampling=[(0, 1)])
+    with _pytest.raises(ValueError, match="non-interleaved"):
+        encode_jpeg_coeffs(8, 8, [[[0] * 64] * 4], sampling=[(2, 2)])
+    with _pytest.raises(ValueError, match="fractional"):
+        encode_jpeg_coeffs(
+            24, 8,
+            [[[0] * 64] * 3, [[0] * 64] * 2, [[0] * 64]],
+            sampling=[(3, 1), (2, 1), (1, 1)],
+        )
     # corrupt streams: loud ValueError, not a crash or a wrong raster
     with _pytest.raises(ValueError):
         parse_jpeg(b"\xff\xd8" + b"\x00" * 8)
@@ -552,8 +597,9 @@ def test_jpeg_exotic_variant_contract():
     mcuy=st.integers(min_value=1, max_value=2),
     layout=st.sampled_from(
         [
-            [(1, 1)],
-            [(2, 2)],
+            [(1, 1)],  # single-component scans are non-interleaved
+            # (T.81 A.2): factors are moot there, so no other 1-comp
+            # layout exists to draw
             [(1, 1), (1, 1), (1, 1)],
             [(2, 2), (1, 1), (1, 1)],  # 4:2:0
             [(2, 1), (1, 1), (1, 1)],  # 4:2:2
