@@ -75,3 +75,23 @@ def smallest_int_type(
         return order.get(type(t), 16)
 
     return min(candidates, key=width)
+
+
+def index_sequence(n_col):
+    """``[1..n]`` as ``array<int>``, EMPTY when ``n < 1``.
+
+    ``F.sequence(lit(1), lit(0))`` yields the DESCENDING ``[1, 0]``
+    (sequence auto-negates its step when start > stop), NOT the empty
+    array a clamped ``greatest(size - k, 0)`` length intends — so any
+    ``transform`` that indexes with the value dies on ``element_at(0)``
+    (round-10 review: one sub-``n``-token document was a permanent
+    poison pill for every shingling entry point, incl. the streaming
+    dedup sink where the crashed batch replays forever) or goes
+    silently wrong (``substr(0, n)``). Every index-sequence over a
+    clamped length must come through here.
+    """
+    from pyspark.sql import functions as F
+
+    return F.when(n_col >= 1, F.sequence(F.lit(1), n_col)).otherwise(
+        F.array().cast("array<int>")
+    )

@@ -56,9 +56,13 @@ def word_shingles(text_col: Column, n: int = 3) -> Column:
     Prefer ``word_shingle_hashes`` in join/signature pipelines — the
     string form exists for debugging and displays.
     """
+    from ais_data_pipeline_spark.functions.numeric import index_sequence
+
     tokens = F.split(F.lower(F.trim(text_col)), r"\s+")
-    n_sh = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(0))
-    idx = F.sequence(F.lit(1), n_sh)  # empty when fewer than n tokens
+    n_sh = F.size(tokens) - F.lit(n - 1)
+    idx = index_sequence(n_sh)  # EMPTY when fewer than n tokens —
+    # sequence(1, 0) is [1, 0], not [], so the clamped form crashed on
+    # short docs (round-10 review)
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(tokens, i + j) for j in range(n)]
     )
@@ -85,8 +89,9 @@ def shingle_hashes_from_tokens(tokens_col: Column, n: int = 3) -> Column:
     Shingle identity is preserved up to 64-bit collisions (~2^-64 per
     in-doc pair — negligible).
     """
-    n_sh = F.greatest(F.size(tokens_col) - F.lit(n - 1), F.lit(0))
-    idx = F.sequence(F.lit(1), n_sh)
+    from ais_data_pipeline_spark.functions.numeric import index_sequence
+
+    idx = index_sequence(F.size(tokens_col) - F.lit(n - 1))
     gram = lambda i: F.xxhash64(  # noqa: E731
         *[F.element_at(tokens_col, i + j) for j in range(n)]
     )

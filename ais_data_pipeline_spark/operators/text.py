@@ -182,9 +182,13 @@ def ngram_profile(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str
     """Character n-gram distinctness profile: total and distinct
     character n-grams per document (the shingle-space footprint used to
     size dedup runs)."""
+    from ais_data_pipeline_spark.functions.numeric import index_sequence
+
     t = F.lower(F.col(text_col))
     n_grams = F.greatest(F.length(t) - F.lit(n - 1), F.lit(0))
-    grams = F.transform(F.sequence(F.lit(1), n_grams), lambda i: t.substr(i, F.lit(n)))
+    # index_sequence: sequence(1, 0) is [1, 0], so sub-n-char text
+    # would count 1 phantom distinct gram (round-10 review class)
+    grams = F.transform(index_sequence(n_grams), lambda i: t.substr(i, F.lit(n)))
     return df.select(
         F.col(id_col),
         n_grams.alias("n_ngrams"),

@@ -8150,7 +8150,9 @@ def q_bloom_prefilter_fp_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("long")
-    hashes = F.array_distinct(F.transform(F.sequence(F.lit(1), n_sh), gram))
+    from ais_data_pipeline_spark.functions.numeric import index_sequence
+
+    hashes = F.array_distinct(F.transform(index_sequence(n_sh), gram))
 
     def grams(pred):
         return (

@@ -207,12 +207,21 @@ def _write_bucket_stats(bands_df: DataFrame, index_path: str, src_batch: int) ->
     _write_slice(stats, os.path.join(index_path, "bucket_stats"), src_batch)
 
 
-def _hot_buckets(spark: SparkSession, index_path: str, cap: int) -> DataFrame:
+def _hot_buckets(
+    spark: SparkSession,
+    index_path: str,
+    cap: int,
+    exclude_batch: int | None = None,
+) -> DataFrame:
     """(band, bucket) pairs whose summed membership exceeds the cap —
-    tiny by construction (only >=2-per-slice buckets are recorded)."""
+    tiny by construction (only >=2-per-slice buckets are recorded).
+    ``exclude_batch`` drops that batch's own slice (replay safety,
+    same contract as the probe reads)."""
     stats = spark.read.schema(_STATS_SCHEMA).parquet(
         os.path.join(index_path, "bucket_stats")
     )
+    if exclude_batch is not None:
+        stats = stats.filter(F.col("src_batch") != exclude_batch)
     return (
         stats.groupBy("band", "bucket")
         .agg(F.sum("n").alias("n"))
@@ -257,12 +266,22 @@ def dedup_batch_against_index(
     id_col: str = "doc_id",
     max_bucket_size: int | None = None,
     pushdown_limit: int = 10_000,
+    exclude_batch: int | None = None,
 ) -> DataFrame:
     """Survivors of one batch under the drop rule in the module
     docstring. The batch (small) is always the broadcast side; the
     index tables are scanned once each with the batch's hash / bucket
     sets pushed through broadcast joins — no index shuffle, no
     full-corpus recompute.
+
+    ``exclude_batch`` (the sink passes its batch_id) drops that
+    batch's OWN ``src_batch=`` partitions from every index read: after
+    a partial failure (crash between the per-batch index writes) the
+    replayed batch would otherwise exact-match its attempt-1 hash
+    slice, drop every survivor, and — since an all-dropped batch
+    writes nothing — leave the remaining index tables missing that
+    batch forever (round-10 review: silent recall loss masked by the
+    clean-replay test). Partition pruning makes the filter free.
 
     When the batch's distinct hash / bucket sets fit under
     ``pushdown_limit``, they additionally push into the index scans as
@@ -273,19 +292,46 @@ def dedup_batch_against_index(
     pages. That is what keeps probe IO sub-linear in corpus size, on
     top of staying shuffle-free."""
     spark = batch_df.sparkSession
+    # empty-index cold start must be well-defined (round-10 review: a
+    # fresh index_path without the bootstrap builder was a PATH_NOT_
+    # FOUND replay-forever poison pill): the probe reads carry explicit
+    # schemas, so pre-created empty roots read as empty tables
+    for t in ("hashes", "buckets", "shingles", "bucket_stats"):
+        os.makedirs(os.path.join(index_path, t), exist_ok=True)
     # feats / band rows are referenced several times below; a batch is
     # micro-batch-sized, so eager localCheckpoint pins them once
     # (blocks GC-reclaimed; see graph.pagerank for the cluster caveat)
     feats = _features(batch_df, text_col, id_col, shingle_n).transform(materialize)
-    bands_b = minhash_band_rows(
-        batch_df, n_hashes, bands, text_col, id_col, shingle_n, seed
-    ).transform(materialize)
+
+    # (1) exact, within batch: predecessor rule == keep min id per
+    # hash. Computed FIRST: the hot-bucket guard below must count band
+    # rows of exact-SURVIVORS only — a batch of N exact copies would
+    # otherwise inflate its own buckets past the cap and the kept
+    # representative would skip near-dup verification entirely
+    # (round-10 review; duplicate-heavy feeds defeated near-dup).
+    # Dropping exact-dropped docs' band rows never changes survivors:
+    # copies have identical shingles, so every pair they would form
+    # also forms through the kept min-id copy.
+    keep_min = feats.groupBy("text_hash").agg(F.min("doc").alias("__keep"))
+    exact_w = (
+        feats.join(F.broadcast(keep_min), "text_hash")
+        .filter(F.col("doc") != F.col("__keep"))
+        .select("doc")
+    )
+
+    bands_b = (
+        minhash_band_rows(
+            batch_df, n_hashes, bands, text_col, id_col, shingle_n, seed
+        )
+        .join(F.broadcast(exact_w), "doc", "left_anti")
+        .transform(materialize)
+    )
     if max_bucket_size is not None:
         # quadratic-blowup guard: prune band rows in buckets hot either
-        # WITHIN this batch or across the persisted index (summed
-        # bucket_stats) before any pairing join. Near-dup recall inside
-        # a capped bucket is sacrificed — run after exact dedup so only
-        # degenerate boilerplate clusters hit the cap.
+        # WITHIN this batch (exact survivors only, see above) or across
+        # the persisted index (summed bucket_stats) before any pairing
+        # join. Near-dup recall inside a capped bucket is sacrificed —
+        # only degenerate boilerplate clusters should hit the cap.
         hot_w = (
             bands_b.groupBy("band", "bucket")
             .agg(F.count(F.lit(1)).alias("n"))
@@ -293,19 +339,11 @@ def dedup_batch_against_index(
             .select("band", "bucket")
         )
         hot = hot_w.union(
-            _hot_buckets(spark, index_path, max_bucket_size)
+            _hot_buckets(spark, index_path, max_bucket_size, exclude_batch)
         ).distinct()
         bands_b = bands_b.join(
             F.broadcast(hot), ["band", "bucket"], "left_anti"
         ).transform(materialize)
-
-    # (1) exact, within batch: predecessor rule == keep min id per hash
-    keep_min = feats.groupBy("text_hash").agg(F.min("doc").alias("__keep"))
-    exact_w = (
-        feats.join(F.broadcast(keep_min), "text_hash")
-        .filter(F.col("doc") != F.col("__keep"))
-        .select("doc")
-    )
 
     # (2) exact, vs index: probe the (huge) hash table with the batch's
     # hash set — as a pushed IN-filter when small (bloom row-group
@@ -314,6 +352,8 @@ def dedup_batch_against_index(
     hist_hashes = spark.read.schema(_HASHES_SCHEMA).parquet(
         os.path.join(index_path, "hashes")
     )
+    if exclude_batch is not None:
+        hist_hashes = hist_hashes.filter(F.col("src_batch") != exclude_batch)
     batch_hashes = [
         r["text_hash"]
         for r in feats.select("text_hash").distinct().limit(pushdown_limit + 1).collect()
@@ -354,6 +394,8 @@ def dedup_batch_against_index(
     hist_buckets = spark.read.schema(_BUCKETS_SCHEMA).parquet(
         os.path.join(index_path, "buckets")
     )
+    if exclude_batch is not None:
+        hist_buckets = hist_buckets.filter(F.col("src_batch") != exclude_batch)
     batch_buckets = [
         r["bucket"]
         for r in bands_b.select("bucket").distinct().limit(pushdown_limit + 1).collect()
@@ -372,9 +414,13 @@ def dedup_batch_against_index(
         .select("doc", "other")
         .distinct()
     )
+    hist_sh_scan = spark.read.schema(_SHINGLES_SCHEMA).parquet(
+        os.path.join(index_path, "shingles")
+    )
+    if exclude_batch is not None:
+        hist_sh_scan = hist_sh_scan.filter(F.col("src_batch") != exclude_batch)
     hist_sh = (
-        spark.read.schema(_SHINGLES_SCHEMA)
-        .parquet(os.path.join(index_path, "shingles"))
+        hist_sh_scan
         .join(F.broadcast(cands_x.select(F.col("other").alias("doc")).distinct()),
               "doc", "left_semi")
         .select(F.col("doc").alias("other"), F.col("shingles").alias("other_shingles"))
@@ -418,11 +464,28 @@ def build_embedding_dedup_index(
         random_hyperplanes,
     )
 
-    dim = vectors.select(
-        F.size(_as_double_array(F.col(vec_col))).alias("d")
-    ).first()["d"]
-    planes = random_hyperplanes(dim, n_planes, seed)
-    rows = vectors.select(
+    # dim from a NON-NULL row; an EMPTY (or all-NULL) history is a
+    # legitimate bootstrap (the lexical builder supports it) — write
+    # the empty table root so the sink's first probe reads an empty
+    # index instead of crashing (round-10 review)
+    head = (
+        vectors.filter(F.col(vec_col).isNotNull())
+        .select(F.size(_as_double_array(F.col(vec_col))).alias("d"))
+        .first()
+    )
+    if head is None:
+        empty = vectors.filter(F.lit(False)).select(
+            F.col(id_col).cast("bigint").alias("vec_id"),
+            F.lit(None).cast("array<double>").alias("v"),
+            F.lit(None).cast("bigint").alias("bucket"),
+        )
+        _write_slice(
+            empty, os.path.join(index_path, "vecs"), HISTORY_BATCH,
+            single_file=False,
+        )
+        return
+    planes = random_hyperplanes(head["d"], n_planes, seed)
+    rows = vectors.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vec_id"),
         _as_double_array(F.col(vec_col)).alias("v"),
         lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
@@ -443,12 +506,16 @@ def dedup_embedding_batch_against_index(
     id_col: str = "vec_id",
     round_digits: int = 4,
     pushdown_limit: int = 10_000,
+    exclude_batch: int | None = None,
 ) -> DataFrame:
     """Semantic survivors of one batch: drop a vector iff a same-bucket
     index vector (history + prior survivors) or same-bucket same-batch
     PREDECESSOR has rounded cosine ≥ threshold. Same probe shape as the
     lexical half: batch side broadcast, index scan IN-pruned on the
-    bucket value.
+    bucket value. ``exclude_batch`` drops that batch's own index slice
+    on replay (same partial-failure contract as the lexical probe).
+    NULL-embedding rows cannot be deduplicated — they pass through as
+    survivors and the sink excludes them from the index.
 
     Bucket-population guard: unlike the lexical half (persisted
     hot-bucket stats), the lever here is ``n_planes`` — size it so the
@@ -465,11 +532,17 @@ def dedup_embedding_batch_against_index(
     )
 
     spark = batch_df.sparkSession
-    head = batch_df.select(
-        F.size(_as_double_array(F.col(vec_col))).alias("d")
-    ).first()
-    if head is None:  # empty micro-batch (availableNow can deliver one)
-        return batch_df
+    os.makedirs(os.path.join(index_path, "vecs"), exist_ok=True)
+    # dim must come from a NON-NULL vector: one NULL embedding at the
+    # head of a batch yielded dim NULL and killed the query (round-10
+    # review poison pill)
+    head = (
+        batch_df.filter(F.col(vec_col).isNotNull())
+        .select(F.size(_as_double_array(F.col(vec_col))).alias("d"))
+        .first()
+    )
+    if head is None:  # empty batch, or every embedding NULL: nothing
+        return batch_df  # is dedupable — all rows survive
     dim = head["d"]
     planes = random_hyperplanes(dim, n_planes, seed)
     # per-vector norm computed ONCE here (and once per scanned history
@@ -508,6 +581,8 @@ def dedup_embedding_batch_against_index(
 
     # vs index: IN-pruned bucket scan, broadcast batch join
     hist = spark.read.schema(_VECS_SCHEMA).parquet(os.path.join(index_path, "vecs"))
+    if exclude_batch is not None:
+        hist = hist.filter(F.col("src_batch") != exclude_batch)
     batch_buckets = [
         r["bucket"]
         for r in feats.select("bucket").distinct().limit(pushdown_limit + 1).collect()
@@ -551,14 +626,21 @@ def run_incremental_embedding_dedup(
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         survivors = dedup_embedding_batch_against_index(
-            batch_df, index_path, threshold, n_planes, seed, vec_col, id_col
+            batch_df, index_path, threshold, n_planes, seed, vec_col, id_col,
+            exclude_batch=batch_id,  # replay after partial failure must
+            # not probe this batch's own attempt-1 slice
         ).transform(materialize)
         n_kept = survivors.count()
         _write_slice(survivors, out_path, batch_id, approx_rows=n_kept)
-        dim = len(survivors.first()[vec_col]) if n_kept else 0
-        if dim:
-            planes = random_hyperplanes(dim, n_planes, seed)
-            rows = survivors.select(
+        # dim from a NON-NULL survivor (round-10 review: first() on a
+        # NULL embedding was a TypeError poison pill); NULL-embedding
+        # rows pass through to the output but are NOT indexed — a NULL
+        # bucket can never be probed
+        indexable = survivors.filter(F.col(vec_col).isNotNull())
+        head = indexable.first()
+        if head is not None:
+            planes = random_hyperplanes(len(head[vec_col]), n_planes, seed)
+            rows = indexable.select(
                 F.col(id_col).alias("vec_id"),
                 _as_double_array(F.col(vec_col)).alias("v"),
                 lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
@@ -618,10 +700,15 @@ def compact_dedup_index(spark: SparkSession, index_path: str) -> dict[str, int]:
             df = df.groupBy("band", "bucket").agg(F.sum("n").alias("n"))
         df = df.transform(materialize)  # sever lineage from `live`
         counts[name] = df.count()
-        # compacted slices are history-sized: parallel writers, no
-        # repartition(1) funnel (compaction merges BATCHES into one
-        # slice, not files into one file)
-        _write_slice(df, stage, HISTORY_BATCH, bloom_col=bloom, single_file=False)
+        # the exact count is in hand, so the measured single-file
+        # default decides per table (round-10 review): the three
+        # history-sized tables keep parallel writers, while the tiny
+        # bucket_stats table (only n>=2 buckets) collapses to one file
+        # instead of shuffle-partition-many near-empty ones that every
+        # probe's _hot_buckets scan would have to list and open
+        _write_slice(
+            df, stage, HISTORY_BATCH, bloom_col=bloom, approx_rows=counts[name]
+        )
         staged.append((stage, live))
     for stage, live in staged:
         staged_swap(live, stage)
@@ -656,6 +743,8 @@ def run_incremental_dedup(
         survivors = dedup_batch_against_index(
             batch_df, index_path, threshold, n_hashes, bands,
             shingle_n, seed, text_col, id_col, max_bucket_size,
+            exclude_batch=batch_id,  # replay after partial failure
+            # must not probe this batch's own attempt-1 slices
         ).transform(materialize)  # decide once; written 4 ways below
         n_kept = survivors.count()
         log(

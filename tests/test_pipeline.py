@@ -243,6 +243,180 @@ def test_incremental_dedup_replay_idempotent(spark, sf_dir, tmp_path):
     assert kept == [11, 22]
 
 
+def test_incremental_dedup_partial_failure_replay(spark, sf_dir, tmp_path):
+    """Round-10 review: a micro-batch replayed after a crash BETWEEN
+    the per-batch index writes must not exact-match its own attempt-1
+    slice — with exclude_batch the survivors are identical to the
+    first attempt (so the remaining index slices get written); without
+    it the whole batch self-matches and vanishes (the bug, pinned here
+    so the failure mode stays visible)."""
+    from ais_data_pipeline_spark.sources.parquet import read_table
+    from ais_data_pipeline_spark.streaming.incremental_dedup import (
+        _features,
+        _write_slice,
+        build_dedup_index,
+        dedup_batch_against_index,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").limit(0)
+    index = str(tmp_path / "idx")
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta", "en", "h", 35),
+        (10, "one two three four five six seven", "en", "b", 33),
+        (11, "nine ten eleven twelve thirteen fourteen", "en", "b", 40),
+    ]
+    mk = lambda ids: spark.createDataFrame(  # noqa: E731
+        [r for r in rows if r[0] in ids], docs.schema
+    )
+    build_dedup_index(mk({0}), index)
+    batch = mk({10, 11})
+
+    first = {
+        r["doc_id"]
+        for r in dedup_batch_against_index(
+            batch, index, threshold=0.5, exclude_batch=0
+        ).collect()
+    }
+    assert first == {10, 11}
+
+    # simulated crash: ONLY the hashes slice of batch 0 was written
+    feats = _features(batch, "text", "doc_id", 3)
+    _write_slice(
+        feats.select("doc", "text_hash"),
+        index + "/hashes",
+        0,
+        bloom_col="text_hash",
+        approx_rows=2,
+    )
+    # replay with the exclusion: identical survivors
+    replayed = {
+        r["doc_id"]
+        for r in dedup_batch_against_index(
+            batch, index, threshold=0.5, exclude_batch=0
+        ).collect()
+    }
+    assert replayed == first
+    # without it, the batch exact-matches its own attempt-1 hashes and
+    # every survivor silently vanishes — the masked recall-loss bug
+    unexcluded = dedup_batch_against_index(batch, index, threshold=0.5).count()
+    assert unexcluded == 0
+
+
+def test_incremental_dedup_edge_hardening(spark, sf_dir, tmp_path):
+    """Round-10 review bundle: (a) sub-shingle_n-token docs must not
+    crash shingling (sequence(1, 0) is [1, 0], not []); (b) a fresh
+    index path with no bootstrap is a well-defined empty index, not a
+    PATH_NOT_FOUND poison pill; (c) the hot-bucket guard counts
+    exact-SURVIVOR band rows, so a burst of exact copies cannot smuggle
+    its kept representative past near-dup verification."""
+    from pyspark.sql import functions as F
+
+    from ais_data_pipeline_spark.localrel import local_df
+    from ais_data_pipeline_spark.operators.dedup import (
+        shingle_hashes_from_tokens,
+        tokens_lower,
+    )
+    from ais_data_pipeline_spark.sources.parquet import read_table
+    from ais_data_pipeline_spark.streaming.incremental_dedup import (
+        build_dedup_index,
+        dedup_batch_against_index,
+    )
+
+    # (a) unit level: short/empty text -> empty shingle array
+    sizes = {
+        r["doc_id"]: r["n"]
+        for r in local_df(
+            spark,
+            [(1, "hello world"), (2, ""), (3, "a b c d e")],
+            "doc_id bigint, text string",
+        )
+        .select(
+            "doc_id",
+            F.size(
+                shingle_hashes_from_tokens(tokens_lower(F.col("text")), 3)
+            ).alias("n"),
+        )
+        .collect()
+    }
+    assert sizes == {1: 0, 2: 0, 3: 3}
+
+    docs = read_table(spark, sf_dir, "documents").limit(0)
+    mk = lambda rows: spark.createDataFrame(rows, docs.schema)  # noqa: E731
+
+    # (a+b) a batch with a short doc, probed against a NEVER-bootstrapped
+    # index path: everything survives, nothing crashes
+    fresh = str(tmp_path / "fresh_idx")
+    batch = mk([
+        (10, "hello world", "en", "b", 11),
+        (11, "one two three four five six seven", "en", "b", 33),
+    ])
+    got = {
+        r["doc_id"]
+        for r in dedup_batch_against_index(batch, fresh, threshold=0.5).collect()
+    }
+    assert got == {10, 11}
+
+    # (c) history H; 12 exact copies of a near-dup of H arrive in one
+    # batch with max_bucket_size=10 — the copies' own bucket counts
+    # must NOT trip the cap (only exact survivors count), so the kept
+    # copy is verified against H and dropped
+    index = str(tmp_path / "idx_hot")
+    hist_text = "alpha beta gamma delta epsilon zeta eta theta"
+    near_text = "alpha beta gamma delta epsilon zeta eta iota"  # j ~ 0.6
+    build_dedup_index(mk([(0, hist_text, "en", "h", 40)]), index)
+    copies = mk([(100 + i, near_text, "en", "b", 40) for i in range(12)])
+    survivors = dedup_batch_against_index(
+        copies, index, threshold=0.5, max_bucket_size=10
+    ).count()
+    assert survivors == 0, "exact-copy burst smuggled a near-dup past the cap"
+
+
+def test_embedding_dedup_null_and_empty_hardening(spark, tmp_path):
+    """Round-10 review bundle, semantic half: an EMPTY bootstrap is
+    legal (empty vecs table, not a crash); a NULL embedding in the
+    stream is not a poison pill — it passes through to the kept table
+    and stays out of the index."""
+    from pyspark.sql import functions as F
+
+    from ais_data_pipeline_spark.streaming.incremental_dedup import (
+        build_embedding_dedup_index,
+        run_incremental_embedding_dedup,
+    )
+
+    dim = 8
+
+    def vec(axis, scale):
+        v = [0.0] * dim
+        v[axis] = float(scale)
+        return v
+
+    schema = "vec_id bigint, embedding array<double>"
+    base = str(tmp_path)
+    index, out, landing = base + "/idx", base + "/kept", base + "/land"
+
+    # empty bootstrap: no crash, readable empty index
+    build_embedding_dedup_index(
+        spark.createDataFrame([], schema), index
+    )
+    assert spark.read.schema(
+        "vec_id bigint, v array<double>, bucket bigint, src_batch bigint"
+    ).parquet(index + "/vecs").count() == 0
+
+    # batch: NULL embedding + a vector + its scaled copy
+    spark.createDataFrame(
+        [(1, None), (2, vec(0, 1.0)), (3, vec(0, 2.0))], schema
+    ).write.mode("append").parquet(landing)
+    stream = spark.readStream.schema(schema).parquet(landing)
+    run_incremental_embedding_dedup(stream, index, out, base + "/ck")
+
+    kept = sorted(r["vec_id"] for r in spark.read.parquet(out).collect())
+    assert kept == [1, 2]  # NULL passes through; 3 drops as a copy of 2
+    indexed = sorted(
+        r["vec_id"] for r in spark.read.parquet(index + "/vecs").collect()
+    )
+    assert indexed == [2]  # the NULL row is never indexed
+
+
 def test_write_slice_size_contract_is_structural(spark, tmp_path, capfd, monkeypatch):
     """Round-10 verdict item 4: the single-file funnel must be a
     MEASURED default, not caller discipline — a history-sized slice
