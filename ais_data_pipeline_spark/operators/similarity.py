@@ -23,7 +23,9 @@ Two tiers:
 from __future__ import annotations
 
 import math
+import os
 import random
+import uuid
 
 import pandas as pd  # module-level: pandas_udf type hints resolve from module globals
 
@@ -116,16 +118,20 @@ def probe_buckets(
     """Query bucket plus all buckets within ``multiprobe_bits``
     bit-flips (multi-probe LSH: recover near-misses on the hyperplane
     boundaries without extra tables)."""
+    from itertools import combinations
+
     n_planes = len(planes)
     qb = bucket_of(query, planes)
     probes = {qb}
-    if multiprobe_bits >= 1:
-        for i in range(n_planes):
-            probes.add(qb ^ (1 << i))
-    if multiprobe_bits >= 2:
-        for i in range(n_planes):
-            for j in range(i + 1, n_planes):
-                probes.add(qb ^ (1 << i) ^ (1 << j))
+    # general r-bit flips (round-10 review: the old hand-unrolled form
+    # silently capped at 2, so multiprobe_bits >= 3 delivered less
+    # recall than configured with no error); identical sets for 1/2
+    for r in range(1, min(multiprobe_bits, n_planes) + 1):
+        for flips in combinations(range(n_planes), r):
+            mask = 0
+            for i in flips:
+                mask |= 1 << i
+            probes.add(qb ^ mask)
     return sorted(probes)
 
 
@@ -155,6 +161,56 @@ def cosine_topk_lsh(
     )
 
 
+def _probe_dim(df: DataFrame, vec_col: str):
+    """Vector dimension from the first NON-NULL row, or None when the
+    frame is empty / every vector NULL. ``first()[...]`` on the raw
+    frame was a TypeError on empty inputs and read ``size(NULL)`` (-1
+    non-ANSI) on a NULL head row — the round-10 review's silent
+    corrupted-index builder."""
+    head = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.size(_as_double_array(F.col(vec_col))).alias("d"))
+        .first()
+    )
+    return None if head is None else head["d"]
+
+
+#: sidecar-consistency token: a build stamps the SAME id into the main
+#: table dir and every sidecar dir (underscore-prefixed files are
+#: invisible to Spark's listing); readers compare and fail LOUDLY on a
+#: mismatch — the crash window between the main overwrite and the
+#: sidecar write previously left a silently mis-routing index
+#: (round-10 review). Indexes built before tokens existed have none on
+#: either side and pass unchecked (legacy).
+_BUILD_TOKEN = "_ais_build_id"
+
+
+def _stamp_index(token: str, *dirs: str) -> None:
+    for d in dirs:
+        with open(os.path.join(d, _BUILD_TOKEN), "w") as f:
+            f.write(token)
+
+
+def _check_index_sidecars(main: str, *sidecars: str) -> None:
+    def rd(d: str):
+        try:
+            with open(os.path.join(d, _BUILD_TOKEN)) as f:
+                return f.read()
+        except OSError:
+            return None
+
+    toks = [rd(main)] + [rd(s) for s in sidecars]
+    present = [t for t in toks if t is not None]
+    if not present:
+        return  # legacy pre-token index
+    if len(present) != len(toks) or len(set(present)) != 1:
+        raise ValueError(
+            "IVF index main table and sidecar(s) come from different "
+            "builds (interrupted rebuild?) — probing would silently "
+            "mis-route; rebuild the index"
+        )
+
+
 def build_ann_index(
     df: DataFrame,
     path: str,
@@ -168,11 +224,24 @@ def build_ann_index(
     tests/test_plans.py) instead of scanning every vector. At 100 TB
     the full scan per query is the difference between an index and a
     marketing slide; build once, probe many.
-    """
-    dim = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+
+    NULL vectors are excluded (a NULL bucket can never be probed) and
+    an empty/all-NULL corpus builds a readable EMPTY index (plain
+    zero-row table — an empty PARTITIONED write emits no files and the
+    probe's read would fail schema inference)."""
+    dim = _probe_dim(df, vec_col)
+    if dim is None:
+        (
+            df.filter(F.lit(False))
+            .withColumn("bucket", F.lit(0).cast("bigint"))
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        return
     planes = random_hyperplanes(dim, n_planes, seed)
     (
-        df.withColumn("bucket", lsh_bucket_col(F.col(vec_col), planes))
+        df.filter(F.col(vec_col).isNotNull())
+        .withColumn("bucket", lsh_bucket_col(F.col(vec_col), planes))
         .repartition("bucket")  # one task per bucket → one file per partition dir
         .write.mode("overwrite")
         .partitionBy("bucket")
@@ -226,8 +295,20 @@ def build_ann_index_multi(
 
     Layout: one parquet table partitioned by (tbl, bucket); each probe
     reads exactly L partition directories (one bucket per table).
+    NULL vectors are excluded; an empty corpus builds a readable empty
+    index (same contract as ``build_ann_index``).
     """
-    dim = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    dim = _probe_dim(df, vec_col)
+    if dim is None:
+        (
+            df.filter(F.lit(False))
+            .withColumn("tbl", F.lit(0).cast("int"))
+            .withColumn("bucket", F.lit(0).cast("bigint"))
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        return
+    df = df.filter(F.col(vec_col).isNotNull())
     rows = []
     for t in range(n_tables):
         planes = random_hyperplanes(dim, bits_per_table, seed + 1000 * t)
@@ -375,6 +456,10 @@ def build_ivf_index(
         .parquet(path)
     )
     cents.coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "_centroids")
+    # stamp LAST: a crash anywhere above leaves a token mismatch (or a
+    # one-sided token) that readers reject loudly instead of routing
+    # new assignments through a stale quantizer (round-10 review)
+    _stamp_index(uuid.uuid4().hex, path, path.rstrip("/") + "_centroids")
 
 
 def append_to_ivf_index(
@@ -398,7 +483,28 @@ def append_to_ivf_index(
     so probe latency stays flat in batch count until a compaction
     folds slices together."""
     spark = df.sparkSession
-    cents = spark.read.parquet(path.rstrip("/") + "_centroids")
+    live = path.rstrip("/")
+    _check_index_sidecars(live, live + "_centroids")
+    # a compaction may have FOLDED this batch into the history slice
+    # already (src_batch=-1): replaying it afterwards would duplicate
+    # every row (round-10 review — the foreachBatch idempotence
+    # contract broke across the compaction boundary). The compactor
+    # records the highest folded batch id; at-or-below it, the replay
+    # is a no-op.
+    wm_path = os.path.join(live, "_ais_compacted_watermark")
+    if os.path.exists(wm_path):
+        with open(wm_path) as f:
+            watermark = int(f.read())
+        if src_batch <= watermark:
+            from ais_data_pipeline_spark.observability import log
+
+            log(
+                "ivf_append_skipped_compacted",
+                src_batch=src_batch,
+                compacted_watermark=watermark,
+            )
+            return
+    cents = spark.read.parquet(live + "_centroids")
     cents = local_df(
         spark, [tuple(r) for r in cents.collect()], cents.schema
     )  # tiny; literal-ize (Arrow local relation — no pickled-RDD slices)
@@ -442,9 +548,21 @@ def compact_ivf_index(spark, path: str) -> int:
     live = path.rstrip("/")
     stage = live + "_compact"
     recover_staged_swap(live, stage)
+    raw = spark.read.parquet(live)
+    # highest batch folded into history: a later foreachBatch REPLAY of
+    # an already-compacted batch must be a no-op, not a duplication
+    # (append_to_ivf_index checks this watermark; round-10 review)
+    wm_row = raw.filter(F.col("src_batch") >= 0).agg(
+        F.max("src_batch").alias("m")
+    ).first()
+    new_wm = wm_row["m"] if wm_row and wm_row["m"] is not None else None
+    old_wm_path = os.path.join(live, "_ais_compacted_watermark")
+    if os.path.exists(old_wm_path):
+        with open(old_wm_path) as f:
+            prev = int(f.read())
+        new_wm = prev if new_wm is None else max(new_wm, prev)
     df = (
-        spark.read.parquet(live)
-        .withColumn("src_batch", F.lit(-1).cast("bigint"))
+        raw.withColumn("src_batch", F.lit(-1).cast("bigint"))
         .transform(materialize)  # sever lineage before the swap
     )
     n = df.count()
@@ -454,6 +572,16 @@ def compact_ivf_index(spark, path: str) -> int:
         .partitionBy("list_id", "src_batch")
         .parquet(stage)
     )
+    # root metadata survives the swap only if staged alongside the
+    # data: carry the build token (compaction never touches the
+    # sidecar, so the pair stays consistent) and the watermark
+    token_path = os.path.join(live, _BUILD_TOKEN)
+    if os.path.exists(token_path):
+        with open(token_path) as f, open(os.path.join(stage, _BUILD_TOKEN), "w") as g:
+            g.write(f.read())
+    if new_wm is not None:
+        with open(os.path.join(stage, "_ais_compacted_watermark"), "w") as f:
+            f.write(str(new_wm))
     staged_swap(live, stage)
     return n
 
@@ -472,12 +600,20 @@ def ivf_probe_topk(
     """Probe an IVF index: rank centroids by cosine to the query
     (driver-side — the centroid table is tiny by construction), read
     the ``nprobe`` nearest ``list_id=`` partitions, exact re-rank."""
+    _check_index_sidecars(
+        index_path.rstrip("/"), index_path.rstrip("/") + "_centroids"
+    )
     cents = spark.read.parquet(index_path.rstrip("/") + "_centroids").collect()
+    nq = math.sqrt(sum(x * x for x in query))
 
     def cos(c) -> float:
-        num = sum(x * y for x, y in zip(c["cvec"], query))
         na = math.sqrt(sum(x * x for x in c["cvec"]))
-        nq = math.sqrt(sum(x * x for x in query))
+        if na == 0.0 or nq == 0.0:
+            # a zero-norm centroid/query has no cosine — rank it last,
+            # deterministically, instead of ZeroDivisionError killing
+            # every probe (round-10 review)
+            return float("-inf")
+        num = sum(x * y for x, y in zip(c["cvec"], query))
         return num / (na * nq)
 
     ranked = sorted(cents, key=lambda c: (-cos(c), c["centroid_id"]))
@@ -525,8 +661,13 @@ def pairwise_topk_per_vector(
         # one count() action to size the index — target E[bucket] ≈ 64
         n = df.count()
         n_planes = max(4, math.ceil(math.log2(max(n, 2) / 64.0)))
-    dim_probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    planes = random_hyperplanes(dim_probe["d"], n_planes, seed)
+    dim = _probe_dim(df, vec_col)
+    if dim is None:
+        # empty / all-NULL input: an empty k-NN result, not a crash
+        return df.sparkSession.createDataFrame(
+            [], "left_id bigint, right_id bigint, cos_sim double"
+        )
+    planes = random_hyperplanes(dim, n_planes, seed)
     # norm precomputed once per vector (not per pair) — 3× fewer dot
     # products in the within-bucket pair loop
     b = spread_to_parallelism(df).select(
@@ -591,9 +732,19 @@ def cosine_topk_pandas(
 
     @pandas_udf("double")
     def score(vecs: pd.Series) -> pd.Series:
-        m = np.vstack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)))
-        sims = (m @ q) / (np.sqrt((m * m).sum(axis=1)) * qn)
-        return pd.Series(sims)
+        # NULL / wrong-dimension vectors score NaN (Arrow maps NaN back
+        # to NULL, matching the JVM path's NULL cos_sim that sorts
+        # last) instead of crashing the vstack on a ragged batch
+        # (round-10 review: 'same contract as cosine_topk' was false)
+        dim = len(q)
+        ok = vecs.map(lambda v: v is not None and len(v) == dim)
+        out = pd.Series(np.nan, index=vecs.index, dtype="float64")
+        if ok.any():
+            m = np.vstack(
+                vecs[ok].map(lambda v: np.asarray(v, dtype=np.float64))
+            )
+            out[ok] = (m @ q) / (np.sqrt((m * m).sum(axis=1)) * qn)
+        return out
 
     from ais_data_pipeline_spark.operators.util import spread_to_parallelism
 
@@ -671,8 +822,16 @@ def kmeans_lloyd(
         staged = pre.select("__v", F.array(*sims).alias("__sims"))
         ids = F.array(*[F.lit(cid).cast("bigint") for cid, _ in cent_rows])
         pos = F.array_position(F.col("__sims"), F.array_max(F.col("__sims")))
+        # a zero-norm (cosine) or NULL vector has NULL similarity to
+        # every centroid — route it to the lowest centroid id instead
+        # of a NULL cluster that poisons the means collect (round-10
+        # review); NULL __v rows then drop out of posexplode naturally
         assigned = staged.select(
-            F.element_at(ids, pos.cast("int")).alias("list_id"), "__v"
+            F.coalesce(
+                F.element_at(ids, pos.cast("int")),
+                F.lit(cent_rows[0][0]).cast("bigint"),
+            ).alias("list_id"),
+            "__v",
         )
         dims = assigned.select("list_id", F.posexplode("__v").alias("pos", "x"))
         mu = (
@@ -732,7 +891,17 @@ def kmeans_assign(
     staged = pre.select(*cols, "__v", F.array(*sims).alias("__sims"))
     ids = F.array(*[F.lit(cid).cast("bigint") for cid, _ in cent_rows])
     pos = F.array_position(F.col("__sims"), F.array_max(F.col("__sims"))).cast("int")
-    return staged.select(*cols, "__v", F.element_at(ids, pos).alias("list_id"))
+    # zero-norm/NULL vectors (NULL sims across the board) route to the
+    # lowest centroid id: a NULL list_id would land index rows in the
+    # unreachable NULL partition — silent permanent loss (round-10
+    # review)
+    return staged.select(
+        *cols,
+        "__v",
+        F.coalesce(
+            F.element_at(ids, pos), F.lit(cent_rows[0][0]).cast("bigint")
+        ).alias("list_id"),
+    )
 
 
 def semdedup_clusters(
@@ -830,7 +999,11 @@ def pq_train_codebooks(
     init, L2 argmin, DECIMAL(25,12) means, round(·,9)+0.0) is
     untouched, so the fused job is bit-identical to the sequential
     recipe and every PQ/IVF-PQ SQL oracle replays unchanged."""
-    dim = df.select(F.size(_as_double_array(F.col(vec_col))).alias("d")).first()["d"]
+    dim = _probe_dim(df, vec_col)
+    if dim is None:
+        raise ValueError(
+            "cannot train PQ codebooks on an empty (or all-NULL) corpus"
+        )
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     d_sub = dim // m
@@ -1062,7 +1235,11 @@ def build_ivfpq_index(
         for r in cents.collect()
     )
     v = _as_double_array(F.col(vec_col))
-    pre = df.select(F.col(id_col), v.alias("__v")).select(
+    # NULL vectors are unindexable (NULL residual, NULL codes): exclude
+    # them, same contract as the ANN builders (round-10 review)
+    pre = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), v.alias("__v")
+    ).select(
         F.col(id_col), "__v", _dot(F.col("__v"), F.col("__v")).alias("__vv")
     )
     staged = pre.select(
@@ -1100,6 +1277,14 @@ def build_ivfpq_index(
     local_df(
         spark, book_rows, "subspace int, centroid_id bigint, cvec array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "_codebooks")
+    # stamp LAST — a crash between any of the three writes above
+    # leaves a token mismatch the probe rejects loudly
+    _stamp_index(
+        uuid.uuid4().hex,
+        path,
+        path.rstrip("/") + "_centroids",
+        path.rstrip("/") + "_codebooks",
+    )
     return books
 
 
@@ -1121,6 +1306,11 @@ def ivfpq_probe_topk(
     a single ``list_id IN (...)``-pruned scan (one PartitionFilters
     entry over the probed directories) rather than nprobe unioned
     scans; per row the work is still m lookups + adds."""
+    _check_index_sidecars(
+        index_path.rstrip("/"),
+        index_path.rstrip("/") + "_centroids",
+        index_path.rstrip("/") + "_codebooks",
+    )
     cents = {
         int(r["centroid_id"]): [float(x) for x in r["cvec"]]
         for r in spark.read.parquet(index_path.rstrip("/") + "_centroids").collect()
@@ -1341,6 +1531,12 @@ def mmr_topk(
                     - F.lit(1.0 - lam) * F.col("__pen")
                 ).alias("__score"),
             )
+            # zero-norm/NULL pool vectors have NULL rel/score: they can
+            # never be a valid MMR pick — without this filter one got
+            # selected once real candidates ran out (NULLS sort last
+            # under desc) and float(None) killed the loop instead of
+            # returning the valid picks (round-10 review)
+            .filter(F.col("__score").isNotNull())
             .orderBy(F.desc("__score"), F.asc(id_col))
             .limit(1)
             .collect()

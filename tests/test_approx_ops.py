@@ -302,3 +302,135 @@ def test_cms_overestimates_and_merges(spark, sf_dir):
     full = {(r["row"], r["bucket"]): r["cnt"] for r in cms.collect()}
     got = {(r["row"], r["bucket"]): r["cnt"] for r in merged.collect()}
     assert full == got
+
+
+def test_similarity_null_zero_and_empty_hardening(spark, tmp_path):
+    """Round-10 review bundle over the similarity tier: NULL / zero-
+    norm / empty inputs must degrade (excluded, ranked last, empty
+    result, clear error) rather than crash or silently corrupt an
+    index. Each case below reproduced a verified failure before the
+    fix."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from ais_data_pipeline_spark.operators.similarity import (
+        build_ann_index,
+        build_ivf_index,
+        cosine_topk,
+        cosine_topk_indexed,
+        ivf_probe_topk,
+        kmeans_lloyd,
+        mmr_topk,
+        cosine_topk_pandas,
+        pairwise_topk_per_vector,
+        pq_train_codebooks,
+    )
+
+    S = "vec_id bigint, embedding array<double>"
+    base = str(tmp_path)
+
+    # a NULL head row used to read size(NULL) = -1 and build an index
+    # whose every bucket was 0 (silently unsearchable); now the NULL
+    # row is excluded and the exact match comes back first
+    df = spark.createDataFrame([(0, None), (1, [1.0, 2.0]), (2, [1.0, 1.9])], S)
+    build_ann_index(df, base + "/ann", n_planes=4)
+    got = cosine_topk_indexed(spark, base + "/ann", [1.0, 2.0], k=1, n_planes=4)
+    assert [r["vec_id"] for r in got.collect()] == [1]
+    # empty corpus: readable empty index, empty probe result
+    build_ann_index(spark.createDataFrame([], S), base + "/ann_e", n_planes=4)
+    assert (
+        cosine_topk_indexed(spark, base + "/ann_e", [1.0, 2.0], k=2, n_planes=4).count()
+        == 0
+    )
+
+    # zero-norm vectors must not land in the unreachable NULL
+    # partition (cosine sims all NULL), and a zero centroid must not
+    # ZeroDivisionError every probe
+    z = spark.createDataFrame([(0, [0.0, 0.0]), (1, [1.0, 2.0]), (2, [2.0, 1.0])], S)
+    build_ivf_index(z, base + "/ivf0", n_centroids=2)
+    lists = {r["list_id"] for r in spark.read.parquet(base + "/ivf0").collect()}
+    assert None not in lists
+    probed = ivf_probe_topk(spark, base + "/ivf0", [1.0, 1.0], k=3, nprobe=2)
+    assert {r["vec_id"] for r in probed.collect()} >= {1, 2}
+    # ...and kmeans training survives the zero vector too
+    assert kmeans_lloyd(z, k=2, iters=1).count() == 2
+
+    # empty inputs: empty k-NN result / clear training error
+    assert pairwise_topk_per_vector(
+        spark.createDataFrame([], S), n_planes=4
+    ).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty"):
+        pq_train_codebooks(spark.createDataFrame([], S), m=2, k=2)
+
+    # the pandas scorer honors the documented cosine_topk contract on
+    # NULL vectors (NaN -> NULL, ranked last) instead of a ragged
+    # vstack crash
+    dfn = spark.createDataFrame([(1, [1.0, 0.0]), (2, [0.5, 0.5]), (4, None)], S)
+    jvm_rows = [
+        (r["vec_id"], r["cos_sim"]) for r in cosine_topk(dfn, [1.0, 0.0], k=3).collect()
+    ]
+    pd_rows = [
+        (r["vec_id"], r["cos_sim"])
+        for r in cosine_topk_pandas(dfn, [1.0, 0.0], k=3).collect()
+    ]
+    assert jvm_rows == pd_rows
+
+    # MMR returns the valid picks when k exceeds the nonzero-norm pool
+    dm = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.8, 0.2]), (2, [0.0, 0.0])], S
+    )
+    assert [
+        r["vec_id"] for r in mmr_topk(dm, [1.0, 0.0], k=3, pool=10).collect()
+    ] == [0, 1]
+
+
+def test_ivf_index_protocol_hardening(spark, tmp_path):
+    """Round-10 review: (a) replaying a foreachBatch append AFTER a
+    compaction folded that batch into history must be a no-op, not a
+    duplication (the compactor records a watermark); (b) an
+    interrupted rebuild that leaves the main table and the _centroids
+    sidecar from different builds must fail probes LOUDLY (build
+    tokens) instead of silently mis-routing; (c) multiprobe_bits >= 3
+    really probes 3-bit flips (the old form silently capped at 2)."""
+    from ais_data_pipeline_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        compact_ivf_index,
+        ivf_probe_topk,
+        probe_buckets,
+        random_hyperplanes,
+    )
+
+    S = "vec_id bigint, embedding array<double>"
+    base = str(tmp_path)
+    p = base + "/ivf"
+    hist = spark.createDataFrame([(i, [float(i), 1.0]) for i in range(4)], S)
+    build_ivf_index(hist, p, n_centroids=2)
+    b7 = spark.createDataFrame([(10, [1.0, 1.0]), (11, [2.0, 1.0])], S)
+    append_to_ivf_index(b7, p, 7)
+    assert compact_ivf_index(spark, p) == 6
+    append_to_ivf_index(b7, p, 7)  # crash-recovery replay
+    assert spark.read.parquet(p).count() == 6, "replay duplicated compacted rows"
+    # a genuinely new batch still appends
+    append_to_ivf_index(
+        spark.createDataFrame([(12, [3.0, 1.0])], S), p, 8
+    )
+    assert spark.read.parquet(p).count() == 7
+
+    # (b) mismatched build tokens -> loud ValueError
+    import pytest as _pytest
+
+    with open(p + "/_ais_build_id", "w") as f:
+        f.write("not-the-sidecar-build")
+    with _pytest.raises(ValueError, match="different"):
+        ivf_probe_topk(spark, p, [1.0, 1.0])
+
+    # (c) general multiprobe enumeration: C(4,0..r) buckets
+    pl = random_hyperplanes(8, 4, 42)
+    q = [1.0] * 8
+    assert len(probe_buckets(q, pl, 2)) == 11
+    assert len(probe_buckets(q, pl, 3)) == 15
+    assert len(probe_buckets(q, pl, 4)) == 16
+    # supersets: raising bits only ever ADDS probes
+    assert set(probe_buckets(q, pl, 2)) < set(probe_buckets(q, pl, 3))
