@@ -101,7 +101,10 @@ def next_fit_bins(token_counts: list[int], budget_tokens: int) -> list[int]:
     bins: list[int] = []
     cur_bin, fill = 0, 0
     for n in token_counts:
-        n = int(n)
+        # negative counts (e.g. a size(NULL) = -1 that slipped past a
+        # tokenizer) would let an oversized doc share a bin and break
+        # the strict-cap invariant (round-10 review) — clamp to 0
+        n = max(int(n), 0)
         if fill > 0 and fill + n > budget_tokens:
             cur_bin += 1
             fill = 0
@@ -163,6 +166,7 @@ def mixture_sample(
     source_col: str = "source",
     id_col: str = "doc_id",
     seed: int = 42,
+    redistribute: bool = False,
 ) -> DataFrame:
     """Temperature-weighted mixture sampling across sources — the data
     mixing step of a training pipeline: per-source quotas follow
@@ -175,24 +179,70 @@ def mixture_sample(
     exact counts, ranks from the same engine-portable hash
     ``hash_sample`` uses — re-running on any partitioning returns the
     identical sample, and the plan is one count aggregate (tiny,
-    broadcast back) plus one rank window per source. floor() can
-    undershoot k by up to #sources-1 rows; callers needing exact k
-    top up from a global rank. Returns (source, id).
-    """
+    broadcast back) plus one rank window per source. NULL-source rows
+    form their own group (the quota join is NULL-safe — a plain
+    equi-join silently excluded that whole slice, round-10 review).
+
+    Undershoot (round-10 review — the old docstring claimed
+    '#sources-1'): floor() costs up to #sources-1 rows AND a quota
+    larger than its source's size goes unfilled (share^alpha
+    deliberately over-asks small sources), so the true bound is
+    ``k - Σ min(quota_s, n_s)``. ``redistribute=True`` water-fills
+    driver-side: surplus quota reflows to sources with remaining
+    capacity, proportional to their weights, iterating until stable —
+    deterministic (exact counts, tiny #sources loop), but NOT the
+    plain share^alpha formula, hence opt-in. Returns (source, id)."""
     counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
-    w_all = Window.partitionBy()
-    quotas = counts.select(
-        source_col,
-        F.floor(
-            F.lit(float(k))
-            * F.pow(F.col("__n").cast("double"), F.lit(alpha))
-            / F.sum(F.pow(F.col("__n").cast("double"), F.lit(alpha))).over(w_all)
-        ).alias("__quota"),
-    )
+    if redistribute:
+        rows = [
+            (r[source_col], int(r["__n"])) for r in counts.collect()
+        ]  # tiny by contract: one row per source
+        w = {s: float(n) ** alpha for s, n in rows}
+        cap = dict(rows)
+        give = {s: 0 for s, _ in rows}
+        remaining = k
+        while remaining > 0:
+            open_s = [s for s in give if give[s] < cap[s]]
+            if not open_s:
+                break
+            tot = sum(w[s] for s in open_s)
+            alloc = {
+                s: min(int(remaining * w[s] / tot), cap[s] - give[s])
+                for s in open_s
+            }
+            if all(v == 0 for v in alloc.values()):
+                # floor() stalled: hand out singles in weight order
+                for s in sorted(open_s, key=lambda x: (-w[x], str(x))):
+                    if remaining == 0:
+                        break
+                    give[s] += 1
+                    remaining -= 1
+                continue
+            for s, v in alloc.items():
+                give[s] += v
+                remaining -= v
+        from ais_data_pipeline_spark.localrel import local_df
+
+        quotas = local_df(
+            counts.sparkSession,
+            [(s, g) for s, g in give.items()],
+            f"{source_col} string, __quota long",
+        )
+    else:
+        w_all = Window.partitionBy()
+        quotas = counts.select(
+            source_col,
+            F.floor(
+                F.lit(float(k))
+                * F.pow(F.col("__n").cast("double"), F.lit(alpha))
+                / F.sum(F.pow(F.col("__n").cast("double"), F.lit(alpha))).over(w_all)
+            ).alias("__quota"),
+        )
     h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
     rk = Window.partitionBy(source_col).orderBy(h, F.col(id_col))
+    q = F.broadcast(quotas.withColumnRenamed(source_col, "__q_src"))
     return (
-        df.join(F.broadcast(quotas), source_col)
+        df.join(q, F.col(source_col).eqNullSafe(F.col("__q_src")))
         .withColumn("__rk", F.row_number().over(rk))
         .filter(F.col("__rk") <= F.col("__quota"))
         .select(source_col, id_col)

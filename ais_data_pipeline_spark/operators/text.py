@@ -24,11 +24,17 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 
 
 def tokens_col(text_col: Column) -> Column:
-    """Lower-cased whitespace tokens; empty text → empty array."""
+    """Lower-cased whitespace tokens; empty OR NULL text → empty
+    array. The NULL leg matters: without it split(NULL) propagates
+    NULL, whose F.size() is -1 under non-ANSI — which corrupted every
+    downstream token count, ratio, and bin size for NULL-text docs
+    (round-10 review: quality_score returned -1.504 for the
+    documented 0-1 score, sequence packing emitted negative bin ids)."""
     trimmed = F.trim(F.lower(text_col))
-    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
-        F.split(trimmed, r"\s+")
-    )
+    return F.when(
+        text_col.isNull() | (F.length(trimmed) == 0),
+        F.array().cast("array<string>"),
+    ).otherwise(F.split(trimmed, r"\s+"))
 
 
 def token_count(text_col: Column) -> Column:
@@ -60,10 +66,15 @@ def predict_language(text_col: Column, min_ratio: float = 0.05) -> Column:
     best = F.greatest(*[scores[k] for k in langs])
     expr = F.lit("und")
     # reversed iteration puts the alphabetically-first language in the
-    # outermost when() — it wins ties
+    # outermost when() — it wins ties. The n >= 1 guard keeps empty/
+    # whitespace/NULL docs at 'und': with zero tokens the min_ratio
+    # floor is vacuous (0 >= 0.05*0) and every empty doc was labeled
+    # 'de' (round-10 review).
     for k in reversed(langs):
         expr = F.when(
-            (scores[k] == best) & (best.cast("double") >= F.lit(min_ratio) * n.cast("double")),
+            (n >= 1)
+            & (scores[k] == best)
+            & (best.cast("double") >= F.lit(min_ratio) * n.cast("double")),
             F.lit(k),
         ).otherwise(expr)
     return expr
@@ -174,7 +185,13 @@ def bag_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     canon = F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
     return df.select(
         F.col(id_col),
-        F.md5(canon.cast("binary")).alias("fingerprint"),
+        # NULL text is MISSING data, not an empty document — propagate
+        # NULL instead of fingerprinting it identically to '' (which
+        # deduped missing rows against legitimately empty ones,
+        # round-10 review)
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+        .otherwise(F.md5(canon.cast("binary")))
+        .alias("fingerprint"),
     )
 
 
@@ -222,12 +239,20 @@ def repetition_stats(
     base = toks.select(
         F.col(id_col),
         F.col("__n").alias("n_tokens"),
-        F.round(
-            F.lit(1.0)
-            - F.size(F.array_distinct("__t")).cast("double")
-            / F.col("__n").cast("double"),
-            6,
-        ).alias("dup_token_frac"),
+        # zero-token docs have no repeats BY DEFINITION — without the
+        # guard the 0/0 division yielded NULL, which a downstream
+        # `dup_token_frac <= x` filter silently dropped (round-10
+        # review; every other ratio in this module already guards)
+        F.when(F.col("__n") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.lit(1.0)
+                - F.size(F.array_distinct("__t")).cast("double")
+                / F.col("__n").cast("double"),
+                6,
+            )
+        )
+        .alias("dup_token_frac"),
     )
     grams = toks.filter(F.col("__n") >= 2).select(
         F.col(id_col),
@@ -274,16 +299,19 @@ def pii_scrub(
     count what was removed, per category. One codegen'd projection —
     regexp_count per pattern plus a chained regexp_replace; order is
     email → phone → ipv4 so the phone pattern can't eat IPv4 octets
-    first. Scale: embarrassingly parallel map work, no shuffle."""
-    c = F.col(text_col)
-    counts = [
-        F.regexp_count(c, F.lit(p)).alias(f"n_{name}")
-        for name, p in PII_PATTERNS.items()
-    ]
-    scrubbed = c
+    first. Each category counts on the text AS IT STANDS at that step
+    of the chain, so counts equal the replacements that actually
+    happened — counting every pattern on the ORIGINAL text claimed
+    redactions an earlier replacement had already consumed (round-10
+    review: 'user@1.2.3.4.com' reported n_ipv4=1 with no <IPV4> in
+    the output). Scale: embarrassingly parallel map work, no
+    shuffle."""
+    cur = F.col(text_col)
+    counts = []
     for name, p in PII_PATTERNS.items():
-        scrubbed = F.regexp_replace(scrubbed, p, f"<{name.upper()}>")
-    return df.select(F.col(id_col), *counts, scrubbed.alias("scrubbed"))
+        counts.append(F.regexp_count(cur, F.lit(p)).alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, p, f"<{name.upper()}>")
+    return df.select(F.col(id_col), *counts, cur.alias("scrubbed"))
 
 
 def token_entropy(
@@ -436,7 +464,13 @@ def gopher_flags(text_col: Column) -> dict[str, Column]:
     - ``ellipsis_lines`` > 30% of lines end with an ellipsis
     - ``alpha_words``    < 80% of words contain an alphabetic char
     - ``stop_words``     < 2 distinct Gopher stop words present
+
+    NULL text evaluates as empty (fails word_count, passes the
+    ratio rules) — without the coalesce the length/split arithmetic
+    yielded NULL flags that ``when(flag, 1).otherwise(0)`` counted as
+    PASSES, under-reporting per-rule failures (round-10 review).
     """
+    text_col = F.coalesce(text_col, F.lit(""))
     toks = tokens_col(text_col)
     n_words = F.size(toks)
     nw_d = F.greatest(n_words, F.lit(1)).cast("double")
@@ -539,7 +573,9 @@ def hashed_linear_score(
     At 100 TB: text hashes map-side, the only shuffles carry
     (doc, bucket, count) partials bounded by docs x distinct-buckets,
     and the weight table broadcasts — the corpus never joins anything
-    its own size.
+    its own size. Zero-token (empty/NULL) documents produce NO output
+    row — the explode drops them, same contract as ``token_entropy``;
+    left-join the scores if those docs need a default.
 
     ``weights`` maps bucket -> integer weight. Default: a
     deterministic md5-derived stand-in for externally trained weights

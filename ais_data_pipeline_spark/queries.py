@@ -5377,20 +5377,29 @@ def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
                 ELSE '' END AS text
       FROM documents
+    ), s1 AS (
+      -- sequential-count semantics: each category counts on the text
+      -- AS IT STANDS at that step of the replace chain (the engine's
+      -- contract: counts == replacements that actually happened)
+      SELECT doc_id,
+             len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+             regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g') AS t1
+      FROM injected
+    ), s2 AS (
+      SELECT doc_id, n_email,
+             len(regexp_extract_all(t1, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phone,
+             regexp_replace(t1, '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS t2
+      FROM s1
     )
-    SELECT doc_id,
-           len(regexp_extract_all(text,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
-           len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phone,
-           len(regexp_extract_all(text,
+    SELECT doc_id, n_email, n_phone,
+           len(regexp_extract_all(t2,
                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
-           regexp_replace(
-             regexp_replace(
-               regexp_replace(text,
-                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-               '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
-             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g') AS scrubbed
-    FROM injected
+           regexp_replace(t2,
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g') AS scrubbed
+    FROM s2
     """,
     "PII redaction (email / phone / IPv4) with per-category removal "
     "counts. The corpus is synthetic, so both engines first inject "

@@ -2995,3 +2995,130 @@ def test_histogram_sketch_merge_and_error_bound(spark):
     for p, est in ests.items():
         exact = vals[math.ceil(p * len(vals)) - 1]
         assert abs(est - exact) <= 10.0 + 1e-9, (p, est, exact)
+
+
+def test_text_null_empty_hardening(spark):
+    """Round-10 review bundle over the text tier: NULL / empty /
+    whitespace-only documents must produce defined, sane values —
+    before the fixes, size(split(NULL)) = -1 under non-ANSI corrupted
+    every downstream count/ratio (quality_score returned -1.504 for a
+    0-1 score), empty docs were confidently labeled 'de', NULL text
+    fingerprinted identically to '', and pii counts claimed redactions
+    that never happened."""
+    from pyspark.sql import functions as F
+
+    from ais_data_pipeline_spark.localrel import local_df
+    from ais_data_pipeline_spark.operators.corpus import next_fit_bins
+    from ais_data_pipeline_spark.operators.text import (
+        bag_fingerprint,
+        gopher_filter_stats,
+        pii_scrub,
+        predict_language,
+        quality_score,
+        repetition_stats,
+        token_count,
+    )
+
+    docs = local_df(
+        spark,
+        [(1, None), (2, ""), (3, "   "), (4, "the quick brown fox and the dog")],
+        "doc_id bigint, text string",
+    )
+
+    # token counts: 0 for NULL/empty/whitespace, never -1
+    counts = {
+        r["doc_id"]: r["n"]
+        for r in docs.select("doc_id", token_count(F.col("text")).alias("n")).collect()
+    }
+    assert counts == {1: 0, 2: 0, 3: 0, 4: 7}
+
+    # language id: zero-token docs are 'und', never a confident label
+    langs = {
+        r["doc_id"]: r["l"]
+        for r in docs.select(
+            "doc_id", predict_language(F.col("text")).alias("l")
+        ).collect()
+    }
+    assert langs[1] == langs[2] == langs[3] == "und" and langs[4] == "en"
+
+    # quality score stays in its documented 0-1 range
+    qs = {r["doc_id"]: r["quality"] for r in quality_score(docs).collect()}
+    assert all(0.0 <= v <= 1.0 for v in qs.values()), qs
+
+    # repetition: zero-token docs have zero repeats, not NULL
+    reps = {r["doc_id"]: r["dup_token_frac"] for r in repetition_stats(docs).collect()}
+    assert reps[1] == reps[2] == reps[3] == 0.0
+
+    # fingerprint: NULL text is missing data, not the empty document
+    fps = {r["doc_id"]: r["fingerprint"] for r in bag_fingerprint(docs).collect()}
+    assert fps[1] is None and fps[2] is not None and fps[2] == fps[3]
+
+    # pii: counts equal the replacements that actually happened
+    p = pii_scrub(
+        local_df(
+            spark,
+            [(1, "contact user@1.2.3.4.com now")],
+            "doc_id bigint, text string",
+        )
+    ).first()
+    assert p["n_email"] == 1 and p["n_ipv4"] == 0
+    assert "<EMAIL>" in p["scrubbed"] and "<IPV4>" not in p["scrubbed"]
+
+    # gopher accounting: a NULL doc FAILS word_count and its ratio
+    # flags are defined (previously NULL -> silently counted as pass)
+    g = gopher_filter_stats(docs).first()
+    assert g["f_word_count"] == 4  # all fixture docs are < 50 words
+    # the NULL doc's ratio flags are DEFINED and counted (mean word
+    # length 0 fails the [3, 10] band like the other empty docs)
+    assert g["f_mean_word_len"] == 3  # docs 1-3; doc 4 passes
+    assert g["n_docs"] == 4 and g["n_kept"] == 0
+
+    # strict packing clamps negative counts (defense in depth): a -1
+    # behaves exactly like a zero-token doc — before the clamp it let
+    # the NEXT oversized doc share a bin below budget ([0, 0, 1] vs
+    # the broken [0, 0, 1]-with-7-tokens-hidden accounting
+    assert next_fit_bins([-1, 7, 7], 6) == next_fit_bins([0, 7, 7], 6)
+    # and each token-bearing oversized doc still closes its bin
+    assert next_fit_bins([-1, 7, 7], 6)[1:] == [0, 1]
+
+
+def test_mixture_sample_capacity_and_null_source(spark):
+    """Round-10 review: (a) NULL-source rows are a sampleable group
+    (the quota join is NULL-safe; they silently vanished before);
+    (b) redistribute=True water-fills surplus quota from undersized
+    sources into remaining capacity, closing the shortfall the
+    share^alpha floor formula leaves when a small source can't fill
+    its quota."""
+    from ais_data_pipeline_spark.operators.corpus import mixture_sample
+
+    rows = (
+        [(i, "big") for i in range(1000)]
+        + [(2000 + i, "small") for i in range(10)]
+        + [(3000, None)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+
+    # NULL source participates
+    out = mixture_sample(df, k=50, alpha=0.5).collect()
+    assert any(r["source"] is None for r in out)
+
+    # default formula: quota for 'small' (~sqrt weights) exceeds its
+    # 10 docs, so the sample undershoots k
+    base = mixture_sample(df, k=500, alpha=0.5).count()
+    assert base < 500
+
+    # water-filled: capacity allows reaching k exactly
+    filled = mixture_sample(df, k=500, alpha=0.5, redistribute=True)
+    assert filled.count() == 500
+    # small source contributes everything it has
+    by_src = {
+        r["source"]: r["n"]
+        for r in filled.groupBy("source").count().withColumnRenamed("count", "n").collect()
+    }
+    assert by_src["small"] == 10
+    # deterministic under repartitioning
+    again = mixture_sample(df.repartition(7), k=500, alpha=0.5, redistribute=True)
+    key = lambda t: (t[0] is None, t[0] or "", t[1])  # noqa: E731
+    assert sorted(
+        ((r["source"], r["doc_id"]) for r in filled.collect()), key=key
+    ) == sorted(((r["source"], r["doc_id"]) for r in again.collect()), key=key)
