@@ -177,8 +177,21 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     the upstream edge build (often a pairs self-join + distinct)
     executes up to five times. localCheckpoint over persist because the
     blocks are reclaimed by the ContextCleaner on GC — a query sweep
-    calling this 150 times leaks no cache entries."""
-    edges = edges.transform(materialize)
+    calling this 150 times leaks no cache entries.
+
+    The src < dst precondition is ENFORCED here, not assumed: one
+    self-loop or duplicate edge silently manufactured phantom
+    triangles (round-10 review — a lone (u, u) edge closed wedges
+    against every real (u, x) edge)."""
+    edges = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .distinct()
+        .transform(materialize)
+    )
     deg = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
@@ -253,14 +266,17 @@ def star_connected_components(
     - small-star: every neighbor v < u (and u itself) links to
       m = min(Γ<(u) ∪ {u})
     """
-    both = (
-        pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("t"))
-        .union(pairs.select(F.col(b_col).alias("s"), F.col(a_col).alias("t")))
-        .filter(F.col("s") != F.col("t"))
+    # node set BEFORE the self-loop filter: an id appearing only in
+    # self-pairs is a legitimate singleton cluster, not a dropped row
+    # (round-10 review — [(7, 7)] returned an empty result)
+    both = pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("t")).union(
+        pairs.select(F.col(b_col).alias("s"), F.col(a_col).alias("t"))
     )
-    # canonical (u, v): u = larger endpoint, v = smaller
+    # canonical (u, v): u = larger endpoint, v = smaller; self-loops
+    # carry no connectivity and drop HERE (after the node set above)
     edges = (
-        both.select(
+        both.filter(F.col("s") != F.col("t"))
+        .select(
             F.greatest("s", "t").alias("u"), F.least("s", "t").alias("v")
         )
         .distinct()

@@ -79,10 +79,14 @@ def cms_estimate(
             )
         ).alias("__p"),
     ).select(item, F.col("__p.row").alias("row"), F.col("__p.bucket").alias("bucket"))
+    # LEFT join: an EMPTY grid cell is a count of 0, not a missing row
+    # — the inner join dropped empty buckets from the min (inflating
+    # estimates) and lost all-empty candidates from the output
+    # entirely (round-10 review)
     return (
-        probes.join(F.broadcast(cms), ["row", "bucket"])
+        probes.join(F.broadcast(cms), ["row", "bucket"], "left")
         .groupBy(item_col)
-        .agg(F.min("cnt").alias("est_cnt"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_cnt"))
     )
 
 
@@ -113,6 +117,10 @@ def hll_registers(
     computed with exact integer/bin-length arithmetic — an ANSI-SQL
     oracle rebuilds identical registers.
     """
+    # NULLs are not distinct values: count_distinct excludes them, and
+    # a NULL row previously produced a (bucket=NULL, M=NULL) register
+    # that biased the harmonic sum (round-10 review)
+    df = df.filter(F.col(item_col).isNotNull())
     h = F.conv(
         F.substring(F.md5(F.col(item_col).cast("string")), 1, 15), 16, 10
     ).cast("long")
@@ -159,7 +167,9 @@ def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
         "long"
     )
     folded = registers.groupBy(*group_cols).agg(
-        F.sum(term).alias("__s_present"),
+        # coalesce: an EMPTY ungrouped register table must yield the
+        # raw all-empty-bucket estimate, not hll_est=NULL (round-10)
+        F.coalesce(F.sum(term), F.lit(0).cast("long")).alias("__s_present"),
         F.count(F.lit(1)).alias("__nb"),
     )
     s_scaled = F.col("__s_present") + (
@@ -277,7 +287,11 @@ def histogram_sketch(
     raw = F.floor((v - F.lit(float(lo))) / F.lit(float(span))).cast("long")
     bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
     return (
-        df.select(*(group_cols or []), bin_.alias("bin"))
+        # NULL/NaN values have no bin: greatest(NULL, 0) silently sent
+        # them to bin 0, corrupting counts and every downstream
+        # quantile (round-10 review)
+        df.filter(v.isNotNull() & ~F.isnan(v))
+        .select(*(group_cols or []), bin_.alias("bin"))
         .groupBy(*(group_cols or []), "bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -302,6 +316,13 @@ def histogram_quantiles(
     from pyspark.sql import Window
 
     span = (hi - lo) / n_bins
+    if not quantiles:
+        # empty list: an empty frame of the declared shape, not None
+        return hist.select(
+            *(group_cols or []),
+            F.lit(0.0).alias("p"),
+            F.lit(0.0).alias("q_est"),
+        ).limit(0)
     w = (
         Window.partitionBy(*(group_cols or []))
         .orderBy("bin")
@@ -313,9 +334,16 @@ def histogram_quantiles(
     out = None
     for p in quantiles:
         num, den = int(round(p * 1_000_000)), 1_000_000
-        thresh = F.expr(f"CAST(((__n * {num}) + {den} - 1) DIV {den} AS BIGINT)")
+        # cum >= ceil(n*num/den)  <=>  cum*den >= n*num (positive
+        # integers) — the multiply-only form in DECIMAL(38,0) cannot
+        # wrap, where __n * 1e6 overflowed BIGINT past ~9.2e12 rows
+        # per group and passed EVERY bin (round-10 review); same
+        # chosen bin bit-for-bit at any size
         hit = (
-            cum.filter(F.col("__cum") >= thresh)
+            cum.filter(
+                F.col("__cum").cast("decimal(38,0)") * F.lit(den)
+                >= F.col("__n").cast("decimal(38,0)") * F.lit(num)
+            )
             .groupBy(*(group_cols or []))
             .agg(F.min("bin").alias("__bin"))
             .select(

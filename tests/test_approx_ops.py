@@ -434,3 +434,90 @@ def test_ivf_index_protocol_hardening(spark, tmp_path):
     assert len(probe_buckets(q, pl, 4)) == 16
     # supersets: raising bits only ever ADDS probes
     assert set(probe_buckets(q, pl, 2)) < set(probe_buckets(q, pl, 3))
+
+
+def test_sketch_and_graph_edge_hardening(spark):
+    """Round-10 review bundle over sketches/graph: empty CMS cells
+    count as 0 (not dropped from the min), NULL values stay out of
+    histograms and HLL registers, the quantile threshold cannot wrap
+    BIGINT, empty inputs return empty/defined results, self-loops and
+    duplicate edges cannot manufacture triangles, and self-pair-only
+    nodes stay in the CC output as singletons."""
+    from pyspark.sql import functions as F
+
+    from ais_data_pipeline_spark.localrel import local_df
+    from ais_data_pipeline_spark.operators.graph import (
+        star_connected_components,
+        triangle_counts,
+    )
+    from ais_data_pipeline_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+        hll_estimate,
+        hll_registers,
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    # CMS: unseen candidates estimate 0 (present in the output), and
+    # a partial bucket collision cannot inflate past the empty-cell 0
+    items = local_df(spark, [(i, "A") for i in range(7)], "i bigint, item string")
+    cms = cms_build(items, "item")
+    cands = local_df(spark, [(1, "A"), (2, "unseen_x")], "i bigint, item string")
+    est = {
+        r["item"]: r["est_cnt"]
+        for r in cms_estimate(cms, cands, "item").collect()
+    }
+    assert est["A"] >= 7 and est["unseen_x"] == 0
+
+    # histogram: NULL/NaN values are excluded, quantiles track the
+    # real values; huge counts cannot wrap the rank threshold
+    vals = local_df(
+        spark,
+        [(50.0,), (60.0,), (None,), (None,), (float("nan"),)],
+        "v double",
+    )
+    h = histogram_sketch(vals, "v", lo=0.0, hi=100.0, n_bins=10)
+    assert h.agg(F.sum("cnt")).first()[0] == 2
+    q = histogram_quantiles(h, [0.5], 0.0, 100.0, 10).first()["q_est"]
+    assert q == 60.0
+    big = local_df(
+        spark, [(1, 2 * 10**13), (9, 2 * 10**13)], "bin bigint, cnt bigint"
+    )
+    q9 = histogram_quantiles(big, [0.9], 0.0, 100.0, 10).first()["q_est"]
+    assert q9 == 100.0, "BIGINT wrap collapsed the quantile to the first bin"
+    # empty quantile list: an empty frame, not None
+    assert histogram_quantiles(h, [], 0.0, 100.0, 10).count() == 0
+
+    # HLL: NULL items are not distinct values; empty global estimate
+    # is a number (the raw all-empty contract), not NULL
+    vals20 = local_df(spark, [(f"u{i}",) for i in range(20)], "item string")
+    with_nulls = vals20.union(
+        local_df(spark, [(None,)] * 5, "item string")
+    )
+    est_clean = hll_estimate(hll_registers(vals20, "item"), []).first()["hll_est"]
+    est_nulls = hll_estimate(hll_registers(with_nulls, "item"), []).first()["hll_est"]
+    assert est_clean == est_nulls
+    empty_est = hll_estimate(
+        hll_registers(vals20.limit(0), "item"), []
+    ).first()["hll_est"]
+    assert empty_est is not None
+
+    # triangles: self-loops and duplicate edges manufacture nothing
+    loops = local_df(
+        spark, [(1, 1), (1, 2), (2, 3), (2, 4), (2, 5)], "src bigint, dst bigint"
+    )
+    assert triangle_counts(loops).count() == 0
+    dups = local_df(
+        spark, [(1, 2), (1, 2), (2, 3), (1, 3)], "src bigint, dst bigint"
+    )
+    assert {
+        r["n_triangles"] for r in triangle_counts(dups).collect()
+    } == {1}
+
+    # star CC: a self-pair-only id is a singleton cluster, not a loss
+    sp = star_connected_components(
+        local_df(spark, [(7, 7), (1, 2)], "doc_a bigint, doc_b bigint")
+    )
+    got = {r["id"]: r["cluster_id"] for r in sp.collect()}
+    assert got == {7: 7, 1: 1, 2: 1}
