@@ -90,90 +90,98 @@ def register(name: str, oracle: str | None, description: str):
 
 
 # The driver checks only the FIRST 50 registry entries per round, so
-# registry order decides which queries get a CORRECTNESS row. Round-10
-# window (the round-9 verdict's item 2): the registry holds flat at
+# registry order decides which queries get a CORRECTNESS row. Round-11
+# window (the round-10 verdict's item 1): the registry holds flat at
 # 200 with a fixed 4-round rotation (200 queries / 50 slots), so this
-# window is exactly the 50 rows whose latest driver row is r6 —
-# CORRECTNESS_r06 keys minus the r07/r08/r09 windows — verified
-# programmatically against the recorded artifacts. After r10 no
-# registered query's latest driver row is older than r7. A NEW query
-# only fits by retiring one whose coverage folds into a same-window
-# survivor (the r9 PNG swap pattern); this round swapped one slot
-# (multimodal_meta -> image_pixel_stats_jpeg, fold note at the
-# retirement site). The r11 window is already determined — the 50
-# rows whose latest driver row is r7 (CORRECTNESS_r07 keys minus the
-# r08/r09/r10 windows): ab_experiment_lift, asof_next_purchase,
-# basket_association_rules, benford_digit_audit, binary_hamming_topk,
-# blocking_suppliers, bloom_prefilter_fp_rate, bm25_top_docs,
-# bracket_revenue, cms_heavy_hitters, conversion_latency_deciles,
-# distinct_pairs, entity_resolution_clusters, event_transition_matrix,
-# event_type_pivot, frequent_event_paths, funnel_view_click_purchase,
-# gopher_quality_filter, hashed_quality_classifier,
-# histogram_quantile_sketch, hll_region_rollup, horizontal_predicates,
-# k_anonymity_audit, lag_lead_events, length_bucket_histogram,
-# line_dedup_stats, map_from_json_props, multi_touch_attribution,
-# near_dup_cluster_sizes, near_dup_clusters_star, ngram_profile,
-# null_counts, ohlc_hourly, pareto_customers,
-# pretraining_pipeline_stats, profile_min_max, rag_chunk_index_topk,
-# readability_scores, sample_seeded, source_overlap_matrix,
-# stratified_quality_sample, streaming_quality_monitor,
-# supplier_bfs_hops, text_normalize, text_quality, token_counts,
-# top_customer_per_nation, topk_orders, vocab_growth_stats,
-# zorder_values.
+# window is exactly the 50 rows whose latest driver row is r7 —
+# CORRECTNESS_r07 keys minus the r08/r09/r10 windows — verified
+# programmatically against the recorded artifacts. After r11 no
+# registered query's latest driver row is older than r8. A NEW query
+# only fits by retiring one whose coverage folds into a green
+# survivor (the r9 PNG swap pattern); this round swapped two slots
+# (sample_seeded -> audio_pcm_stats, near_dup_cluster_sizes ->
+# image_pixel_stats_jpeg_progressive — fold notes at the retirement
+# sites). The r12 window is already determined — the 50 rows whose
+# latest driver row is r8 (CORRECTNESS_r08 keys minus the r09/r10/r11
+# windows): cohort_retention, cross_doc_repeated_spans,
+# cumulative_unique_users, curation_pipeline_stats, doc_chunking,
+# doc_repetition_stats, dominant_supplier_part,
+# embedding_quantize_int8, fuzzy_name_pairs, image_format_dispatch,
+# image_luma_histogram, image_pixel_stats, image_pixel_stats_bmp,
+# image_resize_nn, important_parts_share, incremental_join_view,
+# inverted_index_postings, kmeans_ivf_centroids, market_share,
+# min_cost_supplier_per_part, mixture_sample_docs,
+# ngram_contamination, orc_roundtrip_agg, part_pagerank,
+# pii_scrub_docs, profit_by_nation_year, promo_revenue_share,
+# returned_revenue, revenue_mom_change, rich_idle_customers,
+# rolling_1h_user_stats, rolling_zscore_anomaly,
+# schema_evolution_merge, sequence_packing, simhash_fingerprints,
+# skyline_orders, snapshot_diff_orders, snapshot_time_travel,
+# streaming_stateful_totals, streaming_zscore_anomaly,
+# subsequence_best_match_fft, supplier_count_per_brand_size,
+# supplier_triangles, tfidf_top_terms, token_entropy,
+# top_supplier_quarter, topk_with_ties, trajectory_speed,
+# value_histogram, weighted_sample_orders.
 _FRONT_WINDOW: list[str] = [
-    "ann_index_topk",
-    "approx_quantiles",
-    "array_agg_user_types",
-    "asof_last_click",
-    "audio_meta",
-    "bag_fingerprint",
-    "cluster_best_representative",
-    "date_functions",
-    "date_parse_lenient",
-    "dedup_exact",
-    "dsir_domain_scores",
-    "embedding_near_dup_exact",
-    "embedding_near_dup_lsh",
-    "embedding_topk",
-    "embedding_topk_filtered",
-    "embedding_topk_lsh",
-    "event_pairs_5min",
-    "frame_embedding_topk",
-    "incremental_dedup_stats",
-    "incremental_embedding_dedup_stats",
-    "incremental_rollup_merge",
-    "ivf_index_topk",
-    "ivfpq_index_topk",
-    "ivfpq_rerank_topk",
-    "lang_id",
-    "late_ship_priority",
-    "latest_event_per_user",
-    "media_type_route",
-    "minhash_near_dup",
-    "mmr_diverse_topk",
-    "moving_avg_customer",
-    # swap (r9 pattern): multimodal_meta retired — its verified
-    # columns fold into audio_meta, also in this window — freeing the
-    # slot for the new native baseline-JPEG decode
-    "image_pixel_stats_jpeg",
-    "near_dup_clusters",
-    "ngram_jaccard_pairs",
-    "null_token_normalize",
-    "pq_adc_topk",
-    "q1_pricing_summary",
-    "quantiles_quantity",
-    "revenue_by_nation",
-    "scan_project_filter",
-    "semdedup_stats",
-    "semi_anti_customers",
-    "sessionize_events",
-    "set_ops_segments",
-    "small_qty_revenue",
-    "stream_stream_join",
-    "streaming_ivf_ingest_topk",
-    "string_functions",
-    "subsequence_best_match",
-    "training_shard_manifest",
+    "ab_experiment_lift",
+    "asof_next_purchase",
+    "basket_association_rules",
+    "benford_digit_audit",
+    "binary_hamming_topk",
+    "blocking_suppliers",
+    "bloom_prefilter_fp_rate",
+    "bm25_top_docs",
+    "bracket_revenue",
+    "cms_heavy_hitters",
+    "conversion_latency_deciles",
+    "distinct_pairs",
+    "entity_resolution_clusters",
+    "event_transition_matrix",
+    "event_type_pivot",
+    "frequent_event_paths",
+    "funnel_view_click_purchase",
+    "gopher_quality_filter",
+    "hashed_quality_classifier",
+    "histogram_quantile_sketch",
+    "hll_region_rollup",
+    "horizontal_predicates",
+    "k_anonymity_audit",
+    "lag_lead_events",
+    "length_bucket_histogram",
+    "line_dedup_stats",
+    "map_from_json_props",
+    "multi_touch_attribution",
+    # swap (r9 pattern): near_dup_cluster_sizes retired — it is the
+    # oracle-proven near-dup CC output (near_dup_clusters r10-green,
+    # near_dup_clusters_star in THIS window) plus two tiny one-row-per-
+    # cluster aggs — freeing the slot for the progressive-JPEG decode
+    "image_pixel_stats_jpeg_progressive",
+    "near_dup_clusters_star",
+    "ngram_profile",
+    "null_counts",
+    "ohlc_hourly",
+    "pareto_customers",
+    "pretraining_pipeline_stats",
+    "profile_min_max",
+    "rag_chunk_index_topk",
+    "readability_scores",
+    # swap (verdict item 5): sample_seeded retired — engine-specific
+    # Bernoulli RNG had no oracle anywhere (rows-only check); its O4
+    # coverage folds into hash_sample_orders (r9-green, oracle-paired)
+    # plus a fixed-seed determinism pytest — freeing the slot for the
+    # real WAV/PCM sample decode
+    "audio_pcm_stats",
+    "source_overlap_matrix",
+    "stratified_quality_sample",
+    "streaming_quality_monitor",
+    "supplier_bfs_hops",
+    "text_normalize",
+    "text_quality",
+    "token_counts",
+    "top_customer_per_nation",
+    "topk_orders",
+    "vocab_growth_stats",
+    "zorder_values",
 ]
 
 
@@ -1529,17 +1537,16 @@ def q_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return local_df(spark, [(n,)], "n_pairs bigint")
 
 
-@register(
-    "sample_seeded",
-    None,  # Bernoulli sampling is engine-specific — rows-only check (O4)
-    "O4 seeded random sample (Bernoulli per partition, no shuffle); "
-    "sampling RNG is engine-specific so the check is rows-only.",
-)
-def q_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ais_data_pipeline_spark.operators.ordering import random_sample
-
-    o = read_table(spark, sf_dir, "orders")
-    return random_sample(o.select("o_orderkey", "o_custkey"), fraction=0.1, seed=42)
+# sample_seeded RETIRED (round 11, verdict item 5 — the
+# json_path_extract precedent): it was the registry's only row with no
+# oracle-grade check anywhere (engine-specific Bernoulli RNG,
+# rows-only, adjudicated r3–r7). Its O4 sampling coverage folds into
+# hash_sample_orders (oracle-paired, r9-green — the engine-portable
+# sampling primitive), and the `random_sample` operator itself keeps a
+# fixed-seed determinism gate in pytest (same seed twice -> identical
+# rows; disjoint draws across seeds; fraction within binomial bounds:
+# tests/test_operators.py::test_random_sample_determinism). The freed
+# window slot carries the new real WAV/PCM sample decode.
 
 
 # ---------------------------------------------------------------------------
@@ -3646,6 +3653,59 @@ def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = with_binary_payload(read_table(spark, sf_dir, "documents"), "text")
     return decode_audio_meta(d)
+
+
+@register(
+    "audio_pcm_stats",
+    """
+    WITH params AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS bits,
+             CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS nch,
+             list_extract([8000, 16000, 22050, 44100, 48000],
+                          CAST(doc_id % 5 AS INTEGER) + 1) AS rate,
+             50 + doc_id % 37 AS nf
+      FROM documents
+    ), samp AS (
+      SELECT doc_id, bits, nch, rate, CAST(k % nch AS INTEGER) AS channel,
+             CASE WHEN bits = 8
+                  THEN (doc_id*131 + k*17) % 256 - 128
+                  ELSE CASE WHEN (doc_id*131 + k*17) % 65536 >= 32768
+                            THEN (doc_id*131 + k*17) % 65536 - 65536
+                            ELSE (doc_id*131 + k*17) % 65536 END
+             END AS amp
+      FROM params, UNNEST(range(0, nf*nch)) AS t(k)
+    )
+    SELECT doc_id, channel, CAST(rate AS INTEGER) AS sample_rate,
+           CAST(bits AS INTEGER) AS bits_per_sample,
+           count(*) AS n_samples,
+           CAST(sum(amp) AS BIGINT) AS sum_amp,
+           CAST(sum(abs(amp)) AS BIGINT) AS sum_abs,
+           CAST(max(abs(amp)) AS INTEGER) AS max_abs,
+           CAST(sum(CASE WHEN amp = -(1 << (bits-1))
+                           OR amp = (1 << (bits-1)) - 1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+    FROM samp
+    GROUP BY doc_id, channel, rate, bits
+    ORDER BY doc_id, channel
+    """,
+    "REAL audio sample decode (round 11 — audio gets what images got): "
+    "pure-stdlib RIFF/WAVE chunk walk (junk LIST chunks with odd "
+    "lengths exercise the pad-byte rule), 8-bit-unsigned / 16-bit-LE "
+    "integer PCM frames, per-(doc, channel) exact amplitude stats — "
+    "signed sum, absolute sum, peak, full-scale clip count — all "
+    "integer, so the oracle re-derives every amplitude from the "
+    "fixture's closed-form waveform. Even docs are 8-bit, every third "
+    "stereo; float/ADPCM/24-bit stay honest NotImplementedErrors.",
+)
+def q_audio_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.multimodal import (
+        decode_audio_pcm,
+        make_audio_fixture,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return decode_audio_pcm(make_audio_fixture(d)).orderBy("doc_id", "channel")
 
 
 _IVF = {"n_centroids": 16, "nprobe": 4, "k": 10}
