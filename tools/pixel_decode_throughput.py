@@ -72,11 +72,31 @@ def main() -> None:
             blocks.append(b)
         return encode_jpeg_coeffs(w, h, [blocks])
 
+    from ais_data_pipeline_spark.operators.jpeg import encode_jpeg_progressive
+
+    def encode_jpeg_prog_probe(i: int, w: int, h: int) -> bytes:
+        """Same ~12-AC-coefficient content as the baseline probe,
+        routed through the SOF2 multi-scan encoder — the progressive-
+        vs-sequential entropy-cost comparison at equal pixel content
+        (progressive revisits every coefficient once per successive-
+        approximation level, so the bit loop runs ~2x the symbols)."""
+        nbx, nby = (w + 7) // 8, (h + 7) // 8
+        blocks = []
+        for m in range(nbx * nby):
+            b = [0] * 64
+            b[0] = (i * 31 + m) % 256 - 128
+            for j in range(12):
+                k = 1 + (m * 7 + j * 5) % 63
+                b[k] = ((i + m + j) % 19) - 9 or 1
+            blocks.append(b)
+        return encode_jpeg_progressive(w, h, [blocks])
+
     encoders = {
         "ppm": encode_ppm,
         "bmp": encode_bmp,
         "png": encode_png,
         "jpeg": encode_jpeg_probe,
+        "jpeg_progressive": encode_jpeg_prog_probe,
     }
 
     def fixture(fmt: str, n: int):

@@ -68,7 +68,6 @@ EAGER = {
     # set eagerly (localCheckpoint, round-8 O(candidates) fix) — these
     # three run bounded Spark jobs at DataFrame-construction time
     "minhash_near_dup",
-    "near_dup_cluster_sizes",
     "near_dup_clusters_star",
     "pretraining_pipeline_stats",
     # global_ntile / skyline_2d / grouped_global_rank collect their
