@@ -739,14 +739,11 @@ def run_incremental_dedup(
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         from ais_data_pipeline_spark.observability import log
 
-        n_in = batch_df.count()
-        survivors = dedup_batch_against_index(
-            batch_df, index_path, threshold, n_hashes, bands,
-            shingle_n, seed, text_col, id_col, max_bucket_size,
-            exclude_batch=batch_id,  # replay after partial failure
-            # must not probe this batch's own attempt-1 slices
-        ).transform(materialize)  # decide once; written 4 ways below
-        n_kept = survivors.count()
+        n_in, n_kept = dedup_and_append_batch(
+            batch_df, batch_id, index_path, out_path, threshold,
+            n_hashes, bands, shingle_n, seed, text_col, id_col,
+            max_bucket_size,
+        )
         log(
             "incremental_dedup_batch",
             batch_id=batch_id,
@@ -754,31 +751,6 @@ def run_incremental_dedup(
             rows_kept=n_kept,
             rows_dropped=n_in - n_kept,
         )
-        _write_slice(survivors, out_path, batch_id, approx_rows=n_kept)
-        # written twice (hashes + shingles): pin once per batch
-        feats = _features(survivors, text_col, id_col, shingle_n).transform(materialize)
-        _write_slice(
-            feats.select("doc", "text_hash"),
-            os.path.join(index_path, "hashes"),
-            batch_id,
-            bloom_col="text_hash",
-            approx_rows=n_kept,  # features are 1:1 per surviving doc
-        )
-        _write_slice(
-            feats.select("doc", "shingles"),
-            os.path.join(index_path, "shingles"),
-            batch_id,
-            approx_rows=n_kept,
-        )
-        surv_bands = minhash_band_rows(
-            survivors, n_hashes, bands, text_col, id_col, shingle_n, seed
-        ).transform(materialize)  # written twice: buckets + stats
-        _write_slice(
-            surv_bands, os.path.join(index_path, "buckets"), batch_id,
-            bloom_col="bucket",
-            approx_rows=n_kept * bands,  # one band row per doc per band
-        )
-        _write_bucket_stats(surv_bands, index_path, batch_id)
 
     q = (
         stream_df.writeStream.foreachBatch(handle)
@@ -787,3 +759,59 @@ def run_incremental_dedup(
         .start()
     )
     q.awaitTermination()
+
+
+def dedup_and_append_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    out_path: str,
+    threshold: float = 0.5,
+    n_hashes: int = 32,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
+) -> tuple[int, int]:
+    """One ingest step — dedup ``batch_df`` against the index, append
+    survivors to ``out_path`` and their features to the index — shared
+    by the foreachBatch sink above and the long-horizon probe tool
+    (``tools/incdedup_longrun.py``). Idempotent per ``batch_id``
+    (partition overwrite), replay-safe (probes exclude this batch's
+    own ``src_batch=`` slices). Returns (rows_in, rows_kept)."""
+    n_in = batch_df.count()
+    survivors = dedup_batch_against_index(
+        batch_df, index_path, threshold, n_hashes, bands,
+        shingle_n, seed, text_col, id_col, max_bucket_size,
+        exclude_batch=batch_id,  # replay after partial failure
+        # must not probe this batch's own attempt-1 slices
+    ).transform(materialize)  # decide once; written 4 ways below
+    n_kept = survivors.count()
+    _write_slice(survivors, out_path, batch_id, approx_rows=n_kept)
+    # written twice (hashes + shingles): pin once per batch
+    feats = _features(survivors, text_col, id_col, shingle_n).transform(materialize)
+    _write_slice(
+        feats.select("doc", "text_hash"),
+        os.path.join(index_path, "hashes"),
+        batch_id,
+        bloom_col="text_hash",
+        approx_rows=n_kept,  # features are 1:1 per surviving doc
+    )
+    _write_slice(
+        feats.select("doc", "shingles"),
+        os.path.join(index_path, "shingles"),
+        batch_id,
+        approx_rows=n_kept,
+    )
+    surv_bands = minhash_band_rows(
+        survivors, n_hashes, bands, text_col, id_col, shingle_n, seed
+    ).transform(materialize)  # written twice: buckets + stats
+    _write_slice(
+        surv_bands, os.path.join(index_path, "buckets"), batch_id,
+        bloom_col="bucket",
+        approx_rows=n_kept * bands,  # one band row per doc per band
+    )
+    _write_bucket_stats(surv_bands, index_path, batch_id)
+    return n_in, n_kept

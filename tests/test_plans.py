@@ -992,8 +992,16 @@ def test_shuffle_byte_ceilings():
         "semdedup_stats": 0.06,
         "source_overlap_matrix": 0.35,
         "pretraining_pipeline_stats": 0.2,
-        "incremental_dedup_stats": 0.9,
+        # re-measured post-r10-hardening (round-10 verdict item 6):
+        # probe-partition exclusion + the measured single-file default
+        # left the wire volume unchanged (0.91 vs the r9 0.9 row)
+        "incremental_dedup_stats": 0.91,
         "ivfpq_rerank_topk": 0.09,
+        # the other two r10-hardened streaming paths, same verdict item:
+        # a probe that re-shuffles index history (instead of broadcast /
+        # IN-pushdown) or a foreachBatch funnel trips these
+        "incremental_embedding_dedup_stats": 0.2,
+        "streaming_ivf_ingest_topk": 0.13,
         # the round-9 distributed-rank rewrites (round-10 verdict item
         # 5): a revert to the single-task global window changes the
         # shuffle profile, so these rows complement the plan-shape

@@ -59,6 +59,12 @@ AUDIT: dict[str, list[str]] = {
     # in the extended bench, audited with the same per-doc normalization
     "incremental_dedup_stats": ["documents"],
     "ivfpq_rerank_topk": ["embeddings"],
+    # the round-10-hardened streaming paths (round-10 verdict item 6):
+    # probe-partition exclusion, the measured single-file default, and
+    # the IVF compaction watermark all changed real I/O shapes — a
+    # silent funnel or a probe that re-shuffles history shows up here
+    "incremental_embedding_dedup_stats": ["embeddings"],
+    "streaming_ivf_ingest_topk": ["embeddings"],
     # the round-9 distributed-rank rewrites (round-10 verdict item 5):
     # a revert to the single-task global window has a DIFFERENT shuffle
     # profile (one range exchange of the full table into few tasks vs
