@@ -268,6 +268,8 @@ def _decode_progressive_scan(
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     ns = body[0]
+    if not 1 <= ns <= 4:  # T.81 B.2.3 — and Ns=0 would crash the
+        raise ValueError("bad scan component count")  # walks below
     if len(body) != 4 + 2 * ns:
         raise ValueError("bad SOS segment length")
     comp_index = {cid: ci for ci, (cid, _tq, _hi, _vi) in enumerate(comps)}
@@ -284,6 +286,10 @@ def _decode_progressive_scan(
     if ss == 0:
         if se != 0:
             raise ValueError("progressive DC scan must have Se=0 (T.81 G.1.1.1.1)")
+        if ah > 0 and any(comps[ci][0] not in dc_done for ci, _td, _ta in scomps):
+            # refining DC bits that were never first-coded would OR
+            # garbage into every block silently
+            raise ValueError("progressive DC refinement before the DC first scan")
     else:
         if ns != 1:
             raise ValueError("progressive AC scan must be single-component (T.81 A.2)")
@@ -1082,6 +1088,10 @@ def encode_jpeg_progressive(
         out += _seg(0xDD, struct.pack(">H", restart_interval))
 
     for scan_comps, ss, se, ah, al in scans:
+        if not scan_comps or len(set(scan_comps)) != len(scan_comps) or any(
+            not 0 <= c < ncomp for c in scan_comps
+        ):
+            raise ValueError("bad scan component list")
         if ss == 0 and se != 0:
             raise ValueError("DC scan must have Se=0")
         if ss > 0 and len(scan_comps) != 1:

@@ -20,7 +20,7 @@ image/audio libraries exist in this container:
   paletted PNG, ...) with an explicit ``NotImplementedError`` when
   neither applies.
 - ``decode_audio_pcm`` is the audio analogue (round 11): a REAL
-  RIFF/WAVE + 8/16-bit integer PCM sample decode
+  RIFF/WAVE + 8/16/24-bit integer PCM sample decode
   (``operators.wav``) emitting exact per-channel amplitude stats.
 
 The batch path is ``mapInPandas`` with Arrow transfer: payloads stream
@@ -802,7 +802,7 @@ def decode_audio_pcm(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:
     """REAL per-sample audio decode via mapInPandas (Arrow-batched):
-    parse the RIFF/WAVE container, decode the 8/16-bit PCM frames, and
+    parse the RIFF/WAVE container, decode the 8/16/24-bit PCM frames, and
     emit one row per (doc, channel) with exact integer amplitude stats
     — signed sum, absolute sum, peak, and full-scale clip count (all
     int64, no float accumulation, so a SQL oracle re-derives them

@@ -4,11 +4,11 @@ Round-11 (verdict item 3): audio gets what images got in r8–r10 — a
 REAL sample decode, not a header parse. Scope is the layouts a
 ``struct`` + numpy parser can own exactly: RIFF/WAVE chunk walk
 (unknown chunks skipped, odd-length chunks padded per the RIFF spec),
-``fmt `` format code 1 (integer PCM), 8-bit unsigned and 16-bit
-signed-little-endian samples, any channel count. Float PCM (code 3),
-WAVE_FORMAT_EXTENSIBLE (0xFFFE), ADPCM, and 24/32-bit depths raise the
-honest ``NotImplementedError`` — the same exotic-variant convention as
-progressive-era JPEG and interlaced PNG.
+``fmt `` format code 1 (integer PCM), 8-bit unsigned plus 16- and
+24-bit signed-little-endian samples, any channel count. Float PCM
+(code 3), WAVE_FORMAT_EXTENSIBLE (0xFFFE), ADPCM, and 32-bit depth
+raise the honest ``NotImplementedError`` — the same exotic-variant
+convention as the JPEG/PNG decoders.
 
 Amplitudes are normalized to the SIGNED convention on decode: 16-bit
 samples are already signed; 8-bit WAV is unsigned with a 128 midpoint
@@ -30,20 +30,24 @@ import numpy as np
 
 #: full-scale (clip) amplitude bounds per supported bit depth, in the
 #: centered/signed convention the parser returns
-CLIP_BOUNDS = {8: (-128, 127), 16: (-32768, 32767)}
+CLIP_BOUNDS = {
+    8: (-128, 127),
+    16: (-32768, 32767),
+    24: (-(1 << 23), (1 << 23) - 1),
+}
 
 
 def parse_wav(data: bytes) -> tuple[np.ndarray, int, int]:
     """WAV bytes -> (frames, sample_rate, bits_per_sample).
 
     ``frames`` is an ``(n_frames, n_channels)`` int32 array of CENTERED
-    amplitudes (8-bit unsigned samples are shifted by -128; 16-bit LE
-    samples pass through). Real parser: RIFF header check, chunk walk
-    honoring the even-byte padding rule, first ``fmt `` + first
-    ``data`` chunk win (later duplicates ignored, like common readers).
-    Raises ``ValueError`` on corrupt containers and
-    ``NotImplementedError`` on out-of-scope encodings (non-PCM format
-    codes, depths other than 8/16)."""
+    amplitudes (8-bit unsigned samples are shifted by -128; 16-bit and
+    24-bit LE two's-complement samples pass through). Real parser:
+    RIFF header check, chunk walk honoring the even-byte padding rule,
+    first ``fmt `` + first ``data`` chunk win (later duplicates
+    ignored, like common readers). Raises ``ValueError`` on corrupt
+    containers and ``NotImplementedError`` on out-of-scope encodings
+    (non-PCM format codes, depths other than 8/16/24)."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos = 12
@@ -67,7 +71,7 @@ def parse_wav(data: bytes) -> tuple[np.ndarray, int, int]:
                 )
             if bits not in CLIP_BOUNDS:
                 raise NotImplementedError(
-                    f"{bits}-bit WAV samples not supported (8/16-bit PCM only)"
+                    f"{bits}-bit WAV samples not supported (8/16/24-bit PCM only)"
                 )
             if nch == 0 or rate == 0:
                 raise ValueError("WAV with zero channels or sample rate")
@@ -88,8 +92,12 @@ def parse_wav(data: bytes) -> tuple[np.ndarray, int, int]:
         raise ValueError("WAV data chunk is not a whole number of frames")
     if bits == 8:
         amps = np.frombuffer(raw, dtype=np.uint8).astype(np.int32) - 128
-    else:
+    elif bits == 16:
         amps = np.frombuffer(raw, dtype="<i2").astype(np.int32)
+    else:  # 24-bit: three LE bytes per sample, two's complement
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).astype(np.int32)
+        amps = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        amps -= (amps >= (1 << 23)) * (1 << 24)
     return amps.reshape(-1, nch), rate, bits
 
 

@@ -3739,7 +3739,8 @@ def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "signed sum, absolute sum, peak, full-scale clip count — all "
     "integer, so the oracle re-derives every amplitude from the "
     "fixture's closed-form waveform. Even docs are 8-bit, every third "
-    "stereo; float/ADPCM/24-bit stay honest NotImplementedErrors.",
+    "stereo; float/ADPCM/32-bit stay honest NotImplementedErrors "
+    "(24-bit decodes natively too, pinned in pytest).",
 )
 def q_audio_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ais_data_pipeline_spark.operators.multimodal import (

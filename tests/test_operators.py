@@ -3223,9 +3223,29 @@ def test_wav_pcm_decode_and_contracts(spark):
     float_fmt = b"fmt " + _struct.pack("<IHHIIHH", 16, 3, 1, 8000, 32000, 4, 32)
     with _pytest.raises(NotImplementedError, match="format code 3"):
         parse_wav(b"RIFF" + _struct.pack("<I", 4 + len(float_fmt)) + b"WAVE" + float_fmt)
-    f24 = b"fmt " + _struct.pack("<IHHIIHH", 16, 1, 1, 8000, 24000, 3, 24)
-    with _pytest.raises(NotImplementedError, match="24-bit"):
-        parse_wav(b"RIFF" + _struct.pack("<I", 4 + len(f24)) + b"WAVE" + f24)
+    f32 = b"fmt " + _struct.pack("<IHHIIHH", 16, 1, 1, 8000, 32000, 4, 32)
+    with _pytest.raises(NotImplementedError, match="32-bit"):
+        parse_wav(b"RIFF" + _struct.pack("<I", 4 + len(f32)) + b"WAVE" + f32)
+
+    # 24-bit PCM (round-11 widening): three-LE-byte two's complement,
+    # incl. both full-scale clips and sign-boundary values
+    vals24 = [0, 1, -1, 8388607, -8388608, -2, 65536, -65537]
+    raw24 = b"".join(
+        (v & 0xFFFFFF).to_bytes(3, "little") for v in vals24
+    )
+    f24 = b"fmt " + _struct.pack("<IHHIIHH", 16, 1, 1, 48000, 48000 * 3, 3, 24)
+    wav24 = (
+        b"RIFF"
+        + _struct.pack("<I", 4 + len(f24) + 8 + len(raw24))
+        + b"WAVE"
+        + f24
+        + b"data"
+        + _struct.pack("<I", len(raw24))
+        + raw24
+    )
+    frames24, rate24, bits24 = parse_wav(wav24)
+    assert (rate24, bits24) == (48000, 24)
+    assert frames24[:, 0].tolist() == vals24
 
     # fuzz-lite: random byte flips can only surface the documented
     # exception classes
@@ -3369,7 +3389,22 @@ def test_jpeg_progressive_decode_and_contracts(spark):
             [[[0] * 64] * 4, [[0] * 64] * 4, [[0] * 64] * 4],
             scans=[((0, 1, 2), 0, 0, 0, 0), ((0, 1), 1, 63, 0, 0)],
         )
+    # DC refinement before the DC first scan ORs garbage bits — loud
+    dc_refine_first = [((0,), 0, 0, 1, 0), ((0,), 0, 0, 0, 0)]
+    bad2 = encode_jpeg_progressive(16, 16, [[[0] * 64] * 4], scans=dc_refine_first)
+    with _pytest.raises(ValueError, match="DC refinement before"):
+        parse_jpeg(bad2)
+    # Ns=0 in a progressive SOS is the corrupt-stream contract
+    # (ValueError), never an IndexError crash
     ok = encode_jpeg_constant_blocks(16, 16, [10, 20, 30, 40], progressive=True)
+    i0 = ok.index(b"\xff\xda")
+    zeroed = bytearray(ok)
+    zeroed[i0 + 4] = 0
+    zeroed[i0 + 3] = 4 + 2  # keep the declared length consistent-ish
+    with _pytest.raises(ValueError):
+        parse_jpeg(bytes(zeroed))
+    with _pytest.raises(ValueError, match="bad scan component list"):
+        encode_jpeg_progressive(16, 16, [[[0] * 64] * 4], scans=[((), 0, 0, 0, 0)])
     with _pytest.raises(ValueError):
         parse_jpeg(ok[:-24])  # cut inside the final scan
     with _pytest.raises(ValueError, match="no EOI"):
@@ -3422,3 +3457,91 @@ def test_jpeg_progressive_decode_and_contracts(spark):
     script = default_progression(3)
     assert any(s[3] > 0 for s in script)  # refinement passes present
     assert any(s[1] > 0 and s[2] < 63 for s in script)  # partial bands
+
+
+def test_jpeg_progressive_hand_assembled_streams():
+    """Encoder-independent pin on the progressive ENTROPY conventions:
+    the property test round-trips through this repo's own encoder, so a
+    matched encoder/decoder misunderstanding of a bit-level rule would
+    cancel out there. Here two streams are assembled BY HAND from the
+    T.81 text — canonical code construction (C.2), EXTEND (F.2.2.1),
+    DC point transform/refinement and AC newly-significant/correction
+    bits (G.1.2) — and the decoder must produce the raster an
+    independent inline IDCT computes. Both a two-scan spectral-
+    selection stream and a four-scan successive-approximation stream
+    encode the SAME 8x8 coefficients (DC=-26, AC zz1=-3, zz2=1), so
+    they must also decode identically to each other."""
+    import struct as _struct
+
+    import numpy as np
+
+    from ais_data_pipeline_spark.operators.jpeg import parse_jpeg
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + _struct.pack(">H", len(body) + 2) + body
+
+    # shared headers: flat DQT, 8x8 1-component SOF2, two hand tables —
+    # DC: 12 symbols (sizes 0..11) at code length 4 -> symbol i = code i;
+    # AC: symbols {EOB, 0x01, 0x02} at length 2 -> codes 00, 01, 10
+    head = b"\xff\xd8"
+    head += seg(0xDB, b"\x00" + bytes([1] * 64))
+    head += seg(0xC2, _struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    dht = bytes([0x00]) + bytes([0, 0, 0, 12] + [0] * 12) + bytes(range(12))
+    dht += bytes([0x10]) + bytes([0, 3] + [0] * 14) + bytes([0x00, 0x01, 0x02])
+    head += seg(0xC4, dht)
+
+    def sos(ss, se, ah, al, *entropy):
+        return seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al])) + bytes(entropy)
+
+    # stream A — spectral selection only (Al=0 everywhere):
+    #   DC scan: size 5 (code 0101) + EXTEND bits of -26 (-26+31=5 ->
+    #   00101) = 010100101, 1-padded -> 0x52 0xFF(stuffed)0x00
+    #   AC scan: 0x02 (code 10) + mag(-3: -3+3=0 -> 00); 0x01 (code 01)
+    #   + mag(1 -> 1); EOB (00) = 10 00 01 1 00, 1-padded -> 0x86 0x7F
+    stream_a = (
+        head
+        + sos(0, 0, 0, 0, 0x52, 0xFF, 0x00)
+        + sos(1, 63, 0, 0, 0x86, 0x7F)
+        + b"\xff\xd9"
+    )
+
+    # stream B — successive approximation (Al=1 then refine to 0):
+    #   DC first Al=1: -26>>1 = -13 -> size 4 (code 0100) + bits
+    #   (-13+15=2 -> 0010) = 0x42
+    #   AC first Al=1: zz1: |-3|>>1 = 1 -> (0,1) code 01 + mag(-1 -> 0);
+    #   zz2: 1>>1 = 0 (invisible at this precision); EOB (00)
+    #   = 01 0 00, 1-padded -> 0x47
+    #   DC refine: one raw bit = (-26 >> 0) & 1 = 0, 1-padded -> 0x7F
+    #   AC refine Al=0: zz1 history (-2): correction bit |−3|&1 = 1
+    #   buffered; zz2 newly ±1: (0,1) code 01 + sign 1 + buffered 1;
+    #   tail zeros -> EOB (00) = 01 1 1 00, 1-padded -> 0x73
+    stream_b = (
+        head
+        + sos(0, 0, 0, 1, 0x42)
+        + sos(1, 63, 0, 1, 0x47)
+        + sos(0, 0, 1, 0, 0x7F)
+        + sos(1, 63, 1, 0, 0x73)
+        + b"\xff\xd9"
+    )
+
+    got_a, got_b = parse_jpeg(stream_a), parse_jpeg(stream_b)
+    assert (got_a == got_b).all()
+
+    # independent reference: own zigzag + own cosine IDCT
+    zz = sorted(
+        ((r, c) for r in range(8) for c in range(8)),
+        key=lambda rc: (rc[0] + rc[1], rc[0] if (rc[0] + rc[1]) % 2 else -rc[0]),
+    )
+    F8 = np.zeros((8, 8))
+    for k, v in ((0, -26), (1, -3), (2, 1)):
+        F8[zz[k]] = v
+    M = np.array(
+        [
+            [((1 / np.sqrt(2)) if u == 0 else 1.0) / 2.0
+             * np.cos((2 * x + 1) * u * np.pi / 16) for u in range(8)]
+            for x in range(8)
+        ]
+    )
+    ref = np.clip(np.round(M @ F8 @ M.T + 128), 0, 255).astype(np.uint8)
+    assert got_a.shape == (8, 8, 3)
+    assert (got_a == np.stack([ref] * 3, axis=-1)).all()
