@@ -845,6 +845,76 @@ def decode_audio_pcm(
     return narrow.mapInPandas(extract, AUDIO_PCM_SCHEMA)
 
 
+VIDEO_META_SCHEMA = (
+    "doc_id bigint, major_brand string, timescale int, duration_ms bigint, "
+    "n_tracks int, width int, height int, n_frames bigint"
+)
+
+
+def make_video_fixture(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload) synthetic video fixture: real ISO-BMFF bytes
+    (ftyp + moov with a video and an audio trak, 64-bit largesize on
+    every third doc, mvhd version 1 on every fourth) whose metadata
+    follows ``mp4_fixture_params``' closed forms — the video analogue
+    of ``make_image_fixture``/``make_audio_fixture``."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ais_data_pipeline_spark.operators.mp4 import encode_mp4
+
+        for pdf in batches:
+            ids = [int(i) for i in pdf[id_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "payload": [encode_mp4(i) for i in ids],
+                }
+            )
+
+    from ais_data_pipeline_spark.operators.util import spread_to_parallelism
+
+    narrow = spread_to_parallelism(df.select(id_col))
+    return narrow.mapInPandas(encode, "doc_id bigint, payload binary")
+
+
+def decode_video_meta(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL video container parse via mapInPandas (round 11): the
+    ISO-BMFF box walk (``operators.mp4``) replaces the payload-size
+    stub for the numbers a frame-sampling plan needs — true frame
+    count (stsz), duration (mvhd), resolution (tkhd). Decoding coded
+    samples stays codec work behind the honest-stub line, exactly the
+    image tier's PIL-hook convention. Feed ``n_frames`` into the same
+    explode that ``frame_sample_plan`` builds and the downstream
+    fan-out is unchanged."""
+    from ais_data_pipeline_spark.operators.mp4 import parse_mp4_meta
+
+    cols = (
+        "doc_id", "major_brand", "timescale", "duration_ms",
+        "n_tracks", "width", "height", "n_frames",
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                m = parse_mp4_meta(bytes(payload))
+                out["doc_id"].append(int(doc_id))
+                out["major_brand"].append(m["major_brand"])
+                out["timescale"].append(m["timescale"])
+                out["duration_ms"].append(m["duration_ms"])
+                out["n_tracks"].append(m["n_tracks"])
+                out["width"].append(m["width"])
+                out["height"].append(m["height"])
+                out["n_frames"].append(m["n_samples"])
+            yield pd.DataFrame(out)
+
+    from ais_data_pipeline_spark.operators.util import spread_to_parallelism
+
+    narrow = spread_to_parallelism(df.select(id_col, payload_col))
+    return narrow.mapInPandas(extract, VIDEO_META_SCHEMA)
+
+
 def frame_sample_plan(
     df: DataFrame,
     every_n_frames: int,

@@ -3545,3 +3545,92 @@ def test_jpeg_progressive_hand_assembled_streams():
     ref = np.clip(np.round(M @ F8 @ M.T + 128), 0, 255).astype(np.uint8)
     assert got_a.shape == (8, 8, 3)
     assert (got_a == np.stack([ref] * 3, axis=-1)).all()
+
+
+def test_mp4_container_parse_and_contracts(spark):
+    """The pure-stdlib ISO-BMFF parser (round 11 — video joins the
+    REAL-parse tier): closed-form fixtures through the Spark path
+    (largesize + mvhd-v1 variants, video-track selection over a
+    two-trak tree, skip/free boxes ignored), and the corrupt-container
+    error contracts."""
+    import struct as _struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from ais_data_pipeline_spark.localrel import local_df
+    from ais_data_pipeline_spark.operators.mp4 import (
+        encode_mp4,
+        mp4_fixture_params,
+        parse_mp4_meta,
+    )
+    from ais_data_pipeline_spark.operators.multimodal import (
+        decode_video_meta,
+        make_video_fixture,
+    )
+
+    # spec variants really in the streams: doc 3 = plain 32-bit moov
+    # size, doc 0 = 64-bit largesize (size field 1), doc 4 = mvhd v1
+    plain = encode_mp4(1)
+    assert _struct.unpack_from(">I", plain, plain.index(b"moov") - 4)[0] > 1
+    big = encode_mp4(0)
+    assert _struct.unpack_from(">I", big, big.index(b"moov") - 4)[0] == 1
+    v1 = encode_mp4(4)
+    assert v1[v1.index(b"mvhd") + 4] == 1 and plain[plain.index(b"mvhd") + 4] == 0
+
+    # error contracts: truncated box header, overrunning box, missing
+    # moov, zero timescale, tkhd/hdlr/stsz outside a trak
+    ok = encode_mp4(1)
+    ftyp_len = _struct.unpack_from(">I", ok, 0)[0]
+    with _pytest.raises(ValueError, match="truncated MP4 box"):
+        parse_mp4_meta(ok[:ftyp_len] + b"\x00\x00")  # 2 trailing bytes
+    with _pytest.raises(ValueError, match="overruns"):
+        parse_mp4_meta(ok[:10])  # ftyp declares more than remains
+    with _pytest.raises(ValueError, match="overruns"):
+        bad = bytearray(ok)
+        bad[0:4] = _struct.pack(">I", len(ok) + 50)
+        parse_mp4_meta(bytes(bad))
+    ftyp_only = ok[: _struct.unpack_from(">I", ok, 0)[0]]
+    with _pytest.raises(ValueError, match="missing moov"):
+        parse_mp4_meta(ftyp_only)
+    zero_ts = bytearray(ok)
+    i = zero_ts.index(b"mvhd") + 4 + 12  # v0 timescale offset for doc 1
+    zero_ts[i : i + 4] = bytes(4)
+    with _pytest.raises(ValueError, match="timescale is zero"):
+        parse_mp4_meta(bytes(zero_ts))
+    hdlr_box = _struct.pack(">I", 8 + 84) + b"hdlr" + bytes(8) + b"vide" + b"\x00" * 72
+    mdia_box = _struct.pack(">I", 8 + len(hdlr_box)) + b"mdia" + hdlr_box
+    orphan = (
+        ftyp_only
+        + _struct.pack(">I", 8 + len(mdia_box))
+        + b"moov"
+        + mdia_box  # mdia (and its hdlr) with no enclosing trak
+    )
+    with _pytest.raises(ValueError, match="outside a trak"):
+        parse_mp4_meta(orphan)
+
+    # fuzz-lite: random byte flips surface only the documented classes
+    rng = np.random.default_rng(23)
+    for _ in range(300):
+        b = bytearray(ok)
+        for _k in range(int(rng.integers(1, 4))):
+            b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+        try:
+            parse_mp4_meta(bytes(b))
+        except ValueError:
+            pass
+
+    # Spark integration: metadata matches the closed forms
+    ids = [0, 1, 3, 4, 9, 30]
+    rows = {
+        r["doc_id"]: r
+        for r in decode_video_meta(
+            make_video_fixture(local_df(spark, [(i,) for i in ids], "doc_id bigint"))
+        ).collect()
+    }
+    for i in ids:
+        ts, dur, w, h, n = mp4_fixture_params(i)
+        r = rows[i]
+        assert r["major_brand"] == "isom" and r["n_tracks"] == 2
+        assert r["timescale"] == ts and r["duration_ms"] == dur * 1000 // ts
+        assert (r["width"], r["height"], r["n_frames"]) == (w, h, n), i
