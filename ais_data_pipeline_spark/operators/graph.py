@@ -65,9 +65,15 @@ def pagerank(
     package switches to reliable ``.checkpoint(eager=True)`` — same
     semantics, survives executor loss, at the cost of a write per
     round. local[] and short-lived jobs keep the cheap default."""
-    e = edges.select(
-        F.col(src).alias("__s"), F.col(dst).alias("__d")
-    ).transform(materialize)
+    # an edge with a NULL endpoint is not an edge: it previously kept
+    # its slot in the source's outdegree (destroying that share of the
+    # rank mass) and minted a phantom NULL node in the output
+    # (round-11 review)
+    e = (
+        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+        .filter(F.col("__s").isNotNull() & F.col("__d").isNotNull())
+        .transform(materialize)
+    )
     deg = e.groupBy(F.col("__s").alias("__dn")).agg(
         F.count(F.lit(1)).alias("__outdeg")
     )
@@ -268,9 +274,14 @@ def star_connected_components(
     """
     # node set BEFORE the self-loop filter: an id appearing only in
     # self-pairs is a legitimate singleton cluster, not a dropped row
-    # (round-10 review — [(7, 7)] returned an empty result)
-    both = pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("t")).union(
-        pairs.select(F.col(b_col).alias("s"), F.col(a_col).alias("t"))
+    # (round-10 review — [(7, 7)] returned an empty result). A NULL id
+    # is NOT a node: it previously surfaced as an (id=NULL,
+    # cluster_id=NULL) output row (round-11 review); its non-null
+    # partner keeps its singleton row through the node set.
+    both = (
+        pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("t"))
+        .union(pairs.select(F.col(b_col).alias("s"), F.col(a_col).alias("t")))
+        .filter(F.col("s").isNotNull())
     )
     # canonical (u, v): u = larger endpoint, v = smaller; self-loops
     # carry no connectivity and drop HERE (after the node set above)
@@ -364,6 +375,9 @@ def bfs_hops(
     sym = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        # a NULL endpoint is not a node: a (x, NULL) edge previously
+        # put an (id=NULL, hops=h) row into the visited set (r11 review)
+        .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
         .distinct()
         .transform(materialize)
     )

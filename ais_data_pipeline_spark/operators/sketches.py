@@ -39,9 +39,14 @@ def _cms_bucket(item: Column, row: int, w: int) -> Column:
 def cms_build(df: DataFrame, item_col: str, d: int = 4, w: int = 256) -> DataFrame:
     """Build the d x w grid: (row, bucket, cnt). One explode to d rows
     per record, one partially-aggregated groupBy — output is <= d*w
-    rows regardless of input size."""
+    rows regardless of input size. NULL items are not countable items
+    (the HLL convention, round-11 review): they previously minted
+    phantom ``bucket=NULL`` cells that broke the per-row ``sum(cnt) ==
+    N`` invariant while estimating 0 on the probe side."""
+    if d < 1 or w < 1:
+        raise ValueError("CMS needs d >= 1 hash rows and w >= 1 buckets")
     item = F.col(item_col)
-    cells = df.select(
+    cells = df.filter(item.isNotNull()).select(
         F.explode(
             F.array(
                 *[
@@ -65,8 +70,11 @@ def cms_estimate(
     the item's d (row, bucket) cells against the grid, take the min.
     The candidate set is usually small (heavy-hitter verification) —
     it broadcasts; the grid is <= d*w rows and broadcasts too."""
+    if d < 1 or w < 1:
+        raise ValueError("CMS needs d >= 1 hash rows and w >= 1 buckets")
     item = F.col(item_col)
-    probes = candidates.select(
+    # NULL candidates mirror the build-side rule: not countable items
+    probes = candidates.filter(item.isNotNull()).select(
         item,
         F.explode(
             F.array(
@@ -160,7 +168,17 @@ def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
     is 1-ulp non-portable cross-engine (same measured finding that
     shaped dsir_domain_scores); the raw estimate is the deterministic
     contract, documented here.
+
+    Idempotently MERGES first (max M per group+bucket): feeding an
+    unmerged UNION of segment register tables previously double-counted
+    buckets, drove the empty-bucket term ``m - nb`` negative, and
+    returned a silently NEGATIVE estimate (measured -55.98 for a
+    true ~1000 — round-11 review); for already-merged registers the
+    extra aggregate is a no-op on <= m rows per group.
     """
+    registers = registers.groupBy(*group_cols, "bucket").agg(
+        F.max("M").alias("M")
+    )
     alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(HLL_M)))
     # 2^(55-M) is a power of two ≤ 2^54: exact as double, exact as long
     term = F.pow(F.lit(2.0), (F.lit(55) - F.col("M")).cast("double")).cast(
@@ -213,7 +231,11 @@ def bloom_build(df: DataFrame, hash_col: str) -> DataFrame:
     The result is small enough to broadcast into any probe join.
     """
     h = F.col(hash_col)
-    pos = df.select(F.explode(F.array(*_bloom_positions(h))).alias("__p"))
+    # a NULL hash is not a set member: it previously minted a junk
+    # (w=NULL, word=NULL) row in the filter table (round-11 review)
+    pos = df.filter(h.isNotNull()).select(
+        F.explode(F.array(*_bloom_positions(h))).alias("__p")
+    )
     return (
         pos.select(
             F.floor(F.col("__p") / BLOOM_WORD).cast("long").alias("w"),
@@ -253,6 +275,11 @@ def bloom_probe(df: DataFrame, hash_col: str, bloom: DataFrame) -> DataFrame:
         )
         != 0
     )
+    # a NULL hash previously leaked bloom_pass=NULL — a third state a
+    # boolean column must not carry (downstream filter("bloom_pass")
+    # and filter(~bloom_pass) BOTH dropped such rows); a NULL item is
+    # definitively not in the set (round-11 review)
+    pass_col = F.coalesce(pass_col, F.lit(False))
     return joined.withColumn("bloom_pass", pass_col).drop(
         "__w1", "__b1", "__w2", "__b2", "__word1", "__word2"
     )
@@ -282,6 +309,8 @@ def histogram_sketch(
     clamped values, so a SQL replica bins identically (values at bin
     edges included downward via floor; v = hi lands in the last bin).
     """
+    if n_bins < 1 or not hi > lo:
+        raise ValueError("histogram needs n_bins >= 1 and hi > lo")
     v = F.col(value_col).cast("double")
     span = (hi - lo) / n_bins
     raw = F.floor((v - F.lit(float(lo))) / F.lit(float(span))).cast("long")

@@ -3634,3 +3634,106 @@ def test_mp4_container_parse_and_contracts(spark):
         assert r["major_brand"] == "isom" and r["n_tracks"] == 2
         assert r["timescale"] == ts and r["duration_ms"] == dur * 1000 // ts
         assert (r["width"], r["height"], r["n_frames"]) == (w, h, n), i
+
+
+def test_sketch_null_and_merge_hardening(spark):
+    """Round-11 hardening sweep, sketches pass — three reproduced
+    bugs: (1) NULL items minted phantom bucket=NULL CMS grid cells
+    breaking the per-row sum(cnt)==N invariant; (2) hll_estimate fed
+    an UNMERGED union of segment register tables double-counted
+    buckets, drove the empty-bucket term negative, and returned a
+    silently NEGATIVE estimate (measured -55.98 for a true ~1000);
+    (3) a NULL hash gave bloom_pass=NULL — a third state where both
+    filter(bloom_pass) and filter(~bloom_pass) drop the row — plus a
+    junk (NULL, NULL) word row in the filter table."""
+    from pyspark.sql import functions as F
+
+    from ais_data_pipeline_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+        cms_build,
+        cms_estimate,
+        hll_estimate,
+        hll_registers,
+    )
+
+    # (1) CMS: NULL items are not countable items
+    df = spark.createDataFrame([("a",), ("a",), ("b",), (None,), (None,)], ["x"])
+    grid = cms_build(df, "x", d=2, w=16)
+    assert grid.filter(F.col("bucket").isNull()).count() == 0
+    totals = {r["s"] for r in grid.groupBy("row").agg(F.sum("cnt").alias("s")).collect()}
+    assert totals == {3}  # N = 3 non-null items, every hash row
+    cand = spark.createDataFrame([("a",), (None,)], ["x"])
+    est = cms_estimate(grid, cand, "x", d=2, w=16).collect()
+    assert [(r["x"], r["est_cnt"]) for r in est] == [("a", 2)]
+
+    # (2) HLL: estimate(unmerged union) == estimate(merged) exactly
+    seg1 = hll_registers(spark.range(0, 500).select(F.col("id").alias("x")), "x")
+    seg2 = hll_registers(spark.range(500, 1000).select(F.col("id").alias("x")), "x")
+    naive = hll_estimate(seg1.unionByName(seg2), []).first()["hll_est"]
+    merged = hll_estimate(
+        seg1.unionByName(seg2).groupBy("bucket").agg(F.max("M").alias("M")), []
+    ).first()["hll_est"]
+    assert naive == merged and 700 < naive < 1300
+
+    # (3) Bloom: NULL hash is definitively not in the set
+    bloom = bloom_build(spark.createDataFrame([(123456789,)], ["h"]), "h")
+    out = {
+        r["h"]: r["bloom_pass"]
+        for r in bloom_probe(
+            spark.createDataFrame([(123456789,), (None,)], ["h"]), "h", bloom
+        ).collect()
+    }
+    assert out[123456789] is True and out[None] is False
+    assert bloom_build(spark.createDataFrame([(None,)], "h: bigint"), "h").count() == 0
+
+    # constructor misuse fails loudly, not with a garbage sketch
+    import pytest as _pytest
+
+    from ais_data_pipeline_spark.operators.sketches import histogram_sketch
+
+    with _pytest.raises(ValueError, match="d >= 1"):
+        cms_build(df, "x", d=0, w=16)
+    with _pytest.raises(ValueError, match="hi > lo"):
+        histogram_sketch(df.select(F.lit(1.0).alias("v")), "v", 5.0, 5.0)
+
+
+def test_graph_null_endpoint_hardening(spark):
+    """Round-11 hardening sweep, graph pass — reproduced: an edge with
+    a NULL endpoint (a) kept its slot in pagerank's outdegree,
+    destroying that share of the source's rank mass, and minted a
+    phantom node=NULL output row; (b) put an (id=NULL,
+    cluster_id=NULL) row into star-contraction CC output; (c) put an
+    (id=NULL, hops=h) row into the BFS visited set. NULL endpoints are
+    not nodes; non-null partners keep their singleton/frontier rows."""
+    from ais_data_pipeline_spark.operators.graph import (
+        bfs_hops,
+        pagerank,
+        star_connected_components,
+    )
+
+    dirty = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, None), (None, 3)], "src: bigint, dst: bigint"
+    )
+    clean = spark.createDataFrame([(1, 2), (2, 1)], "src: bigint, dst: bigint")
+    pr_d = {r["node"]: r["pr"] for r in pagerank(dirty, iters=3).collect()}
+    pr_c = {r["node"]: r["pr"] for r in pagerank(clean, iters=3).collect()}
+    assert None not in pr_d
+    assert pr_d[1] == pr_c[1] and pr_d[2] == pr_c[2]  # no mass destroyed
+
+    cc = sorted(
+        (r["id"], r["cluster_id"])
+        for r in star_connected_components(
+            spark.createDataFrame([(1, 2), (None, 3)], "doc_a: bigint, doc_b: bigint")
+        ).collect()
+    )
+    assert cc == [(1, 1), (2, 1), (3, 3)]  # 3 survives as a singleton
+
+    hops = sorted(
+        (r["id"], r["hops"])
+        for r in bfs_hops(
+            spark.createDataFrame([(1, 2), (2, None)], "src: bigint, dst: bigint"),
+            source=1,
+        ).collect()
+    )
+    assert hops == [(1, 0), (2, 1)]
