@@ -36,6 +36,8 @@ def znormalize(pattern: list[float]) -> list[float]:
     """Driver-side z-normalization of the query pattern (population
     std, matching the per-window normalization)."""
     m = len(pattern)
+    if m == 0:
+        raise ValueError("empty pattern")
     mu = sum(pattern) / m
     var = sum((x - mu) ** 2 for x in pattern) / m
     sd = math.sqrt(var)
@@ -149,9 +151,19 @@ def subsequence_distance_profile_fft(
         n = x.size
         if n < m:
             return pd.DataFrame({key_col: [], "offset": [], "dist": []})
+        # NULL values arrive as NaN. The window kernel drops exactly
+        # the windows CONTAINING a NULL; a raw NaN here instead
+        # poisoned every cumsum entry after it AND the whole FFT dot
+        # product (one NULL made the entire series emit dist=NaN or
+        # vanish — round-11 review). Mask: zero-fill for the
+        # arithmetic, count NaNs per window, drop those windows.
+        nanmask = np.isnan(x)
+        xc = np.where(nanmask, 0.0, x)
+        cn = np.concatenate(([0], np.cumsum(nanmask.astype(np.int64))))
+        nan_in_win = cn[m:] - cn[:-m]
         # sliding mean/std via cumulative sums (population std)
-        c1 = np.concatenate(([0.0], np.cumsum(x)))
-        c2 = np.concatenate(([0.0], np.cumsum(x * x)))
+        c1 = np.concatenate(([0.0], np.cumsum(xc)))
+        c2 = np.concatenate(([0.0], np.cumsum(xc * xc)))
         s1 = c1[m:] - c1[:-m]
         s2 = c2[m:] - c2[:-m]
         mu = s1 / m
@@ -160,12 +172,12 @@ def subsequence_distance_profile_fft(
         # sliding dot product via FFT cross-correlation
         size = 1 << int(np.ceil(np.log2(n + m)))
         qt = np.fft.irfft(
-            np.fft.rfft(x, size) * np.fft.rfft(qz[::-1], size), size
+            np.fft.rfft(xc, size) * np.fft.rfft(qz[::-1], size), size
         )[m - 1 : n]
         with np.errstate(divide="ignore", invalid="ignore"):
             d2 = 2.0 * (m - qt / sd)
         dist = np.sqrt(np.maximum(d2, 0.0))
-        keep = sd > 0
+        keep = (sd > 0) & (nan_in_win == 0)
         return pd.DataFrame(
             {
                 key_col: pdf[key_col].iloc[0],
@@ -334,6 +346,10 @@ def funnel_stages(
     """
     if not stages:
         raise ValueError("stages must be non-empty")
+    if len(set(stages)) != len(stages):
+        # a repeated stage name would silently overwrite its own
+        # t_<stage> column and then break the final agg on ambiguity
+        raise ValueError("funnel stages must be distinct")
     w = Window.partitionBy(user_col)
     out = df
     cols: list[str] = []

@@ -3737,3 +3737,55 @@ def test_graph_null_endpoint_hardening(spark):
         ).collect()
     )
     assert hops == [(1, 0), (2, 1)]
+
+
+def test_subsequence_fft_null_window_parity(spark):
+    """Round-11 hardening sweep, time-series pass — reproduced: one
+    NULL value in a series made the FFT (MASS) kernel emit dist=NaN
+    for windows BEFORE the NULL (the FFT dot product mixes all
+    positions) and silently drop every window AFTER it (NaN poisons
+    the cumulative sums), while the window-function kernel correctly
+    drops only windows CONTAINING the NULL. The two kernels must agree
+    bit-for-bit after rounding — the module's documented contract."""
+    from ais_data_pipeline_spark.operators.timeseries import (
+        best_subsequence_match_fft,
+        subsequence_distance_profile,
+        subsequence_distance_profile_fft,
+    )
+
+    rows = [
+        (1, t, t, float(v) if v is not None else None)
+        for t, v in enumerate([3, 1, 4, None, 5, 9, 2, 6])
+    ] + [(2, t, t, float(v)) for t, v in enumerate([5, 5, 5, 1, 9])]
+    df = spark.createDataFrame(
+        rows, "user_id: long, ts: long, event_id: long, value: double"
+    )
+    pat = [1.0, 2.0, 4.0]
+    a = sorted(
+        (r["user_id"], r["offset"], r["dist"])
+        for r in subsequence_distance_profile(df, pat).collect()
+    )
+    b = sorted(
+        (r["user_id"], r["offset"], r["dist"])
+        for r in subsequence_distance_profile_fft(df, pat).collect()
+    )
+    assert a == b and len(a) > 3
+    assert all(d is not None for _, _, d in a)
+    # windows 4 and 5 of series 1 (strictly after the NULL) survive
+    assert {(o) for u, o, _ in a if u == 1} == {0, 4, 5}
+    best = {r["user_id"]: r["best_offset"]
+            for r in best_subsequence_match_fft(df, pat).collect()}
+    assert set(best) == {1, 2}
+
+    # misuse contracts
+    import pytest as _pytest
+
+    from ais_data_pipeline_spark.operators.timeseries import (
+        funnel_stages,
+        znormalize,
+    )
+
+    with _pytest.raises(ValueError, match="empty pattern"):
+        znormalize([])
+    with _pytest.raises(ValueError, match="distinct"):
+        funnel_stages(df.withColumnRenamed("value", "x"), ["a", "a"])
