@@ -42,16 +42,25 @@ def running_totals_fn(key, batches: Iterator[pd.DataFrame], state) -> Iterator[p
     else:
         n, total, last_ts = 0, Decimal(0), None
     for pdf in batches:
-        n += len(pdf)
+        n += len(pdf)  # the batch analog is count(*): NULL rows count
         # repr(float) replicates the JVM double→decimal cast's
         # Double.toString (shortest-repr) step — see zscore_anomaly_fn.
+        # NULL/NaN values arrive as NaN and must SKIP the fold (the
+        # JVM decimal cast makes them NULL and sum skips NULLs): one
+        # NaN previously poisoned the running total to NaN forever
+        # (round-11 review).
         total = reduce(
             ctx.add,
-            (Decimal(repr(float(v))).quantize(q6, ROUND_HALF_UP) for v in pdf["value"]),
+            (
+                Decimal(repr(float(v))).quantize(q6, ROUND_HALF_UP)
+                for v in pdf["value"]
+                if v is not None and float(v) == float(v)
+            ),
             total,
         )
-        batch_max = pdf["ts"].max()
-        last_ts = batch_max if last_ts is None else max(last_ts, batch_max)
+        batch_max = pdf["ts"].max()  # skips NaT; all-NaT yields NaT
+        if batch_max is not pd.NaT:
+            last_ts = batch_max if last_ts is None else max(last_ts, batch_max)
     total = float(total)
     state.update((n, total, last_ts))
     yield pd.DataFrame(
@@ -110,14 +119,23 @@ def session_finalize_fn(key, batches: Iterator[pd.DataFrame], state) -> Iterator
         n, total, start_ts, end_ts = 0, 0.0, None, None
     for pdf in batches:
         n += len(pdf)
-        total += float(pdf["value"].sum())
-        lo, hi = pdf["ts"].min(), pdf["ts"].max()
-        start_ts = lo if start_ts is None else min(start_ts, lo)
-        end_ts = hi if end_ts is None else max(end_ts, hi)
+        total += float(pdf["value"].sum())  # pandas sum skips NaN
+        lo, hi = pdf["ts"].min(), pdf["ts"].max()  # min/max skip NaT
+        if lo is not pd.NaT:
+            start_ts = lo if start_ts is None else min(start_ts, lo)
+        if hi is not pd.NaT:
+            end_ts = hi if end_ts is None else max(end_ts, hi)
     state.update((n, total, start_ts, end_ts))
     # timeout at session end + gap, but always ahead of the watermark
-    # (Spark rejects a timeout at-or-behind it)
-    end_ms = int(pd.Timestamp(end_ts).value // 1_000_000)
+    # (Spark rejects a timeout at-or-behind it). A key whose every ts
+    # was NULL has no event time: fall back to watermark + gap so the
+    # state still times out instead of leaking forever (r11 review —
+    # NaT.value is iNaT, which previously fed a garbage huge-negative
+    # timeout into the max()).
+    if end_ts is None:
+        end_ms = state.getCurrentWatermarkMs()
+    else:
+        end_ms = int(pd.Timestamp(end_ts).value // 1_000_000)
     state.setTimeoutTimestamp(max(end_ms + _SESSION_GAP_MS, state.getCurrentWatermarkMs() + 1))
     return
 
@@ -184,6 +202,12 @@ def zscore_anomaly_fn(key, batches: Iterator[pd.DataFrame], state) -> Iterator[p
     for pdf in pdfs:
         pdf = pdf.sort_values(["ts", "event_id"])
         for eid, val in zip(pdf["event_id"], pdf["value"]):
+            if val is None or float(val) != float(val):
+                # a NULL/NaN value is excluded from the batch frame's
+                # count() and sum() and its own z is NULL there; one
+                # NaN previously entered the ring buffer and silenced
+                # the next 20 windows (round-11 review)
+                continue
             n = len(buf)
             if n >= _Z_MIN_N:
                 s = float(reduce(ctx.add, buf, Decimal(0)))

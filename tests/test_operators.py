@@ -3789,3 +3789,83 @@ def test_subsequence_fft_null_window_parity(spark):
         znormalize([])
     with _pytest.raises(ValueError, match="distinct"):
         funnel_stages(df.withColumnRenamed("value", "x"), ["a", "a"])
+
+
+def test_stateful_fns_null_value_parity():
+    """Round-11 hardening sweep, stateful-streaming pass — reproduced
+    against the raw GroupState update functions (pure-function tests,
+    mock state): (a) one NULL/NaN value poisoned running_totals'
+    decimal fold to NaN FOREVER, where the batch oracle's
+    sum(CAST(value AS DECIMAL)) skips NULLs (count(*) still counts the
+    row); (b) a NaN entered the z-score ring buffer and silenced the
+    next 20 windows, where the batch frame excludes NULLs from count
+    and sums; (c) an all-NULL-ts key fed NaT.value (iNaT, a huge
+    negative) into the session timeout — it now falls back to
+    watermark + gap so the state cannot leak."""
+    import numpy as np
+    import pandas as pd
+
+    from ais_data_pipeline_spark.streaming.stateful import (
+        running_totals_fn,
+        session_finalize_fn,
+        zscore_anomaly_fn,
+    )
+
+    class MockState:
+        def __init__(self):
+            self.exists = False
+            self.hasTimedOut = False
+            self._v = None
+            self.timeout = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v, self.exists = v, True
+
+        def remove(self):
+            self.exists = False
+
+        def getCurrentWatermarkMs(self):
+            return 1_000_000
+
+        def setTimeoutTimestamp(self, ms):
+            self.timeout = ms
+
+    st = MockState()
+    pdf = pd.DataFrame(
+        {
+            "value": [1.0, None, 2.0],
+            "ts": pd.to_datetime(["2026-01-01", "2026-01-02", "2026-01-03"]),
+        }
+    )
+    out = list(running_totals_fn((7,), iter([pdf]), st))[0]
+    assert out["n_events"].iloc[0] == 3  # count(*) semantics
+    assert out["total_value"].iloc[0] == 3.0  # NULL skipped, not NaN
+
+    st2 = MockState()
+    rng = np.random.default_rng(1)
+    vals = (
+        list(5.0 + rng.normal(0, 1, 10))
+        + [None]
+        + list(5.0 + rng.normal(0, 1, 5))
+        + [500.0]
+    )
+    rows = pd.DataFrame(
+        {
+            "event_id": range(len(vals)),
+            "ts": pd.to_datetime(["2026-01-01"] * len(vals))
+            + pd.to_timedelta(range(len(vals)), "s"),
+            "value": vals,
+        }
+    )
+    out2 = list(zscore_anomaly_fn((7,), iter([rows]), st2))[0]
+    assert 16 in out2["event_id"].tolist()  # the spike still flags
+    assert not any(d != d for d in st2._v[0])  # no NaN in the buffer
+
+    st3 = MockState()
+    allnat = pd.DataFrame({"value": [1.0], "ts": pd.to_datetime([pd.NaT])})
+    list(session_finalize_fn((7,), iter([allnat]), st3) or [])
+    assert st3.timeout is not None and st3.timeout > st3.getCurrentWatermarkMs()
