@@ -63,21 +63,34 @@ def run_with_quarantine(
     Batch Spark needs persist + two filtered writes for K4 (SURVEY §7
     'hard parts'); in streaming, ``foreachBatch`` hands every
     micro-batch over as a bounded DataFrame, so the split happens once
-    per batch with exactly-once bookkeeping from the checkpoint. Null
-    predicate results quarantine, matching the batch writer.
+    per batch. Null predicate results quarantine, matching the batch
+    writer.
+
+    Exactly-once effect: foreachBatch delivery is AT-LEAST-once, so
+    both sinks write through the per-batch-partition overwrite
+    (``_write_slice`` — the incremental-dedup sink's idempotence
+    recipe): a replay rewrites exactly its own ``src_batch=``
+    directory. The previous plain ``mode("append")`` writes duplicated
+    the whole batch in ``main_path`` on any crash between the two
+    writes (round-11 review — the exact replay class the r10 sweep
+    fixed in the dedup/IVF sinks).
     """
     from pyspark.sql import functions as F
+
+    from ais_data_pipeline_spark.streaming.incremental_dedup import _write_slice
 
     def split_write(batch_df: DataFrame, batch_id: int) -> None:
         tagged = batch_df.withColumn(
             "__good", F.coalesce(good_predicate.cast("boolean"), F.lit(False))
         ).persist()
         try:
-            tagged.filter(F.col("__good")).drop("__good").write.mode("append").parquet(
-                main_path
+            _write_slice(
+                tagged.filter(F.col("__good")).drop("__good"), main_path, batch_id
             )
-            tagged.filter(~F.col("__good")).drop("__good").write.mode("append").parquet(
-                quarantine_path
+            _write_slice(
+                tagged.filter(~F.col("__good")).drop("__good"),
+                quarantine_path,
+                batch_id,
             )
         finally:
             tagged.unpersist()

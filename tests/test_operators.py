@@ -1015,6 +1015,22 @@ def test_streaming_quarantine_foreachbatch(spark, tmp_path):
     assert main_ids == {1, 3}
     assert quar_ids == {2, 4}  # overflow AND null-predicate rows quarantine
 
+    # replay idempotence (round-11 review): foreachBatch delivery is
+    # at-least-once — re-delivering the same data as the same batch id
+    # (fresh checkpoint, same sinks) must NOT duplicate rows; the old
+    # mode("append") writes doubled main on replay
+    run_with_quarantine(
+        stream,
+        F.col("amount").between(-(2**31), 2**31 - 1),
+        main,
+        quar,
+        str(tmp_path / "ckpt_replay"),
+    )
+    main_rows = spark.read.parquet(main).collect()
+    quar_rows = spark.read.parquet(quar).collect()
+    assert sorted(r["row_id"] for r in main_rows) == [1, 3]
+    assert sorted(r["row_id"] for r in quar_rows) == [2, 4]
+
 
 def test_observation_metrics(spark, sf_dir):
     """M2 parity, Spark-native: df.observe() collects named metrics on
