@@ -65,6 +65,11 @@ AUDIT: dict[str, list[str]] = {
     # silent funnel or a probe that re-shuffles history shows up here
     "incremental_embedding_dedup_stats": ["embeddings"],
     "streaming_ivf_ingest_topk": ["embeddings"],
+    # the round-11 native-decode queries: mapInPandas scans whose only
+    # exchanges are the parallelism spread + final sort — a ceiling
+    # trip means the decode path grew a data-sized shuffle
+    "image_pixel_stats_jpeg_progressive": ["documents"],
+    "audio_pcm_stats": ["documents"],
     # the round-9 distributed-rank rewrites (round-10 verdict item 5):
     # a revert to the single-task global window has a DIFFERENT shuffle
     # profile (one range exchange of the full table into few tasks vs
