@@ -73,6 +73,15 @@ def write_snapshot(df: DataFrame, table_path: str, mode: str = "append") -> int:
     parent = current_version(table_path)
     version = parent + 1
     data_dir = os.path.join(table_path, "data", f"snap-{version:05d}")
+    if os.path.isdir(data_dir):
+        # leftover from a commit that crashed between the data write
+        # and the manifest publish: no manifest references it (the
+        # manifest IS the commit point), so it is garbage — without
+        # this cleanup every retry failed PATH_ALREADY_EXISTS and the
+        # table was wedged permanently (round-11 review)
+        import shutil
+
+        shutil.rmtree(data_dir)
     df.write.mode("error").parquet(data_dir)
     new_files = sorted(
         os.path.join(data_dir, f)
@@ -116,10 +125,16 @@ def read_snapshot(
 
 
 def snapshot_history(table_path: str) -> list[dict]:
-    """(version, parent, operation, n_files) per committed version,
-    oldest first."""
+    """(version, parent, operation, n_files) per committed version
+    whose manifest still exists (expired versions are skipped, not a
+    crash — round-11 review: any expire_snapshots previously made this
+    raise FileNotFoundError on the dropped manifests), oldest first."""
     out = []
     for v in range(1, current_version(table_path) + 1):
+        if not os.path.exists(
+            os.path.join(_manifest_dir(table_path), f"v{v:05d}.json")
+        ):
+            continue
         m = _load_manifest(table_path, v)
         out.append(
             {

@@ -50,11 +50,19 @@ def _fetch_one(
     attempt restarts the temp file, so no torn output survives."""
     import time as _time
 
+    import uuid as _uuid
+
     name = suffix_from_url(url)
     key = dated_key(prefix, name, date_str)
     dest = os.path.join(dest_root, key)
     os.makedirs(os.path.dirname(dest), exist_ok=True)
-    tmp = dest + ".inprogress"
+    # unique per fetch: two URLs routing to the SAME key (duplicate
+    # list entries, or distinct URLs sharing a substring-map match)
+    # previously shared one ".inprogress" path — concurrent tasks
+    # interleaved writes into it and the surviving os.replace could
+    # publish torn bytes (round-11 review). With a unique tmp, the
+    # last atomic rename wins with intact content.
+    tmp = dest + f".inprogress.{_uuid.uuid4().hex}"
     n_bytes = 0
     last_error: str | None = None
     for attempt in range(1, max_attempts + 1):

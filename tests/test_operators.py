@@ -3885,3 +3885,73 @@ def test_stateful_fns_null_value_parity():
     allnat = pd.DataFrame({"value": [1.0], "ts": pd.to_datetime([pd.NaT])})
     list(session_finalize_fn((7,), iter([allnat]), st3) or [])
     assert st3.timeout is not None and st3.timeout > st3.getCurrentWatermarkMs()
+
+
+def test_snapshot_crash_recovery_and_expired_history(spark, tmp_path):
+    """Round-11 hardening sweep, snapshot-sink pass — reproduced:
+    (a) a commit that crashed between the data write and the manifest
+    publish left an orphan snap- directory, and every retry then
+    failed PATH_ALREADY_EXISTS — the table was wedged permanently; the
+    orphan (unreferenced by any manifest, which is the commit point)
+    is now garbage-collected on the next commit. (b) snapshot_history
+    raised FileNotFoundError for any table that had run
+    expire_snapshots; expired versions now skip."""
+    import os
+
+    from ais_data_pipeline_spark.sinks.snapshots import (
+        expire_snapshots,
+        read_snapshot,
+        snapshot_history,
+        write_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(5).selectExpr("id", "id*2 as v")
+    write_snapshot(df, t)
+    # simulate the crashed commit: orphan v2 data dir, no manifest
+    os.makedirs(os.path.join(t, "data", "snap-00002"))
+    with open(os.path.join(t, "data", "snap-00002", "part-junk.parquet"), "w") as f:
+        f.write("x")
+    assert write_snapshot(df, t) == 2  # retry succeeds
+    assert read_snapshot(spark, t).count() == 10  # junk not in the table
+
+    t2 = str(tmp_path / "tbl2")
+    for _ in range(3):
+        write_snapshot(df, t2)
+    expire_snapshots(t2, keep_last=1)
+    hist = snapshot_history(t2)
+    assert [h["version"] for h in hist] == [3]
+    assert read_snapshot(spark, t2).count() == 15
+
+
+def test_http_ingest_same_key_concurrency(spark, tmp_path):
+    """Round-11 hardening sweep, http-source pass: two URLs that route
+    to the SAME landing key (duplicate entries / shared substring
+    match) previously shared one .inprogress temp path — concurrent
+    tasks interleaved writes and the surviving rename could publish
+    torn bytes. With per-fetch unique temps, the last atomic rename
+    wins with INTACT content (byte-equal to one of the sources)."""
+    from ais_data_pipeline_spark.sources.http import ingest_urls
+
+    src = tmp_path / "srcs"
+    src.mkdir()
+    a = src / "rent_contracts_a.csv"
+    b = src / "rent_contracts_b.csv"
+    a.write_bytes(b"A" * 300_000)
+    b.write_bytes(b"B" * 200_000)
+    dest = str(tmp_path / "landing")
+    summary = ingest_urls(
+        spark,
+        [a.as_uri(), b.as_uri()],  # both route to rent_contracts.csv
+        dest,
+        date_str="2026-08-15",
+        chunk_bytes=4096,
+        concurrency=2,
+    )
+    assert summary["files_ok"] == 2
+    out = tmp_path / "landing" / "raw" / "2026" / "08" / "15" / "rent_contracts.csv"
+    data = out.read_bytes()
+    assert data in (b"A" * 300_000, b"B" * 200_000)  # intact, never torn
+    # no temp litter
+    leftovers = [p for p in out.parent.iterdir() if ".inprogress" in p.name]
+    assert leftovers == []
