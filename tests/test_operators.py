@@ -3955,3 +3955,55 @@ def test_http_ingest_same_key_concurrency(spark, tmp_path):
     # no temp litter
     leftovers = [p for p in out.parent.iterdir() if ".inprogress" in p.name]
     assert leftovers == []
+
+
+def test_video_real_metadata_frame_fanout_composition(spark):
+    """The real-MP4 path composes end-to-end (round 11): container
+    parse (decode_video_meta, true stsz frame counts) -> engine-side
+    frame-sampling fan-out (sequence + explode, same shape as
+    frame_sample_plan) -> per-frame embedding column -> top-k by
+    cosine — proving a swap from the size-derived stub to the real
+    container metadata changes nothing downstream."""
+    from pyspark.sql import functions as F
+
+    from ais_data_pipeline_spark.localrel import local_df
+    from ais_data_pipeline_spark.operators.mp4 import mp4_fixture_params
+    from ais_data_pipeline_spark.operators.multimodal import (
+        decode_video_meta,
+        frame_embedding_col,
+        make_video_fixture,
+    )
+
+    ids = [0, 1, 3, 4, 9]
+    meta = decode_video_meta(
+        make_video_fixture(local_df(spark, [(i,) for i in ids], "doc_id bigint"))
+    )
+    every = 8
+    frames = meta.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("n_frames") - 1, F.lit(0)).cast("bigint"),
+                F.lit(every),
+            )
+        ).alias("frame_index"),
+    )
+    # fan-out size matches the closed form exactly
+    got = {r["doc_id"]: r["n"] for r in frames.groupBy("doc_id").count()
+           .withColumnRenamed("count", "n").collect()}
+    for i in ids:
+        n_frames = mp4_fixture_params(i)[4]
+        assert got[i] == (max(n_frames - 1, 0)) // every + 1, i
+
+    # per-frame embeddings into a deterministic top-k (total tie-break)
+    emb = frames.withColumn("vec", frame_embedding_col(dim=4))
+    q = [0.5, -0.25, 0.25, -0.5]
+    dot = sum(F.element_at("vec", i + 1) * F.lit(float(q[i])) for i in range(4))
+    top = (
+        emb.select("doc_id", "frame_index", dot.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"), F.asc("frame_index"))
+        .limit(5)
+        .collect()
+    )
+    assert len(top) == 5 and top[0]["score"] >= top[-1]["score"]
