@@ -4007,3 +4007,103 @@ def test_video_real_metadata_frame_fanout_composition(spark):
         .collect()
     )
     assert len(top) == 5 and top[0]["score"] >= top[-1]["score"]
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    bits=st.sampled_from([8, 16, 24]),
+    nch=st.integers(min_value=1, max_value=4),
+    rate=st.sampled_from([8000, 22050, 44100, 96000]),
+    n_frames=st.integers(min_value=0, max_value=200),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    junk=st.booleans(),
+)
+def test_wav_roundtrip_property(bits, nch, rate, n_frames, seed, junk):
+    """Property: ANY 8/16/24-bit PCM layout (any channel count, any
+    frame count incl. zero, optional odd-length junk chunk) round-trips
+    through a hand-built RIFF container to the exact amplitudes —
+    pinning the chunk walk, pad-byte rule, depth decode (incl. the
+    24-bit three-byte lane combine), and de-interleave against an
+    independent writer that shares no code with the parser."""
+    import struct as _struct
+
+    import numpy as np
+
+    from ais_data_pipeline_spark.operators.wav import CLIP_BOUNDS, parse_wav
+
+    lo, hi = CLIP_BOUNDS[bits]
+    rng = np.random.default_rng(seed)
+    amps = rng.integers(lo, hi + 1, size=n_frames * nch, dtype=np.int64)
+    if bits == 8:
+        raw = (amps + 128).astype(np.uint8).tobytes()
+    elif bits == 16:
+        raw = amps.astype("<i2").tobytes()
+    else:
+        raw = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in amps)
+    balign = (bits // 8) * nch
+    fmt = b"fmt " + _struct.pack("<IHHIIHH", 16, 1, nch, rate, rate * balign, balign, bits)
+    chunks = fmt
+    if junk:
+        body = b"J" * 5  # odd length -> pad byte must be honored
+        chunks += b"LIST" + _struct.pack("<I", len(body)) + body + b"\x00"
+    chunks += b"data" + _struct.pack("<I", len(raw)) + raw
+    if len(raw) & 1:
+        chunks += b"\x00"
+    wav = b"RIFF" + _struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    frames, got_rate, got_bits = parse_wav(wav)
+    assert (got_rate, got_bits) == (rate, bits)
+    assert frames.shape == (n_frames, nch)
+    assert frames.reshape(-1).tolist() == amps.tolist()
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    ts=st.integers(min_value=1, max_value=10**6),
+    dur=st.integers(min_value=0, max_value=10**9),
+    w=st.integers(min_value=0, max_value=65535),
+    h=st.integers(min_value=0, max_value=65535),
+    n=st.integers(min_value=0, max_value=10**6),
+    v1=st.booleans(),
+    largesize=st.booleans(),
+    extra_trak=st.booleans(),
+)
+def test_mp4_roundtrip_property(ts, dur, w, h, n, v1, largesize, extra_trak):
+    """Property: ANY (timescale, duration, dims, sample count) in an
+    independently hand-built ISO-BMFF tree — both mvhd versions, both
+    size encodings, optional extra audio trak — parses back exactly."""
+    import struct as _struct
+
+    from ais_data_pipeline_spark.operators.mp4 import parse_mp4_meta
+
+    def box(t, body, large=False):
+        if large:
+            return _struct.pack(">I", 1) + t + _struct.pack(">Q", 16 + len(body)) + body
+        return _struct.pack(">I", 8 + len(body)) + t + body
+
+    if v1:
+        mvhd = bytes([1, 0, 0, 0]) + b"\x00" * 16 + _struct.pack(">IQ", ts, dur) + b"\x00" * 80
+    else:
+        dur32 = min(dur, 0xFFFFFFFF)
+        mvhd = bytes(4) + b"\x00" * 8 + _struct.pack(">II", ts, dur32) + b"\x00" * 80
+        dur = dur32
+
+    def trak(handler, tw, th, cnt):
+        tkhd = bytes(4) + b"\x00" * 72 + _struct.pack(">II", tw << 16, th << 16)
+        stsz = bytes(4) + _struct.pack(">II", 0, cnt)  # entries elided: parser reads count
+        mdia = box(b"hdlr", bytes(8) + handler + b"\x00" * 12) + box(
+            b"minf", box(b"stbl", box(b"stsz", stsz))
+        )
+        return box(b"trak", box(b"tkhd", tkhd) + box(b"mdia", mdia))
+
+    moov_body = box(b"mvhd", mvhd) + trak(b"vide", w, h, n)
+    if extra_trak:
+        moov_body += trak(b"soun", 0, 0, n + 1)
+    data = box(b"ftyp", b"mp42" + bytes(4) + b"mp42isom") + box(
+        b"moov", moov_body, large=largesize
+    )
+    m = parse_mp4_meta(data)
+    assert m["major_brand"] == "mp42"
+    assert m["timescale"] == ts and m["duration_ms"] == dur * 1000 // ts
+    assert (m["width"], m["height"], m["n_samples"]) == (w, h, n)
+    assert m["n_tracks"] == (2 if extra_trak else 1)
