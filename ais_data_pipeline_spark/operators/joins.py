@@ -101,6 +101,7 @@ def as_of_join(
     right_time: str,
     tolerance_seconds: int | None = None,
     direction: str = "backward",
+    tie_break: list[str] | None = None,
 ) -> DataFrame:
     """As-of join composed from built-ins: equi-join on keys + time
     inequality, then keep the best match per left row via row_number.
@@ -109,6 +110,15 @@ def as_of_join(
     — the default, matching pandas.merge_asof), "forward" (earliest
     right at-or-after), or "nearest" (smallest absolute gap; ties break
     to the earlier right row, pandas-compatible).
+
+    TIE HAZARD (round-11 review): when several right rows share the
+    winning ``right_time``, the ordering above does not distinguish
+    them and row_number picks an ARBITRARY one — the matched time is
+    still deterministic, but any other right column is not. Pass
+    ``tie_break`` (right-side column names appended ascending to the
+    window order — an id column is the usual choice) whenever you
+    select right payload columns; the oracle-checked registry queries
+    either project only the time or pass one.
 
     Spark lacks a native as-of join (pyspark_guide "Common OLAP
     patterns"); this composition shuffles both sides once on the key
@@ -128,6 +138,7 @@ def as_of_join(
         order = [F.when(rt.isNull(), None).otherwise(gap).asc_nulls_last(), rt.asc()]
     else:
         raise ValueError(f"unknown as-of direction: {direction!r}")
+    order = order + [F.col(f"r.{c}").asc_nulls_last() for c in (tie_break or [])]
     if tolerance_seconds is not None:
         tol = F.expr(f"INTERVAL {tolerance_seconds} SECONDS")
         if direction in ("backward", "nearest"):

@@ -4107,3 +4107,35 @@ def test_mp4_roundtrip_property(ts, dur, w, h, n, v1, largesize, extra_trak):
     assert m["timescale"] == ts and m["duration_ms"] == dur * 1000 // ts
     assert (m["width"], m["height"], m["n_samples"]) == (w, h, n)
     assert m["n_tracks"] == (2 if extra_trak else 1)
+
+
+def test_asof_join_tie_break_determinism(spark):
+    """Round-11 review: two right rows sharing the winning as-of time
+    previously resolved by an arbitrary row_number pick — the matched
+    TIME was stable but any payload column was not. With tie_break the
+    winner is deterministic under repartitioning."""
+    from ais_data_pipeline_spark.operators.joins import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, "2026-01-01 10:00:00")], "user_id long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [
+            (1, "2026-01-01 09:00:00", 100),
+            (1, "2026-01-01 09:00:00", 200),  # same time, different payload
+        ],
+        "user_id long, r_ts string, payload long",
+    ).withColumn("r_ts", F.col("r_ts").cast("timestamp"))
+
+    outs = set()
+    for nparts in (1, 7):
+        j = as_of_join(
+            left,
+            right.repartition(nparts),
+            on=["user_id"],
+            left_time="ts",
+            right_time="r_ts",
+            tie_break=["payload"],
+        )
+        outs.add(j.first()["r_payload"])
+    assert outs == {100}  # ascending tie-break, stable across layouts
