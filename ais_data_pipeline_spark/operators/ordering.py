@@ -146,6 +146,11 @@ def skyline_2d(
 
     x, y = F.col(x_col), F.col(y_col)
     order = [x.asc(), y.asc(), F.col(id_col).asc()]
+    # a NULL coordinate is incomparable under dominance — such a row
+    # previously sorted FIRST (NULLS FIRST asc), became the running
+    # minimum, and silently dominated OUT every legitimate frontier
+    # point (round-11 review: [(1,2,a), (NULL,0.5,b)] returned only b)
+    df = df.filter(x.isNotNull() & y.isNotNull())
     distinct = df.groupBy(x_col, y_col).agg(F.min(id_col).alias(id_col))
     spark = df.sparkSession
     B = _default_buckets(spark)
@@ -410,7 +415,15 @@ def weighted_hash_sample(
     embarrassingly parallel: the plan is one projection +
     TakeOrderedAndProject — no shuffle, no RNG state, and re-running
     on different partitionings picks the identical sample (unlike
-    ``random_sample``, whose per-partition RNG is layout-dependent)."""
+    ``random_sample``, whose per-partition RNG is layout-dependent).
+
+    Weights must be positive to mean anything (Efraimidis-Spirakis
+    defines u^(1/w) for w > 0): rows with NULL or w <= 0 are EXCLUDED
+    from the pool — previously a NEGATIVE weight flipped the key sign
+    and force-won over every legitimate row, and zero-weight rows
+    backfilled whenever k exceeded the positive pool (round-11
+    review)."""
+    df = df.filter(F.col(weight_col) > 0)
     h = F.conv(
         F.substring(
             F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))), 1, 15

@@ -4139,3 +4139,32 @@ def test_asof_join_tie_break_determinism(spark):
         )
         outs.add(j.first()["r_payload"])
     assert outs == {100}  # ascending tie-break, stable across layouts
+
+
+def test_ordering_null_and_weight_hardening(spark):
+    """Round-11 hardening sweep, ordering pass — reproduced: (a) a
+    NEGATIVE weight flipped the Efraimidis-Spirakis key sign and
+    force-won the weighted sample over every legitimate row, and
+    zero-weight rows backfilled whenever k exceeded the positive pool;
+    (b) a NULL coordinate sorted NULLS-FIRST in the skyline sweep,
+    became the running minimum, and silently dominated OUT every
+    legitimate frontier point."""
+    from ais_data_pipeline_spark.operators.ordering import (
+        skyline_2d,
+        weighted_hash_sample,
+    )
+
+    rows = [(i, 10.0) for i in range(20)] + [(100, -5.0), (101, 0.0), (102, None)]
+    df = spark.createDataFrame(rows, "id: long, w: double")
+    s = {r["id"] for r in weighted_hash_sample(df, "w", 5, "id").collect()}
+    assert len(s) == 5 and not s & {100, 101, 102}
+    tiny = spark.createDataFrame([(1, 1.0), (2, 0.0)], "id: long, w: double")
+    assert [r["id"] for r in weighted_hash_sample(tiny, "w", 2, "id").collect()] == [1]
+
+    sk = spark.createDataFrame(
+        [(1.0, 2.0, 1), (None, 0.5, 2), (2.0, None, 3), (0.5, 3.0, 4)],
+        "x: double, y: double, id: long",
+    )
+    assert sorted(
+        r["id"] for r in skyline_2d(sk, "x", "y", "id").collect()
+    ) == [1, 4]
