@@ -385,6 +385,12 @@ def _decode_progressive_scan(
                     if k > se:
                         raise ValueError("bad refinement run in progressive scan")
                     block[k] = val
+                elif r:
+                    # ZRL whose 16-zero run overran the spectral band:
+                    # ac_first raises on the same corruption; letting
+                    # the advance loop fall off se here decoded corrupt
+                    # streams silently (round-12 review)
+                    raise ValueError("bad refinement run in progressive scan")
                 k += 1
         if eobrun > 0:
             # remainder of this block: correction bits only

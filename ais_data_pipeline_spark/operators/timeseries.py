@@ -273,7 +273,9 @@ def rolling_zscore_anomalies(
     squares accumulate as DECIMAL (associative — partition order can't
     perturb them) and the mean/variance/z arithmetic is the same
     double expression both engines evaluate; ``std == 0`` frames are
-    skipped. Returns (key, order..., value, z).
+    skipped. NULL and NaN value rows occupy a frame slot but join
+    neither the count nor the sums, and are never themselves flagged.
+    Returns (key, order..., value, z).
 
     ``check_skew=True`` runs the sampled hot-key probe first (the
     trailing window still needs the whole key in one task; the bounded
@@ -292,17 +294,35 @@ def rolling_zscore_anomalies(
         .rowsBetween(-lookback, -1)
     )
     v = F.col(value_col).cast("decimal(18,6)")
-    n = F.count(value_col).over(w)
+    # NaN is a non-value for the trailing stats, exactly like NULL: it
+    # occupies a ROWS-frame slot but joins neither the count nor the
+    # sums. The decimal cast already drops NaN from the sums (NaN →
+    # NULL decimal); without this count guard a NaN row would inflate
+    # n while contributing nothing to s, silently biasing the mean —
+    # and the streaming scorer could never replicate that, because
+    # Arrow→pandas renders NULL and NaN identically (round-12 review).
+    is_float = dict(df.dtypes).get(value_col) in ("double", "float")
+    counted = (
+        F.when(~F.isnan(value_col), F.col(value_col)) if is_float else F.col(value_col)
+    )
+    n = F.count(counted).over(w)
     s = F.sum(v).over(w).cast("double")
     s2 = F.sum(v * v).over(w).cast("double")
     mean = s / n
     var = (s2 / n - mean * mean) * n / (n - 1)
     z = (F.col(value_col) - mean) / F.sqrt(var)
+    # A NaN current row can't be scored (z would be NaN) — and Spark
+    # orders NaN ABOVE every number, so abs(NaN) > threshold is TRUE
+    # and an unguarded filter emits the NaN row as a z=NaN "anomaly"
+    # (round-12 review).
+    scoreable = (n >= min_n) & (var > 0)
+    if is_float:
+        scoreable = scoreable & ~F.isnan(value_col)
     out = df.select(
         key_col,
         *order_cols,
         value_col,
-        F.when((n >= min_n) & (var > 0), z).alias("__z"),
+        F.when(scoreable, z).alias("__z"),
     )
     return (
         out.filter(F.abs(F.col("__z")) > threshold)

@@ -63,6 +63,24 @@ def _fetch_one(
     # publish torn bytes (round-11 review). With a unique tmp, the
     # last atomic rename wins with intact content.
     tmp = dest + f".inprogress.{_uuid.uuid4().hex}"
+    # Sweep stale temps for THIS key before the first attempt: the
+    # exception path below removes our own temp, but a task killed
+    # outright (executor loss, OOM) never reaches it, and the
+    # uniquely-named torn file would otherwise sit in the landing-zone
+    # data directory forever where prefix-glob readers pick it up
+    # (round-12 review). Any live temp for the same key belongs to a
+    # concurrent fetch of a duplicate URL — those only exist within
+    # one ingest_urls call, and a retry after a kill happens in a
+    # LATER call, so sweeping here never races a healthy writer of a
+    # different key and at worst forces a concurrent duplicate to
+    # retry.
+    import glob as _glob
+
+    for stale in _glob.glob(dest + ".inprogress.*"):
+        try:
+            os.remove(stale)
+        except OSError:
+            pass  # already gone, or being renamed away right now
     n_bytes = 0
     last_error: str | None = None
     for attempt in range(1, max_attempts + 1):

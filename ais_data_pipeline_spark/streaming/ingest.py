@@ -74,6 +74,13 @@ def run_with_quarantine(
     the whole batch in ``main_path`` on any crash between the two
     writes (round-11 review — the exact replay class the r10 sweep
     fixed in the dedup/IVF sinks).
+
+    Sink-reuse hazard (same contract as the incremental-dedup sink):
+    ONE checkpoint per (main_path, quarantine_path) pair, forever. A
+    fresh checkpoint restarts batch ids at 0, so pointing it at an
+    existing sink silently OVERWRITES the old ``src_batch=0,1,...``
+    slices. Readers: both sinks carry a ``src_batch`` partition column
+    (the idempotence key); aggregate over it or drop it downstream.
     """
     from pyspark.sql import functions as F
 

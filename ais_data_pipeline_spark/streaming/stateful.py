@@ -186,8 +186,22 @@ def zscore_anomaly_fn(key, batches: Iterator[pd.DataFrame], state) -> Iterator[p
 
     ctx = Context(prec=50)  # exact decimal sums; default prec=28 could round
     q6 = Decimal("0.000001")
-    buf: list[Decimal] = (
-        [Decimal(repr(float(v))).quantize(q6, ROUND_HALF_UP) for v in state.get[0]]
+    # Buffer slots are Decimal for real values, None for NULL/NaN rows.
+    # A non-value row must OCCUPY a slot — the batch operator's ROWS
+    # frame rowsBetween(-lookback,-1) counts physical rows, so a NULL
+    # row there evicts an older value from the frame while count()/
+    # sum() skip only its value (round-12 review: skipping such rows
+    # entirely gave the streaming window one extra older value and
+    # broke bit-identity for keys with NULL history). Sentinels
+    # round-trip state as NaN: the state schema is array<double> and
+    # NaN survives it losslessly.
+    buf: list[Decimal | None] = (
+        [
+            None
+            if float(v) != float(v)
+            else Decimal(repr(float(v))).quantize(q6, ROUND_HALF_UP)
+            for v in state.get[0]
+        ]
         if state.exists
         else []
     )
@@ -203,15 +217,20 @@ def zscore_anomaly_fn(key, batches: Iterator[pd.DataFrame], state) -> Iterator[p
         pdf = pdf.sort_values(["ts", "event_id"])
         for eid, val in zip(pdf["event_id"], pdf["value"]):
             if val is None or float(val) != float(val):
-                # a NULL/NaN value is excluded from the batch frame's
-                # count() and sum() and its own z is NULL there; one
-                # NaN previously entered the ring buffer and silenced
-                # the next 20 windows (round-11 review)
+                # a NULL/NaN value joins neither the count nor the
+                # sums and its own z is NULL in the batch plan — but
+                # it still fills a ROWS-frame slot there, so it must
+                # fill a buffer slot here (a bare `continue` gave the
+                # next windows one extra older value; round-12 review)
+                buf.append(None)
+                if len(buf) > _Z_LOOKBACK:
+                    buf.pop(0)
                 continue
-            n = len(buf)
+            reals = [d for d in buf if d is not None]
+            n = len(reals)
             if n >= _Z_MIN_N:
-                s = float(reduce(ctx.add, buf, Decimal(0)))
-                s2 = float(reduce(ctx.add, [ctx.multiply(d, d) for d in buf], Decimal(0)))
+                s = float(reduce(ctx.add, reals, Decimal(0)))
+                s2 = float(reduce(ctx.add, [ctx.multiply(d, d) for d in reals], Decimal(0)))
                 mean = s / n
                 var = (s2 / n - mean * mean) * n / (n - 1)
                 if var > 0:
@@ -228,7 +247,7 @@ def zscore_anomaly_fn(key, batches: Iterator[pd.DataFrame], state) -> Iterator[p
             buf.append(Decimal(repr(float(val))).quantize(q6, ROUND_HALF_UP))
             if len(buf) > _Z_LOOKBACK:
                 buf.pop(0)
-    state.update(([float(d) for d in buf],))
+    state.update(([float("nan") if d is None else float(d) for d in buf],))
     yield pd.DataFrame(
         {"user_id": out_uid, "event_id": out_eid, "value": out_val, "z": out_z}
     )

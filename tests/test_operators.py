@@ -2250,6 +2250,75 @@ def test_streaming_zscore_survives_arrow_chunking(spark, tmp_path):
     assert got == want and len(got) == 2
 
 
+def test_streaming_zscore_null_rows_fill_frame_slots(spark, tmp_path):
+    """A NULL (or NaN) value row occupies a physical slot in the batch
+    operator's ROWS frame rowsBetween(-lookback,-1) — count()/sum()
+    skip only its VALUE. The streaming scorer must therefore push a
+    sentinel into its ring buffer for such rows; skipping them
+    entirely left one extra older value in every window that follows
+    a NULL, breaking the BIT-IDENTICAL contract for keys with >=
+    lookback history containing NULLs (round-12 review). NULLs here
+    sit inside the trailing frames of both spikes, history is well
+    past the lookback, and the stream splits mid-frame so sentinel
+    slots must also survive the state round-trip (stored as NaN in
+    the array<double> state)."""
+    import datetime
+
+    from ais_data_pipeline_spark.operators.timeseries import rolling_zscore_anomalies
+    from ais_data_pipeline_spark.streaming.stateful import zscore_anomalies_stream
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(48):
+        if i in (17, 22, 28):
+            v = None
+        elif i == 20:
+            v = float("nan")
+        elif i in (26, 40):
+            v = 500.0
+        else:
+            v = 9.5 if i % 2 == 0 else 10.5
+        rows.append((1000 + i, 1, base + datetime.timedelta(seconds=i), v))
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    df = spark.createDataFrame(rows, schema)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # batch boundary at i=30: the second spike's frame spans it, so the
+    # NULL sentinel at i=28 must come back out of the state store
+    spark.createDataFrame(rows[:30], schema).coalesce(1).write.parquet(str(src / "b1"))
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src / "*"))
+    out_tbl, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run():
+        (
+            zscore_anomalies_stream(stream)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .option("path", out_tbl)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(120)
+        )
+
+    run()
+    spark.createDataFrame(rows[30:], schema).coalesce(1).write.parquet(str(src / "b2"))
+    run()
+
+    got = {r["event_id"]: r["z"] for r in spark.read.parquet(out_tbl).collect()}
+    want = {
+        r["event_id"]: r["z"]
+        for r in rolling_zscore_anomalies(
+            df, order_cols=("ts", "event_id"), lookback=20, min_n=10, threshold=3.0
+        ).collect()
+    }
+    assert len(want) == 2  # both spikes flagged by the batch plan
+    assert got == want  # bit-identical, NULL/NaN slots included
+
+
 def test_join_view_delta_exactly_once(spark):
     """ΔV covers every new join pair exactly once (no dupes, no
     misses) and the refresh equals a from-scratch recompute; the delta
@@ -3540,6 +3609,32 @@ def test_jpeg_progressive_hand_assembled_streams():
         + b"\xff\xd9"
     )
 
+    # corrupt-stream contract (round-12 review): an AC-refinement ZRL
+    # whose 16-zero run overruns the spectral band must fail loudly
+    # like ac_first does, not fall silently off the end of the band.
+    # AC table here: codes 00→EOB, 01→0x01, 10→ZRL(0xF0); band 50..63
+    # has only 14 slots, all zero-history, so ZRL leaves r=1 at k>se.
+    dht_zrl = bytes([0x00]) + bytes([0, 0, 0, 12] + [0] * 12) + bytes(range(12))
+    dht_zrl += bytes([0x10]) + bytes([0, 3] + [0] * 14) + bytes([0x00, 0x01, 0xF0])
+    head_zrl = (
+        b"\xff\xd8"
+        + seg(0xDB, b"\x00" + bytes([1] * 64))
+        + seg(0xC2, _struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+        + seg(0xC4, dht_zrl)
+    )
+    stream_zrl = (
+        head_zrl
+        + sos(0, 0, 0, 1, 0x42)  # DC first, Al=1
+        + sos(50, 63, 0, 1, 0x3F)  # AC first: immediate EOB — no history
+        + sos(0, 0, 1, 0, 0x7F)  # DC refine: one raw bit
+        + sos(50, 63, 1, 0, 0xBF)  # AC refine: ZRL (code 10) overruns
+        + b"\xff\xd9"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bad refinement run"):
+        parse_jpeg(stream_zrl)
+
     got_a, got_b = parse_jpeg(stream_a), parse_jpeg(stream_b)
     assert (got_a == got_b).all()
 
@@ -3955,6 +4050,39 @@ def test_http_ingest_same_key_concurrency(spark, tmp_path):
     # no temp litter
     leftovers = [p for p in out.parent.iterdir() if ".inprogress" in p.name]
     assert leftovers == []
+
+
+def test_http_ingest_sweeps_orphaned_temp(spark, tmp_path):
+    """A task killed mid-write (executor loss, OOM) never reaches the
+    exception cleanup, orphaning its uniquely-named .inprogress temp in
+    the landing-zone data directory forever — where prefix-glob readers
+    pick it up (round-12 review). The next fetch of the same key must
+    sweep stale temps before writing."""
+    import os
+
+    from ais_data_pipeline_spark.sources.http import ingest_urls
+
+    src = tmp_path / "srcs"
+    src.mkdir()
+    a = src / "rent_contracts.csv"
+    a.write_bytes(b"fresh" * 10_000)
+    dest = str(tmp_path / "landing")
+    key_dir = tmp_path / "landing" / "raw" / "2026" / "08" / "15"
+    key_dir.mkdir(parents=True)
+    # simulate the orphan a killed task left behind
+    torn = key_dir / "rent_contracts.csv.inprogress.deadbeefdeadbeef"
+    torn.write_bytes(b"torn-partial-bytes")
+    summary = ingest_urls(spark, [a.as_uri()], dest, date_str="2026-08-15")
+    assert summary["files_ok"] == 1
+    assert (key_dir / "rent_contracts.csv").read_bytes() == b"fresh" * 10_000
+    assert [p for p in key_dir.iterdir() if ".inprogress" in p.name] == []
+    assert not torn.exists()
+    # unrelated keys' temps are left alone (a live writer elsewhere)
+    other = key_dir / "other_table.csv.inprogress.cafecafecafecafe"
+    other.write_bytes(b"x")
+    ingest_urls(spark, [a.as_uri()], dest, date_str="2026-08-15")
+    assert other.exists()
+    os.remove(other)
 
 
 def test_video_real_metadata_frame_fanout_composition(spark):
