@@ -765,9 +765,13 @@ def decode_audio_meta(
     return narrow.mapInPandas(extract, AUDIO_META_SCHEMA)
 
 
+# sum/peak columns are DOUBLE since round 12 (float32 joined the decode
+# surface); every value stays EXACT — integer stats are < 2^53 and the
+# float fixture's amplitudes are multiples of 2^-15, so partial sums
+# are exact in any order and the oracle hash can't flap
 AUDIO_PCM_SCHEMA = (
     "doc_id bigint, channel int, sample_rate int, bits_per_sample int, "
-    "n_samples bigint, sum_amp bigint, sum_abs bigint, max_abs int, "
+    "n_samples bigint, sum_amp double, sum_abs double, max_abs double, "
     "n_clipped bigint"
 )
 
@@ -802,11 +806,14 @@ def decode_audio_pcm(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:
     """REAL per-sample audio decode via mapInPandas (Arrow-batched):
-    parse the RIFF/WAVE container, decode the 8/16/24-bit PCM frames, and
-    emit one row per (doc, channel) with exact integer amplitude stats
-    — signed sum, absolute sum, peak, and full-scale clip count (all
-    int64, no float accumulation, so a SQL oracle re-derives them
-    bit-exactly from the fixture's closed-form waveform). At 100 TB
+    parse the RIFF/WAVE container, decode the 8/16/24-bit integer or
+    float32 PCM frames (EXTENSIBLE containers unwrapped — round 12),
+    and emit one row per (doc, channel) with exact amplitude stats —
+    signed sum, absolute sum, peak, and clip count (full-scale integer
+    codes, or |amp| >= 1.0 for float). All values are EXACT doubles
+    (integer stats < 2^53; the float fixture's amplitudes are
+    multiples of 2^-15), so a SQL oracle re-derives them bit-exactly
+    from the closed-form waveform in any accumulation order. At 100 TB
     each task holds one Arrow batch of blobs; the decode is per-row
     numpy with no state — swap ``parse_wav`` for a codec library and
     nothing in the plan changes."""
@@ -824,8 +831,12 @@ def decode_audio_pcm(
             out = {k: [] for k in cols}
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 frames, rate, bits = parse_wav(bytes(payload))
-                lo, hi = CLIP_BOUNDS[bits]
-                a = frames.astype(np.int64)
+                is_float = frames.dtype.kind == "f"
+                if is_float:
+                    a = frames.astype(np.float64)  # f32 -> f64 is exact
+                else:
+                    a = frames.astype(np.int64)
+                    lo, hi = CLIP_BOUNDS[bits]
                 for ch in range(frames.shape[1]):
                     c = a[:, ch]
                     out["doc_id"].append(int(doc_id))
@@ -833,10 +844,13 @@ def decode_audio_pcm(
                     out["sample_rate"].append(rate)
                     out["bits_per_sample"].append(bits)
                     out["n_samples"].append(int(c.shape[0]))
-                    out["sum_amp"].append(int(c.sum()))
-                    out["sum_abs"].append(int(np.abs(c).sum()))
-                    out["max_abs"].append(int(np.abs(c).max()) if c.size else 0)
-                    out["n_clipped"].append(int(((c == lo) | (c == hi)).sum()))
+                    out["sum_amp"].append(float(c.sum()))
+                    out["sum_abs"].append(float(np.abs(c).sum()))
+                    out["max_abs"].append(float(np.abs(c).max()) if c.size else 0.0)
+                    clipped = (
+                        np.abs(c) >= 1.0 if is_float else (c == lo) | (c == hi)
+                    )
+                    out["n_clipped"].append(int(clipped.sum()))
             yield pd.DataFrame(out)
 
     from ais_data_pipeline_spark.operators.util import spread_to_parallelism

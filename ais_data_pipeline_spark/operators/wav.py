@@ -1,20 +1,25 @@
-"""Pure-stdlib WAV/PCM codec (RIFF container, integer PCM samples).
+"""Pure-stdlib WAV codec (RIFF container, integer + float32 PCM).
 
 Round-11 (verdict item 3): audio gets what images got in r8–r10 — a
-REAL sample decode, not a header parse. Scope is the layouts a
-``struct`` + numpy parser can own exactly: RIFF/WAVE chunk walk
-(unknown chunks skipped, odd-length chunks padded per the RIFF spec),
-``fmt `` format code 1 (integer PCM), 8-bit unsigned plus 16- and
-24-bit signed-little-endian samples, any channel count. Float PCM
-(code 3), WAVE_FORMAT_EXTENSIBLE (0xFFFE), ADPCM, and 32-bit depth
-raise the honest ``NotImplementedError`` — the same exotic-variant
-convention as the JPEG/PNG decoders.
+REAL sample decode, not a header parse. Round-12 (verdict item 4)
+widens the format surface to what modern ML audio tooling actually
+emits: IEEE-float32 PCM (format code 3 — the default interchange
+format of soundfile/librosa) and WAVE_FORMAT_EXTENSIBLE (0xFFFE — the
+wrapper any encoder writes for >2 channels or >16-bit), dispatched on
+the SubFormat GUID. Scope stays what a ``struct`` + numpy parser can
+own exactly: RIFF/WAVE chunk walk (unknown chunks skipped, odd-length
+chunks padded per the RIFF spec), integer PCM at 8 (unsigned)/16/24
+bit, float32 in [-1, 1]. ADPCM, float64, 32-bit integer PCM, and
+unknown SubFormat GUIDs raise the honest ``NotImplementedError`` —
+the same exotic-variant convention as the JPEG/PNG decoders.
 
-Amplitudes are normalized to the SIGNED convention on decode: 16-bit
-samples are already signed; 8-bit WAV is unsigned with a 128 midpoint
-(the one asymmetry the RIFF spec carries), so the parser subtracts 128
-— downstream stats (sums, clip counts) see one centered scale per
-depth and a SQL oracle replays both branches in closed form.
+Amplitudes are normalized to the SIGNED convention on decode: 16/24-
+bit samples are already signed; 8-bit WAV is unsigned with a 128
+midpoint (the one asymmetry the RIFF spec carries), so the parser
+subtracts 128; float32 passes through in its native [-1, 1] scale and
+is distinguished downstream by the frames' dtype — downstream stats
+(sums, clip counts) see one centered scale per depth and a SQL oracle
+replays every branch in closed form.
 
 Reference parity: the reference pipeline has no audio decode (its
 multimodal handling stops at object metadata); this module is part of
@@ -28,26 +33,82 @@ import struct
 
 import numpy as np
 
-#: full-scale (clip) amplitude bounds per supported bit depth, in the
-#: centered/signed convention the parser returns
+#: full-scale (clip) amplitude bounds per supported INTEGER bit depth,
+#: in the centered/signed convention the parser returns; float32 clips
+#: against +/-1.0 (nominal full scale for IEEE-float WAV)
 CLIP_BOUNDS = {
     8: (-128, 127),
     16: (-32768, 32767),
     24: (-(1 << 23), (1 << 23) - 1),
 }
 
+#: the fixed tail of the KSDATAFORMAT_SUBTYPE_* media GUIDs — an
+#: EXTENSIBLE fmt's SubFormat is (uint16 format code, 0x0000, this)
+_KSDATAFORMAT_TAIL = bytes(
+    [0x00, 0x00, 0x10, 0x00, 0x80, 0x00, 0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71]
+)
+
+
+def _parse_fmt(body: bytes, size: int) -> tuple[int, int, int]:
+    """fmt chunk body -> (n_channels, sample_rate, bits) with the
+    format code resolved (EXTENSIBLE unwrapped via its SubFormat GUID);
+    bits == 32 always means float32 here, since 32-bit integer PCM is
+    out of scope."""
+    if size < 16:
+        raise ValueError("short fmt chunk")
+    code, nch, rate, _brate, _balign, bits = struct.unpack_from("<HHIIHH", body, 0)
+    if code == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: real code is in the GUID
+        if size < 40:
+            raise ValueError("short WAVE_FORMAT_EXTENSIBLE fmt chunk")
+        (cb,) = struct.unpack_from("<H", body, 16)
+        if cb < 22:
+            raise ValueError("WAVE_FORMAT_EXTENSIBLE extension too small")
+        valid_bits, _channel_mask = struct.unpack_from("<HI", body, 18)
+        sub = body[24:40]
+        (code,) = struct.unpack_from("<H", sub, 0)
+        if sub[2:4] != b"\x00\x00" or sub[4:16] != _KSDATAFORMAT_TAIL:
+            raise NotImplementedError(
+                "unknown WAVE_FORMAT_EXTENSIBLE SubFormat GUID"
+            )
+        if valid_bits not in (0, bits):
+            # validBitsPerSample < container size means padded samples
+            # (e.g. 20-in-24): a real layout, but decoding it as full
+            # container bits would silently mis-scale every amplitude
+            raise NotImplementedError(
+                f"EXTENSIBLE valid bits {valid_bits} != container bits {bits}"
+            )
+    if code == 1:
+        if bits not in CLIP_BOUNDS:
+            raise NotImplementedError(
+                f"{bits}-bit WAV samples not supported (8/16/24-bit integer PCM)"
+            )
+    elif code == 3:
+        if bits != 32:
+            raise NotImplementedError(
+                f"{bits}-bit float WAV not supported (float32 only)"
+            )
+    else:
+        raise NotImplementedError(
+            f"WAV format code {code} not supported (integer or float32 PCM only)"
+        )
+    if nch == 0 or rate == 0:
+        raise ValueError("WAV with zero channels or sample rate")
+    return nch, rate, bits
+
 
 def parse_wav(data: bytes) -> tuple[np.ndarray, int, int]:
     """WAV bytes -> (frames, sample_rate, bits_per_sample).
 
-    ``frames`` is an ``(n_frames, n_channels)`` int32 array of CENTERED
-    amplitudes (8-bit unsigned samples are shifted by -128; 16-bit and
-    24-bit LE two's-complement samples pass through). Real parser:
-    RIFF header check, chunk walk honoring the even-byte padding rule,
-    first ``fmt `` + first ``data`` chunk win (later duplicates
-    ignored, like common readers). Raises ``ValueError`` on corrupt
-    containers and ``NotImplementedError`` on out-of-scope encodings
-    (non-PCM format codes, depths other than 8/16/24)."""
+    ``frames`` is ``(n_frames, n_channels)``: int32 CENTERED amplitudes
+    for integer PCM (8-bit unsigned samples are shifted by -128; 16-bit
+    and 24-bit LE two's-complement samples pass through), float32 in
+    native [-1, 1] scale for IEEE-float PCM — the dtype tells the two
+    apart (bits == 32 is always float, since 32-bit integer PCM stays
+    out of scope). Real parser: RIFF header check, chunk walk honoring
+    the even-byte padding rule, first ``fmt `` + first ``data`` chunk
+    win (later duplicates ignored, like common readers), EXTENSIBLE
+    unwrapped via the SubFormat GUID. Raises ``ValueError`` on corrupt
+    containers and ``NotImplementedError`` on out-of-scope encodings."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos = 12
@@ -60,22 +121,7 @@ def parse_wav(data: bytes) -> tuple[np.ndarray, int, int]:
         if len(body) != size:
             raise ValueError(f"truncated WAV chunk {cid!r}")
         if cid == b"fmt " and fmt is None:
-            if size < 16:
-                raise ValueError("short fmt chunk")
-            code, nch, rate, _brate, _balign, bits = struct.unpack_from(
-                "<HHIIHH", body, 0
-            )
-            if code != 1:
-                raise NotImplementedError(
-                    f"WAV format code {code} not supported (integer PCM only)"
-                )
-            if bits not in CLIP_BOUNDS:
-                raise NotImplementedError(
-                    f"{bits}-bit WAV samples not supported (8/16/24-bit PCM only)"
-                )
-            if nch == 0 or rate == 0:
-                raise ValueError("WAV with zero channels or sample rate")
-            fmt = (nch, rate, bits)
+            fmt = _parse_fmt(body, size)
         elif cid == b"data" and raw is None:
             raw = body
         # unknown chunks (LIST, cue , fact, ...) are skipped; odd-length
@@ -94,6 +140,8 @@ def parse_wav(data: bytes) -> tuple[np.ndarray, int, int]:
         amps = np.frombuffer(raw, dtype=np.uint8).astype(np.int32) - 128
     elif bits == 16:
         amps = np.frombuffer(raw, dtype="<i2").astype(np.int32)
+    elif bits == 32:  # float32 (code 3; the only 32-bit layout in scope)
+        amps = np.frombuffer(raw, dtype="<f4")
     else:  # 24-bit: three LE bytes per sample, two's complement
         b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).astype(np.int32)
         amps = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
@@ -111,26 +159,43 @@ FIXTURE_RATES = [8000, 16000, 22050, 44100, 48000]
 
 def wav_fixture_params(doc_id: int) -> tuple[int, int, int, int]:
     """(bits, n_channels, sample_rate, n_frames) for fixture doc_id —
-    even docs 8-bit, every third stereo, rates cycling the table, frame
-    counts varying so no two stats rows are trivially equal."""
-    bits = 8 if doc_id % 2 == 0 else 16
+    every seventh-mod-5 doc float32 (round 12), remaining even docs
+    8-bit, odd 16-bit; every third stereo, rates cycling the table,
+    frame counts varying so no two stats rows are trivially equal."""
+    if doc_id % 7 == 5:
+        bits = 32  # float32
+    else:
+        bits = 8 if doc_id % 2 == 0 else 16
     nch = 2 if doc_id % 3 == 0 else 1
     rate = FIXTURE_RATES[doc_id % 5]
     n_frames = 50 + doc_id % 37
     return bits, nch, rate, n_frames
 
 
-def wav_fixture_amp(doc_id: int, k: int, bits: int) -> int:
+def wav_fixture_extensible(doc_id: int) -> bool:
+    """Whether fixture doc_id wraps its format in WAVE_FORMAT_EXTENSIBLE
+    (doc_id % 4 in (1, 2): covers 8-bit, 16-bit, and float32 docs)."""
+    return doc_id % 4 in (1, 2)
+
+
+def wav_fixture_amp(doc_id: int, k: int, bits: int) -> int | float:
     """Ground-truth CENTERED amplitude of interleaved sample ``k`` of
     fixture doc ``doc_id`` — closed form (linear congruence mod the
     sample space), so a DuckDB oracle re-derives every amplitude while
     the engine round-trips through real RIFF/PCM bytes. The modulus
     sweeps the full sample space, so clip-valued samples (±full scale)
-    occur naturally and ``n_clipped`` is exercised."""
+    occur naturally and ``n_clipped`` is exercised. Float32 amplitudes
+    are k/2^15 with k in [-32768, 32767] — exactly representable in
+    float32 AND in every engine's double arithmetic, so float sums
+    stay bit-identical cross-engine (order-independent: all partial
+    sums are exact multiples of 2^-15 far below 2^53)."""
     if bits == 8:
         return (doc_id * 131 + k * 17) % 256 - 128
     raw = (doc_id * 131 + k * 17) % 65536
-    return raw - 65536 if raw >= 32768 else raw
+    signed = raw - 65536 if raw >= 32768 else raw
+    if bits == 32:
+        return ((doc_id * 131 + k * 17) % 65536 - 32768) / 32768.0
+    return signed
 
 
 def encode_wav(doc_id: int) -> bytes:
@@ -138,16 +203,33 @@ def encode_wav(doc_id: int) -> bytes:
     ``wav_fixture_amp`` closed-form waveform. Every third doc carries a
     junk ``LIST`` chunk with an ODD body length between ``fmt `` and
     ``data`` so the decoder's chunk walk and pad-byte handling are
-    exercised in the Spark path, not just in pytest."""
+    exercised in the Spark path, not just in pytest; docs with
+    ``wav_fixture_extensible`` wrap the format in a real 40-byte
+    WAVE_FORMAT_EXTENSIBLE fmt chunk (SubFormat GUID dispatch, channel
+    mask, validBitsPerSample) — both integer and float variants."""
     bits, nch, rate, n_frames = wav_fixture_params(doc_id)
     n = n_frames * nch
-    amps = np.array([wav_fixture_amp(doc_id, k, bits) for k in range(n)])
+    amps = [wav_fixture_amp(doc_id, k, bits) for k in range(n)]
     if bits == 8:
-        raw = (amps + 128).astype(np.uint8).tobytes()
+        raw = (np.array(amps) + 128).astype(np.uint8).tobytes()
+    elif bits == 32:
+        raw = np.array(amps, dtype="<f4").tobytes()
     else:
-        raw = amps.astype("<i2").tobytes()
+        raw = np.array(amps).astype("<i2").tobytes()
     balign = (bits // 8) * nch
-    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, nch, rate, rate * balign, balign, bits)
+    code = 3 if bits == 32 else 1
+    if wav_fixture_extensible(doc_id):
+        mask = 0x3 if nch == 2 else 0x4  # FL|FR / FC
+        ext = struct.pack("<HHI", 22, bits, mask)
+        ext += struct.pack("<H", code) + b"\x00\x00" + _KSDATAFORMAT_TAIL
+        fmt = b"fmt " + struct.pack(
+            "<IHHIIHH", 18 + len(ext) - 2, 0xFFFE, nch, rate, rate * balign,
+            balign, bits,
+        ) + ext
+    else:
+        fmt = b"fmt " + struct.pack(
+            "<IHHIIHH", 16, code, nch, rate, rate * balign, balign, bits
+        )
     chunks = fmt
     if doc_id % 3 == 0:
         junk = b"INFO" + bytes(3)  # 7 bytes: odd length forces a pad byte

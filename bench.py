@@ -205,8 +205,18 @@ def _dir_bytes(path: str, suffix: str) -> int:
     )
 
 
-def bench_pipeline(spark) -> tuple[float, dict]:
-    """Time the flagship CSV→Parquet pipeline (BASELINE.md targets)."""
+def bench_pipeline(spark, reps: int = 1) -> tuple[float, dict]:
+    """Time the flagship CSV→Parquet pipeline (BASELINE.md targets).
+
+    Best-of-``reps`` with the output dirs deleted between reps, plus a
+    per-leg load record (round-12 verdict item 1): this leg was the
+    ONE single-shot number in the artifact and it twice recorded a
+    phantom 2.26× regression (BENCH_r11 7.547 s vs a standalone-
+    verified 3.35 s on a git-identical code path) because it runs
+    after ~37 queries' residual load. The rep cost is seconds; the
+    first run is reported alongside the best, like every other leg."""
+    import shutil
+
     from ais_data_pipeline_spark.plans.rent_contracts import run_pipeline
 
     base = f"/tmp/ais_bench_pipeline_{PIPELINE_ROWS}"
@@ -238,23 +248,38 @@ def bench_pipeline(spark) -> tuple[float, dict]:
     )
 
     out, quar = os.path.join(base, "out"), os.path.join(base, "quarantine")
-    t0 = time.perf_counter()
+    load_before = [round(x, 2) for x in os.getloadavg()]
+    best = first = best_load = None
+    res = parquet_bytes = None
     try:
-        res = run_pipeline(
-            spark, csv_dir, out, quar, schema=_rent_contracts_schema()
-        )
-        dt = time.perf_counter() - t0
+        for i in range(max(reps, 1)):
+            shutil.rmtree(out, ignore_errors=True)
+            shutil.rmtree(quar, ignore_errors=True)
+            rep_load = round(os.getloadavg()[0], 2)
+            t0 = time.perf_counter()
+            r = run_pipeline(
+                spark, csv_dir, out, quar, schema=_rent_contracts_schema()
+            )
+            dt = time.perf_counter() - t0
+            if i == 0:
+                first = dt
+            if best is None or dt < best:
+                best, best_load, res = dt, rep_load, r
+                parquet_bytes = _dir_bytes(out, ".parquet")
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
-    parquet_bytes = _dir_bytes(out, ".parquet")
-    return round(dt, 3), {
+    return round(best, 3), {
         "rows_in": res.rows_in,
         "rows_out": res.rows_out,
         "rows_quarantined": res.rows_quarantined,
         "csv_mib": round(csv_bytes / 2**20, 2),
         "parquet_mib": round(parquet_bytes / 2**20, 2),
         "compression_ratio": round(csv_bytes / max(parquet_bytes, 1), 1),
-        "mib_per_sec": round(csv_bytes / 2**20 / dt, 1),
+        "mib_per_sec": round(csv_bytes / 2**20 / best, 1),
+        "reps": max(reps, 1),
+        "first_run_sec": round(first, 3),
+        "load_avg_before": load_before,
+        "load_at_best_rep": best_load,
     }
 
 
@@ -285,17 +310,23 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", 2))
     timings: dict[str, float] = {}
     first_runs: dict[str, float] = {}
+    # 1-min load at the moment each leg's BEST rep started (round-12
+    # verdict item 7): lets a ratio reader mechanically discard a
+    # contaminated best instead of consulting SCALING.md prose.
+    headline_load: dict[str, float] = {}
     for name in HEADLINE:
         q = by_name[name]
         best = None
         for i in range(max(reps, 1)):
+            rep_load = round(os.getloadavg()[0], 2)
             t0 = time.perf_counter()
             rows = q.fn(spark, sf_dir).collect()
             dt = time.perf_counter() - t0
             assert rows is not None
             if i == 0:
                 first_runs[name] = round(dt, 3)
-            best = dt if best is None else min(best, dt)
+            if best is None or dt < best:
+                best, headline_load[name] = dt, rep_load
         timings[name] = round(best, 3)
 
     # The heavy tier gets the SAME honesty treatment as the headline
@@ -308,34 +339,51 @@ def main() -> None:
     ext_reps = int(os.environ.get("SPARK_GRAFT_BENCH_EXT_REPS", 3))
     extended: dict[str, float] = {}
     extended_first: dict[str, float] = {}
+    extended_load: dict[str, float] = {}
     for name in EXTENDED:
         q = by_name[name]
         best = None
         for i in range(max(ext_reps, 1)):
+            rep_load = round(os.getloadavg()[0], 2)
             t0 = time.perf_counter()
             rows = q.fn(spark, sf_dir).collect()
             dt = time.perf_counter() - t0
             assert rows is not None
             if i == 0:
                 extended_first[name] = round(dt, 3)
-            best = dt if best is None else min(best, dt)
+            if best is None or dt < best:
+                best, extended_load[name] = dt, rep_load
         extended[name] = round(best, 3)
 
-    # Load-trust pass (round-10 verdict item 4): when the bench STARTED
-    # on a contended box, re-run every extended leg once more after the
-    # main pass has drained (the contention source — typically the
-    # driver's own verify sweep — has usually finished by now) and keep
-    # the best-of. The flag itself is recorded either way, so a ratio
-    # reader can tell a measured regression from a busy box without
-    # consulting SCALING.md prose.
+    # Load-trust pass (round-10 verdict item 4; widened to HEADLINE in
+    # round 12 — BENCH_r11's headline rows read 1.2-1.6× under load
+    # while a quiet box read 0.9×): when the bench STARTED on a
+    # contended box, re-run every headline and extended leg once more
+    # after the main pass has drained (the contention source —
+    # typically the driver's own verify sweep — has usually finished by
+    # now) and keep the best-of. The flag itself is recorded either
+    # way, so a ratio reader can tell a measured regression from a
+    # busy box without consulting SCALING.md prose.
     load_flagged = load_start[0] > LOAD_FLAG_MAX
     if load_flagged:
-        for name in EXTENDED:
+        for name in HEADLINE:
             q = by_name[name]
+            rep_load = round(os.getloadavg()[0], 2)
             t0 = time.perf_counter()
             q.fn(spark, sf_dir).collect()
             dt = time.perf_counter() - t0
-            extended[name] = round(min(extended[name], dt), 3)
+            if dt < timings[name]:
+                timings[name] = round(dt, 3)
+                headline_load[name] = rep_load
+        for name in EXTENDED:
+            q = by_name[name]
+            rep_load = round(os.getloadavg()[0], 2)
+            t0 = time.perf_counter()
+            q.fn(spark, sf_dir).collect()
+            dt = time.perf_counter() - t0
+            if dt < extended[name]:
+                extended[name] = round(dt, 3)
+                extended_load[name] = rep_load
 
     # ratio vs the newest BENCH_r*.json carrying an extended section
     # (best-over-best; the prior rounds' extended was single-shot = its
@@ -392,9 +440,10 @@ def main() -> None:
         n: round(extended[n] / prev_ext[n], 2) for n in extended if prev_ext.get(n)
     }
 
-    pipeline_sec, pipeline_detail = bench_pipeline(spark)
+    pipeline_sec, pipeline_detail = bench_pipeline(spark, reps=max(reps, 2))
     timings["pipeline_csv_to_parquet"] = pipeline_sec
-    first_runs["pipeline_csv_to_parquet"] = pipeline_sec
+    first_runs["pipeline_csv_to_parquet"] = pipeline_detail["first_run_sec"]
+    headline_load["pipeline_csv_to_parquet"] = pipeline_detail["load_at_best_rep"]
 
     # Reference-scale leg (round-5 parity ask): prove the pipeline at
     # the reference's actual input size (≥4.2 GiB) under a capped heap,
@@ -459,8 +508,11 @@ def main() -> None:
         "queries": timings,
         "queries_first_run": first_runs,
         "first_run_total": total_first,
+        # 1-min load at each leg's best rep (round-12 verdict item 7)
+        "queries_load": headline_load,
         "extended": extended,
         "extended_first_run": extended_first,
+        "extended_load": extended_load,
         "extended_ratio_vs_prev": ext_ratio,
         "extended_total": round(sum(extended.values()), 3),
         "sf": float(sf) if sf else None,

@@ -3287,7 +3287,7 @@ def test_wav_pcm_decode_and_contracts(spark):
     assert frames[:, 1].tolist() == [-200, -32768, 5]
 
     # error contracts: corrupt -> ValueError, out-of-scope -> honest
-    # NotImplementedError (float PCM, 24-bit), never a wrong decode
+    # NotImplementedError, never a wrong decode
     with _pytest.raises(ValueError, match="RIFF"):
         parse_wav(b"RIFX" + wav[4:])
     with _pytest.raises(ValueError, match="truncated"):
@@ -3305,9 +3305,27 @@ def test_wav_pcm_decode_and_contracts(spark):
     )
     with _pytest.raises(ValueError, match="whole number of frames"):
         parse_wav(ragged)
-    float_fmt = b"fmt " + _struct.pack("<IHHIIHH", 16, 3, 1, 8000, 32000, 4, 32)
-    with _pytest.raises(NotImplementedError, match="format code 3"):
-        parse_wav(b"RIFF" + _struct.pack("<I", 4 + len(float_fmt)) + b"WAVE" + float_fmt)
+    # float32 (format code 3) DECODES since round 12 — native [-1, 1]
+    # scale, dtype float32; float64 stays an honest NotImplementedError
+    fvals = [0.0, 0.5, -1.0, 0.25, -0.75, 1.0]
+    fraw = np.array(fvals, dtype="<f4").tobytes()
+    float_fmt = b"fmt " + _struct.pack("<IHHIIHH", 16, 3, 2, 8000, 64000, 8, 32)
+    fwav = (
+        b"RIFF"
+        + _struct.pack("<I", 4 + len(float_fmt) + 8 + len(fraw))
+        + b"WAVE"
+        + float_fmt
+        + b"data"
+        + _struct.pack("<I", len(fraw))
+        + fraw
+    )
+    fframes, frate, fbits = parse_wav(fwav)
+    assert (frate, fbits) == (8000, 32) and fframes.dtype == np.float32
+    assert fframes[:, 0].tolist() == [0.0, -1.0, -0.75]
+    assert fframes[:, 1].tolist() == [0.5, 0.25, 1.0]
+    f64 = b"fmt " + _struct.pack("<IHHIIHH", 16, 3, 1, 8000, 64000, 8, 64)
+    with _pytest.raises(NotImplementedError, match="float32 only"):
+        parse_wav(b"RIFF" + _struct.pack("<I", 4 + len(f64)) + b"WAVE" + f64)
     f32 = b"fmt " + _struct.pack("<IHHIIHH", 16, 1, 1, 8000, 32000, 4, 32)
     with _pytest.raises(NotImplementedError, match="32-bit"):
         parse_wav(b"RIFF" + _struct.pack("<I", 4 + len(f32)) + b"WAVE" + f32)
@@ -3346,7 +3364,9 @@ def test_wav_pcm_decode_and_contracts(spark):
 
     # Spark integration: per-(doc, channel) stats match an independent
     # accumulation over the closed form
-    ids = [0, 1, 3, 4, 9, 30]
+    # ids cover: 8/16-bit plain, float32 (5, 12, 33), EXTENSIBLE int
+    # (1, 2, 30 -> %4 in (1,2)) and EXTENSIBLE float (5, 33)
+    ids = [0, 1, 2, 3, 4, 5, 9, 12, 30, 33]
     out = decode_audio_pcm(
         make_audio_fixture(local_df(spark, [(i,) for i in ids], "doc_id bigint"))
     ).collect()
@@ -3354,7 +3374,6 @@ def test_wav_pcm_decode_and_contracts(spark):
     n_rows = 0
     for i in ids:
         bits, nch, rate, n_frames = wav_fixture_params(i)
-        full = (1 << (bits - 1)) - 1
         for ch in range(nch):
             vals = [
                 wav_fixture_amp(i, f * nch + ch, bits) for f in range(n_frames)
@@ -3366,10 +3385,82 @@ def test_wav_pcm_decode_and_contracts(spark):
             assert r["sum_amp"] == sum(vals)
             assert r["sum_abs"] == sum(abs(v) for v in vals)
             assert r["max_abs"] == max(abs(v) for v in vals)
-            assert r["n_clipped"] == sum(
-                1 for v in vals if v in (-full - 1, full)
-            )
+            if bits == 32:
+                want_clip = sum(1 for v in vals if abs(v) >= 1.0)
+            else:
+                full = (1 << (bits - 1)) - 1
+                want_clip = sum(1 for v in vals if v in (-full - 1, full))
+            assert r["n_clipped"] == want_clip
     assert len(out) == n_rows
+
+
+def test_wav_extensible_and_float_contracts():
+    """Round-12 widening (verdict item 4): WAVE_FORMAT_EXTENSIBLE
+    (0xFFFE) unwraps via the SubFormat GUID for both integer and
+    float32 PCM, the fixture encoder emits real 40-byte EXTENSIBLE fmt
+    chunks, and the GUID/validBits error contracts fail loudly."""
+    import struct as _struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from ais_data_pipeline_spark.operators.wav import (
+        _KSDATAFORMAT_TAIL,
+        encode_wav,
+        parse_wav,
+        wav_fixture_amp,
+        wav_fixture_extensible,
+        wav_fixture_params,
+    )
+
+    # fixture docs really are EXTENSIBLE (0xFFFE on the wire) and
+    # round-trip the closed form: doc 1 (16-bit ext), doc 2 (8-bit
+    # ext), doc 5 (float32 ext), doc 7 (16-bit plain), doc 33
+    # (float32 stereo ext)
+    for doc_id in (1, 2, 5, 7, 33):
+        b = encode_wav(doc_id)
+        (code,) = _struct.unpack_from("<H", b, b.index(b"fmt ") + 8)
+        assert (code == 0xFFFE) == wav_fixture_extensible(doc_id), doc_id
+        bits, nch, rate, n_frames = wav_fixture_params(doc_id)
+        frames, got_rate, got_bits = parse_wav(b)
+        assert (got_rate, got_bits) == (rate, bits)
+        assert frames.shape == (n_frames, nch)
+        assert (frames.dtype == np.float32) == (bits == 32)
+        for f in range(n_frames):
+            for ch in range(nch):
+                assert frames[f, ch] == wav_fixture_amp(
+                    doc_id, f * nch + ch, bits
+                ), (doc_id, f, ch)
+
+    def ext_wav(sub_code: int, guid_tail: bytes, valid_bits: int, bits: int,
+                raw: bytes) -> bytes:
+        ext = _struct.pack("<HHI", 22, valid_bits, 0x4)
+        ext += _struct.pack("<H", sub_code) + b"\x00\x00" + guid_tail
+        fmt = b"fmt " + _struct.pack(
+            "<IHHIIHH", 40, 0xFFFE, 1, 8000, 8000 * bits // 8, bits // 8, bits
+        ) + ext
+        body = fmt + b"data" + _struct.pack("<I", len(raw)) + raw
+        return b"RIFF" + _struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    # a hand-built EXTENSIBLE float32 decodes to the exact samples
+    vals = [0.5, -1.0, 0.0, 1.0]
+    raw = np.array(vals, dtype="<f4").tobytes()
+    frames, rate, bits = parse_wav(ext_wav(3, _KSDATAFORMAT_TAIL, 32, 32, raw))
+    assert bits == 32 and frames[:, 0].tolist() == vals
+
+    # unknown SubFormat GUID (e.g. ADPCM-ish) -> honest refusal
+    with _pytest.raises(NotImplementedError, match="SubFormat GUID"):
+        parse_wav(ext_wav(3, b"\x01" * 12, 32, 32, raw))
+    # padded samples (validBits < container bits) -> honest refusal
+    with _pytest.raises(NotImplementedError, match="valid bits"):
+        parse_wav(ext_wav(1, _KSDATAFORMAT_TAIL, 20, 24, b"\x00" * 3))
+    # truncated extension -> loud ValueError
+    short = ext_wav(3, _KSDATAFORMAT_TAIL, 32, 32, raw)
+    i = short.index(b"fmt ")
+    broken = bytearray(short)
+    broken[i + 4 : i + 8] = _struct.pack("<I", 18)  # claims 18-byte fmt
+    with _pytest.raises(ValueError, match="EXTENSIBLE"):
+        parse_wav(bytes(broken[: i + 8 + 18]) + short[i + 8 + 40 :])
 
 
 def test_random_sample_determinism(spark, sf_dir):

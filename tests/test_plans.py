@@ -691,6 +691,53 @@ def test_bench_final_line_fits_driver_tail():
     assert bench.compact_summary(detail)["pipeline_at_scale"] == {}
 
 
+def test_bench_pipeline_leg_is_repped_with_load_record(spark, monkeypatch):
+    """Round-12 verdict item 1: the flagship sf0.1 pipeline leg was
+    the one single-shot, load-blind number in the artifact, and it
+    recorded a 2.26× phantom regression two driver rounds in a row
+    (BENCH_r11 7.547 s vs a standalone-verified 3.35 s on a
+    git-identical code path). bench_pipeline must run the leg
+    best-of-reps with the output dirs deleted between reps and carry
+    its own load context (reps, first_run_sec, load_avg_before,
+    load_at_best_rep) — run here at a tiny row count to pin the
+    contract without the sf0.1 cost. main() must call it with
+    reps >= 2 and fold the per-leg load into queries_load."""
+    import ast
+    import inspect
+    import shutil
+
+    import bench
+
+    monkeypatch.setattr(bench, "PIPELINE_ROWS", 20_000)
+    base = f"/tmp/ais_bench_pipeline_{bench.PIPELINE_ROWS}"
+    shutil.rmtree(base, ignore_errors=True)
+    try:
+        sec, detail = bench.bench_pipeline(spark, reps=2)
+        assert sec > 0 and detail["reps"] == 2
+        assert detail["first_run_sec"] >= sec  # best-of never exceeds rep 1
+        assert len(detail["load_avg_before"]) == 3
+        assert isinstance(detail["load_at_best_rep"], float)
+        assert detail["rows_in"] == detail["rows_out"] + detail["rows_quarantined"]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    # main() wires the leg with reps>=2: pinned structurally so a
+    # refactor back to single-shot fails here, not in the next verdict
+    src = inspect.getsource(bench.main)
+    call = next(
+        node
+        for node in ast.walk(ast.parse(src))
+        if isinstance(node, ast.Call)
+        and getattr(node.func, "id", "") == "bench_pipeline"
+    )
+    kw = {k.arg: ast.unparse(k.value) for k in call.keywords}
+    assert kw.get("reps") == "max(reps, 2)", kw
+    # the flagged-rerun pass covers HEADLINE too (round-12 item 1b)
+    main_src = inspect.getsource(bench.main)
+    flagged = main_src.split("if load_flagged:")[1]
+    assert "for name in HEADLINE:" in flagged
+    assert "for name in EXTENDED:" in flagged
+
+
 def test_q6_full_pushdown(spark, sf_dir):
     """TPC-H Q6: every filter must reach the parquet scan and only the
     four referenced columns may be read."""
