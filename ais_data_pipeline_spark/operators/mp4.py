@@ -146,6 +146,122 @@ def parse_mp4_meta(data: bytes) -> dict:
     return out
 
 
+def parse_mp4_sample_table(data: bytes) -> dict:
+    """First VIDEO track's full sample tables (round 12 — keyframe-
+    aware sampling needs byte offsets, not just counts): per-sample
+    sizes (``stsz``, fixed- or per-entry), sample-to-chunk runs
+    (``stsc``), chunk offsets (``stco`` 32-bit or ``co64`` 64-bit),
+    and the sync-sample list (``stss``; None when absent, which per
+    ISO/IEC 14496-12 §8.6.2 means EVERY sample is a sync sample).
+    Raises ``ValueError`` when the track lacks the tables a byte-level
+    sampler needs."""
+    if len(data) < 8:
+        raise ValueError("not an MP4 payload")
+    tracks: list[dict] = []
+
+    def visit(lo: int, hi: int, path: tuple[bytes, ...]) -> None:
+        for btype, blo, bhi in _walk(data, lo, hi):
+            if btype == b"trak" and path == (b"moov",):
+                tracks.append(
+                    {"handler": None, "sizes": None, "stsc": None,
+                     "offsets": None, "stss": None}
+                )
+                visit(blo, bhi, path + (b"trak",))
+            elif btype == b"hdlr" and path[-1:] == (b"mdia",) and tracks:
+                tracks[-1]["handler"] = data[blo + 8 : blo + 12].decode("latin-1")
+            elif btype == b"stsz" and path[-1:] == (b"stbl",) and tracks:
+                fixed, cnt = struct.unpack_from(">II", data, blo + 4)
+                if fixed:
+                    tracks[-1]["sizes"] = [fixed] * cnt
+                else:
+                    if blo + 12 + 4 * cnt > bhi:
+                        raise ValueError("stsz table overruns its box")
+                    tracks[-1]["sizes"] = list(
+                        struct.unpack_from(f">{cnt}I", data, blo + 12)
+                    )
+            elif btype == b"stsc" and path[-1:] == (b"stbl",) and tracks:
+                (cnt,) = struct.unpack_from(">I", data, blo + 4)
+                if blo + 8 + 12 * cnt > bhi:
+                    raise ValueError("stsc table overruns its box")
+                runs = [
+                    struct.unpack_from(">III", data, blo + 8 + 12 * i)
+                    for i in range(cnt)
+                ]
+                tracks[-1]["stsc"] = runs
+            elif btype in (b"stco", b"co64") and path[-1:] == (b"stbl",) and tracks:
+                (cnt,) = struct.unpack_from(">I", data, blo + 4)
+                width, code = (8, "Q") if btype == b"co64" else (4, "I")
+                if blo + 8 + width * cnt > bhi:
+                    raise ValueError(f"{btype.decode()} table overruns its box")
+                tracks[-1]["offsets"] = list(
+                    struct.unpack_from(f">{cnt}{code}", data, blo + 8)
+                )
+            elif btype == b"stss" and path[-1:] == (b"stbl",) and tracks:
+                (cnt,) = struct.unpack_from(">I", data, blo + 4)
+                if blo + 8 + 4 * cnt > bhi:
+                    raise ValueError("stss table overruns its box")
+                tracks[-1]["stss"] = list(
+                    struct.unpack_from(f">{cnt}I", data, blo + 8)
+                )
+            elif btype == b"moov":
+                visit(blo, bhi, (b"moov",))
+            elif btype in _CONTAINERS and path:
+                visit(blo, bhi, path + (btype,))
+
+    visit(0, len(data), ())
+    video = next((t for t in tracks if t["handler"] == "vide"), None)
+    if video is None:
+        raise ValueError("MP4 has no video track")
+    if video["sizes"] is None or video["stsc"] is None or video["offsets"] is None:
+        raise ValueError("video track lacks stsz/stsc/stco sample tables")
+    return video
+
+
+def video_keyframe_offsets(data: bytes) -> list[tuple[int, int, int]]:
+    """Real keyframe byte map: (frame_index 0-based, absolute byte
+    offset, byte size) for every SYNC sample of the first video track,
+    derived by the full §8.7.4 walk — stsc runs expanded to per-chunk
+    sample counts, offsets accumulated from each chunk's stco/co64
+    base through the preceding same-chunk stsz sizes. This is the
+    work-list a video-corpus sampler hands its decode UDF: seekable
+    offsets of independently-decodable frames, not just indices."""
+    t = parse_mp4_sample_table(data)
+    sizes, runs, chunk_offs = t["sizes"], t["stsc"], t["offsets"]
+    n = len(sizes)
+    n_chunks = len(chunk_offs)
+    # expand stsc runs: run i covers chunks [first_i, first_{i+1}), the
+    # last run extending to the final chunk
+    prev_first = 0
+    counts: list[int] = []
+    for i, (first, spc, _sdi) in enumerate(runs):
+        if first <= prev_first:
+            raise ValueError("stsc first_chunk values must increase")
+        nxt = runs[i + 1][0] if i + 1 < len(runs) else n_chunks + 1
+        counts.extend([spc] * (min(nxt, n_chunks + 1) - first))
+        prev_first = first
+    if len(counts) < n_chunks:
+        raise ValueError("stsc runs cover fewer chunks than stco")
+    sample_offsets: list[int] = []
+    si = 0
+    for ci in range(n_chunks):
+        off = chunk_offs[ci]
+        for _ in range(counts[ci]):
+            if si >= n:
+                break
+            sample_offsets.append(off)
+            off += sizes[si]
+            si += 1
+    if si < n:
+        raise ValueError("chunk tables cover fewer samples than stsz")
+    sync = t["stss"] if t["stss"] is not None else list(range(1, n + 1))
+    out: list[tuple[int, int, int]] = []
+    for s in sync:  # stss sample numbers are 1-based
+        if not 1 <= s <= n:
+            raise ValueError("stss sync sample out of range")
+        out.append((s - 1, sample_offsets[s - 1], sizes[s - 1]))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # fixture encoder (closed-form container a SQL oracle re-derives)
 # ---------------------------------------------------------------------------
@@ -206,3 +322,87 @@ def encode_mp4(doc_id: int) -> bytes:
     out += _box(b"moov", moov_body, largesize=doc_id % 3 == 0)
     out += _box(b"free", b"\x00" * (doc_id % 7))
     return out
+
+
+# ---------------------------------------------------------------------------
+# sample-table fixture (real mdat + stsc/stco/stss — keyframe sampling)
+# ---------------------------------------------------------------------------
+
+#: absolute file offset where the sample fixture's mdat PAYLOAD starts —
+#: the header region (ftyp + moov + pad) is free-padded to exactly this
+#: minus the 8-byte mdat header, so the oracle's closed-form offsets
+#: need no per-doc header arithmetic
+MDAT_BASE = 4096
+
+
+def mp4_sample_fixture_params(doc_id: int) -> tuple[int, int]:
+    """(n_samples, sync_step) for the sample-table fixture: sample i is
+    ``100 + i`` bytes of fill byte ``(doc_id*7 + i) % 256``, at absolute
+    offset ``MDAT_BASE + 100*i + i*(i-1)/2`` (prefix sum of sizes);
+    sync samples are every ``sync_step``-th frame from 0 (every 11th
+    doc omits stss entirely — all frames sync, per spec)."""
+    n = 12 + doc_id % 25
+    step = 1 if doc_id % 11 == 0 else 6
+    return n, step
+
+
+def encode_mp4_samples(doc_id: int) -> bytes:
+    """Fixture MP4 WITH real coded-sample plumbing: stsz per-sample
+    sizes, TWO stsc runs (chunks 1-2 hold 4 samples, chunks 3+ hold 5 —
+    so run expansion is exercised, not just a single uniform run),
+    stco (co64 on every 5th doc — both widths in the Spark path), stss
+    sync samples (absent on every 11th doc — the all-sync default),
+    and an mdat whose bytes actually live at the advertised offsets
+    (fill byte ``(doc_id*7 + i) % 256`` per sample). The header region
+    is free-padded so the mdat payload starts at ``MDAT_BASE``
+    exactly — closed-form offsets a SQL oracle re-derives while the
+    engine walks the real tables."""
+    n, step = mp4_sample_fixture_params(doc_id)
+    sizes = [100 + i for i in range(n)]
+    payload = b"".join(
+        bytes([(doc_id * 7 + i) % 256]) * sizes[i] for i in range(n)
+    )
+    # chunk layout: 4, 4, 5, 5, ... (two stsc runs)
+    counts = []
+    left = n
+    while left > 0:
+        c = 4 if len(counts) < 2 else 5
+        counts.append(min(c, left))
+        left -= counts[-1]
+    offs = []
+    pos = MDAT_BASE
+    si = 0
+    for c in counts:
+        offs.append(pos)
+        pos += sum(sizes[si : si + c])
+        si += c
+    use_co64 = doc_id % 5 == 0
+    if use_co64:
+        stco = _box(b"co64", bytes(4) + struct.pack(">I", len(offs))
+                    + b"".join(struct.pack(">Q", o) for o in offs))
+    else:
+        stco = _box(b"stco", bytes(4) + struct.pack(">I", len(offs))
+                    + b"".join(struct.pack(">I", o) for o in offs))
+    runs = [(1, 4, 1)] + ([(3, 5, 1)] if len(counts) > 2 else [])
+    stsc = _box(b"stsc", bytes(4) + struct.pack(">I", len(runs))
+                + b"".join(struct.pack(">III", *r) for r in runs))
+    stsz = _box(b"stsz", bytes(4) + struct.pack(">II", 0, n)
+                + b"".join(struct.pack(">I", s) for s in sizes))
+    stbl_body = stsz + stsc + stco
+    if step > 1:
+        sync = list(range(1, n + 1, step))  # 1-based sample numbers
+        stbl_body += _box(b"stss", bytes(4) + struct.pack(">I", len(sync))
+                          + b"".join(struct.pack(">I", s) for s in sync))
+    tkhd = bytes(4) + b"\x00" * 72 + struct.pack(">II", 640 << 16, 352 << 16)
+    hdlr = bytes(4) + bytes(4) + b"vide" + b"\x00" * 12
+    mdia = _box(b"hdlr", hdlr) + _box(b"minf", _box(b"stbl", stbl_body))
+    trak = _box(b"trak", _box(b"tkhd", tkhd) + _box(b"mdia", mdia))
+    mvhd = bytes(4) + b"\x00" * 8 + struct.pack(">II", 600, 600 * n // 24)
+    mvhd += b"\x00" * 80
+    head = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    head += _box(b"moov", _box(b"mvhd", mvhd) + trak)
+    pad = MDAT_BASE - 8 - len(head) - 8  # free box header + mdat header
+    if pad < 0:
+        raise ValueError("sample fixture header outgrew MDAT_BASE")
+    head += _box(b"free", b"\x00" * pad)
+    return head + _box(b"mdat", payload)

@@ -949,6 +949,69 @@ def frame_sample_plan(
     )
 
 
+KEYFRAME_SAMPLE_SCHEMA = (
+    "doc_id bigint, frame_index bigint, byte_offset bigint, frame_bytes bigint"
+)
+
+
+def make_video_sample_fixture(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload) fixture of MP4s with REAL coded-sample
+    plumbing (stsz/stsc/stco|co64/stss + an mdat whose bytes live at
+    the advertised offsets) — the keyframe-sampling analogue of
+    ``make_video_fixture``."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ais_data_pipeline_spark.operators.mp4 import encode_mp4_samples
+
+        for pdf in batches:
+            ids = [int(i) for i in pdf[id_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "payload": [encode_mp4_samples(i) for i in ids],
+                }
+            )
+
+    from ais_data_pipeline_spark.operators.util import spread_to_parallelism
+
+    narrow = spread_to_parallelism(df.select(id_col))
+    return narrow.mapInPandas(encode, "doc_id bigint, payload binary")
+
+
+def keyframe_sample_plan(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keyframe-aware frame sampling from the REAL container (round
+    12): one mapInPandas walk of each MP4's stsz/stsc/stco(co64)/stss
+    tables emits (doc_id, frame_index, byte_offset, frame_bytes) for
+    every SYNC sample — the work-list an actual video-corpus pipeline
+    hands its decode UDF, each row a seekable, independently-decodable
+    frame. Replaces the index-only fan-out: downstream decode reads
+    ``frame_bytes`` at ``byte_offset`` instead of scanning the whole
+    blob. Stateless per row, zero shuffle; at 100 TB each task walks
+    one Arrow batch of containers (headers only — the mdat bytes are
+    never materialized here)."""
+    from ais_data_pipeline_spark.operators.mp4 import video_keyframe_offsets
+
+    cols = ("doc_id", "frame_index", "byte_offset", "frame_bytes")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                for fi, off, sz in video_keyframe_offsets(bytes(payload)):
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_index"].append(fi)
+                    out["byte_offset"].append(off)
+                    out["frame_bytes"].append(sz)
+            yield pd.DataFrame(out, dtype="int64")
+
+    from ais_data_pipeline_spark.operators.util import spread_to_parallelism
+
+    narrow = spread_to_parallelism(df.select(id_col, payload_col))
+    return narrow.mapInPandas(extract, KEYFRAME_SAMPLE_SCHEMA)
+
+
 def frame_embedding_col(
     id_col=None, frame_col=None, dim: int = 8, prefix: str = ""
 ):

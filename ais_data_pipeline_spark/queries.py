@@ -3180,27 +3180,40 @@ def q_streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "frame_sample_fanout",
     """
-    SELECT doc_id, frame_index
-    FROM (SELECT doc_id, CAST(floor(length(text) / 16) AS BIGINT) AS n_frames
-          FROM documents WHERE doc_id < 50) t,
-         UNNEST(range(0, greatest(n_frames, 1), 8)) AS s(frame_index)
+    WITH p AS (
+      SELECT doc_id, 12 + doc_id % 25 AS n,
+             CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 6 END AS step
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id, frame_index,
+           CAST(4096 + 100*frame_index
+                + frame_index*(frame_index-1)//2 AS BIGINT) AS byte_offset,
+           CAST(100 + frame_index AS BIGINT) AS frame_bytes
+    FROM p, UNNEST(range(0, n, step)) AS s(frame_index)
+    ORDER BY doc_id, frame_index
     """,
-    "Multimodal frame-sampling fan-out: (doc, frame_index) rows every "
-    "k-th frame from container metadata (stub: size-derived frame "
-    "count) — the decode work-list generated engine-side so the codec "
-    "UDF only ever sees (blob, index) pairs; sequence+explode, "
-    "codegen'd, no shuffle.",
+    "KEYFRAME-aware frame sampling from the REAL container (round 12 — "
+    "replaces the size-derived stub): one mapInPandas walk of each "
+    "fixture MP4's stsz/stsc/stco(co64 every 5th doc)/stss tables "
+    "emits (doc, frame_index, byte_offset, frame_bytes) per SYNC "
+    "sample — seekable offsets of independently-decodable frames, the "
+    "actual decode work-list. Two stsc runs (4,4,5,5,... chunking) "
+    "exercise run expansion; every 11th doc omits stss (all-sync "
+    "default); the oracle re-derives each offset as the closed-form "
+    "size prefix sum while the engine walks the real tables, and the "
+    "mdat bytes really live at the advertised offsets (pytest-pinned). "
+    "Zero shuffle.",
 )
 def q_frame_sample_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ais_data_pipeline_spark.operators.multimodal import (
-        frame_sample_plan,
-        with_binary_payload,
+        keyframe_sample_plan,
+        make_video_sample_fixture,
     )
 
     d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
-    return frame_sample_plan(
-        with_binary_payload(d, "text"), every_n_frames=8
-    ).select("doc_id", F.col("frame_index").cast("bigint").alias("frame_index"))
+    return keyframe_sample_plan(make_video_sample_fixture(d)).orderBy(
+        "doc_id", "frame_index"
+    )
 
 
 @register(

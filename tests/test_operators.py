@@ -4228,6 +4228,70 @@ def test_video_real_metadata_frame_fanout_composition(spark):
     assert len(top) == 5 and top[0]["score"] >= top[-1]["score"]
 
 
+def test_keyframe_sample_plan_offsets_decodable(spark):
+    """Round-12 verdict item 6: keyframe-aware sampling from the real
+    container. The stsz/stsc/stco(co64)/stss walk must emit byte
+    offsets at which the mdat bytes ACTUALLY live (read back and
+    checked against the fill pattern), honoring two-run stsc
+    expansion, the co64 width, the stss-absent all-sync default, and
+    the table error contracts."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from ais_data_pipeline_spark.localrel import local_df
+    from ais_data_pipeline_spark.operators.mp4 import (
+        MDAT_BASE,
+        encode_mp4,
+        encode_mp4_samples,
+        mp4_sample_fixture_params,
+        parse_mp4_sample_table,
+        video_keyframe_offsets,
+    )
+    from ais_data_pipeline_spark.operators.multimodal import (
+        keyframe_sample_plan,
+        make_video_sample_fixture,
+    )
+
+    # variants really on the wire: doc 0 = co64 + all-sync (no stss),
+    # doc 5 = stco + co64-free + stss; doc 3 small enough for 1 run
+    assert b"co64" in encode_mp4_samples(0) and b"stss" not in encode_mp4_samples(0)
+    assert b"stco" in encode_mp4_samples(3) and b"stss" in encode_mp4_samples(3)
+
+    # Spark path: offsets match the closed form AND the payload bytes
+    ids = [0, 3, 5, 11, 17, 24, 36]
+    payloads = {i: encode_mp4_samples(i) for i in ids}
+    rows = keyframe_sample_plan(
+        make_video_sample_fixture(local_df(spark, [(i,) for i in ids], "doc_id bigint"))
+    ).collect()
+    seen: dict[int, int] = dict.fromkeys(ids, 0)
+    for r in rows:
+        i, fi = r["doc_id"], r["frame_index"]
+        assert r["byte_offset"] == MDAT_BASE + 100 * fi + fi * (fi - 1) // 2
+        assert r["frame_bytes"] == 100 + fi
+        blob = payloads[i]
+        got = blob[r["byte_offset"] : r["byte_offset"] + r["frame_bytes"]]
+        assert got == bytes([(i * 7 + fi) % 256]) * r["frame_bytes"], (i, fi)
+        seen[i] += 1
+    for i in ids:
+        n, step = mp4_sample_fixture_params(i)
+        assert seen[i] == len(range(0, n, step)), i
+
+    # error contracts: the metadata-only fixture lacks sample tables;
+    # an out-of-range stss entry and short chunk coverage fail loudly
+    with _pytest.raises(ValueError, match="stsz/stsc/stco"):
+        video_keyframe_offsets(encode_mp4(1))
+    b = bytearray(encode_mp4_samples(3))
+    # box: [size][``stss``][version/flags][count][entries...] — the
+    # first sync entry (value 1) sits 12 bytes past the type tag
+    at = bytes(b).index(b"stss") + 12
+    b[at : at + 4] = _struct.pack(">I", 999)
+    with _pytest.raises(ValueError, match="out of range"):
+        video_keyframe_offsets(bytes(b))
+    t = parse_mp4_sample_table(encode_mp4_samples(3))
+    assert t["stss"] is not None and t["stss"][0] == 1
+
+
 @settings(max_examples=60, deadline=None)
 @given(
     bits=st.sampled_from([8, 16, 24]),

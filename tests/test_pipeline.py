@@ -625,6 +625,94 @@ def test_incremental_dedup_index_compaction(spark, sf_dir, tmp_path):
     assert after == before
 
 
+def test_compaction_threshold_policy(spark, sf_dir, tmp_path):
+    """Round-12 verdict item 5: the fixed every-K-batches compaction
+    cadence becomes a threshold policy — geometric bytes trigger
+    (accreted slices >= ratio * history, LSM-style, so rewrite cost
+    per ingested byte is bounded while trigger points stretch) plus an
+    absolute slice-file-count guard. Pins the trigger math, the reset
+    after compaction, and the post-compaction replay convergence the
+    auto_compact docstring claims."""
+    from pyspark.sql import functions as F
+
+    from ais_data_pipeline_spark.sources.parquet import read_table
+    from ais_data_pipeline_spark.streaming.incremental_dedup import (
+        build_dedup_index,
+        dedup_and_append_batch,
+        dedup_index_accretion,
+        maybe_compact_dedup_index,
+        should_compact_dedup_index,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    base = str(tmp_path)
+    index, out = base + "/idx", base + "/kept"
+    k = F.col("doc_id")
+    build_dedup_index(docs.filter(k % 4 == 0), index)
+
+    m0 = dedup_index_accretion(index)
+    assert m0["history_bytes"] > 0 and m0["slice_bytes"] == 0
+    assert m0["slice_files"] == 0 and m0["n_slices"] == 0
+    # empty accretion: neither trigger may fire, even with a 0 floor
+    d0 = should_compact_dedup_index(index, min_slice_bytes=0)
+    assert d0["compact"] is False and d0["trigger"] is None
+
+    b1 = docs.filter(k % 4 == 1).localCheckpoint(eager=True)
+    dedup_and_append_batch(b1, 0, index, out)
+    m1 = dedup_index_accretion(index)
+    assert m1["slice_bytes"] > 0 and m1["slice_files"] > 0
+    assert m1["n_slices"] >= 3  # hashes/shingles/buckets slices at least
+    assert m1["history_bytes"] == m0["history_bytes"]  # history untouched
+
+    # trigger math, all three knobs:
+    # (a) bytes trigger respects the min_slice_bytes floor
+    assert should_compact_dedup_index(
+        index, slice_ratio=0.0, min_slice_bytes=m1["slice_bytes"] + 1
+    )["compact"] is False
+    # (b) bytes trigger is the geometric ratio once past the floor
+    hi = (m1["slice_bytes"] + 1) / m1["history_bytes"]
+    assert should_compact_dedup_index(
+        index, slice_ratio=hi, min_slice_bytes=0
+    )["compact"] is False
+    lo = should_compact_dedup_index(
+        index, slice_ratio=m1["slice_bytes"] / m1["history_bytes"] / 2,
+        min_slice_bytes=0,
+    )
+    assert lo["compact"] is True and lo["trigger"] == "bytes"
+    # (c) file-count guard fires alone, even when bytes never would
+    df = should_compact_dedup_index(
+        index, slice_ratio=1e9, min_slice_bytes=1 << 60,
+        max_slice_files=m1["slice_files"],
+    )
+    assert df["compact"] is True and df["trigger"] == "files"
+
+    # maybe_: a quiet policy is a no-op, a firing one compacts and the
+    # accretion counters reset to zero
+    assert maybe_compact_dedup_index(index_path=index, spark=spark,
+                                     slice_ratio=hi, min_slice_bytes=0) is None
+    hashes_pre_compact = spark.read.parquet(index + "/hashes").count()
+    res = maybe_compact_dedup_index(index_path=index, spark=spark,
+                                    slice_ratio=0.01, min_slice_bytes=0)
+    assert res is not None and res["trigger"] == "bytes"
+    assert res["compact_sec"] >= 0
+    # every slice row folded into history, none lost (bytes typically
+    # SHRINK: one well-encoded file replaces many small ones)
+    assert res["row_counts"]["hashes"] == hashes_pre_compact
+    m2 = dedup_index_accretion(index)
+    assert m2["slice_bytes"] == 0 and m2["slice_files"] == 0
+    assert m2["history_bytes"] > 0
+
+    # replay-after-compaction convergence: batch 0's features now live
+    # in history; replaying batch 0 self-matches everything, rewrites
+    # nothing, and leaves survivors + index state unchanged
+    kept_before = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    hashes_before = spark.read.parquet(index + "/hashes").count()
+    n_in, n_kept = dedup_and_append_batch(b1, 0, index, out)
+    assert n_kept == 0  # every doc is its own history duplicate
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == kept_before
+    assert spark.read.parquet(index + "/hashes").count() == hashes_before
+
+
 def test_incremental_embedding_dedup_semantics_and_replay(spark, tmp_path):
     """Semantic incremental dedup: scaled copies (cosine 1.0, same LSH
     bucket by construction) drop against history, prior survivors, and

@@ -12,9 +12,14 @@ contract, measured rather than pytest-only).
 Method: build a seed index, then drive ``dedup_and_append_batch`` (the
 exact foreachBatch sink body) for N_BATCHES batches of BATCH_DOCS docs
 (10% exact copies of indexed history -> the drop path stays hot),
-compacting every COMPACT_EVERY batches. Per batch: probe+append
-seconds and the index parquet-file count; per compaction: seconds and
-the file count after.
+compacting under the THRESHOLD policy (round 12 — the production
+trigger: ``maybe_compact_dedup_index``'s geometric bytes ratio +
+file-count guard, replacing the fixed every-K cadence whose rewrite
+cost per ingested byte grows with history). Per batch: probe+append
+seconds and the index parquet-file count; per compaction: trigger,
+seconds, slice/history bytes at the trigger point, and rewrite cost
+per accreted MiB — the number that must stay FLAT while the gaps
+between compactions stretch.
 
 Emits one JSON line:
   {"metric": "incdedup_longrun", "batches": [...], "compactions":
@@ -22,8 +27,10 @@ Emits one JSON line:
 
 Usage: python tools/incdedup_longrun.py
 (env: INCDEDUP_LONGRUN_BATCHES default 50, INCDEDUP_LONGRUN_DOCS
- default 2000, INCDEDUP_LONGRUN_COMPACT_EVERY default 10,
- INCDEDUP_LONGRUN_SEED_DOCS default 20000)
+ default 2000, INCDEDUP_LONGRUN_SEED_DOCS default 20000,
+ INCDEDUP_LONGRUN_RATIO default 0.25 — the geometric trigger,
+ INCDEDUP_LONGRUN_MIN_MIB default 1 — floor scaled to the fixture,
+ INCDEDUP_LONGRUN_MAX_FILES default 256)
 """
 
 from __future__ import annotations
@@ -40,8 +47,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_BATCHES = int(os.environ.get("INCDEDUP_LONGRUN_BATCHES", 50))
 BATCH_DOCS = int(os.environ.get("INCDEDUP_LONGRUN_DOCS", 2000))
-COMPACT_EVERY = int(os.environ.get("INCDEDUP_LONGRUN_COMPACT_EVERY", 10))
 SEED_DOCS = int(os.environ.get("INCDEDUP_LONGRUN_SEED_DOCS", 20000))
+# threshold policy (production defaults in incremental_dedup.py use a
+# 64 MiB floor; the fixture index is ~tens of MiB so the floor scales
+# down to keep the GEOMETRIC trigger the active one being measured)
+RATIO = float(os.environ.get("INCDEDUP_LONGRUN_RATIO", 0.25))
+MIN_MIB = float(os.environ.get("INCDEDUP_LONGRUN_MIN_MIB", 1))
+MAX_FILES = int(os.environ.get("INCDEDUP_LONGRUN_MAX_FILES", 256))
 
 
 def _index_files(index_path: str) -> int:
@@ -54,8 +66,9 @@ def main() -> None:
     from ais_data_pipeline_spark.session import get_spark
     from ais_data_pipeline_spark.streaming.incremental_dedup import (
         build_dedup_index,
-        compact_dedup_index,
         dedup_and_append_batch,
+        dedup_index_accretion,
+        maybe_compact_dedup_index,
     )
     from tools.curation_at_scale import generate_corpus
 
@@ -101,13 +114,30 @@ def main() -> None:
                 "index_files": _index_files(idx),
             }
         )
-        if (b + 1) % COMPACT_EVERY == 0:
-            t0 = time.perf_counter()
-            compact_dedup_index(spark, idx)
+        res = maybe_compact_dedup_index(
+            spark, idx,
+            slice_ratio=RATIO,
+            max_slice_files=MAX_FILES,
+            min_slice_bytes=int(MIN_MIB * 2**20),
+        )
+        if res is not None:
+            prev = compactions[-1]["after_batch"] if compactions else -1
+            accreted_mib = round(res["slice_bytes"] / 2**20, 2)
             compactions.append(
                 {
                     "after_batch": b,
-                    "sec": round(time.perf_counter() - t0, 1),
+                    "batches_since_prev": b - prev,
+                    "trigger": res["trigger"],
+                    "sec": res["compact_sec"],
+                    "slice_mib_at_trigger": accreted_mib,
+                    "history_mib_at_trigger": round(
+                        res["history_bytes"] / 2**20, 2
+                    ),
+                    # the amortization claim: rewrite seconds per
+                    # accreted MiB must stay flat while the gaps grow
+                    "sec_per_accreted_mib": round(
+                        res["compact_sec"] / max(accreted_mib, 0.01), 2
+                    ),
                     "index_files": _index_files(idx),
                 }
             )
@@ -120,7 +150,12 @@ def main() -> None:
                 "seed_docs": SEED_DOCS,
                 "batch_docs": BATCH_DOCS,
                 "n_batches": N_BATCHES,
-                "compact_every": COMPACT_EVERY,
+                "policy": {
+                    "slice_ratio": RATIO,
+                    "min_slice_mib": MIN_MIB,
+                    "max_slice_files": MAX_FILES,
+                },
+                "final_accretion": dedup_index_accretion(idx),
                 "index_build_sec": build_sec,
                 "probe_sec_first10_mean": round(sum(probe_secs[:10]) / 10, 2),
                 "probe_sec_last10_mean": round(sum(probe_secs[-10:]) / 10, 2),
