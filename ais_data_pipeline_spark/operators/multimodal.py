@@ -700,6 +700,8 @@ _MAGIC_PREFIX = [
     ("FFD8FF", 1, "image/jpeg"),
     ("52494646", 1, "audio/wav"),  # RIFF container
     ("494433", 1, "audio/mp3"),  # ID3 tag
+    ("664C6143", 1, "audio/flac"),  # 'fLaC' (round 12)
+    ("4F676753", 1, "audio/ogg"),  # 'OggS' — Vorbis/Opus (round 12)
     ("66747970", 9, "video/mp4"),  # 'ftyp' at byte offset 4
 ]
 
@@ -731,31 +733,56 @@ def media_type_col(payload: Column) -> Column:
 def decode_audio_meta(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Audio-blob metadata via mapInPandas (Arrow-batched; the real
-    soundfile/ffprobe insertion point). The header 'parse' is a
-    deterministic stub — sample rate / channel count chosen by payload
-    size, duration from the PCM identity
-    ``bytes / (rate * channels * 2)`` — so the Spark plumbing is
-    fully oracle-checkable while the codec work stays an honest stub
-    (no audio library in this container)."""
+    """Audio-blob metadata via mapInPandas (Arrow-batched). REAL
+    container branches since round 12: FLAC payloads read their
+    STREAMINFO (rate/channels/bit depth/exact duration), Ogg payloads
+    their Vorbis/Opus identification header (rate/channels; duration
+    honestly None — it lives in the last page's granule), WAV payloads
+    the RIFF fmt walk with the exact PCM duration. Everything else
+    keeps the deterministic stub — sample rate / channel count chosen
+    by payload size, duration from the PCM identity
+    ``bytes / (rate * channels * 2)`` — so the Spark plumbing stays
+    fully oracle-checkable while FLAC/Vorbis/Opus SAMPLE decode stays
+    the honest codec line (the image tier's PIL-hook convention)."""
+
+    def _one(payload: bytes) -> tuple[int, int, int | None, str]:
+        from ais_data_pipeline_spark.operators.flac import (
+            parse_flac_streaminfo,
+            parse_ogg_audio_meta,
+        )
+        from ais_data_pipeline_spark.operators.wav import parse_wav
+
+        if payload[:4] == b"fLaC":
+            m = parse_flac_streaminfo(payload)
+            return m["sample_rate"], m["n_channels"], m["duration_ms"], "flac"
+        if payload[:4] == b"OggS":
+            m = parse_ogg_audio_meta(payload)
+            return m["sample_rate"], m["n_channels"], m["duration_ms"], m["codec"]
+        if payload[:4] == b"RIFF":
+            frames, rate, bits = parse_wav(payload)
+            dur = frames.shape[0] * 1000 // rate
+            codec = "pcm_f32le" if frames.dtype.kind == "f" else f"pcm_{bits}bit"
+            return rate, frames.shape[1], dur, codec
+        n = len(payload)
+        rate = _SAMPLE_RATES[n % len(_SAMPLE_RATES)]
+        nch = 1 + n % 2
+        return rate, nch, n * 1000 // (rate * nch * 2), "pcm_stub"
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = [bytes(p) for p in pdf[payload_col]]
-            ns = [len(p) for p in payloads]
-            rates = [_SAMPLE_RATES[n % len(_SAMPLE_RATES)] for n in ns]
-            chans = [1 + n % 2 for n in ns]
+            metas = [_one(p) for p in payloads]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
-                    "n_bytes": ns,
+                    "n_bytes": [len(p) for p in payloads],
                     "sha256": [hashlib.sha256(p).hexdigest() for p in payloads],
-                    "sample_rate": rates,
-                    "n_channels": chans,
-                    "duration_ms": [
-                        n * 1000 // (r * c * 2) for n, r, c in zip(ns, rates, chans)
-                    ],
-                    "codec": ["pcm_stub" for _ in ns],
+                    "sample_rate": [m[0] for m in metas],
+                    "n_channels": [m[1] for m in metas],
+                    "duration_ms": pd.array(
+                        [m[2] for m in metas], dtype="Int64"
+                    ),
+                    "codec": [m[3] for m in metas],
                 }
             )
 

