@@ -236,6 +236,12 @@ def video_keyframe_offsets(data: bytes) -> list[tuple[int, int, int]]:
     for i, (first, spc, _sdi) in enumerate(runs):
         if first <= prev_first:
             raise ValueError("stsc first_chunk values must increase")
+        if first > n_chunks:
+            # a run starting beyond the last stco chunk is corrupt; the
+            # clamp below would otherwise silently stretch the PREVIOUS
+            # run over the remaining chunks and hand out wrong offsets
+            # (round-12 hardening sweep)
+            raise ValueError("stsc run starts beyond the last chunk")
         nxt = runs[i + 1][0] if i + 1 < len(runs) else n_chunks + 1
         counts.extend([spc] * (min(nxt, n_chunks + 1) - first))
         prev_first = first

@@ -150,12 +150,22 @@ def snapshot_history(table_path: str) -> list[dict]:
 def expire_snapshots(table_path: str, keep_last: int = 1) -> list[int]:
     """Drop all but the newest ``keep_last`` versions: delete their
     manifests, then garbage-collect data files no surviving manifest
-    references. Returns the expired version numbers."""
+    references. Returns the expired version numbers. Idempotent over
+    LIVE manifests only — versions a previous expire already dropped
+    are skipped, not re-removed (round-12 hardening sweep: a second
+    expire with a smaller keep_last crashed FileNotFoundError on the
+    manifests the first one deleted — the same dropped-manifest class
+    the r11 history fix covered)."""
     cur = current_version(table_path)
-    expired = [v for v in range(1, cur + 1)][:-keep_last] if keep_last > 0 else []
+    alive = [
+        v
+        for v in range(1, cur + 1)
+        if os.path.exists(os.path.join(_manifest_dir(table_path), f"v{v:05d}.json"))
+    ]
+    expired = alive[:-keep_last] if keep_last > 0 else []
     if not expired:
         return []
-    keep = [v for v in range(1, cur + 1) if v not in expired]
+    keep = [v for v in alive if v not in expired]
     live: set[str] = set()
     for v in keep:
         live.update(_load_manifest(table_path, v)["files"])

@@ -778,9 +778,14 @@ def should_compact_dedup_index(
     fraction of ingested bytes; the files trigger is an absolute cap
     on accreted file count."""
     m = dedup_index_accretion(index_path)
-    by_files = m["slice_files"] >= max_slice_files
+    # nothing accreted -> nothing to compact, whatever the knobs say
+    # (an empty/missing index with a zero floor would otherwise
+    # trigger on 0 >= 0 and hand compact_dedup_index nonexistent
+    # tables; round-12 hardening sweep)
+    by_files = m["slice_files"] > 0 and m["slice_files"] >= max_slice_files
     by_bytes = (
-        m["slice_bytes"] >= min_slice_bytes
+        m["slice_bytes"] > 0
+        and m["slice_bytes"] >= min_slice_bytes
         and m["slice_bytes"] >= slice_ratio * m["history_bytes"]
     )
     return {

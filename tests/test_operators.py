@@ -4141,7 +4141,14 @@ def test_stateful_fns_null_value_parity():
     )
     out2 = list(zscore_anomaly_fn((7,), iter([rows]), st2))[0]
     assert 16 in out2["event_id"].tolist()  # the spike still flags
-    assert not any(d != d for d in st2._v[0])  # no NaN in the buffer
+    # round-12 parity contract: the NULL row OCCUPIES a buffer slot
+    # (stored as a NaN sentinel — the batch ROWS frame gives NULL rows
+    # a physical slot) but is excluded from the stats; the r11
+    # behavior (skip the row entirely) broke bit-identity for keys
+    # with NULL history
+    buf = st2._v[0]
+    assert len(buf) == len(vals)  # every row got a slot
+    assert sum(1 for d in buf if d != d) == 1  # exactly the NULL's
 
     st3 = MockState()
     allnat = pd.DataFrame({"value": [1.0], "ts": pd.to_datetime([pd.NaT])})
@@ -4184,6 +4191,18 @@ def test_snapshot_crash_recovery_and_expired_history(spark, tmp_path):
     hist = snapshot_history(t2)
     assert [h["version"] for h in hist] == [3]
     assert read_snapshot(spark, t2).count() == 15
+
+    # round-12 hardening: a SECOND expire must skip versions a prior
+    # expire already dropped (it crashed FileNotFoundError re-removing
+    # their manifests), and expire over live manifests is idempotent
+    t3 = str(tmp_path / "tbl3")
+    for _ in range(5):
+        write_snapshot(df, t3)
+    assert expire_snapshots(t3, keep_last=2) == [1, 2, 3]
+    assert expire_snapshots(t3, keep_last=1) == [4]
+    assert expire_snapshots(t3, keep_last=1) == []
+    assert [h["version"] for h in snapshot_history(t3)] == [5]
+    assert read_snapshot(spark, t3).count() == 25
 
 
 def test_http_ingest_same_key_concurrency(spark, tmp_path):
@@ -4366,6 +4385,14 @@ def test_keyframe_sample_plan_offsets_decodable(spark):
         video_keyframe_offsets(bytes(b))
     t = parse_mp4_sample_table(encode_mp4_samples(3))
     assert t["stss"] is not None and t["stss"][0] == 1
+    # round-12 hardening: an stsc run starting beyond the last stco
+    # chunk previously let the clamp stretch the PREVIOUS run over the
+    # remaining chunks — frame 12's offset came out wrong SILENTLY
+    b2 = bytearray(encode_mp4_samples(3))
+    i = bytes(b2).index(b"stsc")  # [size][stsc][vf][count][runs...]
+    _struct.pack_into(">I", b2, i + 12 + 12, 99)  # 2nd run first_chunk
+    with _pytest.raises(ValueError, match="beyond the last chunk"):
+        video_keyframe_offsets(bytes(b2))
 
 
 @settings(max_examples=60, deadline=None)

@@ -656,6 +656,13 @@ def test_compaction_threshold_policy(spark, sf_dir, tmp_path):
     # empty accretion: neither trigger may fire, even with a 0 floor
     d0 = should_compact_dedup_index(index, min_slice_bytes=0)
     assert d0["compact"] is False and d0["trigger"] is None
+    # round-12 hardening: an EMPTY/missing index with zero knobs must
+    # not trigger on 0 >= 0 (compact would read nonexistent tables)
+    dempty = should_compact_dedup_index(
+        base + "/nonexistent", slice_ratio=0.0, min_slice_bytes=0,
+        max_slice_files=0,
+    )
+    assert dempty["compact"] is False
 
     b1 = docs.filter(k % 4 == 1).localCheckpoint(eager=True)
     dedup_and_append_batch(b1, 0, index, out)

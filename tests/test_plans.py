@@ -1054,6 +1054,11 @@ def test_shuffle_byte_ceilings():
         # path grew a data-sized shuffle
         "image_pixel_stats_jpeg_progressive": 0.05,
         "audio_pcm_stats": 0.06,
+        # the r12 container-parse queries (MP4 meta, keyframe offsets):
+        # spread + final sort exchanges only — a trip means a container
+        # walk grew a data-sized shuffle
+        "video_container_meta": 0.05,
+        "frame_sample_fanout": 0.01,
         # the round-9 distributed-rank rewrites (round-10 verdict item
         # 5): a revert to the single-task global window changes the
         # shuffle profile, so these rows complement the plan-shape

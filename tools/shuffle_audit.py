@@ -70,6 +70,10 @@ AUDIT: dict[str, list[str]] = {
     # trip means the decode path grew a data-sized shuffle
     "image_pixel_stats_jpeg_progressive": ["documents"],
     "audio_pcm_stats": ["documents"],
+    # the round-12 container-parse queries: same zero-shuffle decode
+    # shape (spread + final sort only)
+    "video_container_meta": ["documents"],
+    "frame_sample_fanout": ["documents"],
     # the round-9 distributed-rank rewrites (round-10 verdict item 5):
     # a revert to the single-task global window has a DIFFERENT shuffle
     # profile (one range exchange of the full table into few tasks vs
