@@ -3394,6 +3394,154 @@ def test_wav_pcm_decode_and_contracts(spark):
     assert len(out) == n_rows
 
 
+@settings(max_examples=60, deadline=None)
+@given(
+    sizes=st.lists(st.integers(1, 4000), min_size=1, max_size=40),
+    chunk_cuts=st.lists(st.integers(1, 8), min_size=1, max_size=12),
+    sync_mask=st.lists(st.booleans(), min_size=1, max_size=40),
+    co64=st.booleans(),
+    data=st.data(),
+)
+def test_mp4_sample_walk_property(sizes, chunk_cuts, sync_mask, co64, data):
+    """Property pin for the §8.7.4 sample walk: for ARBITRARY sample
+    sizes, chunk layouts (random per-chunk counts → random stsc runs,
+    not just the fixture's 4,4,5,5 shape), stco/co64 width, and stss
+    subsets, the decoded (frame, offset, size) map equals the
+    brute-force prefix-sum ground truth."""
+    import struct as _struct
+
+    from ais_data_pipeline_spark.operators.mp4 import (
+        _box,
+        video_keyframe_offsets,
+    )
+
+    n = len(sizes)
+    # random chunk layout covering exactly n samples
+    counts = []
+    left = n
+    i = 0
+    while left > 0:
+        c = min(chunk_cuts[i % len(chunk_cuts)], left)
+        counts.append(c)
+        left -= c
+        i += 1
+    # collapse equal-adjacent counts into stsc runs (spec form)
+    runs = []
+    for ci, c in enumerate(counts):
+        if not runs or runs[-1][1] != c:
+            runs.append((ci + 1, c, 1))
+    base = 64  # arbitrary mdat payload offset; encoded literally below
+    # ground truth: chunks are contiguous in sample order
+    true_off = []
+    pos = base
+    for s in sizes:
+        true_off.append(pos)
+        pos += s
+    offs = []
+    si = 0
+    for c in counts:
+        offs.append(true_off[si])
+        si += c
+    sync = [i + 1 for i in range(n) if sync_mask[i % len(sync_mask)]]
+    use_stss = data.draw(st.booleans())
+
+    if co64:
+        stco = _box(b"co64", bytes(4) + _struct.pack(">I", len(offs))
+                    + b"".join(_struct.pack(">Q", o) for o in offs))
+    else:
+        stco = _box(b"stco", bytes(4) + _struct.pack(">I", len(offs))
+                    + b"".join(_struct.pack(">I", o) for o in offs))
+    stsc = _box(b"stsc", bytes(4) + _struct.pack(">I", len(runs))
+                + b"".join(_struct.pack(">III", *r) for r in runs))
+    stsz = _box(b"stsz", bytes(4) + _struct.pack(">II", 0, n)
+                + b"".join(_struct.pack(">I", s) for s in sizes))
+    stbl = stsz + stsc + stco
+    if use_stss and sync:
+        stbl += _box(b"stss", bytes(4) + _struct.pack(">I", len(sync))
+                     + b"".join(_struct.pack(">I", s) for s in sync))
+    tkhd = bytes(4) + b"\x00" * 72 + _struct.pack(">II", 64 << 16, 64 << 16)
+    hdlr = bytes(4) + bytes(4) + b"vide" + b"\x00" * 12
+    mdia = _box(b"hdlr", hdlr) + _box(b"minf", _box(b"stbl", stbl))
+    trak = _box(b"trak", _box(b"tkhd", tkhd) + _box(b"mdia", mdia))
+    mvhd = bytes(4) + b"\x00" * 8 + _struct.pack(">II", 600, 600) + b"\x00" * 80
+    mp4 = _box(b"ftyp", b"isom" + _struct.pack(">I", 512) + b"isom")
+    mp4 += _box(b"moov", _box(b"mvhd", mvhd) + trak)
+
+    got = video_keyframe_offsets(mp4)
+    if use_stss and sync:
+        want = [(s - 1, true_off[s - 1], sizes[s - 1]) for s in sync]
+    else:
+        want = [(i, true_off[i], sizes[i]) for i in range(n)]
+    assert got == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    bits=st.sampled_from([8, 16, 24, 32]),
+    nch=st.integers(1, 4),
+    n_frames=st.integers(0, 50),
+    extensible=st.booleans(),
+    junk=st.booleans(),
+    seed=st.integers(0, 2**31),
+)
+def test_wav_roundtrip_property(bits, nch, n_frames, extensible, junk, seed):
+    """Property pin for the WAV decoder: arbitrary depth (8/16/24-bit
+    int, 32-bit float), channel count, frame count (incl. 0), plain or
+    EXTENSIBLE container, and an optional odd-length junk chunk — the
+    encoded stream decodes to EXACTLY the samples written."""
+    import struct as _struct
+
+    import numpy as np
+
+    from ais_data_pipeline_spark.operators.wav import (
+        _KSDATAFORMAT_TAIL,
+        parse_wav,
+    )
+
+    rng = np.random.default_rng(seed)
+    n = n_frames * nch
+    if bits == 8:
+        vals = rng.integers(-128, 128, n)
+        raw = (vals + 128).astype(np.uint8).tobytes()
+    elif bits == 16:
+        vals = rng.integers(-(1 << 15), 1 << 15, n)
+        raw = vals.astype("<i2").tobytes()
+    elif bits == 24:
+        vals = rng.integers(-(1 << 23), 1 << 23, n)
+        raw = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals)
+    else:
+        # exact multiples of 2^-15 so equality is exact through f32
+        vals = (rng.integers(-(1 << 15), 1 << 15, n) / 32768.0)
+        raw = vals.astype("<f4").tobytes()
+    balign = (bits // 8) * nch
+    code = 3 if bits == 32 else 1
+    if extensible:
+        ext = _struct.pack("<HHI", 22, bits, 0)
+        ext += _struct.pack("<H", code) + b"\x00\x00" + _KSDATAFORMAT_TAIL
+        fmt = b"fmt " + _struct.pack(
+            "<IHHIIHH", 40, 0xFFFE, nch, 16000, 16000 * balign, balign, bits
+        ) + ext
+    else:
+        fmt = b"fmt " + _struct.pack(
+            "<IHHIIHH", 16, code, nch, 16000, 16000 * balign, balign, bits
+        )
+    chunks = fmt
+    if junk:
+        chunks += b"LIST" + _struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd+pad
+    chunks += b"data" + _struct.pack("<I", len(raw)) + raw
+    if len(raw) & 1:
+        chunks += b"\x00"
+    wav = b"RIFF" + _struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    frames, rate, got_bits = parse_wav(wav)
+    assert (rate, got_bits) == (16000, bits)
+    assert frames.shape == (n_frames, nch)
+    flat = frames.reshape(-1)
+    assert len(flat) == n
+    for k in range(n):
+        assert flat[k] == vals[k], (bits, k)
+
+
 def test_flac_ogg_container_meta(spark):
     """Round-12 stretch (verdict item 8): compressed audio routes to
     REAL container metadata the way coded video routes to the MP4
