@@ -1039,6 +1039,39 @@ def keyframe_sample_plan(
     return narrow.mapInPandas(extract, KEYFRAME_SAMPLE_SCHEMA)
 
 
+def extract_frame_blobs(
+    df: DataFrame,
+    frames: DataFrame | None = None,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keyframe BYTE extraction, engine-side: join the (doc,
+    frame_index, byte_offset, frame_bytes) work-list back to the
+    payload table and slice each frame with the codegen'd BINARY
+    ``substring`` — after the header walk produced the offsets, no
+    Python ever touches the media bytes. ``frames`` defaults to
+    ``keyframe_sample_plan(df)``. Returns (doc_id, frame_index,
+    frame_blob) — the rows a decode/encoder UDF consumes, each blob an
+    independently-decodable coded frame.
+
+    Scale shape: the work-list is tiny relative to the payloads (one
+    row per sync sample), so it broadcasts and the payload table never
+    shuffles; per-payload blob slicing happens where the payload
+    already lives. The int casts are safe — a single in-memory payload
+    is < 2 GiB in Spark by construction."""
+    if frames is None:
+        frames = keyframe_sample_plan(df, payload_col, id_col)
+    blob = F.expr(
+        f"substring({payload_col}, cast(byte_offset + 1 as int), "
+        "cast(frame_bytes as int))"
+    )
+    return (
+        df.select(id_col, payload_col)
+        .join(F.broadcast(frames), id_col)
+        .select(id_col, "frame_index", blob.alias("frame_blob"))
+    )
+
+
 def frame_embedding_col(
     id_col=None, frame_col=None, dim: int = 8, prefix: str = ""
 ):

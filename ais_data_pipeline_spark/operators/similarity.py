@@ -586,6 +586,97 @@ def compact_ivf_index(spark, path: str) -> int:
     return n
 
 
+#: IVF compaction trigger knobs — same LSM-shaped geometric policy as
+#: the dedup index (streaming/incremental_dedup.py): compact when
+#: accreted slice bytes reach the ratio of history bytes (rewrite cost
+#: per ingested byte bounded by ~1/ratio while trigger points stretch)
+#: or when slice FILE count alone passes the cap (each micro-batch
+#: appends one file per touched list_id, so file count grows fast even
+#: when bytes don't).
+IVF_COMPACT_SLICE_RATIO = 0.25
+IVF_COMPACT_MAX_SLICE_FILES = 256
+IVF_COMPACT_MIN_SLICE_BYTES = 64 * 2**20
+
+
+def ivf_index_accretion(path: str) -> dict[str, int]:
+    """History-vs-accreted footprint of an IVF index from one recursive
+    listing: bytes/files split between ``src_batch=-1`` history and the
+    per-batch slices (layout ``list_id=*/src_batch=*``), plus the
+    distinct accreted batch count."""
+    import glob as _glob
+
+    history_bytes = slice_bytes = slice_files = 0
+    batches: set[str] = set()
+    for f in _glob.glob(
+        os.path.join(path.rstrip("/"), "list_id=*", "src_batch=*", "*.parquet")
+    ):
+        part = os.path.basename(os.path.dirname(f))
+        size = os.path.getsize(f)
+        if part == "src_batch=-1":
+            history_bytes += size
+        else:
+            slice_bytes += size
+            slice_files += 1
+            batches.add(part)
+    return {
+        "history_bytes": history_bytes,
+        "slice_bytes": slice_bytes,
+        "slice_files": slice_files,
+        "n_slices": len(batches),
+    }
+
+
+def should_compact_ivf_index(
+    path: str,
+    slice_ratio: float = IVF_COMPACT_SLICE_RATIO,
+    max_slice_files: int = IVF_COMPACT_MAX_SLICE_FILES,
+    min_slice_bytes: int = IVF_COMPACT_MIN_SLICE_BYTES,
+) -> dict:
+    """Pure trigger decision for ``compact_ivf_index`` — same contract
+    as ``should_compact_dedup_index``: geometric bytes trigger with a
+    floor, absolute file-count guard, nothing fires on an empty or
+    missing index."""
+    m = ivf_index_accretion(path)
+    by_files = m["slice_files"] > 0 and m["slice_files"] >= max_slice_files
+    by_bytes = (
+        m["slice_bytes"] > 0
+        and m["slice_bytes"] >= min_slice_bytes
+        and m["slice_bytes"] >= slice_ratio * m["history_bytes"]
+    )
+    return {
+        **m,
+        "compact": bool(by_files or by_bytes),
+        "trigger": "files" if by_files else ("bytes" if by_bytes else None),
+    }
+
+
+def maybe_compact_ivf_index(
+    spark,
+    path: str,
+    slice_ratio: float = IVF_COMPACT_SLICE_RATIO,
+    max_slice_files: int = IVF_COMPACT_MAX_SLICE_FILES,
+    min_slice_bytes: int = IVF_COMPACT_MIN_SLICE_BYTES,
+) -> dict | None:
+    """Run ``compact_ivf_index`` iff the threshold policy fires;
+    returns the decision record (+ wall-clock and row count) or None.
+    Same single-writer maintenance contract as the compactor itself."""
+    import time as _time
+
+    from ais_data_pipeline_spark.observability import log
+
+    decision = should_compact_ivf_index(
+        path, slice_ratio, max_slice_files, min_slice_bytes
+    )
+    if not decision["compact"]:
+        return None
+    t0 = _time.perf_counter()
+    rows = compact_ivf_index(spark, path)
+    decision["compact_sec"] = round(_time.perf_counter() - t0, 2)
+    decision["rows"] = rows
+    log("ivf_index_compaction", **decision)
+    return decision
+
+
 def ivf_probe_topk(
     spark,
     index_path: str,

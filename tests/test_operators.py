@@ -2699,6 +2699,70 @@ def test_ivf_index_compaction_preserves_probes(spark, tmp_path):
     assert compact_ivf_index(spark, path) == n
 
 
+def test_ivf_compaction_threshold_policy(spark, tmp_path):
+    """Round 12: the IVF index gets the same LSM-shaped threshold
+    trigger as the dedup index — geometric accreted-bytes ratio +
+    file-count guard, nothing fires on empty accretion, accretion
+    counters reset to zero after a fired compaction, probes
+    unchanged."""
+    from pyspark.sql import functions as F
+
+    from ais_data_pipeline_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_index_accretion,
+        ivf_probe_topk,
+        maybe_compact_ivf_index,
+        should_compact_ivf_index,
+    )
+    from ais_data_pipeline_spark.sources.parquet import read_table
+
+    e = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "ivf")
+    k = F.col("vec_id")
+    build_ivf_index(e.filter(k % 3 == 0), path, n_centroids=8)
+
+    m0 = ivf_index_accretion(path)
+    assert m0["history_bytes"] > 0 and m0["slice_bytes"] == 0
+    # empty accretion never fires, even with zero knobs
+    d0 = should_compact_ivf_index(path, slice_ratio=0.0, min_slice_bytes=0,
+                                  max_slice_files=0)
+    assert d0["compact"] is False and d0["trigger"] is None
+    assert should_compact_ivf_index(str(tmp_path / "nope"), slice_ratio=0.0,
+                                    min_slice_bytes=0, max_slice_files=0,
+                                    )["compact"] is False
+
+    append_to_ivf_index(e.filter(k % 3 == 1), path, src_batch=0)
+    append_to_ivf_index(e.filter(k % 3 == 2), path, src_batch=1)
+    m1 = ivf_index_accretion(path)
+    assert m1["slice_bytes"] > 0 and m1["n_slices"] == 2
+    # ratio respected on both sides of the boundary; floor respected
+    hi = (m1["slice_bytes"] + 1) / m1["history_bytes"]
+    assert should_compact_ivf_index(path, slice_ratio=hi,
+                                    min_slice_bytes=0)["compact"] is False
+    assert should_compact_ivf_index(
+        path, slice_ratio=0.0, min_slice_bytes=m1["slice_bytes"] + 1
+    )["compact"] is False
+    fired = should_compact_ivf_index(path, slice_ratio=0.01, min_slice_bytes=0)
+    assert fired["compact"] is True and fired["trigger"] == "bytes"
+    byfiles = should_compact_ivf_index(
+        path, slice_ratio=1e9, min_slice_bytes=1 << 60,
+        max_slice_files=m1["slice_files"],
+    )
+    assert byfiles["compact"] is True and byfiles["trigger"] == "files"
+
+    qv = [float(x) for x in e.filter(k == 0).first()["embedding"]]
+    before = ivf_probe_topk(spark, path, qv, k=10, nprobe=2).collect()
+    assert maybe_compact_ivf_index(spark, path, slice_ratio=hi,
+                                   min_slice_bytes=0) is None  # quiet policy
+    res = maybe_compact_ivf_index(spark, path, slice_ratio=0.01,
+                                  min_slice_bytes=0)
+    assert res is not None and res["trigger"] == "bytes" and res["rows"] > 0
+    m2 = ivf_index_accretion(path)
+    assert m2["slice_bytes"] == 0 and m2["slice_files"] == 0
+    assert before == ivf_probe_topk(spark, path, qv, k=10, nprobe=2).collect()
+
+
 # -- Gopher quality rules ----------------------------------------------------
 
 
@@ -4533,6 +4597,29 @@ def test_keyframe_sample_plan_offsets_decodable(spark):
         video_keyframe_offsets(bytes(b))
     t = parse_mp4_sample_table(encode_mp4_samples(3))
     assert t["stss"] is not None and t["stss"][0] == 1
+
+    # engine-side byte extraction: after the walk, the JVM binary
+    # substring slices every keyframe's coded bytes — content equals
+    # the fill pattern, and the extraction stage runs with NO Python
+    # eval over the payloads (the broadcast work-list is the only
+    # Arrow product)
+    from ais_data_pipeline_spark.operators.multimodal import extract_frame_blobs
+
+    fix = make_video_sample_fixture(
+        local_df(spark, [(i,) for i in [3, 11]], "doc_id bigint")
+    ).localCheckpoint(eager=True)  # pin payloads so the join reuses them
+    blobs = extract_frame_blobs(fix)
+    plan = blobs._jdf.queryExecution().executedPlan().toString()
+    # one Arrow node (the offset walk); the slicing itself is codegen'd
+    assert plan.count("MapInPandas") <= 1
+    got_blobs = {
+        (r["doc_id"], r["frame_index"]): bytes(r["frame_blob"])
+        for r in blobs.collect()
+    }
+    for i in (3, 11):
+        n, step = mp4_sample_fixture_params(i)
+        for fi in range(0, n, step):
+            assert got_blobs[(i, fi)] == bytes([(i * 7 + fi) % 256]) * (100 + fi)
     # round-12 hardening: an stsc run starting beyond the last stco
     # chunk previously let the clamp stretch the PREVIOUS run over the
     # remaining chunks — frame 12's offset came out wrong SILENTLY
