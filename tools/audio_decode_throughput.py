@@ -29,6 +29,10 @@ from ais_data_pipeline_spark.session import get_spark
 
 N_DOCS = int(os.environ.get("AUDIO_PROBE_DOCS", 2048))
 SECONDS = float(os.environ.get("AUDIO_PROBE_SECONDS", 2.0))
+#: pcm16 (plain fmt) or float32 (WAVE_FORMAT_EXTENSIBLE wrapper — the
+#: round-12 decode surface, measured separately since the float path
+#: takes the f4 frombuffer + float64 stats branch)
+FORMAT = os.environ.get("AUDIO_PROBE_FORMAT", "pcm16")
 RATE = 16000
 NCH = 2
 
@@ -52,15 +56,26 @@ def main() -> None:
     n_frames = int(RATE * SECONDS)
 
     def encode_probe_wav(i: int) -> bytes:
-        # varied 16-bit stereo content (vectorized; the DECODE side is
-        # what's being measured)
+        # varied stereo content (vectorized; the DECODE side is what's
+        # being measured)
         k = np.arange(n_frames * NCH, dtype=np.int64)
-        amps = ((i * 131 + k * 17) % 65536 - 32768).astype("<i2")
-        raw = amps.tobytes()
-        balign = 2 * NCH
-        fmt = b"fmt " + struct.pack(
-            "<IHHIIHH", 16, 1, NCH, RATE, RATE * balign, balign, 16
-        )
+        codes = (i * 131 + k * 17) % 65536 - 32768
+        if FORMAT == "float32":
+            from ais_data_pipeline_spark.operators.wav import _KSDATAFORMAT_TAIL
+
+            raw = (codes / 32768.0).astype("<f4").tobytes()
+            balign = 4 * NCH
+            ext = struct.pack("<HHI", 22, 32, 0x3)
+            ext += struct.pack("<H", 3) + b"\x00\x00" + _KSDATAFORMAT_TAIL
+            fmt = b"fmt " + struct.pack(
+                "<IHHIIHH", 40, 0xFFFE, NCH, RATE, RATE * balign, balign, 32
+            ) + ext
+        else:
+            raw = codes.astype("<i2").tobytes()
+            balign = 2 * NCH
+            fmt = b"fmt " + struct.pack(
+                "<IHHIIHH", 16, 1, NCH, RATE, RATE * balign, balign, 16
+            )
         return (
             b"RIFF"
             + struct.pack("<I", 4 + len(fmt) + 8 + len(raw))
@@ -105,6 +120,7 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "audio_decode_throughput",
+                "format": FORMAT,
                 "cpus": cpus,
                 "n_docs": N_DOCS,
                 "seconds_each": SECONDS,
