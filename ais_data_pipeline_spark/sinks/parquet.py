@@ -176,7 +176,18 @@ def upsert_parquet(
     from pyspark.sql import Observation, Window
 
     if order_col is not None:
-        w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+        # deterministic latest-wins: on an EXACT order_col tie,
+        # row_number alone picks a partition-order-dependent winner —
+        # a crash replay could then survive a DIFFERENT row and the
+        # "replay is idempotent" contract silently breaks (round-12
+        # hardening sweep; same class as the r11 as-of tie-break). The
+        # content hash is a pure function of the row, so the winner is
+        # identical on any partitioning/replay; ties between IDENTICAL
+        # rows are harmless by construction.
+        tie = F.xxhash64(*[F.col(c) for c in updates.columns])
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.col(order_col).desc(), tie.desc()
+        )
         updates = (
             updates.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)

@@ -1200,6 +1200,28 @@ def test_upsert_parquet(spark, tmp_path):
     rows = {r["id"]: r["name"] for r in spark.read.parquet(p).collect()}
     assert rows[2] == "b_new" and rows[5] == "e"
 
+    # round-12 hardening: an EXACT order_col tie must survive the SAME
+    # row under any partition layout (row_number alone picked a
+    # partition-order-dependent winner, so a crash replay could flip
+    # the table). The content-hash tie-break is a pure function of the
+    # row: apply the identical tied batch in 1-slice and 8-slice
+    # layouts, opposite input orders — the surviving name must agree.
+    tied = [(9, "x_one", 7), (9, "x_two", 7), (9, "x_three", 7)]
+    winners = set()
+    for layout in range(2):
+        p2 = str(tmp_path / f"tie{layout}")
+        spark.createDataFrame(
+            [(9, "seed", 0)], "id long, name string, v long"
+        ).write.parquet(p2)
+        batch = spark.createDataFrame(
+            tied if layout == 0 else list(reversed(tied)),
+            "id long, name string, v long",
+        ).repartition(1 if layout == 0 else 8)
+        upsert_parquet(spark, p2, batch, ["id"], order_col="v")
+        (w,) = [r["name"] for r in spark.read.parquet(p2).collect()]
+        winners.add(w)
+    assert len(winners) == 1, winners  # deterministic across layouts
+
 
 def test_as_of_join_duplicate_left_timestamps(spark):
     """Two distinct left rows sharing key+timestamp must BOTH survive
