@@ -175,9 +175,10 @@ def _parse_png(data: bytes):
     (None/Sub/Up/Average/Paeth — the Sub/Average/Paeth reconstructions
     carry the left-neighbor recurrence the spec mandates). Color type 2
     (RGB) and 6 (RGBA — alpha stripped after de-filtering, since the
-    filter recurrence runs over all channels) are supported; palettes,
-    16-bit depth, and Adam7 interlace stay honest
-    ``NotImplementedError``\\ s."""
+    filter recurrence runs over all channels) are supported, both
+    sequential and Adam7-interlaced (round 12: seven independently
+    filtered reduced images scattered onto the 8x8 grid); palettes and
+    16-bit depth stay honest ``NotImplementedError``\\ s."""
     import struct
     import zlib
 
@@ -214,8 +215,6 @@ def _parse_png(data: bytes):
         raise NotImplementedError(
             "only 8-bit truecolor PNG (color type 2/6) supported"
         )
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
     bpp = 3 if color_type == 2 else 4
     if not idat:
         # a chunk-valid PNG with no pixel payload is corrupt, not a
@@ -225,9 +224,62 @@ def _parse_png(data: bytes):
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:
         raise ValueError(f"corrupt PNG zlib stream: {e}") from None
+    if interlace == 0:
+        stride = w * bpp
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG scanline payload length mismatch")
+        img = _defilter_scanlines(raw, w, h, bpp).reshape(h, w, bpp)
+    elif interlace == 1:
+        # Adam7 (round 12 — closes the decoder's last 8-bit-truecolor
+        # NotImplementedError): seven reduced images, each filtered
+        # INDEPENDENTLY (its own scanline chain, prior row all-zero at
+        # each pass start), scattered back onto the 8x8 pixel grid.
+        # Empty passes (reduced width or height 0) contribute NO bytes,
+        # per the spec.
+        img = np.zeros((h, w, bpp), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            need = ph * (pw * bpp + 1)
+            sub_raw = raw[pos : pos + need]
+            if len(sub_raw) != need:
+                raise ValueError("PNG interlaced pass payload truncated")
+            pos += need
+            sub = _defilter_scanlines(sub_raw, pw, ph, bpp).reshape(ph, pw, bpp)
+            img[y0::dy, x0::dx] = sub
+        if pos != len(raw):
+            raise ValueError("PNG scanline payload length mismatch")
+    else:
+        raise ValueError(f"bad PNG interlace method {interlace}")
+    return (img[:, :, :3].copy() if bpp == 4 else img)
+
+
+#: Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass —
+#: note passes 4 and 6 START AT ROW 0 (the spec's 8x8 stencil has 4s
+#: and 6s in its first row); a y-start of 4/2 there decodes 2x1 images
+#: with a black right pixel (caught by the hand-built spec pin)
+_ADAM7_PASSES = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _defilter_scanlines(raw: bytes, w: int, h: int, bpp: int):
+    """Invert the five PNG scanline filters over ``h`` rows of
+    ``w*bpp`` bytes (each prefixed by its filter byte); the prior row
+    starts all-zero, so one call handles a whole image OR one Adam7
+    reduced image. Returns an (h, w*bpp) uint8 array."""
+    import numpy as np
+
     stride = w * bpp
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG scanline payload length mismatch")
     out = np.zeros((h, stride), dtype=np.uint8)
     prior = np.zeros(stride, dtype=np.int64)  # reconstructed row above
     for y in range(h):
@@ -290,18 +342,17 @@ def _parse_png(data: bytes):
             raise ValueError(f"unknown PNG filter type {f}")
         out[y] = recon.astype(np.uint8)
         prior = recon
-    img = out.reshape(h, w, bpp)
-    return (img[:, :, :3].copy() if bpp == 4 else img)
+    return out
 
 
 def decode_pixels_array(data: bytes):
     """Payload bytes → (HxWx3 uint8 RGB array, format tag). Dispatches
     on magic bytes: PPM/BMP/PNG/JPEG (baseline AND progressive, incl.
-    4:2:0/4:2:2 subsampled chroma) decode natively (numpy + stdlib
-    ``zlib``/``struct``); out-of-scope variants (interlaced or
-    paletted PNG, arithmetic-coded or 12-bit JPEG) fall through to PIL
-    when installed; anything else is the explicit honest-stub
-    contract."""
+    4:2:0/4:2:2 subsampled chroma; PNG incl. Adam7 since round 12)
+    decode natively (numpy + stdlib ``zlib``/``struct``); out-of-scope
+    variants (paletted or 16-bit PNG, arithmetic-coded or 12-bit JPEG)
+    fall through to PIL when installed; anything else is the explicit
+    honest-stub contract."""
     if data[:2] == b"P6":
         return _parse_ppm(data), "ppm"
     if data[:2] == b"BM":
@@ -310,10 +361,10 @@ def decode_pixels_array(data: bytes):
         try:
             return _parse_png(data), "png"
         except NotImplementedError:
-            # exotic variant (palette/16-bit/interlace): fall through
-            # to the PIL hook, which decoded these before the native
-            # parser existed — the honest stub only applies where
-            # neither path can
+            # exotic variant (palette/16-bit): fall through to the PIL
+            # hook, which decoded these before the native parser
+            # existed — the honest stub only applies where neither
+            # path can
             pass
     if data[:2] == b"\xff\xd8":
         from ais_data_pipeline_spark.operators.jpeg import parse_jpeg
@@ -549,55 +600,76 @@ def _png_chunk(ctype: bytes, body: bytes) -> bytes:
     )
 
 
-def png_bytes_from_raster(raster, filter_for_row) -> bytes:
+def png_bytes_from_raster(raster, filter_for_row, interlace: bool = False) -> bytes:
     """Arbitrary HxWx3 (RGB) or HxWx4 (RGBA) uint8 raster → real PNG
     stream (signature + IHDR + IDAT + IEND, correct CRC32s).
     ``filter_for_row(y) -> 0..4`` picks each scanline's filter type, so
     callers (fixtures, property tests) control exactly which of the
-    five spec filters the decoder must invert. The zlib stream splits
-    across two IDAT chunks when long enough to pin multi-IDAT
-    reassembly."""
+    five spec filters the decoder must invert. ``interlace=True``
+    writes Adam7: each of the seven reduced images filters
+    independently (prior row reset per pass), empty passes emit no
+    bytes. The zlib stream splits across two IDAT chunks when long
+    enough to pin multi-IDAT reassembly."""
     import struct
     import zlib
 
     import numpy as np
 
     h, w, bpp = raster.shape
-    stride = w * bpp
-    rows = raster.reshape(h, stride).astype(np.int64)
-    # encode-side filters have NO recurrence (predictors read RAW
-    # neighbor values, all known up front), so every filter type
-    # vectorizes — unlike the decoder, where Average/Paeth must chase
-    # the reconstructed left neighbor sequentially
-    scanlines = bytearray()
-    prior = np.zeros(stride, dtype=np.int64)
-    for y in range(h):
-        f = filter_for_row(y)
-        cur = rows[y]
-        left = np.zeros(stride, dtype=np.int64)
-        left[bpp:] = cur[:-bpp]
-        if f == 0:
-            filt = cur
-        elif f == 1:
-            filt = (cur - left) % 256
-        elif f == 2:
-            filt = (cur - prior) % 256
-        elif f == 3:
-            filt = (cur - (left + prior) // 2) % 256
-        else:
-            ul = np.zeros(stride, dtype=np.int64)
-            ul[bpp:] = prior[:-bpp]
-            p = left + prior - ul
-            pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - ul)
-            pred = np.where(
-                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, ul)
+
+    def filter_rows(rows: "np.ndarray", pw: int) -> bytes:
+        # encode-side filters have NO recurrence (predictors read RAW
+        # neighbor values, all known up front), so every filter type
+        # vectorizes — unlike the decoder, where Average/Paeth must
+        # chase the reconstructed left neighbor sequentially
+        stride = pw * bpp
+        out = bytearray()
+        prior = np.zeros(stride, dtype=np.int64)
+        for y in range(rows.shape[0]):
+            f = filter_for_row(y)
+            cur = rows[y]
+            left = np.zeros(stride, dtype=np.int64)
+            left[bpp:] = cur[:-bpp]
+            if f == 0:
+                filt = cur
+            elif f == 1:
+                filt = (cur - left) % 256
+            elif f == 2:
+                filt = (cur - prior) % 256
+            elif f == 3:
+                filt = (cur - (left + prior) // 2) % 256
+            else:
+                ul = np.zeros(stride, dtype=np.int64)
+                ul[bpp:] = prior[:-bpp]
+                p = left + prior - ul
+                pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - ul)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, ul)
+                )
+                filt = (cur - pred) % 256
+            out.append(f)
+            out += filt.astype(np.uint8).tobytes()
+            prior = cur
+        return bytes(out)
+
+    if interlace:
+        scanlines = bytearray()
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            sub = raster[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            ph, pw = sub.shape[0], sub.shape[1]
+            scanlines += filter_rows(
+                sub.reshape(ph, pw * bpp).astype(np.int64), pw
             )
-            filt = (cur - pred) % 256
-        scanlines.append(f)
-        scanlines += filt.astype(np.uint8).tobytes()
-        prior = cur
-    z = zlib.compress(bytes(scanlines), 6)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6 if bpp == 4 else 2, 0, 0, 0)
+        z = zlib.compress(bytes(scanlines), 6)
+    else:
+        z = zlib.compress(
+            filter_rows(raster.reshape(h, w * bpp).astype(np.int64), w), 6
+        )
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, 8, 6 if bpp == 4 else 2, 0, 0, 1 if interlace else 0
+    )
     out = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
     if len(z) > 32:
         mid = len(z) // 2

@@ -318,15 +318,19 @@ def test_png_decode_filters_and_contracts(spark):
     with pytest.raises(ValueError, match="CRC"):
         decode_pixels_array(bytes(bad))
 
-    # interlaced / paletted: the NATIVE parser refuses rather than
-    # mis-decodes; decode_pixels_array deliberately falls through to
-    # PIL on these variants, so the dispatcher-level assertion must
-    # branch on PIL availability (ADVICE r9 — with PIL installed these
-    # payloads reach the codec hook instead of raising)
+    # paletted: the NATIVE parser refuses rather than mis-decodes;
+    # decode_pixels_array deliberately falls through to PIL on these
+    # variants, so the dispatcher-level assertion must branch on PIL
+    # availability (ADVICE r9 — with PIL installed these payloads
+    # reach the codec hook instead of raising). Interlaced PNGs left
+    # this list in round 12: Adam7 decodes natively, so a sequential
+    # 2x2 payload mislabeled interlace=1 is now CORRUPT (the pass
+    # walk finds the wrong byte count), not unsupported.
     from ais_data_pipeline_spark.operators.multimodal import _parse_png
 
+    with pytest.raises(ValueError):
+        _parse_png(png_of(2, 2, 2, scan, interlace=1))
     for exotic in (
-        png_of(2, 2, 2, scan, interlace=1),
         png_of(2, 2, 3, scan),  # color type 3 = palette
     ):
         with pytest.raises(NotImplementedError):
@@ -823,6 +827,75 @@ def test_png_roundtrip_property(w, h, rgba, seed, filters):
     arr, fmt = decode_pixels_array(data)
     assert fmt == "png"
     assert (arr == raster[:, :, :3]).all()
+    # Adam7 (round 12): the same raster through the interlaced writer
+    # decodes identically — covers empty passes (w or h < pass start)
+    # and ragged reduced images at every dim combination drawn
+    data_i = png_bytes_from_raster(
+        raster, lambda y: filters[y % len(filters)], interlace=True
+    )
+    arr_i, _ = decode_pixels_array(data_i)
+    assert (arr_i == raster[:, :, :3]).all()
+
+
+def test_png_adam7_hand_built_spec_pin():
+    """Encoder-independent Adam7 pin: a 2x2 interlaced PNG assembled BY
+    HAND from the spec's pass grid — pass 1 carries pixel (0,0),
+    pass 6 pixel (1,0), pass 7 the bottom row; passes 2-5 are empty
+    and contribute no bytes. A matched encoder/decoder
+    misunderstanding of the grid cannot cancel out here. Also pins the
+    truncated-pass and bad-interlace-method error contracts."""
+    import struct as _struct
+    import zlib as _zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from ais_data_pipeline_spark.operators.multimodal import (
+        _PNG_SIG,
+        _parse_png,
+        _png_chunk,
+    )
+
+    px = {  # (x, y) -> RGB
+        (0, 0): (10, 20, 30),
+        (1, 0): (40, 50, 60),
+        (0, 1): (70, 80, 90),
+        (1, 1): (200, 210, 220),
+    }
+    scan = bytes([0, *px[(0, 0)]])  # pass 1: one 1x1 scanline, filter None
+    scan += bytes([0, *px[(1, 0)]])  # pass 6: one 1x1 scanline
+    scan += bytes([0, *px[(0, 1)], *px[(1, 1)]])  # pass 7: one 2x1 scanline
+    ihdr = _struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)  # interlace=1
+    data = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zlib.compress(scan))
+        + _png_chunk(b"IEND", b"")
+    )
+    img = _parse_png(data)
+    want = np.zeros((2, 2, 3), dtype=np.uint8)
+    for (x, y), rgb in px.items():
+        want[y, x] = rgb
+    assert (img == want).all()
+
+    # truncated pass payload: drop pass 7's scanline
+    short = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zlib.compress(scan[:-7]))
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="truncated|length mismatch"):
+        _parse_png(short)
+    # unknown interlace method: loud, not a misparse
+    bad = _struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 7)
+    with _pytest.raises(ValueError, match="interlace method"):
+        _parse_png(
+            _PNG_SIG
+            + _png_chunk(b"IHDR", bad)
+            + _png_chunk(b"IDAT", _zlib.compress(scan))
+            + _png_chunk(b"IEND", b"")
+        )
 
 
 def test_bench_warmed_convention_pinned():
