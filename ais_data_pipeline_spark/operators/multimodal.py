@@ -174,11 +174,13 @@ def _parse_png(data: bytes):
     inflates, and de-filters every scanline for all five filter types
     (None/Sub/Up/Average/Paeth — the Sub/Average/Paeth reconstructions
     carry the left-neighbor recurrence the spec mandates). Color type 2
-    (RGB) and 6 (RGBA — alpha stripped after de-filtering, since the
-    filter recurrence runs over all channels) are supported, both
-    sequential and Adam7-interlaced (round 12: seven independently
-    filtered reduced images scattered onto the 8x8 grid); palettes and
-    16-bit depth stay honest ``NotImplementedError``\\ s."""
+    (RGB), 6 (RGBA — alpha stripped after de-filtering, since the
+    filter recurrence runs over all channels), and 3 (8-bit paletted —
+    filters run over the index bytes, PLTE lookup after
+    reconstruction) are supported, both sequential and
+    Adam7-interlaced (round 12: seven independently filtered reduced
+    images scattered onto the 8x8 grid); 16-bit and sub-byte depths
+    stay honest ``NotImplementedError``\\ s."""
     import struct
     import zlib
 
@@ -188,6 +190,7 @@ def _parse_png(data: bytes):
         raise ValueError("not a PNG payload")
     pos = 8
     idat = bytearray()
+    plte = None
     w = h = bit_depth = color_type = interlace = None
     while pos < len(data):
         if pos + 8 > len(data):
@@ -206,16 +209,22 @@ def _parse_png(data: bytes):
             )
         elif ctype == b"IDAT":
             idat += body
+        elif ctype == b"PLTE":
+            if length == 0 or length % 3:
+                raise ValueError("PNG PLTE length must be a positive multiple of 3")
+            plte = body
         elif ctype == b"IEND":
             break
         pos += 12 + length
     if w is None:
         raise ValueError("PNG missing IHDR")
-    if bit_depth != 8 or color_type not in (2, 6):
+    if bit_depth != 8 or color_type not in (2, 3, 6):
         raise NotImplementedError(
-            "only 8-bit truecolor PNG (color type 2/6) supported"
+            "only 8-bit PNG color types 2/3/6 supported"
         )
-    bpp = 3 if color_type == 2 else 4
+    if color_type == 3 and plte is None:
+        raise ValueError("paletted PNG missing PLTE chunk")
+    bpp = {2: 3, 3: 1, 6: 4}[color_type]
     if not idat:
         # a chunk-valid PNG with no pixel payload is corrupt, not a
         # crash: keep the module's ValueError contract (ADVICE r9)
@@ -254,6 +263,14 @@ def _parse_png(data: bytes):
             raise ValueError("PNG scanline payload length mismatch")
     else:
         raise ValueError(f"bad PNG interlace method {interlace}")
+    if color_type == 3:
+        # palette lookup AFTER de-filtering (round 12 — filters run
+        # over index bytes, exactly like any other channel layout)
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = img.reshape(h, w)
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("PNG palette index out of range")
+        return pal[idx]
     return (img[:, :, :3].copy() if bpp == 4 else img)
 
 
@@ -348,11 +365,11 @@ def _defilter_scanlines(raw: bytes, w: int, h: int, bpp: int):
 def decode_pixels_array(data: bytes):
     """Payload bytes → (HxWx3 uint8 RGB array, format tag). Dispatches
     on magic bytes: PPM/BMP/PNG/JPEG (baseline AND progressive, incl.
-    4:2:0/4:2:2 subsampled chroma; PNG incl. Adam7 since round 12)
-    decode natively (numpy + stdlib ``zlib``/``struct``); out-of-scope
-    variants (paletted or 16-bit PNG, arithmetic-coded or 12-bit JPEG)
-    fall through to PIL when installed; anything else is the explicit
-    honest-stub contract."""
+    4:2:0/4:2:2 subsampled chroma; PNG incl. Adam7 interlace and 8-bit
+    palettes since round 12) decode natively (numpy + stdlib
+    ``zlib``/``struct``); out-of-scope variants (16-bit or sub-byte
+    PNG, arithmetic-coded or 12-bit JPEG) fall through to PIL when
+    installed; anything else is the explicit honest-stub contract."""
     if data[:2] == b"P6":
         return _parse_ppm(data), "ppm"
     if data[:2] == b"BM":

@@ -318,28 +318,70 @@ def test_png_decode_filters_and_contracts(spark):
     with pytest.raises(ValueError, match="CRC"):
         decode_pixels_array(bytes(bad))
 
-    # paletted: the NATIVE parser refuses rather than mis-decodes;
+    # 16-bit depth: the NATIVE parser refuses rather than mis-decodes;
     # decode_pixels_array deliberately falls through to PIL on these
     # variants, so the dispatcher-level assertion must branch on PIL
     # availability (ADVICE r9 — with PIL installed these payloads
-    # reach the codec hook instead of raising). Interlaced PNGs left
-    # this list in round 12: Adam7 decodes natively, so a sequential
-    # 2x2 payload mislabeled interlace=1 is now CORRUPT (the pass
-    # walk finds the wrong byte count), not unsupported.
-    from ais_data_pipeline_spark.operators.multimodal import _parse_png
+    # reach the codec hook instead of raising). Interlaced AND paletted
+    # PNGs left this list in round 12: both decode natively now, so a
+    # sequential 2x2 payload mislabeled interlace=1 is CORRUPT (wrong
+    # pass byte count) and a paletted stream without PLTE is CORRUPT,
+    # not unsupported.
+    from ais_data_pipeline_spark.operators.multimodal import (
+        _parse_png,
+        _png_chunk,
+    )
 
     with pytest.raises(ValueError):
         _parse_png(png_of(2, 2, 2, scan, interlace=1))
-    for exotic in (
-        png_of(2, 2, 3, scan),  # color type 3 = palette
-    ):
-        with pytest.raises(NotImplementedError):
-            _parse_png(exotic)
-        try:
-            import PIL  # noqa: F401
-        except ImportError:
-            with pytest.raises(NotImplementedError, match="PIL"):
-                decode_pixels_array(exotic)
+    with pytest.raises(ValueError, match="missing PLTE"):
+        _parse_png(png_of(2, 2, 3, scan))
+
+    def png16(w, h, scanlines):  # bit_depth 16, truecolor
+        ihdr = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)
+        return (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(scanlines))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    exotic = png16(2, 2, scan)
+    with pytest.raises(NotImplementedError):
+        _parse_png(exotic)
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="PIL"):
+            decode_pixels_array(exotic)
+
+    # paletted PNG decodes natively since round 12: filters run over
+    # the INDEX bytes (Sub filter here so reconstruction is exercised),
+    # PLTE lookup after; an out-of-range index fails loud
+    pal = bytes([250, 0, 0, 0, 250, 0, 0, 0, 250, 7, 8, 9])  # 4 entries
+    # 2x2 indices: rows (0,1), (2,3) — row filters: Sub then None
+    idx_scan = bytes([1, 0, 1]) + bytes([0, 2, 3])
+    pal_png = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + _png_chunk(b"PLTE", pal)
+        + _png_chunk(b"IDAT", zlib.compress(idx_scan))
+        + _png_chunk(b"IEND", b"")
+    )
+    arr = _parse_png(pal_png)
+    assert arr.tolist() == [
+        [[250, 0, 0], [0, 250, 0]],
+        [[0, 0, 250], [7, 8, 9]],
+    ]
+    bad_idx = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + _png_chunk(b"PLTE", pal[:9])  # only 3 entries — index 3 invalid
+        + _png_chunk(b"IDAT", zlib.compress(idx_scan))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="palette index out of range"):
+        _parse_png(bad_idx)
     # truncated scanline payload
     with pytest.raises(ValueError):
         decode_pixels_array(png_of(2, 2, 2, scan[:-1]))
