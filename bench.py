@@ -85,6 +85,11 @@ EXTENDED = [
     # work — the same minhash LSH + connected components — stays
     # benched through the star-contraction variant
     "near_dup_clusters_star",
+    # the r12 container-parse tier: MP4 metadata + keyframe offsets
+    # (both zero-shuffle mapInPandas walks; byte-gate-protected, these
+    # rows make regressions visible in wall-clock too)
+    "video_container_meta",
+    "frame_sample_fanout",
 ]
 
 #: 1-min load average above which the bench artifact flags itself and

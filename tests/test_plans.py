@@ -954,11 +954,12 @@ def test_grouped_rank_null_semantics(spark):
 
 
 def test_png_exotic_variant_falls_through_to_pil_hook():
-    """Round-9 review regression: an exotic PNG (palette, 16-bit,
-    interlace) must reach the PIL hook rather than dying in the
-    native parser — with PIL absent that still means the documented
-    NotImplementedError naming the codec-library requirement, NOT the
-    parser's variant message."""
+    """Round-9 review regression: an exotic PNG must reach the PIL
+    hook rather than dying in the native parser — with PIL absent that
+    still means the documented NotImplementedError naming the
+    codec-library requirement, NOT the parser's variant message.
+    Since round 12 palette and interlace decode NATIVELY, so the
+    remaining exotic class is 16-bit depth."""
     import struct
     import zlib
 
@@ -970,7 +971,7 @@ def test_png_exotic_variant_falls_through_to_pil_hook():
         decode_pixels_array,
     )
 
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)  # palette PNG
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)  # 16-bit RGB
     png = (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
