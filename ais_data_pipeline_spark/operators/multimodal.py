@@ -364,16 +364,26 @@ def _defilter_scanlines(raw: bytes, w: int, h: int, bpp: int):
 
 def decode_pixels_array(data: bytes):
     """Payload bytes → (HxWx3 uint8 RGB array, format tag). Dispatches
-    on magic bytes: PPM/BMP/PNG/JPEG (baseline AND progressive, incl.
-    4:2:0/4:2:2 subsampled chroma; PNG incl. Adam7 interlace and 8-bit
-    palettes since round 12) decode natively (numpy + stdlib
-    ``zlib``/``struct``); out-of-scope variants (16-bit or sub-byte
-    PNG, arithmetic-coded or 12-bit JPEG) fall through to PIL when
+    on magic bytes: PPM/BMP/GIF/PNG/JPEG (JPEG baseline AND
+    progressive, incl. 4:2:0/4:2:2 subsampled chroma; PNG incl. Adam7
+    interlace and 8-bit palettes, GIF incl. LZW + interlace — round
+    12) decode natively (numpy + stdlib ``zlib``/``struct``);
+    out-of-scope variants (16-bit or sub-byte PNG, arithmetic-coded or
+    12-bit JPEG, animated-GIF compositing) fall through to PIL when
     installed; anything else is the explicit honest-stub contract."""
     if data[:2] == b"P6":
         return _parse_ppm(data), "ppm"
     if data[:2] == b"BM":
         return _parse_bmp(data), "bmp"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from ais_data_pipeline_spark.operators.gif import parse_gif
+
+        try:
+            return parse_gif(data), "gif"
+        except NotImplementedError:
+            # animation compositing (partial first frame): PIL
+            # fall-through, same convention as the PNG/JPEG exotics
+            pass
     if data[:8] == _PNG_SIG:
         try:
             return _parse_png(data), "png"
@@ -787,6 +797,7 @@ def make_image_fixture(
 _MAGIC_PREFIX = [
     ("89504E47", 1, "image/png"),
     ("FFD8FF", 1, "image/jpeg"),
+    ("47494638", 1, "image/gif"),  # 'GIF8' (round 12)
     ("52494646", 1, "audio/wav"),  # RIFF container
     ("494433", 1, "audio/mp3"),  # ID3 tag
     ("664C6143", 1, "audio/flac"),  # 'fLaC' (round 12)
