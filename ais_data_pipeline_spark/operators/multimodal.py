@@ -177,10 +177,12 @@ def _parse_png(data: bytes):
     (RGB), 6 (RGBA — alpha stripped after de-filtering, since the
     filter recurrence runs over all channels), and 3 (8-bit paletted —
     filters run over the index bytes, PLTE lookup after
-    reconstruction) are supported, both sequential and
-    Adam7-interlaced (round 12: seven independently filtered reduced
-    images scattered onto the 8x8 grid); 16-bit and sub-byte depths
-    stay honest ``NotImplementedError``\\ s."""
+    reconstruction) are supported at 8-bit depth, types 2/6 also at
+    16-bit (full 2-byte de-filter, high-byte 8-bit presentation like
+    PIL's RGB conversion), both sequential and Adam7-interlaced
+    (round 12: seven independently filtered reduced images scattered
+    onto the 8x8 grid); grayscale and sub-byte depths stay honest
+    ``NotImplementedError``\\ s."""
     import struct
     import zlib
 
@@ -218,13 +220,21 @@ def _parse_png(data: bytes):
         pos += 12 + length
     if w is None:
         raise ValueError("PNG missing IHDR")
-    if bit_depth != 8 or color_type not in (2, 3, 6):
+    if (
+        color_type not in (2, 3, 6)
+        or bit_depth not in (8, 16)
+        or (color_type == 3 and bit_depth != 8)
+    ):
         raise NotImplementedError(
-            "only 8-bit PNG color types 2/3/6 supported"
+            "only 8/16-bit truecolor (2/6) and 8-bit paletted (3) PNG supported"
         )
     if color_type == 3 and plte is None:
         raise ValueError("paletted PNG missing PLTE chunk")
-    bpp = {2: 3, 3: 1, 6: 4}[color_type]
+    channels = {2: 3, 3: 1, 6: 4}[color_type]
+    # the filter unit is BYTES per pixel (spec: predictors step by the
+    # full sample width), so 16-bit samples just double it — the
+    # de-filter helper is depth-agnostic
+    bpp = channels * (bit_depth // 8)
     if not idat:
         # a chunk-valid PNG with no pixel payload is corrupt, not a
         # crash: keep the module's ValueError contract (ADVICE r9)
@@ -271,7 +281,13 @@ def _parse_png(data: bytes):
         if int(idx.max(initial=0)) >= pal.shape[0]:
             raise ValueError("PNG palette index out of range")
         return pal[idx]
-    return (img[:, :, :3].copy() if bpp == 4 else img)
+    if bit_depth == 16:
+        # samples are big-endian uint16; the 8-bit presentation keeps
+        # the HIGH byte — the same precision reduction PIL applies
+        # converting 16-bit PNGs to RGB mode (the de-filter above ran
+        # over the full 2-byte samples, so reconstruction is exact)
+        img = img.reshape(h, w, channels, 2)[:, :, :, 0]
+    return (img[:, :, :3].copy() if channels == 4 else img)
 
 
 #: Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass —
@@ -366,11 +382,12 @@ def decode_pixels_array(data: bytes):
     """Payload bytes → (HxWx3 uint8 RGB array, format tag). Dispatches
     on magic bytes: PPM/BMP/GIF/PNG/JPEG (JPEG baseline AND
     progressive, incl. 4:2:0/4:2:2 subsampled chroma; PNG incl. Adam7
-    interlace and 8-bit palettes, GIF incl. LZW + interlace — round
-    12) decode natively (numpy + stdlib ``zlib``/``struct``);
-    out-of-scope variants (16-bit or sub-byte PNG, arithmetic-coded or
-    12-bit JPEG, animated-GIF compositing) fall through to PIL when
-    installed; anything else is the explicit honest-stub contract."""
+    interlace, 8-bit palettes, and 16-bit truecolor; GIF incl. LZW +
+    interlace — round 12) decode natively (numpy + stdlib
+    ``zlib``/``struct``); out-of-scope variants (grayscale or sub-byte
+    PNG, arithmetic-coded or 12-bit JPEG, animated-GIF compositing)
+    fall through to PIL when installed; anything else is the explicit
+    honest-stub contract."""
     if data[:2] == b"P6":
         return _parse_ppm(data), "ppm"
     if data[:2] == b"BM":

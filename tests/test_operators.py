@@ -318,15 +318,15 @@ def test_png_decode_filters_and_contracts(spark):
     with pytest.raises(ValueError, match="CRC"):
         decode_pixels_array(bytes(bad))
 
-    # 16-bit depth: the NATIVE parser refuses rather than mis-decodes;
+    # grayscale: the NATIVE parser refuses rather than mis-decodes;
     # decode_pixels_array deliberately falls through to PIL on these
     # variants, so the dispatcher-level assertion must branch on PIL
     # availability (ADVICE r9 — with PIL installed these payloads
-    # reach the codec hook instead of raising). Interlaced AND paletted
-    # PNGs left this list in round 12: both decode natively now, so a
-    # sequential 2x2 payload mislabeled interlace=1 is CORRUPT (wrong
-    # pass byte count) and a paletted stream without PLTE is CORRUPT,
-    # not unsupported.
+    # reach the codec hook instead of raising). Interlaced, paletted,
+    # AND 16-bit truecolor PNGs all left this list in round 12: they
+    # decode natively now, so a sequential 2x2 payload mislabeled
+    # interlace=1 is CORRUPT (wrong pass byte count) and a paletted
+    # stream without PLTE is CORRUPT, not unsupported.
     from ais_data_pipeline_spark.operators.multimodal import (
         _parse_png,
         _png_chunk,
@@ -337,8 +337,8 @@ def test_png_decode_filters_and_contracts(spark):
     with pytest.raises(ValueError, match="missing PLTE"):
         _parse_png(png_of(2, 2, 3, scan))
 
-    def png16(w, h, scanlines):  # bit_depth 16, truecolor
-        ihdr = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)
+    def png_gray(w, h, scanlines):  # color type 0 = grayscale
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
         return (
             _PNG_SIG
             + _png_chunk(b"IHDR", ihdr)
@@ -346,7 +346,7 @@ def test_png_decode_filters_and_contracts(spark):
             + _png_chunk(b"IEND", b"")
         )
 
-    exotic = png16(2, 2, scan)
+    exotic = png_gray(2, 2, scan)
     with pytest.raises(NotImplementedError):
         _parse_png(exotic)
     try:
@@ -354,6 +354,24 @@ def test_png_decode_filters_and_contracts(spark):
     except ImportError:
         with pytest.raises(NotImplementedError, match="PIL"):
             decode_pixels_array(exotic)
+
+    # 16-bit truecolor decodes natively since round 12: the de-filter
+    # runs over the full 2-byte samples (Sub filter with its 6-byte
+    # left offset exercised), the 8-bit presentation keeps the HIGH
+    # byte. Hand-built 1x2: pixel0=(0x1234,0x5678,0x9ABC),
+    # pixel1 = pixel0 + (1,1,1) per 16-bit channel, Sub-filtered.
+    px0 = bytes([0x12, 0x34, 0x56, 0x78, 0x9A, 0xBC])
+    delta = bytes([0x00, 0x01] * 3)  # +1 per 16-bit BE channel
+    scan16 = bytes([1]) + px0 + delta  # filter 1 (Sub): raw deltas
+    ihdr16 = struct.pack(">IIBBBBB", 2, 1, 16, 2, 0, 0, 0)
+    png16 = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr16)
+        + _png_chunk(b"IDAT", zlib.compress(scan16))
+        + _png_chunk(b"IEND", b"")
+    )
+    arr16 = _parse_png(png16)
+    assert arr16.tolist() == [[[0x12, 0x56, 0x9A], [0x12, 0x56, 0x9A]]]
 
     # paletted PNG decodes natively since round 12: filters run over
     # the INDEX bytes (Sub filter here so reconstruction is exercised),

@@ -958,8 +958,8 @@ def test_png_exotic_variant_falls_through_to_pil_hook():
     hook rather than dying in the native parser — with PIL absent that
     still means the documented NotImplementedError naming the
     codec-library requirement, NOT the parser's variant message.
-    Since round 12 palette and interlace decode NATIVELY, so the
-    remaining exotic class is 16-bit depth."""
+    Since round 12 palette, interlace, and 16-bit truecolor decode
+    NATIVELY, so the remaining exotic class is grayscale."""
     import struct
     import zlib
 
@@ -971,7 +971,7 @@ def test_png_exotic_variant_falls_through_to_pil_hook():
         decode_pixels_array,
     )
 
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)  # 16-bit RGB
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)  # grayscale
     png = (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
