@@ -126,10 +126,12 @@ def _parse_ppm(data: bytes):
 
 
 def _parse_bmp(data: bytes):
-    """24-bit uncompressed BMP (BITMAPINFOHEADER) → HxWx3 uint8 RGB.
+    """24-bit (BGR) or 32-bit (BGRA/BGRX — round 12, the screenshot
+    layout) uncompressed BMP (BITMAPINFOHEADER) → HxWx3 uint8 RGB.
     Real parser: honors the pixel-data offset, bottom-up (positive
     height) vs top-down (negative) row order, per-row 4-byte padding,
-    and the on-disk BGR channel order."""
+    and the on-disk channel order (the 4th byte of 32-bit pixels —
+    alpha or filler — is dropped after de-interleaving)."""
     import struct
 
     import numpy as np
@@ -140,14 +142,17 @@ def _parse_bmp(data: bytes):
     w, h_raw = struct.unpack_from("<ii", data, 18)
     (bpp,) = struct.unpack_from("<H", data, 28)
     (compression,) = struct.unpack_from("<I", data, 30)
-    if bpp != 24 or compression != 0:
-        raise NotImplementedError("only 24-bit uncompressed BMP supported")
+    if bpp not in (24, 32) or compression != 0:
+        raise NotImplementedError("only 24/32-bit uncompressed BMP supported")
     h, bottom_up = abs(h_raw), h_raw > 0
-    stride = (w * 3 + 3) // 4 * 4
+    nch = bpp // 8
+    stride = (w * nch + 3) // 4 * 4
+    if len(data) < offset + stride * h:
+        raise ValueError("truncated BMP pixel data")
     rows = np.frombuffer(
         data[offset : offset + stride * h], dtype=np.uint8
-    ).reshape(h, stride)[:, : w * 3]
-    img = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    ).reshape(h, stride)[:, : w * nch]
+    img = rows.reshape(h, w, nch)[:, :, 2::-1]  # BGR(A) -> RGB, alpha off
     return img[::-1] if bottom_up else img
 
 

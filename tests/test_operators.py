@@ -218,11 +218,38 @@ def test_pixel_decode_roundtrip_and_edge_cases(spark):
         decode_pixels_array(b"P6\n5 3\n255\n" + raster[:-1])
     with pytest.raises(ValueError):
         decode_pixels_array(b"P6\nx 3\n255\n" + raster)
-    # non-24-bpp BMP refuses rather than mis-decoding
+    # sub-24-bpp BMP refuses rather than mis-decoding
     bad_bpp = bytearray(bottom_up)
     struct.pack_into("<H", bad_bpp, 28, 8)
     with pytest.raises(NotImplementedError):
         decode_pixels_array(bytes(bad_bpp))
+
+    # 32-bit BGRA decodes natively since round 12 (the screenshot
+    # layout): hand-build a 2x2 top-down BGRX image — alpha/filler
+    # bytes must be dropped, channels reordered, rows already aligned
+    px = {  # (x, y) -> RGB
+        (0, 0): (1, 2, 3), (1, 0): (4, 5, 6),
+        (0, 1): (7, 8, 9), (1, 1): (10, 11, 12),
+    }
+    body = bytearray()
+    for y in (0, 1):
+        for x in (0, 1):
+            r, g, b = px[(x, y)]
+            body += bytes([b, g, r, 0xAA])  # BGR + filler
+    hdr = bytearray(b"BM") + bytearray(52)
+    struct.pack_into("<I", hdr, 10, 54)  # pixel offset
+    struct.pack_into("<I", hdr, 14, 40)  # BITMAPINFOHEADER size
+    struct.pack_into("<ii", hdr, 18, 2, -2)  # 2x2, TOP-DOWN
+    struct.pack_into("<H", hdr, 26, 1)  # planes
+    struct.pack_into("<H", hdr, 28, 32)  # 32 bpp
+    arr32, fmt32 = decode_pixels_array(bytes(hdr) + bytes(body))
+    assert fmt32 == "bmp"
+    assert arr32.tolist() == [
+        [[1, 2, 3], [4, 5, 6]], [[7, 8, 9], [10, 11, 12]],
+    ]
+    # truncated 32-bit raster is a loud ValueError, not a numpy crash
+    with pytest.raises(ValueError, match="truncated BMP"):
+        decode_pixels_array(bytes(hdr) + bytes(body[:-3]))
 
     # Spark integration: fixture -> decode matches the closed form
     ids = local_df(spark, [(i,) for i in (0, 3, 12, 40)], "doc_id bigint")
