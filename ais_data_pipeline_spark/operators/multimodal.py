@@ -180,14 +180,15 @@ def _parse_png(data: bytes):
     (None/Sub/Up/Average/Paeth — the Sub/Average/Paeth reconstructions
     carry the left-neighbor recurrence the spec mandates). Color type 2
     (RGB), 6 (RGBA — alpha stripped after de-filtering, since the
-    filter recurrence runs over all channels), and 3 (8-bit paletted —
+    filter recurrence runs over all channels), 3 (8-bit paletted —
     filters run over the index bytes, PLTE lookup after
-    reconstruction) are supported at 8-bit depth, types 2/6 also at
-    16-bit (full 2-byte de-filter, high-byte 8-bit presentation like
-    PIL's RGB conversion), both sequential and Adam7-interlaced
-    (round 12: seven independently filtered reduced images scattered
-    onto the 8x8 grid); grayscale and sub-byte depths stay honest
-    ``NotImplementedError``\\ s."""
+    reconstruction), and 0/4 (grayscale ± alpha, replicated to RGB)
+    are supported at 8-bit depth, types 0/2/4/6 also at 16-bit (full
+    2-byte de-filter, high-byte 8-bit presentation like PIL's RGB
+    conversion), both sequential and Adam7-interlaced (round 12:
+    seven independently filtered reduced images scattered onto the
+    8x8 grid); sub-byte depths (1/2/4-bit) stay the honest
+    ``NotImplementedError`` line."""
     import struct
     import zlib
 
@@ -226,16 +227,17 @@ def _parse_png(data: bytes):
     if w is None:
         raise ValueError("PNG missing IHDR")
     if (
-        color_type not in (2, 3, 6)
+        color_type not in (0, 2, 3, 4, 6)
         or bit_depth not in (8, 16)
         or (color_type == 3 and bit_depth != 8)
     ):
         raise NotImplementedError(
-            "only 8/16-bit truecolor (2/6) and 8-bit paletted (3) PNG supported"
+            "only 8/16-bit PNG color types 0/2/4/6 and 8-bit paletted (3) "
+            "supported (sub-byte depths are not)"
         )
     if color_type == 3 and plte is None:
         raise ValueError("paletted PNG missing PLTE chunk")
-    channels = {2: 3, 3: 1, 6: 4}[color_type]
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
     # the filter unit is BYTES per pixel (spec: predictors step by the
     # full sample width), so 16-bit samples just double it — the
     # de-filter helper is depth-agnostic
@@ -292,6 +294,8 @@ def _parse_png(data: bytes):
         # converting 16-bit PNGs to RGB mode (the de-filter above ran
         # over the full 2-byte samples, so reconstruction is exact)
         img = img.reshape(h, w, channels, 2)[:, :, :, 0]
+    if color_type in (0, 4):  # grayscale (+alpha): replicate to RGB
+        return np.repeat(img[:, :, :1], 3, axis=2)
     return (img[:, :, :3].copy() if channels == 4 else img)
 
 
@@ -386,13 +390,13 @@ def _defilter_scanlines(raw: bytes, w: int, h: int, bpp: int):
 def decode_pixels_array(data: bytes):
     """Payload bytes → (HxWx3 uint8 RGB array, format tag). Dispatches
     on magic bytes: PPM/BMP/GIF/PNG/JPEG (JPEG baseline AND
-    progressive, incl. 4:2:0/4:2:2 subsampled chroma; PNG incl. Adam7
-    interlace, 8-bit palettes, and 16-bit truecolor; GIF incl. LZW +
-    interlace — round 12) decode natively (numpy + stdlib
-    ``zlib``/``struct``); out-of-scope variants (grayscale or sub-byte
-    PNG, arithmetic-coded or 12-bit JPEG, animated-GIF compositing)
-    fall through to PIL when installed; anything else is the explicit
-    honest-stub contract."""
+    progressive, incl. 4:2:0/4:2:2 subsampled chroma; PNG all
+    byte-width layouts — truecolor/palette/grayscale ± alpha, 8/16
+    bit, Adam7; GIF incl. LZW + interlace — round 12) decode natively
+    (numpy + stdlib ``zlib``/``struct``); out-of-scope variants
+    (sub-byte PNG, arithmetic-coded or 12-bit JPEG, animated-GIF
+    compositing) fall through to PIL when installed; anything else is
+    the explicit honest-stub contract."""
     if data[:2] == b"P6":
         return _parse_ppm(data), "ppm"
     if data[:2] == b"BM":

@@ -345,15 +345,16 @@ def test_png_decode_filters_and_contracts(spark):
     with pytest.raises(ValueError, match="CRC"):
         decode_pixels_array(bytes(bad))
 
-    # grayscale: the NATIVE parser refuses rather than mis-decodes;
-    # decode_pixels_array deliberately falls through to PIL on these
-    # variants, so the dispatcher-level assertion must branch on PIL
-    # availability (ADVICE r9 — with PIL installed these payloads
-    # reach the codec hook instead of raising). Interlaced, paletted,
-    # AND 16-bit truecolor PNGs all left this list in round 12: they
-    # decode natively now, so a sequential 2x2 payload mislabeled
-    # interlace=1 is CORRUPT (wrong pass byte count) and a paletted
-    # stream without PLTE is CORRUPT, not unsupported.
+    # sub-byte depth: the NATIVE parser refuses rather than
+    # mis-decodes; decode_pixels_array deliberately falls through to
+    # PIL on these variants, so the dispatcher-level assertion must
+    # branch on PIL availability (ADVICE r9 — with PIL installed these
+    # payloads reach the codec hook instead of raising). Interlaced,
+    # paletted, 16-bit, and grayscale PNGs ALL left this list in round
+    # 12: every byte-width layout decodes natively now, so a
+    # sequential 2x2 payload mislabeled interlace=1 is CORRUPT (wrong
+    # pass byte count) and a paletted stream without PLTE is CORRUPT,
+    # not unsupported.
     from ais_data_pipeline_spark.operators.multimodal import (
         _parse_png,
         _png_chunk,
@@ -364,8 +365,8 @@ def test_png_decode_filters_and_contracts(spark):
     with pytest.raises(ValueError, match="missing PLTE"):
         _parse_png(png_of(2, 2, 3, scan))
 
-    def png_gray(w, h, scanlines):  # color type 0 = grayscale
-        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    def png_hdr(w, h, depth, ctype, scanlines):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
         return (
             _PNG_SIG
             + _png_chunk(b"IHDR", ihdr)
@@ -373,7 +374,7 @@ def test_png_decode_filters_and_contracts(spark):
             + _png_chunk(b"IEND", b"")
         )
 
-    exotic = png_gray(2, 2, scan)
+    exotic = png_hdr(2, 2, 4, 0, scan)  # 4-bit grayscale
     with pytest.raises(NotImplementedError):
         _parse_png(exotic)
     try:
@@ -381,6 +382,16 @@ def test_png_decode_filters_and_contracts(spark):
     except ImportError:
         with pytest.raises(NotImplementedError, match="PIL"):
             decode_pixels_array(exotic)
+
+    # grayscale decodes natively since round 12, replicated to RGB:
+    # 8-bit gray 2x1 Sub-filtered, and 16-bit gray+alpha 2x1 (high
+    # byte kept, alpha dropped)
+    g8 = png_hdr(2, 1, 8, 0, bytes([1, 100, 28]))  # Sub: 100, 100+28
+    assert _parse_png(g8).tolist() == [[[100] * 3, [128] * 3]]
+    ga16 = png_hdr(
+        2, 1, 16, 4, bytes([0, 0xAB, 0x01, 0xFF, 0xFF, 0xCD, 0x02, 0x00, 0x00])
+    )
+    assert _parse_png(ga16).tolist() == [[[0xAB] * 3, [0xCD] * 3]]
 
     # 16-bit truecolor decodes natively since round 12: the de-filter
     # runs over the full 2-byte samples (Sub filter with its 6-byte

@@ -958,8 +958,9 @@ def test_png_exotic_variant_falls_through_to_pil_hook():
     hook rather than dying in the native parser — with PIL absent that
     still means the documented NotImplementedError naming the
     codec-library requirement, NOT the parser's variant message.
-    Since round 12 palette, interlace, and 16-bit truecolor decode
-    NATIVELY, so the remaining exotic class is grayscale."""
+    Since round 12 every byte-width PNG layout decodes NATIVELY
+    (palette, interlace, 16-bit, grayscale), so the remaining exotic
+    class is sub-byte depth."""
     import struct
     import zlib
 
@@ -971,7 +972,7 @@ def test_png_exotic_variant_falls_through_to_pil_hook():
         decode_pixels_array,
     )
 
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)  # grayscale
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)  # 4-bit gray
     png = (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
