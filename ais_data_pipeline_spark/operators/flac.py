@@ -87,15 +87,49 @@ def _first_ogg_packet(data: bytes) -> bytes:
     return body[:plen]
 
 
+def _ogg_last_granule(data: bytes) -> int | None:
+    """Granule position of the last COMPLETE Ogg page (forward page
+    walk — ``rfind(b"OggS")`` would false-match capture patterns
+    inside packet payloads). Pages whose granule is -1 ("no packet
+    ends here", RFC 3533 §6) are skipped; a truncated final page
+    (header or body cut off mid-transfer) is ignored so the walk
+    reports the last granule the payload actually COMMITS. Returns
+    None when no complete page carries a granule > 0 (headers-only
+    stream)."""
+    pos = 0
+    best: int | None = None
+    while pos + 27 <= len(data):
+        if data[pos : pos + 4] != b"OggS" or data[pos + 4] != 0:
+            break  # desynced: trust only the committed prefix
+        (granule,) = struct.unpack_from("<q", data, pos + 6)
+        nsegs = data[pos + 26]
+        table = data[pos + 27 : pos + 27 + nsegs]
+        if len(table) != nsegs:
+            break  # truncated segment table
+        body_len = sum(table)
+        end = pos + 27 + nsegs + body_len
+        if end > len(data):
+            break  # truncated page body
+        if granule > 0:
+            best = granule
+        pos = end
+    return best
+
+
 def parse_ogg_audio_meta(data: bytes) -> dict:
     """Ogg bytes -> codec identification dict: ``codec`` ('vorbis' or
     'opus'), ``sample_rate`` (Vorbis: the stream rate; Opus: the
     informational input rate — Opus always decodes at 48 kHz),
-    ``n_channels``, and ``duration_ms`` = None (duration lives in the
-    LAST page's granule position, not the ID header — an honest
-    unknown, like FLAC's total_samples == 0). Raises ``ValueError``
-    on corrupt pages and ``NotImplementedError`` for non-audio Ogg
-    payloads (Theora, Speex, ...)."""
+    ``n_channels``, and ``duration_ms`` from the LAST complete page's
+    granule position (round 13 — the r12 cut returned None; the value
+    was one page walk away). Vorbis granules count PCM samples at the
+    stream rate; Opus granules count 48 kHz samples and include the
+    pre-skip, which is subtracted per RFC 7845 §4.1. ``duration_ms``
+    stays None (honest unknown) when no complete page carries a
+    positive granule — headers-only or truncated-before-first-audio
+    payloads. Raises ``ValueError`` on corrupt pages and
+    ``NotImplementedError`` for non-audio Ogg payloads (Theora,
+    Speex, ...)."""
     pkt = _first_ogg_packet(data)
     if pkt[:7] == b"\x01vorbis":
         if len(pkt) < 30:
@@ -107,11 +141,12 @@ def parse_ogg_audio_meta(data: bytes) -> dict:
         (rate,) = struct.unpack_from("<I", pkt, 12)
         if nch == 0 or rate == 0:
             raise ValueError("Vorbis header with zero channels or rate")
+        granule = _ogg_last_granule(data)
         return {
             "codec": "vorbis",
             "sample_rate": rate,
             "n_channels": nch,
-            "duration_ms": None,
+            "duration_ms": granule * 1000 // rate if granule else None,
         }
     if pkt[:8] == b"OpusHead":
         if len(pkt) < 19:
@@ -119,14 +154,18 @@ def parse_ogg_audio_meta(data: bytes) -> dict:
         if pkt[8] >> 4 != 0:  # major version (RFC 7845 §5.1)
             raise ValueError("bad Opus version")
         nch = pkt[9]
+        (preskip,) = struct.unpack_from("<H", pkt, 10)
         (rate,) = struct.unpack_from("<I", pkt, 12)
         if nch == 0:
             raise ValueError("OpusHead with zero channels")
+        granule = _ogg_last_granule(data)
         return {
             "codec": "opus",
             "sample_rate": rate or 48000,
             "n_channels": nch,
-            "duration_ms": None,
+            "duration_ms": (
+                max(0, granule - preskip) * 1000 // 48000 if granule else None
+            ),
         }
     raise NotImplementedError(
         "Ogg payload is not Vorbis or Opus audio"
@@ -162,17 +201,36 @@ def encode_flac_header(doc_id: int) -> bytes:
     return b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + body
 
 
+#: fixture OpusHead pre-skip (RFC 7845 recommends 3840 = 80 ms; the
+#: fixture uses a smaller value so tiny granules stay positive)
+OPUS_FIXTURE_PRESKIP = 312
+
+
+def ogg_fixture_granule(doc_id: int) -> int:
+    """Closed-form granule position of the fixture EOS page — always
+    above the Opus pre-skip so both codecs' durations are positive."""
+    return 1312 + (doc_id * 997) % 123457
+
+
 def encode_ogg_header(doc_id: int) -> bytes:
-    """Fixture Ogg: one BOS page whose single packet is a Vorbis
-    identification header (even doc_id) or an OpusHead (odd)."""
+    """Fixture Ogg: a BOS page whose single packet is a Vorbis
+    identification header (even doc_id) or an OpusHead (odd), plus an
+    EOS page committing the ``ogg_fixture_granule`` closed form (one
+    empty terminating packet; CRCs left zero — the parser under test
+    reads structure, not checksums)."""
     rate = FIXTURE_RATES[doc_id % 5]
     nch = 1 + doc_id % 2
     if doc_id % 2 == 0:
         pkt = b"\x01vorbis" + struct.pack("<IB I iii", 0, nch, rate, -1, 128000, -1)
         pkt += bytes([0xB8, 0x01])  # blocksizes + framing bit
     else:
-        pkt = b"OpusHead" + bytes([1, nch]) + struct.pack("<HIhB", 312, rate, 0, 0)
+        pkt = b"OpusHead" + bytes([1, nch]) + struct.pack(
+            "<HIhB", OPUS_FIXTURE_PRESKIP, rate, 0, 0
+        )
     head = b"OggS" + bytes([0, 0x02])  # version 0, BOS flag
-    head += struct.pack("<QIII", 0, 0xABCD0000 + doc_id, 0, 0)
+    head += struct.pack("<qIII", 0, 0xABCD0000 + doc_id, 0, 0)
     head += bytes([1, len(pkt)])  # one segment
-    return head + pkt
+    eos = b"OggS" + bytes([0, 0x04])  # EOS flag
+    eos += struct.pack("<qIII", ogg_fixture_granule(doc_id), 0xABCD0000 + doc_id, 1, 0)
+    eos += bytes([1, 0])  # one zero-length packet ends on this page
+    return head + pkt + eos

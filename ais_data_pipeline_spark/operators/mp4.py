@@ -172,6 +172,16 @@ def parse_mp4_sample_table(data: bytes) -> dict:
             elif btype == b"stsz" and path[-1:] == (b"stbl",) and tracks:
                 fixed, cnt = struct.unpack_from(">II", data, blo + 4)
                 if fixed:
+                    # cnt is a raw uint32 with no per-entry table to
+                    # box-check against; a corrupt count near 2^32
+                    # would materialize tens of GB. The samples must
+                    # at least fit in the container, so bound the
+                    # implied media bytes by the payload size.
+                    if fixed * cnt > len(data):
+                        raise ValueError(
+                            "fixed-size stsz implies more media bytes "
+                            "than the container holds"
+                        )
                     tracks[-1]["sizes"] = [fixed] * cnt
                 else:
                     if blo + 12 + 4 * cnt > bhi:

@@ -32,6 +32,7 @@ ever holds more than one batch of blobs in memory.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -826,6 +827,13 @@ _MAGIC_PREFIX = [
     ("47494638", 1, "image/gif"),  # 'GIF8' (round 12)
     ("52494646", 1, "audio/wav"),  # RIFF container
     ("494433", 1, "audio/mp3"),  # ID3 tag
+    # bare MPEG audio frame syncs (no ID3 tag): the common MPEG-1/2
+    # layer-III first bytes. Listed AFTER JPEG's FFD8FF, which wins
+    # first-match. (round 13, with the real MP3 header walk)
+    ("FFFB", 1, "audio/mp3"),
+    ("FFFA", 1, "audio/mp3"),
+    ("FFF3", 1, "audio/mp3"),
+    ("FFF2", 1, "audio/mp3"),
     ("664C6143", 1, "audio/flac"),  # 'fLaC' (round 12)
     ("4F676753", 1, "audio/ogg"),  # 'OggS' — Vorbis/Opus (round 12)
     ("66747970", 9, "video/mp4"),  # 'ftyp' at byte offset 4
@@ -860,35 +868,57 @@ def decode_audio_meta(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:
     """Audio-blob metadata via mapInPandas (Arrow-batched). REAL
-    container branches since round 12: FLAC payloads read their
-    STREAMINFO (rate/channels/bit depth/exact duration), Ogg payloads
-    their Vorbis/Opus identification header (rate/channels; duration
-    honestly None — it lives in the last page's granule), WAV payloads
-    the RIFF fmt walk with the exact PCM duration. Everything else
+    container branches: FLAC payloads read their STREAMINFO
+    (rate/channels/bit depth/exact duration), Ogg payloads their
+    Vorbis/Opus identification header plus the last complete page's
+    granule position (exact duration since round 13), WAV payloads the
+    RIFF fmt walk with the exact PCM duration, and MP3 payloads the
+    ID3-skip + MPEG frame-header + Xing walk (exact duration when the
+    Xing frame count exists, honest NULL for tagless CBR). A payload
+    whose magic routes into a parser but fails to decode (truncated,
+    or a RIFF that isn't WAV — WebP/AVI share the magic) yields a
+    quarantine-style ``codec='parse_error'`` row with NULL fields
+    rather than aborting the job (round-13 review). Everything else
     keeps the deterministic stub — sample rate / channel count chosen
     by payload size, duration from the PCM identity
     ``bytes / (rate * channels * 2)`` — so the Spark plumbing stays
-    fully oracle-checkable while FLAC/Vorbis/Opus SAMPLE decode stays
-    the honest codec line (the image tier's PIL-hook convention)."""
+    fully oracle-checkable while SAMPLE decode of the compressed
+    codecs stays the honest codec line (the image tier's PIL-hook
+    convention)."""
 
-    def _one(payload: bytes) -> tuple[int, int, int | None, str]:
+    def _one(payload: bytes) -> tuple[int | None, int | None, int | None, str]:
         from ais_data_pipeline_spark.operators.flac import (
             parse_flac_streaminfo,
             parse_ogg_audio_meta,
         )
+        from ais_data_pipeline_spark.operators.mp3 import parse_mp3_meta
         from ais_data_pipeline_spark.operators.wav import parse_wav
 
-        if payload[:4] == b"fLaC":
-            m = parse_flac_streaminfo(payload)
-            return m["sample_rate"], m["n_channels"], m["duration_ms"], "flac"
-        if payload[:4] == b"OggS":
-            m = parse_ogg_audio_meta(payload)
-            return m["sample_rate"], m["n_channels"], m["duration_ms"], m["codec"]
-        if payload[:4] == b"RIFF":
-            frames, rate, bits = parse_wav(payload)
-            dur = frames.shape[0] * 1000 // rate
-            codec = "pcm_f32le" if frames.dtype.kind == "f" else f"pcm_{bits}bit"
-            return rate, frames.shape[1], dur, codec
+        # Container branches fail SOFT (round-13 review): magic bytes
+        # are a routing hint, not a guarantee — WebP/AVI share 'RIFF',
+        # crawl blobs truncate — and one undecodable payload must
+        # yield a quarantine-style row, not abort the Spark job.
+        try:
+            if payload[:4] == b"fLaC":
+                m = parse_flac_streaminfo(payload)
+                return m["sample_rate"], m["n_channels"], m["duration_ms"], "flac"
+            if payload[:4] == b"OggS":
+                m = parse_ogg_audio_meta(payload)
+                return m["sample_rate"], m["n_channels"], m["duration_ms"], m["codec"]
+            if payload[:4] == b"RIFF":
+                frames, rate, bits = parse_wav(payload)
+                dur = frames.shape[0] * 1000 // rate
+                codec = "pcm_f32le" if frames.dtype.kind == "f" else f"pcm_{bits}bit"
+                return rate, frames.shape[1], dur, codec
+            if payload[:3] == b"ID3" or (
+                len(payload) >= 2
+                and payload[0] == 0xFF
+                and payload[1] & 0xE0 == 0xE0
+            ):
+                m = parse_mp3_meta(payload)
+                return m["sample_rate"], m["n_channels"], m["duration_ms"], "mp3"
+        except (ValueError, NotImplementedError, IndexError, struct.error):
+            return None, None, None, "parse_error"
         n = len(payload)
         rate = _SAMPLE_RATES[n % len(_SAMPLE_RATES)]
         nch = 1 + n % 2
@@ -903,8 +933,12 @@ def decode_audio_meta(
                     "doc_id": pdf[id_col].astype("int64"),
                     "n_bytes": [len(p) for p in payloads],
                     "sha256": [hashlib.sha256(p).hexdigest() for p in payloads],
-                    "sample_rate": [m[0] for m in metas],
-                    "n_channels": [m[1] for m in metas],
+                    "sample_rate": pd.array(
+                        [m[0] for m in metas], dtype="Int32"
+                    ),
+                    "n_channels": pd.array(
+                        [m[1] for m in metas], dtype="Int32"
+                    ),
                     "duration_ms": pd.array(
                         [m[2] for m in metas], dtype="Int64"
                     ),
@@ -946,6 +980,43 @@ def make_audio_fixture(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
                     "payload": [encode_wav(i) for i in ids],
+                }
+            )
+
+    from ais_data_pipeline_spark.operators.util import spread_to_parallelism
+
+    narrow = spread_to_parallelism(df.select(id_col))
+    return narrow.mapInPandas(encode, "doc_id bigint, payload binary")
+
+
+def make_compressed_audio_fixture(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, payload) COMPRESSED-audio fixture corpus: real FLAC
+    headers (doc_id % 3 == 0), real Ogg Vorbis/Opus streams with an
+    EOS granule page (% 3 == 1; codec by doc parity), and real
+    ID3+MPEG frames with Xing counts (% 3 == 2) — every header field
+    a closed form of doc_id that one SQL CASE re-derives (round 13;
+    the compressed-container analogue of ``make_audio_fixture``).
+    Format is chosen by ``doc_id % 3`` and the encoders receive
+    ``doc_id // 3`` so the per-format parameter mods don't alias with
+    the format selector (every rate/channel/bitrate combination
+    appears in every format)."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ais_data_pipeline_spark.operators.flac import (
+            encode_flac_header,
+            encode_ogg_header,
+        )
+        from ais_data_pipeline_spark.operators.mp3 import encode_mp3_header
+
+        enc = [encode_flac_header, encode_ogg_header, encode_mp3_header]
+        for pdf in batches:
+            ids = [int(i) for i in pdf[id_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "payload": [enc[i % 3](i // 3) for i in ids],
                 }
             )
 

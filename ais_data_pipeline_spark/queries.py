@@ -3676,22 +3676,36 @@ def q_media_type_route(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              octet_length(payload) AS n_bytes,
              sha256(text) AS sha256,
+             -- a text whose leading bytes collide with a container
+             -- magic routes into the REAL parser, which cannot decode
+             -- prose and fails soft to the quarantine row (round 13);
+             -- UTF-8 text can never satisfy the parsers, so the
+             -- outcome is deterministic
+             (substring(text, 1, 4) IN ('fLaC', 'OggS', 'RIFF')
+              OR substring(text, 1, 3) = 'ID3') AS magic_collision,
              list_extract([8000, 16000, 22050, 44100, 48000],
                           (octet_length(payload) % 5) + 1) AS sample_rate,
              1 + octet_length(payload) % 2 AS n_channels
       FROM p
     )
     SELECT doc_id, n_bytes, sha256,
-           CAST(sample_rate AS INTEGER) AS sample_rate,
-           CAST(n_channels AS INTEGER) AS n_channels,
-           n_bytes * 1000 // (sample_rate * n_channels * 2) AS duration_ms,
-           'pcm_stub' AS codec
+           CAST(CASE WHEN magic_collision THEN NULL ELSE sample_rate END
+                AS INTEGER) AS sample_rate,
+           CAST(CASE WHEN magic_collision THEN NULL ELSE n_channels END
+                AS INTEGER) AS n_channels,
+           CASE WHEN magic_collision THEN NULL
+                ELSE n_bytes * 1000 // (sample_rate * n_channels * 2)
+           END AS duration_ms,
+           CASE WHEN magic_collision THEN 'parse_error'
+                ELSE 'pcm_stub' END AS codec
     FROM m
     """,
     "Audio-blob metadata tier: mapInPandas (Arrow batches) over opaque "
     "payloads — size, content hash, and a deterministic stub header "
     "parse (rate/channels by size, duration via the PCM identity "
-    "bytes/(rate*channels*2)). The real soundfile/ffprobe call drops "
+    "bytes/(rate*channels*2)); payloads whose magic routes into a real "
+    "container parser but can't decode fail soft to a quarantine-style "
+    "parse_error row (round 13). The real soundfile/ffprobe call drops "
     "into the same batch iterator; the Spark plumbing (schema, batch "
     "shape, parallelism spread) is the tested contract.",
 )
@@ -3703,6 +3717,71 @@ def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = with_binary_payload(read_table(spark, sf_dir, "documents"), "text")
     return decode_audio_meta(d)
+
+
+@register(
+    "audio_container_meta",
+    """
+    WITH d AS (
+      SELECT doc_id, doc_id % 3 AS fmt, doc_id // 3 AS k FROM documents
+    ), m AS (
+      SELECT doc_id, fmt, k,
+             CASE fmt
+               WHEN 0 THEN 'flac'
+               WHEN 1 THEN CASE WHEN k % 2 = 0 THEN 'vorbis' ELSE 'opus' END
+               ELSE 'mp3'
+             END AS codec,
+             CASE WHEN fmt <= 1
+               THEN list_extract([8000, 16000, 22050, 44100, 48000], (k % 5) + 1)
+               ELSE list_extract([44100, 48000, 32000], (k % 3) + 1)
+             END AS sample_rate,
+             CASE WHEN fmt = 0 THEN 1 + k % 3 ELSE 1 + k % 2 END AS n_channels,
+             list_extract([64, 96, 128, 160, 192, 224, 256, 320],
+                          (k % 8) + 1) AS br,
+             1312 + (k * 997) % 123457 AS granule,
+             1000 + k % 777 AS flac_total,
+             100 + k % 997 AS xing_frames,
+             (k % 5) != 4 AS has_xing
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(CASE fmt
+             WHEN 0 THEN 42
+             WHEN 1 THEN CASE WHEN k % 2 = 0 THEN 86 ELSE 75 END
+             ELSE 10 + k % 7 + 144000 * br // sample_rate
+           END AS BIGINT) AS n_bytes,
+           CAST(sample_rate AS INTEGER) AS sample_rate,
+           CAST(n_channels AS INTEGER) AS n_channels,
+           CAST(CASE fmt
+             WHEN 0 THEN flac_total * 1000 // sample_rate
+             WHEN 1 THEN CASE WHEN k % 2 = 0 THEN granule * 1000 // sample_rate
+                              ELSE (granule - 312) * 1000 // 48000 END
+             ELSE CASE WHEN has_xing
+                       THEN xing_frames * 1152 * 1000 // sample_rate END
+           END AS BIGINT) AS duration_ms,
+           codec
+    FROM m
+    """,
+    "REAL compressed-audio container metadata (round 13): a fixture "
+    "corpus of genuine FLAC STREAMINFO headers, Ogg Vorbis/Opus "
+    "streams with EOS granule pages, and ID3+MPEG-frame MP3s with "
+    "Xing counts — decoded by the pure-stdlib container parsers "
+    "inside mapInPandas. Durations are EXACT: FLAC total_samples, the "
+    "Ogg last-page granule walk (Opus pre-skip subtracted per RFC "
+    "7845), the Xing frame count x 1152 / rate; MP3s without a Xing "
+    "header report honest NULL. Every field is a closed form of "
+    "doc_id that the oracle re-derives in one SQL CASE.",
+)
+def q_audio_container_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.multimodal import (
+        decode_audio_meta,
+        make_compressed_audio_fixture,
+    )
+
+    d = make_compressed_audio_fixture(read_table(spark, sf_dir, "documents"))
+    return decode_audio_meta(d).select(
+        "doc_id", "n_bytes", "sample_rate", "n_channels", "duration_ms", "codec"
+    )
 
 
 @register(

@@ -31,6 +31,11 @@ from ais_data_pipeline_spark.sources.routing import dated_key, suffix_from_url
 
 DEFAULT_CHUNK_BYTES = 1024 * 1024  # reference HTTP_CHUNK_KB=1024
 
+#: a temp younger than this is assumed to have a LIVE writer (a
+#: concurrent duplicate-key fetch in the same ingest_urls call) and is
+#: left alone by the pre-attempt stale sweep; orphans age past it
+STALE_TEMP_SECONDS = 15 * 60
+
 
 def _fetch_one(
     url: str,
@@ -68,17 +73,23 @@ def _fetch_one(
     # outright (executor loss, OOM) never reaches it, and the
     # uniquely-named torn file would otherwise sit in the landing-zone
     # data directory forever where prefix-glob readers pick it up
-    # (round-12 review). Any live temp for the same key belongs to a
-    # concurrent fetch of a duplicate URL — those only exist within
-    # one ingest_urls call, and a retry after a kill happens in a
-    # LATER call, so sweeping here never races a healthy writer of a
-    # different key and at worst forces a concurrent duplicate to
-    # retry.
+    # (round-12 review). Only temps COLDER than a staleness cutoff are
+    # removed: a temp mtime'd within the window belongs to a live
+    # concurrent fetch of a duplicate-key URL in this ingest_urls
+    # call — deleting those out from under their writers made each
+    # victim's os.replace fail once per peer sweep, burning its
+    # max_attempts on spurious failures (round-12 review). A genuinely
+    # orphaned temp (task killed outright) stops being written and
+    # ages past the cutoff, so the NEXT ingest of the same key still
+    # collects it.
     import glob as _glob
+    import time as _time2
 
+    cutoff = _time2.time() - STALE_TEMP_SECONDS
     for stale in _glob.glob(dest + ".inprogress.*"):
         try:
-            os.remove(stale)
+            if os.path.getmtime(stale) < cutoff:
+                os.remove(stale)
         except OSError:
             pass  # already gone, or being renamed away right now
     n_bytes = 0

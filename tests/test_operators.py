@@ -3907,9 +3907,11 @@ def test_flac_ogg_container_meta(spark):
 
     from ais_data_pipeline_spark.localrel import local_df
     from ais_data_pipeline_spark.operators.flac import (
+        FIXTURE_RATES,
         encode_flac_header,
         encode_ogg_header,
         flac_fixture_params,
+        ogg_fixture_granule,
         parse_flac_streaminfo,
         parse_ogg_audio_meta,
     )
@@ -3929,7 +3931,11 @@ def test_flac_ogg_container_meta(spark):
         assert m["duration_ms"] == total * 1000 // rate
         o = parse_ogg_audio_meta(encode_ogg_header(d))
         assert o["codec"] == ("vorbis" if d % 2 == 0 else "opus")
-        assert o["n_channels"] == 1 + d % 2 and o["duration_ms"] is None
+        assert o["n_channels"] == 1 + d % 2
+        # round 13: duration from the EOS page's granule position
+        g = ogg_fixture_granule(d)
+        want = g * 1000 // rate if d % 2 == 0 else (g - 312) * 1000 // 48000
+        assert o["duration_ms"] == want
 
     # error contracts
     with _pytest.raises(ValueError, match="not a FLAC"):
@@ -3965,9 +3971,140 @@ def test_flac_ogg_container_meta(spark):
     assert meta[0]["codec"] == "flac" and meta[0]["sample_rate"] == f_rate
     assert meta[0]["n_channels"] == f_nch
     assert meta[0]["duration_ms"] == f_total * 1000 // f_rate
-    assert meta[1]["codec"] == "vorbis" and meta[1]["duration_ms"] is None
-    assert meta[2]["codec"] == "opus" and meta[2]["duration_ms"] is None
+    # round 13: Ogg durations are real (EOS granule), no longer None
+    assert meta[1]["codec"] == "vorbis"
+    assert meta[1]["duration_ms"] == ogg_fixture_granule(0) * 1000 // FIXTURE_RATES[0]
+    assert meta[2]["codec"] == "opus"
+    assert meta[2]["duration_ms"] == (ogg_fixture_granule(1) - 312) * 1000 // 48000
     assert meta[3]["codec"] == "pcm_stub" and meta[3]["duration_ms"] is not None
+
+
+def test_ogg_last_page_granule_walk():
+    """Round 13 (verdict item 3): duration comes from the LAST complete
+    page's granule position — a forward page walk that skips -1
+    ("no packet ends here") granules, ignores a truncated final page,
+    and reports None for headers-only streams."""
+    import struct as _struct
+
+    from ais_data_pipeline_spark.operators.flac import (
+        FIXTURE_RATES,
+        _ogg_last_granule,
+        encode_ogg_header,
+        ogg_fixture_granule,
+        parse_ogg_audio_meta,
+    )
+
+    def page(granule: int, body: bytes, flag: int = 0) -> bytes:
+        head = b"OggS" + bytes([0, flag])
+        head += _struct.pack("<qIII", granule, 0xABCD0000, 0, 0)
+        head += bytes([1, len(body)])
+        return head + body
+
+    full = encode_ogg_header(4)  # vorbis, rate FIXTURE_RATES[4]
+    g = ogg_fixture_granule(4)
+    assert _ogg_last_granule(full) == g
+
+    # a middle page with granule -1 (continuation) must not win
+    bos_end = full.index(b"OggS", 4)
+    spliced = full[:bos_end] + page(-1, b"\x01\x02") + full[bos_end:]
+    assert _ogg_last_granule(spliced) == g
+    assert parse_ogg_audio_meta(spliced)["duration_ms"] == g * 1000 // FIXTURE_RATES[4]
+
+    # truncated final page (body cut off) -> fall back to the last
+    # COMMITTED granule
+    extended = full + page(g + 48000, b"payload-bytes")
+    assert _ogg_last_granule(extended) == g + 48000
+    assert _ogg_last_granule(extended[:-5]) == g
+    # truncated mid-header
+    assert _ogg_last_granule(extended[: len(full) + 10]) == g
+
+    # headers-only stream (all granules 0) -> honest None
+    only_bos = full[:bos_end]
+    assert _ogg_last_granule(only_bos) is None
+    assert parse_ogg_audio_meta(only_bos)["duration_ms"] is None
+
+
+def test_mp3_frame_header_and_xing_walk():
+    """Round 13 (verdict item 5): MP3 metadata is a real parse — ID3v2
+    syncsafe skip, MPEG frame-header unpack, Xing/Info frame count ->
+    exact duration; CBR without Xing stays honest NULL."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from ais_data_pipeline_spark.operators.mp3 import (
+        encode_mp3_header,
+        mp3_fixture_len,
+        mp3_fixture_params,
+        parse_mp3_meta,
+    )
+
+    for d in range(20):
+        rate, nch, br, xing, frames = mp3_fixture_params(d)
+        b = encode_mp3_header(d)
+        assert len(b) == mp3_fixture_len(d)
+        m = parse_mp3_meta(b)
+        assert (m["version"], m["layer"]) == ("1", 3)
+        assert (m["sample_rate"], m["n_channels"], m["bitrate_kbps"]) == (
+            rate, nch, br,
+        )
+        if xing:
+            assert m["xing_frames"] == frames and m["vbr"] is True
+            assert m["duration_ms"] == frames * 1152 * 1000 // rate
+        else:
+            assert m["xing_frames"] is None and m["duration_ms"] is None
+
+    # hand-built MPEG-2 layer-III mono frame: 576 samples/frame, the
+    # MPEG-2 bitrate table, 9-byte side info before the Xing tag
+    hdr = bytes([0xFF, 0xF3, (10 << 4) | (1 << 2), 0x3 << 6])  # 96kbps, 24kHz
+    frame = hdr + bytes(9) + b"Xing" + _struct.pack(">II", 1, 240)
+    m = parse_mp3_meta(frame + bytes(32))
+    assert (m["version"], m["sample_rate"], m["n_channels"]) == ("2", 24000, 1)
+    assert m["bitrate_kbps"] == 96
+    assert m["duration_ms"] == 240 * 576 * 1000 // 24000
+
+    # error contracts
+    with _pytest.raises(ValueError, match="no MPEG audio frame sync"):
+        parse_mp3_meta(b"just some document text " * 4)
+    with _pytest.raises(ValueError, match="syncsafe"):
+        parse_mp3_meta(b"ID3" + bytes([3, 0, 0, 0x80, 0, 0, 0]))
+    with _pytest.raises(ValueError, match="truncated MPEG frame header"):
+        parse_mp3_meta(bytes([0xFF, 0xFB]))
+    with _pytest.raises(ValueError, match="invalid bitrate"):
+        parse_mp3_meta(bytes([0xFF, 0xFB, 0xF0, 0x00]))
+
+
+def test_audio_meta_parse_error_soft_fail(spark):
+    """Round-13 review: a payload whose magic routes into a container
+    parser but can't decode (truncated FLAC, RIFF that isn't WAV —
+    WebP shares the magic, ID3 with no MPEG frames) must yield a
+    quarantine-style parse_error row with NULL fields, not abort the
+    Spark job; healthy neighbors in the same batch stay decoded."""
+    from ais_data_pipeline_spark.localrel import local_df
+    from ais_data_pipeline_spark.operators.flac import (
+        encode_flac_header,
+        flac_fixture_params,
+    )
+    from ais_data_pipeline_spark.operators.multimodal import decode_audio_meta
+
+    rows = [
+        (0, bytearray(encode_flac_header(3))),  # healthy
+        (1, bytearray(b"RIFF\x24\x00\x00\x00WEBPVP8 not-audio-bytes")),
+        (2, bytearray(b"ID3 looks tagged but holds no mpeg frames at all")),
+        (3, bytearray(b"fLaC" + bytes([0x81, 0, 0, 2, 9, 9]))),  # bad STREAMINFO
+        (4, bytearray(b"OggS" + bytes(10))),  # truncated page header
+    ]
+    df = local_df(spark, rows, "doc_id bigint, payload binary")
+    meta = {r["doc_id"]: r for r in decode_audio_meta(df).collect()}
+    rate, nch, _, total = flac_fixture_params(3)
+    assert meta[0]["codec"] == "flac" and meta[0]["sample_rate"] == rate
+    assert meta[0]["duration_ms"] == total * 1000 // rate
+    for bad in (1, 2, 3, 4):
+        assert meta[bad]["codec"] == "parse_error", bad
+        assert meta[bad]["sample_rate"] is None
+        assert meta[bad]["n_channels"] is None
+        assert meta[bad]["duration_ms"] is None
+        assert meta[bad]["n_bytes"] == len(rows[bad][1])  # size still real
 
 
 def test_wav_extensible_and_float_contracts():
@@ -4743,10 +4880,17 @@ def test_http_ingest_sweeps_orphaned_temp(spark, tmp_path):
     exception cleanup, orphaning its uniquely-named .inprogress temp in
     the landing-zone data directory forever — where prefix-glob readers
     pick it up (round-12 review). The next fetch of the same key must
-    sweep stale temps before writing."""
+    sweep COLD temps before writing — but leave temps younger than the
+    staleness cutoff alone, because those belong to live concurrent
+    duplicate-key fetches whose os.replace would otherwise fail once
+    per peer sweep (round-13 review)."""
     import os
+    import time
 
-    from ais_data_pipeline_spark.sources.http import ingest_urls
+    from ais_data_pipeline_spark.sources.http import (
+        STALE_TEMP_SECONDS,
+        ingest_urls,
+    )
 
     src = tmp_path / "srcs"
     src.mkdir()
@@ -4755,17 +4899,25 @@ def test_http_ingest_sweeps_orphaned_temp(spark, tmp_path):
     dest = str(tmp_path / "landing")
     key_dir = tmp_path / "landing" / "raw" / "2026" / "08" / "15"
     key_dir.mkdir(parents=True)
-    # simulate the orphan a killed task left behind
+    # simulate the orphan a killed task left behind — aged past the
+    # cutoff, as a real orphan (no writer touching it) would be
     torn = key_dir / "rent_contracts.csv.inprogress.deadbeefdeadbeef"
     torn.write_bytes(b"torn-partial-bytes")
+    old = time.time() - STALE_TEMP_SECONDS - 60
+    os.utime(torn, (old, old))
+    # a FRESH same-key temp simulates a live concurrent duplicate fetch
+    live = key_dir / "rent_contracts.csv.inprogress.feedfacefeedface"
+    live.write_bytes(b"concurrent-writer-bytes")
     summary = ingest_urls(spark, [a.as_uri()], dest, date_str="2026-08-15")
     assert summary["files_ok"] == 1
     assert (key_dir / "rent_contracts.csv").read_bytes() == b"fresh" * 10_000
-    assert [p for p in key_dir.iterdir() if ".inprogress" in p.name] == []
     assert not torn.exists()
+    assert live.exists()  # live writer's temp untouched
+    os.remove(live)
     # unrelated keys' temps are left alone (a live writer elsewhere)
     other = key_dir / "other_table.csv.inprogress.cafecafecafecafe"
     other.write_bytes(b"x")
+    os.utime(other, (old, old))
     ingest_urls(spark, [a.as_uri()], dest, date_str="2026-08-15")
     assert other.exists()
     os.remove(other)
