@@ -422,3 +422,89 @@ def encode_mp4_samples(doc_id: int) -> bytes:
         raise ValueError("sample fixture header outgrew MDAT_BASE")
     head += _box(b"free", b"\x00" * pad)
     return head + _box(b"mdat", payload)
+
+
+# ---------------------------------------------------------------------------
+# MJPEG fixture (round 13): an MP4 whose coded samples are REAL
+# baseline JPEGs — the end-to-end proof that the keyframe work-list
+# (stsz/stsc/stco walk -> engine-side blob slice) actually feeds a
+# decoder. Motion-JPEG is the one real-world codec whose frames the
+# repo's pure-stdlib JPEG decoder can decode natively, so the whole
+# container -> frame -> pixel chain runs with zero new codec work.
+# ---------------------------------------------------------------------------
+
+
+def mjpeg_fixture_params(doc_id: int) -> tuple[int, int, int]:
+    """(n_frames, width, height) — dims are multiples of 8 so every
+    JPEG block is full and the per-frame pixel sum is exactly
+    ``64 * sum(block grays)`` in the SQL oracle."""
+    n = 3 + doc_id % 5
+    w = 16 + (doc_id % 2) * 8
+    h = 8 + (doc_id % 3) * 8
+    return n, w, h
+
+
+def mjpeg_block_gray(doc_id: int, frame: int, block: int) -> int:
+    """Closed-form gray level of MCU ``block`` in frame ``frame``."""
+    return (doc_id * 31 + frame * 7 + block) % 256
+
+
+def encode_mp4_mjpeg(doc_id: int) -> bytes:
+    """Fixture Motion-JPEG MP4: each mdat sample is a REAL baseline
+    JPEG (constant 8x8 blocks, ``mjpeg_block_gray`` closed form; even
+    doc_ids grayscale, odd 3-component color — both through the real
+    entropy decoder downstream). Samples pack 2 per chunk (single stsc
+    run; odd counts leave a short final chunk, exercising the
+    ``si >= n`` clamp), stco offsets are real prefix sums from
+    ``MDAT_BASE``, and stss is ABSENT — every MJPEG frame is
+    independently decodable, the spec's all-sync default."""
+    from ais_data_pipeline_spark.operators.jpeg import (
+        encode_jpeg_constant_blocks,
+    )
+
+    n, w, h = mjpeg_fixture_params(doc_id)
+    nb = (w // 8) * (h // 8)
+    frames = [
+        encode_jpeg_constant_blocks(
+            w,
+            h,
+            [mjpeg_block_gray(doc_id, f, b) for b in range(nb)],
+            color=doc_id % 2 == 1,
+        )
+        for f in range(n)
+    ]
+    sizes = [len(fr) for fr in frames]
+    n_chunks = (n + 1) // 2
+    offs = []
+    pos = MDAT_BASE
+    for ci in range(n_chunks):
+        offs.append(pos)
+        pos += sum(sizes[ci * 2 : ci * 2 + 2])
+    stbl_body = _box(
+        b"stsz",
+        bytes(4)
+        + struct.pack(">II", 0, n)
+        + b"".join(struct.pack(">I", s) for s in sizes),
+    )
+    stbl_body += _box(
+        b"stsc", bytes(4) + struct.pack(">I", 1) + struct.pack(">III", 1, 2, 1)
+    )
+    stbl_body += _box(
+        b"stco",
+        bytes(4)
+        + struct.pack(">I", n_chunks)
+        + b"".join(struct.pack(">I", o) for o in offs),
+    )
+    tkhd = bytes(4) + b"\x00" * 72 + struct.pack(">II", w << 16, h << 16)
+    hdlr = bytes(4) + bytes(4) + b"vide" + b"\x00" * 12
+    mdia = _box(b"hdlr", hdlr) + _box(b"minf", _box(b"stbl", stbl_body))
+    trak = _box(b"trak", _box(b"tkhd", tkhd) + _box(b"mdia", mdia))
+    mvhd = bytes(4) + b"\x00" * 8 + struct.pack(">II", 600, 600 * n // 24)
+    mvhd += b"\x00" * 80
+    head = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"mp41")
+    head += _box(b"moov", _box(b"mvhd", mvhd) + trak)
+    pad = MDAT_BASE - 8 - len(head) - 8  # free box header + mdat header
+    if pad < 0:
+        raise ValueError("MJPEG fixture header outgrew MDAT_BASE")
+    head += _box(b"free", b"\x00" * pad)
+    return head + _box(b"mdat", b"".join(frames))

@@ -764,8 +764,11 @@ def make_image_fixture(
     """(doc_id, payload) synthetic image fixture: real PPM/BMP/PNG/
     JPEG bytes whose logical raster follows ``synth_pixel_value``
     (``jpeg_block_gray`` for JPEG's per-block constants).
-    ``fmt='mixed'`` routes even doc_ids to PPM and odd to BMP (the
-    format-dispatch fixture); ``fmt='png'`` encodes even doc_ids as
+    ``fmt='mixed'`` routes even doc_ids to PPM and odd to BMP;
+    ``fmt='mixed3'`` routes doc_id % 3 over PPM/BMP/PNG (the
+    format-dispatch fixture since round 13 — PNG joined when
+    image_pixel_stats_png folded into the dispatch row);
+    ``fmt='png'`` encodes even doc_ids as
     RGB (color type 2) and odd as RGBA (type 6) so both truecolor
     layouts hit the decoder; ``fmt='jpeg'`` encodes even doc_ids as
     grayscale (1 component) and odd as 3-component 4:4:4 color, with
@@ -803,9 +806,13 @@ def make_image_fixture(
                             progressive=prog,
                         )
                     )
-                elif fmt == "png":
+                elif fmt == "png" or (fmt == "mixed3" and i % 3 == 2):
                     payloads.append(encode_png(i, *png_dims(i), rgba=i % 2 == 1))
-                elif fmt == "ppm" or (fmt == "mixed" and i % 2 == 0):
+                elif (
+                    fmt == "ppm"
+                    or (fmt == "mixed" and i % 2 == 0)
+                    or (fmt == "mixed3" and i % 3 == 0)
+                ):
                     payloads.append(encode_ppm(i, *ppm_dims(i)))
                 else:
                     payloads.append(encode_bmp(i, *bmp_dims(i)))
@@ -1314,3 +1321,81 @@ def frame_embedding_col(
             h.cast("double") / F.lit(float(2**60)) * F.lit(2.0) - F.lit(1.0)
         )
     return F.array(*comps)
+
+
+FRAME_PIXEL_SCHEMA = (
+    "doc_id bigint, frame_index bigint, width int, height int, "
+    "n_channels int, format string, sum_r bigint, sum_g bigint, "
+    "sum_b bigint"
+)
+
+
+def make_mjpeg_video_fixture(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload) fixture of Motion-JPEG MP4s: every coded
+    sample is a REAL baseline JPEG at real stco offsets (round 13) —
+    the corpus that proves the keyframe work-list feeds a decoder."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ais_data_pipeline_spark.operators.mp4 import encode_mp4_mjpeg
+
+        for pdf in batches:
+            ids = [int(i) for i in pdf[id_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "payload": [encode_mp4_mjpeg(i) for i in ids],
+                }
+            )
+
+    from ais_data_pipeline_spark.operators.util import spread_to_parallelism
+
+    narrow = spread_to_parallelism(df.select(id_col))
+    return narrow.mapInPandas(encode, "doc_id bigint, payload binary")
+
+
+def decode_frame_pixels(
+    df: DataFrame,
+    blob_col: str = "frame_blob",
+    id_col: str = "doc_id",
+    frame_col: str = "frame_index",
+) -> DataFrame:
+    """Per-FRAME pixel decode (round 13): the (doc_id, frame_index,
+    frame_blob) rows ``extract_frame_blobs`` emits go through the same
+    magic-dispatched decoder as the image tier — dims, format tag, and
+    exact per-channel uint8 sums per frame. This closes the video
+    tier end-to-end: container walk -> engine-side blob slice ->
+    real pixel decode, with Python touching only the coded frame
+    bytes it must decode. Stateless per row; at 100 TB each task
+    decodes one Arrow batch of frames wherever the payloads already
+    live (the work-list join broadcast upstream, zero payload
+    shuffle)."""
+    import numpy as np
+
+    cols = (
+        "doc_id", "frame_index", "width", "height", "n_channels",
+        "format", "sum_r", "sum_g", "sum_b",
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for doc_id, fi, blob in zip(
+                pdf[id_col], pdf[frame_col], pdf[blob_col]
+            ):
+                arr, fmt = decode_pixels_array(bytes(blob))
+                s = arr.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                out["doc_id"].append(int(doc_id))
+                out["frame_index"].append(int(fi))
+                out["height"].append(arr.shape[0])
+                out["width"].append(arr.shape[1])
+                out["n_channels"].append(arr.shape[2])
+                out["format"].append(fmt)
+                out["sum_r"].append(int(s[0]))
+                out["sum_g"].append(int(s[1]))
+                out["sum_b"].append(int(s[2]))
+            yield pd.DataFrame(out)
+
+    from ais_data_pipeline_spark.operators.util import spread_to_parallelism
+
+    narrow = spread_to_parallelism(df.select(id_col, frame_col, blob_col))
+    return narrow.mapInPandas(extract, FRAME_PIXEL_SCHEMA)

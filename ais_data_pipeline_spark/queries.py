@@ -90,92 +90,84 @@ def register(name: str, oracle: str | None, description: str):
 
 
 # The driver checks only the FIRST 50 registry entries per round, so
-# registry order decides which queries get a CORRECTNESS row. Round-12
-# window: the registry holds flat at 200 with the fixed 4-round
-# rotation (200 queries / 50 slots), so this window is exactly the 50
-# rows whose latest driver row is r8 — CORRECTNESS_r08 keys minus the
-# r09/r10/r11 windows — verified programmatically against the recorded
-# artifacts. After r12 no registered query's latest driver row is
-# older than r9 (freshness histogram {r9:50, r10:50, r11:50, r12:50}).
-# A NEW query only fits by retiring one whose coverage folds into a
-# green survivor (the r9 PNG swap pattern); this round swapped ONE
-# slot (image_pixel_stats_bmp -> video_container_meta — fold note at
-# the retirement site). The r13 window is the 50 rows whose latest
-# driver row is r9 (verified programmatically from the artifact files,
-# the same way this window was): above_avg_orders,
-# approx_distinct_events, bpe_token_counts, conditional_agg,
-# cube_returnflag_status, custdist, dataset_split_counts,
-# dict_normalize_brand, downcast_guard, dq_report, events_hourly,
-# events_json_extract, forecast_revenue_q6, frame_sample_fanout,
-# funnel_stages, grouping_sets_status, hash_sample_orders,
-# image_pixel_stats_png, large_orders, locf_fill_forward,
-# mode_event_type_per_user, moment_stats, multiset_ops,
-# nation_pair_volume, not_in_null_semantics, order_price_deciles,
-# order_status_rollup, outer_join_fill, posexplode_tokens,
-# priority_revenue, profile_distinct_ratios, project_exclude_substring,
-# rank_distribution, rollup_region_nation, running_total_per_customer,
-# salted_event_type_agg, sequence_packing_strict,
-# session_windows_native, stratified_hash_sample, stream_static_join,
-# streaming_cdc_upsert, streaming_dedup_pairs,
-# streaming_sliding_counts, streaming_windowed_counts,
-# string_agg_types, surrogate_keys, term_frequencies, unpivot_metrics,
-# url_route_suffix, value_run_islands.
+# registry order decides which queries get a CORRECTNESS row. Round-13
+# window: the r9 cohort is due (the 50 rows whose latest driver row is
+# r9, enumerated in the round-12 window note and verified
+# programmatically from the CORRECTNESS artifacts), amended by the
+# CHANGED-ROW-FIRST policy this round pins in COMPAT.md: rows whose
+# semantics changed since their last driver check outrank oldest-first.
+# Concretely:
+#   - image_pixel_stats_png left the registry (round-13 swap: its PNG
+#     decode folds into image_format_dispatch's widened mixed3 corpus;
+#     fold note at the retirement site) -> 49 due rows remain.
+#   - image_pixel_stats_jpeg left the registry (swap: baseline-JPEG
+#     decode folds into frame_pixel_stats, which runs the same
+#     parse_jpeg per extracted MJPEG frame; fold note at the
+#     retirement site). Its latest row was r10, so no slot change here.
+#   - IN (changed-row-first): audio_meta (r13 parse_error branch +
+#     real-parser dispatch), audio_pcm_stats (r12 float32/EXTENSIBLE
+#     rewrite postdates its r11 row), image_format_dispatch (r13
+#     mixed3 corpus), and the two NEW swap rows audio_container_meta
+#     and frame_pixel_stats.
+#   - DEFERRED to r14 (displaced by the five above): above_avg_orders,
+#     custdist, large_orders, nation_pair_volume — pure SQL-shape
+#     queries whose code paths are untouched since their r9 rows (the
+#     lowest-risk deferrals in the cohort); they lead the r14 window
+#     with the r10 cohort.
+# frame_sample_fanout and streaming_cdc_upsert (the other two rows the
+# r12 verdict flagged as changed-since-checked) are in the r9 cohort
+# already and stay.
 _FRONT_WINDOW: list[str] = [
-    "cohort_retention",
-    "cross_doc_repeated_spans",
-    "cumulative_unique_users",
-    "curation_pipeline_stats",
-    "doc_chunking",
-    "doc_repetition_stats",
-    "dominant_supplier_part",
-    "embedding_quantize_int8",
-    "fuzzy_name_pairs",
+    "approx_distinct_events",
+    "audio_container_meta",
+    "audio_meta",
+    "audio_pcm_stats",
+    "bpe_token_counts",
+    "conditional_agg",
+    "cube_returnflag_status",
+    "dataset_split_counts",
+    "dict_normalize_brand",
+    "downcast_guard",
+    "dq_report",
+    "events_hourly",
+    "events_json_extract",
+    "forecast_revenue_q6",
+    "frame_pixel_stats",
+    "frame_sample_fanout",
+    "funnel_stages",
+    "grouping_sets_status",
+    "hash_sample_orders",
     "image_format_dispatch",
-    "image_luma_histogram",
-    "image_pixel_stats",
-    # swap (round 12, verdict item 3): image_pixel_stats_bmp retired —
-    # its BMP decode stays driver-verified via image_format_dispatch
-    # (this window, same parser + encoder, raster-sum-sensitive) —
-    # freeing the slot for the real MP4 container parse, the one
-    # REAL-decode operator without an oracle-checked driver row
-    "video_container_meta",
-    "image_resize_nn",
-    "important_parts_share",
-    "incremental_join_view",
-    "inverted_index_postings",
-    "kmeans_ivf_centroids",
-    "market_share",
-    "min_cost_supplier_per_part",
-    "mixture_sample_docs",
-    "ngram_contamination",
-    "orc_roundtrip_agg",
-    "part_pagerank",
-    "pii_scrub_docs",
-    "profit_by_nation_year",
-    "promo_revenue_share",
-    "returned_revenue",
-    "revenue_mom_change",
-    "rich_idle_customers",
-    "rolling_1h_user_stats",
-    "rolling_zscore_anomaly",
-    "schema_evolution_merge",
-    "sequence_packing",
-    "simhash_fingerprints",
-    "skyline_orders",
-    "snapshot_diff_orders",
-    "snapshot_time_travel",
-    "streaming_stateful_totals",
-    "streaming_zscore_anomaly",
-    "subsequence_best_match_fft",
-    "supplier_count_per_brand_size",
-    "supplier_triangles",
-    "tfidf_top_terms",
-    "token_entropy",
-    "top_supplier_quarter",
-    "topk_with_ties",
-    "trajectory_speed",
-    "value_histogram",
-    "weighted_sample_orders",
+    "locf_fill_forward",
+    "mode_event_type_per_user",
+    "moment_stats",
+    "multiset_ops",
+    "not_in_null_semantics",
+    "order_price_deciles",
+    "order_status_rollup",
+    "outer_join_fill",
+    "posexplode_tokens",
+    "priority_revenue",
+    "profile_distinct_ratios",
+    "project_exclude_substring",
+    "rank_distribution",
+    "rollup_region_nation",
+    "running_total_per_customer",
+    "salted_event_type_agg",
+    "sequence_packing_strict",
+    "session_windows_native",
+    "stratified_hash_sample",
+    "stream_static_join",
+    "streaming_cdc_upsert",
+    "streaming_dedup_pairs",
+    "streaming_sliding_counts",
+    "streaming_windowed_counts",
+    "string_agg_types",
+    "surrogate_keys",
+    "term_frequencies",
+    "unpivot_metrics",
+    "url_route_suffix",
+    "value_run_islands",
 ]
 
 
@@ -1042,45 +1034,20 @@ def q_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round — and decode_image_meta keeps its direct pytest coverage
 # (tests/test_operators.py). The freed slot carries the new native
 # baseline-JPEG decode query below.
-@register(
-    "image_pixel_stats_jpeg",
-    """
-    WITH dims AS (
-      SELECT doc_id,
-             8 + (doc_id % 3) * 8 + doc_id % 5 AS w,
-             8 + (doc_id % 2) * 8 + doc_id % 3 AS h
-      FROM documents
-    ), px AS (
-      SELECT doc_id, w, h,
-             SUM((doc_id*31 + ((k // w) // 8) * ((w + 7) // 8) + (k % w) // 8) % 256)
-               AS s
-      FROM dims, UNNEST(range(0, w*h)) AS t(k)
-      GROUP BY doc_id, w, h
-    )
-    SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
-           CAST(3 AS INTEGER) AS n_channels, 'jpeg' AS format,
-           CAST(s AS BIGINT) AS sum_r, CAST(s AS BIGINT) AS sum_g,
-           CAST(s AS BIGINT) AS sum_b
-    FROM px ORDER BY doc_id
-    """,
-    "REAL pixel decode, baseline sequential JPEG (pure stdlib struct "
-    "+ numpy, round-10): marker walk, canonical Huffman decode from "
-    "the stream's own DHT tables, byte-unstuffing, restart markers "
-    "(every 4th doc carries DRI/RSTn), dequantize + de-zigzag + "
-    "vectorized IDCT, level shift, JFIF color convert. Even doc_ids "
-    "are grayscale (1 component), odd are 3-component 4:4:4 with "
-    "Cb=Cr=128. Constant-valued 8x8 blocks keep the DCT DC-only so "
-    "the decode is bit-exact and the oracle re-derives every pixel "
-    "as gray(doc_id, x//8, y//8) in closed form.",
-)
-def q_image_pixel_stats_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ais_data_pipeline_spark.operators.multimodal import (
-        decode_image_pixels,
-        make_image_fixture,
-    )
-
-    d = read_table(spark, sf_dir, "documents")
-    return decode_image_pixels(make_image_fixture(d, fmt="jpeg")).orderBy("doc_id")
+# image_pixel_stats_jpeg RETIRED (round 13 — the r9/r11/r12 swap
+# pattern): its baseline-sequential JPEG decode (marker walk, stream
+# DHT Huffman decode, byte-unstuffing, dequant/de-zigzag/IDCT/color
+# convert, grayscale AND 3-component interleave) stays fully
+# driver-verified through frame_pixel_stats in THIS window, which runs
+# the identical parse_jpeg over every extracted MJPEG frame (both
+# parities of encode_jpeg_constant_blocks — even docs grayscale, odd
+# color) and whose per-frame channel sums flip on any entropy/IDCT
+# mis-decode; the restart-marker (DRI/RSTn) branch stays driver-
+# verified by image_pixel_stats_jpeg_progressive (every 4th doc), and
+# the general-coefficient path by the progressive-vs-sequential
+# lossless property test in pytest. The freed slot carries
+# frame_pixel_stats — the end-to-end video tier (container walk ->
+# engine-side frame slice -> real JPEG decode), r12 verdict item 4.
 
 
 @register(
@@ -3212,6 +3179,57 @@ def q_frame_sample_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     return keyframe_sample_plan(make_video_sample_fixture(d)).orderBy(
+        "doc_id", "frame_index"
+    )
+
+
+@register(
+    "frame_pixel_stats",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             3 + doc_id % 5 AS n,
+             16 + (doc_id % 2) * 8 AS w,
+             8 + (doc_id % 3) * 8 AS h
+      FROM documents
+    ), f AS (
+      SELECT doc_id, w, h, t.fi AS frame_index,
+             (w // 8) * (h // 8) AS nb
+      FROM p, UNNEST(range(0, n)) AS t(fi)
+    ), s AS (
+      SELECT doc_id, frame_index, w, h,
+             64 * SUM((doc_id * 31 + frame_index * 7 + b.k) % 256) AS s
+      FROM f, UNNEST(range(0, nb)) AS b(k)
+      GROUP BY doc_id, frame_index, w, h
+    )
+    SELECT doc_id, CAST(frame_index AS BIGINT) AS frame_index,
+           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS n_channels, 'jpeg' AS format,
+           CAST(s AS BIGINT) AS sum_r, CAST(s AS BIGINT) AS sum_g,
+           CAST(s AS BIGINT) AS sum_b
+    FROM s ORDER BY doc_id, frame_index
+    """,
+    "Video tier END-TO-END (round 13): Motion-JPEG MP4s whose coded "
+    "samples are REAL baseline JPEGs -> keyframe_sample_plan walks the "
+    "real stsz/stsc/stco tables (stss absent: MJPEG all-sync default) "
+    "-> extract_frame_blobs slices each coded frame ENGINE-side "
+    "(broadcast work-list + codegen'd binary substring, zero payload "
+    "shuffle) -> the real JPEG entropy decoder turns each frame into "
+    "exact per-channel pixel sums. A mis-walked chunk table shifts a "
+    "byte offset, the JPEG decode then fails or mis-sums, and the "
+    "hash flips — the fan-out work-list is PROVEN to feed a decoder. "
+    "Dims are MCU-aligned so the oracle is 64 x sum of closed-form "
+    "block grays; even docs grayscale, odd 3-component color.",
+)
+def q_frame_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.multimodal import (
+        decode_frame_pixels,
+        extract_frame_blobs,
+        make_mjpeg_video_fixture,
+    )
+
+    d = make_mjpeg_video_fixture(read_table(spark, sf_dir, "documents"))
+    return decode_frame_pixels(extract_frame_blobs(d)).orderBy(
         "doc_id", "frame_index"
     )
 
@@ -9271,9 +9289,14 @@ def q_image_luma_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH dims AS (
       SELECT doc_id,
-             CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS format,
-             CASE WHEN doc_id % 2 = 0 THEN 4 + doc_id % 13 ELSE 4 + doc_id % 11 END AS w,
-             CASE WHEN doc_id % 2 = 0 THEN 4 + doc_id % 7 ELSE 4 + doc_id % 5 END AS h
+             CASE doc_id % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+                  ELSE 'png' END AS format,
+             CASE doc_id % 3 WHEN 0 THEN 4 + doc_id % 13
+                  WHEN 1 THEN 4 + doc_id % 11
+                  ELSE 4 + doc_id % 12 END AS w,
+             CASE doc_id % 3 WHEN 0 THEN 4 + doc_id % 7
+                  WHEN 1 THEN 4 + doc_id % 5
+                  ELSE 4 + doc_id % 6 END AS h
       FROM documents
     ), px AS (
       SELECT doc_id, format, w, h, SUM((doc_id*31 + k) % 256) AS pix_sum
@@ -9286,10 +9309,13 @@ def q_image_luma_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM px GROUP BY format ORDER BY format
     """,
     "Magic-byte format dispatch through the real decoder: a mixed "
-    "PPM/BMP corpus (even/odd doc_id) decoded by one decode_image_pixels "
-    "pass whose internal dispatch picks the parser per blob; per-format "
-    "doc counts, pixel totals, and raster sums prove both branches "
-    "against the closed-form oracle.",
+    "PPM/BMP/PNG corpus (doc_id % 3; PNG joined round 13 when "
+    "image_pixel_stats_png folded into this row — zlib inflate, all "
+    "five scanline filters, RGB + RGBA strides all still raster-sum-"
+    "sensitive here) decoded by one decode_image_pixels pass whose "
+    "internal dispatch picks the parser per blob; per-format doc "
+    "counts, pixel totals, and raster sums prove every branch against "
+    "the closed-form oracle.",
 )
 def q_image_format_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ais_data_pipeline_spark.operators.multimodal import (
@@ -9298,7 +9324,7 @@ def q_image_format_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = read_table(spark, sf_dir, "documents")
-    px = decode_image_pixels(make_image_fixture(d, fmt="mixed"))
+    px = decode_image_pixels(make_image_fixture(d, fmt="mixed3"))
     return (
         px.groupBy("format")
         .agg(
@@ -9321,38 +9347,16 @@ def q_image_format_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # RGB / odd ids RGBA) of the same closed-form raster, so a mis-inverted
 # filter, a CRC skip, a lost IDAT chunk, or a bad RGBA stride flips the
 # hash.
-
-
-@register(
-    "image_pixel_stats_png",
-    """
-    WITH dims AS (
-      SELECT doc_id, 4 + doc_id % 12 AS w, 4 + doc_id % 6 AS h FROM documents
-    ), px AS (
-      SELECT doc_id, w, h,
-             SUM(CASE WHEN k % 3 = 0 THEN (doc_id*31 + k) % 256 ELSE 0 END) AS sum_r,
-             SUM(CASE WHEN k % 3 = 1 THEN (doc_id*31 + k) % 256 ELSE 0 END) AS sum_g,
-             SUM(CASE WHEN k % 3 = 2 THEN (doc_id*31 + k) % 256 ELSE 0 END) AS sum_b
-      FROM dims, UNNEST(range(0, w*h*3)) AS t(k)
-      GROUP BY doc_id, w, h
-    )
-    SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
-           CAST(3 AS INTEGER) AS n_channels, 'png' AS format,
-           CAST(sum_r AS BIGINT) AS sum_r, CAST(sum_g AS BIGINT) AS sum_g,
-           CAST(sum_b AS BIGINT) AS sum_b
-    FROM px ORDER BY doc_id
-    """,
-    "REAL pixel decode, 8-bit truecolor PNG (pure stdlib zlib + numpy): "
-    "chunk walk with CRC32 verification, multi-IDAT reassembly, and all "
-    "five scanline filters incl. Paeth inverted per row; odd doc_ids "
-    "are RGBA so the 4-byte filter stride + alpha strip are exercised. "
-    "The oracle re-derives every stat from the closed-form raster.",
-)
-def q_image_pixel_stats_png(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ais_data_pipeline_spark.operators.multimodal import (
-        decode_image_pixels,
-        make_image_fixture,
-    )
-
-    d = read_table(spark, sf_dir, "documents")
-    return decode_image_pixels(make_image_fixture(d, fmt="png")).orderBy("doc_id")
+#
+# image_pixel_stats_png RETIRED (round 13 — the r9/r11/r12 swap
+# pattern): its PNG decode path (same encode_png fixture — filter-type
+# cycling (doc_id+row) % 5, multi-IDAT, CRC32s, even-RGB/odd-RGBA
+# strides, identical png_dims) stays fully driver-verified through
+# image_format_dispatch in THIS window, whose mixed corpus now routes
+# every doc_id % 3 == 2 through the identical PNG parser and whose
+# total_pixel_sum flips on any filter/stride/inflate mis-parse; the
+# per-doc stats contract stays pinned by the PPM row
+# (image_pixel_stats) and the PNG layout-matrix unit contracts in
+# pytest (truecolor/palette/gray, 8/16-bit, Adam7). The freed slot
+# carries audio_container_meta — the FLAC/Ogg/MP3 container parsers'
+# first oracle-checked driver row.

@@ -5230,3 +5230,53 @@ def test_ordering_null_and_weight_hardening(spark):
     assert sorted(
         r["id"] for r in skyline_2d(sk, "x", "y", "id").collect()
     ) == [2]
+
+
+def test_mjpeg_video_tier_end_to_end(spark):
+    """Round 13 (verdict item 4): the video tier composes end-to-end —
+    MJPEG fixture MP4s whose samples are REAL baseline JPEGs, the
+    keyframe walk (stss absent: all-sync default), ENGINE-side blob
+    slicing, and the real JPEG decoder producing closed-form pixel
+    sums. Odd frame counts leave a short final chunk (single stsc run
+    of 2), pinning the chunk-expansion clamp."""
+    from ais_data_pipeline_spark.localrel import local_df
+    from ais_data_pipeline_spark.operators.mp4 import (
+        encode_mp4_mjpeg,
+        mjpeg_block_gray,
+        mjpeg_fixture_params,
+    )
+    from ais_data_pipeline_spark.operators.multimodal import (
+        decode_frame_pixels,
+        extract_frame_blobs,
+    )
+
+    ids = list(range(10))  # covers odd/even n, both parities, all dims
+    df = local_df(
+        spark,
+        [(d, bytearray(encode_mp4_mjpeg(d))) for d in ids],
+        "doc_id bigint, payload binary",
+    )
+    blobs = {
+        (r["doc_id"], r["frame_index"]): bytes(r["frame_blob"])
+        for r in extract_frame_blobs(df).collect()
+    }
+    # every frame of every doc extracted, and each blob IS a JPEG
+    for d in ids:
+        n, w, h = mjpeg_fixture_params(d)
+        for f in range(n):
+            assert blobs[(d, f)][:2] == b"\xff\xd8", (d, f)
+            assert blobs[(d, f)][-2:] == b"\xff\xd9", (d, f)
+    assert len(blobs) == sum(mjpeg_fixture_params(d)[0] for d in ids)
+
+    rows = {
+        (r["doc_id"], r["frame_index"]): r
+        for r in decode_frame_pixels(extract_frame_blobs(df)).collect()
+    }
+    for d in ids:
+        n, w, h = mjpeg_fixture_params(d)
+        nb = (w // 8) * (h // 8)
+        for f in range(n):
+            r = rows[(d, f)]
+            assert (r["width"], r["height"], r["format"]) == (w, h, "jpeg")
+            want = 64 * sum(mjpeg_block_gray(d, f, b) for b in range(nb))
+            assert r["sum_r"] == r["sum_g"] == r["sum_b"] == want, (d, f)
