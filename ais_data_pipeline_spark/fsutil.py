@@ -33,6 +33,74 @@ from __future__ import annotations
 
 import os
 import shutil
+from typing import Callable, Iterable, Iterator
+
+#: A lister maps a root path/URI to ``(relative_path, size_bytes)``
+#: pairs for every file under it, with POSIX separators in the
+#: relative path regardless of backend. Injectable so the compaction
+#: trigger policy (and anything else that needs a footprint census)
+#: can run against object stores or test fakes without code changes.
+Lister = Callable[[str], Iterable[tuple[str, int]]]
+
+
+def local_lister(root: str) -> Iterator[tuple[str, int]]:
+    """``os.walk``-backed lister for plain local paths (and
+    ``file://`` URIs). Missing roots yield nothing — an empty index
+    is a valid pre-first-write state, not an error."""
+    if root.startswith("file://"):
+        root = root[len("file://") :]
+    root = root.rstrip("/")
+    if not os.path.isdir(root):
+        return
+    for dirpath, _dirnames, filenames in os.walk(root):
+        for name in filenames:
+            full = os.path.join(dirpath, name)
+            try:
+                size = os.path.getsize(full)
+            except OSError:
+                continue  # racing a swap/delete; census stays best-effort
+            rel = os.path.relpath(full, root)
+            yield rel.replace(os.sep, "/"), size
+
+
+def hadoop_lister(root: str) -> Iterator[tuple[str, int]]:
+    """Hadoop ``FileSystem``-backed lister via the active session's
+    JVM gateway — the path that exists on ``s3a://`` / ``hdfs://`` /
+    ``abfs://`` where ``os.walk`` does not. One recursive
+    ``listFiles`` call, which on S3A is a single paged LIST (no
+    per-directory round trips) — the same cost class as the
+    multi-slice read scan the policy check piggybacks on."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            "hadoop_lister needs an active SparkSession for the JVM gateway"
+        )
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(root)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return
+    prefix = fs.makeQualified(jpath).toString().rstrip("/") + "/"
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        status = it.next()
+        p = status.getPath().toString()
+        rel = p[len(prefix) :] if p.startswith(prefix) else p
+        yield rel, int(status.getLen())
+
+
+def iter_files(root: str, lister: Lister | None = None) -> Iterator[tuple[str, int]]:
+    """Yield ``(relative_posix_path, size_bytes)`` for every file under
+    ``root``, choosing the backend by scheme: an explicit ``lister``
+    wins, non-file URIs go through the Hadoop FileSystem gateway, and
+    bare paths / ``file://`` use ``os.walk``."""
+    if lister is None:
+        scheme_split = root.split("://", 1)
+        remote = len(scheme_split) == 2 and scheme_split[0] != "file"
+        lister = hadoop_lister if remote else local_lister
+    yield from lister(root)
 
 
 def recover_staged_swap(live: str, stage: str) -> None:

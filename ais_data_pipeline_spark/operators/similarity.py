@@ -598,20 +598,32 @@ IVF_COMPACT_MAX_SLICE_FILES = 256
 IVF_COMPACT_MIN_SLICE_BYTES = 64 * 2**20
 
 
-def ivf_index_accretion(path: str) -> dict[str, int]:
+def ivf_index_accretion(
+    path: str, lister: "fsutil.Lister | None" = None
+) -> dict[str, int]:
     """History-vs-accreted footprint of an IVF index from one recursive
     listing: bytes/files split between ``src_batch=-1`` history and the
     per-batch slices (layout ``list_id=*/src_batch=*``), plus the
-    distinct accreted batch count."""
-    import glob as _glob
+    distinct accreted batch count. Listing routes through
+    ``fsutil.iter_files`` — local walk, Hadoop FileSystem for
+    ``s3a://``-class URIs, or an injected fake — so the trigger policy
+    runs unchanged against object stores."""
+    from ais_data_pipeline_spark import fsutil
 
     history_bytes = slice_bytes = slice_files = 0
     batches: set[str] = set()
-    for f in _glob.glob(
-        os.path.join(path.rstrip("/"), "list_id=*", "src_batch=*", "*.parquet")
-    ):
-        part = os.path.basename(os.path.dirname(f))
-        size = os.path.getsize(f)
+    for rel, size in fsutil.iter_files(path.rstrip("/"), lister):
+        if not rel.endswith(".parquet"):
+            continue
+        parts = rel.split("/")
+        # layout: list_id=<l>/src_batch=<n>/*.parquet
+        if (
+            len(parts) != 3
+            or not parts[0].startswith("list_id=")
+            or not parts[1].startswith("src_batch=")
+        ):
+            continue
+        part = parts[1]
         if part == "src_batch=-1":
             history_bytes += size
         else:
@@ -631,12 +643,13 @@ def should_compact_ivf_index(
     slice_ratio: float = IVF_COMPACT_SLICE_RATIO,
     max_slice_files: int = IVF_COMPACT_MAX_SLICE_FILES,
     min_slice_bytes: int = IVF_COMPACT_MIN_SLICE_BYTES,
+    lister=None,
 ) -> dict:
     """Pure trigger decision for ``compact_ivf_index`` — same contract
     as ``should_compact_dedup_index``: geometric bytes trigger with a
     floor, absolute file-count guard, nothing fires on an empty or
     missing index."""
-    m = ivf_index_accretion(path)
+    m = ivf_index_accretion(path, lister)
     by_files = m["slice_files"] > 0 and m["slice_files"] >= max_slice_files
     by_bytes = (
         m["slice_bytes"] > 0

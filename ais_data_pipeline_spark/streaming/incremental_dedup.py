@@ -33,12 +33,12 @@ checkpoint+idempotence recipe as ``ingest.run_upsert_sink``).
 
 from __future__ import annotations
 
-import glob
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ais_data_pipeline_spark import fsutil
 from ais_data_pipeline_spark.checkpointing import materialize
 from ais_data_pipeline_spark.operators.dedup import (
     minhash_band_rows,
@@ -734,22 +734,29 @@ COMPACT_MAX_SLICE_FILES = 256
 COMPACT_MIN_SLICE_BYTES = 64 * 2**20
 
 
-def dedup_index_accretion(index_path: str) -> dict[str, int]:
+def dedup_index_accretion(
+    index_path: str, lister: "fsutil.Lister | None" = None
+) -> dict[str, int]:
     """Measure the index's history-vs-accreted footprint from one
     recursive listing (the same listing every probe's multi-slice scan
     pays, so the policy check adds no new I/O class): bytes and file
     counts split between the ``src_batch=-1`` history partition and
-    the per-batch slices, plus the distinct accreted slice count."""
+    the per-batch slices, plus the distinct accreted slice count.
+    The listing routes through ``fsutil.iter_files`` so the trigger
+    policy is runnable where 100 TB lives — local paths walk the OS,
+    ``s3a://``/``hdfs://`` URIs go through the Hadoop FileSystem
+    gateway (one recursive LIST), and tests inject a fake ``lister``."""
     hist = f"src_batch={HISTORY_BATCH}"
     history_bytes = slice_bytes = slice_files = 0
     slices: set[tuple[str, str]] = set()
-    for f in glob.glob(
-        os.path.join(index_path, "*", "src_batch=*", "**", "*.parquet"),
-        recursive=True,
-    ):
-        rel = os.path.relpath(f, index_path)
-        table, part = rel.split(os.sep)[0:2]
-        size = os.path.getsize(f)
+    for rel, size in fsutil.iter_files(index_path, lister):
+        if not rel.endswith(".parquet"):
+            continue
+        parts = rel.split("/")
+        # layout: <table>/src_batch=<n>/.../*.parquet
+        if len(parts) < 3 or not parts[1].startswith("src_batch="):
+            continue
+        table, part = parts[0], parts[1]
         if part == hist:
             history_bytes += size
         else:
@@ -769,6 +776,7 @@ def should_compact_dedup_index(
     slice_ratio: float = COMPACT_SLICE_RATIO,
     max_slice_files: int = COMPACT_MAX_SLICE_FILES,
     min_slice_bytes: int = COMPACT_MIN_SLICE_BYTES,
+    lister: "fsutil.Lister | None" = None,
 ) -> dict:
     """Pure trigger decision: accretion measurements + ``compact``
     bool + which trigger fired (``bytes`` / ``files`` / None). The
@@ -777,7 +785,7 @@ def should_compact_dedup_index(
     points stretch as history grows and rewrite cost stays a bounded
     fraction of ingested bytes; the files trigger is an absolute cap
     on accreted file count."""
-    m = dedup_index_accretion(index_path)
+    m = dedup_index_accretion(index_path, lister)
     # nothing accreted -> nothing to compact, whatever the knobs say
     # (an empty/missing index with a zero floor would otherwise
     # trigger on 0 >= 0 and hand compact_dedup_index nonexistent
