@@ -188,8 +188,15 @@ def _parse_png(data: bytes):
     2-byte de-filter, high-byte 8-bit presentation like PIL's RGB
     conversion), both sequential and Adam7-interlaced (round 12:
     seven independently filtered reduced images scattered onto the
-    8x8 grid); sub-byte depths (1/2/4-bit) stay the honest
-    ``NotImplementedError`` line."""
+    8x8 grid). Sub-byte depths (1/2/4-bit grayscale and paletted —
+    the only combos the spec allows under 8) decode natively too
+    (round 13): samples pack MSB-first within each byte, rows pad to
+    a byte boundary, and the FILTERS still operate on whole bytes
+    with a 1-byte left distance, so de-filtering precedes
+    bit-unpacking; grayscale levels scale to 8-bit by the exact
+    integral factor 255/(2^d−1). Every layout in the PNG spec now
+    decodes natively — a depth/color-type combo outside the spec's
+    table is CORRUPT (ValueError), no longer "unsupported"."""
     import struct
     import zlib
 
@@ -227,22 +234,18 @@ def _parse_png(data: bytes):
         pos += 12 + length
     if w is None:
         raise ValueError("PNG missing IHDR")
-    if (
-        color_type not in (0, 2, 3, 4, 6)
-        or bit_depth not in (8, 16)
-        or (color_type == 3 and bit_depth != 8)
-    ):
-        raise NotImplementedError(
-            "only 8/16-bit PNG color types 0/2/4/6 and 8-bit paletted (3) "
-            "supported (sub-byte depths are not)"
+    # PNG spec §11.2.2's full validity table: anything outside it is a
+    # corrupt header, not an unsupported variant — every in-spec
+    # layout decodes natively as of round 13
+    _valid = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+              4: (8, 16), 6: (8, 16)}
+    if color_type not in _valid or bit_depth not in _valid[color_type]:
+        raise ValueError(
+            f"invalid PNG bit depth {bit_depth} for color type {color_type}"
         )
     if color_type == 3 and plte is None:
         raise ValueError("paletted PNG missing PLTE chunk")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
-    # the filter unit is BYTES per pixel (spec: predictors step by the
-    # full sample width), so 16-bit samples just double it — the
-    # de-filter helper is depth-agnostic
-    bpp = channels * (bit_depth // 8)
     if not idat:
         # a chunk-valid PNG with no pixel payload is corrupt, not a
         # crash: keep the module's ValueError contract (ADVICE r9)
@@ -251,6 +254,24 @@ def _parse_png(data: bytes):
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:
         raise ValueError(f"corrupt PNG zlib stream: {e}") from None
+    if bit_depth < 8:
+        # sub-byte layouts are single-channel by the table above; the
+        # filter step is still ONE BYTE (spec: bpp rounds up to 1), so
+        # de-filter whole padded rows first, bit-unpack after
+        samples = _parse_png_subbyte(raw, w, h, bit_depth, interlace)
+        if color_type == 3:
+            pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+            if int(samples.max(initial=0)) >= pal.shape[0]:
+                raise ValueError("PNG palette index out of range")
+            return pal[samples]
+        # grayscale: 255/(2^d - 1) is exactly integral for d=1,2,4
+        # (255, 85, 17) — the same full-range presentation PIL uses
+        gray = samples * (255 // ((1 << bit_depth) - 1))
+        return np.repeat(gray[:, :, None], 3, axis=2)
+    # the filter unit is BYTES per pixel (spec: predictors step by the
+    # full sample width), so 16-bit samples just double it — the
+    # de-filter helper is depth-agnostic
+    bpp = channels * (bit_depth // 8)
     if interlace == 0:
         stride = w * bpp
         if len(raw) != h * (stride + 1):
@@ -388,14 +409,65 @@ def _defilter_scanlines(raw: bytes, w: int, h: int, bpp: int):
     return out
 
 
+def _unpack_subbyte_rows(rows, w: int, depth: int):
+    """(h, row_bytes) de-filtered scanline bytes → (h, w) uint8
+    samples. PNG packs sub-byte samples MSB-first within each byte
+    (spec §7.2); trailing pad bits in each row are discarded."""
+    import numpy as np
+
+    bits = np.unpackbits(rows, axis=1)[:, : w * depth]
+    packed = np.packbits(bits.reshape(rows.shape[0], w, depth), axis=2)
+    return packed[:, :, 0] >> (8 - depth)
+
+
+def _parse_png_subbyte(raw, w, h, depth, interlace):
+    """De-filter + bit-unpack a sub-byte (1/2/4-bit, single-channel)
+    PNG pixel stream → (h, w) uint8 raw samples (palette indices or
+    gray levels — the caller applies PLTE / range scaling). Rows are
+    ``ceil(w*depth/8)`` bytes, each Adam7 reduced image pads its OWN
+    rows (spec: passes are independent images), and the byte-level
+    de-filter runs with bpp=1 before any bit is unpacked."""
+    import numpy as np
+
+    if interlace == 0:
+        row_bytes = (w * depth + 7) // 8
+        if len(raw) != h * (row_bytes + 1):
+            raise ValueError("PNG scanline payload length mismatch")
+        return _unpack_subbyte_rows(
+            _defilter_scanlines(raw, row_bytes, h, 1), w, depth
+        )
+    if interlace != 1:
+        raise ValueError(f"bad PNG interlace method {interlace}")
+    samples = np.zeros((h, w), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7_PASSES:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        prb = (pw * depth + 7) // 8
+        need = ph * (prb + 1)
+        sub_raw = raw[pos : pos + need]
+        if len(sub_raw) != need:
+            raise ValueError("PNG interlaced pass payload truncated")
+        pos += need
+        sub = _unpack_subbyte_rows(
+            _defilter_scanlines(sub_raw, prb, ph, 1), pw, depth
+        )
+        samples[y0::dy, x0::dx] = sub
+    if pos != len(raw):
+        raise ValueError("PNG scanline payload length mismatch")
+    return samples
+
+
 def decode_pixels_array(data: bytes):
     """Payload bytes → (HxWx3 uint8 RGB array, format tag). Dispatches
     on magic bytes: PPM/BMP/GIF/PNG/JPEG (JPEG baseline AND
-    progressive, incl. 4:2:0/4:2:2 subsampled chroma; PNG all
-    byte-width layouts — truecolor/palette/grayscale ± alpha, 8/16
-    bit, Adam7; GIF incl. LZW + interlace — round 12) decode natively
-    (numpy + stdlib ``zlib``/``struct``); out-of-scope variants
-    (sub-byte PNG, arithmetic-coded or 12-bit JPEG, animated-GIF
+    progressive, incl. 4:2:0/4:2:2 subsampled chroma; PNG EVERY
+    spec layout — truecolor/palette/grayscale ± alpha, 1/2/4/8/16
+    bit, Adam7 — as of round 13; GIF incl. LZW + interlace) decode
+    natively (numpy + stdlib ``zlib``/``struct``); out-of-scope
+    variants (arithmetic-coded or 12-bit JPEG, animated-GIF
     compositing) fall through to PIL when installed; anything else is
     the explicit honest-stub contract."""
     if data[:2] == b"P6":
@@ -412,14 +484,9 @@ def decode_pixels_array(data: bytes):
             # fall-through, same convention as the PNG/JPEG exotics
             pass
     if data[:8] == _PNG_SIG:
-        try:
-            return _parse_png(data), "png"
-        except NotImplementedError:
-            # exotic variant (palette/16-bit): fall through to the PIL
-            # hook, which decoded these before the native parser
-            # existed — the honest stub only applies where neither
-            # path can
-            pass
+        # no PIL fall-through: every layout the PNG spec allows
+        # decodes natively (round 13), so any failure is corruption
+        return _parse_png(data), "png"
     if data[:2] == b"\xff\xd8":
         from ais_data_pipeline_spark.operators.jpeg import parse_jpeg
 

@@ -272,7 +272,8 @@ def test_png_decode_filters_and_contracts(spark):
     against HAND-COMPUTED spec vectors (independent of the encoder, so
     a matched encoder/decoder misunderstanding can't cancel out),
     RGBA stride + alpha strip, multi-IDAT reassembly, CRC rejection,
-    and the honest NotImplementedError for interlace/palette."""
+    and the corrupt-header contracts (every spec layout decodes
+    natively since round 13, so out-of-table combos are ValueError)."""
     import struct
     import zlib
 
@@ -345,16 +346,12 @@ def test_png_decode_filters_and_contracts(spark):
     with pytest.raises(ValueError, match="CRC"):
         decode_pixels_array(bytes(bad))
 
-    # sub-byte depth: the NATIVE parser refuses rather than
-    # mis-decodes; decode_pixels_array deliberately falls through to
-    # PIL on these variants, so the dispatcher-level assertion must
-    # branch on PIL availability (ADVICE r9 — with PIL installed these
-    # payloads reach the codec hook instead of raising). Interlaced,
-    # paletted, 16-bit, and grayscale PNGs ALL left this list in round
-    # 12: every byte-width layout decodes natively now, so a
-    # sequential 2x2 payload mislabeled interlace=1 is CORRUPT (wrong
-    # pass byte count) and a paletted stream without PLTE is CORRUPT,
-    # not unsupported.
+    # Interlaced, paletted, 16-bit, grayscale (round 12) and sub-byte
+    # (round 13) PNGs ALL decode natively now: a sequential 2x2
+    # payload mislabeled interlace=1 is CORRUPT (wrong pass byte
+    # count), a paletted stream without PLTE is CORRUPT, and a
+    # depth/color-type combo outside the spec's validity table is a
+    # CORRUPT HEADER — none of these are "unsupported" anymore.
     from ais_data_pipeline_spark.operators.multimodal import (
         _parse_png,
         _png_chunk,
@@ -374,14 +371,15 @@ def test_png_decode_filters_and_contracts(spark):
             + _png_chunk(b"IEND", b"")
         )
 
-    exotic = png_hdr(2, 2, 4, 0, scan)  # 4-bit grayscale
-    with pytest.raises(NotImplementedError):
-        _parse_png(exotic)
-    try:
-        import PIL  # noqa: F401
-    except ImportError:
-        with pytest.raises(NotImplementedError, match="PIL"):
-            decode_pixels_array(exotic)
+    # spec-invalid combos: sub-byte truecolor / RGBA are corrupt headers
+    with pytest.raises(ValueError, match="invalid PNG bit depth"):
+        _parse_png(png_hdr(2, 2, 4, 2, scan))
+    with pytest.raises(ValueError, match="invalid PNG bit depth"):
+        _parse_png(png_hdr(2, 2, 1, 6, scan))
+    # a 4-bit grayscale header over an 8-bit-sized payload is a
+    # scanline-length corruption, caught before any unpack
+    with pytest.raises(ValueError, match="length mismatch"):
+        _parse_png(png_hdr(2, 2, 4, 0, scan))
 
     # grayscale decodes natively since round 12, replicated to RGB:
     # 8-bit gray 2x1 Sub-filtered, and 16-bit gray+alpha 2x1 (high
@@ -994,6 +992,110 @@ def test_png_adam7_hand_built_spec_pin():
             + _png_chunk(b"IDAT", _zlib.compress(scan))
             + _png_chunk(b"IEND", b"")
         )
+
+
+def test_png_subbyte_hand_built_spec_pins():
+    """Round-13 stretch: 1/2/4-bit grayscale + paletted PNGs decode
+    natively. Every stream here is assembled BY HAND from the spec —
+    MSB-first sample packing (§7.2), row padding to a byte boundary,
+    byte-level filters with a 1-byte left distance BEFORE any bit is
+    unpacked, per-pass padding under Adam7, and the exact integral
+    gray presentation 255/(2^d−1). A matched encoder/decoder bug
+    cannot cancel out because there is no encoder."""
+    import struct as _struct
+    import zlib as _zlib
+
+    import pytest as _pytest
+
+    from ais_data_pipeline_spark.operators.multimodal import (
+        _parse_png,
+        _png_chunk,
+        _PNG_SIG,
+        decode_pixels_array,
+    )
+
+    def png_of(w, h, depth, ctype, scanlines, interlace=0, plte=None):
+        ihdr = _struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+        out = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += _png_chunk(b"PLTE", plte)
+        return out + _png_chunk(b"IDAT", _zlib.compress(scanlines)) + _png_chunk(
+            b"IEND", b""
+        )
+
+    # 4-bit grayscale 2x2: rows pack two nibbles per byte, MSB first.
+    # (0,0)=10 (1,0)=3 → 0xA3; (0,1)=15 (1,1)=0 → 0xF0. Gray scale
+    # factor 17.
+    g4 = png_of(2, 2, 4, 0, bytes([0, 0xA3, 0, 0xF0]))
+    arr, fmt = decode_pixels_array(g4)
+    assert fmt == "png"
+    assert arr.tolist() == [
+        [[170] * 3, [51] * 3],
+        [[255] * 3, [0] * 3],
+    ]
+
+    # 1-bit grayscale 10x2: row = 2 bytes with 6 PAD BITS, and row 2
+    # is Up-filtered — the filter arithmetic runs over the PACKED
+    # bytes (pad included), which only reconstructs correctly if
+    # de-filtering precedes unpacking.
+    # row0: 1,0,1,1,0,0,1,0,1,1 → 0b10110010 0b11000000 = B2 C0
+    # row1: complement 0,1,0,0,1,1,0,1,0,0 → 4D 00; Up deltas:
+    # (4D-B2)&FF=9B, (00-C0)&FF=40
+    g1 = png_of(10, 2, 1, 0, bytes([0, 0xB2, 0xC0, 2, 0x9B, 0x40]))
+    arr, _ = decode_pixels_array(g1)
+    row0 = [1, 0, 1, 1, 0, 0, 1, 0, 1, 1]
+    assert [px[0] for px in arr.tolist()[0]] == [v * 255 for v in row0]
+    assert [px[0] for px in arr.tolist()[1]] == [(1 - v) * 255 for v in row0]
+    assert arr.shape == (2, 10, 3)
+
+    # 2-bit paletted 3x1: indices 2,0,1 pack to 0b100001xx = 0x84;
+    # PLTE lookup happens AFTER unpacking, indices are NOT scaled
+    plte = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90])
+    p2 = png_of(3, 1, 2, 3, bytes([0, 0x84]), plte=plte)
+    arr, _ = decode_pixels_array(p2)
+    assert arr.tolist() == [[[70, 80, 90], [10, 20, 30], [40, 50, 60]]]
+
+    # 2-bit palette index past the table → loud range error
+    short_plte = bytes([10, 20, 30, 40, 50, 60])  # 2 entries
+    with _pytest.raises(ValueError, match="palette index out of range"):
+        _parse_png(png_of(3, 1, 2, 3, bytes([0, 0x84]), plte=short_plte))
+
+    # Adam7 4-bit grayscale 2x2: pass 1 → (0,0)=10, pass 6 → (1,0)=3,
+    # pass 7 → bottom row (15,0); each 1x1 pass pads its nibble to a
+    # full byte (per-pass padding), pass 7 packs two nibbles
+    scan = bytes([0, 0xA0, 0, 0x30, 0, 0xF0])
+    gi = png_of(2, 2, 4, 0, scan, interlace=1)
+    arr, _ = decode_pixels_array(gi)
+    assert arr.tolist() == [
+        [[170] * 3, [51] * 3],
+        [[255] * 3, [0] * 3],
+    ]
+    # truncated final pass stays loud
+    with _pytest.raises(ValueError, match="truncated|length mismatch"):
+        _parse_png(png_of(2, 2, 4, 0, scan[:-1], interlace=1))
+
+    # 1-bit paletted 2x1 (the remaining depth×type corner): bits 1,0
+    # → 0x80; two-entry palette
+    p1 = png_of(2, 1, 1, 3, bytes([0, 0x80]), plte=bytes([9, 8, 7, 99, 98, 97]))
+    arr, _ = decode_pixels_array(p1)
+    assert arr.tolist() == [[[99, 98, 97], [9, 8, 7]]]
+
+    # fuzz-lite (repo convention, 300 trials): random byte flips over
+    # the sub-byte streams surface only ValueError or a (possibly
+    # different) decode — never a crash class or a NotImplementedError,
+    # which left the PNG path entirely in round 13
+    import numpy as _np
+
+    rng = _np.random.default_rng(13)
+    corpus = [g4, g1, p2, gi, p1]
+    for _ in range(300):
+        b = bytearray(corpus[int(rng.integers(0, len(corpus)))])
+        for _k in range(int(rng.integers(1, 4))):
+            b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+        try:
+            _parse_png(bytes(b))
+        except ValueError:
+            pass
 
 
 def test_bench_warmed_convention_pinned():

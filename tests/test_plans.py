@@ -953,14 +953,14 @@ def test_grouped_rank_null_semantics(spark):
     assert [(r["x"], r["y"], r["id"]) for r in out] == [(None, 3.0, 2)]
 
 
-def test_png_exotic_variant_falls_through_to_pil_hook():
-    """Round-9 review regression: an exotic PNG must reach the PIL
-    hook rather than dying in the native parser — with PIL absent that
-    still means the documented NotImplementedError naming the
-    codec-library requirement, NOT the parser's variant message.
-    Since round 12 every byte-width PNG layout decodes NATIVELY
-    (palette, interlace, 16-bit, grayscale), so the remaining exotic
-    class is sub-byte depth."""
+def test_png_never_reaches_pil_hook():
+    """Round 13 closed the PNG tier: every layout the spec allows
+    (1/2/4/8/16-bit, gray/palette/truecolor ± alpha, Adam7) decodes
+    NATIVELY, so the PIL hook is out of the PNG path entirely — a
+    well-formed sub-byte PNG decodes with PIL absent, and a malformed
+    one is a loud ValueError (never the NotImplementedError naming the
+    codec-library requirement, which now belongs to JPEG/GIF exotics
+    only)."""
     import struct
     import zlib
 
@@ -972,29 +972,26 @@ def test_png_exotic_variant_falls_through_to_pil_hook():
         decode_pixels_array,
     )
 
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)  # 4-bit gray
-    png = (
-        _PNG_SIG
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00\x00\x00"))
-        + _png_chunk(b"IEND", b"")
-    )
-    try:
-        from PIL import Image  # noqa: F401
+    def png_of(scanlines):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)  # 4-bit gray
+        return (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(scanlines))
+            + _png_chunk(b"IEND", b"")
+        )
 
-        has_pil = True
-    except ImportError:
-        has_pil = False
-    if has_pil:
-        # PIL accepts-or-rejects on its own terms; it must at least be
-        # reached (no native NotImplementedError about color types)
-        try:
-            arr, fmt = decode_pixels_array(png)
-        except Exception as e:  # noqa: BLE001
-            assert "color type" not in str(e)
-    else:
-        with _pytest.raises(NotImplementedError, match="PIL"):
-            decode_pixels_array(png)
+    # valid 4-bit gray 2x2 (1 packed byte + filter byte per row)
+    arr, fmt = decode_pixels_array(png_of(bytes([0, 0x12, 0, 0x34])))
+    assert fmt == "png"
+    assert arr.tolist() == [
+        [[17] * 3, [34] * 3],
+        [[51] * 3, [68] * 3],
+    ]
+    # payload sized for 8-bit rows under a 4-bit header: corruption,
+    # surfaced natively — not a fall-through, not a PIL message
+    with _pytest.raises(ValueError, match="length mismatch"):
+        decode_pixels_array(png_of(b"\x00\x00\x00\x00\x00\x00"))
 
 
 def test_rank_distribution_avoids_per_group_serialization(spark, sf_dir):
