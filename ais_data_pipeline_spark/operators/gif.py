@@ -2,16 +2,20 @@
 
 Round-12 widening: GIF is the remaining web-crawl staple without a
 native decode (PPM/BMP/PNG/JPEG all decode in-engine). Scope is the
-STILL-image contract a training-data pipeline needs: the FIRST image
-frame, decoded through the real variable-width LZW (clear/EOI codes,
-code-table growth to 12 bits), global/local color tables, and the
-4-pass GIF interlace. Animation compositing (multiple frames, disposal
-methods, transparency overlay) stays the honest ``NotImplementedError``
-line — that is player work, not corpus-decode work, the same
-convention as coded-MP4 samples.
+STILL-image contract a training-data pipeline needs: the FIRST
+frame's RENDER, decoded through the real variable-width LZW
+(clear/EOI codes, code-table growth to 12 bits), global/local color
+tables, and the 4-pass GIF interlace. Round 13 adds first-frame
+COMPOSITING — a partial frame blits onto a background-filled canvas
+and a GCE transparent index leaves the canvas showing — which is all
+a single-frame render needs (disposal methods only affect later
+frames), so no GIF raises NotImplementedError anymore. Multi-frame
+ANIMATION playback stays out of scope: that is player work, not
+corpus-decode work.
 
 Layouts from the public GIF89a specification: header + logical screen
-descriptor, 0x21 extension blocks (skipped via their sub-block chain),
+descriptor, 0x21 extension blocks (skipped via their sub-block chain;
+0xF9 Graphic Control parsed for the transparency flag/index),
 0x2C image descriptor (+ local color table, interlace flag), LZW
 minimum code size byte, data sub-blocks.
 
@@ -89,18 +93,25 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> list[int]:
 
 
 def parse_gif(data: bytes):
-    """GIF bytes → HxWx3 uint8 RGB array of the FIRST image frame.
+    """GIF bytes → HxWx3 uint8 RGB array of the FIRST frame's render.
     Real decoder: 87a/89a header, logical screen descriptor, global /
-    local color tables, extension blocks skipped via their sub-block
-    chains, variable-width LZW, 4-pass interlace. The first frame must
-    cover the logical screen (the still-image corpus contract);
-    partial first frames and animation compositing raise
-    ``NotImplementedError``."""
+    local color tables, variable-width LZW, 4-pass interlace, and
+    (round 13) first-frame COMPOSITING: a frame smaller than the
+    logical screen blits onto a canvas pre-filled with the screen
+    descriptor's background color (black when there is no GCT or the
+    index is out of range — the common renderer fallback), and a
+    Graphic Control Extension's transparent index leaves the canvas
+    showing through (spec §23). Disposal methods only affect frames
+    AFTER the one rendered, so the first-frame contract needs no
+    inter-frame state; nothing in a GIF raises NotImplementedError
+    anymore."""
     import numpy as np
 
     if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
-    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    sw, sh, packed, bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    if sw == 0 or sh == 0:
+        raise ValueError("GIF with zero-sized logical screen")
     pos = 13
     gct = None
     if packed & 0x80:
@@ -120,11 +131,18 @@ def parse_gif(data: bytes):
                 return p
             p += size
 
+    transparent = None  # index from the frame's preceding GCE, if any
     while pos < len(data):
         block = data[pos]
         if block == 0x21:  # extension: label + sub-blocks
             if pos + 2 > len(data):
                 raise ValueError("truncated GIF extension")
+            if data[pos + 1] == 0xF9:  # Graphic Control Extension
+                # fixed 4-byte body: packed, delay(2), transparent idx
+                if pos + 7 > len(data) or data[pos + 2] != 4:
+                    raise ValueError("malformed GIF graphic control extension")
+                if data[pos + 3] & 0x01:  # transparent color flag
+                    transparent = data[pos + 6]
             pos = skip_subblocks(pos + 2)
         elif block == 0x2C:  # image descriptor
             if pos + 10 > len(data):
@@ -138,13 +156,10 @@ def parse_gif(data: bytes):
                 if len(lct) != 3 * n:
                     raise ValueError("truncated GIF local color table")
                 pos += 3 * n
-            if (x0, y0, w, h) != (0, 0, sw, sh):
-                raise NotImplementedError(
-                    "GIF first frame does not cover the logical screen "
-                    "(animation compositing not supported)"
-                )
             if w == 0 or h == 0:
                 raise ValueError("GIF with zero-sized image")
+            if x0 + w > sw or y0 + h > sh:
+                raise ValueError("GIF frame exceeds the logical screen")
             palette = lct if lct is not None else gct
             if palette is None:
                 raise ValueError("GIF image has no color table")
@@ -178,7 +193,23 @@ def parse_gif(data: bytes):
                     out[start::step] = rows[src : src + n_rows]
                     src += n_rows
                 rows = out
-            return pal[rows]
+            frame = pal[rows]
+            full = (x0, y0, w, h) == (0, 0, sw, sh)
+            if full and transparent is None:
+                return frame  # the still-image fast path: no canvas
+            # canvas fill: background color from the SCREEN descriptor's
+            # index into the GLOBAL table; black when absent/out-of-range
+            canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
+            if gct is not None and 3 * bg + 3 <= len(gct):
+                canvas[:, :] = np.frombuffer(
+                    gct[3 * bg : 3 * bg + 3], dtype=np.uint8
+                )
+            if transparent is None:
+                canvas[y0 : y0 + h, x0 : x0 + w] = frame
+            else:
+                opaque = rows != transparent
+                canvas[y0 : y0 + h, x0 : x0 + w][opaque] = frame[opaque]
+            return canvas
         elif block == 0x3B:  # trailer before any image
             raise ValueError("GIF contains no image frame")
         else:

@@ -465,24 +465,21 @@ def decode_pixels_array(data: bytes):
     on magic bytes: PPM/BMP/GIF/PNG/JPEG (JPEG baseline AND
     progressive, incl. 4:2:0/4:2:2 subsampled chroma; PNG EVERY
     spec layout — truecolor/palette/grayscale ± alpha, 1/2/4/8/16
-    bit, Adam7 — as of round 13; GIF incl. LZW + interlace) decode
-    natively (numpy + stdlib ``zlib``/``struct``); out-of-scope
-    variants (arithmetic-coded or 12-bit JPEG, animated-GIF
-    compositing) fall through to PIL when installed; anything else is
-    the explicit honest-stub contract."""
+    bit, Adam7 — as of round 13; GIF incl. LZW, interlace, and
+    first-frame compositing with background + transparency) decode
+    natively (numpy + stdlib ``zlib``/``struct``); the only remaining
+    PIL fall-through is arithmetic-coded / 12-bit JPEG; anything else
+    is the explicit honest-stub contract."""
     if data[:2] == b"P6":
         return _parse_ppm(data), "ppm"
     if data[:2] == b"BM":
         return _parse_bmp(data), "bmp"
     if data[:6] in (b"GIF87a", b"GIF89a"):
+        # no PIL fall-through: first-frame compositing (partial frames,
+        # transparency) decodes natively as of round 13
         from ais_data_pipeline_spark.operators.gif import parse_gif
 
-        try:
-            return parse_gif(data), "gif"
-        except NotImplementedError:
-            # animation compositing (partial first frame): PIL
-            # fall-through, same convention as the PNG/JPEG exotics
-            pass
+        return parse_gif(data), "gif"
     if data[:8] == _PNG_SIG:
         # no PIL fall-through: every layout the PNG spec allows
         # decodes natively (round 13), so any failure is corruption

@@ -3948,21 +3948,82 @@ def test_gif_decode_contracts(spark):
         parse_gif(ok[:-6])
     with _pytest.raises(ValueError, match="no image frame"):
         parse_gif(ok[:13] + ok[13 : 13 + 12] + b"\x3b")  # header+GCT+trailer
-    # partial first frame -> the honest animation line
+    # a shrunk descriptor over the original 4-pixel LZW stream is a
+    # pixel-count corruption (compositing made the geometry legal, so
+    # the stream length is now the failing contract)
     part = bytearray(ok)
     i = part.index(0x2C, 13)
     part[i + 5 : i + 7] = (1).to_bytes(2, "little")  # width 1 != screen 2
-    with _pytest.raises(NotImplementedError, match="logical screen"):
+    with _pytest.raises(ValueError, match="exceeds the image's pixel count"):
         parse_gif(bytes(part))
 
-    # fuzz-lite: random byte flips only raise the documented classes
-    for _ in range(200):
-        b = bytearray(ok)
+    # ---- first-frame compositing (round 13): hand-built spec pins ----
+    import struct as _struct
+
+    from ais_data_pipeline_spark.operators.gif import _lzw_encode
+
+    def hand_gif(sw, sh, gct, bg, frame, gce=None):
+        """Assemble a GIF by hand: gct = palette bytes (power-of-2
+        entries), frame = (x0, y0, w, h, indices), gce = transparent
+        index or None."""
+        depth = (len(gct) // 3 - 1).bit_length()
+        out = bytearray(b"GIF89a")
+        out += _struct.pack("<HHBBB", sw, sh, 0x80 | (depth - 1), bg, 0)
+        out += gct
+        if gce is not None:
+            out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, gce, 0])
+        x0, y0, w, h, idx = frame
+        out += b"\x2c" + _struct.pack("<HHHHB", x0, y0, w, h, 0)
+        mcs = max(2, depth)
+        out.append(mcs)
+        lzw = _lzw_encode(list(idx), mcs)
+        for j in range(0, len(lzw), 255):
+            chunk = lzw[j : j + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00\x3b"
+        return bytes(out)
+
+    pal4 = bytes([200, 10, 10, 0, 255, 0, 0, 0, 255, 7, 7, 7])
+    # partial frame: 1x2 strip of color 1 at x=1 on a 3x2 screen,
+    # background index 0 fills the rest
+    arr = parse_gif(hand_gif(3, 2, pal4, 0, (1, 0, 1, 2, [1, 1])))
+    assert arr.tolist() == [
+        [[200, 10, 10], [0, 255, 0], [200, 10, 10]],
+        [[200, 10, 10], [0, 255, 0], [200, 10, 10]],
+    ]
+    # transparency: full-screen frame, transparent index 0 lets the
+    # BACKGROUND color (index 2 = blue) show through
+    arr = parse_gif(hand_gif(3, 1, pal4, 2, (0, 0, 3, 1, [0, 1, 0]), gce=0))
+    assert arr.tolist() == [[[0, 0, 255], [0, 255, 0], [0, 0, 255]]]
+    # partial + transparency compose: the blit hole shows background
+    arr = parse_gif(hand_gif(2, 2, pal4, 3, (0, 1, 2, 1, [0, 1]), gce=0))
+    assert arr.tolist() == [
+        [[7, 7, 7], [7, 7, 7]],
+        [[7, 7, 7], [0, 255, 0]],
+    ]
+    # out-of-range background index falls back to black, not a crash
+    arr = parse_gif(hand_gif(2, 1, pal4[:6], 9, (1, 0, 1, 1, [1])))
+    assert arr.tolist() == [[[0, 0, 0], [0, 255, 0]]]
+    # a frame past the screen edge is corrupt geometry
+    with _pytest.raises(ValueError, match="exceeds the logical screen"):
+        parse_gif(hand_gif(2, 1, pal4[:6], 0, (2, 0, 1, 1, [1])))
+    # malformed GCE body size is loud
+    bad = bytearray(hand_gif(2, 1, pal4[:6], 0, (0, 0, 2, 1, [0, 1]), gce=0))
+    bad[bad.index(0xF9, 13) + 1] = 3
+    with _pytest.raises(ValueError, match="graphic control"):
+        parse_gif(bytes(bad))
+
+    # fuzz-lite: random byte flips only raise the documented classes —
+    # over the plain stream AND a composited/transparent one
+    comp = hand_gif(3, 2, pal4, 0, (1, 0, 1, 2, [1, 1]), gce=0)
+    for _ in range(300):
+        b = bytearray(ok if rng.integers(0, 2) else comp)
         for _k in range(int(rng.integers(1, 4))):
             b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
         try:
             parse_gif(bytes(b))
-        except (ValueError, NotImplementedError):
+        except ValueError:
             pass
 
     # Spark path: the synth_pixel_value raster has exactly <=256
