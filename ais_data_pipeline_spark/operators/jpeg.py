@@ -5,14 +5,17 @@ Round-10 stretch (verdict item 8) gave images a REAL decode path, same
 contract as the round-9 PNG parser — spec-driven, stdlib ``struct`` +
 numpy only, no codec library; round-11 (verdict item 2) extended it to
 progressive streams, the dominant web-photo encoding. Scope is DCT,
-8-bit, 1 or 3 components, INCLUDING subsampled chroma (4:2:0, 4:2:2,
-any integer Hi/Vi ratio — interleaved MCU geometry per T.81 A.2.3,
-pixel-replication upsampling), restart markers (DRI/RSTn), and for
-progressive frames (SOF2) the full T.81 G.1.2 scan algebra: spectral
-selection bands, successive approximation (DC and AC first +
-refinement passes), EOB-run codes, interleaved DC / non-interleaved AC
-geometry over the component's true block grid. Arithmetic-coded,
-12-bit, hierarchical/lossless, and fractional-ratio streams raise the
+8-bit AND (round 13) 12-bit sample precision — extended sequential
+SOF1 and progressive SOF2, 16-bit DQT entries, level shift at
+2^(P-1), high-byte presentation — 1 or 3 components, INCLUDING
+subsampled chroma (4:2:0, 4:2:2, any integer Hi/Vi ratio —
+interleaved MCU geometry per T.81 A.2.3, pixel-replication
+upsampling), restart markers (DRI/RSTn), and for progressive frames
+(SOF2) the full T.81 G.1.2 scan algebra: spectral selection bands,
+successive approximation (DC and AC first + refinement passes),
+EOB-run codes, interleaved DC / non-interleaved AC geometry over the
+component's true block grid. Arithmetic-coded,
+hierarchical/lossless, and fractional-ratio streams raise the
 honest ``NotImplementedError`` and fall through to the PIL hook in
 ``multimodal.decode_pixels_array`` (exactly the PNG exotic-variant
 convention).
@@ -236,7 +239,7 @@ def _ceil_div(a: int, b: int) -> int:
     return (a + b - 1) // b
 
 
-def _decode_progressive_scan(
+def _decode_progressive_scan(  # noqa: PLR0913 — scan state is wide
     data: bytes,
     pos: int,
     body: bytes,
@@ -246,6 +249,7 @@ def _decode_progressive_scan(
     coeffs: list[list],
     cdims: list[tuple[int, int]],
     dc_done: set[int],
+    max_dc_size: int = 11,
 ) -> int:
     """Decode one progressive scan (T.81 G.2) into the per-component
     zigzag-order coefficient accumulators; returns the byte position of
@@ -317,7 +321,7 @@ def _decode_progressive_scan(
 
     def dc_first(block: list, si: int) -> None:
         size = _huff_decode(br, tabs[si])
-        if size > 11:
+        if size > max_dc_size:
             raise ValueError("bad DC size category")
         preds[si] += _extend(br.read_bits(size), size)
         block[0] = preds[si] << al
@@ -479,7 +483,7 @@ def parse_jpeg(data: bytes) -> np.ndarray:
     segment with unread blocks left, the silent-wrong-pixels shape a
     corrupt sampling byte would otherwise open — and
     ``NotImplementedError`` on the documented out-of-scope variants
-    (12-bit, arithmetic-coded, hierarchical/lossless, fractional
+    (arithmetic-coded, hierarchical/lossless, fractional
     sampling ratios)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
@@ -555,8 +559,13 @@ def parse_jpeg(data: bytes) -> np.ndarray:
                 raise ValueError("multiple SOF markers in JPEG stream")
             progressive = marker == 0xC2
             precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
-            if precision != 8:
-                raise NotImplementedError("only 8-bit JPEG supported")
+            if precision not in (8, 12):
+                # DCT processes define exactly 8 and 12 (T.81 table B.2)
+                raise ValueError(f"invalid JPEG sample precision {precision}")
+            if precision == 12 and marker == 0xC0:
+                # baseline (SOF0) is 8-bit by definition; 12-bit lives
+                # in extended sequential (SOF1) / progressive (SOF2)
+                raise ValueError("12-bit precision is invalid in a baseline SOF0")
             if ncomp not in (1, 3):
                 raise NotImplementedError("only 1- or 3-component JPEG supported")
             comps = []
@@ -613,6 +622,7 @@ def parse_jpeg(data: bytes) -> np.ndarray:
             pos = _decode_progressive_scan(
                 data, pos + seglen, body, frame, hufftables, dri,
                 coeffs, cdims, dc_done,
+                max_dc_size=11 if precision == 8 else 15,
             )
             any_scan = True
             continue
@@ -621,7 +631,9 @@ def parse_jpeg(data: bytes) -> np.ndarray:
 
     h, w, comps, hmax, vmax = frame
     if progressive:
-        return _reconstruct(coeffs, comps, cdims, qtables, hmax, vmax, h, w)
+        return _reconstruct(
+            coeffs, comps, cdims, qtables, hmax, vmax, h, w, precision
+        )
     ns = sos_body[0]
     if ns != len(comps):
         raise NotImplementedError("multi-scan JPEG not supported")
@@ -632,6 +644,7 @@ def parse_jpeg(data: bytes) -> np.ndarray:
     ss, se, ahal = sos_body[1 + 2 * ns : 4 + 2 * ns]
     if ss != 0 or se != 63 or ahal != 0:
         raise NotImplementedError("non-sequential spectral selection not supported")
+    max_dc_size = 11 if precision == 8 else 15  # T.81 table F.1
 
     # Interleaved MCU geometry (T.81 A.2.3): each MCU carries Hi x Vi
     # blocks per component; the MCU grid is sized by the MAX factors
@@ -672,7 +685,7 @@ def parse_jpeg(data: bytes) -> np.ndarray:
                 for hh in range(hi):
                     block = [0] * 64
                     size = _huff_decode(br, dc_tab)
-                    if size > 11:
+                    if size > max_dc_size:
                         raise ValueError("bad DC size category")
                     preds[ci] += _extend(br.read_bits(size), size)
                     block[0] = preds[ci]
@@ -701,7 +714,9 @@ def parse_jpeg(data: bytes) -> np.ndarray:
     if br._try_fill():
         raise ValueError("trailing data in JPEG entropy stream")
 
-    return _reconstruct(coeffs, comps, cdims, qtables, hmax, vmax, h, w)
+    return _reconstruct(
+        coeffs, comps, cdims, qtables, hmax, vmax, h, w, precision
+    )
 
 
 def _reconstruct(
@@ -713,10 +728,14 @@ def _reconstruct(
     vmax: int,
     h: int,
     w: int,
+    precision: int = 8,
 ) -> np.ndarray:
-    """Shared reconstruction tail (baseline and progressive): de-zigzag
-    + dequantize all blocks at once, one einsum IDCT per component,
-    replication upsample, level shift, JFIF color convert."""
+    """Shared reconstruction tail (sequential and progressive):
+    de-zigzag + dequantize all blocks at once, one einsum IDCT per
+    component, replication upsample, level shift at 2^(P-1), JFIF
+    color convert. 12-bit samples clamp to 0..4095 and present their
+    HIGH BYTE (>>4) — the same precision reduction the 16-bit PNG
+    path applies — so downstream stats see uint8 everywhere."""
     planes = []
     for ci, (_cid, tq, hi, vi) in enumerate(comps):
         if tq not in qtables:
@@ -727,7 +746,12 @@ def _reconstruct(
         natural[:, _ZIGZAG_FLAT] = np.asarray(coeffs[ci], dtype=np.int64)
         fblocks = (natural * qtables[tq]).reshape(nblk, 8, 8).astype(np.float64)
         pix = np.einsum("xu,nuv,yv->nxy", _IDCT_M, fblocks, _IDCT_M)
-        pix = np.clip(np.round(pix + 128.0), 0, 255).astype(np.uint8)
+        center = float(1 << (precision - 1))
+        maxval = (1 << precision) - 1
+        pix = np.clip(np.round(pix + center), 0, maxval)
+        if precision > 8:
+            pix = np.floor_divide(pix, 1 << (precision - 8))
+        pix = pix.astype(np.uint8)
         full = (
             pix.reshape(cby, cbx, 8, 8)
             .transpose(0, 2, 1, 3)
@@ -759,12 +783,14 @@ def _reconstruct(
 # fixture encoder
 # ---------------------------------------------------------------------------
 
-#: encoder-side canonical tables: every DC size category (0..11) at
-#: one code length, all 162 AC run/size symbols at another — valid
-#: canonical Huffman (no all-ones code at either length), readable by
-#: any conforming decoder. Deliberately NOT the Annex-K tables.
-_ENC_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
-_ENC_DC_VALS = list(range(12))
+#: encoder-side canonical tables: every DC size category (0..12 —
+#: category 12 exists only in 12-bit frames, where T.81 table F.1
+#: extends DC SSSS; harmless-but-unused in 8-bit streams) at one code
+#: length, all 162 AC run/size symbols at another — valid canonical
+#: Huffman (no all-ones code at either length), readable by any
+#: conforming decoder. Deliberately NOT the Annex-K tables.
+_ENC_DC_BITS = [0, 0, 0, 13, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_ENC_DC_VALS = list(range(13))
 _ENC_AC_VALS = [0x00, 0xF0] + [
     (run << 4) | size for run in range(16) for size in range(1, 11)
 ]
@@ -817,6 +843,7 @@ def encode_jpeg_coeffs(
     quant: list[int] | None = None,
     restart_interval: int = 0,
     sampling: list[tuple[int, int]] | None = None,
+    precision: int = 8,
 ) -> bytes:
     """Interchange-format baseline JPEG from QUANTIZED coefficients:
     ``comp_blocks[ci]`` holds 64-long zigzag-order coefficient lists
@@ -827,8 +854,14 @@ def encode_jpeg_coeffs(
     construction — Huffman is entropy coding only — so a decoder must
     return exactly the IDCT of these coefficients; the property test
     exploits that to verify the decoder against an independent
-    reference without any closed-form fixture."""
+    reference without any closed-form fixture. ``precision=12``
+    emits an EXTENDED SEQUENTIAL frame (SOF1) with a 16-bit (Pq=1)
+    DQT — the encoder stays Huffman-only either way; callers must
+    keep DC differences within size category 11 (e.g. quantize DC by
+    8 so a full-range 12-bit constant stays representable)."""
     ncomp = len(comp_blocks)
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
     if ncomp not in (1, 3):
         raise ValueError("1 or 3 components")
     sampling = sampling or [(1, 1)] * ncomp
@@ -865,13 +898,20 @@ def encode_jpeg_coeffs(
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    zz_q = bytes(q[i] for i in range(64))  # caller passes zigzag order
-    out += _seg(0xDB, b"\x00" + zz_q)
-    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    if precision == 12:
+        # 16-bit table entries (Pq=1), the libjpeg convention for
+        # 12-bit frames — exercises the decoder's >u2 DQT branch
+        zz_q = b"".join(struct.pack(">H", q[i]) for i in range(64))
+        out += _seg(0xDB, b"\x10" + zz_q)
+    else:
+        zz_q = bytes(q[i] for i in range(64))  # caller passes zigzag order
+        out += _seg(0xDB, b"\x00" + zz_q)
+    sof = struct.pack(">BHHB", precision, h, w, ncomp)
     for c in range(ncomp):
         hi, vi = sampling[c]
         sof += bytes([c + 1, (hi << 4) | vi, 0])
-    out += _seg(0xC0, sof)
+    # 12-bit is invalid in baseline SOF0: emit extended sequential
+    out += _seg(0xC0 if precision == 8 else 0xC1, sof)
     dht = bytes([0x00]) + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS)
     dht += bytes([0x10]) + bytes(_ENC_AC_BITS) + bytes(_ENC_AC_VALS)
     out += _seg(0xC4, dht)
@@ -887,8 +927,8 @@ def encode_jpeg_coeffs(
         diff = block[0] - preds[ci]
         preds[ci] = block[0]
         size, mag = _mag_bits(diff)
-        if size > 11:
-            raise ValueError("DC difference out of 8-bit baseline range")
+        if size > (11 if precision == 8 else 12):
+            raise ValueError("DC difference out of the frame's range")
         ln, code = dc_codes[size]
         bw.write(code, ln)
         if size:
@@ -952,6 +992,7 @@ def encode_jpeg_constant_blocks(
     color: bool = True,
     restart_interval: int = 0,
     progressive: bool = False,
+    precision: int = 8,
 ) -> bytes:
     """Fixture JPEG of constant-valued 8x8 blocks: ``block_gray[mcu]``
     is the gray level of MCU ``mcu`` (raster order over the
@@ -965,25 +1006,35 @@ def encode_jpeg_constant_blocks(
     3-component interleave is exercised at no oracle cost.
     ``progressive`` routes the same coefficients through the SOF2
     multi-scan encoder (``default_progression`` script) — lossless
-    either way, so the one closed form oracles both layouts."""
+    either way, so the one closed form oracles both layouts.
+    ``precision=12`` takes 12-bit gray levels (0..4095): DC quantizes
+    by 8 (stored DC = v - 2048, within the size-11 table limit even at
+    full range), dequantization restores 8*(v-2048) exactly, and the
+    decoder's high-byte presentation makes the closed form
+    ``pixel = v >> 4``."""
     nbx, nby = (w + 7) // 8, (h + 7) // 8
     n_mcu = nbx * nby
     if len(block_gray) != n_mcu:
         raise ValueError("need one gray level per block")
+    center = 1 << (precision - 1)
+    dc_q = 8 if precision == 12 else 1
+    quant = [dc_q] + [1] * 63 if precision == 12 else None
     y_blocks = []
     for v in block_gray:
-        if not 0 <= v <= 255:
+        if not 0 <= v <= 2 * center - 1:
             raise ValueError("gray level out of range")
-        y_blocks.append([8 * (v - 128)] + [0] * 63)
+        y_blocks.append([8 * (v - center) // dc_q] + [0] * 63)
     enc = encode_jpeg_progressive if progressive else encode_jpeg_coeffs
+    kw = {"precision": precision, "quant": quant}
     if not color:
-        return enc(w, h, [y_blocks], restart_interval=restart_interval)
-    zero = [[0] * 64 for _ in range(n_mcu)]  # level-shifted 128 = DC 0
+        return enc(w, h, [y_blocks], restart_interval=restart_interval, **kw)
+    zero = [[0] * 64 for _ in range(n_mcu)]  # level-shifted center = DC 0
     return enc(
         w,
         h,
         [y_blocks, list(zero), [list(b) for b in zero]],
         restart_interval=restart_interval,
+        **kw,
     )
 
 
@@ -1038,6 +1089,7 @@ def encode_jpeg_progressive(
     restart_interval: int = 0,
     sampling: list[tuple[int, int]] | None = None,
     scans: list[tuple[tuple[int, ...], int, int, int, int]] | None = None,
+    precision: int = 8,
 ) -> bytes:
     """Progressive (SOF2) JPEG from the same QUANTIZED zigzag-order
     coefficient layout ``encode_jpeg_coeffs`` takes. The scan script
@@ -1049,8 +1101,13 @@ def encode_jpeg_progressive(
     IDCT. Implements T.81 G.1.2: DC DPCM on the point-transformed
     value, AC spectral bands with EOBn end-of-band runs (capped at
     32767), and the refinement-scan control flow (ZRL-over-zero-
-    history, buffered correction bits, EOB-period bit carrying)."""
+    history, buffered correction bits, EOB-period bit carrying).
+    ``precision=12`` emits a 12-bit progressive frame (SOF2 allows 8
+    or 12) with a 16-bit DQT, same contract as the sequential
+    encoder."""
     ncomp = len(comp_blocks)
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
     if ncomp not in (1, 3):
         raise ValueError("1 or 3 components")
     sampling = sampling or [(1, 1)] * ncomp
@@ -1081,8 +1138,13 @@ def encode_jpeg_progressive(
 
     out = bytearray(b"\xff\xd8")
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += _seg(0xDB, b"\x00" + bytes(q[i] for i in range(64)))
-    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    if precision == 12:  # 16-bit entries, as in the sequential encoder
+        out += _seg(
+            0xDB, b"\x10" + b"".join(struct.pack(">H", q[i]) for i in range(64))
+        )
+    else:
+        out += _seg(0xDB, b"\x00" + bytes(q[i] for i in range(64)))
+    sof = struct.pack(">BHHB", precision, h, w, ncomp)
     for c in range(ncomp):
         hi, vi = sampling[c]
         sof += bytes([c + 1, (hi << 4) | vi, 0])

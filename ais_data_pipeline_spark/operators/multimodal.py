@@ -466,10 +466,11 @@ def decode_pixels_array(data: bytes):
     progressive, incl. 4:2:0/4:2:2 subsampled chroma; PNG EVERY
     spec layout — truecolor/palette/grayscale ± alpha, 1/2/4/8/16
     bit, Adam7 — as of round 13; GIF incl. LZW, interlace, and
-    first-frame compositing with background + transparency) decode
-    natively (numpy + stdlib ``zlib``/``struct``); the only remaining
-    PIL fall-through is arithmetic-coded / 12-bit JPEG; anything else
-    is the explicit honest-stub contract."""
+    first-frame compositing with background + transparency; JPEG at
+    8-bit AND 12-bit precision) decode natively (numpy + stdlib
+    ``zlib``/``struct``); the only remaining PIL fall-through is
+    arithmetic-coded / hierarchical JPEG; anything else is the
+    explicit honest-stub contract."""
     if data[:2] == b"P6":
         return _parse_ppm(data), "ppm"
     if data[:2] == b"BM":
@@ -490,8 +491,9 @@ def decode_pixels_array(data: bytes):
         try:
             return parse_jpeg(data), "jpeg"
         except NotImplementedError:
-            # arithmetic-coded/12-bit/fractional-ratio: PIL
-            # fall-through, same convention as the PNG exotic variants
+            # arithmetic-coded/hierarchical/fractional-ratio: PIL
+            # fall-through — the last image-tier exotics (12-bit
+            # decodes natively as of round 13)
             pass
     try:  # exotic-variant hook: only taken where PIL exists
         import io

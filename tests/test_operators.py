@@ -673,6 +673,104 @@ def test_jpeg_decode_baseline_and_contracts(spark):
         assert r["sum_r"] == r["sum_g"] == r["sum_b"] == s, i
 
 
+def test_jpeg_12bit_precision():
+    """Round-13: 12-bit sample precision decodes natively — extended
+    sequential (SOF1) and progressive (SOF2), 16-bit (Pq=1) DQT
+    entries, level shift at 2048, clamp to 0..4095, high-byte (>>4)
+    presentation. Closed-form constant fixtures, an independent-IDCT
+    check on general coefficients, 4:2:0 geometry, seq==prog
+    losslessness, corrupt-header guards, and fuzz."""
+    import numpy as np
+    import pytest as _pytest
+
+    from ais_data_pipeline_spark.operators.jpeg import (
+        _IDCT_M,
+        _ZIGZAG_FLAT,
+        encode_jpeg_coeffs,
+        encode_jpeg_constant_blocks,
+        encode_jpeg_progressive,
+        parse_jpeg,
+    )
+
+    # constant-block closed form: pixel = v >> 4, full 12-bit range
+    vals = [0, 1, 2048, 4095]
+    b = encode_jpeg_constant_blocks(16, 16, vals, color=False, precision=12)
+    assert b"\xff\xc1" in b and b"\xff\xc0" not in b  # SOF1, not SOF0
+    i = b.index(b"\xff\xdb")
+    assert b[i + 4] == 0x10  # Pq=1: 16-bit quant entries
+    a = parse_jpeg(b)
+    for mcu, v in enumerate(vals):
+        y, x = divmod(mcu, 2)
+        assert (a[y * 8 : (y + 1) * 8, x * 8 : (x + 1) * 8] == v >> 4).all()
+    # color variant: chroma centered at 2048 → R=G=B=Y after the shift
+    a = parse_jpeg(
+        encode_jpeg_constant_blocks(16, 8, [1000, 3000], color=True, precision=12)
+    )
+    assert (a[:, :8] == 62).all() and (a[:, 8:] == 187).all()
+
+    # general coefficients vs an independent reference IDCT at 12-bit
+    rng = np.random.default_rng(13)
+    blocks = [[int(x) for x in rng.integers(-200, 200, 64)] for _ in range(2)]
+    blocks[0][0] = 500
+    blocks[1][0] = -700
+    got = parse_jpeg(encode_jpeg_coeffs(16, 8, [blocks], precision=12))
+    want = np.zeros((8, 16))
+    for bi, blk in enumerate(blocks):
+        f = np.zeros(64)
+        f[_ZIGZAG_FLAT] = blk
+        pix = np.clip(np.round(_IDCT_M @ f.reshape(8, 8) @ _IDCT_M.T + 2048), 0, 4095)
+        want[:, bi * 8 : (bi + 1) * 8] = np.floor_divide(pix, 16)
+    assert (got[:, :, 0] == want.astype(np.uint8)).all()
+
+    # 4:2:0 at 12-bit exercises the interleaved MCU walk
+    yb = [[int(x) for x in rng.integers(-100, 100, 64)] for _ in range(4)]
+    got = parse_jpeg(
+        encode_jpeg_coeffs(
+            16, 16, [yb, [[0] * 64], [[0] * 64]],
+            sampling=[(2, 2), (1, 1), (1, 1)], precision=12,
+        )
+    )
+    assert got.shape == (16, 16, 3)
+
+    # progressive 12-bit: same scan algebra, same closed form, and
+    # bit-identical to the sequential decode of identical coefficients
+    bp = encode_jpeg_constant_blocks(
+        16, 16, vals, color=True, precision=12, progressive=True
+    )
+    ap = parse_jpeg(bp)
+    for mcu, v in enumerate(vals):
+        y, x = divmod(mcu, 2)
+        assert (ap[y * 8 : (y + 1) * 8, x * 8 : (x + 1) * 8] == v >> 4).all()
+    assert (
+        parse_jpeg(encode_jpeg_coeffs(16, 8, [yb[:2]], precision=12))
+        == parse_jpeg(encode_jpeg_progressive(16, 8, [yb[:2]], precision=12))
+    ).all()
+
+    # corrupt headers: 12-bit under SOF0, and precisions T.81 does not
+    # define for DCT processes
+    bad = bytearray(encode_jpeg_constant_blocks(8, 8, [100]))
+    j = bad.index(b"\xff\xc0")
+    bad[j + 4] = 12
+    with _pytest.raises(ValueError, match="baseline SOF0"):
+        parse_jpeg(bytes(bad))
+    for p in (16, 10, 0):
+        bad[j + 4] = p
+        with _pytest.raises(ValueError, match="sample precision"):
+            parse_jpeg(bytes(bad))
+    with _pytest.raises(ValueError, match="precision must be 8 or 12"):
+        encode_jpeg_coeffs(8, 8, [[[0] * 64]], precision=10)
+
+    # fuzz-lite over the 12-bit stream: documented classes only
+    for _ in range(200):
+        fz = bytearray(b)
+        for _k in range(int(rng.integers(1, 4))):
+            fz[int(rng.integers(0, len(fz)))] = int(rng.integers(0, 256))
+        try:
+            parse_jpeg(bytes(fz))
+        except (ValueError, NotImplementedError):
+            pass
+
+
 def test_jpeg_exotic_variant_contract():
     """Out-of-scope JPEG variants must reach the PIL hook in the
     dispatcher (PNG exotic-variant convention): with PIL absent that
