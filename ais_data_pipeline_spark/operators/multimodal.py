@@ -655,6 +655,12 @@ def png_dims(doc_id: int) -> tuple[int, int]:
     return 4 + doc_id % 12, 4 + doc_id % 6
 
 
+def gif_dims(doc_id: int) -> tuple[int, int]:
+    # w varies the LZW phrase structure; h >= 4 exercises all four
+    # interlace passes on odd (interlaced) ids
+    return 5 + doc_id % 9, 4 + doc_id % 6
+
+
 def jpeg_dims(doc_id: int) -> tuple[int, int]:
     # w % 8 and h % 8 vary so partial right/bottom blocks (decoder
     # crop of the ceil-to-8 block grid) are exercised
@@ -831,9 +837,13 @@ def make_image_fixture(
     JPEG bytes whose logical raster follows ``synth_pixel_value``
     (``jpeg_block_gray`` for JPEG's per-block constants).
     ``fmt='mixed'`` routes even doc_ids to PPM and odd to BMP;
-    ``fmt='mixed3'`` routes doc_id % 3 over PPM/BMP/PNG (the
+    ``fmt='mixed3'`` routes doc_id % 3 over PPM/BMP/PNG;
+    ``fmt='mixed4'`` routes doc_id % 4 over PPM/BMP/PNG/GIF (the
     format-dispatch fixture since round 13 — PNG joined when
-    image_pixel_stats_png folded into the dispatch row);
+    image_pixel_stats_png folded into the dispatch row, GIF the same
+    round: a 256-entry palette whose entry c is
+    ``synth(doc_id, c..c+2)`` with index ``(3p) % 256`` reproduces
+    the SAME closed-form raster, odd ids interlaced);
     ``fmt='png'`` encodes even doc_ids as
     RGB (color type 2) and odd as RGBA (type 6) so both truecolor
     layouts hit the decoder; ``fmt='jpeg'`` encodes even doc_ids as
@@ -872,12 +882,28 @@ def make_image_fixture(
                             progressive=prog,
                         )
                     )
-                elif fmt == "png" or (fmt == "mixed3" and i % 3 == 2):
+                elif fmt == "png" or (
+                    fmt == "mixed3" and i % 3 == 2
+                ) or (fmt == "mixed4" and i % 4 == 2):
                     payloads.append(encode_png(i, *png_dims(i), rgba=i % 2 == 1))
+                elif fmt == "mixed4" and i % 4 == 3:
+                    from ais_data_pipeline_spark.operators.gif import encode_gif
+
+                    w, h = gif_dims(i)
+                    pal = bytes(
+                        synth_pixel_value(i, c + j)
+                        for c in range(256)
+                        for j in range(3)
+                    )
+                    idx = [(3 * p) % 256 for p in range(w * h)]
+                    payloads.append(
+                        encode_gif(idx, pal, w, h, interlace=i % 2 == 1)
+                    )
                 elif (
                     fmt == "ppm"
                     or (fmt == "mixed" and i % 2 == 0)
                     or (fmt == "mixed3" and i % 3 == 0)
+                    or (fmt == "mixed4" and i % 4 == 0)
                 ):
                     payloads.append(encode_ppm(i, *ppm_dims(i)))
                 else:

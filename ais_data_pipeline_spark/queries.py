@@ -98,7 +98,8 @@ def register(name: str, oracle: str | None, description: str):
 # semantics changed since their last driver check outrank oldest-first.
 # Concretely:
 #   - image_pixel_stats_png left the registry (round-13 swap: its PNG
-#     decode folds into image_format_dispatch's widened mixed3 corpus;
+#     decode folds into image_format_dispatch's widened corpus (mixed3
+#     at swap time, widened again to mixed4 with GIF later in r13);
 #     fold note at the retirement site) -> 49 due rows remain.
 #   - image_pixel_stats_jpeg left the registry (swap: baseline-JPEG
 #     decode folds into frame_pixel_stats, which runs the same
@@ -107,7 +108,7 @@ def register(name: str, oracle: str | None, description: str):
 #   - IN (changed-row-first): audio_meta (r13 parse_error branch +
 #     real-parser dispatch), audio_pcm_stats (r12 float32/EXTENSIBLE
 #     rewrite postdates its r11 row), image_format_dispatch (r13
-#     mixed3 corpus), and the two NEW swap rows audio_container_meta
+#     mixed3-then-mixed4 corpus), and the two NEW swap rows audio_container_meta
 #     and frame_pixel_stats.
 #   - DEFERRED to r14 (displaced by the five above): above_avg_orders,
 #     custdist, large_orders, nation_pair_volume — pure SQL-shape
@@ -9289,12 +9290,13 @@ def q_image_luma_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH dims AS (
       SELECT doc_id,
-             CASE doc_id % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
-                  ELSE 'png' END AS format,
-             CASE doc_id % 3 WHEN 0 THEN 4 + doc_id % 13
+             CASE doc_id % 4 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+                  WHEN 2 THEN 'png' ELSE 'gif' END AS format,
+             CASE doc_id % 4 WHEN 0 THEN 4 + doc_id % 13
                   WHEN 1 THEN 4 + doc_id % 11
-                  ELSE 4 + doc_id % 12 END AS w,
-             CASE doc_id % 3 WHEN 0 THEN 4 + doc_id % 7
+                  WHEN 2 THEN 4 + doc_id % 12
+                  ELSE 5 + doc_id % 9 END AS w,
+             CASE doc_id % 4 WHEN 0 THEN 4 + doc_id % 7
                   WHEN 1 THEN 4 + doc_id % 5
                   ELSE 4 + doc_id % 6 END AS h
       FROM documents
@@ -9309,13 +9311,14 @@ def q_image_luma_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM px GROUP BY format ORDER BY format
     """,
     "Magic-byte format dispatch through the real decoder: a mixed "
-    "PPM/BMP/PNG corpus (doc_id % 3; PNG joined round 13 when "
-    "image_pixel_stats_png folded into this row — zlib inflate, all "
-    "five scanline filters, RGB + RGBA strides all still raster-sum-"
-    "sensitive here) decoded by one decode_image_pixels pass whose "
-    "internal dispatch picks the parser per blob; per-format doc "
-    "counts, pixel totals, and raster sums prove every branch against "
-    "the closed-form oracle.",
+    "PPM/BMP/PNG/GIF corpus (doc_id % 4; PNG joined round 13 when "
+    "image_pixel_stats_png folded into this row — zlib inflate, five "
+    "scanline filters, RGB + RGBA strides; GIF joined the same round "
+    "— variable-width LZW through a 256-entry synth palette, odd ids "
+    "4-pass interlaced, all raster-sum-sensitive here) decoded by one "
+    "decode_image_pixels pass whose internal dispatch picks the "
+    "parser per blob; per-format doc counts, pixel totals, and raster "
+    "sums prove every branch against the closed-form oracle.",
 )
 def q_image_format_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ais_data_pipeline_spark.operators.multimodal import (
@@ -9324,7 +9327,7 @@ def q_image_format_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = read_table(spark, sf_dir, "documents")
-    px = decode_image_pixels(make_image_fixture(d, fmt="mixed3"))
+    px = decode_image_pixels(make_image_fixture(d, fmt="mixed4"))
     return (
         px.groupBy("format")
         .agg(
