@@ -991,7 +991,7 @@ def decode_audio_meta(
             parse_ogg_audio_meta,
         )
         from ais_data_pipeline_spark.operators.mp3 import parse_mp3_meta
-        from ais_data_pipeline_spark.operators.wav import parse_wav
+        from ais_data_pipeline_spark.operators.wav import parse_wav_full
 
         # Container branches fail SOFT (round-13 review): magic bytes
         # are a routing hint, not a guarantee — WebP/AVI share 'RIFF',
@@ -1005,9 +1005,8 @@ def decode_audio_meta(
                 m = parse_ogg_audio_meta(payload)
                 return m["sample_rate"], m["n_channels"], m["duration_ms"], m["codec"]
             if payload[:4] == b"RIFF":
-                frames, rate, bits = parse_wav(payload)
+                frames, rate, _bits, codec = parse_wav_full(payload)
                 dur = frames.shape[0] * 1000 // rate
-                codec = "pcm_f32le" if frames.dtype.kind == "f" else f"pcm_{bits}bit"
                 return rate, frames.shape[1], dur, codec
             if payload[:3] == b"ID3" or (
                 len(payload) >= 2

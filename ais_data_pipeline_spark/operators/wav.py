@@ -9,9 +9,13 @@ wrapper any encoder writes for >2 channels or >16-bit), dispatched on
 the SubFormat GUID. Scope stays what a ``struct`` + numpy parser can
 own exactly: RIFF/WAVE chunk walk (unknown chunks skipped, odd-length
 chunks padded per the RIFF spec), integer PCM at 8 (unsigned)/16/24
-bit, float32 in [-1, 1]. ADPCM, float64, 32-bit integer PCM, and
-unknown SubFormat GUIDs raise the honest ``NotImplementedError`` —
-the same exotic-variant convention as the JPEG/PNG decoders.
+bit, float32 in [-1, 1], and (round 13) IMA/DVI ADPCM — the real
+4-bit predictor/step-index recurrence, decoded vectorized across
+blocks x channels (blocks are independent, so the per-sample Python
+loop runs numpy ops over every block at once) with fact-chunk frame
+trimming. float64, 32-bit integer PCM, and unknown SubFormat GUIDs
+raise the honest ``NotImplementedError`` — the same exotic-variant
+convention as the JPEG decoder.
 
 Amplitudes are normalized to the SIGNED convention on decode: 16/24-
 bit samples are already signed; 8-bit WAV is unsigned with a 128
@@ -49,14 +53,89 @@ _KSDATAFORMAT_TAIL = bytes(
 )
 
 
-def _parse_fmt(body: bytes, size: int) -> tuple[int, int, int]:
-    """fmt chunk body -> (n_channels, sample_rate, bits) with the
-    format code resolved (EXTENSIBLE unwrapped via its SubFormat GUID);
-    bits == 32 always means float32 here, since 32-bit integer PCM is
-    out of scope."""
+#: IMA/DVI ADPCM step-size table (89 entries) and index-adjust table,
+#: from the public IMA "Recommended Practices for Enhancing Digital
+#: Audio Compatibility" reference algorithm (also RFC 3551 §4.5.1's
+#: DVI4 citation) — standardized constants, not derivable in closed
+#: form (a quantized ~1.1x geometric ladder with spec'd rounding)
+_IMA_STEPS = np.array(
+    [7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+     37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+     157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+     544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+     1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+     4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+     12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+     29794, 32767],
+    dtype=np.int64,
+)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+
+
+def _decode_ima_adpcm(raw: bytes, nch: int, block_align: int) -> np.ndarray:
+    """IMA ADPCM ``data`` bytes -> (n_frames, nch) int32 frames at the
+    16-bit predictor scale. WAV block layout: per channel a 4-byte
+    header (int16 LE predictor = the block's FIRST sample, uint8 step
+    index, reserved), then the coded nibbles in 4-byte-per-channel
+    interleaved groups, low nibble first. The predictor recurrence is
+    sequential per stream, but blocks (and channels) are independent —
+    so the loop below runs once per SAMPLE POSITION with numpy over
+    ALL blocks x channels at once: per-payload cost is O(samples/block)
+    Python iterations, not O(total samples) — the same
+    vectorize-across-independent-units shape as the multi-block IDCT."""
+    if block_align < 4 * nch + 4 * nch or block_align % (4 * nch):
+        # need the per-channel header plus at least one 4-byte data
+        # group per channel, and whole groups only
+        raise ValueError("bad IMA ADPCM block alignment")
+    if len(raw) == 0 or len(raw) % block_align:
+        raise ValueError("IMA ADPCM data is not a whole number of blocks")
+    nblk = len(raw) // block_align
+    blocks = np.frombuffer(raw, dtype=np.uint8).reshape(nblk, block_align)
+    hdr = blocks[:, : 4 * nch].reshape(nblk, nch, 4)
+    pred = (
+        hdr[:, :, 0].astype(np.int64) | (hdr[:, :, 1].astype(np.int64) << 8)
+    )
+    pred -= (pred >= 1 << 15) * (1 << 16)  # int16 two's complement
+    idx = hdr[:, :, 2].astype(np.int64)
+    if int(idx.max(initial=0)) > 88:
+        raise ValueError("IMA ADPCM step index out of range")
+    data = blocks[:, 4 * nch :]
+    ngroups = data.shape[1] // (4 * nch)
+    # [block, group, channel, byte] -> nibbles low-first ->
+    # [block, channel, sample]
+    grouped = data.reshape(nblk, ngroups, nch, 4)
+    nib = np.stack([grouped & 0x0F, grouped >> 4], axis=-1).reshape(
+        nblk, ngroups, nch, 8
+    )
+    nib = nib.transpose(0, 2, 1, 3).reshape(nblk, nch, ngroups * 8)
+    spb = 1 + ngroups * 8  # header sample + coded samples per block
+    out = np.empty((nblk, spb, nch), dtype=np.int64)
+    out[:, 0, :] = pred
+    for s in range(ngroups * 8):
+        step = _IMA_STEPS[idx]
+        d = nib[:, :, s].astype(np.int64)
+        diff = (
+            (step >> 3)
+            + np.where(d & 4, step, 0)
+            + np.where(d & 2, step >> 1, 0)
+            + np.where(d & 1, step >> 2, 0)
+        )
+        pred = np.clip(
+            pred + np.where(d & 8, -diff, diff), -32768, 32767
+        )
+        idx = np.clip(idx + _IMA_INDEX[d & 7], 0, 88)
+        out[:, s + 1, :] = pred
+    return out.reshape(nblk * spb, nch).astype(np.int32)
+
+
+def _parse_fmt(body: bytes, size: int) -> tuple[int, int, int, int, int]:
+    """fmt chunk body -> (code, n_channels, sample_rate, bits,
+    block_align) with the format code resolved (EXTENSIBLE unwrapped
+    via its SubFormat GUID); bits == 32 always means float32 here,
+    since 32-bit integer PCM is out of scope."""
     if size < 16:
         raise ValueError("short fmt chunk")
-    code, nch, rate, _brate, _balign, bits = struct.unpack_from("<HHIIHH", body, 0)
+    code, nch, rate, _brate, balign, bits = struct.unpack_from("<HHIIHH", body, 0)
     if code == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: real code is in the GUID
         if size < 40:
             raise ValueError("short WAVE_FORMAT_EXTENSIBLE fmt chunk")
@@ -87,33 +166,46 @@ def _parse_fmt(body: bytes, size: int) -> tuple[int, int, int]:
             raise NotImplementedError(
                 f"{bits}-bit float WAV not supported (float32 only)"
             )
+    elif code == 0x11:  # IMA/DVI ADPCM (round 13)
+        if bits != 4:
+            raise ValueError(
+                f"IMA ADPCM declares {bits}-bit samples (must be 4)"
+            )
     else:
         raise NotImplementedError(
-            f"WAV format code {code} not supported (integer or float32 PCM only)"
+            f"WAV format code {code} not supported "
+            "(integer/float32 PCM or IMA ADPCM)"
         )
     if nch == 0 or rate == 0:
         raise ValueError("WAV with zero channels or sample rate")
-    return nch, rate, bits
+    return code, nch, rate, bits, balign
 
 
-def parse_wav(data: bytes) -> tuple[np.ndarray, int, int]:
-    """WAV bytes -> (frames, sample_rate, bits_per_sample).
+def parse_wav_full(data: bytes) -> tuple[np.ndarray, int, int, str]:
+    """WAV bytes -> (frames, sample_rate, bits, codec_tag).
 
     ``frames`` is ``(n_frames, n_channels)``: int32 CENTERED amplitudes
     for integer PCM (8-bit unsigned samples are shifted by -128; 16-bit
     and 24-bit LE two's-complement samples pass through), float32 in
     native [-1, 1] scale for IEEE-float PCM — the dtype tells the two
     apart (bits == 32 is always float, since 32-bit integer PCM stays
-    out of scope). Real parser: RIFF header check, chunk walk honoring
-    the even-byte padding rule, first ``fmt `` + first ``data`` chunk
-    win (later duplicates ignored, like common readers), EXTENSIBLE
-    unwrapped via the SubFormat GUID. Raises ``ValueError`` on corrupt
-    containers and ``NotImplementedError`` on out-of-scope encodings."""
+    out of scope). IMA ADPCM (format 0x11, round 13) decodes through
+    the real predictor/step-index recurrence to its 16-bit scale —
+    ``bits`` reports the DECODED amplitude width (16), ``codec_tag``
+    ('ima_adpcm' vs 'pcm_f32le'/'pcm_Nbit') keeps the container's
+    identity, and a ``fact`` chunk's sample count trims the final
+    block's padding samples when present. Real parser: RIFF header
+    check, chunk walk honoring the even-byte padding rule, first
+    ``fmt `` + first ``data`` (+ ``fact``) chunk win (later duplicates
+    ignored, like common readers), EXTENSIBLE unwrapped via the
+    SubFormat GUID. Raises ``ValueError`` on corrupt containers and
+    ``NotImplementedError`` on out-of-scope encodings."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos = 12
     fmt = None
     raw = None
+    fact_samples = None
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         (size,) = struct.unpack_from("<I", data, pos + 4)
@@ -124,14 +216,23 @@ def parse_wav(data: bytes) -> tuple[np.ndarray, int, int]:
             fmt = _parse_fmt(body, size)
         elif cid == b"data" and raw is None:
             raw = body
-        # unknown chunks (LIST, cue , fact, ...) are skipped; odd-length
+        elif cid == b"fact" and fact_samples is None and size >= 4:
+            (fact_samples,) = struct.unpack_from("<I", body, 0)
+        # unknown chunks (LIST, cue , ...) are skipped; odd-length
         # chunk bodies carry one pad byte per the RIFF spec
         pos += 8 + size + (size & 1)
     if fmt is None:
         raise ValueError("WAV missing fmt chunk")
     if raw is None:
         raise ValueError("WAV missing data chunk")
-    nch, rate, bits = fmt
+    code, nch, rate, bits, balign = fmt
+    if code == 0x11:
+        frames = _decode_ima_adpcm(raw, nch, balign)
+        if fact_samples is not None:
+            if fact_samples > frames.shape[0]:
+                raise ValueError("WAV fact chunk claims more samples than coded")
+            frames = frames[:fact_samples]
+        return frames, rate, 16, "ima_adpcm"
     bytes_per = bits // 8
     frame_bytes = bytes_per * nch
     if len(raw) % frame_bytes:
@@ -146,7 +247,15 @@ def parse_wav(data: bytes) -> tuple[np.ndarray, int, int]:
         b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).astype(np.int32)
         amps = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
         amps -= (amps >= (1 << 23)) * (1 << 24)
-    return amps.reshape(-1, nch), rate, bits
+    tag = "pcm_f32le" if bits == 32 else f"pcm_{bits}bit"
+    return amps.reshape(-1, nch), rate, bits, tag
+
+
+def parse_wav(data: bytes) -> tuple[np.ndarray, int, int]:
+    """Compatibility 3-tuple: ``parse_wav_full`` without the codec tag
+    (every pre-round-13 call site unpacks three values)."""
+    frames, rate, bits, _tag = parse_wav_full(data)
+    return frames, rate, bits
 
 
 # ---------------------------------------------------------------------------
@@ -235,6 +344,92 @@ def encode_wav(doc_id: int) -> bytes:
         junk = b"INFO" + bytes(3)  # 7 bytes: odd length forces a pad byte
         chunks += b"LIST" + struct.pack("<I", len(junk)) + junk + b"\x00"
     chunks += b"data" + struct.pack("<I", len(raw)) + raw
+    if len(raw) & 1:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def encode_ima_adpcm_wav(
+    frames: "np.ndarray", rate: int, block_align: int = 256
+) -> bytes:
+    """Canonical IMA ADPCM encoder over int16 frames ``(n, nch)`` —
+    the fixture twin of ``_decode_ima_adpcm``. Each block header
+    carries the channel's FIRST sample verbatim plus the carried step
+    index; subsequent samples quantize ``sample - predictor`` through
+    the step ladder (sign bit, then step / step>>1 / step>>2
+    subtraction per T.81-style magnitude bits) and update predictor /
+    index with EXACTLY the decoder's rule, so decode(encode(x))
+    equals the encoder's internal reconstruction bit-for-bit (the
+    lossy error lives between x and that reconstruction, never
+    between the two decoders). The final partial block pads by
+    repeating the last sample; a ``fact`` chunk records the true
+    frame count so the decoder trims the padding."""
+    frames = np.asarray(frames, dtype=np.int64)
+    if frames.ndim != 2:
+        raise ValueError("frames must be (n, nch)")
+    n, nch = frames.shape
+    if n == 0:
+        raise ValueError("empty signal")
+    if block_align % (4 * nch) or block_align < 8 * nch:
+        raise ValueError("bad block alignment for this channel count")
+    ngroups = (block_align - 4 * nch) // (4 * nch)
+    spb = 1 + ngroups * 8
+    idx = [0] * nch
+    out_blocks = []
+    pos = 0
+    while pos < n:
+        chunk = frames[pos : pos + spb]
+        if chunk.shape[0] < spb:  # pad the tail by repeating the end
+            chunk = np.vstack([chunk, np.repeat(chunk[-1:], spb - chunk.shape[0], axis=0)])
+        block = bytearray()
+        nibbles: list[list[int]] = []
+        for ch in range(nch):
+            pred = int(chunk[0, ch])
+            block += struct.pack("<hBB", pred, idx[ch], 0)
+            chn = []
+            for s in range(1, spb):
+                step = int(_IMA_STEPS[idx[ch]])
+                diff = int(chunk[s, ch]) - pred
+                nib = 0
+                if diff < 0:
+                    nib = 8
+                    diff = -diff
+                if diff >= step:
+                    nib |= 4
+                    diff -= step
+                if diff >= step >> 1:
+                    nib |= 2
+                    diff -= step >> 1
+                if diff >= step >> 2:
+                    nib |= 1
+                # decoder-identical reconstruction update
+                d = (step >> 3)
+                if nib & 4:
+                    d += step
+                if nib & 2:
+                    d += step >> 1
+                if nib & 1:
+                    d += step >> 2
+                pred = max(-32768, min(32767, pred + (-d if nib & 8 else d)))
+                idx[ch] = max(0, min(88, idx[ch] + int(_IMA_INDEX[nib & 7])))
+                chn.append(nib)
+            nibbles.append(chn)
+        # interleave: 8 samples (4 bytes) per channel per group
+        for g in range(ngroups):
+            for ch in range(nch):
+                for b in range(4):
+                    lo = nibbles[ch][g * 8 + 2 * b]
+                    hi = nibbles[ch][g * 8 + 2 * b + 1]
+                    block.append(lo | (hi << 4))
+        out_blocks.append(bytes(block))
+        pos += spb
+    raw = b"".join(out_blocks)
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHHHH", 20, 0x11, nch, rate,
+        rate * block_align // spb, block_align, 4, 2, spb,
+    )
+    fact = b"fact" + struct.pack("<II", 4, n)
+    chunks = fmt + fact + b"data" + struct.pack("<I", len(raw)) + raw
     if len(raw) & 1:
         chunks += b"\x00"
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
