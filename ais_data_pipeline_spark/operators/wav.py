@@ -9,13 +9,16 @@ wrapper any encoder writes for >2 channels or >16-bit), dispatched on
 the SubFormat GUID. Scope stays what a ``struct`` + numpy parser can
 own exactly: RIFF/WAVE chunk walk (unknown chunks skipped, odd-length
 chunks padded per the RIFF spec), integer PCM at 8 (unsigned)/16/24
-bit, float32 in [-1, 1], and (round 13) IMA/DVI ADPCM — the real
+bit, float32/float64 in [-1, 1], 32-bit integer PCM (round 13 —
+told apart from float32 by the frames' dtype), and (round 13)
+IMA/DVI ADPCM — the real
 4-bit predictor/step-index recurrence, decoded vectorized across
 blocks x channels (blocks are independent, so the per-sample Python
 loop runs numpy ops over every block at once) with fact-chunk frame
-trimming. float64, 32-bit integer PCM, and unknown SubFormat GUIDs
-raise the honest ``NotImplementedError`` — the same exotic-variant
-convention as the JPEG decoder.
+trimming. Unknown format codes, padded EXTENSIBLE layouts
+(validBits < container bits), and unknown SubFormat GUIDs raise the
+honest ``NotImplementedError`` — the same exotic-variant convention
+as the JPEG decoder.
 
 Amplitudes are normalized to the SIGNED convention on decode: 16/24-
 bit samples are already signed; 8-bit WAV is unsigned with a 128
@@ -44,6 +47,8 @@ CLIP_BOUNDS = {
     8: (-128, 127),
     16: (-32768, 32767),
     24: (-(1 << 23), (1 << 23) - 1),
+    32: (-(1 << 31), (1 << 31) - 1),  # integer PCM; float32 shares the
+    # bit WIDTH but is told apart by the frames' dtype (round 13)
 }
 
 #: the fixed tail of the KSDATAFORMAT_SUBTYPE_* media GUIDs — an
@@ -159,12 +164,12 @@ def _parse_fmt(body: bytes, size: int) -> tuple[int, int, int, int, int]:
     if code == 1:
         if bits not in CLIP_BOUNDS:
             raise NotImplementedError(
-                f"{bits}-bit WAV samples not supported (8/16/24-bit integer PCM)"
+                f"{bits}-bit WAV samples not supported (8/16/24/32-bit integer PCM)"
             )
     elif code == 3:
-        if bits != 32:
+        if bits not in (32, 64):
             raise NotImplementedError(
-                f"{bits}-bit float WAV not supported (float32 only)"
+                f"{bits}-bit float WAV not supported (float32/float64)"
             )
     elif code == 0x11:  # IMA/DVI ADPCM (round 13)
         if bits != 4:
@@ -237,17 +242,23 @@ def parse_wav_full(data: bytes) -> tuple[np.ndarray, int, int, str]:
     frame_bytes = bytes_per * nch
     if len(raw) % frame_bytes:
         raise ValueError("WAV data chunk is not a whole number of frames")
-    if bits == 8:
+    if code == 3:  # IEEE float, native scale
+        amps = np.frombuffer(raw, dtype="<f4" if bits == 32 else "<f8")
+        tag = "pcm_f32le" if bits == 32 else "pcm_f64le"
+    elif bits == 8:
         amps = np.frombuffer(raw, dtype=np.uint8).astype(np.int32) - 128
+        tag = "pcm_8bit"
     elif bits == 16:
         amps = np.frombuffer(raw, dtype="<i2").astype(np.int32)
-    elif bits == 32:  # float32 (code 3; the only 32-bit layout in scope)
-        amps = np.frombuffer(raw, dtype="<f4")
+        tag = "pcm_16bit"
+    elif bits == 32:  # integer PCM (code 1 with a 32-bit container)
+        amps = np.frombuffer(raw, dtype="<i4")
+        tag = "pcm_32bit"
     else:  # 24-bit: three LE bytes per sample, two's complement
         b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).astype(np.int32)
         amps = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
         amps -= (amps >= (1 << 23)) * (1 << 24)
-    tag = "pcm_f32le" if bits == 32 else f"pcm_{bits}bit"
+        tag = "pcm_24bit"
     return amps.reshape(-1, nch), rate, bits, tag
 
 

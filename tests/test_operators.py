@@ -3780,12 +3780,32 @@ def test_wav_pcm_decode_and_contracts(spark):
     assert (frate, fbits) == (8000, 32) and fframes.dtype == np.float32
     assert fframes[:, 0].tolist() == [0.0, -1.0, -0.75]
     assert fframes[:, 1].tolist() == [0.5, 0.25, 1.0]
+    # float64 and 32-bit integer PCM decode natively as of round 13
+    # (the dtype disambiguates int32 from float32 at equal bit width);
+    # the remaining refusal at this depth class is sub-32 float
+    from ais_data_pipeline_spark.operators.wav import parse_wav_full
+
+    d64 = np.array([0.5, -1.0, 0.25], dtype="<f8").tobytes()
     f64 = b"fmt " + _struct.pack("<IHHIIHH", 16, 3, 1, 8000, 64000, 8, 64)
-    with _pytest.raises(NotImplementedError, match="float32 only"):
-        parse_wav(b"RIFF" + _struct.pack("<I", 4 + len(f64)) + b"WAVE" + f64)
+    w64 = (
+        b"RIFF" + _struct.pack("<I", 4 + len(f64) + 8 + len(d64)) + b"WAVE"
+        + f64 + b"data" + _struct.pack("<I", len(d64)) + d64
+    )
+    fr, rt, bt, tag = parse_wav_full(w64)
+    assert (rt, bt, tag) == (8000, 64, "pcm_f64le") and fr.dtype == np.float64
+    assert fr[:, 0].tolist() == [0.5, -1.0, 0.25]
+    d32 = np.array([7, -(2**31), 2**31 - 1], dtype="<i4").tobytes()
     f32 = b"fmt " + _struct.pack("<IHHIIHH", 16, 1, 1, 8000, 32000, 4, 32)
-    with _pytest.raises(NotImplementedError, match="32-bit"):
-        parse_wav(b"RIFF" + _struct.pack("<I", 4 + len(f32)) + b"WAVE" + f32)
+    w32 = (
+        b"RIFF" + _struct.pack("<I", 4 + len(f32) + 8 + len(d32)) + b"WAVE"
+        + f32 + b"data" + _struct.pack("<I", len(d32)) + d32
+    )
+    fr, rt, bt, tag = parse_wav_full(w32)
+    assert (bt, tag) == (32, "pcm_32bit") and fr.dtype == np.int32
+    assert fr[:, 0].tolist() == [7, -(2**31), 2**31 - 1]
+    f16f = b"fmt " + _struct.pack("<IHHIIHH", 16, 3, 1, 8000, 16000, 2, 16)
+    with _pytest.raises(NotImplementedError, match="float32/float64"):
+        parse_wav(b"RIFF" + _struct.pack("<I", 4 + len(f16f)) + b"WAVE" + f16f)
 
     # 24-bit PCM (round-11 widening): three-LE-byte two's complement,
     # incl. both full-scale clips and sign-boundary values
