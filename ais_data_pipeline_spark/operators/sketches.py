@@ -386,3 +386,120 @@ def histogram_quantiles(
         )
         out = hit if out is None else out.unionAll(hit)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Theta / KMV sketch (round 13): distinct-count SET EXPRESSIONS
+# ---------------------------------------------------------------------------
+
+#: hash domain of the portable 60-bit md5-prefix (shared with HLL/CMS)
+THETA_DOMAIN = 1 << 60
+
+
+def theta_hash(item: Column) -> Column:
+    """The engine's portable 60-bit hash (md5-prefix, exact integer
+    conversion) — an ANSI-SQL oracle recomputes it verbatim."""
+    return F.conv(
+        F.substring(F.md5(item.cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def theta_sketch(df: DataFrame, item_col: str, k: int = 256) -> DataFrame:
+    """KMV / theta sketch (Beyer et al. 2007 "On Synopses for Distinct-
+    Value Estimation", the Apache DataSketches theta family): the ``k``
+    smallest DISTINCT portable hashes of ``item_col``, as a ≤k-row
+    DataFrame of ``h bigint``. Unlike HLL registers it supports SET
+    EXPRESSIONS — intersection/difference cardinalities, the
+    train/test-overlap and cross-source-dedup questions a corpus audit
+    asks — because the retained hashes are a uniform sample of the
+    distinct universe below the sketch's theta.
+
+    Scale shape: an Arrow-batched per-partition partial pass keeps each
+    batch's k smallest distinct hashes (numpy ``unique`` — sorted, so
+    the merge is a slice), then the global k-smallest runs over ≤ k
+    rows per batch — the full distinct set NEVER shuffles, unlike a
+    ``count_distinct``. The result is partition-count independent: the
+    k smallest distinct hashes of a union of per-partition k-smallest
+    supersets are exactly the global k smallest."""
+    import pandas as pd
+
+    hashed = df.filter(F.col(item_col).isNotNull()).select(
+        theta_hash(F.col(item_col)).alias("h")
+    )
+
+    def partial(batches):
+        import numpy as np
+
+        best = None
+        for pdf in batches:
+            u = np.unique(pdf["h"].to_numpy())
+            best = (
+                u[:k]
+                if best is None
+                else np.unique(np.concatenate([best, u]))[:k]
+            )
+        if best is not None and best.size:
+            yield pd.DataFrame({"h": best})
+
+    partials = hashed.mapInPandas(partial, "h bigint")
+    return partials.distinct().orderBy("h").limit(k)
+
+
+def theta_stats(sk: DataFrame, k: int = 256) -> DataFrame:
+    """One-row (n, theta, est) from a sketch: exact ``n`` below ``k``
+    (the sketch IS the distinct set), else the KMV unbiased estimator
+    ``(k-1) * 2^60 / h_(k)``. The only float op is the final division
+    of two exactly-representable doubles ((k-1)*2^60 has <= ~8+60
+    significant bits but is a power-of-two multiple of a small int —
+    exact; theta rounds once at the BIGINT→DOUBLE cast, identically in
+    any IEEE engine), so the estimate is bit-identical cross-engine."""
+    return sk.agg(
+        F.count("h").alias("n"), F.max("h").alias("theta")
+    ).select(
+        "n",
+        "theta",
+        F.when(F.col("n") < k, F.col("n").cast("double"))
+        .otherwise(
+            F.lit(float((k - 1) * THETA_DOMAIN)) / F.col("theta").cast("double")
+        )
+        .alias("est"),
+    )
+
+
+def theta_intersect_estimate(
+    ska: DataFrame, skb: DataFrame, k: int = 256
+) -> DataFrame:
+    """One-row (n_common, theta, est) intersection-cardinality estimate
+    of two sketches built with the same ``k``: every retained hash is a
+    uniform sample of the distinct universe below its sketch's theta,
+    so the hashes retained by BOTH sketches estimate the overlap at
+    rate theta_min / 2^60. ``theta`` is 2^60 (exact regime) when both
+    sketches are under-full; the join result is automatically below
+    both sketch bounds, so no re-filter is needed."""
+    sa = ska.agg(F.count("h").alias("na"), F.max("h").alias("ta"))
+    sb = skb.agg(F.count("h").alias("nb"), F.max("h").alias("tb"))
+    # both sides are <= k rows; broadcast so the probe never shuffles
+    common = ska.join(F.broadcast(skb), "h").agg(
+        F.count("h").alias("n_common")
+    )
+    theta = (
+        F.when(
+            (F.col("na") < k) & (F.col("nb") < k), F.lit(THETA_DOMAIN)
+        )
+        .when(F.col("na") < k, F.col("tb"))
+        .when(F.col("nb") < k, F.col("ta"))
+        .otherwise(F.least("ta", "tb"))
+    )
+    return (
+        common.crossJoin(F.broadcast(sa))
+        .crossJoin(F.broadcast(sb))
+        .select(
+            "n_common",
+            theta.alias("theta"),
+            (
+                F.col("n_common").cast("double")
+                * F.lit(float(THETA_DOMAIN))
+                / theta.cast("double")
+            ).alias("est"),
+        )
+    )

@@ -9363,3 +9363,110 @@ def q_image_format_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pytest (truecolor/palette/gray, 8/16-bit, Adam7). The freed slot
 # carries audio_container_meta — the FLAC/Ogg/MP3 container parsers'
 # first oracle-checked driver row.
+
+
+# ---------------------------------------------------------------------------
+# Batch 28 (round 13): theta/KMV sketch set expressions — the
+# distinct-count sketch that, unlike HLL, answers INTERSECTION
+# questions (train/test vocabulary overlap, cross-source dedup rates)
+# from mergeable per-segment state. Registry grows 200 -> 201: this is
+# a new capability, not a swap.
+
+
+@register(
+    "theta_token_overlap",
+    r"""
+    WITH toks AS (
+      SELECT doc_id % 2 AS half, tok
+      FROM documents,
+           UNNEST(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                       ELSE regexp_split_to_array(lower(trim(text)), '\s+')
+                  END) AS t(tok)
+      WHERE tok <> ''
+    ), hashes AS (
+      SELECT DISTINCT half,
+             ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+      FROM toks
+    ), ska AS (
+      SELECT h FROM hashes WHERE half = 0 ORDER BY h LIMIT 256
+    ), skb AS (
+      SELECT h FROM hashes WHERE half = 1 ORDER BY h LIMIT 256
+    ), sa AS (SELECT count(*) AS na, max(h) AS ta FROM ska),
+       sb AS (SELECT count(*) AS nb, max(h) AS tb FROM skb),
+       inter AS (SELECT count(*) AS n_common FROM ska JOIN skb USING (h)),
+       exact AS (
+         SELECT count(*) AS exact_common FROM (
+           SELECT tok FROM toks WHERE half = 0
+           INTERSECT
+           SELECT tok FROM toks WHERE half = 1
+         )
+       )
+    SELECT
+      CAST(na AS BIGINT) AS n_a,
+      CAST(nb AS BIGINT) AS n_b,
+      CASE WHEN na < 256 THEN CAST(na AS DOUBLE)
+           ELSE 293994983674745978880.0 / CAST(ta AS DOUBLE) END AS est_a,
+      CASE WHEN nb < 256 THEN CAST(nb AS DOUBLE)
+           ELSE 293994983674745978880.0 / CAST(tb AS DOUBLE) END AS est_b,
+      CAST(n_common AS BIGINT) AS n_common,
+      CAST(n_common AS DOUBLE) * 1152921504606846976.0
+        / CAST(CASE WHEN na < 256 AND nb < 256 THEN 1152921504606846976
+                    WHEN na < 256 THEN tb
+                    WHEN nb < 256 THEN ta
+                    ELSE least(ta, tb) END AS DOUBLE) AS est_common,
+      CAST(exact_common AS BIGINT) AS exact_common
+    FROM sa, sb, inter, exact
+    """,
+    "Theta/KMV sketch set expressions (Beyer et al. 2007; the Apache "
+    "DataSketches theta family): k=256 smallest distinct portable "
+    "60-bit hashes per half of the corpus vocabulary, KMV estimator "
+    "(k-1)*2^60/h_(k), and the INTERSECTION estimate HLL cannot give "
+    "— retained hashes are a uniform sample below theta, so hashes in "
+    "BOTH sketches estimate vocabulary overlap at rate theta_min/2^60 "
+    "(the train/test-contamination question at 100 TB, answered from "
+    "two k-row sketches instead of a corpus-sized distinct join). "
+    "Exact overlap alongside for calibration. Bit-identical cross-"
+    "engine: exact-integer hashing/ordering, one final IEEE division; "
+    "(k-1)*2^60 = 255<<60 is exactly representable. The engine build "
+    "is an Arrow partial top-k per batch, so the distinct set never "
+    "shuffles.",
+)
+def q_theta_token_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.dedup import tokens_lower
+    from ais_data_pipeline_spark.operators.sketches import (
+        theta_intersect_estimate,
+        theta_sketch,
+        theta_stats,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(tokens_lower(F.col("text"))).alias("tok"),
+    ).filter(F.col("tok") != "")
+    ska = theta_sketch(toks.filter(F.col("half") == 0), "tok").transform(materialize)
+    skb = theta_sketch(toks.filter(F.col("half") == 1), "tok").transform(materialize)
+    sa = theta_stats(ska).select(
+        F.col("n").alias("n_a"), F.col("est").alias("est_a")
+    )
+    sb = theta_stats(skb).select(
+        F.col("n").alias("n_b"), F.col("est").alias("est_b")
+    )
+    inter = theta_intersect_estimate(ska, skb).select(
+        "n_common", F.col("est").alias("est_common")
+    )
+    exact = (
+        toks.filter(F.col("half") == 0)
+        .select("tok")
+        .intersect(toks.filter(F.col("half") == 1).select("tok"))
+        .agg(F.count("*").alias("exact_common"))
+    )
+    return (
+        sa.crossJoin(F.broadcast(sb))
+        .crossJoin(F.broadcast(inter))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "n_a", "n_b", "est_a", "est_b",
+            "n_common", "est_common", "exact_common",
+        )
+    )

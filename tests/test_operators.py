@@ -5718,3 +5718,77 @@ def test_ima_adpcm_decode(spark):
             parse_wav_full(bytes(fz))
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_theta_sketch_set_expressions(spark):
+    """Round-13: theta/KMV sketch — k smallest distinct portable
+    hashes, KMV estimator, and the intersection estimate HLL cannot
+    give. Pins: partition independence, the under-full exact regime,
+    estimator accuracy on known universes, intersection accuracy on a
+    planted overlap, and the theta selection CASE across full/under-
+    full combinations."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from ais_data_pipeline_spark.operators.sketches import (
+        THETA_DOMAIN,
+        theta_hash,
+        theta_intersect_estimate,
+        theta_sketch,
+        theta_stats,
+    )
+
+    def universe(lo, hi, parts=4):
+        return (
+            spark.range(lo, hi, 1, parts)
+            .select(F.concat(F.lit("item_"), F.col("id")).alias("v"))
+        )
+
+    # under-full: the sketch IS the distinct hash set, est exact
+    small = universe(0, 100).union(universe(0, 100))  # dups collapse
+    sk = theta_sketch(small, "v", k=256)
+    rows = [r["h"] for r in sk.collect()]
+    assert len(rows) == 100 and rows == sorted(rows)
+    st = theta_stats(sk, k=256).collect()[0]
+    assert (st["n"], st["est"]) == (100, 100.0)
+
+    # partition independence: 1 vs 13 partitions, identical retained set
+    big = universe(0, 20_000)
+    a1 = [r["h"] for r in theta_sketch(big.coalesce(1), "v", k=128).collect()]
+    a13 = [r["h"] for r in theta_sketch(big.repartition(13), "v", k=128).collect()]
+    assert a1 == a13 and len(a1) == 128
+
+    # estimator accuracy: KMV rse ~ 1/sqrt(k-2) (~9% at k=128); allow 4x
+    est = theta_stats(theta_sketch(big, "v", k=128), k=128).collect()[0]["est"]
+    assert abs(est - 20_000) / 20_000 < 0.36, est
+
+    # intersection: planted 5k-of-15k overlap between two 15k sets
+    a = universe(0, 15_000)
+    b = universe(10_000, 25_000)
+    ska = theta_sketch(a, "v", k=256)
+    skb = theta_sketch(b, "v", k=256)
+    inter = theta_intersect_estimate(ska, skb, k=256).collect()[0]
+    # rse ~ 1/sqrt(n_common in sample) — loose 2x band around 5k
+    assert 2_000 < inter["est"] < 10_000, inter["est"]
+    assert inter["theta"] < THETA_DOMAIN
+
+    # theta CASE: both under-full -> exact regime (theta = 2^60, est
+    # counts the true common hashes)
+    sa5 = theta_sketch(universe(0, 50), "v", k=256)
+    sb5 = theta_sketch(universe(25, 80), "v", k=256)
+    r = theta_intersect_estimate(sa5, sb5, k=256).collect()[0]
+    assert r["theta"] == THETA_DOMAIN and r["est"] == r["n_common"] == 25.0
+
+    # one full, one under-full (same k — the operator contract) ->
+    # the FULL side's theta bounds the sampling rate, never 2^60
+    saf = theta_sketch(universe(0, 15_000), "v", k=256)
+    sbu = theta_sketch(universe(0, 60), "v", k=256)
+    r = theta_intersect_estimate(saf, sbu, k=256).collect()[0]
+    full_theta = saf.agg(F.max("h")).collect()[0][0]
+    assert r["theta"] == full_theta
+
+    # the hash column is the shared portable md5-prefix
+    one = spark.range(1).select(theta_hash(F.lit("x")).alias("h")).collect()[0]["h"]
+    import hashlib
+    assert one == int(hashlib.md5(b"x").hexdigest()[:15], 16)
