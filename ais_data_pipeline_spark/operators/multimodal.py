@@ -61,6 +61,48 @@ def _fake_dims(digest: bytes) -> tuple[int, int]:
     return w, h
 
 
+def parse_webp_meta(data: bytes) -> tuple[int, int, str]:
+    """WebP container header -> (width, height, variant), pure struct.
+    Walks the RIFF chunks inside 'WEBP' and reads the first image
+    header: 'VP8 ' (lossy — 3-byte frame tag, the 9D 01 2A keyframe
+    start code, then 14-bit width/height in two LE uint16s), 'VP8L'
+    (lossless — 0x2F signature, then width-1/height-1 as 14-bit fields
+    of one LE uint32), or 'VP8X' (extended — 24-bit LE canvas
+    width-1/height-1 after the flags). Coded-pixel decode stays the
+    honest codec line (VP8 is an arithmetic-coded video intra frame);
+    the dims + variant are what a corpus audit needs."""
+    import struct as _struct
+
+    if len(data) < 16 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP payload")
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = _struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError(f"truncated WebP chunk {cid!r}")
+        if cid == b"VP8 ":
+            if size < 10 or body[3:6] != b"\x9d\x01\x2a":
+                raise ValueError("bad VP8 keyframe header")
+            (w16,) = _struct.unpack_from("<H", body, 6)
+            (h16,) = _struct.unpack_from("<H", body, 8)
+            return w16 & 0x3FFF, h16 & 0x3FFF, "vp8"
+        if cid == b"VP8L":
+            if size < 5 or body[0] != 0x2F:
+                raise ValueError("bad VP8L signature")
+            (bits,) = _struct.unpack_from("<I", body, 1)
+            return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1, "vp8l"
+        if cid == b"VP8X":
+            if size < 10:
+                raise ValueError("short VP8X chunk")
+            w = int.from_bytes(body[4:7], "little") + 1
+            h = int.from_bytes(body[7:10], "little") + 1
+            return w, h, "vp8x"
+        pos += 8 + size + (size & 1)  # RIFF even-byte padding
+    raise ValueError("WebP without an image header chunk")
+
+
 def decode_image_meta(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -69,17 +111,34 @@ def decode_image_meta(
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = pdf[payload_col]
-            digests = [hashlib.sha256(bytes(p)).digest() for p in payloads]
-            dims = [_fake_dims(d) for d in digests]
+            payloads = [bytes(p) for p in pdf[payload_col]]
+            digests = [hashlib.sha256(p).digest() for p in payloads]
+            dims = []
+            fmts = []
+            for p, d in zip(payloads, digests):
+                if p[:4] == b"RIFF" and p[8:12] == b"WEBP":
+                    # real header parse (round 13); soft-fail like the
+                    # audio tier — one corrupt blob is a quarantine
+                    # row, not a dead job
+                    try:
+                        w, h, variant = parse_webp_meta(p)
+                        dims.append((w, h))
+                        fmts.append(f"webp_{variant}")
+                        continue
+                    except ValueError:
+                        dims.append((0, 0))
+                        fmts.append("parse_error")
+                        continue
+                dims.append(_fake_dims(d))
+                fmts.append("stub")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
-                    "n_bytes": [len(bytes(p)) for p in payloads],
+                    "n_bytes": [len(p) for p in payloads],
                     "sha256": [d.hex() for d in digests],
                     "width": [w for w, _ in dims],
                     "height": [h for _, h in dims],
-                    "format": ["stub" for _ in digests],
+                    "format": fmts,
                 }
             )
 
@@ -924,6 +983,8 @@ _MAGIC_PREFIX = [
     ("89504E47", 1, "image/png"),
     ("FFD8FF", 1, "image/jpeg"),
     ("47494638", 1, "image/gif"),  # 'GIF8' (round 12)
+    ("57454250", 17, "image/webp"),  # 'WEBP' at byte 8 — MUST
+    # precede the bare-RIFF arm (WebP is a RIFF container too)
     ("52494646", 1, "audio/wav"),  # RIFF container
     ("494433", 1, "audio/mp3"),  # ID3 tag
     # bare MPEG audio frame syncs (no ID3 tag): the common MPEG-1/2

@@ -3631,11 +3631,12 @@ def q_subsequence_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH payloads AS (
       SELECT doc_id,
-             CASE doc_id % 5
-               WHEN 0 THEN '\x89PNG\x0D\x0A'::BLOB || encode(text)
-               WHEN 1 THEN '\xFF\xD8\xFF\xE0'::BLOB || encode(text)
-               WHEN 2 THEN 'RIFF'::BLOB || encode(text)
-               WHEN 3 THEN '\x00\x00\x00\x18ftyp'::BLOB || encode(text)
+             CASE
+               WHEN doc_id % 10 = 7 THEN 'RIFF\x00\x00\x00\x00WEBP'::BLOB || encode(text)
+               WHEN doc_id % 5 = 0 THEN '\x89PNG\x0D\x0A'::BLOB || encode(text)
+               WHEN doc_id % 5 = 1 THEN '\xFF\xD8\xFF\xE0'::BLOB || encode(text)
+               WHEN doc_id % 5 = 2 THEN 'RIFF'::BLOB || encode(text)
+               WHEN doc_id % 5 = 3 THEN '\x00\x00\x00\x18ftyp'::BLOB || encode(text)
                ELSE encode(text)
              END AS payload
       FROM documents
@@ -3644,6 +3645,7 @@ def q_subsequence_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE
                WHEN substring(hex(payload), 1, 8) = '89504E47' THEN 'image/png'
                WHEN substring(hex(payload), 1, 6) = 'FFD8FF' THEN 'image/jpeg'
+               WHEN substring(hex(payload), 17, 8) = '57454250' THEN 'image/webp'
                WHEN substring(hex(payload), 1, 8) = '52494646' THEN 'audio/wav'
                WHEN substring(hex(payload), 1, 6) = '494433' THEN 'audio/mp3'
                WHEN substring(hex(payload), 9, 8) = '66747970' THEN 'video/mp4'
@@ -3656,8 +3658,9 @@ def q_subsequence_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(n_bytes) AS BIGINT) AS total_bytes
     FROM sniffed GROUP BY media_type
     """,
-    "Multimodal routing: magic-byte media-type sniff (PNG/JPEG/RIFF/"
-    "ID3/ftyp) as one codegen'd when-chain over the binary payload — "
+    "Multimodal routing: magic-byte media-type sniff (PNG/JPEG/WebP/"
+    "RIFF/ID3/ftyp; the WebP arm precedes bare RIFF since both share "
+    "the magic — round 13) as one codegen'd when-chain over the binary payload — "
     "the dispatch in front of per-modality decode stages. Payloads "
     "synthesized with real container magics over the documents table; "
     "both engines sniff the same bytes.",
@@ -3670,7 +3673,8 @@ def q_media_type_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = with_binary_payload(read_table(spark, sf_dir, "documents"), "text")
     magic = (
-        F.when(F.col("doc_id") % 5 == 0, F.lit(bytes([0x89]) + b"PNG\r\n"))
+        F.when(F.col("doc_id") % 10 == 7, F.lit(b"RIFF" + bytes(4) + b"WEBP"))
+        .when(F.col("doc_id") % 5 == 0, F.lit(bytes([0x89]) + b"PNG\r\n"))
         .when(F.col("doc_id") % 5 == 1, F.lit(bytes([0xFF, 0xD8, 0xFF, 0xE0])))
         .when(F.col("doc_id") % 5 == 2, F.lit(b"RIFF"))
         .when(F.col("doc_id") % 5 == 3, F.lit(bytes([0, 0, 0, 0x18]) + b"ftyp"))

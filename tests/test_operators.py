@@ -5864,3 +5864,79 @@ def test_g711_meta_codec_tag(spark):
         local_df(spark, [(1, bytearray(wav))], "doc_id bigint, payload binary")
     ).collect()[0]
     assert row["codec"] == "pcm_alaw" and row["duration_ms"] == 128
+
+
+def test_webp_meta_and_routing(spark):
+    """Round-13: WebP shares the RIFF magic — the router now checks
+    'WEBP' at byte 8 BEFORE the bare-RIFF (wav) arm, and the image
+    metadata tier reads real dims from all three header variants
+    (VP8 lossy 14-bit fields behind the 9D 01 2A start code, VP8L
+    packed LE uint32, VP8X 24-bit canvas). Hand-built spec pins;
+    corrupt containers soft-fail to a quarantine row."""
+    import struct as _struct
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from ais_data_pipeline_spark.localrel import local_df
+    from ais_data_pipeline_spark.operators.multimodal import (
+        decode_image_meta,
+        media_type_col,
+        parse_webp_meta,
+    )
+
+    def webp(chunks):
+        body = b"WEBP" + chunks
+        return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + _struct.pack("<I", len(body)) + body + pad
+
+    vp8 = (
+        b"\x00\x00\x00" + b"\x9d\x01\x2a"
+        + _struct.pack("<HH", 640 | 0x4000, 480) + b"\x00" * 4
+    )  # scale bits (14-15) must be masked out of the width
+    assert parse_webp_meta(webp(chunk(b"VP8 ", vp8))) == (640, 480, "vp8")
+    vp8l = bytes([0x2F]) + _struct.pack("<I", 99 | (49 << 14))
+    assert parse_webp_meta(webp(chunk(b"VP8L", vp8l))) == (100, 50, "vp8l")
+    vp8x = b"\x00" * 4 + (1919).to_bytes(3, "little") + (1079).to_bytes(3, "little")
+    # an odd-length leading chunk pins the RIFF pad-byte walk
+    odd = chunk(b"ICCP", b"\x01\x02\x03")
+    assert parse_webp_meta(webp(odd + chunk(b"VP8X", vp8x))) == (1920, 1080, "vp8x")
+
+    with _pytest.raises(ValueError, match="start code|VP8 keyframe"):
+        parse_webp_meta(webp(chunk(b"VP8 ", b"\x00\x00\x00\x00\x00\x00" + b"\x00" * 6)))
+    with _pytest.raises(ValueError, match="truncated"):
+        parse_webp_meta(webp(chunk(b"VP8 ", vp8))[:-3])
+    with _pytest.raises(ValueError, match="not a WebP"):
+        parse_webp_meta(b"RIFF\x00\x00\x00\x00WAVE")
+
+    # router: WebP wins over the bare-RIFF wav arm; wav unaffected
+    rows = local_df(
+        spark,
+        [
+            (1, bytearray(webp(chunk(b"VP8L", vp8l)))),
+            (2, bytearray(b"RIFF\x10\x00\x00\x00WAVEfmt ....")),
+        ],
+        "doc_id bigint, payload binary",
+    )
+    got = {r["doc_id"]: r["mt"] for r in rows.select(
+        "doc_id", media_type_col(F.col("payload")).alias("mt")).collect()}
+    assert got == {1: "image/webp", 2: "audio/wav"}
+
+    # meta tier: real dims for WebP, quarantine for a corrupt one,
+    # stub dims elsewhere
+    corrupt = webp(chunk(b"VP8 ", b"\x00" * 12))
+    meta = {r["doc_id"]: r for r in decode_image_meta(
+        local_df(
+            spark,
+            [(1, bytearray(webp(chunk(b"VP8X", vp8x)))),
+             (2, bytearray(corrupt)),
+             (3, bytearray(b"plain text payload"))],
+            "doc_id bigint, payload binary",
+        )
+    ).collect()}
+    assert (meta[1]["width"], meta[1]["height"], meta[1]["format"]) == (1920, 1080, "webp_vp8x")
+    assert meta[2]["format"] == "parse_error"
+    assert meta[3]["format"] == "stub" and meta[3]["width"] >= 64
