@@ -9,7 +9,11 @@ size-0 to-end-of-file boxes), ``ftyp`` major brand, ``moov/mvhd``
 timescale + duration (version 0 and 1), per-track ``tkhd`` dimensions
 (16.16 fixed point) and ``hdlr`` handler type, and the ``stbl/stsz``
 sample count/size table — the numbers a frame-sampling plan actually
-needs (true frame count, duration, resolution) instead of a stub.
+needs (true frame count, duration, resolution) instead of a stub; round
+13 adds the FRAGMENTED layout (fMP4/DASH/CMAF — ``mvex/trex``
+defaults, ``moof/tfhd/trun`` sample runs, default-base-is-moof
+offsets, sync from sample_flags), so streaming-packaged video
+counts and keyframe byte maps resolve too.
 Decoding the CODED samples (H.264/AV1/AAC) stays the honest
 ``NotImplementedError`` class — that is codec work, not container
 work, exactly the PIL-hook convention of the image tier.
@@ -73,6 +77,7 @@ def parse_mp4_meta(data: bytes) -> dict:
         "width": None,
         "height": None,
         "n_samples": None,
+        "video_track_id": None,
     }
     saw_moov = False
 
@@ -96,12 +101,30 @@ def parse_mp4_meta(data: bytes) -> dict:
                 out["timescale"] = ts
                 out["duration_ms"] = dur * 1000 // ts
             elif btype == b"trak" and path == (b"moov",):
-                tracks.append({"handler": None, "w": None, "h": None, "n": None})
+                tracks.append(
+                    {"handler": None, "w": None, "h": None, "n": None,
+                     "tid": None, "mts": None}
+                )
                 visit(blo, bhi, path + (b"trak",))
+            elif btype == b"mdhd" and path[-1:] == (b"mdia",):
+                if not tracks:
+                    raise ValueError("mdhd outside a trak box")
+                ver = data[blo]
+                if ver == 0:
+                    (mts,) = struct.unpack_from(">I", data, blo + 12)
+                elif ver == 1:
+                    (mts,) = struct.unpack_from(">I", data, blo + 20)
+                else:
+                    raise ValueError("bad mdhd version")
+                tracks[-1]["mts"] = mts
             elif btype == b"tkhd" and path[-1:] == (b"trak",):
                 if not tracks:
                     raise ValueError("tkhd outside a trak box")
                 ver = data[blo]
+                (tid,) = struct.unpack_from(
+                    ">I", data, blo + (20 if ver == 1 else 12)
+                )
+                tracks[-1]["tid"] = tid
                 # width/height (16.16 fixed) follow the FullBox header
                 # (4) + times/ids (20 v0 / 32 v1) + reserved(8) +
                 # layer/group/volume/reserved (8) + matrix (36):
@@ -139,10 +162,23 @@ def parse_mp4_meta(data: bytes) -> dict:
     if out["timescale"] is None:
         raise ValueError("MP4 missing mvhd box")
     out["n_tracks"] = len(tracks)
-    for t in tracks:
-        if t["handler"] == "vide":
-            out["width"], out["height"], out["n_samples"] = t["w"], t["h"], t["n"]
-            break
+    video = next((t for t in tracks if t["handler"] == "vide"), None)
+    if video is not None:
+        out["width"], out["height"], out["n_samples"] = (
+            video["w"], video["h"], video["n"],
+        )
+        out["video_track_id"] = video["tid"]
+        # fragmented layout (round 13): sample tables live in moof
+        # fragments — empty stsz + zero mvhd duration is the fMP4
+        # signature; fill the counts from the trex/tfhd/trun walk
+        if not video["n"] and b"moof" in data:
+            frag = parse_mp4_fragments(data).get(video["tid"])
+            if frag is not None:
+                out["n_samples"] = frag["n_samples"]
+                if not out["duration_ms"] and video["mts"]:
+                    out["duration_ms"] = (
+                        frag["duration"] * 1000 // video["mts"]
+                    )
     return out
 
 
@@ -234,7 +270,19 @@ def video_keyframe_offsets(data: bytes) -> list[tuple[int, int, int]]:
     sample counts, offsets accumulated from each chunk's stco/co64
     base through the preceding same-chunk stsz sizes. This is the
     work-list a video-corpus sampler hands its decode UDF: seekable
-    offsets of independently-decodable frames, not just indices."""
+    offsets of independently-decodable frames, not just indices.
+    Fragmented containers (round 13) resolve through the
+    trex/tfhd/trun walk instead of stbl — same (index, offset, size)
+    contract, sync from sample_flags."""
+    if b"moof" in data:
+        tid = parse_mp4_meta(data).get("video_track_id")
+        frag = parse_mp4_fragments(data).get(tid)
+        if frag is not None and frag["n_samples"]:
+            return [
+                (i, off, sz)
+                for i, (off, sz, sync) in enumerate(frag["samples"])
+                if sync
+            ]
     t = parse_mp4_sample_table(data)
     sizes, runs, chunk_offs = t["sizes"], t["stsc"], t["offsets"]
     n = len(sizes)
@@ -276,6 +324,120 @@ def video_keyframe_offsets(data: bytes) -> list[tuple[int, int, int]]:
             raise ValueError("stss sync sample out of range")
         out.append((s - 1, sample_offsets[s - 1], sizes[s - 1]))
     return out
+
+
+def parse_mp4_fragments(data: bytes) -> dict:
+    """Fragmented-MP4 (fMP4/DASH/CMAF) walk — the layout where the
+    sample tables live in ``moof`` fragments instead of ``stbl``
+    (``mvhd`` duration 0, empty ``stsz``, ``mvex/trex`` defaults).
+    Returns per-track_id dicts with ``n_samples``, ``duration`` (media
+    timescale units), ``n_sync``, and ``samples`` — the (offset, size,
+    is_sync) byte map the frame sampler needs, accumulated per ISO
+    14496-12 §8.8: ``tfhd`` base-data-offset (explicit, or
+    default-base-is-moof per flag 0x020000), ``trun`` data offsets and
+    per-sample size/duration/flags with trex → tfhd → per-sample
+    default resolution, sync = NOT (sample_flags & 0x10000) with
+    ``first_sample_flags`` honored."""
+    trex: dict[int, tuple[int, int, int]] = {}  # tid -> (dur, size, flags)
+
+    def read_trex(lo: int, hi: int) -> None:
+        for btype, blo, bhi in _walk(data, lo, hi):
+            if btype == b"mvex":
+                read_trex(blo, bhi)
+            elif btype == b"trex":
+                tid, _sdi, ddur, dsize, dflags = struct.unpack_from(
+                    ">IIIII", data, blo + 4
+                )
+                trex[tid] = (ddur, dsize, dflags)
+
+    tracks: dict[int, dict] = {}
+    for btype, blo, bhi in _walk(data, 0, len(data)):
+        if btype == b"moov":
+            read_trex(blo, bhi)
+        elif btype == b"moof":
+            moof_start = blo - 8  # offsets are relative to the BOX start
+            for t2, l2, h2 in _walk(data, blo, bhi):
+                if t2 != b"traf":
+                    continue
+                tfhd = None
+                truns = []
+                for t3, l3, h3 in _walk(data, l2, h2):
+                    if t3 == b"tfhd":
+                        tfhd = (l3, h3)
+                    elif t3 == b"trun":
+                        truns.append((l3, h3))
+                if tfhd is None:
+                    raise ValueError("traf without tfhd")
+                l3, h3 = tfhd
+                flags = int.from_bytes(data[l3 + 1 : l3 + 4], "big")
+                (tid,) = struct.unpack_from(">I", data, l3 + 4)
+                p = l3 + 8
+                base = None
+                if flags & 0x01:
+                    (base,) = struct.unpack_from(">Q", data, p)
+                    p += 8
+                if flags & 0x02:
+                    p += 4  # sample_description_index
+                ddur, dsize, dflags = trex.get(tid, (0, 0, 0))
+                if flags & 0x08:
+                    (ddur,) = struct.unpack_from(">I", data, p)
+                    p += 4
+                if flags & 0x10:
+                    (dsize,) = struct.unpack_from(">I", data, p)
+                    p += 4
+                if flags & 0x20:
+                    (dflags,) = struct.unpack_from(">I", data, p)
+                    p += 4
+                if base is None:
+                    if not flags & 0x020000:
+                        raise ValueError(
+                            "tfhd has neither base-data-offset nor "
+                            "default-base-is-moof"
+                        )
+                    base = moof_start
+                tr = tracks.setdefault(
+                    tid,
+                    {"n_samples": 0, "duration": 0, "n_sync": 0, "samples": []},
+                )
+                for l4, h4 in truns:
+                    tflags = int.from_bytes(data[l4 + 1 : l4 + 4], "big")
+                    (cnt,) = struct.unpack_from(">I", data, l4 + 4)
+                    q = l4 + 8
+                    off = base
+                    if tflags & 0x01:
+                        (doff,) = struct.unpack_from(">i", data, q)
+                        q += 4
+                        off = base + doff
+                    first_flags = None
+                    if tflags & 0x04:
+                        (first_flags,) = struct.unpack_from(">I", data, q)
+                        q += 4
+                    per = 4 * bool(tflags & 0x100) + 4 * bool(tflags & 0x200) \
+                        + 4 * bool(tflags & 0x400) + 4 * bool(tflags & 0x800)
+                    if q + per * cnt > h4:
+                        raise ValueError("trun table overruns its box")
+                    for s in range(cnt):
+                        dur, size, sflags = ddur, dsize, dflags
+                        if tflags & 0x100:
+                            (dur,) = struct.unpack_from(">I", data, q)
+                            q += 4
+                        if tflags & 0x200:
+                            (size,) = struct.unpack_from(">I", data, q)
+                            q += 4
+                        if tflags & 0x400:
+                            (sflags,) = struct.unpack_from(">I", data, q)
+                            q += 4
+                        if tflags & 0x800:
+                            q += 4  # composition time offset
+                        if s == 0 and first_flags is not None:
+                            sflags = first_flags
+                        is_sync = not sflags & 0x10000
+                        tr["samples"].append((off, size, is_sync))
+                        tr["n_samples"] += 1
+                        tr["duration"] += dur
+                        tr["n_sync"] += int(is_sync)
+                        off += size
+    return tracks
 
 
 # ---------------------------------------------------------------------------
@@ -508,3 +670,69 @@ def encode_mp4_mjpeg(doc_id: int) -> bytes:
         raise ValueError("MJPEG fixture header outgrew MDAT_BASE")
     head += _box(b"free", b"\x00" * pad)
     return head + _box(b"mdat", b"".join(frames))
+
+
+def fmp4_fixture_params(doc_id: int) -> tuple[int, int, int, int]:
+    """(n_fragments, samples_per_fragment, media_timescale,
+    sample_duration) for the fragmented fixture — closed form."""
+    return 2 + doc_id % 3, 3 + doc_id % 4, 1000 * (1 + doc_id % 2), 40
+
+
+def encode_fmp4(doc_id: int) -> bytes:
+    """Minimal valid fragmented MP4: ftyp + moov (mvhd duration 0,
+    video trak with EMPTY stsz + mdhd timescale, mvex/trex defaults)
+    + per-fragment moof (mfhd, traf: tfhd default-base-is-moof, trun
+    with per-sample sizes + first-sample sync flags) + mdat. The first
+    sample of each fragment is sync (first_sample_flags clears the
+    0x10000 non-sync bit; the trex default sets it), sizes are
+    100 + fragment + sample so offsets are closed-form checkable."""
+    nfrag, spf, mts, sdur = fmp4_fixture_params(doc_id)
+    w, h = 64 + doc_id % 5, 48 + doc_id % 3
+    full0 = bytes(4)
+    mvhd = _box(b"mvhd", full0 + struct.pack(">IIII", 0, 0, 600, 0) + bytes(76))
+    tkhd = _box(
+        b"tkhd",
+        full0 + struct.pack(">III", 0, 0, 1) + bytes(4)
+        + struct.pack(">I", 0) + bytes(8) + bytes(8) + bytes(36)
+        + struct.pack(">II", w << 16, h << 16),
+    )
+    mdhd = _box(b"mdhd", full0 + struct.pack(">IIII", 0, 0, mts, 0) + bytes(4))
+    hdlr = _box(b"hdlr", full0 + bytes(4) + b"vide" + bytes(12) + b"\x00")
+    stsz = _box(b"stsz", full0 + struct.pack(">II", 0, 0))
+    stbl = _box(b"stbl", stsz)
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    # trex default flags mark samples NON-sync (0x10000); the trun's
+    # first_sample_flags override marks fragment leaders sync
+    trex = _box(
+        b"trex", full0 + struct.pack(">IIIII", 1, 1, sdur, 0, 0x00010000)
+    )
+    mvex = _box(b"mvex", trex)
+    moov = _box(b"moov", mvhd + trak + mvex)
+    out = bytearray(_box(b"ftyp", b"iso5" + struct.pack(">I", 0) + b"iso5cmfc"))
+    out += moov
+    for f in range(nfrag):
+        sizes = [100 + f + s for s in range(spf)]
+        mfhd = _box(b"mfhd", full0 + struct.pack(">I", f + 1))
+        # tfhd flags: default-base-is-moof (0x020000) only
+        tfhd = _box(b"tfhd", b"\x00\x02\x00\x00" + struct.pack(">I", 1))
+        # trun flags: data-offset (0x01) + first-sample-flags (0x04) +
+        # per-sample size (0x200)
+        trun_body = bytearray(b"\x00\x00\x02\x05" + struct.pack(">I", spf))
+        data_offset_pos = len(trun_body)
+        trun_body += struct.pack(">i", 0)  # patched below
+        trun_body += struct.pack(">I", 0)  # first_sample_flags: sync
+        for sz in sizes:
+            trun_body += struct.pack(">I", sz)
+        trun = _box(b"trun", bytes(trun_body))
+        traf = _box(b"traf", tfhd + trun)
+        moof = _box(b"moof", mfhd + traf)
+        # data_offset is relative to the moof BOX start: moof + mdat hdr
+        patched = bytearray(moof)
+        # locate the placeholder: moof -> traf -> trun body
+        idx = patched.index(b"trun") + 4 + 4 + 4
+        patched[idx : idx + 4] = struct.pack(">i", len(moof) + 8)
+        out += patched
+        out += _box(b"mdat", b"".join(bytes([f + s]) * sz for s, sz in enumerate(sizes)))
+    return bytes(out)
