@@ -1202,7 +1202,7 @@ def decode_audio_pcm(
     nothing in the plan changes."""
     import numpy as np
 
-    from ais_data_pipeline_spark.operators.wav import CLIP_BOUNDS, parse_wav
+    from ais_data_pipeline_spark.operators.wav import clip_bounds, parse_wav
 
     cols = (
         "doc_id", "channel", "sample_rate", "bits_per_sample",
@@ -1219,7 +1219,7 @@ def decode_audio_pcm(
                     a = frames.astype(np.float64)  # f32 -> f64 is exact
                 else:
                     a = frames.astype(np.int64)
-                    lo, hi = CLIP_BOUNDS[bits]
+                    lo, hi = clip_bounds(bits)
                 for ch in range(frames.shape[1]):
                     c = a[:, ch]
                     out["doc_id"].append(int(doc_id))

@@ -53,6 +53,13 @@ CLIP_BOUNDS = {
     # bit WIDTH but is told apart by the frames' dtype (round 13)
 }
 
+
+def clip_bounds(bits: int) -> tuple[int, int]:
+    """Full-scale bounds for ANY integer width — padded EXTENSIBLE
+    layouts (e.g. 20-in-24) decode to their valid width, which the
+    fixed table above doesn't enumerate."""
+    return -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+
 #: the fixed tail of the KSDATAFORMAT_SUBTYPE_* media GUIDs — an
 #: EXTENSIBLE fmt's SubFormat is (uint16 format code, 0x0000, this)
 _KSDATAFORMAT_TAIL = bytes(
@@ -160,14 +167,15 @@ def _decode_ima_adpcm(raw: bytes, nch: int, block_align: int) -> np.ndarray:
     return out.reshape(nblk * spb, nch).astype(np.int32)
 
 
-def _parse_fmt(body: bytes, size: int) -> tuple[int, int, int, int, int]:
+def _parse_fmt(body: bytes, size: int) -> tuple[int, int, int, int, int, int]:
     """fmt chunk body -> (code, n_channels, sample_rate, bits,
-    block_align) with the format code resolved (EXTENSIBLE unwrapped
-    via its SubFormat GUID); bits == 32 always means float32 here,
-    since 32-bit integer PCM is out of scope."""
+    block_align, valid_bits). ``valid_bits < bits`` is the EXTENSIBLE
+    padded layout (e.g. 20-in-24: samples in the HIGH bits, low bits
+    zero — round 13); elsewhere ``valid_bits == bits``."""
     if size < 16:
         raise ValueError("short fmt chunk")
     code, nch, rate, _brate, balign, bits = struct.unpack_from("<HHIIHH", body, 0)
+    valid = bits
     if code == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: real code is in the GUID
         if size < 40:
             raise ValueError("short WAVE_FORMAT_EXTENSIBLE fmt chunk")
@@ -182,12 +190,16 @@ def _parse_fmt(body: bytes, size: int) -> tuple[int, int, int, int, int]:
                 "unknown WAVE_FORMAT_EXTENSIBLE SubFormat GUID"
             )
         if valid_bits not in (0, bits):
-            # validBitsPerSample < container size means padded samples
-            # (e.g. 20-in-24): a real layout, but decoding it as full
-            # container bits would silently mis-scale every amplitude
-            raise NotImplementedError(
-                f"EXTENSIBLE valid bits {valid_bits} != container bits {bits}"
-            )
+            # padded layout (e.g. 20-in-24): samples sit in the HIGH
+            # bits of the container with zero low bits; decoding at
+            # container scale would mis-scale every amplitude, so the
+            # decoder shifts down to the valid width (round 13).
+            # Only integer PCM defines the padding; float must match.
+            if code != 1 or not 1 <= valid_bits < bits:
+                raise NotImplementedError(
+                    f"EXTENSIBLE valid bits {valid_bits} != container bits {bits}"
+                )
+            valid = valid_bits
     if code == 1:
         if bits not in CLIP_BOUNDS:
             raise NotImplementedError(
@@ -215,7 +227,7 @@ def _parse_fmt(body: bytes, size: int) -> tuple[int, int, int, int, int]:
         )
     if nch == 0 or rate == 0:
         raise ValueError("WAV with zero channels or sample rate")
-    return code, nch, rate, bits, balign
+    return code, nch, rate, bits, balign, valid
 
 
 def parse_wav_full(data: bytes) -> tuple[np.ndarray, int, int, str]:
@@ -262,7 +274,7 @@ def parse_wav_full(data: bytes) -> tuple[np.ndarray, int, int, str]:
         raise ValueError("WAV missing fmt chunk")
     if raw is None:
         raise ValueError("WAV missing data chunk")
-    code, nch, rate, bits, balign = fmt
+    code, nch, rate, bits, balign, valid = fmt
     if code in (6, 7):
         amps = _decode_g711(raw, "alaw" if code == 6 else "mulaw")
         if amps.shape[0] % nch:
@@ -299,6 +311,12 @@ def parse_wav_full(data: bytes) -> tuple[np.ndarray, int, int, str]:
         amps = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
         amps -= (amps >= (1 << 23)) * (1 << 24)
         tag = "pcm_24bit"
+    if valid < bits and amps.dtype.kind == "i":
+        # EXTENSIBLE padded layout: arithmetic shift restores the
+        # valid-width scale exactly (low container bits are pad)
+        amps = amps >> (bits - valid)
+        bits = valid
+        tag = f"pcm_{valid}bit"
     return amps.reshape(-1, nch), rate, bits, tag
 
 

@@ -4445,9 +4445,20 @@ def test_wav_extensible_and_float_contracts():
     # unknown SubFormat GUID (e.g. ADPCM-ish) -> honest refusal
     with _pytest.raises(NotImplementedError, match="SubFormat GUID"):
         parse_wav(ext_wav(3, b"\x01" * 12, 32, 32, raw))
-    # padded samples (validBits < container bits) -> honest refusal
+    # padded INTEGER samples (validBits < container) decode natively
+    # as of round 13: samples sit in the container's HIGH bits, the
+    # arithmetic shift restores the valid-width scale exactly
+    from ais_data_pipeline_spark.operators.wav import clip_bounds, parse_wav_full
+
+    vals20 = [0x12345, -(1 << 19), (1 << 19) - 1, 0]
+    raw20 = b"".join(((v << 4) & 0xFFFFFF).to_bytes(3, "little") for v in vals20)
+    fr, _rt, bt, tag = parse_wav_full(ext_wav(1, _KSDATAFORMAT_TAIL, 20, 24, raw20))
+    assert (bt, tag) == (20, "pcm_20bit")
+    assert fr[:, 0].tolist() == vals20
+    assert clip_bounds(20) == (-(1 << 19), (1 << 19) - 1)
+    # padded FLOAT stays refused (padding is an integer-PCM concept)
     with _pytest.raises(NotImplementedError, match="valid bits"):
-        parse_wav(ext_wav(1, _KSDATAFORMAT_TAIL, 20, 24, b"\x00" * 3))
+        parse_wav(ext_wav(3, _KSDATAFORMAT_TAIL, 20, 32, b"\x00" * 4))
     # truncated extension -> loud ValueError
     short = ext_wav(3, _KSDATAFORMAT_TAIL, 32, 32, raw)
     i = short.index(b"fmt ")
