@@ -503,3 +503,54 @@ def theta_intersect_estimate(
             ).alias("est"),
         )
     )
+
+
+def theta_union_estimate(
+    ska: DataFrame, skb: DataFrame, k: int = 256
+) -> DataFrame:
+    """One-row (n_retained, theta, est) union-cardinality estimate of
+    two same-``k`` sketches. The union's candidate set is the distinct
+    merge filtered below theta_min (entries above the tighter sketch's
+    bound are not a uniform sample of the union); if k survive, the
+    estimator re-tightens to the k-th smallest ((k-1)*2^60/h_(k)),
+    else it is n'*2^60/theta_min — which degrades to the EXACT count
+    when both inputs were under-full (theta_min = 2^60). Together with
+    ``theta_intersect_estimate`` this closes the set algebra:
+    difference(A, B) = est(A) - est_intersection, all from two k-row
+    sketches."""
+    sa = ska.agg(F.count("h").alias("na"), F.max("h").alias("ta"))
+    sb = skb.agg(F.count("h").alias("nb"), F.max("h").alias("tb"))
+    bounds = sa.crossJoin(F.broadcast(sb)).select(
+        F.when((F.col("na") < k) & (F.col("nb") < k), F.lit(THETA_DOMAIN))
+        .when(F.col("na") < k, F.col("tb"))
+        .when(F.col("nb") < k, F.col("ta"))
+        .otherwise(F.least("ta", "tb"))
+        .alias("theta_min")
+    )
+    merged = (
+        ska.unionByName(skb)
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("h") <= F.col("theta_min"))
+        .orderBy("h")
+        .limit(k)
+    )
+    agg = merged.agg(
+        F.count("h").alias("n_retained"), F.max("h").alias("hk")
+    )
+    return agg.crossJoin(F.broadcast(bounds)).select(
+        "n_retained",
+        F.when(F.col("n_retained") < k, F.col("theta_min"))
+        .otherwise(F.col("hk"))
+        .alias("theta"),
+        F.when(
+            F.col("n_retained") < k,
+            F.col("n_retained").cast("double")
+            * F.lit(float(THETA_DOMAIN))
+            / F.col("theta_min").cast("double"),
+        )
+        .otherwise(
+            F.lit(float((k - 1) * THETA_DOMAIN)) / F.col("hk").cast("double")
+        )
+        .alias("est"),
+    )

@@ -6036,3 +6036,42 @@ def test_fragmented_mp4(spark):
             parse_mp4_fragments(bytes(fz))
         except (ValueError, NotImplementedError, _struct.error):
             pass
+
+
+def test_theta_union_estimate(spark):
+    """Union closes the theta set algebra: exact when both inputs are
+    under-full, re-tightened KMV when the merged candidate set fills
+    k, inclusion-exclusion consistency with the intersect estimator."""
+    from pyspark.sql import functions as F
+
+    from ais_data_pipeline_spark.operators.sketches import (
+        THETA_DOMAIN,
+        theta_intersect_estimate,
+        theta_sketch,
+        theta_stats,
+        theta_union_estimate,
+    )
+
+    def universe(lo, hi):
+        return spark.range(lo, hi, 1, 4).select(
+            F.concat(F.lit("item_"), F.col("id")).alias("v")
+        )
+
+    # both under-full: exact
+    r = theta_union_estimate(
+        theta_sketch(universe(0, 60), "v", k=256),
+        theta_sketch(universe(40, 100), "v", k=256),
+        k=256,
+    ).collect()[0]
+    assert (r["n_retained"], r["theta"], r["est"]) == (100, THETA_DOMAIN, 100.0)
+
+    # full sketches over a planted 25k union (15k + 15k, 5k overlap)
+    ska = theta_sketch(universe(0, 15_000), "v", k=256)
+    skb = theta_sketch(universe(10_000, 25_000), "v", k=256)
+    u = theta_union_estimate(ska, skb, k=256).collect()[0]
+    assert 15_000 < u["est"] < 37_500, u["est"]  # ~2.5x loose band
+    # inclusion-exclusion sanity: |A| + |B| - |A∩B| ≈ |A∪B|
+    ea = theta_stats(ska, 256).collect()[0]["est"]
+    eb = theta_stats(skb, 256).collect()[0]["est"]
+    ei = theta_intersect_estimate(ska, skb, 256).collect()[0]["est"]
+    assert abs((ea + eb - ei) - u["est"]) / u["est"] < 0.35
