@@ -526,10 +526,11 @@ def decode_pixels_array(data: bytes):
     spec layout — truecolor/palette/grayscale ± alpha, 1/2/4/8/16
     bit, Adam7 — as of round 13; GIF incl. LZW, interlace, and
     first-frame compositing with background + transparency; JPEG at
-    8-bit AND 12-bit precision) decode natively (numpy + stdlib
-    ``zlib``/``struct``); the only remaining PIL fall-through is
-    arithmetic-coded / hierarchical JPEG; anything else is the
-    explicit honest-stub contract."""
+    8-bit AND 12-bit precision; uncompressed baseline TIFF, gray/RGB,
+    both byte orders, any strip split) decode natively (numpy + stdlib
+    ``zlib``/``struct``); the remaining PIL fall-throughs are
+    arithmetic-coded / hierarchical JPEG and compressed TIFF; anything
+    else is the explicit honest-stub contract."""
     if data[:2] == b"P6":
         return _parse_ppm(data), "ppm"
     if data[:2] == b"BM":
@@ -544,6 +545,15 @@ def decode_pixels_array(data: bytes):
         # no PIL fall-through: every layout the PNG spec allows
         # decodes natively (round 13), so any failure is corruption
         return _parse_png(data), "png"
+    if data[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+        from ais_data_pipeline_spark.operators.tiff import parse_tiff
+
+        try:
+            return parse_tiff(data), "tiff"
+        except NotImplementedError:
+            # compressed codecs (LZW/PackBits/JPEG-in-TIFF/CCITT): PIL
+            # fall-through, the image tier's exotic-variant convention
+            pass
     if data[:2] == b"\xff\xd8":
         from ais_data_pipeline_spark.operators.jpeg import parse_jpeg
 
@@ -983,6 +993,8 @@ _MAGIC_PREFIX = [
     ("89504E47", 1, "image/png"),
     ("FFD8FF", 1, "image/jpeg"),
     ("47494638", 1, "image/gif"),  # 'GIF8' (round 12)
+    ("49492A00", 1, "image/tiff"),  # 'II*\0' little-endian (round 13)
+    ("4D4D002A", 1, "image/tiff"),  # 'MM\0*' big-endian (round 13)
     ("57454250", 17, "image/webp"),  # 'WEBP' at byte 8 — MUST
     # precede the bare-RIFF arm (WebP is a RIFF container too)
     ("52494646", 1, "audio/wav"),  # RIFF container

@@ -6075,3 +6075,126 @@ def test_theta_union_estimate(spark):
     eb = theta_stats(skb, 256).collect()[0]["est"]
     ei = theta_intersect_estimate(ska, skb, 256).collect()[0]["est"]
     assert abs((ea + eb - ei) - u["est"]) / u["est"] < 0.35
+
+
+def test_tiff_decode_contracts(spark):
+    """Round-13: baseline TIFF — IFD walk in both byte orders, native
+    decode of uncompressed 8-bit gray/RGB strips (any strip split,
+    single-strip 279-omitted form, WhiteIsZero inversion), honest
+    NotImplementedError for compressed codecs, magic routing, Spark
+    pixel-stats integration against the shared closed form, fuzz."""
+    import struct as _struct
+
+    import numpy as np
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from ais_data_pipeline_spark.localrel import local_df
+    from ais_data_pipeline_spark.operators.multimodal import (
+        decode_image_pixels,
+        decode_pixels_array,
+        media_type_col,
+        synth_pixel_value,
+    )
+    from ais_data_pipeline_spark.operators.tiff import (
+        encode_tiff,
+        parse_tiff,
+        parse_tiff_meta,
+    )
+
+    for doc, w, h, gray, be, rps in [
+        (0, 5, 4, False, False, None),
+        (3, 7, 6, False, True, 2),
+        (5, 4, 9, True, False, 4),
+        (9, 3, 3, True, True, 1),
+        (11, 8, 5, False, False, 3),
+    ]:
+        b = encode_tiff(doc, w, h, gray=gray, big_endian=be, rows_per_strip=rps)
+        m = parse_tiff_meta(b)
+        assert (m["width"], m["height"], m["compression"]) == (w, h, 1)
+        arr, fmt = decode_pixels_array(b)
+        assert fmt == "tiff"
+        spp = 1 if gray else 3
+        flat = np.array(
+            [synth_pixel_value(doc, k) for k in range(w * h * spp)],
+            dtype=np.uint8,
+        ).reshape(h, w, spp)
+        want = np.repeat(flat, 3, axis=2) if gray else flat
+        assert (arr == want).all(), (doc, gray, be, rps)
+
+    # hand-built: omitted 279 is legal for a single uncompressed strip
+    b = bytearray(encode_tiff(2, 3, 2))
+    # (already emits 279; the omitted form is covered by the parser's
+    # synthesized count — build it by patching tag 279 to a skipped
+    # type so _read_ifd drops it)
+    (ifd,) = _struct.unpack_from("<I", b, 4)
+    (n,) = _struct.unpack_from("<H", b, ifd)
+    for i in range(n):
+        ent = ifd + 2 + 12 * i
+        tag, _typ = _struct.unpack_from("<HH", b, ent)
+        if tag == 279:
+            _struct.pack_into("<H", b, ent + 2, 7)  # UNDEFINED type: skipped
+    arr, _ = decode_pixels_array(bytes(b))
+    assert arr.shape == (2, 3, 3)
+
+    # WhiteIsZero gray inverts
+    b = bytearray(encode_tiff(5, 4, 4, gray=True))
+    (ifd,) = _struct.unpack_from("<I", b, 4)
+    (n,) = _struct.unpack_from("<H", b, ifd)
+    for i in range(n):
+        ent = ifd + 2 + 12 * i
+        if _struct.unpack_from("<HH", b, ent)[0] == 262:
+            b[ent + 8] = 0
+    assert (parse_tiff(bytes(b)) == 255 - parse_tiff(encode_tiff(5, 4, 4, gray=True))).all()
+
+    # compressed -> honest line (PIL can read LZW TIFF where present;
+    # with PIL absent the dispatcher's stub message names the library)
+    b = bytearray(encode_tiff(1, 4, 4))
+    (ifd,) = _struct.unpack_from("<I", b, 4)
+    (n,) = _struct.unpack_from("<H", b, ifd)
+    for i in range(n):
+        ent = ifd + 2 + 12 * i
+        if _struct.unpack_from("<HH", b, ent)[0] == 259:
+            b[ent + 8] = 5  # LZW
+    with _pytest.raises(NotImplementedError, match="compression 5"):
+        parse_tiff(bytes(b))
+
+    # corrupt contracts
+    with _pytest.raises(ValueError, match="strip out of range"):
+        parse_tiff(encode_tiff(1, 4, 4)[:-5])
+    with _pytest.raises(ValueError, match="not a TIFF"):
+        parse_tiff_meta(b"II\x2b\x00" + bytes(8))
+
+    # router + Spark integration over a mixed-endian corpus
+    rows = local_df(
+        spark,
+        [(i, bytearray(encode_tiff(i, 4 + i % 3, 3 + i % 2, gray=i % 2 == 1,
+                                   big_endian=i % 3 == 0)))
+         for i in (0, 1, 2, 5)],
+        "doc_id bigint, payload binary",
+    )
+    routed = rows.select(media_type_col(F.col("payload")).alias("mt")).collect()
+    assert {r["mt"] for r in routed} == {"image/tiff"}
+    got = {r["doc_id"]: r for r in decode_image_pixels(rows).collect()}
+    for i in (0, 1, 2, 5):
+        w, h = 4 + i % 3, 3 + i % 2
+        spp = 1 if i % 2 == 1 else 3
+        vals = [synth_pixel_value(i, k) for k in range(w * h * spp)]
+        r = got[i]
+        assert r["format"] == "tiff" and (r["width"], r["height"]) == (w, h)
+        if spp == 3:
+            assert r["sum_r"] == sum(vals[0::3])
+        else:
+            assert r["sum_r"] == r["sum_g"] == r["sum_b"] == sum(vals)
+
+    # fuzz-lite
+    rng = np.random.default_rng(13)
+    base = encode_tiff(7, 6, 5, rows_per_strip=2)
+    for _ in range(300):
+        fz = bytearray(base)
+        for _k in range(int(rng.integers(1, 4))):
+            fz[int(rng.integers(0, len(fz)))] = int(rng.integers(0, 256))
+        try:
+            parse_tiff(bytes(fz))
+        except (ValueError, NotImplementedError):
+            pass
