@@ -724,6 +724,11 @@ def png_dims(doc_id: int) -> tuple[int, int]:
     return 4 + doc_id % 12, 4 + doc_id % 6
 
 
+def tiff_dims(doc_id: int) -> tuple[int, int]:
+    # odd heights exercise the final short strip at rows_per_strip=2
+    return 4 + doc_id % 7, 3 + doc_id % 6
+
+
 def gif_dims(doc_id: int) -> tuple[int, int]:
     # w varies the LZW phrase structure; h >= 4 exercises all four
     # interlace passes on odd (interlaced) ids
@@ -907,12 +912,16 @@ def make_image_fixture(
     (``jpeg_block_gray`` for JPEG's per-block constants).
     ``fmt='mixed'`` routes even doc_ids to PPM and odd to BMP;
     ``fmt='mixed3'`` routes doc_id % 3 over PPM/BMP/PNG;
-    ``fmt='mixed4'`` routes doc_id % 4 over PPM/BMP/PNG/GIF (the
+    ``fmt='mixed4'`` routes doc_id % 4 over PPM/BMP/PNG/GIF;
+    ``fmt='mixed5'`` routes doc_id % 5 over PPM/BMP/PNG/GIF/TIFF (the
     format-dispatch fixture since round 13 — PNG joined when
-    image_pixel_stats_png folded into the dispatch row, GIF the same
+    image_pixel_stats_png folded into the dispatch row; GIF the same
     round: a 256-entry palette whose entry c is
     ``synth(doc_id, c..c+2)`` with index ``(3p) % 256`` reproduces
-    the SAME closed-form raster, odd ids interlaced);
+    the SAME closed-form raster, odd ids interlaced; TIFF later in
+    r13: odd ids grayscale — gray byte k = synth(d, k), replicated to
+    RGB on decode — doc_id % 3 == 0 big-endian, all strip-split at 2
+    rows);
     ``fmt='png'`` encodes even doc_ids as
     RGB (color type 2) and odd as RGBA (type 6) so both truecolor
     layouts hit the decoder; ``fmt='jpeg'`` encodes even doc_ids as
@@ -953,9 +962,25 @@ def make_image_fixture(
                     )
                 elif fmt == "png" or (
                     fmt == "mixed3" and i % 3 == 2
-                ) or (fmt == "mixed4" and i % 4 == 2):
+                ) or (fmt == "mixed4" and i % 4 == 2) or (
+                    fmt == "mixed5" and i % 5 == 2
+                ):
                     payloads.append(encode_png(i, *png_dims(i), rgba=i % 2 == 1))
-                elif fmt == "mixed4" and i % 4 == 3:
+                elif fmt == "mixed5" and i % 5 == 4:
+                    from ais_data_pipeline_spark.operators.tiff import (
+                        encode_tiff,
+                    )
+
+                    w, h = tiff_dims(i)
+                    payloads.append(
+                        encode_tiff(
+                            i, w, h, gray=i % 2 == 1,
+                            big_endian=i % 3 == 0, rows_per_strip=2,
+                        )
+                    )
+                elif (fmt == "mixed4" and i % 4 == 3) or (
+                    fmt == "mixed5" and i % 5 == 3
+                ):
                     from ais_data_pipeline_spark.operators.gif import encode_gif
 
                     w, h = gif_dims(i)
@@ -973,6 +998,7 @@ def make_image_fixture(
                     or (fmt == "mixed" and i % 2 == 0)
                     or (fmt == "mixed3" and i % 3 == 0)
                     or (fmt == "mixed4" and i % 4 == 0)
+                    or (fmt == "mixed5" and i % 5 == 0)
                 ):
                     payloads.append(encode_ppm(i, *ppm_dims(i)))
                 else:

@@ -9294,20 +9294,33 @@ def q_image_luma_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH dims AS (
       SELECT doc_id,
-             CASE doc_id % 4 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
-                  WHEN 2 THEN 'png' ELSE 'gif' END AS format,
-             CASE doc_id % 4 WHEN 0 THEN 4 + doc_id % 13
+             CASE doc_id % 5 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+                  WHEN 2 THEN 'png' WHEN 3 THEN 'gif'
+                  ELSE 'tiff' END AS format,
+             CASE doc_id % 5 WHEN 0 THEN 4 + doc_id % 13
                   WHEN 1 THEN 4 + doc_id % 11
                   WHEN 2 THEN 4 + doc_id % 12
-                  ELSE 5 + doc_id % 9 END AS w,
-             CASE doc_id % 4 WHEN 0 THEN 4 + doc_id % 7
+                  WHEN 3 THEN 5 + doc_id % 9
+                  ELSE 4 + doc_id % 7 END AS w,
+             CASE doc_id % 5 WHEN 0 THEN 4 + doc_id % 7
                   WHEN 1 THEN 4 + doc_id % 5
-                  ELSE 4 + doc_id % 6 END AS h
+                  WHEN 2 THEN 4 + doc_id % 6
+                  WHEN 3 THEN 4 + doc_id % 6
+                  ELSE 3 + doc_id % 6 END AS h,
+             -- grayscale TIFF (odd ids): one stored byte per pixel,
+             -- replicated to RGB on decode -> channel sums are 3x the
+             -- gray sum over w*h bytes; everything else stores w*h*3
+             CASE WHEN doc_id % 5 = 4 AND doc_id % 2 = 1 THEN 1
+                  ELSE 0 END AS gray
       FROM documents
     ), px AS (
-      SELECT doc_id, format, w, h, SUM((doc_id*31 + k) % 256) AS pix_sum
-      FROM dims, UNNEST(range(0, w*h*3)) AS t(k)
-      GROUP BY doc_id, format, w, h
+      SELECT doc_id, format, w, h,
+             CASE WHEN gray = 1
+                  THEN 3 * (SELECT SUM((doc_id*31 + k) % 256)
+                            FROM UNNEST(range(0, w*h)) AS g(k))
+                  ELSE (SELECT SUM((doc_id*31 + k) % 256)
+                        FROM UNNEST(range(0, w*h*3)) AS c(k)) END AS pix_sum
+      FROM dims
     )
     SELECT format, COUNT(*) AS n_docs,
            CAST(SUM(w*h) AS BIGINT) AS total_pixels,
@@ -9315,14 +9328,16 @@ def q_image_luma_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM px GROUP BY format ORDER BY format
     """,
     "Magic-byte format dispatch through the real decoder: a mixed "
-    "PPM/BMP/PNG/GIF corpus (doc_id % 4; PNG joined round 13 when "
-    "image_pixel_stats_png folded into this row — zlib inflate, five "
-    "scanline filters, RGB + RGBA strides; GIF joined the same round "
-    "— variable-width LZW through a 256-entry synth palette, odd ids "
-    "4-pass interlaced, all raster-sum-sensitive here) decoded by one "
-    "decode_image_pixels pass whose internal dispatch picks the "
-    "parser per blob; per-format doc counts, pixel totals, and raster "
-    "sums prove every branch against the closed-form oracle.",
+    "PPM/BMP/PNG/GIF/TIFF corpus (doc_id % 5; PNG joined round 13 "
+    "when image_pixel_stats_png folded into this row — zlib inflate, "
+    "five scanline filters, RGB + RGBA strides; GIF the same round — "
+    "variable-width LZW through a 256-entry synth palette, odd ids "
+    "4-pass interlaced; TIFF later in r13 — both byte orders, "
+    "2-row strip splits, odd ids grayscale-replicated; all raster-"
+    "sum-sensitive here) decoded by one decode_image_pixels pass "
+    "whose internal dispatch picks the parser per blob; per-format "
+    "doc counts, pixel totals, and raster sums prove every branch "
+    "against the closed-form oracle.",
 )
 def q_image_format_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ais_data_pipeline_spark.operators.multimodal import (
@@ -9331,7 +9346,7 @@ def q_image_format_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = read_table(spark, sf_dir, "documents")
-    px = decode_image_pixels(make_image_fixture(d, fmt="mixed4"))
+    px = decode_image_pixels(make_image_fixture(d, fmt="mixed5"))
     return (
         px.groupBy("format")
         .agg(
