@@ -7,10 +7,12 @@ orders (``II``/``MM``), the magic-42 header, the first IFD's 12-byte
 entries with inline-or-offset values, the geometry/layout tags (width,
 height, bits per sample, samples per pixel, compression, photometric,
 strip offsets/byte-counts/rows-per-strip), and NATIVE pixel decode of
-UNCOMPRESSED (compression 1) 8-bit grayscale and RGB strips — the
-layout uncompressed scanners and intermediate pipelines actually emit.
-Compressed codecs (LZW, PackBits, JPEG-in-TIFF, CCITT) raise the
-honest ``NotImplementedError`` and fall through to the PIL hook in
+8-bit grayscale and RGB strips under compression 1 (none), 5 (the
+TIFF LZW flavor — MSB bit packing, early-change width bumps) and
+32773 (PackBits RLE), each optionally behind the horizontal-
+differencing predictor (tag 317 = 2). Remaining codecs (JPEG-in-TIFF,
+CCITT fax, Deflate, tiled/planar layouts) raise the honest
+``NotImplementedError`` and fall through to the PIL hook in
 ``multimodal.decode_pixels_array`` — the image tier's exotic-variant
 convention.
 
@@ -24,6 +26,94 @@ import struct
 
 #: IFD entry value type -> (struct code, byte size); baseline subset
 _TYPES = {1: ("B", 1), 3: ("H", 2), 4: ("I", 4)}
+
+
+def _unpackbits(src: bytes, expect: int) -> bytes:
+    """PackBits RLE (TIFF 6.0 §9, the Macintosh scheme): control byte
+    n in 0..127 copies n+1 literals, 129..255 repeats the next byte
+    257-n times, 128 is a no-op. Decodes to EXACTLY ``expect`` bytes
+    or raises."""
+    out = bytearray()
+    i = 0
+    while i < len(src) and len(out) < expect:
+        n = src[i]
+        i += 1
+        if n < 128:
+            if i + n + 1 > len(src):
+                raise ValueError("truncated PackBits literal run")
+            out += src[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            if i >= len(src):
+                raise ValueError("truncated PackBits repeat run")
+            out += bytes([src[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op
+    if len(out) != expect:
+        raise ValueError("PackBits output length mismatch")
+    return bytes(out)
+
+
+def _lzw_decode_tiff(src: bytes, expect: int) -> bytes:
+    """TIFF-flavor LZW (TIFF 6.0 §13): MSB-first bit packing (the
+    OPPOSITE of GIF), 8-bit symbols, Clear=256, EOI=257, first table
+    code 258, and the EARLY-CHANGE convention — the code width bumps
+    when the table reaches 2^w - 1 (one entry EARLIER than GIF),
+    capped at 12 bits until the next Clear."""
+    CLEAR, EOI = 256, 257
+
+    def fresh() -> list[bytes]:
+        return [bytes([i]) for i in range(256)] + [b"", b""]
+
+    table = fresh()
+    width = 9
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = 0
+    pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(src):
+                raise ValueError("TIFF LZW stream truncated before EOI")
+            acc = (acc << 8) | src[pos]
+            nbits += 8
+            pos += 1
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        acc &= (1 << nbits) - 1
+        if code == CLEAR:
+            table = fresh()
+            width = 9
+            prev = None
+            continue
+        if code == EOI:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("TIFF LZW first code after clear undefined")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("TIFF LZW code beyond table end")
+        out += entry
+        if len(out) > expect:
+            raise ValueError("TIFF LZW output exceeds the strip size")
+        prev = entry
+        # EARLY CHANGE, decoder side: the decoder's table lags the
+        # encoder's by exactly one entry (the encoder adds before the
+        # decoder can infer), so it widens at 2^w - 2 where the
+        # encoder widened at 2^w - 1 — the same off-by-one libtiff
+        # carries (free_entp > maxcodep - 1)
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+    if len(out) != expect:
+        raise ValueError("TIFF LZW output shorter than the strip size")
+    return bytes(out)
 
 
 def _read_ifd(data: bytes, e: str) -> dict[int, list[int]]:
@@ -40,7 +130,10 @@ def _read_ifd(data: bytes, e: str) -> dict[int, list[int]]:
             raise ValueError("truncated TIFF IFD entry")
         tag, typ = struct.unpack_from(e + "HH", data, ent)
         (cnt,) = struct.unpack_from(e + "I", data, ent + 4)
-        if typ not in _TYPES:
+        if typ not in _TYPES or cnt == 0:
+            # non-baseline value types are skipped, and a zero-count
+            # entry carries no values (fuzz: downstream [0] indexing
+            # must see the tag as ABSENT, not as an empty list)
             continue
         code, size = _TYPES[typ]
         total = size * cnt
@@ -83,10 +176,14 @@ def parse_tiff_meta(data: bytes) -> dict:
 
 def parse_tiff(data: bytes):
     """TIFF bytes -> HxWx3 uint8 RGB array. Native scope: compression
-    1 (none), 8 bits per sample, photometric 0/1 (gray, 0 = white-is-
-    zero inverted per spec) or 2 (RGB), strip layout via tags
+    1 (none), 5 (LZW — MSB packing, early-change width bumps) and
+    32773 (PackBits), each with the optional horizontal-differencing
+    predictor (tag 317 = 2: per-row per-channel prefix sums after
+    decompression); 8 bits per sample, photometric 0/1 (gray, 0 =
+    white-is-zero inverted per spec) or 2 (RGB), strip layout via tags
     273/278/279 (any strip split, incl. the single-strip default).
-    Everything else raises ``NotImplementedError`` for the PIL hook."""
+    Everything else (JPEG-in-TIFF, CCITT, ZIP, planar, tiles) raises
+    ``NotImplementedError`` for the PIL hook."""
     import numpy as np
 
     m = parse_tiff_meta(data)
@@ -95,11 +192,14 @@ def parse_tiff(data: bytes):
     w, h = m["width"], m["height"]
     if w == 0 or h == 0:
         raise ValueError("TIFF with zero dimension")
-    if m["compression"] != 1:
+    if m["compression"] not in (1, 5, 32773):
         raise NotImplementedError(
             f"TIFF compression {m['compression']} not supported natively "
-            "(uncompressed strips only)"
+            "(none/LZW/PackBits only)"
         )
+    predictor = tags.get(317, [1])[0]
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {predictor} not supported")
     spp = m["n_samples"]
     if m["bits_per_sample"] != 8 or any(b != 8 for b in tags.get(258, [8])):
         raise NotImplementedError("only 8-bit TIFF samples supported")
@@ -122,17 +222,28 @@ def parse_tiff(data: bytes):
         raise ValueError("TIFF strip offset/count tables disagree")
     buf = bytearray()
     remaining = h
-    for off, cnt, si in zip(offsets, counts, range(len(offsets))):
+    for off, cnt in zip(offsets, counts):
         rows = min(rps, remaining)
-        if cnt != rows * row_bytes:
-            raise ValueError("TIFF strip byte count mismatch")
         if off + cnt > len(data):
             raise ValueError("TIFF strip out of range")
-        buf += data[off : off + cnt]
+        raw = data[off : off + cnt]
+        if m["compression"] == 1:
+            if cnt != rows * row_bytes:
+                raise ValueError("TIFF strip byte count mismatch")
+        elif m["compression"] == 5:
+            raw = _lzw_decode_tiff(raw, rows * row_bytes)
+        else:  # PackBits
+            raw = _unpackbits(raw, rows * row_bytes)
+        buf += raw
         remaining -= rows
     if remaining:
         raise ValueError("TIFF strips cover fewer rows than the image")
     arr = np.frombuffer(bytes(buf), dtype=np.uint8).reshape(h, w, spp)
+    if predictor == 2:
+        # horizontal differencing: stored value = pixel - left neighbor
+        # (per channel); invert with a per-row prefix sum mod 256
+        arr = np.cumsum(arr.astype(np.int64), axis=1) % 256
+        arr = arr.astype(np.uint8)
     if spp == 1:
         if m["photometric"] == 0:  # WhiteIsZero: invert to normal gray
             arr = 255 - arr
@@ -152,10 +263,16 @@ def encode_tiff(
     gray: bool = False,
     big_endian: bool = False,
     rows_per_strip: int | None = None,
+    compression: int = 1,
+    predictor: int = 1,
 ) -> bytes:
     """Real baseline TIFF of the shared closed-form raster
     (``synth_pixel_value``): header, one IFD with the geometry/strip
-    tags, uncompressed strip data split at ``rows_per_strip``."""
+    tags, strip data split at ``rows_per_strip`` and stored raw
+    (compression 1), TIFF-LZW (5) or PackBits (32773), optionally
+    horizontally differenced first (predictor 2)."""
+    import numpy as np
+
     from ais_data_pipeline_spark.operators.multimodal import synth_pixel_value
 
     e = ">" if big_endian else "<"
@@ -163,12 +280,21 @@ def encode_tiff(
     raster = bytes(
         synth_pixel_value(doc_id, k) for k in range(w * h * spp)
     )
+    if predictor == 2:
+        a = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, spp).astype(np.int64)
+        d = a.copy()
+        d[:, 1:, :] = (a[:, 1:, :] - a[:, :-1, :]) % 256
+        raster = d.astype(np.uint8).tobytes()
     rps = rows_per_strip or h
     row_bytes = w * spp
     strips = [
         raster[r * row_bytes : min(r + rps, h) * row_bytes]
         for r in range(0, h, rps)
     ]
+    if compression == 5:
+        strips = [_lzw_encode_tiff(st) for st in strips]
+    elif compression == 32773:
+        strips = [_packbits_encode(st) for st in strips]
 
     def entry(tag: int, typ: int, vals: list[int], extra_off: int) -> tuple[bytes, bytes]:
         code, size = _TYPES[typ]
@@ -190,10 +316,11 @@ def encode_tiff(
         (256, 4, [w]),
         (257, 4, [h]),
         (258, 3, [8] * spp),
-        (259, 3, [1]),
+        (259, 3, [compression]),
         (262, 3, [1 if gray else 2]),
         (277, 3, [spp]),
         (278, 4, [rps]),
+        (317, 3, [predictor]),
     ]
     n = len(tags) + 2  # + strip offsets + strip counts
     ifd_off = 8
@@ -233,4 +360,74 @@ def encode_tiff(
     assert len(out) == strips_start, (len(out), strips_start)
     for s in strips:
         out += s
+    return bytes(out)
+
+
+def _packbits_encode(raw: bytes) -> bytes:
+    """Fixture PackBits encoder: repeat runs of >= 3 as repeat packets,
+    everything else as literal packets of <= 128."""
+    out = bytearray()
+    i = 0
+    n = len(raw)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and raw[i + run] == raw[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, raw[i]])
+            i += run
+            continue
+        lit = i
+        while (
+            i < n
+            and i - lit < 128
+            and not (i + 2 < n and raw[i] == raw[i + 1] == raw[i + 2])
+        ):
+            i += 1
+        out += bytes([i - lit - 1]) + raw[lit:i]
+    return bytes(out)
+
+
+def _lzw_encode_tiff(raw: bytes) -> bytes:
+    """Fixture TIFF-LZW encoder — dictionary build mirroring the
+    decoder's early-change width schedule, MSB-first packing, CLEAR
+    at start and at the 4094-entry cap, EOI at the end."""
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+            acc &= (1 << nbits) - 1
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    nxt = 258
+    width = 9
+    emit(256, width)  # CLEAR
+    prev = b""
+    for byte in raw:
+        cur = prev + bytes([byte])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev], width)
+        table[cur] = nxt
+        nxt += 1
+        if nxt == (1 << width) - 1 and width < 12:
+            width += 1
+        if nxt == 4094:
+            emit(256, width)
+            table = {bytes([i]): i for i in range(256)}
+            nxt = 258
+            width = 9
+        prev = bytes([byte])
+    if prev:
+        emit(table[prev], width)
+    emit(257, width)  # EOI
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
     return bytes(out)

@@ -6147,16 +6147,50 @@ def test_tiff_decode_contracts(spark):
             b[ent + 8] = 0
     assert (parse_tiff(bytes(b)) == 255 - parse_tiff(encode_tiff(5, 4, 4, gray=True))).all()
 
-    # compressed -> honest line (PIL can read LZW TIFF where present;
-    # with PIL absent the dispatcher's stub message names the library)
+    # LZW + PackBits decode natively (round 13): hand spec pins first —
+    # encoder-independent, so a matched encoder/decoder bug can't cancel
+    from ais_data_pipeline_spark.operators.tiff import (
+        _lzw_decode_tiff,
+        _unpackbits,
+    )
+
+    # PackBits: repeat(3 x 'A'), literal 'BB', literal 'C'
+    assert _unpackbits(bytes([0xFE, 0x41, 0x01, 0x42, 0x42, 0x00, 0x43]), 6) == b"AAABBC"
+    # TIFF LZW for [7,7,7]: CLEAR,7,<258>,EOI at width 9, MSB-packed
+    # = 100000000 000000111 100000010 100000001 (+pad) = 80 01 E0 50 10
+    assert _lzw_decode_tiff(bytes([0x80, 0x01, 0xE0, 0x50, 0x10]), 3) == bytes([7, 7, 7])
+
+    # full compression x predictor x layout matrix round-trips to the
+    # same closed form
+    for comp in (1, 5, 32773):
+        for pred in (1, 2):
+            b = encode_tiff(6, 7, 5, gray=comp == 5, big_endian=pred == 2,
+                            rows_per_strip=3, compression=comp, predictor=pred)
+            arr = parse_tiff(b)
+            spp = 1 if comp == 5 else 3
+            flat = np.array(
+                [synth_pixel_value(6, k) for k in range(7 * 5 * spp)],
+                dtype=np.uint8,
+            ).reshape(5, 7, spp)
+            want = np.repeat(flat, 3, axis=2) if spp == 1 else flat
+            assert (arr == want).all(), (comp, pred)
+    # a large varied raster pushes the LZW table past the 9->10->11 bit
+    # width bumps (and the early-change schedule with it)
+    big = encode_tiff(3, 40, 40, compression=5)
+    flat = np.array(
+        [synth_pixel_value(3, k) for k in range(40 * 40 * 3)], dtype=np.uint8
+    ).reshape(40, 40, 3)
+    assert (parse_tiff(big) == flat).all()
+
+    # out-of-scope codec stays the honest line
     b = bytearray(encode_tiff(1, 4, 4))
     (ifd,) = _struct.unpack_from("<I", b, 4)
     (n,) = _struct.unpack_from("<H", b, ifd)
     for i in range(n):
         ent = ifd + 2 + 12 * i
         if _struct.unpack_from("<HH", b, ent)[0] == 259:
-            b[ent + 8] = 5  # LZW
-    with _pytest.raises(NotImplementedError, match="compression 5"):
+            b[ent + 8] = 7  # JPEG-in-TIFF
+    with _pytest.raises(NotImplementedError, match="compression 7"):
         parse_tiff(bytes(b))
 
     # corrupt contracts
