@@ -9,9 +9,10 @@ height, bits per sample, samples per pixel, compression, photometric,
 strip offsets/byte-counts/rows-per-strip), and NATIVE pixel decode of
 8-bit grayscale and RGB strips under compression 1 (none), 5 (the
 TIFF LZW flavor — MSB bit packing, early-change width bumps) and
-32773 (PackBits RLE), each optionally behind the horizontal-
-differencing predictor (tag 317 = 2). Remaining codecs (JPEG-in-TIFF,
-CCITT fax, Deflate, tiled/planar layouts) raise the honest
+32773 (PackBits RLE) or 8/32946 ((Adobe) Deflate via stdlib zlib),
+each optionally behind the horizontal-differencing predictor
+(tag 317 = 2). Remaining codecs (JPEG-in-TIFF,
+CCITT fax, tiled/planar layouts) raise the honest
 ``NotImplementedError`` and fall through to the PIL hook in
 ``multimodal.decode_pixels_array`` — the image tier's exotic-variant
 convention.
@@ -176,7 +177,8 @@ def parse_tiff_meta(data: bytes) -> dict:
 
 def parse_tiff(data: bytes):
     """TIFF bytes -> HxWx3 uint8 RGB array. Native scope: compression
-    1 (none), 5 (LZW — MSB packing, early-change width bumps) and
+    1 (none), 5 (LZW — MSB packing, early-change width bumps), 8 and
+    32946 ((Adobe) Deflate, stdlib zlib) and
     32773 (PackBits), each with the optional horizontal-differencing
     predictor (tag 317 = 2: per-row per-channel prefix sums after
     decompression); 8 bits per sample, photometric 0/1 (gray, 0 =
@@ -192,10 +194,10 @@ def parse_tiff(data: bytes):
     w, h = m["width"], m["height"]
     if w == 0 or h == 0:
         raise ValueError("TIFF with zero dimension")
-    if m["compression"] not in (1, 5, 32773):
+    if m["compression"] not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(
             f"TIFF compression {m['compression']} not supported natively "
-            "(none/LZW/PackBits only)"
+            "(none/LZW/Deflate/PackBits only)"
         )
     predictor = tags.get(317, [1])[0]
     if predictor not in (1, 2):
@@ -232,6 +234,15 @@ def parse_tiff(data: bytes):
                 raise ValueError("TIFF strip byte count mismatch")
         elif m["compression"] == 5:
             raw = _lzw_decode_tiff(raw, rows * row_bytes)
+        elif m["compression"] in (8, 32946):  # (Adobe) Deflate
+            import zlib
+
+            try:
+                raw = zlib.decompress(raw)
+            except zlib.error as exc:
+                raise ValueError(f"corrupt TIFF deflate strip: {exc}") from None
+            if len(raw) != rows * row_bytes:
+                raise ValueError("TIFF deflate strip length mismatch")
         else:  # PackBits
             raw = _unpackbits(raw, rows * row_bytes)
         buf += raw
@@ -293,6 +304,10 @@ def encode_tiff(
     ]
     if compression == 5:
         strips = [_lzw_encode_tiff(st) for st in strips]
+    elif compression in (8, 32946):
+        import zlib as _zlib
+
+        strips = [_zlib.compress(st) for st in strips]
     elif compression == 32773:
         strips = [_packbits_encode(st) for st in strips]
 

@@ -6162,7 +6162,7 @@ def test_tiff_decode_contracts(spark):
 
     # full compression x predictor x layout matrix round-trips to the
     # same closed form
-    for comp in (1, 5, 32773):
+    for comp in (1, 5, 8, 32773, 32946):
         for pred in (1, 2):
             b = encode_tiff(6, 7, 5, gray=comp == 5, big_endian=pred == 2,
                             rows_per_strip=3, compression=comp, predictor=pred)
