@@ -125,7 +125,7 @@ _FRONT_WINDOW: list[str] = [
     "audio_pcm_stats",
     "bpe_token_counts",
     "conditional_agg",
-    "cube_returnflag_status",
+    "media_type_route",
     "dataset_split_counts",
     "dict_normalize_brand",
     "downcast_guard",
@@ -136,7 +136,7 @@ _FRONT_WINDOW: list[str] = [
     "frame_pixel_stats",
     "frame_sample_fanout",
     "funnel_stages",
-    "grouping_sets_status",
+    "theta_token_overlap",
     "hash_sample_orders",
     "image_format_dispatch",
     "locf_fill_forward",
