@@ -399,15 +399,21 @@ def parse_mp4_fragments(data: bytes) -> dict:
                     tid,
                     {"n_samples": 0, "duration": 0, "n_sync": 0, "samples": []},
                 )
+                cursor = None  # continuation point across this traf's truns
                 for l4, h4 in truns:
                     tflags = int.from_bytes(data[l4 + 1 : l4 + 4], "big")
                     (cnt,) = struct.unpack_from(">I", data, l4 + 4)
                     q = l4 + 8
-                    off = base
                     if tflags & 0x01:
                         (doff,) = struct.unpack_from(">i", data, q)
                         q += 4
                         off = base + doff
+                    elif cursor is not None:
+                        # §8.8.8: a run without a data offset starts
+                        # immediately after the previous run's data
+                        off = cursor
+                    else:
+                        off = base
                     first_flags = None
                     if tflags & 0x04:
                         (first_flags,) = struct.unpack_from(">I", data, q)
@@ -437,6 +443,7 @@ def parse_mp4_fragments(data: bytes) -> dict:
                         tr["duration"] += dur
                         tr["n_sync"] += int(is_sync)
                         off += size
+                    cursor = off
     return tracks
 
 

@@ -6011,6 +6011,45 @@ def test_fragmented_mp4(spark):
     nfrag, spf, mts, sdur = fmp4_fixture_params(7)
     assert rows[0]["n_frames"] == nfrag * spf
 
+    # §8.8.8 continuation: a trun WITHOUT a data offset starts
+    # immediately after the previous run's data (hand-built traf with
+    # two truns; regression for the reset-to-base bug caught in the
+    # round-13 self-review)
+    from ais_data_pipeline_spark.operators.mp4 import _box
+
+    full0 = bytes(4)
+
+    def fbox(btype, flags, payload):
+        return _box(btype, bytes([0]) + flags.to_bytes(3, "big") + payload)
+
+    mvhd = _box(b"mvhd", full0 + _struct.pack(">IIII", 0, 0, 600, 0) + bytes(76))
+    tkhd = _box(
+        b"tkhd",
+        full0 + _struct.pack(">III", 0, 0, 1) + bytes(4)
+        + _struct.pack(">I", 0) + bytes(52)
+        + _struct.pack(">II", 64 << 16, 48 << 16),
+    )
+    mdhd = _box(b"mdhd", full0 + _struct.pack(">IIII", 0, 0, 1000, 0) + bytes(4))
+    hdlr = _box(b"hdlr", full0 + bytes(4) + b"vide" + bytes(13))
+    stbl = _box(b"stbl", _box(b"stsz", full0 + _struct.pack(">II", 0, 0)))
+    trak = _box(b"trak", tkhd + _box(b"mdia", mdhd + hdlr + _box(b"minf", stbl)))
+    trex = fbox(b"trex", 0, _struct.pack(">IIIII", 1, 1, 40, 0, 0x00010000))
+    moov = _box(b"moov", mvhd + trak + _box(b"mvex", trex))
+    tfhd2 = fbox(b"tfhd", 0x020000, _struct.pack(">I", 1))
+    trun1 = fbox(b"trun", 0x201, _struct.pack(">Ii", 2, 0) + _struct.pack(">II", 10, 20))
+    trun2 = fbox(b"trun", 0x200, _struct.pack(">II", 1, 30))
+    moof = _box(b"moof", fbox(b"mfhd", 0, _struct.pack(">I", 1))
+                + _box(b"traf", tfhd2 + trun1 + trun2))
+    two = bytearray(
+        _box(b"ftyp", b"iso5" + bytes(4) + b"iso5") + moov + moof
+        + _box(b"mdat", bytes(60))
+    )
+    j = bytes(two).index(b"trun")
+    _struct.pack_into(">i", two, j + 4 + 4 + 4, len(moof) + 8)
+    offs = [(o, s) for o, s, _ in parse_mp4_fragments(bytes(two))[1]["samples"]]
+    assert offs[1][0] == offs[0][0] + 10
+    assert offs[2][0] == offs[0][0] + 30  # continuation, not base reset
+
     # corrupt contracts: tfhd with neither base offset nor
     # default-base-is-moof, and a trun overrunning its box
     b = bytearray(encode_fmp4(0))
