@@ -271,6 +271,8 @@ def _decode_progressive_scan(  # noqa: PLR0913 — scan state is wide
     h, w, comps, hmax, vmax = frame
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    if not body:
+        raise ValueError("empty SOS body")
     ns = body[0]
     if not 1 <= ns <= 4:  # T.81 B.2.3 — and Ns=0 would crash the
         raise ValueError("bad scan component count")  # walks below
@@ -558,6 +560,11 @@ def parse_jpeg(data: bytes) -> np.ndarray:
             if frame is not None:
                 raise ValueError("multiple SOF markers in JPEG stream")
             progressive = marker == 0xC2
+            if len(body) < 6:
+                # a corrupted seglen can shrink the body below the
+                # fixed SOF header; surface the documented class, not
+                # a raw struct.error (round-13 deep-fuzz finding)
+                raise ValueError("short SOF body")
             precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if precision not in (8, 12):
                 # DCT processes define exactly 8 and 12 (T.81 table B.2)
@@ -568,6 +575,8 @@ def parse_jpeg(data: bytes) -> np.ndarray:
                 raise ValueError("12-bit precision is invalid in a baseline SOF0")
             if ncomp not in (1, 3):
                 raise NotImplementedError("only 1- or 3-component JPEG supported")
+            if len(body) < 6 + 3 * ncomp:
+                raise ValueError("short SOF component list")
             comps = []
             for c in range(ncomp):
                 cid, sampling, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
@@ -600,6 +609,8 @@ def parse_jpeg(data: bytes) -> np.ndarray:
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("non-DCT/arithmetic JPEG coding process not supported")
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("short DRI body")
             (dri,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
             if frame is None:
@@ -634,7 +645,13 @@ def parse_jpeg(data: bytes) -> np.ndarray:
         return _reconstruct(
             coeffs, comps, cdims, qtables, hmax, vmax, h, w, precision
         )
+    if not sos_body:
+        raise ValueError("empty SOS body")
     ns = sos_body[0]
+    if len(sos_body) < 1 + 2 * ns + 3:
+        # corrupted seglen can shorten the scan header below its own
+        # component list + Ss/Se/AhAl tail (round-13 deep-fuzz finding)
+        raise ValueError("short SOS body")
     if ns != len(comps):
         raise NotImplementedError("multi-scan JPEG not supported")
     scan_tables = {}

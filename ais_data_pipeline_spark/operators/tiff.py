@@ -209,6 +209,11 @@ def parse_tiff(data: bytes):
         raise NotImplementedError(
             "only baseline grayscale/RGB TIFF supported"
         )
+    if (m["photometric"] == 2) != (spp == 3):
+        # RGB declares 3 samples, grayscale 1 — a mismatch means the
+        # raster would decode under the wrong channel model (round-13
+        # hardening sweep)
+        raise ValueError("TIFF photometric/samples-per-pixel mismatch")
     if 273 not in tags:
         raise ValueError("TIFF missing strip offsets")
     offsets = tags[273]

@@ -6271,3 +6271,49 @@ def test_tiff_decode_contracts(spark):
             parse_tiff(bytes(fz))
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_jpeg_corrupt_header_guards_r13():
+    """Round-13 deep-fuzz findings, reproduced then fixed: a corrupted
+    segment length can shrink a SOF/SOS/DRI body below its fixed
+    header, which previously escaped as raw struct.error/IndexError
+    instead of the documented ValueError class."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from ais_data_pipeline_spark.operators.jpeg import (
+        encode_jpeg_constant_blocks,
+        parse_jpeg,
+    )
+
+    base = encode_jpeg_constant_blocks(16, 16, [0, 1000, 3000, 4095], precision=12)
+    # the original fuzz reproducer (seglen corruption shrinking SOF)
+    b = bytearray(base)
+    for i, v in [(156, 7), (313, 204), (96, 46)]:
+        b[i] = v
+    with _pytest.raises((ValueError, NotImplementedError)):
+        parse_jpeg(bytes(b))
+
+    def seg_at(data, marker):
+        i = data.index(bytes([0xFF, marker]))
+        return i
+
+    # SOF body shrunk to 5 bytes via its own length field
+    b = bytearray(encode_jpeg_constant_blocks(8, 8, [100]))
+    i = seg_at(bytes(b), 0xC0)
+    _struct.pack_into(">H", b, i + 2, 2 + 5)
+    with _pytest.raises(ValueError):
+        parse_jpeg(bytes(b))
+    # SOS body shrunk below its component list + tail
+    b = bytearray(encode_jpeg_constant_blocks(8, 8, [100]))
+    i = seg_at(bytes(b), 0xDA)
+    _struct.pack_into(">H", b, i + 2, 2 + 2)
+    with _pytest.raises(ValueError, match="short SOS|empty SOS|bad SOS"):
+        parse_jpeg(bytes(b))
+    # DRI body shrunk to zero
+    b = bytearray(encode_jpeg_constant_blocks(16, 8, [1, 2], restart_interval=1))
+    i = seg_at(bytes(b), 0xDD)
+    _struct.pack_into(">H", b, i + 2, 2)
+    with _pytest.raises(ValueError, match="short DRI"):
+        parse_jpeg(bytes(b))
