@@ -121,6 +121,10 @@ def _read_ifd(data: bytes, e: str) -> dict[int, list[int]]:
     """First IFD -> {tag: [values...]} for the baseline-typed tags
     (BYTE/SHORT/LONG); other value types are skipped, not errors."""
     (off,) = struct.unpack_from(e + "I", data, 4)
+    return _read_ifd_at(data, e, off)
+
+
+def _read_ifd_at(data: bytes, e: str, off: int) -> dict[int, list[int]]:
     if off + 2 > len(data):
         raise ValueError("TIFF IFD offset out of range")
     (n,) = struct.unpack_from(e + "H", data, off)
@@ -164,6 +168,22 @@ def parse_tiff_meta(data: bytes) -> dict:
     if 256 not in tags or 257 not in tags:
         raise ValueError("TIFF missing width/height tags")
     bits = tags.get(258, [1])
+    # multi-page scans chain IFDs: count pages by walking the next-IFD
+    # pointers (metadata only — decode stays first-page; a visited-set
+    # bounds corrupt circular chains)
+    n_pages = 0
+    (off,) = struct.unpack_from(e + "I", data, 4)
+    seen: set[int] = set()
+    while off and off not in seen:
+        seen.add(off)
+        if off + 2 > len(data):
+            raise ValueError("TIFF IFD offset out of range")
+        (cnt,) = struct.unpack_from(e + "H", data, off)
+        nxt_pos = off + 2 + 12 * cnt
+        if nxt_pos + 4 > len(data):
+            raise ValueError("truncated TIFF IFD chain")
+        n_pages += 1
+        (off,) = struct.unpack_from(e + "I", data, nxt_pos)
     return {
         "width": tags[256][0],
         "height": tags[257][0],
@@ -172,6 +192,7 @@ def parse_tiff_meta(data: bytes) -> dict:
         "compression": tags.get(259, [1])[0],
         "photometric": tags.get(262, [1])[0],
         "byte_order": "little" if e == "<" else "big",
+        "n_pages": n_pages,
     }
 
 

@@ -6260,6 +6260,23 @@ def test_tiff_decode_contracts(spark):
         else:
             assert r["sum_r"] == r["sum_g"] == r["sum_b"] == sum(vals)
 
+    # multi-page chains: n_pages walks the next-IFD pointers (decode
+    # stays first-page; a visited-set bounds corrupt circular chains)
+    b1, b2 = encode_tiff(3, 5, 4), encode_tiff(4, 3, 3)
+    assert parse_tiff_meta(b1)["n_pages"] == 1
+    joined = bytearray(b1)
+    off2 = len(joined)
+    (i2,) = _struct.unpack_from("<I", b2, 4)
+    (c2,) = _struct.unpack_from("<H", b2, i2)
+    joined += b2[i2 : i2 + 2 + 12 * c2] + b"\x00\x00\x00\x00"
+    (i1,) = _struct.unpack_from("<I", b1, 4)
+    (c1,) = _struct.unpack_from("<H", b1, i1)
+    _struct.pack_into("<I", joined, i1 + 2 + 12 * c1, off2)
+    assert parse_tiff_meta(bytes(joined))["n_pages"] == 2
+    assert parse_tiff(bytes(joined)).shape == (4, 5, 3)  # page 1
+    _struct.pack_into("<I", joined, off2 + 2 + 12 * c2, i1)  # circle
+    assert parse_tiff_meta(bytes(joined))["n_pages"] == 2
+
     # fuzz-lite
     rng = np.random.default_rng(13)
     base = encode_tiff(7, 6, 5, rows_per_strip=2)
