@@ -91,12 +91,26 @@ def main() -> None:
             blocks.append(b)
         return encode_jpeg_progressive(w, h, [blocks])
 
+    from ais_data_pipeline_spark.operators.gif import encode_gif as _enc_gif
+    from ais_data_pipeline_spark.operators.multimodal import synth_pixel_value
+    from ais_data_pipeline_spark.operators.tiff import encode_tiff as _enc_tiff
+
+    def encode_gif_probe(i: int, w: int, h: int) -> bytes:
+        pal = bytes(synth_pixel_value(i, c + j) for c in range(256) for j in range(3))
+        return _enc_gif([(3 * p) % 256 for p in range(w * h)], pal, w, h)
+
     encoders = {
         "ppm": encode_ppm,
         "bmp": encode_bmp,
         "png": encode_png,
         "jpeg": encode_jpeg_probe,
         "jpeg_progressive": encode_jpeg_prog_probe,
+        # round 13: the GIF LZW rung and the three TIFF codec rungs
+        "gif": encode_gif_probe,
+        "tiff": lambda i, w, h: _enc_tiff(i, w, h, rows_per_strip=16),
+        "tiff_lzw": lambda i, w, h: _enc_tiff(i, w, h, compression=5, rows_per_strip=16),
+        "tiff_packbits": lambda i, w, h: _enc_tiff(i, w, h, compression=32773, rows_per_strip=16),
+        "tiff_deflate": lambda i, w, h: _enc_tiff(i, w, h, compression=8, rows_per_strip=16),
     }
 
     def fixture(fmt: str, n: int):
