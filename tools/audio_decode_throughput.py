@@ -29,7 +29,9 @@ from ais_data_pipeline_spark.session import get_spark
 
 N_DOCS = int(os.environ.get("AUDIO_PROBE_DOCS", 2048))
 SECONDS = float(os.environ.get("AUDIO_PROBE_SECONDS", 2.0))
-#: pcm16 (plain fmt) or float32 (WAVE_FORMAT_EXTENSIBLE wrapper — the
+#: pcm16 (plain fmt), float32 (WAVE_FORMAT_EXTENSIBLE wrapper), and
+#: round-13 rungs: adpcm (IMA predictor loop), mulaw (G.711 expansion
+#: — the
 #: round-12 decode surface, measured separately since the float path
 #: takes the f4 frombuffer + float64 stats branch)
 FORMAT = os.environ.get("AUDIO_PROBE_FORMAT", "pcm16")
@@ -60,7 +62,26 @@ def main() -> None:
         # being measured)
         k = np.arange(n_frames * NCH, dtype=np.int64)
         codes = (i * 131 + k * 17) % 65536 - 32768
-        if FORMAT == "float32":
+        if FORMAT == "adpcm":  # round 13: the IMA predictor rung
+            from ais_data_pipeline_spark.operators.wav import (
+                encode_ima_adpcm_wav,
+            )
+
+            return encode_ima_adpcm_wav(
+                codes.reshape(-1, NCH).astype(np.int16), RATE,
+                block_align=512 * NCH,
+            )
+        if FORMAT == "mulaw":  # round 13: the G.711 expansion rung
+            u = np.clip(codes, -32635, 32635)
+            # invert the decode segment mapping approximately: probe
+            # content only needs to be VALID mu-law bytes, not a true
+            # companding round-trip — feed raw bytes directly
+            raw = ((i * 131 + np.arange(n_frames * NCH)) % 256).astype(np.uint8).tobytes()
+            balign = NCH
+            fmt = b"fmt " + struct.pack(
+                "<IHHIIHH", 16, 7, NCH, RATE, RATE * balign, balign, 8
+            )
+        elif FORMAT == "float32":
             from ais_data_pipeline_spark.operators.wav import _KSDATAFORMAT_TAIL
 
             raw = (codes / 32768.0).astype("<f4").tobytes()
