@@ -250,6 +250,7 @@ def _decode_progressive_scan(  # noqa: PLR0913 — scan state is wide
     cdims: list[tuple[int, int]],
     dc_done: set[int],
     max_dc_size: int = 11,
+    max_ac_size: int = 10,
 ) -> int:
     """Decode one progressive scan (T.81 G.2) into the per-component
     zigzag-order coefficient accumulators; returns the byte position of
@@ -349,8 +350,11 @@ def _decode_progressive_scan(  # noqa: PLR0913 — scan state is wide
                     return
                 k += 16  # ZRL
                 continue
-            if s > 10:
-                raise ValueError("AC coefficient out of baseline range")
+            if s > max_ac_size:
+                # T.81 Table F.2: AC SSSS <= 10 at 8-bit precision,
+                # <= 14 at 12-bit (r13 advice: the fixed 10 rejected
+                # valid 12-bit progressive streams as corrupt)
+                raise ValueError("AC coefficient out of range")
             k += r
             if k > se:
                 raise ValueError("bad AC run in progressive scan")
@@ -634,6 +638,7 @@ def parse_jpeg(data: bytes) -> np.ndarray:
                 data, pos + seglen, body, frame, hufftables, dri,
                 coeffs, cdims, dc_done,
                 max_dc_size=11 if precision == 8 else 15,
+                max_ac_size=10 if precision == 8 else 14,
             )
             any_scan = True
             continue
@@ -808,8 +813,12 @@ def _reconstruct(
 #: conforming decoder. Deliberately NOT the Annex-K tables.
 _ENC_DC_BITS = [0, 0, 0, 13, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
 _ENC_DC_VALS = list(range(13))
+#: AC sizes 1..14: T.81 Table F.2 allows SSSS up to 10 at 8-bit but
+#: up to 14 at 12-bit precision; the wider table stays valid for both
+#: (226 symbols at one 8-bit code length, no all-ones code) and the
+#: per-precision cap is enforced at the encode sites.
 _ENC_AC_VALS = [0x00, 0xF0] + [
-    (run << 4) | size for run in range(16) for size in range(1, 11)
+    (run << 4) | size for run in range(16) for size in range(1, 15)
 ]
 _ENC_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 0, len(_ENC_AC_VALS), 0, 0, 0, 0, 0, 0, 0]
 
@@ -967,8 +976,8 @@ def encode_jpeg_coeffs(
                 bw.write(code, ln)
                 run -= 16
             size, mag = _mag_bits(v)
-            if size > 10:
-                raise ValueError("AC coefficient out of baseline range")
+            if size > (10 if precision == 8 else 14):
+                raise ValueError("AC coefficient out of range")
             ln, code = ac_codes[(run << 4) | size]
             bw.write(code, ln)
             bw.write(mag, size)
@@ -1066,7 +1075,9 @@ def encode_jpeg_constant_blocks(
 _ENC_PROG_AC_VALS = sorted(
     [r << 4 for r in range(15)]
     + [0xF0]
-    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    # sizes 1..14: SSSS > 10 only ever emitted in 12-bit streams
+    # (T.81 Table F.2); the wider table is valid canonical for both
+    + [(r << 4) | s for r in range(16) for s in range(1, 15)]
 )
 _ENC_PROG_AC_BITS = [0] * 16
 _ENC_PROG_AC_BITS[8] = len(_ENC_PROG_AC_VALS)  # all codes 9 bits
@@ -1189,7 +1200,7 @@ def encode_jpeg_progressive(
         out += _encode_progressive_scan(
             comp_blocks, sampling, w, h, mcux, mcuy,
             scan_comps, ss, se, ah, al,
-            dc_codes, ac_codes, restart_interval,
+            dc_codes, ac_codes, restart_interval, precision,
         )
     out += b"\xff\xd9"
     return bytes(out)
@@ -1198,7 +1209,7 @@ def encode_jpeg_progressive(
 def _encode_progressive_scan(
     comp_blocks, sampling, w, h, mcux, mcuy,
     scan_comps, ss, se, ah, al,
-    dc_codes, ac_codes, restart_interval,
+    dc_codes, ac_codes, restart_interval, precision=8,
 ) -> bytes:
     out = bytearray()
     bw = _BitWriter()
@@ -1263,7 +1274,7 @@ def _encode_progressive_scan(
                 bw.write(code, ln)
                 r -= 16
             size, mag = _mag_bits(v)
-            if size > 10:
+            if size > (10 if precision == 8 else 14):
                 raise ValueError("AC coefficient out of range for this Al")
             ln, code = ac_codes[(r << 4) | size]
             bw.write(code, ln)

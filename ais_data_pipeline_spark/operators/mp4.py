@@ -30,10 +30,13 @@ import struct
 _CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
 
 
-def _walk(data: bytes, lo: int, hi: int):
-    """Yield (box_type, body_lo, body_hi) for each box in [lo, hi).
-    Handles 64-bit ``largesize`` (size == 1) and to-end boxes
-    (size == 0); raises ``ValueError`` on any malformed size."""
+def _walk_full(data: bytes, lo: int, hi: int):
+    """Yield (box_type, box_start, body_lo, body_hi) for each box in
+    [lo, hi). Handles 64-bit ``largesize`` (size == 1) and to-end
+    boxes (size == 0); raises ``ValueError`` on any malformed size.
+    ``box_start`` is the position of the size field — the anchor
+    ISO 14496-12 §8.8.7 default-base-is-moof offsets are relative to
+    (NOT body_lo - 8: a largesize box has a 16-byte header)."""
     pos = lo
     while pos < hi:
         if pos + 8 > hi:
@@ -55,8 +58,14 @@ def _walk(data: bytes, lo: int, hi: int):
         end = pos + size
         if end > hi:
             raise ValueError(f"MP4 box {btype!r} overruns its container")
-        yield btype, body, end
+        yield btype, pos, body, end
         pos = end
+
+
+def _walk(data: bytes, lo: int, hi: int):
+    """Yield (box_type, body_lo, body_hi) — see ``_walk_full``."""
+    for btype, _start, body, end in _walk_full(data, lo, hi):
+        yield btype, body, end
 
 
 def parse_mp4_meta(data: bytes) -> dict:
@@ -351,11 +360,14 @@ def parse_mp4_fragments(data: bytes) -> dict:
                 trex[tid] = (ddur, dsize, dflags)
 
     tracks: dict[int, dict] = {}
-    for btype, blo, bhi in _walk(data, 0, len(data)):
+    for btype, bstart, blo, bhi in _walk_full(data, 0, len(data)):
         if btype == b"moov":
             read_trex(blo, bhi)
         elif btype == b"moof":
-            moof_start = blo - 8  # offsets are relative to the BOX start
+            # offsets are relative to the BOX start — taken from the
+            # walk, not body_lo - 8, so a largesize moof (16-byte
+            # header) anchors correctly (r13 advice)
+            moof_start = bstart
             for t2, l2, h2 in _walk(data, blo, bhi):
                 if t2 != b"traf":
                     continue
@@ -422,6 +434,13 @@ def parse_mp4_fragments(data: bytes) -> dict:
                         + 4 * bool(tflags & 0x400) + 4 * bool(tflags & 0x800)
                     if q + per * cnt > h4:
                         raise ValueError("trun table overruns its box")
+                    if per == 0 and cnt > len(data):
+                        # with no per-sample fields the box-bound check
+                        # above is vacuous and the untrusted 32-bit
+                        # count would drive the append loop unbounded
+                        # (r13 advice); every sample occupies >= 1 byte
+                        # of mdat, so len(data) is a hard ceiling
+                        raise ValueError("trun sample_count exceeds file size")
                     for s in range(cnt):
                         dur, size, sflags = ddur, dsize, dflags
                         if tflags & 0x100:

@@ -90,85 +90,81 @@ def register(name: str, oracle: str | None, description: str):
 
 
 # The driver checks only the FIRST 50 registry entries per round, so
-# registry order decides which queries get a CORRECTNESS row. Round-13
-# window: the r9 cohort is due (the 50 rows whose latest driver row is
-# r9, enumerated in the round-12 window note and verified
-# programmatically from the CORRECTNESS artifacts), amended by the
-# CHANGED-ROW-FIRST policy this round pins in COMPAT.md: rows whose
-# semantics changed since their last driver check outrank oldest-first.
-# Concretely:
-#   - image_pixel_stats_png left the registry (round-13 swap: its PNG
-#     decode folds into image_format_dispatch's widened corpus (mixed3
-#     at swap time, widened again to mixed4 with GIF later in r13);
-#     fold note at the retirement site) -> 49 due rows remain.
-#   - image_pixel_stats_jpeg left the registry (swap: baseline-JPEG
-#     decode folds into frame_pixel_stats, which runs the same
-#     parse_jpeg per extracted MJPEG frame; fold note at the
-#     retirement site). Its latest row was r10, so no slot change here.
-#   - IN (changed-row-first): audio_meta (r13 parse_error branch +
-#     real-parser dispatch), audio_pcm_stats (r12 float32/EXTENSIBLE
-#     rewrite postdates its r11 row), image_format_dispatch (r13
-#     mixed3-then-mixed4 corpus), and the two NEW swap rows audio_container_meta
-#     and frame_pixel_stats.
-#   - DEFERRED to r14 (displaced by the five above): above_avg_orders,
-#     custdist, large_orders, nation_pair_volume — pure SQL-shape
-#     queries whose code paths are untouched since their r9 rows (the
-#     lowest-risk deferrals in the cohort); they lead the r14 window
-#     with the r10 cohort.
-# frame_sample_fanout and streaming_cdc_upsert (the other two rows the
-# r12 verdict flagged as changed-since-checked) are in the r9 cohort
-# already and stay.
+# registry order decides which queries get a CORRECTNESS row. Round-14
+# window (executes the plan pinned in COMPAT.md "r14 window plan"):
+#   - LEAD with the six unchanged rows displaced from the r13 window
+#     by the changed-row-first policy — above_avg_orders, custdist,
+#     large_orders, nation_pair_volume, cube_returnflag_status,
+#     grouping_sets_status. All six are frozen SQL-shape queries whose
+#     code paths are untouched since their r9 rows; after this round
+#     no registry row's latest driver proof predates r10.
+#   - Then oldest-first: 44 of the 47 rows whose latest driver row is
+#     r10 (alphabetical within the cohort; computed programmatically
+#     from the CORRECTNESS_r*.json artifacts). The three r10 rows that
+#     don't fit (text_normalize, token_counts, topk_orders) plus the
+#     r11 cohort lead the r15 window.
+#   - Changed-row-first amendment (late r14): any row whose semantics
+#     change THIS round rotates in, displacing from the END of this
+#     list; displaced rows lead r15. Rotated in: image_format_dispatch
+#     (mixed5 -> mixed6: TIFF arm decodes multi-page fixtures and
+#     emits per-page rows), audio_meta (tagless-CBR MP3 duration now
+#     exact via full frame walk, was NULL), media_type_route (AVI arm
+#     added to the RIFF disambiguation), frame_pixel_stats (fixture
+#     corpus widened to MP4+AVI containers), theta_difference (NEW
+#     registry row, never driver-checked). Displaced to lead r15:
+#     semi_anti_customers, sessionize_events, set_ops_segments,
+#     small_qty_revenue, stream_stream_join (unchanged r10 rows).
 _FRONT_WINDOW: list[str] = [
-    "approx_distinct_events",
-    "audio_container_meta",
-    "audio_meta",
-    "audio_pcm_stats",
-    "bpe_token_counts",
-    "conditional_agg",
-    "media_type_route",
-    "dataset_split_counts",
-    "dict_normalize_brand",
-    "downcast_guard",
-    "dq_report",
-    "events_hourly",
-    "events_json_extract",
-    "forecast_revenue_q6",
-    "frame_pixel_stats",
-    "frame_sample_fanout",
-    "funnel_stages",
-    "theta_token_overlap",
-    "hash_sample_orders",
+    "above_avg_orders",
+    "custdist",
+    "large_orders",
+    "nation_pair_volume",
+    "cube_returnflag_status",
+    "grouping_sets_status",
+    "ann_index_topk",
+    "approx_quantiles",
+    "array_agg_user_types",
+    "asof_last_click",
+    "bag_fingerprint",
+    "cluster_best_representative",
+    "date_functions",
+    "date_parse_lenient",
+    "dedup_exact",
+    "dsir_domain_scores",
+    "embedding_near_dup_exact",
+    "embedding_near_dup_lsh",
+    "embedding_topk",
+    "embedding_topk_filtered",
+    "embedding_topk_lsh",
+    "event_pairs_5min",
+    "frame_embedding_topk",
+    "incremental_dedup_stats",
+    "incremental_embedding_dedup_stats",
+    "incremental_rollup_merge",
+    "ivf_index_topk",
+    "ivfpq_index_topk",
+    "ivfpq_rerank_topk",
+    "lang_id",
+    "late_ship_priority",
+    "latest_event_per_user",
+    "minhash_near_dup",
+    "mmr_diverse_topk",
+    "moving_avg_customer",
+    "near_dup_clusters",
+    "ngram_jaccard_pairs",
+    "null_token_normalize",
+    "pq_adc_topk",
+    "q1_pricing_summary",
+    "quantiles_quantity",
+    "revenue_by_nation",
+    "scan_project_filter",
+    "semdedup_stats",
     "image_format_dispatch",
-    "locf_fill_forward",
-    "mode_event_type_per_user",
-    "moment_stats",
-    "multiset_ops",
-    "not_in_null_semantics",
-    "order_price_deciles",
-    "order_status_rollup",
-    "outer_join_fill",
-    "posexplode_tokens",
-    "priority_revenue",
-    "profile_distinct_ratios",
-    "project_exclude_substring",
-    "rank_distribution",
-    "rollup_region_nation",
-    "running_total_per_customer",
-    "salted_event_type_agg",
-    "sequence_packing_strict",
-    "session_windows_native",
-    "stratified_hash_sample",
-    "stream_static_join",
-    "streaming_cdc_upsert",
-    "streaming_dedup_pairs",
-    "streaming_sliding_counts",
-    "streaming_windowed_counts",
-    "string_agg_types",
-    "surrogate_keys",
-    "term_frequencies",
-    "unpivot_metrics",
-    "url_route_suffix",
-    "value_run_islands",
+    "audio_meta",
+    "media_type_route",
+    "frame_pixel_stats",
+    "theta_difference",
+    "streaming_ivf_ingest_topk",
 ]
 
 

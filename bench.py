@@ -303,6 +303,26 @@ def main() -> None:
     # JVM warmup outside the measured section
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # Cool-down gate (round-13 verdict item 4): BENCH_r12 and BENCH_r13
+    # both started at 1-min load >5 — residual decay from the previous
+    # round's verify/pytest wrap-up, not concurrent work (ps on a
+    # flagged box shows it idle). The 1-min load average decays with a
+    # ~1-min time constant, so a bounded idle wait converts a flagged
+    # artifact into a clean one at a one-time cost of O(minutes). The
+    # wait is recorded (`cooldown_sec`) and bounded
+    # (SPARK_GRAFT_COOLDOWN_MAX_SEC, default 300; 0 disables); the gate
+    # targets 0.9x the flag threshold so the flag can't re-trip on
+    # rounding. If the box is genuinely busy the gate times out and the
+    # existing load_flagged machinery takes over exactly as before.
+    cooldown_max = float(os.environ.get("SPARK_GRAFT_COOLDOWN_MAX_SEC", 300))
+    _t_cd = time.monotonic()
+    while (
+        os.getloadavg()[0] > LOAD_FLAG_MAX * 0.9
+        and time.monotonic() - _t_cd < cooldown_max
+    ):
+        time.sleep(5)
+    cooldown_sec = round(time.monotonic() - _t_cd, 1)
+
     load_start = os.getloadavg()
     by_name = {q.name: q for q in registry()}
     # Per query, BOTH timings are reported (round-4 verdict ask —
@@ -526,6 +546,9 @@ def main() -> None:
         # round-over-round timing drift be attributed to a busy
         # driver box instead of guessing
         "load_avg_start": [round(x, 2) for x in load_start],
+        # idle seconds spent in the pre-measurement cool-down gate
+        # (0.0 = box was already quiet)
+        "cooldown_sec": cooldown_sec,
         "load_avg_end": [round(x, 2) for x in os.getloadavg()],
         # True when load_avg_start[0] exceeded LOAD_FLAG_MAX: extended
         # bests then include one post-drain re-run, and any surviving
@@ -585,6 +608,7 @@ def compact_summary(detail: dict) -> dict:
         "load_avg_start": detail["load_avg_start"],
         "load_avg_end": detail["load_avg_end"],
         "load_flagged": detail.get("load_flagged", False),
+        "cooldown_sec": detail.get("cooldown_sec", 0.0),
         "pipeline": _pick(
             pipe, ["wall_clock_sec", "mib_per_sec", "compression_ratio"]
         ),

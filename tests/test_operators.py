@@ -746,6 +746,26 @@ def test_jpeg_12bit_precision():
         == parse_jpeg(encode_jpeg_progressive(16, 8, [yb[:2]], precision=12))
     ).all()
 
+    # r13-advice regression: T.81 Table F.2 allows AC SSSS up to 14 at
+    # 12-bit precision — a valid 12-bit stream with large AC
+    # coefficients (sizes 11..14) must decode, progressive included,
+    # and match the sequential decode bit-for-bit; at 8-bit an Al=0
+    # scan still rejects SSSS 11 at encode and decode.
+    big_blk = [[0] * 64]
+    big_blk[0][0] = 100
+    big_blk[0][1] = 1500   # size 11
+    big_blk[0][3] = -3000  # size 12
+    big_blk[0][5] = 8000   # size 13
+    big_blk[0][9] = -12000  # size 14
+    seq12 = parse_jpeg(encode_jpeg_coeffs(8, 8, [big_blk], precision=12))
+    prog12 = parse_jpeg(encode_jpeg_progressive(8, 8, [big_blk], precision=12))
+    assert (seq12 == prog12).all()
+    with _pytest.raises(ValueError, match="out of range"):
+        encode_jpeg_progressive(
+            8, 8, [[[0, 2000] + [0] * 62]], precision=8,
+            scans=[((0,), 0, 0, 0, 0), ((0,), 1, 63, 0, 0)],
+        )
+
     # corrupt headers: 12-bit under SOF0, and precisions T.81 does not
     # define for DCT processes
     bad = bytearray(encode_jpeg_constant_blocks(8, 8, [100]))
@@ -6061,6 +6081,41 @@ def test_fragmented_mp4(spark):
     i0 = b.index(b"trun")
     b[i0 + 8 : i0 + 12] = _struct.pack(">I", 10_000)  # sample_count lie
     with _pytest.raises(ValueError, match="overruns"):
+        parse_mp4_fragments(bytes(b))
+
+    # r13-advice regressions:
+    # (a) largesize moof — a 64-bit box header is 16 bytes, so
+    # default-base-is-moof offsets anchored at body_lo - 8 would land
+    # 8 bytes deep into the header; the walk now yields the true box
+    # start. Same traf as the continuation fixture, but the moof is
+    # re-wrapped with size==1 + largesize.
+    moof_body = fbox(b"mfhd", 0, _struct.pack(">I", 1)) + _box(
+        b"traf", tfhd2 + trun1
+    )
+    big_moof = (
+        _struct.pack(">I", 1) + b"moof"
+        + _struct.pack(">Q", 16 + len(moof_body)) + moof_body
+    )
+    head = _box(b"ftyp", b"iso5" + bytes(4) + b"iso5") + moov
+    payload = bytes([9]) * 10 + bytes([7]) * 20
+    big = bytearray(head + big_moof + _box(b"mdat", payload))
+    j = big.index(b"trun")
+    # doff: from the moof BOX start (len(head)) to the mdat body
+    _struct.pack_into(">i", big, j + 12, len(big_moof) + 8)
+    fr = parse_mp4_fragments(bytes(big))[1]
+    (o0, s0, _), (o1, s1, _) = fr["samples"]
+    assert bytes(big[o0 : o0 + s0]) == bytes([9]) * 10
+    assert bytes(big[o1 : o1 + s1]) == bytes([7]) * 20
+
+    # (b) a trun with NO per-sample fields (per == 0) makes the
+    # box-bound check vacuous; the untrusted 32-bit count must still
+    # be capped (>= 1 byte of mdat per sample) instead of driving an
+    # unbounded append loop
+    b = bytearray(encode_fmp4(0))
+    i0 = b.index(b"trun")
+    b[i0 + 4 : i0 + 8] = bytes([0]) + (0).to_bytes(3, "big")  # flags=0
+    b[i0 + 8 : i0 + 12] = _struct.pack(">I", 0xFFFF_FFF0)
+    with _pytest.raises(ValueError, match="exceeds file size"):
         parse_mp4_fragments(bytes(b))
 
     # fuzz-lite: documented classes only

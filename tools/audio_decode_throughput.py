@@ -72,7 +72,6 @@ def main() -> None:
                 block_align=512 * NCH,
             )
         if FORMAT == "mulaw":  # round 13: the G.711 expansion rung
-            u = np.clip(codes, -32635, 32635)
             # invert the decode segment mapping approximately: probe
             # content only needs to be VALID mu-law bytes, not a true
             # companding round-trip — feed raw bytes directly
