@@ -74,7 +74,9 @@ def tokens_lower(text_col: Column) -> Column:
     return F.split(F.lower(F.trim(text_col)), r"\s+")
 
 
-def shingle_hashes_from_tokens(tokens_col: Column, n: int = 3) -> Column:
+def shingle_hashes_from_tokens(
+    tokens_col: Column, n: int = 3, distinct: bool = True
+) -> Column:
     """Distinct word n-gram shingles as 64-bit hashes (array<long>)
     from a MATERIALIZED token-array column.
 
@@ -95,7 +97,14 @@ def shingle_hashes_from_tokens(tokens_col: Column, n: int = 3) -> Column:
     gram = lambda i: F.xxhash64(  # noqa: E731
         *[F.element_at(tokens_col, i + j) for j in range(n)]
     )
-    return F.array_distinct(F.transform(idx, gram))
+    arr = F.transform(idx, gram)
+    # distinct=False for duplicate-invariant consumers (the minhash
+    # min-aggregate): array_distinct was ~45% of the shingle
+    # projection in the r14 curation profile, and min over the
+    # multiset equals min over the set — bit-identical signatures.
+    # Jaccard/set consumers (verify join, ngram pairs) keep the
+    # distinct set.
+    return F.array_distinct(arr) if distinct else arr
 
 
 def ngram_jaccard_pairs(
@@ -179,7 +188,12 @@ def minhash_signature(
 
     One JVM expression per permutation (xxhash64 with a distinct seed
     column mixed in) — the signature computes map-side in a single
-    projection; no UDF, no shuffle.
+    projection; no UDF, no shuffle. NOTE: higher-order-function
+    lambdas evaluate INTERPRETED (not codegen), so this form costs
+    ~17 µs/doc at 200 shingles — fine for tests and one-off columns;
+    the hot path (``minhash_band_rows``) computes the identical
+    values through a codegen'd explode + min-aggregate instead
+    (round-14 curation profile, SCALING.md).
     """
     # NB: closure factory, not `lambda s, i=i:` — PySpark interprets a
     # two-parameter lambda as (element, index) and would override the
@@ -204,19 +218,47 @@ def minhash_band_rows(
 ) -> DataFrame:
     """(doc, band, bucket) LSH band rows — the shared front half of
     batch candidate generation AND the persisted bucket table an
-    incremental pipeline probes (streaming.incremental_dedup). One
-    map-side projection per doc: tokens → shingle hashes → signature →
-    banded bucket hashes, exploded to #docs × #bands rows."""
+    incremental pipeline probes (streaming.incremental_dedup).
+
+    The signature mins compute through a codegen'd shingle EXPLODE +
+    32 min-aggregates, not the higher-order-function array form
+    (round-14 curation profile): HOF lambdas evaluate interpreted,
+    per element PER PERMUTATION, and the signature projection alone
+    was ~57% of the 3M-doc near-dup stage (~13 s of 23 s at 750k
+    docs). explode + xxhash64 + hash-agg min are all whole-stage
+    codegen; the values are BIT-IDENTICAL (same min over
+    xxhash64(shingle, seed+i)), so candidate sets, the persisted
+    incremental index, and every oracle are unchanged. Cost shape at
+    scale: the groupBy(doc) exchange moves one (8 + 8*n_hashes)-byte
+    row per doc — same order as the band-row shuffle this operator
+    already feeds, and each doc's shingles sit in one partition so
+    map-side partial aggregation finishes the min before the
+    exchange. Empty shingle arrays (docs under ``shingle_n`` tokens)
+    keep the legacy NULL-signature semantics via explode_outer + a
+    null-guarded min."""
     r = n_hashes // bands
     toked = _spread(df).select(
         F.col(id_col).alias("doc"), tokens_lower(F.col(text_col)).alias("__tok")
     )
     shingled = toked.select(
-        "doc", shingle_hashes_from_tokens(F.col("__tok"), shingle_n).alias("__sh")
-    )
-    sig = shingled.select(
         "doc",
-        minhash_signature(F.col("__sh"), n_hashes, seed).alias("sig"),
+        shingle_hashes_from_tokens(
+            F.col("__tok"), shingle_n, distinct=False
+        ).alias("__sh"),
+    )
+    ex = shingled.select("doc", F.explode_outer("__sh").alias("__s"))
+    # the null guard keeps empty-shingle docs at sig=NULL (the HOF
+    # form's array_min over an empty array), NOT xxhash64-of-nothing
+    sig = ex.groupBy("doc").agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("__s").isNotNull(),
+                    F.xxhash64(F.col("__s"), F.lit(seed + i)),
+                )
+            ).alias(f"__m{i}")
+            for i in range(n_hashes)
+        ]
     )
     return sig.select(
         "doc",
@@ -226,7 +268,7 @@ def minhash_band_rows(
                     F.struct(
                         F.lit(b).alias("band"),
                         F.xxhash64(
-                            *[F.element_at(F.col("sig"), b * r + j + 1) for j in range(r)]
+                            *[F.col(f"__m{b * r + j}") for j in range(r)]
                         ).alias("bucket"),
                     )
                     for b in range(bands)

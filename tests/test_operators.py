@@ -74,6 +74,67 @@ def test_minhash_candidates_cover_true_pairs(spark, sf_dir):
     assert truth <= cands, f"LSH missed {truth - cands}"
 
 
+def test_minhash_band_rows_bit_identical_to_hof_signature(spark, sf_dir):
+    """The r14 explode + min-agg band-row path must produce BIT-
+    IDENTICAL (doc, band, bucket) rows to the legacy higher-order-
+    function signature form — including the NULL-signature degenerate
+    bucket for docs with fewer than shingle_n tokens. This is the pin
+    that makes the 3× curation speedup a pure execution-shape change:
+    candidate sets, the persisted incremental index, and every
+    minhash oracle are provably unchanged (SCALING.md round 14)."""
+    from pyspark.sql import functions as F
+
+    from ais_data_pipeline_spark.operators.dedup import (
+        minhash_band_rows,
+        minhash_signature,
+        shingle_hashes_from_tokens,
+        tokens_lower,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).limit(300)
+    extra = spark.createDataFrame(
+        [(900001, ""), (900002, "one"), (900003, "two words")],
+        "doc_id long, text string",
+    )
+    docs = docs.select("doc_id", "text").unionByName(extra)
+
+    # legacy HOF path, rebuilt exactly as shipped through round 13
+    r, bands, n_hashes = 2, 16, 32
+    toked = docs.select(
+        F.col("doc_id").alias("doc"), tokens_lower(F.col("text")).alias("__tok")
+    )
+    sh = toked.select(
+        "doc", shingle_hashes_from_tokens(F.col("__tok"), 3).alias("__sh")
+    )
+    sig = sh.select("doc", minhash_signature(F.col("__sh"), n_hashes, 42).alias("sig"))
+    legacy = sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at(F.col("sig"), b * r + j + 1)
+                                for j in range(r)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+
+    new = minhash_band_rows(docs, n_hashes, bands, "text", "doc_id")
+    assert legacy.exceptAll(new).count() == 0
+    assert new.exceptAll(legacy).count() == 0
+    # the degenerate docs still emit a full band set (NULL signature →
+    # xxhash64-of-nulls bucket), same as the legacy form
+    assert new.filter(F.col("doc") >= 900001).count() == 3 * bands
+
+
 def test_simhash_properties(spark):
     from ais_data_pipeline_spark.operators.dedup import (
         simhash_fingerprints,
