@@ -27,12 +27,20 @@ path where rename is atomic (local disk; not S3/object stores, where
 compaction belongs to a table format's commit protocol instead). Probes
 racing a swap on a shared POSIX filesystem can observe a missing
 directory for the instant between the two renames.
+
+Round 14: the compactors no longer use the rename swap — they commit
+through the GENERATION-POINTER protocol below (hidden ``_gNNNNN``
+stage dirs + one atomic pointer write, zero renames of data
+directories), which runs on object stores through the same injectable
+IO seam as the listing census. ``staged_swap``/``recover_staged_swap``
+remain for local-FS callers that want the in-place layout.
 """
 
 from __future__ import annotations
 
 import os
 import shutil
+from dataclasses import dataclass as _dataclass
 from typing import Callable, Iterable, Iterator
 
 #: A lister maps a root path/URI to ``(relative_path, size_bytes)``
@@ -101,6 +109,218 @@ def iter_files(root: str, lister: Lister | None = None) -> Iterator[tuple[str, i
         remote = len(scheme_split) == 2 and scheme_split[0] != "file"
         lister = hadoop_lister if remote else local_lister
     yield from lister(root)
+
+
+# -- Generation-pointer commits (round 14) ----------------------------------
+#
+# The object-store-safe replacement for the rename-based staged swap:
+# a maintenance rewrite stages the consolidated table under a HIDDEN
+# sibling generation directory (``_gNNNNN`` — names starting with an
+# underscore are invisible to Spark/Hadoop file listings, so readers
+# of the current generation never see a stage in progress), then
+# commits by atomically publishing a tiny pointer file. No data
+# directory is ever renamed:
+#
+#     index/
+#       _current_gen            text: committed generation (absent = 0)
+#       <table dirs...>         generation 0 (the pre-pointer layout)
+#       _g00001/<table dirs>    generation 1
+#
+# Crash windows: before publish → pointer unchanged, live generation
+# intact, the partial stage is hidden garbage GC'd on the next
+# maintenance entry; after publish → new generation live, the old one
+# is garbage GC'd on the same entry. Probes racing a commit read
+# whichever generation their root resolution saw — a complete,
+# consistent file set either way (the rename swap's missing-directory
+# instant does not exist here). Single-writer maintenance, as before.
+
+GEN_POINTER = "_current_gen"
+
+
+@_dataclass
+class FsIO:
+    """Small-file + tree IO bundle, injectable like ``Lister`` so the
+    generation commit protocol runs against local disk, a Hadoop
+    FileSystem (s3a/hdfs/abfs), or a test fake without code changes."""
+
+    lister: Lister
+    read_text: Callable[[str], str | None]
+    write_text: Callable[[str, str], None]
+    remove: Callable[[str], None]
+
+
+def _local_read_text(path: str) -> str | None:
+    try:
+        with open(path) as f:
+            return f.read()
+    except OSError:
+        return None
+
+
+def _local_write_text(path: str, content: str) -> None:
+    """Write-to-temp + atomic replace of a SMALL pointer/metadata file
+    (never a data directory)."""
+    import tempfile
+
+    d = os.path.dirname(path) or "."
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        f.write(content)
+    os.replace(tmp, path)
+
+
+def _local_remove(path: str) -> None:
+    if os.path.isdir(path):
+        shutil.rmtree(path, ignore_errors=True)
+    elif os.path.exists(path):
+        try:
+            os.remove(path)
+        except OSError:
+            pass
+
+
+LOCAL_IO = FsIO(local_lister, _local_read_text, _local_write_text, _local_remove)
+
+
+def hadoop_io() -> FsIO:
+    """Hadoop-FileSystem-backed IO via the active session's JVM
+    gateway — pointer reads/writes are single-object GET/PUT
+    (overwrite create: the commit point is the pointer content, and
+    maintenance is single-writer by contract), removal is one
+    recursive ``delete``."""
+    from pyspark.sql import SparkSession
+
+    def _fs(path: str):
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError("hadoop_io needs an active SparkSession")
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath, jvm
+
+    def read_text(path: str) -> str | None:
+        fs, jpath, _ = _fs(path)
+        if not fs.exists(jpath):
+            return None
+        stream = fs.open(jpath)
+        try:
+            out = bytearray()
+            while True:
+                b = stream.read()
+                if b < 0:
+                    break
+                out.append(b)
+            return out.decode()
+        finally:
+            stream.close()
+
+    def write_text(path: str, content: str) -> None:
+        fs, jpath, _ = _fs(path)
+        stream = fs.create(jpath, True)  # overwrite = the atomic PUT
+        try:
+            stream.write(bytearray(content.encode()))
+        finally:
+            stream.close()
+
+    def remove(path: str) -> None:
+        fs, jpath, _ = _fs(path)
+        if fs.exists(jpath):
+            fs.delete(jpath, True)
+
+    return FsIO(hadoop_lister, read_text, write_text, remove)
+
+
+def io_for(root: str) -> FsIO:
+    scheme_split = root.split("://", 1)
+    remote = len(scheme_split) == 2 and scheme_split[0] != "file"
+    return hadoop_io() if remote else LOCAL_IO
+
+
+def _join(root: str, *parts: str) -> str:
+    return "/".join([root.rstrip("/"), *parts])
+
+
+def current_generation(index_path: str, io: FsIO | None = None) -> int:
+    """Committed generation of a pointer-managed index; 0 when no
+    pointer exists (the flat pre-generation layout, or a fresh index)."""
+    io = io or io_for(index_path)
+    txt = io.read_text(_join(index_path, GEN_POINTER))
+    return int(txt.strip()) if txt else 0
+
+
+def generation_root(index_path: str, gen: int) -> str:
+    """Data root of generation ``gen``: the index path itself for
+    generation 0 (backward compatible with every pre-pointer index),
+    a hidden ``_gNNNNN`` child otherwise."""
+    return index_path.rstrip("/") if gen == 0 else _join(index_path, f"_g{gen:05d}")
+
+
+def current_root(index_path: str, io: FsIO | None = None) -> str:
+    """Resolve the live data root (pointer-aware; identity for flat
+    layouts). Every reader/appender of a generation-managed index
+    resolves through this."""
+    return generation_root(index_path, current_generation(index_path, io))
+
+
+def publish_generation(index_path: str, gen: int, io: FsIO | None = None) -> None:
+    """Commit generation ``gen``: one atomic small-file write. The
+    stage under ``generation_root(index_path, gen)`` must be COMPLETE
+    before this call."""
+    io = io or io_for(index_path)
+    io.write_text(_join(index_path, GEN_POINTER), str(gen))
+
+
+def gc_generations(
+    index_path: str,
+    keep_gen: int,
+    legacy_names: Iterable[str] = (),
+    io: FsIO | None = None,
+    legacy_auto: bool = False,
+) -> list[str]:
+    """Remove every generation directory other than ``keep_gen``'s —
+    failed stages (gen > keep) and superseded generations (gen < keep)
+    alike — plus, once the index has migrated off generation 0
+    (``keep_gen > 0``), the flat legacy data: the table dirs in
+    ``legacy_names``, or with ``legacy_auto`` every top-level entry
+    that is not a generation dir or the pointer (for indexes whose
+    gen-0 data lives directly at the root, e.g. the IVF
+    ``list_id=*`` layout plus its root metadata files). Idempotent;
+    run on every maintenance entry and after every publish. Returns
+    the removed paths."""
+    io = io or io_for(index_path)
+    removed: list[str] = []
+    gens: set[str] = set()
+    legacy_heads: set[str] = set()
+    for rel, _size in io.lister(index_path):
+        head = rel.split("/", 1)[0]
+        if head.startswith("_g") and head[2:].isdigit():
+            gens.add(head)
+        elif head != GEN_POINTER:
+            legacy_heads.add(head)
+    for head in sorted(gens):
+        if int(head[2:]) != keep_gen:
+            p = _join(index_path, head)
+            io.remove(p)
+            removed.append(p)
+    if keep_gen > 0:
+        targets = set(legacy_names) | (legacy_heads if legacy_auto else set())
+        for name in sorted(targets):
+            p = _join(index_path, name)
+            if name in legacy_heads:
+                io.remove(p)
+                removed.append(p)
+    return removed
+
+
+def reset_generations(index_path: str, io: FsIO | None = None) -> None:
+    """Drop the pointer and every generation directory — the entry
+    hook for a full REBUILD, which writes the flat (generation-0)
+    layout: without this, a rebuild over a previously-compacted index
+    would write data the still-published pointer never resolves to."""
+    io = io or io_for(index_path)
+    gc_generations(index_path, 0, io=io)
+    io.remove(_join(index_path, GEN_POINTER))
 
 
 def recover_staged_swap(live: str, stage: str) -> None:

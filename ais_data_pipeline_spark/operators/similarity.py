@@ -446,6 +446,12 @@ def build_ivf_index(
     ``append_to_ivf_index`` batches nest as sibling ``src_batch=``
     subdirectories (Spark partition discovery requires one consistent
     depth across the table)."""
+    # a rebuild writes the flat generation-0 layout: drop any pointer
+    # a prior compaction published, or readers would resolve to a
+    # generation this rebuild never writes (r14)
+    from ais_data_pipeline_spark import fsutil
+
+    fsutil.reset_generations(path.rstrip("/"))
     cents = head_centroids(df, n_centroids, vec_col, id_col)
     (
         ivf_assign(df, cents, vec_col, id_col)
@@ -483,8 +489,14 @@ def append_to_ivf_index(
     so probe latency stays flat in batch count until a compaction
     folds slices together."""
     spark = df.sparkSession
-    live = path.rstrip("/")
-    _check_index_sidecars(live, live + "_centroids")
+    base = path.rstrip("/")
+    # live data root resolves through the generation pointer (r14:
+    # compaction commits by pointer, not rename); the quantizer
+    # sidecar stays keyed off the BASE path — it is never compacted
+    from ais_data_pipeline_spark import fsutil
+
+    live = fsutil.current_root(base)
+    _check_index_sidecars(live, base + "_centroids")
     # a compaction may have FOLDED this batch into the history slice
     # already (src_batch=-1): replaying it afterwards would duplicate
     # every row (round-10 review — the foreachBatch idempotence
@@ -504,7 +516,7 @@ def append_to_ivf_index(
                 compacted_watermark=watermark,
             )
             return
-    cents = spark.read.parquet(live + "_centroids")
+    cents = spark.read.parquet(base + "_centroids")
     cents = local_df(
         spark, [tuple(r) for r in cents.collect()], cents.schema
     )  # tiny; literal-ize (Arrow local relation — no pickled-RDD slices)
@@ -515,11 +527,11 @@ def append_to_ivf_index(
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("list_id", "src_batch")
-        .parquet(path)
+        .parquet(live)
     )
 
 
-def compact_ivf_index(spark, path: str) -> int:
+def compact_ivf_index(spark, path: str, io=None) -> int:
     """Fold an IVF index's accumulated ``src_batch=`` slices into the
     single history slice (src_batch = -1). Streaming ingestion
     (``append_to_ivf_index`` / the foreachBatch sink) accretes one
@@ -528,26 +540,31 @@ def compact_ivf_index(spark, path: str) -> int:
     keeps the per-list file count flat in BATCH count — the same
     maintenance contract as ``compact_dedup_index``.
 
-    Crash-safe write protocol (mirrors the dedup compactor): stage the
-    consolidated table to a sibling ``_compact`` directory first, then
-    swap via directory renames — a crash BEFORE the swap leaves the
-    live index intact, and a crash during/after it is repaired on the
-    next compaction entry (``fsutil.recover_staged_swap`` completes or
-    rolls back the interrupted swap and clears stale ``_old`` /
-    ``_compact`` leftovers). The ``_centroids`` sidecar (the probe's
-    routing table) is never touched. Single-writer, local-FS
-    maintenance contract: run ONE compactor at a time and never
-    concurrently with ``append_to_ivf_index`` (probes racing the swap
-    can observe a missing directory for the instant between renames);
-    on object stores, compaction belongs to a table format's commit
-    protocol instead (see ``fsutil``). List assignment is already
-    stored, so compaction never recomputes distances. Returns the row
-    count."""
-    from ais_data_pipeline_spark.fsutil import recover_staged_swap, staged_swap
+    Commit protocol (round 14 — object-store-safe, zero renames of
+    data directories): the consolidated table stages under the NEXT
+    hidden ``_gNNNNN`` generation directory (invisible to readers of
+    the live generation), the commit point is one atomic write of the
+    ``_current_gen`` pointer (``fsutil.publish_generation``), and
+    garbage — failed stages, the superseded generation — is collected
+    on entry and after publish (``fsutil.gc_generations``,
+    legacy_auto for the flat gen-0 ``list_id=*`` layout). The
+    ``_centroids`` sidecar (the probe's routing table, keyed off the
+    BASE path) is never touched; the build token and replay watermark
+    stage into the new generation so the sidecar-consistency check
+    and foreachBatch idempotence survive the commit. All IO routes
+    through the injectable ``fsutil.FsIO`` seam, so the same path
+    runs on local disk, ``s3a://``-class stores, and test fakes.
+    Single-writer maintenance contract as before. List assignment is
+    already stored, so compaction never recomputes distances.
+    Returns the row count."""
+    from ais_data_pipeline_spark import fsutil
 
-    live = path.rstrip("/")
-    stage = live + "_compact"
-    recover_staged_swap(live, stage)
+    base = path.rstrip("/")
+    io = io or fsutil.io_for(base)
+    cur = fsutil.current_generation(base, io)
+    fsutil.gc_generations(base, cur, io=io, legacy_auto=True)
+    live = fsutil.generation_root(base, cur)
+    stage = fsutil.generation_root(base, cur + 1)
     raw = spark.read.parquet(live)
     # highest batch folded into history: a later foreachBatch REPLAY of
     # an already-compacted batch must be a no-op, not a duplication
@@ -556,14 +573,15 @@ def compact_ivf_index(spark, path: str) -> int:
         F.max("src_batch").alias("m")
     ).first()
     new_wm = wm_row["m"] if wm_row and wm_row["m"] is not None else None
-    old_wm_path = os.path.join(live, "_ais_compacted_watermark")
-    if os.path.exists(old_wm_path):
-        with open(old_wm_path) as f:
-            prev = int(f.read())
+    prev_txt = io.read_text(
+        fsutil._join(live, "_ais_compacted_watermark")
+    )
+    if prev_txt is not None:
+        prev = int(prev_txt)
         new_wm = prev if new_wm is None else max(new_wm, prev)
     df = (
         raw.withColumn("src_batch", F.lit(-1).cast("bigint"))
-        .transform(materialize)  # sever lineage before the swap
+        .transform(materialize)  # one read of the live generation
     )
     n = df.count()
     (
@@ -572,17 +590,16 @@ def compact_ivf_index(spark, path: str) -> int:
         .partitionBy("list_id", "src_batch")
         .parquet(stage)
     )
-    # root metadata survives the swap only if staged alongside the
-    # data: carry the build token (compaction never touches the
-    # sidecar, so the pair stays consistent) and the watermark
-    token_path = os.path.join(live, _BUILD_TOKEN)
-    if os.path.exists(token_path):
-        with open(token_path) as f, open(os.path.join(stage, _BUILD_TOKEN), "w") as g:
-            g.write(f.read())
+    # root metadata lives WITH its generation: carry the build token
+    # (compaction never touches the sidecar, so the pair stays
+    # consistent) and the watermark into the stage before publishing
+    token = io.read_text(fsutil._join(live, _BUILD_TOKEN))
+    if token is not None:
+        io.write_text(fsutil._join(stage, _BUILD_TOKEN), token)
     if new_wm is not None:
-        with open(os.path.join(stage, "_ais_compacted_watermark"), "w") as f:
-            f.write(str(new_wm))
-    staged_swap(live, stage)
+        io.write_text(fsutil._join(stage, "_ais_compacted_watermark"), str(new_wm))
+    fsutil.publish_generation(base, cur + 1, io)
+    fsutil.gc_generations(base, cur + 1, io=io, legacy_auto=True)
     return n
 
 
@@ -599,7 +616,9 @@ IVF_COMPACT_MIN_SLICE_BYTES = 64 * 2**20
 
 
 def ivf_index_accretion(
-    path: str, lister: "fsutil.Lister | None" = None
+    path: str,
+    lister: "fsutil.Lister | None" = None,
+    io: "fsutil.FsIO | None" = None,
 ) -> dict[str, int]:
     """History-vs-accreted footprint of an IVF index from one recursive
     listing: bytes/files split between ``src_batch=-1`` history and the
@@ -612,7 +631,15 @@ def ivf_index_accretion(
 
     history_bytes = slice_bytes = slice_files = 0
     batches: set[str] = set()
-    for rel, size in fsutil.iter_files(path.rstrip("/"), lister):
+    # census the LIVE generation only (r14 pointer commits); a bare
+    # injected lister (pre-r14 seam) lists the flat root unresolved
+    if io is not None:
+        root, lister = fsutil.current_root(path.rstrip("/"), io), io.lister
+    elif lister is not None:
+        root = path.rstrip("/")
+    else:
+        root = fsutil.current_root(path.rstrip("/"))
+    for rel, size in fsutil.iter_files(root, lister):
         if not rel.endswith(".parquet"):
             continue
         parts = rel.split("/")
@@ -644,12 +671,13 @@ def should_compact_ivf_index(
     max_slice_files: int = IVF_COMPACT_MAX_SLICE_FILES,
     min_slice_bytes: int = IVF_COMPACT_MIN_SLICE_BYTES,
     lister=None,
+    io=None,
 ) -> dict:
     """Pure trigger decision for ``compact_ivf_index`` — same contract
     as ``should_compact_dedup_index``: geometric bytes trigger with a
     floor, absolute file-count guard, nothing fires on an empty or
     missing index."""
-    m = ivf_index_accretion(path, lister)
+    m = ivf_index_accretion(path, lister, io)
     by_files = m["slice_files"] > 0 and m["slice_files"] >= max_slice_files
     by_bytes = (
         m["slice_bytes"] > 0
@@ -704,9 +732,10 @@ def ivf_probe_topk(
     """Probe an IVF index: rank centroids by cosine to the query
     (driver-side — the centroid table is tiny by construction), read
     the ``nprobe`` nearest ``list_id=`` partitions, exact re-rank."""
-    _check_index_sidecars(
-        index_path.rstrip("/"), index_path.rstrip("/") + "_centroids"
-    )
+    from ais_data_pipeline_spark import fsutil
+
+    root = fsutil.current_root(index_path.rstrip("/"))
+    _check_index_sidecars(root, index_path.rstrip("/") + "_centroids")
     cents = spark.read.parquet(index_path.rstrip("/") + "_centroids").collect()
     nq = math.sqrt(sum(x * x for x in query))
 
@@ -722,7 +751,7 @@ def ivf_probe_topk(
 
     ranked = sorted(cents, key=lambda c: (-cos(c), c["centroid_id"]))
     probes = [c["centroid_id"] for c in ranked[:nprobe]]
-    idx = spark.read.parquet(index_path)
+    idx = spark.read.parquet(root)
     candidates = idx.filter(F.col("list_id").isin(*probes))
     if pre_filter is not None:
         candidates = candidates.filter(pre_filter)

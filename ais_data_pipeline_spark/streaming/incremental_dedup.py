@@ -56,6 +56,26 @@ _STATS_SCHEMA = "band int, bucket bigint, n bigint, src_batch bigint"
 HISTORY_BATCH = -1  # src_batch value for the bootstrap corpus
 
 
+def _index_root(index_path: str) -> str:
+    """Live data root of the index (round 14): compaction commits by
+    generation pointer (``fsutil.publish_generation``), so every
+    reader/appender resolves the pointer first. Identity for flat
+    pre-generation layouts and fresh indexes (pointer absent = gen 0),
+    a hidden ``_gNNNNN`` child after the first compaction."""
+    from ais_data_pipeline_spark import fsutil
+
+    return fsutil.current_root(index_path)
+
+
+def _ensure_local_dir(path: str) -> None:
+    """Pre-create a table root so schema-reads of an empty index never
+    hit PATH_NOT_FOUND — only meaningful (and only possible) on local
+    paths; object-store 'directories' are prefixes and the explicit
+    read schemas handle the empty case there."""
+    if "://" not in path:
+        os.makedirs(path, exist_ok=True)
+
+
 def _features(
     df: DataFrame, text_col: str, id_col: str, shingle_n: int
 ) -> DataFrame:
@@ -163,17 +183,22 @@ def build_dedup_index(
     text it replaces in the probe path."""
     # written twice (hashes + shingles): pin once, or each write
     # recomputes md5 + shingle split over the whole history
+    # a (re)build writes the flat generation-0 layout: drop any
+    # pointer a prior compaction published, or readers would resolve
+    # to a generation this build never writes (r14)
+    fsutil.reset_generations(index_path)
+    root = fsutil.generation_root(index_path, 0)
     feats = _features(docs, text_col, id_col, shingle_n).transform(materialize)
     _write_slice(
         feats.select("doc", "text_hash"),
-        os.path.join(index_path, "hashes"),
+        os.path.join(root, "hashes"),
         HISTORY_BATCH,
         bloom_col="text_hash",
         single_file=False,  # history-sized: keep partitioning, no shuffle
     )
     _write_slice(
         feats.select("doc", "shingles"),
-        os.path.join(index_path, "shingles"),
+        os.path.join(root, "shingles"),
         HISTORY_BATCH,
         single_file=False,  # the corpus-dominant store — never funnel it
     )
@@ -183,13 +208,13 @@ def build_dedup_index(
         docs, n_hashes, bands, text_col, id_col, shingle_n, seed
     ).transform(materialize)
     _write_slice(
-        bands_df, os.path.join(index_path, "buckets"), HISTORY_BATCH,
+        bands_df, os.path.join(root, "buckets"), HISTORY_BATCH,
         bloom_col="bucket", single_file=False,
     )
-    _write_bucket_stats(bands_df, index_path, HISTORY_BATCH)
+    _write_bucket_stats(bands_df, root, HISTORY_BATCH)
 
 
-def _write_bucket_stats(bands_df: DataFrame, index_path: str, src_batch: int) -> None:
+def _write_bucket_stats(bands_df: DataFrame, root: str, src_batch: int) -> None:
     """Per-slice (band, bucket) membership counts, kept only where
     n >= 2 — the mergeable hot-bucket statistic. Probes sum these
     across slices to find buckets above ``max_bucket_size`` and prune
@@ -205,7 +230,7 @@ def _write_bucket_stats(bands_df: DataFrame, index_path: str, src_batch: int) ->
     ).transform(materialize)  # read twice: the measured single-file
     # default counts it, then the write reuses the pinned result
     # instead of re-running the agg over a history-sized bands frame
-    _write_slice(stats, os.path.join(index_path, "bucket_stats"), src_batch)
+    _write_slice(stats, os.path.join(root, "bucket_stats"), src_batch)
 
 
 def _hot_buckets(
@@ -219,7 +244,7 @@ def _hot_buckets(
     ``exclude_batch`` drops that batch's own slice (replay safety,
     same contract as the probe reads)."""
     stats = spark.read.schema(_STATS_SCHEMA).parquet(
-        os.path.join(index_path, "bucket_stats")
+        os.path.join(_index_root(index_path), "bucket_stats")
     )
     if exclude_batch is not None:
         stats = stats.filter(F.col("src_batch") != exclude_batch)
@@ -297,8 +322,9 @@ def dedup_batch_against_index(
     # fresh index_path without the bootstrap builder was a PATH_NOT_
     # FOUND replay-forever poison pill): the probe reads carry explicit
     # schemas, so pre-created empty roots read as empty tables
+    root = _index_root(index_path)
     for t in ("hashes", "buckets", "shingles", "bucket_stats"):
-        os.makedirs(os.path.join(index_path, t), exist_ok=True)
+        _ensure_local_dir(os.path.join(root, t))
     # feats / band rows are referenced several times below; a batch is
     # micro-batch-sized, so eager localCheckpoint pins them once
     # (blocks GC-reclaimed; see graph.pagerank for the cluster caveat)
@@ -351,7 +377,7 @@ def dedup_batch_against_index(
     # skipping), else a broadcast semi-join — then anti the (tiny)
     # match-list back
     hist_hashes = spark.read.schema(_HASHES_SCHEMA).parquet(
-        os.path.join(index_path, "hashes")
+        os.path.join(root, "hashes")
     )
     if exclude_batch is not None:
         hist_hashes = hist_hashes.filter(F.col("src_batch") != exclude_batch)
@@ -393,7 +419,7 @@ def dedup_batch_against_index(
     # batch band rows, verify against the stored shingles of just the
     # candidate index docs
     hist_buckets = spark.read.schema(_BUCKETS_SCHEMA).parquet(
-        os.path.join(index_path, "buckets")
+        os.path.join(root, "buckets")
     )
     if exclude_batch is not None:
         hist_buckets = hist_buckets.filter(F.col("src_batch") != exclude_batch)
@@ -416,7 +442,7 @@ def dedup_batch_against_index(
         .distinct()
     )
     hist_sh_scan = spark.read.schema(_SHINGLES_SCHEMA).parquet(
-        os.path.join(index_path, "shingles")
+        os.path.join(root, "shingles")
     )
     if exclude_batch is not None:
         hist_sh_scan = hist_sh_scan.filter(F.col("src_batch") != exclude_batch)
@@ -660,7 +686,9 @@ def run_incremental_embedding_dedup(
     q.awaitTermination()
 
 
-def compact_dedup_index(spark: SparkSession, index_path: str) -> dict[str, int]:
+def compact_dedup_index(
+    spark: SparkSession, index_path: str, io: "fsutil.FsIO | None" = None
+) -> dict[str, int]:
     """Fold the accumulated ``src_batch=`` slices of every index table
     into the single history partition (src_batch = -1). Long-running
     ingestion accretes one slice per micro-batch; each probe scans
@@ -669,37 +697,46 @@ def compact_dedup_index(spark: SparkSession, index_path: str) -> dict[str, int]:
     size. bucket_stats rows merge by summing per-(band, bucket) — the
     statistic is mergeable by construction.
 
-    Write protocol: stage the consolidated tables to a sibling
-    ``_compact`` directory FIRST, then swap via directory renames — a
-    crash BEFORE any swap leaves the live index intact (never
-    half-rewritten), and a crash during/after the swaps is repaired on
-    the next compaction entry (``fsutil.recover_staged_swap`` per
-    table completes or rolls back an interrupted swap and clears stale
-    ``_old``/``_compact`` leftovers). Single-writer, local-FS
-    maintenance contract: one compactor at a time, never concurrent
-    with the ingest sink (see ``fsutil``). Returns per-table row
-    counts."""
-    from ais_data_pipeline_spark.fsutil import recover_staged_swap, staged_swap
-
+    Commit protocol (round 14 — object-store-safe, zero renames of
+    data directories): the consolidated tables stage under the NEXT
+    hidden generation directory (``_gNNNNN``, invisible to readers of
+    the live generation), the commit point is one atomic write of the
+    ``_current_gen`` pointer (``fsutil.publish_generation``), and
+    garbage — failed stages, the superseded generation — is collected
+    on entry and after publish (``fsutil.gc_generations``). A crash
+    anywhere leaves either the old or the new generation fully live;
+    probes racing a commit read a complete file set either way (the
+    old rename swap's missing-directory instant no longer exists).
+    All IO routes through the injectable ``fsutil.FsIO`` seam —
+    ``os.walk``/rename-free local files or one Hadoop FileSystem
+    gateway on ``s3a://``-class URIs — so the same code path runs
+    against object stores and test fakes. Single-writer maintenance
+    contract as before: one compactor at a time, never concurrent
+    with the ingest sink. Returns per-table row counts."""
+    io = io or fsutil.io_for(index_path)
     specs = [
         ("hashes", _HASHES_SCHEMA, None, "text_hash"),
         ("shingles", _SHINGLES_SCHEMA, None, None),
         ("buckets", _BUCKETS_SCHEMA, None, "bucket"),
         ("bucket_stats", _STATS_SCHEMA, "sum", None),
     ]
-    for name, _, _, _ in specs:
-        recover_staged_swap(
-            os.path.join(index_path, name), os.path.join(index_path, f"_compact_{name}")
-        )
+    names = [name for name, _, _, _ in specs]
+    cur = fsutil.current_generation(index_path, io)
+    # entry GC: a stage a prior crashed compaction left behind, or a
+    # superseded generation its crash failed to collect
+    fsutil.gc_generations(index_path, cur, legacy_names=names, io=io)
+    src_root = fsutil.generation_root(index_path, cur)
+    dst_root = fsutil.generation_root(index_path, cur + 1)
     counts: dict[str, int] = {}
-    staged: list[tuple[str, str]] = []
     for name, schema, merge, bloom in specs:
-        live = os.path.join(index_path, name)
-        stage = os.path.join(index_path, f"_compact_{name}")
-        df = spark.read.schema(schema).parquet(live).drop("src_batch")
+        df = (
+            spark.read.schema(schema)
+            .parquet(os.path.join(src_root, name))
+            .drop("src_batch")
+        )
         if merge == "sum":
             df = df.groupBy("band", "bucket").agg(F.sum("n").alias("n"))
-        df = df.transform(materialize)  # sever lineage from `live`
+        df = df.transform(materialize)  # one read of the live tables
         counts[name] = df.count()
         # the exact count is in hand, so the measured single-file
         # default decides per table (round-10 review): the three
@@ -708,11 +745,14 @@ def compact_dedup_index(spark: SparkSession, index_path: str) -> dict[str, int]:
         # instead of shuffle-partition-many near-empty ones that every
         # probe's _hot_buckets scan would have to list and open
         _write_slice(
-            df, stage, HISTORY_BATCH, bloom_col=bloom, approx_rows=counts[name]
+            df,
+            os.path.join(dst_root, name),
+            HISTORY_BATCH,
+            bloom_col=bloom,
+            approx_rows=counts[name],
         )
-        staged.append((stage, live))
-    for stage, live in staged:
-        staged_swap(live, stage)
+    fsutil.publish_generation(index_path, cur + 1, io)
+    fsutil.gc_generations(index_path, cur + 1, legacy_names=names, io=io)
     return counts
 
 
@@ -735,7 +775,9 @@ COMPACT_MIN_SLICE_BYTES = 64 * 2**20
 
 
 def dedup_index_accretion(
-    index_path: str, lister: "fsutil.Lister | None" = None
+    index_path: str,
+    lister: "fsutil.Lister | None" = None,
+    io: "fsutil.FsIO | None" = None,
 ) -> dict[str, int]:
     """Measure the index's history-vs-accreted footprint from one
     recursive listing (the same listing every probe's multi-slice scan
@@ -749,7 +791,19 @@ def dedup_index_accretion(
     hist = f"src_batch={HISTORY_BATCH}"
     history_bytes = slice_bytes = slice_files = 0
     slices: set[tuple[str, str]] = set()
-    for rel, size in fsutil.iter_files(index_path, lister):
+    # census the LIVE generation only (r14 pointer commits): a
+    # not-yet-GC'd superseded generation or an in-flight stage must
+    # not count toward the trigger. With a full FsIO injected the
+    # pointer resolves through it; a bare injected lister (the
+    # pre-r14 seam) lists from the index root unresolved — correct
+    # for flat layouts, which is all that seam ever modeled.
+    if io is not None:
+        root, lister = fsutil.current_root(index_path, io), io.lister
+    elif lister is not None:
+        root = index_path
+    else:
+        root = _index_root(index_path)
+    for rel, size in fsutil.iter_files(root, lister):
         if not rel.endswith(".parquet"):
             continue
         parts = rel.split("/")
@@ -777,6 +831,7 @@ def should_compact_dedup_index(
     max_slice_files: int = COMPACT_MAX_SLICE_FILES,
     min_slice_bytes: int = COMPACT_MIN_SLICE_BYTES,
     lister: "fsutil.Lister | None" = None,
+    io: "fsutil.FsIO | None" = None,
 ) -> dict:
     """Pure trigger decision: accretion measurements + ``compact``
     bool + which trigger fired (``bytes`` / ``files`` / None). The
@@ -785,7 +840,7 @@ def should_compact_dedup_index(
     points stretch as history grows and rewrite cost stays a bounded
     fraction of ingested bytes; the files trigger is an absolute cap
     on accreted file count."""
-    m = dedup_index_accretion(index_path, lister)
+    m = dedup_index_accretion(index_path, lister, io)
     # nothing accreted -> nothing to compact, whatever the knobs say
     # (an empty/missing index with a zero floor would otherwise
     # trigger on 0 >= 0 and hand compact_dedup_index nonexistent
@@ -910,6 +965,7 @@ def dedup_and_append_batch(
     (partition overwrite), replay-safe (probes exclude this batch's
     own ``src_batch=`` slices). Returns (rows_in, rows_kept)."""
     n_in = batch_df.count()
+    root = _index_root(index_path)
     survivors = dedup_batch_against_index(
         batch_df, index_path, threshold, n_hashes, bands,
         shingle_n, seed, text_col, id_col, max_bucket_size,
@@ -922,14 +978,14 @@ def dedup_and_append_batch(
     feats = _features(survivors, text_col, id_col, shingle_n).transform(materialize)
     _write_slice(
         feats.select("doc", "text_hash"),
-        os.path.join(index_path, "hashes"),
+        os.path.join(root, "hashes"),
         batch_id,
         bloom_col="text_hash",
         approx_rows=n_kept,  # features are 1:1 per surviving doc
     )
     _write_slice(
         feats.select("doc", "shingles"),
-        os.path.join(index_path, "shingles"),
+        os.path.join(root, "shingles"),
         batch_id,
         approx_rows=n_kept,
     )
@@ -937,9 +993,9 @@ def dedup_and_append_batch(
         survivors, n_hashes, bands, text_col, id_col, shingle_n, seed
     ).transform(materialize)  # written twice: buckets + stats
     _write_slice(
-        surv_bands, os.path.join(index_path, "buckets"), batch_id,
+        surv_bands, os.path.join(root, "buckets"), batch_id,
         bloom_col="bucket",
         approx_rows=n_kept * bands,  # one band row per doc per band
     )
-    _write_bucket_stats(surv_bands, index_path, batch_id)
+    _write_bucket_stats(surv_bands, root, batch_id)
     return n_in, n_kept

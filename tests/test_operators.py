@@ -3162,9 +3162,16 @@ def test_ivf_index_compaction_preserves_probes(spark, tmp_path):
     assert len(glob.glob(f"{path}/list_id=*/src_batch=*")) > 8  # slices accreted
 
     n = compact_ivf_index(spark, path)
-    assert n == n_before == spark.read.parquet(path).count()
-    slices = {s.split("src_batch=")[1] for s in glob.glob(f"{path}/list_id=*/src_batch=*")}
+    # r14: the consolidated index lives under the published generation
+    # root; the flat legacy list_id dirs are GC'd, nothing was renamed
+    from ais_data_pipeline_spark import fsutil as _fsutil
+
+    assert _fsutil.current_generation(path) == 1
+    root = _fsutil.current_root(path)
+    assert n == n_before == spark.read.parquet(root).count()
+    slices = {s.split("src_batch=")[1] for s in glob.glob(f"{root}/list_id=*/src_batch=*")}
     assert slices == {"-1"}
+    assert glob.glob(f"{path}/list_id=*") == []  # legacy GC'd
     assert before == ivf_probe_topk(spark, path, qv, k=10, nprobe=2).collect()
     assert cents_before == sorted(
         tuple(r) for r in spark.read.parquet(path + "_centroids").collect()

@@ -618,11 +618,202 @@ def test_incremental_dedup_index_compaction(spark, sf_dir, tmp_path):
 
     counts = compact_dedup_index(spark, index)
     assert counts["hashes"] == pre_hashes
-    assert _glob.glob(index + "/hashes/src_batch=*") == [index + "/hashes/src_batch=-1"]
-    assert spark.read.parquet(index + "/hashes").count() == pre_hashes
+    # r14: compaction commits by generation pointer — the consolidated
+    # tables live under the published _gNNNNN root, the flat legacy
+    # dirs are GC'd, and no data directory was ever renamed
+    from ais_data_pipeline_spark import fsutil as _fsutil
+
+    assert _fsutil.current_generation(index) == 1
+    root = _fsutil.current_root(index)
+    assert root != index
+    assert _glob.glob(root + "/hashes/src_batch=*") == [root + "/hashes/src_batch=-1"]
+    assert _glob.glob(index + "/hashes/src_batch=*") == []  # legacy GC'd
+    assert spark.read.parquet(root + "/hashes").count() == pre_hashes
 
     after = {r["doc_id"] for r in dedup_batch_against_index(probe_batch, index).collect()}
     assert after == before
+
+
+def test_generation_commit_crash_windows_and_zero_renames(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The r14 pointer-commit protocol, crash window by crash window:
+    (a) a crash BEFORE publish leaves the live generation untouched
+    and probes identical, with the partial stage as hidden garbage;
+    (b) the next compaction entry GC's that garbage and commits
+    normally; (c) stale generations from a crash AFTER publish are
+    GC'd on the next entry; (d) the whole compaction path runs with
+    ZERO Python-side renames on the index directories (``os.rename``
+    patched to raise — the commit point is the pointer write, which
+    goes through ``os.replace`` on a temp FILE, never a data dir);
+    (e) a full index REBUILD over a migrated index resets the pointer
+    so readers resolve the fresh flat layout."""
+    import glob as _glob
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from ais_data_pipeline_spark import fsutil
+    from ais_data_pipeline_spark.sources.parquet import read_table
+    from ais_data_pipeline_spark.streaming.incremental_dedup import (
+        build_dedup_index,
+        compact_dedup_index,
+        dedup_and_append_batch,
+        dedup_batch_against_index,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    base = str(tmp_path)
+    index, out = base + "/idx", base + "/kept"
+    k = F.col("doc_id")
+    build_dedup_index(docs.filter(k % 3 == 0), index)
+    dedup_and_append_batch(docs.filter(k % 3 == 1).localCheckpoint(eager=True),
+                           0, index, out)
+    probe_batch = docs.filter(k % 7 == 3).limit(40)
+    before = {
+        r["doc_id"] for r in dedup_batch_against_index(probe_batch, index).collect()
+    }
+
+    # (a) crash between staging and publish: pointer untouched, live
+    # generation intact, stage left behind as hidden garbage
+    def boom(index_path, gen, io=None):
+        raise RuntimeError("simulated crash before pointer publish")
+
+    monkeypatch.setattr(fsutil, "publish_generation", boom)
+    try:
+        compact_dedup_index(spark, index)
+    except RuntimeError:
+        pass
+    monkeypatch.undo()
+    assert fsutil.current_generation(index) == 0
+    assert _glob.glob(index + "/_g00001/hashes/src_batch=*")  # stage exists
+    mid = {
+        r["doc_id"] for r in dedup_batch_against_index(probe_batch, index).collect()
+    }
+    assert mid == before
+
+    # (b)+(d) re-entry GC's the stale stage and commits — with
+    # os.rename forbidden for the whole maintenance call
+    def no_rename(*a, **kw):
+        raise AssertionError("os.rename on the compaction path")
+
+    monkeypatch.setattr(_os, "rename", no_rename)
+    counts = compact_dedup_index(spark, index)
+    monkeypatch.undo()
+    assert counts["hashes"] > 0
+    assert fsutil.current_generation(index) == 1
+    after = {
+        r["doc_id"] for r in dedup_batch_against_index(probe_batch, index).collect()
+    }
+    assert after == before
+
+    # (c) a stale generation dir (crash after a later publish) is
+    # swept by the next entry, which itself commits gen 2
+    stale = index + "/_g00007/hashes"
+    _os.makedirs(stale)
+    with open(stale + "/junk.parquet", "w") as f:
+        f.write("x")
+    compact_dedup_index(spark, index)
+    assert fsutil.current_generation(index) == 2
+    assert not _os.path.exists(index + "/_g00007")
+    assert not _os.path.exists(index + "/_g00001")
+    assert {
+        r["doc_id"] for r in dedup_batch_against_index(probe_batch, index).collect()
+    } == before
+
+    # (e) rebuild resets the pointer: readers resolve the flat layout
+    build_dedup_index(docs.filter(k % 3 == 0), index)
+    assert fsutil.current_generation(index) == 0
+    assert not _glob.glob(index + "/_g*")
+    assert spark.read.parquet(index + "/hashes").count() > 0
+
+
+def test_generation_protocol_fake_remote_io():
+    """The pointer/GC/census layer against a FAKE object store (an
+    in-memory key→content dict behind ``fsutil.FsIO``): generation
+    resolution, atomic publish, stale-stage + superseded-generation +
+    legacy GC (named and auto modes), rebuild reset, and the accretion
+    census resolving the live generation — all on ``s3a://``-style
+    URIs with zero local-filesystem calls. This is the seam the real
+    Hadoop-gateway ``FsIO`` plugs into."""
+    from ais_data_pipeline_spark import fsutil
+    from ais_data_pipeline_spark.streaming.incremental_dedup import (
+        dedup_index_accretion,
+    )
+
+    store: dict[str, str] = {}
+    sizes: dict[str, int] = {}
+
+    def lister(root):
+        prefix = root.rstrip("/") + "/"
+        for p in sorted(store):
+            if p.startswith(prefix):
+                yield p[len(prefix):], sizes.get(p, len(store[p]))
+
+    def read_text(path):
+        return store.get(path)
+
+    def write_text(path, content):
+        store[path] = content
+
+    def remove(path):
+        for p in list(store):
+            if p == path or p.startswith(path.rstrip("/") + "/"):
+                del store[p]
+
+    io = fsutil.FsIO(lister, read_text, write_text, remove)
+    idx = "s3a://bucket/corpus/dedup_index"
+
+    def put(rel, size=100):
+        store[f"{idx}/{rel}"] = ""
+        sizes[f"{idx}/{rel}"] = size
+
+    # flat gen-0 layout with history + accreted slices
+    put("hashes/src_batch=-1/part-0.parquet", 1000)
+    put("hashes/src_batch=0/part-0.parquet", 60)
+    put("shingles/src_batch=-1/part-0.parquet", 5000)
+    put("shingles/src_batch=0/part-0.parquet", 300)
+    assert fsutil.current_generation(idx, io) == 0
+    m = dedup_index_accretion(idx, io=io)
+    assert m["history_bytes"] == 6000 and m["slice_bytes"] == 360
+
+    # staged gen 1 + publish: census follows the pointer
+    put("_g00001/hashes/src_batch=-1/part-0.parquet", 1060)
+    put("_g00001/shingles/src_batch=-1/part-0.parquet", 5300)
+    fsutil.publish_generation(idx, 1, io)
+    assert fsutil.current_generation(idx, io) == 1
+    assert fsutil.current_root(idx, io).endswith("/_g00001")
+    m = dedup_index_accretion(idx, io=io)
+    assert m["history_bytes"] == 6360 and m["slice_bytes"] == 0
+
+    # GC: legacy flat dirs (named mode) + a stale stage vanish, the
+    # published generation survives
+    put("_g00002/hashes/src_batch=-1/part-0.parquet", 1)  # crashed stage
+    removed = fsutil.gc_generations(
+        idx, 1, legacy_names=["hashes", "shingles"], io=io
+    )
+    assert any(p.endswith("_g00002") for p in removed)
+    assert not any("/_g00002/" in p for p in store)
+    assert not any("/hashes/" in p and "_g00001" not in p for p in store)
+    assert any("/_g00001/" in p for p in store)
+
+    # auto legacy mode (the IVF flat layout: list_id dirs + root files)
+    ivf = "s3a://bucket/corpus/ivf_index"
+    store[f"{ivf}/list_id=0/src_batch=-1/p.parquet"] = ""
+    store[f"{ivf}/_ais_build_id"] = "tok"
+    store[f"{ivf}/_g00001/list_id=0/src_batch=-1/p.parquet"] = ""
+    store[f"{ivf}/_g00001/_ais_build_id"] = "tok"
+    fsutil.publish_generation(ivf, 1, io)
+    fsutil.gc_generations(ivf, 1, io=io, legacy_auto=True)
+    assert f"{ivf}/list_id=0/src_batch=-1/p.parquet" not in store
+    assert f"{ivf}/_ais_build_id" not in store
+    assert f"{ivf}/_g00001/_ais_build_id" in store
+    assert fsutil.current_generation(ivf, io) == 1
+
+    # rebuild reset: pointer and generations dropped
+    fsutil.reset_generations(ivf, io)
+    assert fsutil.current_generation(ivf, io) == 0
+    assert not any("/_g00001/" in p for p in store if p.startswith(ivf))
 
 
 def test_compaction_threshold_policy(spark, sf_dir, tmp_path):
@@ -712,12 +903,15 @@ def test_compaction_threshold_policy(spark, sf_dir, tmp_path):
     # replay-after-compaction convergence: batch 0's features now live
     # in history; replaying batch 0 self-matches everything, rewrites
     # nothing, and leaves survivors + index state unchanged
+    from ais_data_pipeline_spark import fsutil as _fsutil
+
+    root = _fsutil.current_root(index)  # post-compaction generation
     kept_before = {r["doc_id"] for r in spark.read.parquet(out).collect()}
-    hashes_before = spark.read.parquet(index + "/hashes").count()
+    hashes_before = spark.read.parquet(root + "/hashes").count()
     n_in, n_kept = dedup_and_append_batch(b1, 0, index, out)
     assert n_kept == 0  # every doc is its own history duplicate
     assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == kept_before
-    assert spark.read.parquet(index + "/hashes").count() == hashes_before
+    assert spark.read.parquet(root + "/hashes").count() == hashes_before
 
 
 def test_incremental_embedding_dedup_semantics_and_replay(spark, tmp_path):
