@@ -16,11 +16,17 @@ standard (header + syncsafe integers), and the de-facto Xing VBR header
 (tag at a fixed offset after the layer-III side info: 17/32 bytes for
 MPEG-1 mono/stereo, 9/17 for MPEG-2/2.5).
 
-Duration policy: ``duration_ms`` comes ONLY from a Xing/Info frame
-count (frames x samples-per-frame / rate — exact by construction). CBR
-streams without a Xing header report ``duration_ms = None``: a
-byte-length estimate would be a guess (ID3 padding, truncation), and
-the tier's contract is exact-or-NULL (COMPAT.md).
+Duration policy (round 14 — r13 verdict item 5): ``duration_ms`` is
+EXACT from the Xing/Info frame count when present, else from a FULL
+frame-header walk — every MPEG audio frame header encodes its own
+byte length, so a bounded walk over the payload counts frames (and
+their per-frame sample counts) with no estimate. The walk demands a
+clean stream: every frame header valid, constant sample rate, the
+last frame ending exactly at EOF (a trailing 128-byte ID3v1 tag is
+allowed). Anything else — truncation mid-frame, free-format frames
+(no length in the header), corrupt headers, rate changes — keeps
+``duration_ms = None``: the exact-or-NULL contract (COMPAT.md)
+stands, with the NULL set shrunk to genuinely unwalkable streams.
 
 Reference parity: the reference pipeline has no audio handling; this
 module is part of the mandated LLM-data-pipeline multimodal tier.
@@ -77,6 +83,61 @@ def _samples_per_frame(version: int, layer: int) -> int:
     if layer == 2:
         return 1152
     return 1152 if version == 3 else 576  # layer III halves for MPEG-2/2.5
+
+
+def _frame_len(version: int, layer: int, kbps: int, rate: int, padded: int) -> int:
+    """Byte length of one MPEG audio frame from its own header fields
+    (ISO 11172-3 §2.4.3.1): layer I counts 4-byte slots, layers II/III
+    1-byte slots; samples-per-frame/8 gives the 12/144/72 constants."""
+    if layer == 1:
+        return (12 * kbps * 1000 // rate + padded) * 4
+    return _samples_per_frame(version, layer) // 8 * kbps * 1000 // rate + padded
+
+
+def _walk_frames(data: bytes, pos: int) -> tuple[int, int, int] | None:
+    """Walk every frame from ``pos`` to EOF; return (n_frames,
+    total_samples, sample_rate) when the stream walks CLEAN —
+    otherwise None (truncated mid-frame, corrupt header, free-format
+    frame, or a mid-stream sample-rate change). A trailing 128-byte
+    ID3v1 tag after the last frame is accepted. Each iteration
+    advances at least one frame, so the walk is bounded by payload
+    size — the same fuzz-guard class as the sibling parsers."""
+    n = total = 0
+    walk_rate = None
+    while pos < len(data):
+        rem = len(data) - pos
+        if rem == 128 and data[pos : pos + 3] == b"TAG":
+            break  # trailing ID3v1 tag
+        if rem < 4:
+            return None
+        b0, b1, b2 = data[pos], data[pos + 1], data[pos + 2]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            return None
+        version = (b1 >> 3) & 0x3
+        layer_bits = (b1 >> 1) & 0x3
+        if version == 1 or layer_bits == 0:
+            return None
+        layer = 4 - layer_bits
+        br_idx, sr_idx, padded = b2 >> 4, (b2 >> 2) & 0x3, (b2 >> 1) & 0x1
+        # free format (idx 0) carries no length; 15 is invalid
+        if br_idx in (0, 15) or sr_idx == 3:
+            return None
+        rate = _SAMPLE_RATE_HZ[version][sr_idx]
+        if walk_rate is None:
+            walk_rate = rate
+        elif rate != walk_rate:
+            return None  # mid-stream rate change: duration not a ratio
+        vgroup = 1 if version == 3 else 2
+        kbps = _BITRATE_KBPS[(vgroup, layer)][br_idx]
+        fl = _frame_len(version, layer, kbps, rate, padded)
+        if fl < 4 or pos + fl > len(data):
+            return None  # truncated mid-frame
+        total += _samples_per_frame(version, layer)
+        n += 1
+        pos += fl
+    if n == 0 or walk_rate is None:
+        return None
+    return n, total, walk_rate
 
 
 def parse_mp3_meta(data: bytes) -> dict:
@@ -136,6 +197,13 @@ def parse_mp3_meta(data: bytes) -> dict:
                 out["duration_ms"] = (
                     frames * _samples_per_frame(version, layer) * 1000 // rate
                 )
+    if out["duration_ms"] is None:
+        # no Xing frame count: full frame-header walk (r14) — exact
+        # when the stream walks clean, honest NULL otherwise
+        walked = _walk_frames(data, pos)
+        if walked is not None:
+            _n, total_samples, walk_rate = walked
+            out["duration_ms"] = total_samples * 1000 // walk_rate
     return out
 
 
@@ -163,12 +231,22 @@ def mp3_fixture_params(doc_id: int) -> tuple[int, int, int, bool, int]:
     return rate, nch, bitrate, xing, frames
 
 
+def mp3_fixture_cbr_frames(doc_id: int) -> int:
+    """Frame count of the TAGLESS-CBR fixture arm (r14: the frame
+    walk makes its duration exact, so the fixture carries several
+    real frames with a closed-form count the oracle re-derives)."""
+    return 2 + doc_id % 9
+
+
 def mp3_fixture_len(doc_id: int) -> int:
     """Exact fixture payload size: 10-byte ID3v2 header + (doc_id % 7)
-    bytes of tag body + one MPEG-1 layer-III frame of
-    ``144000 * bitrate // rate`` bytes (padding bit 0)."""
-    rate, _, bitrate, _, _ = mp3_fixture_params(doc_id)
-    return 10 + doc_id % 7 + 144000 * bitrate // rate
+    bytes of tag body + MPEG-1 layer-III frames of
+    ``144000 * bitrate // rate`` bytes each (padding bit 0) — one
+    frame for the Xing arm, ``mp3_fixture_cbr_frames`` for the
+    tagless-CBR arm."""
+    rate, _, bitrate, xing, _ = mp3_fixture_params(doc_id)
+    n = 1 if xing else mp3_fixture_cbr_frames(doc_id)
+    return 10 + doc_id % 7 + (144000 * bitrate // rate) * n
 
 
 def encode_mp3_header(doc_id: int) -> bytes:
@@ -192,8 +270,11 @@ def encode_mp3_header(doc_id: int) -> bytes:
     )
     frame_len = 144000 * bitrate // rate
     side = bytes(17 if nch == 1 else 32)
-    body = side
     if xing:
-        body += b"Xing" + struct.pack(">II", 0x1, frames)
-    body += bytes(frame_len - 4 - len(body))
-    return id3 + hdr + body
+        body = side + b"Xing" + struct.pack(">II", 0x1, frames)
+        body += bytes(frame_len - 4 - len(body))
+        return id3 + hdr + body
+    # tagless CBR (r14): several real frames, zero-filled bodies — the
+    # frame walk counts them for the exact duration
+    frame = hdr + bytes(frame_len - 4)
+    return id3 + frame * mp3_fixture_cbr_frames(doc_id)

@@ -107,8 +107,9 @@ def register(name: str, oracle: str | None, description: str):
 #     change THIS round rotates in, displacing from the END of this
 #     list; displaced rows lead r15. Rotated in: image_format_dispatch
 #     (mixed5 -> mixed6: TIFF arm decodes multi-page fixtures and
-#     emits per-page rows), audio_meta (tagless-CBR MP3 duration now
-#     exact via full frame walk, was NULL), media_type_route (AVI arm
+#     emits per-page rows), audio_container_meta (tagless-CBR MP3
+#     duration now exact via full frame walk, was NULL; fixture arm
+#     carries 2+k%9 real frames), media_type_route (AVI arm
 #     added to the RIFF disambiguation), frame_pixel_stats (fixture
 #     corpus widened to MP4+AVI containers), theta_difference (NEW
 #     registry row, never driver-checked). Displaced to lead r15:
@@ -160,7 +161,7 @@ _FRONT_WINDOW: list[str] = [
     "scan_project_filter",
     "semdedup_stats",
     "image_format_dispatch",
-    "audio_meta",
+    "audio_container_meta",
     "media_type_route",
     "frame_pixel_stats",
     "theta_difference",
@@ -3767,7 +3768,8 @@ def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CASE fmt
              WHEN 0 THEN 42
              WHEN 1 THEN CASE WHEN k % 2 = 0 THEN 86 ELSE 75 END
-             ELSE 10 + k % 7 + 144000 * br // sample_rate
+             ELSE 10 + k % 7 + (144000 * br // sample_rate)
+                  * (CASE WHEN has_xing THEN 1 ELSE 2 + k % 9 END)
            END AS BIGINT) AS n_bytes,
            CAST(sample_rate AS INTEGER) AS sample_rate,
            CAST(n_channels AS INTEGER) AS n_channels,
@@ -3776,7 +3778,8 @@ def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
              WHEN 1 THEN CASE WHEN k % 2 = 0 THEN granule * 1000 // sample_rate
                               ELSE (granule - 312) * 1000 // 48000 END
              ELSE CASE WHEN has_xing
-                       THEN xing_frames * 1152 * 1000 // sample_rate END
+                       THEN xing_frames * 1152 * 1000 // sample_rate
+                       ELSE (2 + k % 9) * 1152 * 1000 // sample_rate END
            END AS BIGINT) AS duration_ms,
            codec
     FROM m
@@ -3787,9 +3790,11 @@ def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Xing counts — decoded by the pure-stdlib container parsers "
     "inside mapInPandas. Durations are EXACT: FLAC total_samples, the "
     "Ogg last-page granule walk (Opus pre-skip subtracted per RFC "
-    "7845), the Xing frame count x 1152 / rate; MP3s without a Xing "
-    "header report honest NULL. Every field is a closed form of "
-    "doc_id that the oracle re-derives in one SQL CASE.",
+    "7845), the Xing frame count x 1152 / rate; tagless-CBR MP3s (r14) "
+    "carry 2+k%9 real frames whose full frame-header walk counts them "
+    "exactly — no estimate, and truncated/corrupt streams stay honest "
+    "NULL. Every field is a closed form of doc_id that the oracle "
+    "re-derives in one SQL CASE.",
 )
 def q_audio_container_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ais_data_pipeline_spark.operators.multimodal import (

@@ -4421,7 +4421,25 @@ def test_mp3_frame_header_and_xing_walk():
             assert m["xing_frames"] == frames and m["vbr"] is True
             assert m["duration_ms"] == frames * 1152 * 1000 // rate
         else:
-            assert m["xing_frames"] is None and m["duration_ms"] is None
+            # r14: the full frame-header walk counts the tagless
+            # fixture's real frames — duration exact, no Xing needed
+            from ais_data_pipeline_spark.operators.mp3 import (
+                mp3_fixture_cbr_frames,
+            )
+
+            nf = mp3_fixture_cbr_frames(d)
+            assert m["xing_frames"] is None
+            assert m["duration_ms"] == nf * 1152 * 1000 // rate
+            # the exact-or-NULL contract holds at the edges: a stream
+            # truncated mid-frame walks dirty -> NULL, and a trailing
+            # ID3v1 tag is not part of the frame stream -> still exact
+            assert parse_mp3_meta(b[:-1])["duration_ms"] is None
+            assert (
+                parse_mp3_meta(b + b"TAG" + bytes(125))["duration_ms"]
+                == nf * 1152 * 1000 // rate
+            )
+            # arbitrary trailing garbage is not a clean walk
+            assert parse_mp3_meta(b + b"garbage!")["duration_ms"] is None
 
     # hand-built MPEG-2 layer-III mono frame: 576 samples/frame, the
     # MPEG-2 bitrate table, 9-byte side info before the Xing tag
