@@ -551,7 +551,7 @@ def decode_pixels_array(data: bytes):
         try:
             return parse_tiff(data), "tiff"
         except NotImplementedError:
-            # compressed codecs (LZW/PackBits/JPEG-in-TIFF/CCITT): PIL
+            # compressed codecs (JPEG-in-TIFF/CCITT/tiled/planar): PIL
             # fall-through, the image tier's exotic-variant convention
             pass
     if data[:2] == b"\xff\xd8":
@@ -587,30 +587,51 @@ IMAGE_PIXEL_SCHEMA = (
 )
 
 
+def decode_pixels_pages(data: bytes) -> tuple[list, str]:
+    """Payload bytes -> (list of HxWx3 uint8 RGB arrays, format tag).
+    Multi-page TIFFs (the document-corpus staple, r14) yield one array
+    per chained IFD; every other format is a single-element list via
+    ``decode_pixels_array``. Native-scope TIFF variant errors fall
+    through to the single-array path (PIL hook convention)."""
+    if data[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+        from ais_data_pipeline_spark.operators.tiff import parse_tiff_pages
+
+        try:
+            return parse_tiff_pages(data), "tiff"
+        except NotImplementedError:
+            pass  # exotic variant: PIL hook via the single-array path
+    arr, fmt = decode_pixels_array(data)
+    return [arr], fmt
+
+
 def decode_image_pixels(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:
     """Per-blob pixel decode via mapInPandas (Arrow-batched): dims,
     format tag, and exact per-channel uint8 sums (int64 — no float
     accumulation, so a SQL oracle can re-derive them bit-exactly from
-    the fixture generator's closed form). At 100 TB each task holds one
-    Arrow batch of blobs; the decode is per-row numpy with no state."""
+    the fixture generator's closed form). Multi-page TIFFs emit ONE
+    ROW PER PAGE (r14) — same doc_id, per-page dims and sums; every
+    other format emits exactly one row as before. At 100 TB each task
+    holds one Arrow batch of blobs; the decode is per-row numpy with
+    no state."""
     import numpy as np
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in ("doc_id", "width", "height", "n_channels", "format", "sum_r", "sum_g", "sum_b")}
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                arr, fmt = decode_pixels_array(bytes(payload))
-                s = arr.reshape(-1, 3).sum(axis=0, dtype=np.int64)
-                out["doc_id"].append(int(doc_id))
-                out["height"].append(arr.shape[0])
-                out["width"].append(arr.shape[1])
-                out["n_channels"].append(arr.shape[2])
-                out["format"].append(fmt)
-                out["sum_r"].append(int(s[0]))
-                out["sum_g"].append(int(s[1]))
-                out["sum_b"].append(int(s[2]))
+                arrs, fmt = decode_pixels_pages(bytes(payload))
+                for arr in arrs:
+                    s = arr.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                    out["doc_id"].append(int(doc_id))
+                    out["height"].append(arr.shape[0])
+                    out["width"].append(arr.shape[1])
+                    out["n_channels"].append(arr.shape[2])
+                    out["format"].append(fmt)
+                    out["sum_r"].append(int(s[0]))
+                    out["sum_g"].append(int(s[1]))
+                    out["sum_b"].append(int(s[2]))
             yield pd.DataFrame(out)
 
     from ais_data_pipeline_spark.operators.util import spread_to_parallelism
@@ -963,23 +984,45 @@ def make_image_fixture(
                 elif fmt == "png" or (
                     fmt == "mixed3" and i % 3 == 2
                 ) or (fmt == "mixed4" and i % 4 == 2) or (
-                    fmt == "mixed5" and i % 5 == 2
+                    fmt in ("mixed5", "mixed6") and i % 5 == 2
                 ):
                     payloads.append(encode_png(i, *png_dims(i), rgba=i % 2 == 1))
-                elif fmt == "mixed5" and i % 5 == 4:
+                elif fmt in ("mixed5", "mixed6") and i % 5 == 4:
                     from ais_data_pipeline_spark.operators.tiff import (
                         encode_tiff,
+                        encode_tiff_multipage,
                     )
 
-                    w, h = tiff_dims(i)
-                    payloads.append(
-                        encode_tiff(
-                            i, w, h, gray=i % 2 == 1,
-                            big_endian=i % 3 == 0, rows_per_strip=2,
+                    if fmt == "mixed6" and i % 3 == 1:
+                        # multi-page arm (r14): 2-3 chained IFDs with
+                        # per-page dims, seeds, and compressions —
+                        # page p raster byte k = synth(i + 131*p, k)
+                        payloads.append(
+                            encode_tiff_multipage(
+                                i,
+                                [
+                                    dict(
+                                        seed_id=i + 131 * p,
+                                        w=4 + (i + p) % 7,
+                                        h=3 + (i + p) % 6,
+                                        gray=i % 2 == 1,
+                                        rows_per_strip=2,
+                                        compression=[1, 5, 8][p % 3],
+                                    )
+                                    for p in range(2 + i % 2)
+                                ],
+                            )
                         )
-                    )
+                    else:
+                        w, h = tiff_dims(i)
+                        payloads.append(
+                            encode_tiff(
+                                i, w, h, gray=i % 2 == 1,
+                                big_endian=i % 3 == 0, rows_per_strip=2,
+                            )
+                        )
                 elif (fmt == "mixed4" and i % 4 == 3) or (
-                    fmt == "mixed5" and i % 5 == 3
+                    fmt in ("mixed5", "mixed6") and i % 5 == 3
                 ):
                     from ais_data_pipeline_spark.operators.gif import encode_gif
 
@@ -998,7 +1041,7 @@ def make_image_fixture(
                     or (fmt == "mixed" and i % 2 == 0)
                     or (fmt == "mixed3" and i % 3 == 0)
                     or (fmt == "mixed4" and i % 4 == 0)
-                    or (fmt == "mixed5" and i % 5 == 0)
+                    or (fmt in ("mixed5", "mixed6") and i % 5 == 0)
                 ):
                     payloads.append(encode_ppm(i, *ppm_dims(i)))
                 else:

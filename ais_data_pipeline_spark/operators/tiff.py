@@ -124,6 +124,26 @@ def _read_ifd(data: bytes, e: str) -> dict[int, list[int]]:
     return _read_ifd_at(data, e, off)
 
 
+def _ifd_offsets(data: bytes, e: str) -> list[int]:
+    """All IFD offsets in chain order (multi-page scans chain IFDs via
+    the trailing next-IFD pointer). A visited-set bounds corrupt
+    circular chains; range/truncation errors raise ``ValueError``."""
+    offsets: list[int] = []
+    (off,) = struct.unpack_from(e + "I", data, 4)
+    seen: set[int] = set()
+    while off and off not in seen:
+        seen.add(off)
+        if off + 2 > len(data):
+            raise ValueError("TIFF IFD offset out of range")
+        (cnt,) = struct.unpack_from(e + "H", data, off)
+        nxt_pos = off + 2 + 12 * cnt
+        if nxt_pos + 4 > len(data):
+            raise ValueError("truncated TIFF IFD chain")
+        offsets.append(off)
+        (off,) = struct.unpack_from(e + "I", data, nxt_pos)
+    return offsets
+
+
 def _read_ifd_at(data: bytes, e: str, off: int) -> dict[int, list[int]]:
     if off + 2 > len(data):
         raise ValueError("TIFF IFD offset out of range")
@@ -168,22 +188,7 @@ def parse_tiff_meta(data: bytes) -> dict:
     if 256 not in tags or 257 not in tags:
         raise ValueError("TIFF missing width/height tags")
     bits = tags.get(258, [1])
-    # multi-page scans chain IFDs: count pages by walking the next-IFD
-    # pointers (metadata only — decode stays first-page; a visited-set
-    # bounds corrupt circular chains)
-    n_pages = 0
-    (off,) = struct.unpack_from(e + "I", data, 4)
-    seen: set[int] = set()
-    while off and off not in seen:
-        seen.add(off)
-        if off + 2 > len(data):
-            raise ValueError("TIFF IFD offset out of range")
-        (cnt,) = struct.unpack_from(e + "H", data, off)
-        nxt_pos = off + 2 + 12 * cnt
-        if nxt_pos + 4 > len(data):
-            raise ValueError("truncated TIFF IFD chain")
-        n_pages += 1
-        (off,) = struct.unpack_from(e + "I", data, nxt_pos)
+    n_pages = len(_ifd_offsets(data, e))
     return {
         "width": tags[256][0],
         "height": tags[257][0],
@@ -196,41 +201,35 @@ def parse_tiff_meta(data: bytes) -> dict:
     }
 
 
-def parse_tiff(data: bytes):
-    """TIFF bytes -> HxWx3 uint8 RGB array. Native scope: compression
-    1 (none), 5 (LZW — MSB packing, early-change width bumps), 8 and
-    32946 ((Adobe) Deflate, stdlib zlib) and
-    32773 (PackBits), each with the optional horizontal-differencing
-    predictor (tag 317 = 2: per-row per-channel prefix sums after
-    decompression); 8 bits per sample, photometric 0/1 (gray, 0 =
-    white-is-zero inverted per spec) or 2 (RGB), strip layout via tags
-    273/278/279 (any strip split, incl. the single-strip default).
-    Everything else (JPEG-in-TIFF, CCITT, ZIP, planar, tiles) raises
-    ``NotImplementedError`` for the PIL hook."""
+def _decode_ifd(data: bytes, e: str, tags: dict[int, list[int]]):
+    """Decode ONE page (one IFD's raster) -> HxWx3 uint8 RGB array —
+    the shared body of ``parse_tiff`` / ``parse_tiff_pages``."""
     import numpy as np
 
-    m = parse_tiff_meta(data)
-    e = "<" if m["byte_order"] == "little" else ">"
-    tags = _read_ifd(data, e)
-    w, h = m["width"], m["height"]
+    if 256 not in tags or 257 not in tags:
+        raise ValueError("TIFF missing width/height tags")
+    w, h = tags[256][0], tags[257][0]
+    bits = tags.get(258, [1])
+    compression = tags.get(259, [1])[0]
+    photometric = tags.get(262, [1])[0]
+    spp = tags.get(277, [len(bits)])[0]
     if w == 0 or h == 0:
         raise ValueError("TIFF with zero dimension")
-    if m["compression"] not in (1, 5, 8, 32773, 32946):
+    if compression not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(
-            f"TIFF compression {m['compression']} not supported natively "
+            f"TIFF compression {compression} not supported natively "
             "(none/LZW/Deflate/PackBits only)"
         )
     predictor = tags.get(317, [1])[0]
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor} not supported")
-    spp = m["n_samples"]
-    if m["bits_per_sample"] != 8 or any(b != 8 for b in tags.get(258, [8])):
+    if bits[0] != 8 or any(b != 8 for b in tags.get(258, [8])):
         raise NotImplementedError("only 8-bit TIFF samples supported")
-    if m["photometric"] not in (0, 1, 2) or spp not in (1, 3):
+    if photometric not in (0, 1, 2) or spp not in (1, 3):
         raise NotImplementedError(
             "only baseline grayscale/RGB TIFF supported"
         )
-    if (m["photometric"] == 2) != (spp == 3):
+    if (photometric == 2) != (spp == 3):
         # RGB declares 3 samples, grayscale 1 — a mismatch means the
         # raster would decode under the wrong channel model (round-13
         # hardening sweep)
@@ -255,12 +254,12 @@ def parse_tiff(data: bytes):
         if off + cnt > len(data):
             raise ValueError("TIFF strip out of range")
         raw = data[off : off + cnt]
-        if m["compression"] == 1:
+        if compression == 1:
             if cnt != rows * row_bytes:
                 raise ValueError("TIFF strip byte count mismatch")
-        elif m["compression"] == 5:
+        elif compression == 5:
             raw = _lzw_decode_tiff(raw, rows * row_bytes)
-        elif m["compression"] in (8, 32946):  # (Adobe) Deflate
+        elif compression in (8, 32946):  # (Adobe) Deflate
             import zlib
 
             try:
@@ -282,10 +281,49 @@ def parse_tiff(data: bytes):
         arr = np.cumsum(arr.astype(np.int64), axis=1) % 256
         arr = arr.astype(np.uint8)
     if spp == 1:
-        if m["photometric"] == 0:  # WhiteIsZero: invert to normal gray
+        if photometric == 0:  # WhiteIsZero: invert to normal gray
             arr = 255 - arr
         return np.repeat(arr, 3, axis=2)
     return arr.copy()
+
+
+def _byte_order(data: bytes) -> str:
+    if len(data) >= 8 and data[:4] == b"II\x2a\x00":
+        return "<"
+    if len(data) >= 8 and data[:4] == b"MM\x00\x2a":
+        return ">"
+    raise ValueError("not a TIFF payload")
+
+
+def parse_tiff(data: bytes, page: int = 0):
+    """TIFF bytes -> HxWx3 uint8 RGB array of page ``page`` (default
+    first — the pre-r14 behavior). Native scope per page: compression
+    1 (none), 5 (LZW — MSB packing, early-change width bumps), 8 and
+    32946 ((Adobe) Deflate, stdlib zlib) and
+    32773 (PackBits), each with the optional horizontal-differencing
+    predictor (tag 317 = 2: per-row per-channel prefix sums after
+    decompression); 8 bits per sample, photometric 0/1 (gray, 0 =
+    white-is-zero inverted per spec) or 2 (RGB), strip layout via tags
+    273/278/279 (any strip split, incl. the single-strip default).
+    Everything else (JPEG-in-TIFF, CCITT, ZIP, planar, tiles) raises
+    ``NotImplementedError`` for the PIL hook."""
+    e = _byte_order(data)
+    offs = _ifd_offsets(data, e)
+    if page >= len(offs):
+        raise ValueError(f"TIFF has {len(offs)} page(s); page {page} requested")
+    return _decode_ifd(data, e, _read_ifd_at(data, e, offs[page]))
+
+
+def parse_tiff_pages(data: bytes) -> list:
+    """Decode EVERY page of a (multi-page) TIFF — one HxWx3 array per
+    chained IFD, in chain order (r14: the document-corpus staple;
+    pages may differ in dims, compression, and photometric). Same
+    native scope per page as ``parse_tiff``."""
+    e = _byte_order(data)
+    return [
+        _decode_ifd(data, e, _read_ifd_at(data, e, off))
+        for off in _ifd_offsets(data, e)
+    ]
 
 
 # ---------------------------------------------------------------------------
@@ -308,11 +346,73 @@ def encode_tiff(
     tags, strip data split at ``rows_per_strip`` and stored raw
     (compression 1), TIFF-LZW (5) or PackBits (32773), optionally
     horizontally differenced first (predictor 2)."""
+    e = ">" if big_endian else "<"
+    hdr = (b"II\x2a\x00" if e == "<" else b"MM\x00\x2a") + struct.pack(e + "I", 8)
+    return hdr + _encode_tiff_page(
+        doc_id, w, h, gray, e, rows_per_strip, compression, predictor,
+        base=8, next_ifd=0,
+    )
+
+
+def encode_tiff_multipage(
+    doc_id: int,
+    page_specs: list[dict],
+    big_endian: bool = False,
+) -> bytes:
+    """Multi-page TIFF (r14): one chained IFD per entry of
+    ``page_specs`` (dict kwargs per page: ``seed_id``, ``w``, ``h``,
+    ``gray``, ``rows_per_strip``, ``compression``, ``predictor``).
+    Page blocks are laid out sequentially after the 8-byte header;
+    each page's trailing next-IFD pointer targets the following
+    block (0 on the last). Page lengths are offset-independent, so a
+    measuring pass with base=0 sizes the layout exactly."""
+    e = ">" if big_endian else "<"
+
+    def build(spec: dict, base: int, next_ifd: int) -> bytes:
+        return _encode_tiff_page(
+            spec.get("seed_id", doc_id),
+            spec["w"],
+            spec["h"],
+            spec.get("gray", False),
+            e,
+            spec.get("rows_per_strip"),
+            spec.get("compression", 1),
+            spec.get("predictor", 1),
+            base=base,
+            next_ifd=next_ifd,
+        )
+
+    sizes = [len(build(s, 0, 0)) for s in page_specs]
+    out = bytearray(
+        (b"II\x2a\x00" if e == "<" else b"MM\x00\x2a") + struct.pack(e + "I", 8)
+    )
+    pos = 8
+    for i, spec in enumerate(page_specs):
+        nxt = pos + sizes[i] if i + 1 < len(page_specs) else 0
+        out += build(spec, pos, nxt)
+        pos += sizes[i]
+    return bytes(out)
+
+
+def _encode_tiff_page(
+    doc_id: int,
+    w: int,
+    h: int,
+    gray: bool,
+    e: str,
+    rows_per_strip: int | None,
+    compression: int,
+    predictor: int,
+    base: int,
+    next_ifd: int,
+) -> bytes:
+    """One page block — IFD + out-of-line values + strips — whose
+    internal offsets assume the block begins at file offset ``base``;
+    the trailing next-IFD pointer is ``next_ifd``."""
     import numpy as np
 
     from ais_data_pipeline_spark.operators.multimodal import synth_pixel_value
 
-    e = ">" if big_endian else "<"
     spp = 1 if gray else 3
     raster = bytes(
         synth_pixel_value(doc_id, k) for k in range(w * h * spp)
@@ -352,7 +452,8 @@ def encode_tiff(
             packed,
         )
 
-    # layout: header(8) + IFD + extras + strips
+    # layout: [header(8) for page 0] + IFD + extras + strips, with
+    # every embedded offset measured from file start = ``base``
     tags = [
         (256, 4, [w]),
         (257, 4, [h]),
@@ -364,7 +465,7 @@ def encode_tiff(
         (317, 3, [predictor]),
     ]
     n = len(tags) + 2  # + strip offsets + strip counts
-    ifd_off = 8
+    ifd_off = base
     extras_off = ifd_off + 2 + 12 * n + 4
     # first pass to size the extras (strip tags need final offsets)
     entries = []
@@ -391,14 +492,12 @@ def encode_tiff(
     extras += ext
     entries.sort(key=lambda b: struct.unpack_from(e + "H", b, 0)[0])
     out = bytearray()
-    out += (b"II\x2a\x00" if e == "<" else b"MM\x00\x2a")
-    out += struct.pack(e + "I", ifd_off)
     out += struct.pack(e + "H", n)
     for ent in entries:
         out += ent
-    out += struct.pack(e + "I", 0)  # next-IFD terminator
+    out += struct.pack(e + "I", next_ifd)  # next-IFD pointer (0 = last)
     out += extras
-    assert len(out) == strips_start, (len(out), strips_start)
+    assert base + len(out) == strips_start, (base + len(out), strips_start)
     for s in strips:
         out += s
     return bytes(out)

@@ -9293,33 +9293,41 @@ def q_image_luma_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "image_format_dispatch",
     """
-    WITH dims AS (
-      SELECT doc_id,
+    WITH pg AS (
+      SELECT doc_id, p,
              CASE doc_id % 5 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
                   WHEN 2 THEN 'png' WHEN 3 THEN 'gif'
                   ELSE 'tiff' END AS format,
-             CASE doc_id % 5 WHEN 0 THEN 4 + doc_id % 13
-                  WHEN 1 THEN 4 + doc_id % 11
-                  WHEN 2 THEN 4 + doc_id % 12
-                  WHEN 3 THEN 5 + doc_id % 9
-                  ELSE 4 + doc_id % 7 END AS w,
-             CASE doc_id % 5 WHEN 0 THEN 4 + doc_id % 7
-                  WHEN 1 THEN 4 + doc_id % 5
-                  WHEN 2 THEN 4 + doc_id % 6
-                  WHEN 3 THEN 4 + doc_id % 6
-                  ELSE 3 + doc_id % 6 END AS h,
              -- grayscale TIFF (odd ids): one stored byte per pixel,
              -- replicated to RGB on decode -> channel sums are 3x the
              -- gray sum over w*h bytes; everything else stores w*h*3
              CASE WHEN doc_id % 5 = 4 AND doc_id % 2 = 1 THEN 1
-                  ELSE 0 END AS gray
-      FROM documents
+                  ELSE 0 END AS gray,
+             -- page p of a multi-page TIFF synthesizes from seed
+             -- doc_id + 131*p (p = 0 everywhere else)
+             doc_id + 131 * p AS seed
+      FROM documents,
+           UNNEST(range(0, CASE WHEN doc_id % 5 = 4 AND doc_id % 3 = 1
+                                THEN 2 + doc_id % 2 ELSE 1 END)) AS t(p)
+    ), dims AS (
+      SELECT doc_id, format, gray, seed,
+             CASE doc_id % 5 WHEN 0 THEN 4 + doc_id % 13
+                  WHEN 1 THEN 4 + doc_id % 11
+                  WHEN 2 THEN 4 + doc_id % 12
+                  WHEN 3 THEN 5 + doc_id % 9
+                  ELSE 4 + (doc_id + p) % 7 END AS w,
+             CASE doc_id % 5 WHEN 0 THEN 4 + doc_id % 7
+                  WHEN 1 THEN 4 + doc_id % 5
+                  WHEN 2 THEN 4 + doc_id % 6
+                  WHEN 3 THEN 4 + doc_id % 6
+                  ELSE 3 + (doc_id + p) % 6 END AS h
+      FROM pg
     ), px AS (
       SELECT doc_id, format, w, h,
              CASE WHEN gray = 1
-                  THEN 3 * (SELECT SUM((doc_id*31 + k) % 256)
+                  THEN 3 * (SELECT SUM((seed*31 + k) % 256)
                             FROM UNNEST(range(0, w*h)) AS g(k))
-                  ELSE (SELECT SUM((doc_id*31 + k) % 256)
+                  ELSE (SELECT SUM((seed*31 + k) % 256)
                         FROM UNNEST(range(0, w*h*3)) AS c(k)) END AS pix_sum
       FROM dims
     )
@@ -9333,12 +9341,14 @@ def q_image_luma_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "when image_pixel_stats_png folded into this row — zlib inflate, "
     "five scanline filters, RGB + RGBA strides; GIF the same round — "
     "variable-width LZW through a 256-entry synth palette, odd ids "
-    "4-pass interlaced; TIFF later in r13 — both byte orders, "
-    "2-row strip splits, odd ids grayscale-replicated; all raster-"
-    "sum-sensitive here) decoded by one decode_image_pixels pass "
-    "whose internal dispatch picks the parser per blob; per-format "
-    "doc counts, pixel totals, and raster sums prove every branch "
-    "against the closed-form oracle.",
+    "4-pass interlaced; TIFF in r13 — both byte orders, 2-row strip "
+    "splits, odd ids grayscale-replicated — and MULTI-PAGE in r14: "
+    "doc_id%3==1 TIFF docs chain 2-3 IFDs with per-page dims, seeds, "
+    "and compressions (none/LZW/Deflate), decoded to one row per "
+    "page; all raster-sum-sensitive here) decoded by one "
+    "decode_image_pixels pass whose internal dispatch picks the "
+    "parser per blob; per-format row counts, pixel totals, and "
+    "raster sums prove every branch against the closed-form oracle.",
 )
 def q_image_format_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ais_data_pipeline_spark.operators.multimodal import (
@@ -9347,7 +9357,7 @@ def q_image_format_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = read_table(spark, sf_dir, "documents")
-    px = decode_image_pixels(make_image_fixture(d, fmt="mixed5"))
+    px = decode_image_pixels(make_image_fixture(d, fmt="mixed6"))
     return (
         px.groupBy("format")
         .agg(
