@@ -1066,6 +1066,8 @@ _MAGIC_PREFIX = [
     ("4D4D002A", 1, "image/tiff"),  # 'MM\0*' big-endian (round 13)
     ("57454250", 17, "image/webp"),  # 'WEBP' at byte 8 — MUST
     # precede the bare-RIFF arm (WebP is a RIFF container too)
+    ("41564920", 17, "video/avi"),  # 'AVI ' at byte 8 (round 14) —
+    # same RIFF-form disambiguation rule as WebP
     ("52494646", 1, "audio/wav"),  # RIFF container
     ("494433", 1, "audio/mp3"),  # ID3 tag
     # bare MPEG audio frame syncs (no ID3 tag): the common MPEG-1/2
@@ -1442,6 +1444,21 @@ def make_video_sample_fixture(df: DataFrame, id_col: str = "doc_id") -> DataFram
     return narrow.mapInPandas(encode, "doc_id bigint, payload binary")
 
 
+def container_keyframe_offsets(data: bytes) -> list[tuple[int, int, int]]:
+    """(frame_index, byte_offset, size) of every key frame — the
+    container-agnostic dispatch (r14): RIFF/AVI payloads walk the
+    idx1/movi index, everything else the MP4 stbl/moof tables. Both
+    return the identical work-list shape, so the engine-side
+    extraction contract is container-independent."""
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        from ais_data_pipeline_spark.operators.avi import avi_keyframe_offsets
+
+        return avi_keyframe_offsets(data)
+    from ais_data_pipeline_spark.operators.mp4 import video_keyframe_offsets
+
+    return video_keyframe_offsets(data)
+
+
 def keyframe_sample_plan(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -1455,15 +1472,13 @@ def keyframe_sample_plan(
     blob. Stateless per row, zero shuffle; at 100 TB each task walks
     one Arrow batch of containers (headers only — the mdat bytes are
     never materialized here)."""
-    from ais_data_pipeline_spark.operators.mp4 import video_keyframe_offsets
-
     cols = ("doc_id", "frame_index", "byte_offset", "frame_bytes")
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in cols}
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                for fi, off, sz in video_keyframe_offsets(bytes(payload)):
+                for fi, off, sz in container_keyframe_offsets(bytes(payload)):
                     out["doc_id"].append(int(doc_id))
                     out["frame_index"].append(fi)
                     out["byte_offset"].append(off)
@@ -1564,11 +1579,16 @@ FRAME_PIXEL_SCHEMA = (
 
 
 def make_mjpeg_video_fixture(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, payload) fixture of Motion-JPEG MP4s: every coded
-    sample is a REAL baseline JPEG at real stco offsets (round 13) —
-    the corpus that proves the keyframe work-list feeds a decoder."""
+    """(doc_id, payload) fixture of Motion-JPEG containers: every
+    coded sample is a REAL baseline JPEG at real advertised offsets —
+    the corpus that proves the keyframe work-list feeds a decoder.
+    Round 14: doc_id % 4 == 1 docs are AVI (idx1-indexed 00dc chunks),
+    the rest MP4 (stco offsets) — the SAME closed-form frames either
+    way, so the oracle is container-independent and the fan-out
+    contract is proven container-agnostic."""
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ais_data_pipeline_spark.operators.avi import encode_avi_mjpeg
         from ais_data_pipeline_spark.operators.mp4 import encode_mp4_mjpeg
 
         for pdf in batches:
@@ -1576,7 +1596,10 @@ def make_mjpeg_video_fixture(df: DataFrame, id_col: str = "doc_id") -> DataFrame
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
-                    "payload": [encode_mp4_mjpeg(i) for i in ids],
+                    "payload": [
+                        encode_avi_mjpeg(i) if i % 4 == 1 else encode_mp4_mjpeg(i)
+                        for i in ids
+                    ],
                 }
             )
 

@@ -3207,17 +3207,20 @@ def q_frame_sample_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(s AS BIGINT) AS sum_b
     FROM s ORDER BY doc_id, frame_index
     """,
-    "Video tier END-TO-END (round 13): Motion-JPEG MP4s whose coded "
-    "samples are REAL baseline JPEGs -> keyframe_sample_plan walks the "
-    "real stsz/stsc/stco tables (stss absent: MJPEG all-sync default) "
+    "Video tier END-TO-END, container-agnostic since r14: Motion-JPEG "
+    "containers whose coded samples are REAL baseline JPEGs — doc_id%4"
+    "==1 docs are AVI (idx1-indexed 00dc chunks, movi-relative "
+    "offsets), the rest MP4 (stsz/stsc/stco walk, stss absent: MJPEG "
+    "all-sync default) — through ONE dispatching keyframe_sample_plan "
     "-> extract_frame_blobs slices each coded frame ENGINE-side "
     "(broadcast work-list + codegen'd binary substring, zero payload "
     "shuffle) -> the real JPEG entropy decoder turns each frame into "
-    "exact per-channel pixel sums. A mis-walked chunk table shifts a "
-    "byte offset, the JPEG decode then fails or mis-sums, and the "
-    "hash flips — the fan-out work-list is PROVEN to feed a decoder. "
-    "Dims are MCU-aligned so the oracle is 64 x sum of closed-form "
-    "block grays; even docs grayscale, odd 3-component color.",
+    "exact per-channel pixel sums. A mis-walked chunk/index table "
+    "shifts a byte offset, the JPEG decode then fails or mis-sums, "
+    "and the hash flips — the fan-out work-list is PROVEN to feed a "
+    "decoder from either container. Dims are MCU-aligned so the "
+    "oracle is 64 x sum of closed-form block grays (container-"
+    "independent by construction); even docs grayscale, odd color.",
 )
 def q_frame_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ais_data_pipeline_spark.operators.multimodal import (
@@ -3630,6 +3633,7 @@ def q_subsequence_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              CASE
                WHEN doc_id % 10 = 7 THEN 'RIFF\x00\x00\x00\x00WEBP'::BLOB || encode(text)
+               WHEN doc_id % 10 = 4 THEN 'RIFF\x00\x00\x00\x00AVI '::BLOB || encode(text)
                WHEN doc_id % 5 = 0 THEN '\x89PNG\x0D\x0A'::BLOB || encode(text)
                WHEN doc_id % 5 = 1 THEN '\xFF\xD8\xFF\xE0'::BLOB || encode(text)
                WHEN doc_id % 5 = 2 THEN 'RIFF'::BLOB || encode(text)
@@ -3643,6 +3647,7 @@ def q_subsequence_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
                WHEN substring(hex(payload), 1, 8) = '89504E47' THEN 'image/png'
                WHEN substring(hex(payload), 1, 6) = 'FFD8FF' THEN 'image/jpeg'
                WHEN substring(hex(payload), 17, 8) = '57454250' THEN 'image/webp'
+               WHEN substring(hex(payload), 17, 8) = '41564920' THEN 'video/avi'
                WHEN substring(hex(payload), 1, 8) = '52494646' THEN 'audio/wav'
                WHEN substring(hex(payload), 1, 6) = '494433' THEN 'audio/mp3'
                WHEN substring(hex(payload), 9, 8) = '66747970' THEN 'video/mp4'
@@ -3656,8 +3661,9 @@ def q_subsequence_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sniffed GROUP BY media_type
     """,
     "Multimodal routing: magic-byte media-type sniff (PNG/JPEG/WebP/"
-    "RIFF/ID3/ftyp; the WebP arm precedes bare RIFF since both share "
-    "the magic — round 13) as one codegen'd when-chain over the binary payload — "
+    "AVI/RIFF/ID3/ftyp; the WebP and AVI arms precede bare RIFF since "
+    "all three share the RIFF magic — WebP r13, AVI r14) as one "
+    "codegen'd when-chain over the binary payload — "
     "the dispatch in front of per-modality decode stages. Payloads "
     "synthesized with real container magics over the documents table; "
     "both engines sniff the same bytes.",
@@ -3671,6 +3677,7 @@ def q_media_type_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = with_binary_payload(read_table(spark, sf_dir, "documents"), "text")
     magic = (
         F.when(F.col("doc_id") % 10 == 7, F.lit(b"RIFF" + bytes(4) + b"WEBP"))
+        .when(F.col("doc_id") % 10 == 4, F.lit(b"RIFF" + bytes(4) + b"AVI "))
         .when(F.col("doc_id") % 5 == 0, F.lit(bytes([0x89]) + b"PNG\r\n"))
         .when(F.col("doc_id") % 5 == 1, F.lit(bytes([0xFF, 0xD8, 0xFF, 0xE0])))
         .when(F.col("doc_id") % 5 == 2, F.lit(b"RIFF"))

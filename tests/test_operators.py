@@ -5680,6 +5680,120 @@ def test_mjpeg_video_tier_end_to_end(spark):
             assert r["sum_r"] == r["sum_g"] == r["sum_b"] == want, (d, f)
 
 
+def test_avi_container_and_agnostic_fanout(spark):
+    """Round 14 (r13 verdict item 7): AVI/RIFF MJPEG — hdrl/avih/strl
+    metadata, idx1-indexed keyframe offsets (movi-relative AND
+    absolute conventions), the index-less movi-walk fallback, magic
+    routing (AVI precedes bare RIFF), and the container-AGNOSTIC
+    frame fan-out: a mixed MP4+AVI corpus of the SAME closed-form
+    frames flows through one keyframe_sample_plan -> engine-side
+    slice -> real JPEG decode with identical sums either way."""
+    import struct as _struct
+
+    import numpy as np
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from ais_data_pipeline_spark.localrel import local_df
+    from ais_data_pipeline_spark.operators.avi import (
+        avi_keyframe_offsets,
+        encode_avi_mjpeg,
+        parse_avi_meta,
+    )
+    from ais_data_pipeline_spark.operators.jpeg import parse_jpeg
+    from ais_data_pipeline_spark.operators.mp4 import (
+        mjpeg_block_gray,
+        mjpeg_fixture_params,
+    )
+    from ais_data_pipeline_spark.operators.multimodal import (
+        decode_frame_pixels,
+        extract_frame_blobs,
+        make_mjpeg_video_fixture,
+        media_type_col,
+    )
+
+    # parser contracts + every frame decodes as a real JPEG
+    for d in range(8):
+        b = encode_avi_mjpeg(d)
+        n, w, h = mjpeg_fixture_params(d)
+        m = parse_avi_meta(b)
+        assert (m["width"], m["height"], m["n_frames"]) == (w, h, n)
+        assert m["codec"] == "mjpg" and m["n_streams"] == 1
+        assert m["duration_ms"] == n * (1_000_000 // 24) // 1000
+        ko = avi_keyframe_offsets(b)
+        assert [fi for fi, _, _ in ko] == list(range(n))
+        for fi, off, sz in ko:
+            arr = parse_jpeg(b[off : off + sz])
+            assert arr.shape == (h, w, 3)
+
+    # index-less fallback: stripping idx1 walks movi directly
+    b = encode_avi_mjpeg(3)
+    i = b.rindex(b"idx1")
+    noidx = b"RIFF" + _struct.pack("<I", i - 8) + b[8:i]
+    assert avi_keyframe_offsets(noidx) == avi_keyframe_offsets(b)
+
+    # absolute-offset idx1 convention: rewrite each entry's offset to
+    # the chunk header's absolute position — same result
+    absidx = bytearray(b)
+    lo = b.rindex(b"idx1") + 8
+    for k, (fi, off, sz) in enumerate(avi_keyframe_offsets(b)):
+        _struct.pack_into("<I", absidx, lo + 16 * k + 8, off - 8)
+    assert avi_keyframe_offsets(bytes(absidx)) == avi_keyframe_offsets(b)
+
+    # corrupt contracts
+    with _pytest.raises(ValueError, match="not an AVI"):
+        parse_avi_meta(b"RIFF\x10\x00\x00\x00WAVE")
+    bad = bytearray(b)
+    j = bad.index(b"00dc")
+    _struct.pack_into("<I", bad, bad.rindex(b"idx1") + 8 + 8, 0xFFFF)
+    with _pytest.raises(ValueError, match="no matching chunk"):
+        avi_keyframe_offsets(bytes(bad))
+
+    # magic routing: AVI != WAV != WebP
+    rows = [
+        (0, bytearray(b"RIFF" + bytes(4) + b"AVI " + b"x")),
+        (1, bytearray(b"RIFF" + bytes(4) + b"WAVE" + b"x")),
+        (2, bytearray(b"RIFF" + bytes(4) + b"WEBP" + b"x")),
+    ]
+    df = local_df(spark, rows, "doc_id bigint, payload binary")
+    got = {
+        r["doc_id"]: r["mt"]
+        for r in df.select("doc_id", media_type_col(F.col("payload")).alias("mt")).collect()
+    }
+    assert got == {0: "video/avi", 1: "audio/wav", 2: "image/webp"}
+
+    # container-agnostic fan-out: the mixed fixture (doc%4==1 AVI,
+    # else MP4) decodes to the SAME closed-form sums per (doc, frame)
+    ids = list(range(9))
+    d = make_mjpeg_video_fixture(
+        local_df(spark, [(i,) for i in ids], "doc_id bigint")
+    )
+    rows = {
+        (r["doc_id"], r["frame_index"]): r
+        for r in decode_frame_pixels(extract_frame_blobs(d)).collect()
+    }
+    for i in ids:
+        n, w, h = mjpeg_fixture_params(i)
+        nb = (w // 8) * (h // 8)
+        for f in range(n):
+            r = rows[(i, f)]
+            assert (r["width"], r["height"], r["format"]) == (w, h, "jpeg")
+            want = 64 * sum(mjpeg_block_gray(i, f, bl) for bl in range(nb))
+            assert r["sum_r"] == r["sum_g"] == r["sum_b"] == want, (i, f)
+
+    # fuzz-lite: documented classes only
+    rng = np.random.default_rng(14)
+    for _ in range(300):
+        fz = bytearray(b)
+        for _k in range(int(rng.integers(1, 4))):
+            fz[int(rng.integers(0, len(fz)))] = int(rng.integers(0, 256))
+        try:
+            parse_avi_meta(bytes(fz))
+            avi_keyframe_offsets(bytes(fz))
+        except (ValueError, NotImplementedError):
+            pass
+
+
 def test_ima_adpcm_decode(spark):
     """Round-13: IMA/DVI ADPCM (WAV format 0x11) decodes through the
     real predictor/step-index recurrence, vectorized across blocks x
