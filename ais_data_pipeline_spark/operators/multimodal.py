@@ -551,7 +551,7 @@ def decode_pixels_array(data: bytes):
         try:
             return parse_tiff(data), "tiff"
         except NotImplementedError:
-            # compressed codecs (JPEG-in-TIFF/CCITT/tiled/planar): PIL
+            # exotic codecs (JPEG-in-TIFF/CCITT/planar-2): PIL
             # fall-through, the image tier's exotic-variant convention
             pass
     if data[:2] == b"\xff\xd8":
@@ -1011,6 +1011,17 @@ def make_image_fixture(
                                     )
                                     for p in range(2 + i % 2)
                                 ],
+                            )
+                        )
+                    elif fmt == "mixed6" and i % 3 == 2:
+                        # TILED arm (r14): 4x4 LZW tiles with edge
+                        # padding — same closed-form raster, so the
+                        # oracle's pixel sums are layout-independent
+                        w, h = tiff_dims(i)
+                        payloads.append(
+                            encode_tiff(
+                                i, w, h, gray=i % 2 == 1,
+                                compression=5, tile=(4, 4),
                             )
                         )
                     else:

@@ -11,11 +11,13 @@ strip offsets/byte-counts/rows-per-strip), and NATIVE pixel decode of
 TIFF LZW flavor — MSB bit packing, early-change width bumps) and
 32773 (PackBits RLE) or 8/32946 ((Adobe) Deflate via stdlib zlib),
 each optionally behind the horizontal-differencing predictor
-(tag 317 = 2). Remaining codecs (JPEG-in-TIFF,
-CCITT fax, tiled/planar layouts) raise the honest
-``NotImplementedError`` and fall through to the PIL hook in
-``multimodal.decode_pixels_array`` — the image tier's exotic-variant
-convention.
+(tag 317 = 2). Round 14: MULTI-PAGE chains decode every IFD, and the
+TILED layout (tags 322-325, TIFF 6.0 §15 — full right/bottom-padded
+edge tiles, per-tile compression and predictor) decodes natively.
+Remaining codecs (JPEG-in-TIFF, CCITT fax, planar-configuration-2)
+raise the honest ``NotImplementedError`` and fall through to the PIL
+hook in ``multimodal.decode_pixels_array`` — the image tier's
+exotic-variant convention.
 
 Reference parity: the reference pipeline has no image handling; this
 module is part of the mandated LLM-data-pipeline multimodal tier.
@@ -234,6 +236,11 @@ def _decode_ifd(data: bytes, e: str, tags: dict[int, list[int]]):
         # raster would decode under the wrong channel model (round-13
         # hardening sweep)
         raise ValueError("TIFF photometric/samples-per-pixel mismatch")
+    if 322 in tags or 324 in tags:
+        # tiled layout (r14): the strip walk with a 2-D index
+        return _decode_tiles(
+            data, tags, w, h, spp, compression, predictor, photometric
+        )
     if 273 not in tags:
         raise ValueError("TIFF missing strip offsets")
     offsets = tags[273]
@@ -287,6 +294,84 @@ def _decode_ifd(data: bytes, e: str, tags: dict[int, list[int]]):
     return arr.copy()
 
 
+def _decompress_block(data: bytes, off: int, cnt: int, compression: int, expect: int) -> bytes:
+    """One strip/tile's decoded bytes — the shared codec dispatch."""
+    if off + cnt > len(data):
+        raise ValueError("TIFF strip/tile out of range")
+    raw = data[off : off + cnt]
+    if compression == 1:
+        if cnt != expect:
+            raise ValueError("TIFF strip/tile byte count mismatch")
+        return raw
+    if compression == 5:
+        return _lzw_decode_tiff(raw, expect)
+    if compression in (8, 32946):  # (Adobe) Deflate
+        import zlib
+
+        try:
+            out = zlib.decompress(raw)
+        except zlib.error as exc:
+            raise ValueError(f"corrupt TIFF deflate block: {exc}") from None
+        if len(out) != expect:
+            raise ValueError("TIFF deflate block length mismatch")
+        return out
+    return _unpackbits(raw, expect)  # PackBits
+
+
+def _decode_tiles(
+    data: bytes,
+    tags: dict[int, list[int]],
+    w: int,
+    h: int,
+    spp: int,
+    compression: int,
+    predictor: int,
+    photometric: int,
+):
+    """Tiled-TIFF raster assembly (r14, TIFF 6.0 §15): tiles of
+    TileWidth x TileLength (tags 322/323) laid out left-to-right,
+    top-to-bottom via TileOffsets/TileByteCounts (324/325); edge
+    tiles are FULL tiles padded right/bottom, cropped after
+    placement. Compression and the horizontal-differencing predictor
+    apply per tile (each tile row restarts the differencing — same
+    rule as strips). Planar configuration 2 (separate planes) stays
+    the PIL hook."""
+    import numpy as np
+
+    if 322 not in tags or 323 not in tags or 324 not in tags:
+        raise ValueError("tiled TIFF missing tile geometry/offset tags")
+    if tags.get(284, [1])[0] != 1:
+        raise NotImplementedError("planar-configuration-2 TIFF not supported")
+    tw, tl = tags[322][0], tags[323][0]
+    if tw == 0 or tl == 0:
+        raise ValueError("TIFF with zero tile dimension")
+    offsets = tags[324]
+    counts = tags.get(325)
+    across = (w + tw - 1) // tw
+    down = (h + tl - 1) // tl
+    if counts is None or len(counts) != len(offsets):
+        raise ValueError("TIFF tile offset/count tables disagree")
+    if len(offsets) != across * down:
+        raise ValueError("TIFF tile count does not cover the image")
+    tile_bytes = tw * tl * spp
+    full = np.zeros((down * tl, across * tw, spp), dtype=np.uint8)
+    for ti, (off, cnt) in enumerate(zip(offsets, counts)):
+        raw = _decompress_block(data, off, cnt, compression, tile_bytes)
+        tile = np.frombuffer(raw, dtype=np.uint8).reshape(tl, tw, spp)
+        if predictor == 2:
+            tile = (np.cumsum(tile.astype(np.int64), axis=1) % 256).astype(
+                np.uint8
+            )
+        ty, tx = divmod(ti, across)
+        full[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw, :] = tile
+    arr = full[:h, :w, :]
+    if spp == 1:
+        if photometric == 0:  # WhiteIsZero
+            arr = 255 - arr
+        return np.repeat(arr, 3, axis=2)
+    return arr.copy()
+
+
 def _byte_order(data: bytes) -> str:
     if len(data) >= 8 and data[:4] == b"II\x2a\x00":
         return "<"
@@ -304,8 +389,9 @@ def parse_tiff(data: bytes, page: int = 0):
     predictor (tag 317 = 2: per-row per-channel prefix sums after
     decompression); 8 bits per sample, photometric 0/1 (gray, 0 =
     white-is-zero inverted per spec) or 2 (RGB), strip layout via tags
-    273/278/279 (any strip split, incl. the single-strip default).
-    Everything else (JPEG-in-TIFF, CCITT, ZIP, planar, tiles) raises
+    273/278/279 (any strip split, incl. the single-strip default) OR
+    the tiled layout via tags 322-325 (r14). Everything else
+    (JPEG-in-TIFF, CCITT, planar-configuration-2) raises
     ``NotImplementedError`` for the PIL hook."""
     e = _byte_order(data)
     offs = _ifd_offsets(data, e)
@@ -340,17 +426,20 @@ def encode_tiff(
     rows_per_strip: int | None = None,
     compression: int = 1,
     predictor: int = 1,
+    tile: tuple[int, int] | None = None,
 ) -> bytes:
     """Real baseline TIFF of the shared closed-form raster
     (``synth_pixel_value``): header, one IFD with the geometry/strip
     tags, strip data split at ``rows_per_strip`` and stored raw
     (compression 1), TIFF-LZW (5) or PackBits (32773), optionally
-    horizontally differenced first (predictor 2)."""
+    horizontally differenced first (predictor 2). ``tile=(tw, tl)``
+    (r14) writes the TILED layout instead — tags 322-325, full
+    right/bottom-padded edge tiles."""
     e = ">" if big_endian else "<"
     hdr = (b"II\x2a\x00" if e == "<" else b"MM\x00\x2a") + struct.pack(e + "I", 8)
     return hdr + _encode_tiff_page(
         doc_id, w, h, gray, e, rows_per_strip, compression, predictor,
-        base=8, next_ifd=0,
+        base=8, next_ifd=0, tile=tile,
     )
 
 
@@ -380,6 +469,7 @@ def encode_tiff_multipage(
             spec.get("predictor", 1),
             base=base,
             next_ifd=next_ifd,
+            tile=spec.get("tile"),
         )
 
     sizes = [len(build(s, 0, 0)) for s in page_specs]
@@ -394,6 +484,18 @@ def encode_tiff_multipage(
     return bytes(out)
 
 
+def _compress_blocks(blocks: list[bytes], compression: int) -> list[bytes]:
+    if compression == 5:
+        return [_lzw_encode_tiff(b) for b in blocks]
+    if compression in (8, 32946):
+        import zlib as _zlib
+
+        return [_zlib.compress(b) for b in blocks]
+    if compression == 32773:
+        return [_packbits_encode(b) for b in blocks]
+    return blocks
+
+
 def _encode_tiff_page(
     doc_id: int,
     w: int,
@@ -405,10 +507,12 @@ def _encode_tiff_page(
     predictor: int,
     base: int,
     next_ifd: int,
+    tile: tuple[int, int] | None = None,
 ) -> bytes:
-    """One page block — IFD + out-of-line values + strips — whose
-    internal offsets assume the block begins at file offset ``base``;
-    the trailing next-IFD pointer is ``next_ifd``."""
+    """One page block — IFD + out-of-line values + strips OR tiles
+    (r14: ``tile=(tw, tl)`` writes tags 322-325 with full padded edge
+    tiles) — whose internal offsets assume the block begins at file
+    offset ``base``; the trailing next-IFD pointer is ``next_ifd``."""
     import numpy as np
 
     from ais_data_pipeline_spark.operators.multimodal import synth_pixel_value
@@ -417,25 +521,39 @@ def _encode_tiff_page(
     raster = bytes(
         synth_pixel_value(doc_id, k) for k in range(w * h * spp)
     )
-    if predictor == 2:
-        a = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, spp).astype(np.int64)
+
+    def diff(block: bytes, bw: int, bh: int) -> bytes:
+        a = np.frombuffer(block, dtype=np.uint8).reshape(bh, bw, spp).astype(np.int64)
         d = a.copy()
         d[:, 1:, :] = (a[:, 1:, :] - a[:, :-1, :]) % 256
-        raster = d.astype(np.uint8).tobytes()
-    rps = rows_per_strip or h
-    row_bytes = w * spp
-    strips = [
-        raster[r * row_bytes : min(r + rps, h) * row_bytes]
-        for r in range(0, h, rps)
-    ]
-    if compression == 5:
-        strips = [_lzw_encode_tiff(st) for st in strips]
-    elif compression in (8, 32946):
-        import zlib as _zlib
+        return d.astype(np.uint8).tobytes()
 
-        strips = [_zlib.compress(st) for st in strips]
-    elif compression == 32773:
-        strips = [_packbits_encode(st) for st in strips]
+    row_bytes = w * spp
+    if tile is not None:
+        tw, tl = tile
+        arr = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, spp)
+        across = (w + tw - 1) // tw
+        down = (h + tl - 1) // tl
+        padded = np.zeros((down * tl, across * tw, spp), dtype=np.uint8)
+        padded[:h, :w, :] = arr
+        strips = []
+        for ty in range(down):
+            for tx in range(across):
+                t = padded[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw, :]
+                b = t.tobytes()
+                if predictor == 2:
+                    b = diff(b, tw, tl)
+                strips.append(b)
+        strips = _compress_blocks(strips, compression)
+    else:
+        if predictor == 2:
+            raster = diff(raster, w, h)
+        rps = rows_per_strip or h
+        strips = [
+            raster[r * row_bytes : min(r + rps, h) * row_bytes]
+            for r in range(0, h, rps)
+        ]
+        strips = _compress_blocks(strips, compression)
 
     def entry(tag: int, typ: int, vals: list[int], extra_off: int) -> tuple[bytes, bytes]:
         code, size = _TYPES[typ]
@@ -452,8 +570,8 @@ def _encode_tiff_page(
             packed,
         )
 
-    # layout: [header(8) for page 0] + IFD + extras + strips, with
-    # every embedded offset measured from file start = ``base``
+    # layout: [header(8) for page 0] + IFD + extras + strips/tiles,
+    # with every embedded offset measured from file start = ``base``
     tags = [
         (256, 4, [w]),
         (257, 4, [h]),
@@ -461,9 +579,12 @@ def _encode_tiff_page(
         (259, 3, [compression]),
         (262, 3, [1 if gray else 2]),
         (277, 3, [spp]),
-        (278, 4, [rps]),
         (317, 3, [predictor]),
     ]
+    if tile is not None:
+        tags += [(322, 4, [tile[0]]), (323, 4, [tile[1]])]
+    else:
+        tags += [(278, 4, [rps])]
     n = len(tags) + 2  # + strip offsets + strip counts
     ifd_off = base
     extras_off = ifd_off + 2 + 12 * n + 4
@@ -484,10 +605,11 @@ def _encode_tiff_page(
     for s in strips:
         offs.append(pos)
         pos += len(s)
-    ent, ext = entry(273, 4, offs, extras_off + len(extras))
+    off_tag, cnt_tag = (324, 325) if tile is not None else (273, 279)
+    ent, ext = entry(off_tag, 4, offs, extras_off + len(extras))
     entries.append(ent)
     extras += ext
-    ent, ext = entry(279, 4, counts, extras_off + len(extras))
+    ent, ext = entry(cnt_tag, 4, counts, extras_off + len(extras))
     entries.append(ent)
     extras += ext
     entries.sort(key=lambda b: struct.unpack_from(e + "H", b, 0)[0])

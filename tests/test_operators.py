@@ -6633,6 +6633,73 @@ def test_tiff_multipage_decode(spark):
             pass
 
 
+def test_tiff_tiled_decode():
+    """Round-14 stretch: the TILED layout (tags 322-325) decodes
+    natively — all four codecs, both byte orders, gray replication,
+    the per-tile horizontal-differencing predictor, and right/bottom
+    edge padding (non-multiple dims) cropped after placement; tiles
+    compose with multi-page chains; corrupt tile tables raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from ais_data_pipeline_spark.operators.multimodal import synth_pixel_value
+    from ais_data_pipeline_spark.operators.tiff import (
+        encode_tiff,
+        encode_tiff_multipage,
+        parse_tiff,
+        parse_tiff_pages,
+    )
+
+    def expect(seed, w, h, gray):
+        spp = 1 if gray else 3
+        a = np.array(
+            [synth_pixel_value(seed, k) for k in range(w * h * spp)],
+            dtype=np.uint8,
+        ).reshape(h, w, spp)
+        return np.repeat(a, 3, axis=2) if spp == 1 else a
+
+    for d, w, h, gray, be, comp, pred, tile in [
+        (0, 10, 7, False, False, 1, 1, (8, 8)),
+        (1, 9, 9, True, True, 5, 1, (4, 4)),
+        (2, 13, 5, False, False, 8, 2, (8, 4)),
+        (3, 6, 6, True, False, 32773, 1, (8, 8)),
+        (4, 16, 8, False, True, 5, 2, (8, 8)),
+    ]:
+        b = encode_tiff(
+            d, w, h, gray=gray, big_endian=be,
+            compression=comp, predictor=pred, tile=tile,
+        )
+        assert (parse_tiff(b) == expect(d, w, h, gray)).all(), d
+
+    # strips and tiles mix across pages of one file
+    specs = [
+        dict(seed_id=7, w=6, h=4, compression=1, rows_per_strip=2),
+        dict(seed_id=9, w=10, h=7, compression=5, tile=(4, 4), gray=True),
+        dict(seed_id=11, w=5, h=9, compression=8, tile=(8, 8), predictor=2),
+    ]
+    for spec, arr in zip(specs, parse_tiff_pages(encode_tiff_multipage(0, specs))):
+        assert (
+            arr == expect(spec["seed_id"], spec["w"], spec["h"], spec.get("gray", False))
+        ).all()
+
+    # corrupt tile tables: short count table, tile count not covering
+    # the grid
+    import struct as _struct
+
+    b = bytearray(encode_tiff(1, 9, 9, compression=1, tile=(4, 4)))
+    # find the 325 (counts) IFD entry and shrink its count field
+    e = "<"
+    (ifd,) = _struct.unpack_from(e + "I", b, 4)
+    (n,) = _struct.unpack_from(e + "H", b, ifd)
+    for i in range(n):
+        ent = ifd + 2 + 12 * i
+        tag, _typ = _struct.unpack_from(e + "HH", b, ent)
+        if tag == 325:
+            _struct.pack_into(e + "I", b, ent + 4, 2)  # 9 tiles, 2 counts
+    with _pytest.raises(ValueError, match="disagree"):
+        parse_tiff(bytes(b))
+
+
 def test_jpeg_corrupt_header_guards_r13():
     """Round-13 deep-fuzz findings, reproduced then fixed: a corrupted
     segment length can shrink a SOF/SOS/DRI body below its fixed
