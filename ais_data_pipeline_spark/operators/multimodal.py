@@ -1279,6 +1279,67 @@ def make_compressed_audio_fixture(
     return narrow.mapInPandas(encode, "doc_id bigint, payload binary")
 
 
+def flac_sample_value(doc_id: int, ch: int, i: int) -> int:
+    """Closed-form 16-bit sample ``i`` of channel ``ch``: the fixture
+    waveform both the encoder and the SQL oracle derive."""
+    return (doc_id * 131 + i * 17 + ch * 7919) % 65536 - 32768
+
+
+def flac_pcm_fixture_params(doc_id: int) -> tuple[int, int, int]:
+    """(sample_rate, n_channels, total_samples) for the FLAC sample
+    fixture — closed forms one SQL CASE re-derives."""
+    rate = _SAMPLE_RATES[doc_id % 5]
+    nch = 1 + doc_id % 2
+    total = 120 + doc_id % 77
+    return rate, nch, total
+
+
+def make_flac_audio_fixture(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload) fixture of REAL FLAC streams carrying the
+    ``flac_sample_value`` closed-form waveform (r14): blocksize 48
+    (multiple frames + a partial tail), subframe type cycling
+    verbatim/fixed0..4/lpc2 by (doc + frame + channel), stereo docs
+    cycling independent/left-side/right-side/mid-side by frame — the
+    encode is lossless, so amplitude stats are fixture-independent of
+    the coding choices while the engine path exercises every decoder
+    branch."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ais_data_pipeline_spark.operators.flac_frames import (
+            encode_flac_frames,
+        )
+
+        types = ["verbatim", "fixed0", "fixed1", "fixed2", "fixed3", "fixed4", "lpc2"]
+        modes = [None, "ls", "rs", "ms"]
+        for pdf in batches:
+            ids = [int(i) for i in pdf[id_col]]
+            payloads = []
+            for i in ids:
+                rate, nch, total = flac_pcm_fixture_params(i)
+                chans = [
+                    [flac_sample_value(i, c, k) for k in range(total)]
+                    for c in range(nch)
+                ]
+                payloads.append(
+                    encode_flac_frames(
+                        chans,
+                        rate,
+                        bps=16,
+                        blocksize=48,
+                        subframe_type=lambda f, c, i=i: types[(i + f + c) % len(types)],
+                        stereo_mode=lambda f, i=i: modes[(i + f) % 4],
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"), "payload": payloads}
+            )
+
+    from ais_data_pipeline_spark.operators.util import spread_to_parallelism
+
+    narrow = spread_to_parallelism(df.select(id_col))
+    return narrow.mapInPandas(encode, "doc_id bigint, payload binary")
+
+
 def decode_audio_pcm(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -1307,7 +1368,18 @@ def decode_audio_pcm(
         for pdf in batches:
             out = {k: [] for k in cols}
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                frames, rate, bits = parse_wav(bytes(payload))
+                blob = bytes(payload)
+                if blob[:4] == b"fLaC":
+                    # r14: native FLAC frame decode — lossless, so the
+                    # stats contract is identical to the PCM path
+                    from ais_data_pipeline_spark.operators.flac_frames import (
+                        decode_flac_samples,
+                    )
+
+                    frames, info = decode_flac_samples(blob)
+                    rate, bits = info["sample_rate"], info["bits_per_sample"]
+                else:
+                    frames, rate, bits = parse_wav(blob)
                 is_float = frames.dtype.kind == "f"
                 if is_float:
                     a = frames.astype(np.float64)  # f32 -> f64 is exact

@@ -111,10 +111,11 @@ def register(name: str, oracle: str | None, description: str):
 #     duration now exact via full frame walk, was NULL; fixture arm
 #     carries 2+k%9 real frames), media_type_route (AVI arm
 #     added to the RIFF disambiguation), frame_pixel_stats (fixture
-#     corpus widened to MP4+AVI containers), theta_difference (NEW
-#     registry row, never driver-checked). Displaced to lead r15:
-#     semi_anti_customers, sessionize_events, set_ops_segments,
-#     small_qty_revenue, stream_stream_join (unchanged r10 rows).
+#     corpus widened to MP4+AVI containers), theta_difference and
+#     flac_pcm_stats (NEW registry rows, never driver-checked).
+#     Displaced to lead r15: semi_anti_customers, sessionize_events,
+#     set_ops_segments, small_qty_revenue, stream_stream_join, and
+#     streaming_ivf_ingest_topk (unchanged r10 rows).
 _FRONT_WINDOW: list[str] = [
     "above_avg_orders",
     "custdist",
@@ -165,7 +166,7 @@ _FRONT_WINDOW: list[str] = [
     "media_type_route",
     "frame_pixel_stats",
     "theta_difference",
-    "streaming_ivf_ingest_topk",
+    "flac_pcm_stats",
 ]
 
 
@@ -3875,6 +3876,60 @@ def q_audio_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     return decode_audio_pcm(make_audio_fixture(d)).orderBy("doc_id", "channel")
+
+
+@register(
+    "flac_pcm_stats",
+    """
+    WITH params AS (
+      SELECT doc_id,
+             list_extract([8000, 16000, 22050, 44100, 48000],
+                          CAST(doc_id % 5 AS INTEGER) + 1) AS rate,
+             1 + doc_id % 2 AS nch,
+             120 + doc_id % 77 AS total
+      FROM documents
+    ), samp AS (
+      SELECT doc_id, rate, total, CAST(c AS INTEGER) AS channel,
+             CAST((doc_id*131 + k*17 + c*7919) % 65536 - 32768 AS DOUBLE) AS amp
+      FROM params,
+           UNNEST(range(0, nch)) AS ch(c),
+           UNNEST(range(0, total)) AS t(k)
+    )
+    SELECT doc_id, channel,
+           CAST(rate AS INTEGER) AS sample_rate,
+           CAST(16 AS INTEGER) AS bits_per_sample,
+           CAST(total AS BIGINT) AS n_samples,
+           CAST(sum(amp) AS DOUBLE) AS sum_amp,
+           CAST(sum(abs(amp)) AS DOUBLE) AS sum_abs,
+           CAST(max(abs(amp)) AS DOUBLE) AS max_abs,
+           CAST(sum(CASE WHEN amp = -32768 OR amp = 32767 THEN 1
+                         ELSE 0 END) AS BIGINT) AS n_clipped
+    FROM samp
+    GROUP BY doc_id, channel, rate, total
+    ORDER BY doc_id, channel
+    """,
+    "NATIVE FLAC SAMPLE decode (round 14 — compressed audio leaves "
+    "the honest-stub line): real FLAC streams of the closed-form "
+    "waveform, decoded frame by frame through the pure-stdlib codec — "
+    "14-bit sync + coded headers with verified CRC-8/CRC-16, UTF-8 "
+    "frame numbers, CONSTANT/VERBATIM/FIXED-0..4/LPC subframes, Rice "
+    "partition residuals with zigzag, wasted-bits shifts, and "
+    "left-side/right-side/mid-side stereo decorrelation (side channel "
+    "one bit deeper) — inside the same Arrow-batched stats operator "
+    "as WAV. FLAC is lossless, so the fixture's per-(frame, channel) "
+    "coding choices (all subframe types and stereo modes cycle) "
+    "cannot change the stats: the oracle re-derives every amplitude "
+    "from the waveform closed form, and any decode bug in any branch "
+    "flips the hash.",
+)
+def q_flac_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.multimodal import (
+        decode_audio_pcm,
+        make_flac_audio_fixture,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return decode_audio_pcm(make_flac_audio_fixture(d)).orderBy("doc_id", "channel")
 
 
 @register(

@@ -410,18 +410,25 @@ def test_ivf_index_protocol_hardening(spark, tmp_path):
     b7 = spark.createDataFrame([(10, [1.0, 1.0]), (11, [2.0, 1.0])], S)
     append_to_ivf_index(b7, p, 7)
     assert compact_ivf_index(spark, p) == 6
+    # r14: the compacted index lives under the published generation
+    # root (the flat layout was GC'd) — readers resolve the pointer
+    from ais_data_pipeline_spark import fsutil
+
+    root = fsutil.current_root(p)
+    assert root != p  # migration actually happened
     append_to_ivf_index(b7, p, 7)  # crash-recovery replay
-    assert spark.read.parquet(p).count() == 6, "replay duplicated compacted rows"
+    assert spark.read.parquet(root).count() == 6, "replay duplicated compacted rows"
     # a genuinely new batch still appends
     append_to_ivf_index(
         spark.createDataFrame([(12, [3.0, 1.0])], S), p, 8
     )
-    assert spark.read.parquet(p).count() == 7
+    assert spark.read.parquet(root).count() == 7
 
-    # (b) mismatched build tokens -> loud ValueError
+    # (b) mismatched build tokens -> loud ValueError (the token lives
+    # WITH its generation, where the probe reads it)
     import pytest as _pytest
 
-    with open(p + "/_ais_build_id", "w") as f:
+    with open(root + "/_ais_build_id", "w") as f:
         f.write("not-the-sidecar-build")
     with _pytest.raises(ValueError, match="different"):
         ivf_probe_topk(spark, p, [1.0, 1.0])
