@@ -29,11 +29,12 @@ from ais_data_pipeline_spark.session import get_spark
 
 N_DOCS = int(os.environ.get("AUDIO_PROBE_DOCS", 2048))
 SECONDS = float(os.environ.get("AUDIO_PROBE_SECONDS", 2.0))
-#: pcm16 (plain fmt), float32 (WAVE_FORMAT_EXTENSIBLE wrapper), and
+#: pcm16 (plain fmt), float32 (WAVE_FORMAT_EXTENSIBLE wrapper),
 #: round-13 rungs: adpcm (IMA predictor loop), mulaw (G.711 expansion
-#: — the
-#: round-12 decode surface, measured separately since the float path
-#: takes the f4 frombuffer + float64 stats branch)
+#: — measured separately since the float path takes the f4
+#: frombuffer + float64 stats branch), and the round-14 flac rung
+#: (the native frame codec's Python Rice loop — the documented
+#: bit-loop class, priced honestly like TIFF-LZW)
 FORMAT = os.environ.get("AUDIO_PROBE_FORMAT", "pcm16")
 RATE = 16000
 NCH = 2
@@ -70,6 +71,20 @@ def main() -> None:
             return encode_ima_adpcm_wav(
                 codes.reshape(-1, NCH).astype(np.int16), RATE,
                 block_align=512 * NCH,
+            )
+        if FORMAT == "flac":  # round 14: the native FLAC frame rung
+            from ais_data_pipeline_spark.operators.flac_frames import (
+                encode_flac_frames,
+            )
+
+            chans = codes.reshape(-1, NCH)
+            return encode_flac_frames(
+                [chans[:, c].tolist() for c in range(NCH)],
+                RATE,
+                bps=16,
+                blocksize=4096,
+                subframe_type=lambda f, c: "fixed2",
+                stereo_mode=lambda f: ["ls", "ms"][f % 2],
             )
         if FORMAT == "mulaw":  # round 13: the G.711 expansion rung
             # invert the decode segment mapping approximately: probe
