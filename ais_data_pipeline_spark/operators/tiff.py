@@ -11,9 +11,12 @@ strip offsets/byte-counts/rows-per-strip), and NATIVE pixel decode of
 TIFF LZW flavor — MSB bit packing, early-change width bumps) and
 32773 (PackBits RLE) or 8/32946 ((Adobe) Deflate via stdlib zlib),
 each optionally behind the horizontal-differencing predictor
-(tag 317 = 2). Round 14: MULTI-PAGE chains decode every IFD, and the
+(tag 317 = 2). Round 14: MULTI-PAGE chains decode every IFD, the
 TILED layout (tags 322-325, TIFF 6.0 §15 — full right/bottom-padded
-edge tiles, per-tile compression and predictor) decodes natively.
+edge tiles, per-tile compression and predictor) decodes natively, and
+SUB-BYTE grayscale/bilevel (1/2/4-bit, MSB packing, per-row byte
+padding, WhiteIsZero inversion — the scanned-document staple) decodes
+under every strip codec.
 Remaining codecs (JPEG-in-TIFF, CCITT fax, planar-configuration-2)
 raise the honest ``NotImplementedError`` and fall through to the PIL
 hook in ``multimodal.decode_pixels_array`` — the image tier's
@@ -225,6 +228,18 @@ def _decode_ifd(data: bytes, e: str, tags: dict[int, list[int]]):
     predictor = tags.get(317, [1])[0]
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor} not supported")
+    if spp == 1 and bits[0] in (1, 2, 4) and photometric in (0, 1):
+        # sub-byte grayscale/bilevel (r14): the scanned-document
+        # staple — MSB-first packed samples, each row padded to a
+        # byte boundary. Predictor-2 and tiled sub-byte stay the
+        # honest NotImplementedError line (rare in the wild).
+        if predictor != 1:
+            raise NotImplementedError("sub-byte TIFF with predictor")
+        if 322 in tags or 324 in tags:
+            raise NotImplementedError("tiled sub-byte TIFF")
+        return _decode_subbyte_strips(
+            data, tags, w, h, bits[0], compression, photometric
+        )
     if bits[0] != 8 or any(b != 8 for b in tags.get(258, [8])):
         raise NotImplementedError("only 8-bit TIFF samples supported")
     if photometric not in (0, 1, 2) or spp not in (1, 3):
@@ -370,6 +385,52 @@ def _decode_tiles(
             arr = 255 - arr
         return np.repeat(arr, 3, axis=2)
     return arr.copy()
+
+
+def _decode_subbyte_strips(
+    data: bytes,
+    tags: dict[int, list[int]],
+    w: int,
+    h: int,
+    bpp: int,
+    compression: int,
+    photometric: int,
+):
+    """1/2/4-bit grayscale strip decode (TIFF 6.0 §4 bilevel / §5
+    grayscale): samples pack MSB-first, each row padded to a byte
+    boundary; values scale to full 8-bit range (v * 255 / maxval) and
+    WhiteIsZero inverts BEFORE scaling. Returns HxWx3 uint8."""
+    import numpy as np
+
+    if 273 not in tags:
+        raise ValueError("TIFF missing strip offsets")
+    offsets = tags[273]
+    counts = tags.get(279)
+    rps = tags.get(278, [h])[0] or h
+    row_bytes = (w * bpp + 7) // 8
+    if counts is None:
+        if len(offsets) != 1:
+            raise ValueError("TIFF multi-strip image missing byte counts")
+        counts = [row_bytes * h]
+    if len(counts) != len(offsets):
+        raise ValueError("TIFF strip offset/count tables disagree")
+    buf = bytearray()
+    remaining = h
+    for off, cnt in zip(offsets, counts):
+        rows = min(rps, remaining)
+        buf += _decompress_block(data, off, cnt, compression, rows * row_bytes)
+        remaining -= rows
+    if remaining:
+        raise ValueError("TIFF strips cover fewer rows than the image")
+    rows8 = np.frombuffer(bytes(buf), dtype=np.uint8).reshape(h, row_bytes)
+    unpacked = np.unpackbits(rows8, axis=1)[:, : w * bpp].reshape(h, w, bpp)
+    weights = (1 << np.arange(bpp - 1, -1, -1)).astype(np.int64)
+    vals = (unpacked.astype(np.int64) * weights).sum(axis=2)
+    maxv = (1 << bpp) - 1
+    if photometric == 0:  # WhiteIsZero
+        vals = maxv - vals
+    gray = (vals * 255 // maxv).astype(np.uint8)
+    return np.repeat(gray[:, :, None], 3, axis=2)
 
 
 def _byte_order(data: bytes) -> str:
