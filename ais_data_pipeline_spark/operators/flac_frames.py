@@ -222,9 +222,13 @@ def decode_flac_samples(data: bytes):
     # skip the metadata-block chain
     pos = 4
     while True:
+        if pos + 4 > len(data):
+            raise ValueError("truncated FLAC metadata chain")
         hdr = data[pos]
         (length,) = struct.unpack(">I", b"\x00" + data[pos + 1 : pos + 4])
         pos += 4 + length
+        if pos > len(data):
+            raise ValueError("FLAC metadata block overruns the payload")
         if hdr & 0x80:
             break
     nch, bps = info["n_channels"], info["bits_per_sample"]

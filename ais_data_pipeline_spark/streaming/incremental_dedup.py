@@ -131,7 +131,8 @@ def _write_slice(
     ``single_file=False`` always keeps the input partitioning."""
     # an all-dropped batch writes no partition at all; pre-create the
     # table root so later schema-reads never hit a missing path
-    os.makedirs(path, exist_ok=True)
+    # (local paths only — object-store 'directories' are prefixes)
+    _ensure_local_dir(path)
     if single_file is not False:
         n = approx_rows if approx_rows is not None else df.count()
         if n > SINGLE_FILE_MAX_ROWS:

@@ -5902,10 +5902,56 @@ def test_flac_frame_decode(spark):
             assert r["sum_abs"] == float(sum(abs(a) for a in amps))
             assert r["max_abs"] == float(max(abs(a) for a in amps))
 
-    # undividable Rice partition order raises (hand-corrupt: flip the
-    # partition-order nibble of a fixed subframe is fiddly — instead
-    # encode blocksize 100 and check 2^po | blocksize enforcement via
-    # fuzz below); fuzz-lite: documented classes only
+    # branches the fixture encoder never emits, hand-assembled:
+    # (a) the Rice ESCAPE partition (param = 0b1111 -> raw-bit
+    # samples), (b) WASTED BITS (samples stored shifted down, decoder
+    # shifts back up)
+    from ais_data_pipeline_spark.operators.flac_frames import _BitW
+
+    def mono8_stream(subframe_bits: "_BitW") -> bytes:
+        packed = (8000 << 44) | (0 << 41) | (7 << 36) | 4
+        si = (8).to_bytes(2, "big") * 2 + bytes(6)
+        si += packed.to_bytes(8, "big") + bytes(16)
+        head = b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + si
+        hdr = bytes([0xFF, 0xF8, 0x60, 0x02, 0x00, 0x03])
+        bw = _BitW()
+        bw.out += hdr + bytes([_crc8(hdr)])
+        bw.out += bytes(subframe_bits.out)
+        bw.acc, bw.n = subframe_bits.acc, subframe_bits.n
+        bw.align()
+        body = bytes(bw.out)
+        return head + body + _crc16(body).to_bytes(2, "big")
+
+    # (a) FIXED order 0, residual method 0, partition order 0,
+    # param 0b1111 escape, raw=6, samples [1, -2, 3, -4]
+    sb = _BitW()
+    sb.write(0, 1); sb.write(8, 6); sb.write(0, 1)  # fixed0, no wasted
+    sb.write(0, 2); sb.write(0, 4)  # method 0, po 0
+    sb.write(0xF, 4); sb.write(6, 5)  # escape, 6 raw bits
+    for v in (1, -2, 3, -4):
+        sb.write(v, 6)
+    arr, _ = decode_flac_samples(mono8_stream(sb))
+    assert arr[:, 0].tolist() == [1, -2, 3, -4]
+
+    # raw == 0 escape: all residuals are zero without reading bits
+    sb = _BitW()
+    sb.write(0, 1); sb.write(8, 6); sb.write(0, 1)
+    sb.write(0, 2); sb.write(0, 4)
+    sb.write(0xF, 4); sb.write(0, 5)
+    arr, _ = decode_flac_samples(mono8_stream(sb))
+    assert arr[:, 0].tolist() == [0, 0, 0, 0]
+
+    # (b) VERBATIM with wasted = 2 (flag 1, unary q=1 -> bits '01'):
+    # stored 6-bit values shift left 2 on decode
+    sb = _BitW()
+    sb.write(0, 1); sb.write(1, 6)  # verbatim
+    sb.write(1, 1); sb.write(0b01, 2)  # wasted flag + unary 1 -> wasted 2
+    for v in (3, -5, 0, 15):
+        sb.write(v, 6)
+    arr, _ = decode_flac_samples(mono8_stream(sb))
+    assert arr[:, 0].tolist() == [12, -20, 0, 60]
+
+    # fuzz-lite: documented classes only
     base = encode_flac_frames([s[:256]], 16000, blocksize=64)
     for _ in range(300):
         fz = bytearray(base)
