@@ -3865,8 +3865,10 @@ def q_audio_container_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "clip count (full-scale codes / |amp|>=1.0) — every value an "
     "exact double (float amplitudes are multiples of 2^-15), so the "
     "oracle re-derives each amplitude from the closed-form waveform "
-    "bit-identically in any order. ADPCM/float64/32-bit-int stay "
-    "honest NotImplementedErrors (24-bit decodes natively, pytest).",
+    "bit-identically in any order. 24-bit, IMA-ADPCM, G.711, float64 "
+    "and int32 decode natively (pytest; r13) and FLAC routes through "
+    "the same operator (r14, its own driver row flac_pcm_stats); "
+    "sub-32-bit float stays the honest NotImplementedError.",
 )
 def q_audio_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ais_data_pipeline_spark.operators.multimodal import (
