@@ -90,6 +90,13 @@ EXTENDED = [
     # rows make regressions visible in wall-clock too)
     "video_container_meta",
     "frame_sample_fanout",
+    # the r14 decode tier: the FLAC Rice-loop row (the one new Python
+    # bit-loop on the hot list — wall-clock regressions must be
+    # visible here, not just in the throughput probe) and the
+    # container-agnostic frame fan-out through its mixed MP4+AVI
+    # corpus with per-frame JPEG decode
+    "flac_pcm_stats",
+    "frame_pixel_stats",
 ]
 
 #: 1-min load average above which the bench artifact flags itself and
