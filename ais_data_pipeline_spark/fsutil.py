@@ -1,39 +1,14 @@
-"""Local-filesystem maintenance primitives for on-disk index tables.
+"""Filesystem maintenance primitives for on-disk index/table dirs.
 
-The index compactors (``streaming.incremental_dedup.compact_dedup_index``,
-``operators.similarity.compact_ivf_index``) rebuild a directory-backed
-table by staging the consolidated copy to a sibling path and swapping it
-into place. The swap itself is two ``os.rename`` calls — NOT atomic as a
-pair — so these helpers carry the recovery protocol that makes a crash
-at any point survivable:
-
-    stage  = <live>_compact...   (complete before any rename happens)
-    step 1 rename(live, <live>_old)
-    step 2 rename(stage, live)
-    step 3 rmtree(<live>_old)
-
-Crash windows and their recovery (``recover_staged_swap`` runs them at
-the NEXT maintenance entry):
-
-- before step 1: live intact; a stale stage dir may exist → drop it
-  (it is about to be rebuilt).
-- between 1 and 2: no live dir, but the COMPLETE stage and the old
-  copy both exist → finish the swap (rename stage→live), drop old.
-- between 2 and 3: live intact, ``_old`` leftover → drop ``_old``.
-
-Contract (single-writer, local FS): these renames are same-filesystem
-``os.rename`` — maintenance must run from ONE process at a time, on a
-path where rename is atomic (local disk; not S3/object stores, where
-compaction belongs to a table format's commit protocol instead). Probes
-racing a swap on a shared POSIX filesystem can observe a missing
-directory for the instant between the two renames.
-
-Round 14: the compactors no longer use the rename swap — they commit
-through the GENERATION-POINTER protocol below (hidden ``_gNNNNN``
-stage dirs + one atomic pointer write, zero renames of data
-directories), which runs on object stores through the same injectable
-IO seam as the listing census. ``staged_swap``/``recover_staged_swap``
-remain for local-FS callers that want the in-place layout.
+Since round 14 every directory-rewriting maintenance op (dedup/IVF
+index compaction; round 15: the ``upsert_parquet`` /
+``compact_parquet`` table sinks) commits through the
+GENERATION-POINTER protocol below — hidden ``_gNNNNN`` stage dirs
+plus one small pointer write, zero renames of data directories — so
+the same code path runs on local disk and object stores through the
+injectable IO seam. The pre-r14 rename-based staged swap survives
+only as ``_legacy_staged_swap`` (local-FS, nothing in the engine may
+call it; see its docstring).
 """
 
 from __future__ import annotations
@@ -136,6 +111,17 @@ def iter_files(root: str, lister: Lister | None = None) -> Iterator[tuple[str, i
 
 GEN_POINTER = "_current_gen"
 
+#: Marker file written INSIDE a stage directory as the LAST staging
+#: step, immediately before the pointer publish. Its presence means
+#: "this generation's file set is complete and ready to serve" — which
+#: is what lets a missing-or-corrupt pointer be RECOVERED instead of
+#: silently resolving to generation 0 (round-15 ADVICE fix: a crash
+#: mid-pointer-write on a truncate-then-write store left an empty /
+#: partial ``_current_gen`` that used to read as gen 0 — the flat
+#: layout GC'd after the first compaction — making the index appear
+#: empty; non-integer content raised an uncaught ValueError).
+STAGE_COMPLETE = "_STAGE_COMPLETE"
+
 
 @_dataclass
 class FsIO:
@@ -149,9 +135,19 @@ class FsIO:
     remove: Callable[[str], None]
 
 
+def _strip_file_uri(path: str) -> str:
+    """``file://`` URIs and bare paths are the same backend; every
+    ``_local_*`` helper strips the scheme the way ``local_lister``
+    does (round-15 ADVICE fix: an un-stripped ``file://`` index path
+    made ``current_generation`` silently read 0 and
+    ``publish_generation`` write into a literal ``./file:`` dir, so
+    compaction never took effect)."""
+    return path[len("file://") :] if path.startswith("file://") else path
+
+
 def _local_read_text(path: str) -> str | None:
     try:
-        with open(path) as f:
+        with open(_strip_file_uri(path)) as f:
             return f.read()
     except OSError:
         return None
@@ -162,6 +158,7 @@ def _local_write_text(path: str, content: str) -> None:
     (never a data directory)."""
     import tempfile
 
+    path = _strip_file_uri(path)
     d = os.path.dirname(path) or "."
     os.makedirs(d, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
@@ -171,6 +168,7 @@ def _local_write_text(path: str, content: str) -> None:
 
 
 def _local_remove(path: str) -> None:
+    path = _strip_file_uri(path)
     if os.path.isdir(path):
         shutil.rmtree(path, ignore_errors=True)
     elif os.path.exists(path):
@@ -241,12 +239,45 @@ def _join(root: str, *parts: str) -> str:
     return "/".join([root.rstrip("/"), *parts])
 
 
+def _max_complete_generation(index_path: str, io: FsIO) -> int:
+    """Highest ``_gNNNNN`` directory carrying a ``STAGE_COMPLETE``
+    marker, per the lister; 0 when none exist. Used only on the
+    pointer-recovery path: a marked stage is complete by construction
+    (the marker is the last staging write before publish), and
+    maintenance is single-writer, so adopting the max marked
+    generation after a crashed pointer write is equivalent to the
+    commit having landed."""
+    best = 0
+    for rel, _size in io.lister(index_path):
+        parts = rel.split("/")
+        head = parts[0]
+        if (
+            len(parts) == 2
+            and parts[1] == STAGE_COMPLETE
+            and head.startswith("_g")
+            and head[2:].isdigit()
+        ):
+            best = max(best, int(head[2:]))
+    return best
+
+
 def current_generation(index_path: str, io: FsIO | None = None) -> int:
-    """Committed generation of a pointer-managed index; 0 when no
-    pointer exists (the flat pre-generation layout, or a fresh index)."""
+    """Committed generation of a pointer-managed index; 0 when the
+    index has never been compacted (flat pre-generation layout, or a
+    fresh index). A pointer that exists but is EMPTY or non-integer —
+    the footprint of a crash mid-write on a truncate-then-write store
+    (HDFS/ABFS ``fs.create``) — is RECOVERED from the stage-complete
+    markers rather than silently read as 0: the max marked generation
+    was fully staged before its publish began, so serving it is the
+    commit the crashed write was making."""
     io = io or io_for(index_path)
     txt = io.read_text(_join(index_path, GEN_POINTER))
-    return int(txt.strip()) if txt else 0
+    if txt is None:
+        return 0
+    try:
+        return int(txt.strip())
+    except ValueError:
+        return _max_complete_generation(index_path, io)
 
 
 def generation_root(index_path: str, gen: int) -> str:
@@ -264,10 +295,18 @@ def current_root(index_path: str, io: FsIO | None = None) -> str:
 
 
 def publish_generation(index_path: str, gen: int, io: FsIO | None = None) -> None:
-    """Commit generation ``gen``: one atomic small-file write. The
-    stage under ``generation_root(index_path, gen)`` must be COMPLETE
-    before this call."""
+    """Commit generation ``gen``: stamp the stage with its
+    ``STAGE_COMPLETE`` marker (making it recoverable if the pointer
+    write itself crashes partway — see ``current_generation``), then
+    one small pointer write. The data under
+    ``generation_root(index_path, gen)`` must be COMPLETE before this
+    call. On S3 the pointer write is a single PUT (atomic); on
+    truncate-then-write stores a crash between truncate and content
+    leaves a corrupt pointer that resolves to this marked generation,
+    so the commit still lands."""
     io = io or io_for(index_path)
+    if gen > 0:
+        io.write_text(_join(generation_root(index_path, gen), STAGE_COMPLETE), str(gen))
     io.write_text(_join(index_path, GEN_POINTER), str(gen))
 
 
@@ -277,6 +316,7 @@ def gc_generations(
     legacy_names: Iterable[str] = (),
     io: FsIO | None = None,
     legacy_auto: bool = False,
+    keep_prev: bool = False,
 ) -> list[str]:
     """Remove every generation directory other than ``keep_gen``'s —
     failed stages (gen > keep) and superseded generations (gen < keep)
@@ -287,8 +327,21 @@ def gc_generations(
     gen-0 data lives directly at the root, e.g. the IVF
     ``list_id=*`` layout plus its root metadata files). Idempotent;
     run on every maintenance entry and after every publish. Returns
-    the removed paths."""
+    the removed paths.
+
+    ``keep_prev=True`` (the POST-PUBLISH call) additionally keeps
+    generation ``keep_gen - 1`` — including the flat gen-0 layout
+    when ``keep_gen == 1`` — so a probe that resolved the old
+    generation just before the pointer flip never has its files
+    deleted mid-scan; the superseded generation is collected at the
+    NEXT maintenance entry instead (round-15 ADVICE fix: same-call GC
+    narrowed the read-consistency guarantee to the window between
+    root resolution and publish)."""
     io = io or io_for(index_path)
+    keep = {keep_gen}
+    if keep_prev and keep_gen > 1:
+        keep.add(keep_gen - 1)
+    keep_flat_legacy = keep_prev and keep_gen == 1
     removed: list[str] = []
     gens: set[str] = set()
     legacy_heads: set[str] = set()
@@ -299,11 +352,11 @@ def gc_generations(
         elif head != GEN_POINTER:
             legacy_heads.add(head)
     for head in sorted(gens):
-        if int(head[2:]) != keep_gen:
+        if int(head[2:]) not in keep:
             p = _join(index_path, head)
             io.remove(p)
             removed.append(p)
-    if keep_gen > 0:
+    if keep_gen > 0 and not keep_flat_legacy:
         targets = set(legacy_names) | (legacy_heads if legacy_auto else set())
         for name in sorted(targets):
             p = _join(index_path, name)
@@ -323,10 +376,29 @@ def reset_generations(index_path: str, io: FsIO | None = None) -> None:
     io.remove(_join(index_path, GEN_POINTER))
 
 
-def recover_staged_swap(live: str, stage: str) -> None:
-    """Repair the aftermath of a crash during a prior staged swap of
-    ``stage`` into ``live`` (see module docstring for the windows).
-    Idempotent; call on entry to any maintenance op that will re-stage."""
+# -- Legacy rename-based swap (superseded by the generation pointer) --------
+#
+# Pre-round-14 protocol, kept ONLY so external local-FS tooling that
+# adopted it keeps a tested upgrade path. FORBIDDEN inside the engine:
+# every index/table maintenance op commits through publish_generation
+# (zero data-dir renames, object-store-safe). Do not add call sites —
+# os.rename does not exist on s3a://-class stores, and the two-rename
+# swap has a missing-directory instant the pointer protocol was built
+# to remove. A grep gate in tests/test_pipeline.py enforces zero
+# engine callers.
+
+
+def _legacy_recover_staged_swap(live: str, stage: str) -> None:
+    """Repair the aftermath of a crash during a prior ``_legacy_staged_swap``
+    of ``stage`` into ``live``. Crash windows:
+
+    - before step 1: live intact; a stale stage dir may exist → drop it.
+    - between the two renames: no live dir, but the COMPLETE stage and
+      the ``_old`` copy both exist → finish the swap, drop old.
+    - after step 2: live intact, ``_old`` leftover → drop ``_old``.
+
+    Idempotent. LEGACY — see the section comment; engine code must not
+    call this."""
     old = live + "_old"
     if not os.path.exists(live):
         if os.path.exists(stage):
@@ -343,12 +415,11 @@ def recover_staged_swap(live: str, stage: str) -> None:
         shutil.rmtree(stage, ignore_errors=True)
 
 
-def staged_swap(live: str, stage: str) -> None:
-    """Swap a COMPLETE ``stage`` directory into ``live``'s place.
-    A crash before the first rename leaves the live table intact; a
-    crash at any later point is repaired by ``recover_staged_swap`` on
-    the next maintenance entry. Single-writer, local-FS only (module
-    docstring)."""
+def _legacy_staged_swap(live: str, stage: str) -> None:
+    """Swap a COMPLETE ``stage`` directory into ``live``'s place via
+    two ``os.rename`` calls. Single-writer, LOCAL FS ONLY, and LEGACY —
+    see the section comment; engine code must commit through
+    ``publish_generation`` instead."""
     old = live + "_old"
     os.rename(live, old)
     os.rename(stage, live)

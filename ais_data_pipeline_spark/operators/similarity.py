@@ -599,7 +599,9 @@ def compact_ivf_index(spark, path: str, io=None) -> int:
     if new_wm is not None:
         io.write_text(fsutil._join(stage, "_ais_compacted_watermark"), str(new_wm))
     fsutil.publish_generation(base, cur + 1, io)
-    fsutil.gc_generations(base, cur + 1, io=io, legacy_auto=True)
+    # keep_prev: the superseded generation survives until the NEXT
+    # maintenance entry so racing probes finish their scan (r15 ADVICE)
+    fsutil.gc_generations(base, cur + 1, io=io, legacy_auto=True, keep_prev=True)
     return n
 
 

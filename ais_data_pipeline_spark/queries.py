@@ -2156,7 +2156,10 @@ def q_streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     drain_pass()  # bootstrap from inserts
     upd.unionByName(dels).write.mode("append").parquet(landing)
     drain_pass()  # incremental merge of updates + tombstones
-    final = spark.read.parquet(table)
+    # r15: the merge commits via the generation pointer — resolve it
+    from ais_data_pipeline_spark.sinks.parquet import read_parquet_table
+
+    final = read_parquet_table(spark, table)
     return final.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count(F.when(k % 10 == 0, 1)).alias("n_updated"),

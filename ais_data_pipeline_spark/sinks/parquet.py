@@ -21,6 +21,41 @@ import time
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ais_data_pipeline_spark import fsutil
+
+
+def table_root(path: str, io: "fsutil.FsIO | None" = None) -> str:
+    """Live data root of a maintenance-managed parquet table: the path
+    itself until the first ``upsert_parquet``/``compact_parquet``
+    rewrite, a hidden ``_gNNNNN`` generation child after (the same
+    pointer protocol the dedup/IVF indexes commit through —
+    ``fsutil.current_root``). Every reader of a table that maintenance
+    may rewrite resolves through this."""
+    return fsutil.current_root(path, io)
+
+
+def read_parquet_table(spark, path: str, io: "fsutil.FsIO | None" = None) -> DataFrame:
+    """``spark.read.parquet`` through the generation pointer."""
+    return spark.read.parquet(table_root(path, io))
+
+
+def table_has_data(path: str, io: "fsutil.FsIO | None" = None) -> bool:
+    """True when the LIVE generation of ``path`` holds at least one
+    parquet file. Unlike a bare existence check this ignores failed
+    stage dirs (a crashed rewrite's ``_gNNNNN`` leftovers must not
+    make a never-bootstrapped table look initialized) and runs through
+    the IO seam, so it works on object stores."""
+    io = io or fsutil.io_for(path)
+    gen = fsutil.current_generation(path, io)
+    root = fsutil.generation_root(path, gen)
+    for rel, _size in io.lister(root):
+        head = rel.split("/", 1)[0]
+        if gen == 0 and head.startswith("_g") and head[2:].isdigit():
+            continue  # stage dirs are not generation-0 data
+        if rel.endswith(".parquet"):
+            return True
+    return False
+
 
 def write_parquet(
     df: DataFrame,
@@ -105,34 +140,51 @@ def compact_parquet(
     path: str,
     target_file_mb: int = 128,
     compression: str = "zstd",
+    io: "fsutil.FsIO | None" = None,
 ) -> dict:
     """Small-file compaction: rewrite a parquet directory into files of
     ~target size. Millions of KB-sized files are the classic slow death
     of a 100 TB lake (open/seek cost dominates, driver planning chokes
     on the file listing); periodic compaction keeps scans sequential.
 
-    Uses the on-disk byte size to pick the output file count, rewrites
-    to a temp dir, then swaps atomically-enough for a maintenance job.
+    Commit protocol (round 15 — object-store-safe, zero renames of
+    data directories, the same generation pointer the dedup/IVF
+    indexes adopted in r14): the rewrite stages under the NEXT hidden
+    ``_gNNNNN`` child, the commit point is one small
+    ``fsutil.publish_generation`` write, failed stages are collected
+    on entry and the superseded generation one maintenance cycle
+    later (``keep_prev`` — a reader that resolved the old root just
+    before the flip keeps its files to end-of-scan). Readers resolve
+    the live root via ``table_root``/``read_parquet_table``.
+    Single-writer maintenance, as for the indexes.
     """
-    import glob as _glob
-    import shutil
-
-    files = _glob.glob(os.path.join(path, "*.parquet"))
-    total_bytes = sum(os.path.getsize(f) for f in files)
+    io = io or fsutil.io_for(path)
+    cur = fsutil.current_generation(path, io)
+    # entry GC: failed stages from a crashed rewrite; the generation
+    # (or flat legacy data) superseded by the PREVIOUS rewrite
+    fsutil.gc_generations(path, cur, legacy_auto=True, io=io)
+    src = fsutil.generation_root(path, cur)
+    files = [
+        (rel, size)
+        for rel, size in io.lister(src)
+        if rel.endswith(".parquet")
+        and not (cur == 0 and rel.split("/", 1)[0].startswith("_g"))
+    ]
+    total_bytes = sum(size for _rel, size in files)
     n_out = max(1, round(total_bytes / (target_file_mb * 2**20)))
     if len(files) <= n_out:
         return {"files_in": len(files), "files_out": len(files), "skipped": True}
 
-    tmp = path.rstrip("/") + "__compacting"
+    dst = fsutil.generation_root(path, cur + 1)
     (
-        spark.read.parquet(path)
+        spark.read.parquet(src)
         .repartition(n_out)
         .write.mode("overwrite")
         .option("compression", compression)
-        .parquet(tmp)
+        .parquet(dst)
     )
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    fsutil.publish_generation(path, cur + 1, io)
+    fsutil.gc_generations(path, cur + 1, legacy_auto=True, io=io, keep_prev=True)
     return {"files_in": len(files), "files_out": n_out, "skipped": False}
 
 
@@ -144,11 +196,14 @@ def upsert_parquet(
     compression: str = "zstd",
     order_col: str | None = None,
     delete_col: str | None = None,
+    io: "fsutil.FsIO | None" = None,
 ) -> dict:
     """MERGE-style upsert for plain parquet (no table format): rows in
     ``updates`` replace existing rows with the same key; new keys
     append. Implemented as existing LEFT ANTI updates-keys + union,
-    rewritten via a backup-swap.
+    committed through the generation pointer (round 15; see
+    ``compact_parquet`` — zero data-directory renames, object-store
+    safe, superseded generation GC'd one maintenance cycle later).
 
     Semantics:
     - ``updates`` is deduplicated on ``key_cols`` first (latest-wins by
@@ -163,16 +218,16 @@ def upsert_parquet(
     - Rows whose key columns contain NULL are never *replaced* (SQL
       join semantics: NULL keys match nothing); an update row with a
       NULL key simply appends. Model missing keys explicitly upstream.
-    - Swap order is rename-old-to-backup → rename-new-into-place →
-      delete backup, so no window exists where the table directory is
-      missing with no recovery copy.
+    - The merged table stages under the next hidden ``_gNNNNN`` child
+      and commits via one ``fsutil.publish_generation`` write — a
+      crash anywhere leaves either the old or the new generation
+      fully live, and a reader never observes a missing or partial
+      table. Read back through ``read_parquet_table``/``table_root``.
 
     This is the compacting-rewrite fallback where Delta/Iceberg aren't
     available; at scale, partition the table and restrict the rewrite
     to touched partitions (pass the partition predicate into the read).
     """
-    import shutil
-
     from pyspark.sql import Observation, Window
 
     if order_col is not None:
@@ -196,7 +251,12 @@ def upsert_parquet(
     else:
         updates = updates.dropDuplicates(key_cols)
 
-    existing = spark.read.parquet(path)
+    io = io or fsutil.io_for(path)
+    cur = fsutil.current_generation(path, io)
+    # entry GC: a stage a crashed upsert left behind, plus the
+    # generation the PREVIOUS upsert superseded (kept one cycle)
+    fsutil.gc_generations(path, cur, legacy_auto=True, io=io)
+    existing = spark.read.parquet(fsutil.generation_root(path, cur))
     # anti-join on ALL touched keys (inserts, updates, AND deletes):
     # a deleted key drops out of `keep` and nothing re-inserts it
     keep = existing.join(updates.select(*key_cols), key_cols, "left_anti")
@@ -208,13 +268,9 @@ def upsert_parquet(
     # count during the write (observe) — no post-write re-scan
     obs = Observation("upsert_rows")
     merged = merged.observe(obs, F.count(F.lit(1)).alias("n"))
-    tmp = path.rstrip("/") + "__upserting"
-    merged.write.mode("overwrite").option("compression", compression).parquet(tmp)
+    dst = fsutil.generation_root(path, cur + 1)
+    merged.write.mode("overwrite").option("compression", compression).parquet(dst)
     n = obs.get["n"]
-    backup = path.rstrip("/") + "__upsert_backup"
-    if os.path.exists(backup):
-        shutil.rmtree(backup)
-    os.rename(path, backup)
-    os.rename(tmp, path)
-    shutil.rmtree(backup)
+    fsutil.publish_generation(path, cur + 1, io)
+    fsutil.gc_generations(path, cur + 1, legacy_auto=True, io=io, keep_prev=True)
     return {"rows_after": n}

@@ -753,7 +753,10 @@ def compact_dedup_index(
             approx_rows=counts[name],
         )
     fsutil.publish_generation(index_path, cur + 1, io)
-    fsutil.gc_generations(index_path, cur + 1, legacy_names=names, io=io)
+    # keep_prev: the generation just superseded stays live until the
+    # NEXT maintenance entry, so a probe that resolved it right before
+    # the pointer flip is never un-filed mid-scan (r15 ADVICE fix)
+    fsutil.gc_generations(index_path, cur + 1, legacy_names=names, io=io, keep_prev=True)
     return counts
 
 

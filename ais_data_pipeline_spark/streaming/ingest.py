@@ -141,14 +141,20 @@ def run_upsert_sink(
     ``delete_col`` names a boolean tombstone column for full CDC
     I/U/D streams: a key whose latest version in the batch is a
     tombstone is removed (or, in the bootstrap batch, never lands);
-    the column itself never reaches the table."""
-    import os as _os
+    the column itself never reaches the table.
 
-    from ais_data_pipeline_spark.sinks.parquet import upsert_parquet
+    The table commits through the generation pointer (round 15):
+    merges stage under hidden ``_gNNNNN`` dirs and flip one pointer
+    write, so maintenance runs unchanged on s3a://-class stores; read
+    the table back through ``sinks.parquet.read_parquet_table``. The
+    bootstrap test is ``table_has_data`` — live-generation parquet
+    presence through the IO seam, so a crashed merge's leftover stage
+    can't masquerade as an initialized table."""
+    from ais_data_pipeline_spark.sinks.parquet import table_has_data, upsert_parquet
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        if not _os.path.exists(_os.path.join(table_path, "_SUCCESS")):
+        if not table_has_data(table_path):
             # Bootstrap write must use the SAME latest-wins-by-order_col
             # semantics as every later merge: if the first micro-batch
             # carries multiple versions of a key, an arbitrary
@@ -171,6 +177,13 @@ def run_upsert_sink(
                 first = first.filter(
                     ~F.coalesce(F.col(delete_col), F.lit(False))
                 ).drop(delete_col)
+            # a rebuild writes the FLAT (generation-0) layout, so any
+            # stale pointer / stage leftovers from a previous life of
+            # this path must go first — else the still-published
+            # pointer would never resolve to the bootstrap data
+            from ais_data_pipeline_spark import fsutil
+
+            fsutil.reset_generations(table_path)
             first.write.mode("overwrite").parquet(table_path)
             return
         upsert_parquet(

@@ -1627,7 +1627,10 @@ def test_watermark_drops_late_data(spark, tmp_path):
 def test_upsert_parquet(spark, tmp_path):
     """MERGE-style upsert: same-key rows replaced, new keys appended,
     untouched rows preserved."""
-    from ais_data_pipeline_spark.sinks.parquet import upsert_parquet
+    from ais_data_pipeline_spark.sinks.parquet import (
+        read_parquet_table,
+        upsert_parquet,
+    )
 
     p = str(tmp_path / "snap")
     spark.createDataFrame(
@@ -1638,7 +1641,7 @@ def test_upsert_parquet(spark, tmp_path):
     )
     stats = upsert_parquet(spark, p, updates, ["id"])
     assert stats["rows_after"] == 4
-    rows = {r["id"]: (r["name"], r["v"]) for r in spark.read.parquet(p).collect()}
+    rows = {r["id"]: (r["name"], r["v"]) for r in read_parquet_table(spark, p).collect()}
     assert rows == {1: ("a", 10), 2: ("b2", 21), 3: ("c", 30), 4: ("d", 40)}
 
     # duplicate keys inside one update batch: latest-wins by order_col,
@@ -1649,7 +1652,7 @@ def test_upsert_parquet(spark, tmp_path):
     )
     stats = upsert_parquet(spark, p, dup_updates, ["id"], order_col="v")
     assert stats["rows_after"] == 5
-    rows = {r["id"]: r["name"] for r in spark.read.parquet(p).collect()}
+    rows = {r["id"]: r["name"] for r in read_parquet_table(spark, p).collect()}
     assert rows[2] == "b_new" and rows[5] == "e"
 
     # round-12 hardening: an EXACT order_col tie must survive the SAME
@@ -1670,7 +1673,7 @@ def test_upsert_parquet(spark, tmp_path):
             "id long, name string, v long",
         ).repartition(1 if layout == 0 else 8)
         upsert_parquet(spark, p2, batch, ["id"], order_col="v")
-        (w,) = [r["name"] for r in spark.read.parquet(p2).collect()]
+        (w,) = [r["name"] for r in read_parquet_table(spark, p2).collect()]
         winners.add(w)
     assert len(winners) == 1, winners  # deterministic across layouts
 
@@ -1788,7 +1791,10 @@ def test_incremental_rollup_maintenance_loop(spark, sf_dir, tmp_path):
         merge_rollups,
         rollup_partials,
     )
-    from ais_data_pipeline_spark.sinks.parquet import upsert_parquet
+    from ais_data_pipeline_spark.sinks.parquet import (
+        read_parquet_table,
+        upsert_parquet,
+    )
     from ais_data_pipeline_spark.sources.parquet import read_table
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -1815,7 +1821,7 @@ def test_incremental_rollup_maintenance_loop(spark, sf_dir, tmp_path):
 
     got = {
         tuple(r)
-        for r in finalize_rollup(spark.read.parquet(store)).collect()
+        for r in finalize_rollup(read_parquet_table(spark, store)).collect()
     }
     want = {tuple(r) for r in finalize_rollup(rollup_partials(e)).collect()}
     assert got == want
@@ -2199,6 +2205,7 @@ def test_streaming_upsert_sink_latest_state(spark, tmp_path):
     """foreachBatch MERGE sink: across incremental runs the table holds
     exactly the LATEST state per key (no duplicate keys, updates win),
     and replaying a batch cannot duplicate rows (idempotent merge)."""
+    from ais_data_pipeline_spark.sinks.parquet import read_parquet_table
     from ais_data_pipeline_spark.streaming.ingest import run_upsert_sink
 
     src = tmp_path / "cdc_src"
@@ -2218,11 +2225,11 @@ def test_streaming_upsert_sink_latest_state(spark, tmp_path):
     run()
     write([(2, "b2", 2), (3, "c", 2)], "b2")  # update k=2, insert k=3
     run()
-    rows = {r["k"]: r["v"] for r in spark.read.parquet(table).collect()}
+    rows = {r["k"]: r["v"] for r in read_parquet_table(spark, table).collect()}
     assert rows == {1: "a", 2: "b2", 3: "c"}
-    assert spark.read.parquet(table).count() == 3  # no duplicate keys
+    assert read_parquet_table(spark, table).count() == 3  # no duplicate keys
     run()  # no new files: replay-safe no-op
-    assert {r["k"]: r["v"] for r in spark.read.parquet(table).collect()} == rows
+    assert {r["k"]: r["v"] for r in read_parquet_table(spark, table).collect()} == rows
 
 
 def test_streaming_upsert_sink_bootstrap_latest_wins(spark, tmp_path):
@@ -2245,7 +2252,9 @@ def test_streaming_upsert_sink_bootstrap_latest_wins(spark, tmp_path):
     table, ckpt = str(tmp_path / "boot_table"), str(tmp_path / "boot_ckpt")
     stream = spark.readStream.schema(schema).parquet(str(src / "*"))
     run_upsert_sink(stream, table, ["k"], ckpt, order_col="seq")
-    rows = {r["k"]: r["v"] for r in spark.read.parquet(table).collect()}
+    from ais_data_pipeline_spark.sinks.parquet import read_parquet_table
+
+    rows = {r["k"]: r["v"] for r in read_parquet_table(spark, table).collect()}
     assert rows == {1: "latest", 2: "b"}
 
 
@@ -2844,6 +2853,7 @@ def test_streaming_upsert_sink_cdc_deletes(spark, tmp_path):
     """Full CDC I/U/D apply: a tombstone removes its key, an
     insert+tombstone whose LATEST version is the tombstone never
     lands, and replaying the batch is idempotent."""
+    from ais_data_pipeline_spark.sinks.parquet import read_parquet_table
     from ais_data_pipeline_spark.streaming.ingest import run_upsert_sink
 
     src = tmp_path / "cdc_src"
@@ -2864,17 +2874,17 @@ def test_streaming_upsert_sink_cdc_deletes(spark, tmp_path):
     # bootstrap: k=3 inserted then tombstoned IN the same batch
     write([(1, "a", 1, False), (2, "b", 1, False), (3, "c", 1, False), (3, "c", 2, True)], "b1")
     run()
-    state = {r["k"]: r["v"] for r in spark.read.parquet(table).collect()}
+    state = {r["k"]: r["v"] for r in read_parquet_table(spark, table).collect()}
     assert state == {1: "a", 2: "b"}
-    assert "deleted" not in spark.read.parquet(table).columns
+    assert "deleted" not in read_parquet_table(spark, table).columns
 
     # merge: delete k=1, update k=2, delete absent k=9 (no-op)
     write([(1, "a", 3, True), (2, "b2", 3, False), (9, "x", 3, True)], "b2")
     run()
-    state = {r["k"]: r["v"] for r in spark.read.parquet(table).collect()}
+    state = {r["k"]: r["v"] for r in read_parquet_table(spark, table).collect()}
     assert state == {2: "b2"}
     run()  # replay-safe no-op
-    assert {r["k"]: r["v"] for r in spark.read.parquet(table).collect()} == state
+    assert {r["k"]: r["v"] for r in read_parquet_table(spark, table).collect()} == state
 
 
 @pytest.mark.parametrize("m,k,iters", [(4, 4, 1), (2, 3, 2)])

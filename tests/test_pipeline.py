@@ -1143,13 +1143,17 @@ def test_reliable_checkpoint_switch(spark, sf_dir, tmp_path):
 
 
 def test_staged_swap_crash_recovery(tmp_path):
-    """fsutil.recover_staged_swap must repair every crash window of the
-    compactors' two-rename swap: stale stage (pre-swap crash), missing
+    """The LEGACY rename swap (kept for external local-FS tooling; the
+    engine commits via the generation pointer since r14) must still
+    repair every crash window: stale stage (pre-swap crash), missing
     live with complete stage (mid-swap crash), and leftover _old
     (post-swap crash)."""
     import os
 
-    from ais_data_pipeline_spark.fsutil import recover_staged_swap, staged_swap
+    from ais_data_pipeline_spark.fsutil import (
+        _legacy_recover_staged_swap as recover_staged_swap,
+        _legacy_staged_swap as staged_swap,
+    )
 
     def mk(path, marker):
         os.makedirs(path, exist_ok=True)
@@ -1341,3 +1345,159 @@ def test_accretion_listing_through_fs_adapter(spark, sf_dir, tmp_path):
         "s3a://bucket/ivf", slice_ratio=0.30, lister=fake_ivf_lister
     )
     assert d["compact"] is False
+
+
+def test_upsert_generation_crash_replay(spark, tmp_path):
+    """r15 brief item 1: the table sinks commit via the generation
+    pointer. Crash the upsert at every publish sub-step (marker write,
+    pointer write) via an injected FsIO — the reader must keep seeing
+    the OLD table, and replaying the same batch must converge to the
+    merged state with no duplicate rows. Also: a pointer corrupted
+    mid-write (truncate-then-write store) must recover to the marked
+    generation, not silently resolve to generation 0."""
+    import os
+
+    import pytest as _pytest
+
+    from ais_data_pipeline_spark import fsutil
+    from ais_data_pipeline_spark.sinks.parquet import (
+        read_parquet_table,
+        upsert_parquet,
+    )
+
+    p = str(tmp_path / "table")
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "id long, name string, v long"
+    ).write.parquet(p)
+    updates = spark.createDataFrame([(2, "b2", 21), (3, "c", 30)], "id long, name string, v long")
+
+    class CrashingIO(fsutil.FsIO):
+        """Raise on the Nth write_text call (1 = stage marker,
+        2 = pointer) — the two windows inside publish_generation."""
+
+        def __init__(self, crash_at: int):
+            self.calls = 0
+            self.crash_at = crash_at
+            base = fsutil.LOCAL_IO
+
+            def write_text(path, content):
+                self.calls += 1
+                if self.calls == self.crash_at:
+                    raise OSError("injected crash")
+                base.write_text(path, content)
+
+            super().__init__(base.lister, base.read_text, write_text, base.remove)
+
+    for crash_at in (1, 2):
+        with _pytest.raises(OSError, match="injected crash"):
+            upsert_parquet(spark, p, updates, ["id"], io=CrashingIO(crash_at))
+        # the crashed commit is invisible: old table fully live
+        assert fsutil.current_generation(p) == 0
+        rows = {r["id"]: r["name"] for r in read_parquet_table(spark, p).collect()}
+        assert rows == {1: "a", 2: "b"}
+
+    # crash window 3: pointer file corrupted mid-write (empty /
+    # non-integer content, the HDFS/ABFS truncate-then-write
+    # footprint). The stage marker landed first, so resolution must
+    # recover the staged generation instead of reading 0.
+    stats = upsert_parquet(spark, p, updates, ["id"])  # clean replay
+    assert stats["rows_after"] == 3 and fsutil.current_generation(p) == 1
+    for garbage in ("", "garb\x00age"):
+        with open(os.path.join(p, fsutil.GEN_POINTER), "w") as f:
+            f.write(garbage)
+        assert fsutil.current_generation(p) == 1
+        rows = {r["id"]: r["name"] for r in read_parquet_table(spark, p).collect()}
+        assert rows == {1: "a", 2: "b2", 3: "c"}
+    # an ABSENT pointer with no marked generations is still a fresh /
+    # flat table (gen 0), not a recovery case
+    assert fsutil.current_generation(str(tmp_path / "nonexistent")) == 0
+
+    # replay AGAIN on the recovered table: idempotent, gen bumps, one
+    # generation kept back for racing readers, older ones collected
+    upsert_parquet(spark, p, updates, ["id"])
+    assert fsutil.current_generation(p) == 2
+    rows = {r["id"]: r["name"] for r in read_parquet_table(spark, p).collect()}
+    assert rows == {1: "a", 2: "b2", 3: "c"}
+    live_gens = {d for d in os.listdir(p) if d.startswith("_g") and d[2:].isdigit()}
+    assert live_gens == {"_g00001", "_g00002"}  # keep_prev: N-1 survives one cycle
+    upsert_parquet(spark, p, updates.limit(0), ["id"])  # next maintenance entry
+    live_gens = {d for d in os.listdir(p) if d.startswith("_g") and d[2:].isdigit()}
+    assert live_gens == {"_g00002", "_g00003"}  # _g00001 collected on entry
+
+
+def test_fsutil_file_uri_and_deferred_gc(tmp_path):
+    """r15 ADVICE fixes pinned: (1) file:// URIs route to LOCAL_IO and
+    the _local_* helpers strip the scheme — pointer publish/read/GC
+    must behave identically to the bare path (previously the pointer
+    silently read 0 and wrote into a literal ./file: dir); (2) the
+    POST-PUBLISH GC keeps the superseded generation one maintenance
+    cycle (keep_prev), including the flat gen-0 layout at the 0->1
+    migration."""
+    import os
+
+    from ais_data_pipeline_spark import fsutil
+
+    idx = str(tmp_path / "idx")
+    os.makedirs(idx + "/table")
+    open(idx + "/table/part-0.parquet", "w").write("x")
+    uri = "file://" + idx
+    io = fsutil.io_for(uri)
+    assert io is fsutil.LOCAL_IO
+    assert fsutil.current_generation(uri) == 0
+
+    os.makedirs(idx + "/_g00001/table")
+    open(idx + "/_g00001/table/part-0.parquet", "w").write("y")
+    fsutil.publish_generation(uri, 1)
+    # pointer landed INSIDE the index dir (not a literal ./file: path)
+    assert os.path.exists(os.path.join(idx, fsutil.GEN_POINTER))
+    assert not os.path.exists("file:")
+    assert fsutil.current_generation(uri) == 1
+    assert fsutil.current_root(uri).endswith("/_g00001")
+
+    # post-publish GC with keep_prev: flat gen-0 data SURVIVES
+    removed = fsutil.gc_generations(uri, 1, legacy_auto=True, keep_prev=True)
+    assert removed == []
+    assert os.path.exists(idx + "/table/part-0.parquet")
+    # next maintenance entry (no keep_prev): the flat legacy goes
+    fsutil.gc_generations(uri, 1, legacy_auto=True)
+    assert not os.path.exists(idx + "/table")
+    assert os.path.exists(idx + "/_g00001/table/part-0.parquet")
+
+    # generation 1 -> 2: keep_prev retains _g00001 until next entry
+    os.makedirs(idx + "/_g00002/table")
+    open(idx + "/_g00002/table/part-0.parquet", "w").write("z")
+    fsutil.publish_generation(uri, 2)
+    fsutil.gc_generations(uri, 2, legacy_auto=True, keep_prev=True)
+    assert os.path.exists(idx + "/_g00001/table/part-0.parquet")
+    fsutil.gc_generations(uri, 2, legacy_auto=True)
+    assert not os.path.exists(idx + "/_g00001")
+    # file://-routed remove works (was a silent no-op before the fix)
+    fsutil.LOCAL_IO.remove("file://" + idx + "/_g00002/table/part-0.parquet")
+    assert not os.path.exists(idx + "/_g00002/table/part-0.parquet")
+
+
+def test_no_rename_swap_callers_in_engine():
+    """Grep gate (r15 brief item 5): the rename-based swap is legacy —
+    nothing in the engine may call it, and the maintenance modules
+    that commit via the generation pointer must stay free of
+    os.rename / rmtree on data directories (renames don't exist on
+    s3a://-class stores)."""
+    import glob as _glob
+    import os
+
+    pkg = os.path.join(os.path.dirname(__file__), "..", "ais_data_pipeline_spark")
+    offenders = []
+    for path in _glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
+        src = open(path).read()
+        name = os.path.relpath(path, pkg)
+        if name != "fsutil.py" and "staged_swap" in src:
+            offenders.append((name, "staged_swap"))
+        if name in (
+            os.path.join("sinks", "parquet.py"),
+            os.path.join("streaming", "incremental_dedup.py"),
+            os.path.join("operators", "similarity.py"),
+        ):
+            for needle in ("os.rename", "rmtree"):
+                if needle in src:
+                    offenders.append((name, needle))
+    assert offenders == [], offenders

@@ -196,7 +196,10 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
 
 
 def test_compaction_reduces_files(spark, sf_dir, tmp_path):
-    from ais_data_pipeline_spark.sinks.parquet import compact_parquet
+    from ais_data_pipeline_spark.sinks.parquet import (
+        compact_parquet,
+        read_parquet_table,
+    )
     from ais_data_pipeline_spark.sources.parquet import read_table
 
     out = str(tmp_path / "fragmented")
@@ -207,7 +210,19 @@ def test_compaction_reduces_files(spark, sf_dir, tmp_path):
     stats = compact_parquet(spark, out, target_file_mb=128)
     assert not stats["skipped"]
     assert stats["files_out"] < stats["files_in"]
-    assert spark.read.parquet(out).count() == before
+    assert read_parquet_table(spark, out).count() == before
+    # r15: the rewrite committed via the generation pointer — no
+    # rename ever touched the data dir, and the published generation
+    # holds exactly files_out parquet files
+    import glob as _glob
+    import os as _os
+
+    from ais_data_pipeline_spark import fsutil
+
+    assert fsutil.current_generation(out) == 1
+    live = fsutil.current_root(out)
+    assert _os.path.basename(live) == "_g00001"
+    assert len(_glob.glob(live + "/*.parquet")) == stats["files_out"]
 
 
 def test_nation_pair_volume_broadcasts_dims(spark, sf_dir):
