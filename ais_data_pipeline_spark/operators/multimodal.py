@@ -1341,7 +1341,10 @@ def make_flac_audio_fixture(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def decode_audio_pcm(
-    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    lossy_decoder=None,
 ) -> DataFrame:
     """REAL per-sample audio decode via mapInPandas (Arrow-batched):
     parse the RIFF/WAVE container, decode the 8/16/24-bit integer or
@@ -1354,7 +1357,22 @@ def decode_audio_pcm(
     from the closed-form waveform in any accumulation order. At 100 TB
     each task holds one Arrow batch of blobs; the decode is per-row
     numpy with no state — swap ``parse_wav`` for a codec library and
-    nothing in the plan changes."""
+    nothing in the plan changes.
+
+    ``lossy_decoder`` (round 15) is the audio tier's analogue of the
+    image tier's PIL hook: an optional callable
+    ``bytes -> (frames ndarray [n_samples, n_channels], sample_rate,
+    bits_per_sample)`` taken for every payload the native path does
+    not decode (MP3 / Ogg Vorbis / Opus frames — lossy codecs whose
+    sample output is decoder-implementation-dependent, so a
+    hand-built decode could never be oracle-checked the way the
+    lossless WAV/FLAC paths are; see SCALING.md's decode-tier
+    pricing). Slot libmad/libvorbis/ffmpeg here without touching the
+    operator contract — the callable is serialized into the Arrow
+    worker closure, stats flow through the identical numpy path.
+    Without it, a lossy payload raises the honest
+    ``NotImplementedError`` (metadata + exact duration stay available
+    via ``decode_audio_meta``)."""
     import numpy as np
 
     from ais_data_pipeline_spark.operators.wav import clip_bounds, parse_wav
@@ -1378,8 +1396,21 @@ def decode_audio_pcm(
 
                     frames, info = decode_flac_samples(blob)
                     rate, bits = info["sample_rate"], info["bits_per_sample"]
-                else:
+                elif blob[:4] == b"RIFF":
                     frames, rate, bits = parse_wav(blob)
+                elif lossy_decoder is not None:
+                    frames, rate, bits = lossy_decoder(blob)
+                    frames = np.asarray(frames)
+                    if frames.ndim == 1:
+                        frames = frames[:, None]
+                else:
+                    raise NotImplementedError(
+                        "sample decode beyond native WAV-family/FLAC "
+                        "(MP3, Ogg Vorbis, Opus, ...) requires an audio "
+                        "codec library — pass lossy_decoder= (the audio "
+                        "tier's PIL-hook analogue), or use "
+                        "decode_audio_meta for exact duration/metadata"
+                    )
                 is_float = frames.dtype.kind == "f"
                 if is_float:
                     a = frames.astype(np.float64)  # f32 -> f64 is exact

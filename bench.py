@@ -340,26 +340,46 @@ def main() -> None:
     # `queries` carries the best; `queries_first_run` the first run.
     # The pipeline leg stays single-shot: it writes real files.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", 2))
+    # Sub-second-leg variance guard (round-15; r14 verdict "what's
+    # wrong" #1): three unchanged sub-second legs roughly DOUBLED on an
+    # UNFLAGGED r14 record — scheduler noise dominates legs this short,
+    # and best-of-2 gives one noisy rep a 50% shot at capping the best.
+    # Legs whose best is still under SUBSEC_THRESHOLD after the
+    # standard reps keep repeating (cheap — they're sub-2s by
+    # definition) up to SUBSEC_REPS total, and EVERY rep's wall-clock
+    # is recorded per leg (`queries_rep_times`), so a +16% headline
+    # can be attributed mechanically: a tight rep spread = a real
+    # change, a wild spread = the box.
+    subsec_reps = int(os.environ.get("SPARK_GRAFT_BENCH_SUBSEC_REPS", 5))
+    subsec_threshold = float(os.environ.get("SPARK_GRAFT_BENCH_SUBSEC_SEC", 2.0))
     timings: dict[str, float] = {}
     first_runs: dict[str, float] = {}
     # 1-min load at the moment each leg's BEST rep started (round-12
     # verdict item 7): lets a ratio reader mechanically discard a
     # contaminated best instead of consulting SCALING.md prose.
     headline_load: dict[str, float] = {}
+    headline_rep_times: dict[str, list[float]] = {}
     for name in HEADLINE:
         q = by_name[name]
         best = None
-        for i in range(max(reps, 1)):
+        rep_times: list[float] = []
+        i = 0
+        while True:
             rep_load = round(os.getloadavg()[0], 2)
             t0 = time.perf_counter()
             rows = q.fn(spark, sf_dir).collect()
             dt = time.perf_counter() - t0
             assert rows is not None
+            rep_times.append(round(dt, 3))
             if i == 0:
                 first_runs[name] = round(dt, 3)
             if best is None or dt < best:
                 best, headline_load[name] = dt, rep_load
+            i += 1
+            if i >= max(reps, 1) and (best >= subsec_threshold or i >= subsec_reps):
+                break
         timings[name] = round(best, 3)
+        headline_rep_times[name] = rep_times
 
     # The heavy tier gets the SAME honesty treatment as the headline
     # suite (round-5 verdict ask): best-of-N + recorded first run +
@@ -542,6 +562,10 @@ def main() -> None:
         "first_run_total": total_first,
         # 1-min load at each leg's best rep (round-12 verdict item 7)
         "queries_load": headline_load,
+        # every rep's wall-clock per headline leg (round-15: sub-2s
+        # legs run up to SUBSEC_REPS reps; the spread attributes a
+        # swing to box noise vs a real plan change mechanically)
+        "queries_rep_times": headline_rep_times,
         "extended": extended,
         "extended_first_run": extended_first,
         "extended_load": extended_load,
@@ -609,6 +633,19 @@ def compact_summary(detail: dict) -> dict:
         "value": detail["value"],
         "unit": detail["unit"],
         "queries": detail["queries"],
+        # per-leg load at each best rep + the worst rep-spread ratio
+        # (r15: the driver keeps only this compact tail, so the
+        # variance evidence must survive here, not just in
+        # bench_detail.json)
+        "queries_load": detail.get("queries_load", {}),
+        "max_rep_spread": max(
+            (
+                round(max(ts) / max(min(ts), 1e-9), 2)
+                for ts in detail.get("queries_rep_times", {}).values()
+                if ts
+            ),
+            default=None,
+        ),
         "first_run_total": detail["first_run_total"],
         "extended_total": detail["extended_total"],
         "sf": detail["sf"],
@@ -630,6 +667,7 @@ def compact_summary(detail: dict) -> dict:
     # headline count is fixed (18 names, ~1.1 KiB encoded) so this
     # never trips today; the guard makes the budget structural
     droppable = [
+        "queries_load",
         "load_avg_end",
         "load_avg_start",
         "curation_at_scale",

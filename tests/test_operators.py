@@ -7033,3 +7033,64 @@ def test_jpeg_corrupt_header_guards_r13():
     _struct.pack_into(">H", b, i + 2, 2)
     with _pytest.raises(ValueError, match="short DRI"):
         parse_jpeg(bytes(b))
+
+
+def test_audio_lossy_decoder_hook(spark):
+    """r15 brief item 4: the lossy-audio decoder hook. A payload the
+    native WAV/FLAC path can't decode routes through the injected
+    ``lossy_decoder`` callable (the audio tier's PIL-hook analogue) —
+    here a deterministic fake standing in for libmad/libvorbis — and
+    the stats flow through the identical numpy accumulation. Without
+    the hook the same payload raises the honest NotImplementedError;
+    native payloads NEVER consult the hook."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from ais_data_pipeline_spark.operators.multimodal import (
+        decode_audio_pcm,
+        flac_sample_value,
+        make_flac_audio_fixture,
+    )
+
+    # fake "compressed" format: b"FAKE" + rate + nch + n + int16 LE
+    # samples interleaved — deterministic, so the assertion is exact
+    def fake_payload(doc_id: int, rate: int, nch: int, n: int) -> bytes:
+        body = b"".join(
+            struct.pack("<h", flac_sample_value(doc_id, c, i))
+            for i in range(n)
+            for c in range(nch)
+        )
+        return b"FAKE" + struct.pack("<III", rate, nch, n) + body
+
+    def fake_decoder(blob: bytes):
+        assert blob[:4] == b"FAKE", "hook consulted for a native payload"
+        rate, nch, n = struct.unpack_from("<III", blob, 4)
+        a = np.frombuffer(blob, dtype="<i2", offset=16).reshape(n, nch)
+        return a, rate, 16
+
+    rows = [(7, fake_payload(7, 8000, 2, 50)), (8, fake_payload(8, 44100, 1, 33))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        (r["doc_id"], r["channel"]): r
+        for r in decode_audio_pcm(df, lossy_decoder=fake_decoder).collect()
+    }
+    assert set(got) == {(7, 0), (7, 1), (8, 0)}
+    for (doc, ch), r in got.items():
+        n = 50 if doc == 7 else 33
+        want = [flac_sample_value(doc, ch, i) for i in range(n)]
+        assert r["n_samples"] == n and r["sample_rate"] in (8000, 44100)
+        assert r["sum_amp"] == float(sum(want))
+        assert r["sum_abs"] == float(sum(abs(v) for v in want))
+        assert r["max_abs"] == float(max(abs(v) for v in want))
+
+    # a mixed batch: FLAC stays on the NATIVE path even when the hook
+    # is present (the fake_decoder asserts it never sees fLaC bytes)
+    flac = make_flac_audio_fixture(spark.createDataFrame([(3,)], "doc_id long"))
+    mixed = flac.unionByName(df)
+    assert decode_audio_pcm(mixed, lossy_decoder=fake_decoder).count() > 3
+
+    # honest line without the hook
+    with _pytest.raises(Exception, match="audio codec library"):
+        decode_audio_pcm(df).collect()

@@ -133,3 +133,56 @@ def test_front_window_well_formed():
     assert not missing, missing
     names = [q.name for q in QUERIES]
     assert names[:50] == _FRONT_WINDOW
+
+
+def test_registry_driver_proof_freshness():
+    """Staleness gate (r15 brief item 6): at 203 rows and a 50-slot
+    driver window, untouched rows go ~4 rounds between external
+    driver proofs and the gap grows with the registry. This gate
+    bounds it mechanically: every registered row must either carry a
+    driver CORRECTNESS proof no older than STALE_MAX rounds behind
+    the newest recorded round, or — for rows registered since the
+    last driver run — be scheduled in the front window for the next
+    one. The local oracle replica above covers correctness; this
+    gates the EXTERNAL signal's freshness, forcing window plans to
+    rotate cohorts oldest-first before any row falls off the radar.
+    """
+    import glob as _glob
+    import json
+    import re
+
+    STALE_MAX = 5
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, int] = {}
+    rounds = []
+    for f in sorted(_glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        r = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        rounds.append(r)
+        with open(f) as fh:
+            for name in json.load(fh):
+                latest[name] = max(latest.get(name, 0), r)
+    if not rounds:
+        pytest.skip("no driver CORRECTNESS artifacts yet")
+    newest = max(rounds)
+
+    from ais_data_pipeline_spark.queries import _FRONT_WINDOW
+
+    window = set(_FRONT_WINDOW[:50])
+    stale, unscheduled = [], []
+    for q in QUERIES:
+        r = latest.get(q.name)
+        if r is None:
+            # never driver-checked: must lead the NEXT window
+            if q.name not in window:
+                unscheduled.append(q.name)
+        elif newest - r > STALE_MAX and q.name not in window:
+            stale.append((q.name, r))
+    assert not unscheduled, (
+        f"registry rows never driver-proven and not in the next "
+        f"50-slot window: {unscheduled}"
+    )
+    assert not stale, (
+        f"rows whose latest driver proof is >{STALE_MAX} rounds old "
+        f"and not scheduled next: {stale} (newest round {newest}) — "
+        f"rotate them into _FRONT_WINDOW or grow the window"
+    )

@@ -661,6 +661,10 @@ def test_bench_final_line_fits_driver_tail():
         # worst case: every headline name at a 4-digit-seconds timing
         "queries": {n: 9999.999 for n in bench.HEADLINE}
         | {"pipeline_csv_to_parquet": 9999.999},
+        # r15: per-leg load + rep-time spread feed the compact line too
+        "queries_load": {n: 99.99 for n in bench.HEADLINE}
+        | {"pipeline_csv_to_parquet": 99.99},
+        "queries_rep_times": {n: [9999.999] * 5 for n in bench.HEADLINE},
         "first_run_total": 9999.999,
         "extended_total": 9999.999,
         "sf": 0.1,
@@ -690,6 +694,12 @@ def test_bench_final_line_fits_driver_tail():
     assert set(parsed["queries"]) == set(bench.HEADLINE) | {
         "pipeline_csv_to_parquet"
     }
+    # r15: the rep-spread summary survives the compact line (the
+    # per-leg load dict is first-droppable under budget pressure, so
+    # only assert it when it fit)
+    assert parsed["max_rep_spread"] == 1.0
+    if "queries_load" in parsed:
+        assert set(parsed["queries_load"]) >= set(bench.HEADLINE)
     # round-11 verdict item 4: the load-trust flag survives into the
     # size-bounded final line (a contended-box run marks itself), and
     # a detail dict missing it defaults to False instead of crashing
