@@ -551,7 +551,8 @@ def decode_pixels_array(data: bytes):
         try:
             return parse_tiff(data), "tiff"
         except NotImplementedError:
-            # exotic codecs (JPEG-in-TIFF/CCITT/planar-2): PIL
+            # exotic codecs (old-style JPEG 6/CCITT/planar-2; new-style
+            # JPEG-in-TIFF decodes natively as of r15): PIL
             # fall-through, the image tier's exotic-variant convention
             pass
     if data[:2] == b"\xff\xd8":
@@ -984,16 +985,36 @@ def make_image_fixture(
                 elif fmt == "png" or (
                     fmt == "mixed3" and i % 3 == 2
                 ) or (fmt == "mixed4" and i % 4 == 2) or (
-                    fmt in ("mixed5", "mixed6") and i % 5 == 2
+                    fmt in ("mixed5", "mixed6", "mixed7") and i % 5 == 2
                 ):
                     payloads.append(encode_png(i, *png_dims(i), rgba=i % 2 == 1))
-                elif fmt in ("mixed5", "mixed6") and i % 5 == 4:
+                elif fmt in ("mixed5", "mixed6", "mixed7") and i % 5 == 4:
                     from ais_data_pipeline_spark.operators.tiff import (
                         encode_tiff,
                         encode_tiff_multipage,
                     )
 
-                    if fmt == "mixed6" and i % 3 == 1:
+                    # mixed7 (r15) re-routes the TIFF arm by i % 4 to
+                    # fit the JPEG-in-TIFF sub-arm; mixed6 keeps the
+                    # r14 i % 3 routing (COMPAT: frozen fixture shape)
+                    sub = i % 4 if fmt == "mixed7" else (i % 3 if fmt == "mixed6" else 0)
+                    if fmt == "mixed7" and sub == 3:
+                        # JPEG-in-TIFF arm (r15, compression 7):
+                        # block-constant raster — pixel (x, y) =
+                        # synth(i, (y//8)*ceil(w/8) + x//8), R=G=B —
+                        # shared JPEGTables tag + abbreviated streams;
+                        # strips (rps 8) and 8x8 tiles alternate, the
+                        # closed form is layout-independent
+                        w, h = tiff_dims(i)
+                        payloads.append(
+                            encode_tiff(
+                                i, w, h, gray=i % 2 == 1,
+                                compression=7,
+                                rows_per_strip=None if (i // 4) % 2 else 8,
+                                tile=(8, 8) if (i // 4) % 2 else None,
+                            )
+                        )
+                    elif fmt in ("mixed6", "mixed7") and sub == 1:
                         # multi-page arm (r14): 2-3 chained IFDs with
                         # per-page dims, seeds, and compressions —
                         # page p raster byte k = synth(i + 131*p, k)
@@ -1013,7 +1034,7 @@ def make_image_fixture(
                                 ],
                             )
                         )
-                    elif fmt == "mixed6" and i % 3 == 2:
+                    elif fmt in ("mixed6", "mixed7") and sub == 2:
                         # TILED arm (r14): 4x4 LZW tiles with edge
                         # padding — same closed-form raster, so the
                         # oracle's pixel sums are layout-independent
@@ -1033,7 +1054,7 @@ def make_image_fixture(
                             )
                         )
                 elif (fmt == "mixed4" and i % 4 == 3) or (
-                    fmt in ("mixed5", "mixed6") and i % 5 == 3
+                    fmt in ("mixed5", "mixed6", "mixed7") and i % 5 == 3
                 ):
                     from ais_data_pipeline_spark.operators.gif import encode_gif
 
@@ -1052,7 +1073,7 @@ def make_image_fixture(
                     or (fmt == "mixed" and i % 2 == 0)
                     or (fmt == "mixed3" and i % 3 == 0)
                     or (fmt == "mixed4" and i % 4 == 0)
-                    or (fmt in ("mixed5", "mixed6") and i % 5 == 0)
+                    or (fmt in ("mixed5", "mixed6", "mixed7") and i % 5 == 0)
                 ):
                     payloads.append(encode_ppm(i, *ppm_dims(i)))
                 else:

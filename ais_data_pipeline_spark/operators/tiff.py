@@ -16,11 +16,17 @@ TILED layout (tags 322-325, TIFF 6.0 §15 — full right/bottom-padded
 edge tiles, per-tile compression and predictor) decodes natively, and
 SUB-BYTE grayscale/bilevel (1/2/4-bit, MSB packing, per-row byte
 padding, WhiteIsZero inversion — the scanned-document staple) decodes
-under every strip codec.
-Remaining codecs (JPEG-in-TIFF, CCITT fax, planar-configuration-2)
-raise the honest ``NotImplementedError`` and fall through to the PIL
-hook in ``multimodal.decode_pixels_array`` — the image tier's
-exotic-variant convention.
+under every strip codec. Round 15: NEW-STYLE JPEG-IN-TIFF
+(compression 7, TIFF TechNote 2 — shared JPEGTables tag 347 +
+abbreviated per-strip/tile streams spliced through the full
+``operators.jpeg`` decoder; gray + YCbCr photometrics) decodes
+natively as a composition of the existing JPEG decoder with the
+strip/tile walk.
+Remaining codecs (old-style JPEG compression 6, CCITT fax,
+planar-configuration-2, RGB/CMYK-coded JPEG-in-TIFF) raise the honest
+``NotImplementedError`` and fall through to the PIL hook in
+``multimodal.decode_pixels_array`` — the image tier's exotic-variant
+convention.
 
 Reference parity: the reference pipeline has no image handling; this
 module is part of the mandated LLM-data-pipeline multimodal tier.
@@ -31,7 +37,9 @@ from __future__ import annotations
 import struct
 
 #: IFD entry value type -> (struct code, byte size); baseline subset
-_TYPES = {1: ("B", 1), 3: ("H", 2), 4: ("I", 4)}
+#: type 7 (UNDEFINED, byte-sized) carries the JPEGTables stream (tag
+#: 347) in new-style JPEG-in-TIFF (r15)
+_TYPES = {1: ("B", 1), 3: ("H", 2), 4: ("I", 4), 7: ("B", 1)}
 
 
 def _unpackbits(src: bytes, expect: int) -> bytes:
@@ -220,10 +228,17 @@ def _decode_ifd(data: bytes, e: str, tags: dict[int, list[int]]):
     spp = tags.get(277, [len(bits)])[0]
     if w == 0 or h == 0:
         raise ValueError("TIFF with zero dimension")
+    if compression == 7:
+        # new-style JPEG-in-TIFF (r15, TIFF TechNote 2): shared
+        # tables in tag 347 + one abbreviated JPEG stream per
+        # strip/tile — a composition of the existing JPEG decoder
+        # with the strip/tile walk, not a new codec
+        return _decode_jpeg_ifd(data, tags, w, h, photometric)
     if compression not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(
             f"TIFF compression {compression} not supported natively "
-            "(none/LZW/Deflate/PackBits only)"
+            "(none/LZW/Deflate/PackBits/new-style-JPEG only; old-style "
+            "JPEG (6) was never fully specified and stays the PIL hook)"
         )
     predictor = tags.get(317, [1])[0]
     if predictor not in (1, 2):
@@ -433,6 +448,93 @@ def _decode_subbyte_strips(
     return np.repeat(gray[:, :, None], 3, axis=2)
 
 
+def _decode_jpeg_ifd(data: bytes, tags: dict[int, list[int]], w: int, h: int, photometric: int):
+    """New-style JPEG-in-TIFF decode (TIFF TechNote 2, compression 7,
+    r15): tag 347 (JPEGTables) holds an abbreviated table stream
+    ``SOI [DQT/DHT...] EOI``; each strip/tile is an abbreviated JPEG
+    image stream sharing those tables (own tables, if present, simply
+    re-define — T.81 table-specification semantics). Decoding is the
+    standard concatenation: splice the table segments after each
+    block's SOI and hand the result to ``parse_jpeg`` — the full
+    baseline/progressive decoder, so subsampled chroma, restart
+    markers, and 12-bit precision all come along for free. Native
+    scope: photometric 1 (MinIsBlack gray) and 6 (YCbCr — what
+    ``parse_jpeg``'s JFIF convert already returns as RGB); RGB-coded
+    (2) / CMYK JPEG need the Adobe-transform dance and stay the PIL
+    hook. Strips must tile the height; edge blocks may be MCU-padded
+    (cropped after placement, same rule as the tiled layout)."""
+    import numpy as np
+
+    from ais_data_pipeline_spark.operators.jpeg import parse_jpeg
+
+    if tags.get(284, [1])[0] != 1:
+        raise NotImplementedError("planar-configuration-2 TIFF not supported")
+    if photometric not in (1, 6):
+        raise NotImplementedError(
+            f"JPEG-in-TIFF photometric {photometric} not supported "
+            "natively (gray/YCbCr only)"
+        )
+    tbody = b""
+    if 347 in tags:
+        t = bytes(tags[347])
+        if len(t) < 4 or t[:2] != b"\xff\xd8" or t[-2:] != b"\xff\xd9":
+            raise ValueError("malformed JPEGTables stream")
+        tbody = t[2:-2]
+
+    def block_arr(off: int, cnt: int) -> "np.ndarray":
+        if off + cnt > len(data):
+            raise ValueError("TIFF strip/tile out of range")
+        blk = data[off : off + cnt]
+        if blk[:2] != b"\xff\xd8":
+            raise ValueError("JPEG-in-TIFF block missing SOI")
+        return parse_jpeg(b"\xff\xd8" + tbody + blk[2:])
+
+    if 322 in tags or 324 in tags:
+        if 322 not in tags or 323 not in tags or 324 not in tags:
+            raise ValueError("tiled TIFF missing tile geometry/offset tags")
+        tw, tl = tags[322][0], tags[323][0]
+        if tw == 0 or tl == 0:
+            raise ValueError("TIFF with zero tile dimension")
+        offsets = tags[324]
+        counts = tags.get(325)
+        across = (w + tw - 1) // tw
+        down = (h + tl - 1) // tl
+        if counts is None or len(counts) != len(offsets):
+            raise ValueError("TIFF tile offset/count tables disagree")
+        if len(offsets) != across * down:
+            raise ValueError("TIFF tile count does not cover the image")
+        full = np.zeros((down * tl, across * tw, 3), dtype=np.uint8)
+        for ti, (off, cnt) in enumerate(zip(offsets, counts)):
+            tile = block_arr(off, cnt)
+            if tile.shape[0] < tl or tile.shape[1] < tw:
+                raise ValueError("JPEG-in-TIFF tile smaller than tile geometry")
+            ty, tx = divmod(ti, across)
+            full[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw, :] = tile[:tl, :tw]
+        return full[:h, :w, :].copy()
+
+    if 273 not in tags:
+        raise ValueError("TIFF missing strip offsets")
+    offsets = tags[273]
+    counts = tags.get(279)
+    if counts is None or len(counts) != len(offsets):
+        raise ValueError("TIFF strip offset/count tables disagree")
+    rps = tags.get(278, [h])[0] or h
+    out = np.zeros((h, w, 3), dtype=np.uint8)
+    y = 0
+    for off, cnt in zip(offsets, counts):
+        if y >= h:
+            raise ValueError("TIFF strips overrun the image height")
+        rows = min(rps, h - y)
+        arr = block_arr(off, cnt)
+        if arr.shape[0] < rows or arr.shape[1] < w:
+            raise ValueError("JPEG-in-TIFF strip smaller than its region")
+        out[y : y + rows, :, :] = arr[:rows, :w, :]
+        y += rows
+    if y < h:
+        raise ValueError("TIFF strips cover fewer rows than the image")
+    return out
+
+
 def _byte_order(data: bytes) -> str:
     if len(data) >= 8 and data[:4] == b"II\x2a\x00":
         return "<"
@@ -557,6 +659,92 @@ def _compress_blocks(blocks: list[bytes], compression: int) -> list[bytes]:
     return blocks
 
 
+def _split_jpeg_tables(full: bytes) -> tuple[bytes, bytes]:
+    """Split an interchange JPEG into (table segments, abbreviated
+    image stream): DQT/DHT move to the JPEGTables side, APP0 drops,
+    everything else (SOF/DRI/SOS + entropy + EOI) stays. The walk
+    stops at SOS, before any entropy bytes, so no unstuffing is
+    needed. The fixture encoder uses FIXED Huffman tables and a
+    caller-pinned quant table, so every strip/tile of one image
+    yields byte-identical table segments — the first block's set is
+    the shared JPEGTables stream."""
+    pos = 2
+    tables = b""
+    keep = b""
+    while True:
+        if pos + 4 > len(full) or full[pos] != 0xFF:
+            raise ValueError("malformed fixture JPEG")
+        marker = full[pos + 1]
+        if marker == 0xDA:  # SOS: entropy tail follows, keep verbatim
+            return tables, b"\xff\xd8" + keep + full[pos:]
+        (seglen,) = struct.unpack_from(">H", full, pos + 2)
+        seg = full[pos : pos + 2 + seglen]
+        if marker in (0xDB, 0xC4):
+            tables += seg
+        elif marker != 0xE0:  # APP0/JFIF is container noise here
+            keep += seg
+        pos += 2 + seglen
+
+
+def jpeg_tiff_block_gray(doc_id: int, bx: int, by: int, nbx: int) -> int:
+    """Closed-form gray of 8x8 block (bx, by) in a JPEG-in-TIFF
+    fixture page — constant blocks make the lossy codec bit-exact
+    (DC-only DCT, flat-1 quant), so a SQL oracle re-derives every
+    pixel: ``pixel(x, y) = jpeg_tiff_block_gray(doc, x//8, y//8,
+    ceil(w/8))``. Reuses the shared ``synth_pixel_value`` closed form
+    on the block index."""
+    from ais_data_pipeline_spark.operators.multimodal import synth_pixel_value
+
+    return synth_pixel_value(doc_id, by * nbx + bx)
+
+
+def _encode_jpeg_blocks(
+    doc_id: int,
+    w: int,
+    h: int,
+    gray: bool,
+    rows_per_strip: int | None,
+    tile: tuple[int, int] | None,
+) -> tuple[list[bytes], bytes]:
+    """Strip/tile payloads for compression-7 pages: each block region
+    becomes an ABBREVIATED constant-block JPEG stream (tables
+    stripped), sharing one JPEGTables stream (returned second).
+    Strip/tile boundaries must land on 8-row multiples so the global
+    block grid stays aligned with each block stream's own grid —
+    that is what keeps ``jpeg_tiff_block_gray`` a global closed form."""
+    from ais_data_pipeline_spark.operators.jpeg import (
+        encode_jpeg_constant_blocks,
+    )
+
+    nbx = (w + 7) // 8
+
+    def region_stream(y0: int, x0: int, rw: int, rh: int) -> bytes:
+        grays = [
+            jpeg_tiff_block_gray(doc_id, x0 // 8 + bx, y0 // 8 + by, nbx)
+            for by in range((rh + 7) // 8)
+            for bx in range((rw + 7) // 8)
+        ]
+        return encode_jpeg_constant_blocks(rw, rh, grays, color=not gray)
+
+    blocks: list[bytes] = []
+    if tile is not None:
+        tw, tl = tile
+        if tw % 8 or tl % 8:
+            raise ValueError("JPEG-in-TIFF tile dims must be multiples of 8")
+        for ty in range((h + tl - 1) // tl):
+            for tx in range((w + tw - 1) // tw):
+                blocks.append(region_stream(ty * tl, tx * tw, tw, tl))
+    else:
+        rps = rows_per_strip or h
+        if rps % 8 and rps < h:
+            raise ValueError("JPEG-in-TIFF rows_per_strip must be a multiple of 8")
+        for y0 in range(0, h, rps):
+            blocks.append(region_stream(y0, 0, w, min(rps, h - y0)))
+    tables, _ = _split_jpeg_tables(blocks[0])
+    jpeg_tables = b"\xff\xd8" + tables + b"\xff\xd9"
+    return [_split_jpeg_tables(b)[1] for b in blocks], jpeg_tables
+
+
 def _encode_tiff_page(
     doc_id: int,
     w: int,
@@ -579,9 +767,6 @@ def _encode_tiff_page(
     from ais_data_pipeline_spark.operators.multimodal import synth_pixel_value
 
     spp = 1 if gray else 3
-    raster = bytes(
-        synth_pixel_value(doc_id, k) for k in range(w * h * spp)
-    )
 
     def diff(block: bytes, bw: int, bh: int) -> bytes:
         a = np.frombuffer(block, dtype=np.uint8).reshape(bh, bw, spp).astype(np.int64)
@@ -590,7 +775,18 @@ def _encode_tiff_page(
         return d.astype(np.uint8).tobytes()
 
     row_bytes = w * spp
-    if tile is not None:
+    jpeg_tables: bytes | None = None
+    if compression == 7:
+        # r15: new-style JPEG-in-TIFF — abbreviated constant-block
+        # streams + shared JPEGTables tag; raster is block-constant
+        # (jpeg_tiff_block_gray), bit-exact despite the lossy codec
+        if predictor != 1:
+            raise ValueError("predictor does not apply to JPEG-in-TIFF")
+        strips, jpeg_tables = _encode_jpeg_blocks(
+            doc_id, w, h, gray, rows_per_strip, tile
+        )
+    elif tile is not None:
+        raster = bytes(synth_pixel_value(doc_id, k) for k in range(w * h * spp))
         tw, tl = tile
         arr = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, spp)
         across = (w + tw - 1) // tw
@@ -607,6 +803,7 @@ def _encode_tiff_page(
                 strips.append(b)
         strips = _compress_blocks(strips, compression)
     else:
+        raster = bytes(synth_pixel_value(doc_id, k) for k in range(w * h * spp))
         if predictor == 2:
             raster = diff(raster, w, h)
         rps = rows_per_strip or h
@@ -633,19 +830,27 @@ def _encode_tiff_page(
 
     # layout: [header(8) for page 0] + IFD + extras + strips/tiles,
     # with every embedded offset measured from file start = ``base``
+    # photometric: JPEG color data is YCbCr (6) per TechNote 2; raster
+    # formats keep the gray/RGB codes
+    if gray:
+        photometric = 1
+    else:
+        photometric = 6 if compression == 7 else 2
     tags = [
         (256, 4, [w]),
         (257, 4, [h]),
         (258, 3, [8] * spp),
         (259, 3, [compression]),
-        (262, 3, [1 if gray else 2]),
+        (262, 3, [photometric]),
         (277, 3, [spp]),
         (317, 3, [predictor]),
     ]
+    if jpeg_tables is not None:
+        tags += [(347, 7, list(jpeg_tables))]
     if tile is not None:
         tags += [(322, 4, [tile[0]]), (323, 4, [tile[1]])]
     else:
-        tags += [(278, 4, [rps])]
+        tags += [(278, 4, [rows_per_strip or h])]
     n = len(tags) + 2  # + strip offsets + strip counts
     ifd_off = base
     extras_off = ifd_off + 2 + 12 * n + 4

@@ -90,83 +90,80 @@ def register(name: str, oracle: str | None, description: str):
 
 
 # The driver checks only the FIRST 50 registry entries per round, so
-# registry order decides which queries get a CORRECTNESS row. Round-14
-# window (executes the plan pinned in COMPAT.md "r14 window plan"):
-#   - LEAD with the six unchanged rows displaced from the r13 window
-#     by the changed-row-first policy — above_avg_orders, custdist,
-#     large_orders, nation_pair_volume, cube_returnflag_status,
-#     grouping_sets_status. All six are frozen SQL-shape queries whose
-#     code paths are untouched since their r9 rows; after this round
-#     no registry row's latest driver proof predates r10.
-#   - Then oldest-first: 44 of the 47 rows whose latest driver row is
-#     r10 (alphabetical within the cohort; computed programmatically
-#     from the CORRECTNESS_r*.json artifacts). The three r10 rows that
-#     don't fit (text_normalize, token_counts, topk_orders) plus the
-#     r11 cohort lead the r15 window.
-#   - Changed-row-first amendment (late r14): any row whose semantics
-#     change THIS round rotates in, displacing from the END of this
-#     list; displaced rows lead r15. Rotated in: image_format_dispatch
-#     (mixed5 -> mixed6: TIFF arm decodes multi-page fixtures and
-#     emits per-page rows), audio_container_meta (tagless-CBR MP3
-#     duration now exact via full frame walk, was NULL; fixture arm
-#     carries 2+k%9 real frames), media_type_route (AVI arm
-#     added to the RIFF disambiguation), frame_pixel_stats (fixture
-#     corpus widened to MP4+AVI containers), theta_difference and
-#     flac_pcm_stats (NEW registry rows, never driver-checked).
-#     Displaced to lead r15: semi_anti_customers, sessionize_events,
-#     set_ops_segments, small_qty_revenue, stream_stream_join, and
-#     streaming_ivf_ingest_topk (unchanged r10 rows).
+# registry order decides which queries get a CORRECTNESS row. Round-15
+# window (executes the plan pinned in COMPAT.md "r15 window plan" and
+# the r14 verdict item 2):
+#   - LEAD with the nine r10-dated rows — the oldest cohort in the
+#     registry (semi_anti_customers ... training_shard_manifest; five
+#     were displaced from the r14 window by the changed-row-first
+#     policy, four never fit). After this round no registry row's
+#     latest driver proof predates r11.
+#   - Then oldest-first: 40 of the 49 rows whose latest driver row is
+#     r11 (alphabetical within the cohort; computed programmatically
+#     from the CORRECTNESS_r*.json artifacts). The nine r11 rows that
+#     don't fit (streaming_quality_monitor, supplier_bfs_hops,
+#     text_normalize, text_quality, token_counts,
+#     top_customer_per_nation, topk_orders, vocab_growth_stats,
+#     zorder_values) lead the r16 window. The pytest staleness gate
+#     (tests/test_oracle.py::test_registry_driver_proof_freshness)
+#     now enforces this rotation mechanically.
+#   - Changed-row-first amendment: any row whose semantics change
+#     THIS round rotates in, displacing from the END of this list;
+#     displaced rows lead r16. Rotated in: image_format_dispatch
+#     (mixed6 -> mixed7: the TIFF arm re-routes by doc_id % 4 and
+#     gains a JPEG-in-TIFF sub-arm — compression 7, shared JPEGTables
+#     + abbreviated strip/tile streams through the full JPEG decoder).
 _FRONT_WINDOW: list[str] = [
-    "above_avg_orders",
-    "custdist",
-    "large_orders",
-    "nation_pair_volume",
-    "cube_returnflag_status",
-    "grouping_sets_status",
-    "ann_index_topk",
-    "approx_quantiles",
-    "array_agg_user_types",
-    "asof_last_click",
-    "bag_fingerprint",
-    "cluster_best_representative",
-    "date_functions",
-    "date_parse_lenient",
-    "dedup_exact",
-    "dsir_domain_scores",
-    "embedding_near_dup_exact",
-    "embedding_near_dup_lsh",
-    "embedding_topk",
-    "embedding_topk_filtered",
-    "embedding_topk_lsh",
-    "event_pairs_5min",
-    "frame_embedding_topk",
-    "incremental_dedup_stats",
-    "incremental_embedding_dedup_stats",
-    "incremental_rollup_merge",
-    "ivf_index_topk",
-    "ivfpq_index_topk",
-    "ivfpq_rerank_topk",
-    "lang_id",
-    "late_ship_priority",
-    "latest_event_per_user",
-    "minhash_near_dup",
-    "mmr_diverse_topk",
-    "moving_avg_customer",
-    "near_dup_clusters",
-    "ngram_jaccard_pairs",
-    "null_token_normalize",
-    "pq_adc_topk",
-    "q1_pricing_summary",
-    "quantiles_quantity",
-    "revenue_by_nation",
-    "scan_project_filter",
-    "semdedup_stats",
+    "semi_anti_customers",
+    "sessionize_events",
+    "set_ops_segments",
+    "small_qty_revenue",
+    "stream_stream_join",
+    "streaming_ivf_ingest_topk",
+    "string_functions",
+    "subsequence_best_match",
+    "training_shard_manifest",
+    "ab_experiment_lift",
+    "asof_next_purchase",
+    "basket_association_rules",
+    "benford_digit_audit",
+    "binary_hamming_topk",
+    "blocking_suppliers",
+    "bloom_prefilter_fp_rate",
+    "bm25_top_docs",
+    "bracket_revenue",
+    "cms_heavy_hitters",
+    "conversion_latency_deciles",
+    "distinct_pairs",
+    "entity_resolution_clusters",
+    "event_transition_matrix",
+    "event_type_pivot",
+    "frequent_event_paths",
+    "funnel_view_click_purchase",
+    "gopher_quality_filter",
+    "hashed_quality_classifier",
+    "histogram_quantile_sketch",
+    "hll_region_rollup",
+    "horizontal_predicates",
+    "image_pixel_stats_jpeg_progressive",
+    "k_anonymity_audit",
+    "lag_lead_events",
+    "length_bucket_histogram",
+    "line_dedup_stats",
+    "map_from_json_props",
+    "multi_touch_attribution",
+    "near_dup_clusters_star",
+    "ngram_profile",
+    "null_counts",
+    "ohlc_hourly",
+    "pareto_customers",
+    "pretraining_pipeline_stats",
+    "profile_min_max",
+    "rag_chunk_index_topk",
+    "readability_scores",
+    "source_overlap_matrix",
+    "stratified_quality_sample",
     "image_format_dispatch",
-    "audio_container_meta",
-    "media_type_route",
-    "frame_pixel_stats",
-    "theta_difference",
-    "flac_pcm_stats",
 ]
 
 
@@ -9365,19 +9362,28 @@ def q_image_luma_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE doc_id % 5 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
                   WHEN 2 THEN 'png' WHEN 3 THEN 'gif'
                   ELSE 'tiff' END AS format,
-             -- grayscale TIFF (odd ids): one stored byte per pixel,
-             -- replicated to RGB on decode -> channel sums are 3x the
-             -- gray sum over w*h bytes; everything else stores w*h*3
-             CASE WHEN doc_id % 5 = 4 AND doc_id % 2 = 1 THEN 1
+             -- JPEG-in-TIFF arm (r15, doc_id % 4 = 3): block-constant
+             -- raster — pixel (x, y) = synth(doc, y//8*ceil(w/8) +
+             -- x//8), R=G=B for gray AND color (constant-chroma
+             -- encode), layout-independent across strips/tiles
+             CASE WHEN doc_id % 5 = 4 AND doc_id % 4 = 3 THEN 1
+                  ELSE 0 END AS jt,
+             -- grayscale raster TIFF (odd ids outside the JPEG arm):
+             -- one stored byte per pixel, replicated to RGB on decode
+             -- -> channel sums are 3x the gray sum over w*h bytes;
+             -- everything else stores w*h*3
+             CASE WHEN doc_id % 5 = 4 AND doc_id % 2 = 1
+                       AND doc_id % 4 <> 3 THEN 1
                   ELSE 0 END AS gray,
              -- page p of a multi-page TIFF synthesizes from seed
-             -- doc_id + 131*p (p = 0 everywhere else)
+             -- doc_id + 131*p (p = 0 everywhere else); the multipage
+             -- arm moved to doc_id % 4 = 1 in the mixed7 re-route
              doc_id + 131 * p AS seed
       FROM documents,
-           UNNEST(range(0, CASE WHEN doc_id % 5 = 4 AND doc_id % 3 = 1
+           UNNEST(range(0, CASE WHEN doc_id % 5 = 4 AND doc_id % 4 = 1
                                 THEN 2 + doc_id % 2 ELSE 1 END)) AS t(p)
     ), dims AS (
-      SELECT doc_id, format, gray, seed,
+      SELECT doc_id, format, gray, jt, seed,
              CASE doc_id % 5 WHEN 0 THEN 4 + doc_id % 13
                   WHEN 1 THEN 4 + doc_id % 11
                   WHEN 2 THEN 4 + doc_id % 12
@@ -9391,7 +9397,12 @@ def q_image_luma_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pg
     ), px AS (
       SELECT doc_id, format, w, h,
-             CASE WHEN gray = 1
+             CASE WHEN jt = 1
+                  THEN 3 * (SELECT SUM((seed*31
+                                        + (k // w) // 8 * ((w + 7) // 8)
+                                        + (k % w) // 8) % 256)
+                            FROM UNNEST(range(0, w*h)) AS j(k))
+                  WHEN gray = 1
                   THEN 3 * (SELECT SUM((seed*31 + k) % 256)
                             FROM UNNEST(range(0, w*h)) AS g(k))
                   ELSE (SELECT SUM((seed*31 + k) % 256)
@@ -9409,13 +9420,18 @@ def q_image_luma_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "five scanline filters, RGB + RGBA strides; GIF the same round — "
     "variable-width LZW through a 256-entry synth palette, odd ids "
     "4-pass interlaced; TIFF in r13 — both byte orders, 2-row strip "
-    "splits, odd ids grayscale-replicated — and MULTI-PAGE in r14: "
-    "doc_id%3==1 TIFF docs chain 2-3 IFDs with per-page dims, seeds, "
+    "splits, odd ids grayscale-replicated — MULTI-PAGE in r14: "
+    "doc_id%4==1 TIFF docs chain 2-3 IFDs with per-page dims, seeds, "
     "and compressions (none/LZW/Deflate), decoded to one row per "
-    "page; all raster-sum-sensitive here) decoded by one "
-    "decode_image_pixels pass whose internal dispatch picks the "
-    "parser per blob; per-format row counts, pixel totals, and "
-    "raster sums prove every branch against the closed-form oracle.",
+    "page; and JPEG-IN-TIFF in r15 (mixed6 -> mixed7): doc_id%4==3 "
+    "TIFF docs carry compression 7 — shared JPEGTables tag + "
+    "abbreviated per-strip/tile JPEG streams, gray and YCbCr arms, "
+    "strips and 8x8 tiles alternating — through the full JPEG "
+    "decoder, bit-exact via constant 8x8 blocks; all "
+    "raster-sum-sensitive here) decoded by one decode_image_pixels "
+    "pass whose internal dispatch picks the parser per blob; "
+    "per-format row counts, pixel totals, and raster sums prove "
+    "every branch against the closed-form oracle.",
 )
 def q_image_format_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ais_data_pipeline_spark.operators.multimodal import (
@@ -9424,7 +9440,7 @@ def q_image_format_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = read_table(spark, sf_dir, "documents")
-    px = decode_image_pixels(make_image_fixture(d, fmt="mixed6"))
+    px = decode_image_pixels(make_image_fixture(d, fmt="mixed7"))
     return (
         px.groupBy("format")
         .agg(

@@ -6655,15 +6655,24 @@ def test_tiff_decode_contracts(spark):
     ).reshape(40, 40, 3)
     assert (parse_tiff(big) == flat).all()
 
-    # out-of-scope codec stays the honest line
+    # out-of-scope codecs stay the honest line: old-style JPEG (6 —
+    # never fully specified) and, inside the r15 native compression-7
+    # path, RGB-coded JPEG (photometric 2 needs the Adobe-transform
+    # dance — PIL hook)
     b = bytearray(encode_tiff(1, 4, 4))
     (ifd,) = _struct.unpack_from("<I", b, 4)
     (n,) = _struct.unpack_from("<H", b, ifd)
     for i in range(n):
         ent = ifd + 2 + 12 * i
         if _struct.unpack_from("<HH", b, ent)[0] == 259:
-            b[ent + 8] = 7  # JPEG-in-TIFF
-    with _pytest.raises(NotImplementedError, match="compression 7"):
+            b[ent + 8] = 6  # old-style JPEG
+    with _pytest.raises(NotImplementedError, match="compression 6"):
+        parse_tiff(bytes(b))
+    for i in range(n):
+        ent = ifd + 2 + 12 * i
+        if _struct.unpack_from("<HH", b, ent)[0] == 259:
+            b[ent + 8] = 7  # new-style JPEG, but photometric still 2
+    with _pytest.raises(NotImplementedError, match="photometric 2"):
         parse_tiff(bytes(b))
 
     # corrupt contracts
@@ -7094,3 +7103,80 @@ def test_audio_lossy_decoder_hook(spark):
     # honest line without the hook
     with _pytest.raises(Exception, match="audio codec library"):
         decode_audio_pcm(df).collect()
+
+
+def test_tiff_jpeg_in_tiff_decode():
+    """r15 stretch: new-style JPEG-in-TIFF (compression 7, TechNote 2)
+    decodes natively and BIT-exactly — shared JPEGTables tag 347 +
+    abbreviated per-strip/tile streams through the full JPEG decoder.
+    Constant 8x8 blocks make the lossy codec exact (DC-only DCT, flat
+    quant), so the closed form pins every pixel across gray/YCbCr,
+    strip/tile, and both byte orders; structural corruption and the
+    out-of-scope photometrics keep their honest error contracts."""
+    import numpy as np
+    import pytest as _pytest
+
+    from ais_data_pipeline_spark.operators.tiff import (
+        encode_tiff,
+        jpeg_tiff_block_gray,
+        parse_tiff,
+        parse_tiff_meta,
+    )
+
+    def expect(doc, w, h):
+        nbx = (w + 7) // 8
+        a = np.zeros((h, w, 3), np.uint8)
+        for y in range(h):
+            for x in range(w):
+                a[y, x, :] = jpeg_tiff_block_gray(doc, x // 8, y // 8, nbx)
+        return a
+
+    for doc, w, h, gray, rps, tile, be in [
+        (1, 24, 16, True, None, None, False),   # gray, single strip
+        (2, 24, 16, False, None, None, False),  # YCbCr, single strip
+        (3, 29, 21, True, 8, None, False),      # multi-strip + partial MCU
+        (4, 29, 21, False, 16, None, True),     # big-endian, 2 strips
+        (5, 40, 24, False, None, (16, 16), False),  # tiled, edge pad
+        (6, 33, 9, True, None, (16, 8), False),
+    ]:
+        blob = encode_tiff(
+            doc, w, h, gray=gray, big_endian=be,
+            rows_per_strip=rps, compression=7, tile=tile,
+        )
+        meta = parse_tiff_meta(blob)
+        assert meta["compression"] == 7
+        assert meta["photometric"] == (1 if gray else 6)
+        arr = parse_tiff(blob)
+        want = expect(doc, w, h)
+        assert arr.shape == want.shape
+        assert (arr == want).all(), (doc, gray, tile)
+
+    # tables are genuinely SHARED: the strip streams carry no DQT/DHT
+    # of their own (abbreviated format), only the 347 tag does
+    blob = encode_tiff(3, 29, 21, gray=True, rows_per_strip=8, compression=7)
+    from ais_data_pipeline_spark.operators.tiff import _byte_order, _read_ifd
+
+    e = _byte_order(blob)
+    tags = _read_ifd(blob, e)
+    assert 347 in tags
+    t = bytes(tags[347])
+    assert t[:2] == b"\xff\xd8" and t[-2:] == b"\xff\xd9"
+    assert b"\xff\xdb" in t and b"\xff\xc4" in t  # DQT + DHT live here
+    for off, cnt in zip(tags[273], tags[279]):
+        strip = blob[off : off + cnt]
+        assert strip[:2] == b"\xff\xd8"
+        assert b"\xff\xdb" not in strip[:20]  # no DQT at the head
+        # splicing tables restores a standalone-decodable stream; the
+        # bare abbreviated stream is NOT standalone (tables missing)
+        with _pytest.raises(ValueError):
+            from ais_data_pipeline_spark.operators.jpeg import parse_jpeg
+
+            parse_jpeg(strip)
+
+    # honest error contracts
+    corrupt = bytearray(blob)
+    # break the JPEGTables terminator
+    toff = blob.index(t)
+    corrupt[toff + len(t) - 1] = 0x00
+    with _pytest.raises(ValueError, match="JPEGTables"):
+        parse_tiff(bytes(corrupt))
