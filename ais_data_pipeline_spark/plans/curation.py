@@ -124,11 +124,24 @@ def run_curation(
     # stage 3: quality filter as a map-side column expression on the
     # full-width frame (no (id, quality) projection + re-join — kept
     # docs are MOST of the corpus, so neither side broadcasts) + the
-    # single write
+    # single write. Counting rides the write via Observation (r15,
+    # the quarantine-sink recipe): the r14 shape re-read the whole
+    # kept corpus back just to count it — a full extra scan of ~96%
+    # of the documents.
     # round(…,5) replicates quality_score's decision boundary exactly
+    from pyspark.sql import Observation
+
     kept = s2.filter(F.round(quality_col(F.col(text_col)), 5) >= quality_threshold)
+    obs = Observation("curation_kept")
+    obs_aggs = [F.count(F.lit(1)).alias("n")]
+    if count_tokens:
+        obs_aggs.append(
+            F.sum(token_count(F.col(text_col)).cast("long")).alias("t")
+        )
+    kept = kept.observe(obs, *obs_aggs)
     kept.write.mode("overwrite").parquet(out_path)
-    n_kept, tok_kept = measure(spark.read.parquet(out_path))
+    n_kept = obs.get["n"]
+    tok_kept = (obs.get["t"] or 0) if count_tokens else None
     log(
         "curation_quality",
         rows_in=n_total - n_drop_exact - n_drop_near,

@@ -1501,3 +1501,54 @@ def test_no_rename_swap_callers_in_engine():
                 if needle in src:
                     offenders.append((name, needle))
     assert offenders == [], offenders
+
+
+def test_curation_quality_fusion_equivalence(spark, sf_dir):
+    """r15 stretch (r14 verdict item 8): curation_at_scale's stage-3
+    fusion — quality flag computed in the stage-1 text pass, final
+    count by set arithmetic (all-passing minus passing-among-drops) —
+    must equal filtering the stage-2 survivors directly, doc for doc.
+    Replays both recipes over the sf documents corpus."""
+    from pyspark.sql import functions as F
+
+    from ais_data_pipeline_spark.operators.dedup import minhash_near_dup
+    from ais_data_pipeline_spark.operators.text import quality_col
+    from ais_data_pipeline_spark.sources.parquet import read_table
+
+    d = read_table(spark, sf_dir, "documents")
+    qp = (F.round(quality_col(F.col("text")), 5) >= 0.65).alias("qp")
+    scan1 = d.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("h"), qp
+    ).localCheckpoint(eager=True)
+    keep_min = scan1.groupBy("h").agg(F.min("doc_id").alias("__keep"))
+    drop_exact = (
+        scan1.join(keep_min, "h")
+        .filter(F.col("doc_id") != F.col("__keep"))
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    s1 = d.join(F.broadcast(drop_exact), "doc_id", "left_anti")
+    drop_near = (
+        minhash_near_dup(s1, threshold=0.5, n_hashes=32, bands=16)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    s2 = s1.join(F.broadcast(drop_near), "doc_id", "left_anti")
+
+    # direct recipe (the r14 stage 3): filter survivors, full text scan
+    n_direct = s2.filter(
+        F.round(quality_col(F.col("text")), 5) >= 0.65
+    ).count()
+
+    # fused recipe: arithmetic over the textless side-channel
+    qual = scan1.select("doc_id", "qp")
+    n_pass_all = qual.filter("qp").count()
+    n_drop_pass = (
+        qual.join(F.broadcast(drop_exact.unionByName(drop_near)), "doc_id")
+        .filter("qp")
+        .count()
+    )
+    assert n_pass_all - n_drop_pass == n_direct
+    # the drop sets must be disjoint for the arithmetic to hold
+    assert drop_exact.join(drop_near, "doc_id").count() == 0

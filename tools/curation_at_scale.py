@@ -107,7 +107,7 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from ais_data_pipeline_spark.operators.dedup import minhash_near_dup
-    from ais_data_pipeline_spark.operators.text import quality_score
+    from ais_data_pipeline_spark.operators.text import quality_col
     from ais_data_pipeline_spark.session import get_spark
     from tools.pipeline_at_scale import _HeapPoller
 
@@ -163,12 +163,25 @@ def main() -> None:
         # OOM at 3M docs under the 4 GiB cap. Broadcast-drop-set, by
         # contrast, shuffles only (doc_id, hash) pairs and band rows.)
 
-        # stage 1: exact dedup — shuffle (doc_id, md5) only, then the
-        # ~2% non-min ids come back as a broadcast anti list
-        hashed = d.select("doc_id", F.md5(F.col("text").cast("binary")).alias("h"))
-        keep_min = hashed.groupBy("h").agg(F.min("doc_id").alias("__keep"))
+        # stage 1: exact dedup — AND the quality flag, fused into the
+        # same text pass (r15, r14 verdict stretch 8): quality is a
+        # pure per-doc function, independent of the dedup decisions,
+        # so the only reason stage 3 re-read 4.3 GiB of text was that
+        # nobody had computed the flag while the text was already in
+        # cache. The checkpointed side-channel is textless —
+        # (doc_id, md5-hex, bool) ≈ 41 B/doc — so the bounded-memory
+        # rule (text never shuffles, never pins) still holds.
+        scan1 = d.select(
+            "doc_id",
+            F.md5(F.col("text").cast("binary")).alias("h"),
+            # round(...,5) >= t replicates quality_score's 5-dp
+            # decision boundary exactly (same recipe as
+            # plans.curation.run_curation)
+            (F.round(quality_col(F.col("text")), 5) >= 0.65).alias("qp"),
+        ).localCheckpoint(eager=True)
+        keep_min = scan1.groupBy("h").agg(F.min("doc_id").alias("__keep"))
         drop_exact = (
-            hashed.join(keep_min, "h")
+            scan1.join(keep_min, "h")
             .filter(F.col("doc_id") != F.col("__keep"))
             .select("doc_id")
             .localCheckpoint(eager=True)  # small: dup ids only
@@ -191,8 +204,21 @@ def main() -> None:
         n2 = n1 - n_drop2
         t2 = time.perf_counter()
 
-        # stage 3: composite quality filter — one more scan, map-only
-        n3 = quality_score(s2).filter(F.col("quality") >= 0.65).count()
+        # stage 3: set arithmetic over the fused side-channel — ZERO
+        # text re-scan. survivors passing = all passing − passing
+        # among the (disjoint) drop sets; identical to filtering s2
+        # by construction, pinned by the pytest fusion-equivalence
+        # test and the unchanged planted-dup accounting below.
+        qual = scan1.select("doc_id", "qp")
+        n_pass_all = qual.filter("qp").count()
+        n_drop_pass = (
+            qual.join(
+                F.broadcast(drop_exact.unionByName(drop_near)), "doc_id"
+            )
+            .filter("qp")
+            .count()
+        )
+        n3 = n_pass_all - n_drop_pass
         t3 = time.perf_counter()
     dt = t3 - t0
     gc_ms = gc_millis(spark) - gc0
