@@ -551,9 +551,9 @@ def decode_pixels_array(data: bytes):
         try:
             return parse_tiff(data), "tiff"
         except NotImplementedError:
-            # exotic codecs (old-style JPEG 6/CCITT/planar-2; new-style
-            # JPEG-in-TIFF decodes natively as of r15): PIL
-            # fall-through, the image tier's exotic-variant convention
+            # exotic codecs (old-style JPEG 6/CCITT; new-style
+            # JPEG-in-TIFF and planar-2 decode natively as of r15):
+            # PIL fall-through, the image tier's exotic convention
             pass
     if data[:2] == b"\xff\xd8":
         from ais_data_pipeline_spark.operators.jpeg import parse_jpeg
@@ -1037,12 +1037,16 @@ def make_image_fixture(
                     elif fmt in ("mixed6", "mixed7") and sub == 2:
                         # TILED arm (r14): 4x4 LZW tiles with edge
                         # padding — same closed-form raster, so the
-                        # oracle's pixel sums are layout-independent
+                        # oracle's pixel sums are layout-independent.
+                        # mixed7 stores every fourth color doc's tiles
+                        # PLANAR-2 (r15) — raster identical, oracle
+                        # untouched, the plane walk driver-exercised
                         w, h = tiff_dims(i)
                         payloads.append(
                             encode_tiff(
                                 i, w, h, gray=i % 2 == 1,
                                 compression=5, tile=(4, 4),
+                                planar=2 if fmt == "mixed7" and i % 8 == 6 else 1,
                             )
                         )
                     else:
@@ -1051,6 +1055,7 @@ def make_image_fixture(
                             encode_tiff(
                                 i, w, h, gray=i % 2 == 1,
                                 big_endian=i % 3 == 0, rows_per_strip=2,
+                                planar=2 if fmt == "mixed7" and i % 8 == 0 else 1,
                             )
                         )
                 elif (fmt == "mixed4" and i % 4 == 3) or (

@@ -21,9 +21,11 @@ under every strip codec. Round 15: NEW-STYLE JPEG-IN-TIFF
 abbreviated per-strip/tile streams spliced through the full
 ``operators.jpeg`` decoder; gray + YCbCr photometrics) decodes
 natively as a composition of the existing JPEG decoder with the
-strip/tile walk.
+strip/tile walk, and PLANAR CONFIGURATION 2 (separate component
+planes, component-major strip/tile tables, per-plane predictor)
+decodes for every raster codec.
 Remaining codecs (old-style JPEG compression 6, CCITT fax,
-planar-configuration-2, RGB/CMYK-coded JPEG-in-TIFF) raise the honest
+RGB/CMYK-coded or planar-2 JPEG-in-TIFF) raise the honest
 ``NotImplementedError`` and fall through to the PIL hook in
 ``multimodal.decode_pixels_array`` — the image tier's exotic-variant
 convention.
@@ -266,6 +268,11 @@ def _decode_ifd(data: bytes, e: str, tags: dict[int, list[int]]):
         # raster would decode under the wrong channel model (round-13
         # hardening sweep)
         raise ValueError("TIFF photometric/samples-per-pixel mismatch")
+    if tags.get(284, [1])[0] == 2 and spp == 3:
+        # planar configuration 2 (r15): each component in its own
+        # plane — component-major strip/tile tables, per-plane
+        # predictor. Gray planar-2 is indistinguishable from planar-1.
+        return _decode_planar2(data, tags, w, h, compression, predictor)
     if 322 in tags or 324 in tags:
         # tiled layout (r14): the strip walk with a 2-D index
         return _decode_tiles(
@@ -448,6 +455,82 @@ def _decode_subbyte_strips(
     return np.repeat(gray[:, :, None], 3, axis=2)
 
 
+def _decode_planar2(
+    data: bytes,
+    tags: dict[int, list[int]],
+    w: int,
+    h: int,
+    compression: int,
+    predictor: int,
+):
+    """Planar-configuration-2 RGB decode (r15, TIFF 6.0 §14 field
+    PlanarConfiguration): each component is stored as its OWN
+    single-channel image — the strip (or tile) tables hold
+    ``3 × blocks-per-plane`` entries in component-major order (all of
+    R's blocks, then G's, then B's), each block holding w-wide
+    one-byte samples, and the horizontal-differencing predictor
+    applies within each plane independently. Decode each plane with
+    the same block walk as grayscale, then stack to HxWx3."""
+    import numpy as np
+
+    tiled = 322 in tags or 324 in tags
+    if tiled:
+        if 322 not in tags or 323 not in tags or 324 not in tags:
+            raise ValueError("tiled TIFF missing tile geometry/offset tags")
+        tw, tl = tags[322][0], tags[323][0]
+        if tw == 0 or tl == 0:
+            raise ValueError("TIFF with zero tile dimension")
+        offsets, counts = tags[324], tags.get(325)
+        across = (w + tw - 1) // tw
+        down = (h + tl - 1) // tl
+        per_plane = across * down
+    else:
+        if 273 not in tags:
+            raise ValueError("TIFF missing strip offsets")
+        offsets, counts = tags[273], tags.get(279)
+        rps = tags.get(278, [h])[0] or h
+        per_plane = (h + rps - 1) // rps
+    if counts is None or len(counts) != len(offsets):
+        raise ValueError("TIFF strip/tile offset/count tables disagree")
+    if len(offsets) != 3 * per_plane:
+        raise ValueError(
+            "planar-2 TIFF strip/tile count is not 3x the per-plane count"
+        )
+
+    planes = []
+    for c in range(3):
+        if tiled:
+            full = np.zeros((down * tl, across * tw), dtype=np.uint8)
+            for ti in range(per_plane):
+                off, cnt = offsets[c * per_plane + ti], counts[c * per_plane + ti]
+                raw = _decompress_block(data, off, cnt, compression, tw * tl)
+                tile = np.frombuffer(raw, dtype=np.uint8).reshape(tl, tw)
+                if predictor == 2:
+                    tile = (np.cumsum(tile.astype(np.int64), axis=1) % 256).astype(
+                        np.uint8
+                    )
+                ty, tx = divmod(ti, across)
+                full[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw] = tile
+            planes.append(full[:h, :w])
+        else:
+            buf = bytearray()
+            remaining = h
+            for s in range(per_plane):
+                off, cnt = offsets[c * per_plane + s], counts[c * per_plane + s]
+                rows = min(rps, remaining)
+                buf += _decompress_block(data, off, cnt, compression, rows * w)
+                remaining -= rows
+            if remaining:
+                raise ValueError("TIFF strips cover fewer rows than the image")
+            plane = np.frombuffer(bytes(buf), dtype=np.uint8).reshape(h, w)
+            if predictor == 2:
+                plane = (np.cumsum(plane.astype(np.int64), axis=1) % 256).astype(
+                    np.uint8
+                )
+            planes.append(plane)
+    return np.stack(planes, axis=2)
+
+
 def _decode_jpeg_ifd(data: bytes, tags: dict[int, list[int]], w: int, h: int, photometric: int):
     """New-style JPEG-in-TIFF decode (TIFF TechNote 2, compression 7,
     r15): tag 347 (JPEGTables) holds an abbreviated table stream
@@ -590,6 +673,7 @@ def encode_tiff(
     compression: int = 1,
     predictor: int = 1,
     tile: tuple[int, int] | None = None,
+    planar: int = 1,
 ) -> bytes:
     """Real baseline TIFF of the shared closed-form raster
     (``synth_pixel_value``): header, one IFD with the geometry/strip
@@ -597,12 +681,15 @@ def encode_tiff(
     (compression 1), TIFF-LZW (5) or PackBits (32773), optionally
     horizontally differenced first (predictor 2). ``tile=(tw, tl)``
     (r14) writes the TILED layout instead — tags 322-325, full
-    right/bottom-padded edge tiles."""
+    right/bottom-padded edge tiles. ``planar=2`` (r15) stores each
+    RGB component as its own plane (component-major strip/tile
+    tables, per-plane predictor) — the SAME logical raster, so every
+    closed-form oracle is layout-independent."""
     e = ">" if big_endian else "<"
     hdr = (b"II\x2a\x00" if e == "<" else b"MM\x00\x2a") + struct.pack(e + "I", 8)
     return hdr + _encode_tiff_page(
         doc_id, w, h, gray, e, rows_per_strip, compression, predictor,
-        base=8, next_ifd=0, tile=tile,
+        base=8, next_ifd=0, tile=tile, planar=planar,
     )
 
 
@@ -757,6 +844,7 @@ def _encode_tiff_page(
     base: int,
     next_ifd: int,
     tile: tuple[int, int] | None = None,
+    planar: int = 1,
 ) -> bytes:
     """One page block — IFD + out-of-line values + strips OR tiles
     (r14: ``tile=(tw, tl)`` writes tags 322-325 with full padded edge
@@ -785,6 +873,43 @@ def _encode_tiff_page(
         strips, jpeg_tables = _encode_jpeg_blocks(
             doc_id, w, h, gray, rows_per_strip, tile
         )
+    elif planar == 2 and not gray:
+        # r15: planar configuration 2 — SAME interleaved closed-form
+        # raster, stored as three single-channel planes with
+        # component-major strip/tile tables and per-plane predictor
+        arr = np.array(
+            [synth_pixel_value(doc_id, k) for k in range(w * h * 3)],
+            dtype=np.uint8,
+        ).reshape(h, w, 3)
+
+        def plane_diff(block: "np.ndarray") -> "np.ndarray":
+            d2 = block.astype(np.int64).copy()
+            d2[:, 1:] = (block[:, 1:].astype(np.int64) - block[:, :-1]) % 256
+            return d2.astype(np.uint8)
+
+        strips = []
+        if tile is not None:
+            tw, tl = tile
+            across = (w + tw - 1) // tw
+            down = (h + tl - 1) // tl
+            for c in range(3):
+                padded = np.zeros((down * tl, across * tw), dtype=np.uint8)
+                padded[:h, :w] = arr[:, :, c]
+                for ty in range(down):
+                    for tx in range(across):
+                        t = padded[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw]
+                        if predictor == 2:
+                            t = plane_diff(t)
+                        strips.append(t.tobytes())
+        else:
+            rps = rows_per_strip or h
+            for c in range(3):
+                plane = arr[:, :, c]
+                if predictor == 2:
+                    plane = plane_diff(plane)
+                for r in range(0, h, rps):
+                    strips.append(plane[r : min(r + rps, h), :].tobytes())
+        strips = _compress_blocks(strips, compression)
     elif tile is not None:
         raster = bytes(synth_pixel_value(doc_id, k) for k in range(w * h * spp))
         tw, tl = tile
@@ -847,6 +972,8 @@ def _encode_tiff_page(
     ]
     if jpeg_tables is not None:
         tags += [(347, 7, list(jpeg_tables))]
+    if planar == 2 and not gray:
+        tags += [(284, 3, [2])]
     if tile is not None:
         tags += [(322, 4, [tile[0]]), (323, 4, [tile[1]])]
     else:

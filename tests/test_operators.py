@@ -7180,3 +7180,56 @@ def test_tiff_jpeg_in_tiff_decode():
     corrupt[toff + len(t) - 1] = 0x00
     with _pytest.raises(ValueError, match="JPEGTables"):
         parse_tiff(bytes(corrupt))
+
+
+def test_tiff_planar2_decode():
+    """r15: planar-configuration-2 TIFF (separate component planes,
+    component-major strip/tile tables, per-plane predictor) decodes to
+    the SAME raster as the interleaved layout across every native
+    codec, both byte orders, strips and tiles — so all closed-form
+    oracles are layout-independent. A mismatched table length keeps a
+    loud error."""
+    import numpy as np
+    import pytest as _pytest
+
+    from ais_data_pipeline_spark.operators.multimodal import synth_pixel_value
+    from ais_data_pipeline_spark.operators.tiff import encode_tiff, parse_tiff
+
+    def want(doc, w, h):
+        return np.array(
+            [synth_pixel_value(doc, k) for k in range(w * h * 3)], dtype=np.uint8
+        ).reshape(h, w, 3)
+
+    for doc, w, h, rps, comp, pred, tile, be in [
+        (1, 9, 7, None, 1, 1, None, False),
+        (2, 9, 7, 3, 1, 1, None, False),        # multi-strip split
+        (3, 9, 7, 2, 5, 2, None, True),         # LZW + predictor, MM
+        (4, 11, 6, 4, 32773, 1, None, False),   # PackBits
+        (5, 13, 10, None, 8, 2, (4, 4), False), # Deflate tiles + pred
+        (6, 8, 8, None, 1, 1, (4, 4), False),
+    ]:
+        blob = encode_tiff(
+            doc, w, h, gray=False, big_endian=be, rows_per_strip=rps,
+            compression=comp, predictor=pred, tile=tile, planar=2,
+        )
+        # interleaved twin of the same raster proves layout-independence
+        inter = encode_tiff(
+            doc, w, h, gray=False, big_endian=be, rows_per_strip=rps,
+            compression=comp if comp != 32773 else 1, predictor=pred,
+            tile=tile,
+        )
+        assert (parse_tiff(blob) == want(doc, w, h)).all()
+        assert (parse_tiff(blob) == parse_tiff(inter)).all()
+
+    # a planar-2 table whose length is not 3x per-plane errors loudly
+    import struct as _struct
+
+    b = bytearray(encode_tiff(2, 9, 7, rows_per_strip=3, planar=2))
+    (ifd,) = _struct.unpack_from("<I", b, 4)
+    (n,) = _struct.unpack_from("<H", b, ifd)
+    for i in range(n):
+        ent = ifd + 2 + 12 * i
+        if _struct.unpack_from("<HH", b, ent)[0] == 278:
+            b[ent + 8] = 7  # rows_per_strip 3 -> 7: per-plane count shrinks
+    with _pytest.raises(ValueError, match="3x the per-plane"):
+        parse_tiff(bytes(b))
