@@ -1017,7 +1017,11 @@ def make_image_fixture(
                     elif fmt in ("mixed6", "mixed7") and sub == 1:
                         # multi-page arm (r14): 2-3 chained IFDs with
                         # per-page dims, seeds, and compressions —
-                        # page p raster byte k = synth(i + 131*p, k)
+                        # page p raster byte k = synth(i + 131*p, k).
+                        # mixed7 (r15): docs i%8==1 swap page 1 to
+                        # CCITT G4 bilevel — bit (x, y) black iff
+                        # synth(seed, y*w+x) >= 128, white 255 —
+                        # driver-exercising the fax decode
                         payloads.append(
                             encode_tiff_multipage(
                                 i,
@@ -1028,7 +1032,13 @@ def make_image_fixture(
                                         h=3 + (i + p) % 6,
                                         gray=i % 2 == 1,
                                         rows_per_strip=2,
-                                        compression=[1, 5, 8][p % 3],
+                                        compression=(
+                                            4
+                                            if fmt == "mixed7"
+                                            and p == 1
+                                            and i % 8 == 1
+                                            else [1, 5, 8][p % 3]
+                                        ),
                                     )
                                     for p in range(2 + i % 2)
                                 ],

@@ -21,14 +21,17 @@ under every strip codec. Round 15: NEW-STYLE JPEG-IN-TIFF
 abbreviated per-strip/tile streams spliced through the full
 ``operators.jpeg`` decoder; gray + YCbCr photometrics) decodes
 natively as a composition of the existing JPEG decoder with the
-strip/tile walk, and PLANAR CONFIGURATION 2 (separate component
+strip/tile walk, PLANAR CONFIGURATION 2 (separate component
 planes, component-major strip/tile tables, per-plane predictor)
-decodes for every raster codec.
-Remaining codecs (old-style JPEG compression 6, CCITT fax,
-RGB/CMYK-coded or planar-2 JPEG-in-TIFF) raise the honest
-``NotImplementedError`` and fall through to the PIL hook in
-``multimodal.decode_pixels_array`` — the image tier's exotic-variant
-convention.
+decodes for every raster codec, and CCITT GROUP 4 (T.6 MMR,
+compression 4 — ``operators.ccitt``, spec-vector-pinned mode/run
+tables, per-strip reference reset) decodes the fax/scanned-document
+tier natively.
+Remaining codecs (old-style JPEG compression 6, 1-D MH/G3 fax,
+RGB/CMYK-coded or planar-2 JPEG-in-TIFF, tiled/uncompressed-mode G4)
+raise the honest ``NotImplementedError`` and fall through to the PIL
+hook in ``multimodal.decode_pixels_array`` — the image tier's
+exotic-variant convention.
 
 Reference parity: the reference pipeline has no image handling; this
 module is part of the mandated LLM-data-pipeline multimodal tier.
@@ -236,6 +239,24 @@ def _decode_ifd(data: bytes, e: str, tags: dict[int, list[int]]):
         # strip/tile — a composition of the existing JPEG decoder
         # with the strip/tile walk, not a new codec
         return _decode_jpeg_ifd(data, tags, w, h, photometric)
+    if compression in (2, 3, 4):
+        # CCITT family: Group 4 / T.6 MMR (compression 4, the
+        # document-scan staple) decodes natively as of r15; the
+        # legacy 1-D MH (2) and Group 3 (3) framings stay honest
+        if compression != 4:
+            raise NotImplementedError(
+                f"CCITT compression {compression} (MH/G3) not supported "
+                "natively — Group 4 (T.6, compression 4) only"
+            )
+        if bits[0] != 1 or spp != 1 or photometric not in (0, 1):
+            raise ValueError("G4 TIFF must be 1-bit single-sample bilevel")
+        if 322 in tags or 324 in tags:
+            raise NotImplementedError("tiled G4 TIFF not supported")
+        if tags.get(293, [0])[0] & 2:
+            raise NotImplementedError(
+                "G4 uncompressed mode (T6Options bit 1) not supported"
+            )
+        return _decode_g4_strips(data, tags, w, h)
     if compression not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(
             f"TIFF compression {compression} not supported natively "
@@ -452,6 +473,42 @@ def _decode_subbyte_strips(
     if photometric == 0:  # WhiteIsZero
         vals = maxv - vals
     gray = (vals * 255 // maxv).astype(np.uint8)
+    return np.repeat(gray[:, :, None], 3, axis=2)
+
+
+def _decode_g4_strips(data: bytes, tags: dict[int, list[int]], w: int, h: int):
+    """CCITT Group 4 strip decode (r15): each strip is an
+    independently-coded T.6 block of ``rows_per_strip`` rows
+    (reference line resets to all-white per strip, per the TIFF
+    spec's strip-independence rule). G4 runs are WHITE/BLACK
+    semantically — presentation is luminance (white 255, black 0)
+    for either bilevel photometric, replicated to RGB like every
+    bilevel path."""
+    import numpy as np
+
+    from ais_data_pipeline_spark.operators.ccitt import decode_g4
+
+    if 273 not in tags:
+        raise ValueError("TIFF missing strip offsets")
+    offsets = tags[273]
+    counts = tags.get(279)
+    if counts is None or len(counts) != len(offsets):
+        raise ValueError("TIFF strip offset/count tables disagree")
+    rps = tags.get(278, [h])[0] or h
+    rows_out: list[list[int]] = []
+    remaining = h
+    for off, cnt in zip(offsets, counts):
+        if remaining <= 0:
+            raise ValueError("TIFF strips overrun the image height")
+        if off + cnt > len(data):
+            raise ValueError("TIFF strip out of range")
+        rows = min(rps, remaining)
+        rows_out.extend(decode_g4(data[off : off + cnt], w, rows))
+        remaining -= rows
+    if remaining:
+        raise ValueError("TIFF strips cover fewer rows than the image")
+    bitarr = np.array(rows_out, dtype=np.uint8)  # 1 = black
+    gray = ((1 - bitarr) * 255).astype(np.uint8)
     return np.repeat(gray[:, :, None], 3, axis=2)
 
 
@@ -873,6 +930,23 @@ def _encode_tiff_page(
         strips, jpeg_tables = _encode_jpeg_blocks(
             doc_id, w, h, gray, rows_per_strip, tile
         )
+    elif compression == 4:
+        # r15: CCITT G4 bilevel fixture — bit (x, y) is black iff
+        # synth_pixel_value(doc, y*w + x) >= 128 (a closed form SQL
+        # re-derives); strips are independent T.6 blocks
+        from ais_data_pipeline_spark.operators.ccitt import encode_g4
+
+        if not gray or predictor != 1 or tile is not None:
+            raise ValueError("G4 fixture is bilevel strips only")
+        bit_rows = [
+            [1 if synth_pixel_value(doc_id, y * w + x) >= 128 else 0 for x in range(w)]
+            for y in range(h)
+        ]
+        rps4 = rows_per_strip or h
+        strips = [
+            encode_g4(bit_rows[r : min(r + rps4, h)], w)
+            for r in range(0, h, rps4)
+        ]
     elif planar == 2 and not gray:
         # r15: planar configuration 2 — SAME interleaved closed-form
         # raster, stored as three single-channel planes with
@@ -955,16 +1029,18 @@ def _encode_tiff_page(
 
     # layout: [header(8) for page 0] + IFD + extras + strips/tiles,
     # with every embedded offset measured from file start = ``base``
-    # photometric: JPEG color data is YCbCr (6) per TechNote 2; raster
-    # formats keep the gray/RGB codes
-    if gray:
+    # photometric: JPEG color data is YCbCr (6) per TechNote 2; G4 is
+    # min-is-white bilevel (0); raster formats keep the gray/RGB codes
+    if compression == 4:
+        photometric = 0
+    elif gray:
         photometric = 1
     else:
         photometric = 6 if compression == 7 else 2
     tags = [
         (256, 4, [w]),
         (257, 4, [h]),
-        (258, 3, [8] * spp),
+        (258, 3, [1] if compression == 4 else [8] * spp),
         (259, 3, [compression]),
         (262, 3, [photometric]),
         (277, 3, [spp]),

@@ -9368,6 +9368,11 @@ def q_image_luma_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
              -- encode), layout-independent across strips/tiles
              CASE WHEN doc_id % 5 = 4 AND doc_id % 4 = 3 THEN 1
                   ELSE 0 END AS jt,
+             -- CCITT G4 page (r15): multipage docs i%8==1 store page
+             -- 1 bilevel — pixel white (255) iff synth(seed, k) < 128
+             CASE WHEN doc_id % 5 = 4 AND doc_id % 4 = 1
+                       AND doc_id % 8 = 1 AND p = 1 THEN 1
+                  ELSE 0 END AS g4,
              -- grayscale raster TIFF (odd ids outside the JPEG arm):
              -- one stored byte per pixel, replicated to RGB on decode
              -- -> channel sums are 3x the gray sum over w*h bytes;
@@ -9383,7 +9388,7 @@ def q_image_luma_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
            UNNEST(range(0, CASE WHEN doc_id % 5 = 4 AND doc_id % 4 = 1
                                 THEN 2 + doc_id % 2 ELSE 1 END)) AS t(p)
     ), dims AS (
-      SELECT doc_id, format, gray, jt, seed,
+      SELECT doc_id, format, gray, jt, g4, seed,
              CASE doc_id % 5 WHEN 0 THEN 4 + doc_id % 13
                   WHEN 1 THEN 4 + doc_id % 11
                   WHEN 2 THEN 4 + doc_id % 12
@@ -9397,7 +9402,11 @@ def q_image_luma_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pg
     ), px AS (
       SELECT doc_id, format, w, h,
-             CASE WHEN jt = 1
+             CASE WHEN g4 = 1
+                  THEN 765 * (SELECT COUNT(*)
+                              FROM UNNEST(range(0, w*h)) AS q(k)
+                              WHERE (seed*31 + k) % 256 < 128)
+                  WHEN jt = 1
                   THEN 3 * (SELECT SUM((seed*31
                                         + (k // w) // 8 * ((w + 7) // 8)
                                         + (k % w) // 8) % 256)
@@ -9423,11 +9432,14 @@ def q_image_luma_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "splits, odd ids grayscale-replicated — MULTI-PAGE in r14: "
     "doc_id%4==1 TIFF docs chain 2-3 IFDs with per-page dims, seeds, "
     "and compressions (none/LZW/Deflate), decoded to one row per "
-    "page; and JPEG-IN-TIFF in r15 (mixed6 -> mixed7): doc_id%4==3 "
-    "TIFF docs carry compression 7 — shared JPEGTables tag + "
+    "page; and r15 (mixed6 -> mixed7): JPEG-IN-TIFF — doc_id%4==3 "
+    "TIFF docs carry compression 7, shared JPEGTables tag + "
     "abbreviated per-strip/tile JPEG streams, gray and YCbCr arms, "
-    "strips and 8x8 tiles alternating — through the full JPEG "
-    "decoder, bit-exact via constant 8x8 blocks; all "
+    "strips and 8x8 tiles alternating, through the full JPEG "
+    "decoder, bit-exact via constant 8x8 blocks; PLANAR-2 — docs "
+    "%8 in {0,6} store RGB as separate planes (raster identical, "
+    "oracle untouched); and CCITT G4 — multipage docs i%8==1 code "
+    "page 1 as T.6 bilevel fax, oracle counting white pixels; all "
     "raster-sum-sensitive here) decoded by one decode_image_pixels "
     "pass whose internal dispatch picks the parser per blob; "
     "per-format row counts, pixel totals, and raster sums prove "

@@ -619,19 +619,28 @@ def test_incremental_dedup_index_compaction(spark, sf_dir, tmp_path):
     counts = compact_dedup_index(spark, index)
     assert counts["hashes"] == pre_hashes
     # r14: compaction commits by generation pointer — the consolidated
-    # tables live under the published _gNNNNN root, the flat legacy
-    # dirs are GC'd, and no data directory was ever renamed
+    # tables live under the published _gNNNNN root and no data
+    # directory was ever renamed. r15 (deferred GC): the superseded
+    # flat legacy dirs survive ONE maintenance cycle (racing probes
+    # finish their scan) and are collected on the next entry.
     from ais_data_pipeline_spark import fsutil as _fsutil
 
     assert _fsutil.current_generation(index) == 1
     root = _fsutil.current_root(index)
     assert root != index
     assert _glob.glob(root + "/hashes/src_batch=*") == [root + "/hashes/src_batch=-1"]
-    assert _glob.glob(index + "/hashes/src_batch=*") == []  # legacy GC'd
+    assert _glob.glob(index + "/hashes/src_batch=*") != []  # kept one cycle
     assert spark.read.parquet(root + "/hashes").count() == pre_hashes
 
     after = {r["doc_id"] for r in dedup_batch_against_index(probe_batch, index).collect()}
     assert after == before
+
+    # next maintenance entry collects the deferred legacy data and
+    # probes stay identical through it
+    compact_dedup_index(spark, index)
+    assert _glob.glob(index + "/hashes/src_batch=*") == []  # now collected
+    after2 = {r["doc_id"] for r in dedup_batch_against_index(probe_batch, index).collect()}
+    assert after2 == before
 
 
 def test_generation_commit_crash_windows_and_zero_renames(
@@ -708,7 +717,9 @@ def test_generation_commit_crash_windows_and_zero_renames(
     assert after == before
 
     # (c) a stale generation dir (crash after a later publish) is
-    # swept by the next entry, which itself commits gen 2
+    # swept by the next entry, which itself commits gen 2. r15
+    # deferred GC: the JUST-superseded gen 1 is kept one cycle for
+    # racing probes and collected by the entry after that.
     stale = index + "/_g00007/hashes"
     _os.makedirs(stale)
     with open(stale + "/junk.parquet", "w") as f:
@@ -716,6 +727,12 @@ def test_generation_commit_crash_windows_and_zero_renames(
     compact_dedup_index(spark, index)
     assert fsutil.current_generation(index) == 2
     assert not _os.path.exists(index + "/_g00007")
+    assert _os.path.exists(index + "/_g00001")  # kept one cycle
+    assert {
+        r["doc_id"] for r in dedup_batch_against_index(probe_batch, index).collect()
+    } == before
+    compact_dedup_index(spark, index)  # next entry collects gen 1
+    assert fsutil.current_generation(index) == 3
     assert not _os.path.exists(index + "/_g00001")
     assert {
         r["doc_id"] for r in dedup_batch_against_index(probe_batch, index).collect()
