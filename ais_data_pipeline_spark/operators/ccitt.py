@@ -1,12 +1,18 @@
-"""CCITT Group 4 (ITU-T T.6 MMR) bilevel codec — pure stdlib.
+"""CCITT fax codecs (ITU-T T.4 / T.6) — pure stdlib.
 
-The fax/scanned-document codec TIFF compression 4 wraps: every row is
-coded 2-D against the row above (an imaginary all-white row above row
-0) using three modes — VERTICAL (a1 within ±3 of the reference
-change b1), HORIZONTAL (two T.4 modified-Huffman run lengths), and
-PASS (reference runs with no counterpart on the coding line) — with
-no EOL codes between rows (that is G3's framing; G4 rows chain
-directly and an optional EOFB terminates the block).
+The full bilevel scanned-document family TIFF wraps:
+
+- **Group 4 / T.6 MMR** (TIFF compression 4): every row coded 2-D
+  against the row above (an imaginary all-white row above row 0)
+  using three modes — VERTICAL (a1 within ±3 of the reference change
+  b1), HORIZONTAL (two T.4 modified-Huffman run lengths), and PASS
+  (reference runs with no counterpart on the coding line) — no EOLs,
+  optional EOFB.
+- **Group 3 / T.4** (compression 3): an EOL (with fill tolerance)
+  frames every row; 2-D mode (T4Options bit 0) adds a tag bit per
+  EOL selecting 1-D MH or 2-D MMR against the previous row.
+- **Modified Huffman** (compression 2): pure 1-D runs, each row
+  starting on a byte boundary, no EOLs (TIFF 6.0 §10).
 
 Implemented from the public ITU-T T.4 §2.4.1/2.4.2 code tables
 (terminating + makeup + shared extended makeup codes) and the T.6
@@ -225,6 +231,79 @@ def _b1_b2(ref: list[int], a0: int, color: int) -> tuple[int, int, int]:
     return b1, b2, j
 
 
+def _changes_to_bits(changes: list[int], w: int) -> list[int]:
+    bits = [0] * w
+    val = 0
+    ci = 0
+    kept = [c for c in changes if c < w]
+    for x in range(w):
+        while ci < len(kept) and kept[ci] == x:
+            val ^= 1
+            ci += 1
+        bits[x] = val
+    return bits
+
+
+def _decode_2d_row(br: _BitReader, ref: list[int], w: int) -> list[int]:
+    """One 2-D (MMR) coded row against reference changes ``ref`` —
+    shared by G4 and 2-D-coded G3 rows. Returns the row's bits."""
+    cur: list[int] = []
+    a0 = -1
+    color = 0
+    while True:
+        if a0 >= w:
+            raise ValueError("2-D row overruns the image width")
+        mode = _read_mode(br)
+        if mode == "eol":
+            raise ValueError("unexpected EOL inside a 2-D coded row")
+        b1, b2, _j = _b1_b2(ref, a0, color)
+        if b1 < 0:
+            b1 = w
+        if b2 < 0:
+            b2 = w
+        if mode == "pass":
+            a0 = b2  # color unchanged, no transition recorded
+        elif mode == "h":
+            r1 = _read_run(br, white=color == 0)
+            r2 = _read_run(br, white=color != 0)
+            start = 0 if a0 < 0 else a0
+            a1 = start + r1
+            a2 = a1 + r2
+            if a2 > w or a1 > w:
+                raise ValueError("horizontal runs overrun the row")
+            cur.append(a1)
+            cur.append(a2)
+            a0 = a2
+        else:
+            dv = {"v0": 0, "vr1": 1, "vr2": 2, "vr3": 3,
+                  "vl1": -1, "vl2": -2, "vl3": -3}[mode]
+            a1 = b1 + dv
+            if a1 < 0 or a1 > w:
+                raise ValueError("vertical mode lands outside the row")
+            cur.append(a1)
+            a0 = a1
+            color ^= 1
+        if a0 >= w:
+            break
+    return _changes_to_bits(cur, w)
+
+
+def _decode_mh_row(br: _BitReader, w: int) -> list[int]:
+    """One T.4 1-D modified-Huffman row: alternating white/black run
+    lengths starting white, totalling exactly ``w``."""
+    total = 0
+    white = True
+    changes: list[int] = []
+    while total < w:
+        run = _read_run(br, white=white)
+        total += run
+        if total > w:
+            raise ValueError("MH runs overrun the row")
+        changes.append(total)
+        white = not white
+    return _changes_to_bits(changes, w)
+
+
 def decode_g4(data: bytes, w: int, h: int) -> "list[list[int]]":
     """G4 stream -> h rows of w bits (1 = black). Tolerates (and
     stops at) a trailing EOFB; raises on truncation, overruns, or the
@@ -232,56 +311,57 @@ def decode_g4(data: bytes, w: int, h: int) -> "list[list[int]]":
     br = _BitReader(data)
     rows: list[list[int]] = []
     ref: list[int] = []  # imaginary all-white reference row: no changes
-    W = w
     for _y in range(h):
-        cur: list[int] = []
-        a0 = -1
-        color = 0
-        while True:
-            if a0 >= W:
-                raise ValueError("G4 row overruns the image width")
-            mode = _read_mode(br)
-            if mode == "eol":
-                raise ValueError("unexpected EOL inside a G4 block")
-            b1, b2, _j = _b1_b2(ref, a0, color)
-            if b1 < 0:
-                b1 = W
-            if b2 < 0:
-                b2 = W
-            if mode == "pass":
-                a0 = b2  # color unchanged, no transition recorded
-            elif mode == "h":
-                r1 = _read_run(br, white=color == 0)
-                r2 = _read_run(br, white=color != 0)
-                start = 0 if a0 < 0 else a0
-                a1 = start + r1
-                a2 = a1 + r2
-                if a2 > W or a1 > W:
-                    raise ValueError("G4 horizontal runs overrun the row")
-                cur.append(a1)
-                cur.append(a2)
-                a0 = a2
-            else:
-                dv = {"v0": 0, "vr1": 1, "vr2": 2, "vr3": 3,
-                      "vl1": -1, "vl2": -2, "vl3": -3}[mode]
-                a1 = b1 + dv
-                if a1 < 0 or a1 > W:
-                    raise ValueError("G4 vertical mode lands outside the row")
-                cur.append(a1)
-                a0 = a1
-                color ^= 1
-            if a0 >= W:
-                break
-        # drop the conventional trailing change at exactly W
-        changes = [c for c in cur if c < W]
-        bits = [0] * W
-        val = 0
-        ci = 0
-        for x in range(W):
-            while ci < len(changes) and changes[ci] == x:
-                val ^= 1
-                ci += 1
-            bits[x] = val
+        bits = _decode_2d_row(br, ref, w)
+        rows.append(bits)
+        ref = _row_changes(bits)
+    return rows
+
+
+def decode_mh(data: bytes, w: int, h: int) -> "list[list[int]]":
+    """TIFF compression 2 (pure 1-D modified Huffman, no EOLs): each
+    row's code words start on a BYTE boundary (TIFF 6.0 §10)."""
+    br = _BitReader(data)
+    rows = []
+    for _y in range(h):
+        br.pos = (br.pos + 7) & ~7  # byte-align per row
+        rows.append(_decode_mh_row(br, w))
+    return rows
+
+
+def _expect_eol(br: _BitReader) -> None:
+    """Consume fill zeros + one EOL (eleven+ 0s then a 1)."""
+    zeros = 0
+    while True:
+        bit = br.read_bit()
+        if bit == 1:
+            if zeros < 11:
+                raise ValueError("G3 EOL expected")
+            return
+        zeros += 1
+        if zeros > 64 + 11:
+            raise ValueError("G3 fill run too long")
+
+
+def decode_g3(data: bytes, w: int, h: int, two_d: bool = False) -> "list[list[int]]":
+    """TIFF compression 3 (Group 3 / T.4): an EOL precedes every row
+    (fill bits tolerated); with ``two_d`` (T4Options bit 0) each EOL
+    carries a tag bit — 1 = the next row is 1-D MH, 0 = 2-D coded
+    against the previous row."""
+    br = _BitReader(data)
+    rows: list[list[int]] = []
+    ref: list[int] = []
+    for _y in range(h):
+        _expect_eol(br)
+        one_d = True
+        if two_d:
+            one_d = br.read_bit() == 1
+        if one_d:
+            bits = _decode_mh_row(br, w)
+        else:
+            if not rows:
+                raise ValueError("2-D G3 row with no reference row")
+            bits = _decode_2d_row(br, ref, w)
         rows.append(bits)
         ref = _row_changes(bits)
     return rows
@@ -321,51 +401,110 @@ def _write_run(bw: _BitWriter, run: int, white: bool) -> None:
     bw.write(table[run])
 
 
+def _encode_2d_row(bw: _BitWriter, cur: list[int], ref: list[int], w: int) -> None:
+    """One 2-D (MMR) row against reference changes ``ref`` (standard
+    T.6 coding decisions: pass when b2 < a1, vertical when
+    |a1 - b1| <= 3, else horizontal)."""
+    a0 = -1
+    color = 0
+    ci = 0  # index into cur of the next change > a0
+    while a0 < w:
+        b1, b2, _j = _b1_b2(ref, a0, color)
+        if b1 < 0:
+            b1 = w
+        if b2 < 0:
+            b2 = w
+        a1 = cur[ci] if ci < len(cur) else w
+        if b2 < a1:
+            bw.write(_MODE_PASS)
+            a0 = b2
+            continue
+        d = a1 - b1
+        if -3 <= d <= 3:
+            if d == 0:
+                bw.write(_MODE_V0)
+            elif d > 0:
+                bw.write(_MODE_VR[d])
+            else:
+                bw.write(_MODE_VL[-d])
+            a0 = a1
+            color ^= 1
+            ci += 1
+        else:
+            a2 = cur[ci + 1] if ci + 1 < len(cur) else w
+            bw.write(_MODE_H)
+            start = 0 if a0 < 0 else a0
+            _write_run(bw, a1 - start, white=color == 0)
+            _write_run(bw, a2 - a1, white=color != 0)
+            a0 = a2
+            ci += 2
+
+
+def _encode_mh_row(bw: _BitWriter, cur: list[int], w: int) -> None:
+    """One T.4 1-D row: alternating white/black runs starting white
+    (a leading black pixel codes as white run 0)."""
+    prev = 0
+    white = True
+    for c in [*cur, w]:
+        _write_run(bw, c - prev, white=white)
+        prev = c
+        white = not white
+        if prev == w:
+            break
+
+
 def encode_g4(rows: "list[list[int]]", w: int, with_eofb: bool = True) -> bytes:
     """Rows of w bits (1 = black) -> G4 stream (the fixture twin of
-    ``decode_g4``; standard T.6 coding decisions: pass when b2 < a1,
-    vertical when |a1 - b1| <= 3, else horizontal)."""
+    ``decode_g4``)."""
     bw = _BitWriter()
     ref: list[int] = []
     for bits in rows:
         if len(bits) != w:
             raise ValueError("row width mismatch")
         cur = _row_changes(bits)
-        a0 = -1
-        color = 0
-        ci = 0  # index into cur of the next change > a0
-        while a0 < w:
-            b1, b2, _j = _b1_b2(ref, a0, color)
-            if b1 < 0:
-                b1 = w
-            if b2 < 0:
-                b2 = w
-            a1 = cur[ci] if ci < len(cur) else w
-            if b2 < a1:
-                bw.write(_MODE_PASS)
-                a0 = b2
-                continue
-            d = a1 - b1
-            if -3 <= d <= 3:
-                if d == 0:
-                    bw.write(_MODE_V0)
-                elif d > 0:
-                    bw.write(_MODE_VR[d])
-                else:
-                    bw.write(_MODE_VL[-d])
-                a0 = a1
-                color ^= 1
-                ci += 1
-            else:
-                a2 = cur[ci + 1] if ci + 1 < len(cur) else w
-                bw.write(_MODE_H)
-                start = 0 if a0 < 0 else a0
-                _write_run(bw, a1 - start, white=color == 0)
-                _write_run(bw, a2 - a1, white=color != 0)
-                a0 = a2
-                ci += 2
+        _encode_2d_row(bw, cur, ref, w)
         ref = cur
     if with_eofb:
         bw.write(_EOL)
         bw.write(_EOL)
+    return bw.tobytes()
+
+
+def encode_mh(rows: "list[list[int]]", w: int) -> bytes:
+    """TIFF compression-2 fixture twin: 1-D MH rows, each starting on
+    a byte boundary."""
+    bw = _BitWriter()
+    for bits in rows:
+        if len(bits) != w:
+            raise ValueError("row width mismatch")
+        # byte-align the row start (pad the previous row with zeros)
+        pad = (-sum(len(s) for s in bw.bits)) % 8
+        if pad:
+            bw.write("0" * pad)
+        _encode_mh_row(bw, _row_changes(bits), w)
+    return bw.tobytes()
+
+
+def encode_g3(rows: "list[list[int]]", w: int, two_d: bool = False, k: int = 4) -> bytes:
+    """TIFF compression-3 fixture twin: EOL before every row; with
+    ``two_d``, the tag bit selects 1-D for every ``k``-th row (and
+    row 0) and 2-D against the previous row otherwise — the standard
+    G3 K-factor shape."""
+    bw = _BitWriter()
+    ref: list[int] = []
+    for y, bits in enumerate(rows):
+        if len(bits) != w:
+            raise ValueError("row width mismatch")
+        cur = _row_changes(bits)
+        bw.write(_EOL)
+        if two_d:
+            one_d = y % max(k, 1) == 0
+            bw.write("1" if one_d else "0")
+        else:
+            one_d = True
+        if one_d:
+            _encode_mh_row(bw, cur, w)
+        else:
+            _encode_2d_row(bw, cur, ref, w)
+        ref = cur
     return bw.tobytes()

@@ -23,15 +23,17 @@ abbreviated per-strip/tile streams spliced through the full
 natively as a composition of the existing JPEG decoder with the
 strip/tile walk, PLANAR CONFIGURATION 2 (separate component
 planes, component-major strip/tile tables, per-plane predictor)
-decodes for every raster codec, and CCITT GROUP 4 (T.6 MMR,
-compression 4 — ``operators.ccitt``, spec-vector-pinned mode/run
-tables, per-strip reference reset) decodes the fax/scanned-document
-tier natively.
-Remaining codecs (old-style JPEG compression 6, 1-D MH/G3 fax,
-RGB/CMYK-coded or planar-2 JPEG-in-TIFF, tiled/uncompressed-mode G4)
-raise the honest ``NotImplementedError`` and fall through to the PIL
-hook in ``multimodal.decode_pixels_array`` — the image tier's
-exotic-variant convention.
+decodes for every raster codec, and the FULL CCITT FAX FAMILY
+(``operators.ccitt``, spec-vector-pinned mode/run tables): Group 4 /
+T.6 MMR (compression 4, strips with per-strip reference reset AND
+tiles), Group 3 / T.4 (compression 3, 1-D and 2-D per T4Options,
+EOL + fill framing), and byte-aligned 1-D Modified Huffman
+(compression 2) all decode the scanned-document tier natively.
+Remaining codecs (old-style JPEG compression 6, RGB/CMYK-coded or
+planar-2 JPEG-in-TIFF, CCITT uncompressed-mode extensions) raise the
+honest ``NotImplementedError`` and fall through to the PIL hook in
+``multimodal.decode_pixels_array`` — the image tier's exotic-variant
+convention.
 
 Reference parity: the reference pipeline has no image handling; this
 module is part of the mandated LLM-data-pipeline multimodal tier.
@@ -240,23 +242,25 @@ def _decode_ifd(data: bytes, e: str, tags: dict[int, list[int]]):
         # with the strip/tile walk, not a new codec
         return _decode_jpeg_ifd(data, tags, w, h, photometric)
     if compression in (2, 3, 4):
-        # CCITT family: Group 4 / T.6 MMR (compression 4, the
-        # document-scan staple) decodes natively as of r15; the
-        # legacy 1-D MH (2) and Group 3 (3) framings stay honest
-        if compression != 4:
-            raise NotImplementedError(
-                f"CCITT compression {compression} (MH/G3) not supported "
-                "natively — Group 4 (T.6, compression 4) only"
-            )
+        # CCITT family (r15): Group 4 / T.6 MMR (4, the document-scan
+        # staple), Group 3 / T.4 (3, 1-D and 2-D per T4Options), and
+        # pure 1-D modified Huffman (2, byte-aligned rows) all decode
+        # natively through operators.ccitt
         if bits[0] != 1 or spp != 1 or photometric not in (0, 1):
-            raise ValueError("G4 TIFF must be 1-bit single-sample bilevel")
-        if 322 in tags or 324 in tags:
-            raise NotImplementedError("tiled G4 TIFF not supported")
-        if tags.get(293, [0])[0] & 2:
+            raise ValueError("CCITT TIFF must be 1-bit single-sample bilevel")
+        if compression == 3 and tags.get(292, [0])[0] & 2:
+            raise NotImplementedError(
+                "G3 uncompressed mode (T4Options bit 1) not supported"
+            )
+        if compression == 4 and tags.get(293, [0])[0] & 2:
             raise NotImplementedError(
                 "G4 uncompressed mode (T6Options bit 1) not supported"
             )
-        return _decode_g4_strips(data, tags, w, h)
+        if 322 in tags or 324 in tags:
+            if compression != 4:
+                raise NotImplementedError("tiled MH/G3 TIFF not supported")
+            return _decode_g4_tiles(data, tags, w, h)
+        return _decode_ccitt_strips(data, tags, w, h, compression)
     if compression not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(
             f"TIFF compression {compression} not supported natively "
@@ -476,17 +480,30 @@ def _decode_subbyte_strips(
     return np.repeat(gray[:, :, None], 3, axis=2)
 
 
-def _decode_g4_strips(data: bytes, tags: dict[int, list[int]], w: int, h: int):
-    """CCITT Group 4 strip decode (r15): each strip is an
-    independently-coded T.6 block of ``rows_per_strip`` rows
-    (reference line resets to all-white per strip, per the TIFF
-    spec's strip-independence rule). G4 runs are WHITE/BLACK
-    semantically — presentation is luminance (white 255, black 0)
-    for either bilevel photometric, replicated to RGB like every
-    bilevel path."""
+def _bilevel_present(rows_out: list) -> "object":
+    """CCITT runs are WHITE/BLACK semantically — presentation is
+    luminance (white 255, black 0) for either bilevel photometric,
+    replicated to RGB like every bilevel path."""
     import numpy as np
 
-    from ais_data_pipeline_spark.operators.ccitt import decode_g4
+    bitarr = np.array(rows_out, dtype=np.uint8)  # 1 = black
+    gray = ((1 - bitarr) * 255).astype(np.uint8)
+    return np.repeat(gray[:, :, None], 3, axis=2)
+
+
+def _decode_ccitt_strips(
+    data: bytes, tags: dict[int, list[int]], w: int, h: int, compression: int
+):
+    """CCITT strip decode (r15): each strip is an independently-coded
+    block of ``rows_per_strip`` rows (reference line resets to
+    all-white per strip, per the TIFF spec's strip-independence
+    rule). Compression 4 = T.6 MMR, 3 = Group 3 (T4Options bit 0
+    selects 2-D), 2 = pure 1-D MH with byte-aligned rows."""
+    from ais_data_pipeline_spark.operators.ccitt import (
+        decode_g3,
+        decode_g4,
+        decode_mh,
+    )
 
     if 273 not in tags:
         raise ValueError("TIFF missing strip offsets")
@@ -495,6 +512,7 @@ def _decode_g4_strips(data: bytes, tags: dict[int, list[int]], w: int, h: int):
     if counts is None or len(counts) != len(offsets):
         raise ValueError("TIFF strip offset/count tables disagree")
     rps = tags.get(278, [h])[0] or h
+    two_d = bool(tags.get(292, [0])[0] & 1)
     rows_out: list[list[int]] = []
     remaining = h
     for off, cnt in zip(offsets, counts):
@@ -503,12 +521,48 @@ def _decode_g4_strips(data: bytes, tags: dict[int, list[int]], w: int, h: int):
         if off + cnt > len(data):
             raise ValueError("TIFF strip out of range")
         rows = min(rps, remaining)
-        rows_out.extend(decode_g4(data[off : off + cnt], w, rows))
+        block = data[off : off + cnt]
+        if compression == 4:
+            rows_out.extend(decode_g4(block, w, rows))
+        elif compression == 3:
+            rows_out.extend(decode_g3(block, w, rows, two_d=two_d))
+        else:
+            rows_out.extend(decode_mh(block, w, rows))
         remaining -= rows
     if remaining:
         raise ValueError("TIFF strips cover fewer rows than the image")
-    bitarr = np.array(rows_out, dtype=np.uint8)  # 1 = black
-    gray = ((1 - bitarr) * 255).astype(np.uint8)
+    return _bilevel_present(rows_out)
+
+
+def _decode_g4_tiles(data: bytes, tags: dict[int, list[int]], w: int, h: int):
+    """Tiled G4 (r15): each tile is an independently-coded T.6 block
+    of TileLength rows at TileWidth — the tile walk of
+    ``_decode_tiles`` over the fax codec."""
+    import numpy as np
+
+    from ais_data_pipeline_spark.operators.ccitt import decode_g4
+
+    if 322 not in tags or 323 not in tags or 324 not in tags:
+        raise ValueError("tiled TIFF missing tile geometry/offset tags")
+    tw, tl = tags[322][0], tags[323][0]
+    if tw == 0 or tl == 0:
+        raise ValueError("TIFF with zero tile dimension")
+    offsets = tags[324]
+    counts = tags.get(325)
+    across = (w + tw - 1) // tw
+    down = (h + tl - 1) // tl
+    if counts is None or len(counts) != len(offsets):
+        raise ValueError("TIFF tile offset/count tables disagree")
+    if len(offsets) != across * down:
+        raise ValueError("TIFF tile count does not cover the image")
+    full = np.zeros((down * tl, across * tw), dtype=np.uint8)
+    for ti, (off, cnt) in enumerate(zip(offsets, counts)):
+        if off + cnt > len(data):
+            raise ValueError("TIFF tile out of range")
+        bits = np.array(decode_g4(data[off : off + cnt], tw, tl), dtype=np.uint8)
+        ty, tx = divmod(ti, across)
+        full[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw] = bits
+    gray = ((1 - full[:h, :w]) * 255).astype(np.uint8)
     return np.repeat(gray[:, :, None], 3, axis=2)
 
 
@@ -731,6 +785,7 @@ def encode_tiff(
     predictor: int = 1,
     tile: tuple[int, int] | None = None,
     planar: int = 1,
+    t4_2d: bool = False,
 ) -> bytes:
     """Real baseline TIFF of the shared closed-form raster
     (``synth_pixel_value``): header, one IFD with the geometry/strip
@@ -746,7 +801,7 @@ def encode_tiff(
     hdr = (b"II\x2a\x00" if e == "<" else b"MM\x00\x2a") + struct.pack(e + "I", 8)
     return hdr + _encode_tiff_page(
         doc_id, w, h, gray, e, rows_per_strip, compression, predictor,
-        base=8, next_ifd=0, tile=tile, planar=planar,
+        base=8, next_ifd=0, tile=tile, planar=planar, t4_2d=t4_2d,
     )
 
 
@@ -902,6 +957,7 @@ def _encode_tiff_page(
     next_ifd: int,
     tile: tuple[int, int] | None = None,
     planar: int = 1,
+    t4_2d: bool = False,
 ) -> bytes:
     """One page block — IFD + out-of-line values + strips OR tiles
     (r14: ``tile=(tw, tl)`` writes tags 322-325 with full padded edge
@@ -930,23 +986,51 @@ def _encode_tiff_page(
         strips, jpeg_tables = _encode_jpeg_blocks(
             doc_id, w, h, gray, rows_per_strip, tile
         )
-    elif compression == 4:
-        # r15: CCITT G4 bilevel fixture — bit (x, y) is black iff
+    elif compression in (2, 3, 4):
+        # r15: CCITT bilevel fixture — bit (x, y) is black iff
         # synth_pixel_value(doc, y*w + x) >= 128 (a closed form SQL
-        # re-derives); strips are independent T.6 blocks
-        from ais_data_pipeline_spark.operators.ccitt import encode_g4
+        # re-derives); strips/tiles are independent coded blocks.
+        # 4 = G4/T.6, 3 = G3 (2-D when t4_2d), 2 = byte-aligned MH.
+        from ais_data_pipeline_spark.operators.ccitt import (
+            encode_g3,
+            encode_g4,
+            encode_mh,
+        )
 
-        if not gray or predictor != 1 or tile is not None:
-            raise ValueError("G4 fixture is bilevel strips only")
+        if not gray or predictor != 1:
+            raise ValueError("CCITT fixture is bilevel only")
         bit_rows = [
             [1 if synth_pixel_value(doc_id, y * w + x) >= 128 else 0 for x in range(w)]
             for y in range(h)
         ]
-        rps4 = rows_per_strip or h
-        strips = [
-            encode_g4(bit_rows[r : min(r + rps4, h)], w)
-            for r in range(0, h, rps4)
-        ]
+        if tile is not None:
+            if compression != 4:
+                raise ValueError("tiled CCITT fixture is G4 only")
+            tw, tl = tile
+            across = (w + tw - 1) // tw
+            down = (h + tl - 1) // tl
+            strips = []
+            for ty in range(down):
+                for tx in range(across):
+                    t_rows = [
+                        [
+                            bit_rows[y][x] if y < h and x < w else 0
+                            for x in range(tx * tw, (tx + 1) * tw)
+                        ]
+                        for y in range(ty * tl, (ty + 1) * tl)
+                    ]
+                    strips.append(encode_g4(t_rows, tw))
+        else:
+            rps4 = rows_per_strip or h
+            strips = []
+            for r in range(0, h, rps4):
+                block = bit_rows[r : min(r + rps4, h)]
+                if compression == 4:
+                    strips.append(encode_g4(block, w))
+                elif compression == 3:
+                    strips.append(encode_g3(block, w, two_d=t4_2d))
+                else:
+                    strips.append(encode_mh(block, w))
     elif planar == 2 and not gray:
         # r15: planar configuration 2 — SAME interleaved closed-form
         # raster, stored as three single-channel planes with
@@ -1031,7 +1115,7 @@ def _encode_tiff_page(
     # with every embedded offset measured from file start = ``base``
     # photometric: JPEG color data is YCbCr (6) per TechNote 2; G4 is
     # min-is-white bilevel (0); raster formats keep the gray/RGB codes
-    if compression == 4:
+    if compression in (2, 3, 4):
         photometric = 0
     elif gray:
         photometric = 1
@@ -1040,7 +1124,7 @@ def _encode_tiff_page(
     tags = [
         (256, 4, [w]),
         (257, 4, [h]),
-        (258, 3, [1] if compression == 4 else [8] * spp),
+        (258, 3, [1] if compression in (2, 3, 4) else [8] * spp),
         (259, 3, [compression]),
         (262, 3, [photometric]),
         (277, 3, [spp]),
@@ -1050,6 +1134,8 @@ def _encode_tiff_page(
         tags += [(347, 7, list(jpeg_tables))]
     if planar == 2 and not gray:
         tags += [(284, 3, [2])]
+    if compression == 3 and t4_2d:
+        tags += [(292, 4, [1])]
     if tile is not None:
         tags += [(322, 4, [tile[0]]), (323, 4, [tile[1]])]
     else:

@@ -7331,7 +7331,31 @@ def test_ccitt_g4_codec_and_tiff_integration():
                 want_arr[y, x, :] = 0 if synth_pixel_value(doc, y * w + x) >= 128 else 255
         assert (arr == want_arr).all(), doc
 
-    # G3 / MH stay the honest line
+    # MH (compression 2) and G3 (compression 3, 1-D and 2-D via
+    # T4Options) + TILED G4 decode natively too — same bilevel
+    # closed form, layout- and framing-independent
+    for doc, w, h, rps, comp, tile, t4_2d in [
+        (5, 20, 12, 5, 2, None, False),
+        (6, 33, 17, 4, 3, None, False),
+        (7, 33, 17, 6, 3, None, True),
+        (8, 41, 9, None, 4, (16, 8), False),
+    ]:
+        blob = encode_tiff(
+            doc, w, h, gray=True, rows_per_strip=rps,
+            compression=comp, tile=tile, t4_2d=t4_2d,
+        )
+        assert parse_tiff_meta(blob)["compression"] == comp
+        arr = parse_tiff(blob)
+        want_arr = np.zeros((h, w, 3), np.uint8)
+        for y in range(h):
+            for x in range(w):
+                want_arr[y, x, :] = (
+                    0 if synth_pixel_value(doc, y * w + x) >= 128 else 255
+                )
+        assert (arr == want_arr).all(), (doc, comp)
+
+    # mislabelled framing fails LOUDLY, never silently-wrong pixels:
+    # G4-coded data under a compression-3 tag has no leading EOL
     import struct as _struct
 
     b = bytearray(encode_tiff(1, 8, 8, gray=True, compression=4))
@@ -7341,5 +7365,5 @@ def test_ccitt_g4_codec_and_tiff_integration():
         ent = ifd + 2 + 12 * i
         if _struct.unpack_from("<HH", b, ent)[0] == 259:
             b[ent + 8] = 3
-    with _pytest.raises(NotImplementedError, match="Group 4"):
+    with _pytest.raises(ValueError):
         parse_tiff(bytes(b))
