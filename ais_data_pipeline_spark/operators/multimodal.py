@@ -1764,6 +1764,7 @@ def decode_frame_pixels(
     blob_col: str = "frame_blob",
     id_col: str = "doc_id",
     frame_col: str = "frame_index",
+    frame_decoder=None,
 ) -> DataFrame:
     """Per-FRAME pixel decode (round 13): the (doc_id, frame_index,
     frame_blob) rows ``extract_frame_blobs`` emits go through the same
@@ -1774,7 +1775,17 @@ def decode_frame_pixels(
     bytes it must decode. Stateless per row; at 100 TB each task
     decodes one Arrow batch of frames wherever the payloads already
     live (the work-list join broadcast upstream, zero payload
-    shuffle)."""
+    shuffle).
+
+    ``frame_decoder`` (round 15) is the video tier's analogue of the
+    audio tier's ``lossy_decoder`` / the image tier's PIL hook: an
+    optional callable ``bytes -> HxWx3 uint8 RGB ndarray`` (or
+    ``(ndarray, format_tag)``) taken when the native dispatch cannot
+    decode a coded frame (H.264/H.265/VP9/AV1 — inter-coded video
+    whose output is decoder-implementation-dependent, so a hand-built
+    decode could never be oracle-checked). Slot PyAV/ffmpeg here
+    without touching the operator contract; the stats flow through
+    the identical numpy path."""
     import numpy as np
 
     cols = (
@@ -1788,7 +1799,18 @@ def decode_frame_pixels(
             for doc_id, fi, blob in zip(
                 pdf[id_col], pdf[frame_col], pdf[blob_col]
             ):
-                arr, fmt = decode_pixels_array(bytes(blob))
+                try:
+                    arr, fmt = decode_pixels_array(bytes(blob))
+                except (NotImplementedError, ValueError):
+                    if frame_decoder is None:
+                        raise
+                    decoded = frame_decoder(bytes(blob))
+                    arr, fmt = (
+                        decoded
+                        if isinstance(decoded, tuple)
+                        else (decoded, "external")
+                    )
+                    arr = np.asarray(arr, dtype=np.uint8)
                 s = arr.reshape(-1, 3).sum(axis=0, dtype=np.int64)
                 out["doc_id"].append(int(doc_id))
                 out["frame_index"].append(int(fi))

@@ -265,3 +265,78 @@ def zscore_anomalies_stream(events_stream):
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+# -- Spark 4 transformWithState (r15) ----------------------------------------
+
+TWS_OUTPUT_SCHEMA = "user_id bigint, n_events bigint, n_types bigint"
+
+
+class TypeProfileProcessor:
+    """Per-user event profile on Spark 4's ``transformWithStateInPandas``
+    — the arbitrary-stateful API that SUCCEEDS applyInPandasWithState:
+    instead of one monolithic state tuple, the processor composes
+    TYPED state primitives from the handle. Here a MapState
+    (event_type -> count, the per-key sub-keyed store the old API
+    could only fake by packing maps into a value blob) plus a
+    ValueState row counter; each micro-batch folds its rows in and
+    emits the updated (n_events, n_types) snapshot. NULL event_types
+    are skipped by the distinct count (SQL COUNT(DISTINCT) semantics)
+    but counted in n_events (COUNT(*)), so the final snapshot per key
+    hash-matches the batch aggregate exactly. At 100 TB: state lives
+    in the state store keyed by (user, event_type) — bounded by the
+    live key space, not the stream length — and supports TTL where
+    the corpus needs expiry."""
+
+    def init(self, handle) -> None:
+        self.counts = handle.getMapState(
+            "type_counts", "event_type string", "n bigint"
+        )
+        self.totals = handle.getValueState("totals", "n_events bigint")
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        n = self.totals.get()[0] if self.totals.exists() else 0
+        for pdf in rows:
+            n += len(pdf)  # COUNT(*): NULL event_types still count
+            # value_counts drops NaN/None — COUNT(DISTINCT) semantics
+            for t, c in pdf["event_type"].value_counts().items():
+                cur = (
+                    self.counts.getValue((t,))[0]
+                    if self.counts.containsKey((t,))
+                    else 0
+                )
+                self.counts.updateValue((t,), (cur + int(c),))
+        self.totals.update((n,))
+        n_types = sum(1 for _ in self.counts.keys())
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "n_types": [n_types]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def distinct_type_profiles_tws(events_stream):
+    """Attach the transformWithState processor to a streaming events
+    frame (columns: user_id, event_type). Output mode 'update' — one
+    snapshot per touched key per micro-batch.
+
+    ENVIRONMENT GATE: Spark's TransformWithStateInPySpark driver
+    worker speaks protobuf to the state store, so running this needs
+    the ``protobuf`` package (absent in the build container — the
+    pytest skips and no registry row depends on it; the query-shape
+    equivalent stays driver-proven through
+    ``streaming_stateful_totals``'s applyInPandasWithState path)."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    # subclass dynamically so importing this module never hard-depends
+    # on the Spark 4 API surface (graceful on older sessions)
+    proc = type(
+        "_TypeProfileTWS", (StatefulProcessor,), dict(TypeProfileProcessor.__dict__)
+    )()
+    return events_stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=proc,
+        outputStructType=TWS_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
