@@ -111,6 +111,13 @@ def main() -> None:
         "tiff_lzw": lambda i, w, h: _enc_tiff(i, w, h, compression=5, rows_per_strip=16),
         "tiff_packbits": lambda i, w, h: _enc_tiff(i, w, h, compression=32773, rows_per_strip=16),
         "tiff_deflate": lambda i, w, h: _enc_tiff(i, w, h, compression=8, rows_per_strip=16),
+        # round 15: the new TIFF codec rungs — fax (the Python
+        # mode-loop class, priced like GIF/TIFF-LZW), JPEG-in-TIFF
+        # (per-strip abbreviated streams through the full JPEG
+        # decoder), planar-2 (three plane walks + stack)
+        "tiff_g4": lambda i, w, h: _enc_tiff(i, w, h, gray=True, compression=4, rows_per_strip=16),
+        "tiff_jpeg": lambda i, w, h: _enc_tiff(i, w, h, compression=7, rows_per_strip=16),
+        "tiff_planar2": lambda i, w, h: _enc_tiff(i, w, h, compression=5, rows_per_strip=16, planar=2),
     }
 
     def fixture(fmt: str, n: int):
@@ -147,8 +154,10 @@ def main() -> None:
         assert row["n"] == n and row["chk"] is not None
         return dt
 
+    sel = os.environ.get("PIXEL_PROBE_FORMATS")
+    chosen = [f for f in encoders if not sel or f in sel.split(",")]
     out = {}
-    for fmt in encoders:
+    for fmt in chosen:
         timed_decode(fmt, 256)  # JIT/Arrow warmup outside measurement
         t1 = timed_decode(fmt, N_DOCS)
         t2 = timed_decode(fmt, N_DOCS * 2)
