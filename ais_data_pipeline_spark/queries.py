@@ -162,7 +162,10 @@ _FRONT_WINDOW: list[str] = [
     "rag_chunk_index_topk",
     "readability_scores",
     "source_overlap_matrix",
-    "stratified_quality_sample",
+    # variant_json_props is NEW in r15 (registry 203 -> 204, never
+    # driver-checked) — it takes the tail slot per the changed-row
+    # policy, displacing stratified_quality_sample (r11) to lead r16
+    "variant_json_props",
     "image_format_dispatch",
 ]
 
@@ -3433,6 +3436,49 @@ def q_map_from_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.to_json(F.array_sort(F.map_keys(m))).alias("prop_keys"),
         F.element_at(m, "k").alias("k_val"),
+    )
+
+
+@register(
+    "variant_json_props",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_total,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_min,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_max,
+           CAST(count(*) FILTER (WHERE json_extract_string(props, '$.missing')
+                                 IS NOT NULL) AS BIGINT) AS n_missing_key
+    FROM events GROUP BY event_type
+    """,
+    "Spark 4 VARIANT type (r15): parse_json(props) -> open-schema "
+    "binary VARIANT, typed path extraction via try_variant_get "
+    "(absent paths -> NULL, not an error), grouped aggregation over "
+    "the extracted values. The schema-on-read path for ragged "
+    "payloads where from_json's fixed schema is too rigid — VARIANT "
+    "keeps the full value tree per row and binds types at ACCESS "
+    "time, with columnar shredding on the roadmap upstream. Stays "
+    "whole-stage-codegen JVM-side (no Python), one shuffle for the "
+    "group-by.",
+)
+def q_variant_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "bigint")
+    missing = F.try_variant_get(v, "$.missing", "string")
+    return (
+        e.select("event_type", k.alias("k"), missing.alias("m"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("k_total"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.count("m").alias("n_missing_key"),
+        )
     )
 
 
