@@ -168,17 +168,27 @@ def main() -> None:
         # pure per-doc function, independent of the dedup decisions,
         # so the only reason stage 3 re-read 4.3 GiB of text was that
         # nobody had computed the flag while the text was already in
-        # cache. The checkpointed side-channel is textless —
-        # (doc_id, md5-hex, bool) ≈ 41 B/doc — so the bounded-memory
-        # rule (text never shuffles, never pins) still holds.
-        scan1 = d.select(
-            "doc_id",
-            F.md5(F.col("text").cast("binary")).alias("h"),
-            # round(...,5) >= t replicates quality_score's 5-dp
-            # decision boundary exactly (same recipe as
-            # plans.curation.run_curation)
-            (F.round(quality_col(F.col("text")), 5) >= 0.65).alias("qp"),
-        ).localCheckpoint(eager=True)
+        # cache. The side-channel is textless — (doc_id, md5-hex,
+        # bool) ≈ 41 B/doc — and goes to SCRATCH PARQUET, not
+        # checkpoint blocks: the fused projection's transient
+        # footprint (string vectors + token arrays + md5) already
+        # rides the 4g cap's margin, and in-memory blocks competing
+        # for storage memory tipped the first r15 cut into reader
+        # OOMs. ~40 MB on disk, re-read twice, both scans trivial.
+        scan1_path = corpus + "_scan1"
+        (
+            d.select(
+                "doc_id",
+                F.md5(F.col("text").cast("binary")).alias("h"),
+                # round(...,5) >= t replicates quality_score's 5-dp
+                # decision boundary exactly (same recipe as
+                # plans.curation.run_curation)
+                (F.round(quality_col(F.col("text")), 5) >= 0.65).alias("qp"),
+            )
+            .write.mode("overwrite")
+            .parquet(scan1_path)
+        )
+        scan1 = spark.read.parquet(scan1_path)
         keep_min = scan1.groupBy("h").agg(F.min("doc_id").alias("__keep"))
         drop_exact = (
             scan1.join(keep_min, "h")
