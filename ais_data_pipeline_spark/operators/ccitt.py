@@ -231,22 +231,29 @@ def _b1_b2(ref: list[int], a0: int, color: int) -> tuple[int, int, int]:
     return b1, b2, j
 
 
-def _changes_to_bits(changes: list[int], w: int) -> list[int]:
-    bits = [0] * w
-    val = 0
-    ci = 0
-    kept = [c for c in changes if c < w]
-    for x in range(w):
-        while ci < len(kept) and kept[ci] == x:
-            val ^= 1
-            ci += 1
-        bits[x] = val
-    return bits
+def _bits_and_changes(raw_changes: list[int], w: int) -> tuple[list[int], list[int]]:
+    """(row bits, NORMALIZED sorted change positions) from the decoded
+    transition list. Numpy XOR-accumulate instead of a per-pixel
+    Python loop (r15 fuzz finding: a corrupt huge-width tag under the
+    byte cap made the O(w) Python fill burn seconds per row);
+    duplicate transitions cancel, out-of-range ones drop, and the
+    normalized changes feed the next row's reference directly — no
+    O(w) re-scan."""
+    import numpy as np
+
+    row = np.zeros(w, dtype=np.uint8)
+    for c in raw_changes:
+        if 0 <= c < w:
+            row[c] ^= 1
+    bits = np.bitwise_xor.accumulate(row)
+    changes = np.flatnonzero(np.diff(bits, prepend=np.uint8(0))).tolist()
+    return bits.tolist(), changes
 
 
-def _decode_2d_row(br: _BitReader, ref: list[int], w: int) -> list[int]:
+def _decode_2d_row(br: _BitReader, ref: list[int], w: int) -> tuple[list[int], list[int]]:
     """One 2-D (MMR) coded row against reference changes ``ref`` —
-    shared by G4 and 2-D-coded G3 rows. Returns the row's bits."""
+    shared by G4 and 2-D-coded G3 rows. Returns the row's
+    (bits, normalized change positions)."""
     cur: list[int] = []
     a0 = -1
     color = 0
@@ -285,12 +292,13 @@ def _decode_2d_row(br: _BitReader, ref: list[int], w: int) -> list[int]:
             color ^= 1
         if a0 >= w:
             break
-    return _changes_to_bits(cur, w)
+    return _bits_and_changes(cur, w)
 
 
-def _decode_mh_row(br: _BitReader, w: int) -> list[int]:
+def _decode_mh_row(br: _BitReader, w: int) -> tuple[list[int], list[int]]:
     """One T.4 1-D modified-Huffman row: alternating white/black run
-    lengths starting white, totalling exactly ``w``."""
+    lengths starting white, totalling exactly ``w``. Returns
+    (bits, normalized changes), like ``_decode_2d_row``."""
     total = 0
     white = True
     changes: list[int] = []
@@ -301,7 +309,7 @@ def _decode_mh_row(br: _BitReader, w: int) -> list[int]:
             raise ValueError("MH runs overrun the row")
         changes.append(total)
         white = not white
-    return _changes_to_bits(changes, w)
+    return _bits_and_changes(changes, w)
 
 
 def decode_g4(data: bytes, w: int, h: int) -> "list[list[int]]":
@@ -312,9 +320,8 @@ def decode_g4(data: bytes, w: int, h: int) -> "list[list[int]]":
     rows: list[list[int]] = []
     ref: list[int] = []  # imaginary all-white reference row: no changes
     for _y in range(h):
-        bits = _decode_2d_row(br, ref, w)
+        bits, ref = _decode_2d_row(br, ref, w)
         rows.append(bits)
-        ref = _row_changes(bits)
     return rows
 
 
@@ -325,7 +332,7 @@ def decode_mh(data: bytes, w: int, h: int) -> "list[list[int]]":
     rows = []
     for _y in range(h):
         br.pos = (br.pos + 7) & ~7  # byte-align per row
-        rows.append(_decode_mh_row(br, w))
+        rows.append(_decode_mh_row(br, w)[0])
     return rows
 
 
@@ -357,13 +364,12 @@ def decode_g3(data: bytes, w: int, h: int, two_d: bool = False) -> "list[list[in
         if two_d:
             one_d = br.read_bit() == 1
         if one_d:
-            bits = _decode_mh_row(br, w)
+            bits, ref = _decode_mh_row(br, w)
         else:
             if not rows:
                 raise ValueError("2-D G3 row with no reference row")
-            bits = _decode_2d_row(br, ref, w)
+            bits, ref = _decode_2d_row(br, ref, w)
         rows.append(bits)
-        ref = _row_changes(bits)
     return rows
 
 

@@ -137,6 +137,24 @@ def _lzw_decode_tiff(src: bytes, expect: int) -> bytes:
     return bytes(out)
 
 
+#: Decode-side raster cap (r15 fuzz finding): a corrupt width/height/
+#: tile-geometry tag can request a multi-GiB ``np.zeros`` BEFORE any
+#: data-length check can reject it — one 30k-mutation sweep produced a
+#: near-OOM allocation that thrashed the box for seconds. 512 MiB
+#: comfortably covers any real scan/satellite page at this tier; a
+#: legitimate larger raster belongs in a tiled reader that never
+#: materializes the full frame anyway.
+_RASTER_CAP_BYTES = 512 * 1024 * 1024
+
+
+def _check_raster(n_bytes: int) -> None:
+    if n_bytes > _RASTER_CAP_BYTES or n_bytes < 0:
+        raise ValueError(
+            f"TIFF raster of {n_bytes} bytes exceeds the "
+            f"{_RASTER_CAP_BYTES >> 20} MiB decode cap (corrupt geometry?)"
+        )
+
+
 def _read_ifd(data: bytes, e: str) -> dict[int, list[int]]:
     """First IFD -> {tag: [values...]} for the baseline-typed tags
     (BYTE/SHORT/LONG); other value types are skipped, not errors."""
@@ -235,6 +253,7 @@ def _decode_ifd(data: bytes, e: str, tags: dict[int, list[int]]):
     spp = tags.get(277, [len(bits)])[0]
     if w == 0 or h == 0:
         raise ValueError("TIFF with zero dimension")
+    _check_raster(w * h * spp)  # corrupt-geometry guard before any alloc
     if compression == 7:
         # new-style JPEG-in-TIFF (r15, TIFF TechNote 2): shared
         # tables in tag 347 + one abbreviated JPEG stream per
@@ -416,6 +435,7 @@ def _decode_tiles(
     if len(offsets) != across * down:
         raise ValueError("TIFF tile count does not cover the image")
     tile_bytes = tw * tl * spp
+    _check_raster(down * tl * across * tw * spp)
     full = np.zeros((down * tl, across * tw, spp), dtype=np.uint8)
     for ti, (off, cnt) in enumerate(zip(offsets, counts)):
         raw = _decompress_block(data, off, cnt, compression, tile_bytes)
@@ -555,6 +575,7 @@ def _decode_g4_tiles(data: bytes, tags: dict[int, list[int]], w: int, h: int):
         raise ValueError("TIFF tile offset/count tables disagree")
     if len(offsets) != across * down:
         raise ValueError("TIFF tile count does not cover the image")
+    _check_raster(down * tl * across * tw)
     full = np.zeros((down * tl, across * tw), dtype=np.uint8)
     for ti, (off, cnt) in enumerate(zip(offsets, counts)):
         if off + cnt > len(data):
@@ -611,6 +632,7 @@ def _decode_planar2(
     planes = []
     for c in range(3):
         if tiled:
+            _check_raster(down * tl * across * tw)
             full = np.zeros((down * tl, across * tw), dtype=np.uint8)
             for ti in range(per_plane):
                 off, cnt = offsets[c * per_plane + ti], counts[c * per_plane + ti]
@@ -697,6 +719,7 @@ def _decode_jpeg_ifd(data: bytes, tags: dict[int, list[int]], w: int, h: int, ph
             raise ValueError("TIFF tile offset/count tables disagree")
         if len(offsets) != across * down:
             raise ValueError("TIFF tile count does not cover the image")
+        _check_raster(down * tl * across * tw * 3)
         full = np.zeros((down * tl, across * tw, 3), dtype=np.uint8)
         for ti, (off, cnt) in enumerate(zip(offsets, counts)):
             tile = block_arr(off, cnt)

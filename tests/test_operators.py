@@ -7445,3 +7445,78 @@ def test_transform_with_state_type_profiles(spark, tmp_path):
     rows = {r["user_id"]: r for r in spark.table("tws_profiles").collect()}
     assert rows[1]["n_events"] == 3 and rows[1]["n_types"] == 2
     assert rows[2]["n_events"] == 1 and rows[2]["n_types"] == 1
+
+
+def test_tiff_raster_cap_and_fuzz_regression():
+    """r15 fuzz sweep findings, pinned: (1) a corrupt width/height/
+    tile-geometry tag must trip the 512 MiB raster cap BEFORE any
+    allocation (the unguarded np.zeros nearly OOMed the box); (2) a
+    corrupt huge-but-under-cap width must not burn seconds in
+    per-pixel Python row fills (CCITT rows materialize via numpy
+    XOR-accumulate now). A 2k-mutation mini-sweep over every r15
+    decode surface keeps the only-documented-error-classes contract
+    under regression."""
+    import random
+    import struct as _struct
+    import time
+
+    import pytest as _pytest
+
+    from ais_data_pipeline_spark.operators.tiff import encode_tiff, parse_tiff
+
+    def patch_tag(blob: bytes, tag: int, value: int) -> bytes:
+        b = bytearray(blob)
+        (ifd,) = _struct.unpack_from("<I", b, 4)
+        (n,) = _struct.unpack_from("<H", b, ifd)
+        for i in range(n):
+            ent = ifd + 2 + 12 * i
+            if _struct.unpack_from("<HH", b, ent)[0] == tag:
+                _struct.pack_into("<I", b, ent + 8, value)
+        return bytes(b)
+
+    # (1) the cap trips for every decode family
+    for comp, kw in [
+        (1, {}), (4, dict(gray=True)), (7, dict(rows_per_strip=8)),
+        (5, dict(planar=2)), (5, dict(tile=(4, 4))),
+        (4, dict(gray=True, tile=(8, 8))),
+    ]:
+        blob = encode_tiff(1, 20, 16, compression=comp, **kw)
+        with _pytest.raises((ValueError, NotImplementedError)):
+            parse_tiff(patch_tag(blob, 256, 2_000_000_000))
+
+    # (2) huge-but-under-cap width on a fax strip errors FAST (the
+    # truncated stream is detected long before any O(w) Python loop)
+    g4 = encode_tiff(2, 20, 12, gray=True, rows_per_strip=4, compression=4)
+    wide = patch_tag(g4, 256, 50_000_000)  # 50M x 12 = under the cap
+    t0 = time.perf_counter()
+    with _pytest.raises(ValueError):
+        parse_tiff(wide)
+    assert time.perf_counter() - t0 < 3.0
+
+    # (3) mini regression sweep: every mutation lands in a documented
+    # error class (or decodes) — no crashes, no >2s stalls
+    rng = random.Random(77)
+    fixtures = [
+        encode_tiff(1, 20, 12, gray=True, rows_per_strip=4, compression=4),
+        encode_tiff(2, 20, 12, gray=True, rows_per_strip=4, compression=2),
+        encode_tiff(3, 20, 12, gray=True, rows_per_strip=4, compression=3, t4_2d=True),
+        encode_tiff(1, 17, 9, compression=7, rows_per_strip=8),
+        encode_tiff(2, 13, 10, compression=5, planar=2, rows_per_strip=3),
+        encode_tiff(3, 20, 12, gray=True, compression=4, tile=(8, 8)),
+    ]
+    t_sweep = time.perf_counter()
+    for _ in range(2000):
+        base = bytearray(rng.choice(fixtures))
+        for _m in range(rng.randint(1, 4)):
+            op = rng.random()
+            if op < 0.5:
+                base[rng.randrange(len(base))] = rng.randrange(256)
+            elif op < 0.75 and len(base) > 16:
+                del base[rng.randrange(len(base))]
+            else:
+                base.insert(rng.randrange(len(base)), rng.randrange(256))
+        try:
+            parse_tiff(bytes(base))
+        except (ValueError, NotImplementedError):
+            pass  # the documented error classes
+    assert time.perf_counter() - t_sweep < 60.0

@@ -1569,3 +1569,54 @@ def test_curation_quality_fusion_equivalence(spark, sf_dir):
     assert n_pass_all - n_drop_pass == n_direct
     # the drop sets must be disjoint for the arithmetic to hold
     assert drop_exact.join(drop_near, "doc_id").count() == 0
+
+
+def test_upsert_and_compact_share_generation_sequence(spark, tmp_path):
+    """r15: upsert_parquet and compact_parquet maintain the SAME table
+    through one shared generation pointer — interleaving them must
+    advance one sequence, keep exactly {N, N-1} generations live
+    (deferred GC), and preserve the data through every flip."""
+    import glob as _glob
+    import os
+
+    from ais_data_pipeline_spark import fsutil
+    from ais_data_pipeline_spark.sinks.parquet import (
+        compact_parquet,
+        read_parquet_table,
+        upsert_parquet,
+    )
+
+    p = str(tmp_path / "table")
+    spark.range(200).selectExpr("id", "id * 10 AS v").repartition(
+        8
+    ).write.parquet(p)
+
+    # upsert -> gen 1
+    ups = spark.createDataFrame([(5, 555), (900, 9000)], "id long, v long")
+    upsert_parquet(spark, p, ups, ["id"])
+    assert fsutil.current_generation(p) == 1
+
+    # compact -> gen 2 (single-file target forces a real rewrite)
+    stats = compact_parquet(spark, p, target_file_mb=4096)
+    if not stats["skipped"]:
+        assert fsutil.current_generation(p) == 2
+    gen_after_compact = fsutil.current_generation(p)
+
+    # upsert again -> gen advances; data reflects every step
+    ups2 = spark.createDataFrame([(5, 777)], "id long, v long")
+    upsert_parquet(spark, p, ups2, ["id"])
+    assert fsutil.current_generation(p) == gen_after_compact + 1
+    rows = {r["id"]: r["v"] for r in read_parquet_table(spark, p).collect()}
+    assert rows[5] == 777 and rows[900] == 9000 and rows[7] == 70
+    assert len(rows) == 201
+
+    # deferred GC: exactly the current and previous generations live
+    gens = sorted(
+        int(d[2:])
+        for d in os.listdir(p)
+        if d.startswith("_g") and d[2:].isdigit()
+    )
+    cur = fsutil.current_generation(p)
+    assert gens == [cur - 1, cur], (gens, cur)
+    # flat gen-0 legacy fully collected by now (two entries later)
+    assert _glob.glob(p + "/*.parquet") == []
