@@ -376,9 +376,11 @@ def decode_g3(data: bytes, w: int, h: int, two_d: bool = False) -> "list[list[in
 class _BitWriter:
     def __init__(self) -> None:
         self.bits: list[str] = []
+        self.n_bits = 0  # running length: encode_mh byte-aligns per row
 
     def write(self, s: str) -> None:
         self.bits.append(s)
+        self.n_bits += len(s)
 
     def tobytes(self) -> bytes:
         s = "".join(self.bits)
@@ -483,8 +485,10 @@ def encode_mh(rows: "list[list[int]]", w: int) -> bytes:
     for bits in rows:
         if len(bits) != w:
             raise ValueError("row width mismatch")
-        # byte-align the row start (pad the previous row with zeros)
-        pad = (-sum(len(s) for s in bw.bits)) % 8
+        # byte-align the row start (pad the previous row with zeros);
+        # the running counter keeps this O(1) per row (a per-row
+        # re-sum was quadratic on tall images)
+        pad = (-bw.n_bits) % 8
         if pad:
             bw.write("0" * pad)
         _encode_mh_row(bw, _row_changes(bits), w)
