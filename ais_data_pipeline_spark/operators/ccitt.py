@@ -231,14 +231,17 @@ def _b1_b2(ref: list[int], a0: int, color: int) -> tuple[int, int, int]:
     return b1, b2, j
 
 
-def _bits_and_changes(raw_changes: list[int], w: int) -> tuple[list[int], list[int]]:
-    """(row bits, NORMALIZED sorted change positions) from the decoded
-    transition list. Numpy XOR-accumulate instead of a per-pixel
-    Python loop (r15 fuzz finding: a corrupt huge-width tag under the
-    byte cap made the O(w) Python fill burn seconds per row);
-    duplicate transitions cancel, out-of-range ones drop, and the
-    normalized changes feed the next row's reference directly — no
-    O(w) re-scan."""
+def _bits_and_changes(raw_changes: list[int], w: int) -> "tuple[object, list[int]]":
+    """(row bits as a numpy uint8 array, NORMALIZED sorted change
+    positions) from the decoded transition list. Numpy XOR-accumulate
+    instead of a per-pixel Python loop (r15 fuzz finding: a corrupt
+    huge-width tag under the byte cap made the O(w) Python fill burn
+    seconds per row); duplicate transitions cancel, out-of-range ones
+    drop, and the normalized changes feed the next row's reference
+    directly — no O(w) re-scan. The row stays an ndarray end-to-end
+    (r16 ADVICE finding: ``.tolist()`` rows cost ~8 bytes/pixel in
+    Python int lists, letting a crafted under-cap stream allocate ~8×
+    the 512 MiB raster cap the byte check intends to enforce)."""
     import numpy as np
 
     row = np.zeros(w, dtype=np.uint8)
@@ -247,10 +250,10 @@ def _bits_and_changes(raw_changes: list[int], w: int) -> tuple[list[int], list[i
             row[c] ^= 1
     bits = np.bitwise_xor.accumulate(row)
     changes = np.flatnonzero(np.diff(bits, prepend=np.uint8(0))).tolist()
-    return bits.tolist(), changes
+    return bits, changes
 
 
-def _decode_2d_row(br: _BitReader, ref: list[int], w: int) -> tuple[list[int], list[int]]:
+def _decode_2d_row(br: _BitReader, ref: list[int], w: int) -> "tuple[object, list[int]]":
     """One 2-D (MMR) coded row against reference changes ``ref`` —
     shared by G4 and 2-D-coded G3 rows. Returns the row's
     (bits, normalized change positions)."""
@@ -295,7 +298,7 @@ def _decode_2d_row(br: _BitReader, ref: list[int], w: int) -> tuple[list[int], l
     return _bits_and_changes(cur, w)
 
 
-def _decode_mh_row(br: _BitReader, w: int) -> tuple[list[int], list[int]]:
+def _decode_mh_row(br: _BitReader, w: int) -> "tuple[object, list[int]]":
     """One T.4 1-D modified-Huffman row: alternating white/black run
     lengths starting white, totalling exactly ``w``. Returns
     (bits, normalized changes), like ``_decode_2d_row``."""
@@ -312,28 +315,39 @@ def _decode_mh_row(br: _BitReader, w: int) -> tuple[list[int], list[int]]:
     return _bits_and_changes(changes, w)
 
 
-def decode_g4(data: bytes, w: int, h: int) -> "list[list[int]]":
-    """G4 stream -> h rows of w bits (1 = black). Tolerates (and
-    stops at) a trailing EOFB; raises on truncation, overruns, or the
-    unsupported uncompressed extension."""
+def _stack_rows(rows: list, w: int) -> "object":
+    """Row arrays -> one (h, w) uint8 ndarray — exactly 1 byte/pixel,
+    so the TIFF layer's byte-count raster cap is the real bound."""
+    import numpy as np
+
+    if not rows:
+        return np.zeros((0, w), dtype=np.uint8)
+    return np.vstack(rows)
+
+
+def decode_g4(data: bytes, w: int, h: int) -> "object":
+    """G4 stream -> (h, w) uint8 ndarray of bits (1 = black).
+    Tolerates (and stops at) a trailing EOFB; raises on truncation,
+    overruns, or the unsupported uncompressed extension."""
     br = _BitReader(data)
-    rows: list[list[int]] = []
+    rows: list = []
     ref: list[int] = []  # imaginary all-white reference row: no changes
     for _y in range(h):
         bits, ref = _decode_2d_row(br, ref, w)
         rows.append(bits)
-    return rows
+    return _stack_rows(rows, w)
 
 
-def decode_mh(data: bytes, w: int, h: int) -> "list[list[int]]":
+def decode_mh(data: bytes, w: int, h: int) -> "object":
     """TIFF compression 2 (pure 1-D modified Huffman, no EOLs): each
-    row's code words start on a BYTE boundary (TIFF 6.0 §10)."""
+    row's code words start on a BYTE boundary (TIFF 6.0 §10).
+    Returns an (h, w) uint8 ndarray (1 = black)."""
     br = _BitReader(data)
-    rows = []
+    rows: list = []
     for _y in range(h):
         br.pos = (br.pos + 7) & ~7  # byte-align per row
         rows.append(_decode_mh_row(br, w)[0])
-    return rows
+    return _stack_rows(rows, w)
 
 
 def _expect_eol(br: _BitReader) -> None:
@@ -350,13 +364,13 @@ def _expect_eol(br: _BitReader) -> None:
             raise ValueError("G3 fill run too long")
 
 
-def decode_g3(data: bytes, w: int, h: int, two_d: bool = False) -> "list[list[int]]":
+def decode_g3(data: bytes, w: int, h: int, two_d: bool = False) -> "object":
     """TIFF compression 3 (Group 3 / T.4): an EOL precedes every row
     (fill bits tolerated); with ``two_d`` (T4Options bit 0) each EOL
     carries a tag bit — 1 = the next row is 1-D MH, 0 = 2-D coded
-    against the previous row."""
+    against the previous row. Returns an (h, w) uint8 ndarray."""
     br = _BitReader(data)
-    rows: list[list[int]] = []
+    rows: list = []
     ref: list[int] = []
     for _y in range(h):
         _expect_eol(br)
@@ -370,7 +384,7 @@ def decode_g3(data: bytes, w: int, h: int, two_d: bool = False) -> "list[list[in
                 raise ValueError("2-D G3 row with no reference row")
             bits, ref = _decode_2d_row(br, ref, w)
         rows.append(bits)
-    return rows
+    return _stack_rows(rows, w)
 
 
 class _BitWriter:

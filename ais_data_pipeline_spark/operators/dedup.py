@@ -235,7 +235,16 @@ def minhash_band_rows(
     map-side partial aggregation finishes the min before the
     exchange. Empty shingle arrays (docs under ``shingle_n`` tokens)
     keep the legacy NULL-signature semantics via explode_outer + a
-    null-guarded min."""
+    null-guarded min.
+
+    PRECONDITION: ``id_col`` must be unique per row. The groupBy(doc)
+    collapses duplicate ids into ONE signature row whose mins are
+    taken over the UNION of those rows' shingles (the pre-r14 HOF
+    form emitted one row per input row instead) — with duplicate ids
+    the output is well-defined but is the union-doc's signature, not
+    any single row's. Every caller in this repo feeds a keyed table
+    (doc_id primary key); pre-aggregate or uniquify first if yours
+    does not (r16, closing the r14 ADVICE #4 contract note)."""
     r = n_hashes // bands
     toked = _spread(df).select(
         F.col(id_col).alias("doc"), tokens_lower(F.col(text_col)).alias("__tok")

@@ -253,7 +253,13 @@ def _decode_ifd(data: bytes, e: str, tags: dict[int, list[int]]):
     spp = tags.get(277, [len(bits)])[0]
     if w == 0 or h == 0:
         raise ValueError("TIFF with zero dimension")
-    _check_raster(w * h * spp)  # corrupt-geometry guard before any alloc
+    # corrupt-geometry guard before any alloc. Every decode path
+    # presents HxWx3 RGB regardless of spp (gray/bilevel replicate to
+    # three channels; JPEG-in-TIFF always converts to RGB), so the cap
+    # must count the OUTPUT bytes — w*h*spp under-counted 3x for
+    # single-sample images (r16 ADVICE finding on the gray
+    # JPEG-in-TIFF dispatch; same expansion on every gray path).
+    _check_raster(w * h * 3)
     if compression == 7:
         # new-style JPEG-in-TIFF (r15, TIFF TechNote 2): shared
         # tables in tag 347 + one abbreviated JPEG stream per
@@ -267,6 +273,15 @@ def _decode_ifd(data: bytes, e: str, tags: dict[int, list[int]]):
         # natively through operators.ccitt
         if bits[0] != 1 or spp != 1 or photometric not in (0, 1):
             raise ValueError("CCITT TIFF must be 1-bit single-sample bilevel")
+        if tags.get(266, [1])[0] != 1:
+            # FillOrder 2 (LSB-first, common in Class-F scanner output)
+            # would usually fail with an opaque bad-run-code error but
+            # can occasionally decode WRONG bits without one (r16
+            # ADVICE finding) — fail loudly so the PIL hook takes it
+            raise NotImplementedError(
+                "CCITT TIFF with FillOrder 2 (LSB-first) not supported "
+                "natively (MSB-first / FillOrder 1 only)"
+            )
         if compression == 3 and tags.get(292, [0])[0] & 2:
             raise NotImplementedError(
                 "G3 uncompressed mode (T4Options bit 1) not supported"
@@ -278,8 +293,8 @@ def _decode_ifd(data: bytes, e: str, tags: dict[int, list[int]]):
         if 322 in tags or 324 in tags:
             if compression != 4:
                 raise NotImplementedError("tiled MH/G3 TIFF not supported")
-            return _decode_g4_tiles(data, tags, w, h)
-        return _decode_ccitt_strips(data, tags, w, h, compression)
+            return _decode_g4_tiles(data, tags, w, h, photometric)
+        return _decode_ccitt_strips(data, tags, w, h, compression, photometric)
     if compression not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(
             f"TIFF compression {compression} not supported natively "
@@ -298,6 +313,11 @@ def _decode_ifd(data: bytes, e: str, tags: dict[int, list[int]]):
             raise NotImplementedError("sub-byte TIFF with predictor")
         if 322 in tags or 324 in tags:
             raise NotImplementedError("tiled sub-byte TIFF")
+        if tags.get(266, [1])[0] != 1:
+            # same MSB-first assumption as the CCITT unpack (r16)
+            raise NotImplementedError(
+                "sub-byte TIFF with FillOrder 2 (LSB-first) not supported"
+            )
         return _decode_subbyte_strips(
             data, tags, w, h, bits[0], compression, photometric
         )
@@ -500,25 +520,41 @@ def _decode_subbyte_strips(
     return np.repeat(gray[:, :, None], 3, axis=2)
 
 
-def _bilevel_present(rows_out: list) -> "object":
-    """CCITT runs are WHITE/BLACK semantically — presentation is
-    luminance (white 255, black 0) for either bilevel photometric,
-    replicated to RGB like every bilevel path."""
+def _bilevel_present(bitarr: "object", photometric: int) -> "object":
+    """CCITT-decoded bits (1 = black semantically, per the T.4/T.6 run
+    colors) -> HxWx3 luminance presentation. The decoded "white" run
+    is stored sample value 0; PhotometricInterpretation then says what
+    0 MEANS: 0 = WhiteIsZero (the fax norm — white presents 255),
+    1 = BlackIsZero (sample 0 is black, i.e. the presentation is the
+    INVERSE — libtiff/PIL invert exactly this way). Treating both
+    alike silently flipped photometric-1 fax pixels (r16 ADVICE
+    finding, medium)."""
     import numpy as np
 
-    bitarr = np.array(rows_out, dtype=np.uint8)  # 1 = black
-    gray = ((1 - bitarr) * 255).astype(np.uint8)
+    if photometric == 1:  # BlackIsZero: decoded white run presents dark
+        gray = (bitarr * np.uint8(255)).astype(np.uint8)
+    else:  # WhiteIsZero: white run presents 255 (the fax norm)
+        gray = ((1 - bitarr) * np.uint8(255)).astype(np.uint8)
     return np.repeat(gray[:, :, None], 3, axis=2)
 
 
 def _decode_ccitt_strips(
-    data: bytes, tags: dict[int, list[int]], w: int, h: int, compression: int
+    data: bytes,
+    tags: dict[int, list[int]],
+    w: int,
+    h: int,
+    compression: int,
+    photometric: int,
 ):
     """CCITT strip decode (r15): each strip is an independently-coded
     block of ``rows_per_strip`` rows (reference line resets to
     all-white per strip, per the TIFF spec's strip-independence
     rule). Compression 4 = T.6 MMR, 3 = Group 3 (T4Options bit 0
-    selects 2-D), 2 = pure 1-D MH with byte-aligned rows."""
+    selects 2-D), 2 = pure 1-D MH with byte-aligned rows. Strip
+    blocks stay (rows, w) uint8 ndarrays end-to-end (1 byte/pixel, so
+    the raster cap is the real allocation bound — r16 ADVICE)."""
+    import numpy as np
+
     from ais_data_pipeline_spark.operators.ccitt import (
         decode_g3,
         decode_g4,
@@ -533,7 +569,7 @@ def _decode_ccitt_strips(
         raise ValueError("TIFF strip offset/count tables disagree")
     rps = tags.get(278, [h])[0] or h
     two_d = bool(tags.get(292, [0])[0] & 1)
-    rows_out: list[list[int]] = []
+    blocks: list = []
     remaining = h
     for off, cnt in zip(offsets, counts):
         if remaining <= 0:
@@ -543,18 +579,20 @@ def _decode_ccitt_strips(
         rows = min(rps, remaining)
         block = data[off : off + cnt]
         if compression == 4:
-            rows_out.extend(decode_g4(block, w, rows))
+            blocks.append(decode_g4(block, w, rows))
         elif compression == 3:
-            rows_out.extend(decode_g3(block, w, rows, two_d=two_d))
+            blocks.append(decode_g3(block, w, rows, two_d=two_d))
         else:
-            rows_out.extend(decode_mh(block, w, rows))
+            blocks.append(decode_mh(block, w, rows))
         remaining -= rows
     if remaining:
         raise ValueError("TIFF strips cover fewer rows than the image")
-    return _bilevel_present(rows_out)
+    return _bilevel_present(np.vstack(blocks), photometric)
 
 
-def _decode_g4_tiles(data: bytes, tags: dict[int, list[int]], w: int, h: int):
+def _decode_g4_tiles(
+    data: bytes, tags: dict[int, list[int]], w: int, h: int, photometric: int
+):
     """Tiled G4 (r15): each tile is an independently-coded T.6 block
     of TileLength rows at TileWidth — the tile walk of
     ``_decode_tiles`` over the fax codec."""
@@ -580,11 +618,10 @@ def _decode_g4_tiles(data: bytes, tags: dict[int, list[int]], w: int, h: int):
     for ti, (off, cnt) in enumerate(zip(offsets, counts)):
         if off + cnt > len(data):
             raise ValueError("TIFF tile out of range")
-        bits = np.array(decode_g4(data[off : off + cnt], tw, tl), dtype=np.uint8)
+        bits = decode_g4(data[off : off + cnt], tw, tl)
         ty, tx = divmod(ti, across)
         full[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw] = bits
-    gray = ((1 - full[:h, :w]) * 255).astype(np.uint8)
-    return np.repeat(gray[:, :, None], 3, axis=2)
+    return _bilevel_present(full[:h, :w], photometric)
 
 
 def _decode_planar2(

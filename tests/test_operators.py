@@ -135,6 +135,69 @@ def test_minhash_band_rows_bit_identical_to_hof_signature(spark, sf_dir):
     assert new.filter(F.col("doc") >= 900001).count() == 3 * bands
 
 
+def test_minhash_band_rows_duplicate_id_contract(spark):
+    """r16 (closes r14 ADVICE #4): ``minhash_band_rows`` requires
+    unique ids — duplicate ``id_col`` values collapse into ONE
+    signature row whose mins range over the UNION of the duplicates'
+    shingles (the pre-r14 HOF form emitted one band set per input
+    row). Pin exactly that: two rows sharing an id produce one band
+    set whose buckets hash the ELEMENTWISE MIN of the two texts'
+    signatures (min is union-associative), not two per-row sets."""
+    from pyspark.sql import functions as F
+
+    from ais_data_pipeline_spark.operators.dedup import (
+        minhash_band_rows,
+        minhash_signature,
+        shingle_hashes_from_tokens,
+        tokens_lower,
+    )
+
+    a = "alpha beta gamma delta epsilon zeta eta theta"
+    b = "iota kappa lambda mu nu xi omicron pi rho"
+    bands, n_hashes, r_ = 16, 32, 2
+    dup = spark.createDataFrame(
+        [(7, a), (7, b), (9, a)], "doc_id long, text string"
+    )
+    out = minhash_band_rows(dup, n_hashes, bands, "text", "doc_id")
+    per_doc = {
+        r["doc"]: r["n"]
+        for r in out.groupBy("doc").agg(F.count("*").alias("n")).collect()
+    }
+    # one collapsed band set for the duplicated id, not two
+    assert per_doc == {7: bands, 9: bands}
+
+    # expected buckets: per-text HOF signatures, elementwise min, then
+    # the same per-band xxhash64 — the union-of-shingles semantics the
+    # docstring promises for duplicate ids
+    sigs = (
+        spark.createDataFrame([(a,), (b,)], "text string")
+        .select(
+            minhash_signature(
+                shingle_hashes_from_tokens(tokens_lower(F.col("text")), 3),
+                n_hashes,
+                42,
+            ).alias("sig")
+        )
+        .collect()
+    )
+    union_sig = [min(s) for s in zip(sigs[0]["sig"], sigs[1]["sig"])]
+    expected = {
+        (band, row["bucket"])
+        for band in range(bands)
+        for row in spark.sql(
+            "SELECT xxhash64({}) AS bucket".format(
+                ", ".join(
+                    str(union_sig[band * r_ + j]) + "L" for j in range(r_)
+                )
+            )
+        ).collect()
+    }
+    collapsed = {
+        (r["band"], r["bucket"]) for r in out.filter(F.col("doc") == 7).collect()
+    }
+    assert collapsed == expected
+
+
 def test_simhash_properties(spark):
     from ais_data_pipeline_spark.operators.dedup import (
         simhash_fingerprints,
@@ -7263,7 +7326,10 @@ def test_ccitt_g4_codec_and_tiff_integration():
     bits += "0" * ((-len(bits)) % 8)
     want = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
     assert got == want, (got.hex(), want.hex())
-    assert decode_g4(got, 8, 1) == [row]
+    one = decode_g4(got, 8, 1)
+    assert isinstance(one, np.ndarray) and one.dtype == np.uint8  # r16:
+    # rows stay numpy end-to-end (1 byte/px; no 8-byte/px int lists)
+    assert one.tolist() == [row]
 
     # --- spec vector 2: an identical second row is pure vertical V0s
     # (one V0 per changing element + one at the right edge)
@@ -7272,7 +7338,7 @@ def test_ccitt_g4_codec_and_tiff_integration():
     bits2 += "0" * ((-len(bits2)) % 8)
     want2 = bytes(int(bits2[i : i + 8], 2) for i in range(0, len(bits2), 8))
     assert two == want2, (two.hex(), want2.hex())
-    assert decode_g4(two, 8, 2) == [row, row]
+    assert decode_g4(two, 8, 2).tolist() == [row, row]
 
     # --- spec vector 3: PASS mode — the reference row's black run
     # [4, 6) has no counterpart on an all-white coding row, so the
@@ -7281,7 +7347,7 @@ def test_ccitt_g4_codec_and_tiff_integration():
     white_row = [0] * 8
     blob = encode_g4([ref_row, white_row], 8)
     out = decode_g4(blob, 8, 2)
-    assert out == [ref_row, white_row]
+    assert out.tolist() == [ref_row, white_row]
     # the second row's coding must contain a pass: re-encode just the
     # transition and check the mode stream explicitly
     from ais_data_pipeline_spark.operators.ccitt import _BitReader, _read_mode
@@ -7303,7 +7369,7 @@ def test_ccitt_g4_codec_and_tiff_integration():
     ]
     for w, h, gen in cases:
         rows = [[gen(x, y) for x in range(w)] for y in range(h)]
-        assert decode_g4(encode_g4(rows, w), w, h) == rows
+        assert decode_g4(encode_g4(rows, w), w, h).tolist() == rows
 
     # uncompressed-mode extension stays honest
     with _pytest.raises(NotImplementedError, match="uncompressed"):
@@ -7520,3 +7586,87 @@ def test_tiff_raster_cap_and_fuzz_regression():
         except (ValueError, NotImplementedError):
             pass  # the documented error classes
     assert time.perf_counter() - t_sweep < 60.0
+
+
+def test_tiff_ccitt_photometric_fillorder_and_output_cap():
+    """r16 ADVICE fixes, pinned:
+
+    1. (medium) photometric 1 (BlackIsZero) fax presents INVERTED
+       relative to photometric 0 — the decoded CCITT "white" run is
+       stored sample 0, and BlackIsZero says 0 means black (libtiff/
+       PIL invert exactly this way). Treating both photometrics alike
+       silently flipped every photometric-1 pixel.
+    2. (low) FillOrder 2 (LSB-first, Class-F scanner output) raises
+       NotImplementedError on the CCITT and sub-byte paths — never
+       silently-wrong bits; the PIL hook takes those files.
+    3. (low) the raster cap counts OUTPUT bytes (HxWx3 — every decode
+       path presents RGB): a gray image with w*h just under the old
+       w*h-byte cap trips it now, before the 3x allocation.
+    4. (low) CCITT rows stay numpy uint8 end-to-end (1 byte/pixel) —
+       asserted in test_ccitt_g4_codec_and_tiff_integration; here the
+       strip path is checked under a multi-strip decode.
+    """
+    import struct as _struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from ais_data_pipeline_spark.operators.tiff import (
+        _decode_ifd,
+        _read_ifd,
+        encode_tiff,
+        parse_tiff,
+    )
+
+    def patch_tag(blob: bytes, tag: int, value: int) -> bytes:
+        b = bytearray(blob)
+        (ifd,) = _struct.unpack_from("<I", b, 4)
+        (n,) = _struct.unpack_from("<H", b, ifd)
+        for i in range(n):
+            ent = ifd + 2 + 12 * i
+            if _struct.unpack_from("<HH", b, ent)[0] == tag:
+                _struct.pack_into("<I", b, ent + 8, value)
+        return bytes(b)
+
+    # (1) photometric inversion, strip G4 + G3 + MH and tiled G4
+    for comp, kw in [
+        (4, dict(rows_per_strip=4)),
+        (3, dict(rows_per_strip=4, t4_2d=True)),
+        (2, dict(rows_per_strip=5)),
+        (4, dict(tile=(8, 8))),
+    ]:
+        blob = encode_tiff(2, 20, 12, gray=True, compression=comp, **kw)
+        base = parse_tiff(blob)
+        inv = parse_tiff(patch_tag(blob, 262, 1))
+        assert (inv == 255 - base).all(), comp
+        assert not (inv == base).all()  # fixture rasters are non-constant
+
+    # (2) FillOrder 2 fails loudly on both bit-packed decode families
+    g4 = encode_tiff(1, 20, 12, gray=True, rows_per_strip=4, compression=4)
+    tags = _read_ifd(g4, "<")
+    tags[266] = [2]
+    with _pytest.raises(NotImplementedError, match="FillOrder 2"):
+        _decode_ifd(g4, "<", tags)
+    sub = {256: [10], 257: [3], 258: [1], 259: [1], 262: [0], 277: [1],
+           278: [3], 266: [2], 273: [0], 279: [6]}
+    with _pytest.raises(NotImplementedError, match="FillOrder 2"):
+        _decode_ifd(b"\x00" * 6, "<", sub)
+    # FillOrder 1 explicit stays native
+    tags[266] = [1]
+    assert _decode_ifd(g4, "<", tags).shape == (12, 20, 3)
+
+    # (3) output-bytes cap: 25M x 8 gray = 200 Mpx passed the old
+    # w*h-byte check (536 Mpx budget) but the HxWx3 output is ~600 MB
+    for comp, kw in [
+        (7, dict(gray=True, rows_per_strip=8)),  # the flagged JPEG path
+        (4, dict(gray=True, rows_per_strip=8)),  # bilevel, same expansion
+        (1, dict(gray=True, rows_per_strip=8)),  # plain gray
+    ]:
+        blob = encode_tiff(1, 16, 8, compression=comp, **kw)
+        with _pytest.raises(ValueError, match="decode cap"):
+            parse_tiff(patch_tag(blob, 256, 25_000_000))
+
+    # (4) multi-strip CCITT decode returns uint8 ndarray content
+    arr = parse_tiff(encode_tiff(3, 33, 17, gray=True, rows_per_strip=5,
+                                 compression=4))
+    assert arr.dtype == np.uint8 and arr.shape == (17, 33, 3)
