@@ -1517,6 +1517,12 @@ def test_no_rename_swap_callers_in_engine():
             for needle in ("os.rename", "rmtree"):
                 if needle in src:
                     offenders.append((name, needle))
+        if name == os.path.join("sinks", "snapshots.py"):
+            # r16: the snapshot sink's manifest/pointer IO is entirely
+            # behind the FsIO seam — no raw-os/local-only calls at all
+            for needle in ("import os", "shutil", "open(", "os."):
+                if needle in src:
+                    offenders.append((name, needle))
     assert offenders == [], offenders
 
 
@@ -1620,3 +1626,143 @@ def test_upsert_and_compact_share_generation_sequence(spark, tmp_path):
     assert gens == [cur - 1, cur], (gens, cur)
     # flat gen-0 legacy fully collected by now (two entries later)
     assert _glob.glob(p + "/*.parquet") == []
+
+
+def test_snapshot_sink_fake_remote_and_crash_substeps(spark, tmp_path):
+    """r16 (verdict item 2): the snapshot sink's manifest/pointer IO
+    runs behind the ``fsutil.FsIO`` seam. Two halves:
+
+    (a) FAKE OBJECT STORE — current_version (including the
+    STAGE_COMPLETE-convention recovery of a corrupt ``_current``
+    pointer from the max existing manifest), snapshot_history, and
+    expire_snapshots' manifest+data GC all operate on an in-memory
+    ``s3a://``-style store with zero local-filesystem calls.
+
+    (b) CRASH AT EVERY COMMIT SUBSTEP on a real local table — after
+    the data write / after the manifest write / mid-pointer-write
+    (corrupt pointer content) — the table stays readable at its old
+    version and a plain retry commits, exactly like the other sinks'
+    generation-pointer tests."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from ais_data_pipeline_spark import fsutil
+    from ais_data_pipeline_spark.sinks.snapshots import (
+        current_version,
+        expire_snapshots,
+        read_snapshot,
+        snapshot_history,
+        write_snapshot,
+    )
+
+    # ---- (a) fake remote store
+    store: dict[str, str] = {}
+
+    def lister(root):
+        prefix = root.rstrip("/") + "/"
+        for p in sorted(store):
+            if p.startswith(prefix):
+                yield p[len(prefix):], len(store[p])
+
+    def read_text(path):
+        return store.get(path)
+
+    def write_text(path, content):
+        store[path] = content
+
+    def remove(path):
+        for p in list(store):
+            if p == path or p.startswith(path.rstrip("/") + "/"):
+                del store[p]
+
+    io = fsutil.FsIO(lister, read_text, write_text, remove)
+    t = "s3a://bucket/tables/events_versioned"
+
+    def put_version(v, op, files):
+        for f in files:
+            store[f"{t}/data/snap-{v:05d}/{f}"] = "PARQUETBYTES"
+        m = {
+            "version": v, "parent": v - 1, "operation": op,
+            "schema": '{"type":"struct","fields":[]}',
+            "files": [f"{t}/data/snap-{v:05d}/{f}" for f in files],
+        }
+        store[f"{t}/_manifests/v{v:05d}.json"] = _json.dumps(m)
+        store[f"{t}/_manifests/_current"] = str(v)
+
+    assert current_version(t, io) == 0
+    put_version(1, "overwrite", ["part-0.parquet"])
+    put_version(2, "overwrite", ["part-0.parquet", "part-1.parquet"])
+    assert current_version(t, io) == 2
+    assert [h["version"] for h in snapshot_history(t, io)] == [1, 2]
+
+    # corrupt pointer (crash mid-write on a truncate-then-write store)
+    # recovers as the max manifest version — never "no table"
+    store[f"{t}/_manifests/_current"] = ""
+    assert current_version(t, io) == 2
+    store[f"{t}/_manifests/_current"] = "garbage\n"
+    assert current_version(t, io) == 2
+    store[f"{t}/_manifests/_current"] = "2"
+
+    # expire v1: its manifest and its now-unreferenced data dir vanish
+    assert expire_snapshots(t, keep_last=1, io=io) == [1]
+    assert f"{t}/_manifests/v00001.json" not in store
+    assert not any("/snap-00001/" in p for p in store)
+    assert any("/snap-00002/" in p for p in store)
+    assert [h["version"] for h in snapshot_history(t, io)] == [2]
+    # idempotent: nothing left to expire, dropped manifests skipped
+    assert expire_snapshots(t, keep_last=1, io=io) == []
+
+    # ---- (b) crash at every substep, local table
+    tp = str(tmp_path / "crashy")
+    d1 = spark.range(8).withColumnRenamed("id", "k")
+    d2 = spark.range(8, 11).withColumnRenamed("id", "k")
+    assert write_snapshot(d1, tp, mode="overwrite") == 1
+
+    class CrashingIO:
+        """LOCAL_IO with write_text raising after ``allow`` calls."""
+
+        def __init__(self, allow):
+            self.allow = allow
+            self.lister = fsutil.LOCAL_IO.lister
+            self.read_text = fsutil.LOCAL_IO.read_text
+            self.remove = fsutil.LOCAL_IO.remove
+
+        def write_text(self, path, content):
+            if self.allow <= 0:
+                raise OSError("injected crash")
+            self.allow -= 1
+            fsutil.LOCAL_IO.write_text(path, content)
+
+    # crash BEFORE the manifest write (data dir exists, unreferenced)
+    with _pytest.raises(OSError):
+        write_snapshot(d2, tp, mode="append", io=CrashingIO(0))
+    assert current_version(tp) == 1
+    assert read_snapshot(spark, tp).count() == 8  # old version intact
+
+    # crash AFTER the manifest, BEFORE the pointer: the INTACT pointer
+    # still resolves v1 (the cache lags behind the manifest), so a
+    # plain retry recomputes parent=1 and RE-commits v2 — overwriting
+    # the orphaned manifest and snap dir, not duplicating rows
+    with _pytest.raises(OSError):
+        write_snapshot(d2, tp, mode="append", io=CrashingIO(1))
+    assert current_version(tp) == 1
+    assert read_snapshot(spark, tp).count() == 8
+    v = write_snapshot(d2, tp, mode="append")
+    assert v == 2 and current_version(tp) == 2
+    assert read_snapshot(spark, tp).count() == 11
+
+    # corrupt pointer content (crash mid-pointer-write on a truncate-
+    # then-write store): recovery serves the max committed manifest —
+    # the commit landed, nothing is lost and nothing re-runs
+    fsutil.LOCAL_IO.write_text(tp + "/_manifests/_current", "")
+    assert current_version(tp) == 2
+    assert read_snapshot(spark, tp).count() == 11
+    fsutil.LOCAL_IO.write_text(tp + "/_manifests/_current", "NaN")
+    assert current_version(tp) == 2
+
+    # and the next commit on top of the recovered pointer is v3
+    v = write_snapshot(d1, tp, mode="overwrite")
+    assert v == 3 and current_version(tp) == 3
+    assert read_snapshot(spark, tp).count() == 8
+    assert [h["version"] for h in snapshot_history(tp)] == [1, 2, 3]
