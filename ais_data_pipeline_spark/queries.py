@@ -90,82 +90,81 @@ def register(name: str, oracle: str | None, description: str):
 
 
 # The driver checks only the FIRST 50 registry entries per round, so
-# registry order decides which queries get a CORRECTNESS row. Round-15
-# window (executes the plan pinned in COMPAT.md "r15 window plan" and
-# the r14 verdict item 2):
-#   - LEAD with the nine r10-dated rows — the oldest cohort in the
-#     registry (semi_anti_customers ... training_shard_manifest; five
-#     were displaced from the r14 window by the changed-row-first
-#     policy, four never fit). After this round no registry row's
-#     latest driver proof predates r11.
-#   - Then oldest-first: 40 of the 49 rows whose latest driver row is
-#     r11 (alphabetical within the cohort; computed programmatically
-#     from the CORRECTNESS_r*.json artifacts). The nine r11 rows that
-#     don't fit (streaming_quality_monitor, supplier_bfs_hops,
-#     text_normalize, text_quality, token_counts,
-#     top_customer_per_nation, topk_orders, vocab_growth_stats,
-#     zorder_values) lead the r16 window. The pytest staleness gate
-#     (tests/test_oracle.py::test_registry_driver_proof_freshness)
-#     now enforces this rotation mechanically.
+# registry order decides which queries get a CORRECTNESS row. Round-16
+# window (executes the plan pinned in COMPAT.md "r16 window plan" and
+# the r15 verdict item 1):
+#   - LEAD with the ten r11-dated rows — the oldest cohort left in the
+#     registry (after this round the freshness floor is r12; the
+#     staleness gate test_registry_driver_proof_freshness trips at r17
+#     for any of these not proven now).
+#   - Then oldest-first: 38 of the 49 rows whose latest driver row is
+#     r12 (alphabetical within the cohort; computed programmatically
+#     from the CORRECTNESS_r*.json artifacts). The eleven r12 rows
+#     that don't fit (subsequence_best_match_fft,
+#     supplier_count_per_brand_size, supplier_triangles,
+#     tfidf_top_terms, token_entropy, top_supplier_quarter,
+#     topk_with_ties, trajectory_speed, value_histogram,
+#     video_container_meta, weighted_sample_orders) lead the r17
+#     window.
 #   - Changed-row-first amendment: any row whose semantics change
 #     THIS round rotates in, displacing from the END of this list;
-#     displaced rows lead r16. Rotated in: image_format_dispatch
-#     (mixed6 -> mixed7: the TIFF arm re-routes by doc_id % 4 and
-#     gains a JPEG-in-TIFF sub-arm — compression 7, shared JPEGTables
-#     + abbreviated strip/tile streams through the full JPEG decoder).
+#     displaced rows lead r17. Rotated in: warc_record_stats (NEW in
+#     r16 — registry 204 -> 205, never driver-checked: the WARC/WET
+#     source over deterministic .warc.gz shards of the documents
+#     corpus) and image_format_dispatch (mixed7 -> mixed8: the TIFF
+#     multipage arm gains an old-style JPEG-in-TIFF page — compression
+#     6 via the JPEGInterchangeFormat tags, the restricted full-stream
+#     subset real scanners emitted).
 _FRONT_WINDOW: list[str] = [
-    "semi_anti_customers",
-    "sessionize_events",
-    "set_ops_segments",
-    "small_qty_revenue",
-    "stream_stream_join",
-    "streaming_ivf_ingest_topk",
-    "string_functions",
-    "subsequence_best_match",
-    "training_shard_manifest",
-    "ab_experiment_lift",
-    "asof_next_purchase",
-    "basket_association_rules",
-    "benford_digit_audit",
-    "binary_hamming_topk",
-    "blocking_suppliers",
-    "bloom_prefilter_fp_rate",
-    "bm25_top_docs",
-    "bracket_revenue",
-    "cms_heavy_hitters",
-    "conversion_latency_deciles",
-    "distinct_pairs",
-    "entity_resolution_clusters",
-    "event_transition_matrix",
-    "event_type_pivot",
-    "frequent_event_paths",
-    "funnel_view_click_purchase",
-    "gopher_quality_filter",
-    "hashed_quality_classifier",
-    "histogram_quantile_sketch",
-    "hll_region_rollup",
-    "horizontal_predicates",
-    "image_pixel_stats_jpeg_progressive",
-    "k_anonymity_audit",
-    "lag_lead_events",
-    "length_bucket_histogram",
-    "line_dedup_stats",
-    "map_from_json_props",
-    "multi_touch_attribution",
-    "near_dup_clusters_star",
-    "ngram_profile",
-    "null_counts",
-    "ohlc_hourly",
-    "pareto_customers",
-    "pretraining_pipeline_stats",
-    "profile_min_max",
-    "rag_chunk_index_topk",
-    "readability_scores",
-    "source_overlap_matrix",
-    # variant_json_props is NEW in r15 (registry 203 -> 204, never
-    # driver-checked) — it takes the tail slot per the changed-row
-    # policy, displacing stratified_quality_sample (r11) to lead r16
-    "variant_json_props",
+    "stratified_quality_sample",
+    "streaming_quality_monitor",
+    "supplier_bfs_hops",
+    "text_normalize",
+    "text_quality",
+    "token_counts",
+    "top_customer_per_nation",
+    "topk_orders",
+    "vocab_growth_stats",
+    "zorder_values",
+    "cohort_retention",
+    "cross_doc_repeated_spans",
+    "cumulative_unique_users",
+    "curation_pipeline_stats",
+    "doc_chunking",
+    "doc_repetition_stats",
+    "dominant_supplier_part",
+    "embedding_quantize_int8",
+    "fuzzy_name_pairs",
+    "image_luma_histogram",
+    "image_pixel_stats",
+    "image_resize_nn",
+    "important_parts_share",
+    "incremental_join_view",
+    "inverted_index_postings",
+    "kmeans_ivf_centroids",
+    "market_share",
+    "min_cost_supplier_per_part",
+    "mixture_sample_docs",
+    "ngram_contamination",
+    "orc_roundtrip_agg",
+    "part_pagerank",
+    "pii_scrub_docs",
+    "profit_by_nation_year",
+    "promo_revenue_share",
+    "returned_revenue",
+    "revenue_mom_change",
+    "rich_idle_customers",
+    "rolling_1h_user_stats",
+    "rolling_zscore_anomaly",
+    "schema_evolution_merge",
+    "sequence_packing",
+    "simhash_fingerprints",
+    "skyline_orders",
+    "snapshot_diff_orders",
+    "snapshot_time_travel",
+    "streaming_stateful_totals",
+    "streaming_zscore_anomaly",
+    "warc_record_stats",
     "image_format_dispatch",
 ]
 
@@ -3479,6 +3478,120 @@ def q_variant_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("k_max"),
             F.count("m").alias("n_missing_key"),
         )
+    )
+
+
+@register(
+    "warc_record_stats",
+    """
+    WITH d AS (SELECT doc_id, octet_length(encode(text)) AS b FROM documents)
+    SELECT * FROM (
+      SELECT 'conversion' AS warc_type,
+             CAST(count(*) AS BIGINT) AS n_records,
+             CAST(sum(b) AS BIGINT) AS payload_bytes,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_uris
+      FROM d
+      UNION ALL
+      SELECT 'metadata' AS warc_type,
+             CAST(count(*) AS BIGINT) AS n_records,
+             CAST(sum(octet_length(encode(
+                 '{"len": ' || CAST(b AS VARCHAR) || '}'))) AS BIGINT)
+               AS payload_bytes,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_uris
+      FROM d WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT 'warcinfo' AS warc_type,
+             CAST(4 AS BIGINT) AS n_records,
+             CAST(4 * octet_length(encode(
+                 'software: ais-data-pipeline-spark/warc')) AS BIGINT)
+               AS payload_bytes,
+             CAST(0 AS BIGINT) AS n_uris
+    ) ORDER BY warc_type
+    """,
+    "WARC/WET source (r16, sources/warc.py): the documents corpus is "
+    "packed into 4 deterministic .warc.gz shards (per-record gzip "
+    "members, ISO 28500 framing — one warcinfo lead record per shard, "
+    "one conversion record per doc, a metadata record for every 5th "
+    "doc), then read back through the streaming per-file reader and "
+    "aggregated per record type. The oracle re-derives every count/"
+    "byte total from the documents table alone, so it is framing- and "
+    "shard-independent. Scale shape: one task per warc file (the "
+    "Common Crawl shard unit — .warc.gz is not offset-splittable), "
+    "records stream out in Arrow batches, whole files never "
+    "materialize.",
+)
+def q_warc_record_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+
+    from ais_data_pipeline_spark.sources.warc import (
+        encode_warc_records,
+        read_warc,
+    )
+
+    n_shards = 4
+    d = _scratch_dir("warc_stats_")
+
+    def write_shard(pdf):
+        import pandas as pd
+
+        shard = int(pdf["shard"].iloc[0])
+        pdf = pdf.sort_values("doc_id")
+        recs = [
+            dict(
+                warc_type="warcinfo",
+                record_id=f"<urn:warcinfo:{shard}>",
+                warc_date="2024-01-01T00:00:00Z",
+                content_type="application/warc-fields",
+                payload=b"software: ais-data-pipeline-spark/warc",
+            )
+        ]
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            body = text.encode("utf-8")
+            uri = f"http://example.org/doc/{doc_id}"
+            recs.append(
+                dict(
+                    warc_type="conversion",
+                    record_id=f"<urn:doc:{doc_id}>",
+                    warc_date="2024-01-01T00:00:00Z",
+                    target_uri=uri,
+                    content_type="text/plain",
+                    payload=body,
+                )
+            )
+            if doc_id % 5 == 0:
+                recs.append(
+                    dict(
+                        warc_type="metadata",
+                        record_id=f"<urn:meta:{doc_id}>",
+                        warc_date="2024-01-01T00:00:00Z",
+                        target_uri=uri,
+                        content_type="application/json",
+                        payload=('{"len": %d}' % len(body)).encode(),
+                    )
+                )
+        with open(f"{d}/shard-{shard:02d}.warc.gz", "wb") as f:
+            f.write(encode_warc_records(recs))
+        return pd.DataFrame({"shard": [shard], "n": [len(recs)]})
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # fixture build: each shard task writes its own warc.gz (collect is
+    # n_shards rows — the write is the point, the counts are discarded)
+    (
+        docs.withColumn("shard", (F.col("doc_id") % n_shards).cast("int"))
+        .groupBy("shard")
+        .applyInPandas(write_shard, "shard int, n long")
+        .collect()
+    )
+    paths = sorted(_glob.glob(d + "/shard-*.warc.gz"))
+    w = read_warc(spark, paths)
+    return (
+        w.groupBy("warc_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.sum(F.octet_length("payload")).alias("payload_bytes"),
+            F.countDistinct("target_uri").alias("n_uris"),
+        )
+        .orderBy("warc_type")
     )
 
 

@@ -1,0 +1,242 @@
+"""WARC / WET source (Common Crawl's container format) — pure stdlib.
+
+A WARC file is a sequence of records, each framed as::
+
+    WARC/1.0\\r\\n
+    WARC-Type: conversion\\r\\n
+    WARC-Record-ID: <urn:uuid:...>\\r\\n
+    WARC-Date: 2024-01-01T00:00:00Z\\r\\n
+    WARC-Target-URI: http://...\\r\\n        (absent on warcinfo)
+    Content-Type: text/plain\\r\\n
+    Content-Length: NNN\\r\\n
+    \\r\\n
+    <NNN payload bytes>\\r\\n\\r\\n
+
+``.warc.gz`` files gzip EACH record as its own member (ISO 28500
+annex; what Common Crawl ships) — Python's ``gzip.GzipFile`` reads
+concatenated members transparently, and the ``Content-Length`` header
+frames every payload, so one sequential pass recovers every record
+with bounded memory. WET files are ordinary WARCs whose records are
+``conversion`` (extracted text) — the same parser covers both.
+
+Scale design (100 TB of Common Crawl): ``.warc.gz`` is NOT splittable
+at arbitrary offsets (gzip members + framed records), so the unit of
+parallelism is the FILE — exactly how production CC jobs shard (one
+~1 GiB warc.gz per task). ``read_warc`` distributes one file per
+task via a tiny path relation and STREAMS records out of each file in
+Arrow batches: whole files are never materialized, payload rows cap
+at ``payload_max_bytes``, and the per-task memory bound is
+(batch_rows × max payload). For object-store paths use
+``read_warc_binaryfile`` — Spark's binaryFile source reaches any
+Hadoop filesystem (s3a/abfs/hdfs) from executors, at the documented
+cost of one whole file in memory per task (CC-sized files fit
+executor memory; the streaming reader is for when they don't and the
+store is mounted).
+
+Reference parity: the reference pipeline ingests CSV/JSON over HTTP
+(notebooks/0_preprocessing.ipynb); WARC extends the same ingest tier
+to the canonical web-corpus container for the LLM-pipeline operators
+(r15 verdict item 8).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io as _io
+from typing import Iterable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Arrow-batch granularity of the streaming reader: rows per yielded
+#: pandas frame. Bounds per-task memory at batch_rows × payload cap.
+_BATCH_ROWS = 256
+
+WARC_SCHEMA = (
+    "warc_file string, record_index long, warc_type string, "
+    "record_id string, target_uri string, warc_date string, "
+    "content_type string, content_length long, payload binary"
+)
+
+
+def _strip_file_uri(path: str) -> str:
+    return path[len("file://") :] if path.startswith("file://") else path
+
+
+def iter_warc_records(
+    stream, warc_file: str = "", payload_max_bytes: int | None = None
+) -> Iterator[dict]:
+    """Parse one WARC stream (raw or multi-member gzip) into record
+    dicts matching ``WARC_SCHEMA``. Loud ``ValueError`` on a bad
+    version line, unparseable Content-Length, or a truncated payload;
+    ``payload_max_bytes`` truncates the RETAINED payload while still
+    consuming the full record (content_length keeps the declared
+    size, so truncation is detectable downstream)."""
+    head = stream.peek(2)[:2] if hasattr(stream, "peek") else b""
+    if not head:
+        # non-peekable stream (e.g. BytesIO): sniff via read+seek
+        pos = stream.tell()
+        head = stream.read(2)
+        stream.seek(pos)
+    if head == b"\x1f\x8b":
+        stream = gzip.GzipFile(fileobj=stream)
+    idx = 0
+    while True:
+        line = stream.readline()
+        if not line:
+            return
+        if line in (b"\r\n", b"\n"):
+            continue  # inter-record separator blank lines
+        version = line.strip().decode("ascii", "replace")
+        if version not in ("WARC/1.0", "WARC/1.1"):
+            raise ValueError(f"{warc_file}: bad WARC version line {version!r}")
+        headers: dict[str, str] = {}
+        last_key = None
+        while True:
+            hl = stream.readline()
+            if not hl:
+                raise ValueError(f"{warc_file}: truncated WARC header block")
+            if hl in (b"\r\n", b"\n"):
+                break
+            if hl[:1] in (b" ", b"\t") and last_key:
+                # RFC-822 folding: continuation extends the prior value
+                headers[last_key] += " " + hl.strip().decode("utf-8", "replace")
+                continue
+            k, sep, v = hl.decode("utf-8", "replace").partition(":")
+            if not sep:
+                raise ValueError(f"{warc_file}: malformed WARC header {hl!r}")
+            last_key = k.strip().lower()
+            headers[last_key] = v.strip()
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError):
+            raise ValueError(
+                f"{warc_file}: missing/invalid Content-Length in record {idx}"
+            ) from None
+        if length < 0:
+            raise ValueError(f"{warc_file}: negative Content-Length")
+        payload = stream.read(length)
+        if len(payload) != length:
+            raise ValueError(
+                f"{warc_file}: truncated payload in record {idx} "
+                f"({len(payload)}/{length} bytes)"
+            )
+        if payload_max_bytes is not None and len(payload) > payload_max_bytes:
+            payload = payload[:payload_max_bytes]
+        yield {
+            "warc_file": warc_file,
+            "record_index": idx,
+            "warc_type": headers.get("warc-type"),
+            "record_id": headers.get("warc-record-id"),
+            "target_uri": headers.get("warc-target-uri"),
+            "warc_date": headers.get("warc-date"),
+            "content_type": headers.get("content-type"),
+            "content_length": length,
+            "payload": bytearray(payload),
+        }
+        idx += 1
+
+
+def _records_to_batches(records: Iterable[dict]):
+    import pandas as pd
+
+    buf: list[dict] = []
+    for rec in records:
+        buf.append(rec)
+        if len(buf) >= _BATCH_ROWS:
+            yield pd.DataFrame(buf)
+            buf = []
+    if buf:
+        yield pd.DataFrame(buf)
+
+
+def read_warc(
+    spark: SparkSession,
+    paths: list[str],
+    payload_max_bytes: int | None = None,
+) -> DataFrame:
+    """Streaming WARC reader over LOCAL / ``file://`` paths: one task
+    per file (the natural CC shard), records streamed out in Arrow
+    batches — a file is never whole in memory. For s3a://-class paths
+    use ``read_warc_binaryfile`` (executors cannot stream arbitrary
+    Hadoop schemes from Python; the DSv2 binaryFile source can)."""
+    from ais_data_pipeline_spark.localrel import local_df
+
+    if not paths:
+        raise ValueError("read_warc: no paths")
+    for p in paths:
+        scheme = p.split("://", 1)
+        if len(scheme) == 2 and scheme[0] != "file":
+            raise NotImplementedError(
+                f"read_warc streams local/file:// paths only (got {p!r}); "
+                "use read_warc_binaryfile for Hadoop-filesystem schemes"
+            )
+
+    def parse(batches):
+        for pdf in batches:
+            for path in pdf["path"]:
+                with open(_strip_file_uri(path), "rb") as f:
+                    yield from _records_to_batches(
+                        iter_warc_records(f, path, payload_max_bytes)
+                    )
+
+    rel = local_df(spark, [(p,) for p in sorted(paths)], "path string")
+    # round-robin so each file lands in its own task
+    return rel.repartition(len(paths)).mapInPandas(parse, WARC_SCHEMA)
+
+
+def read_warc_binaryfile(
+    spark: SparkSession,
+    path_glob: str,
+    payload_max_bytes: int | None = None,
+) -> DataFrame:
+    """WARC reader over Spark's ``binaryFile`` source — works on any
+    Hadoop-reachable scheme (s3a/abfs/hdfs) because the FILE read
+    happens JVM-side; the Python side parses the fetched bytes. One
+    whole file per row, so size executors for the largest shard
+    (Common Crawl's ~1 GiB warc.gz is fine at standard executor
+    sizes)."""
+
+    def parse(batches):
+        for pdf in batches:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                yield from _records_to_batches(
+                    iter_warc_records(
+                        _io.BytesIO(bytes(content)), path, payload_max_bytes
+                    )
+                )
+
+    files = spark.read.format("binaryFile").load(path_glob)
+    return files.select("path", "content").mapInPandas(parse, WARC_SCHEMA)
+
+
+def encode_warc_records(records: list[dict], gzip_members: bool = True) -> bytes:
+    """Fixture twin of ``iter_warc_records`` (the encode_tiff
+    convention: every parser ships its encoder so tests can't share a
+    transcription bug through a single table). Each record dict:
+    ``warc_type``, ``record_id``, ``warc_date``, ``content_type``,
+    ``payload`` (bytes), optional ``target_uri``. With
+    ``gzip_members`` each record compresses as its OWN gzip member
+    (mtime pinned to 0 so fixture bytes are deterministic), the
+    ``.warc.gz`` convention that keeps per-record random access
+    possible for index-based readers."""
+    out = bytearray()
+    for rec in records:
+        payload = bytes(rec["payload"])
+        lines = [b"WARC/1.0\r\n"]
+        hdrs = [
+            ("WARC-Type", rec["warc_type"]),
+            ("WARC-Record-ID", rec["record_id"]),
+            ("WARC-Date", rec["warc_date"]),
+        ]
+        if rec.get("target_uri"):
+            hdrs.append(("WARC-Target-URI", rec["target_uri"]))
+        hdrs += [
+            ("Content-Type", rec["content_type"]),
+            ("Content-Length", str(len(payload))),
+        ]
+        for k, v in hdrs:
+            lines.append(f"{k}: {v}\r\n".encode())
+        lines.append(b"\r\n")
+        block = b"".join(lines) + payload + b"\r\n\r\n"
+        out += gzip.compress(block, mtime=0) if gzip_members else block
+    return bytes(out)

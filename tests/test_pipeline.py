@@ -1766,3 +1766,114 @@ def test_snapshot_sink_fake_remote_and_crash_substeps(spark, tmp_path):
     assert v == 3 and current_version(tp) == 3
     assert read_snapshot(spark, tp).count() == 8
     assert [h["version"] for h in snapshot_history(tp)] == [1, 2, 3]
+
+
+def test_warc_source_roundtrip_and_spec_vector(spark, tmp_path):
+    """r16 (verdict item 8): WARC/WET source. (a) A HAND-ASSEMBLED
+    spec-vector record (bytes typed from the ISO 28500 framing, NOT
+    produced by the encoder — so an encoder/parser bug cannot cancel);
+    (b) encoder/parser roundtrip over gzip-member and plain framing,
+    multi-record, header folding, payload truncation cap; (c) the
+    Spark readers (streaming per-file and binaryFile) agree record for
+    record; (d) loud errors: bad version line, truncated payload,
+    missing Content-Length, remote scheme on the streaming reader."""
+    import gzip as _gzip
+    import io as _bio
+
+    import pytest as _pytest
+
+    from ais_data_pipeline_spark.sources.warc import (
+        encode_warc_records,
+        iter_warc_records,
+        read_warc,
+        read_warc_binaryfile,
+    )
+
+    # (a) spec vector: one conversion record, hand-framed
+    payload = b"Hello, web!\n"
+    raw = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: conversion\r\n"
+        b"WARC-Record-ID: <urn:uuid:0001>\r\n"
+        b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        b"WARC-Target-URI: http://example.org/a\r\n"
+        b"Content-Type: text/plain\r\n"
+        b"Content-Length: 12\r\n"
+        b"\r\n" + payload + b"\r\n\r\n"
+    )
+    (rec,) = list(iter_warc_records(_bio.BytesIO(raw), "spec"))
+    assert rec["warc_type"] == "conversion"
+    assert rec["record_id"] == "<urn:uuid:0001>"
+    assert rec["target_uri"] == "http://example.org/a"
+    assert rec["content_length"] == 12 and bytes(rec["payload"]) == payload
+
+    # same vector as a single gzip member parses identically
+    (rec_gz,) = list(iter_warc_records(_bio.BytesIO(_gzip.compress(raw)), "gz"))
+    assert bytes(rec_gz["payload"]) == payload
+
+    # (b) roundtrip: warcinfo + conversions + a folded header
+    recs = [
+        dict(warc_type="warcinfo", record_id="<urn:warcinfo:0>",
+             warc_date="2024-01-01T00:00:00Z",
+             content_type="application/warc-fields", payload=b"software: x"),
+    ] + [
+        dict(warc_type="conversion", record_id=f"<urn:uuid:{i:04x}>",
+             warc_date=f"2024-01-01T00:00:{i:02d}Z",
+             target_uri=f"http://example.org/{i}",
+             content_type="text/plain",
+             payload=(b"doc %d " % i) * (i + 1))
+        for i in range(5)
+    ]
+    for gz in (True, False):
+        blob = encode_warc_records(recs, gzip_members=gz)
+        got = list(iter_warc_records(_bio.BytesIO(blob), "rt"))
+        assert [r["record_id"] for r in got] == [r["record_id"] for r in recs]
+        assert [bytes(r["payload"]) for r in got] == [r["payload"] for r in recs]
+        assert [r["record_index"] for r in got] == list(range(6))
+    folded = raw.replace(
+        b"Content-Type: text/plain\r\n",
+        b"Content-Type: text/plain;\r\n charset=utf-8\r\n",
+    )
+    (fr,) = list(iter_warc_records(_bio.BytesIO(folded), "fold"))
+    assert fr["content_type"] == "text/plain; charset=utf-8"
+
+    # payload cap: retained bytes truncate, declared length survives
+    capped = list(
+        iter_warc_records(
+            _bio.BytesIO(encode_warc_records(recs)), "cap", payload_max_bytes=8
+        )
+    )
+    assert all(len(r["payload"]) <= 8 for r in capped)
+    assert capped[-1]["content_length"] == len(recs[-1]["payload"])
+
+    # (c) the two Spark readers agree; one task per file on streaming
+    d = tmp_path / "warc"
+    d.mkdir()
+    for shard in range(3):
+        (d / f"part-{shard}.warc.gz").write_bytes(
+            encode_warc_records(recs[: 2 + shard])
+        )
+    paths = sorted(str(p) for p in d.iterdir())
+    a = read_warc(spark, paths)
+    b = read_warc_binaryfile(spark, str(d / "*.warc.gz"))
+    rows_a = sorted(
+        ((r["warc_file"].split("/")[-1], r["record_index"], r["record_id"],
+          bytes(r["payload"])) for r in a.collect())
+    )
+    rows_b = sorted(
+        ((r["warc_file"].split("/")[-1].removeprefix("file:"),
+          r["record_index"], r["record_id"], bytes(r["payload"]))
+         for r in b.collect())
+    )
+    assert rows_a == rows_b and len(rows_a) == 2 + 3 + 4
+
+    # (d) loud error classes
+    with _pytest.raises(ValueError, match="bad WARC version"):
+        list(iter_warc_records(_bio.BytesIO(b"HTTP/1.1 200 OK\r\n"), "v"))
+    with _pytest.raises(ValueError, match="truncated payload"):
+        list(iter_warc_records(_bio.BytesIO(raw[:-8]), "t"))
+    with _pytest.raises(ValueError, match="Content-Length"):
+        bad = raw.replace(b"Content-Length: 12\r\n", b"")
+        list(iter_warc_records(_bio.BytesIO(bad), "cl"))
+    with _pytest.raises(NotImplementedError, match="binaryfile"):
+        read_warc(spark, ["s3a://bucket/x.warc.gz"])
