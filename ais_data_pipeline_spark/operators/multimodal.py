@@ -944,6 +944,10 @@ def make_image_fixture(
     r13: odd ids grayscale — gray byte k = synth(d, k), replicated to
     RGB on decode — doc_id % 3 == 0 big-endian, all strip-split at 2
     rows);
+    ``fmt='mixed8'`` (r16) = mixed7 plus OLD-style JPEG-in-TIFF:
+    multipage docs i%8==5 code page 2 as compression 6 — one complete
+    JPEGInterchangeFormat stream (tags 513/514), same block-constant
+    closed form as the compression-7 arm;
     ``fmt='png'`` encodes even doc_ids as
     RGB (color type 2) and odd as RGBA (type 6) so both truecolor
     layouts hit the decoder; ``fmt='jpeg'`` encodes even doc_ids as
@@ -985,10 +989,10 @@ def make_image_fixture(
                 elif fmt == "png" or (
                     fmt == "mixed3" and i % 3 == 2
                 ) or (fmt == "mixed4" and i % 4 == 2) or (
-                    fmt in ("mixed5", "mixed6", "mixed7") and i % 5 == 2
+                    fmt in ("mixed5", "mixed6", "mixed7", "mixed8") and i % 5 == 2
                 ):
                     payloads.append(encode_png(i, *png_dims(i), rgba=i % 2 == 1))
-                elif fmt in ("mixed5", "mixed6", "mixed7") and i % 5 == 4:
+                elif fmt in ("mixed5", "mixed6", "mixed7", "mixed8") and i % 5 == 4:
                     from ais_data_pipeline_spark.operators.tiff import (
                         encode_tiff,
                         encode_tiff_multipage,
@@ -997,8 +1001,12 @@ def make_image_fixture(
                     # mixed7 (r15) re-routes the TIFF arm by i % 4 to
                     # fit the JPEG-in-TIFF sub-arm; mixed6 keeps the
                     # r14 i % 3 routing (COMPAT: frozen fixture shape)
-                    sub = i % 4 if fmt == "mixed7" else (i % 3 if fmt == "mixed6" else 0)
-                    if fmt == "mixed7" and sub == 3:
+                    sub = (
+                        i % 4
+                        if fmt in ("mixed7", "mixed8")
+                        else (i % 3 if fmt == "mixed6" else 0)
+                    )
+                    if fmt in ("mixed7", "mixed8") and sub == 3:
                         # JPEG-in-TIFF arm (r15, compression 7):
                         # block-constant raster — pixel (x, y) =
                         # synth(i, (y//8)*ceil(w/8) + x//8), R=G=B —
@@ -1014,7 +1022,7 @@ def make_image_fixture(
                                 tile=(8, 8) if (i // 4) % 2 else None,
                             )
                         )
-                    elif fmt in ("mixed6", "mixed7") and sub == 1:
+                    elif fmt in ("mixed6", "mixed7", "mixed8") and sub == 1:
                         # multi-page arm (r14): 2-3 chained IFDs with
                         # per-page dims, seeds, and compressions —
                         # page p raster byte k = synth(i + 131*p, k).
@@ -1034,9 +1042,19 @@ def make_image_fixture(
                                         rows_per_strip=2,
                                         compression=(
                                             4
-                                            if fmt == "mixed7"
+                                            if fmt in ("mixed7", "mixed8")
                                             and p == 1
                                             and i % 8 == 1
+                                            # mixed8 (r16): docs i%8==5
+                                            # swap page 2 to OLD-style
+                                            # JPEG (compression 6,
+                                            # JPEGInterchangeFormat full
+                                            # stream, block-constant
+                                            # closed form)
+                                            else 6
+                                            if fmt == "mixed8"
+                                            and p == 2
+                                            and i % 8 == 5
                                             else [1, 5, 8][p % 3]
                                         ),
                                     )
@@ -1044,7 +1062,7 @@ def make_image_fixture(
                                 ],
                             )
                         )
-                    elif fmt in ("mixed6", "mixed7") and sub == 2:
+                    elif fmt in ("mixed6", "mixed7", "mixed8") and sub == 2:
                         # TILED arm (r14): 4x4 LZW tiles with edge
                         # padding — same closed-form raster, so the
                         # oracle's pixel sums are layout-independent.
@@ -1056,7 +1074,7 @@ def make_image_fixture(
                             encode_tiff(
                                 i, w, h, gray=i % 2 == 1,
                                 compression=5, tile=(4, 4),
-                                planar=2 if fmt == "mixed7" and i % 8 == 6 else 1,
+                                planar=2 if fmt in ("mixed7", "mixed8") and i % 8 == 6 else 1,
                             )
                         )
                     else:
@@ -1065,11 +1083,11 @@ def make_image_fixture(
                             encode_tiff(
                                 i, w, h, gray=i % 2 == 1,
                                 big_endian=i % 3 == 0, rows_per_strip=2,
-                                planar=2 if fmt == "mixed7" and i % 8 == 0 else 1,
+                                planar=2 if fmt in ("mixed7", "mixed8") and i % 8 == 0 else 1,
                             )
                         )
                 elif (fmt == "mixed4" and i % 4 == 3) or (
-                    fmt in ("mixed5", "mixed6", "mixed7") and i % 5 == 3
+                    fmt in ("mixed5", "mixed6", "mixed7", "mixed8") and i % 5 == 3
                 ):
                     from ais_data_pipeline_spark.operators.gif import encode_gif
 
@@ -1088,7 +1106,7 @@ def make_image_fixture(
                     or (fmt == "mixed" and i % 2 == 0)
                     or (fmt == "mixed3" and i % 3 == 0)
                     or (fmt == "mixed4" and i % 4 == 0)
-                    or (fmt in ("mixed5", "mixed6", "mixed7") and i % 5 == 0)
+                    or (fmt in ("mixed5", "mixed6", "mixed7", "mixed8") and i % 5 == 0)
                 ):
                     payloads.append(encode_ppm(i, *ppm_dims(i)))
                 else:

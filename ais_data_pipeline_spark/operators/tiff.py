@@ -266,6 +266,12 @@ def _decode_ifd(data: bytes, e: str, tags: dict[int, list[int]]):
         # strip/tile — a composition of the existing JPEG decoder
         # with the strip/tile walk, not a new codec
         return _decode_jpeg_ifd(data, tags, w, h, photometric)
+    if compression == 6:
+        # old-style JPEG-in-TIFF (r16, TIFF 6.0 §22 — deprecated by
+        # TechNote 2 in 1995): the restricted subset real scanner
+        # firmware emitted — one complete interchange stream via the
+        # JPEGInterchangeFormat tags; everything else stays the hook
+        return _decode_jpeg_old_ifd(data, tags, w, h, photometric)
     if compression in (2, 3, 4):
         # CCITT family (r15): Group 4 / T.6 MMR (4, the document-scan
         # staple), Group 3 / T.4 (3, 1-D and 2-D per T4Options), and
@@ -298,8 +304,7 @@ def _decode_ifd(data: bytes, e: str, tags: dict[int, list[int]]):
     if compression not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(
             f"TIFF compression {compression} not supported natively "
-            "(none/LZW/Deflate/PackBits/new-style-JPEG only; old-style "
-            "JPEG (6) was never fully specified and stays the PIL hook)"
+            "(none/LZW/Deflate/PackBits/JPEG/CCITT only)"
         )
     predictor = tags.get(317, [1])[0]
     if predictor not in (1, 2):
@@ -701,6 +706,51 @@ def _decode_planar2(
     return np.stack(planes, axis=2)
 
 
+def _decode_jpeg_old_ifd(
+    data: bytes, tags: dict[int, list[int]], w: int, h: int, photometric: int
+):
+    """Old-style JPEG-in-TIFF (TIFF 6.0 §22, compression 6 — r16).
+
+    Native scope is the RESTRICTED subset real scanner firmware
+    emitted: tag 513 (JPEGInterchangeFormat) points at ONE complete
+    JPEG interchange stream (SOI..EOI, its own tables) covering the
+    full image, tag 514 (JPEGInterchangeFormatLength) gives its byte
+    length — i.e. "a whole JFIF file embedded in the TIFF". That form
+    decodes with zero ambiguity through ``parse_jpeg`` (MCU-padded
+    edges cropped, same rule as every JPEG path). The FRAGMENTED
+    old-style variant — per-strip entropy data stitched to tags
+    515-520 (JPEGProc/QTables/DCTables/ACTables offsets, restart
+    state split across strips) — is the part TechNote 2 calls
+    unimplementable cross-vendor (vendors disagreed on whether strips
+    restart entropy state and where tables bind), so it stays the
+    loud-NotImplementedError / PIL-hook line rather than risking
+    silently-wrong pixels. Photometrics mirror compression 7: 1
+    (MinIsBlack gray) and 6 (YCbCr); RGB/CMYK-coded stay the hook."""
+    from ais_data_pipeline_spark.operators.jpeg import parse_jpeg
+
+    if photometric not in (1, 6):
+        raise NotImplementedError(
+            f"old-style JPEG-in-TIFF photometric {photometric} not "
+            "supported natively (gray/YCbCr only)"
+        )
+    if 513 not in tags or 514 not in tags:
+        raise NotImplementedError(
+            "old-style JPEG-in-TIFF without a JPEGInterchangeFormat "
+            "stream (the fragmented per-strip tag 515-520 form) is "
+            "not supported natively — TechNote 2 documents it as "
+            "unimplementable cross-vendor; PIL hook"
+        )
+    off, ln = tags[513][0], tags[514][0]
+    if ln <= 0 or off + ln > len(data):
+        raise ValueError("JPEGInterchangeFormat stream out of range")
+    arr = parse_jpeg(data[off : off + ln])
+    if arr.shape[0] < h or arr.shape[1] < w:
+        raise ValueError(
+            "old-style JPEG stream smaller than the declared raster"
+        )
+    return arr[:h, :w, :]
+
+
 def _decode_jpeg_ifd(data: bytes, tags: dict[int, list[int]], w: int, h: int, photometric: int):
     """New-style JPEG-in-TIFF decode (TIFF TechNote 2, compression 7,
     r15): tag 347 (JPEGTables) holds an abbreviated table stream
@@ -1046,6 +1096,24 @@ def _encode_tiff_page(
         strips, jpeg_tables = _encode_jpeg_blocks(
             doc_id, w, h, gray, rows_per_strip, tile
         )
+    elif compression == 6:
+        # r16: OLD-style JPEG — one complete interchange stream of the
+        # same block-constant closed form (bit-exact lossy encode),
+        # wired through JPEGInterchangeFormat/Length instead of strip
+        # tags (the restricted subset the decoder supports)
+        from ais_data_pipeline_spark.operators.jpeg import (
+            encode_jpeg_constant_blocks,
+        )
+
+        if predictor != 1 or tile is not None:
+            raise ValueError("old-style JPEG fixture is full-frame only")
+        nbx = (w + 7) // 8
+        grays = [
+            jpeg_tiff_block_gray(doc_id, bx, by, nbx)
+            for by in range((h + 7) // 8)
+            for bx in range(nbx)
+        ]
+        strips = [encode_jpeg_constant_blocks(w, h, grays, color=not gray)]
     elif compression in (2, 3, 4):
         # r15: CCITT bilevel fixture — bit (x, y) is black iff
         # synth_pixel_value(doc, y*w + x) >= 128 (a closed form SQL
@@ -1180,7 +1248,7 @@ def _encode_tiff_page(
     elif gray:
         photometric = 1
     else:
-        photometric = 6 if compression == 7 else 2
+        photometric = 6 if compression in (6, 7) else 2
     tags = [
         (256, 4, [w]),
         (257, 4, [h]),
@@ -1220,7 +1288,12 @@ def _encode_tiff_page(
     for s in strips:
         offs.append(pos)
         pos += len(s)
-    off_tag, cnt_tag = (324, 325) if tile is not None else (273, 279)
+    # old-style JPEG stores its single stream via the interchange
+    # tags, not the strip tables (TIFF 6.0 §22)
+    if compression == 6:
+        off_tag, cnt_tag = (513, 514)
+    else:
+        off_tag, cnt_tag = (324, 325) if tile is not None else (273, 279)
     ent, ext = entry(off_tag, 4, offs, extras_off + len(extras))
     entries.append(ent)
     extras += ext

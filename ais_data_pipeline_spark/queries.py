@@ -9521,11 +9521,17 @@ def q_image_luma_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE doc_id % 5 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
                   WHEN 2 THEN 'png' WHEN 3 THEN 'gif'
                   ELSE 'tiff' END AS format,
-             -- JPEG-in-TIFF arm (r15, doc_id % 4 = 3): block-constant
-             -- raster — pixel (x, y) = synth(doc, y//8*ceil(w/8) +
-             -- x//8), R=G=B for gray AND color (constant-chroma
-             -- encode), layout-independent across strips/tiles
+             -- JPEG-in-TIFF arms: block-constant raster — pixel
+             -- (x, y) = synth(seed, y//8*ceil(w/8) + x//8), R=G=B for
+             -- gray AND color (constant-chroma encode), layout-
+             -- independent. r15 NEW-style (doc_id%4=3, compression 7,
+             -- strips/tiles); r16 OLD-style (mixed8): multipage docs
+             -- i%8==5 code page 2 as compression 6 — one complete
+             -- JPEGInterchangeFormat stream — with the SAME closed
+             -- form, so one CASE covers both
              CASE WHEN doc_id % 5 = 4 AND doc_id % 4 = 3 THEN 1
+                  WHEN doc_id % 5 = 4 AND doc_id % 4 = 1
+                       AND doc_id % 8 = 5 AND p = 2 THEN 1
                   ELSE 0 END AS jt,
              -- CCITT G4 page (r15): multipage docs i%8==1 store page
              -- 1 bilevel — pixel white (255) iff synth(seed, k) < 128
@@ -9597,8 +9603,14 @@ def q_image_luma_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "strips and 8x8 tiles alternating, through the full JPEG "
     "decoder, bit-exact via constant 8x8 blocks; PLANAR-2 — docs "
     "%8 in {0,6} store RGB as separate planes (raster identical, "
-    "oracle untouched); and CCITT G4 — multipage docs i%8==1 code "
-    "page 1 as T.6 bilevel fax, oracle counting white pixels; all "
+    "oracle untouched); CCITT G4 — multipage docs i%8==1 code "
+    "page 1 as T.6 bilevel fax, oracle counting white pixels; and "
+    "r16 (mixed7 -> mixed8): OLD-style JPEG-in-TIFF — multipage docs "
+    "i%8==5 code page 2 as compression 6, one complete "
+    "JPEGInterchangeFormat stream (tags 513/514, the restricted "
+    "subset real scanners emitted; the fragmented per-strip form "
+    "stays the loud PIL-hook line), same block-constant closed form "
+    "as the compression-7 arm; all "
     "raster-sum-sensitive here) decoded by one decode_image_pixels "
     "pass whose internal dispatch picks the parser per blob; "
     "per-format row counts, pixel totals, and raster sums prove "
@@ -9611,7 +9623,7 @@ def q_image_format_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = read_table(spark, sf_dir, "documents")
-    px = decode_image_pixels(make_image_fixture(d, fmt="mixed7"))
+    px = decode_image_pixels(make_image_fixture(d, fmt="mixed8"))
     return (
         px.groupBy("format")
         .agg(

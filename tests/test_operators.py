@@ -6724,18 +6724,21 @@ def test_tiff_decode_contracts(spark):
     ).reshape(40, 40, 3)
     assert (parse_tiff(big) == flat).all()
 
-    # out-of-scope codecs stay the honest line: old-style JPEG (6 —
-    # never fully specified) and, inside the r15 native compression-7
-    # path, RGB-coded JPEG (photometric 2 needs the Adobe-transform
-    # dance — PIL hook)
+    # out-of-scope codecs stay the honest line: RGB-coded JPEG
+    # (photometric 2 needs the Adobe-transform dance — PIL hook) on
+    # BOTH JPEG paths. r16: compression 6 decodes natively in its
+    # restricted JPEGInterchangeFormat form (see
+    # test_tiff_old_style_jpeg_compression6); a raster fixture
+    # relabelled compression 6 keeps photometric 2, which the
+    # old-style gate rejects loudly
     b = bytearray(encode_tiff(1, 4, 4))
     (ifd,) = _struct.unpack_from("<I", b, 4)
     (n,) = _struct.unpack_from("<H", b, ifd)
     for i in range(n):
         ent = ifd + 2 + 12 * i
         if _struct.unpack_from("<HH", b, ent)[0] == 259:
-            b[ent + 8] = 6  # old-style JPEG
-    with _pytest.raises(NotImplementedError, match="compression 6"):
+            b[ent + 8] = 6  # old-style JPEG, photometric still 2
+    with _pytest.raises(NotImplementedError, match="photometric 2"):
         parse_tiff(bytes(b))
     for i in range(n):
         ent = ifd + 2 + 12 * i
@@ -7569,6 +7572,7 @@ def test_tiff_raster_cap_and_fuzz_regression():
         encode_tiff(1, 17, 9, compression=7, rows_per_strip=8),
         encode_tiff(2, 13, 10, compression=5, planar=2, rows_per_strip=3),
         encode_tiff(3, 20, 12, gray=True, compression=4, tile=(8, 8)),
+        encode_tiff(4, 12, 10, gray=True, compression=6),  # r16 old-style
     ]
     t_sweep = time.perf_counter()
     for _ in range(2000):
@@ -7670,3 +7674,70 @@ def test_tiff_ccitt_photometric_fillorder_and_output_cap():
     arr = parse_tiff(encode_tiff(3, 33, 17, gray=True, rows_per_strip=5,
                                  compression=4))
     assert arr.dtype == np.uint8 and arr.shape == (17, 33, 3)
+
+
+def test_tiff_old_style_jpeg_compression6():
+    """r16 (verdict item 7): OLD-style JPEG-in-TIFF — compression 6,
+    the pre-TechNote-2 form. Native scope is the restricted subset
+    real scanner firmware emitted: ONE complete interchange stream
+    via JPEGInterchangeFormat/Length (tags 513/514). Pins: (a) gray +
+    color roundtrip against the block-constant closed form (bit-exact
+    lossy encode, the compression-7 trick); (b) the FRAGMENTED
+    per-strip form (no tag 513) fails loudly to the PIL-hook line —
+    TechNote 2 documents it as unimplementable cross-vendor; (c) an
+    out-of-range interchange stream raises ValueError; (d) multipage
+    mixing raster/LZW/old-style pages decodes page-for-page."""
+    import numpy as np
+    import pytest as _pytest
+
+    from ais_data_pipeline_spark.operators.tiff import (
+        _decode_ifd,
+        _read_ifd,
+        encode_tiff,
+        encode_tiff_multipage,
+        jpeg_tiff_block_gray,
+        parse_tiff,
+        parse_tiff_meta,
+        parse_tiff_pages,
+    )
+
+    def want_blocks(doc, w, h):
+        nbx = (w + 7) // 8
+        out = np.zeros((h, w, 3), np.uint8)
+        for y in range(h):
+            for x in range(w):
+                out[y, x, :] = jpeg_tiff_block_gray(doc, x // 8, y // 8, nbx)
+        return out
+
+    # (a) roundtrip, gray (photometric 1) and YCbCr (photometric 6)
+    for doc, w, h, gray in [(5, 12, 10, True), (6, 9, 7, False), (13, 20, 16, True)]:
+        blob = encode_tiff(doc, w, h, gray=gray, compression=6)
+        m = parse_tiff_meta(blob)
+        assert m["compression"] == 6
+        assert m["photometric"] == (1 if gray else 6)
+        assert (parse_tiff(blob) == want_blocks(doc, w, h)).all(), doc
+
+    # (b) fragmented form: strip tags but no JPEGInterchangeFormat
+    blob = encode_tiff(7, 12, 10, gray=True, compression=6)
+    tags = _read_ifd(blob, "<")
+    assert 513 in tags and 514 in tags
+    frag = {k: v for k, v in tags.items() if k not in (513, 514)}
+    frag[273], frag[279] = [8], [64]  # fake strip tables
+    with _pytest.raises(NotImplementedError, match="fragmented"):
+        _decode_ifd(blob, "<", frag)
+
+    # (c) out-of-range stream is a loud ValueError
+    bad = dict(tags)
+    bad[514] = [len(blob) * 2]
+    with _pytest.raises(ValueError, match="out of range"):
+        _decode_ifd(blob, "<", bad)
+
+    # (d) multipage: raster + LZW + old-style pages in one chain
+    specs = [
+        dict(seed_id=100, w=6, h=5, gray=True, rows_per_strip=2, compression=1),
+        dict(seed_id=231, w=7, h=4, gray=True, rows_per_strip=2, compression=5),
+        dict(seed_id=362, w=9, h=6, gray=True, compression=6),
+    ]
+    pages = parse_tiff_pages(encode_tiff_multipage(1, specs))
+    assert len(pages) == 3
+    assert (pages[2] == want_blocks(362, 9, 6)).all()
