@@ -61,6 +61,10 @@ EXECUTING = {
 # free explain() pass. Keep this set in sync with the eager builders in
 # operators/{graph,dedup,ir,similarity}.py and the curation pipeline.
 EAGER = {
+    # warc_record_stats packs its warc.gz fixture shards at fn() time;
+    # the RETURNED read plan (path relation -> mapInPandas parse ->
+    # one groupBy) is the part worth auditing
+    "warc_record_stats",
     "part_pagerank",
     "supplier_triangles",
     "near_dup_clusters",
