@@ -151,16 +151,23 @@ def _records_to_batches(records: Iterable[dict]):
 
 def read_warc(
     spark: SparkSession,
-    paths: list[str],
+    paths: list[str] | str,
     payload_max_bytes: int | None = None,
 ) -> DataFrame:
     """Streaming WARC reader over LOCAL / ``file://`` paths: one task
     per file (the natural CC shard), records streamed out in Arrow
-    batches — a file is never whole in memory. For s3a://-class paths
-    use ``read_warc_binaryfile`` (executors cannot stream arbitrary
-    Hadoop schemes from Python; the DSv2 binaryFile source can)."""
+    batches — a file is never whole in memory. ``paths`` is a list or
+    one glob string (expanded driver-side — a path list is O(files)
+    metadata, the same cost class as Spark's own file listing). For
+    s3a://-class paths use ``read_warc_binaryfile`` (executors cannot
+    stream arbitrary Hadoop schemes from Python; the DSv2 binaryFile
+    source can)."""
+    import glob as _glob
+
     from ais_data_pipeline_spark.localrel import local_df
 
+    if isinstance(paths, str):
+        paths = sorted(_glob.glob(_strip_file_uri(paths)))
     if not paths:
         raise ValueError("read_warc: no paths")
     for p in paths:

@@ -97,6 +97,11 @@ EXTENDED = [
     # corpus with per-frame JPEG decode
     "flac_pcm_stats",
     "frame_pixel_stats",
+    # r16: the WARC/WET ingest tier — fixture shard pack + the
+    # streaming one-task-per-file record parse (gzip members + framed
+    # payloads through Arrow batches); tools/warc_throughput.py is the
+    # sizing probe, this leg keeps wall-clock regressions visible
+    "warc_record_stats",
 ]
 
 #: 1-min load average above which the bench artifact flags itself and
