@@ -67,10 +67,15 @@ def iter_warc_records(
 ) -> Iterator[dict]:
     """Parse one WARC stream (raw or multi-member gzip) into record
     dicts matching ``WARC_SCHEMA``. Loud ``ValueError`` on a bad
-    version line, unparseable Content-Length, or a truncated payload;
-    ``payload_max_bytes`` truncates the RETAINED payload while still
-    consuming the full record (content_length keeps the declared
-    size, so truncation is detectable downstream)."""
+    version line, unparseable Content-Length, a truncated payload, OR
+    a corrupt/truncated gzip member — gzip's native error classes
+    (``BadGzipFile``, ``EOFError``, ``zlib.error``) are normalized to
+    the documented ``ValueError`` so the fuzz contract (every corrupt
+    input lands in ValueError/NotImplementedError) holds here like on
+    every other parser. ``payload_max_bytes`` truncates the RETAINED
+    payload while still consuming the full record (content_length
+    keeps the declared size, so truncation is detectable
+    downstream)."""
     head = stream.peek(2)[:2] if hasattr(stream, "peek") else b""
     if not head:
         # non-peekable stream (e.g. BytesIO): sniff via read+seek
@@ -78,7 +83,7 @@ def iter_warc_records(
         head = stream.read(2)
         stream.seek(pos)
     if head == b"\x1f\x8b":
-        stream = gzip.GzipFile(fileobj=stream)
+        stream = _gzip_valueerror_stream(gzip.GzipFile(fileobj=stream), warc_file)
     idx = 0
     while True:
         line = stream.readline()
@@ -134,6 +139,32 @@ def iter_warc_records(
             "payload": bytearray(payload),
         }
         idx += 1
+
+
+class _gzip_valueerror_stream:
+    """Thin read/readline adapter that converts gzip's corrupt-stream
+    error classes (BadGzipFile/EOFError/zlib.error — OSError-family,
+    NOT ValueError) into the documented ``ValueError`` class."""
+
+    def __init__(self, gz, warc_file: str):
+        self._gz = gz
+        self._name = warc_file
+
+    def _call(self, fn, *args):
+        import zlib
+
+        try:
+            return fn(*args)
+        except (gzip.BadGzipFile, EOFError, zlib.error) as exc:
+            raise ValueError(
+                f"{self._name}: corrupt gzip member ({exc})"
+            ) from None
+
+    def read(self, n: int = -1) -> bytes:
+        return self._call(self._gz.read, n)
+
+    def readline(self) -> bytes:
+        return self._call(self._gz.readline)
 
 
 def _records_to_batches(records: Iterable[dict]):

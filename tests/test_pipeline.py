@@ -1877,3 +1877,56 @@ def test_warc_source_roundtrip_and_spec_vector(spark, tmp_path):
         list(iter_warc_records(_bio.BytesIO(bad), "cl"))
     with _pytest.raises(NotImplementedError, match="binaryfile"):
         read_warc(spark, ["s3a://bucket/x.warc.gz"])
+
+
+def test_warc_fuzz_documented_error_classes():
+    """r16: the repo's fuzz convention applied to the WARC parser —
+    2k random byte mutations (set/insert/delete) over gzip-member and
+    plain fixtures must land in the documented error classes
+    (ValueError / NotImplementedError) or decode; gzip's native
+    BadGzipFile/EOFError/zlib.error are normalized to ValueError by
+    the reader's adapter, never escaping as raw OSErrors. Time-boxed
+    so a mutation can't smuggle in a pathological stall."""
+    import io as _bio
+    import random
+    import time
+
+    from ais_data_pipeline_spark.sources.warc import (
+        encode_warc_records,
+        iter_warc_records,
+    )
+
+    recs = [
+        dict(warc_type="conversion", record_id=f"<urn:uuid:{i:04x}>",
+             warc_date=f"2024-01-01T00:00:{i:02d}Z",
+             target_uri=f"http://example.org/{i}",
+             content_type="text/plain",
+             payload=(b"payload %d " % i) * (3 + i))
+        for i in range(6)
+    ]
+    fixtures = [
+        encode_warc_records(recs, gzip_members=True),
+        encode_warc_records(recs, gzip_members=False),
+    ]
+    rng = random.Random(1616)
+    t0 = time.perf_counter()
+    for _ in range(2000):
+        base = bytearray(rng.choice(fixtures))
+        for _m in range(rng.randint(1, 4)):
+            op = rng.random()
+            if op < 0.5:
+                base[rng.randrange(len(base))] = rng.randrange(256)
+            elif op < 0.75 and len(base) > 16:
+                del base[rng.randrange(len(base))]
+            else:
+                base.insert(rng.randrange(len(base)), rng.randrange(256))
+        try:
+            # cap retained payloads: a mutated Content-Length may be
+            # huge-but-valid; the cap bounds memory like a real reader
+            for _rec in iter_warc_records(
+                _bio.BytesIO(bytes(base)), "fuzz", payload_max_bytes=1 << 16
+            ):
+                pass
+        except (ValueError, NotImplementedError):
+            pass  # the documented error classes
+    assert time.perf_counter() - t0 < 60.0
