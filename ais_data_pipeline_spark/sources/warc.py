@@ -278,3 +278,148 @@ def encode_warc_records(records: list[dict], gzip_members: bool = True) -> bytes
         block = b"".join(lines) + payload + b"\r\n\r\n"
         out += gzip.compress(block, mtime=0) if gzip_members else block
     return bytes(out)
+
+
+# -- Member-level random access (the CDX pattern) ----------------------------
+#
+# Common Crawl's companion CDX indexes record (file, member_offset,
+# member_length) per record precisely BECAUSE each record is its own
+# gzip member: a reader can fetch one record with a byte-range GET and
+# decompress just that member. The pair below re-expresses that:
+# build_warc_member_index walks a warc.gz once and emits the offsets,
+# read_warc_member decompresses a single member slice. Offsets are
+# self-validating (the index test re-reads every member independently
+# and compares against the sequential parse) rather than oracle-
+# checked — the byte positions depend on the encoder's zlib, so no
+# closed form exists across environments.
+
+#: chunk size of the member-boundary walk: bounded-memory streaming
+#: split (a member never has to fit in one chunk).
+_MEMBER_CHUNK = 1 << 20
+
+WARC_MEMBER_SCHEMA = (
+    "warc_file string, record_index long, member_offset long, "
+    "member_length long, warc_type string, record_id string, "
+    "target_uri string"
+)
+
+
+def iter_gzip_members(stream) -> Iterator[tuple[int, int, bytes]]:
+    """(byte_offset, byte_length, decompressed_bytes) per gzip member
+    of a concatenated-member stream, via chunked ``zlib.decompressobj``
+    feeding — bounded memory in the COMPRESSED dimension (one member's
+    decompressed bytes are materialized at a time; warc.gz members are
+    single records, so that bound is the record size). Raises the
+    documented ``ValueError`` on corrupt members."""
+    import zlib
+
+    pos = 0  # absolute offset of the current member's first byte
+    buf = b""  # unconsumed compressed bytes, starting at `pos`
+    eof = False
+    while True:
+        if not buf and not eof:
+            buf = stream.read(_MEMBER_CHUNK)
+            eof = not buf
+        if not buf:
+            return
+        d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)  # gzip framing
+        out = bytearray()
+        fed = 0  # bytes of `buf`+later chunks fed into this member
+        try:
+            while True:
+                chunk = buf if fed == 0 else stream.read(_MEMBER_CHUNK)
+                if not chunk:
+                    eof = True
+                    if not d.eof:
+                        raise ValueError("truncated gzip member")
+                    break
+                out += d.decompress(chunk)
+                fed += len(chunk)
+                if d.eof:
+                    break
+        except zlib.error as exc:
+            raise ValueError(f"corrupt gzip member at {pos} ({exc})") from None
+        consumed = fed - len(d.unused_data)
+        yield pos, consumed, bytes(out)
+        pos += consumed
+        buf = d.unused_data
+
+
+def build_warc_member_index(
+    spark: SparkSession, paths: list[str] | str
+) -> DataFrame:
+    """CDX-style member index over local / ``file://`` warc.gz shards:
+    one row per record with its gzip-member byte range — what a
+    byte-range-GET reader (or a downstream join planning selective
+    re-fetches) needs. Same one-task-per-file shape as ``read_warc``;
+    only headers are parsed, payloads are skipped member-local."""
+    import glob as _glob
+
+    from ais_data_pipeline_spark.localrel import local_df
+
+    if isinstance(paths, str):
+        paths = sorted(_glob.glob(_strip_file_uri(paths)))
+    if not paths:
+        raise ValueError("build_warc_member_index: no paths")
+    for p in paths:
+        scheme = p.split("://", 1)
+        if len(scheme) == 2 and scheme[0] != "file":
+            raise NotImplementedError(
+                "build_warc_member_index streams local/file:// paths only"
+            )
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for path in pdf["path"]:
+                rows: list[dict] = []
+                with open(_strip_file_uri(path), "rb") as f:
+                    head = f.read(2)
+                    f.seek(0)
+                    if head != b"\x1f\x8b":
+                        raise ValueError(
+                            f"{path}: member indexing needs per-record "
+                            "gzip members (.warc.gz); plain WARCs have "
+                            "no member boundaries to index"
+                        )
+                    for idx, (off, length, raw) in enumerate(
+                        iter_gzip_members(f)
+                    ):
+                        (rec,) = list(
+                            iter_warc_records(_io.BytesIO(raw), path)
+                        )
+                        rows.append(
+                            {
+                                "warc_file": path,
+                                "record_index": idx,
+                                "member_offset": off,
+                                "member_length": length,
+                                "warc_type": rec["warc_type"],
+                                "record_id": rec["record_id"],
+                                "target_uri": rec["target_uri"],
+                            }
+                        )
+                        if len(rows) >= _BATCH_ROWS:
+                            yield pd.DataFrame(rows)
+                            rows = []
+                if rows:
+                    yield pd.DataFrame(rows)
+
+    rel = local_df(spark, [(p,) for p in sorted(paths)], "path string")
+    return rel.repartition(len(paths)).mapInPandas(parse, WARC_MEMBER_SCHEMA)
+
+
+def read_warc_member(
+    data: bytes, payload_max_bytes: int | None = None
+) -> dict:
+    """Decode ONE record from its gzip-member byte slice (what a
+    byte-range GET of ``[member_offset, member_offset+member_length)``
+    returns). The random-access counterpart of ``iter_warc_records``."""
+    recs = list(iter_warc_records(_io.BytesIO(bytes(data)), "<member>",
+                                  payload_max_bytes))
+    if len(recs) != 1:
+        raise ValueError(
+            f"expected exactly one record in the member slice, got {len(recs)}"
+        )
+    return recs[0]

@@ -1930,3 +1930,85 @@ def test_warc_fuzz_documented_error_classes():
         except (ValueError, NotImplementedError):
             pass  # the documented error classes
     assert time.perf_counter() - t0 < 60.0
+
+
+def test_warc_member_index_random_access(spark, tmp_path):
+    """r16: CDX-style member-level random access. The index walk's
+    (offset, length) pairs are SELF-VALIDATING: every member slice,
+    re-read independently through read_warc_member (the byte-range-GET
+    path), must reproduce the sequential parse record-for-record —
+    ids, uris, and full payload bytes. Also pins: chunked member
+    splitting at a chunk size smaller than one member (bounded-memory
+    walk), the plain-WARC refusal (no member boundaries to index),
+    and corrupt-member ValueError."""
+    import io as _bio
+
+    import pytest as _pytest
+
+    from ais_data_pipeline_spark.sources import warc as W
+
+    recs = [
+        dict(warc_type="conversion", record_id=f"<urn:uuid:{i:04x}>",
+             warc_date=f"2024-01-01T00:00:{i:02d}Z",
+             target_uri=f"http://example.org/{i}",
+             content_type="text/plain",
+             payload=(b"p%d " % i) * (200 * (i + 1)))
+        for i in range(7)
+    ]
+    d = tmp_path / "cdx"
+    d.mkdir()
+    for shard in range(2):
+        (d / f"s-{shard}.warc.gz").write_bytes(
+            W.encode_warc_records(recs[: 3 + shard * 4])
+        )
+    paths = sorted(str(p) for p in d.iterdir())
+
+    idx = {
+        (r["warc_file"], r["record_index"]): r
+        for r in W.build_warc_member_index(spark, str(d / "*.warc.gz")).collect()
+    }
+    assert len(idx) == 3 + 7
+    seq = {
+        (r["warc_file"], r["record_index"]): r
+        for r in W.read_warc(spark, paths).collect()
+    }
+    assert set(idx) == set(seq)
+    for key, row in idx.items():
+        blob = open(row["warc_file"], "rb").read()
+        sl = blob[row["member_offset"]: row["member_offset"] + row["member_length"]]
+        rec = W.read_warc_member(sl)
+        assert rec["record_id"] == seq[key]["record_id"] == row["record_id"]
+        assert rec["target_uri"] == seq[key]["target_uri"]
+        assert bytes(rec["payload"]) == bytes(seq[key]["payload"])
+    # offsets tile the file exactly: contiguous, gap-free
+    for p in paths:
+        rows = sorted(
+            (r for k, r in idx.items() if k[0] == p),
+            key=lambda r: r["record_index"],
+        )
+        pos = 0
+        for r in rows:
+            assert r["member_offset"] == pos
+            pos += r["member_length"]
+        assert pos == len(open(p, "rb").read())
+
+    # chunked walk: force chunks far smaller than one member
+    big = W.encode_warc_records(recs)
+    old = W._MEMBER_CHUNK
+    try:
+        W._MEMBER_CHUNK = 64
+        members = list(W.iter_gzip_members(_bio.BytesIO(big)))
+    finally:
+        W._MEMBER_CHUNK = old
+    assert len(members) == len(recs)
+    assert sum(m[1] for m in members) == len(big)
+
+    # plain WARC refuses indexing; corrupt member raises ValueError
+    plain = d / "plain.warc"
+    plain.write_bytes(W.encode_warc_records(recs[:2], gzip_members=False))
+    with _pytest.raises(Exception, match="member"):
+        W.build_warc_member_index(spark, [str(plain)]).collect()
+    corrupt = bytearray(big)
+    corrupt[len(corrupt) // 2] ^= 0xFF
+    with _pytest.raises(ValueError):
+        list(W.iter_gzip_members(_bio.BytesIO(bytes(corrupt))))
