@@ -613,3 +613,109 @@ def hashed_linear_score(
         .groupBy(id_col)
         .agg(F.sum(F.col("__c") * F.col("__w")).cast("long").alias("clf_score"))
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 4096,
+    round_digits: int = 6,
+) -> DataFrame:
+    """CCNet-style LM quality signal (r16): score every document's
+    tokens under an add-one-smoothed BIGRAM language model trained on
+    the corpus itself — low average log-probability flags the
+    gibberish/boilerplate tail the way CCNet's KenLM perplexity
+    buckets do (Wenzek et al. 2020), with a model small enough to
+    live inside the engine (no external LM artifact).
+
+    Model, fully deterministic:
+    - vocabulary = top ``vocab_size`` tokens by (count DESC, token
+      ASC — a total order); everything else maps to ``<unk>`` BEFORE
+      counting (the standard closed-vocab construction).
+    - every doc is preceded by a ``<s>`` context, so all n tokens
+      score: pair_i = (m_{i-1} or <s>, m_i).
+    - P(w2 | w1) = (c(w1,w2) + 1) / (c(w1) + V_eff) with V_eff =
+      distinct mapped-token count (add-one over the effective
+      next-token alphabet). All counts exact integers; the division
+      is one IEEE op on exactly-representable ints, so Spark and the
+      SQL oracle produce the bit-identical double before ln().
+    - avg_logprob = (Σ ln P) / n, the Σ through DECIMAL(38,18) so
+      partition order can't perturb it (the token_entropy
+      convention); perplexity = exp(-avg_logprob) for anyone who
+      wants the CCNet unit — not emitted, exp() would add a second
+      transcendental to the parity surface for zero information.
+
+    Returns (doc_id, n_tokens, avg_logprob); empty docs drop. Plan
+    shape: posexplode + one broadcast vocab join + a per-doc lag
+    window + the bigram self-join on (w1, w2) keys + one doc-key agg
+    — every shuffle carries tokens or counts, never text. At 100 TB:
+    vocab selection is a TakeOrderedAndProject (no global sort), the
+    vocab join broadcasts (vocab_size rows), and the ``<unk>``/
+    high-frequency contexts make the (w1, w2) join the skew point —
+    cap vocab_size or salt w1 if one context exceeds the skew
+    guidance; training and scoring are one corpus pass each.
+    """
+    toked = df.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("__t")
+    ).filter(F.size("__t") > 0)
+    pos = toked.select(
+        id_col, F.posexplode("__t").alias("pos", "w")
+    )
+    vocab = (
+        pos.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(vocab_size)
+        .select("w")
+    )
+    mapped = (
+        pos.join(F.broadcast(vocab.withColumn("__in", F.lit(1))), "w", "left")
+        .select(
+            id_col,
+            "pos",
+            F.when(F.col("__in").isNotNull(), F.col("w"))
+            .otherwise(F.lit("<unk>"))
+            .alias("m"),
+        )
+    )
+    from pyspark.sql import Window as _W
+
+    pairs = mapped.select(
+        id_col,
+        "m",
+        F.coalesce(
+            F.lag("m").over(_W.partitionBy(id_col).orderBy("pos")),
+            F.lit("<s>"),
+        ).alias("w1"),
+    )
+    pairs = materialize(pairs)  # one pass feeds counts AND scoring
+    big = pairs.groupBy("w1", "m").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    veff = pairs.agg(F.countDistinct("m").alias("v"))
+    scored = (
+        pairs.join(big, ["w1", "m"])
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(veff))
+        .select(
+            id_col,
+            F.log(
+                (F.col("c12") + F.lit(1)).cast("double")
+                / (F.col("c1") + F.col("v")).cast("double")
+            ).alias("lp"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("lp").cast("decimal(38,18)")).alias("__slp"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(
+                F.col("__slp").cast("double") / F.col("n_tokens"), round_digits
+            ).alias("avg_logprob"),
+        )
+    )

@@ -97,24 +97,26 @@ def register(name: str, oracle: str | None, description: str):
 #     registry (after this round the freshness floor is r12; the
 #     staleness gate test_registry_driver_proof_freshness trips at r17
 #     for any of these not proven now).
-#   - Then oldest-first: 38 of the 49 rows whose latest driver row is
+#   - Then oldest-first: 37 of the 49 rows whose latest driver row is
 #     r12 (alphabetical within the cohort; computed programmatically
-#     from the CORRECTNESS_r*.json artifacts). The eleven r12 rows
-#     that don't fit (subsequence_best_match_fft,
-#     supplier_count_per_brand_size, supplier_triangles,
-#     tfidf_top_terms, token_entropy, top_supplier_quarter,
-#     topk_with_ties, trajectory_speed, value_histogram,
-#     video_container_meta, weighted_sample_orders) lead the r17
-#     window.
+#     from the CORRECTNESS_r*.json artifacts). The twelve r12 rows
+#     that don't fit (streaming_zscore_anomaly,
+#     subsequence_best_match_fft, supplier_count_per_brand_size,
+#     supplier_triangles, tfidf_top_terms, token_entropy,
+#     top_supplier_quarter, topk_with_ties, trajectory_speed,
+#     value_histogram, video_container_meta, weighted_sample_orders)
+#     lead the r17 window.
 #   - Changed-row-first amendment: any row whose semantics change
 #     THIS round rotates in, displacing from the END of this list;
 #     displaced rows lead r17. Rotated in: warc_record_stats (NEW in
 #     r16 — registry 204 -> 205, never driver-checked: the WARC/WET
 #     source over deterministic .warc.gz shards of the documents
-#     corpus) and image_format_dispatch (mixed7 -> mixed8: the TIFF
-#     multipage arm gains an old-style JPEG-in-TIFF page — compression
-#     6 via the JPEGInterchangeFormat tags, the restricted full-stream
-#     subset real scanners emitted).
+#     corpus), bigram_lm_scores (NEW in r16 — registry 205 -> 206:
+#     CCNet-style add-one bigram LM quality scoring), and
+#     image_format_dispatch (mixed7 -> mixed8: the TIFF multipage arm
+#     gains an old-style JPEG-in-TIFF page — compression 6 via the
+#     JPEGInterchangeFormat tags, the restricted full-stream subset
+#     real scanners emitted).
 _FRONT_WINDOW: list[str] = [
     "stratified_quality_sample",
     "streaming_quality_monitor",
@@ -163,8 +165,8 @@ _FRONT_WINDOW: list[str] = [
     "snapshot_diff_orders",
     "snapshot_time_travel",
     "streaming_stateful_totals",
-    "streaming_zscore_anomaly",
     "warc_record_stats",
+    "bigram_lm_scores",
     "image_format_dispatch",
 ]
 
@@ -6835,6 +6837,67 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     return token_entropy(d)
+
+
+@register(
+    "bigram_lm_scores",
+    r"""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+      FROM documents WHERE length(trim(text)) > 0
+    ), tok AS (
+      SELECT doc_id, i AS pos, ts[i] AS w
+      FROM d, UNNEST(range(1, len(ts) + 1)) AS t(i)
+    ), vocab AS (
+      SELECT w FROM (SELECT w, count(*) AS c FROM tok GROUP BY 1)
+      ORDER BY c DESC, w ASC LIMIT 512
+    ), mapped AS (
+      SELECT tok.doc_id, tok.pos,
+             CASE WHEN v.w IS NULL THEN '<unk>' ELSE tok.w END AS m
+      FROM tok LEFT JOIN vocab v ON tok.w = v.w
+    ), pairs AS (
+      SELECT doc_id, m,
+             coalesce(lag(m) OVER (PARTITION BY doc_id ORDER BY pos),
+                      '<s>') AS w1
+      FROM mapped
+    ), big AS (
+      SELECT w1, m, count(*) AS c12 FROM pairs GROUP BY 1, 2
+    ), ctx AS (
+      SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM big GROUP BY 1
+    ), veff AS (
+      SELECT count(DISTINCT m) AS v FROM pairs
+    ), scored AS (
+      SELECT p.doc_id,
+             ln(CAST(b.c12 + 1 AS DOUBLE) / CAST(c.c1 + veff.v AS DOUBLE))
+               AS lp
+      FROM pairs p
+      JOIN big b ON p.w1 = b.w1 AND p.m = b.m
+      JOIN ctx c ON p.w1 = c.w1, veff
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(CAST(sum(CAST(lp AS DECIMAL(38,18))) AS DOUBLE) / count(*),
+                 6) AS avg_logprob
+    FROM scored GROUP BY 1
+    """,
+    "CCNet-style LM quality signal (r16, Wenzek et al. 2020): every "
+    "doc scored under an add-one-smoothed BIGRAM model trained on the "
+    "corpus itself — closed top-512 vocabulary by (count DESC, token "
+    "ASC), OOV -> <unk> before counting, <s> context so all n tokens "
+    "score, P(w2|w1) = (c12+1)/(c1+V_eff). Low avg_logprob flags the "
+    "gibberish/boilerplate tail the way CCNet's KenLM perplexity "
+    "buckets do, with the model small enough to live in-engine. The "
+    "smoothing division is one IEEE op on exact ints (bit-identical "
+    "across engines before ln), the per-doc log sum rides "
+    "DECIMAL(38,18) (token_entropy convention). Plan: vocab via "
+    "TakeOrderedAndProject + broadcast join, per-doc lag window, "
+    "bigram self-join on (w1,w2) keys, one doc agg — shuffles carry "
+    "tokens/counts, never text.",
+)
+def q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.text import bigram_lm_scores
+
+    d = read_table(spark, sf_dir, "documents")
+    return bigram_lm_scores(d, vocab_size=512)
 
 
 @register(

@@ -7863,3 +7863,64 @@ def test_pyav_video_frame_hook_real_decoder(spark):
     # 2 codes of the constant
     for c in ("sum_r", "sum_g", "sum_b"):
         assert abs(r[c] / (w * h) - fill) <= 2.0, (c, r[c])
+
+
+def test_bigram_lm_scores_independent_reference(spark):
+    """r16: the CCNet-style bigram LM scorer against an INDEPENDENT
+    pure-Python reference (its own tokenize/count/smooth/score code —
+    the oracle SQL mirrors the Spark math, so this is the third
+    implementation that catches a shared modeling slip). Small vocab
+    forces real <unk> mapping; docs share tokens so bigram counts
+    cross documents."""
+    import math
+
+    from ais_data_pipeline_spark.operators.text import bigram_lm_scores
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the log"),
+        (3, "cat dog cat"),
+        (4, "   "),  # empty after trim: drops
+    ]
+    V = 3  # vocab = top-3: the(4), cat(3), ... tie-break by token asc
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in bigram_lm_scores(df, vocab_size=V).collect()
+    }
+
+    # independent reference
+    toks = {d: t.lower().split() for d, t in rows if t.strip()}
+    from collections import Counter
+
+    counts = Counter(w for t in toks.values() for w in t)
+    vocab = set(
+        w for w, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:V]
+    )
+    mapped = {d: [w if w in vocab else "<unk>" for w in t] for d, t in toks.items()}
+    pairs = []
+    for d, m in mapped.items():
+        prev = "<s>"
+        for w in m:
+            pairs.append((d, prev, w))
+            prev = w
+    big = Counter((w1, w2) for _, w1, w2 in pairs)
+    ctx = Counter()
+    for (w1, _w2), c in big.items():
+        ctx[w1] += c
+    veff = len({w2 for _, _, w2 in pairs})
+    want = {}
+    for d, m in mapped.items():
+        prev, s = "<s>", 0.0
+        # sum in document order — fine for the reference: the engine's
+        # decimal sum is exact, and these magnitudes carry no cancellation
+        lps = []
+        for w in m:
+            lps.append(math.log((big[(prev, w)] + 1) / (ctx[prev] + veff)))
+            prev = w
+        want[d] = (len(m), round(math.fsum(lps) / len(m), 6))
+
+    assert set(got) == set(want)  # doc 4 dropped
+    for d, (n, avg) in want.items():
+        assert got[d]["n_tokens"] == n, d
+        assert abs(got[d]["avg_logprob"] - avg) < 2e-6, (d, got[d], avg)

@@ -65,6 +65,9 @@ EAGER = {
     # the RETURNED read plan (path relation -> mapInPandas parse ->
     # one groupBy) is the part worth auditing
     "warc_record_stats",
+    # bigram_lm_scores materializes the pair stream eagerly (one pass
+    # feeds the bigram counts AND the scoring join)
+    "bigram_lm_scores",
     "part_pagerank",
     "supplier_triangles",
     "near_dup_clusters",
