@@ -1,0 +1,95 @@
+"""URL canonicalization — the web-corpus dedup key (r16).
+
+Common Crawl-scale pipelines dedup fetches by CANONICAL URL before
+any content pass: the same page arrives as ``HTTP://Example.COM:80/a``
+, ``http://example.com/a?utm_source=x``, and ``http://example.com/a#f``
+— superficial variants that canonicalize to one key. The rules here
+are the widely-used conservative core (what the crawler community
+calls "safe" normalizations — RFC 3986 §6.2.2/§6.2.3 plus tracking-
+param stripping):
+
+1. scheme and host lowercase;
+2. default port dropped (``:80`` for http, ``:443`` for https);
+3. fragment dropped;
+4. tracking query params dropped (``utm_*``, ``fbclid``, ``gclid``,
+   ``msclkid``, ``ref``), the REST kept and SORTED byte-wise (query
+   order is almost never semantic; sorting merges permutations);
+5. empty path -> ``/``.
+
+Everything is column expressions (regexp + array HOFs — whole-stage
+codegen, no Python), so canonicalization runs at scan speed and the
+canonical key feeds the ordinary exact-dedup machinery. Deliberately
+NOT done (the "unsafe" tier that changes semantics on real sites):
+percent-decode, path dot-segment removal, www-stripping, param-value
+case folding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: query params dropped by rule 4 — the ubiquitous click/campaign
+#: trackers. Keyed by full param name or the utm_ prefix.
+TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=.*)?$"
+
+_SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://"
+_HOSTPORT_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]*)"
+_PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*([^?#]*)"
+_QUERY_RE = r"\?([^#]*)"
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of an absolute http(s)-style URL column (NULL in
+    -> NULL out; a string without a ``scheme://`` also -> NULL, the
+    loud-by-absence choice: relative refs have no canonical identity
+    without a base)."""
+    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+    hostport = F.lower(F.regexp_extract(url, _HOSTPORT_RE, 1))
+    # default-port strip — anchored literal-port regexes, so IPv6
+    # bracket colons are untouched and only :80/:443 suffixes drop
+    host = F.when(
+        scheme == "http", F.regexp_replace(hostport, r":80$", "")
+    ).when(
+        scheme == "https", F.regexp_replace(hostport, r":443$", "")
+    ).otherwise(hostport)
+    path = F.regexp_extract(url, _PATH_RE, 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(url, _QUERY_RE, 1)
+    kept = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+            )
+        ),
+        "&",
+    )
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(kept == "", F.lit("")).otherwise(F.concat(F.lit("?"), kept)),
+    )
+    return F.when(url.isNull() | (scheme == ""), F.lit(None)).otherwise(canon)
+
+
+def url_dedup_stats(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Canonical-URL dedup accounting: one row per canonical key with
+    its variant count and the kept (minimum-id) representative — the
+    fetch-dedup head of a crawl pipeline. Shuffles only
+    (canonical, id) pairs; canonicalization itself is scan-side
+    codegen."""
+    c = canonical_url(F.col(url_col)).alias("canonical_url")
+    return (
+        df.select(c, F.col(id_col))
+        .where(F.col("canonical_url").isNotNull())
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )

@@ -97,22 +97,25 @@ def register(name: str, oracle: str | None, description: str):
 #     registry (after this round the freshness floor is r12; the
 #     staleness gate test_registry_driver_proof_freshness trips at r17
 #     for any of these not proven now).
-#   - Then oldest-first: 37 of the 49 rows whose latest driver row is
+#   - Then oldest-first: 36 of the 49 rows whose latest driver row is
 #     r12 (alphabetical within the cohort; computed programmatically
-#     from the CORRECTNESS_r*.json artifacts). The twelve r12 rows
-#     that don't fit (streaming_zscore_anomaly,
-#     subsequence_best_match_fft, supplier_count_per_brand_size,
-#     supplier_triangles, tfidf_top_terms, token_entropy,
-#     top_supplier_quarter, topk_with_ties, trajectory_speed,
-#     value_histogram, video_container_meta, weighted_sample_orders)
-#     lead the r17 window.
+#     from the CORRECTNESS_r*.json artifacts). The thirteen r12 rows
+#     that don't fit (streaming_stateful_totals,
+#     streaming_zscore_anomaly, subsequence_best_match_fft,
+#     supplier_count_per_brand_size, supplier_triangles,
+#     tfidf_top_terms, token_entropy, top_supplier_quarter,
+#     topk_with_ties, trajectory_speed, value_histogram,
+#     video_container_meta, weighted_sample_orders) lead the r17
+#     window.
 #   - Changed-row-first amendment: any row whose semantics change
 #     THIS round rotates in, displacing from the END of this list;
 #     displaced rows lead r17. Rotated in: warc_record_stats (NEW in
 #     r16 — registry 204 -> 205, never driver-checked: the WARC/WET
 #     source over deterministic .warc.gz shards of the documents
 #     corpus), bigram_lm_scores (NEW in r16 — registry 205 -> 206:
-#     CCNet-style add-one bigram LM quality scoring), and
+#     CCNet-style add-one bigram LM quality scoring),
+#     url_canonical_dedup (NEW in r16 — registry 206 -> 207:
+#     canonical-URL fetch dedup, closed-form oracle), and
 #     image_format_dispatch (mixed7 -> mixed8: the TIFF multipage arm
 #     gains an old-style JPEG-in-TIFF page — compression 6 via the
 #     JPEGInterchangeFormat tags, the restricted full-stream subset
@@ -164,9 +167,9 @@ _FRONT_WINDOW: list[str] = [
     "skyline_orders",
     "snapshot_diff_orders",
     "snapshot_time_travel",
-    "streaming_stateful_totals",
     "warc_record_stats",
     "bigram_lm_scores",
+    "url_canonical_dedup",
     "image_format_dispatch",
 ]
 
@@ -3595,6 +3598,72 @@ def q_warc_record_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("warc_type")
     )
+
+
+@register(
+    "url_canonical_dedup",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             'http://example.com/page/' || CAST(doc_id % 40 AS VARCHAR) ||
+             CASE WHEN doc_id % 5 = 3 THEN '?a=1&b=2' ELSE '' END
+               AS canonical_url
+      FROM documents WHERE doc_id % 11 <> 0
+    )
+    SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_variants,
+           CAST(min(doc_id) AS BIGINT) AS keep_id
+    FROM u GROUP BY 1 ORDER BY canonical_url
+    """,
+    "Canonical-URL dedup (r16, functions/url.py): the fetch-dedup "
+    "head of a crawl pipeline. The corpus synthesizes five DIRTY "
+    "variants per page key (uppercase scheme/host + default :80 "
+    "port, tracking-only query, unsorted kept params, fragment, "
+    "clean) plus a scheme-less branch that canonicalizes to NULL and "
+    "drops; the engine canonicalizes with the conservative RFC-3986 "
+    "safe rules (case, default port, fragment, utm_/fbclid/gclid/"
+    "msclkid/ref strip, kept-param sort, empty path -> /) entirely "
+    "in codegen'd regexp/array expressions and groups by the key. "
+    "The oracle re-derives each URL's canonical form CLOSED-FORM "
+    "from doc_id — it never runs the canonicalizer — so any rule "
+    "slip (case, port, param sort, fragment, tracking filter, "
+    "NULL leg) flips the hash.",
+)
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.functions.url import url_dedup_stats
+
+    d = read_table(spark, sf_dir, "documents")
+    page = F.concat(F.lit("/page/"), (F.col("doc_id") % 40).cast("string"))
+    dirty = (
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            # scheme-less: no canonical identity -> NULL -> dropped
+            F.concat(F.lit("relative"), page),
+        )
+        .when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("http://example.com"), page),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(F.lit("HTTP://EXAMPLE.COM:80"), page),
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(
+                F.lit("http://example.com"), page,
+                F.lit("?utm_source=x&gclid=1"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.concat(F.lit("http://example.com"), page, F.lit("?b=2&a=1")),
+        )
+        .otherwise(
+            F.concat(F.lit("http://example.com"), page, F.lit("#frag"))
+        )
+    )
+    urls = d.select("doc_id", dirty.alias("url"))
+    return url_dedup_stats(urls).orderBy("canonical_url")
 
 
 @register(

@@ -7924,3 +7924,42 @@ def test_bigram_lm_scores_independent_reference(spark):
     for d, (n, avg) in want.items():
         assert got[d]["n_tokens"] == n, d
         assert abs(got[d]["avg_logprob"] - avg) < 2e-6, (d, got[d], avg)
+
+
+def test_canonical_url_rules(spark):
+    """r16: URL canonicalization — the conservative 'safe' rule set
+    (RFC 3986 6.2.2/6.2.3 + tracking-param strip). Case folds on
+    scheme/host only, default ports drop per scheme, fragments drop,
+    utm_*/fbclid/gclid/msclkid/ref params drop with the REST kept
+    sorted, empty path -> '/', scheme-less and NULL -> NULL (relative
+    refs have no canonical identity). Percent-decoding and dot-segment
+    removal are deliberately NOT performed (the unsafe tier)."""
+    from ais_data_pipeline_spark.functions.url import canonical_url
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("HTTP://Example.COM:80/A/b", "http://example.com/A/b"),
+        ("https://example.com:443/", "https://example.com/"),
+        ("https://example.com:8443/x", "https://example.com:8443/x"),
+        ("http://example.com", "http://example.com/"),
+        ("http://example.com/a#frag", "http://example.com/a"),
+        ("http://example.com/a?utm_source=x&utm_medium=y", "http://example.com/a"),
+        ("http://example.com/a?b=2&a=1&fbclid=zz", "http://example.com/a?a=1&b=2"),
+        ("http://example.com/a?ref=hn&q=1&gclid", "http://example.com/a?q=1"),
+        ("http://example.com/a?refresh=1", "http://example.com/a?refresh=1"),
+        ("http://[2001:db8::1]:8080/x", "http://[2001:db8::1]:8080/x"),
+        ("http://example.com/%7Euser/./a", "http://example.com/%7Euser/./a"),
+        ("ftp://Example.com/file", "ftp://example.com/file"),
+        ("relative/path", None),
+        ("", None),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, url string"
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", canonical_url(F.col("url")).alias("c")).collect()
+    }
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)
