@@ -102,6 +102,10 @@ EXTENDED = [
     # payloads through Arrow batches); tools/warc_throughput.py is the
     # sizing probe, this leg keeps wall-clock regressions visible
     "warc_record_stats",
+    # r16: the CCNet-style bigram LM (train + score in two corpus
+    # passes — vocab top-k, lag window, bigram self-join); the text
+    # tier's heaviest new op
+    "bigram_lm_scores",
 ]
 
 #: 1-min load average above which the bench artifact flags itself and
