@@ -1,0 +1,138 @@
+"""Web-corpus ingestion plan: WARC shards → training-ready corpus.
+
+The r16 capstone composition — one call takes raw ``.warc.gz`` shards
+through the standard web-pipeline chain and leaves deterministic
+training shards:
+
+1. **Parse**: ``sources.warc.read_warc`` streams records one task per
+   shard (the Common Crawl unit); only ``conversion`` records (WET
+   extracted text) continue.
+2. **Canonical-URL fetch dedup** (``functions.url``): the same page
+   fetched under case/port/tracking/fragment variants collapses to
+   one canonical key; the FIRST fetch (minimum (shard, record)) wins.
+   Scheme-less URIs have no canonical identity and drop here.
+3. **Quality gate**: the composite ``quality_col`` score at a caller
+   threshold — the cheap scan-side filter before any content shuffle.
+4. **Exact content dedup**: md5-of-text keep-minimum, the curation
+   plan's drop-set shape.
+5. **Shard write**: ``write_training_shards`` — md5-keyed layout,
+   bit-reproducible across runs/engines/cluster sizes.
+
+Scale shape mirrors ``plans.curation``: stages 2 and 4 compute SMALL
+drop-sets (duplicate fetches / duplicate bodies are a few percent of
+a real crawl) that broadcast into anti-joins against the record scan,
+so document text crosses the wire exactly once — into the final shard
+shuffle. Per-stage accounting returns in the result and logs through
+the structured observability contract (reference M1).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ais_data_pipeline_spark.checkpointing import materialize
+from ais_data_pipeline_spark.functions.url import canonical_url
+from ais_data_pipeline_spark.observability import log
+from ais_data_pipeline_spark.operators.corpus import write_training_shards
+from ais_data_pipeline_spark.operators.text import quality_col
+
+
+@dataclass(frozen=True)
+class WebCorpusResult:
+    n_records: int
+    n_after_url_dedup: int
+    n_after_quality: int
+    n_kept: int
+
+    @property
+    def stage_counts(self) -> dict[str, int]:
+        return {
+            "00_conversion_records": self.n_records,
+            "01_url_dedup": self.n_after_url_dedup,
+            "02_quality": self.n_after_quality,
+            "03_exact_dedup": self.n_kept,
+        }
+
+
+def run_web_corpus(
+    spark: SparkSession,
+    warc_paths: list[str] | str,
+    out_path: str,
+    quality_threshold: float = 0.5,
+    n_shards: int = 8,
+    payload_max_bytes: int | None = None,
+) -> WebCorpusResult:
+    """Run the WARC→shards chain; returns per-stage survivor counts
+    (rows_in − rows_out fully attributed across the stages). The kept
+    corpus lands at ``out_path`` as ``shard=`` partitions of
+    (doc_key, url, text); ``doc_key`` is ``<warc_file>:<record_index>``
+    — stable across re-runs of the same shards, which is what keeps
+    the whole layout reproducible."""
+    from ais_data_pipeline_spark.sources.warc import read_warc
+
+    recs = read_warc(spark, warc_paths, payload_max_bytes)
+    docs = (
+        recs.filter(F.col("warc_type") == "conversion")
+        .select(
+            F.concat_ws(":", "warc_file", "record_index").alias("doc_key"),
+            canonical_url(F.col("target_uri")).alias("url"),
+            F.col("payload").cast("string").alias("text"),
+        )
+        .transform(materialize)  # one parse feeds counts + both dedups
+    )
+    n_records = docs.count()
+
+    # stage 1: canonical-URL fetch dedup — the LATER fetches of a key
+    # (non-minimum doc_key) form the small drop-set; scheme-less rows
+    # (url NULL) drop with them
+    with_url = docs.filter(F.col("url").isNotNull())
+    first = with_url.groupBy("url").agg(F.min("doc_key").alias("__keep"))
+    drop_url = (
+        with_url.join(first, "url")
+        .filter(F.col("doc_key") != F.col("__keep"))
+        .select("doc_key")
+        .transform(materialize)
+    )
+    n_drop_url = drop_url.count() + (n_records - with_url.count())
+    s1 = with_url.join(F.broadcast(drop_url), "doc_key", "left_anti")
+    log("web_corpus_url_dedup", rows_in=n_records, rows_dropped=n_drop_url)
+
+    # stage 2: quality gate — scan-side expression, no shuffle
+    # (round(…,5) replicates quality_score's decision boundary)
+    s2 = s1.filter(F.round(quality_col(F.col("text")), 5) >= quality_threshold)
+    n_after_quality = s2.count()
+    log(
+        "web_corpus_quality",
+        rows_in=n_records - n_drop_url,
+        rows_dropped=n_records - n_drop_url - n_after_quality,
+    )
+
+    # stage 3: exact content dedup — keep the minimum doc_key per body
+    hashed = s2.select("doc_key", F.md5(F.col("text").cast("binary")).alias("__h"))
+    keep_min = hashed.groupBy("__h").agg(F.min("doc_key").alias("__keep"))
+    drop_exact = (
+        hashed.join(keep_min, "__h")
+        .filter(F.col("doc_key") != F.col("__keep"))
+        .select("doc_key")
+        .transform(materialize)
+    )
+    n_drop_exact = drop_exact.count()
+    kept = s2.join(F.broadcast(drop_exact), "doc_key", "left_anti")
+    log(
+        "web_corpus_exact_dedup",
+        rows_in=n_after_quality,
+        rows_dropped=n_drop_exact,
+    )
+
+    write_training_shards(kept, out_path, n_shards=n_shards, id_col="doc_key")
+    n_kept = n_after_quality - n_drop_exact
+    log("web_corpus_written", rows_out=n_kept, shards=n_shards)
+    return WebCorpusResult(
+        n_records=n_records,
+        n_after_url_dedup=n_records - n_drop_url,
+        n_after_quality=n_after_quality,
+        n_kept=n_kept,
+    )

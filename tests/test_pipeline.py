@@ -2012,3 +2012,98 @@ def test_warc_member_index_random_access(spark, tmp_path):
     corrupt[len(corrupt) // 2] ^= 0xFF
     with _pytest.raises(ValueError):
         list(W.iter_gzip_members(_bio.BytesIO(bytes(corrupt))))
+
+
+def test_web_corpus_plan_end_to_end(spark, tmp_path):
+    """r16 capstone composition: WARC shards -> canonical-URL fetch
+    dedup -> quality gate -> exact content dedup -> deterministic
+    training shards, with EXACT stage accounting over a corpus whose
+    drop counts are planned by construction:
+
+    - 12 unique pages with good text, each fetched TWICE under dirty
+      URL variants (case/port vs tracking params) -> 24 records, URL
+      stage keeps 12;
+    - 3 extra fetches of NEW urls whose BODY duplicates a kept page's
+      -> exact stage drops 3;
+    - 2 garbage-text records (unique urls) -> quality stage drops 2;
+    - 1 scheme-less URI -> drops at the URL stage;
+    - warcinfo/metadata records -> filtered before stage 0.
+
+    Also pins layout determinism: a second run into a new dir yields
+    the identical (shard, doc_key) assignment."""
+    from ais_data_pipeline_spark.plans.web_corpus import run_web_corpus
+    from ais_data_pipeline_spark.sources.warc import encode_warc_records
+
+    good = (
+        "the cat sat on the mat and it is that for a while. "
+        "We think that the story of the house is good, and the "
+        "end of the day is near for all of the people in it."
+    )
+
+    def rec(i, uri, text, wtype="conversion"):
+        return dict(
+            warc_type=wtype, record_id=f"<urn:uuid:{i:04x}>",
+            warc_date="2024-01-01T00:00:00Z", target_uri=uri,
+            content_type="text/plain", payload=text.encode(),
+        )
+
+    recs = [rec(999, None, "software: x", "warcinfo")]
+    n = 0
+    for p in range(12):
+        body = f"{good} page number {p}."
+        recs.append(rec(n, f"http://example.com/p/{p}?b=2&a=1", body)); n += 1
+        recs.append(
+            rec(n, f"HTTP://EXAMPLE.COM:80/p/{p}?a=1&b=2&utm_source=x", body)
+        ); n += 1
+    for p in range(3):  # same BODY as page p, brand-new url
+        recs.append(rec(n, f"http://example.com/copy/{p}",
+                        f"{good} page number {p}.")); n += 1
+    for g in range(2):  # garbage: fails the quality gate
+        recs.append(rec(n, f"http://example.com/junk/{g}",
+                        "zz " * 40)); n += 1
+    recs.append(rec(n, "no-scheme/path", f"{good} schemeless.")); n += 1
+    recs.append(rec(998, "http://example.com/meta", '{"x":1}', "metadata"))
+
+    d = tmp_path / "warc"
+    d.mkdir()
+    (d / "a.warc.gz").write_bytes(encode_warc_records(recs[: len(recs) // 2]))
+    (d / "b.warc.gz").write_bytes(encode_warc_records(recs[len(recs) // 2 :]))
+
+    # self-check the quality split so the accounting below is honest
+    from pyspark.sql import functions as F
+
+    from ais_data_pipeline_spark.operators.text import quality_col
+
+    qs = spark.createDataFrame(
+        [(good,), ("zz " * 40,)], "text string"
+    ).select(F.round(quality_col(F.col("text")), 5).alias("q")).collect()
+    assert qs[0]["q"] >= 0.5 > qs[1]["q"], qs
+
+    out = tmp_path / "shards"
+    res = run_web_corpus(
+        spark, str(d / "*.warc.gz"), str(out), quality_threshold=0.5,
+        n_shards=4,
+    )
+    assert res.stage_counts == {
+        "00_conversion_records": 24 + 3 + 2 + 1,
+        "01_url_dedup": 12 + 3 + 2,      # 24->12; schemeless dropped
+        "02_quality": 12 + 3,             # 2 junk rows out
+        "03_exact_dedup": 12,             # 3 body copies out
+    }
+    shards = spark.read.parquet(str(out))
+    assert shards.count() == 12
+    assert set(shards.columns) >= {"doc_key", "url", "text", "shard", "sort_key"}
+    # the kept fetch per page is the FIRST (minimum doc_key)
+    urls = {r["url"] for r in shards.collect()}
+    assert urls == {
+        f"http://example.com/p/{p}?a=1&b=2" for p in range(12)
+    }
+
+    # deterministic layout: a re-run assigns identical (shard, doc_key)
+    out2 = tmp_path / "shards2"
+    run_web_corpus(spark, str(d / "*.warc.gz"), str(out2),
+                   quality_threshold=0.5, n_shards=4)
+    a = {(r["shard"], r["doc_key"]) for r in shards.collect()}
+    b = {(r["shard"], r["doc_key"])
+         for r in spark.read.parquet(str(out2)).collect()}
+    assert a == b
