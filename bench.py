@@ -117,6 +117,38 @@ EXTENDED = [
 #: driver-contended ones 6+.
 LOAD_FLAG_MAX = float(os.environ.get("SPARK_GRAFT_LOAD_FLAG_MAX", 3.0))
 
+#: A new run may displace the persisted bench_detail.json (the NEXT
+#: run's extended_ratio_vs_prev baseline) only if its start load is
+#: within this margin of the record it would overwrite. Round-16
+#: lesson: the driver's contended run (load 2.58, per-leg 2.2-17.7)
+#: overwrote the quiet record (load 1.09) without tripping
+#: LOAD_FLAG_MAX, and the committed baseline would have made every
+#: r17 leg look spuriously fast. Ratios vs the QUIETER record are
+#: conservative — they can only make regressions more visible.
+DETAIL_LOAD_MARGIN = float(os.environ.get("SPARK_GRAFT_DETAIL_LOAD_MARGIN", 1.0))
+
+
+def _should_persist_detail(prev: dict | None, new: dict) -> bool:
+    """Quiet-box persist gate for bench_detail.json: keep the existing
+    record when the new run is materially more contended at the same
+    sf. Always persist when there is no prior record, the sf differs
+    (never compare across scales), the prior record was itself
+    load-flagged, or SPARK_GRAFT_FORCE_DETAIL=1."""
+    if os.environ.get("SPARK_GRAFT_FORCE_DETAIL") == "1":
+        return True
+    if not isinstance(prev, dict):
+        return True
+    if prev.get("sf") != new.get("sf"):
+        return True
+    if prev.get("load_flagged", False):
+        return True
+    try:
+        prev_load = float(prev["load_avg_start"][0])
+        new_load = float(new["load_avg_start"][0])
+    except (KeyError, IndexError, TypeError, ValueError):
+        return True
+    return new_load <= prev_load + DETAIL_LOAD_MARGIN
+
 #: Pipeline fixture size (rows). ~170 B/row of CSV → ~170 MiB at 1M.
 PIPELINE_ROWS = int(os.environ.get("SPARK_GRAFT_PIPELINE_ROWS", 1_000_000))
 
@@ -606,16 +638,30 @@ def main() -> None:
     # size-bounded record carrying everything the round-over-round
     # comparison needs; the full detail survives one line above it
     # (and in SCALING.md).
+    # quiet-box persist gate (r16 verdict item 3): decide BEFORE the
+    # print so the decision rides the artifact itself
+    detail_path = os.path.join(_REPO, "bench_detail.json")
+    prev_detail = None
+    try:
+        with open(detail_path) as f:
+            prev_detail = json.load(f)
+    except (OSError, ValueError):
+        pass
+    detail["detail_persisted"] = _should_persist_detail(prev_detail, detail)
     print(json.dumps(detail))
     print(json.dumps(compact_summary(detail)))
     # persist the full detail for the NEXT run's ratio baseline (the
     # driver's artifact keeps only the compact tail); committed with
-    # the round, so the per-query record survives in git history
-    try:
-        with open(os.path.join(_REPO, "bench_detail.json"), "w") as f:
-            json.dump(detail, f)
-    except OSError:
-        pass  # a read-only checkout still benches fine
+    # the round, so the per-query record survives in git history.
+    # Skipped when this run was materially more contended than the
+    # record on disk (_should_persist_detail) — the stdout artifact
+    # still carries the full detail either way.
+    if detail["detail_persisted"]:
+        try:
+            with open(detail_path, "w") as f:
+                json.dump(detail, f)
+        except OSError:
+            pass  # a read-only checkout still benches fine
 
 
 #: compact_summary output must stay within the driver's stdout-tail

@@ -642,6 +642,35 @@ def test_bench_query_lists_registered():
     assert not missing, missing
 
 
+def test_bench_detail_quiet_box_persist_gate(monkeypatch):
+    """r16 verdict item 3 mechanized: a materially-more-contended run
+    must not displace the quiet bench_detail.json it would become the
+    ratio baseline for (the driver's load-2.58 r16 run overwrote the
+    load-1.09 quiet record without tripping LOAD_FLAG_MAX). The gate
+    compares start loads at the same sf; cross-sf, missing-prior,
+    flagged-prior, and forced runs always persist."""
+    import bench
+
+    monkeypatch.delenv("SPARK_GRAFT_FORCE_DETAIL", raising=False)
+    quiet = {"sf": 0.1, "load_avg_start": [1.09, 0.45, 1.28], "load_flagged": False}
+    contended = {"sf": 0.1, "load_avg_start": [2.58, 4.60, 5.63], "load_flagged": False}
+    # the r16 incident shape: contended over quiet at the same sf -> keep quiet
+    assert not bench._should_persist_detail(quiet, contended)
+    # quiet-over-quiet round-over-round updates persist (margin 1.0)
+    assert bench._should_persist_detail(quiet, {"sf": 0.1, "load_avg_start": [1.4, 1, 1]})
+    # no prior record / unreadable prior -> persist
+    assert bench._should_persist_detail(None, contended)
+    # different sf never compares (an sf0.01 smoke has its own rule upstream)
+    assert bench._should_persist_detail({**quiet, "sf": 0.01}, contended)
+    # a flagged prior is itself untrustworthy -> any new record replaces it
+    assert bench._should_persist_detail({**quiet, "load_flagged": True}, contended)
+    # malformed load vector on either side -> fail open (persist)
+    assert bench._should_persist_detail({"sf": 0.1, "load_avg_start": []}, contended)
+    # explicit override
+    monkeypatch.setenv("SPARK_GRAFT_FORCE_DETAIL", "1")
+    assert bench._should_persist_detail(quiet, contended)
+
+
 def test_bench_final_line_fits_driver_tail():
     """Round-10 verdict item 1: the driver records only the final
     ~2000 chars of bench stdout, so the LAST printed line must be a
