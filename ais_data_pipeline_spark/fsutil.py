@@ -198,11 +198,28 @@ def hadoop_io() -> FsIO:
         return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath, jvm
 
     def read_text(path: str) -> str | None:
-        fs, jpath, _ = _fs(path)
+        fs, jpath, jvm = _fs(path)
         if not fs.exists(jpath):
             return None
+        # Bulk read: ONE py4j round-trip returning the whole byte[]
+        # (r16 ADVICE: the original int-per-byte stream.read() loop
+        # was tolerable for generation pointers but became pathological
+        # once snapshot MANIFESTS — file lists that reach hundreds of
+        # KB — routed through this seam on s3a-class stores).
+        # commons-io ships on Spark's classpath; resolve it BEFORE
+        # opening so a classpath surprise falls back to the loop on a
+        # fresh stream, never mid-read.
+        try:
+            # a missing class resolves to a silent JavaPackage under
+            # py4j, so probe with Class.forName (raises) first
+            jvm.java.lang.Class.forName("org.apache.commons.io.IOUtils")
+            to_bytes = jvm.org.apache.commons.io.IOUtils.toByteArray
+        except Exception:
+            to_bytes = None
         stream = fs.open(jpath)
         try:
+            if to_bytes is not None:
+                return bytes(to_bytes(stream)).decode()
             out = bytearray()
             while True:
                 b = stream.read()

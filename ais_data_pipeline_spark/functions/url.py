@@ -36,7 +36,11 @@ TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=.*)?$"
 _SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://"
 _HOSTPORT_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]*)"
 _PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*([^?#]*)"
-_QUERY_RE = r"\?([^#]*)"
+# Anchored before any '#': a '?' that first appears inside the
+# fragment is NOT a query (r16 ADVICE: the unanchored form leaked
+# 'http://e.com/a#f?x=1' fragment content into the canonical key,
+# violating rule 3 and splitting fetches of the same page).
+_QUERY_RE = r"^[^#?]*\?([^#]*)"
 
 
 def canonical_url(url: Column) -> Column:

@@ -77,7 +77,14 @@ def run_web_corpus(
     docs = (
         recs.filter(F.col("warc_type") == "conversion")
         .select(
-            F.concat_ws(":", "warc_file", "record_index").alias("doc_key"),
+            # zero-padded index (r16 ADVICE): doc_key min() is a STRING
+            # min, and unpadded 'f:10' < 'f:9' broke the documented
+            # first-fetch-wins rule on shards with >=10 records. %012d
+            # keeps lexicographic order == (warc_file, record_index)
+            # order for any realistic shard.
+            F.format_string("%s:%012d", "warc_file", "record_index").alias(
+                "doc_key"
+            ),
             canonical_url(F.col("target_uri")).alias("url"),
             F.col("payload").cast("string").alias("text"),
         )

@@ -170,10 +170,22 @@ def snapshot_history(table_path: str, io: FsIO | None = None) -> list[dict]:
     """(version, parent, operation, n_files) per committed version
     whose manifest still exists (expired versions are skipped, not a
     crash — round-11 review: any expire_snapshots previously made this
-    raise FileNotFoundError on the dropped manifests), oldest first."""
+    raise FileNotFoundError on the dropped manifests), oldest first.
+    Committed means <= ``current_version``: an orphan manifest above
+    the pointer (crash between manifest and pointer writes) is
+    excluded so history and current_version never disagree."""
     io = io or io_for(table_path)
+    # Cap at the COMMITTED pointer (r16 ADVICE): a crash between the
+    # manifest write and the pointer write leaves an orphan manifest
+    # the documented retry path will overwrite with different
+    # contents; enumerating the manifest dir alone reported it as
+    # committed history while current_version still returned the
+    # parent — the two functions disagreed during that window.
+    committed = current_version(table_path, io)
     out = []
     for v in _manifest_versions(table_path, io):
+        if v > committed:
+            continue  # uncommitted orphan from a crashed publish
         m = _load_manifest(table_path, v, io)
         if m is None:
             continue  # racing an expire; history stays best-effort

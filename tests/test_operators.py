@@ -7943,6 +7943,11 @@ def test_canonical_url_rules(spark):
         ("https://example.com:8443/x", "https://example.com:8443/x"),
         ("http://example.com", "http://example.com/"),
         ("http://example.com/a#frag", "http://example.com/a"),
+        # r16 ADVICE: a '?' appearing only inside the fragment is NOT
+        # a query — the unanchored _QUERY_RE leaked 'x=1' into the key
+        ("http://example.com/a#f?x=1", "http://example.com/a"),
+        # query AND fragment-with-'?': only the pre-# query survives
+        ("http://example.com/a?b=2#f?x=1", "http://example.com/a?b=2"),
         ("http://example.com/a?utm_source=x&utm_medium=y", "http://example.com/a"),
         ("http://example.com/a?b=2&a=1&fbclid=zz", "http://example.com/a?a=1&b=2"),
         ("http://example.com/a?ref=hn&q=1&gclid", "http://example.com/a?q=1"),

@@ -1493,6 +1493,35 @@ def test_fsutil_file_uri_and_deferred_gc(tmp_path):
     assert not os.path.exists(idx + "/_g00002/table/part-0.parquet")
 
 
+def test_fsutil_hadoop_io_bulk_read_roundtrip(spark, tmp_path):
+    """r16 ADVICE: hadoop_io().read_text read ONE BYTE per py4j round
+    trip — tolerable for generation pointers, pathological once
+    snapshot MANIFESTS (file lists reaching hundreds of KB) routed
+    through the seam on remote stores. The read is now a single
+    commons-io toByteArray round trip: round-trip a manifest-sized
+    payload through the Hadoop FileSystem on a local path and bound
+    the wall-clock (the per-byte loop took minutes at this size)."""
+    import json as _json
+    import time as _time
+
+    from ais_data_pipeline_spark.fsutil import hadoop_io
+
+    io = hadoop_io()
+    path = "file://" + str(tmp_path / "big_manifest.json")
+    payload = _json.dumps(
+        {"files": [f"data/snap-00001/part-{i:06d}.parquet" for i in range(8000)]}
+    )
+    assert len(payload) > 200_000
+    io.write_text(path, payload)
+    t0 = _time.perf_counter()
+    assert io.read_text(path) == payload
+    assert _time.perf_counter() - t0 < 5.0
+    # unicode survives the byte[] decode; missing file stays None
+    io.write_text(path, "päge — ünïcode")
+    assert io.read_text(path) == "päge — ünïcode"
+    assert io.read_text("file://" + str(tmp_path / "nope")) is None
+
+
 def test_no_rename_swap_callers_in_engine():
     """Grep gate (r15 brief item 5): the rename-based swap is legacy —
     nothing in the engine may call it, and the maintenance modules
@@ -1703,6 +1732,19 @@ def test_snapshot_sink_fake_remote_and_crash_substeps(spark, tmp_path):
     store[f"{t}/_manifests/_current"] = "garbage\n"
     assert current_version(t, io) == 2
     store[f"{t}/_manifests/_current"] = "2"
+
+    # orphan manifest ABOVE the pointer (crash between the manifest
+    # write and the pointer write): current_version stays at the
+    # parent and history must AGREE — not report v3 as committed
+    # (r16 ADVICE; the retry path will overwrite v3 with different
+    # contents, so it is not history yet)
+    store[f"{t}/_manifests/v00003.json"] = _json.dumps(
+        {"version": 3, "parent": 2, "operation": "append",
+         "schema": spark.range(1).schema.json(), "files": []}
+    )
+    assert current_version(t, io) == 2
+    assert [h["version"] for h in snapshot_history(t, io)] == [1, 2]
+    del store[f"{t}/_manifests/v00003.json"]
 
     # expire v1: its manifest and its now-unreferenced data dir vanish
     assert expire_snapshots(t, keep_last=1, io=io) == [1]
@@ -2107,3 +2149,45 @@ def test_web_corpus_plan_end_to_end(spark, tmp_path):
     b = {(r["shard"], r["doc_key"])
          for r in spark.read.parquet(str(out2)).collect()}
     assert a == b
+
+
+def test_web_corpus_first_fetch_wins_across_digit_boundary(spark, tmp_path):
+    """r16 ADVICE: doc_key was '<file>:<idx>' with an UNPADDED index,
+    so the lexicographic string min picked 'f:10' over 'f:9' — the
+    kept representative was not the earliest fetch once a shard held
+    >=10 records. The zero-padded key restores min(doc_key) ==
+    min((warc_file, record_index)). Twelve fetches of ONE canonical
+    URL with DISTINCT bodies: the URL-stage survivor must carry the
+    body of the first conversion record (index 1; 0 is warcinfo),
+    not of record 10/11."""
+    from ais_data_pipeline_spark.plans.web_corpus import run_web_corpus
+    from ais_data_pipeline_spark.sources.warc import encode_warc_records
+
+    good = (
+        "the cat sat on the mat and it is that for a while. "
+        "We think that the story of the house is good, and the "
+        "end of the day is near for all of the people in it."
+    )
+    recs = [dict(
+        warc_type="warcinfo", record_id="<urn:uuid:ffff>",
+        warc_date="2024-01-01T00:00:00Z", target_uri=None,
+        content_type="application/warc-fields", payload=b"software: x",
+    )]
+    for i in range(12):
+        recs.append(dict(
+            warc_type="conversion", record_id=f"<urn:uuid:{i:04x}>",
+            warc_date="2024-01-01T00:00:00Z",
+            target_uri="http://example.com/one",
+            content_type="text/plain",
+            payload=f"{good} fetch number {i}.".encode(),
+        ))
+    d = tmp_path / "warc"
+    d.mkdir()
+    (d / "a.warc.gz").write_bytes(encode_warc_records(recs))
+    out = tmp_path / "shards"
+    res = run_web_corpus(spark, str(d / "a.warc.gz"), str(out),
+                         quality_threshold=0.5, n_shards=2)
+    assert res.stage_counts["03_exact_dedup"] == 1
+    [row] = spark.read.parquet(str(out)).collect()
+    assert row["text"].endswith("fetch number 0."), row["text"]
+    assert row["doc_key"].endswith(":000000000001"), row["doc_key"]
