@@ -90,87 +90,78 @@ def register(name: str, oracle: str | None, description: str):
 
 
 # The driver checks only the FIRST 50 registry entries per round, so
-# registry order decides which queries get a CORRECTNESS row. Round-16
-# window (executes the plan pinned in COMPAT.md "r16 window plan" and
-# the r15 verdict item 1):
-#   - LEAD with the ten r11-dated rows — the oldest cohort left in the
-#     registry (after this round the freshness floor is r12; the
-#     staleness gate test_registry_driver_proof_freshness trips at r17
-#     for any of these not proven now).
-#   - Then oldest-first: 36 of the 49 rows whose latest driver row is
-#     r12 (alphabetical within the cohort; computed programmatically
-#     from the CORRECTNESS_r*.json artifacts). The thirteen r12 rows
-#     that don't fit (streaming_stateful_totals,
-#     streaming_zscore_anomaly, subsequence_best_match_fft,
-#     supplier_count_per_brand_size, supplier_triangles,
-#     tfidf_top_terms, token_entropy, top_supplier_quarter,
-#     topk_with_ties, trajectory_speed, value_histogram,
-#     video_container_meta, weighted_sample_orders) lead the r17
-#     window.
-#   - Changed-row-first amendment: any row whose semantics change
-#     THIS round rotates in, displacing from the END of this list;
-#     displaced rows lead r17. Rotated in: warc_record_stats (NEW in
-#     r16 — registry 204 -> 205, never driver-checked: the WARC/WET
-#     source over deterministic .warc.gz shards of the documents
-#     corpus), bigram_lm_scores (NEW in r16 — registry 205 -> 206:
-#     CCNet-style add-one bigram LM quality scoring),
-#     url_canonical_dedup (NEW in r16 — registry 206 -> 207:
-#     canonical-URL fetch dedup, closed-form oracle), and
-#     image_format_dispatch (mixed7 -> mixed8: the TIFF multipage arm
-#     gains an old-style JPEG-in-TIFF page — compression 6 via the
-#     JPEGInterchangeFormat tags, the restricted full-stream subset
-#     real scanners emitted).
+# registry order decides which queries get a CORRECTNESS row. Round-17
+# window (executes the plan pinned in COMPAT.md "r17 window plan" and
+# the r16 verdict item 1):
+#   - LEAD with the thirteen r12-dated rows — the oldest cohort left
+#     (their age hits STALE_MAX=5 exactly at r17, so the staleness
+#     gate test_registry_driver_proof_freshness trips on any slip;
+#     after this round the freshness floor is r13).
+#   - Then oldest-first: 37 of the 46 rows whose latest driver row is
+#     r13 (alphabetical within the cohort; computed programmatically
+#     from the CORRECTNESS_r*.json artifacts). The nine r13 rows that
+#     don't fit (streaming_sliding_counts, streaming_windowed_counts,
+#     string_agg_types, surrogate_keys, term_frequencies,
+#     theta_token_overlap, unpivot_metrics, url_route_suffix,
+#     value_run_islands) lead the r18 window.
+#   - Changed-row-first amendment: any row whose semantics change or
+#     that is NEW this round rotates in, displacing from the END of
+#     this list; displaced rows lead r18. (The r16 ADVICE fix to
+#     canonical_url's query regex does NOT change url_canonical_dedup
+#     output — its fixture has no fragment-embedded '?' — and the
+#     snapshot-history cap is metadata-only, so neither row re-rotates;
+#     both were driver-proven in r16.)
 _FRONT_WINDOW: list[str] = [
-    "stratified_quality_sample",
-    "streaming_quality_monitor",
-    "supplier_bfs_hops",
-    "text_normalize",
-    "text_quality",
-    "token_counts",
-    "top_customer_per_nation",
-    "topk_orders",
-    "vocab_growth_stats",
-    "zorder_values",
-    "cohort_retention",
-    "cross_doc_repeated_spans",
-    "cumulative_unique_users",
-    "curation_pipeline_stats",
-    "doc_chunking",
-    "doc_repetition_stats",
-    "dominant_supplier_part",
-    "embedding_quantize_int8",
-    "fuzzy_name_pairs",
-    "image_luma_histogram",
-    "image_pixel_stats",
-    "image_resize_nn",
-    "important_parts_share",
-    "incremental_join_view",
-    "inverted_index_postings",
-    "kmeans_ivf_centroids",
-    "market_share",
-    "min_cost_supplier_per_part",
-    "mixture_sample_docs",
-    "ngram_contamination",
-    "orc_roundtrip_agg",
-    "part_pagerank",
-    "pii_scrub_docs",
-    "profit_by_nation_year",
-    "promo_revenue_share",
-    "returned_revenue",
-    "revenue_mom_change",
-    "rich_idle_customers",
-    "rolling_1h_user_stats",
-    "rolling_zscore_anomaly",
-    "schema_evolution_merge",
-    "sequence_packing",
-    "simhash_fingerprints",
-    "skyline_orders",
-    "snapshot_diff_orders",
-    "snapshot_time_travel",
-    "warc_record_stats",
-    "bigram_lm_scores",
-    "url_canonical_dedup",
-    "image_format_dispatch",
+    "streaming_stateful_totals",
+    "streaming_zscore_anomaly",
+    "subsequence_best_match_fft",
+    "supplier_count_per_brand_size",
+    "supplier_triangles",
+    "tfidf_top_terms",
+    "token_entropy",
+    "top_supplier_quarter",
+    "topk_with_ties",
+    "trajectory_speed",
+    "value_histogram",
+    "video_container_meta",
+    "weighted_sample_orders",
+    "approx_distinct_events",
+    "audio_meta",
+    "audio_pcm_stats",
+    "bpe_token_counts",
+    "conditional_agg",
+    "dataset_split_counts",
+    "dict_normalize_brand",
+    "downcast_guard",
+    "dq_report",
+    "events_hourly",
+    "events_json_extract",
+    "forecast_revenue_q6",
+    "frame_sample_fanout",
+    "funnel_stages",
+    "hash_sample_orders",
+    "locf_fill_forward",
+    "mode_event_type_per_user",
+    "moment_stats",
+    "multiset_ops",
+    "not_in_null_semantics",
+    "order_price_deciles",
+    "order_status_rollup",
+    "outer_join_fill",
+    "posexplode_tokens",
+    "priority_revenue",
+    "profile_distinct_ratios",
+    "project_exclude_substring",
+    "rank_distribution",
+    "rollup_region_nation",
+    "running_total_per_customer",
+    "salted_event_type_agg",
+    "sequence_packing_strict",
+    "session_windows_native",
+    "stratified_hash_sample",
+    "stream_static_join",
+    "streaming_cdc_upsert",
+    "streaming_dedup_pairs",
 ]
 
 
