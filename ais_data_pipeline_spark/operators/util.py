@@ -3,6 +3,52 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: conservative broadcast-size estimate for an id-only drop-set row
+#: (one short string key + per-row overhead in the driver-built
+#: broadcast relation). Deliberately fat: the gate exists to AVOID
+#: an 8 GB broadcast explosion, not to maximize hint coverage.
+DROP_SET_BYTES_PER_ROW = 64
+
+
+def _auto_broadcast_bytes(df: DataFrame) -> int:
+    """The session's ``spark.sql.autoBroadcastJoinThreshold`` in bytes
+    (-1 / unparsable -> 0, i.e. never hint)."""
+    raw = str(
+        df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    ).strip().lower()
+    mult = 1
+    for suffix, m in (("kb", 2**10), ("mb", 2**20), ("gb", 2**30),
+                      ("k", 2**10), ("m", 2**20), ("g", 2**30), ("b", 1)):
+        if raw.endswith(suffix):
+            raw = raw[: -len(suffix)]
+            mult = m
+            break
+    try:
+        n = int(raw) * mult
+    except ValueError:
+        return 0
+    return max(n, 0)
+
+
+def gated_broadcast(
+    df: DataFrame, n_rows: int, bytes_per_row: int = DROP_SET_BYTES_PER_ROW
+) -> DataFrame:
+    """``F.broadcast(df)`` only when the ALREADY-COUNTED side plausibly
+    fits the session's autoBroadcastJoinThreshold; otherwise return
+    ``df`` un-hinted and let AQE pick the join (shuffled anti-join on
+    keys only — correct at any size, just not broadcast-fast).
+
+    The r16 web-corpus lesson: drop-sets (duplicate fetches / bodies)
+    are a few percent of a HEALTHY crawl, but real Common Crawl dumps
+    run well past broadcast size at 100 TB — tens of billions of
+    duplicate keys against the 8 GB broadcast hard limit. Every
+    drop-set call site already materializes the count for stage
+    accounting, so the gate is free."""
+    if n_rows * bytes_per_row <= _auto_broadcast_bytes(df):
+        return F.broadcast(df)
+    return df
 
 
 def spread_to_parallelism(df: DataFrame) -> DataFrame:

@@ -27,6 +27,7 @@ from ais_data_pipeline_spark.observability import log
 from ais_data_pipeline_spark.operators.dedup import minhash_near_dup
 from ais_data_pipeline_spark.operators.text import quality_col
 from ais_data_pipeline_spark.checkpointing import materialize
+from ais_data_pipeline_spark.operators.util import gated_broadcast
 
 
 @dataclass(frozen=True)
@@ -99,7 +100,9 @@ def run_curation(
         .transform(materialize)  # small: dup ids only
     )
     n_drop_exact = drop_exact.count()
-    s1 = docs.join(F.broadcast(drop_exact), id_col, "left_anti")
+    # size-gated (r17): real corpora can carry drop-sets past broadcast
+    # size; above the threshold AQE picks a keys-only shuffled anti-join
+    s1 = docs.join(gated_broadcast(drop_exact, n_drop_exact), id_col, "left_anti")
     log("curation_exact_dedup", rows_in=n_total, rows_dropped=n_drop_exact)
 
     # stage 2: LSH near-dup on survivors, drop the higher id per pair
@@ -118,7 +121,7 @@ def run_curation(
         .transform(materialize)
     )
     n_drop_near = drop_near.count()
-    s2 = s1.join(F.broadcast(drop_near), id_col, "left_anti")
+    s2 = s1.join(gated_broadcast(drop_near, n_drop_near), id_col, "left_anti")
     log("curation_near_dup", rows_in=n_total - n_drop_exact, rows_dropped=n_drop_near)
 
     # stage 3: quality filter as a map-side column expression on the

@@ -18,12 +18,28 @@ training shards:
 5. **Shard write**: ``write_training_shards`` — md5-keyed layout,
    bit-reproducible across runs/engines/cluster sizes.
 
-Scale shape mirrors ``plans.curation``: stages 2 and 4 compute SMALL
-drop-sets (duplicate fetches / duplicate bodies are a few percent of
-a real crawl) that broadcast into anti-joins against the record scan,
-so document text crosses the wire exactly once — into the final shard
-shuffle. Per-stage accounting returns in the result and logs through
-the structured observability contract (reference M1).
+Scale shape mirrors ``plans.curation``: stages 2 and 4 compute drop
+id-sets that anti-join against the record scan, so document text
+crosses the wire exactly once — into the final shard shuffle. Two
+r17 hardenings close the last 100 TB gaps (r16 verdict):
+
+- **Drop-set broadcasts are size-gated** (``operators.util.
+  gated_broadcast``): duplicate fetches / bodies are a few percent
+  of a healthy crawl, but real CC dumps blow past broadcast size at
+  100 TB (tens of billions of keys vs the 8 GB broadcast hard
+  limit). The counts are already materialized for stage accounting;
+  above the session's autoBroadcastJoinThreshold the hint is dropped
+  and AQE picks a keys-only shuffled anti-join.
+- **The one-parse projection side-channels to SCRATCH PARQUET**, not
+  ``localCheckpoint``: pinning the full decompressed corpus in
+  executor block managers is exactly the shape that OOMed the r15
+  curation run (SCALING.md rule). Columnar zstd parquet is ~3-4×
+  smaller, survives executor loss, and downstream stages read it
+  with COLUMN PRUNING — the dedup stages scan (doc_key, url) /
+  (doc_key, text-hash) without ever re-materializing text.
+
+Per-stage accounting returns in the result and logs through the
+structured observability contract (reference M1).
 """
 
 from __future__ import annotations
@@ -35,9 +51,11 @@ from pyspark.sql import functions as F
 
 from ais_data_pipeline_spark.checkpointing import materialize
 from ais_data_pipeline_spark.functions.url import canonical_url
+from ais_data_pipeline_spark.fsutil import io_for
 from ais_data_pipeline_spark.observability import log
 from ais_data_pipeline_spark.operators.corpus import write_training_shards
 from ais_data_pipeline_spark.operators.text import quality_col
+from ais_data_pipeline_spark.operators.util import gated_broadcast
 
 
 @dataclass(frozen=True)
@@ -64,17 +82,23 @@ def run_web_corpus(
     quality_threshold: float = 0.5,
     n_shards: int = 8,
     payload_max_bytes: int | None = None,
+    scratch_path: str | None = None,
 ) -> WebCorpusResult:
     """Run the WARC→shards chain; returns per-stage survivor counts
     (rows_in − rows_out fully attributed across the stages). The kept
     corpus lands at ``out_path`` as ``shard=`` partitions of
     (doc_key, url, text); ``doc_key`` is ``<warc_file>:<record_index>``
     — stable across re-runs of the same shards, which is what keeps
-    the whole layout reproducible."""
+    the whole layout reproducible. ``scratch_path`` (default
+    ``out_path + "_parsed"``) holds the one-parse parquet projection
+    for the duration of the run; it is removed on success."""
     from ais_data_pipeline_spark.sources.warc import read_warc
 
+    # one parse of the (non-offset-splittable) warc.gz shards lands in
+    # scratch parquet; every stage below is a column-pruned scan of it
+    scratch = scratch_path or (out_path.rstrip("/") + "_parsed")
     recs = read_warc(spark, warc_paths, payload_max_bytes)
-    docs = (
+    (
         recs.filter(F.col("warc_type") == "conversion")
         .select(
             # zero-padded index (r16 ADVICE): doc_key min() is a STRING
@@ -88,8 +112,10 @@ def run_web_corpus(
             canonical_url(F.col("target_uri")).alias("url"),
             F.col("payload").cast("string").alias("text"),
         )
-        .transform(materialize)  # one parse feeds counts + both dedups
+        .write.mode("overwrite")
+        .parquet(scratch)
     )
+    docs = spark.read.parquet(scratch)
     n_records = docs.count()
 
     # stage 1: canonical-URL fetch dedup — the LATER fetches of a key
@@ -103,8 +129,10 @@ def run_web_corpus(
         .select("doc_key")
         .transform(materialize)
     )
-    n_drop_url = drop_url.count() + (n_records - with_url.count())
-    s1 = with_url.join(F.broadcast(drop_url), "doc_key", "left_anti")
+    n_drop_url_keys = drop_url.count()
+    n_drop_url = n_drop_url_keys + (n_records - with_url.count())
+    s1 = with_url.join(gated_broadcast(drop_url, n_drop_url_keys),
+                       "doc_key", "left_anti")
     log("web_corpus_url_dedup", rows_in=n_records, rows_dropped=n_drop_url)
 
     # stage 2: quality gate — scan-side expression, no shuffle
@@ -127,7 +155,8 @@ def run_web_corpus(
         .transform(materialize)
     )
     n_drop_exact = drop_exact.count()
-    kept = s2.join(F.broadcast(drop_exact), "doc_key", "left_anti")
+    kept = s2.join(gated_broadcast(drop_exact, n_drop_exact),
+                   "doc_key", "left_anti")
     log(
         "web_corpus_exact_dedup",
         rows_in=n_after_quality,
@@ -137,6 +166,7 @@ def run_web_corpus(
     write_training_shards(kept, out_path, n_shards=n_shards, id_col="doc_key")
     n_kept = n_after_quality - n_drop_exact
     log("web_corpus_written", rows_out=n_kept, shards=n_shards)
+    io_for(scratch).remove(scratch)  # the one-parse projection is spent
     return WebCorpusResult(
         n_records=n_records,
         n_after_url_dedup=n_records - n_drop_url,

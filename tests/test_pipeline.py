@@ -2151,6 +2151,63 @@ def test_web_corpus_plan_end_to_end(spark, tmp_path):
     assert a == b
 
 
+def test_web_corpus_majority_duplicate_non_broadcast_path(spark, tmp_path):
+    """r16 verdict item 2a, e2e: a MAJORITY-duplicate corpus (the real
+    CC shape the few-percent docstring assumed away) through the
+    NON-broadcast path — autoBroadcastJoinThreshold=-1 turns every
+    gated hint off, so both dedup anti-joins run as AQE-planned
+    shuffled joins — must produce bit-identical stage counts and
+    (shard, doc_key) layout to the default broadcast path."""
+    from ais_data_pipeline_spark.plans.web_corpus import run_web_corpus
+    from ais_data_pipeline_spark.sources.warc import encode_warc_records
+
+    good = (
+        "the cat sat on the mat and it is that for a while. "
+        "We think that the story of the house is good, and the "
+        "end of the day is near for all of the people in it."
+    )
+    recs = []
+    n = 0
+    for p in range(4):  # 4 unique pages, each fetched 6x (83% dupes)
+        for f in range(6):
+            recs.append(dict(
+                warc_type="conversion", record_id=f"<urn:uuid:{n:04x}>",
+                warc_date="2024-01-01T00:00:00Z",
+                target_uri=f"http://example.com/p/{p}?utm_source={f}",
+                content_type="text/plain",
+                payload=f"{good} page number {p}.".encode(),
+            ))
+            n += 1
+    d = tmp_path / "warc"
+    d.mkdir()
+    (d / "a.warc.gz").write_bytes(encode_warc_records(recs))
+
+    def run(tag):
+        out = tmp_path / f"shards_{tag}"
+        res = run_web_corpus(spark, str(d / "a.warc.gz"), str(out),
+                             quality_threshold=0.5, n_shards=2)
+        rows = {(r["shard"], r["doc_key"], r["text"])
+                for r in spark.read.parquet(str(out)).collect()}
+        return res.stage_counts, rows
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key)
+    base_counts, base_rows = run("broadcast")
+    try:
+        spark.conf.set(key, "-1")
+        gated_counts, gated_rows = run("shuffled")
+    finally:
+        spark.conf.set(key, prev)
+    assert base_counts == {
+        "00_conversion_records": 24,
+        "01_url_dedup": 4,
+        "02_quality": 4,
+        "03_exact_dedup": 4,
+    }
+    assert gated_counts == base_counts
+    assert gated_rows == base_rows
+
+
 def test_web_corpus_first_fetch_wins_across_digit_boundary(spark, tmp_path):
     """r16 ADVICE: doc_key was '<file>:<idx>' with an UNPADDED index,
     so the lexicographic string min picked 'f:10' over 'f:9' — the

@@ -642,6 +642,45 @@ def test_bench_query_lists_registered():
     assert not missing, missing
 
 
+def test_gated_broadcast_threshold_paths(spark):
+    """r16 verdict item 2a: drop-set broadcasts must be size-gated —
+    the hint goes on only when the already-counted side plausibly fits
+    autoBroadcastJoinThreshold; above it the frame returns un-hinted
+    (AQE picks a keys-only anti-join; at 100 TB a crawl's duplicate
+    key set runs past the 8 GB broadcast hard limit)."""
+    from ais_data_pipeline_spark.operators.util import (
+        _auto_broadcast_bytes,
+        gated_broadcast,
+    )
+
+    small = spark.range(10).withColumnRenamed("id", "k")
+    big = spark.range(1000).withColumnRenamed("id", "k")
+
+    def hinted(n_rows):
+        # the hint survives analysis; the optimizer then folds it into
+        # the Join node, so probe the ANALYZED plan
+        j = big.join(gated_broadcast(small, n_rows), "k", "left_anti")
+        return "ResolvedHint" in j._jdf.queryExecution().analyzed().toString()
+
+    assert hinted(10)
+    assert not hinted(10**9)  # ~64 GB estimated: never broadcast
+
+    # threshold parsing: spark accepts plain bytes and k/m/g forms,
+    # and -1 disables broadcast entirely (gate must then never hint)
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key)
+    try:
+        for raw, want in [("10485760b", 10 * 2**20), ("1MB", 2**20),
+                          ("512k", 512 * 2**10), ("1g", 2**30),
+                          ("-1", 0), ("-1b", 0)]:
+            spark.conf.set(key, raw)
+            assert _auto_broadcast_bytes(small) == want, raw
+        spark.conf.set(key, "-1")
+        assert not hinted(1)  # broadcast disabled session-wide
+    finally:
+        spark.conf.set(key, prev)
+
+
 def test_bench_detail_quiet_box_persist_gate(monkeypatch):
     """r16 verdict item 3 mechanized: a materially-more-contended run
     must not displace the quiet bench_detail.json it would become the

@@ -108,6 +108,7 @@ def main() -> None:
 
     from ais_data_pipeline_spark.operators.dedup import minhash_near_dup
     from ais_data_pipeline_spark.operators.text import quality_col
+    from ais_data_pipeline_spark.operators.util import gated_broadcast
     from ais_data_pipeline_spark.session import get_spark
     from tools.pipeline_at_scale import _HeapPoller
 
@@ -197,7 +198,8 @@ def main() -> None:
             .localCheckpoint(eager=True)  # small: dup ids only
         )
         n_drop1 = drop_exact.count()
-        s1 = d.join(F.broadcast(drop_exact), "doc_id", "left_anti")
+        # size-gated (r17, shared with plans.curation/web_corpus)
+        s1 = d.join(gated_broadcast(drop_exact, n_drop1), "doc_id", "left_anti")
         n1 = DOCS - n_drop1
         t1 = time.perf_counter()
 
@@ -210,7 +212,7 @@ def main() -> None:
             .localCheckpoint(eager=True)
         )
         n_drop2 = drop_near.count()
-        s2 = s1.join(F.broadcast(drop_near), "doc_id", "left_anti")
+        s2 = s1.join(gated_broadcast(drop_near, n_drop2), "doc_id", "left_anti")
         n2 = n1 - n_drop2
         t2 = time.perf_counter()
 
@@ -223,7 +225,10 @@ def main() -> None:
         n_pass_all = qual.filter("qp").count()
         n_drop_pass = (
             qual.join(
-                F.broadcast(drop_exact.unionByName(drop_near)), "doc_id"
+                gated_broadcast(
+                    drop_exact.unionByName(drop_near), n_drop1 + n_drop2
+                ),
+                "doc_id",
             )
             .filter("qp")
             .count()
