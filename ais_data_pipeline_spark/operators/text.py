@@ -719,3 +719,67 @@ def bigram_lm_scores(
             ).alias("avg_logprob"),
         )
     )
+
+
+# -- HTML -> text extraction (r17) -------------------------------------------
+#
+# The step between raw-WARC response bodies (sources/http_payload.py)
+# and everything above: deterministic tag-strip + script/style drop +
+# entity decode + whitespace normalize, entirely in whole-stage-codegen
+# regexp/string expressions — HTML never crosses into Python.
+# Boilerplate detection is deliberately a SCORED column (link_density),
+# not a hard-coded drop: thresholds are corpus policy, the engine just
+# measures (r16 verdict item 5).
+
+#: container elements whose CONTENT is dropped whole (code, styling,
+#: fallbacks — never prose), case-insensitive, dotall
+_HTML_DROP_CONTENT_RE = r"(?is)<(script|style|noscript|template)\b[^>]*>.*?</\1\s*>"
+_HTML_COMMENT_RE = r"(?s)<!--.*?-->"
+_HTML_TAG_RE = r"(?s)<[^>]*>"
+_HTML_ANCHOR_RE = r"(?is)<a\b[^>]*>(.*?)</a\s*>"
+
+#: single-level decode of the named entities that dominate real pages;
+#: &amp; LAST so "&amp;lt;" decodes one level (to "&lt;"), never two.
+#: Numeric character references pass through unchanged — deterministic
+#: and documented (decoding them is locale-free but needs per-match
+#: codepoint math; a corpus that needs it decodes downstream).
+_HTML_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def html_to_text_col(html_col: Column) -> Column:
+    """Extracted prose of an HTML column: drop script/style/noscript/
+    template content and comments, strip all remaining tags to spaces,
+    decode the core named entities (single level), collapse whitespace,
+    trim. Pure codegen (regexp_replace/replace chains) — runs at scan
+    speed, no Python, no shuffle."""
+    t = F.regexp_replace(html_col, _HTML_DROP_CONTENT_RE, " ")
+    t = F.regexp_replace(t, _HTML_COMMENT_RE, " ")
+    t = F.regexp_replace(t, _HTML_TAG_RE, " ")
+    for ent, rep in _HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def link_density_col(html_col: Column) -> Column:
+    """Fraction of extracted characters that live inside ``<a>``
+    anchors — the classic boilerplate signal (nav bars and footers are
+    link-dense, prose is not). 0.0 on pages with no extractable text.
+    Codegen end-to-end: regexp_extract_all + array HOFs."""
+    anchors = F.regexp_extract_all(html_col, F.lit(_HTML_ANCHOR_RE), 1)
+    anchor_chars = F.aggregate(
+        F.transform(anchors, lambda a: F.length(html_to_text_col(a))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    total = F.length(html_to_text_col(html_col))
+    return anchor_chars.cast("double") / F.greatest(total, F.lit(1)).cast(
+        "double"
+    )

@@ -161,7 +161,7 @@ _FRONT_WINDOW: list[str] = [
     "stratified_hash_sample",
     "stream_static_join",
     "streaming_cdc_upsert",
-    "streaming_dedup_pairs",
+    "warc_http_response_stats",  # NEW r17: raw-WARC HTTP splitting
 ]
 
 
@@ -3588,6 +3588,191 @@ def q_warc_record_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("target_uri").alias("n_uris"),
         )
         .orderBy("warc_type")
+    )
+
+
+@register(
+    "warc_http_response_stats",
+    """
+    WITH d AS (
+      SELECT doc_id, doc_id % 10 AS cls,
+             octet_length(encode(text)) AS b, length(text) AS ch
+      FROM documents
+    ), rows AS (
+      SELECT CASE WHEN cls = 0 THEN NULL WHEN cls = 1 THEN 404
+                  WHEN cls = 2 THEN 301 ELSE 200 END AS http_status,
+             CASE WHEN cls = 0 THEN NULL WHEN cls = 1 THEN 'text/html'
+                  WHEN cls = 6 THEN 'application/json'
+                  WHEN cls = 8 THEN 'text/html'
+                  WHEN cls = 9 THEN 'image/png'
+                  ELSE 'text/plain' END AS content_type,
+             CASE WHEN cls IN (3, 4) THEN 'utf-8'
+                  WHEN cls = 7 THEN 'iso-8859-1' END AS charset,
+             CASE WHEN cls = 8 THEN 'br' END AS content_encoding,
+             CASE WHEN cls = 0 THEN NULL
+                  ELSE cls IN (3, 4) END AS chunked,
+             CASE WHEN cls = 0 THEN 17
+                  WHEN cls = 1 THEN
+                    octet_length(encode('not found ' || CAST(doc_id AS VARCHAR)))
+                  WHEN cls = 2 THEN 0
+                  WHEN cls = 6 THEN
+                    octet_length(encode('{"len": ' || CAST(b AS VARCHAR) || '}'))
+                  ELSE b END AS body_bytes,
+             CASE WHEN cls IN (0, 8, 9) THEN NULL
+                  WHEN cls = 1 THEN
+                    length('not found ' || CAST(doc_id AS VARCHAR))
+                  WHEN cls = 2 THEN 0
+                  WHEN cls = 6 THEN
+                    length('{"len": ' || CAST(b AS VARCHAR) || '}')
+                  ELSE ch END AS text_chars,
+             CASE WHEN cls = 0 THEN 1 ELSE 0 END AS err
+      FROM d
+    )
+    SELECT http_status, content_type, charset, content_encoding, chunked,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(body_bytes) AS BIGINT) AS body_bytes,
+           CAST(sum(text_chars) AS BIGINT) AS text_chars,
+           CAST(sum(err) AS BIGINT) AS n_errors
+    FROM rows GROUP BY 1, 2, 3, 4, 5
+    ORDER BY http_status NULLS FIRST, content_type NULLS FIRST,
+             charset NULLS FIRST, content_encoding NULLS FIRST,
+             chunked NULLS FIRST
+    """,
+    "Raw-WARC HTTP response splitting (r17, sources/http_payload.py): "
+    "real Common Crawl .warc.gz is dominated by `response` records "
+    "whose payload is a full HTTP/1.1 message (ISO 28500 §6.3). The "
+    "corpus packs documents into response records across ten framing "
+    "classes keyed by doc_id % 10 — malformed (no separator, exercises "
+    "the lenient quarantine column), 404, 301+Location, chunked "
+    "transfer (x2), gzip content-encoding, deflate JSON, explicit "
+    "ISO-8859-1 charset, undecodable `br` passthrough, binary "
+    "image/png — reads them back through the streaming per-file "
+    "reader, splits with split_http_responses (status line, folded/"
+    "duplicate-joined header map, de-chunk, content-decode, charset-"
+    "aware body_text), and aggregates per (status, media type, "
+    "charset, encoding, chunked). The oracle re-derives every class "
+    "closed-form from the documents table alone — it never runs the "
+    "splitter, so any framing/decode slip flips the hash. Scale "
+    "shape: the split runs inside the reader's one-task-per-file "
+    "Arrow batches; bytes cross into Python exactly once.",
+)
+def q_warc_http_response_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+
+    from ais_data_pipeline_spark.sources.http_payload import (
+        encode_http_response,
+        split_http_responses,
+    )
+    from ais_data_pipeline_spark.sources.warc import (
+        encode_warc_records,
+        read_warc,
+    )
+
+    n_shards = 4
+    d = _scratch_dir("warc_http_")
+
+    def write_shard(pdf):
+        import pandas as pd
+
+        shard = int(pdf["shard"].iloc[0])
+        pdf = pdf.sort_values("doc_id")
+        recs = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            doc_id = int(doc_id)
+            cls = doc_id % 10
+            body = text.encode("utf-8")
+            uri = f"http://example.org/doc/{doc_id}"
+            if cls == 0:
+                payload = b"oops no separator"
+            elif cls == 1:
+                payload = encode_http_response(
+                    404, "Not Found", [("Content-Type", "text/html")],
+                    f"not found {doc_id}".encode(),
+                )
+            elif cls == 2:
+                payload = encode_http_response(
+                    301, "Moved Permanently",
+                    [("Content-Type", "text/plain"),
+                     ("Location", uri + "/new")], b"",
+                )
+            elif cls in (3, 4):
+                payload = encode_http_response(
+                    200, "OK",
+                    [("Content-Type", "text/plain; charset=utf-8")],
+                    body, chunked=True,
+                )
+            elif cls == 5:
+                payload = encode_http_response(
+                    200, "OK", [("Content-Type", "text/plain")],
+                    body, content_encoding="gzip",
+                )
+            elif cls == 6:
+                payload = encode_http_response(
+                    200, "OK", [("Content-Type", "application/json")],
+                    ('{"len": %d}' % len(body)).encode(),
+                    content_encoding="deflate",
+                )
+            elif cls == 7:
+                payload = encode_http_response(
+                    200, "OK",
+                    [("Content-Type", "text/plain; charset=ISO-8859-1")],
+                    body,
+                )
+            elif cls == 8:
+                # undecodable content coding: hand-framed (the encoder
+                # twin refuses to fake a brotli stream)
+                payload = (
+                    b"HTTP/1.1 200 OK\r\n"
+                    b"Content-Type: text/html\r\n"
+                    b"Content-Encoding: br\r\n"
+                    + b"Content-Length: %d\r\n\r\n" % len(body)
+                    + body
+                )
+            else:
+                payload = encode_http_response(
+                    200, "OK", [("Content-Type", "image/png")], body
+                )
+            recs.append(
+                dict(
+                    warc_type="response",
+                    record_id=f"<urn:resp:{doc_id}>",
+                    warc_date="2024-01-01T00:00:00Z",
+                    target_uri=uri,
+                    content_type="application/http; msgtype=response",
+                    payload=payload,
+                )
+            )
+        with open(f"{d}/shard-{shard:02d}.warc.gz", "wb") as f:
+            f.write(encode_warc_records(recs))
+        return pd.DataFrame({"shard": [shard], "n": [len(recs)]})
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    (
+        docs.withColumn("shard", (F.col("doc_id") % n_shards).cast("int"))
+        .groupBy("shard")
+        .applyInPandas(write_shard, "shard int, n long")
+        .collect()
+    )
+    paths = sorted(_glob.glob(d + "/shard-*.warc.gz"))
+    h = split_http_responses(read_warc(spark, paths))
+    return (
+        h.groupBy(
+            "http_status", "content_type", "charset",
+            "content_encoding", "chunked",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.octet_length("body")).alias("body_bytes"),
+            F.sum(F.length("body_text")).alias("text_chars"),
+            F.count("http_error").alias("n_errors"),
+        )
+        .orderBy(
+            F.asc_nulls_first("http_status"),
+            F.asc_nulls_first("content_type"),
+            F.asc_nulls_first("charset"),
+            F.asc_nulls_first("content_encoding"),
+            F.asc_nulls_first("chunked"),
+        )
     )
 
 

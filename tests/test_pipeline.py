@@ -2056,6 +2056,191 @@ def test_warc_member_index_random_access(spark, tmp_path):
         list(W.iter_gzip_members(_bio.BytesIO(bytes(corrupt))))
 
 
+def test_http_response_split_rules():
+    """r17: raw-WARC HTTP response splitting (sources/http_payload.py)
+    — status line, folded + duplicate-joined headers, chunked
+    de-framing, gzip/deflate content decode, charset-aware body_text,
+    honest passthrough for undecodable codings. Each rule is pinned
+    against the encoder twin AND hand-framed bytes (the encode_warc
+    convention: a framing typo can't hide behind the roundtrip)."""
+    import zlib as _zlib
+
+    from ais_data_pipeline_spark.sources.http_payload import (
+        encode_http_response,
+        parse_http_response,
+    )
+
+    # plain + explicit charset
+    r = parse_http_response(encode_http_response(
+        200, "OK", [("Content-Type", "text/html; charset=UTF-8")],
+        "<p>héllo</p>".encode("utf-8")))
+    assert (r["http_status"], r["http_version"]) == (200, "1.1")
+    assert r["body_text"] == "<p>héllo</p>" and r["charset"] == "utf-8"
+    assert r["http_headers"]["content-length"] == str(len("<p>héllo</p>".encode()))
+
+    # chunked + gzip composed (decode order: de-chunk, then gunzip)
+    r = parse_http_response(encode_http_response(
+        200, "OK", [("Content-Type", "text/plain")],
+        b"chunked and gzipped body", chunked=True, chunk_size=5,
+        content_encoding="gzip"))
+    assert r["chunked"] and r["body_text"] == "chunked and gzipped body"
+    assert r["content_encoding"] is None  # decoded -> no residue
+
+    # raw deflate (no zlib wrapper — real servers ship both)
+    co = _zlib.compressobj(wbits=-15)
+    raw_deflate = co.compress(b'{"a": 1}') + co.flush()
+    r = parse_http_response(
+        b"HTTP/1.1 200 OK\r\nContent-Type: application/json\r\n"
+        b"Content-Encoding: deflate\r\n\r\n" + raw_deflate)
+    assert r["body_text"] == '{"a": 1}'
+
+    # undecodable coding: body passes through RAW, content_encoding
+    # records the still-encoded state, body_text stays None
+    r = parse_http_response(
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: br\r\n\r\n\x1b\x02\x80")
+    assert r["content_encoding"] == "br" and r["body_text"] is None
+    assert bytes(r["body"]) == b"\x1b\x02\x80"
+
+    # ISO-8859-1 charset honored; unknown charset label -> utf-8
+    r = parse_http_response(
+        b"HTTP/1.0 200 OK\r\nContent-Type: text/plain; "
+        b"charset=ISO-8859-1\r\n\r\n" + "caf\xe9".encode("latin-1"))
+    assert r["body_text"] == "caf\xe9" and r["http_version"] == "1.0"
+    r = parse_http_response(
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain; "
+        b"charset=not-a-codec\r\n\r\nplain")
+    assert r["body_text"] == "plain" and r["charset"] == "not-a-codec"
+
+    # duplicate headers join per RFC 7230 list semantics; folding
+    r = parse_http_response(
+        b"HTTP/1.1 200 OK\r\nSet-Cookie: a=1\r\nSet-Cookie: b=2\r\n"
+        b"X-Long: part1\r\n\tpart2\r\n\r\n")
+    assert r["http_headers"]["set-cookie"] == "a=1, b=2"
+    assert r["http_headers"]["x-long"] == "part1 part2"
+
+    # status without reason; LF-only framing tolerated
+    r = parse_http_response(b"HTTP/1.1 301\nLocation: http://x/\n\n")
+    assert r["http_status"] == 301 and r["http_reason"] is None
+    assert r["http_headers"]["location"] == "http://x/"
+
+    # non-textual media type: bytes kept, no text
+    r = parse_http_response(encode_http_response(
+        200, "OK", [("Content-Type", "image/png")], b"\x89PNG"))
+    assert r["body_text"] is None and bytes(r["body"]) == b"\x89PNG"
+
+    # chunk extensions are legal and ignored; trailers consumed
+    r = parse_http_response(
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n"
+        b"5;ext=v\r\nhello\r\n0\r\nX-Trailer: t\r\n\r\n")
+    assert r["body_text"] == "hello"
+
+    # documented error classes
+    import pytest as _pytest
+
+    for bad in [
+        b"",  # no separator
+        b"HTTP/1.1 abc OK\r\n\r\n",  # bad status
+        b"HTTP/1.1 200 OK\r\nbadheader\r\n\r\n",  # no colon
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nzz\r\n",
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nff\r\nx\r\n",
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nnot-gzip",
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n\x00",
+    ]:
+        with _pytest.raises(ValueError):
+            parse_http_response(bad)
+
+
+def test_http_response_split_operator_lenient(spark, tmp_path):
+    """The DataFrame splitter over a real warc.gz: response records
+    split into typed columns (header MAP included), non-response
+    records are filtered out, and a malformed message quarantines into
+    http_error with its raw payload intact — never a task failure."""
+    from ais_data_pipeline_spark.sources.http_payload import (
+        encode_http_response,
+        split_http_responses,
+    )
+    from ais_data_pipeline_spark.sources.warc import (
+        encode_warc_records,
+        read_warc,
+    )
+
+    def rec(i, payload, wtype="response", uri="http://e.com/x"):
+        return dict(
+            warc_type=wtype, record_id=f"<urn:uuid:{i:04x}>",
+            warc_date="2024-01-01T00:00:00Z", target_uri=uri,
+            content_type="application/http; msgtype=response",
+            payload=payload,
+        )
+
+    recs = [
+        rec(0, b"software: x", "warcinfo", None),
+        rec(1, encode_http_response(
+            200, "OK", [("Content-Type", "text/plain")], b"good body")),
+        rec(2, b"totally not http"),
+        rec(3, encode_http_response(
+            404, "Not Found", [("Content-Type", "text/html")], b"<p>no</p>")),
+    ]
+    p = tmp_path / "r.warc.gz"
+    p.write_bytes(encode_warc_records(recs))
+    out = split_http_responses(read_warc(spark, [str(p)]))
+    rows = {r["record_index"]: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3}  # warcinfo filtered
+    assert rows[1]["http_status"] == 200
+    assert rows[1]["body_text"] == "good body"
+    assert rows[1]["http_headers"]["content-type"] == "text/plain"
+    assert rows[3]["http_status"] == 404
+    # the quarantine row: identity kept, raw bytes kept, error named
+    assert rows[2]["http_status"] is None
+    assert bytes(rows[2]["body"]) == b"totally not http"
+    assert "separator" in rows[2]["http_error"]
+
+
+def test_http_fuzz_documented_error_classes():
+    """The repo's fuzz convention extended over the HTTP framing (r16
+    verdict item 4): 2k random mutations over encoder-twin fixtures
+    (plain / chunked / gzip / deflate) must decode or land in
+    ValueError — no other exception class, no stall."""
+    import random
+    import time
+
+    from ais_data_pipeline_spark.sources.http_payload import (
+        encode_http_response,
+        parse_http_response,
+    )
+
+    fixtures = [
+        encode_http_response(200, "OK",
+                             [("Content-Type", "text/html; charset=utf-8")],
+                             b"<html>" + b"x" * 200 + b"</html>"),
+        encode_http_response(200, "OK", [("Content-Type", "text/plain")],
+                             b"chunk me " * 40, chunked=True),
+        encode_http_response(200, "OK", [("Content-Type", "text/plain")],
+                             b"zip me " * 40, content_encoding="gzip"),
+        encode_http_response(200, "OK", [("Content-Type", "application/json")],
+                             b'{"k": [1,2,3]}', content_encoding="deflate"),
+        encode_http_response(301, "Moved", [("Location", "http://x/")], b""),
+    ]
+    rng = random.Random(1717)
+    t0 = time.perf_counter()
+    for _ in range(2000):
+        base = bytearray(rng.choice(fixtures))
+        for _m in range(rng.randint(1, 4)):
+            op = rng.random()
+            if op < 0.5:
+                base[rng.randrange(len(base))] = rng.randrange(256)
+            elif op < 0.75 and len(base) > 16:
+                del base[rng.randrange(len(base))]
+            else:
+                base.insert(rng.randrange(len(base)), rng.randrange(256))
+        try:
+            parse_http_response(bytes(base))
+        except ValueError:
+            pass  # the documented class
+    assert time.perf_counter() - t0 < 30.0
+
+
 def test_web_corpus_plan_end_to_end(spark, tmp_path):
     """r16 capstone composition: WARC shards -> canonical-URL fetch
     dedup -> quality gate -> exact content dedup -> deterministic
