@@ -783,3 +783,82 @@ def link_density_col(html_col: Column) -> Column:
     return anchor_chars.cast("double") / F.greatest(total, F.lit(1)).cast(
         "double"
     )
+
+
+def hashed_langid_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    classes: tuple[str, ...] | None = None,
+    weights: dict[tuple[str, int], int] | None = None,
+) -> DataFrame:
+    """fastText-class multi-class language ID over hashed bag-of-words
+    (r16 verdict stretch 8): the CLD/fastText structure — one linear
+    model per language over a shared feature hash — with the engine's
+    portability conventions (exact integer dot products, md5 feature
+    hash, deterministic argmax). The profile scorer
+    (``predict_language``) is the heuristic tier; this is the
+    model-served tier the same corpora graduate to — the weight table
+    is the TRAINED artifact a real deployment broadcasts in.
+
+    Per doc: lang = argmax over ``classes`` of
+    Σ_tokens w(class, md5(token) mod n_buckets); ties break to the
+    alphabetically-first class. Zero-token (empty/NULL) docs produce
+    NO row — the explode drops them, same contract as
+    ``hashed_linear_score``.
+
+    Scale shape: tokens hash map-side; the only shuffle carries
+    (doc, bucket, count) partials; the (n_buckets × n_classes) weight
+    table BROADCASTS; the per-class fan-out multiplies the broadcast
+    join output, never the corpus. ``weights`` maps (class, bucket) ->
+    integer weight; default is the deterministic md5-derived stand-in
+    (this container ships no trained model — the plumbing is the
+    operator under test): w(c, b) = md5(c ':' b)[:15] % 2001 - 1000.
+    """
+    import hashlib
+
+    from ais_data_pipeline_spark.localrel import local_df
+
+    classes = tuple(sorted(classes or STOPWORDS))
+    if weights is None:
+        weights = {
+            (c, b): int(
+                hashlib.md5(f"{c}:{b}".encode()).hexdigest()[:15], 16
+            ) % 2001 - 1000
+            for c in classes
+            for b in range(n_buckets)
+        }
+    # tie-break order: alphabetically-first class carries the LARGEST
+    # ord, so max(struct(score, ord, ...)) resolves ties to it
+    ordv = {c: len(classes) - 1 - i for i, c in enumerate(classes)}
+    wt = local_df(
+        df.sparkSession,
+        sorted(
+            (b, c, ordv[c], w) for (c, b), w in weights.items()
+        ),
+        "__b bigint, __lang string, __ord int, __w bigint",
+    )
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("__tok")
+    ).select(
+        id_col,
+        (
+            F.conv(F.substring(F.md5(F.col("__tok")), 1, 15), 16, 10).cast("long")
+            % n_buckets
+        ).alias("__b"),
+    )
+    dc = toks.groupBy(id_col, "__b").agg(F.count(F.lit(1)).alias("__c"))
+    sc = (
+        dc.join(F.broadcast(wt), "__b")
+        .groupBy(id_col, "__lang", "__ord")
+        .agg(F.sum(F.col("__c") * F.col("__w")).cast("long").alias("__s"))
+    )
+    best = sc.groupBy(id_col).agg(
+        F.max(F.struct("__s", "__ord", "__lang")).alias("__best")
+    )
+    return best.select(
+        id_col,
+        F.col("__best.__lang").alias("lang_pred"),
+        F.col("__best.__s").alias("lang_score"),
+    )

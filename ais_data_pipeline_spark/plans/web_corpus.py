@@ -83,6 +83,7 @@ def run_web_corpus(
     n_shards: int = 8,
     payload_max_bytes: int | None = None,
     scratch_path: str | None = None,
+    input_format: str = "wet",
 ) -> WebCorpusResult:
     """Run the WARC→shards chain; returns per-stage survivor counts
     (rows_in − rows_out fully attributed across the stages). The kept
@@ -91,30 +92,60 @@ def run_web_corpus(
     — stable across re-runs of the same shards, which is what keeps
     the whole layout reproducible. ``scratch_path`` (default
     ``out_path + "_parsed"``) holds the one-parse parquet projection
-    for the duration of the run; it is removed on success."""
+    for the duration of the run; it is removed on success.
+
+    ``input_format``: ``"wet"`` consumes ``conversion`` records (WET
+    extracted text, payload IS the text); ``"warc"`` consumes raw
+    ``response`` records — the HTTP message splits (status/headers/
+    de-chunk/content-decode/charset text), only clean 200s with a
+    textual body continue, and ``text/html`` bodies run the codegen
+    HTML→text extraction. Either way the stage-0 count
+    (``00_conversion_records``) is the number of parsed TEXT records
+    entering the pipeline."""
     from ais_data_pipeline_spark.sources.warc import read_warc
+
+    # zero-padded index (r16 ADVICE): doc_key min() is a STRING min,
+    # and unpadded 'f:10' < 'f:9' broke the documented first-fetch-wins
+    # rule on shards with >=10 records. %012d keeps lexicographic
+    # order == (warc_file, record_index) order for any realistic shard.
+    doc_key = F.format_string("%s:%012d", "warc_file", "record_index").alias(
+        "doc_key"
+    )
+    recs = read_warc(spark, warc_paths, payload_max_bytes)
+    if input_format == "warc":
+        from ais_data_pipeline_spark.operators.text import html_to_text_col
+        from ais_data_pipeline_spark.sources.http_payload import (
+            split_http_responses,
+        )
+
+        resp = split_http_responses(recs)
+        parsed = resp.filter(
+            F.col("http_error").isNull()
+            & (F.col("http_status") == 200)
+            & F.col("body_text").isNotNull()
+        ).select(
+            doc_key,
+            canonical_url(F.col("target_uri")).alias("url"),
+            F.when(
+                F.col("content_type").isin("text/html", "application/xhtml+xml"),
+                html_to_text_col(F.col("body_text")),
+            )
+            .otherwise(F.col("body_text"))
+            .alias("text"),
+        )
+    elif input_format == "wet":
+        parsed = recs.filter(F.col("warc_type") == "conversion").select(
+            doc_key,
+            canonical_url(F.col("target_uri")).alias("url"),
+            F.col("payload").cast("string").alias("text"),
+        )
+    else:
+        raise ValueError(f"input_format must be 'wet' or 'warc', got {input_format!r}")
 
     # one parse of the (non-offset-splittable) warc.gz shards lands in
     # scratch parquet; every stage below is a column-pruned scan of it
     scratch = scratch_path or (out_path.rstrip("/") + "_parsed")
-    recs = read_warc(spark, warc_paths, payload_max_bytes)
-    (
-        recs.filter(F.col("warc_type") == "conversion")
-        .select(
-            # zero-padded index (r16 ADVICE): doc_key min() is a STRING
-            # min, and unpadded 'f:10' < 'f:9' broke the documented
-            # first-fetch-wins rule on shards with >=10 records. %012d
-            # keeps lexicographic order == (warc_file, record_index)
-            # order for any realistic shard.
-            F.format_string("%s:%012d", "warc_file", "record_index").alias(
-                "doc_key"
-            ),
-            canonical_url(F.col("target_uri")).alias("url"),
-            F.col("payload").cast("string").alias("text"),
-        )
-        .write.mode("overwrite")
-        .parquet(scratch)
-    )
+    parsed.write.mode("overwrite").parquet(scratch)
     docs = spark.read.parquet(scratch)
     n_records = docs.count()
 

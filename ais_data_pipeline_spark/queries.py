@@ -159,8 +159,8 @@ _FRONT_WINDOW: list[str] = [
     "sequence_packing_strict",
     "session_windows_native",
     "stratified_hash_sample",
-    "stream_static_join",
-    "streaming_cdc_upsert",
+    "lang_id_classifier",  # NEW r17: multi-class hashed language ID
+    "html_text_extract",  # NEW r17: HTML -> text extraction
     "warc_http_response_stats",  # NEW r17: raw-WARC HTTP splitting
 ]
 
@@ -3774,6 +3774,68 @@ def q_warc_http_response_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.asc_nulls_first("chunked"),
         )
     )
+
+
+@register(
+    "html_text_extract",
+    """
+    WITH e AS (
+      SELECT doc_id,
+             'Doc ' || CAST(doc_id AS VARCHAR) || ' Doc ' ||
+             CAST(doc_id AS VARCHAR) || ' ' ||
+             trim(regexp_replace(text, '\\s+', ' ', 'g')) ||
+             ' & tail more link fin ' || CAST(doc_id AS VARCHAR)
+               AS extracted
+      FROM documents
+    )
+    SELECT doc_id, extracted,
+           CAST(length(extracted) AS BIGINT) AS n_chars,
+           CAST(9 AS DOUBLE) / CAST(length(extracted) AS DOUBLE)
+             AS link_density
+    FROM e ORDER BY doc_id
+    """,
+    "HTML -> text extraction (r17, operators/text.py): the step that "
+    "turns raw-WARC response bodies into the text tier's input. Each "
+    "document wraps into a synthetic page — title, style block, "
+    "comment, script block, heading, paragraph with &amp;/&nbsp; "
+    "entities, an anchor, a div — and the engine extracts prose with "
+    "the codegen regexp chain (script/style/noscript/template content "
+    "dropped, comments dropped, tags stripped to spaces, single-level "
+    "entity decode, whitespace collapse) plus the link_density "
+    "boilerplate score (anchor chars / total chars — a SCORED column, "
+    "not a hard-coded drop). The oracle string-builds the expected "
+    "extraction closed-form from documents.text — it never runs the "
+    "extractor, so any rule slip (a tag surviving, an entity "
+    "double-decoded, whitespace not collapsed) flips the hash. Scale "
+    "shape: pure whole-stage-codegen projections, zero shuffle, zero "
+    "Python.",
+)
+def q_html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.text import (
+        html_to_text_col,
+        link_density_col,
+    )
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), did,
+        F.lit("</title><style>p { color: red; }</style></head>"
+              "<body><!-- hidden "), did,
+        F.lit(" --><script>var x = "), did,
+        F.lit(";</script><h1>Doc "), did,
+        F.lit("</h1><p>"), F.col("text"),
+        F.lit(' &amp; tail</p><a href="/d/'), did,
+        F.lit('">more link</a><div>fin&nbsp;'), did,
+        F.lit("</div></body></html>"),
+    )
+    h = d.select("doc_id", html.alias("h"))
+    return h.select(
+        "doc_id",
+        html_to_text_col(F.col("h")).alias("extracted"),
+        F.length(html_to_text_col(F.col("h"))).cast("long").alias("n_chars"),
+        link_density_col(F.col("h")).alias("link_density"),
+    ).orderBy("doc_id")
 
 
 @register(
@@ -8290,6 +8352,58 @@ def q_hashed_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("clf_score"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+@register(
+    "lang_id_classifier",
+    r"""
+    WITH cls AS (
+      SELECT * FROM (VALUES ('de'), ('en'), ('es'), ('fr')) AS c(lang)
+    ), w AS (
+      SELECT lang, b,
+             (('0x' || substr(md5(lang || ':' || CAST(b AS VARCHAR)),
+                              1, 15))::BIGINT % 2001) - 1000 AS wt
+      FROM cls, range(4096) t(b)
+    ), toks AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(tok), 1, 15))::BIGINT % 4096) AS b
+      FROM documents,
+           unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(lower(trim(text)), '\s+')
+                  END) AS t2(tok)
+    ), dc AS (
+      SELECT doc_id, b, count(*) AS c FROM toks GROUP BY 1, 2
+    ), sc AS (
+      SELECT dc.doc_id, w.lang, CAST(sum(dc.c * w.wt) AS BIGINT) AS s
+      FROM dc JOIN w USING (b) GROUP BY 1, 2
+    ), best AS (
+      SELECT doc_id, lang, s,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY s DESC, lang ASC) AS rn
+      FROM sc
+    )
+    SELECT doc_id, lang AS lang_pred, s AS lang_score
+    FROM best WHERE rn = 1 ORDER BY doc_id
+    """,
+    "fastText-class multi-class language ID (r17, operators/text.py "
+    "hashed_langid_scores): one linear model per language over a "
+    "shared md5 feature hash — the model-served tier web-corpus "
+    "curation graduates to from the stopword-profile heuristic "
+    "(lang_id). Exact integer dot products per (doc, class), argmax "
+    "with alphabetical tie-break; weights are the deterministic "
+    "md5-derived stand-in for a trained artifact (documented). The "
+    "oracle replays the scoring in independent SQL arithmetic; a "
+    "pytest additionally pins equivalence to predict_language when "
+    "the weight table is trained to the stopword profile. Scale "
+    "shape: tokens hash map-side, the shuffle carries (doc, bucket, "
+    "count) partials, the weight table broadcasts — the corpus never "
+    "joins anything its own size.",
+)
+def q_lang_id_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.text import hashed_langid_scores
+
+    d = read_table(spark, sf_dir, "documents")
+    return hashed_langid_scores(d, n_buckets=4096).orderBy("doc_id")
 
 
 @register(

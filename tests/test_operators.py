@@ -7968,3 +7968,85 @@ def test_canonical_url_rules(spark):
     }
     for i, (u, want) in enumerate(cases):
         assert got[i] == want, (u, got[i], want)
+
+
+def test_hashed_langid_matches_profile_scorer(spark):
+    """r16 verdict stretch 8 'Done' clause: with the weight table
+    TRAINED to the stopword profile (+1 on each language's stopword
+    buckets, n_buckets 2^20 so the fixture vocabulary cannot collide),
+    hashed_langid_scores' argmax reproduces predict_language on
+    fixture docs in each of the four profile languages — including
+    the shared-stopword es/fr overlap, which both sides resolve with
+    the identical alphabetical tie-break."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from ais_data_pipeline_spark.localrel import local_df
+    from ais_data_pipeline_spark.operators.text import (
+        STOPWORDS,
+        hashed_langid_scores,
+        predict_language,
+    )
+
+    texts = [
+        "the cat of the house and a dog is in it that day for fun",
+        "der hund und die katze ist ein tier zu den haus mit von heute",
+        "le chat et la maison est un animal les jours de du que nuit",
+        "el gato y la casa es un animal los dias las de que noche",
+    ]
+    docs = local_df(
+        spark, list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    nb = 1 << 20
+
+    def bucket(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % nb
+
+    weights: dict[tuple[str, int], int] = {}
+    for lang, words in STOPWORDS.items():
+        for w in words:
+            key = (lang, bucket(w))
+            weights[key] = weights.get(key, 0) + 1
+
+    clf = {
+        r["doc_id"]: (r["lang_pred"], r["lang_score"])
+        for r in hashed_langid_scores(
+            docs, n_buckets=nb, weights=weights
+        ).collect()
+    }
+    profile = {
+        r["doc_id"]: r["l"]
+        for r in docs.select(
+            "doc_id", predict_language(F.col("text")).alias("l")
+        ).collect()
+    }
+    assert profile == {0: "en", 1: "de", 2: "fr", 3: "es"}
+    for i in range(4):
+        assert clf[i][0] == profile[i], (i, clf[i], profile[i])
+        assert clf[i][1] > 0
+
+
+def test_hashed_langid_default_weights_and_ties(spark):
+    """Default-weight determinism (the registry row's shape) plus the
+    documented contracts: zero-token docs emit NO row, and an exact
+    score tie resolves to the alphabetically-first class."""
+    from ais_data_pipeline_spark.localrel import local_df
+    from ais_data_pipeline_spark.operators.text import hashed_langid_scores
+
+    docs = local_df(
+        spark,
+        [(0, "alpha beta gamma"), (1, None), (2, "   ")],
+        "doc_id bigint, text string",
+    )
+    out = hashed_langid_scores(docs, n_buckets=64).collect()
+    assert [r["doc_id"] for r in out] == [0]  # null/blank rows dropped
+    # two identical models -> identical scores -> alphabetical winner
+    tie = {
+        ("aa", b): 1 for b in range(64)
+    } | {("zz", b): 1 for b in range(64)}
+    [row] = hashed_langid_scores(
+        docs.filter("doc_id = 0"), n_buckets=64,
+        classes=("zz", "aa"), weights=tie,
+    ).collect()
+    assert row["lang_pred"] == "aa" and row["lang_score"] == 3

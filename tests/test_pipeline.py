@@ -2336,6 +2336,94 @@ def test_web_corpus_plan_end_to_end(spark, tmp_path):
     assert a == b
 
 
+def test_web_corpus_raw_warc_end_to_end(spark, tmp_path):
+    """r17: the raw-Common-Crawl variant — response records through
+    HTTP splitting (status/headers/charset), HTML→text extraction for
+    text/html bodies, then the same dedup/quality/shard chain. Planted
+    drops: non-200 / binary / malformed records leave before stage 0;
+    URL variants, a quality reject, and a duplicate body attribute to
+    their stages exactly."""
+    from ais_data_pipeline_spark.plans.web_corpus import run_web_corpus
+    from ais_data_pipeline_spark.sources.http_payload import (
+        encode_http_response,
+    )
+    from ais_data_pipeline_spark.sources.warc import encode_warc_records
+
+    good = (
+        "the cat sat on the mat and it is that for a while. "
+        "We think that the story of the house is good, and the "
+        "end of the day is near for all of the people in it."
+    )
+
+    def rec(i, uri, payload):
+        return dict(
+            warc_type="response", record_id=f"<urn:uuid:{i:04x}>",
+            warc_date="2024-01-01T00:00:00Z", target_uri=uri,
+            content_type="application/http; msgtype=response",
+            payload=payload,
+        )
+
+    def page(p):
+        return (
+            f"<html><head><title>Page {p}</title>"
+            f"<script>track({p});</script></head>"
+            f"<body><p>{good} page number {p}.</p>"
+            f"<a href='/nav'>nav</a></body></html>"
+        ).encode()
+
+    html = [("Content-Type", "text/html; charset=utf-8")]
+    plain = [("Content-Type", "text/plain")]
+    recs, n = [], 0
+    for p in range(6):  # 6 pages x 2 dirty URL variants
+        for uri in (f"http://example.com/p/{p}?b=2&a=1",
+                    f"HTTP://EXAMPLE.COM:80/p/{p}?a=1&b=2&utm_source=x"):
+            recs.append(rec(n, uri, encode_http_response(
+                200, "OK", html, page(p), chunked=(p % 2 == 0)))); n += 1
+    for t in range(2):  # plain-text 200s, unique urls
+        recs.append(rec(n, f"http://example.com/t/{t}", encode_http_response(
+            200, "OK", plain, f"{good} plain {t}.".encode(),
+            content_encoding="gzip"))); n += 1
+    # duplicate BODY of page 0 under a brand-new url -> exact dedup
+    recs.append(rec(n, "http://example.com/copy", encode_http_response(
+        200, "OK", html, page(0)))); n += 1
+    # quality reject (plain garbage)
+    recs.append(rec(n, "http://example.com/junk", encode_http_response(
+        200, "OK", plain, b"zz " * 40))); n += 1
+    # pre-stage-0 drops: 404, binary, malformed
+    recs.append(rec(n, "http://example.com/gone", encode_http_response(
+        404, "Not Found", html, b"<p>no</p>"))); n += 1
+    recs.append(rec(n, "http://example.com/img", encode_http_response(
+        200, "OK", [("Content-Type", "image/png")], b"\x89PNG"))); n += 1
+    recs.append(rec(n, "http://example.com/bad", b"not an http message")); n += 1
+
+    d = tmp_path / "warc"
+    d.mkdir()
+    (d / "a.warc.gz").write_bytes(encode_warc_records(recs[: len(recs) // 2]))
+    (d / "b.warc.gz").write_bytes(encode_warc_records(recs[len(recs) // 2 :]))
+
+    out = tmp_path / "shards"
+    res = run_web_corpus(spark, str(d / "*.warc.gz"), str(out),
+                         quality_threshold=0.5, n_shards=4,
+                         input_format="warc")
+    assert res.stage_counts == {
+        "00_conversion_records": 16,  # 12 html + 2 plain + copy + junk
+        "01_url_dedup": 10,           # 12 variants -> 6
+        "02_quality": 9,              # junk out
+        "03_exact_dedup": 8,          # the body copy out
+    }
+    rows = {r["url"]: r["text"] for r in spark.read.parquet(str(out)).collect()}
+    assert set(rows) == (
+        {f"http://example.com/p/{p}?a=1&b=2" for p in range(6)}
+        | {f"http://example.com/t/{t}" for t in range(2)}
+    )
+    # HTML went through extraction: tags and script content gone
+    assert rows["http://example.com/p/3?a=1&b=2"] == (
+        f"Page 3 {good} page number 3. nav"
+    )
+    # plain text passed through the gzip content-decode untouched
+    assert rows["http://example.com/t/1"] == f"{good} plain 1."
+
+
 def test_web_corpus_majority_duplicate_non_broadcast_path(spark, tmp_path):
     """r16 verdict item 2a, e2e: a MAJORITY-duplicate corpus (the real
     CC shape the few-percent docstring assumed away) through the
