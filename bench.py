@@ -106,6 +106,15 @@ EXTENDED = [
     # passes — vocab top-k, lag window, bigram self-join); the text
     # tier's heaviest new op
     "bigram_lm_scores",
+    # r17: the raw-WARC tier — HTTP response splitting inside the
+    # reader's Arrow batches (fixture pack + per-record Python split:
+    # THE wall-clock-sensitive Python stage of the web-corpus plan)
+    # and the codegen HTML->text extraction leg
+    "warc_http_response_stats",
+    "html_text_extract",
+    # r17: multi-class hashed language ID (explode + broadcast weight
+    # join + argmax — the model-served lang tier)
+    "lang_id_classifier",
 ]
 
 #: 1-min load average above which the bench artifact flags itself and
