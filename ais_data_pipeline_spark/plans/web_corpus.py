@@ -64,15 +64,29 @@ class WebCorpusResult:
     n_after_url_dedup: int
     n_after_quality: int
     n_kept: int
+    #: survivors of the optional language filter (None when the stage
+    #: was not requested); sits between url-dedup and quality
+    n_after_lang: int | None = None
+    #: survivors of the optional MinHash near-dup stage (None when not
+    #: requested); runs after exact dedup, and n_kept is then the
+    #: near-dup survivor count (what was written)
+    n_after_exact: int | None = None
 
     @property
     def stage_counts(self) -> dict[str, int]:
-        return {
+        out = {
             "00_conversion_records": self.n_records,
             "01_url_dedup": self.n_after_url_dedup,
-            "02_quality": self.n_after_quality,
-            "03_exact_dedup": self.n_kept,
         }
+        if self.n_after_lang is not None:
+            out["01a_lang_id"] = self.n_after_lang
+        out["02_quality"] = self.n_after_quality
+        out["03_exact_dedup"] = (
+            self.n_after_exact if self.n_after_exact is not None else self.n_kept
+        )
+        if self.n_after_exact is not None:
+            out["04_near_dup"] = self.n_kept
+        return out
 
 
 def run_web_corpus(
@@ -84,6 +98,9 @@ def run_web_corpus(
     payload_max_bytes: int | None = None,
     scratch_path: str | None = None,
     input_format: str = "wet",
+    lang: str | None = None,
+    near_dup_threshold: float | None = None,
+    max_bucket_size: int | None = None,
 ) -> WebCorpusResult:
     """Run the WARC→shards chain; returns per-stage survivor counts
     (rows_in − rows_out fully attributed across the stages). The kept
@@ -101,7 +118,22 @@ def run_web_corpus(
     textual body continue, and ``text/html`` bodies run the codegen
     HTML→text extraction. Either way the stage-0 count
     (``00_conversion_records``) is the number of parsed TEXT records
-    entering the pipeline."""
+    entering the pipeline.
+
+    Two optional stages complete the CCNet/RefinedWeb shape:
+
+    - ``lang``: keep only documents the stopword-profile scorer
+      (``predict_language``) labels with this code — a scan-side
+      codegen filter between URL dedup and quality (stage key
+      ``01a_lang_id``). The heuristic tier; swap in
+      ``hashed_langid_scores`` output upstream for the model-served
+      tier.
+    - ``near_dup_threshold``: MinHash/LSH near-duplicate removal
+      (exact-Jaccard-verified) AFTER exact dedup, dropping the
+      lexicographically-later doc of each pair (stage key
+      ``04_near_dup``); ``max_bucket_size`` is the boilerplate-cluster
+      guard passed through to the LSH stage. The drop-set anti-join is
+      size-gated like the others."""
     from ais_data_pipeline_spark.sources.warc import read_warc
 
     # zero-padded index (r16 ADVICE): doc_key min() is a STRING min,
@@ -165,6 +197,21 @@ def run_web_corpus(
     s1 = with_url.join(gated_broadcast(drop_url, n_drop_url_keys),
                        "doc_key", "left_anti")
     log("web_corpus_url_dedup", rows_in=n_records, rows_dropped=n_drop_url)
+    n_after_url = n_records - n_drop_url
+
+    # optional stage 1a: language filter — another scan-side codegen
+    # expression fused into the same pass as quality (no extra scan)
+    n_after_lang: int | None = None
+    if lang is not None:
+        from ais_data_pipeline_spark.operators.text import predict_language
+
+        s1 = s1.filter(predict_language(F.col("text")) == lang)
+        n_after_lang = s1.count()
+        log(
+            "web_corpus_lang_id",
+            rows_in=n_after_url,
+            rows_dropped=n_after_url - n_after_lang,
+        )
 
     # stage 2: quality gate — scan-side expression, no shuffle
     # (round(…,5) replicates quality_score's decision boundary)
@@ -172,8 +219,9 @@ def run_web_corpus(
     n_after_quality = s2.count()
     log(
         "web_corpus_quality",
-        rows_in=n_records - n_drop_url,
-        rows_dropped=n_records - n_drop_url - n_after_quality,
+        rows_in=n_after_lang if n_after_lang is not None else n_after_url,
+        rows_dropped=(n_after_lang if n_after_lang is not None else n_after_url)
+        - n_after_quality,
     )
 
     # stage 3: exact content dedup — keep the minimum doc_key per body
@@ -193,14 +241,45 @@ def run_web_corpus(
         rows_in=n_after_quality,
         rows_dropped=n_drop_exact,
     )
+    n_after_exact = n_after_quality - n_drop_exact
+
+    # optional stage 4: MinHash/LSH near-dup on the exact-dedup
+    # survivors (the curation plan's stage, over string doc_keys —
+    # lexicographically-later doc of each verified pair drops)
+    n_kept = n_after_exact
+    if near_dup_threshold is not None:
+        from ais_data_pipeline_spark.operators.dedup import minhash_near_dup
+
+        drop_near = (
+            minhash_near_dup(
+                kept,
+                threshold=near_dup_threshold,
+                text_col="text",
+                id_col="doc_key",
+                max_bucket_size=max_bucket_size,
+            )
+            .select(F.col("doc_b").alias("doc_key"))
+            .distinct()
+            .transform(materialize)
+        )
+        n_drop_near = drop_near.count()
+        kept = kept.join(gated_broadcast(drop_near, n_drop_near),
+                         "doc_key", "left_anti")
+        n_kept = n_after_exact - n_drop_near
+        log(
+            "web_corpus_near_dup",
+            rows_in=n_after_exact,
+            rows_dropped=n_drop_near,
+        )
 
     write_training_shards(kept, out_path, n_shards=n_shards, id_col="doc_key")
-    n_kept = n_after_quality - n_drop_exact
     log("web_corpus_written", rows_out=n_kept, shards=n_shards)
     io_for(scratch).remove(scratch)  # the one-parse projection is spent
     return WebCorpusResult(
         n_records=n_records,
-        n_after_url_dedup=n_records - n_drop_url,
+        n_after_url_dedup=n_after_url,
         n_after_quality=n_after_quality,
         n_kept=n_kept,
+        n_after_lang=n_after_lang,
+        n_after_exact=n_after_exact if near_dup_threshold is not None else None,
     )

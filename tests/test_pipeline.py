@@ -2481,6 +2481,90 @@ def test_web_corpus_majority_duplicate_non_broadcast_path(spark, tmp_path):
     assert gated_rows == base_rows
 
 
+def test_web_corpus_lang_and_near_dup_stages(spark, tmp_path):
+    """r17: the optional CCNet/RefinedWeb stages — stopword-profile
+    language filter (between URL dedup and quality) and MinHash/LSH
+    near-dup removal (after exact dedup) — with exact planted
+    accounting: two German documents drop at the lang stage, one
+    near-duplicate (tail-extended copy, Jaccard ~0.9) drops at the
+    near-dup stage, and the default 4-key stage_counts contract is
+    unchanged when the stages are off."""
+    from ais_data_pipeline_spark.plans.web_corpus import run_web_corpus
+    from ais_data_pipeline_spark.sources.warc import encode_warc_records
+
+    good = (
+        "the cat sat on the mat and it is that for a while. "
+        "We think that the story of the house is good, and the "
+        "end of the day is near for all of the people in it."
+    )
+    german = (
+        "der hund und die katze ist ein tier zu den haus mit von "
+        "der tag und die nacht ist ein lied zu den wald mit von freude"
+    )
+
+    def rec(i, uri, text):
+        return dict(
+            warc_type="conversion", record_id=f"<urn:uuid:{i:04x}>",
+            warc_date="2024-01-01T00:00:00Z", target_uri=uri,
+            content_type="text/plain", payload=text.encode(),
+        )
+
+    recs, n = [], 0
+    # each page shares the good paragraph but adds 30 page-unique
+    # tokens, pushing cross-page Jaccard to ~0.38 — BELOW the 0.5
+    # near-dup threshold (pages differing only in a page number are
+    # legitimately near-duplicates; the first cut of this fixture
+    # learned that the hard way)
+    pages = [
+        f"{good} " + " ".join(f"w{p}x{i}" for i in range(30))
+        for p in range(8)
+    ]
+    for p in range(8):
+        recs.append(rec(n, f"http://example.com/p/{p}", pages[p])); n += 1
+    for g in range(2):
+        recs.append(rec(n, f"http://example.com/de/{g}", german)); n += 1
+    # near-dup of page 0: same text + a short tail (Jaccard ~0.93,
+    # not an exact duplicate)
+    recs.append(rec(n, "http://example.com/near",
+                    pages[0] + " extra trailing words")); n += 1
+
+    d = tmp_path / "warc"
+    d.mkdir()
+    (d / "a.warc.gz").write_bytes(encode_warc_records(recs))
+
+    out = tmp_path / "shards"
+    res = run_web_corpus(
+        spark, str(d / "a.warc.gz"), str(out), quality_threshold=0.5,
+        n_shards=2, lang="en", near_dup_threshold=0.5,
+    )
+    assert res.stage_counts == {
+        "00_conversion_records": 11,
+        "01_url_dedup": 11,
+        "01a_lang_id": 9,     # 2 German docs out
+        "02_quality": 9,
+        "03_exact_dedup": 9,  # no exact copies planted
+        "04_near_dup": 8,     # the tail-extended copy out
+    }
+    urls = {r["url"] for r in spark.read.parquet(str(out)).collect()}
+    # the near-dup pair keeps the lexicographically-earlier doc_key
+    # (page 0, record index 0) and drops /near (record index 10)
+    assert urls == {f"http://example.com/p/{p}" for p in range(8)}
+
+    # stages off: the original 4-key contract is bit-identical
+    out2 = tmp_path / "shards2"
+    res2 = run_web_corpus(spark, str(d / "a.warc.gz"), str(out2),
+                          quality_threshold=0.5, n_shards=2)
+    assert res2.stage_counts == {
+        "00_conversion_records": 11,
+        "01_url_dedup": 11,
+        # without the lang stage the short German docs still drop, but
+        # at QUALITY (26 tokens, no EN stopwords -> 0.404 < 0.5) — the
+        # lang stage exists precisely to attribute that drop correctly
+        "02_quality": 9,
+        "03_exact_dedup": 9,  # near-dup survives: stage off
+    }
+
+
 def test_web_corpus_first_fetch_wins_across_digit_boundary(spark, tmp_path):
     """r16 ADVICE: doc_key was '<file>:<idx>' with an UNPADDED index,
     so the lexicographic string min picked 'f:10' over 'f:9' — the
