@@ -97,3 +97,51 @@ def url_dedup_stats(
             F.min(id_col).alias("keep_id"),
         )
     )
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host of an absolute URL, port stripped (NULL when
+    there is no ``scheme://``). IPv6-safe: ``[2001:db8::1]:8080`` ->
+    ``[2001:db8::1]`` (the ``:\\d+$`` strip only fires when digits
+    terminate the string, which a bracket form never does)."""
+    hostport = F.lower(F.regexp_extract(url, _HOSTPORT_RE, 1))
+    host = F.regexp_replace(hostport, r":\d+$", "")
+    return F.when(host == "", F.lit(None)).otherwise(host)
+
+
+def url_block_flags(
+    url: Column,
+    blocked_hosts: tuple[str, ...],
+    keywords: tuple[str, ...],
+) -> dict[str, Column]:
+    """RefinedWeb/UT1-style URL policy signals, all codegen:
+
+    - ``host``: the extracted host (see ``url_host``);
+    - ``host_blocked``: host equals a blocked domain OR is a
+      subdomain of one (suffix match anchored at a label boundary —
+      ``tracker.io.evil.com`` is NOT a match for ``tracker.io``, the
+      classic suffix-matching bug);
+    - ``kw_hits``: how many policy keywords appear in the lowercased
+      URL — a SCORED column (the corpus decides the threshold), the
+      same scored-not-dropped convention as link_density.
+
+    For curated lists past a few thousand entries, join a broadcast
+    host dim table instead of this literal expression — the operator
+    is the expression form; the join form is ordinary engine machinery
+    (``df.join(F.broadcast(hosts), ...)``)."""
+    host = url_host(url)
+    blocked = F.lit(False)
+    for h in blocked_hosts:
+        blocked = blocked | (host == h) | host.endswith("." + h)
+    # NULL host (scheme-less / NULL url) is "not blocked", not NULL —
+    # the flag feeds filters, and a NULL would silently drop the row
+    # under a positive filter and keep it under a negated one
+    blocked = F.coalesce(blocked, F.lit(False))
+    low = F.lower(url)
+    kw_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(k) for k in keywords]),
+            lambda k: low.contains(k),
+        )
+    )
+    return {"host": host, "host_blocked": blocked, "kw_hits": kw_hits}

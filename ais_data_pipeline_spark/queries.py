@@ -158,7 +158,7 @@ _FRONT_WINDOW: list[str] = [
     "salted_event_type_agg",
     "sequence_packing_strict",
     "session_windows_native",
-    "stratified_hash_sample",
+    "url_blocklist_filter",  # NEW r17: URL policy filtering
     "lang_id_classifier",  # NEW r17: multi-class hashed language ID
     "html_text_extract",  # NEW r17: HTML -> text extraction
     "warc_http_response_stats",  # NEW r17: raw-WARC HTTP splitting
@@ -3774,6 +3774,63 @@ def q_warc_http_response_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.asc_nulls_first("chunked"),
         )
     )
+
+
+@register(
+    "url_blocklist_filter",
+    """
+    WITH u AS (SELECT doc_id, doc_id % 6 AS cls FROM documents)
+    SELECT doc_id,
+           CASE cls WHEN 0 THEN 'ads-network.com'
+                    WHEN 1 THEN 'sub.ads-network.com'
+                    WHEN 2 THEN 'news.example.org'
+                    WHEN 3 THEN 'fun.example.org'
+                    WHEN 4 THEN 'tracker.io.evil.com'
+                    ELSE 'clean.example.net' END AS host,
+           cls IN (0, 1) AS host_blocked,
+           CAST(CASE cls WHEN 2 THEN 1 WHEN 3 THEN 2 ELSE 0 END
+                AS INTEGER) AS kw_hits
+    FROM u ORDER BY doc_id
+    """,
+    "URL policy filtering (r17, functions/url.py url_block_flags): "
+    "the RefinedWeb/UT1-style curation head — blocked-domain match "
+    "with label-boundary suffix semantics (a subdomain of a blocked "
+    "domain is blocked; a host that merely STARTS with a blocked "
+    "domain, like tracker.io.evil.com vs tracker.io, is NOT — the "
+    "classic suffix bug, planted as class 4) plus a keyword-hit "
+    "SCORE over the whole URL (scored column, corpus picks the "
+    "threshold). Six URL classes synthesize closed-form from doc_id "
+    "(blocked host, blocked subdomain with a :80 port to strip, "
+    "keyword-in-path x1 and x2, the suffix-bug trap, clean); the "
+    "oracle derives host/flags directly from doc_id and never runs "
+    "the extractor. All codegen regexp/array expressions — scan "
+    "speed, zero shuffle beyond the output sort.",
+)
+def q_url_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.functions.url import url_block_flags
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    cls = F.col("doc_id") % 6
+    url = (
+        F.when(cls == 0, F.concat(F.lit("http://ads-network.com/a/"), did))
+        .when(cls == 1, F.concat(F.lit("HTTP://SUB.ADS-NETWORK.COM:80/b/"), did))
+        .when(cls == 2, F.concat(F.lit("http://news.example.org/casino-review/"), did))
+        .when(cls == 3, F.concat(F.lit("http://fun.example.org/poker/casino/"), did))
+        .when(cls == 4, F.concat(F.lit("http://tracker.io.evil.com/x/"), did))
+        .otherwise(F.concat(F.lit("https://clean.example.net/page/"), did))
+    )
+    flags = url_block_flags(
+        url,
+        blocked_hosts=("ads-network.com", "tracker.io"),
+        keywords=("casino", "poker"),
+    )
+    return d.select(
+        "doc_id",
+        flags["host"].alias("host"),
+        flags["host_blocked"].alias("host_blocked"),
+        flags["kw_hits"].alias("kw_hits"),
+    ).orderBy("doc_id")
 
 
 @register(

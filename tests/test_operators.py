@@ -8050,3 +8050,45 @@ def test_hashed_langid_default_weights_and_ties(spark):
         classes=("zz", "aa"), weights=tie,
     ).collect()
     assert row["lang_pred"] == "aa" and row["lang_score"] == 3
+
+
+def test_url_host_and_block_flags(spark):
+    """r17: URL policy signals — host extraction (lowercase, port
+    strip, IPv6 brackets intact), label-boundary blocklist suffix
+    semantics (subdomains block; a host merely STARTING with a blocked
+    domain does not), null-safe host_blocked, and the keyword-hit
+    score over the whole URL."""
+    from pyspark.sql import functions as F
+
+    from ais_data_pipeline_spark.functions.url import (
+        url_block_flags,
+        url_host,
+    )
+    from ais_data_pipeline_spark.localrel import local_df
+
+    cases = [
+        (0, "HTTP://Example.COM:8080/a", "example.com", False, 0),
+        (1, "http://ads.tracker.io/x", "ads.tracker.io", True, 0),
+        (2, "http://tracker.io/x", "tracker.io", True, 0),
+        # the suffix bug: starts with the blocked domain, not a subdomain
+        (3, "http://tracker.io.evil.com/x", "tracker.io.evil.com", False, 0),
+        (4, "http://[2001:db8::1]:8080/x", "[2001:db8::1]", False, 0),
+        (5, "http://ok.net/casino/poker/casino", "ok.net", False, 2),
+        (6, "relative/no-scheme", None, False, 0),
+        (7, None, None, False, 0),
+    ]
+    df = local_df(spark, [(i, u) for i, u, *_ in cases], "i long, url string")
+    flags = url_block_flags(
+        F.col("url"), blocked_hosts=("tracker.io",), keywords=("casino", "poker")
+    )
+    got = {
+        r["i"]: (r["h"], r["b"], r["k"])
+        for r in df.select(
+            "i",
+            url_host(F.col("url")).alias("h"),
+            flags["host_blocked"].alias("b"),
+            flags["kw_hits"].alias("k"),
+        ).collect()
+    }
+    for i, _u, host, blocked, kw in cases:
+        assert got[i] == (host, blocked, kw), (i, got[i])
