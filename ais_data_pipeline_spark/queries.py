@@ -157,7 +157,7 @@ _FRONT_WINDOW: list[str] = [
     "running_total_per_customer",
     "salted_event_type_agg",
     "sequence_packing_strict",
-    "session_windows_native",
+    "lm_ppl_buckets",  # NEW r17: CCNet perplexity-bucket partitioning
     "url_blocklist_filter",  # NEW r17: URL policy filtering
     "lang_id_classifier",  # NEW r17: multi-class hashed language ID
     "html_text_extract",  # NEW r17: HTML -> text extraction
@@ -7262,6 +7262,89 @@ def q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     return bigram_lm_scores(d, vocab_size=512)
+
+
+@register(
+    "lm_ppl_buckets",
+    r"""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+      FROM documents WHERE length(trim(text)) > 0
+    ), tok AS (
+      SELECT doc_id, i AS pos, ts[i] AS w
+      FROM d, UNNEST(range(1, len(ts) + 1)) AS t(i)
+    ), vocab AS (
+      SELECT w FROM (SELECT w, count(*) AS c FROM tok GROUP BY 1)
+      ORDER BY c DESC, w ASC LIMIT 512
+    ), mapped AS (
+      SELECT tok.doc_id, tok.pos,
+             CASE WHEN v.w IS NULL THEN '<unk>' ELSE tok.w END AS m
+      FROM tok LEFT JOIN vocab v ON tok.w = v.w
+    ), pairs AS (
+      SELECT doc_id, m,
+             coalesce(lag(m) OVER (PARTITION BY doc_id ORDER BY pos),
+                      '<s>') AS w1
+      FROM mapped
+    ), big AS (
+      SELECT w1, m, count(*) AS c12 FROM pairs GROUP BY 1, 2
+    ), ctx AS (
+      SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM big GROUP BY 1
+    ), veff AS (
+      SELECT count(DISTINCT m) AS v FROM pairs
+    ), scored AS (
+      SELECT p.doc_id,
+             ln(CAST(b.c12 + 1 AS DOUBLE) / CAST(c.c1 + veff.v AS DOUBLE))
+               AS lp
+      FROM pairs p
+      JOIN big b ON p.w1 = b.w1 AND p.m = b.m
+      JOIN ctx c ON p.w1 = c.w1, veff
+    ), doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             round(CAST(sum(CAST(lp AS DECIMAL(38,18))) AS DOUBLE)
+                   / count(*), 6) AS avg_logprob
+      FROM scored GROUP BY 1
+    ), bucketed AS (
+      SELECT doc_id, n_tokens, avg_logprob,
+             CAST(ntile(3) OVER (ORDER BY avg_logprob ASC, doc_id ASC)
+                  AS INTEGER) AS bucket
+      FROM doc
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           min(avg_logprob) AS min_lp, max(avg_logprob) AS max_lp
+    FROM bucketed GROUP BY 1 ORDER BY bucket
+    """,
+    "CCNet perplexity-bucket partitioning (r17, Wenzek et al. 2020 "
+    "§4.3): every doc's add-one bigram avg_logprob (the oracle-proven "
+    "bigram_lm_scores signal) partitions the corpus into TAIL (bucket "
+    "1, lowest logprob = highest perplexity), MIDDLE, HEAD terciles — "
+    "CCNet keeps head+middle for pretraining. Bucket assignment runs "
+    "through global_ntile, the DISTRIBUTED exact ntile (range buckets "
+    "from approx quantiles + per-bucket offsets; bit-identical to the "
+    "single-task ntile window with the (avg_logprob, doc_id) total "
+    "tie-break, but every data-sized stage parallel). Output is "
+    "per-bucket doc/token totals and score ranges.",
+)
+def q_lm_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.operators.ordering import global_ntile
+    from ais_data_pipeline_spark.operators.text import bigram_lm_scores
+
+    d = read_table(spark, sf_dir, "documents")
+    scores = bigram_lm_scores(d, vocab_size=512)
+    tiled = global_ntile(scores, 3, ["avg_logprob", "doc_id"])
+    return (
+        tiled.select(
+            F.col("__ntile").alias("bucket"), "n_tokens", "avg_logprob"
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.min("avg_logprob").alias("min_lp"),
+            F.max("avg_logprob").alias("max_lp"),
+        )
+        .orderBy("bucket")
+    )
 
 
 @register(
