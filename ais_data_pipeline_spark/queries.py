@@ -156,7 +156,7 @@ _FRONT_WINDOW: list[str] = [
     "rollup_region_nation",
     "running_total_per_customer",
     "salted_event_type_agg",
-    "sequence_packing_strict",
+    "streaming_web_ingest_stats",  # NEW r17: streaming web-corpus ingestion
     "lm_ppl_buckets",  # NEW r17: CCNet perplexity-bucket partitioning
     "url_blocklist_filter",  # NEW r17: URL policy filtering
     "lang_id_classifier",  # NEW r17: multi-class hashed language ID
@@ -3893,6 +3893,169 @@ def q_html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(html_to_text_col(F.col("h"))).cast("long").alias("n_chars"),
         link_density_col(F.col("h")).alias("link_density"),
     ).orderBy("doc_id")
+
+
+@register(
+    "streaming_web_ingest_stats",
+    """
+    WITH d AS (
+      SELECT a.doc_id, base.text, a.doc_id % 2 AS b,
+             CASE WHEN a.doc_id % 10 = 9 THEN a.doc_id - 9
+                  WHEN a.doc_id % 10 = 5 THEN a.doc_id - 4
+                  ELSE a.doc_id END AS uk,
+             row_number() OVER (PARTITION BY a.doc_id % 2
+                                ORDER BY a.doc_id) - 1 AS rn
+      FROM documents a JOIN documents base ON base.doc_id =
+           CASE WHEN a.doc_id % 10 = 7 THEN a.doc_id - 7
+                WHEN a.doc_id % 10 = 3 THEN a.doc_id - 2
+                ELSE a.doc_id END
+    ), u1 AS (
+      SELECT doc_id, text, uk, rn FROM d WHERE b = 0 AND doc_id = (
+        SELECT min(x.doc_id) FROM d x WHERE x.b = 0 AND x.uk = d.uk)
+    ), urls1 AS (SELECT DISTINCT uk FROM d WHERE b = 0
+    ), u2 AS (
+      SELECT doc_id, text, uk, rn FROM d WHERE b = 1 AND doc_id = (
+        SELECT min(x.doc_id) FROM d x WHERE x.b = 1 AND x.uk = d.uk)
+      AND uk NOT IN (SELECT uk FROM urls1)
+    ), h1 AS (
+      SELECT doc_id, rn FROM u1 WHERE doc_id = (
+        SELECT min(y.doc_id) FROM u1 y WHERE md5(y.text) = md5(u1.text))
+    ), hseen AS (SELECT DISTINCT md5(text) AS th FROM u1
+    ), h2 AS (
+      SELECT doc_id, rn FROM u2 WHERE doc_id = (
+        SELECT min(y.doc_id) FROM u2 y WHERE md5(y.text) = md5(u2.text))
+      AND md5(text) NOT IN (SELECT th FROM hseen)
+    )
+    SELECT CAST(1 AS INT) AS batch_no,
+           CAST((SELECT count(*) FROM d WHERE b = 0) AS BIGINT) AS n_in,
+           CAST((SELECT count(*) FROM urls1) AS BIGINT) AS n_new_urls,
+           CAST((SELECT count(*) FROM h1) AS BIGINT) AS n_kept,
+           CAST((SELECT coalesce(sum(rn), 0) FROM h1) AS BIGINT)
+             AS kept_idx_sum
+    UNION ALL
+    SELECT CAST(2 AS INT),
+           CAST((SELECT count(*) FROM d WHERE b = 1) AS BIGINT),
+           CAST((SELECT count(DISTINCT uk) FROM d WHERE b = 1
+                 AND uk NOT IN (SELECT uk FROM urls1)) AS BIGINT),
+           CAST((SELECT count(*) FROM h2) AS BIGINT),
+           CAST((SELECT coalesce(sum(rn), 0) FROM h2) AS BIGINT)
+    ORDER BY batch_no
+    """,
+    "Streaming web-corpus ingestion (r17, streaming/web_ingest.py): "
+    "the streaming twin of the web-corpus plan. Two .warc.gz shards "
+    "land in a drop directory one availableNow drain apart (batch 1 = "
+    "even doc_ids, batch 2 = odd); each micro-batch parses its files, "
+    "first-fetch-dedups canonical URLs (within batch, then vs the "
+    "PERSISTED url index via a broadcast O(batch) probe), exact-dedups "
+    "bodies vs the persisted hash index, and appends survivors + new "
+    "index keys idempotently (src_batch dynamic overwrite; probes "
+    "exclude the batch's own slices for replay safety). Planted "
+    "cross-batch refetches (doc_id%10==9 refetches the even doc 9 "
+    "below it -> index drop) and within-batch refetches (%10==5 "
+    "refetches %10==1 -> batch drop) plus the corpus's real duplicate "
+    "texts (md5-derived in the oracle) make every probe path "
+    "observable; kept_idx_sum pins exactly WHICH records survived "
+    "(record index within shard = rank of doc_id in its batch). The "
+    "oracle re-derives both batches' keep sets and index growth from "
+    "doc_id/text alone.",
+)
+def q_streaming_web_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from ais_data_pipeline_spark.sources.warc import encode_warc_records
+    from ais_data_pipeline_spark.streaming.web_ingest import (
+        OUT_SCHEMA,
+        URL_INDEX_SCHEMA,
+        run_web_ingest,
+        warc_landing_stream,
+    )
+
+    raw = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # planted refetch classes (doc_id % 10): 9 = cross-batch URL
+    # refetch, 5 = within-batch URL refetch, 7 = cross-batch BODY copy
+    # under a new url, 3 = within-batch body copy — every probe path
+    # (url index, url batch, hash index, hash batch) observable
+    base_id = (
+        F.when(F.col("doc_id") % 10 == 7, F.col("doc_id") - 7)
+        .when(F.col("doc_id") % 10 == 3, F.col("doc_id") - 2)
+        .otherwise(F.col("doc_id"))
+    )
+    docs = (
+        raw.select("doc_id", base_id.alias("__base"))
+        .join(
+            raw.select(
+                F.col("doc_id").alias("__base"), F.col("text")
+            ),
+            "__base",
+        )
+        .select("doc_id", "text")
+    )
+    base = _scratch_dir("webingest_")
+    landing = base + "/landing"
+    index, out, ckpt = base + "/index", base + "/out", base + "/ckpt"
+    _os.makedirs(landing, exist_ok=True)
+
+    def write_shard(pdf):
+        import pandas as pd
+
+        b = int(pdf["b"].iloc[0])
+        pdf = pdf.sort_values("doc_id")
+        recs = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            doc_id = int(doc_id)
+            uk = (
+                doc_id - 9 if doc_id % 10 == 9
+                else doc_id - 4 if doc_id % 10 == 5
+                else doc_id
+            )
+            recs.append(dict(
+                warc_type="conversion",
+                record_id=f"<urn:doc:{doc_id}>",
+                warc_date="2024-01-01T00:00:00Z",
+                target_uri=f"http://example.org/page/{uk}",
+                content_type="text/plain",
+                payload=text.encode("utf-8"),
+            ))
+        with open(f"{landing}/batch-{b}.warc.gz", "wb") as f:
+            f.write(encode_warc_records(recs))
+        return pd.DataFrame({"b": [b], "n": [len(recs)]})
+
+    for b in (0, 1):
+        (
+            docs.filter(F.col("doc_id") % 2 == b)
+            .withColumn("b", F.lit(b))
+            .groupBy("b")
+            .applyInPandas(write_shard, "b int, n long")
+            .collect()
+        )
+        run_web_ingest(warc_landing_stream(spark, landing), index, out, ckpt)
+
+    kept = spark.read.schema(OUT_SCHEMA).parquet(out)
+    urls_idx = spark.read.schema(URL_INDEX_SCHEMA).parquet(index + "/urls")
+    bno = (F.col("src_batch") + 1).cast("int").alias("batch_no")
+    n_in = (
+        docs.groupBy(((F.col("doc_id") % 2) + 1).cast("int").alias("batch_no"))
+        .agg(F.count(F.lit(1)).alias("n_in"))
+    )
+    n_urls = urls_idx.groupBy(bno).agg(F.count(F.lit(1)).alias("n_new_urls"))
+    n_kept = kept.groupBy(bno).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(F.col("doc_key").substr(-12, 12).cast("long")).alias(
+            "kept_idx_sum"
+        ),
+    )
+    return (
+        n_in.join(n_urls, "batch_no", "left")
+        .join(n_kept, "batch_no", "left")
+        .select(
+            "batch_no",
+            "n_in",
+            F.coalesce("n_new_urls", F.lit(0)).alias("n_new_urls"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("kept_idx_sum", F.lit(0)).alias("kept_idx_sum"),
+        )
+        .orderBy("batch_no")
+    )
 
 
 @register(

@@ -1,0 +1,289 @@
+"""Streaming web-corpus ingestion: the streaming twin of
+``plans.web_corpus``.
+
+``.warc.gz`` shards LAND continuously (a crawler drop directory, an
+object-store prefix); each micro-batch parses its files, extracts
+text (WET ``conversion`` payloads, or raw ``response`` records
+through the HTTP split + HTML→text chain), dedups fetches by
+CANONICAL URL and bodies by EXACT HASH against PERSISTED indexes, and
+appends survivors — so batch N+1 dedups against everything batch ≤N
+ingested without any corpus rescan. Built on the
+``incremental_dedup`` conventions and sharing its slice writer:
+
+- **O(batch) probes**: the batch's distinct url / hash set broadcasts
+  into a semi-join against the index (index never shuffles; parquet
+  bloom filters on the probe columns let a dup-free batch's "scan"
+  touch footers, not data pages);
+- **idempotent replay**: every write is a ``src_batch=`` dynamic
+  partition overwrite, and probes EXCLUDE the batch's own slices
+  (``src_batch != batch_id``) so a crash-replayed batch cannot match
+  its attempt-1 writes and silently drop itself;
+- **exactly-once effect** = checkpointed batch ids × idempotent
+  per-batch overwrite (the CDC-sink recipe).
+
+Scale shape: one landing file is the parse unit (binaryFile rows —
+the CC shard layout), text crosses into Python once per record, the
+dedup joins carry keys only, and the indexes grow by O(new keys per
+batch). The fuzzy tier (MinHash against a persisted index) already
+exists as ``run_incremental_dedup`` — chain it on this sink's output
+when near-dup is wanted; this module keeps the web-specific stages.
+
+Reference parity: extends the reference's streaming ingestion tier
+(notebooks/0_preprocessing.ipynb HTTP→landing→process) to the web-
+corpus container, like ``sources/warc.py`` extends its batch ingest.
+"""
+
+from __future__ import annotations
+
+import io as _io
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ais_data_pipeline_spark.checkpointing import materialize
+from ais_data_pipeline_spark.functions.url import canonical_url
+from ais_data_pipeline_spark.observability import log
+from ais_data_pipeline_spark.streaming.incremental_dedup import (
+    _ensure_local_dir,
+    _write_slice,
+)
+
+#: binaryFile's fixed schema — streaming file sources require it
+#: stated explicitly even though the format cannot vary it
+BINARYFILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+URL_INDEX_SCHEMA = "url string, src_batch bigint"
+HASH_INDEX_SCHEMA = "text_hash string, src_batch bigint"
+OUT_SCHEMA = (
+    "doc_key string, url string, text string, src_batch bigint"
+)
+
+
+def warc_landing_stream(spark, landing_dir: str) -> DataFrame:
+    """Streaming source over a ``.warc.gz`` drop directory: one row
+    per newly-landed file (bytes read JVM-side, any Hadoop scheme).
+    Feed to ``run_web_ingest``."""
+    return (
+        spark.readStream.format("binaryFile")
+        .schema(BINARYFILE_SCHEMA)
+        .option("pathGlobFilter", "*.warc.gz")
+        .load(landing_dir)
+    )
+
+
+def _parse_batch(
+    batch_df: DataFrame,
+    input_format: str,
+    payload_max_bytes: int | None,
+) -> DataFrame:
+    """(path, content) binaryFile rows → (doc_key, url, text): the
+    same parse/split/extract head as ``plans.run_web_corpus``, over
+    in-memory file bytes (the binaryFile source already did the IO
+    JVM-side, so this works on any Hadoop scheme)."""
+    from ais_data_pipeline_spark.sources.warc import (
+        WARC_SCHEMA,
+        _records_to_batches,
+        iter_warc_records,
+    )
+
+    def parse(batches):
+        for pdf in batches:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                yield from _records_to_batches(
+                    iter_warc_records(
+                        _io.BytesIO(bytes(content)), path, payload_max_bytes
+                    )
+                )
+
+    recs = batch_df.select("path", "content").mapInPandas(parse, WARC_SCHEMA)
+    doc_key = F.format_string(
+        "%s:%012d", "warc_file", "record_index"
+    ).alias("doc_key")
+    if input_format == "warc":
+        from ais_data_pipeline_spark.operators.text import html_to_text_col
+        from ais_data_pipeline_spark.sources.http_payload import (
+            split_http_responses,
+        )
+
+        resp = split_http_responses(recs)
+        return resp.filter(
+            F.col("http_error").isNull()
+            & (F.col("http_status") == 200)
+            & F.col("body_text").isNotNull()
+        ).select(
+            doc_key,
+            canonical_url(F.col("target_uri")).alias("url"),
+            F.when(
+                F.col("content_type").isin(
+                    "text/html", "application/xhtml+xml"
+                ),
+                html_to_text_col(F.col("body_text")),
+            )
+            .otherwise(F.col("body_text"))
+            .alias("text"),
+        )
+    if input_format == "wet":
+        return recs.filter(F.col("warc_type") == "conversion").select(
+            doc_key,
+            canonical_url(F.col("target_uri")).alias("url"),
+            F.col("payload").cast("string").alias("text"),
+        )
+    raise ValueError(
+        f"input_format must be 'wet' or 'warc', got {input_format!r}"
+    )
+
+
+def _read_index(spark, path: str, schema: str, exclude_batch: int) -> DataFrame:
+    """Index table read with an explicit schema (a pre-created empty
+    root reads as an empty table — the cold-start rule) and this
+    batch's own slices excluded (replay safety; partition pruning
+    makes the filter free)."""
+    _ensure_local_dir(path)
+    return spark.read.schema(schema).parquet(path).filter(
+        F.col("src_batch") != exclude_batch
+    )
+
+
+def ingest_web_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    out_path: str,
+    input_format: str = "wet",
+    payload_max_bytes: int | None = None,
+    quality_threshold: float | None = None,
+) -> tuple[int, int, int]:
+    """One ingest step — parse the batch's WARC files, first-fetch
+    URL dedup (within batch, then vs the persisted url index), an
+    optional quality gate, exact body dedup (within batch, then vs
+    the persisted hash index), append survivors + new index keys.
+    Returns (rows_parsed, rows_after_url, rows_kept). Shared by the
+    foreachBatch sink and any batch backfill caller."""
+    spark = batch_df.sparkSession
+    url_idx = os.path.join(index_path, "urls")
+    hash_idx = os.path.join(index_path, "hashes")
+
+    docs = (
+        _parse_batch(batch_df, input_format, payload_max_bytes)
+        .filter(F.col("url").isNotNull())
+        .transform(materialize)  # micro-batch-sized; consumed 3+ times
+    )
+    n_in = docs.count()
+
+    # URL stage: first fetch wins within the batch…
+    first = docs.groupBy("url").agg(F.min("doc_key").alias("__keep"))
+    s1 = (
+        docs.join(first, "url")
+        .filter(F.col("doc_key") == F.col("__keep"))
+        .drop("__keep")
+    )
+    # …then vs the index: the batch's (small) url set probes the
+    # (large) index through a broadcast semi-join — the index never
+    # shuffles, and the seen-subset that comes back is ≤ batch-sized
+    batch_urls = docs.select("url").distinct().transform(materialize)
+    idx_u = _read_index(spark, url_idx, URL_INDEX_SCHEMA, batch_id)
+    seen_urls = (
+        idx_u.join(F.broadcast(batch_urls), "url", "leftsemi")
+        .select("url")
+        .distinct()
+        .transform(materialize)
+    )
+    s1 = s1.join(F.broadcast(seen_urls), "url", "left_anti")
+    if quality_threshold is not None:
+        from ais_data_pipeline_spark.operators.text import quality_col
+
+        s1 = s1.filter(
+            F.round(quality_col(F.col("text")), 5) >= quality_threshold
+        )
+    s1 = s1.transform(materialize)
+    n_url = s1.count()
+    # the url index learns every url seen this batch that it did not
+    # already know — INCLUDING urls whose doc was then dropped by
+    # quality or body dedup (fetch dedup is about the fetch, not the
+    # content; refetches of a rejected page are still refetches)
+    new_urls = batch_urls.join(F.broadcast(seen_urls), "url", "left_anti")
+    _write_slice(new_urls, url_idx, batch_id, bloom_col="url")
+
+    # exact-body stage: same within-batch-then-index two-step on md5
+    hashed = s1.withColumn(
+        "text_hash", F.md5(F.col("text").cast("binary"))
+    ).transform(materialize)
+    keep_min = hashed.groupBy("text_hash").agg(
+        F.min("doc_key").alias("__keep")
+    )
+    s2 = (
+        hashed.join(F.broadcast(keep_min), "text_hash")
+        .filter(F.col("doc_key") == F.col("__keep"))
+        .drop("__keep")
+    )
+    batch_hashes = hashed.select("text_hash").distinct().transform(materialize)
+    idx_h = _read_index(spark, hash_idx, HASH_INDEX_SCHEMA, batch_id)
+    seen_hashes = (
+        idx_h.join(F.broadcast(batch_hashes), "text_hash", "leftsemi")
+        .select("text_hash")
+        .distinct()
+        .transform(materialize)
+    )
+    survivors = s2.join(
+        F.broadcast(seen_hashes), "text_hash", "left_anti"
+    ).transform(materialize)
+    n_kept = survivors.count()
+
+    # the hash index learns the hashes of URL-stage survivors (kept
+    # or within-batch-exact-dropped — identical hash either way), so
+    # a later refetch of the same BODY under a new url still drops
+    new_hashes = batch_hashes.join(
+        F.broadcast(seen_hashes), "text_hash", "left_anti"
+    )
+    _write_slice(
+        new_hashes, hash_idx, batch_id, bloom_col="text_hash",
+        approx_rows=None,
+    )
+    _write_slice(
+        survivors.select("doc_key", "url", "text"),
+        out_path,
+        batch_id,
+        approx_rows=n_kept,
+    )
+    return n_in, n_url, n_kept
+
+
+def run_web_ingest(
+    stream_df: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    input_format: str = "wet",
+    payload_max_bytes: int | None = None,
+    quality_threshold: float | None = None,
+) -> None:
+    """foreachBatch sink over a binaryFile landing stream
+    (``spark.readStream.format("binaryFile").load(dir)``): each
+    micro-batch of newly-landed ``.warc.gz`` files runs
+    ``ingest_web_batch`` and drains with ``availableNow`` semantics.
+    Exactly-once effect = checkpointed batch ids × idempotent
+    per-batch partition overwrite."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        n_in, n_url, n_kept = ingest_web_batch(
+            batch_df, batch_id, index_path, out_path,
+            input_format, payload_max_bytes, quality_threshold,
+        )
+        log(
+            "web_ingest_batch",
+            batch_id=batch_id,
+            rows_parsed=n_in,
+            rows_after_url=n_url,
+            rows_kept=n_kept,
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

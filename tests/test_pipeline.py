@@ -2605,3 +2605,77 @@ def test_web_corpus_first_fetch_wins_across_digit_boundary(spark, tmp_path):
     [row] = spark.read.parquet(str(out)).collect()
     assert row["text"].endswith("fetch number 0."), row["text"]
     assert row["doc_key"].endswith(":000000000001"), row["doc_key"]
+
+
+def test_web_ingest_replay_idempotent(spark, tmp_path):
+    """r17 streaming web ingest: crash-replay safety. Running the same
+    batch twice with the same batch_id (the replay-after-partial-
+    failure shape — attempt 1 may have written its index slices before
+    the checkpoint committed) must return identical counts and leave
+    byte-identical survivor/index contents: probes exclude the batch's
+    own src_batch= slices, and every write is a dynamic partition
+    overwrite. A SECOND batch then dedups against the first across
+    url-refetch and body-copy classes."""
+    from ais_data_pipeline_spark.sources.warc import encode_warc_records
+    from ais_data_pipeline_spark.streaming.web_ingest import (
+        OUT_SCHEMA,
+        ingest_web_batch,
+    )
+
+    def rec(i, uri, text):
+        return dict(
+            warc_type="conversion", record_id=f"<urn:uuid:{i:04x}>",
+            warc_date="2024-01-01T00:00:00Z", target_uri=uri,
+            content_type="text/plain", payload=text.encode(),
+        )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "b1.warc.gz").write_bytes(encode_warc_records([
+        rec(0, "http://e.com/a", "alpha body one"),
+        rec(1, "http://e.com/b", "beta body two"),
+        rec(2, "http://e.com/a", "refetch of a"),     # batch url dup
+        rec(3, "http://e.com/c", "alpha body one"),   # batch body dup
+    ]))
+    (landing / "b2.warc.gz").write_bytes(encode_warc_records([
+        rec(0, "http://e.com/b", "new body"),         # index url dup
+        rec(1, "http://e.com/d", "beta body two"),    # index body dup
+        rec(2, "http://e.com/e", "epsilon fresh"),    # survivor
+    ]))
+    index, out = str(tmp_path / "idx"), str(tmp_path / "out")
+
+    def batch_for(name):
+        return (
+            spark.read.format("binaryFile")
+            .load(str(landing / name))
+            .select("path", "content")
+        )
+
+    def state():
+        kept = {
+            (r["doc_key"], r["url"], r["text"], r["src_batch"])
+            for r in spark.read.schema(OUT_SCHEMA).parquet(out).collect()
+        }
+        urls = {
+            (r["url"], r["src_batch"])
+            for r in spark.read.schema("url string, src_batch bigint")
+            .parquet(index + "/urls").collect()
+        }
+        return kept, urls
+
+    c1 = ingest_web_batch(batch_for("b1.warc.gz"), 0, index, out)
+    assert c1 == (4, 3, 2)  # url stage keeps a+b+c; hash drops c
+    s1 = state()
+    # replay the SAME batch id — attempt 1's slices already on disk
+    assert ingest_web_batch(batch_for("b1.warc.gz"), 0, index, out) == c1
+    assert state() == s1
+
+    c2 = ingest_web_batch(batch_for("b2.warc.gz"), 1, index, out)
+    assert c2 == (3, 2, 1)  # url index drops /b; hash index drops /d
+    kept, urls = state()
+    assert {k[1] for k in kept} == {"http://e.com/a", "http://e.com/b",
+                                    "http://e.com/e"}
+    # the url index learned every url seen, including dropped fetches
+    assert {u[0] for u in urls} == {"http://e.com/a", "http://e.com/b",
+                                    "http://e.com/c", "http://e.com/d",
+                                    "http://e.com/e"}

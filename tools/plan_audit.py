@@ -41,6 +41,7 @@ EXECUTING = {
     "incremental_embedding_dedup_stats": "streaming — index build + stream drains at fn() time",
     "streaming_ivf_ingest_topk": "streaming — index ingest stream drains at fn() time",
     "streaming_quality_monitor": "streaming — applyInPandasWithState run at fn() time",
+    "streaming_web_ingest_stats": "streaming — two WARC landing drains + index writes at fn() time",
     "session_windows_native": "streaming — fn() drains a real availableNow stream",
     "stream_static_join": "streaming — fn() drains a real availableNow stream",
     "stream_stream_join": "streaming — fn() drains both sides at fn() time",
