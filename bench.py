@@ -115,6 +115,10 @@ EXTENDED = [
     # r17: multi-class hashed language ID (explode + broadcast weight
     # join + argmax — the model-served lang tier)
     "lang_id_classifier",
+    # r17: streaming web ingestion (two availableNow drains + index
+    # probe writes at fn() time — the web tier's incremental leg,
+    # wall-clock-visible like incremental_dedup_stats)
+    "streaming_web_ingest_stats",
 ]
 
 #: 1-min load average above which the bench artifact flags itself and
