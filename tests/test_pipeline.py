@@ -2679,3 +2679,59 @@ def test_web_ingest_replay_idempotent(spark, tmp_path):
     assert {u[0] for u in urls} == {"http://e.com/a", "http://e.com/b",
                                     "http://e.com/c", "http://e.com/d",
                                     "http://e.com/e"}
+
+
+def test_web_ingest_raw_warc_mode(spark, tmp_path):
+    """The streaming ingest's raw-Common-Crawl path: response records
+    through the HTTP split + HTML→text chain inside the micro-batch,
+    with the non-200/binary/malformed records quarantined before the
+    dedup stages — same head as the batch plan's raw mode, proven here
+    through ingest_web_batch."""
+    from ais_data_pipeline_spark.sources.http_payload import (
+        encode_http_response,
+    )
+    from ais_data_pipeline_spark.sources.warc import encode_warc_records
+    from ais_data_pipeline_spark.streaming.web_ingest import (
+        OUT_SCHEMA,
+        ingest_web_batch,
+    )
+
+    def rec(i, uri, payload):
+        return dict(
+            warc_type="response", record_id=f"<urn:uuid:{i:04x}>",
+            warc_date="2024-01-01T00:00:00Z", target_uri=uri,
+            content_type="application/http; msgtype=response",
+            payload=payload,
+        )
+
+    html = [("Content-Type", "text/html; charset=utf-8")]
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "b.warc.gz").write_bytes(encode_warc_records([
+        rec(0, "http://e.com/a", encode_http_response(
+            200, "OK", html, b"<p>alpha <b>body</b></p>", chunked=True)),
+        rec(1, "HTTP://E.COM:80/a?utm_source=x", encode_http_response(
+            200, "OK", html, b"<p>refetch</p>")),      # canonical dup of /a
+        rec(2, "http://e.com/b", encode_http_response(
+            200, "OK", [("Content-Type", "text/plain")], b"beta body",
+            content_encoding="gzip")),
+        rec(3, "http://e.com/gone", encode_http_response(
+            404, "Not Found", html, b"<p>no</p>")),    # pre-stage drop
+        rec(4, "http://e.com/bin", encode_http_response(
+            200, "OK", [("Content-Type", "image/png")], b"\x89PNG")),
+        rec(5, "http://e.com/bad", b"not http"),       # quarantined
+    ]))
+    batch = (
+        spark.read.format("binaryFile")
+        .load(str(landing / "b.warc.gz"))
+        .select("path", "content")
+    )
+    index, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    counts = ingest_web_batch(batch, 0, index, out, input_format="warc")
+    assert counts == (3, 2, 2)  # 3 clean texts in; /a dedup; 2 kept
+    rows = {r["url"]: r["text"]
+            for r in spark.read.schema(OUT_SCHEMA).parquet(out).collect()}
+    assert rows == {
+        "http://e.com/a": "alpha body",   # de-chunked + tag-stripped
+        "http://e.com/b": "beta body",    # gunzipped passthrough
+    }
