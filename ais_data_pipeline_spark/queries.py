@@ -155,7 +155,7 @@ _FRONT_WINDOW: list[str] = [
     "rank_distribution",
     "rollup_region_nation",
     "running_total_per_customer",
-    "salted_event_type_agg",
+    "robots_txt_allowed",  # NEW r17: robots.txt politeness evaluation
     "streaming_web_ingest_stats",  # NEW r17: streaming web-corpus ingestion
     "lm_ppl_buckets",  # NEW r17: CCNet perplexity-bucket partitioning
     "url_blocklist_filter",  # NEW r17: URL policy filtering
@@ -4056,6 +4056,102 @@ def q_streaming_web_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("batch_no")
     )
+
+
+@register(
+    "robots_txt_allowed",
+    """
+    WITH p AS (
+      SELECT doc_id, doc_id % 4 AS c, doc_id % 3 AS a, doc_id % 5 AS pp
+      FROM documents
+    )
+    SELECT doc_id,
+           'h' || CAST(doc_id % 20 AS VARCHAR) || '.example.org' AS host,
+           CASE a WHEN 0 THEN 'databot' WHEN 1 THEN 'crawler'
+                  ELSE 'unknownbot' END AS agent,
+           CASE pp WHEN 0 THEN '/index.html'
+                   WHEN 1 THEN '/private/data.txt'
+                   WHEN 2 THEN '/private/pub/x'
+                   WHEN 3 THEN '/data/file.json'
+                   ELSE '/search/help/page' END AS path,
+           CASE c WHEN 0 THEN pp <> 1
+                  WHEN 1 THEN a <> 0
+                  WHEN 2 THEN pp <> 3
+                  ELSE TRUE END AS allowed,
+           CASE WHEN c = 1 AND a <> 0 THEN 2.0 END AS crawl_delay
+    FROM p ORDER BY doc_id
+    """,
+    "robots.txt politeness evaluation (r17, functions/robots.py): the "
+    "crawl-audit operator — RFC 9309 group parsing (consecutive "
+    "User-agent lines share a group, rules bind to the group above, "
+    "pre-group rules ignored), agent selection (exact token beats *, "
+    "same-rank groups merge), longest-octet-match path rules with * "
+    "wildcards and the $ end anchor (allow wins ties, empty Disallow "
+    "matches nothing, no group/rule -> allowed), crawl-delay from the "
+    "winning group. Twenty hosts serve four closed-form robots.txt "
+    "templates (prefix+override, agent-specific total block + "
+    "wildcard + delay, anchor/wildcard + nested allow, comments-only) "
+    "probed by three agents x five paths; the oracle derives every "
+    "verdict from doc_id arithmetic alone — any parsing, grouping, "
+    "ranking, regex-translation, or tie-break slip flips the hash. "
+    "All DataFrame expressions: posexplode + per-host line window for "
+    "the parse, two key-only hash joins for the evaluation, JVM "
+    "regexp_like for the per-rule match.",
+)
+def q_robots_txt_allowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ais_data_pipeline_spark.functions.robots import (
+        parse_robots,
+        robots_allowed,
+    )
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    host = F.concat(
+        F.lit("h"), (F.col("doc_id") % 20).cast("string"),
+        F.lit(".example.org"),
+    )
+    c = F.col("doc_id") % 4
+    t0 = (
+        "User-agent: *\nDisallow: /private/\nAllow: /private/pub/\n"
+        "Disallow:\n"  # empty Disallow: ignored by rule
+    )
+    t1 = (
+        "User-agent: databot\nDisallow: /\n\n"
+        "User-agent: *\nDisallow: /tmp/*\nCrawl-delay: 2\n"
+    )
+    t2 = (
+        "# generated\nSitemap: https://example.org/s.xml\n"
+        "User-agent: *\nDisallow: /*.json$\nDisallow: /search\n"
+        "Allow: /search/help\n"
+    )
+    t3 = "# crawl anything\n"
+    robots = (
+        d.select(
+            host.alias("host"),
+            F.when(c == 0, F.lit(t0))
+            .when(c == 1, F.lit(t1))
+            .when(c == 2, F.lit(t2))
+            .otherwise(F.lit(t3))
+            .alias("robots_txt"),
+        )
+        .distinct()
+    )
+    a = F.col("doc_id") % 3
+    pp = F.col("doc_id") % 5
+    probes = d.select(
+        "doc_id",
+        host.alias("host"),
+        F.when(a == 0, F.lit("databot"))
+        .when(a == 1, F.lit("crawler"))
+        .otherwise(F.lit("unknownbot"))
+        .alias("agent"),
+        F.when(pp == 0, F.lit("/index.html"))
+        .when(pp == 1, F.lit("/private/data.txt"))
+        .when(pp == 2, F.lit("/private/pub/x"))
+        .when(pp == 3, F.lit("/data/file.json"))
+        .otherwise(F.lit("/search/help/page"))
+        .alias("path"),
+    )
+    return robots_allowed(parse_robots(robots), probes).orderBy("doc_id")
 
 
 @register(

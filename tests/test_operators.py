@@ -8092,3 +8092,56 @@ def test_url_host_and_block_flags(spark):
     }
     for i, _u, host, blocked, kw in cases:
         assert got[i] == (host, blocked, kw), (i, got[i])
+
+
+def test_robots_txt_rules(spark):
+    """r17: RFC 9309 robots evaluation vectors — group adjacency and
+    sharing, pre-group rule ignoring, exact-beats-* agent ranking,
+    longest-octet-match with allow winning ties, * wildcard and $
+    anchor translation, empty Disallow ignored, prefix semantics
+    (/search blocks /searchable), comments/Sitemap inert, absent
+    group -> allowed, crawl-delay from the winning group only."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from ais_data_pipeline_spark.functions.robots import (
+        parse_robots,
+        robots_allowed,
+    )
+    from ais_data_pipeline_spark.localrel import local_df
+
+    TXT = {
+        "a.com": ("Disallow: /pregroup/\n"        # before any group: ignored
+                  "User-agent: *\nDisallow: /private/\n"
+                  "Allow: /private/pub/\nDisallow:\n"),
+        "b.com": ("User-agent: databot\nUser-agent: otherbot\n"  # shared group
+                  "Disallow: /\n\n"
+                  "User-agent: *\nDisallow: /tmp/*\nCrawl-delay: 2\n"),
+        "c.com": ("# c\nSitemap: https://c.com/s.xml\n"
+                  "User-agent: *\nDisallow: /*.json$\n"
+                  "Disallow: /search\nAllow: /search/help\n"),
+        "d.com": "# nothing here\n",
+    }
+    rob = local_df(spark, list(TXT.items()), "host string, robots_txt string")
+    probes = local_df(spark, [
+        (1, "a.com", "databot", "/pregroup/x"),     # ignored pre-group rule
+        (2, "a.com", "databot", "/private/data"),
+        (3, "a.com", "databot", "/private/pub/x"),  # longer allow wins
+        (4, "b.com", "otherbot", "/index.html"),    # shared-group member
+        (5, "b.com", "crawler", "/tmp/x"),
+        (6, "b.com", "crawler", "/index.html"),
+        (7, "c.com", "anybot", "/data/file.json"),  # $ anchor
+        (8, "c.com", "anybot", "/data/file.json?x"),  # anchor must NOT hit
+        (9, "c.com", "anybot", "/searchable"),      # byte-prefix semantics
+        (10, "c.com", "anybot", "/search/help/page"),
+        (11, "d.com", "anybot", "/x"),              # no groups -> allowed
+    ], "pid long, host string, agent string, path string")
+    out = {
+        r["pid"]: (r["allowed"], r["crawl_delay"])
+        for r in robots_allowed(parse_robots(rob), probes).collect()
+    }
+    assert out == {
+        1: (True, None), 2: (False, None), 3: (True, None),
+        4: (False, None), 5: (False, 2.0), 6: (True, 2.0),
+        7: (False, None), 8: (True, None), 9: (False, None),
+        10: (True, None), 11: (True, None),
+    }
