@@ -45,6 +45,59 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+# -- SQL-string expression builders (r18 optimization round) ----------------
+#
+# Plan CONSTRUCTION was the dominant cost of every centroid-literal
+# operator (kmeans assignment, PQ encode/train, ADC lookup tables):
+# the k×m loops build hundreds of Column objects, and each PySpark
+# Column/functions call is one-or-more py4j round-trips (~1.5 ms on
+# the bench box) — pq_topk spent 4.7 s building its DataFrame before
+# Spark saw the first byte (r18 profile; guide §1.2 "per-task work"
+# applied to the DRIVER). One F.expr(...) parses an arbitrarily large
+# expression in a single round-trip, and the parsed tree resolves to
+# the IDENTICAL Catalyst operators (ArrayAggregate/ZipWith/CaseWhen/
+# Literal…) with the identical evaluation order, so results stay
+# bit-for-bit and the unrolled SQL oracles replay unchanged. These
+# helpers render the same expressions the Column builders above
+# produce, as SQL text.
+
+
+def _sql_dbl(x: float) -> str:
+    """Exact SQL double literal: repr() is the shortest round-trip
+    decimal, and Spark's literal parse (Java parseDouble) returns the
+    identical IEEE double. Non-finite values go through a CAST that
+    constant-folds to the same Literal."""
+    x = float(x)
+    if x != x:
+        return "CAST('NaN' AS DOUBLE)"
+    if x == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if x == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return repr(x) + "D"
+
+
+def _sql_vec(v: list[float]) -> str:
+    """array(<doubles>) — parses to the same CreateArray-of-Literals
+    tree `_lit_vec` used to build element-wise (then constant-folds)."""
+    return "array(" + ", ".join(_sql_dbl(float(x)) for x in v) + ")"
+
+
+def _sql_dot(a: str, b: str) -> str:
+    """``_dot`` as SQL text — same ArrayAggregate(ZipWith(...)) fold,
+    same left-to-right accumulation."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, "
+        "(acc, x) -> acc + x)"
+    )
+
+
+def _sql_l2sq_pre(aa: str, a: str, b: list[float]) -> str:
+    """``_l2sq_pre`` as SQL text: (aa - 2·dot(a, b)) + dot(b, b), with
+    dot(b,b) folded driver-side exactly like the Column form."""
+    return f"(({aa} - 2.0D * {_sql_dot(a, _sql_vec(b))}) + {_sql_dbl(_self_dot(b))})"
+
+
 def _as_double_array(col: Column) -> Column:
     return col.cast("array<double>")
 
@@ -56,7 +109,7 @@ def cosine_similarity_col(vec_col: Column, query: list[float]) -> Column:
     accumulation in array order — bit-identical across engines.
     """
     v = _as_double_array(vec_col)
-    q = F.array(*[F.lit(float(x)) for x in query])
+    q = _lit_vec(query)
     qq = 0.0
     for x in query:
         qq += float(x) * float(x)
@@ -95,7 +148,7 @@ def lsh_bucket_col(vec_col: Column, planes: list[list[float]]) -> Column:
     v = _as_double_array(vec_col)
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(x)) for x in plane])
+        p = _lit_vec(plane)
         bit = F.when(_dot(v, p) >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         bucket = bucket + (bit * F.lit(2**i).cast("long"))
     return bucket
@@ -945,17 +998,21 @@ def kmeans_lloyd(
         # dot(v,v) is identical across all k scores — materialize it
         # once per row (own projection), not k times inside the array.
         pre = e.select("__v", _dot(v, v).alias("__vv"))
+        # the k-score array builds as ONE SQL string (r18: one py4j
+        # round-trip instead of ~50 per centroid; identical parsed tree)
         sims = []
         for _cid, cvec in cent_rows:
             if metric == "l2":
-                sims.append(-_l2sq_pre(F.col("__vv"), v, cvec))
+                sims.append(f"(- {_sql_l2sq_pre('`__vv`', '`__v`', cvec)})")
             else:
                 sims.append(
-                    _dot(v, _lit_vec(cvec))
-                    / (F.sqrt(F.col("__vv")) * F.lit(math.sqrt(_self_dot(cvec))))
+                    f"({_sql_dot('`__v`', _sql_vec(cvec))}"
+                    f" / (SQRT(`__vv`) * {_sql_dbl(math.sqrt(_self_dot(cvec)))}))"
                 )
-        staged = pre.select("__v", F.array(*sims).alias("__sims"))
-        ids = F.array(*[F.lit(cid).cast("bigint") for cid, _ in cent_rows])
+        staged = pre.select(
+            "__v", F.expr("array(" + ", ".join(sims) + ")").alias("__sims")
+        )
+        ids = F.lit([int(cid) for cid, _ in cent_rows]).cast("array<bigint>")
         pos = F.array_position(F.col("__sims"), F.array_max(F.col("__sims")))
         # a zero-norm (cosine) or NULL vector has NULL similarity to
         # every centroid — route it to the lowest centroid id instead
@@ -1014,17 +1071,20 @@ def kmeans_assign(
     pre = df.select(
         *cols, _as_double_array(F.col(vec_col)).alias("__v")
     ).select(*cols, "__v", _dot(F.col("__v"), F.col("__v")).alias("__vv"))
+    # one SQL string for the whole k-score array (r18; see _sql_dot)
     sims = []
     for _cid, cvec in cent_rows:
         if metric == "l2":
-            sims.append(-_l2sq_pre(F.col("__vv"), F.col("__v"), cvec))
+            sims.append(f"(- {_sql_l2sq_pre('`__vv`', '`__v`', cvec)})")
         else:
             sims.append(
-                _dot(F.col("__v"), _lit_vec(cvec))
-                / (F.sqrt(F.col("__vv")) * F.lit(math.sqrt(_self_dot(cvec))))
+                f"({_sql_dot('`__v`', _sql_vec(cvec))}"
+                f" / (SQRT(`__vv`) * {_sql_dbl(math.sqrt(_self_dot(cvec)))}))"
             )
-    staged = pre.select(*cols, "__v", F.array(*sims).alias("__sims"))
-    ids = F.array(*[F.lit(cid).cast("bigint") for cid, _ in cent_rows])
+    staged = pre.select(
+        *cols, "__v", F.expr("array(" + ", ".join(sims) + ")").alias("__sims")
+    )
+    ids = F.lit([int(cid) for cid, _ in cent_rows]).cast("array<bigint>")
     pos = F.array_position(F.col("__sims"), F.array_max(F.col("__sims"))).cast("int")
     # zero-norm/NULL vectors (NULL sims across the board) route to the
     # lowest centroid id: a NULL list_id would land index rows in the
@@ -1068,12 +1128,22 @@ def semdedup_clusters(
     assignment, then a single self-equi-join on the cluster id —
     cluster id is the shuffle key, no corpus-wide pairwise stage
     anywhere."""
+    from ais_data_pipeline_spark.operators.util import spread_to_parallelism
+
     cents = kmeans_lloyd(df, k, iters, vec_col, id_col, metric="cosine")
     cent_rows = sorted(
         (int(r["centroid_id"]), [float(x) for x in r["cvec"]])
         for r in cents.collect()
     )
-    assigned = kmeans_assign(df, cent_rows, vec_col, id_col, metric="cosine")
+    # _spread BEFORE the pair join: a single-file corpus scan arrives
+    # as ONE partition, so the quadratic within-cluster verify stage —
+    # the only real compute here — ran on one core (r18 profile: a
+    # 4.5 s single-task stage out of the leg's 8 s). Round-robin
+    # repartition is value-neutral; skipped when the scan is already
+    # wide (the 100 TB case).
+    assigned = kmeans_assign(
+        spread_to_parallelism(df), cent_rows, vec_col, id_col, metric="cosine"
+    )
     # per-vector norm hoisted out of the pair join: each row's
     # sqrt(dot(v,v)) is computed once instead of once per PAIR (the
     # pair stage is the quadratic part — 3 array folds per pair drop
@@ -1166,17 +1236,19 @@ def pq_train_codebooks(
         dist_cols = []
         for s, book in enumerate(books):
             dist_cols.append(
-                F.array(
-                    *[
-                        _l2sq_pre(F.col(f"__aa{s}"), F.col(f"__sl{s}"), cvec)
+                F.expr(
+                    "array("
+                    + ", ".join(
+                        _sql_l2sq_pre(f"`__aa{s}`", f"`__sl{s}`", cvec)
                         for _, cvec in book
-                    ]
+                    )
+                    + ")"
                 ).alias(f"__d{s}")
             )
         staged = pre.select(*[F.col(f"__sl{s}") for s in range(m)], *dist_cols)
         assigned_cols = []
         for s, book in enumerate(books):
-            ids = F.array(*[F.lit(cid).cast("bigint") for cid, _ in book])
+            ids = F.lit([int(cid) for cid, _ in book]).cast("array<bigint>")
             pos = F.array_position(F.col(f"__d{s}"), F.array_min(F.col(f"__d{s}")))
             assigned_cols.append(
                 F.struct(
@@ -1215,7 +1287,14 @@ def pq_train_codebooks(
 
 
 def _lit_vec(v: list[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in v])
+    """Driver-side vector as ONE parsed expression — not
+    ``F.array(*[F.lit(x) ...])``, which costs one-or-more py4j
+    round-trips PER ELEMENT (~35 ms/vector measured; plan construction
+    was the dominant cost of the centroid-literal operators, r18
+    profile). The SQL text parses to the identical
+    CreateArray-of-Literals tree with the identical IEEE doubles
+    (repr round-trip), then constant-folds."""
+    return F.expr(_sql_vec(v))
 
 
 def pq_encode(
@@ -1255,17 +1334,19 @@ def pq_encode(
     dist_cols = []
     for s, book in enumerate(codebooks):
         dist_cols.append(
-            F.array(
-                *[
-                    _l2sq_pre(F.col(f"__aa{s}"), F.col(f"__sl{s}"), cvec)
+            F.expr(
+                "array("
+                + ", ".join(
+                    _sql_l2sq_pre(f"`__aa{s}`", f"`__sl{s}`", cvec)
                     for _, cvec in book
-                ]
+                )
+                + ")"
             ).alias(f"__d{s}")
         )
     staged = pre.select(F.col(id_col), *keep_cols, *dist_cols)
     code_cols = []
     for s, book in enumerate(codebooks):
-        ids = F.array(*[F.lit(cid) for cid, _ in book])
+        ids = F.lit([int(cid) for cid, _ in book]).cast("array<int>")
         pos = F.array_position(F.col(f"__d{s}"), F.array_min(F.col(f"__d{s}")))
         code_cols.append(F.element_at(ids, pos.cast("int")).alias(f"code_{s}"))
     return staged.select(F.col(id_col), *keep_cols, *code_cols)
@@ -1300,7 +1381,7 @@ def pq_topk(
         return acc
 
     codes = pq_encode(df, codebooks, vec_col, id_col)
-    total = None
+    terms = []
     for s, book in enumerate(codebooks):
         qs = [float(x) for x in query[s * d_sub : (s + 1) * d_sub]]
         # LUT indexed by centroid id + 1 (ids may be sparse after empty-
@@ -1309,10 +1390,12 @@ def pq_topk(
         lut = [float("inf")] * (max_id + 1)
         for cid, cvec in book:
             lut[cid] = dot(qs, qs) - 2.0 * dot(qs, cvec) + dot(cvec, cvec)
-        term = F.element_at(
-            F.array(*[F.lit(x) for x in lut]), F.col(f"code_{s}").cast("int") + 1
+        terms.append(
+            f"element_at({_sql_vec(lut)}, (CAST(`code_{s}` AS INT) + 1))"
         )
-        total = term if total is None else total + term
+    # left-associative sum — same accumulation order as the old
+    # term-by-term Column addition (r18: one parsed expression)
+    total = F.expr(" + ".join(terms))
     if round_digits is not None:
         total = F.round(total, round_digits)
     return (
@@ -1380,11 +1463,15 @@ def build_ivfpq_index(
     staged = pre.select(
         F.col(id_col),
         "__v",
-        F.array(
-            *[-_l2sq_pre(F.col("__vv"), F.col("__v"), c) for _, c in cent_rows]
+        F.expr(
+            "array("
+            + ", ".join(
+                f"(- {_sql_l2sq_pre('`__vv`', '`__v`', c)})" for _, c in cent_rows
+            )
+            + ")"
         ).alias("__sims"),
     )
-    ids = F.array(*[F.lit(cid).cast("bigint") for cid, _ in cent_rows])
+    ids = F.lit([int(cid) for cid, _ in cent_rows]).cast("array<bigint>")
     cvecs = F.array(*[_lit_vec(c) for _, c in cent_rows])
     pos = F.array_position(F.col("__sims"), F.array_max(F.col("__sims"))).cast("int")
     residuals = staged.select(
@@ -1475,17 +1562,17 @@ def ivfpq_probe_topk(
     dispatched = None
     for cid in probed:
         qres = [q - c for q, c in zip(query, cents[cid])]
-        total = None
+        terms = []
         for s, book in enumerate(books):
             qs = qres[s * d_sub : (s + 1) * d_sub]
             max_id = max(b_cid for b_cid, _ in book)
             lut = [float("inf")] * (max_id + 1)
             for b_cid, cvec in book:
                 lut[b_cid] = l2(qs, cvec)
-            term = F.element_at(
-                F.array(*[F.lit(x) for x in lut]), F.col(f"code_{s}").cast("int") + 1
+            terms.append(
+                f"element_at({_sql_vec(lut)}, (CAST(`code_{s}` AS INT) + 1))"
             )
-            total = term if total is None else total + term
+        total = F.expr(" + ".join(terms))  # left-assoc, same order
         branch = (F.col("list_id") == cid, F.round(total, 6))
         dispatched = (
             F.when(*branch) if dispatched is None else dispatched.when(*branch)
@@ -1526,7 +1613,7 @@ def ivfpq_rerank_topk(
     cand = ivfpq_probe_topk(
         spark, index_path, query, k=n_candidates, nprobe=nprobe, id_col=id_col
     ).select(id_col)
-    q = F.array(*[F.lit(float(x)) for x in query])
+    q = _lit_vec(query)
     return (
         vectors_df.join(F.broadcast(cand), id_col, "left_semi")
         .select(
@@ -1730,7 +1817,7 @@ def hamming_col(sig_col: Column, query_words: list[int]) -> Column:
     """Hamming distance between a packed signature column and a
     driver-side query signature: Σ popcount(word XOR qword) — pure JVM
     bit ops (bit_count over zip_with), no Python, no shuffle."""
-    qa = F.array(*[F.lit(int(wd)).cast("long") for wd in query_words])
+    qa = F.lit([int(wd) for wd in query_words]).cast("array<bigint>")
     return F.aggregate(
         F.zip_with(sig_col, qa, lambda a, b: F.bit_count(a.bitwiseXOR(b))),
         F.lit(0),

@@ -90,78 +90,78 @@ def register(name: str, oracle: str | None, description: str):
 
 
 # The driver checks only the FIRST 50 registry entries per round, so
-# registry order decides which queries get a CORRECTNESS row. Round-17
-# window (executes the plan pinned in COMPAT.md "r17 window plan" and
-# the r16 verdict item 1):
-#   - LEAD with the thirteen r12-dated rows — the oldest cohort left
-#     (their age hits STALE_MAX=5 exactly at r17, so the staleness
+# registry order decides which queries get a CORRECTNESS row. Round-18
+# window (executes the two-round r18/r19 schedule pinned in the r17
+# verdict item 1; r18 is an optimization round, so no new rows rotate
+# in and the schedule is pure oldest-first):
+#   - LEAD with the sixteen r13-dated rows — the oldest cohort left
+#     (their age hits STALE_MAX=5 exactly at r18, so the staleness
 #     gate test_registry_driver_proof_freshness trips on any slip;
-#     after this round the freshness floor is r13).
-#   - Then oldest-first: 37 of the 46 rows whose latest driver row is
-#     r13 (alphabetical within the cohort; computed programmatically
-#     from the CORRECTNESS_r*.json artifacts). The nine r13 rows that
-#     don't fit (streaming_sliding_counts, streaming_windowed_counts,
-#     string_agg_types, surrogate_keys, term_frequencies,
-#     theta_token_overlap, unpivot_metrics, url_route_suffix,
-#     value_run_islands) lead the r18 window.
-#   - Changed-row-first amendment: any row whose semantics change or
-#     that is NEW this round rotates in, displacing from the END of
-#     this list; displaced rows lead r18. (The r16 ADVICE fix to
-#     canonical_url's query regex does NOT change url_canonical_dedup
-#     output — its fixture has no fragment-embedded '?' — and the
-#     snapshot-history cap is metadata-only, so neither row re-rotates;
-#     both were driver-proven in r16.)
+#     after this round the freshness floor is r14).
+#   - Then oldest-first: the first 34 (alphabetically) of the 49 rows
+#     whose latest driver row is r14 (cohorts computed
+#     programmatically from the CORRECTNESS_r*.json artifacts).
+#   - The 15 r14 rows that don't fit (media_type_route,
+#     minhash_near_dup, mmr_diverse_topk, moving_avg_customer,
+#     nation_pair_volume, near_dup_clusters, ngram_jaccard_pairs,
+#     null_token_normalize, pq_adc_topk, q1_pricing_summary,
+#     quantiles_quantity, revenue_by_nation, scan_project_filter,
+#     semdedup_stats, theta_difference) MUST lead the r19 window,
+#     followed by the oldest 35 of the r15 cohort — plan both rounds
+#     as one schedule before any r19 row additions displace them.
 _FRONT_WINDOW: list[str] = [
-    "streaming_stateful_totals",
-    "streaming_zscore_anomaly",
-    "subsequence_best_match_fft",
-    "supplier_count_per_brand_size",
-    "supplier_triangles",
-    "tfidf_top_terms",
-    "token_entropy",
-    "top_supplier_quarter",
-    "topk_with_ties",
-    "trajectory_speed",
-    "value_histogram",
-    "video_container_meta",
-    "weighted_sample_orders",
-    "approx_distinct_events",
-    "audio_meta",
-    "audio_pcm_stats",
-    "bpe_token_counts",
-    "conditional_agg",
-    "dataset_split_counts",
-    "dict_normalize_brand",
-    "downcast_guard",
-    "dq_report",
-    "events_hourly",
-    "events_json_extract",
-    "forecast_revenue_q6",
-    "frame_sample_fanout",
-    "funnel_stages",
-    "hash_sample_orders",
-    "locf_fill_forward",
-    "mode_event_type_per_user",
-    "moment_stats",
-    "multiset_ops",
-    "not_in_null_semantics",
-    "order_price_deciles",
-    "order_status_rollup",
-    "outer_join_fill",
-    "posexplode_tokens",
-    "priority_revenue",
-    "profile_distinct_ratios",
-    "project_exclude_substring",
-    "rank_distribution",
-    "rollup_region_nation",
-    "running_total_per_customer",
-    "robots_txt_allowed",  # NEW r17: robots.txt politeness evaluation
-    "streaming_web_ingest_stats",  # NEW r17: streaming web-corpus ingestion
-    "lm_ppl_buckets",  # NEW r17: CCNet perplexity-bucket partitioning
-    "url_blocklist_filter",  # NEW r17: URL policy filtering
-    "lang_id_classifier",  # NEW r17: multi-class hashed language ID
-    "html_text_extract",  # NEW r17: HTML -> text extraction
-    "warc_http_response_stats",  # NEW r17: raw-WARC HTTP splitting
+    # r13 cohort — deadline rows, age = STALE_MAX exactly at r18
+    "salted_event_type_agg",
+    "sequence_packing_strict",
+    "session_windows_native",
+    "stratified_hash_sample",
+    "stream_static_join",
+    "streaming_cdc_upsert",
+    "streaming_dedup_pairs",
+    "streaming_sliding_counts",
+    "streaming_windowed_counts",
+    "string_agg_types",
+    "surrogate_keys",
+    "term_frequencies",
+    "theta_token_overlap",
+    "unpivot_metrics",
+    "url_route_suffix",
+    "value_run_islands",
+    # r14 cohort, oldest-first (alphabetical), first 34 of 49
+    "above_avg_orders",
+    "ann_index_topk",
+    "approx_quantiles",
+    "array_agg_user_types",
+    "asof_last_click",
+    "audio_container_meta",
+    "bag_fingerprint",
+    "cluster_best_representative",
+    "cube_returnflag_status",
+    "custdist",
+    "date_functions",
+    "date_parse_lenient",
+    "dedup_exact",
+    "dsir_domain_scores",
+    "embedding_near_dup_exact",
+    "embedding_near_dup_lsh",
+    "embedding_topk",
+    "embedding_topk_filtered",
+    "embedding_topk_lsh",
+    "event_pairs_5min",
+    "flac_pcm_stats",
+    "frame_embedding_topk",
+    "frame_pixel_stats",
+    "grouping_sets_status",
+    "incremental_dedup_stats",
+    "incremental_embedding_dedup_stats",
+    "incremental_rollup_merge",
+    "ivf_index_topk",
+    "ivfpq_index_topk",
+    "ivfpq_rerank_topk",
+    "lang_id",
+    "large_orders",
+    "late_ship_priority",
+    "latest_event_per_user",
 ]
 
 

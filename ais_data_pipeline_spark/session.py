@@ -54,6 +54,18 @@ _SCALE_CONF = {
     # scans; harmless locally.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    # r18 (guide §1.2 order-of-operations, measured): PySpark 4's
+    # DataFrame-debugging origin capture (default ON) wraps EVERY
+    # Column/functions API call with a conf read + PySparkCurrentOrigin
+    # set/clear — three extra py4j round-trips plus a Python stack walk
+    # per call. On the bench box (py4j RTT ~1.5 ms) that made driver-
+    # side PLAN CONSTRUCTION the dominant cost of the centroid-literal
+    # operators: pq_topk construction alone dropped 4.7 s -> 1.2 s with
+    # the capture off. Cost of disabling: errors lose the Python
+    # call-site line in their message — nothing else changes (no plan,
+    # no result difference). This is a per-query driver cost, so the
+    # win holds at any cluster scale.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
 }
 
 
