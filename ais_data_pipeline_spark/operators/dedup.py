@@ -207,6 +207,59 @@ def minhash_signature(
     return F.array(*mins)
 
 
+def minhash_band_rows_from_shingles(
+    shingles_df: DataFrame,
+    n_hashes: int = 32,
+    bands: int = 16,
+    seed: int = 42,
+    doc_col: str = "doc",
+    shingles_col: str = "shingles",
+) -> DataFrame:
+    """(doc, band, bucket) band rows from an ALREADY-SHINGLED frame —
+    the back half of ``minhash_band_rows`` for callers that hold a
+    materialized (doc, shingle-hash array) table (the incremental-dedup
+    feature store). Skips the re-scan + re-tokenize + re-shingle pass
+    the text-input form pays (r18). Bit-identical signatures: the
+    min-aggregate is duplicate-invariant, so mins over the stored
+    DISTINCT shingle set equal mins over the raw multiset, and empty
+    arrays keep the NULL-signature semantics via explode_outer."""
+    ex = shingles_df.select(
+        F.col(doc_col).alias("doc"), F.explode_outer(shingles_col).alias("__s")
+    )
+    return _band_rows_from_exploded(ex, n_hashes, bands, seed)
+
+
+def _band_rows_from_exploded(
+    ex: DataFrame, n_hashes: int, bands: int, seed: int
+) -> DataFrame:
+    """(doc, band, bucket) from an exploded (doc, shingle-hash) frame —
+    the shared signature+banding tail of both band-row builders. The
+    32 min-aggregates and the band-struct array build as SQL strings
+    (r18): the Column form cost ~6 py4j round-trips per permutation on
+    every call; the parsed trees are the identical CaseWhen/XxHash64/
+    Min and CreateArray/CreateNamedStruct operators, so signatures and
+    buckets are bit-identical."""
+    r = n_hashes // bands
+    sig = ex.groupBy("doc").agg(
+        *[
+            F.expr(
+                f"min(CASE WHEN `__s` IS NOT NULL "
+                f"THEN xxhash64(`__s`, {seed + i}) END)"
+            ).alias(f"__m{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    band_structs = ", ".join(
+        "struct({b} AS band, xxhash64({cols}) AS bucket)".format(
+            b=b, cols=", ".join(f"`__m{b * r + j}`" for j in range(r))
+        )
+        for b in range(bands)
+    )
+    return sig.select(
+        "doc", F.expr(f"explode(array({band_structs}))").alias("bb")
+    ).select("doc", "bb.band", "bb.bucket")
+
+
 def minhash_band_rows(
     df: DataFrame,
     n_hashes: int = 32,
@@ -245,7 +298,6 @@ def minhash_band_rows(
     any single row's. Every caller in this repo feeds a keyed table
     (doc_id primary key); pre-aggregate or uniquify first if yours
     does not (r16, closing the r14 ADVICE #4 contract note)."""
-    r = n_hashes // bands
     toked = _spread(df).select(
         F.col(id_col).alias("doc"), tokens_lower(F.col(text_col)).alias("__tok")
     )
@@ -256,35 +308,10 @@ def minhash_band_rows(
         ).alias("__sh"),
     )
     ex = shingled.select("doc", F.explode_outer("__sh").alias("__s"))
-    # the null guard keeps empty-shingle docs at sig=NULL (the HOF
-    # form's array_min over an empty array), NOT xxhash64-of-nothing
-    sig = ex.groupBy("doc").agg(
-        *[
-            F.min(
-                F.when(
-                    F.col("__s").isNotNull(),
-                    F.xxhash64(F.col("__s"), F.lit(seed + i)),
-                )
-            ).alias(f"__m{i}")
-            for i in range(n_hashes)
-        ]
-    )
-    return sig.select(
-        "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"__m{b * r + j}") for j in range(r)]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc", "bb.band", "bb.bucket")
+    # the null guard in _band_rows_from_exploded keeps empty-shingle
+    # docs at sig=NULL (the HOF form's array_min over an empty array),
+    # NOT xxhash64-of-nothing
+    return _band_rows_from_exploded(ex, n_hashes, bands, seed)
 
 
 def minhash_lsh_candidates(

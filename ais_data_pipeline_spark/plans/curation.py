@@ -152,11 +152,28 @@ def run_curation(
     )
     token_counts = None
     if count_tokens:
-        # survivor-stage token sums: one extra map-side agg each (the
-        # stage frames are otherwise only counted via their drop sets)
-        tok_expr = F.sum(token_count(F.col(text_col)).cast("long"))
-        tok_s1 = s1.agg(tok_expr).first()[0] or 0
-        tok_s2 = s2.agg(tok_expr).first()[0] or 0
+        # Survivor-stage token sums via the DROP sides (r18): the r17
+        # shape re-scanned and re-tokenized s1 AND s2 — two passes over
+        # ~the whole corpus for sums that are derivable by exact
+        # integer subtraction, Σ(survivors) = Σ(total) − Σ(dropped).
+        # One inner join against the (tiny, already-materialized,
+        # stage-tagged) drop sets tokenizes only the few-percent
+        # dropped docs in a single pass.
+        tagged = drop_exact.withColumn("__st", F.lit(1)).unionByName(
+            drop_near.withColumn("__st", F.lit(2))
+        )
+        n_drops = n_drop_exact + n_drop_near
+        tok = token_count(F.col(text_col)).cast("long")
+        row = (
+            docs.join(gated_broadcast(tagged, n_drops), id_col)
+            .agg(
+                F.sum(F.when(F.col("__st") == 1, tok)).alias("t1"),
+                F.sum(F.when(F.col("__st") == 2, tok)).alias("t2"),
+            )
+            .first()
+        )
+        tok_s1 = tok_total - (row["t1"] or 0)
+        tok_s2 = tok_s1 - (row["t2"] or 0)
         token_counts = {
             "00_total": tok_total,
             "01_exact_dedup": tok_s1,

@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 from ais_data_pipeline_spark import fsutil
 from ais_data_pipeline_spark.checkpointing import materialize
 from ais_data_pipeline_spark.operators.dedup import (
-    minhash_band_rows,
+    minhash_band_rows_from_shingles,
     shingle_hashes_from_tokens,
     tokens_lower,
 )
@@ -190,29 +190,43 @@ def build_dedup_index(
     fsutil.reset_generations(index_path)
     root = fsutil.generation_root(index_path, 0)
     feats = _features(docs, text_col, id_col, shingle_n).transform(materialize)
-    _write_slice(
-        feats.select("doc", "text_hash"),
-        os.path.join(root, "hashes"),
-        HISTORY_BATCH,
-        bloom_col="text_hash",
-        single_file=False,  # history-sized: keep partitioning, no shuffle
-    )
-    _write_slice(
-        feats.select("doc", "shingles"),
-        os.path.join(root, "shingles"),
-        HISTORY_BATCH,
-        single_file=False,  # the corpus-dominant store — never funnel it
-    )
     # written twice (buckets + stats): pin once, or each write re-runs
-    # the 32-permutation minhash over every history shingle
-    bands_df = minhash_band_rows(
-        docs, n_hashes, bands, text_col, id_col, shingle_n, seed
+    # the 32-permutation minhash over every history shingle. r18: the
+    # band rows derive from the PINNED shingle features instead of a
+    # second scan+tokenize+shingle pass over the corpus — bit-identical
+    # signatures (min is duplicate-invariant; see
+    # minhash_band_rows_from_shingles).
+    bands_df = minhash_band_rows_from_shingles(
+        feats, n_hashes, bands, seed
     ).transform(materialize)
-    _write_slice(
-        bands_df, os.path.join(root, "buckets"), HISTORY_BATCH,
-        bloom_col="bucket", single_file=False,
-    )
-    _write_bucket_stats(bands_df, root, HISTORY_BATCH)
+    # the four table writes are independent jobs over the two pinned
+    # frames — overlap them (guide §2.6, same shape as the batch
+    # append path)
+    from concurrent.futures import ThreadPoolExecutor
+
+    writes = [
+        lambda: _write_slice(
+            feats.select("doc", "text_hash"),
+            os.path.join(root, "hashes"),
+            HISTORY_BATCH,
+            bloom_col="text_hash",
+            single_file=False,  # history-sized: keep partitioning
+        ),
+        lambda: _write_slice(
+            feats.select("doc", "shingles"),
+            os.path.join(root, "shingles"),
+            HISTORY_BATCH,
+            single_file=False,  # the corpus-dominant store — never funnel
+        ),
+        lambda: _write_slice(
+            bands_df, os.path.join(root, "buckets"), HISTORY_BATCH,
+            bloom_col="bucket", single_file=False,
+        ),
+        lambda: _write_bucket_stats(bands_df, root, HISTORY_BATCH),
+    ]
+    with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+        for fut in [pool.submit(w) for w in writes]:
+            fut.result()
 
 
 def _write_bucket_stats(bands_df: DataFrame, root: str, src_batch: int) -> None:
@@ -295,6 +309,29 @@ def dedup_batch_against_index(
     pushdown_limit: int = 10_000,
     exclude_batch: int | None = None,
 ) -> DataFrame:
+    survivors, _, _, _, _ = _dedup_batch_parts(
+        batch_df, index_path, threshold, n_hashes, bands, shingle_n,
+        seed, text_col, id_col, max_bucket_size, pushdown_limit,
+        exclude_batch, pin_drops=False,
+    )
+    return survivors
+
+
+def _dedup_batch_parts(
+    batch_df: DataFrame,
+    index_path: str,
+    threshold: float = 0.5,
+    n_hashes: int = 32,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
+    pushdown_limit: int = 10_000,
+    exclude_batch: int | None = None,
+    pin_drops: bool = True,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, bool]:
     """Survivors of one batch under the drop rule in the module
     docstring. The batch (small) is always the broadcast side; the
     index tables are scanned once each with the batch's hash / bucket
@@ -317,7 +354,16 @@ def dedup_batch_against_index(
     row groups holding none of the probed values — for a dup-free
     batch the "scan" touches footers and bloom bitsets, not data
     pages. That is what keeps probe IO sub-linear in corpus size, on
-    top of staying shuffle-free."""
+    top of staying shuffle-free.
+
+    Returns ``(survivors, feats, bands_b, drops, bands_filtered)`` so
+    the append path can REUSE the batch's materialized features and
+    band rows for the survivor index writes instead of recomputing the
+    md5/shingle/minhash passes over the survivors (r18; the recompute
+    was ~2 full extra passes per micro-batch). ``bands_filtered`` is
+    True when a hot-bucket cap pruned ``bands_b`` — the reused band
+    rows are then NOT the survivors' complete band set and the caller
+    must recompute."""
     spark = batch_df.sparkSession
     # empty-index cold start must be well-defined (round-10 review: a
     # fresh index_path without the bootstrap builder was a PATH_NOT_
@@ -347,10 +393,11 @@ def dedup_batch_against_index(
         .select("doc")
     )
 
+    # band rows derive from the pinned batch features — skips the
+    # second scan+tokenize+shingle pass per micro-batch (r18;
+    # bit-identical, see minhash_band_rows_from_shingles)
     bands_b = (
-        minhash_band_rows(
-            batch_df, n_hashes, bands, text_col, id_col, shingle_n, seed
-        )
+        minhash_band_rows_from_shingles(feats, n_hashes, bands, seed)
         .join(F.broadcast(exact_w), "doc", "left_anti")
         .transform(materialize)
     )
@@ -455,10 +502,19 @@ def dedup_batch_against_index(
     )
     near_x = _jaccard_drops(cands_x, batch_sh, hist_sh, threshold)
 
+    # ``pin_drops``: the append path anti-joins the drop set against
+    # batch_df, feats AND bands_b, and an un-pinned union would re-run
+    # all four probe legs per consumer — materialize it once (tiny:
+    # dropped ids only). The single-consumer probe (public
+    # dedup_batch_against_index) keeps it lazy so the returned plan
+    # still EXPOSES the broadcast-probe shape (plan-gated in pytest).
     drops = exact_w.union(exact_x).union(near_w).union(near_x).distinct()
-    return batch_df.join(
+    if pin_drops:
+        drops = drops.transform(materialize)
+    survivors = batch_df.join(
         F.broadcast(drops.withColumnRenamed("doc", id_col)), id_col, "left_anti"
     )
+    return survivors, feats, bands_b, drops, (max_bucket_size is not None)
 
 
 # -- semantic (embedding) incremental dedup --------------------------------
@@ -970,36 +1026,63 @@ def dedup_and_append_batch(
     own ``src_batch=`` slices). Returns (rows_in, rows_kept)."""
     n_in = batch_df.count()
     root = _index_root(index_path)
-    survivors = dedup_batch_against_index(
+    survivors, feats, bands_b, drops, bands_filtered = _dedup_batch_parts(
         batch_df, index_path, threshold, n_hashes, bands,
         shingle_n, seed, text_col, id_col, max_bucket_size,
         exclude_batch=batch_id,  # replay after partial failure
         # must not probe this batch's own attempt-1 slices
-    ).transform(materialize)  # decide once; written 4 ways below
+    )
+    survivors = survivors.transform(materialize)  # written 2 ways below
     n_kept = survivors.count()
     _write_slice(survivors, out_path, batch_id, approx_rows=n_kept)
-    # written twice (hashes + shingles): pin once per batch
-    feats = _features(survivors, text_col, id_col, shingle_n).transform(materialize)
-    _write_slice(
-        feats.select("doc", "text_hash"),
-        os.path.join(root, "hashes"),
-        batch_id,
-        bloom_col="text_hash",
-        approx_rows=n_kept,  # features are 1:1 per surviving doc
-    )
-    _write_slice(
-        feats.select("doc", "shingles"),
-        os.path.join(root, "shingles"),
-        batch_id,
-        approx_rows=n_kept,
-    )
-    surv_bands = minhash_band_rows(
-        survivors, n_hashes, bands, text_col, id_col, shingle_n, seed
-    ).transform(materialize)  # written twice: buckets + stats
-    _write_slice(
-        surv_bands, os.path.join(root, "buckets"), batch_id,
-        bloom_col="bucket",
-        approx_rows=n_kept * bands,  # one band row per doc per band
-    )
-    _write_bucket_stats(surv_bands, root, batch_id)
+    # Survivor features/band rows REUSE the probe pass's materialized
+    # frames (r18): _features is deterministic per row, so filtering
+    # the batch feats to survivors is value-identical to recomputing
+    # _features(survivors) — and skips a second md5+shingle pass per
+    # micro-batch. Same for the 32-permutation minhash band rows,
+    # EXCEPT when a hot-bucket cap pruned bands_b (rows the survivor
+    # index must still carry) — then recompute, as before.
+    feats_s = feats.join(F.broadcast(drops), "doc", "left_anti")
+    if bands_filtered:
+        # the survivors' FULL band set (hot-pruned rows must still be
+        # indexed) — derived from the survivor features, not a fresh
+        # text pass (bit-identical; r18)
+        surv_bands = minhash_band_rows_from_shingles(
+            feats_s, n_hashes, bands, seed
+        ).transform(materialize)  # written twice: buckets + stats
+    else:
+        # bands_b already excludes exact-dropped docs; anti-joining the
+        # full drop set leaves exactly the survivors' band rows
+        surv_bands = bands_b.join(F.broadcast(drops), "doc", "left_anti")
+    # The four index writes are independent jobs over PINNED inputs —
+    # overlap them from a small thread pool (guide §2.6) so one tiny
+    # write's commit latency doesn't serialize behind another's. Jobs
+    # submitted from driver threads are safe; each write targets its
+    # own table directory.
+    from concurrent.futures import ThreadPoolExecutor
+
+    writes = [
+        lambda: _write_slice(
+            feats_s.select("doc", "text_hash"),
+            os.path.join(root, "hashes"),
+            batch_id,
+            bloom_col="text_hash",
+            approx_rows=n_kept,  # features are 1:1 per surviving doc
+        ),
+        lambda: _write_slice(
+            feats_s.select("doc", "shingles"),
+            os.path.join(root, "shingles"),
+            batch_id,
+            approx_rows=n_kept,
+        ),
+        lambda: _write_slice(
+            surv_bands, os.path.join(root, "buckets"), batch_id,
+            bloom_col="bucket",
+            approx_rows=n_kept * bands,  # one band row per doc per band
+        ),
+        lambda: _write_bucket_stats(surv_bands, root, batch_id),
+    ]
+    with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+        for fut in [pool.submit(w) for w in writes]:
+            fut.result()  # propagate the first failure
     return n_in, n_kept

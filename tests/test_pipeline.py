@@ -2664,14 +2664,16 @@ def test_web_ingest_replay_idempotent(spark, tmp_path):
         return kept, urls
 
     c1 = ingest_web_batch(batch_for("b1.warc.gz"), 0, index, out)
-    assert c1 == (4, 3, 2)  # url stage keeps a+b+c; hash drops c
+    # (parsed, after_url, after_quality, kept) — no quality gate, so
+    # after_quality == after_url (r18 accounting split)
+    assert c1 == (4, 3, 3, 2)  # url stage keeps a+b+c; hash drops c
     s1 = state()
     # replay the SAME batch id — attempt 1's slices already on disk
     assert ingest_web_batch(batch_for("b1.warc.gz"), 0, index, out) == c1
     assert state() == s1
 
     c2 = ingest_web_batch(batch_for("b2.warc.gz"), 1, index, out)
-    assert c2 == (3, 2, 1)  # url index drops /b; hash index drops /d
+    assert c2 == (3, 2, 2, 1)  # url index drops /b; hash index drops /d
     kept, urls = state()
     assert {k[1] for k in kept} == {"http://e.com/a", "http://e.com/b",
                                     "http://e.com/e"}
@@ -2679,6 +2681,75 @@ def test_web_ingest_replay_idempotent(spark, tmp_path):
     assert {u[0] for u in urls} == {"http://e.com/a", "http://e.com/b",
                                     "http://e.com/c", "http://e.com/d",
                                     "http://e.com/e"}
+
+
+def test_web_ingest_quality_accounting_split(spark, tmp_path):
+    """r18: ``rows_after_url`` counts BEFORE the quality gate and
+    ``rows_after_quality`` after it — the two drop classes attribute
+    separately in the returned accounting (the r17 verdict's
+    web_ingest accounting nit), and the quality gate itself is folded
+    into the hash projection (no separate materialized stage)."""
+    from ais_data_pipeline_spark.sources.warc import encode_warc_records
+    from ais_data_pipeline_spark.streaming.web_ingest import ingest_web_batch
+
+    good = (
+        "the cat sat on the mat and it is that for a while. "
+        "We think that the story of the house is good, and the "
+        "end of the day is near for all of the people in it."
+    )
+
+    def rec(i, uri, text):
+        return dict(
+            warc_type="conversion", record_id=f"<urn:uuid:{i:04x}>",
+            warc_date="2024-01-01T00:00:00Z", target_uri=uri,
+            content_type="text/plain", payload=text.encode(),
+        )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "b.warc.gz").write_bytes(encode_warc_records([
+        rec(0, "http://e.com/a", f"{good} page a."),
+        rec(1, "http://e.com/a?utm_source=x", f"{good} page a."),  # url dup
+        rec(2, "http://e.com/junk", "zz " * 40),                   # quality
+        rec(3, "http://e.com/b", f"{good} page a."),               # body dup
+    ]))
+    batch = (
+        spark.read.format("binaryFile")
+        .load(str(landing / "b.warc.gz"))
+        .select("path", "content")
+    )
+    index, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    counts = ingest_web_batch(
+        batch, 0, index, out, quality_threshold=0.5
+    )
+    # 4 parsed; url dedup keeps a+junk+b (3); quality drops junk (2);
+    # exact-body dedup drops b (1 kept)
+    assert counts == (4, 3, 2, 1)
+    from ais_data_pipeline_spark.streaming.web_ingest import OUT_SCHEMA
+
+    kept = {
+        (r["doc_key"], r["url"], r["text"])
+        for r in spark.read.schema(OUT_SCHEMA).parquet(out).collect()
+    }
+    # r18: the probe broadcasts are size-GATED — force the gate shut
+    # and the whole batch must take the shuffled keys-only joins with
+    # bit-identical results (the batch plan's majority-duplicate
+    # non-broadcast pattern, applied to the streaming twin)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64")
+    try:
+        index2, out2 = str(tmp_path / "idx2"), str(tmp_path / "out2")
+        counts2 = ingest_web_batch(
+            batch, 0, index2, out2, quality_threshold=0.5
+        )
+        assert counts2 == counts
+        kept2 = {
+            (r["doc_key"], r["url"], r["text"])
+            for r in spark.read.schema(OUT_SCHEMA).parquet(out2).collect()
+        }
+        assert kept2 == kept
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
 def test_web_ingest_raw_warc_mode(spark, tmp_path):
@@ -2728,7 +2799,7 @@ def test_web_ingest_raw_warc_mode(spark, tmp_path):
     )
     index, out = str(tmp_path / "idx"), str(tmp_path / "out")
     counts = ingest_web_batch(batch, 0, index, out, input_format="warc")
-    assert counts == (3, 2, 2)  # 3 clean texts in; /a dedup; 2 kept
+    assert counts == (3, 2, 2, 2)  # 3 clean texts in; /a dedup; 2 kept
     rows = {r["url"]: r["text"]
             for r in spark.read.schema(OUT_SCHEMA).parquet(out).collect()}
     assert rows == {
