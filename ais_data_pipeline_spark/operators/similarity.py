@@ -1140,9 +1140,12 @@ def semdedup_clusters(
     # the only real compute here — ran on one core (r18 profile: a
     # 4.5 s single-task stage out of the leg's 8 s). Round-robin
     # repartition is value-neutral; skipped when the scan is already
-    # wide (the 100 TB case).
+    # wide (the 100 TB case). Projected to (id, vector) first so the
+    # deliberate spread shuffle carries only the columns this operator
+    # uses (guide §2.3).
     assigned = kmeans_assign(
-        spread_to_parallelism(df), cent_rows, vec_col, id_col, metric="cosine"
+        spread_to_parallelism(df.select(id_col, vec_col)),
+        cent_rows, vec_col, id_col, metric="cosine",
     )
     # per-vector norm hoisted out of the pair join: each row's
     # sqrt(dot(v,v)) is computed once instead of once per PAIR (the

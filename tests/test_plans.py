@@ -1128,7 +1128,14 @@ def test_shuffle_byte_ceilings():
         "minhash_near_dup": 0.22,
         "sessionize_events": 0.13,
         "curation_pipeline_stats": 0.45,
-        "semdedup_stats": 0.06,
+        # re-measured r18: semdedup_clusters now spreads the (id,
+        # vector) scan to cluster parallelism before the quadratic
+        # within-cluster pair verify (the stage ran as ONE task off
+        # the single-file scan — 4.5 s on one core at sf0.1). The
+        # deliberate round-robin exchange carries the vectors once
+        # (+0.29 MiB at sf0.01) and is SKIPPED when the scan is
+        # already wide — the 100 TB case adds no extra shuffle.
+        "semdedup_stats": 0.35,
         "source_overlap_matrix": 0.35,
         "pretraining_pipeline_stats": 0.2,
         # re-measured post-r10-hardening (round-10 verdict item 6):
