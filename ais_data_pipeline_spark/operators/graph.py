@@ -330,9 +330,14 @@ def star_connected_components(
             .distinct()
             .transform(materialize)
         )
+        # convergence = set equality of two DISTINCT canonical edge
+        # sets. r18: compare counts first (cheap jobs on materialized
+        # frames — almost always unequal mid-contraction, skipping the
+        # join entirely), and when equal ONE one-sided anti-join
+        # suffices: |A| = |B| and A∖B = ∅ imply B∖A = ∅.
         stable = (
-            small.join(edges, ["u", "v"], "left_anti").limit(1).count() == 0
-            and edges.join(small, ["u", "v"], "left_anti").limit(1).count() == 0
+            small.count() == edges.count()
+            and small.join(edges, ["u", "v"], "left_anti").limit(1).count() == 0
         )
         edges = small
         if stable:

@@ -1032,8 +1032,12 @@ def dedup_and_append_batch(
         exclude_batch=batch_id,  # replay after partial failure
         # must not probe this batch's own attempt-1 slices
     )
-    survivors = survivors.transform(materialize)  # written 2 ways below
-    n_kept = survivors.count()
+    # n_kept by exact set arithmetic (r18): drops is the materialized
+    # DISTINCT batch-doc-id drop set, so kept = batch − |drops| — no
+    # survivor materialize + count pass (the survivors frame is now
+    # consumed exactly once, by its write, as a cheap anti-join over
+    # the pinned batch/drop frames)
+    n_kept = n_in - drops.count()
     _write_slice(survivors, out_path, batch_id, approx_rows=n_kept)
     # Survivor features/band rows REUSE the probe pass's materialized
     # frames (r18): _features is deterministic per row, so filtering

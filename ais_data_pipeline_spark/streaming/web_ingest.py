@@ -223,10 +223,7 @@ def ingest_web_batch(
         .distinct()
         .transform(materialize)
     )
-    s1 = s1.join(gated_broadcast(seen_urls, n_in), "url", "left_anti").transform(
-        materialize
-    )
-    n_url = s1.count()  # BEFORE the quality gate (r18 accounting split)
+    s1 = s1.join(gated_broadcast(seen_urls, n_in), "url", "left_anti")
     # the url index learns every url seen this batch that it did not
     # already know — INCLUDING urls whose doc was then dropped by
     # quality or body dedup (fetch dedup is about the fetch, not the
@@ -241,19 +238,27 @@ def ingest_web_batch(
     )
 
     # exact-body stage: same within-batch-then-index two-step on md5,
-    # with the optional quality gate folded into the hash projection
-    # (one pass over s1 instead of a separate materialized stage)
-    gated = s1
+    # with the optional quality gate folded into the hash projection.
+    # Without a gate, s1 needs no materialize of its own — the hashed
+    # frame subsumes it and one count serves both accounting fields
+    # (r18; rows_after_url == rows_after_quality by definition then).
     if quality_threshold is not None:
         from ais_data_pipeline_spark.operators.text import quality_col
 
+        s1 = s1.transform(materialize)
+        n_url = s1.count()  # BEFORE the gate (r18 accounting split)
         gated = s1.filter(
             F.round(quality_col(F.col("text")), 5) >= quality_threshold
         )
-    hashed = gated.withColumn(
-        "text_hash", F.md5(F.col("text").cast("binary"))
-    ).transform(materialize)
-    n_quality = hashed.count() if quality_threshold is not None else n_url
+        hashed = gated.withColumn(
+            "text_hash", F.md5(F.col("text").cast("binary"))
+        ).transform(materialize)
+        n_quality = hashed.count()
+    else:
+        hashed = s1.withColumn(
+            "text_hash", F.md5(F.col("text").cast("binary"))
+        ).transform(materialize)
+        n_url = n_quality = hashed.count()
     keep_min = hashed.groupBy("text_hash").agg(
         F.min("doc_key").alias("__keep")
     )
@@ -272,10 +277,18 @@ def ingest_web_batch(
         .distinct()
         .transform(materialize)
     )
+    # survivors are consumed exactly once (the output write), over the
+    # PINNED hashed/seen_hashes frames — no materialize+count pass;
+    # the kept count rides the write itself via an Observation (r18,
+    # the quarantine-sink recipe). approx_rows uses the n_quality
+    # upper bound, which makes the identical single-file decision for
+    # any micro-batch-sized slice.
+    from pyspark.sql import Observation
+
+    obs_kept = Observation(f"web_ingest_kept_{batch_id}")
     survivors = s2.join(
         gated_broadcast(seen_hashes, n_quality), "text_hash", "left_anti"
-    ).transform(materialize)
-    n_kept = survivors.count()
+    ).observe(obs_kept, F.count(F.lit(1)).alias("n"))
 
     # the hash index learns the hashes of URL-stage survivors (kept
     # or within-batch-exact-dropped — identical hash either way), so
@@ -291,8 +304,9 @@ def ingest_web_batch(
         survivors.select("doc_key", "url", "text"),
         out_path,
         batch_id,
-        approx_rows=n_kept,
+        approx_rows=n_quality,
     )
+    n_kept = obs_kept.get["n"]
     url_write.result()
     hash_write.result()
     pool.shutdown()
