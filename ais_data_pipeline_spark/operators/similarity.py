@@ -142,9 +142,25 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
-def lsh_bucket_col(vec_col: Column, planes: list[list[float]]) -> Column:
+def lsh_bucket_col(vec_col: "Column | str", planes: list[list[float]]) -> Column:
     """Pack sign(v·plane) bits into a long bucket id — pure JVM
-    expression, usable as a join / partition key."""
+    expression, usable as a join / partition key.
+
+    Pass the vector COLUMN NAME (str) where you have one: the whole
+    n_planes-term expression then builds as one parsed SQL string
+    (r18 — the Column form costs two HOF-lambda constructions per
+    plane, ~30 ms each on a slow py4j link). Identical parsed tree,
+    identical bit packing either way."""
+    if isinstance(vec_col, str):
+        v_sql = "CAST(`{}` AS ARRAY<DOUBLE>)".format(vec_col.replace("`", "``"))
+        terms = ["CAST(0 AS BIGINT)"]
+        for i, plane in enumerate(planes):
+            dot = _sql_dot(v_sql, _sql_vec(plane))
+            terms.append(
+                f"((CASE WHEN {dot} >= 0 THEN CAST(1 AS BIGINT) "
+                f"ELSE CAST(0 AS BIGINT) END) * CAST({2 ** i} AS BIGINT))"
+            )
+        return F.expr(" + ".join(terms))
     v = _as_double_array(vec_col)
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
@@ -207,7 +223,7 @@ def cosine_topk_lsh(
     prunes partitions instead of scanning."""
     planes = random_hyperplanes(len(query), n_planes, seed)
     probes = probe_buckets(query, planes, multiprobe_bits)
-    bucketed = df.withColumn("__bucket", lsh_bucket_col(F.col(vec_col), planes))
+    bucketed = df.withColumn("__bucket", lsh_bucket_col(vec_col, planes))
     candidates = bucketed.filter(F.col("__bucket").isin(*probes))
     return cosine_topk(
         candidates, query, k=k, vec_col=vec_col, id_col=id_col, round_digits=round_digits
@@ -294,7 +310,7 @@ def build_ann_index(
     planes = random_hyperplanes(dim, n_planes, seed)
     (
         df.filter(F.col(vec_col).isNotNull())
-        .withColumn("bucket", lsh_bucket_col(F.col(vec_col), planes))
+        .withColumn("bucket", lsh_bucket_col(vec_col, planes))
         .repartition("bucket")  # one task per bucket → one file per partition dir
         .write.mode("overwrite")
         .partitionBy("bucket")
@@ -367,7 +383,7 @@ def build_ann_index_multi(
         planes = random_hyperplanes(dim, bits_per_table, seed + 1000 * t)
         rows.append(
             df.withColumn("tbl", F.lit(t)).withColumn(
-                "bucket", lsh_bucket_col(F.col(vec_col), planes)
+                "bucket", lsh_bucket_col(vec_col, planes)
             )
         )
     union = rows[0]
@@ -861,7 +877,7 @@ def pairwise_topk_per_vector(
     b = spread_to_parallelism(df).select(
         F.col(id_col),
         _as_double_array(F.col(vec_col)).alias("__v"),
-        lsh_bucket_col(F.col(vec_col), planes).alias("__bucket"),
+        lsh_bucket_col(vec_col, planes).alias("__bucket"),
     ).withColumn("__norm", F.sqrt(_dot(F.col("__v"), F.col("__v"))))
     if max_bucket_size is not None:
         hot = (

@@ -572,7 +572,7 @@ def build_embedding_dedup_index(
     rows = vectors.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vec_id"),
         _as_double_array(F.col(vec_col)).alias("v"),
-        lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
+        lsh_bucket_col(vec_col, planes).alias("bucket"),
     )
     _write_slice(
         rows, os.path.join(index_path, "vecs"), HISTORY_BATCH, bloom_col="bucket",
@@ -635,7 +635,7 @@ def dedup_embedding_batch_against_index(
     feats = batch_df.select(
         F.col(id_col).alias("vec_id"),
         _as_double_array(F.col(vec_col)).alias("v"),
-        lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
+        lsh_bucket_col(vec_col, planes).alias("bucket"),
     ).withColumn("n", F.sqrt(_dot(F.col("v"), F.col("v")))).transform(materialize)
 
     def verified_drops(pairs: DataFrame) -> DataFrame:
@@ -727,7 +727,7 @@ def run_incremental_embedding_dedup(
             rows = indexable.select(
                 F.col(id_col).alias("vec_id"),
                 _as_double_array(F.col(vec_col)).alias("v"),
-                lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
+                lsh_bucket_col(vec_col, planes).alias("bucket"),
             )
             _write_slice(
                 rows, os.path.join(index_path, "vecs"), batch_id,
