@@ -1504,20 +1504,33 @@ def build_ivfpq_index(
     codes = pq_encode(
         residuals, books, vec_col="__r", id_col=id_col, keep_cols=["list_id"]
     )
-    (
-        codes.repartition("list_id")
-        .write.mode("overwrite")
-        .partitionBy("list_id")
-        .parquet(path)
-    )
-    cents.coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "_centroids")
     spark = df.sparkSession
     book_rows = [
         (s, cid, cvec) for s, book in enumerate(books) for cid, cvec in book
     ]
-    local_df(
-        spark, book_rows, "subspace int, centroid_id bigint, cvec array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "_codebooks")
+    # the three table writes are independent jobs (codes over the
+    # pinned residuals; two tiny local-relation sidecars) — overlap
+    # them (guide §2.6); the consistency stamp still lands strictly
+    # LAST, after every write committed
+    from concurrent.futures import ThreadPoolExecutor
+
+    writes = [
+        lambda: (
+            codes.repartition("list_id")
+            .write.mode("overwrite")
+            .partitionBy("list_id")
+            .parquet(path)
+        ),
+        lambda: cents.coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path.rstrip("/") + "_centroids"),
+        lambda: local_df(
+            spark, book_rows, "subspace int, centroid_id bigint, cvec array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "_codebooks"),
+    ]
+    with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+        for fut in [pool.submit(w) for w in writes]:
+            fut.result()
     # stamp LAST — a crash between any of the three writes above
     # leaves a token mismatch the probe rejects loudly
     _stamp_index(

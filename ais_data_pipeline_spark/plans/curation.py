@@ -88,7 +88,13 @@ def run_curation(
         ).first()
         return row["n"], (row["t"] or 0)
 
-    n_total, tok_total = measure(docs)
+    # the input measurement and the stage-1 drop-set computation are
+    # independent jobs over the same scan — overlap them (r18, guide
+    # §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    measure_fut = pool.submit(measure, docs)
 
     # stage 1: exact — only the ~few-% non-min ids materialize
     hashed = docs.select(id_col, F.md5(F.col(text_col).cast("binary")).alias("__h"))
@@ -100,6 +106,8 @@ def run_curation(
         .transform(materialize)  # small: dup ids only
     )
     n_drop_exact = drop_exact.count()
+    n_total, tok_total = measure_fut.result()
+    pool.shutdown()
     # size-gated (r17): real corpora can carry drop-sets past broadcast
     # size; above the threshold AQE picks a keys-only shuffled anti-join
     s1 = docs.join(gated_broadcast(drop_exact, n_drop_exact), id_col, "left_anti")
