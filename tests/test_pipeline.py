@@ -2136,6 +2136,29 @@ def test_http_response_split_rules():
         b"5;ext=v\r\nhello\r\n0\r\nX-Trailer: t\r\n\r\n")
     assert r["body_text"] == "hello"
 
+    # r18 (r17 verdict honesty gap): TE tokens besides chunked leave
+    # the body TRANSFER-coded after de-chunking — it must be reported
+    # undecoded (content_encoding records the leftover coding,
+    # body_text NULL), never mojibake-decoded. RFC 7230 §3.3.1.
+    import gzip as _gzip
+
+    gz = _gzip.compress(b"te-gzipped body")
+    chunked_gz = (
+        hex(len(gz))[2:].encode() + b"\r\n" + gz + b"\r\n0\r\n\r\n"
+    )
+    r = parse_http_response(
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Transfer-Encoding: gzip, chunked\r\n\r\n" + chunked_gz)
+    assert r["chunked"] and r["body_text"] is None
+    assert r["content_encoding"] == "gzip"
+    assert bytes(r["body"]) == gz  # de-chunked, still transfer-coded
+    # ...and composed with a Content-Encoding residue, both record
+    r = parse_http_response(
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: br\r\n"
+        b"Transfer-Encoding: gzip, chunked\r\n\r\n" + chunked_gz)
+    assert r["body_text"] is None and r["content_encoding"] == "gzip, br"
+
     # documented error classes
     import pytest as _pytest
 
@@ -2221,6 +2244,13 @@ def test_http_fuzz_documented_error_classes():
         encode_http_response(200, "OK", [("Content-Type", "application/json")],
                              b'{"k": [1,2,3]}', content_encoding="deflate"),
         encode_http_response(301, "Moved", [("Location", "http://x/")], b""),
+        # r18: the multi-token transfer-coding shape (gzip, chunked) —
+        # the honesty-gap fix's class must survive mutation like the rest
+        (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Transfer-Encoding: gzip, chunked\r\n\r\n"
+            b"8\r\n\x1f\x8b\x08\x00\x00\x00\x00\x00\r\n0\r\n\r\n"
+        ),
     ]
     rng = random.Random(1717)
     t0 = time.perf_counter()
