@@ -29,6 +29,7 @@ it at batch time, so it applies to incremental-dedup ingestion too.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _RELIABLE = False
 
@@ -64,3 +65,18 @@ def materialize(df: DataFrame) -> DataFrame:
     if _RELIABLE:
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
+
+
+def materialize_counted(df: DataFrame) -> tuple[DataFrame, int]:
+    """``materialize`` that also returns the pinned row count, riding
+    an ``Observation`` on the checkpoint job itself — the count costs
+    ZERO extra jobs (r19; guide §1.2 step 1: the count-after-pin
+    pattern paid one scheduler round per call site, and streaming
+    micro-batch paths pay it per batch). Verified on both checkpoint
+    flavors: the eager local/reliable checkpoint action fires the
+    CollectMetrics node, including over empty frames (count 0)."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    pinned = materialize(df.observe(obs, F.count(F.lit(1)).alias("n")))
+    return pinned, int(obs.get["n"])

@@ -229,6 +229,42 @@ def minhash_band_rows_from_shingles(
     return _band_rows_from_exploded(ex, n_hashes, bands, seed)
 
 
+def minhash_band_structs_sql(
+    shingles_sql: str, n_hashes: int, bands: int, seed: int
+) -> str:
+    """SQL text for the PER-ROW band array of one shingle-hash array
+    column: ``array(struct(b AS band, xxhash64(m_{b·r}, …) AS bucket),
+    …)`` with ``m_i = array_min(transform(<shingles>, s -> CASE WHEN s
+    IS NOT NULL THEN xxhash64(s, seed+i) END))``.
+
+    Value-identical to ``_band_rows_from_exploded``'s explode+groupBy
+    form: ``array_min`` skips NULL elements exactly like ``min`` skips
+    the NULL ``CASE`` branch over ``explode_outer`` rows, an empty or
+    NULL shingle array yields NULL mins either way, and the per-band
+    ``xxhash64`` runs over the same BIGINT mins. The point (r19) is
+    job shape, not values: a micro-batch path that stores this array
+    in its one pinned frame derives band rows as a NARROW explode per
+    consumer — no second materialize job and no signature shuffle per
+    batch. Corpus-scale passes should keep the codegen'd
+    explode+groupBy form (HOF lambdas evaluate interpreted; the r14
+    curation profile picked the aggregate form for the hot path)."""
+    r = n_hashes // bands
+    mins = [
+        (
+            f"array_min(transform({shingles_sql}, "
+            f"s -> CASE WHEN s IS NOT NULL THEN xxhash64(s, {seed + i}) END))"
+        )
+        for i in range(n_hashes)
+    ]
+    structs = ", ".join(
+        "struct({b} AS band, xxhash64({cols}) AS bucket)".format(
+            b=b, cols=", ".join(mins[b * r + j] for j in range(r))
+        )
+        for b in range(bands)
+    )
+    return f"array({structs})"
+
+
 def _band_rows_from_exploded(
     ex: DataFrame, n_hashes: int, bands: int, seed: int
 ) -> DataFrame:

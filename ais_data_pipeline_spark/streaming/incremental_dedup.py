@@ -42,6 +42,7 @@ from ais_data_pipeline_spark import fsutil
 from ais_data_pipeline_spark.checkpointing import materialize
 from ais_data_pipeline_spark.operators.dedup import (
     minhash_band_rows_from_shingles,
+    minhash_band_structs_sql,
     shingle_hashes_from_tokens,
     tokens_lower,
 )
@@ -156,7 +157,13 @@ def _write_slice(
             single_file = True
     out = df.withColumn("src_batch", F.lit(src_batch).cast("bigint"))
     if single_file:
-        out = out.repartition(1)
+        # coalesce, not repartition: the funnel only engages on slices
+        # measured ≤ SINGLE_FILE_MAX_ROWS, where one task comfortably
+        # computes the (narrow, pinned-input) slice plan — and the
+        # repartition(1) added a whole shuffle + an AQE stage job per
+        # write just to move rows it was about to funnel anyway (r19;
+        # five slice writes per micro-batch made that 5 extra jobs)
+        out = out.coalesce(1)
     writer = out.write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
     )
@@ -229,7 +236,12 @@ def build_dedup_index(
             fut.result()
 
 
-def _write_bucket_stats(bands_df: DataFrame, root: str, src_batch: int) -> None:
+def _write_bucket_stats(
+    bands_df: DataFrame,
+    root: str,
+    src_batch: int,
+    approx_rows: int | None = None,
+) -> None:
     """Per-slice (band, bucket) membership counts, kept only where
     n >= 2 — the mergeable hot-bucket statistic. Probes sum these
     across slices to find buckets above ``max_bucket_size`` and prune
@@ -237,15 +249,30 @@ def _write_bucket_stats(bands_df: DataFrame, root: str, src_batch: int) -> None:
     can't turn an index probe quadratic. (A bucket that is singleton
     in every slice can still sum hot undetected — acceptable: the
     guard targets burst-shaped boilerplate, which lands heavy in few
-    slices.)"""
+    slices.)
+
+    ``approx_rows`` (an upper bound is fine — stats rows ≤ input band
+    rows) skips the measure pass entirely: the micro-batch append path
+    passes its surviving-band-row bound, so the stats write is ONE job
+    (r19; the old materialize+count was 2 extra jobs per batch). When
+    absent (history-sized bootstraps), the count rides the materialize
+    as an Observation — still one job fewer than counting after."""
     stats = (
         bands_df.groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 2)
-    ).transform(materialize)  # read twice: the measured single-file
-    # default counts it, then the write reuses the pinned result
-    # instead of re-running the agg over a history-sized bands frame
-    _write_slice(stats, os.path.join(root, "bucket_stats"), src_batch)
+    )
+    if approx_rows is None:
+        from ais_data_pipeline_spark.checkpointing import materialize_counted
+
+        # read twice (measure + write) without a bound in hand: pin it
+        # so the write reuses the pinned result instead of re-running
+        # the agg over a history-sized bands frame
+        stats, approx_rows = materialize_counted(stats)
+    _write_slice(
+        stats, os.path.join(root, "bucket_stats"), src_batch,
+        approx_rows=approx_rows,
+    )
 
 
 def _hot_buckets(
@@ -309,11 +336,11 @@ def dedup_batch_against_index(
     pushdown_limit: int = 10_000,
     exclude_batch: int | None = None,
 ) -> DataFrame:
-    survivors, _, _, _, _ = _dedup_batch_parts(
+    survivors = _dedup_batch_parts(
         batch_df, index_path, threshold, n_hashes, bands, shingle_n,
         seed, text_col, id_col, max_bucket_size, pushdown_limit,
         exclude_batch, pin_drops=False,
-    )
+    )[0]
     return survivors
 
 
@@ -331,7 +358,7 @@ def _dedup_batch_parts(
     pushdown_limit: int = 10_000,
     exclude_batch: int | None = None,
     pin_drops: bool = True,
-) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, bool]:
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, bool, int, int]:
     """Survivors of one batch under the drop rule in the module
     docstring. The batch (small) is always the broadcast side; the
     index tables are scanned once each with the batch's hash / bucket
@@ -356,14 +383,33 @@ def _dedup_batch_parts(
     pages. That is what keeps probe IO sub-linear in corpus size, on
     top of staying shuffle-free.
 
-    Returns ``(survivors, feats, bands_b, drops, bands_filtered)`` so
-    the append path can REUSE the batch's materialized features and
-    band rows for the survivor index writes instead of recomputing the
-    md5/shingle/minhash passes over the survivors (r18; the recompute
-    was ~2 full extra passes per micro-batch). ``bands_filtered`` is
-    True when a hot-bucket cap pruned ``bands_b`` — the reused band
-    rows are then NOT the survivors' complete band set and the caller
-    must recompute."""
+    Job shape (r19, guide §1.2 step 1 — the per-micro-batch job floor
+    was the leg's dominant cost): ONE materialize pins everything the
+    batch derives — features, the exact-keep representative (the
+    keep-min groupBy + broadcast join folded into the same job), and
+    the PER-ROW minhash band array (``minhash_band_structs_sql``; the
+    old shape paid a second materialize + a signature shuffle per
+    batch). Band rows are then a narrow explode of the pinned frame
+    per consumer. The batch's distinct hash AND bucket probe sets
+    collect in one unioned job, and ``n_in`` rides the materialize as
+    an Observation — 3 driver jobs per batch before the writes, down
+    from 7.
+
+    Returns ``(survivors, enriched, bands_b, drops, bands_filtered,
+    n_in, n_drops, drop_ids)`` so the append path can REUSE the
+    batch's pinned features/band rows for the survivor index writes
+    instead of recomputing the md5/shingle/minhash passes (r18), plus
+    the already-observed accounting counts (r19; ``n_drops`` is -1
+    when ``pin_drops=False`` leaves the drop set lazy). ``drop_ids``
+    is the COLLECTED drop set when the batch is small enough
+    (``n_in <= pushdown_limit``) for consumers to filter by literal
+    NOT-IN values instead of broadcast anti-joins — one probe job, no
+    per-consumer broadcast-exchange jobs. ``bands_filtered`` is True
+    when a hot-bucket cap pruned ``bands_b`` — the reused band rows
+    are then NOT the survivors' complete band set and the caller must
+    recompute."""
+    from pyspark.sql import Observation
+
     spark = batch_df.sparkSession
     # empty-index cold start must be well-defined (round-10 review: a
     # fresh index_path without the bootstrap builder was a PATH_NOT_
@@ -372,11 +418,6 @@ def _dedup_batch_parts(
     root = _index_root(index_path)
     for t in ("hashes", "buckets", "shingles", "bucket_stats"):
         _ensure_local_dir(os.path.join(root, t))
-    # feats / band rows are referenced several times below; a batch is
-    # micro-batch-sized, so eager localCheckpoint pins them once
-    # (blocks GC-reclaimed; see graph.pagerank for the cluster caveat)
-    feats = _features(batch_df, text_col, id_col, shingle_n).transform(materialize)
-
     # (1) exact, within batch: predecessor rule == keep min id per
     # hash. Computed FIRST: the hot-bucket guard below must count band
     # rows of exact-SURVIVORS only — a batch of N exact copies would
@@ -386,21 +427,49 @@ def _dedup_batch_parts(
     # Dropping exact-dropped docs' band rows never changes survivors:
     # copies have identical shingles, so every pair they would form
     # also forms through the kept min-id copy.
-    keep_min = feats.groupBy("text_hash").agg(F.min("doc").alias("__keep"))
-    exact_w = (
-        feats.join(F.broadcast(keep_min), "text_hash")
-        .filter(F.col("doc") != F.col("__keep"))
-        .select("doc")
+    #
+    # The whole per-batch feature set pins in ONE job (r19): features,
+    # keep-min (broadcast back onto the same scan — NULL-safe so
+    # NULL-text rows keep flowing; they are never exact-droppable,
+    # exactly like the old equi-join-miss behavior), the exact-drop
+    # flag, and the per-row band array for exact-stage survivors.
+    feats_raw = _features(batch_df, text_col, id_col, shingle_n)
+    keep_min = (
+        feats_raw.select("doc", "text_hash")
+        .groupBy("text_hash")
+        .agg(F.min("doc").alias("__keep"))
+        .withColumnRenamed("text_hash", "__kh")
     )
-
-    # band rows derive from the pinned batch features — skips the
-    # second scan+tokenize+shingle pass per micro-batch (r18;
-    # bit-identical, see minhash_band_rows_from_shingles)
-    bands_b = (
-        minhash_band_rows_from_shingles(feats, n_hashes, bands, seed)
-        .join(F.broadcast(exact_w), "doc", "left_anti")
+    bands_sql = minhash_band_structs_sql("`shingles`", n_hashes, bands, seed)
+    obs_in = Observation()
+    enriched = (
+        feats_raw.join(
+            F.broadcast(keep_min),
+            F.col("text_hash").eqNullSafe(F.col("__kh")),
+        )
+        .drop("__kh")
+        # a NULL text_hash row is never an exact dup (NULL = NULL is
+        # not a match in the probe joins either)
+        .withColumn(
+            "__xw",
+            F.col("text_hash").isNotNull() & (F.col("doc") != F.col("__keep")),
+        )
+        .withColumn(
+            "__bands", F.expr(f"CASE WHEN NOT `__xw` THEN {bands_sql} END")
+        )
+        .observe(obs_in, F.count(F.lit(1)).alias("n"))
         .transform(materialize)
     )
+    n_in = int(obs_in.get["n"])
+    feats = enriched  # (doc, text_hash, shingles) + batch-derived cols
+    exact_w = enriched.filter("__xw").select("doc")
+
+    # band rows are a NARROW explode of the pinned per-row array —
+    # exact-dropped docs carry a NULL array, so explode skips them
+    # (the old anti-join-exact_w semantics; r19)
+    bands_b = enriched.select(
+        "doc", F.explode("__bands").alias("__bb")
+    ).select("doc", F.col("__bb.band").alias("band"), F.col("__bb.bucket").alias("bucket"))
     if max_bucket_size is not None:
         # quadratic-blowup guard: prune band rows in buckets hot either
         # WITHIN this batch (exact survivors only, see above) or across
@@ -420,6 +489,30 @@ def _dedup_batch_parts(
             F.broadcast(hot), ["band", "bucket"], "left_anti"
         ).transform(materialize)
 
+    # the batch's distinct hash AND bucket probe sets collect in ONE
+    # unioned job (r19; two scheduler rounds per batch became one) —
+    # both sides are cheap scans of the pinned frame, each capped at
+    # pushdown_limit+1 exactly like the old per-set collects. Buckets
+    # ride as strings (BIGINT→string→int round-trips exactly).
+    lim = pushdown_limit + 1
+    probe_rows = (
+        feats.select(F.lit(0).alias("__t"), F.col("text_hash").alias("__v"))
+        .distinct()
+        .limit(lim)
+        .unionAll(
+            bands_b.select(
+                F.lit(1).alias("__t"), F.col("bucket").cast("string").alias("__v")
+            )
+            .distinct()
+            .limit(lim)
+        )
+        .collect()
+    )
+    batch_hashes = [r["__v"] for r in probe_rows if r["__t"] == 0]
+    batch_buckets = [
+        int(r["__v"]) for r in probe_rows if r["__t"] == 1 and r["__v"] is not None
+    ]
+
     # (2) exact, vs index: probe the (huge) hash table with the batch's
     # hash set — as a pushed IN-filter when small (bloom row-group
     # skipping), else a broadcast semi-join — then anti the (tiny)
@@ -429,10 +522,6 @@ def _dedup_batch_parts(
     )
     if exclude_batch is not None:
         hist_hashes = hist_hashes.filter(F.col("src_batch") != exclude_batch)
-    batch_hashes = [
-        r["text_hash"]
-        for r in feats.select("text_hash").distinct().limit(pushdown_limit + 1).collect()
-    ]
     if len(batch_hashes) <= pushdown_limit:
         probed_hashes = hist_hashes.filter(F.col("text_hash").isin(batch_hashes))
     else:
@@ -471,10 +560,6 @@ def _dedup_batch_parts(
     )
     if exclude_batch is not None:
         hist_buckets = hist_buckets.filter(F.col("src_batch") != exclude_batch)
-    batch_buckets = [
-        r["bucket"]
-        for r in bands_b.select("bucket").distinct().limit(pushdown_limit + 1).collect()
-    ]
     if len(batch_buckets) <= pushdown_limit:
         # scan-level prune on the 64-bit bucket value alone (composite
         # (band,bucket) isn't IN-pushable); the join below still
@@ -505,16 +590,52 @@ def _dedup_batch_parts(
     # ``pin_drops``: the append path anti-joins the drop set against
     # batch_df, feats AND bands_b, and an un-pinned union would re-run
     # all four probe legs per consumer — materialize it once (tiny:
-    # dropped ids only). The single-consumer probe (public
-    # dedup_batch_against_index) keeps it lazy so the returned plan
-    # still EXPOSES the broadcast-probe shape (plan-gated in pytest).
+    # dropped ids only), with the drop count riding the same job (r19;
+    # the count-after-pin was one more scheduler round per batch). The
+    # single-consumer probe (public dedup_batch_against_index) keeps it
+    # lazy so the returned plan still EXPOSES the broadcast-probe shape
+    # (plan-gated in pytest).
     drops = exact_w.union(exact_x).union(near_w).union(near_x).distinct()
-    if pin_drops:
-        drops = drops.transform(materialize)
-    survivors = batch_df.join(
-        F.broadcast(drops.withColumnRenamed("doc", id_col)), id_col, "left_anti"
+    n_drops = -1
+    drop_ids: list | None = None
+    if pin_drops and 0 <= n_in <= pushdown_limit:
+        # Small batch (n_in bounds the drop set): run the probe DAG as
+        # ONE collect and hand every consumer the drop set as literal
+        # values — each of the five downstream writes then anti-joins
+        # via a plain NOT-IN filter instead of embedding a broadcast
+        # exchange, which Spark executes as its own async job (r19; the
+        # per-batch broadcast jobs were the dominant scheduler cost).
+        # A NULL id never matches the anti-join, so the filter keeps it
+        # too.
+        drop_ids = [r["doc"] for r in drops.collect()]
+        n_drops = len(drop_ids)
+        survivors = batch_df.filter(_keep_cond(id_col, drop_ids))
+    else:
+        if pin_drops:
+            from ais_data_pipeline_spark.checkpointing import (
+                materialize_counted,
+            )
+
+            drops, n_drops = materialize_counted(drops)
+        survivors = batch_df.join(
+            F.broadcast(drops.withColumnRenamed("doc", id_col)),
+            id_col,
+            "left_anti",
+        )
+    return (
+        survivors, feats, bands_b, drops,
+        (max_bucket_size is not None), n_in, n_drops, drop_ids,
     )
-    return survivors, feats, bands_b, drops, (max_bucket_size is not None)
+
+
+def _keep_cond(col_name: str, drop_ids: list) -> "F.Column":
+    """NOT-IN-drop-set filter, bit-equivalent to the left_anti join on
+    the same ids: non-matching rows pass, NULL ids pass (a NULL key
+    never matches an anti-join probe)."""
+    if not drop_ids:
+        return F.lit(True)
+    c = F.col(col_name)
+    return c.isNull() | ~c.isin(drop_ids)
 
 
 # -- semantic (embedding) incremental dedup --------------------------------
@@ -709,12 +830,16 @@ def run_incremental_embedding_dedup(
     )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        survivors = dedup_embedding_batch_against_index(
-            batch_df, index_path, threshold, n_planes, seed, vec_col, id_col,
-            exclude_batch=batch_id,  # replay after partial failure must
-            # not probe this batch's own attempt-1 slice
-        ).transform(materialize)
-        n_kept = survivors.count()
+        from ais_data_pipeline_spark.checkpointing import materialize_counted
+
+        survivors, n_kept = materialize_counted(
+            dedup_embedding_batch_against_index(
+                batch_df, index_path, threshold, n_planes, seed, vec_col,
+                id_col,
+                exclude_batch=batch_id,  # replay after partial failure
+                # must not probe this batch's own attempt-1 slice
+            )
+        )
         _write_slice(survivors, out_path, batch_id, approx_rows=n_kept)
         # dim from a NON-NULL survivor (round-10 review: first() on a
         # NULL embedding was a TypeError poison pill); NULL-embedding
@@ -1024,21 +1149,23 @@ def dedup_and_append_batch(
     (``tools/incdedup_longrun.py``). Idempotent per ``batch_id``
     (partition overwrite), replay-safe (probes exclude this batch's
     own ``src_batch=`` slices). Returns (rows_in, rows_kept)."""
-    n_in = batch_df.count()
+    from pyspark.sql import Observation
+
     root = _index_root(index_path)
-    survivors, feats, bands_b, drops, bands_filtered = _dedup_batch_parts(
-        batch_df, index_path, threshold, n_hashes, bands,
-        shingle_n, seed, text_col, id_col, max_bucket_size,
-        exclude_batch=batch_id,  # replay after partial failure
-        # must not probe this batch's own attempt-1 slices
+    survivors, feats, bands_b, drops, bands_filtered, n_in, n_drops, drop_ids = (
+        _dedup_batch_parts(
+            batch_df, index_path, threshold, n_hashes, bands,
+            shingle_n, seed, text_col, id_col, max_bucket_size,
+            exclude_batch=batch_id,  # replay after partial failure
+            # must not probe this batch's own attempt-1 slices
+        )
     )
-    # n_kept by exact set arithmetic (r18): drops is the materialized
-    # DISTINCT batch-doc-id drop set, so kept = batch − |drops| — no
-    # survivor materialize + count pass (the survivors frame is now
-    # consumed exactly once, by its write, as a cheap anti-join over
-    # the pinned batch/drop frames)
-    n_kept = n_in - drops.count()
-    _write_slice(survivors, out_path, batch_id, approx_rows=n_kept)
+    # File-sizing estimate by set arithmetic (exact when batch ids are
+    # unique — the keyed-batch contract; a duplicate-id batch only
+    # shifts the single-file decision, never the data). The RETURNED
+    # n_kept is the exact written count, riding the survivors write as
+    # an Observation (r19; closes the r18 ADVICE exactness caveat).
+    n_kept_est = n_in - n_drops
     # Survivor features/band rows REUSE the probe pass's materialized
     # frames (r18): _features is deterministic per row, so filtering
     # the batch feats to survivors is value-identical to recomputing
@@ -1046,7 +1173,12 @@ def dedup_and_append_batch(
     # micro-batch. Same for the 32-permutation minhash band rows,
     # EXCEPT when a hot-bucket cap pruned bands_b (rows the survivor
     # index must still carry) — then recompute, as before.
-    feats_s = feats.join(F.broadcast(drops), "doc", "left_anti")
+    if drop_ids is not None:
+        # small-batch regime: the collected drop set filters as literal
+        # NOT-IN values — no broadcast-exchange job per consumer (r19)
+        feats_s = feats.filter(_keep_cond("doc", drop_ids))
+    else:
+        feats_s = feats.join(F.broadcast(drops), "doc", "left_anti")
     if bands_filtered:
         # the survivors' FULL band set (hot-pruned rows must still be
         # indexed) — derived from the survivor features, not a fresh
@@ -1054,39 +1186,53 @@ def dedup_and_append_batch(
         surv_bands = minhash_band_rows_from_shingles(
             feats_s, n_hashes, bands, seed
         ).transform(materialize)  # written twice: buckets + stats
+    elif drop_ids is not None:
+        surv_bands = bands_b.filter(_keep_cond("doc", drop_ids))
     else:
         # bands_b already excludes exact-dropped docs; anti-joining the
         # full drop set leaves exactly the survivors' band rows
         surv_bands = bands_b.join(F.broadcast(drops), "doc", "left_anti")
-    # The four index writes are independent jobs over PINNED inputs —
-    # overlap them from a small thread pool (guide §2.6) so one tiny
-    # write's commit latency doesn't serialize behind another's. Jobs
-    # submitted from driver threads are safe; each write targets its
-    # own table directory.
+    # ALL FIVE writes (survivors + four index tables) are independent
+    # jobs over PINNED inputs — overlap them from a thread pool (guide
+    # §2.6; r19 folds the survivors write in, it used to serialize
+    # ahead of the pool). bucket_stats reuses the surviving-band-row
+    # bound instead of its own materialize+count (2 fewer jobs/batch).
     from concurrent.futures import ThreadPoolExecutor
 
+    obs_kept = Observation()
+    surv_obs = survivors.observe(obs_kept, F.count(F.lit(1)).alias("n"))
     writes = [
+        lambda: _write_slice(
+            surv_obs, out_path, batch_id, approx_rows=n_kept_est
+        ),
         lambda: _write_slice(
             feats_s.select("doc", "text_hash"),
             os.path.join(root, "hashes"),
             batch_id,
             bloom_col="text_hash",
-            approx_rows=n_kept,  # features are 1:1 per surviving doc
+            approx_rows=n_kept_est,  # features are 1:1 per surviving doc
         ),
         lambda: _write_slice(
             feats_s.select("doc", "shingles"),
             os.path.join(root, "shingles"),
             batch_id,
-            approx_rows=n_kept,
+            approx_rows=n_kept_est,
         ),
         lambda: _write_slice(
             surv_bands, os.path.join(root, "buckets"), batch_id,
             bloom_col="bucket",
-            approx_rows=n_kept * bands,  # one band row per doc per band
+            approx_rows=n_kept_est * bands,  # one band row per doc per band
         ),
-        lambda: _write_bucket_stats(surv_bands, root, batch_id),
+        lambda: _write_bucket_stats(
+            surv_bands, root, batch_id,
+            # stats rows ≤ surviving band rows; the bound makes the
+            # identical single-file decision for any micro-batch-sized
+            # slice (≤2M band rows) without the old materialize+count
+            approx_rows=n_kept_est * bands,
+        ),
     ]
     with ThreadPoolExecutor(max_workers=len(writes)) as pool:
         for fut in [pool.submit(w) for w in writes]:
             fut.result()  # propagate the first failure
+    n_kept = int(obs_kept.get["n"])
     return n_in, n_kept

@@ -198,6 +198,66 @@ def test_minhash_band_rows_duplicate_id_contract(spark):
     assert collapsed == expected
 
 
+def test_minhash_band_structs_sql_bit_identical(spark, sf_dir):
+    """The r19 PER-ROW band array (``minhash_band_structs_sql``; one
+    narrow expression the incremental-dedup micro-batch pins in its
+    single materialize) must produce BIT-IDENTICAL (doc, band, bucket)
+    rows to the explode+groupBy form — including empty-text and
+    NULL-text docs, whose all-NULL mins hash to the same degenerate
+    bucket either way."""
+    from pyspark.sql import functions as F
+
+    from ais_data_pipeline_spark.operators.dedup import (
+        minhash_band_rows_from_shingles,
+        minhash_band_structs_sql,
+        shingle_hashes_from_tokens,
+        tokens_lower,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).limit(300)
+    extra = spark.createDataFrame(
+        [(900001, ""), (900002, None), (900003, "two words")],
+        "doc_id long, text string",
+    )
+    feats = (
+        docs.select("doc_id", "text")
+        .unionByName(extra)
+        .select(
+            F.col("doc_id").alias("doc"),
+            shingle_hashes_from_tokens(tokens_lower(F.col("text")), 3).alias(
+                "shingles"
+            ),
+        )
+    )
+    agg_form = minhash_band_rows_from_shingles(feats, 32, 16, 42)
+    sql = minhash_band_structs_sql("`shingles`", 32, 16, 42)
+    row_form = feats.select("doc", F.explode(F.expr(sql)).alias("bb")).select(
+        "doc", "bb.band", "bb.bucket"
+    )
+    assert agg_form.exceptAll(row_form).count() == 0
+    assert row_form.exceptAll(agg_form).count() == 0
+    # degenerate docs still emit a full band set per row
+    assert row_form.filter(F.col("doc") >= 900001).count() == 3 * 16
+
+
+def test_materialize_counted_rides_the_checkpoint_job(spark):
+    """``materialize_counted`` must return the exact pinned row count
+    (riding an Observation on the checkpoint action — zero extra jobs)
+    on both non-empty and EMPTY frames; an empty frame that never
+    fired its metrics would hang every all-dropped micro-batch."""
+    from pyspark.sql import functions as F
+
+    from ais_data_pipeline_spark.checkpointing import materialize_counted
+
+    df = spark.range(123).withColumn("x", F.col("id") * 2)
+    pinned, n = materialize_counted(df)
+    assert n == 123
+    assert pinned.count() == 123
+    empty, n0 = materialize_counted(df.filter(F.lit(False)))
+    assert n0 == 0
+    assert empty.count() == 0
+
+
 def test_simhash_properties(spark):
     from ais_data_pipeline_spark.operators.dedup import (
         simhash_fingerprints,
