@@ -12,6 +12,36 @@ from pyspark.sql import functions as F
 DROP_SET_BYTES_PER_ROW = 64
 
 
+def in_values_cond(col_name: str, values) -> "F.Column":
+    """``col IN (v1, v2, …)`` as ONE parsed SQL expression.
+
+    ``Column.isin(list)`` converts every element through its own py4j
+    literal call (~1.5 ms each on a slow link — a 2,500-value probe
+    list cost ~4 s of driver time per call site, measured r19), while
+    one ``F.expr`` parse is a single round-trip to the identical
+    ``In`` expression — same pushed-filter form (``PushedFilters:
+    [In(col, …)]``), same NULL semantics (a NULL literal in the list
+    never matches, exactly like ``isin``). Values may be str, int,
+    float, bool, or None. Empty list → ``false`` (isin() with an empty
+    list is the same constant-false filter)."""
+    if not values:
+        return F.lit(False)
+    rendered = []
+    for v in values:
+        if v is None:
+            rendered.append("NULL")
+        elif isinstance(v, bool):
+            rendered.append("true" if v else "false")
+        elif isinstance(v, int):
+            rendered.append(f"{v}L")
+        elif isinstance(v, float):
+            rendered.append(repr(v) + "D")
+        else:
+            rendered.append("'" + str(v).replace("\\", "\\\\").replace("'", "\\'") + "'")
+    quoted = "`" + col_name.replace("`", "``") + "`"
+    return F.expr(f"{quoted} IN ({', '.join(rendered)})")
+
+
 def _auto_broadcast_bytes(df: DataFrame) -> int:
     """The session's ``spark.sql.autoBroadcastJoinThreshold`` in bytes
     (-1 / unparsable -> 0, i.e. never hint)."""

@@ -46,6 +46,7 @@ from ais_data_pipeline_spark.operators.dedup import (
     shingle_hashes_from_tokens,
     tokens_lower,
 )
+from ais_data_pipeline_spark.operators.util import in_values_cond
 
 # explicit read schemas: index partitions may be legitimately empty
 # (a batch where nothing survived), and schema inference fails there
@@ -523,7 +524,7 @@ def _dedup_batch_parts(
     if exclude_batch is not None:
         hist_hashes = hist_hashes.filter(F.col("src_batch") != exclude_batch)
     if len(batch_hashes) <= pushdown_limit:
-        probed_hashes = hist_hashes.filter(F.col("text_hash").isin(batch_hashes))
+        probed_hashes = hist_hashes.filter(in_values_cond("text_hash", batch_hashes))
     else:
         probed_hashes = hist_hashes.join(
             F.broadcast(feats.select("text_hash").distinct()), "text_hash", "left_semi"
@@ -564,7 +565,7 @@ def _dedup_batch_parts(
         # scan-level prune on the 64-bit bucket value alone (composite
         # (band,bucket) isn't IN-pushable); the join below still
         # matches on the full composite key
-        hist_buckets = hist_buckets.filter(F.col("bucket").isin(batch_buckets))
+        hist_buckets = hist_buckets.filter(in_values_cond("bucket", batch_buckets))
     # referenced twice (semi-join + verify) but left LAZY: with the
     # IN-pruned scan the recompute is cheap, and the final plan keeps
     # the bucket scan visible (pushdown plan-gated in pytest)
@@ -631,11 +632,14 @@ def _dedup_batch_parts(
 def _keep_cond(col_name: str, drop_ids: list) -> "F.Column":
     """NOT-IN-drop-set filter, bit-equivalent to the left_anti join on
     the same ids: non-matching rows pass, NULL ids pass (a NULL key
-    never matches an anti-join probe)."""
+    never matches an anti-join probe). The IN list parses as ONE SQL
+    expression — not one py4j literal call per element."""
+    from ais_data_pipeline_spark.operators.util import in_values_cond
+
     if not drop_ids:
         return F.lit(True)
     c = F.col(col_name)
-    return c.isNull() | ~c.isin(drop_ids)
+    return c.isNull() | ~in_values_cond(col_name, drop_ids)
 
 
 # -- semantic (embedding) incremental dedup --------------------------------
@@ -793,7 +797,7 @@ def dedup_embedding_batch_against_index(
         for r in feats.select("bucket").distinct().limit(pushdown_limit + 1).collect()
     ]
     if len(batch_buckets) <= pushdown_limit:
-        hist = hist.filter(F.col("bucket").isin(batch_buckets))
+        hist = hist.filter(in_values_cond("bucket", batch_buckets))
     cross = (
         hist.select(
             F.col("v").alias("other_v"),
@@ -1142,6 +1146,7 @@ def dedup_and_append_batch(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket_size: int | None = None,
+    pushdown_limit: int = 10_000,
 ) -> tuple[int, int]:
     """One ingest step — dedup ``batch_df`` against the index, append
     survivors to ``out_path`` and their features to the index — shared
@@ -1156,6 +1161,7 @@ def dedup_and_append_batch(
         _dedup_batch_parts(
             batch_df, index_path, threshold, n_hashes, bands,
             shingle_n, seed, text_col, id_col, max_bucket_size,
+            pushdown_limit,
             exclude_batch=batch_id,  # replay after partial failure
             # must not probe this batch's own attempt-1 slices
         )

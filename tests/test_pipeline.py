@@ -243,6 +243,42 @@ def test_incremental_dedup_replay_idempotent(spark, sf_dir, tmp_path):
     assert kept == [11, 22]
 
 
+def test_incremental_dedup_large_batch_regime_equivalent(spark, sf_dir, tmp_path):
+    """r19: batches at or under ``pushdown_limit`` collect their drop
+    set once and filter consumers by literal NOT-IN values; larger
+    batches keep the r18 pinned-drop-set + broadcast-anti shape. Force
+    the LARGE regime (pushdown_limit=0) on the same data — kept rows,
+    accounting, and every index table must be bit-identical."""
+    from ais_data_pipeline_spark.sources.parquet import read_table
+    from ais_data_pipeline_spark.streaming.incremental_dedup import (
+        build_dedup_index,
+        dedup_and_append_batch,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 3 == 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 1)
+
+    results = {}
+    for tag, lim in (("small", 10_000), ("large", 0)):
+        base = str(tmp_path / tag)
+        index, out = base + "/idx", base + "/out"
+        build_dedup_index(hist, index)
+        counts = dedup_and_append_batch(
+            batch, 0, index, out, threshold=0.5, pushdown_limit=lim
+        )
+        kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+        hashes = sorted(
+            r["doc"] for r in spark.read.parquet(index + "/hashes").collect()
+        )
+        buckets = sorted(
+            (r["doc"], r["band"], r["bucket"])
+            for r in spark.read.parquet(index + "/buckets").collect()
+        )
+        results[tag] = (counts, kept, hashes, buckets)
+    assert results["small"] == results["large"]
+
+
 def test_incremental_dedup_partial_failure_replay(spark, sf_dir, tmp_path):
     """Round-10 review: a micro-batch replayed after a crash BETWEEN
     the per-batch index writes must not exact-match its own attempt-1
@@ -2780,6 +2816,29 @@ def test_web_ingest_quality_accounting_split(spark, tmp_path):
         assert kept2 == kept
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    # r19: small batches collect their url/hash sets and probe the
+    # indexes through pushed IN-filters with literal NOT-IN anti
+    # filters; batches past PUSHDOWN_LIMIT keep the r18 broadcast
+    # semi-join shape. Force the LARGE path on the same fixture and
+    # the results must be bit-identical.
+    from ais_data_pipeline_spark.streaming import web_ingest as wi
+
+    prev_lim = wi.PUSHDOWN_LIMIT
+    wi.PUSHDOWN_LIMIT = -1
+    try:
+        index3, out3 = str(tmp_path / "idx3"), str(tmp_path / "out3")
+        counts3 = ingest_web_batch(
+            batch, 0, index3, out3, quality_threshold=0.5
+        )
+        assert counts3 == counts
+        kept3 = {
+            (r["doc_key"], r["url"], r["text"])
+            for r in spark.read.schema(OUT_SCHEMA).parquet(out3).collect()
+        }
+        assert kept3 == kept
+    finally:
+        wi.PUSHDOWN_LIMIT = prev_lim
 
 
 def test_web_ingest_raw_warc_mode(spark, tmp_path):
